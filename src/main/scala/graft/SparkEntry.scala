@@ -15,19 +15,20 @@ import graft.operators._
   */
 object SparkEntry {
 
+  /** All registered engine queries, one per implemented operator. */
+  def registry: Seq[GraftQuery] = Relational.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    Relational.aggPricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (Relational.q1PricingSummary _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    GraftQuery.queryMap(registry)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> Relational.q1Oracle
-  )
+  def oracleSql: Map[String, String] =
+    GraftQuery.oracleMap(registry)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.{GraftQuery, Tables}
 import graft.Tables.t
 
 /** General relational operator surface (SURVEY.md §2.4): aggregations,
@@ -11,27 +12,44 @@ import graft.Tables.t
   * string/date/JSON functions — expressed DataFrame-first so Catalyst
   * handles pushdown, pruning, partial aggregation and join selection.
   *
-  * Cross-engine determinism rule: any aggregate over a floating-point
-  * column goes through exact decimal arithmetic (associative, so the
-  * result is independent of Spark's partitioning) and is cast back to
-  * double at the end. DuckDB oracles use the same construction, giving
-  * bit-identical hashes.
+  * Cross-engine determinism rules (DuckDB oracle hash-matches bit-exact):
+  *  - any aggregate over floating point goes through exact decimal
+  *    arithmetic (associative ⇒ independent of Spark partitioning) and
+  *    is cast back to double once at the end;
+  *  - every query output carries a total ORDER BY;
+  *  - integer widths aligned (DuckDB count/sum cast to BIGINT, year/
+  *    month/row_number cast to INTEGER where Spark yields int).
+  *
+  * Scale notes per query are in the Scaladoc of each def: at 100 TB the
+  * dimension tables (region/nation/part/supplier/customer) stay
+  * broadcast-able or bucket-joined; fact-fact joins shuffle on their join
+  * key which is also the natural bucketing key.
   */
 object Relational {
 
   /** sum(double) made partitioning-independent: exact decimal sum, then
-    * one deterministic decimal→double conversion.
+    * one deterministic decimal→double conversion. Decimal agg is still
+    * codegen'd hash-agg with partial aggregation (map-side combine).
     */
-  private def dsum(c: Column, scale: Int = 4): Column =
+  def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(s"decimal(27,$scale)")).cast("double")
 
-  private def davg(c: Column, scale: Int = 4): Column =
-    (sum(c.cast(s"decimal(27,$scale)")).cast("double") / count(c))
+  def davg(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(27,$scale)")).cast("double") / count(c)
 
-  /** Q1-style pricing summary: wide hash aggregation with partial/final
-    * (map-side combine) for free; deterministic decimal sums.
+  /** Oracle-side rendering of [[dsum]]. */
+  private def osum(expr: String, scale: Int = 4): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(27,$scale))) AS DOUBLE)"
+
+  private def oavg(expr: String, scale: Int = 4): String =
+    s"${osum(expr, scale)} / count($expr)"
+
+  // ---------------------------------------------------------------- Q1
+  /** Wide hash aggregation (TPC-H Q1 shape). Scale: pure map-side
+    * partial agg + tiny shuffle (6 groups); filter + 7-column projection
+    * push into the parquet scan.
     */
-  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+  def aggPricingSummary(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -46,17 +64,462 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  def q1Oracle: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
-      |  count(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  private val aggPricingSummaryOracle =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${osum("l_quantity", 2)} AS sum_qty,
+       |  ${osum("l_extendedprice", 2)} AS sum_base_price,
+       |  ${osum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${osum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+       |  ${oavg("l_quantity", 2)} AS avg_qty,
+       |  ${oavg("l_extendedprice", 2)} AS avg_price,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- Q6
+  /** Selective filter + global agg (TPC-H Q6 shape). Scale: all three
+    * predicates and the 2-column projection push to the parquet reader;
+    * single-row result, no shuffle beyond partial agg merge.
+    */
+  def filterRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.04, 0.08) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val filterRevenueOracle =
+    s"""SELECT ${osum("l_extendedprice * l_discount")} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""".stripMargin
+
+  // ------------------------------------------------------ broadcast join
+  /** Fact ⋈ small dim with an explicit broadcast hint. Scale: `part` is
+    * O(SF·200k) rows — broadcastable far beyond the 10 MB default; no
+    * shuffle of the fact side, agg shuffles only 25 brand groups.
+    */
+  def joinBroadcastDim(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_extendedprice"), 2).as("brand_revenue"),
+        count(lit(1)).as("n_items"),
+        davg(col("l_quantity"), 2).as("avg_qty"))
+      .orderBy("p_brand")
+
+  private val joinBroadcastDimOracle =
+    s"""SELECT p_brand,
+       |  ${osum("l_extendedprice", 2)} AS brand_revenue,
+       |  count(*) AS n_items,
+       |  ${oavg("l_quantity", 2)} AS avg_qty
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ------------------------------------------------------- multiway join
+  /** 3-way join + agg + top-k (TPC-H Q3 shape). Scale: customer is the
+    * small side (broadcast); orders⋈lineitem is the fact-fact join and
+    * shuffles on orderkey — the natural bucketing key for both tables;
+    * top-10 is TakeOrderedAndProject (no global sort materialization).
+    */
+  def joinShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  private val joinShippingPriorityOracle =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  ${osum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-06-01'
+       |  AND l_shipdate > TIMESTAMP '1998-06-01'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------ semi join
+  /** Left-semi join (EXISTS shape, SURVEY R2/R3 key-join family). Scale:
+    * semi-join avoids materializing the probe side's payload; shuffles on
+    * orderkey only, or broadcasts the filtered key set when selective.
+    */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem").filter(col("l_quantity") >= 48).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+
+  private val joinSemiOracle =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------ anti join
+  /** Left-anti join (NOT EXISTS; the reference's MoR delete-application
+    * shape, SURVEY R2/R3: data LEFT ANTI deletes on `_id`).
+    */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_totalprice") > 450000).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  private val joinAntiOracle =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------- window: top-k/group
+  /** row_number window: top-3 orders per customer. Scale: single shuffle
+    * on the partition key; no global sort. rank cast to int on both sides.
+    */
+  def windowTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val windowTopkPerGroupOracle =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ------------------------------------------------------ window: lag/lead
+  /** lag/lead over a deterministic per-customer order; elementwise double
+    * arithmetic only (no fp accumulation), so bit-exact cross-engine.
+    */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("delta_prev", col("o_totalprice") - col("prev_price"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("prev_price"), col("next_price"), col("delta_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val windowLagOracle =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice) OVER w AS prev_price,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  o_totalprice - lag(o_totalprice) OVER w AS delta_prev
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ------------------------------------------------- window: running sum
+  /** Cumulative sum per key. Decimal accumulation ⇒ independent of the
+    * engines' window-agg algorithms (DuckDB segment tree vs Spark
+    * running agg) — exact, then one cast to double.
+    */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(27,2)")).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val windowRunningSumOracle =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------- distinct agg
+  /** count(distinct) per group (SURVEY "Distinct/approx" row). Scale:
+    * Spark expands distinct aggs into a two-phase partial/final plan.
+    */
+  def distinctCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  private val distinctCountOracle =
+    """SELECT o_orderstatus,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  count(DISTINCT o_orderpriority) AS n_priorities,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------- set ops
+  /** INTERSECT / EXCEPT with set semantics (SURVEY "Set ops" row; the
+    * union-schema/append semantics family). Tagged into one result.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val rich = t(spark, dir, "customer").filter(col("c_acctbal") > 7000)
+      .select(col("c_custkey").as("custkey"))
+    val bigSpenders = t(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey"))
+    rich.intersect(bigSpenders).withColumn("op", lit("intersect"))
+      .unionByName(rich.except(bigSpenders).withColumn("op", lit("except")))
+      .select(col("op"), col("custkey"))
+      .orderBy("op", "custkey")
+  }
+
+  private val setOpsOracle =
+    """WITH rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7000),
+      |     big  AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000)
+      |SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM rich INTERSECT SELECT custkey FROM big) a
+      |UNION ALL
+      |SELECT 'except' AS op, custkey FROM (SELECT custkey FROM rich EXCEPT SELECT custkey FROM big) b
+      |ORDER BY op, custkey""".stripMargin
+
+  // ------------------------------------------------------- global top-k
+  /** Global ORDER BY + LIMIT → TakeOrderedAndProject (per-partition
+    * top-k then k-way merge on the driver; no full sort at 100 TB).
+    */
+  def sortLimitGlobal(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val sortLimitGlobalOracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------ string functions
+  /** String function surface (SURVEY "String functions"): case, substring,
+    * length, concat, regexp. Pure elementwise → whole-stage codegen.
+    */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        split(col("p_type"), " ").getItem(0).as("type_head"))
+      .orderBy("p_partkey")
+
+  private val stringFuncsOracle =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_upper,
+      |  substring(p_name, 1, 8) AS name_prefix,
+      |  CAST(length(p_name) AS INTEGER) AS name_len,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+      |  split_part(p_type, ' ', 1) AS type_head
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------- date functions
+  /** Date/time surface (SURVEY T6 partition transforms: year/month/day/
+    * hour/date_trunc are exactly the partition-derivation functions).
+    */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("revenue"),
+        min(date_trunc("month", col("o_orderdate"))).as("first_month"))
+      .orderBy("yr", "qtr")
+
+  private val dateFuncsOracle =
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       |  count(*) AS n_orders,
+       |  ${osum("o_totalprice", 2)} AS revenue,
+       |  CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS first_month
+       |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
+
+  // -------------------------------------------------------- JSON functions
+  /** JSON extraction (SURVEY "JSON functions": resume-token/conflict
+    * promotion family) over the events.props JSON column.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k_val")).as("k_sum"),
+        davg(col("k_val"), 0).as("k_avg"))
+      .orderBy("event_type")
+
+  private val jsonExtractOracle =
+    s"""SELECT event_type, count(*) AS n_events,
+       |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       |  ${oavg("CAST(json_extract_string(props, '" + "$" + ".k') AS INTEGER)", 0)} AS k_avg
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------- rollup
+  /** ROLLUP hierarchy agg (SURVEY "Grouping sets/cube/rollup"). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val rollupAggOracle =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       |  ${osum("l_quantity", 2)} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- cube
+  /** CUBE agg over orders dimensions. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  private val cubeAggOracle =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       |  ${osum("o_totalprice", 2)} AS revenue
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------- conditional agg
+  /** CASE-WHEN pivot-style conditional aggregation. */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0), 2)
+          .as("rev_f"))
+      .orderBy("o_orderpriority")
+
+  private val conditionalAggOracle =
+    s"""SELECT o_orderpriority,
+       |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       |  ${osum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END", 2)} AS rev_f
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------- scalar "subquery"
+  /** Scalar aggregate reused as a filter (customers above global average
+    * balance). Spark-first: the 1-row aggregate is broadcast and
+    * cross-joined — no driver round-trip, still one scan of customer.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val threshold = c.agg(davg(col("c_acctbal"), 2).as("avg_bal"))
+    c.crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  private val scalarSubqueryOracle =
+    s"""SELECT c_custkey, c_name, c_acctbal FROM customer
+       |WHERE c_acctbal > (SELECT ${oavg("c_acctbal", 2)} FROM customer)
+       |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------- last-writer-wins
+  /** The reference's upsert semantics (SURVEY R1): latest version per key
+    * via row_number over (key ORDER BY version DESC) = 1 — exactly the
+    * dedup the design doc prescribes for at-least-once replay
+    * (reference docs/design.md:339-348). Here: latest event per user.
+    */
+  def lastWriterWins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(desc("ts"), desc("event_id"))
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
+      .orderBy("user_id")
+  }
+
+  private val lastWriterWinsOracle =
+    """SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------- approx distinct
+  /** HLL-sketch approximate distinct (SURVEY "Distinct/approx" row).
+    * Sketch internals differ per engine ⇒ no value oracle (driver does
+    * the rows-only check); correctness of the exact path is covered by
+    * [[distinctCount]].
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("agg_pricing_summary", aggPricingSummary _, Some(aggPricingSummaryOracle),
+      "TPC-H Q1-shape wide hash aggregation"),
+    GraftQuery("filter_agg_revenue", filterRevenue _, Some(filterRevenueOracle),
+      "selective filter pushdown + global agg (Q6 shape)"),
+    GraftQuery("join_broadcast_dim", joinBroadcastDim _, Some(joinBroadcastDimOracle),
+      "fact ⋈ broadcast dim + agg"),
+    GraftQuery("join_shipping_priority", joinShippingPriority _, Some(joinShippingPriorityOracle),
+      "3-way join + agg + top-k (Q3 shape)"),
+    GraftQuery("join_semi", joinSemi _, Some(joinSemiOracle), "left-semi (EXISTS)"),
+    GraftQuery("join_anti", joinAnti _, Some(joinAntiOracle), "left-anti (NOT EXISTS / MoR delete)"),
+    GraftQuery("window_topk_per_group", windowTopkPerGroup _, Some(windowTopkPerGroupOracle),
+      "row_number top-k per group"),
+    GraftQuery("window_lag_lead", windowLag _, Some(windowLagOracle), "lag/lead offsets"),
+    GraftQuery("window_running_sum", windowRunningSum _, Some(windowRunningSumOracle),
+      "cumulative sum per key"),
+    GraftQuery("distinct_count", distinctCount _, Some(distinctCountOracle),
+      "multi count(distinct) per group"),
+    GraftQuery("set_ops", setOps _, Some(setOpsOracle), "INTERSECT/EXCEPT tagged union"),
+    GraftQuery("sort_limit_global", sortLimitGlobal _, Some(sortLimitGlobalOracle),
+      "global top-k (TakeOrderedAndProject)"),
+    GraftQuery("string_funcs", stringFuncs _, Some(stringFuncsOracle), "string function surface"),
+    GraftQuery("date_funcs", dateFuncs _, Some(dateFuncsOracle), "date/time + partition transforms"),
+    GraftQuery("json_extract", jsonExtract _, Some(jsonExtractOracle), "JSON field extraction + agg"),
+    GraftQuery("rollup_agg", rollupAgg _, Some(rollupAggOracle), "ROLLUP"),
+    GraftQuery("cube_agg", cubeAgg _, Some(cubeAggOracle), "CUBE"),
+    GraftQuery("conditional_agg", conditionalAgg _, Some(conditionalAggOracle),
+      "CASE-WHEN pivot aggregation"),
+    GraftQuery("scalar_subquery", scalarSubquery _, Some(scalarSubqueryOracle),
+      "scalar aggregate as broadcast filter"),
+    GraftQuery("last_writer_wins", lastWriterWins _, Some(lastWriterWinsOracle),
+      "upsert/dedup semantics (reference R1/R4)"),
+    GraftQuery("approx_distinct", approxDistinct _, None, "HLL approx_count_distinct (rows-only)")
+  )
 }
