@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared local session for specs (one JVM-wide session, UTC, small
+  * shuffle parallelism for test speed).
+  */
+object SparkFixture {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+trait SparkFixture {
+  lazy val spark: SparkSession = {
+    val s = SparkFixture.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
