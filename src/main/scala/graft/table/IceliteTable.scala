@@ -1,0 +1,390 @@
+package graft.table
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.config.PartitionConfig
+
+/** Minimal snapshot-committed Parquet table ("icelite") reproducing the
+  * reference's Iceberg v2 write-path semantics (SURVEY.md §2.1 S4-S9):
+  * append data files, equality-delete files keyed by the sync key,
+  * Merge-on-Read reads, optimistic metadata commits, compaction and
+  * snapshot expiry — over plain Parquet + versioned metadata JSON, since
+  * no Iceberg runtime jar ships in this environment.
+  *
+  * Layout: `location/metadata/v{N}.json` (atomic-rename commits); data
+  * parquet under `location/data/<commit-uuid>/` (hive-partitioned by the
+  * derived transform columns); delete parquet under
+  * `location/deletes/<commit-uuid>/`.
+  *
+  * Scale design: data rows never pass through the driver — appends are
+  * `df.write.parquet` jobs; MoR reads aggregate the (small) delete set
+  * per key and broadcast it against the data scan; file lists live in
+  * metadata so planning is O(files), and compaction keeps that bounded.
+  */
+final class IceliteTable private (
+    val spark: SparkSession,
+    val location: String,
+    @volatile private var cachedMeta: TableMeta) {
+
+  import IceliteTable._
+
+  def meta: TableMeta = cachedMeta
+  def schema: StructType = cachedMeta.schema
+  def name: String = s"${cachedMeta.namespace}.${cachedMeta.table}"
+
+  // ------------------------------------------------------------ writes
+
+  /** Append rows (initial-sync / insert path, reference S4). Returns the
+    * committed sequence number.
+    */
+  def append(df: DataFrame): Long =
+    commitWrite(df, deleteKeys = None, keyCols = Nil, operation = "append")
+
+  /** Upsert batch by key (steady-state change-stream path, reference
+    * R1): one commit carrying an equality-delete file for the batch keys
+    * plus a data file with the new row versions — the Iceberg MoR
+    * "equality delete old + append new in one txn" shape.
+    * The batch is deduplicated last-writer-wins on `orderCol` first.
+    */
+  def upsert(df: DataFrame, keyCols: Seq[String], orderCol: Option[String] = None): Long = {
+    val deduped = orderCol match {
+      case Some(oc) =>
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(desc(oc))
+        df.withColumn("_lww_rn", row_number().over(w)).filter(col("_lww_rn") === 1).drop("_lww_rn")
+      case None => df.dropDuplicates(keyCols)
+    }
+    commitWrite(deduped, deleteKeys = Some(deduped.select(keyCols.map(col): _*)),
+      keyCols = keyCols, operation = "upsert")
+  }
+
+  /** Delete by key (reference R2): equality-delete file only. */
+  def delete(keys: DataFrame, keyCols: Seq[String]): Long =
+    commitWrite(null, deleteKeys = Some(keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)),
+      keyCols = keyCols, operation = "delete")
+
+  private def commitWrite(
+      df: DataFrame,
+      deleteKeys: Option[DataFrame],
+      keyCols: Seq[String],
+      operation: String): Long = retryCommit { head =>
+    val seq = head.lastSeq + 1
+    val commitId = UUID.randomUUID().toString
+    val (dataFiles, count) = if (df != null) {
+      val out = s"$location/data/$commitId"
+      var finalDf = conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq))
+      val partCols = head.partitioning.map(transformColumn)
+      partCols.foreach { case (n, c) => finalDf = finalDf.withColumn(n, c) }
+      val w0 = finalDf.write.mode("errorifexists")
+      (if (partCols.nonEmpty) w0.partitionBy(partCols.map(_._1): _*) else w0).parquet(out)
+      // row count from footer stats of what was actually written
+      (listParquet(out), spark.read.parquet(out).count())
+    } else (Seq.empty[String], 0L)
+    val deleteFiles = deleteKeys match {
+      case Some(keys) =>
+        val out = s"$location/deletes/$commitId"
+        keys.withColumn(SeqCol, lit(seq)).write.mode("errorifexists").parquet(out)
+        listParquet(out)
+      case None => Nil
+    }
+    (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), operation,
+      dataFiles, deleteFiles, count)), seq)
+  }
+
+  // ------------------------------------------------------------- reads
+
+  /** Merge-on-Read view (reference R3): data files minus equality
+    * deletes. A row written at seq S survives unless some delete for its
+    * key has delete-seq > S (a commit's own data survives its paired
+    * delete at the same seq). The delete side is aggregated to one row
+    * per key then broadcast — deletes are assumed small relative to
+    * data; compaction folds them in and resets this cost.
+    */
+  def read(): DataFrame = {
+    val m = cachedMeta
+    val data = readFiles(m.liveDataFiles, withSeq = true)
+    val result = if (m.liveDeleteFiles.isEmpty) data
+    else {
+      val keyCols = keyColumnsOfDeletes(m)
+      val dels = spark.read.parquet(m.liveDeleteFiles.map(abs): _*)
+        .groupBy(keyCols.map(col): _*)
+        .agg(max(col(SeqCol)).as("_max_del_seq"))
+      data.join(broadcast(dels), keyCols, "left")
+        .filter(col("_max_del_seq").isNull || col(SeqCol) >= col("_max_del_seq"))
+        .drop("_max_del_seq")
+    }
+    result.select(m.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Read including the hidden seq + derived partition columns (for
+    * tests, compaction and incremental consumers).
+    */
+  def readRaw(): DataFrame = readFiles(cachedMeta.liveDataFiles, withSeq = true)
+
+  private def readFiles(files: Seq[String], withSeq: Boolean): DataFrame = {
+    val m = cachedMeta
+    if (files.isEmpty) {
+      val full = if (withSeq) m.schema.add(SeqCol, "long") else m.schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    } else {
+      // explicit file list + basePath keeps hive partition columns and
+      // lets the committed schema fill evolution gaps with nulls
+      val full = if (withSeq) m.schema.add(SeqCol, "long") else m.schema
+      spark.read
+        .option("basePath", s"$location/data")
+        .schema(addPartitionFields(full, m.partitioning))
+        .parquet(files.map(abs): _*)
+        .select((m.schema.fieldNames :+ SeqCol).map(col).toSeq: _*)
+    }
+  }
+
+  // ----------------------------------------------------- maintenance
+
+  /** Compaction (reference S8): rewrite the current MoR view into fresh
+    * right-sized files (targetFileMB each, 256 MB default like the
+    * reference) and replace all live files in one `rewrite` snapshot.
+    * Also the schedule point for snapshot expiry.
+    */
+  def compact(targetFileMB: Int = 256): Long = {
+    val current = read().cache()
+    try {
+      val bytes = estimateBytes(current)
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
+      retryCommit { head =>
+        val seq = head.lastSeq + 1
+        val commitId = UUID.randomUUID().toString
+        val out = s"$location/data/$commitId"
+        var d = conformToSchema(current, head.schema).withColumn(SeqCol, lit(seq))
+        val partCols = head.partitioning.map(transformColumn)
+        partCols.foreach { case (n, c) => d = d.withColumn(n, c) }
+        val w = d.repartition(nFiles).write.mode("errorifexists")
+        (if (partCols.nonEmpty) w.partitionBy(partCols.map(_._1): _*) else w).parquet(out)
+        (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "rewrite",
+          listParquet(out), Nil, current.count())), seq)
+      }
+    } finally current.unpersist()
+  }
+
+  /** Snapshot/file GC: delete orphaned data/delete dirs no longer
+    * referenced by the head metadata, and metadata versions older than
+    * `keepVersions`.
+    */
+  def expireSnapshots(keepVersions: Int = 3): Unit = {
+    val fs = fileSystem()
+    val live = (cachedMeta.liveDataFiles ++ cachedMeta.liveDeleteFiles)
+      .map(f => f.split('/').take(2).mkString("/")).toSet // data/<uuid> | deletes/<uuid>
+    Seq("data", "deletes").foreach { sub =>
+      val dir = new Path(s"$location/$sub")
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val rel = s"$sub/${st.getPath.getName}"
+        if (!live.contains(rel)) fs.delete(st.getPath, true)
+      }
+    }
+    val mdDir = new Path(s"$location/metadata")
+    val versions = fs.listStatus(mdDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong).sorted
+    versions.dropRight(keepVersions).foreach { v =>
+      fs.delete(new Path(s"$location/metadata/${versionFile(v)}"), false)
+    }
+  }
+
+  /** Metadata-only schema evolution (reference S7 / design "schema
+    * evolution": auto mode adds columns): merge new fields in, existing
+    * files read the added columns as null.
+    */
+  def addColumns(added: StructType): Long = retryCommit { head =>
+    val merged = graft.schema.SchemaInfer.mergeStructs(head.schema, added)
+    val seq = head.lastSeq + 1
+    (head.withSchema(merged).withSnapshot(
+      Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+  }
+
+  // ------------------------------------------------------- internals
+
+  private def conformToSchema(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(target.fields.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).alias(f.name)
+      else lit(null).cast(f.dataType).alias(f.name)
+    }.toSeq: _*)
+  }
+
+  /** Optimistic commit loop: apply `body` to the freshly-loaded head,
+    * try to atomically publish the next version; on collision re-read
+    * and retry (reference: Iceberg optimistic commit with retry).
+    */
+  private def retryCommit(body: TableMeta => (TableMeta, Long)): Long = {
+    val fs = fileSystem()
+    var attempts = 0
+    while (true) {
+      val (head, headVersion) = loadHead(fs, location)
+      val (next, seq) = body(head)
+      val nextVersion = headVersion + 1
+      val tmp = new Path(s"$location/metadata/.v$nextVersion-${UUID.randomUUID()}.tmp")
+      val dst = new Path(s"$location/metadata/${versionFile(nextVersion)}")
+      writeString(fs, tmp, TableMeta.toJson(next))
+      if (!fs.exists(dst) && fs.rename(tmp, dst)) {
+        cachedMeta = next
+        return seq
+      }
+      fs.delete(tmp, false)
+      attempts += 1
+      if (attempts > 20)
+        throw new IllegalStateException(s"commit conflict on $name after $attempts attempts")
+    }
+    -1L // unreachable
+  }
+
+  def refresh(): TableMeta = {
+    val (m, _) = loadHead(fileSystem(), location)
+    cachedMeta = m
+    m
+  }
+
+  private def fileSystem(): FileSystem =
+    new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def abs(rel: String): String = s"$location/$rel"
+
+  private def listParquet(dir: String): Seq[String] = {
+    val fs = fileSystem()
+    val base = new Path(dir)
+    val it = fs.listFiles(base, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        out += f.getPath.toUri.getPath.stripPrefix(new Path(location).toUri.getPath).stripPrefix("/")
+    }
+    out.result()
+  }
+
+  private def estimateBytes(df: DataFrame): Long = {
+    val m = cachedMeta
+    val fs = fileSystem()
+    val sizes = m.liveDataFiles.map(f => fs.getFileStatus(new Path(abs(f))).getLen)
+    if (sizes.isEmpty) 0L else sizes.sum
+  }
+
+  private def keyColumnsOfDeletes(m: TableMeta): Seq[String] = {
+    val delSchema = spark.read.parquet(m.liveDeleteFiles.map(abs): _*).schema
+    delSchema.fieldNames.filterNot(_ == SeqCol).toSeq
+  }
+}
+
+object IceliteTable {
+
+  /** Hidden per-row commit sequence column (MoR ordering). */
+  val SeqCol = "_graft_seq"
+
+  /** Derived hive-partition column name for a transform. */
+  def partColName(p: PartitionConfig): String = s"_p_${p.field}_${sanitize(p.transform)}"
+
+  private def sanitize(t: String): String = t.replaceAll("""[\[\]]""", "_")
+
+  /** Partition transform → derived Column (reference T6: identity, year,
+    * month, day, hour, bucket[N]; bucket uses murmur3 via Spark's hash).
+    */
+  def transformColumn(p: PartitionConfig): (String, Column) = {
+    val c = col(p.field)
+    val expr = p.transform match {
+      case "identity" => c
+      case "year" => year(c)
+      case "month" => date_format(c, "yyyy-MM")
+      case "day" => date_format(c, "yyyy-MM-dd")
+      case "hour" => date_format(c, "yyyy-MM-dd-HH")
+      case t => p.bucketCount match {
+        case Some(n) => pmod(hash(c), lit(n))
+        case None => throw new IllegalArgumentException(s"unknown transform '$t'")
+      }
+    }
+    partColName(p) -> expr
+  }
+
+  def addPartitionFields(s: StructType, parts: Seq[PartitionConfig]): StructType =
+    parts.foldLeft(s) { (acc, p) =>
+      val name = partColName(p)
+      val dt = p.transform match {
+        case "identity" => acc.find(_.name == p.field).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        case "year" => org.apache.spark.sql.types.IntegerType
+        case "month" | "day" | "hour" => org.apache.spark.sql.types.StringType
+        case _ => org.apache.spark.sql.types.IntegerType
+      }
+      acc.add(name, dt)
+    }
+
+  private def versionFile(v: Long): String = f"v$v%05d.json"
+
+  def create(
+      spark: SparkSession,
+      warehouse: String,
+      namespace: String,
+      table: String,
+      schema: StructType,
+      partitioning: Seq[PartitionConfig] = Nil,
+      properties: Map[String, String] = Map.empty): IceliteTable = {
+    val location = s"$warehouse/$namespace/$table"
+    val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdDir = new Path(s"$location/metadata")
+    if (fs.exists(mdDir) && fs.listStatus(mdDir).nonEmpty)
+      throw new IllegalStateException(s"table $namespace.$table already exists at $location")
+    fs.mkdirs(mdDir)
+    val meta = TableMeta(TableMeta.FormatVersion, namespace, table, schema, partitioning, Nil, properties)
+    writeString(fs, new Path(s"$location/metadata/${versionFile(0)}"), TableMeta.toJson(meta))
+    new IceliteTable(spark, location, meta)
+  }
+
+  def load(spark: SparkSession, warehouse: String, namespace: String, table: String): IceliteTable = {
+    val location = s"$warehouse/$namespace/$table"
+    val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (meta, _) = loadHead(fs, location)
+    new IceliteTable(spark, location, meta)
+  }
+
+  def exists(spark: SparkSession, warehouse: String, namespace: String, table: String): Boolean = {
+    val location = s"$warehouse/$namespace/$table/metadata"
+    val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(location)) && fs.listStatus(new Path(location))
+      .exists(_.getPath.getName.endsWith(".json"))
+  }
+
+  def createOrLoad(
+      spark: SparkSession,
+      warehouse: String,
+      namespace: String,
+      table: String,
+      schema: => StructType,
+      partitioning: Seq[PartitionConfig] = Nil): IceliteTable =
+    if (exists(spark, warehouse, namespace, table)) load(spark, warehouse, namespace, table)
+    else create(spark, warehouse, namespace, table, schema, partitioning)
+
+  private def loadHead(fs: FileSystem, location: String): (TableMeta, Long) = {
+    val mdDir = new Path(s"$location/metadata")
+    if (!fs.exists(mdDir))
+      throw new IllegalStateException(s"no such table at $location")
+    val versions = fs.listStatus(mdDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+    if (versions.isEmpty) throw new IllegalStateException(s"no metadata versions at $location")
+    val head = versions.max
+    val json = readString(fs, new Path(s"$location/metadata/${versionFile(head)}"))
+    (TableMeta.fromJson(json), head)
+  }
+
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+}

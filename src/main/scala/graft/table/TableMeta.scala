@@ -1,0 +1,108 @@
+package graft.table
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.config.PartitionConfig
+
+/** One committed snapshot: the files added at a sequence number.
+  *
+  * Equality-delete semantics follow Iceberg v2 Merge-on-Read (reference
+  * docs/design.md "Merge-on-Read with equality deletes"): a delete file
+  * at seq S removes every row with the same key written at seq < S;
+  * data rows carry their writing seq in a hidden `_graft_seq` column.
+  */
+final case class Snapshot(
+    seq: Long,
+    timestampMs: Long,
+    operation: String, // append | upsert | delete | rewrite | evolve
+    dataFiles: Seq[String],
+    deleteFiles: Seq[String],
+    recordCount: Long)
+
+/** Full table state at one metadata version. Commit = atomic rename of
+  * v{N+1}.json.tmp → v{N+1}.json; the failed renamer retries against the
+  * re-read head (optimistic concurrency, reference design's commit-retry).
+  */
+final case class TableMeta(
+    formatVersion: Int,
+    namespace: String,
+    table: String,
+    schema: StructType,
+    partitioning: Seq[PartitionConfig],
+    snapshots: Seq[Snapshot],
+    properties: Map[String, String]) {
+
+  def lastSeq: Long = snapshots.lastOption.map(_.seq).getOrElse(0L)
+
+  /** Live file lists = union over snapshots (rewrite snapshots carry the
+    * replacement set and mark priors dead via `truncatesBefore`).
+    */
+  def liveDataFiles: Seq[String] = snapshots.flatMap(_.dataFiles)
+  def liveDeleteFiles: Seq[String] = snapshots.flatMap(_.deleteFiles)
+
+  def withSnapshot(s: Snapshot): TableMeta = copy(snapshots = snapshots :+ s)
+
+  /** Rewrite: replace all live files with the compacted set. */
+  def rewritten(s: Snapshot): TableMeta = copy(snapshots = Seq(s))
+
+  def withSchema(newSchema: StructType): TableMeta = copy(schema = newSchema)
+}
+
+object TableMeta {
+  val FormatVersion = 1
+  private val mapper = new ObjectMapper()
+
+  def toJson(m: TableMeta): String = {
+    val root = mapper.createObjectNode()
+    root.put("formatVersion", m.formatVersion)
+    root.put("namespace", m.namespace)
+    root.put("table", m.table)
+    root.put("schema", m.schema.json)
+    val parts = root.putArray("partitioning")
+    m.partitioning.foreach { p =>
+      val o = parts.addObject(); o.put("field", p.field); o.put("transform", p.transform)
+    }
+    val snaps = root.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val o = snaps.addObject()
+      o.put("seq", s.seq); o.put("timestampMs", s.timestampMs)
+      o.put("operation", s.operation); o.put("recordCount", s.recordCount)
+      val df = o.putArray("dataFiles"); s.dataFiles.foreach(df.add)
+      val del = o.putArray("deleteFiles"); s.deleteFiles.foreach(del.add)
+    }
+    val props = root.putObject("properties")
+    m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    root.toPrettyString
+  }
+
+  def fromJson(json: String): TableMeta = {
+    val root = mapper.readTree(json)
+    def strings(n: ObjectNode, key: String): Seq[String] =
+      n.get(key).asInstanceOf[ArrayNode].elements().asScala.map(_.asText()).toSeq
+    TableMeta(
+      formatVersion = root.get("formatVersion").asInt(),
+      namespace = root.get("namespace").asText(),
+      table = root.get("table").asText(),
+      schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType],
+      partitioning = root.get("partitioning").elements().asScala.map { p =>
+        PartitionConfig(p.get("field").asText(), p.get("transform").asText())
+      }.toSeq,
+      snapshots = root.get("snapshots").elements().asScala.map { s =>
+        val o = s.asInstanceOf[ObjectNode]
+        Snapshot(
+          seq = o.get("seq").asLong(),
+          timestampMs = o.get("timestampMs").asLong(),
+          operation = o.get("operation").asText(),
+          dataFiles = strings(o, "dataFiles"),
+          deleteFiles = strings(o, "deleteFiles"),
+          recordCount = o.get("recordCount").asLong())
+      }.toSeq,
+      properties = Option(root.get("properties")).filter(_.isObject).map { p =>
+        p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty))
+  }
+}

@@ -1,0 +1,159 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.config.PartitionConfig
+
+class IceliteTableSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshWarehouse(): String =
+    Files.createTempDirectory("icelite-wh").toString
+
+  private val docSchema = StructType(Seq(
+    StructField("_id", StringType), StructField("total", DoubleType),
+    StructField("status", StringType),
+    StructField("order_ts", TimestampType)))
+
+  private def rows(data: (String, Double, String, String)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      data.map { case (id, t, s, ts) =>
+        org.apache.spark.sql.Row(id, t, s, java.sql.Timestamp.from(java.time.Instant.parse(ts)))
+      }.asJava, docSchema)
+  }
+
+  test("create → append → read round trip; seq increments") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "orders", docSchema)
+    val s1 = t.append(rows(("a", 10.0, "new", "2024-01-05T00:00:00Z")))
+    val s2 = t.append(rows(("b", 20.0, "new", "2024-02-05T00:00:00Z")))
+    assert(s1 == 1 && s2 == 2)
+    val got = t.read().orderBy("_id").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b"))
+    // reload from disk sees the same state (metadata is the truth)
+    val t2 = IceliteTable.load(spark, wh, "ns", "orders")
+    assert(t2.read().count() == 2)
+    assert(t2.meta.snapshots.map(_.operation) == Seq("append", "append"))
+  }
+
+  test("upsert: equality delete + append in one commit; last-writer-wins") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "t", docSchema)
+    t.append(rows(("a", 10.0, "new", "2024-01-05T00:00:00Z"),
+      ("b", 20.0, "new", "2024-01-06T00:00:00Z")))
+    t.upsert(rows(("a", 11.0, "updated", "2024-01-07T00:00:00Z"),
+      ("c", 30.0, "new", "2024-01-08T00:00:00Z")), Seq("_id"))
+    val got = t.read().orderBy("_id").collect()
+    assert(got.map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSeq ==
+      Seq(("a", 11.0, "updated"), ("b", 20.0, "new"), ("c", 30.0, "new")))
+    val ops = t.meta.snapshots.map(_.operation)
+    assert(ops == Seq("append", "upsert"))
+    assert(t.meta.snapshots.last.deleteFiles.nonEmpty &&
+      t.meta.snapshots.last.dataFiles.nonEmpty)
+  }
+
+  test("upsert dedups the batch last-writer-wins on the order column") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "t", docSchema)
+    val batch = rows(
+      ("a", 1.0, "v1", "2024-01-01T00:00:00Z"),
+      ("a", 2.0, "v2", "2024-01-02T00:00:00Z"),
+      ("a", 3.0, "v3", "2024-01-03T00:00:00Z"))
+    t.upsert(batch, Seq("_id"), orderCol = Some("order_ts"))
+    val got = t.read().collect()
+    assert(got.length == 1 && got.head.getString(2) == "v3")
+  }
+
+  test("delete removes by key; re-insert after delete survives") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "t", docSchema)
+    t.append(rows(("a", 1.0, "x", "2024-01-01T00:00:00Z"),
+      ("b", 2.0, "x", "2024-01-01T00:00:00Z")))
+    import spark.implicits._
+    t.delete(Seq("a").toDF("_id"), Seq("_id"))
+    assert(t.read().collect().map(_.getString(0)).toSeq == Seq("b"))
+    t.append(rows(("a", 9.0, "reborn", "2024-02-01T00:00:00Z")))
+    assert(t.read().orderBy("_id").collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
+
+  test("partition transforms write hive dirs and derive columns") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "t", docSchema,
+      partitioning = Seq(PartitionConfig("order_ts", "month"), PartitionConfig("_id", "bucket[4]")))
+    t.append(rows(("a", 1.0, "x", "2024-01-05T00:00:00Z"),
+      ("b", 2.0, "x", "2024-02-06T00:00:00Z")))
+    val dataDir = t.meta.liveDataFiles.head
+    assert(dataDir.contains("_p_order_ts_month=2024-0"))
+    assert(dataDir.contains("_p__id_bucket_4_="))
+    assert(t.read().count() == 2) // partition cols hidden from logical view
+    assert(t.read().columns.toSeq == docSchema.fieldNames.toSeq)
+  }
+
+  test("MoR replay determinism: replaying the same upsert batch twice (at-least-once) converges") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "t", docSchema)
+    val batch = rows(("a", 5.0, "v1", "2024-01-01T00:00:00Z"))
+    t.upsert(batch, Seq("_id"))
+    t.upsert(batch, Seq("_id")) // crash-replay of the same batch
+    val got = t.read().collect()
+    assert(got.length == 1 && got.head.getDouble(1) == 5.0)
+  }
+
+  test("compaction rewrites to one snapshot, result unchanged, files shrink") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "t", docSchema)
+    (1 to 5).foreach { i =>
+      t.upsert(rows((s"k${i % 3}", i.toDouble, s"v$i", "2024-01-01T00:00:00Z")), Seq("_id"))
+    }
+    val before = t.read().orderBy("_id").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    val filesBefore = t.meta.liveDataFiles.size + t.meta.liveDeleteFiles.size
+    t.compact()
+    val after = t.read().orderBy("_id").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(after == before)
+    assert(t.meta.snapshots.map(_.operation) == Seq("rewrite"))
+    assert(t.meta.liveDeleteFiles.isEmpty)
+    assert(t.meta.liveDataFiles.size <= filesBefore)
+    // expiry drops orphaned commit dirs + old metadata versions
+    t.expireSnapshots(keepVersions = 1)
+    val t2 = IceliteTable.load(spark, wh, "ns", "t")
+    assert(t2.read().orderBy("_id").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq == before)
+  }
+
+  test("schema evolution: added column is null for old rows, filled for new") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "t", docSchema)
+    t.append(rows(("a", 1.0, "x", "2024-01-01T00:00:00Z")))
+    t.addColumns(StructType(Seq(StructField("note", StringType))))
+    val withNote = t.read().withColumn("note", lit("added")).filter(col("_id") === "zzz")
+    // append a row carrying the new column
+    val newRow = rows(("b", 2.0, "y", "2024-01-02T00:00:00Z")).withColumn("note", lit("hello"))
+    t.append(newRow)
+    val got = t.read().orderBy("_id").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(got(0).isNullAt(4) && got(1).getString(4) == "hello")
+  }
+
+  test("optimistic commit: concurrent appends both land (retry loop)") {
+    val wh = freshWarehouse()
+    val t1 = IceliteTable.create(spark, wh, "ns", "t", docSchema)
+    val t2 = IceliteTable.load(spark, wh, "ns", "t")
+    t1.append(rows(("a", 1.0, "x", "2024-01-01T00:00:00Z")))
+    // t2 commits against a stale head → must retry and succeed
+    t2.append(rows(("b", 2.0, "y", "2024-01-01T00:00:00Z")))
+    t1.refresh()
+    assert(t1.read().count() == 2)
+  }
+
+  test("create twice fails; load of missing table fails") {
+    val wh = freshWarehouse()
+    IceliteTable.create(spark, wh, "ns", "t", docSchema)
+    intercept[IllegalStateException](IceliteTable.create(spark, wh, "ns", "t", docSchema))
+    intercept[IllegalStateException](IceliteTable.load(spark, wh, "ns", "missing"))
+  }
+}
