@@ -41,7 +41,7 @@ object DocumentSource {
 
   /** Executor-side parse+convert of JSON lines against a fixed schema. */
   def fromJsonLines(lines: Dataset[String], schema: StructType): DataFrame = {
-    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema, lenient = false)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema, lenient = true)
     lines.mapPartitions { it =>
       val mapper = new ObjectMapper() // one parser per partition
       it.filter(_.trim.nonEmpty).map { line =>

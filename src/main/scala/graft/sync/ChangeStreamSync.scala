@@ -1,0 +1,180 @@
+package graft.sync
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.config.CollectionSyncConfig
+import graft.schema.{DocumentConverter, DocumentSource, SchemaInfer}
+import graft.table.IceliteTable
+
+/** Steady-state change-stream processing (reference S2/S3/T7/R1-R6):
+  * Structured Streaming over an ordered change-event log, applied to the
+  * target table in idempotent micro-batches.
+  *
+  * Event envelope (FIXTURES.md §3, standing in for a MongoDB change
+  * stream with fullDocument=UPDATE_LOOKUP): seq (total order ≈ resume
+  * token), op (insert|update|replace|delete|drop|rename|invalidate),
+  * _id, fullDocument (extended JSON post-image), clusterTime.
+  *
+  * Per micro-batch (reference steady-state loop):
+  *  1. skip if batchId ≤ checkpointed lastBatchId (at-least-once replay
+  *     neutralized — R4/R6);
+  *  2. resolve the final event per key (last by seq — LWW within batch);
+  *  3. ONE icelite commit carrying the equality-delete file for every
+  *     touched key + the data file of final upsert images (the
+  *     reference's "delete old + append new in one Iceberg txn");
+  *  4. checkpoint row with the new resume token (max seq) + batch id;
+  *  5. control events (drop/rename/invalidate) → flag re-initial-sync
+  *     and stop (R7 state machine decides).
+  *
+  * Flush thresholds (R5): flushIntervalSeconds → Trigger.ProcessingTime;
+  * maxRecords/maxBytes map to source rate options (maxFilesPerTrigger
+  * here; maxOffsets/maxBytesPerTrigger on rate-limited sources).
+  */
+final class ChangeStreamSync(
+    spark: SparkSession,
+    cfg: CollectionSyncConfig,
+    table: IceliteTable,
+    checkpoints: CheckpointStore,
+    sourceDatabase: String) {
+
+  import ChangeStreamSync._
+
+  private val syncId = cfg.target.qualifiedName
+  @volatile private var invalidatedFlag = false
+
+  /** True once a drop/rename/invalidate control event was seen —
+    * the state machine must re-run initial sync (reference T7).
+    */
+  def invalidated: Boolean = invalidatedFlag
+
+  /** Start the stream from an event-log directory of JSONL files. */
+  def start(
+      eventDir: String,
+      streamCheckpointDir: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val events = spark.readStream
+      .schema(EventSchema)
+      .option("maxFilesPerTrigger", "10") // R5 records-per-batch analog
+      .json(eventDir)
+    val writer = events.writeStream
+      .option("checkpointLocation", streamCheckpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch, batchId)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime(cfg.batch.flushIntervalSeconds * 1000)))
+      .start()
+  }
+
+  /** Apply one micro-batch. Public for deterministic testing and for
+    * batch-mode replay of an event log.
+    */
+  def processBatch(batch: Dataset[Row], batchId: Long): Unit = {
+    val prior = checkpoints.read(syncId)
+    if (prior.exists(_.lastBatchId >= batchId)) return // replayed batch (R6)
+
+    if (batch.filter(col("op").isin(ControlOps.toSeq: _*)).limit(1).count() > 0) {
+      invalidatedFlag = true // R7: invalidate ⇒ re-initial-sync
+      return
+    }
+
+    val resumeFrom = prior.flatMap(_.resumeToken).getOrElse(-1L)
+    val fresh = batch.filter(col("seq") > resumeFrom)
+
+    // final event per key by change order (LWW within the batch)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(desc("seq"))
+    val finals = fresh
+      .filter(col("op").isin("insert", "update", "replace", "delete"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .cache()
+    try {
+      val stats = finals.agg(
+        count(lit(1)).as("n"), max(col("seq")).as("maxSeq")).collect().head
+      val nFinal = stats.getLong(0)
+      if (nFinal == 0) return
+      val maxSeq = stats.getLong(1)
+
+      table.refresh() // pick up concurrent schema evolution
+
+      // upsert images: parse extended-JSON post-image against the table
+      // schema on the executors; schema evolution: new fields in this
+      // batch widen the table first (metadata-only, design §evolution)
+      val upserts = finals.filter(col("op") =!= "delete")
+        .select(col("_id").as("_change_id"), col("seq"), col("fullDocument"))
+      val evolved = maybeEvolve(upserts)
+      val images = parseImages(spark, upserts, evolved.schema, table.schema("_id").dataType)
+
+      val deleteKeys = finals.select(col("_id")).dropDuplicates("_id")
+      evolved.applyChanges(images, deleteKeys, Seq("_id"))
+
+      checkpoints.write(CheckpointRecord(
+        syncId, SyncState.SteadyState, sourceDatabase, cfg.source.collection,
+        resumeToken = Some(math.max(maxSeq, resumeFrom)),
+        highWaterMarkId = prior.flatMap(_.highWaterMarkId),
+        documentsProcessed = prior.map(_.documentsProcessed).getOrElse(0L) + nFinal,
+        lastSnapshotId = evolved.meta.lastSeq,
+        lastBatchId = batchId,
+        updatedAtMs = System.currentTimeMillis()))
+    } finally finals.unpersist()
+  }
+
+  /** Auto-mode schema evolution: infer the union schema of this batch's
+    * post-images (bounded sample) and add any new columns (explicit mode
+    * skips with the reference's log-and-ignore behavior).
+    */
+  private def maybeEvolve(upserts: DataFrame): IceliteTable = {
+    if (cfg.mapping.mode != graft.config.MappingConfig.ModeAuto) return table
+    val mapper = new ObjectMapper()
+    val sample = upserts.select("fullDocument").limit(SchemaInfer.DefaultSampleSize)
+      .collect().iterator.flatMap(r => Option(r.getString(0))).map(mapper.readTree)
+    val batchSchema = SchemaInfer.inferSample(sample)
+    val newFields = batchSchema.fields.filterNot(f => table.schema.fieldNames.contains(f.name))
+    if (newFields.nonEmpty) table.addColumns(StructType(newFields.toSeq))
+    table
+  }
+}
+
+object ChangeStreamSync {
+
+  val EventSchema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("_id", StringType),
+    StructField("fullDocument", StringType),
+    StructField("clusterTime", TimestampType)))
+
+  val ControlOps: Set[String] = Set("drop", "rename", "invalidate")
+
+  /** Executor-side extended-JSON post-image → Row of the table schema.
+    * The event `_id` overrides any `_id` inside the document so the
+    * upsert key is always the change-stream key.
+    */
+  private[sync] def parseImages(
+      spark: SparkSession,
+      upserts: DataFrame,
+      schema: StructType,
+      idType: DataType): DataFrame = {
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema, lenient = true)
+    val idIdx = schema.fieldIndex("_id")
+    upserts.select(col("_change_id"), col("fullDocument"))
+      .mapPartitions { it =>
+        val mapper = new ObjectMapper()
+        it.flatMap { r =>
+          Option(r.getString(1)).map { json =>
+            val row = DocumentConverter.toRow(mapper.readTree(json), schema)
+            val values = row.toSeq.toArray
+            values(idIdx) = r.getString(0) // event key wins
+            Row.fromSeq(values.toIndexedSeq)
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sync
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.table.IceliteTable
+
+/** One checkpoint row per sync (reference design checkpoint-table schema,
+  * FIXTURES.md §4: `_sync._sync_checkpoints`, upserted atomically with
+  * data commits; sync_id = "namespace.table").
+  */
+final case class CheckpointRecord(
+    syncId: String,
+    state: String, // INITIAL_SYNC | STEADY_STATE
+    sourceDatabase: String,
+    sourceCollection: String,
+    resumeToken: Option[Long], // last applied change seq (≈ resume token)
+    highWaterMarkId: Option[String], // last fully synced _id during initial scan
+    documentsProcessed: Long,
+    lastSnapshotId: Long, // icelite seq of the last data commit
+    lastBatchId: Long, // streaming micro-batch idempotence (R4/R6)
+    updatedAtMs: Long)
+
+object SyncState {
+  val InitialSync = "INITIAL_SYNC"
+  val SteadyState = "STEADY_STATE"
+}
+
+/** Checkpoint store on an icelite table — the same commit mechanism as
+  * data tables (reference S9: checkpoint rows in an Iceberg table,
+  * upsert = equality-delete + append).
+  */
+final class CheckpointStore(spark: SparkSession, warehouse: String) {
+  import CheckpointStore._
+
+  private val table: IceliteTable =
+    IceliteTable.createOrLoad(spark, warehouse, "_sync", "_sync_checkpoints", Schema)
+
+  def read(syncId: String): Option[CheckpointRecord] = {
+    table.refresh()
+    table.read().filter(org.apache.spark.sql.functions.col("sync_id") === syncId)
+      .collect().headOption.map(fromRow)
+  }
+
+  def write(rec: CheckpointRecord): Unit = {
+    val df = spark.createDataFrame(
+      java.util.List.of(toRow(rec)), Schema)
+    table.upsert(df, Seq("sync_id"))
+  }
+
+  /** All checkpoints as a queryable DataFrame (ops surface). */
+  def all(): org.apache.spark.sql.DataFrame = { table.refresh(); table.read() }
+}
+
+object CheckpointStore {
+  val Schema: StructType = StructType(Seq(
+    StructField("sync_id", StringType, nullable = false),
+    StructField("state", StringType),
+    StructField("source_database", StringType),
+    StructField("source_collection", StringType),
+    StructField("resume_token", LongType),
+    StructField("high_water_mark_id", StringType),
+    StructField("documents_processed", LongType),
+    StructField("last_snapshot_id", LongType),
+    StructField("last_batch_id", LongType),
+    StructField("updated_at", TimestampType)))
+
+  def toRow(r: CheckpointRecord): Row = Row(
+    r.syncId, r.state, r.sourceDatabase, r.sourceCollection,
+    r.resumeToken.map(Long.box).orNull, r.highWaterMarkId.orNull,
+    r.documentsProcessed, r.lastSnapshotId, r.lastBatchId,
+    java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(r.updatedAtMs)))
+
+  def fromRow(row: Row): CheckpointRecord = CheckpointRecord(
+    syncId = row.getString(0),
+    state = row.getString(1),
+    sourceDatabase = row.getString(2),
+    sourceCollection = row.getString(3),
+    resumeToken = if (row.isNullAt(4)) None else Some(row.getLong(4)),
+    highWaterMarkId = Option(row.getString(5)),
+    documentsProcessed = row.getLong(6),
+    lastSnapshotId = row.getLong(7),
+    lastBatchId = row.getLong(8),
+    updatedAtMs = row.getTimestamp(9).getTime)
+}

@@ -1,0 +1,63 @@
+package graft.sync
+
+/** Per-collection lifecycle (reference R7/R8): INITIALIZING →
+  * INITIAL_SYNC ⇄ BACKOFF → STEADY_STATE ⇄ BACKOFF; invalidate ⇒ back to
+  * INITIAL_SYNC. Pure driver-side logic, deliberately Spark-free so the
+  * decision table is unit-testable.
+  */
+object SyncStateMachine {
+
+  sealed trait Phase
+  case object Initializing extends Phase
+  case object InitialSyncPhase extends Phase
+  case object SteadyStatePhase extends Phase
+
+  /** Restart decision table (reference design "restart decision"):
+    * where to resume given the persisted checkpoint.
+    */
+  def decideStart(checkpoint: Option[CheckpointRecord]): Phase = checkpoint match {
+    case None => InitialSyncPhase // no checkpoint → full initial sync
+    case Some(cp) if cp.state == SyncState.InitialSync => InitialSyncPhase // resume from hwm
+    case Some(cp) if cp.state == SyncState.SteadyState && cp.resumeToken.isDefined =>
+      SteadyStatePhase // resume change stream from token
+    case Some(_) => SteadyStatePhase // steady state, stream starts from log head recorded in stream checkpoint
+  }
+
+  /** After a control event (drop/rename/invalidate): wipe forward. */
+  def decideAfterInvalidate: Phase = InitialSyncPhase
+
+  /** Exponential backoff (reference: delay = min(1s × 2^attempt, 60s),
+    * retry forever on transient errors).
+    */
+  def backoffMs(attempt: Int, baseMs: Long = 1000L, capMs: Long = 60000L): Long = {
+    val exp = if (attempt >= 30) capMs else baseMs * (1L << math.max(0, attempt))
+    math.min(exp, capMs)
+  }
+
+  /** Transient vs fatal classification (reference error-handling table:
+    * config/validation errors fatal; IO/timeouts transient → retry).
+    */
+  def isTransient(e: Throwable): Boolean = e match {
+    case _: graft.config.ConfigError => false
+    case _: IllegalArgumentException => false
+    case _: java.io.FileNotFoundException => false
+    case _ => true
+  }
+
+  /** Retry-forever-with-backoff wrapper for a sync phase; `sleep` is
+    * injectable for tests, `maxAttempts` bounds runaway tests only.
+    */
+  def withRetry[A](maxAttempts: Int = Int.MaxValue, sleep: Long => Unit = Thread.sleep)(
+      body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if isTransient(e) && attempt < maxAttempts - 1 =>
+          sleep(backoffMs(attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

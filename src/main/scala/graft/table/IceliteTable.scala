@@ -68,6 +68,17 @@ final class IceliteTable private (
     commitWrite(null, deleteKeys = Some(keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)),
       keyCols = keyCols, operation = "delete")
 
+  /** One commit applying a resolved change batch: equality-delete every
+    * key in `deleteKeys` (upserted AND deleted keys) + data file with
+    * the final upsert images — the reference's "write delete files,
+    * write data file, commit both in one Iceberg txn" steady-state step.
+    * Callers must pass `upserts` already deduplicated per key.
+    */
+  def applyChanges(upserts: DataFrame, deleteKeys: DataFrame, keyCols: Seq[String]): Long =
+    commitWrite(upserts,
+      deleteKeys = Some(deleteKeys.select(keyCols.map(col): _*).dropDuplicates(keyCols)),
+      keyCols = keyCols, operation = "upsert")
+
   private def commitWrite(
       df: DataFrame,
       deleteKeys: Option[DataFrame],
@@ -80,8 +91,15 @@ final class IceliteTable private (
       var finalDf = conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq))
       val partCols = head.partitioning.map(transformColumn)
       partCols.foreach { case (n, c) => finalDf = finalDf.withColumn(n, c) }
-      val w0 = finalDf.write.mode("errorifexists")
-      (if (partCols.nonEmpty) w0.partitionBy(partCols.map(_._1): _*) else w0).parquet(out)
+      // Partition transforms as CLUSTERING, not hive dirs: derived
+      // columns are stored in-file and rows are shuffled so one file
+      // holds whole partition-value groups — parquet min/max footers
+      // then skip files/row-groups on partition predicates. (Hive-style
+      // per-commit subdirs break Spark's partition discovery across
+      // commits, and Iceberg prunes from metadata, not directories.)
+      if (partCols.nonEmpty)
+        finalDf = finalDf.repartition(partCols.map(p => col(p._1)): _*)
+      finalDf.write.mode("errorifexists").parquet(out)
       // row count from footer stats of what was actually written
       (listParquet(out), spark.read.parquet(out).count())
     } else (Seq.empty[String], 0L)
@@ -128,19 +146,17 @@ final class IceliteTable private (
 
   private def readFiles(files: Seq[String], withSeq: Boolean): DataFrame = {
     val m = cachedMeta
-    if (files.isEmpty) {
-      val full = if (withSeq) m.schema.add(SeqCol, "long") else m.schema
+    val full = if (withSeq) m.schema.add(SeqCol, "long") else m.schema
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
-    } else {
-      // explicit file list + basePath keeps hive partition columns and
-      // lets the committed schema fill evolution gaps with nulls
-      val full = if (withSeq) m.schema.add(SeqCol, "long") else m.schema
+    else
+      // explicit leaf-file list; the committed schema fills evolution
+      // gaps with nulls; derived partition columns live in-file and are
+      // projected away here (they're recomputable from the base column)
       spark.read
-        .option("basePath", s"$location/data")
         .schema(addPartitionFields(full, m.partitioning))
         .parquet(files.map(abs): _*)
         .select((m.schema.fieldNames :+ SeqCol).map(col).toSeq: _*)
-    }
   }
 
   // ----------------------------------------------------- maintenance
@@ -162,8 +178,10 @@ final class IceliteTable private (
         var d = conformToSchema(current, head.schema).withColumn(SeqCol, lit(seq))
         val partCols = head.partitioning.map(transformColumn)
         partCols.foreach { case (n, c) => d = d.withColumn(n, c) }
-        val w = d.repartition(nFiles).write.mode("errorifexists")
-        (if (partCols.nonEmpty) w.partitionBy(partCols.map(_._1): _*) else w).parquet(out)
+        val repartitioned =
+          if (partCols.nonEmpty) d.repartition(nFiles, partCols.map(p => col(p._1)): _*)
+          else d.repartition(nFiles)
+        repartitioned.write.mode("errorifexists").parquet(out)
         (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "rewrite",
           listParquet(out), Nil, current.count())), seq)
       }

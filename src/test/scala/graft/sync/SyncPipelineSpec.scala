@@ -1,0 +1,167 @@
+package graft.sync
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.config._
+
+/** End-to-end sync semantics (SURVEY §5 translation): initial load +
+  * change-event replay → golden last-writer-wins state; crash/resume
+  * converges (at-least-once + dedup); control events force re-initial-sync.
+  */
+class SyncPipelineSpec extends AnyFunSuite with SparkFixture {
+
+  private def oid(i: Int): String = f"65f1a2b3c4d5e6f7a8b9c$i%03x"
+
+  private def writeFixture(root: Path, db: String, coll: String, docs: Seq[String]): Unit = {
+    val dir = root.resolve(db)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(s"$coll.jsonl"), docs.mkString("", "\n", "\n"))
+  }
+
+  private def writeChanges(root: Path, db: String, coll: String, batch: String, events: Seq[String]): Unit = {
+    val dir = root.resolve(db).resolve(s"$coll.changes")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(s"$batch.json"), events.mkString("", "\n", "\n"))
+  }
+
+  private def doc(i: Int, total: String, tier: String): String =
+    s"""{"_id":{"$$oid":"${oid(i)}"},"total":{"$$numberDecimal":"$total"},"customer":{"name":"c$i","tier":"$tier"},"orderDate":{"$$date":"2024-01-${(i % 27) + 1}%02dT00:00:00Z"}}"""
+      .replace("%02d", f"${(i % 27) + 1}%02d")
+
+  private def config(root: Path, wh: String): SyncConfig = SyncConfig(
+    MongoConfig(root.toString, "shop"),
+    IcebergConfig(CatalogConfig("local", warehouse = Some(wh))),
+    SyncSection(Seq(CollectionSyncConfig(
+      SourceConfig("orders"),
+      TargetConfig("analytics", "orders"),
+      batch = BatchConfig(maxRecords = 8, maxBytes = 1 << 20, flushIntervalSeconds = 1)))))
+
+  test("initial sync: full copy, chunked with hwm checkpoints, then steady state") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    writeFixture(root, "shop", "orders", (1 to 30).map(i => doc(i, s"$i.50", "gold")))
+    val orch = new SyncOrchestrator(spark, config(root, wh), wh)
+    val table = orch.syncCollection(config(root, wh).sync.collections.head,
+      Files.createTempDirectory("sync-ckpt").toString)
+    assert(table.read().count() == 30)
+    val cp = orch.checkpoints.read("analytics.orders").get
+    assert(cp.state == SyncState.SteadyState)
+    assert(cp.documentsProcessed == 30)
+    assert(cp.highWaterMarkId.contains(oid(30)))
+    // chunked: maxRecords=8 → ≥4 data commits
+    assert(table.meta.snapshots.count(_.operation == "append") >= 4)
+  }
+
+  test("initial sync resume: second run only copies ids above the hwm") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    writeFixture(root, "shop", "orders", (1 to 10).map(i => doc(i, "1.00", "gold")))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val c = cfg.sync.collections.head
+    orch.syncCollection(c, Files.createTempDirectory("ck1").toString)
+    // simulate: more docs appear with higher ids; checkpoint forced back to INITIAL_SYNC mid-scan
+    writeFixture(root, "shop", "orders", (1 to 14).map(i => doc(i, "1.00", "gold")))
+    val cp = orch.checkpoints.read("analytics.orders").get
+    orch.checkpoints.write(cp.copy(state = SyncState.InitialSync))
+    val table = orch.syncCollection(c, Files.createTempDirectory("ck2").toString)
+    assert(table.read().count() == 14)
+    // no duplicate of the first 10 (hwm resume skipped them)
+    assert(table.read().groupBy("_id").count().filter(col("count") > 1).count() == 0)
+    assert(orch.checkpoints.read("analytics.orders").get.documentsProcessed == 14)
+  }
+
+  test("change stream: insert/update/delete replay to golden LWW state; idempotent on batch replay") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    val c = cfg.sync.collections.head
+    writeFixture(root, "shop", "orders", (1 to 5).map(i => doc(i, s"$i.00", "gold")))
+    writeChanges(root, "shop", "orders", "b0", Seq(
+      s"""{"seq":1,"op":"insert","_id":"${oid(6)}","fullDocument":${jstr(doc(6, "6.00", "new"))},"clusterTime":"2024-02-01T00:00:00.000Z"}""",
+      s"""{"seq":2,"op":"update","_id":"${oid(1)}","fullDocument":${jstr(doc(1, "99.99", "plat"))},"clusterTime":"2024-02-01T00:00:01.000Z"}""",
+      s"""{"seq":3,"op":"delete","_id":"${oid(2)}","fullDocument":null,"clusterTime":"2024-02-01T00:00:02.000Z"}""",
+      s"""{"seq":4,"op":"update","_id":"${oid(1)}","fullDocument":${jstr(doc(1, "111.11", "plat"))},"clusterTime":"2024-02-01T00:00:03.000Z"}"""))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val table = orch.syncCollection(c, Files.createTempDirectory("ck").toString)
+
+    def state() = table.read().orderBy("_id").collect()
+      .map(r => r.getString(0) -> r.getDecimal(1).toPlainString).toSeq
+    val expected = Seq(
+      oid(1) -> "111.110000000", // LWW: seq 4 wins over seq 2
+      oid(3) -> "3.000000000", oid(4) -> "4.000000000",
+      oid(5) -> "5.000000000", oid(6) -> "6.000000000")
+    assert(state() == expected)
+    val cp = orch.checkpoints.read("analytics.orders").get
+    assert(cp.resumeToken.contains(4L))
+
+    // crash-replay the same batch directly (at-least-once): converges
+    val changes = new ChangeStreamSync(spark, c, table, orch.checkpoints, "shop")
+    val batch = spark.read.schema(ChangeStreamSync.EventSchema)
+      .json(root.resolve("shop/orders.changes").toString)
+    changes.processBatch(batch, batchId = 0) // same batchId → skipped
+    changes.processBatch(batch, batchId = 99) // new batchId, old seqs → filtered by resume token
+    assert(state() == expected)
+  }
+
+  test("schema evolution mid-stream: new field widens table, old rows null") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    val c = cfg.sync.collections.head
+    writeFixture(root, "shop", "orders", (1 to 3).map(i => doc(i, s"$i.00", "gold")))
+    val evolvedDoc =
+      s"""{"_id":{"$$oid":"${oid(9)}"},"total":{"$$numberDecimal":"9.00"},"customer":{"name":"c9","tier":"x"},"orderDate":{"$$date":"2024-03-01T00:00:00Z"},"coupon":"WELCOME"}"""
+    writeChanges(root, "shop", "orders", "b0", Seq(
+      s"""{"seq":1,"op":"insert","_id":"${oid(9)}","fullDocument":${jstr(evolvedDoc)},"clusterTime":"2024-03-01T00:00:00.000Z"}"""))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val table = orch.syncCollection(c, Files.createTempDirectory("ck").toString)
+    assert(table.schema.fieldNames.contains("coupon"))
+    val rows = table.read().orderBy("_id").select("_id", "coupon").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq(oid(1), oid(2), oid(3), oid(9)))
+    assert(rows.take(3).forall(_.isNullAt(1)) && rows.last.getString(1) == "WELCOME")
+  }
+
+  test("invalidate control event forces re-initial-sync (R7)") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    val c = cfg.sync.collections.head
+    writeFixture(root, "shop", "orders", (1 to 4).map(i => doc(i, s"$i.00", "gold")))
+    writeChanges(root, "shop", "orders", "b0", Seq(
+      """{"seq":1,"op":"invalidate","_id":null,"fullDocument":null,"clusterTime":"2024-02-01T00:00:00.000Z"}"""))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val table = orch.syncCollection(c, Files.createTempDirectory("ck").toString)
+    // table still consistent with the (re-read) source
+    assert(table.read().count() == 4)
+    assert(table.read().groupBy("_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("state machine decision table + backoff curve") {
+    import SyncStateMachine._
+    assert(decideStart(None) == InitialSyncPhase)
+    val cp = CheckpointRecord("s", SyncState.InitialSync, "db", "c", None, Some("x"),
+      10, 1, -1, 0)
+    assert(decideStart(Some(cp)) == InitialSyncPhase)
+    assert(decideStart(Some(cp.copy(state = SyncState.SteadyState,
+      resumeToken = Some(7L)))) == SteadyStatePhase)
+    assert(backoffMs(0) == 1000L && backoffMs(1) == 2000L && backoffMs(5) == 32000L)
+    assert(backoffMs(6) == 60000L && backoffMs(40) == 60000L)
+    // withRetry retries transient, rethrows fatal
+    var calls = 0
+    val r = withRetry(maxAttempts = 5, sleep = _ => ()) {
+      calls += 1; if (calls < 3) throw new RuntimeException("transient"); 42
+    }
+    assert(r == 42 && calls == 3)
+    intercept[IllegalArgumentException] {
+      withRetry(maxAttempts = 5, sleep = _ => ())(throw new IllegalArgumentException("fatal"))
+    }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}

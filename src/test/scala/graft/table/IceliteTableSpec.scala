@@ -81,17 +81,32 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     assert(t.read().orderBy("_id").collect().map(_.getString(0)).toSeq == Seq("a", "b"))
   }
 
-  test("partition transforms write hive dirs and derive columns") {
+  test("partition transforms cluster files and store derived columns in-file") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "t", docSchema,
       partitioning = Seq(PartitionConfig("order_ts", "month"), PartitionConfig("_id", "bucket[4]")))
     t.append(rows(("a", 1.0, "x", "2024-01-05T00:00:00Z"),
       ("b", 2.0, "x", "2024-02-06T00:00:00Z")))
-    val dataDir = t.meta.liveDataFiles.head
-    assert(dataDir.contains("_p_order_ts_month=2024-0"))
-    assert(dataDir.contains("_p__id_bucket_4_="))
+    // derived columns are physical data columns (metadata-pruned reads)
+    val raw = spark.read.parquet(t.meta.liveDataFiles.map(f => s"${t.location}/$f"): _*)
+    assert(raw.columns.contains("_p_order_ts_month"))
+    assert(raw.columns.contains("_p__id_bucket_4_"))
+    assert(raw.select("_p_order_ts_month").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("2024-01", "2024-02"))
     assert(t.read().count() == 2) // partition cols hidden from logical view
     assert(t.read().columns.toSeq == docSchema.fieldNames.toSeq)
+  }
+
+  test("regression: partitioned table read across MANY commits (no hive-discovery conflict)") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "t", docSchema,
+      partitioning = Seq(PartitionConfig("order_ts", "month")))
+    (1 to 4).foreach { i =>
+      t.append(rows((s"k$i", i.toDouble, "x", s"2024-0$i-05T00:00:00Z")))
+    }
+    t.upsert(rows(("k1", 9.0, "upd", "2024-01-06T00:00:00Z")), Seq("_id"))
+    assert(t.read().count() == 4)
+    assert(t.read().filter(col("status") === "upd").count() == 1)
   }
 
   test("MoR replay determinism: replaying the same upsert batch twice (at-least-once) converges") {
