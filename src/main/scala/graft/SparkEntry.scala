@@ -16,7 +16,8 @@ import graft.operators._
 object SparkEntry {
 
   /** All registered engine queries, one per implemented operator. */
-  def registry: Seq[GraftQuery] = Relational.all
+  def registry: Seq[GraftQuery] =
+    Relational.all ++ Dedup.all ++ Similarity.all ++ TextAnalysis.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,345 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables.t
+
+/** Deduplication operator family for large-scale training-data pipelines
+  * (driver-mandated EXT surface, SURVEY.md §2.4): exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup — each over
+  * the `documents` / `embeddings` tables with a DuckDB oracle.
+  *
+  * Cross-engine portability rules:
+  *  - content hashing uses md5 → first 8 hex chars → uint32, identical
+  *    in Spark (`conv(...,16,10)`) and DuckDB (`CAST('0x…' AS BIGINT)`);
+  *  - MinHash permutations are integer arithmetic mod a Mersenne prime
+  *    (no engine-specific hash functions anywhere);
+  *  - floating-point reductions (cosine) accumulate in exact decimal,
+  *    so results are independent of partitioning and fold order.
+  *
+  * Scale notes: every operator is expressed as explode → hash-join →
+  * aggregate (no driver-side loops, no O(n²) cross joins except where a
+  * blocking key bounds the pair set). At 100 TB the LSH band join IS the
+  * scale path: candidates per band bucket, verified exactly.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------- constants
+
+  /** Mersenne prime 2^31-1: permutation modulus. */
+  val P: Long = 2147483647L
+
+  /** MinHash permutation coefficients (16 perms; hashed-prime constants,
+    * all < P so a*(h mod P)+b stays within signed 64-bit).
+    */
+  val As: Seq[Long] = Seq(1610612741L, 805306457L, 402653189L, 201326611L,
+    100663319L, 50331653L, 25165843L, 12582917L,
+    6291469L, 3145739L, 1572869L, 786433L,
+    393241L, 196613L, 98317L, 49157L)
+  val Bs: Seq[Long] = Seq(12289L, 24593L, 49157L, 98299L,
+    196613L, 393241L, 786433L, 1572869L,
+    3145739L, 6291469L, 769L, 1543L,
+    3079L, 6151L, 53L, 97L)
+
+  val BandRows = 2 // rows per LSH band → 8 bands over 16 perms
+  val JaccardThreshold = 0.5
+  val CosineThreshold = 0.45
+  val ShingleWidth = 5
+
+  // ----------------------------------------------------------- helpers
+
+  /** Portable 32-bit content hash: md5 hex prefix as unsigned int. */
+  def phash(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Oracle-side rendering of [[phash]]. */
+  def phashSql(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 8)) AS BIGINT)"
+
+  /** Distinct word 5-shingles of `text` (underscore-joined). */
+  def shingles(text: Column): Column = {
+    val words = split(text, " ")
+    when(size(words) >= ShingleWidth,
+      array_distinct(transform(
+        sequence(lit(0), size(words) - lit(ShingleWidth)),
+        i => concat_ws("_", slice(words, i + lit(1), lit(ShingleWidth))))))
+      .otherwise(array())
+  }
+
+  /** Oracle-side shingle set (same join character, same distinctness). */
+  val shinglesSql: String =
+    """list_distinct([ w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
+      |  for i in generate_series(1, len(w) - 4) ])""".stripMargin
+
+  /** Exact decimal dot product of two float arrays (fold-order-proof). */
+  def decimalDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(38,20)")),
+      lit(0).cast("decimal(38,20)"), (acc, v) => (acc + v).cast("decimal(38,20)")).cast("double")
+
+  /** Exact decimal sum of squares (for norms). */
+  def decimalNormSq(a: Column): Column =
+    aggregate(transform(a, x => (x.cast("double") * x.cast("double")).cast("decimal(38,20)")),
+      lit(0).cast("decimal(38,20)"), (acc, v) => (acc + v).cast("decimal(38,20)")).cast("double")
+
+  // ------------------------------------------------------- exact dedup
+
+  /** Exact dedup by content hash (hash-groupBy — one shuffle on the
+    * digest; the canonical survivor is the min doc_id per group).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("dup_count"))
+      .orderBy("kept_doc_id")
+
+  private val exactOracle =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS kept_doc_id,
+      |  count(*) AS dup_count
+      |FROM documents GROUP BY md5(text) ORDER BY kept_doc_id""".stripMargin
+
+  // ----------------------------------------------- n-gram Jaccard pairs
+
+  /** Near-duplicate pairs by exact n-gram Jaccard via an inverted-index
+    * join: doc→shingles→explode→join on shingle→count common. No cross
+    * join: only pairs sharing ≥1 shingle are ever materialized. Jaccard
+    * is a ratio of integer counts — bit-exact cross-engine.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = e.as("a").join(e.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("x") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("y") === col("sb.doc_id"))
+      .select(col("x"), col("y"),
+        (col("common").cast("double") /
+          (col("sa.n") + col("sb.n") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("x", "y")
+  }
+
+  private val ngramJaccardOracle =
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
+       |e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |common AS (
+       |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS common
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT x, y,
+       |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+       |FROM common JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
+       |ORDER BY x, y""".stripMargin
+
+  // --------------------------------------------------- MinHash + LSH
+
+  /** MinHash signatures + banded LSH + exact verification — the scale
+    * path for near-dup at 100 TB (shingle sets never pairwise-compared
+    * globally; candidates come from band-bucket joins only).
+    *
+    * Pipeline: portable shingle hash → 16 permutation minima per doc →
+    * 8 bands of 2 → self-join per band value → distinct candidate pairs
+    * → exact Jaccard filter. Output equals the exact pair set wherever
+    * LSH recall is 1 (verified locally; the oracle replicates the full
+    * pipeline including banding, so the match is exact regardless).
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", pmod(phash(col("s")), lit(P)))
+    val mhCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$i")
+    }
+    val sigs = e.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val bandCols = (0 until As.size / BandRows).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws(":", (0 until BandRows).map(r => col(s"mh${j * BandRows + r}")): _*).as("sig"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val candidates = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .distinct()
+    // exact verification of candidates only
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val common = e.select(col("doc_id"), col("s")).as("ea")
+      .join(e.select(col("doc_id"), col("s")).as("eb"),
+        col("ea.s") === col("eb.s") && col("ea.doc_id") < col("eb.doc_id"))
+      .groupBy(col("ea.doc_id").as("x"), col("eb.doc_id").as("y"))
+      .agg(count(lit(1)).as("common"))
+    candidates.join(common, Seq("x", "y"))
+      .join(sizes.as("sa"), col("x") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("y") === col("sb.doc_id"))
+      .select(col("x"), col("y"),
+        (col("common").cast("double") /
+          (col("sa.n") + col("sb.n") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("x", "y")
+  }
+
+  private val minhashLshOracle: String = {
+    val mhSelect = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $P) AS mh$i"
+    }.mkString(",\n    ")
+    val bandSelect = (0 until As.size / BandRows).map { j =>
+      val sig = (0 until BandRows).map(r => s"CAST(mh${j * BandRows + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $j AS band, $sig AS sig FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
+       |e AS (
+       |  SELECT doc_id, ${phashSql("s")} % $P AS h, s
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    ${mhSelect}
+       |  FROM e GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelect),
+       |candidates AS (
+       |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |common AS (
+       |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS common
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.x, c.y,
+       |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+       |FROM candidates c
+       |JOIN common USING (x, y)
+       |JOIN sizes sa ON c.x = sa.doc_id JOIN sizes sb ON c.y = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
+       |ORDER BY x, y""".stripMargin
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash per document: portable token hash, per-bit ±1 votes
+    * weighted by term frequency, sign → bit. One explode + one groupBy.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", phash(col("w")))
+    val votes = (0 until 32).map { k =>
+      sum(when(pmod(floor(col("h") / math.pow(2, k).toLong), lit(2)) === 1, 1).otherwise(-1)).as(s"v$k")
+    }
+    val bits = (0 until 32).map { k =>
+      when(col(s"v$k") > 0, math.pow(2, k).toLong).otherwise(0L)
+    }
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val simhashOracle: String = {
+    val votes = (0 until 32).map { k =>
+      s"sum(CASE WHEN (h // ${math.pow(2, k).toLong}) % 2 = 1 THEN 1 ELSE -1 END) AS v$k"
+    }.mkString(",\n    ")
+    val bits = (0 until 32).map { k =>
+      s"CASE WHEN v$k > 0 THEN ${math.pow(2, k).toLong} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${phashSql("w")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-dup pairs: within-label blocking (bounded pair set)
+    * + exact decimal-accumulated cosine ≥ threshold. At 100 TB the
+    * blocking key generalizes to any coarse cluster id (label, IVF cell,
+    * sign-LSH bucket) — the pair join never goes global.
+    */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        decimalNormSq(col("embedding")).as("nsq"))
+    // Two-phase: cheap double-fold prefilter with a guard band (strict
+    // superset of the answer — fp error across a 64-term fold is far
+    // below 1e-6), then the exact decimal rescore only on survivors.
+    // Cuts the interpreted decimal folds from O(pairs) to O(answers).
+    val fastDot = aggregate(
+      zip_with(col("a.embedding"), col("b.embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(fastDot / (sqrt(col("a.nsq")) * sqrt(col("b.nsq"))) >= CosineThreshold - 1e-6)
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        col("a.label").as("label"),
+        round(decimalDot(col("a.embedding"), col("b.embedding")) /
+          (sqrt(col("a.nsq")) * sqrt(col("b.nsq"))), 12).as("cosine"))
+      .filter(col("cosine") >= CosineThreshold)
+      .orderBy("x", "y")
+  }
+
+  private val embeddingCosineOracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding FROM embeddings),
+       |elems AS (
+       |  SELECT vec_id, embedding[i] AS val, i FROM e,
+       |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+       |norms AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS nsq
+       |  FROM elems GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS x, b.vec_id AS y, a.label AS label
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT p.x, p.y,
+       |    CAST(sum(CAST(CAST(ea.val AS DOUBLE) * CAST(eb.val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM pairs p
+       |  JOIN elems ea ON ea.vec_id = p.x
+       |  JOIN elems eb ON eb.vec_id = p.y AND ea.i = eb.i
+       |  GROUP BY p.x, p.y)
+       |SELECT p.x AS x, p.y AS y, p.label AS label,
+       |  round(d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 12) AS cosine
+       |FROM pairs p JOIN dots d ON p.x = d.x AND p.y = d.y
+       |JOIN norms na ON p.x = na.vec_id JOIN norms nb ON p.y = nb.vec_id
+       |WHERE d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= $CosineThreshold
+       |ORDER BY p.x, p.y""".stripMargin
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("dedup_exact", exact _, Some(exactOracle),
+      "exact dedup by content hash"),
+    GraftQuery("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardOracle),
+      "near-dup pairs, exact 5-gram Jaccard via inverted-index join"),
+    GraftQuery("dedup_minhash_lsh", minhashLsh _, Some(minhashLshOracle),
+      "MinHash(16) + 8-band LSH candidates + exact verify"),
+    GraftQuery("dedup_simhash", simhash _, Some(simhashOracle),
+      "32-bit SimHash signatures (portable hash)"),
+    GraftQuery("dedup_embedding_cosine", embeddingCosine _, Some(embeddingCosineOracle),
+      "embedding near-dup pairs, blocked exact cosine"))
+}

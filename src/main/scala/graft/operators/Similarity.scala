@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables.t
+import Dedup.{decimalDot, decimalNormSq, phashSql}
+
+/** Approximate-nearest-neighbor / similarity-search surface over the
+  * `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, as a large-scale pipeline needs both:
+  *  - brute-force exact top-k: broadcast the (small) query set against
+  *    the distributed corpus — one linear scan, the honest baseline and
+  *    the correctness reference for any ANN index;
+  *  - sign-LSH bucketed ANN: 12 deterministic hyperplanes (portable
+  *    pseudo-random construction) → 12-bit bucket signature → candidates
+  *    from Hamming-≤1 buckets (query probes its bucket + 12 neighbors) →
+  *    exact re-rank. The bucket join is the 100 TB path: the corpus is
+  *    hashed once, queries touch 13/4096 of the space.
+  *
+  * All cosine arithmetic uses the decimal-accumulated dot product
+  * ([[Dedup.decimalDot]]) so scores are bit-identical to the DuckDB
+  * oracle; ranks are made total with a vec_id tiebreak.
+  */
+object Similarity {
+
+  val K = 10
+  val NumQueries = 5 // vec_id < 5 are the query vectors
+  val Planes = 12
+
+  /** Deterministic ±1 hyperplane component for (plane j, dim i):
+    * sign of a portable hash bit — identical construction in both
+    * engines, no RNG.
+    */
+  private def planeSign(j: Int, i: Column): Column =
+    when(pmod(conv(substring(md5(concat(lit(s"p$j" + "_"), i.cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(2)) === 1, lit(1)).otherwise(lit(-1))
+
+  private def planeSignSql(j: Int, iExpr: String): String =
+    s"CASE WHEN ${phashSql(s"concat('p${j}_', CAST($iExpr AS VARCHAR))")} % 2 = 1 THEN 1 ELSE -1 END"
+
+  // ------------------------------------------------- brute-force top-k
+
+  /** Exact cosine top-k for each query vector. Queries (vec_id < 5) are
+    * broadcast; the corpus side never shuffles — rank is a small window
+    * over k·|queries| candidate rows after a per-partition scan.
+    */
+  def topkBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), decimalNormSq(col("embedding")).as("nsq"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+    val scored = e.filter(col("vec_id") >= NumQueries).crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(decimalDot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .orderBy("q_id", "rank")
+  }
+
+  private val topkBruteForceOracle =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |elems AS (
+       |  SELECT vec_id, embedding[i] AS val, i FROM e,
+       |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+       |norms AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS nsq
+       |  FROM elems GROUP BY vec_id),
+       |dots AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    CAST(sum(CAST(CAST(eq.val AS DOUBLE) * CAST(ec.val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id >= $NumQueries
+       |  JOIN elems eq ON eq.vec_id = q.vec_id
+       |  JOIN elems ec ON ec.vec_id = c.vec_id AND ec.i = eq.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.q_id, d.vec_id,
+       |    round(d.dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 12) AS cosine
+       |  FROM dots d JOIN norms nq ON d.q_id = nq.vec_id
+       |  JOIN norms nc ON d.vec_id = nc.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------- sign-LSH bucketed
+
+  /** Random-hyperplane LSH: corpus bucketed by the 12-bit sign
+    * signature; each query probes its own bucket plus all Hamming-1
+    * neighbors, then exact-re-ranks candidates (top-5). Deterministic
+    * planes ⇒ the oracle reproduces bucketing bit-for-bit.
+    */
+  def topkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), decimalNormSq(col("embedding")).as("nsq"))
+
+    // signature: bit j = [dot(v, plane_j) > 0], planes built per-dim
+    def signature(emb: Column): Column = {
+      val bits = (0 until Planes).map { j =>
+        val proj = aggregate(
+          zip_with(emb, sequence(lit(1), lit(64)),
+            (v, i) => (v.cast("double") * planeSign(j, i)).cast("decimal(38,20)")),
+          lit(0).cast("decimal(38,20)"), (acc, v) => (acc + v).cast("decimal(38,20)"))
+        when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+      .withColumn("sig", signature(col("embedding")))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nsq").as("q_nsq"), signature(col("embedding")).as("q_sig"))
+    // probe buckets: own signature + each single-bit flip
+    val probes = queries.select(col("q_id"), col("q_emb"), col("q_nsq"),
+        explode(array((col("q_sig") +: (0 until Planes).map(j =>
+          col("q_sig").bitwiseXOR(lit(1L << j)))): _*)).as("probe_sig"))
+    val candidates = probes.join(corpus, col("probe_sig") === col("sig"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    candidates
+      .select(col("q_id"), col("vec_id"),
+        round(decimalDot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val topkLshOracle: String = {
+    val sigBits = (0 until Planes).map { j =>
+      s"""CASE WHEN (SELECT CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * (${planeSignSql(j, "i")}) AS DECIMAL(38,20))) AS DECIMAL(38,20))
+         |  FROM (SELECT unnest(generate_series(1, len(embedding))) AS i)) > 0
+         |  THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    val flips = (0 until Planes).map(j => s"xor(sig, ${1L << j})").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |elems AS (
+       |  SELECT vec_id, embedding[i] AS val, i FROM e,
+       |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+       |norms AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS nsq
+       |  FROM elems GROUP BY vec_id),
+       |sigs AS (
+       |  SELECT vec_id, CAST($sigBits AS BIGINT) AS sig FROM e),
+       |corpus AS (
+       |  SELECT vec_id, sig FROM sigs WHERE vec_id >= $NumQueries),
+       |queries AS (
+       |  SELECT vec_id AS q_id, sig FROM sigs WHERE vec_id < $NumQueries),
+       |probes AS (
+       |  SELECT q_id, unnest([sig, $flips]) AS probe_sig FROM queries),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id FROM probes p
+       |  JOIN corpus c ON p.probe_sig = c.sig),
+       |dots AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    CAST(sum(CAST(CAST(eq.val AS DOUBLE) * CAST(ec.val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM cand
+       |  JOIN elems eq ON eq.vec_id = cand.q_id
+       |  JOIN elems ec ON ec.vec_id = cand.vec_id AND ec.i = eq.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.q_id, d.vec_id,
+       |    round(d.dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 12) AS cosine
+       |  FROM dots d JOIN norms nq ON d.q_id = nq.vec_id
+       |  JOIN norms nc ON d.vec_id = nc.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceOracle),
+      "exact cosine top-10 per query vector (broadcast scan)"),
+    GraftQuery("sim_topk_lsh", topkLsh _, Some(topkLshOracle),
+      "sign-LSH bucketed ANN with Hamming-1 probing + exact re-rank"))
+}

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables.t
+import Dedup.{phash, phashSql, P}
+
+/** Text-analysis operator family for training-data pipelines (EXT
+  * surface): language-ID heuristic, quality scoring, token counting,
+  * and document fingerprinting — all pure Column expressions (whole-
+  * stage codegen, no UDFs) with bit-exact DuckDB oracles.
+  */
+object TextAnalysis {
+
+  /** Public marker-word lists per language (tiny stopword heuristic).
+    * Deliberately small and hardcoded — the operator demonstrates the
+    * n-gram/stopword scoring mechanism, not lexicon quality.
+    */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "que", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "est", "que", "un"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta", "zai"))
+
+  private val langs = Markers.keys.toSeq.sorted
+
+  // ------------------------------------------------------- language id
+
+  /** Stopword-ratio language scoring: tokens matched against each
+    * language's marker set; predicted language = argmax ratio with
+    * alphabetical tiebreak. One explode + one groupBy (scales linearly;
+    * marker sets broadcast as literals inside codegen'd CASE).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+    val scores = langs.map { l =>
+      (sum(when(col("w").isin(Markers(l): _*), 1).otherwise(0)).cast("double") /
+        count(lit(1))).as(s"score_$l")
+    }
+    val agg = tok.groupBy(col("doc_id"), col("lang")).agg(scores.head, scores.tail: _*)
+    // argmax with alphabetical tiebreak via a struct-max over (score, revLang)
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    agg.select(col("doc_id"), col("lang"),
+        best.getField("l").as("predicted"),
+        round(best.getField("s"), 12).as("marker_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val langIdOracle: String = {
+    val scoreCols = langs.map { l =>
+      val set = Markers(l).map(w => s"'$w'").mkString(", ")
+      s"CAST(sum(CASE WHEN w IN ($set) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS score_$l"
+    }.mkString(",\n    ")
+    // argmax with alphabetical tiebreak (strictly-greater chain keeps the
+    // earlier language on ties, languages visited in sorted order)
+    val best = langs.tail.foldLeft((s"score_${langs.head}", s"'${langs.head}'")) {
+      case ((sExpr, lExpr), l) =>
+        (s"CASE WHEN score_$l > ($sExpr) THEN score_$l ELSE ($sExpr) END",
+          s"CASE WHEN score_$l > ($sExpr) THEN '$l' ELSE ($lExpr) END")
+    }
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents),
+       |scores AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM tok GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, ${best._2} AS predicted,
+       |  round(${best._1}, 12) AS marker_ratio
+       |FROM scores ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------- quality scores
+
+  /** Quality scoring: length, token stats, stopword ratio, punctuation
+    * and digit density, plus a composite score — the standard cheap
+    * pre-filters of a training-data pipeline.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val words = split(col("text"), " ")
+    val nTokens = size(words)
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val digits = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+    val stop = size(filter(words, w => w.isin(Markers("en"): _*)))
+    val meanWordLen = (nChars - (nTokens - lit(1))).cast("double") / nTokens
+    d.select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        nChars.cast("long").as("n_chars_computed"),
+        round(meanWordLen, 12).as("mean_word_len"),
+        (stop.cast("double") / nTokens).as("stopword_ratio"),
+        (punct.cast("double") / nChars).as("punct_ratio"),
+        (digits.cast("double") / nChars).as("digit_ratio"),
+        // composite: in-range length & some stopwords & low noise.
+        // Integer points / 10 — one fp division, no fp accumulation
+        // (0.5+0.3+0.2 in binary fp is not exactly 1.0).
+        ((when(nTokens.between(30, 1000), lit(5)).otherwise(lit(0)) +
+          when(stop > 0, lit(3)).otherwise(lit(0)) +
+          when(punct.cast("double") / nChars < 0.1, lit(2)).otherwise(lit(0))
+          ).cast("double") / 10.0).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityOracle: String = {
+    val stopSet = Markers("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    length(text) AS n_chars_computed,
+       |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ($stopSet))) AS stop
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(n_tokens AS INTEGER) AS n_tokens,
+       |  CAST(n_chars_computed AS BIGINT) AS n_chars_computed,
+       |  round(CAST(n_chars_computed - (n_tokens - 1) AS DOUBLE) / n_tokens, 12) AS mean_word_len,
+       |  CAST(stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       |  CAST(punct AS DOUBLE) / n_chars_computed AS punct_ratio,
+       |  CAST(digits AS DOUBLE) / n_chars_computed AS digit_ratio,
+       |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 1000 THEN 5 ELSE 0 END +
+       |   CASE WHEN stop > 0 THEN 3 ELSE 0 END +
+       |   CASE WHEN CAST(punct AS DOUBLE) / n_chars_computed < 0.1 THEN 2 ELSE 0 END
+       |   AS DOUBLE) / 10.0 AS quality_score
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------- token counting
+
+  /** Token counting three ways: whitespace tokens, BPE-ish regex pieces
+    * (word cores + punctuation singletons), and the chars/4 estimate
+    * used for LLM budget planning.
+    */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)")).as("bpe_ish_tokens"),
+        ceil(length(col("text")).cast("double") / 4).cast("long").as("est_tokens"))
+      .orderBy("doc_id")
+
+  private val tokensOracle =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens,
+      |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS est_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- fingerprinting
+
+  /** Document fingerprints: content digest, order-insensitive bag
+    * digest (sorted distinct tokens), and an order-SENSITIVE positional
+    * rolling hash (token hash × position, mod P) — the cheap shift-
+    * detecting signature.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val words = split(lower(col("text")), " ")
+    val posHash = aggregate(
+      zip_with(words, sequence(lit(1), size(words)),
+        (w, i) => pmod(pmod(phash(w), lit(P)) * pmod(i.cast("long"), lit(64)) + i.cast("long"), lit(P))),
+      lit(0L), (acc, v) => pmod(acc + v, lit(P)))
+    d.select(
+        col("doc_id"),
+        md5(col("text")).as("content_fp"),
+        md5(concat_ws(" ", array_sort(array_distinct(words)))).as("bag_fp"),
+        posHash.as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val fingerprintOracle =
+    s"""WITH w AS (
+       |  SELECT doc_id, text, string_split(lower(text), ' ') AS words FROM documents),
+       |e AS (
+       |  SELECT doc_id, words[i] AS tok, i
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words))) AS i) u),
+       |roll AS (
+       |  SELECT doc_id,
+       |    CAST(sum((${phashSql("tok")} % $P) * (i % 64) + i) % $P AS BIGINT) AS rolling_fp
+       |  FROM e GROUP BY doc_id)
+       |SELECT w.doc_id AS doc_id, md5(text) AS content_fp,
+       |  md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS bag_fp,
+       |  roll.rolling_fp AS rolling_fp
+       |FROM w JOIN roll ON w.doc_id = roll.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_langid", langId _, Some(langIdOracle),
+      "stopword-marker language scoring with argmax"),
+    GraftQuery("text_quality", quality _, Some(qualityOracle),
+      "length/stopword/punct/digit quality metrics + composite score"),
+    GraftQuery("text_tokens", tokens _, Some(tokensOracle),
+      "whitespace / BPE-ish regex / estimate token counts"),
+    GraftQuery("text_fingerprint", fingerprint _, Some(fingerprintOracle),
+      "content, bag and positional rolling fingerprints"))
+}
