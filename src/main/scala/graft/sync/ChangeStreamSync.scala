@@ -46,11 +46,22 @@ final class ChangeStreamSync(
 
   private val syncId = cfg.target.qualifiedName
   @volatile private var invalidatedFlag = false
+  @volatile private var invalidatedSeq: Option[Long] = None
+  private var batchesSinceMaintenance = 0
 
   /** True once a drop/rename/invalidate control event was seen —
     * the state machine must re-run initial sync (reference T7).
     */
   def invalidated: Boolean = invalidatedFlag
+
+  /** Change seq of the first control event seen (resume point for the
+    * post-rebuild stream: events ≤ this seq are pre-drop and must not
+    * be replayed onto the rebuilt table).
+    */
+  def invalidatedAtSeq: Option[Long] = invalidatedSeq
+
+  /** Re-arm after the orchestrator completed a rebuild. */
+  def resetInvalidated(): Unit = { invalidatedFlag = false; invalidatedSeq = None }
 
   /** Start the stream from an event-log directory of JSONL files. */
   def start(
@@ -75,16 +86,27 @@ final class ChangeStreamSync(
     * batch-mode replay of an event log.
     */
   def processBatch(batch: Dataset[Row], batchId: Long): Unit = {
+    // once invalidated, apply NOTHING further: later micro-batches may
+    // carry post-drop events of a recreated collection that must only
+    // land after the rebuild (ADVICE r1 — previously they were applied
+    // to the stale table while the stream drained)
+    if (invalidatedFlag) return
     val prior = checkpoints.read(syncId)
     if (prior.exists(_.lastBatchId >= batchId)) return // replayed batch (R6)
 
-    if (batch.filter(col("op").isin(ControlOps.toSeq: _*)).limit(1).count() > 0) {
+    val resumeFrom = prior.flatMap(_.resumeToken).getOrElse(-1L)
+    val fresh = batch.filter(col("seq") > resumeFrom)
+
+    // control events are detected AFTER the resume-token filter so a
+    // post-rebuild stream replaying the log does not re-trigger the
+    // rebuild on the already-handled control event
+    val ctrl = fresh.filter(col("op").isin(ControlOps.toSeq: _*))
+      .agg(min(col("seq"))).collect().head
+    if (!ctrl.isNullAt(0)) {
+      invalidatedSeq = Some(ctrl.getLong(0))
       invalidatedFlag = true // R7: invalidate ⇒ re-initial-sync
       return
     }
-
-    val resumeFrom = prior.flatMap(_.resumeToken).getOrElse(-1L)
-    val fresh = batch.filter(col("seq") > resumeFrom)
 
     // final event per key by change order (LWW within the batch)
     val w = org.apache.spark.sql.expressions.Window
@@ -110,9 +132,13 @@ final class ChangeStreamSync(
       val upserts = finals.filter(col("op") =!= "delete")
         .select(col("_id").as("_change_id"), col("seq"), col("fullDocument"))
       val evolved = maybeEvolve(upserts)
-      val images = parseImages(spark, upserts, evolved.schema, table.schema("_id").dataType)
+      val idType = evolved.schema("_id").dataType
+      val images = parseImages(spark, upserts, evolved.schema, idType)
 
-      val deleteKeys = finals.select(col("_id")).dropDuplicates("_id")
+      // delete keys conform to the table's _id type so the MoR
+      // anti-join compares natively (ADVICE r1: string event keys vs
+      // numeric table ids would never match)
+      val deleteKeys = finals.select(col("_id").cast(idType).as("_id")).dropDuplicates("_id")
       evolved.applyChanges(images, deleteKeys, Seq("_id"))
 
       checkpoints.write(CheckpointRecord(
@@ -123,6 +149,15 @@ final class ChangeStreamSync(
         lastSnapshotId = evolved.meta.lastSeq,
         lastBatchId = batchId,
         updatedAtMs = System.currentTimeMillis()))
+
+      // every checkpoint write is a full icelite commit (one data +
+      // one delete file); fold them up periodically so checkpoint-table
+      // metadata and delete files stay bounded over a long-lived stream
+      batchesSinceMaintenance += 1
+      if (batchesSinceMaintenance >= MaintenanceEvery) {
+        batchesSinceMaintenance = 0
+        checkpoints.maintain()
+      }
     } finally finals.unpersist()
   }
 
@@ -153,9 +188,16 @@ object ChangeStreamSync {
 
   val ControlOps: Set[String] = Set("drop", "rename", "invalidate")
 
+  /** Compact + expire the checkpoint table every this many committed
+    * micro-batches (each batch writes one checkpoint upsert commit).
+    */
+  val MaintenanceEvery = 32
+
   /** Executor-side extended-JSON post-image → Row of the table schema.
     * The event `_id` overrides any `_id` inside the document so the
-    * upsert key is always the change-stream key.
+    * upsert key is always the change-stream key, cast to the table's
+    * `_id` type (ADVICE r1: the raw event string would corrupt tables
+    * with non-string ids).
     */
   private[sync] def parseImages(
       spark: SparkSession,
@@ -164,14 +206,14 @@ object ChangeStreamSync {
       idType: DataType): DataFrame = {
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema, lenient = true)
     val idIdx = schema.fieldIndex("_id")
-    upserts.select(col("_change_id"), col("fullDocument"))
+    upserts.select(col("_change_id").cast(idType).as("_change_id"), col("fullDocument"))
       .mapPartitions { it =>
         val mapper = new ObjectMapper()
         it.flatMap { r =>
           Option(r.getString(1)).map { json =>
             val row = DocumentConverter.toRow(mapper.readTree(json), schema)
             val values = row.toSeq.toArray
-            values(idIdx) = r.getString(0) // event key wins
+            values(idIdx) = r.get(0) // event key wins, already table-typed
             Row.fromSeq(values.toIndexedSeq)
           }
         }

@@ -48,6 +48,26 @@ final class CheckpointStore(spark: SparkSession, warehouse: String) {
     table.upsert(df, Seq("sync_id"))
   }
 
+  /** Remove a sync's checkpoint row entirely (invalidate handling: the
+    * rebuild must start from a clean slate — a stale high-water mark
+    * would silently skip documents with `_id` ≤ hwm, ADVICE r1).
+    */
+  def delete(syncId: String): Unit = {
+    val keys = spark.createDataFrame(
+      java.util.List.of(Row(syncId)),
+      StructType(Seq(StructField("sync_id", StringType, nullable = false))))
+    table.delete(keys, Seq("sync_id"))
+  }
+
+  /** Fold accumulated per-batch commits into one compacted snapshot and
+    * expire old metadata/files — keeps a long-lived stream's checkpoint
+    * table bounded (every checkpoint write is a full icelite commit).
+    */
+  def maintain(): Unit = {
+    table.compact()
+    table.expireSnapshots()
+  }
+
   /** All checkpoints as a queryable DataFrame (ops surface). */
   def all(): org.apache.spark.sql.DataFrame = { table.refresh(); table.read() }
 }

@@ -28,23 +28,35 @@ final class InitialSync(
 
   private val syncId = cfg.target.qualifiedName
 
-  /** Run (or resume) the initial sync. Returns documents copied. */
+  /** Run (or resume) the initial sync. Returns documents copied.
+    *
+    * Boundary and resume arithmetic stays in the id column's NATIVE
+    * type end-to-end: boundaries are collected untyped (`Row.get`) and
+    * pushed back as typed literals, and the checkpointed high-water
+    * mark (stored as a string for the fixed checkpoint schema) is cast
+    * back to the id type before comparing — so numeric/timestamp ids
+    * never go through lexicographic string order (ADVICE r1: a string
+    * sort of numeric ids disagrees with the numeric range filters and
+    * can skip or duplicate chunks).
+    */
   def run(source: DataFrame, idCol: String = "_id"): Long = {
+    val idType = source.schema(idCol).dataType
     val prior = checkpoints.read(syncId)
     val hwm = prior.flatMap(_.highWaterMarkId)
     var processed = prior.map(_.documentsProcessed).getOrElse(0L)
 
     val remaining = hwm match {
-      case Some(mark) => source.filter(col(idCol) > lit(mark)) // pushed-down resume (T5)
+      case Some(mark) => // pushed-down resume (T5), hwm cast to the native id type
+        source.filter(col(idCol) > lit(mark).cast(idType))
       case None => source
     }
 
     val boundaries = chunkBoundaries(remaining, idCol, cfg.batch.maxRecords)
-    var lower: Option[String] = None
+    var lower: Option[Any] = None
     for (upper <- boundaries) {
       val chunk = remaining
-        .filter(lower.map(lo => col(idCol) > lit(lo)).getOrElse(lit(true)))
-        .filter(col(idCol) <= lit(upper))
+        .filter(lower.map(lo => col(idCol) > typedLit(lo, idType)).getOrElse(lit(true)))
+        .filter(col(idCol) <= typedLit(upper, idType))
       val snapshotSeq = table.append(chunk)
       val n = table.meta.snapshots.last.recordCount
       processed += n
@@ -54,7 +66,7 @@ final class InitialSync(
         sourceDatabase = sourceDatabase,
         sourceCollection = cfg.source.collection,
         resumeToken = prior.flatMap(_.resumeToken),
-        highWaterMarkId = Some(upper),
+        highWaterMarkId = Some(upper.toString),
         documentsProcessed = processed,
         lastSnapshotId = snapshotSeq,
         lastBatchId = prior.map(_.lastBatchId).getOrElse(-1L),
@@ -66,7 +78,7 @@ final class InitialSync(
     checkpoints.write(CheckpointRecord(
       syncId, SyncState.SteadyState, sourceDatabase, cfg.source.collection,
       resumeToken = prior.flatMap(_.resumeToken),
-      highWaterMarkId = lower.orElse(hwm),
+      highWaterMarkId = lower.map(_.toString).orElse(hwm),
       documentsProcessed = processed,
       lastSnapshotId = table.meta.lastSeq,
       lastBatchId = prior.map(_.lastBatchId).getOrElse(-1L),
@@ -74,26 +86,32 @@ final class InitialSync(
     processed
   }
 
-  /** Upper-bound `_id` per chunk: range-partition the id column into
-    * ceil(count/maxRecords) ranges (distributed, sampled — no global
-    * sort, no single-partition window) and take each range's max. Only
-    * the boundary list (count/maxRecords strings) reaches the driver.
+  /** Literal of a collected boundary value, normalized through the id
+    * column's own type so the range filters compare natively.
     */
-  private def chunkBoundaries(df: DataFrame, idCol: String, maxRecords: Long): Seq[String] = {
-    import spark.implicits._
+  private def typedLit(v: Any, idType: org.apache.spark.sql.types.DataType) =
+    lit(v).cast(idType)
+
+  /** Upper-bound `_id` per chunk: range-partition the NATIVE id column
+    * into ceil(count/maxRecords) ranges (distributed, sampled — no
+    * global sort, no single-partition window), then take each range's
+    * max keyed by partition index. repartitionByRange assigns ranges in
+    * ascending partition order, so ordering by the index returns the
+    * boundaries already sorted in the id type's own order — no string
+    * casts anywhere. Only the boundary list reaches the driver.
+    */
+  private def chunkBoundaries(df: DataFrame, idCol: String, maxRecords: Long): Seq[Any] = {
     val n = df.count()
     if (n == 0) return Nil
     val chunks = math.max(1, math.ceil(n.toDouble / maxRecords).toInt)
     if (chunks == 1)
-      return Seq(df.agg(max(col(idCol))).collect().head.getString(0))
-    df.select(col(idCol).cast("string"))
+      return Seq(df.agg(max(col(idCol))).collect().head.get(0))
+    df.select(col(idCol))
       .repartitionByRange(chunks, col(idCol))
-      .mapPartitions { it =>
-        var maxId: String = null
-        it.foreach { r => val v = r.getString(0); if (maxId == null || v > maxId) maxId = v }
-        if (maxId == null) Iterator.empty else Iterator(maxId)
-      }
-      .collect().toSeq.sorted
+      .select(spark_partition_id().as("_pid"), col(idCol))
+      .groupBy(col("_pid")).agg(max(col(idCol)).as("m"))
+      .orderBy(col("_pid"))
+      .collect().map(_.get(1)).toSeq
   }
 }
 

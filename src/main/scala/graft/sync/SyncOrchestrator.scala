@@ -49,17 +49,41 @@ final class SyncOrchestrator(spark: SparkSession, config: SyncConfig, warehouse:
     val fs = new org.apache.hadoop.fs.Path(changeLogPath(c))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(changeLogPath(c)))) {
-      val q = changes.start(changeLogPath(c), streamCheckpointDir, availableNow = true)
-      q.awaitTermination()
-      if (changes.invalidated) {
-        // R7: control event ⇒ re-initial-sync from scratch
-        val fresh = readSource(c)
-        new InitialSync(spark, c, table, checkpoints, config.mongodb.database)
-          .run(DocumentSource.applyMapping(fresh, c.mapping))
+      // Drain the log; on a control event do a FULL rebuild (reference:
+      // drop/rename/invalidate ⇒ re-initial-sync): clear the checkpoint
+      // row (a stale hwm would skip _id ≤ hwm forever) and truncate the
+      // table (stale pre-drop rows must not survive), re-run initial
+      // sync against the re-read source, then replay the log tail with
+      // a fresh stream checkpoint, resuming past the control event.
+      var round = 0
+      var drained = false
+      while (!drained) {
+        val q = changes.start(changeLogPath(c), s"$streamCheckpointDir/r$round", availableNow = true)
+        q.awaitTermination()
+        if (changes.invalidated) {
+          if (round >= MaxRebuilds)
+            throw new IllegalStateException(s"$syncId: >$MaxRebuilds rebuilds in one drain")
+          val ctrlSeq = changes.invalidatedAtSeq
+          checkpoints.delete(syncId)
+          table.truncate()
+          val fresh = readSource(c)
+          new InitialSync(spark, c, table, checkpoints, config.mongodb.database)
+            .run(DocumentSource.applyMapping(fresh, c.mapping))
+          // post-rebuild resume point: pre-drop events are dead
+          ctrlSeq.foreach { s =>
+            checkpoints.read(syncId).foreach { cp =>
+              checkpoints.write(cp.copy(resumeToken = Some(s)))
+            }
+          }
+          changes.resetInvalidated()
+          round += 1
+        } else drained = true
       }
     }
     table
   }
+
+  private val MaxRebuilds = 100
 
   def syncAll(streamCheckpointRoot: String): Map[String, IceliteTable] =
     config.sync.collections.map { c =>

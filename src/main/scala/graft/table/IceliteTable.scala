@@ -209,7 +209,18 @@ final class IceliteTable private (
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong).sorted
     versions.dropRight(keepVersions).foreach { v =>
       fs.delete(new Path(s"$location/metadata/${versionFile(v)}"), false)
+      fs.delete(new Path(s"$location/metadata/${versionFile(v)}.claim"), false)
     }
+  }
+
+  /** Truncate: drop every live data/delete file in one rewrite snapshot
+    * (reference invalidate handling: full rebuild starts from an empty
+    * table — docs/design.md "Trigger full index rebuild" via
+    * mongot-research). Old files are reclaimed by [[expireSnapshots]].
+    */
+  def truncate(): Long = retryCommit { head =>
+    val seq = head.lastSeq + 1
+    (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "truncate", Nil, Nil, 0L)), seq)
   }
 
   /** Metadata-only schema evolution (reference S7 / design "schema
@@ -236,6 +247,16 @@ final class IceliteTable private (
   /** Optimistic commit loop: apply `body` to the freshly-loaded head,
     * try to atomically publish the next version; on collision re-read
     * and retry (reference: Iceberg optimistic commit with retry).
+    *
+    * Commit safety on overwriting renames: POSIX rename (Hadoop local
+    * fs) silently REPLACES an existing destination, so a bare
+    * `!exists(dst) && rename(...)` can lose a racing commit (both pass
+    * the exists check, the later rename clobbers the earlier version).
+    * Publication is therefore gated on an exclusive-create CLAIM file
+    * per version (`vN.json.claim`, O_EXCL on local paths): exactly one
+    * committer wins the claim and renames; losers re-read the new head
+    * and retry, like an Iceberg CAS failure. A read-back verify guards
+    * any filesystem whose exclusive create is advisory.
     */
   private def retryCommit(body: TableMeta => (TableMeta, Long)): Long = {
     val fs = fileSystem()
@@ -244,19 +265,44 @@ final class IceliteTable private (
       val (head, headVersion) = loadHead(fs, location)
       val (next, seq) = body(head)
       val nextVersion = headVersion + 1
-      val tmp = new Path(s"$location/metadata/.v$nextVersion-${UUID.randomUUID()}.tmp")
       val dst = new Path(s"$location/metadata/${versionFile(nextVersion)}")
-      writeString(fs, tmp, TableMeta.toJson(next))
-      if (!fs.exists(dst) && fs.rename(tmp, dst)) {
-        cachedMeta = next
-        return seq
+      val claim = new Path(s"$location/metadata/${versionFile(nextVersion)}.claim")
+      val payload = TableMeta.toJson(next)
+      if (!fs.exists(dst) && tryExclusiveCreate(fs, claim)) {
+        val tmp = new Path(s"$location/metadata/.v$nextVersion-${UUID.randomUUID()}.tmp")
+        writeString(fs, tmp, payload)
+        if (fs.rename(tmp, dst) && readString(fs, dst) == payload) {
+          cachedMeta = next
+          return seq
+        }
+        fs.delete(tmp, false)
       }
-      fs.delete(tmp, false)
       attempts += 1
       if (attempts > 20)
         throw new IllegalStateException(s"commit conflict on $name after $attempts attempts")
     }
     -1L // unreachable
+  }
+
+  /** Atomic create-if-absent: O_EXCL via java.nio for local paths (the
+    * Hadoop local fs maps create(overwrite=false) to a non-atomic
+    * exists-then-create), Hadoop's exclusive create elsewhere.
+    */
+  private def tryExclusiveCreate(fs: FileSystem, p: Path): Boolean = {
+    val uri = p.toUri
+    try {
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
+        true
+      } else {
+        fs.create(p, false).close()
+        true
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException => false // treated as lost race; bounded by the retry cap
+    }
   }
 
   def refresh(): TableMeta = {

@@ -141,6 +141,49 @@ class SyncPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(table.read().groupBy("_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("drop/recreate: rebuild truncates stale rows, resets hwm, applies post-drop events") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    val c = cfg.sync.collections.head
+    // phase 1: initial collection synced to steady state
+    writeFixture(root, "shop", "orders", (1 to 4).map(i => doc(i, s"$i.00", "gold")))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    orch.syncCollection(c, Files.createTempDirectory("ck1").toString)
+    // phase 2: collection dropped and recreated with NEW docs (ids 101+),
+    // plus a post-drop insert arriving via the change stream
+    writeFixture(root, "shop", "orders", (101 to 103).map(i => doc(i, s"$i.00", "silver")))
+    writeChanges(root, "shop", "orders", "b0", Seq(
+      """{"seq":1,"op":"drop","_id":null,"fullDocument":null,"clusterTime":"2024-02-01T00:00:00.000Z"}""",
+      s"""{"seq":2,"op":"insert","_id":"${oid(104)}","fullDocument":${jstr(doc(104, "104.00", "silver"))},"clusterTime":"2024-02-01T00:00:01.000Z"}"""))
+    val table = orch.syncCollection(c, Files.createTempDirectory("ck2").toString)
+    val ids = table.read().orderBy("_id").collect().map(_.getString(0)).toSeq
+    // pre-drop rows are gone (truncate), recreated docs + post-drop insert present
+    assert(ids == Seq(oid(101), oid(102), oid(103), oid(104)))
+    assert(table.read().groupBy("_id").count().filter(col("count") > 1).count() == 0)
+    val cp = orch.checkpoints.read("analytics.orders").get
+    assert(cp.resumeToken.contains(2L)) // past the post-drop insert
+    assert(cp.documentsProcessed == 4)  // 3 rebuilt + 1 streamed
+  }
+
+  test("initial sync with numeric ids: chunk boundaries stay in native order (no string sort)") {
+    import graft.table.IceliteTable
+    val wh = Files.createTempDirectory("sync-wh").toString
+    // ids 1..25 with small chunks: lexicographic boundary order ("14" < "2"
+    // < "25" < "9") would duplicate ids 3..14 and mis-split ranges
+    val src = spark.range(1, 26).toDF("_id")
+      .withColumn("v", concat(lit("v"), col("_id")))
+    val table = IceliteTable.create(spark, wh, "t", "num", src.schema)
+    val ckpts = new CheckpointStore(spark, wh)
+    val c = CollectionSyncConfig(SourceConfig("num"), TargetConfig("t", "num"),
+      batch = BatchConfig(maxRecords = 7, maxBytes = 1 << 20, flushIntervalSeconds = 1))
+    val n = new InitialSync(spark, c, table, ckpts, "db").run(src)
+    assert(n == 25)
+    assert(table.read().count() == 25)
+    assert(table.read().groupBy("_id").count().filter(col("count") > 1).count() == 0)
+    assert(table.meta.snapshots.count(_.operation == "append") >= 4)
+  }
+
   test("state machine decision table + backoff curve") {
     import SyncStateMachine._
     assert(decideStart(None) == InitialSyncPhase)
