@@ -31,16 +31,25 @@ object Similarity {
   val NumQueries = 5 // vec_id < 5 are the query vectors
   val Planes = 12
 
-  /** Deterministic ±1 hyperplane component for (plane j, dim i):
-    * sign of a portable hash bit — identical construction in both
-    * engines, no RNG.
-    */
-  private def planeSign(j: Int, i: Column): Column =
-    when(pmod(conv(substring(md5(concat(lit(s"p$j" + "_"), i.cast("string"))), 1, 8), 16, 10)
-      .cast("long"), lit(2)) === 1, lit(1)).otherwise(lit(-1))
-
   private def planeSignSql(j: Int, iExpr: String): String =
     s"CASE WHEN ${phashSql(s"concat('p${j}_', CAST($iExpr AS VARCHAR))")} % 2 = 1 THEN 1 ELSE -1 END"
+
+  /** Deterministic ±1 hyperplane matrix [plane][dim], dims 1-based:
+    * sign of a portable md5 hash bit of "p{j}_{i}" — the exact value
+    * the oracle's [[planeSignSql]] computes per row, but evaluated
+    * ONCE on the driver and shipped as literal arrays (the per-row
+    * md5-per-plane-per-dim formulation cost rows × 12 × 64 md5 calls).
+    */
+  private[operators] lazy val planeSigns: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until Planes).map { j =>
+      (1 to 64).map { i =>
+        val digest = md.digest(s"p${j}_$i".getBytes("UTF-8"))
+        val hex = digest.take(4).map(b => f"$b%02x").mkString // first 8 hex chars
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 1.0 else -1.0
+      }
+    }
+  }
 
   // ------------------------------------------------- brute-force top-k
 
@@ -49,11 +58,21 @@ object Similarity {
     * over k·|queries| candidate rows after a per-partition scan.
     */
   def topkBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecExpressions.floatDot
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), decimalNormSq(col("embedding")).as("nsq"))
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
-    val scored = e.filter(col("vec_id") >= NumQueries).crossJoin(broadcast(queries))
+    // two-phase: native-codegen double scoring of the full corpus, keep
+    // a generous top-(K+40) per query, exact-decimal rescore only those
+    // (double vs decimal scores differ < 1e-12 — far inside the margin)
+    val fast = e.filter(col("vec_id") >= NumQueries).crossJoin(broadcast(queries))
+      .withColumn("fcos",
+        floatDot(col("q_emb"), col("embedding")) / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
+    val wf = Window.partitionBy(col("q_id")).orderBy(desc("fcos"), asc("vec_id"))
+    val candidates = fast.withColumn("frank", row_number().over(wf))
+      .filter(col("frank") <= K + 40)
+    val scored = candidates
       .select(col("q_id"), col("vec_id"),
         round(decimalDot(col("q_emb"), col("embedding")) /
           (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cosine"))
@@ -103,12 +122,16 @@ object Similarity {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), decimalNormSq(col("embedding")).as("nsq"))
 
-    // signature: bit j = [dot(v, plane_j) > 0], planes built per-dim
+    // signature: bit j = [dot(v, plane_j) > 0]; planes are literal ±1
+    // arrays (driver-precomputed, same md5 construction as the oracle),
+    // projection stays exact-decimal so the sign decision is
+    // bit-identical to the oracle's decimal sum
     def signature(emb: Column): Column = {
       val bits = (0 until Planes).map { j =>
+        val signs = typedLit(planeSigns(j))
         val proj = aggregate(
-          zip_with(emb, sequence(lit(1), lit(64)),
-            (v, i) => (v.cast("double") * planeSign(j, i)).cast("decimal(38,20)")),
+          zip_with(emb, signs,
+            (v, s) => (v.cast("double") * s).cast("decimal(38,20)")),
           lit(0).cast("decimal(38,20)"), (acc, v) => (acc + v).cast("decimal(38,20)"))
         when(proj > 0, lit(1L << j)).otherwise(lit(0L))
       }
