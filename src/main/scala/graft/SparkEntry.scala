@@ -17,7 +17,8 @@ object SparkEntry {
 
   /** All registered engine queries, one per implemented operator. */
   def registry: Seq[GraftQuery] =
-    Relational.all ++ Dedup.all ++ Similarity.all ++ TextAnalysis.all
+    Relational.all ++ Dedup.all ++ Similarity.all ++ TextAnalysis.all ++
+      graft.streaming.EventStreams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,227 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.GraftQuery
+import graft.operators.Relational.dsum
+
+/** Structured Streaming surface over the `events` table (SURVEY §2.4
+  * streaming rows; reference S2/R5 change-stream family): event-time
+  * tumbling-window aggregation with a watermark, and gap-based
+  * sessionization — the stateful-processing shapes a training-data
+  * pipeline needs beyond the CDC sync itself.
+  *
+  * The `events.parquet` fixture stands in for the event stream the
+  * same way the change-log fixtures stand in for MongoDB change
+  * streams (SURVEY §7.0): `readStream` consumes it through the file
+  * source with `Trigger.AvailableNow`, so the plan/state machinery is
+  * the real streaming path, deterministically drained for the oracle.
+  */
+object EventStreams {
+
+  /** 30-minute inactivity gap closes a session (microseconds). */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  private val memCounter = new AtomicInteger()
+
+  /** Events with `ts` decoded from parquet nanos (see
+    * [[graft.Tables.events]]) as a STREAMING DataFrame.
+    */
+  def readEventStream(
+      spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema // ts arrives as long nanos
+    // the streaming file source requires a DIRECTORY base path; when
+    // events.parquet is a single file (the driver fixture layout),
+    // stream its parent dir scoped down with a glob filter
+    val isFile = java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path))
+    val (base, globFilter) = if (isFile) (dir, "events.parquet") else (path, "*.parquet")
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", globFilter)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
+      .parquet(base)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour event-time windows per event_type, with a 1-hour
+    * watermark bounding state (reference R5's flush-interval analog in
+    * event time). Runs the real streaming plan (AvailableNow into a
+    * memory sink, complete mode) and returns the drained result.
+    *
+    * Scale: streaming hash-agg keyed by (window, event_type) —
+    * partial aggregation per micro-batch, state bounded by live
+    * windows via the watermark, not by stream length. The memory-sink
+    * drain is the harness adapter; a deployment writes the same plan
+    * append-mode into a table as windows finalize.
+    */
+  def windowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
+    val sink = s"graft_stream_window_${memCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  private val windowCountsOracle =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ------------------------------------------------------ sessionization
+
+  case class SessionEvent(user_id: Long, event_id: Long, tsUs: Long)
+
+  /** One closed session (times in epoch micros; converted to
+    * timestamps only at the DataFrame boundary so no precision is
+    * lost round-tripping through java.sql.Timestamp).
+    */
+  case class Session(
+      user_id: Long, session_id: Int, startUs: Long, endUs: Long, n_events: Long)
+
+  /** Pure sessionizer: split a user's events on > gap inactivity.
+    * Shared by the batch query and the streaming state handler.
+    */
+  private[streaming] def toSessions(
+      userId: Long, events: Iterator[SessionEvent], firstId: Int = 1): Seq[Session] = {
+    val sorted = events.toIndexedSeq.sortBy(e => (e.tsUs, e.event_id))
+    if (sorted.isEmpty) Seq.empty
+    else {
+      val out = Seq.newBuilder[Session]
+      var sid = firstId
+      var start = sorted.head.tsUs
+      var end = start
+      var n = 0L
+      sorted.foreach { e =>
+        if (e.tsUs - end > SessionGapUs) {
+          out += Session(userId, sid, start, end, n)
+          sid += 1; start = e.tsUs; n = 0L
+        }
+        end = e.tsUs; n += 1
+      }
+      out += Session(userId, sid, start, end, n)
+      out.result()
+    }
+  }
+
+  /** Gap-based sessionization per user via the typed
+    * `KeyValueGroupedDataset` API (`groupByKey` + `flatMapGroups`) —
+    * the batch twin of [[sessionizeStream]], oracle-checkable as a
+    * gaps-and-islands SQL. One shuffle on user_id; per-group work is
+    * bounded by a user's event count, never the stream length.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsUs"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroups((uid: Long, it: Iterator[SessionEvent]) => toSessions(uid, it).iterator)
+      .toDF()
+      .select(col("user_id"), col("session_id"),
+        timestamp_micros(col("startUs")).as("session_start"),
+        timestamp_micros(col("endUs")).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val sessionizeOracle =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+      |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+      |  CAST(max(ts) AS TIMESTAMP) AS session_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin
+
+  // ------------------------------------------- streaming sessionization
+
+  /** Streaming per-user state: events of still-open sessions plus how
+    * many sessions this user has already emitted (so session numbering
+    * stays stable across micro-batches).
+    */
+  case class StreamState(pending: List[SessionEvent], emitted: Int)
+
+  /** True streaming sessionization: `flatMapGroupsWithState` with an
+    * event-time timeout — the reference's "custom state" row (SURVEY
+    * §2.4). On every invocation (new data OR timeout) the handler
+    * sessionizes its buffered events, emits every session closed by
+    * the current watermark, keeps open sessions in state, and arms a
+    * timeout at last-event + gap. State per user is bounded by the
+    * open session's events. Exercised by the streaming spec rather
+    * than the oracle gate: emission timing depends on micro-batch
+    * watermark advancement (the drained-log equivalent with identical
+    * session math is [[sessionize]]).
+    */
+  def sessionizeStream(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[Session] = {
+    import spark.implicits._
+    implicit val stateEnc: Encoder[StreamState] = Encoders.kryo[StreamState]
+    readEventStream(spark, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 hour")
+      // keep the watermarked `ts` column projected through to the
+      // stateful operator — dropping it severs the watermark and
+      // event-time timeouts are rejected
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsUs"), col("ts"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreamState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[StreamState]) =>
+          val prior = state.getOption.getOrElse(StreamState(Nil, 0))
+          val buffered = prior.pending ++ rows
+          if (buffered.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val sessions = toSessions(uid, buffered.iterator, firstId = prior.emitted + 1)
+            val (closed, open) = sessions.partition(_.endUs + SessionGapUs < wmUs)
+            val keep = buffered.filter(e => open.exists(s => e.tsUs >= s.startUs && e.tsUs <= s.endUs))
+            if (keep.isEmpty) state.remove()
+            else {
+              state.update(StreamState(keep, prior.emitted + closed.size))
+              // fire when the EARLIEST open session can close (its end +
+              // gap passes the watermark) — arming at the latest event
+              // would sit on closable sessions until new data arrives
+              val timeoutMs = (open.map(_.endUs).min + SessionGapUs) / 1000
+              state.setTimeoutTimestamp(math.max(timeoutMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("stream_window_counts", windowCounts _, Some(windowCountsOracle),
+      "streaming tumbling 1h window agg with watermark (AvailableNow drain)"),
+    GraftQuery("sessionize_events", sessionize _, Some(sessionizeOracle),
+      "gap-based sessionization via typed groupByKey/flatMapGroups"))
+}
