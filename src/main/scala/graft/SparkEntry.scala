@@ -17,7 +17,8 @@ object SparkEntry {
 
   /** All registered engine queries, one per implemented operator. */
   def registry: Seq[GraftQuery] =
-    Relational.all ++ Dedup.all ++ Similarity.all ++ TextAnalysis.all ++
+    Relational.all ++ RelationalExt.all ++ Temporal.all ++ Dedup.all ++
+      Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
       graft.streaming.EventStreams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables.t
+import Relational.dsum
+
+/** Second tranche of the classic relational checklist (SURVEY §2.4):
+  * GROUPING SETS, pivot, array-function and math-function surfaces.
+  * Cross-engine rules are the same as [[Relational]]: decimal-exact
+  * fp aggregation, total ordering, aligned integer widths, and only
+  * IEEE-deterministic scalar math (no libm-dependent exp/ln whose
+  * last-bit behavior differs between engines).
+  */
+object RelationalExt {
+
+  // ------------------------------------------------------ grouping sets
+  /** Explicit GROUPING SETS — the general form of cube/rollup (SURVEY
+    * "Grouping sets" row); per-status, per-priority and grand-total
+    * groups in one pass over orders (Spark expands to a single Expand +
+    * hash-agg, no extra scans).
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsOracle =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------- pivot
+  /** Relational pivot via the DataFrame `pivot` API with explicit pivot
+    * values (explicit values keep the plan one-pass; omitting them
+    * costs a distinct-collect planning pass — never do that at scale).
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice"), 2))
+      .select(col("o_orderpriority"),
+        col("F").as("rev_f"), col("O").as("rev_o"), col("P").as("rev_p"))
+      .orderBy("o_orderpriority")
+
+  private val pivotAggOracle =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(27,2)) END) AS DOUBLE) AS rev_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(27,2)) END) AS DOUBLE) AS rev_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(27,2)) END) AS DOUBLE) AS rev_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------- array funcs
+  /** Array-function surface (SURVEY "Array functions" row) over the
+    * tokenized documents: size, distinct size, membership, sorted
+    * slice, join — all codegen'd array primitives, no HOF lambdas.
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        array_contains(words, "the").as("has_the"),
+        array_join(slice(sort_array(words), 1, 3), "-").as("first3_sorted"),
+        element_at(words, 1).as("head_word"),
+        element_at(words, -1).as("last_word"))
+      .orderBy("doc_id")
+  }
+
+  private val arrayFuncsOracle =
+    """SELECT doc_id,
+      |  CAST(len(w) AS INTEGER) AS n_words,
+      |  CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
+      |  list_contains(w, 'the') AS has_the,
+      |  array_to_string(list_sort(w)[1:3], '-') AS first3_sorted,
+      |  w[1] AS head_word,
+      |  w[-1] AS last_word
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- math funcs
+  /** Math-function surface (SURVEY "Math functions" row), restricted to
+    * IEEE-754-exact operations (abs/ceil/floor/sqrt/mod/greatest) so
+    * results are bit-identical across engines — transcendentals (exp,
+    * ln, pow) are libm-dependent and excluded from the oracle-gated
+    * surface by design.
+    */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - 30000.0).as("abs_dev"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        (col("l_discount") * col("l_discount")).as("disc_sq"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+        least(col("l_tax"), col("l_discount")).as("l"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val mathFuncsOracle =
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_extendedprice - 30000.0) AS abs_dev,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      |  sqrt(l_quantity) AS qty_sqrt,
+      |  l_discount * l_discount AS disc_sq,
+      |  l_orderkey % 7 AS key_mod7,
+      |  greatest(l_quantity, l_discount * 100) AS g,
+      |  least(l_tax, l_discount) AS l
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("grouping_sets", groupingSets _, Some(groupingSetsOracle),
+      "explicit GROUPING SETS via SQL surface"),
+    GraftQuery("pivot_agg", pivotAgg _, Some(pivotAggOracle),
+      "DataFrame pivot with explicit values"),
+    GraftQuery("array_funcs", arrayFuncs _, Some(arrayFuncsOracle),
+      "array function surface over tokenized documents"),
+    GraftQuery("math_funcs", mathFuncs _, Some(mathFuncsOracle),
+      "IEEE-exact math function surface"))
+}

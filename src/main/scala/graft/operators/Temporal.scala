@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables.t
+
+/** Temporal join operators (SURVEY §2.4 "Joins: theta/range/as-of" —
+  * EXT surface): as-of join and bounded interval self-join, each
+  * expressed in the shape that survives 100 TB rather than as a naive
+  * theta-join.
+  */
+object Temporal {
+
+  /** Interval-join window: 5 minutes in microseconds. */
+  val RangeWindowUs: Long = 5L * 60 * 1000 * 1000
+
+  // ------------------------------------------------------------ as-of
+
+  /** As-of join: for every purchase event, the most recent view event
+    * of the same user at-or-before the purchase (DuckDB `ASOF JOIN`
+    * semantics). Spark-first shape: UNION the two event kinds, one
+    * window pass per user ordered by (ts, kind) taking the running max
+    * of the view timestamp — a single shuffle on the join key, never a
+    * per-row backward probe, and no interval explosion. The running
+    * max IS the as-of match because event time is monotone within the
+    * window frame.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    // kind 0 sorts before kind 1 at equal ts, so a view at exactly the
+    // purchase timestamp is matched (ASOF's >= bound)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        lit(0).as("kind"), unix_micros(col("ts")).as("view_us"),
+        lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        lit(1).as("kind"), lit(null).cast("long").as("view_us"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(asc("us"), asc("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("last_view_us", max(col("view_us")).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("purchase_ts"),
+        timestamp_micros(col("last_view_us")).as("last_view_ts"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val asofJoinOracle =
+    """SELECT p.user_id, p.event_id,
+      |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |  CAST(v.ts AS TIMESTAMP) AS last_view_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, max(ts) AS ts FROM events
+      |                WHERE event_type = 'view' GROUP BY user_id, ts) v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
+  // ------------------------------------------------------- range join
+
+  /** Bounded interval self-join: ordered event pairs of the same user
+    * at most 5 minutes apart. Spark-first shape: each left row is
+    * tagged into its own and the next 5-minute time bucket, the join
+    * runs as an EQUI-join on (user_id, bucket) and the exact range
+    * predicate filters inside the bucket — candidate volume is bounded
+    * by per-(user, bucket) density, not |events|² (the naive theta join
+    * Spark would otherwise execute as a broadcast nested loop).
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val left = e.withColumn("bkt",
+      explode(array(floor(col("us") / RangeWindowUs),
+        floor(col("us") / RangeWindowUs) + 1)))
+    val right = e.withColumn("bkt", floor(col("us") / RangeWindowUs))
+    left.as("a").join(right.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.bkt") === col("b.bkt") &&
+          (col("b.us") - col("a.us")).between(0, RangeWindowUs) &&
+          (col("a.us") < col("b.us") ||
+            (col("a.us") === col("b.us") && col("a.event_id") < col("b.event_id"))))
+      .select(col("a.user_id").as("user_id"),
+        col("a.event_id").as("first_id"), col("b.event_id").as("second_id"),
+        (col("b.us") - col("a.us")).as("gap_us"))
+      .orderBy("user_id", "first_id", "second_id")
+  }
+
+  private val rangeJoinOracle =
+    s"""SELECT a.user_id, a.event_id AS first_id, b.event_id AS second_id,
+       |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+       |FROM events a JOIN events b
+       |  ON a.user_id = b.user_id
+       |  AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND $RangeWindowUs
+       |  AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+       |ORDER BY a.user_id, first_id, second_id""".stripMargin
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("asof_join", asofJoin _, Some(asofJoinOracle),
+      "as-of join via union + running-max window (single shuffle)"),
+    GraftQuery("range_join", rangeJoin _, Some(rangeJoinOracle),
+      "bounded interval self-join via time-bucket equi-join"))
+}
