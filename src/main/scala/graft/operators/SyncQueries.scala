@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables.t
+import graft.config._
+import graft.sync.{ChangeStreamSync, CheckpointStore, InitialSync}
+import graft.table.IceliteTable
+
+/** The CDC sync pipeline itself as an oracle-gated query: chunked
+  * initial sync of the orders table into an icelite table, a change
+  * batch of updates + deletes applied through the streaming batch
+  * handler (equality-delete + data file in one commit), then the
+  * Merge-on-Read view aggregated. This is SURVEY §7.2's "minimum
+  * end-to-end slice" as a standing correctness gate: S1/S4/S5/S7/S9,
+  * R1-R6 all execute against real table data, and DuckDB recomputes
+  * the expected final state relationally.
+  */
+object SyncQueries {
+
+  /** Orders rows with the sync key (`_id` = zero-padded orderkey). */
+  private def sourceOf(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("_id", format_string("%012d", col("o_orderkey")))
+
+  def syncPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft-sync-query").toString
+    val cfg = CollectionSyncConfig(
+      SourceConfig("orders"), TargetConfig("analytics", "orders_sync"),
+      batch = BatchConfig(maxRecords = 25000, maxBytes = 128L << 20, flushIntervalSeconds = 60))
+    val src = sourceOf(spark, dir)
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_sync", src.schema)
+    val ckpts = new CheckpointStore(spark, wh)
+
+    // 1. chunked, checkpointed initial sync (reference S1/T5/R9)
+    new InitialSync(spark, cfg, table, ckpts, "shop").run(src)
+
+    // 2. change batch through the streaming handler (reference R1/R2):
+    //    orderkey % 97 == 0 → update (+1000.00), % 101 == 0 → delete;
+    //    seq = orderkey (unique total order within the batch)
+    val updates = src
+      .filter(pmod(col("o_orderkey"), lit(97)) === 0 && pmod(col("o_orderkey"), lit(101)) =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .select(col("o_orderkey").as("seq"), lit("update").as("op"), col("_id"),
+        to_json(struct(src.columns.map(col).toSeq: _*)).as("fullDocument"),
+        lit(null).cast("timestamp").as("clusterTime"))
+    val deletes = src.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .select(col("o_orderkey").as("seq"), lit("delete").as("op"), col("_id"),
+        lit(null).cast("string").as("fullDocument"),
+        lit(null).cast("timestamp").as("clusterTime"))
+    val batch = updates.unionByName(deletes)
+      .select(ChangeStreamSync.EventSchema.fieldNames.map(col).toSeq: _*)
+    new ChangeStreamSync(spark, cfg, table, ckpts, "shop").processBatch(batch, batchId = 0)
+
+    // 3. Merge-on-Read final state (reference R3), aggregated
+    table.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Relational.dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val syncPipelineOracle =
+    """WITH final AS (
+      |  SELECT o_orderstatus,
+      |    CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0
+      |         THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 101 <> 0)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(price AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+      |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("sync_pipeline", syncPipeline _, Some(syncPipelineOracle),
+      "end-to-end CDC sync: initial sync + change batch + MoR view"))
+}
