@@ -29,9 +29,10 @@ object SyncQueries {
 
   def syncPipeline(spark: SparkSession, dir: String): DataFrame = {
     val wh = Files.createTempDirectory("graft-sync-query").toString
+    // reference-default batch thresholds (50k records / 128 MB / 60 s)
+    // → 3 checkpointed chunks at sf0.1, 1 at sf0.01
     val cfg = CollectionSyncConfig(
-      SourceConfig("orders"), TargetConfig("analytics", "orders_sync"),
-      batch = BatchConfig(maxRecords = 25000, maxBytes = 128L << 20, flushIntervalSeconds = 60))
+      SourceConfig("orders"), TargetConfig("analytics", "orders_sync"))
     val src = sourceOf(spark, dir)
     val table = IceliteTable.create(spark, wh, "analytics", "orders_sync", src.schema)
     val ckpts = new CheckpointStore(spark, wh)

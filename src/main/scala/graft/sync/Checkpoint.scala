@@ -45,7 +45,8 @@ final class CheckpointStore(spark: SparkSession, warehouse: String) {
   def write(rec: CheckpointRecord): Unit = {
     val df = spark.createDataFrame(
       java.util.List.of(toRow(rec)), Schema)
-    table.upsert(df, Seq("sync_id"))
+    // single row per sync_id by construction → skip the dedup shuffle
+    table.upsertPrepared(df, Seq("sync_id"))
   }
 
   /** Remove a sync's checkpoint row entirely (invalidate handling: the

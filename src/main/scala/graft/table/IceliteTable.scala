@@ -63,6 +63,15 @@ final class IceliteTable private (
       keyCols = keyCols, operation = "upsert")
   }
 
+  /** Upsert of a batch the caller guarantees is already one-row-per-key
+    * (e.g. the checkpoint store's single-row writes): skips the LWW
+    * dedup shuffle of [[upsert]] and goes straight to the
+    * delete+append commit.
+    */
+  def upsertPrepared(df: DataFrame, keyCols: Seq[String]): Long =
+    commitWrite(df, deleteKeys = Some(df.select(keyCols.map(col): _*)),
+      keyCols = keyCols, operation = "upsert")
+
   /** Delete by key (reference R2): equality-delete file only. */
   def delete(keys: DataFrame, keyCols: Seq[String]): Long =
     commitWrite(null, deleteKeys = Some(keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)),
@@ -100,8 +109,10 @@ final class IceliteTable private (
       if (partCols.nonEmpty)
         finalDf = finalDf.repartition(partCols.map(p => col(p._1)): _*)
       finalDf.write.mode("errorifexists").parquet(out)
-      // row count from footer stats of what was actually written
-      (listParquet(out), spark.read.parquet(out).count())
+      // row count from the footers of what was actually written — a
+      // driver-side metadata read, not a second scan of the data
+      val files = listParquet(out)
+      (files, files.map(footerRowCount).sum)
     } else (Seq.empty[String], 0L)
     val deleteFiles = deleteKeys match {
       case Some(keys) =>
@@ -327,6 +338,14 @@ final class IceliteTable private (
         out += f.getPath.toUri.getPath.stripPrefix(new Path(location).toUri.getPath).stripPrefix("/")
     }
     out.result()
+  }
+
+  /** Total row count of one parquet file from its footer metadata. */
+  private def footerRowCount(rel: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(abs(rel)), spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
   }
 
   private def estimateBytes(df: DataFrame): Long = {
