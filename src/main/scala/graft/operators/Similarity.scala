@@ -205,11 +205,137 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------- IVF cells
+
+  /** Cells a query probes (of the 10 label-derived centroids). */
+  val IvfProbes = 2
+
+  /** IVF-style ANN: the corpus is assigned once to its nearest
+    * centroid cell; each query probes its [[IvfProbes]] best cells and
+    * exact-re-ranks only those candidates (top-5).
+    *
+    * Centroids are the per-label exact-decimal SUM vectors — cosine is
+    * scale-invariant, so the sum acts as the mean without a division
+    * (decimal division semantics differ across engines; sums are
+    * bit-exact). Assignment and probing order use the same
+    * decimal-accumulated cosine as every other score here, with a
+    * label-ascending tiebreak, so the oracle reproduces cell
+    * membership exactly.
+    *
+    * Scale: centroid build is one groupBy over the corpus; assignment
+    * is a broadcast of K centroids against a linear scan; the query
+    * join touches IvfProbes/K of the corpus — the standard IVF
+    * recall/cost dial.
+    */
+  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val Dec = "decimal(38,20)"
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        decimalNormSq(col("embedding")).as("nsq"))
+
+    // centroid[i] = exact decimal sum of component i over the label's
+    // vectors, surfaced as double (deterministic one-shot conversion)
+    val cents = t(spark, dir, "embeddings")
+      .groupBy(col("label")).agg(collect_list(col("embedding")).as("vecs"))
+      .select(col("label").as("c_label"),
+        transform(sequence(lit(1), lit(64)), i =>
+          aggregate(col("vecs"), lit(0).cast(Dec),
+            (acc, v) => (acc + element_at(v, i).cast("double").cast(Dec)).cast(Dec))
+            .cast("double")).as("cvec"))
+    val centsN = cents.withColumn("c_nsq", decimalNormSq(col("cvec")))
+
+    // nearest cells by exact-decimal cosine, label-ascending tiebreak
+    def cellRanked(vecs: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("cell_cos"), asc("c_label"))
+      vecs.crossJoin(broadcast(centsN))
+        .withColumn("cell_cos",
+          decimalDot(col("embedding"), col("cvec")) / (sqrt(col("nsq")) * sqrt(col("c_nsq"))))
+        .withColumn("cell_rank", row_number().over(w))
+    }
+
+    val corpus = cellRanked(e.filter(col("vec_id") >= NumQueries))
+      .filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nsq"), col("c_label").as("cell"))
+    val probes = cellRanked(e.filter(col("vec_id") < NumQueries))
+      .filter(col("cell_rank") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nsq").as("q_nsq"), col("c_label").as("cell"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    probes.join(corpus, "cell")
+      .select(col("q_id"), col("vec_id"),
+        round(decimalDot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val topkIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |elems AS (
+       |  SELECT vec_id, label, embedding[i] AS val, i FROM e,
+       |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+       |norms AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS nsq
+       |  FROM elems GROUP BY vec_id),
+       |celems AS (
+       |  SELECT label AS c_label, i,
+       |    CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS cval
+       |  FROM elems GROUP BY label, i),
+       |cnorms AS (
+       |  SELECT c_label,
+       |    CAST(sum(CAST(cval * cval AS DECIMAL(38,20))) AS DOUBLE) AS c_nsq
+       |  FROM celems GROUP BY c_label),
+       |cellcos AS (
+       |  SELECT ev.vec_id, ce.c_label,
+       |    CAST(sum(CAST(CAST(ev.val AS DOUBLE) * ce.cval AS DECIMAL(38,20))) AS DOUBLE)
+       |      / (sqrt(any_value(n.nsq)) * sqrt(any_value(cn.c_nsq))) AS cell_cos
+       |  FROM elems ev
+       |  JOIN celems ce ON ev.i = ce.i
+       |  JOIN norms n ON n.vec_id = ev.vec_id
+       |  JOIN cnorms cn ON cn.c_label = ce.c_label
+       |  GROUP BY ev.vec_id, ce.c_label),
+       |ranked_cells AS (
+       |  SELECT vec_id, c_label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, c_label) AS cell_rank
+       |  FROM cellcos),
+       |corpus AS (
+       |  SELECT vec_id, c_label AS cell FROM ranked_cells
+       |  WHERE cell_rank = 1 AND vec_id >= $NumQueries),
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_label AS cell FROM ranked_cells
+       |  WHERE cell_rank <= $IvfProbes AND vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id FROM probes p JOIN corpus c USING (cell)),
+       |dots AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    CAST(sum(CAST(CAST(eq.val AS DOUBLE) * CAST(ec.val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM cand
+       |  JOIN elems eq ON eq.vec_id = cand.q_id
+       |  JOIN elems ec ON ec.vec_id = cand.vec_id AND ec.i = eq.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.q_id, d.vec_id,
+       |    round(d.dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 12) AS cosine
+       |  FROM dots d JOIN norms nq ON d.q_id = nq.vec_id
+       |  JOIN norms nc ON d.vec_id = nc.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceOracle),
       "exact cosine top-10 per query vector (broadcast scan)"),
     GraftQuery("sim_topk_lsh", topkLsh _, Some(topkLshOracle),
-      "sign-LSH bucketed ANN with Hamming-1 probing + exact re-rank"))
+      "sign-LSH bucketed ANN with Hamming-1 probing + exact re-rank"),
+    GraftQuery("sim_topk_ivf", topkIvf _, Some(topkIvfOracle),
+      "IVF-cell ANN: decimal-sum centroids, 2-cell probe, exact re-rank"))
 }
