@@ -40,7 +40,8 @@ final class ChangeStreamSync(
     cfg: CollectionSyncConfig,
     table: IceliteTable,
     checkpoints: CheckpointStore,
-    sourceDatabase: String) {
+    sourceDatabase: String,
+    metrics: SyncMetrics = SyncMetrics.global) {
 
   import ChangeStreamSync._
 
@@ -139,7 +140,10 @@ final class ChangeStreamSync(
       // anti-join compares natively (ADVICE r1: string event keys vs
       // numeric table ids would never match)
       val deleteKeys = finals.select(col("_id").cast(idType).as("_id")).dropDuplicates("_id")
+      val t0 = System.currentTimeMillis()
       evolved.applyChanges(images, deleteKeys, Seq("_id"))
+      metrics.recordCommit(syncId, System.currentTimeMillis() - t0)
+      metrics.recordChangeEvents(syncId, nFinal)
 
       checkpoints.write(CheckpointRecord(
         syncId, SyncState.SteadyState, sourceDatabase, cfg.source.collection,

@@ -24,7 +24,8 @@ final class InitialSync(
     cfg: CollectionSyncConfig,
     table: IceliteTable,
     checkpoints: CheckpointStore,
-    sourceDatabase: String) {
+    sourceDatabase: String,
+    metrics: SyncMetrics = SyncMetrics.global) {
 
   private val syncId = cfg.target.qualifiedName
 
@@ -57,9 +58,12 @@ final class InitialSync(
       val chunk = remaining
         .filter(lower.map(lo => col(idCol) > typedLit(lo, idType)).getOrElse(lit(true)))
         .filter(col(idCol) <= typedLit(upper, idType))
+      val t0 = System.currentTimeMillis()
       val snapshotSeq = table.append(chunk)
       val n = table.meta.snapshots.last.recordCount
       processed += n
+      metrics.recordCommit(syncId, System.currentTimeMillis() - t0)
+      metrics.recordInitialDocs(syncId, n)
       checkpoints.write(CheckpointRecord(
         syncId = syncId,
         state = SyncState.InitialSync,

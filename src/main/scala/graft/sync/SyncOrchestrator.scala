@@ -15,7 +15,9 @@ import graft.table.IceliteTable
   * for the collection content and `<root>/<database>/<collection>.changes/`
   * for the ordered change-event log.
   */
-final class SyncOrchestrator(spark: SparkSession, config: SyncConfig, warehouse: String) {
+final class SyncOrchestrator(
+    spark: SparkSession, config: SyncConfig, warehouse: String,
+    metrics: SyncMetrics = SyncMetrics.global) {
 
   val checkpoints = new CheckpointStore(spark, warehouse)
 
@@ -38,14 +40,17 @@ final class SyncOrchestrator(spark: SparkSession, config: SyncConfig, warehouse:
 
     SyncStateMachine.decideStart(checkpoints.read(syncId)) match {
       case SyncStateMachine.InitialSyncPhase =>
-        SyncStateMachine.withRetry(maxAttempts = 3, sleep = _ => ()) {
-          new InitialSync(spark, c, table, checkpoints, config.mongodb.database)
+        metrics.setState(syncId, SyncState.InitialSync)
+        SyncStateMachine.withRetry(maxAttempts = 3, sleep = _ => (),
+          onError = _ => metrics.recordError(syncId)) {
+          new InitialSync(spark, c, table, checkpoints, config.mongodb.database, metrics)
             .run(DocumentSource.applyMapping(source, c.mapping))
         }
       case _ => () // already past initial sync
     }
+    metrics.setState(syncId, SyncState.SteadyState)
 
-    val changes = new ChangeStreamSync(spark, c, table, checkpoints, config.mongodb.database)
+    val changes = new ChangeStreamSync(spark, c, table, checkpoints, config.mongodb.database, metrics)
     val fs = new org.apache.hadoop.fs.Path(changeLogPath(c))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(changeLogPath(c)))) {
@@ -67,7 +72,7 @@ final class SyncOrchestrator(spark: SparkSession, config: SyncConfig, warehouse:
           checkpoints.delete(syncId)
           table.truncate()
           val fresh = readSource(c)
-          new InitialSync(spark, c, table, checkpoints, config.mongodb.database)
+          new InitialSync(spark, c, table, checkpoints, config.mongodb.database, metrics)
             .run(DocumentSource.applyMapping(fresh, c.mapping))
           // post-rebuild resume point: pre-drop events are dead
           ctrlSeq.foreach { s =>
@@ -80,10 +85,27 @@ final class SyncOrchestrator(spark: SparkSession, config: SyncConfig, warehouse:
         } else drained = true
       }
     }
+    maybeCompact(table)
     table
   }
 
+  /** Post-drain maintenance (reference S8's scheduled compaction): fold
+    * accumulated per-batch files and MoR deletes into right-sized data
+    * files and expire dead snapshots once the table has visibly
+    * fragmented. In a long-running daemon this hangs off the compaction
+    * scheduler; in batch drains the end of a drain is the schedule
+    * point.
+    */
+  private def maybeCompact(table: IceliteTable): Unit = {
+    val m = table.meta
+    if (m.liveDeleteFiles.nonEmpty || m.liveDataFiles.size > CompactFileThreshold) {
+      table.compact()
+      table.expireSnapshots()
+    }
+  }
+
   private val MaxRebuilds = 100
+  private val CompactFileThreshold = 16
 
   def syncAll(streamCheckpointRoot: String): Map[String, IceliteTable] =
     config.sync.collections.map { c =>

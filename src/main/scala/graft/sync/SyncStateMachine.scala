@@ -45,15 +45,20 @@ object SyncStateMachine {
   }
 
   /** Retry-forever-with-backoff wrapper for a sync phase; `sleep` is
-    * injectable for tests, `maxAttempts` bounds runaway tests only.
+    * injectable for tests, `maxAttempts` bounds runaway tests only,
+    * `onError` feeds the `sync.errors` metric.
     */
-  def withRetry[A](maxAttempts: Int = Int.MaxValue, sleep: Long => Unit = Thread.sleep)(
+  def withRetry[A](
+      maxAttempts: Int = Int.MaxValue,
+      sleep: Long => Unit = Thread.sleep,
+      onError: Throwable => Unit = _ => ())(
       body: => A): A = {
     var attempt = 0
     while (true) {
       try return body
       catch {
         case e: Throwable if isTransient(e) && attempt < maxAttempts - 1 =>
+          onError(e)
           sleep(backoffMs(attempt))
           attempt += 1
       }

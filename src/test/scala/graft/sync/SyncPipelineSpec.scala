@@ -184,6 +184,50 @@ class SyncPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(table.meta.snapshots.count(_.operation == "append") >= 4)
   }
 
+  test("sync metrics: documents/events/commits/state populated; registry queryable") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    val c = cfg.sync.collections.head
+    writeFixture(root, "shop", "orders", (1 to 12).map(i => doc(i, s"$i.00", "gold")))
+    writeChanges(root, "shop", "orders", "b0", Seq(
+      s"""{"seq":1,"op":"update","_id":"${oid(1)}","fullDocument":${jstr(doc(1, "9.99", "plat"))},"clusterTime":"2024-02-01T00:00:00.000Z"}""",
+      s"""{"seq":2,"op":"delete","_id":"${oid(2)}","fullDocument":null,"clusterTime":"2024-02-01T00:00:01.000Z"}"""))
+    val metrics = new SyncMetrics
+    val orch = new SyncOrchestrator(spark, cfg, wh, metrics)
+    orch.syncCollection(c, Files.createTempDirectory("ck").toString)
+    val m = metrics.of("analytics.orders")
+    assert(m.initialDocs.sum() == 12)
+    assert(m.changeEvents.sum() == 2)
+    assert(m.commits.sum() >= 2) // ≥1 initial chunk + 1 change batch
+    assert(m.commitLatencyMsSum.sum() >= 0 && m.commitLatencyMsMax.get() >= 0)
+    assert(m.state.get() == SyncState.SteadyState)
+    val df = metrics.asDataFrame(spark)
+    val row = df.filter(org.apache.spark.sql.functions.col("sync_id") === "analytics.orders")
+      .collect().head
+    assert(row.getAs[Long]("initial_documents_processed") == 12)
+    assert(row.getAs[Long]("changestream_events_processed") == 2)
+  }
+
+  test("post-drain maintenance compacts MoR deletes into a rewrite snapshot") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    val c = cfg.sync.collections.head
+    writeFixture(root, "shop", "orders", (1 to 6).map(i => doc(i, s"$i.00", "gold")))
+    writeChanges(root, "shop", "orders", "b0", Seq(
+      s"""{"seq":1,"op":"update","_id":"${oid(3)}","fullDocument":${jstr(doc(3, "33.33", "plat"))},"clusterTime":"2024-02-01T00:00:00.000Z"}"""))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val table = orch.syncCollection(c, Files.createTempDirectory("ck").toString)
+    // the change batch produced equality-delete files; post-drain
+    // maintenance must have folded them away
+    assert(table.meta.liveDeleteFiles.isEmpty)
+    assert(table.meta.snapshots.map(_.operation) == Seq("rewrite"))
+    assert(table.read().count() == 6)
+    val updated = table.read().filter(col("_id") === oid(3)).collect().head
+    assert(updated.getDecimal(1).toPlainString == "33.330000000")
+  }
+
   test("state machine decision table + backoff curve") {
     import SyncStateMachine._
     assert(decideStart(None) == InitialSyncPhase)
