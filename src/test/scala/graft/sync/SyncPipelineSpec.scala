@@ -228,6 +228,34 @@ class SyncPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(updated.getDecimal(1).toPlainString == "33.330000000")
   }
 
+  test("syncAll: multi-collection drive; explicit mapping projects/renames/casts") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    writeFixture(root, "shop", "orders", (1 to 5).map(i => doc(i, s"$i.00", "gold")))
+    writeFixture(root, "shop", "users", (1 to 3).map(i =>
+      s"""{"_id":{"$$oid":"${oid(100 + i)}"},"profile":{"name":"u$i","age":{"$$numberInt":"${20 + i}"}},"active":true}"""))
+    val cfg = SyncConfig(
+      MongoConfig(root.toString, "shop"),
+      IcebergConfig(CatalogConfig("local", warehouse = Some(wh))),
+      SyncSection(Seq(
+        CollectionSyncConfig(SourceConfig("orders"), TargetConfig("analytics", "orders")),
+        CollectionSyncConfig(SourceConfig("users"), TargetConfig("analytics", "users"),
+          mapping = MappingConfig(MappingConfig.ModeExplicit, Seq(
+            FieldMapping("_id", "_id", None),
+            FieldMapping("profile.name", "user_name", None),
+            FieldMapping("profile.age", "age", Some("long")),
+            FieldMapping("active", "active", None)))))))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val tables = orch.syncAll(Files.createTempDirectory("ck").toString)
+    assert(tables.keySet == Set("analytics.orders", "analytics.users"))
+    assert(tables("analytics.orders").read().count() == 5)
+    val users = tables("analytics.users").read().orderBy("_id").collect()
+    assert(users.map(_.getString(1)).toSeq == Seq("u1", "u2", "u3"))
+    assert(users.map(_.getLong(2)).toSeq == Seq(21L, 22L, 23L)) // int → long override
+    assert(tables("analytics.users").schema.fieldNames.toSeq ==
+      Seq("_id", "user_name", "age", "active"))
+  }
+
   test("state machine decision table + backoff curve") {
     import SyncStateMachine._
     assert(decideStart(None) == InitialSyncPhase)
