@@ -229,37 +229,53 @@ object Similarity {
     */
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
     val Dec = "decimal(38,20)"
+    // e is referenced by three plan branches (elems, corpus payload,
+    // probe payload) and carries the interpreted per-row norm fold —
+    // cache it so the fold runs once (rows × 8B·dims, tiny per vector)
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
         decimalNormSq(col("embedding")).as("nsq"))
+      .cache()
 
-    // centroid[i] = exact decimal sum of component i over the label's
-    // vectors, surfaced as double (deterministic one-shot conversion)
-    val cents = t(spark, dir, "embeddings")
-      .groupBy(col("label")).agg(collect_list(col("embedding")).as("vecs"))
-      .select(col("label").as("c_label"),
-        transform(sequence(lit(1), lit(64)), i =>
-          aggregate(col("vecs"), lit(0).cast(Dec),
-            (acc, v) => (acc + element_at(v, i).cast("double").cast(Dec)).cast(Dec))
-            .cast("double")).as("cvec"))
-    val centsN = cents.withColumn("c_nsq", decimalNormSq(col("cvec")))
+    // all centroid/assignment arithmetic is RELATIONAL (explode → join
+    // → decimal hash-agg): the decimal sums run inside whole-stage
+    // codegen, unlike a per-row interpreted array fold, and the shape
+    // is byte-for-byte the oracle's CTE pipeline
+    val elems = e
+      .select(col("vec_id"), col("label"), col("nsq"),
+        posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select(col("vec_id"), col("label"), col("nsq"),
+        (col("i0") + 1).as("i"), col("v").cast("double").as("val"))
 
-    // nearest cells by exact-decimal cosine, label-ascending tiebreak
-    def cellRanked(vecs: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(desc("cell_cos"), asc("c_label"))
-      vecs.crossJoin(broadcast(centsN))
-        .withColumn("cell_cos",
-          decimalDot(col("embedding"), col("cvec")) / (sqrt(col("nsq")) * sqrt(col("c_nsq"))))
-        .withColumn("cell_rank", row_number().over(w))
-    }
+    // centroid[i] = exact decimal component sum per label (see above:
+    // sums stand in for means because cosine is scale-invariant)
+    val celems = elems.groupBy(col("label").as("c_label"), col("i"))
+      .agg(sum(col("val").cast(Dec)).cast("double").as("cval"))
+    val cnorms = celems.groupBy(col("c_label"))
+      .agg(sum((col("cval") * col("cval")).cast(Dec)).cast("double").as("c_nsq"))
 
-    val corpus = cellRanked(e.filter(col("vec_id") >= NumQueries))
-      .filter(col("cell_rank") === 1)
-      .select(col("vec_id"), col("embedding"), col("nsq"), col("c_label").as("cell"))
-    val probes = cellRanked(e.filter(col("vec_id") < NumQueries))
-      .filter(col("cell_rank") <= IvfProbes)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nsq").as("q_nsq"), col("c_label").as("cell"))
+    // vec × cell exact-decimal cosine, ranked per vec (label-asc ties)
+    val cellcos = elems.join(broadcast(celems), "i")
+      .groupBy(col("vec_id"), col("c_label"))
+      .agg(sum((col("val") * col("cval")).cast(Dec)).cast("double").as("cdot"),
+        first(col("nsq")).as("nsq"))
+      .join(broadcast(cnorms), "c_label")
+      .select(col("vec_id"), col("c_label"),
+        (col("cdot") / (sqrt(col("nsq")) * sqrt(col("c_nsq")))).as("cell_cos"))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(desc("cell_cos"), asc("c_label"))
+    // corpus and probes both branch from the ranked assignment — cache
+    // the (vec, cell, rank) table (rows × cells, small) so the explode/
+    // join/agg pipeline executes once
+    val rankedCells = cellcos.withColumn("cell_rank", row_number().over(wCell)).cache()
+
+    val corpus = rankedCells.filter(col("cell_rank") === 1 && col("vec_id") >= NumQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .join(e, "vec_id")
+    val probes = rankedCells.filter(col("cell_rank") <= IvfProbes && col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .join(e, "vec_id")
+      .select(col("vec_id").as("q_id"), col("cell"),
+        col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
 
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
     probes.join(corpus, "cell")
