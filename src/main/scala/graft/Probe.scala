@@ -20,8 +20,19 @@ object Probe {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     Tables.names.foreach(n => Tables.t(spark, dir, n).count())
-    time("sim_topk_ivf")(SparkEntry.queries("sim_topk_ivf")(spark, dir).count())
-    time("sim_topk_ivf x2")(SparkEntry.queries("sim_topk_ivf")(spark, dir).count())
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val jobTime = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); starts.put(j.jobId, System.nanoTime())
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = starts.remove(j.jobId); if (t0 != null) jobTime.addAndGet(System.nanoTime() - t0)
+      }
+    })
+    time("sync_pipeline")(SparkEntry.queries("sync_pipeline")(spark, dir).count())
+    println(s"jobs=${jobs.get()} jobTimeSec=${jobTime.get() / 1e9}")
     spark.stop()
   }
 }

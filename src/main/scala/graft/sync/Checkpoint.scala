@@ -36,17 +36,31 @@ final class CheckpointStore(spark: SparkSession, warehouse: String) {
   private val table: IceliteTable =
     IceliteTable.createOrLoad(spark, warehouse, "_sync", "_sync_checkpoints", Schema)
 
-  def read(syncId: String): Option[CheckpointRecord] = {
-    table.refresh()
-    table.read().filter(org.apache.spark.sql.functions.col("sync_id") === syncId)
-      .collect().headOption.map(fromRow)
-  }
+  // Write-through cache: each sync has exactly one writer (reference
+  // thread model: one writer per table), so the last record THIS store
+  // wrote is the table's row for that sync — serving reads from it
+  // turns the per-batch read-modify-write from a MoR scan + collect
+  // into a map lookup. A fresh store (process restart) starts cold and
+  // reads the committed table.
+  private val lastWritten =
+    scala.collection.concurrent.TrieMap.empty[String, CheckpointRecord]
+
+  def read(syncId: String): Option[CheckpointRecord] =
+    lastWritten.get(syncId).orElse {
+      table.refresh()
+      val committed = table.read()
+        .filter(org.apache.spark.sql.functions.col("sync_id") === syncId)
+        .collect().headOption.map(fromRow)
+      committed.foreach(lastWritten.update(syncId, _))
+      committed
+    }
 
   def write(rec: CheckpointRecord): Unit = {
     val df = spark.createDataFrame(
       java.util.List.of(toRow(rec)), Schema)
     // single row per sync_id by construction → skip the dedup shuffle
     table.upsertPrepared(df, Seq("sync_id"))
+    lastWritten.update(rec.syncId, rec)
   }
 
   /** Remove a sync's checkpoint row entirely (invalidate handling: the
@@ -58,6 +72,7 @@ final class CheckpointStore(spark: SparkSession, warehouse: String) {
       java.util.List.of(Row(syncId)),
       StructType(Seq(StructField("sync_id", StringType, nullable = false))))
     table.delete(keys, Seq("sync_id"))
+    lastWritten.remove(syncId)
   }
 
   /** Fold accumulated per-batch commits into one compacted snapshot and
