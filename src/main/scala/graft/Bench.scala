@@ -14,6 +14,7 @@ object Bench {
     // doesn't absorb several seconds of one-time session cost
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc() // don't bill one query for its predecessors' garbage
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
