@@ -29,6 +29,17 @@ object VecExpressions {
   /** sum of squares of an array<float> as double. */
   def floatNormSq(a: Column): Column =
     ColumnBridge.column(FloatNormSq(ColumnBridge.expression(a)))
+
+  /** Expose the kernels as SQL functions on an existing session
+    * (`float_dot`, `float_norm_sq`); new sessions get the same via
+    * `spark.sql.extensions=graft.functions.GraftExtensions`.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ColumnBridge.registerTempFunction(spark, "float_dot",
+      exprs => FloatDot(exprs(0), exprs(1)))
+    ColumnBridge.registerTempFunction(spark, "float_norm_sq",
+      exprs => FloatNormSq(exprs.head))
+  }
 }
 
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
