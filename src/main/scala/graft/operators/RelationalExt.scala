@@ -123,6 +123,44 @@ object RelationalExt {
       |  least(l_tax, l_discount) AS l
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // --------------------------------------------------------- salted join
+  /** Skew-salted equi-join (the 100 TB mitigation for a hot join key):
+    * the fact side gets a deterministic salt in [0, S), the dim side is
+    * replicated S× with every salt value, and the join runs on
+    * (key, salt) so one hot key's rows spread over S reducers instead
+    * of one. Results are identical to the unsalted join — the oracle
+    * computes the plain form. (Spark's AQE skew-join splits oversized
+    * partitions reactively; explicit salting is the declarative version
+    * that also covers joins AQE can't split, e.g. bucketed or
+    * pre-sorted inputs.)
+    */
+  def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val ev = graft.Tables.events(spark, dir)
+    val fact = ev.select(col("user_id"), col("value"),
+      pmod(hash(col("event_id")), lit(S)).as("salt"))
+    val dim = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val dimSalted = dim.withColumn("salt",
+      explode(array((0 until S).map(lit(_)): _*)))
+    fact.join(dimSalted, Seq("user_id", "salt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), 6).as("total_value"),
+        min(col("signup_ts")).as("signup_ts"))
+      .orderBy("user_id")
+  }
+
+  private val joinSaltedSkewOracle =
+    """SELECT e.user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS total_value,
+      |  CAST(min(d.signup_ts) AS TIMESTAMP) AS signup_ts
+      |FROM events e
+      |JOIN (SELECT user_id, min(ts) AS signup_ts FROM events
+      |      WHERE event_type = 'signup' GROUP BY user_id) d
+      |  ON e.user_id = d.user_id
+      |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -133,5 +171,7 @@ object RelationalExt {
     GraftQuery("array_funcs", arrayFuncs _, Some(arrayFuncsOracle),
       "array function surface over tokenized documents"),
     GraftQuery("math_funcs", mathFuncs _, Some(mathFuncsOracle),
-      "IEEE-exact math function surface"))
+      "IEEE-exact math function surface"),
+    GraftQuery("join_salted_skew", joinSaltedSkew _, Some(joinSaltedSkewOracle),
+      "skew-salted equi-join, identical results to the plain join"))
 }
