@@ -134,13 +134,37 @@ final class IceliteTable private (
     * per key then broadcast — deletes are assumed small relative to
     * data; compaction folds them in and resets this cost.
     */
-  def read(): DataFrame = {
+  def read(): DataFrame = readSnapshots(cachedMeta.snapshots)
+
+  /** Time travel (Iceberg snapshot read): table state as of commit
+    * `asOfSeq`. History reaches back to the last rewrite snapshot
+    * (compaction/truncate collapse earlier history by design — the
+    * same trade Iceberg makes when old snapshots are expired).
+    */
+  def readAt(asOfSeq: Long): DataFrame =
+    readSnapshots(cachedMeta.snapshots.filter(_.seq <= asOfSeq))
+
+  /** Incremental consumption: the row VERSIONS appended after
+    * `sinceSeq` (inserts + new upsert images, tagged with their commit
+    * seq in `_graft_seq`). Downstream incremental jobs checkpoint the
+    * last seq they saw and ask for everything after it — the
+    * at-least-once + dedup contract of the reference applies
+    * downstream too (dedup on key, latest seq wins).
+    */
+  def readAppendedSince(sinceSeq: Long): DataFrame = {
+    val snaps = cachedMeta.snapshots.filter(_.seq > sinceSeq)
+    readFiles(snaps.flatMap(_.dataFiles), withSeq = true)
+  }
+
+  private def readSnapshots(snaps: Seq[Snapshot]): DataFrame = {
     val m = cachedMeta
-    val data = readFiles(m.liveDataFiles, withSeq = true)
-    val result = if (m.liveDeleteFiles.isEmpty) data
+    val dataFiles = snaps.flatMap(_.dataFiles)
+    val deleteFiles = snaps.flatMap(_.deleteFiles)
+    val data = readFiles(dataFiles, withSeq = true)
+    val result = if (deleteFiles.isEmpty) data
     else {
-      val keyCols = keyColumnsOfDeletes(m)
-      val dels = spark.read.parquet(m.liveDeleteFiles.map(abs): _*)
+      val keyCols = keyColumnsOfDeletes(deleteFiles)
+      val dels = spark.read.parquet(deleteFiles.map(abs): _*)
         .groupBy(keyCols.map(col): _*)
         .agg(max(col(SeqCol)).as("_max_del_seq"))
       data.join(broadcast(dels), keyCols, "left")
@@ -355,8 +379,8 @@ final class IceliteTable private (
     if (sizes.isEmpty) 0L else sizes.sum
   }
 
-  private def keyColumnsOfDeletes(m: TableMeta): Seq[String] = {
-    val delSchema = spark.read.parquet(m.liveDeleteFiles.map(abs): _*).schema
+  private def keyColumnsOfDeletes(deleteFiles: Seq[String]): Seq[String] = {
+    val delSchema = spark.read.parquet(deleteFiles.map(abs): _*).schema
     delSchema.fieldNames.filterNot(_ == SeqCol).toSeq
   }
 }

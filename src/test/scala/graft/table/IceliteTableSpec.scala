@@ -41,6 +41,35 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     assert(t2.meta.snapshots.map(_.operation) == Seq("append", "append"))
   }
 
+  test("time travel: readAt reconstructs each committed state; truncate bounds history") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "tt", docSchema)
+    val s1 = t.append(rows(("a", 10.0, "new", "2024-01-05T00:00:00Z")))
+    val s2 = t.append(rows(("b", 20.0, "new", "2024-01-06T00:00:00Z")))
+    val s3 = t.upsert(rows(("a", 99.0, "paid", "2024-01-07T00:00:00Z")), Seq("_id"))
+    assert(t.readAt(s1).collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(t.readAt(s2).orderBy("_id").collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // at s2, "a" still has its original value; at s3 the upsert wins
+    assert(t.readAt(s2).filter(col("_id") === "a").head().getDouble(1) == 10.0)
+    assert(t.readAt(s3).filter(col("_id") === "a").head().getDouble(1) == 99.0)
+    assert(t.readAt(0).count() == 0) // before the first commit
+    val s4 = t.truncate()
+    assert(t.readAt(s4).count() == 0)
+    assert(t.read().count() == 0)
+  }
+
+  test("incremental read: readAppendedSince returns only later row versions with their seqs") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "inc", docSchema)
+    val s1 = t.append(rows(("a", 10.0, "new", "2024-01-05T00:00:00Z")))
+    t.append(rows(("b", 20.0, "new", "2024-01-06T00:00:00Z")))
+    t.upsert(rows(("a", 99.0, "paid", "2024-01-07T00:00:00Z")), Seq("_id"))
+    val inc = t.readAppendedSince(s1).orderBy(IceliteTable.SeqCol).collect()
+    assert(inc.map(_.getString(0)).toSeq == Seq("b", "a")) // append s2, upsert image s3
+    assert(inc.map(_.getAs[Long](IceliteTable.SeqCol)).toSeq == Seq(2L, 3L))
+    assert(t.readAppendedSince(3L).isEmpty)
+  }
+
   test("upsert: equality delete + append in one commit; last-writer-wins") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "t", docSchema)
