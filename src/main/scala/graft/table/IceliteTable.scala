@@ -95,7 +95,7 @@ final class IceliteTable private (
       operation: String): Long = retryCommit { head =>
     val seq = head.lastSeq + 1
     val commitId = UUID.randomUUID().toString
-    val (dataFiles, count) = if (df != null) {
+    val (dataFiles, count, fileStats) = if (df != null) {
       val out = s"$location/data/$commitId"
       var finalDf = conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq))
       val partCols = head.partitioning.map(transformColumn)
@@ -109,11 +109,15 @@ final class IceliteTable private (
       if (partCols.nonEmpty)
         finalDf = finalDf.repartition(partCols.map(p => col(p._1)): _*)
       finalDf.write.mode("errorifexists").parquet(out)
-      // row count from the footers of what was actually written — a
-      // driver-side metadata read, not a second scan of the data
+      // row counts AND per-file partition-column min/max from the
+      // footers of what was actually written — one driver-side
+      // metadata read per file, no second scan; the stats land in the
+      // snapshot so later reads prune files from table metadata alone
       val files = listParquet(out)
-      (files, files.map(footerRowCount).sum)
-    } else (Seq.empty[String], 0L)
+      val infos = files.map(f => f -> footerInfo(f, partCols.map(_._1).toSet))
+      val stats = infos.collect { case (f, (_, s)) if s.nonEmpty => f -> s }.toMap
+      (files, infos.map(_._2._1).sum, stats)
+    } else (Seq.empty[String], 0L, Map.empty[String, Map[String, (String, String)]])
     val deleteFiles = deleteKeys match {
       case Some(keys) =>
         val out = s"$location/deletes/$commitId"
@@ -122,7 +126,7 @@ final class IceliteTable private (
       case None => Nil
     }
     (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), operation,
-      dataFiles, deleteFiles, count)), seq)
+      dataFiles, deleteFiles, count, fileStats)), seq)
   }
 
   // ------------------------------------------------------------- reads
@@ -217,8 +221,12 @@ final class IceliteTable private (
           if (partCols.nonEmpty) d.repartition(nFiles, partCols.map(p => col(p._1)): _*)
           else d.repartition(nFiles)
         repartitioned.write.mode("errorifexists").parquet(out)
+        val files = listParquet(out)
+        val statCols = partCols.map(_._1).toSet
+        val stats = files.map(f => f -> footerInfo(f, statCols)._2)
+          .collect { case (f, s) if s.nonEmpty => f -> s }.toMap
         (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "rewrite",
-          listParquet(out), Nil, current.count())), seq)
+          files, Nil, current.count(), stats)), seq)
       }
     } finally current.unpersist()
   }
@@ -364,12 +372,99 @@ final class IceliteTable private (
     out.result()
   }
 
-  /** Total row count of one parquet file from its footer metadata. */
-  private def footerRowCount(rel: String): Long = {
+  /** Row count + min/max of the requested columns from one parquet
+    * file's footer (driver-side metadata read only).
+    */
+  private def footerInfo(
+      rel: String, statCols: Set[String]): (Long, Map[String, (String, String)]) = {
+    import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new Path(abs(rel)), spark.sparkContext.hadoopConfiguration)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try reader.getRecordCount finally reader.close()
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val stats = scala.collection.mutable.Map.empty[String, (String, String)]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          val s = c.getStatistics
+          if (statCols.contains(name) && s != null && s.hasNonNullValue) {
+            val mn = renderStat(s.genericGetMin)
+            val mx = renderStat(s.genericGetMax)
+            stats.updateWith(name) {
+              case Some((pm, px)) => Some((
+                if (IceliteTable.cmpStat(mn, pm) < 0) mn else pm,
+                if (IceliteTable.cmpStat(mx, px) > 0) mx else px))
+              case None => Some((mn, mx))
+            }
+          }
+        }
+      }
+      (blocks.map(_.getRowCount.toLong).sum, stats.toMap)
+    } finally reader.close()
+  }
+
+  private def renderStat(v: Any): String = v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case x => String.valueOf(x)
+  }
+
+  /** Data files whose stored [partCol] range may intersect
+    * [lower, upper] (inclusive, either side optional) — pure table
+    * metadata, no file IO. Files without stats are kept (never prune
+    * on missing information).
+    */
+  def pruneDataFiles(
+      partCol: String, lower: Option[String], upper: Option[String]): Seq[String] =
+    cachedMeta.snapshots.flatMap { s =>
+      s.dataFiles.filter { f =>
+        s.fileStats.get(f).flatMap(_.get(partCol)) match {
+          case Some((mn, mx)) =>
+            lower.forall(lo => IceliteTable.cmpStat(mx, lo) >= 0) &&
+              upper.forall(hi => IceliteTable.cmpStat(mn, hi) <= 0)
+          case None => true
+        }
+      }
+    }
+
+  /** MoR read restricted to one partition-column range: files outside
+    * the range are pruned from metadata stats (the Iceberg-manifest
+    * read path), then the exact row-level bound is applied on the
+    * in-file derived column. At 100 TB this touches
+    * files-in-range + all delete files, never the whole table.
+    */
+  def readRange(partCol: String, lower: Option[String], upper: Option[String]): DataFrame = {
+    val m = cachedMeta
+    val keep = pruneDataFiles(partCol, lower, upper).toSet
+    val dt = addPartitionFields(new StructType(), m.partitioning)
+      .find(_.name == partCol)
+      .map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(s"unknown partition column $partCol"))
+    val full = m.schema.add(SeqCol, "long")
+    val dataFiles = m.liveDataFiles.filter(keep.contains)
+    val data =
+      if (dataFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          full.add(partCol, dt))
+      else spark.read
+        .schema(addPartitionFields(full, m.partitioning))
+        .parquet(dataFiles.map(abs): _*)
+        .select((m.schema.fieldNames :+ SeqCol :+ partCol).map(col).toSeq: _*)
+    val bounded = data
+      .filter(lower.map(lo => col(partCol) >= lit(lo).cast(dt)).getOrElse(lit(true)))
+      .filter(upper.map(hi => col(partCol) <= lit(hi).cast(dt)).getOrElse(lit(true)))
+    val deleteFiles = m.liveDeleteFiles
+    val merged = if (deleteFiles.isEmpty) bounded
+    else {
+      val keyCols = keyColumnsOfDeletes(deleteFiles)
+      val dels = spark.read.parquet(deleteFiles.map(abs): _*)
+        .groupBy(keyCols.map(col): _*)
+        .agg(max(col(SeqCol)).as("_max_del_seq"))
+      bounded.join(broadcast(dels), keyCols, "left")
+        .filter(col("_max_del_seq").isNull || col(SeqCol) >= col("_max_del_seq"))
+        .drop("_max_del_seq")
+    }
+    merged.select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
   private def estimateBytes(df: DataFrame): Long = {
@@ -389,6 +484,16 @@ object IceliteTable {
 
   /** Hidden per-row commit sequence column (MoR ordering). */
   val SeqCol = "_graft_seq"
+
+  /** Stat-string comparison: numeric when both sides parse as long
+    * (year/bucket int columns), lexicographic otherwise (the
+    * "yyyy-MM[-dd[-HH]]" string transforms order correctly as text).
+    */
+  private[table] def cmpStat(a: String, b: String): Int =
+    (a.toLongOption, b.toLongOption) match {
+      case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+      case _ => a.compareTo(b)
+    }
 
   /** Derived hive-partition column name for a transform. */
   def partColName(p: PartitionConfig): String = s"_p_${p.field}_${sanitize(p.transform)}"

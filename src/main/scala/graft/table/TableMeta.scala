@@ -18,10 +18,16 @@ import graft.config.PartitionConfig
 final case class Snapshot(
     seq: Long,
     timestampMs: Long,
-    operation: String, // append | upsert | delete | rewrite | evolve
+    operation: String, // append | upsert | delete | rewrite | evolve | truncate
     dataFiles: Seq[String],
     deleteFiles: Seq[String],
-    recordCount: Long)
+    recordCount: Long,
+    /** Per-file min/max of each derived partition column (file →
+      * column → (min, max), rendered as strings): the Iceberg-manifest
+      * analog that lets the read path prune whole files from table
+      * metadata alone, before any footer or data IO.
+      */
+    fileStats: Map[String, Map[String, (String, String)]] = Map.empty)
 
 /** Full table state at one metadata version. Commit = atomic rename of
   * v{N+1}.json.tmp → v{N+1}.json; the failed renamer retries against the
@@ -73,6 +79,15 @@ object TableMeta {
       o.put("operation", s.operation); o.put("recordCount", s.recordCount)
       val df = o.putArray("dataFiles"); s.dataFiles.foreach(df.add)
       val del = o.putArray("deleteFiles"); s.deleteFiles.foreach(del.add)
+      if (s.fileStats.nonEmpty) {
+        val fs = o.putObject("fileStats")
+        s.fileStats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+          val fo = fs.putObject(file)
+          cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            val co = fo.putObject(c); co.put("min", mn); co.put("max", mx)
+          }
+        }
+      }
     }
     val props = root.putObject("properties")
     m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
@@ -99,7 +114,14 @@ object TableMeta {
           operation = o.get("operation").asText(),
           dataFiles = strings(o, "dataFiles"),
           deleteFiles = strings(o, "deleteFiles"),
-          recordCount = o.get("recordCount").asLong())
+          recordCount = o.get("recordCount").asLong(),
+          fileStats = Option(o.get("fileStats")).filter(_.isObject).map { fs =>
+            fs.properties().asScala.map { fe =>
+              fe.getKey -> fe.getValue.properties().asScala.map { ce =>
+                ce.getKey -> (ce.getValue.get("min").asText(), ce.getValue.get("max").asText())
+              }.toMap
+            }.toMap
+          }.getOrElse(Map.empty))
       }.toSeq,
       properties = Option(root.get("properties")).filter(_.isObject).map { p =>
         p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap

@@ -70,6 +70,38 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     assert(t.readAppendedSince(3L).isEmpty)
   }
 
+  test("file stats: commits record per-file partition min/max; readRange prunes from metadata") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "pruned", docSchema,
+      partitioning = Seq(PartitionConfig("order_ts", "month")))
+    // three commits in three disjoint months → three disjoint file sets
+    t.append(rows(("a1", 1.0, "new", "2024-01-05T00:00:00Z"),
+      ("a2", 2.0, "new", "2024-01-20T00:00:00Z")))
+    t.append(rows(("b1", 3.0, "new", "2024-02-05T00:00:00Z")))
+    t.append(rows(("c1", 4.0, "new", "2024-03-05T00:00:00Z"),
+      ("c2", 5.0, "new", "2024-03-25T00:00:00Z")))
+    val partCol = IceliteTable.partColName(PartitionConfig("order_ts", "month"))
+    // every data file carries stats for the derived partition column
+    assert(t.meta.snapshots.flatMap(_.dataFiles).nonEmpty)
+    assert(t.meta.snapshots.forall(s => s.dataFiles.forall(s.fileStats.contains)))
+    // metadata-only pruning: the February range keeps only Feb files
+    val febFiles = t.pruneDataFiles(partCol, Some("2024-02"), Some("2024-02"))
+    assert(febFiles.nonEmpty && febFiles.size < t.meta.liveDataFiles.size)
+    val feb = t.readRange(partCol, Some("2024-02"), Some("2024-02"))
+    assert(feb.collect().map(_.getString(0)).toSeq == Seq("b1"))
+    // open-ended range + equivalence with the full read filtered by month
+    val fromFeb = t.readRange(partCol, Some("2024-02"), None)
+      .orderBy("_id").collect().map(_.getString(0)).toSeq
+    assert(fromFeb == Seq("b1", "c1", "c2"))
+    // stats survive metadata round-trip + compaction keeps them
+    val reloaded = IceliteTable.load(spark, wh, "ns", "pruned")
+    assert(reloaded.pruneDataFiles(partCol, Some("2024-03"), None).nonEmpty)
+    t.compact()
+    assert(t.meta.snapshots.head.fileStats.nonEmpty)
+    assert(t.readRange(partCol, Some("2024-02"), Some("2024-02"))
+      .collect().map(_.getString(0)).toSeq == Seq("b1"))
+  }
+
   test("upsert: equality delete + append in one commit; last-writer-wins") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "t", docSchema)
