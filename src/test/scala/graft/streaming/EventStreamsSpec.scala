@@ -29,6 +29,33 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       Seq((4, 0L, 5L, 2L), (5, 36L, 66L, 3L), (6, 97L, 97L, 1L)))
   }
 
+  test("property: sessionizer partitions events; intra-gaps ≤ 30min; inter-gaps > 30min") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 6L * 60 * Min))
+    } yield ts.zipWithIndex.map { case (t, i) => ev(i.toLong, t) }
+    val cases = (0 until 200).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    cases.foreach { events =>
+      val sessions = toSessions(1L, events.iterator)
+      // partition: every event in exactly one session; counts add up
+      assert(sessions.map(_.n_events).sum == events.size)
+      assert(sessions.map(_.session_id) == (1 to sessions.size))
+      val sorted = events.map(_.tsUs).sorted
+      sessions.foreach { s =>
+        assert(s.startUs <= s.endUs)
+        // intra-session: consecutive event gaps never exceed the gap
+        val inside = sorted.filter(t => t >= s.startUs && t <= s.endUs)
+        inside.zip(inside.drop(1)).foreach { case (a, b) => assert(b - a <= SessionGapUs) }
+      }
+      // inter-session: the next session starts > gap after the previous end
+      sessions.zip(sessions.drop(1)).foreach { case (a, b) =>
+        assert(b.startUs - a.endUs > SessionGapUs)
+      }
+    }
+  }
+
   test("streaming sessionization emits exactly the watermark-closed sessions of the batch result") {
     val dir = Files.createTempDirectory("stream-sess")
     // three files → three micro-batches (maxFilesPerTrigger=1), so the
