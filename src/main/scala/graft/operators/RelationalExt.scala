@@ -161,6 +161,28 @@ object RelationalExt {
       |  ON e.user_id = d.user_id
       |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
 
+  // ---------------------------------------------------------- percentiles
+  /** Exact continuous percentiles per group (SURVEY "Aggregations" row;
+    * the sort-based exact path — `approx_percentile` sketches are the
+    * at-scale variant and, like HLL, engine-specific and not
+    * oracle-gated). Spark's `percentile` and DuckDB's `quantile_cont`
+    * share the interpolation definition on doubles.
+    */
+  def percentileAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private val percentileAggOracle =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -173,5 +195,7 @@ object RelationalExt {
     GraftQuery("math_funcs", mathFuncs _, Some(mathFuncsOracle),
       "IEEE-exact math function surface"),
     GraftQuery("join_salted_skew", joinSaltedSkew _, Some(joinSaltedSkewOracle),
-      "skew-salted equi-join, identical results to the plain join"))
+      "skew-salted equi-join, identical results to the plain join"),
+    GraftQuery("percentile_agg", percentileAgg _, Some(percentileAggOracle),
+      "exact interpolated percentiles per group"))
 }

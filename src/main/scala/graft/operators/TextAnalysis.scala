@@ -195,7 +195,63 @@ object TextAnalysis {
 
   // ---------------------------------------------------------- registry
 
+  // ------------------------------------------------- corpus-level stats
+  /** Corpus-level statistics per (lang, source): doc counts, vocabulary
+    * size (distinct tokens — the two-level agg shape that scales:
+    * distinct runs as partial/final hash-agg, never a global set on one
+    * node), token totals, mean doc length.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    tok.groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("vocab"),
+        (count(lit(1)).cast("double") / countDistinct(col("doc_id"))).as("mean_doc_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  private val corpusStatsOracle =
+    """SELECT lang, source,
+      |  count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS n_tokens,
+      |  count(DISTINCT w) AS vocab,
+      |  CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS mean_doc_tokens
+      |FROM (SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+      |      FROM documents)
+      |WHERE len(w) > 0
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ------------------------------------------- normalized exact dedup
+  /** Exact dedup after text normalization (lowercase, punctuation and
+    * whitespace collapse) — catches trivially-reformatted duplicates
+    * that byte-exact hashing misses; same one-shuffle hash-groupBy
+    * shape as [[Dedup.exact]].
+    */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[.,!?;:]", ""), " +", " "))
+    t(spark, dir, "documents")
+      .groupBy(md5(norm).as("norm_hash"))
+      .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("dup_count"))
+      .orderBy("kept_doc_id")
+  }
+
+  private val dedupNormalizedOracle =
+    """SELECT md5(trim(regexp_replace(
+      |    regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+      |  min(doc_id) AS kept_doc_id, count(*) AS dup_count
+      |FROM documents
+      |GROUP BY 1 ORDER BY kept_doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_corpus_stats", corpusStats _, Some(corpusStatsOracle),
+      "corpus-level stats: docs, tokens, vocabulary, mean length"),
+    GraftQuery("dedup_exact_normalized", dedupNormalized _, Some(dedupNormalizedOracle),
+      "exact dedup after lowercase/punct/whitespace normalization"),
     GraftQuery("text_langid", langId _, Some(langIdOracle),
       "stopword-marker language scoring with argmax"),
     GraftQuery("text_quality", quality _, Some(qualityOracle),
