@@ -217,11 +217,61 @@ object EventStreams {
       }
   }
 
+  // ------------------------------------------------- stream-stream join
+
+  /** Stream-stream inner join (the remaining Structured Streaming
+    * shape): purchases joined to the same user's views within the 10
+    * minutes before the purchase, both sides watermarked so join state
+    * is bounded by the time-range condition — the planner derives the
+    * state retention from the range predicate, which is what makes
+    * this viable on an unbounded stream. Drained with AvailableNow
+    * (single batch per side ⇒ no late-data drops ⇒ the batch range
+    * join is the exact oracle).
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEventStream(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 10 minutes"))
+    val sink = s"graft_stream_join_${memCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        unix_micros(col("p_ts")).minus(unix_micros(col("v_ts"))).as("gap_us"))
+      .orderBy("user_id", "purchase_id", "view_id")
+  }
+
+  private val streamStreamJoinOracle =
+    """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id
+      |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL '10 minutes'
+      |ORDER BY p.user_id, purchase_id, view_id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("stream_window_counts", windowCounts _, Some(windowCountsOracle),
       "streaming tumbling 1h window agg with watermark (AvailableNow drain)"),
     GraftQuery("sessionize_events", sessionize _, Some(sessionizeOracle),
-      "gap-based sessionization via typed groupByKey/flatMapGroups"))
+      "gap-based sessionization via typed groupByKey/flatMapGroups"),
+    GraftQuery("stream_stream_join", streamStreamJoin _, Some(streamStreamJoinOracle),
+      "watermarked stream-stream inner join with time-range state bound"))
 }
