@@ -11,8 +11,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-footer paths so the first timed query
-    // doesn't absorb several seconds of one-time session cost
-    Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
+    // doesn't absorb several seconds of one-time session cost; a missing
+    // table degrades that query to -1 below instead of aborting the run
+    Tables.names.foreach(n =>
+      try Tables.t(spark, sfDir, n).count() catch { case _: Throwable => () })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // don't bill one query for its predecessors' garbage
       val t0 = System.nanoTime()

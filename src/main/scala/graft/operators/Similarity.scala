@@ -227,7 +227,37 @@ object Similarity {
     * join touches IvfProbes/K of the corpus — the standard IVF
     * recall/cost dial.
     */
+  /** Memoized per (session, dataset), like [[Dedup.shingleIndex]]: the
+    * IVF index (embeddings+norms, ranked cell assignment) is built once
+    * and reused across queries in the session instead of leaking a new
+    * cache per invocation.
+    */
+  private val ivfIndexes = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (e, rankedCells) = ivfIndexes.getOrElseUpdate((spark, dir), buildIvfIndex(spark, dir))
+
+    val corpus = rankedCells.filter(col("cell_rank") === 1 && col("vec_id") >= NumQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .join(e, "vec_id")
+    val probes = rankedCells.filter(col("cell_rank") <= IvfProbes && col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .join(e, "vec_id")
+      .select(col("vec_id").as("q_id"), col("cell"),
+        col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    probes.join(corpus, "cell")
+      .select(col("q_id"), col("vec_id"),
+        round(decimalDot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private def buildIvfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val Dec = "decimal(38,20)"
     // e is referenced by three plan branches (elems, corpus payload,
     // probe payload) and carries the interpreted per-row norm fold —
@@ -267,24 +297,7 @@ object Similarity {
     // the (vec, cell, rank) table (rows × cells, small) so the explode/
     // join/agg pipeline executes once
     val rankedCells = cellcos.withColumn("cell_rank", row_number().over(wCell)).cache()
-
-    val corpus = rankedCells.filter(col("cell_rank") === 1 && col("vec_id") >= NumQueries)
-      .select(col("vec_id"), col("c_label").as("cell"))
-      .join(e, "vec_id")
-    val probes = rankedCells.filter(col("cell_rank") <= IvfProbes && col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("c_label").as("cell"))
-      .join(e, "vec_id")
-      .select(col("vec_id").as("q_id"), col("cell"),
-        col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
-
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
-    probes.join(corpus, "cell")
-      .select(col("q_id"), col("vec_id"),
-        round(decimalDot(col("q_emb"), col("embedding")) /
-          (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .orderBy("q_id", "rank")
+    (e, rankedCells)
   }
 
   private val topkIvfOracle: String =

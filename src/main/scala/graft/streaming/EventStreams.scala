@@ -64,18 +64,32 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
-    val sink = s"graft_stream_window_${memCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
+    drainMemorySink(spark, agg, OutputMode.Complete())
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Run a streaming DataFrame to completion (AvailableNow) through a
+    * memory sink, materialize the (small, already-aggregated) result,
+    * and DROP the sink's temp view — repeated drains in one session
+    * must not accumulate result tables in driver memory.
+    */
+  private def drainMemorySink(
+      spark: SparkSession, streaming: DataFrame, mode: OutputMode): DataFrame = {
+    val sink = s"graft_stream_sink_${memCounter.incrementAndGet()}"
+    val q = streaming.writeStream
+      .outputMode(mode)
       .format("memory")
       .queryName(sink)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink)
-      .select(col("win.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
-      .orderBy("window_start", "event_type")
+    val table = spark.table(sink)
+    val materialized = spark.createDataFrame(
+      java.util.Arrays.asList(table.collect(): _*), table.schema)
+    spark.catalog.dropTempView(sink)
+    materialized
   }
 
   private val windowCountsOracle =
@@ -242,15 +256,7 @@ object EventStreams {
       col("p_user") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
         col("v_ts") >= col("p_ts") - expr("INTERVAL 10 minutes"))
-    val sink = s"graft_stream_join_${memCounter.incrementAndGet()}"
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sink)
+    drainMemorySink(spark, joined, OutputMode.Append())
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
         unix_micros(col("p_ts")).minus(unix_micros(col("v_ts"))).as("gap_us"))
       .orderBy("user_id", "purchase_id", "view_id")

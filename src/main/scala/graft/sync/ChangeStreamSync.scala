@@ -104,7 +104,23 @@ final class ChangeStreamSync(
     val ctrl = fresh.filter(col("op").isin(ControlOps.toSeq: _*))
       .agg(min(col("seq"))).collect().head
     if (!ctrl.isNullAt(0)) {
-      invalidatedSeq = Some(ctrl.getLong(0))
+      val ctrlSeq = ctrl.getLong(0)
+      // record the rebuild OBLIGATION atomically before surfacing it:
+      // state=INITIAL_SYNC with no high-water mark means "start from an
+      // empty table" (InitialSync truncates on that signal), and
+      // resumeToken=ctrlSeq retires every pre-drop event. Whatever
+      // crashes after this single checkpoint write, restart recovery is
+      // correct; if we crash before it, the stream batch is uncommitted
+      // and the control event simply replays (R4 at-least-once).
+      checkpoints.write(CheckpointRecord(
+        syncId, SyncState.InitialSync, sourceDatabase, cfg.source.collection,
+        resumeToken = Some(ctrlSeq),
+        highWaterMarkId = None,
+        documentsProcessed = 0L,
+        lastSnapshotId = table.meta.lastSeq,
+        lastBatchId = -1L, // post-rebuild replay starts a fresh batch numbering
+        updatedAtMs = System.currentTimeMillis()))
+      invalidatedSeq = Some(ctrlSeq)
       invalidatedFlag = true // R7: invalidate ⇒ re-initial-sync
       return
     }

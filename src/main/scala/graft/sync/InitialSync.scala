@@ -46,9 +46,15 @@ final class InitialSync(
     val hwm = prior.flatMap(_.highWaterMarkId)
     var processed = prior.map(_.documentsProcessed).getOrElse(0L)
 
+    // No high-water mark means this is a from-scratch sync (first run
+    // or a post-invalidate rebuild): the target must start empty, or
+    // stale pre-drop rows survive next to the fresh copy. Truncate is
+    // idempotent, so a crash anywhere in the rebuild re-runs safely.
+    if (hwm.isEmpty && table.meta.liveDataFiles.nonEmpty) table.truncate()
+
     val remaining = hwm match {
-      case Some(mark) => // pushed-down resume (T5), hwm cast to the native id type
-        source.filter(col(idCol) > lit(mark).cast(idType))
+      case Some(mark) => // pushed-down resume (T5), hwm parsed back to the native id type
+        source.filter(col(idCol) > hwmLiteral(mark, idType))
       case None => source
     }
 
@@ -70,7 +76,7 @@ final class InitialSync(
         sourceDatabase = sourceDatabase,
         sourceCollection = cfg.source.collection,
         resumeToken = prior.flatMap(_.resumeToken),
-        highWaterMarkId = Some(upper.toString),
+        highWaterMarkId = Some(renderId(upper)),
         documentsProcessed = processed,
         lastSnapshotId = snapshotSeq,
         lastBatchId = prior.map(_.lastBatchId).getOrElse(-1L),
@@ -82,7 +88,7 @@ final class InitialSync(
     checkpoints.write(CheckpointRecord(
       syncId, SyncState.SteadyState, sourceDatabase, cfg.source.collection,
       resumeToken = prior.flatMap(_.resumeToken),
-      highWaterMarkId = lower.map(_.toString).orElse(hwm),
+      highWaterMarkId = lower.map(renderId).orElse(hwm),
       documentsProcessed = processed,
       lastSnapshotId = table.meta.lastSeq,
       lastBatchId = prior.map(_.lastBatchId).getOrElse(-1L),
@@ -95,6 +101,32 @@ final class InitialSync(
     */
   private def typedLit(v: Any, idType: org.apache.spark.sql.types.DataType) =
     lit(v).cast(idType)
+
+  /** Checkpoint-safe string rendering of an id value: timestamps go
+    * through ISO-8601 INSTANT (timezone-independent — a bare
+    * Timestamp.toString renders JVM-local wall clock and re-parses in
+    * the session zone, shifting the resume point by the offset);
+    * binary ids have no faithful string form and are rejected rather
+    * than silently corrupted.
+    */
+  private def renderId(v: Any): String = v match {
+    case t: java.sql.Timestamp =>
+      java.time.format.DateTimeFormatter.ISO_INSTANT.format(t.toInstant)
+    case _: Array[Byte] =>
+      throw new IllegalArgumentException(
+        "binary _id columns are not supported for high-water-mark checkpointing")
+    case x => x.toString
+  }
+
+  /** Inverse of [[renderId]] as a typed literal. */
+  private def hwmLiteral(mark: String, idType: org.apache.spark.sql.types.DataType) =
+    idType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        val ts = scala.util.Try(java.sql.Timestamp.from(java.time.Instant.parse(mark)))
+          .getOrElse(java.sql.Timestamp.valueOf(mark)) // legacy rendering fallback
+        lit(ts)
+      case other => lit(mark).cast(other)
+    }
 
   /** Upper-bound `_id` per chunk: range-partition the NATIVE id column
     * into ceil(count/maxRecords) ranges (distributed, sampled — no

@@ -55,31 +55,33 @@ final class SyncOrchestrator(
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(changeLogPath(c)))) {
       // Drain the log; on a control event do a FULL rebuild (reference:
-      // drop/rename/invalidate ⇒ re-initial-sync): clear the checkpoint
-      // row (a stale hwm would skip _id ≤ hwm forever) and truncate the
-      // table (stale pre-drop rows must not survive), re-run initial
-      // sync against the re-read source, then replay the log tail with
-      // a fresh stream checkpoint, resuming past the control event.
+      // drop/rename/invalidate ⇒ re-initial-sync). The stream handler
+      // already checkpointed the rebuild obligation atomically
+      // (state=INITIAL_SYNC, no hwm ⇒ truncate-and-resync, resumeToken
+      // past the control event), so this loop just executes it: re-read
+      // the source, run initial sync (which truncates), then replay the
+      // log tail with a fresh stream checkpoint. Crash-safe at every
+      // point — the obligation survives in the checkpoint row.
       var round = 0
       var drained = false
       while (!drained) {
-        val q = changes.start(changeLogPath(c), s"$streamCheckpointDir/r$round", availableNow = true)
+        // the stream-checkpoint dir is keyed by the engine resume token:
+        // after a rebuild (token moved past the control event) the drain
+        // re-reads the whole log under a fresh dir — the seq filter
+        // retires everything already applied, so replay is idempotent,
+        // and post-drop events that shared a micro-batch with the
+        // control event are never lost to a consumed stream offset
+        val tok = checkpoints.read(syncId).flatMap(_.resumeToken).getOrElse(-1L)
+        val q = changes.start(changeLogPath(c), s"$streamCheckpointDir/t${tok}r$round", availableNow = true)
         q.awaitTermination()
         if (changes.invalidated) {
           if (round >= MaxRebuilds)
             throw new IllegalStateException(s"$syncId: >$MaxRebuilds rebuilds in one drain")
-          val ctrlSeq = changes.invalidatedAtSeq
-          checkpoints.delete(syncId)
-          table.truncate()
+          metrics.setState(syncId, SyncState.InitialSync)
           val fresh = readSource(c)
           new InitialSync(spark, c, table, checkpoints, config.mongodb.database, metrics)
             .run(DocumentSource.applyMapping(fresh, c.mapping))
-          // post-rebuild resume point: pre-drop events are dead
-          ctrlSeq.foreach { s =>
-            checkpoints.read(syncId).foreach { cp =>
-              checkpoints.write(cp.copy(resumeToken = Some(s)))
-            }
-          }
+          metrics.setState(syncId, SyncState.SteadyState)
           changes.resetInvalidated()
           round += 1
         } else drained = true

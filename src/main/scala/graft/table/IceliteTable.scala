@@ -150,22 +150,36 @@ final class IceliteTable private (
 
   /** Incremental consumption: the row VERSIONS appended after
     * `sinceSeq` (inserts + new upsert images, tagged with their commit
-    * seq in `_graft_seq`). Downstream incremental jobs checkpoint the
-    * last seq they saw and ask for everything after it — the
-    * at-least-once + dedup contract of the reference applies
-    * downstream too (dedup on key, latest seq wins).
+    * seq in `_graft_seq`). Pair with [[readDeleteKeysSince]] for a
+    * complete change feed — delete-only commits produce no data files,
+    * so this alone never reflects removals. Caveats for consumers:
+    * dedup on key / latest seq wins (at-least-once downstream), and a
+    * compaction rewrite re-tags every surviving row with the rewrite
+    * seq — after maintenance, resync from the full table rather than
+    * consuming the rewrite as an increment.
     */
   def readAppendedSince(sinceSeq: Long): DataFrame = {
     val snaps = cachedMeta.snapshots.filter(_.seq > sinceSeq)
     readFiles(snaps.flatMap(_.dataFiles), withSeq = true)
   }
 
-  private def readSnapshots(snaps: Seq[Snapshot]): DataFrame = {
-    val m = cachedMeta
-    val dataFiles = snaps.flatMap(_.dataFiles)
-    val deleteFiles = snaps.flatMap(_.deleteFiles)
-    val data = readFiles(dataFiles, withSeq = true)
-    val result = if (deleteFiles.isEmpty) data
+  /** Keys equality-deleted (or replaced by upsert) after `sinceSeq`,
+    * tagged with the deleting commit's seq — the removal half of the
+    * incremental feed.
+    */
+  def readDeleteKeysSince(sinceSeq: Long): DataFrame = {
+    val files = cachedMeta.snapshots.filter(_.seq > sinceSeq).flatMap(_.deleteFiles)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType().add(SeqCol, "long"))
+    else spark.read.parquet(files.map(abs): _*)
+  }
+
+  /** MoR survivor filter shared by every read path: a row survives
+    * unless some delete for its key carries a later seq.
+    */
+  private def applyDeletes(data: DataFrame, deleteFiles: Seq[String]): DataFrame =
+    if (deleteFiles.isEmpty) data
     else {
       val keyCols = keyColumnsOfDeletes(deleteFiles)
       val dels = spark.read.parquet(deleteFiles.map(abs): _*)
@@ -175,7 +189,12 @@ final class IceliteTable private (
         .filter(col("_max_del_seq").isNull || col(SeqCol) >= col("_max_del_seq"))
         .drop("_max_del_seq")
     }
-    result.select(m.schema.fieldNames.map(col).toSeq: _*)
+
+  private def readSnapshots(snaps: Seq[Snapshot]): DataFrame = {
+    val m = cachedMeta
+    val data = readFiles(snaps.flatMap(_.dataFiles), withSeq = true)
+    applyDeletes(data, snaps.flatMap(_.deleteFiles))
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Read including the hidden seq + derived partition columns (for
@@ -318,7 +337,17 @@ final class IceliteTable private (
           cachedMeta = next
           return seq
         }
+        // we own this claim and failed to publish — release it, or the
+        // version is permanently wedged for every writer
         fs.delete(tmp, false)
+        fs.delete(claim, false)
+      } else if (!fs.exists(dst) && fs.exists(claim) &&
+        System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > ClaimTtlMs) {
+        // crash-orphaned claim (holder died between claim and publish):
+        // break it so the table doesn't wedge forever. TTL is far above
+        // any real publish latency (a metadata write), so a live holder
+        // is never raced.
+        fs.delete(claim, false)
       }
       attempts += 1
       if (attempts > 20)
@@ -453,18 +482,8 @@ final class IceliteTable private (
     val bounded = data
       .filter(lower.map(lo => col(partCol) >= lit(lo).cast(dt)).getOrElse(lit(true)))
       .filter(upper.map(hi => col(partCol) <= lit(hi).cast(dt)).getOrElse(lit(true)))
-    val deleteFiles = m.liveDeleteFiles
-    val merged = if (deleteFiles.isEmpty) bounded
-    else {
-      val keyCols = keyColumnsOfDeletes(deleteFiles)
-      val dels = spark.read.parquet(deleteFiles.map(abs): _*)
-        .groupBy(keyCols.map(col): _*)
-        .agg(max(col(SeqCol)).as("_max_del_seq"))
-      bounded.join(broadcast(dels), keyCols, "left")
-        .filter(col("_max_del_seq").isNull || col(SeqCol) >= col("_max_del_seq"))
-        .drop("_max_del_seq")
-    }
-    merged.select(m.schema.fieldNames.map(col).toSeq: _*)
+    applyDeletes(bounded, m.liveDeleteFiles)
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
   private def estimateBytes(df: DataFrame): Long = {
@@ -484,6 +503,11 @@ object IceliteTable {
 
   /** Hidden per-row commit sequence column (MoR ordering). */
   val SeqCol = "_graft_seq"
+
+  /** Age after which an unpublished claim file is considered orphaned
+    * (holder crashed between claim and publish) and may be broken.
+    */
+  val ClaimTtlMs: Long = 10L * 60 * 1000
 
   /** Stat-string comparison: numeric when both sides parse as long
     * (year/bucket int columns), lexicographic otherwise (the

@@ -51,6 +51,23 @@ class VecExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 25.0)
   }
 
+  test("type check rejects non-float arrays instead of silently misreading bytes") {
+    registerSql(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT float_dot(array(1.0, 2.0), array(3.0, 4.0))").collect()
+    }
+    assert(e.getMessage.contains("array<float>"))
+  }
+
+  test("null elements poison the result, matching the zip_with formulation") {
+    import spark.implicits._
+    val df = Seq((Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+    val r = df.select(floatDot(col("a"), col("b")).as("d"), floatNormSq(col("a")).as("n")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("extension class exposes the same builders") {
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
       Set("float_dot", "float_norm_sq"))

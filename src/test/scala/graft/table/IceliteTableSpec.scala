@@ -102,6 +102,21 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getString(0)).toSeq == Seq("b1"))
   }
 
+  test("commit recovers from a crash-orphaned claim file once it ages past the TTL") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "claims", docSchema)
+    t.append(rows(("a", 1.0, "new", "2024-01-05T00:00:00Z")))
+    // simulate a writer that died between claiming v2 and publishing it
+    val orphan = java.nio.file.Paths.get(s"$wh/ns/claims/metadata/v00002.json.claim")
+    java.nio.file.Files.createFile(orphan)
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - IceliteTable.ClaimTtlMs - 60000))
+    val s2 = t.append(rows(("b", 2.0, "new", "2024-01-06T00:00:00Z")))
+    assert(s2 == 2)
+    assert(t.read().count() == 2)
+  }
+
   test("upsert: equality delete + append in one commit; last-writer-wins") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "t", docSchema)
