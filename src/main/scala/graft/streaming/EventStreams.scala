@@ -74,22 +74,32 @@ object EventStreams {
     * memory sink, materialize the (small, already-aggregated) result,
     * and DROP the sink's temp view — repeated drains in one session
     * must not accumulate result tables in driver memory.
+    *
+    * Stateful shuffle width: each stateful partition is a state store
+    * with per-batch checkpoint IO, so the stream runs with a narrower
+    * `spark.sql.shuffle.partitions` than the batch default — the
+    * standard per-stream tuning for stateful queries (state parallelism
+    * should track state volume, not CPU count). Restored afterwards.
     */
   private def drainMemorySink(
       spark: SparkSession, streaming: DataFrame, mode: OutputMode): DataFrame = {
-    val sink = s"graft_stream_sink_${memCounter.incrementAndGet()}"
-    val q = streaming.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(sink)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val table = spark.table(sink)
-    val materialized = spark.createDataFrame(
-      java.util.Arrays.asList(table.collect(): _*), table.schema)
-    spark.catalog.dropTempView(sink)
-    materialized
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val sink = s"graft_stream_sink_${memCounter.incrementAndGet()}"
+      val q = streaming.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val table = spark.table(sink)
+      val materialized = spark.createDataFrame(
+        java.util.Arrays.asList(table.collect(): _*), table.schema)
+      spark.catalog.dropTempView(sink)
+      materialized
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   private val windowCountsOracle =
