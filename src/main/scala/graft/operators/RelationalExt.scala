@@ -183,6 +183,91 @@ object RelationalExt {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------ extended window fns
+  /** Rank-family window surface beyond row_number (SURVEY "Window
+    * functions" row): ntile, percent_rank, cume_dist, first/last value
+    * over an explicit frame. All rank math is exact integer-ratio
+    * arithmetic — deterministic across engines.
+    */
+  def windowFuncsExt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first(col("o_orderkey")).over(wFrame).as("cheapest_key"),
+        last(col("o_orderkey")).over(wFrame).as("priciest_key"))
+      .orderBy("o_orderkey")
+  }
+
+  private val windowFuncsExtOracle =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  first_value(o_orderkey) OVER wf AS cheapest_key,
+      |  last_value(o_orderkey) OVER wf AS priciest_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+      |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ union by name
+  /** Schema-aligned union with missing columns (SURVEY "Set ops" /
+    * schema-union family — the relational face of the sync pipeline's
+    * union-schema inference): two differently-shaped projections
+    * unioned by NAME, absent columns null-filled.
+    */
+  def unionByNameQ(spark: SparkSession, dir: String): DataFrame = {
+    val buyers = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("entity_id"), col("c_name").as("name"),
+        col("c_acctbal").as("balance"), lit("customer").as("kind"))
+    val vendors = t(spark, dir, "supplier")
+      .select(col("s_suppkey").as("entity_id"), col("s_name").as("name"),
+        lit("supplier").as("kind")) // no balance column
+    buyers.unionByName(vendors, allowMissingColumns = true)
+      .select(col("kind"), col("entity_id"), col("name"), col("balance"))
+      .orderBy("kind", "entity_id")
+  }
+
+  private val unionByNameOracle =
+    """SELECT kind, entity_id, name, balance FROM (
+      |  SELECT c_custkey AS entity_id, c_name AS name, c_acctbal AS balance,
+      |    'customer' AS kind
+      |  FROM customer WHERE c_acctbal > 9000
+      |  UNION ALL BY NAME
+      |  SELECT s_suppkey AS entity_id, s_name AS name, 'supplier' AS kind
+      |  FROM supplier)
+      |ORDER BY kind, entity_id""".stripMargin
+
+  // --------------------------------------------------------- regexp fns
+  /** Regexp surface (SURVEY "String functions" row): extraction with
+    * groups, boolean match, count. Patterns restricted to the syntax
+    * subset Java and RE2-style engines agree on (no lookaround).
+    */
+  def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+) ", 1).as("first_word"),
+        col("p_name").rlike("red|blue").as("has_color"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        regexp_replace(col("p_type"), "[A-Z]+", "#").as("type_masked"))
+      .orderBy("p_partkey")
+
+  private val regexpFuncsOracle =
+    """SELECT p_partkey,
+      |  coalesce(regexp_extract(p_name, '^([a-z]+) ', 1), '') AS first_word,
+      |  regexp_matches(p_name, 'red|blue') AS has_color,
+      |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+      |  regexp_replace(p_type, '[A-Z]+', '#', 'g') AS type_masked
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -197,5 +282,11 @@ object RelationalExt {
     GraftQuery("join_salted_skew", joinSaltedSkew _, Some(joinSaltedSkewOracle),
       "skew-salted equi-join, identical results to the plain join"),
     GraftQuery("percentile_agg", percentileAgg _, Some(percentileAggOracle),
-      "exact interpolated percentiles per group"))
+      "exact interpolated percentiles per group"),
+    GraftQuery("window_funcs_ext", windowFuncsExt _, Some(windowFuncsExtOracle),
+      "ntile / percent_rank / cume_dist / first-last value"),
+    GraftQuery("union_by_name", unionByNameQ _, Some(unionByNameOracle),
+      "unionByName with missing columns null-filled"),
+    GraftQuery("regexp_funcs", regexpFuncs _, Some(regexpFuncsOracle),
+      "regexp extract / match / mask surface"))
 }
