@@ -351,6 +351,81 @@ object Dedup {
        |WHERE d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= $CosineThreshold
        |ORDER BY p.x, p.y""".stripMargin
 
+  // ----------------------------------------- duplicate-cluster closure
+
+  /** Connected components over the near-dup pair graph — the step that
+    * turns pairwise matches into dedup groups (keep one doc per
+    * cluster). Iterative min-label propagation on DataFrames: each
+    * round every node adopts the minimum label among itself and its
+    * neighbors; converges in O(component diameter) rounds (dup
+    * clusters are shallow — bounded at 20). `localCheckpoint` breaks
+    * the growing lineage each round, the standard pattern for
+    * iterative DataFrame algorithms. At 100 TB this is the same
+    * shuffle-per-round large-join CC used before resorting to graph
+    * frameworks; edges come from the exact n-gram pair set.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("x"), col("y"))
+    val edges = pairs
+      .unionByName(pairs.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("x").as("id")).distinct()
+    var labels = nodes.select(col("id"), col("id").as("root")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val viaNeighbors = edges.as("e")
+        .join(labels.as("l"), col("e.y") === col("l.id"))
+        .select(col("e.x").as("id"), col("l.root").as("cand"))
+      val next = labels.select(col("id"), col("root").as("cand"))
+        .unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("cand")).as("root"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.root") =!= col("o.root")).count()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "root")
+      .select(col("id").as("doc_id"), col("root").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("root")).as("kept"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  private val dupClustersOracle: String = {
+    // same exact-pair pipeline as the ngram oracle, then a recursive
+    // transitive closure (components are tiny, so path enumeration is
+    // bounded) and min-reachable-id labeling
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
+       |e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |common AS (
+       |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS common
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT x, y FROM common
+       |  JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold),
+       |edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+       |reach AS (
+       |  SELECT x AS id, y AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, edges.y AS r FROM reach JOIN edges ON reach.r = edges.x),
+       |comp AS (
+       |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+       |csize AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+       |  c.id = c.cluster_id AS kept
+       |FROM comp c JOIN csize s USING (cluster_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -363,5 +438,7 @@ object Dedup {
     GraftQuery("dedup_simhash", simhash _, Some(simhashOracle),
       "32-bit SimHash signatures (portable hash)"),
     GraftQuery("dedup_embedding_cosine", embeddingCosine _, Some(embeddingCosineOracle),
-      "embedding near-dup pairs, blocked exact cosine"))
+      "embedding near-dup pairs, blocked exact cosine"),
+    GraftQuery("dedup_clusters", dupClusters _, Some(dupClustersOracle),
+      "connected components over the near-dup pair graph (keep-one-per-cluster)"))
 }
