@@ -364,8 +364,45 @@ object Dedup {
     * shuffle-per-round large-join CC used before resorting to graph
     * frameworks; edges come from the exact n-gram pair set.
     */
+  /** Pair graphs small enough for the driver go through union-find
+    * directly (one collect of the already-tiny verified-pair set);
+    * larger graphs run the distributed propagation loop. Both paths
+    * produce min-id roots, so results are identical.
+    */
+  val DriverCcMaxPairs = 1000000L
+
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("x"), col("y"))
+    val pairs = ngramJaccard(spark, dir).select(col("x"), col("y")).localCheckpoint(true)
+    if (pairs.count() <= DriverCcMaxPairs) driverUnionFind(spark, pairs)
+    else distributedCc(pairs)
+  }
+
+  private[operators] def driverUnionFind(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(a: Long): Long = {
+      var r = a
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = a // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val (x, y) = (row.getLong(0), row.getLong(1))
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { // min id becomes the root
+        if (rx < ry) parent(ry) = rx else parent(rx) = ry
+      }
+      parent.getOrElseUpdate(x, find(x)); parent.getOrElseUpdate(y, find(y))
+    }
+    val comp = parent.keys.toSeq.map(id => id -> find(id))
+    val sizes = comp.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    comp.sortBy { case (id, root) => (root, id) }
+      .map { case (id, root) => (id, root, sizes(root), id == root) }
+      .toDF("doc_id", "cluster_id", "cluster_size", "kept")
+  }
+
+  private[operators] def distributedCc(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint(true)
