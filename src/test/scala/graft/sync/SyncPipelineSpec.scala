@@ -228,6 +228,43 @@ class SyncPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(updated.getDecimal(1).toPlainString == "33.330000000")
   }
 
+  test("rebuild intent survives a crash: restart truncates and resyncs from the checkpoint alone") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    val c = cfg.sync.collections.head
+    // steady state with the original collection
+    writeFixture(root, "shop", "orders", (1 to 4).map(i => doc(i, s"$i.00", "gold")))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val table = orch.syncCollection(c, Files.createTempDirectory("ck1").toString)
+    assert(table.read().count() == 4)
+    // a drop arrives; the handler checkpoints the rebuild obligation —
+    // then the process "crashes" (we do nothing further with the stream)
+    val changes = new ChangeStreamSync(spark, c, table, orch.checkpoints, "shop")
+    val drop = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        1L, "drop", null, null, null)), ChangeStreamSync.EventSchema)
+    changes.processBatch(drop, batchId = 0)
+    assert(changes.invalidated)
+    val intent = orch.checkpoints.read("analytics.orders").get
+    assert(intent.state == SyncState.InitialSync)
+    assert(intent.highWaterMarkId.isEmpty && intent.resumeToken.contains(1L))
+    // stale pre-drop rows are still in the table at crash time
+    assert(table.read().count() == 4)
+    // restart: collection was recreated; recovery runs purely from the
+    // checkpoint — decision table says initial sync, no hwm ⇒ truncate
+    writeFixture(root, "shop", "orders", (101 to 102).map(i => doc(i, s"$i.00", "silver")))
+    assert(SyncStateMachine.decideStart(Some(intent)) == SyncStateMachine.InitialSyncPhase)
+    val fresh = graft.schema.DocumentSource.readJsonl(spark,
+      root.resolve("shop/orders.jsonl").toString)
+    new InitialSync(spark, c, table, orch.checkpoints, "shop").run(fresh)
+    val ids = table.read().orderBy("_id").collect().map(_.getString(0)).toSeq
+    assert(ids == Seq(oid(101), oid(102))) // pre-drop rows truncated
+    val cp = orch.checkpoints.read("analytics.orders").get
+    assert(cp.state == SyncState.SteadyState)
+    assert(cp.resumeToken.contains(1L)) // pre-drop events stay retired
+  }
+
   test("syncAll: multi-collection drive; explicit mapping projects/renames/casts") {
     val root = Files.createTempDirectory("sync-fix")
     val wh = Files.createTempDirectory("sync-wh").toString
