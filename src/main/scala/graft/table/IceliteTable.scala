@@ -72,6 +72,23 @@ final class IceliteTable private (
     commitWrite(df, deleteKeys = Some(df.select(keyCols.map(col): _*)),
       keyCols = keyCols, operation = "upsert")
 
+  /** Commit files the CALLER writes (Iceberg's own commit surface: the
+    * engine places data/delete files, the table commits them). The
+    * writer callback receives the commit seq (re-invoked with a fresh
+    * seq on optimistic-retry) and returns (dataFiles, deleteFiles,
+    * recordCount) as location-relative paths. Lets driver-side writers
+    * (e.g. one-row checkpoint upserts via a raw parquet writer) commit
+    * without launching Spark jobs; orphans from failed attempts are
+    * reclaimed by [[expireSnapshots]].
+    */
+  def commitFiles(operation: String)(
+      writer: Long => (Seq[String], Seq[String], Long)): Long = retryCommit { head =>
+    val seq = head.lastSeq + 1
+    val (dataFiles, deleteFiles, count) = writer(seq)
+    (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), operation,
+      dataFiles, deleteFiles, count)), seq)
+  }
+
   /** Delete by key (reference R2): equality-delete file only. */
   def delete(keys: DataFrame, keyCols: Seq[String]): Long =
     commitWrite(null, deleteKeys = Some(keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)),
