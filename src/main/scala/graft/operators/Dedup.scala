@@ -423,6 +423,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $iter rounds " +
+          "(component diameter exceeds the cap; raise the bound)")
     val sizes = labels.groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "root")
       .select(col("id").as("doc_id"), col("root").as("cluster_id"),

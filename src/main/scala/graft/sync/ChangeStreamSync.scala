@@ -47,22 +47,17 @@ final class ChangeStreamSync(
 
   private val syncId = cfg.target.qualifiedName
   @volatile private var invalidatedFlag = false
-  @volatile private var invalidatedSeq: Option[Long] = None
   private var batchesSinceMaintenance = 0
 
-  /** True once a drop/rename/invalidate control event was seen —
-    * the state machine must re-run initial sync (reference T7).
+  /** True once a drop/rename/invalidate control event was seen — the
+    * state machine must re-run initial sync (reference T7). The resume
+    * point past the control event lives in the checkpointed rebuild
+    * intent, not here.
     */
   def invalidated: Boolean = invalidatedFlag
 
-  /** Change seq of the first control event seen (resume point for the
-    * post-rebuild stream: events ≤ this seq are pre-drop and must not
-    * be replayed onto the rebuilt table).
-    */
-  def invalidatedAtSeq: Option[Long] = invalidatedSeq
-
   /** Re-arm after the orchestrator completed a rebuild. */
-  def resetInvalidated(): Unit = { invalidatedFlag = false; invalidatedSeq = None }
+  def resetInvalidated(): Unit = invalidatedFlag = false
 
   /** Start the stream from an event-log directory of JSONL files. */
   def start(
@@ -120,7 +115,6 @@ final class ChangeStreamSync(
         lastSnapshotId = table.meta.lastSeq,
         lastBatchId = -1L, // post-rebuild replay starts a fresh batch numbering
         updatedAtMs = System.currentTimeMillis()))
-      invalidatedSeq = Some(ctrlSeq)
       invalidatedFlag = true // R7: invalidate ⇒ re-initial-sync
       return
     }

@@ -72,6 +72,14 @@ final class SyncOrchestrator(
         // and post-drop events that shared a micro-batch with the
         // control event are never lost to a consumed stream offset
         val tok = checkpoints.read(syncId).flatMap(_.resumeToken).getOrElse(-1L)
+        // a fresh dir restarts micro-batch numbering at 0, so the
+        // batch-id idempotence guard must be reset per drain lineage —
+        // otherwise a prior drain's lastBatchId swallows the renumbered
+        // batches that now carry NEW events. Cross-lineage idempotence
+        // comes from the resume-token seq filter, not batch ids.
+        checkpoints.read(syncId).filter(_.lastBatchId >= 0).foreach { cp =>
+          checkpoints.write(cp.copy(lastBatchId = -1L))
+        }
         val q = changes.start(changeLogPath(c), s"$streamCheckpointDir/t${tok}r$round", availableNow = true)
         q.awaitTermination()
         if (changes.invalidated) {

@@ -63,15 +63,6 @@ final class IceliteTable private (
       keyCols = keyCols, operation = "upsert")
   }
 
-  /** Upsert of a batch the caller guarantees is already one-row-per-key
-    * (e.g. the checkpoint store's single-row writes): skips the LWW
-    * dedup shuffle of [[upsert]] and goes straight to the
-    * delete+append commit.
-    */
-  def upsertPrepared(df: DataFrame, keyCols: Seq[String]): Long =
-    commitWrite(df, deleteKeys = Some(df.select(keyCols.map(col): _*)),
-      keyCols = keyCols, operation = "upsert")
-
   /** Commit files the CALLER writes (Iceberg's own commit surface: the
     * engine places data/delete files, the table commits them). The
     * writer callback receives the commit seq (re-invoked with a fresh
@@ -129,9 +120,13 @@ final class IceliteTable private (
       // row counts AND per-file partition-column min/max from the
       // footers of what was actually written — one driver-side
       // metadata read per file, no second scan; the stats land in the
-      // snapshot so later reads prune files from table metadata alone
+      // snapshot so later reads prune files from table metadata alone.
+      // Only transforms with a sound string comparator are recorded
+      // (see prunableColumns) — a column we can't compare safely is
+      // simply never pruned.
       val files = listParquet(out)
-      val infos = files.map(f => f -> footerInfo(f, partCols.map(_._1).toSet))
+      val statCols = prunableColumns(head.partitioning)
+      val infos = files.map(f => f -> footerInfo(f, statCols))
       val stats = infos.collect { case (f, (_, s)) if s.nonEmpty => f -> s }.toMap
       (files, infos.map(_._2._1).sum, stats)
     } else (Seq.empty[String], 0L, Map.empty[String, Map[String, (String, String)]])
@@ -182,14 +177,21 @@ final class IceliteTable private (
 
   /** Keys equality-deleted (or replaced by upsert) after `sinceSeq`,
     * tagged with the deleting commit's seq — the removal half of the
-    * incremental feed.
+    * incremental feed. The empty result keeps the key schema of the
+    * table's existing delete files (so a consumer's `.select("_id")`
+    * works on quiet periods too); a table that never saw a delete has
+    * no key schema to offer and yields just the seq column.
     */
   def readDeleteKeysSince(sinceSeq: Long): DataFrame = {
     val files = cachedMeta.snapshots.filter(_.seq > sinceSeq).flatMap(_.deleteFiles)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        new StructType().add(SeqCol, "long"))
-    else spark.read.parquet(files.map(abs): _*)
+    if (files.nonEmpty) spark.read.parquet(files.map(abs): _*)
+    else {
+      val anyDeletes = cachedMeta.liveDeleteFiles
+      val schema =
+        if (anyDeletes.nonEmpty) spark.read.parquet(anyDeletes.map(abs): _*).schema
+        else new StructType().add(SeqCol, "long")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** MoR survivor filter shared by every read path: a row survives
@@ -258,7 +260,7 @@ final class IceliteTable private (
           else d.repartition(nFiles)
         repartitioned.write.mode("errorifexists").parquet(out)
         val files = listParquet(out)
-        val statCols = partCols.map(_._1).toSet
+        val statCols = prunableColumns(head.partitioning)
         val stats = files.map(f => f -> footerInfo(f, statCols)._2)
           .collect { case (f, s) if s.nonEmpty => f -> s }.toMap
         (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "rewrite",
@@ -347,23 +349,29 @@ final class IceliteTable private (
       val dst = new Path(s"$location/metadata/${versionFile(nextVersion)}")
       val claim = new Path(s"$location/metadata/${versionFile(nextVersion)}.claim")
       val payload = TableMeta.toJson(next)
-      if (!fs.exists(dst) && tryExclusiveCreate(fs, claim)) {
+      val claimToken = UUID.randomUUID().toString
+      if (!fs.exists(dst) && tryExclusiveCreate(fs, claim, claimToken)) {
         val tmp = new Path(s"$location/metadata/.v$nextVersion-${UUID.randomUUID()}.tmp")
         writeString(fs, tmp, payload)
-        if (fs.rename(tmp, dst) && readString(fs, dst) == payload) {
+        // ownership fence: if our claim was TTL-broken while we stalled
+        // (GC pause, fs hang), another writer may have published this
+        // version — re-check the claim still carries OUR token before
+        // the overwriting rename, so a revenant holder can't clobber a
+        // successor's committed metadata
+        val stillOurs = scala.util.Try(readString(fs, claim)).toOption.contains(claimToken)
+        if (stillOurs && fs.rename(tmp, dst) && readString(fs, dst) == payload) {
           cachedMeta = next
           return seq
         }
-        // we own this claim and failed to publish — release it, or the
-        // version is permanently wedged for every writer
+        // we own (or owned) this claim and failed to publish — release
+        // it if still ours, or the version wedges for every writer
         fs.delete(tmp, false)
-        fs.delete(claim, false)
-      } else if (!fs.exists(dst) && fs.exists(claim) &&
-        System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > ClaimTtlMs) {
+        if (stillOurs) fs.delete(claim, false)
+      } else if (!fs.exists(dst) && isOrphanedClaim(fs, claim)) {
         // crash-orphaned claim (holder died between claim and publish):
         // break it so the table doesn't wedge forever. TTL is far above
-        // any real publish latency (a metadata write), so a live holder
-        // is never raced.
+        // any real publish latency; the ownership fence above covers
+        // the pathological holder that resurfaces after the TTL.
         fs.delete(claim, false)
       }
       attempts += 1
@@ -373,18 +381,21 @@ final class IceliteTable private (
     -1L // unreachable
   }
 
-  /** Atomic create-if-absent: O_EXCL via java.nio for local paths (the
-    * Hadoop local fs maps create(overwrite=false) to a non-atomic
-    * exists-then-create), Hadoop's exclusive create elsewhere.
+  /** Atomic create-if-absent carrying the claimant's token: O_EXCL via
+    * java.nio for local paths (the Hadoop local fs maps
+    * create(overwrite=false) to a non-atomic exists-then-create),
+    * Hadoop's exclusive create elsewhere.
     */
-  private def tryExclusiveCreate(fs: FileSystem, p: Path): Boolean = {
+  private def tryExclusiveCreate(fs: FileSystem, p: Path, token: String): Boolean = {
     val uri = p.toUri
     try {
       if (uri.getScheme == null || uri.getScheme == "file") {
-        java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
+        java.nio.file.Files.write(java.nio.file.Paths.get(uri.getPath),
+          token.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE_NEW)
         true
       } else {
-        fs.create(p, false).close()
+        val out = fs.create(p, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
         true
       }
     } catch {
@@ -393,6 +404,16 @@ final class IceliteTable private (
       case _: java.io.IOException => false // treated as lost race; bounded by the retry cap
     }
   }
+
+  /** Claim older than the TTL with no published version — tolerant of
+    * a concurrent breaker deleting it between our exists check and the
+    * status read.
+    */
+  private def isOrphanedClaim(fs: FileSystem, claim: Path): Boolean =
+    try {
+      fs.exists(claim) &&
+        System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > ClaimTtlMs
+    } catch { case _: java.io.IOException => false }
 
   def refresh(): TableMeta = {
     val (m, _) = loadHead(fileSystem(), location)
@@ -418,11 +439,29 @@ final class IceliteTable private (
     out.result()
   }
 
+  /** Partition columns whose rendered stats have a sound comparator,
+    * mapped to whether that comparator is numeric: year/bucket yield
+    * ints (numeric compare); month/day/hour yield zero-padded date
+    * strings (lexicographic compare). Identity transforms are EXCLUDED
+    * — a raw double/timestamp/string rendering has no reliable string
+    * ordering, and a wrong comparator under-prunes silently, so those
+    * columns are simply never candidates for metadata pruning (row-
+    * group stats inside parquet still apply at scan time).
+    */
+  private def prunableColumns(parts: Seq[PartitionConfig]): Map[String, Boolean] =
+    parts.collect {
+      case p if p.transform == "year" || p.transform.startsWith("bucket") =>
+        partColName(p) -> true
+      case p if p.transform == "month" || p.transform == "day" || p.transform == "hour" =>
+        partColName(p) -> false
+    }.toMap
+
   /** Row count + min/max of the requested columns from one parquet
-    * file's footer (driver-side metadata read only).
+    * file's footer (driver-side metadata read only); `numericByCol`
+    * gives each column's stat comparator.
     */
   private def footerInfo(
-      rel: String, statCols: Set[String]): (Long, Map[String, (String, String)]) = {
+      rel: String, numericByCol: Map[String, Boolean]): (Long, Map[String, (String, String)]) = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new Path(abs(rel)), spark.sparkContext.hadoopConfiguration)
@@ -434,13 +473,14 @@ final class IceliteTable private (
         b.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
           val s = c.getStatistics
-          if (statCols.contains(name) && s != null && s.hasNonNullValue) {
+          if (numericByCol.contains(name) && s != null && s.hasNonNullValue) {
+            val numeric = numericByCol(name)
             val mn = renderStat(s.genericGetMin)
             val mx = renderStat(s.genericGetMax)
             stats.updateWith(name) {
               case Some((pm, px)) => Some((
-                if (IceliteTable.cmpStat(mn, pm) < 0) mn else pm,
-                if (IceliteTable.cmpStat(mx, px) > 0) mx else px))
+                if (IceliteTable.cmpStat(mn, pm, numeric) < 0) mn else pm,
+                if (IceliteTable.cmpStat(mx, px, numeric) > 0) mx else px))
               case None => Some((mn, mx))
             }
           }
@@ -455,23 +495,32 @@ final class IceliteTable private (
     case x => String.valueOf(x)
   }
 
+  private def pruneComparatorFor(partCol: String): Boolean =
+    prunableColumns(cachedMeta.partitioning).getOrElse(partCol,
+      throw new IllegalArgumentException(
+        s"$partCol is not a prunable partition column (identity transforms " +
+          "have no sound stat ordering — filter on the base column instead)"))
+
   /** Data files whose stored [partCol] range may intersect
     * [lower, upper] (inclusive, either side optional) — pure table
     * metadata, no file IO. Files without stats are kept (never prune
-    * on missing information).
+    * on missing information). Only non-identity transforms are
+    * prunable (see [[prunableColumns]]).
     */
   def pruneDataFiles(
-      partCol: String, lower: Option[String], upper: Option[String]): Seq[String] =
+      partCol: String, lower: Option[String], upper: Option[String]): Seq[String] = {
+    val numeric = pruneComparatorFor(partCol)
     cachedMeta.snapshots.flatMap { s =>
       s.dataFiles.filter { f =>
         s.fileStats.get(f).flatMap(_.get(partCol)) match {
           case Some((mn, mx)) =>
-            lower.forall(lo => IceliteTable.cmpStat(mx, lo) >= 0) &&
-              upper.forall(hi => IceliteTable.cmpStat(mn, hi) <= 0)
+            lower.forall(lo => IceliteTable.cmpStat(mx, lo, numeric) >= 0) &&
+              upper.forall(hi => IceliteTable.cmpStat(mn, hi, numeric) <= 0)
           case None => true
         }
       }
     }
+  }
 
   /** MoR read restricted to one partition-column range: files outside
     * the range are pruned from metadata stats (the Iceberg-manifest
@@ -482,7 +531,7 @@ final class IceliteTable private (
   def readRange(partCol: String, lower: Option[String], upper: Option[String]): DataFrame = {
     val m = cachedMeta
     val keep = pruneDataFiles(partCol, lower, upper).toSet
-    val dt = addPartitionFields(new StructType(), m.partitioning)
+    val dt = addPartitionFields(m.schema, m.partitioning)
       .find(_.name == partCol)
       .map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(s"unknown partition column $partCol"))
@@ -526,15 +575,19 @@ object IceliteTable {
     */
   val ClaimTtlMs: Long = 10L * 60 * 1000
 
-  /** Stat-string comparison: numeric when both sides parse as long
-    * (year/bucket int columns), lexicographic otherwise (the
-    * "yyyy-MM[-dd[-HH]]" string transforms order correctly as text).
+  /** Stat-string comparison under the column's declared comparator:
+    * numeric for int transforms (year/bucket), lexicographic for the
+    * zero-padded "yyyy-MM[-dd[-HH]]" string transforms. An unparseable
+    * numeric operand disables pruning decisions safely by comparing
+    * equal-to-everything (caller keeps the file).
     */
-  private[table] def cmpStat(a: String, b: String): Int =
-    (a.toLongOption, b.toLongOption) match {
-      case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
-      case _ => a.compareTo(b)
-    }
+  private[table] def cmpStat(a: String, b: String, numeric: Boolean): Int =
+    if (numeric)
+      (a.toLongOption, b.toLongOption) match {
+        case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+        case _ => 0
+      }
+    else a.compareTo(b)
 
   /** Derived hive-partition column name for a transform. */
   def partColName(p: PartitionConfig): String = s"_p_${p.field}_${sanitize(p.transform)}"
