@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkFixture, SparkEntry}
+
+/** Plan-shape regressions: the scale properties the queries claim
+  * (filter pushdown into the parquet scan, broadcast joins for dims,
+  * no cartesian products where an equi-join is intended) must survive
+  * refactors — a correct-but-badly-planned query is a regression even
+  * when its rows still match.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("selective filters reach the parquet scan (PushedFilters)") {
+    val p = planOf("filter_agg_revenue")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("GreaterThanOrEqual(l_discount"))
+  }
+
+  test("column pruning: Q1 scan reads only the needed lineitem columns") {
+    val p = planOf("agg_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_partkey"), s"unpruned scan: $readSchema")
+  }
+
+  test("dimension joins broadcast; no cartesian product sneaks in") {
+    assert(planOf("join_broadcast_dim").contains("BroadcastHashJoin"))
+    val q3 = planOf("join_shipping_priority")
+    assert(q3.contains("BroadcastHashJoin"))
+    assert(!q3.contains("CartesianProduct"))
+  }
+
+  test("range join runs as an equi-join on (user, bucket), not a nested loop") {
+    val p = planOf("range_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(planOf("sort_limit_global").contains("TakeOrderedAndProject"))
+  }
+}

@@ -28,9 +28,10 @@ class SyncPipelineSpec extends AnyFunSuite with SparkFixture {
     Files.writeString(dir.resolve(s"$batch.json"), events.mkString("", "\n", "\n"))
   }
 
-  private def doc(i: Int, total: String, tier: String): String =
-    s"""{"_id":{"$$oid":"${oid(i)}"},"total":{"$$numberDecimal":"$total"},"customer":{"name":"c$i","tier":"$tier"},"orderDate":{"$$date":"2024-01-${(i % 27) + 1}%02dT00:00:00Z"}}"""
-      .replace("%02d", f"${(i % 27) + 1}%02d")
+  private def doc(i: Int, total: String, tier: String): String = {
+    val day = f"${(i % 27) + 1}%02d"
+    s"""{"_id":{"$$oid":"${oid(i)}"},"total":{"$$numberDecimal":"$total"},"customer":{"name":"c$i","tier":"$tier"},"orderDate":{"$$date":"2024-01-${day}T00:00:00Z"}}"""
+  }
 
   private def config(root: Path, wh: String): SyncConfig = SyncConfig(
     MongoConfig(root.toString, "shop"),
@@ -291,6 +292,55 @@ class SyncPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(users.map(_.getLong(2)).toSeq == Seq(21L, 22L, 23L)) // int → long override
     assert(tables("analytics.users").schema.fieldNames.toSeq ==
       Seq("_id", "user_name", "age", "active"))
+  }
+
+  test("explicit-mode mapping skips schema evolution (log-and-ignore, design §evolution)") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val c = CollectionSyncConfig(
+      SourceConfig("orders"), TargetConfig("analytics", "orders"),
+      mapping = MappingConfig(MappingConfig.ModeExplicit, Seq(
+        FieldMapping("_id", "_id", None),
+        FieldMapping("total", "total", Some("double")))))
+    val cfg = SyncConfig(
+      MongoConfig(root.toString, "shop"),
+      IcebergConfig(CatalogConfig("local", warehouse = Some(wh))),
+      SyncSection(Seq(c)))
+    writeFixture(root, "shop", "orders", (1 to 3).map(i => doc(i, s"$i.00", "gold")))
+    // change event carries a NEW field; explicit mode must not widen
+    val evolved =
+      s"""{"_id":{"$$oid":"${oid(9)}"},"total":{"$$numberDouble":"9.0"},"surprise":"nope"}"""
+    writeChanges(root, "shop", "orders", "b0", Seq(
+      s"""{"seq":1,"op":"insert","_id":"${oid(9)}","fullDocument":${jstr(evolved)},"clusterTime":"2024-03-01T00:00:00.000Z"}"""))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val table = orch.syncCollection(c, Files.createTempDirectory("ck").toString)
+    assert(table.schema.fieldNames.toSeq == Seq("_id", "total")) // no "surprise" column
+    assert(table.read().count() == 4)
+  }
+
+  test("partitioned sync: transform columns recorded with stats; readRange prunes the synced table") {
+    import graft.table.IceliteTable
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val c = CollectionSyncConfig(
+      SourceConfig("orders"), TargetConfig("analytics", "orders"),
+      partitioning = Seq(PartitionConfig("orderDate", "month")),
+      batch = BatchConfig(maxRecords = 10, maxBytes = 1 << 20, flushIntervalSeconds = 1))
+    val cfg = SyncConfig(
+      MongoConfig(root.toString, "shop"),
+      IcebergConfig(CatalogConfig("local", warehouse = Some(wh))),
+      SyncSection(Seq(c)))
+    // docs span January 2024 by construction
+    writeFixture(root, "shop", "orders", (1 to 25).map(i => doc(i, s"$i.00", "gold")))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val table = orch.syncCollection(c, Files.createTempDirectory("ck").toString)
+    val partCol = IceliteTable.partColName(PartitionConfig("orderDate", "month"))
+    assert(table.meta.snapshots.exists(_.fileStats.nonEmpty))
+    val jan = table.readRange(partCol, Some("2024-01"), Some("2024-01"))
+    assert(jan.count() == 25)
+    assert(table.readRange(partCol, Some("2024-02"), None).count() == 0)
+    // pruning answered the out-of-range query from metadata alone
+    assert(table.pruneDataFiles(partCol, Some("2024-02"), None).isEmpty)
   }
 
   test("state machine decision table + backoff curve") {
