@@ -358,6 +358,75 @@ object Similarity {
        |SELECT q_id, vec_id, cosine, rank FROM ranked
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // --------------------------------------------------- SQ8 quantization
+
+  /** Scalar-quantized (int8) similarity — the memory-bound scale path:
+    * embeddings stored as 256-level codes (4× smaller than float32, the
+    * difference between fitting an index in RAM or not at 100 TB), with
+    * per-vector min/max calibration. Scoring runs over the DEQUANTIZED
+    * reconstruction; top-5 per query with the usual exact-decimal dot.
+    * Quantization uses floor(x + 0.5) — identical in every engine,
+    * unlike round()'s half-even/half-up split.
+    */
+  def topkSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      .withColumn("q", transform(col("embedding"), v =>
+        least(lit(255.0), floor((v.cast("double") - col("mn")) / col("scale") + 0.5))))
+      .withColumn("deq", transform(col("q"), c => col("mn") + c * col("scale")))
+      .select(col("vec_id"), col("deq"),
+        decimalNormSq(col("deq")).as("nsq"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("deq").as("q_deq"), col("nsq").as("q_nsq"))
+    val scored = e.filter(col("vec_id") >= NumQueries).crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(decimalDot(col("q_deq"), col("deq")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cosine_q8"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine_q8"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val topkSq8Oracle =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+       |    CAST(list_max(embedding) AS DOUBLE) AS mx
+       |  FROM embeddings),
+       |cal AS (
+       |  SELECT vec_id, embedding, mn, (mx - mn) / 255.0 AS scale FROM e),
+       |deq AS (
+       |  SELECT vec_id, i,
+       |    mn + least(255.0, floor((CAST(embedding[i] AS DOUBLE) - mn) / scale + 0.5)) * scale AS val
+       |  FROM cal, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+       |norms AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(val * val AS DECIMAL(38,20))) AS DOUBLE) AS nsq
+       |  FROM deq GROUP BY vec_id),
+       |dots AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |    CAST(sum(CAST(dq.val * dc.val AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id >= $NumQueries
+       |  JOIN deq dq ON dq.vec_id = q.vec_id
+       |  JOIN deq dc ON dc.vec_id = c.vec_id AND dc.i = dq.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.q_id, d.vec_id,
+       |    round(d.dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 12) AS cosine_q8
+       |  FROM dots d JOIN norms nq ON d.q_id = nq.vec_id
+       |  JOIN norms nc ON d.vec_id = nc.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine_q8,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine_q8 DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cosine_q8, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -366,5 +435,7 @@ object Similarity {
     GraftQuery("sim_topk_lsh", topkLsh _, Some(topkLshOracle),
       "sign-LSH bucketed ANN with Hamming-1 probing + exact re-rank"),
     GraftQuery("sim_topk_ivf", topkIvf _, Some(topkIvfOracle),
-      "IVF-cell ANN: decimal-sum centroids, 2-cell probe, exact re-rank"))
+      "IVF-cell ANN: decimal-sum centroids, 2-cell probe, exact re-rank"),
+    GraftQuery("sim_topk_sq8", topkSq8 _, Some(topkSq8Oracle),
+      "int8 scalar-quantized similarity (memory-bound scale path)"))
 }
