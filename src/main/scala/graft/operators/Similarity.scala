@@ -373,7 +373,11 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         array_min(col("embedding")).cast("double").as("mn"),
         array_max(col("embedding")).cast("double").as("mx"))
-      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      // a constant vector has mx == mn: scale clamps to 1 so every
+      // code is 0 and the reconstruction is exactly mn (no div-by-zero,
+      // whose semantics differ between engines)
+      .withColumn("scale",
+        when(col("mx") > col("mn"), (col("mx") - col("mn")) / 255.0).otherwise(lit(1.0)))
       .withColumn("q", transform(col("embedding"), v =>
         least(lit(255.0), floor((v.cast("double") - col("mn")) / col("scale") + 0.5))))
       .withColumn("deq", transform(col("q"), c => col("mn") + c * col("scale")))
@@ -398,7 +402,9 @@ object Similarity {
        |    CAST(list_max(embedding) AS DOUBLE) AS mx
        |  FROM embeddings),
        |cal AS (
-       |  SELECT vec_id, embedding, mn, (mx - mn) / 255.0 AS scale FROM e),
+       |  SELECT vec_id, embedding, mn,
+       |    CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale
+       |  FROM e),
        |deq AS (
        |  SELECT vec_id, i,
        |    mn + least(255.0, floor((CAST(embedding[i] AS DOUBLE) - mn) / scale + 0.5)) * scale AS val

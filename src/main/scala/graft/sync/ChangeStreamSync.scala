@@ -144,7 +144,7 @@ final class ChangeStreamSync(
         .select(col("_id").as("_change_id"), col("seq"), col("fullDocument"))
       val evolved = maybeEvolve(upserts)
       val idType = evolved.schema("_id").dataType
-      val images = parseImages(spark, upserts, evolved.schema, idType)
+      val images = parseImages(spark, upserts, evolved.schema, idType, cfg.mapping)
 
       // delete keys conform to the table's _id type so the MoR
       // anti-join compares natively (ADVICE r1: string event keys vs
@@ -212,21 +212,42 @@ object ChangeStreamSync {
     * upsert key is always the change-stream key, cast to the table's
     * `_id` type (ADVICE r1: the raw event string would corrupt tables
     * with non-string ids).
+    *
+    * Explicit-mode mappings apply the SAME projection/rename the
+    * initial sync applied (reference T2): each target field is filled
+    * by dot-path navigation of the post-image to its configured source
+    * — resolving by target name alone would silently null every
+    * renamed column on the steady-state path.
     */
   private[sync] def parseImages(
       spark: SparkSession,
       upserts: DataFrame,
       schema: StructType,
-      idType: DataType): DataFrame = {
+      idType: DataType,
+      mapping: graft.config.MappingConfig): DataFrame = {
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema, lenient = true)
     val idIdx = schema.fieldIndex("_id")
+    // target field name -> dot-path in the source document
+    val sourcePaths: Map[String, Seq[String]] =
+      if (mapping.mode == graft.config.MappingConfig.ModeAuto) Map.empty
+      else mapping.fields.map(f => f.target -> f.source.split('.').toSeq).toMap
     upserts.select(col("_change_id").cast(idType).as("_change_id"), col("fullDocument"))
       .mapPartitions { it =>
         val mapper = new ObjectMapper()
         it.flatMap { r =>
           Option(r.getString(1)).map { json =>
-            val row = DocumentConverter.toRow(mapper.readTree(json), schema)
-            val values = row.toSeq.toArray
+            val doc = mapper.readTree(json)
+            val values: Array[Any] =
+              if (sourcePaths.isEmpty) DocumentConverter.toRow(doc, schema).toSeq.toArray
+              else schema.fields.map { f =>
+                val node = sourcePaths.get(f.name) match {
+                  case Some(path) => path.foldLeft(doc: com.fasterxml.jackson.databind.JsonNode) {
+                    (n, seg) => if (n != null && n.isObject) n.get(seg) else null
+                  }
+                  case None => if (doc.isObject) doc.get(f.name) else null
+                }
+                DocumentConverter.convert(node, f.dataType)
+              }
             values(idIdx) = r.get(0) // event key wins, already table-typed
             Row.fromSeq(values.toIndexedSeq)
           }

@@ -137,7 +137,13 @@ final class IceliteTable private (
         listParquet(out)
       case None => Nil
     }
-    (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), operation,
+    // remember the delete-key columns in table properties so the key
+    // schema survives compaction folding every delete file away
+    val withKeyProp =
+      if (keyCols.nonEmpty && !head.properties.contains(DeleteKeyColumnsProp))
+        head.copy(properties = head.properties + (DeleteKeyColumnsProp -> keyCols.mkString(",")))
+      else head
+    (withKeyProp.withSnapshot(Snapshot(seq, System.currentTimeMillis(), operation,
       dataFiles, deleteFiles, count, fileStats)), seq)
   }
 
@@ -177,19 +183,23 @@ final class IceliteTable private (
 
   /** Keys equality-deleted (or replaced by upsert) after `sinceSeq`,
     * tagged with the deleting commit's seq — the removal half of the
-    * incremental feed. The empty result keeps the key schema of the
-    * table's existing delete files (so a consumer's `.select("_id")`
-    * works on quiet periods too); a table that never saw a delete has
-    * no key schema to offer and yields just the seq column.
+    * incremental feed. The empty result keeps the key schema recorded
+    * in table properties at the first delete commit (so a consumer's
+    * `.select("_id")` works on quiet periods and after compaction
+    * folded all delete files away); a table that never saw a delete
+    * yields just the seq column.
     */
   def readDeleteKeysSince(sinceSeq: Long): DataFrame = {
     val files = cachedMeta.snapshots.filter(_.seq > sinceSeq).flatMap(_.deleteFiles)
     if (files.nonEmpty) spark.read.parquet(files.map(abs): _*)
     else {
-      val anyDeletes = cachedMeta.liveDeleteFiles
-      val schema =
-        if (anyDeletes.nonEmpty) spark.read.parquet(anyDeletes.map(abs): _*).schema
-        else new StructType().add(SeqCol, "long")
+      val schema = cachedMeta.properties.get(DeleteKeyColumnsProp) match {
+        case Some(cols) =>
+          cols.split(',').foldLeft(new StructType()) { (acc, c) =>
+            acc.add(cachedMeta.schema(c))
+          }.add(SeqCol, "long")
+        case None => new StructType().add(SeqCol, "long")
+      }
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
   }
@@ -356,8 +366,13 @@ final class IceliteTable private (
         // ownership fence: if our claim was TTL-broken while we stalled
         // (GC pause, fs hang), another writer may have published this
         // version — re-check the claim still carries OUR token before
-        // the overwriting rename, so a revenant holder can't clobber a
-        // successor's committed metadata
+        // the overwriting rename. This is check-then-act, not atomic:
+        // a holder that stalls AGAIN between this read and the rename
+        // can still clobber a successor, but that needs two >TTL stalls
+        // straddling a millisecond window. A filesystem without
+        // compare-and-swap cannot do better — deployments needing a
+        // hard guarantee put the claim in a lock service (metastore /
+        // DynamoDB), exactly as Iceberg's HadoopCatalog documents.
         val stillOurs = scala.util.Try(readString(fs, claim)).toOption.contains(claimToken)
         if (stillOurs && fs.rename(tmp, dst) && readString(fs, dst) == payload) {
           cachedMeta = next
@@ -394,16 +409,29 @@ final class IceliteTable private (
           token.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE_NEW)
         true
       } else {
-        val out = fs.create(p, false)
-        try out.write(token.getBytes("UTF-8")) finally out.close()
-        true
+        val out = try fs.create(p, false) catch {
+          case e: Throwable => throw new ClaimRaceLost(e)
+        }
+        // create succeeded: a write/close failure must release the
+        // claim we now own, or the version wedges until the TTL
+        try { out.write(token.getBytes("UTF-8")); out.close(); true }
+        catch {
+          case e: java.io.IOException =>
+            scala.util.Try(out.close())
+            scala.util.Try(fs.delete(p, false))
+            false
+        }
       }
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: ClaimRaceLost => false
       case _: java.io.IOException => false // treated as lost race; bounded by the retry cap
     }
   }
+
+  /** Marker: the exclusive create itself failed (claim NOT owned). */
+  private final class ClaimRaceLost(cause: Throwable) extends Exception(cause)
 
   /** Claim older than the TTL with no published version — tolerant of
     * a concurrent breaker deleting it between our exists check and the
@@ -560,7 +588,9 @@ final class IceliteTable private (
   }
 
   private def keyColumnsOfDeletes(deleteFiles: Seq[String]): Seq[String] = {
-    val delSchema = spark.read.parquet(deleteFiles.map(abs): _*).schema
+    // all delete files share the key schema by construction — one
+    // footer read, not a listing of every live delete file
+    val delSchema = spark.read.parquet(abs(deleteFiles.head)).schema
     delSchema.fieldNames.filterNot(_ == SeqCol).toSeq
   }
 }
@@ -574,6 +604,12 @@ object IceliteTable {
     * (holder crashed between claim and publish) and may be broken.
     */
   val ClaimTtlMs: Long = 10L * 60 * 1000
+
+  /** Table property recording the equality-delete key columns (set at
+    * the first delete commit; survives compaction folding the delete
+    * files away).
+    */
+  val DeleteKeyColumnsProp = "graft.delete.key.columns"
 
   /** Stat-string comparison under the column's declared comparator:
     * numeric for int transforms (year/bucket), lexicographic for the

@@ -283,13 +283,20 @@ class SyncPipelineSpec extends AnyFunSuite with SparkFixture {
             FieldMapping("profile.name", "user_name", None),
             FieldMapping("profile.age", "age", Some("long")),
             FieldMapping("active", "active", None)))))))
+    // change events must run through the SAME explicit projection:
+    // an update whose post-image carries the SOURCE shape (nested
+    // profile.name / profile.age) lands with renamed+cast columns
+    writeChanges(root, "shop", "users", "b0", Seq(
+      s"""{"seq":1,"op":"update","_id":"${oid(101)}","fullDocument":${jstr(
+        s"""{"_id":{"$$oid":"${oid(101)}"},"profile":{"name":"u1-renamed","age":{"$$numberInt":"31"}},"active":false}""")},"clusterTime":"2024-02-01T00:00:00.000Z"}"""))
     val orch = new SyncOrchestrator(spark, cfg, wh)
     val tables = orch.syncAll(Files.createTempDirectory("ck").toString)
     assert(tables.keySet == Set("analytics.orders", "analytics.users"))
     assert(tables("analytics.orders").read().count() == 5)
     val users = tables("analytics.users").read().orderBy("_id").collect()
-    assert(users.map(_.getString(1)).toSeq == Seq("u1", "u2", "u3"))
-    assert(users.map(_.getLong(2)).toSeq == Seq(21L, 22L, 23L)) // int → long override
+    assert(users.map(_.getString(1)).toSeq == Seq("u1-renamed", "u2", "u3"))
+    assert(users.map(_.getLong(2)).toSeq == Seq(31L, 22L, 23L)) // int → long override
+    assert(users.head.getBoolean(3) == false) // updated via the stream
     assert(tables("analytics.users").schema.fieldNames.toSeq ==
       Seq("_id", "user_name", "age", "active"))
   }
