@@ -48,6 +48,17 @@ object Dedup {
   val CosineThreshold = 0.45
   val ShingleWidth = 5
 
+  /** Document-frequency cap on the shingle index: a shingle present in
+    * more than this many documents is boilerplate (license headers,
+    * navigation chrome) and carries no dedup signal, while its
+    * inverted-index posting list creates df² candidate pairs — one
+    * shingle shared by 10⁶ docs is a 10¹² bucket. Capping df bounds
+    * the self-join fanout to MaxShingleDf per posting list, which is
+    * what lets the n-gram path survive 100 TB skew. Mirrored
+    * bit-for-bit in every dedup oracle.
+    */
+  val MaxShingleDf = 128
+
   // ----------------------------------------------------------- helpers
 
   /** Portable 32-bit content hash: md5 hex prefix as unsigned int. */
@@ -80,24 +91,38 @@ object Dedup {
   }
 
   /** Memoized cached shingle index per (session, dataset): the exploded
-    * distinct (doc_id, s, h) stream every dedup operator starts from.
-    * In a real deployment this is the materialized inverted index you
-    * build once and reuse across dedup passes; here the memo keeps the
-    * scan+window from running once per query in the same session.
+    * distinct (doc_id, s, h) stream every dedup operator starts from,
+    * with the [[MaxShingleDf]] stop-shingle cap applied (a groupBy on
+    * the shingle + a semi join — both partition on `s`, the natural
+    * key). In a real deployment this is the materialized inverted
+    * index you build once and reuse across dedup passes; here the
+    * bounded memo keeps the scan+window from running once per query in
+    * the same session without retaining stopped sessions' caches.
     */
   private val shingleIndexes =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.util.IndexMemo[DataFrame](8)(_.unpersist(false))
 
   def shingleIndex(spark: SparkSession, dir: String): DataFrame =
-    shingleIndexes.getOrElseUpdate((spark, dir),
-      shingleStream(t(spark, dir, "documents"))
+    shingleIndexes.getOrElseUpdate(spark, dir) {
+      val raw = shingleStream(t(spark, dir, "documents"))
+      // raw is distinct on (doc_id, s), so count(*) per s IS the df
+      val keep = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf)
+      raw.join(keep.select(col("s")), Seq("s"), "left_semi")
         .withColumn("h", pmod(phash(col("s")), lit(P)))
-        .cache())
+        .cache()
+    }
 
   /** Oracle-side shingle set (same join character, same distinctness). */
   val shinglesSql: String =
     """list_distinct([ w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4]
       |  for i in generate_series(1, len(w) - 4) ])""".stripMargin
+
+  /** Oracle-side df-cap filter over an exploded shingle CTE named `e0`
+    * (mirrors the semi join in [[shingleIndex]]).
+    */
+  val dfCapSql: String =
+    s"SELECT s FROM e0 GROUP BY s HAVING count(DISTINCT doc_id) <= $MaxShingleDf"
 
   /** Exact decimal dot product of two float arrays (fold-order-proof). */
   def decimalDot(a: Column, b: Column): Column =
@@ -156,8 +181,9 @@ object Dedup {
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
-       |e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |e AS (SELECT doc_id, s FROM e0 WHERE s IN ($dfCapSql)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS common
        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -228,9 +254,10 @@ object Dedup {
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
+       |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        |e AS (
        |  SELECT doc_id, ${phashSql("s")} % $P AS h, s
-       |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+       |  FROM e0 WHERE s IN ($dfCapSql)),
        |sigs AS (
        |  SELECT doc_id,
        |    ${mhSelect}
@@ -241,7 +268,7 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS common
        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -362,22 +389,29 @@ object Dedup {
     * the growing lineage each round, the standard pattern for
     * iterative DataFrame algorithms. At 100 TB this is the same
     * shuffle-per-round large-join CC used before resorting to graph
-    * frameworks; edges come from the exact n-gram pair set.
+    * frameworks; edges come from the LSH-verified pair set
+    * ([[minhashLsh]]) — identical to the exact n-gram pairs at this
+    * threshold, but with candidate volume bounded by band buckets, the
+    * only edge source that survives 100 TB (the exact inverted-index
+    * self-join pays the full posting-list fanout).
     */
   /** Pair graphs small enough for the driver go through union-find
     * directly (one collect of the already-tiny verified-pair set);
     * larger graphs run the distributed propagation loop. Both paths
     * produce min-id roots, so results are identical.
     */
-  val DriverCcMaxPairs = 1000000L
+  val DriverCcMaxPairs = 1000000
 
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("x"), col("y")).localCheckpoint(true)
-    if (pairs.count() <= DriverCcMaxPairs) driverUnionFind(spark, pairs)
+    val pairs = minhashLsh(spark, dir).select(col("x"), col("y")).localCheckpoint(true)
+    // one materialization decides the path AND feeds the driver CC
+    val head = pairs.limit(DriverCcMaxPairs + 1).collect()
+    if (head.length <= DriverCcMaxPairs) driverUnionFind(spark, head)
     else distributedCc(pairs)
   }
 
-  private[operators] def driverUnionFind(spark: SparkSession, pairs: DataFrame): DataFrame = {
+  private[operators] def driverUnionFind(
+      spark: SparkSession, rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(a: Long): Long = {
@@ -387,7 +421,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    pairs.collect().foreach { row =>
+    rows.foreach { row =>
       val (x, y) = (row.getLong(0), row.getLong(1))
       val (rx, ry) = (find(x), find(y))
       if (rx != ry) { // min id becomes the root
@@ -442,8 +476,9 @@ object Dedup {
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
-       |e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |e AS (SELECT doc_id, s FROM e0 WHERE s IN ($dfCapSql)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS common
        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id

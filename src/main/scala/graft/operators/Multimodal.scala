@@ -96,7 +96,7 @@ object Multimodal {
       |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
       |  FROM documents)
       |SELECT format, count(*) AS n_docs,
-      |  sum(byte_len) AS total_bytes,
+      |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
       |  CAST(max(160 + h % 1760) AS INTEGER) AS max_width,
       |  CAST(min(120 + (h // 1760) % 960) AS INTEGER) AS min_height,
       |  CAST(sum(1 + h % 240) AS BIGINT) AS total_frames

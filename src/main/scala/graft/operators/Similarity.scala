@@ -230,13 +230,17 @@ object Similarity {
   /** Memoized per (session, dataset), like [[Dedup.shingleIndex]]: the
     * IVF index (embeddings+norms, ranked cell assignment) is built once
     * and reused across queries in the session instead of leaking a new
-    * cache per invocation.
+    * cache per invocation. Bounded + stopped-session-purging
+    * ([[graft.util.IndexMemo]]); assumes the dataset under `dir` is
+    * immutable for the session (call `invalidate` after a rewrite).
     */
-  private val ivfIndexes = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val ivfIndexes =
+    new graft.util.IndexMemo[(DataFrame, DataFrame)](8)({ case (a, b) =>
+      a.unpersist(false); b.unpersist(false)
+    })
 
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
-    val (e, rankedCells) = ivfIndexes.getOrElseUpdate((spark, dir), buildIvfIndex(spark, dir))
+    val (e, rankedCells) = ivfIndexes.getOrElseUpdate(spark, dir)(buildIvfIndex(spark, dir))
 
     val corpus = rankedCells.filter(col("cell_rank") === 1 && col("vec_id") >= NumQueries)
       .select(col("vec_id"), col("c_label").as("cell"))

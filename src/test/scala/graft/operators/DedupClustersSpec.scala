@@ -19,7 +19,7 @@ class DedupClustersSpec extends AnyFunSuite with SparkFixture {
       (8L, 9L), (7L, 9L), (7L, 8L), // triangle {7,8,9}
       (10L, 14L), (11L, 14L), (12L, 13L), (13L, 14L)) // star/chain {10..14}
       .toDF("x", "y")
-    val a = Dedup.driverUnionFind(spark, pairs).collect().toSeq
+    val a = Dedup.driverUnionFind(spark, pairs.collect()).collect().toSeq
     val b = Dedup.distributedCc(pairs).collect().toSeq
     assert(a == b)
     // min-id roots and full coverage
