@@ -15,6 +15,11 @@ object Bench {
     // table degrades that query to -1 below instead of aborting the run
     Tables.names.foreach(n =>
       try Tables.t(spark, sfDir, n).count() catch { case _: Throwable => () })
+    // ... and one real query untimed: shuffle setup, whole-stage codegen
+    // compilation and broadcast machinery cost ~1.5 s once per session,
+    // which otherwise lands entirely on the alphabetically-first entry
+    try SparkEntry.queries.get("agg_pricing_summary").foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // don't bill one query for its predecessors' garbage
       val t0 = System.nanoTime()

@@ -486,6 +486,58 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** KMV (k-minimum-values) distinct sketch with a REAL value oracle:
+    * the sketch is the [[KmvK]] smallest md5-derived 32-bit hashes per
+    * group and the estimate is pure integer arithmetic
+    * ((k-1)·2³² div h_k), so both engines materialize the identical
+    * sketch and the identical estimate — unlike HLL, whose register
+    * layout is engine-specific. This is the portable-sketch answer to
+    * the one rows-only row in the suite.
+    *
+    * Scale shape: hash + dropDuplicates is one shuffle on (group, h);
+    * the per-group k-min is a bounded window (k rows survive per
+    * group); the estimate is a tiny final agg. Sketches merge by
+    * "union then keep k smallest" — associative and commutative, so
+    * the same query distributes with map-side partial sketches.
+    */
+  val KmvK = 256
+
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        Dedup.phash(col("l_orderkey").cast("string")).as("h"))
+      .dropDuplicates("l_returnflag", "h")
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
+    hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(col("l_returnflag"),
+        when(col("n") < KmvK, col("n"))
+          .otherwise(expr(s"${(KmvK - 1).toLong * 4294967296L} DIV hk"))
+          .cast("long").as("distinct_estimate"),
+        col("n").cast("long").as("sketch_size"))
+      .orderBy("l_returnflag")
+  }
+
+  private val kmvDistinctOracle =
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag,
+       |    ${graft.operators.Dedup.phashSql("CAST(l_orderkey AS VARCHAR)")} AS h
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag, h,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+       |  FROM h),
+       |k AS (
+       |  SELECT l_returnflag, count(*) AS n, max(h) AS hk
+       |  FROM r WHERE rn <= ${Relational.KmvK} GROUP BY 1)
+       |SELECT l_returnflag,
+       |  CAST(CASE WHEN n < ${Relational.KmvK} THEN n
+       |       ELSE ${(Relational.KmvK - 1).toLong * 4294967296L} // hk END AS BIGINT)
+       |    AS distinct_estimate,
+       |  CAST(n AS BIGINT) AS sketch_size
+       |FROM k ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -520,6 +572,8 @@ object Relational {
       "scalar aggregate as broadcast filter"),
     GraftQuery("last_writer_wins", lastWriterWins _, Some(lastWriterWinsOracle),
       "upsert/dedup semantics (reference R1/R4)"),
-    GraftQuery("approx_distinct", approxDistinct _, None, "HLL approx_count_distinct (rows-only)")
+    GraftQuery("approx_distinct", approxDistinct _, None, "HLL approx_count_distinct (rows-only)"),
+    GraftQuery("kmv_distinct", kmvDistinct _, Some(kmvDistinctOracle),
+      "KMV distinct sketch (portable: identical sketch + integer estimate cross-engine)")
   )
 }

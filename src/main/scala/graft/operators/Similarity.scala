@@ -64,14 +64,19 @@ object Similarity {
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
     // two-phase: native-codegen double scoring of the full corpus, keep
-    // a generous top-(K+40) per query, exact-decimal rescore only those
-    // (double vs decimal scores differ < 1e-12 — far inside the margin)
+    // everything within a SCORE band of the K-th fast score, exact-
+    // decimal rescore only those. The band (1e-9) is >> the double-vs-
+    // decimal divergence (< 1e-12), so the exact top-K is always inside
+    // it — unlike a fixed rank cutoff, which silently drops the true
+    // K-th neighbor when more than that many candidates crowd the
+    // boundary within rounding error.
     val fast = e.filter(col("vec_id") >= NumQueries).crossJoin(broadcast(queries))
       .withColumn("fcos",
         floatDot(col("q_emb"), col("embedding")) / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
-    val wf = Window.partitionBy(col("q_id")).orderBy(desc("fcos"), asc("vec_id"))
-    val candidates = fast.withColumn("frank", row_number().over(wf))
-      .filter(col("frank") <= K + 40)
+    val wAll = Window.partitionBy(col("q_id")).orderBy(desc("fcos"), asc("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val candidates = fast.withColumn("kth_fcos", nth_value(col("fcos"), K).over(wAll))
+      .filter(col("kth_fcos").isNull || col("fcos") >= col("kth_fcos") - lit(1e-9))
     val scored = candidates
       .select(col("q_id"), col("vec_id"),
         round(decimalDot(col("q_emb"), col("embedding")) /

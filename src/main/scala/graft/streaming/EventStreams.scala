@@ -51,29 +51,40 @@ object EventStreams {
   /** Tumbling 1-hour event-time windows per event_type, with a 1-hour
     * watermark bounding state (reference R5's flush-interval analog in
     * event time). Runs the real streaming plan (AvailableNow into a
-    * memory sink, complete mode) and returns the drained result.
+    * file sink) and returns the drained result.
     *
     * Scale: streaming hash-agg keyed by (window, event_type) —
     * partial aggregation per micro-batch, state bounded by live
-    * windows via the watermark, not by stream length. The memory-sink
-    * drain is the harness adapter; a deployment writes the same plan
-    * append-mode into a table as windows finalize.
+    * windows via the watermark, not by stream length. The drain writes
+    * executor-side parquet (no driver collect); a deployment writes
+    * the same plan append-mode into a table as windows finalize.
     */
   def windowCounts(spark: SparkSession, dir: String): DataFrame = {
     val agg = readEventStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
-    drainMemorySink(spark, agg, OutputMode.Complete())
+    drainToParquet(spark, agg, OutputMode.Complete())
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
       .orderBy("window_start", "event_type")
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) through a
-    * memory sink, materialize the (small, already-aggregated) result,
-    * and DROP the sink's temp view — repeated drains in one session
-    * must not accumulate result tables in driver memory.
+    * FILE sink and return a reader over the result. The output never
+    * flows through driver memory — at 100× a stream-stream join's
+    * output is far bigger than any driver heap, so a memory-sink drain
+    * is not a viable harness path either.
+    *
+    *  - Append mode → the parquet streaming sink directly (exactly the
+    *    deployment shape: executors write files, the sink commits them
+    *    via its metadata log);
+    *  - Complete mode → the file sink is append-only, so each trigger
+    *    REPLACES the output dir from the executors via `foreachBatch`
+    *    (the "complete-mode table" pattern); the last trigger's state
+    *    is the drained result. A complete-mode aggregate is bounded by
+    *    live groups, not stream length, so the per-trigger rewrite is
+    *    the aggregate's size, not the stream's.
     *
     * Stateful shuffle width: each stateful partition is a state store
     * with per-batch checkpoint IO, so the stream runs with a narrower
@@ -81,24 +92,32 @@ object EventStreams {
     * standard per-stream tuning for stateful queries (state parallelism
     * should track state volume, not CPU count). Restored afterwards.
     */
-  private def drainMemorySink(
+  private def drainToParquet(
       spark: SparkSession, streaming: DataFrame, mode: OutputMode): DataFrame = {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val sink = s"graft_stream_sink_${memCounter.incrementAndGet()}"
-      val q = streaming.writeStream
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_drain_${memCounter.incrementAndGet()}_").toString
+      val out = s"$base/out"
+      val ck = s"$base/ck"
+      val writer = streaming.writeStream
         .outputMode(mode)
-        .format("memory")
-        .queryName(sink)
+        .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow())
-        .start()
+      val q =
+        if (mode == OutputMode.Append())
+          writer.format("parquet").option("path", out).start()
+        else
+          writer.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }.start()
       q.awaitTermination()
-      val table = spark.table(sink)
-      val materialized = spark.createDataFrame(
-        java.util.Arrays.asList(table.collect(): _*), table.schema)
-      spark.catalog.dropTempView(sink)
-      materialized
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+        spark.read.schema(streaming.schema).parquet(out)
+      else // zero triggers produced output (empty stream)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], streaming.schema)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
@@ -266,7 +285,7 @@ object EventStreams {
       col("p_user") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
         col("v_ts") >= col("p_ts") - expr("INTERVAL 10 minutes"))
-    drainMemorySink(spark, joined, OutputMode.Append())
+    drainToParquet(spark, joined, OutputMode.Append())
       .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
         unix_micros(col("p_ts")).minus(unix_micros(col("v_ts"))).as("gap_us"))
       .orderBy("user_id", "purchase_id", "view_id")

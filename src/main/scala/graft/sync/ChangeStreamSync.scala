@@ -59,6 +59,12 @@ final class ChangeStreamSync(
   /** Re-arm after the orchestrator completed a rebuild. */
   def resetInvalidated(): Unit = invalidatedFlag = false
 
+  /** Test seam: runs at the top of every micro-batch, before the
+    * idempotence guard. Fault-injection specs throw here to exercise
+    * the crash-mid-batch restart path; production leaves the no-op.
+    */
+  @volatile private[sync] var beforeBatch: Long => Unit = _ => ()
+
   /** Start the stream from an event-log directory of JSONL files. */
   def start(
       eventDir: String,
@@ -87,6 +93,7 @@ final class ChangeStreamSync(
     // land after the rebuild (ADVICE r1 — previously they were applied
     // to the stale table while the stream drained)
     if (invalidatedFlag) return
+    beforeBatch(batchId)
     val prior = checkpoints.read(syncId)
     if (prior.exists(_.lastBatchId >= batchId)) return // replayed batch (R6)
 
@@ -144,16 +151,37 @@ final class ChangeStreamSync(
         .select(col("_id").as("_change_id"), col("seq"), col("fullDocument"))
       val evolved = maybeEvolve(upserts)
       val idType = evolved.schema("_id").dataType
-      val images = parseImages(spark, upserts, evolved.schema, idType, cfg.mapping)
+      val parsed = parseImages(spark, upserts, evolved.schema, idType, cfg.mapping).cache()
 
-      // delete keys conform to the table's _id type so the MoR
-      // anti-join compares natively (ADVICE r1: string event keys vs
-      // numeric table ids would never match)
-      val deleteKeys = finals.select(col("_id").cast(idType).as("_id")).dropDuplicates("_id")
-      val t0 = System.currentTimeMillis()
-      evolved.applyChanges(images, deleteKeys, Seq("_id"))
-      metrics.recordCommit(syncId, System.currentTimeMillis() - t0)
-      metrics.recordChangeEvents(syncId, nFinal)
+      try {
+        // malformed post-images (reference hardening: quarantine, don't
+        // poison the batch): one unparseable document must not fail —
+        // and therefore retry forever — the whole micro-batch. Bad rows
+        // go to a dead-letter location with their raw payload, count
+        // into sync.quarantined, and their keys are EXCLUDED from the
+        // delete set so the previous good image survives.
+        val bad = parsed.filter(col(QuarantineCol).isNotNull)
+        val badCount = bad.count()
+        if (badCount > 0) {
+          bad.select(col("_id").cast("string").as("_id"),
+              col(QuarantineCol).as("payload"), lit(batchId).as("batch_id"))
+            .write.mode("append").json(s"${evolved.location}/_quarantine")
+          metrics.recordQuarantined(syncId, badCount)
+        }
+        val images = parsed.filter(col(QuarantineCol).isNull).drop(QuarantineCol)
+
+        // delete keys conform to the table's _id type so the MoR
+        // anti-join compares natively (ADVICE r1: string event keys vs
+        // numeric table ids would never match)
+        val allKeys = finals.select(col("_id").cast(idType).as("_id")).dropDuplicates("_id")
+        val deleteKeys =
+          if (badCount == 0) allKeys
+          else allKeys.join(bad.select(col("_id")), Seq("_id"), "left_anti")
+        val t0 = System.currentTimeMillis()
+        evolved.applyChanges(images, deleteKeys, Seq("_id"))
+        metrics.recordCommit(syncId, System.currentTimeMillis() - t0)
+        metrics.recordChangeEvents(syncId, nFinal)
+      } finally parsed.unpersist()
 
       checkpoints.write(CheckpointRecord(
         syncId, SyncState.SteadyState, sourceDatabase, cfg.source.collection,
@@ -182,8 +210,11 @@ final class ChangeStreamSync(
   private def maybeEvolve(upserts: DataFrame): IceliteTable = {
     if (cfg.mapping.mode != graft.config.MappingConfig.ModeAuto) return table
     val mapper = new ObjectMapper()
+    // malformed post-images are skipped here and quarantined downstream
+    // in parseImages — inference must not poison the batch first
     val sample = upserts.select("fullDocument").limit(SchemaInfer.DefaultSampleSize)
-      .collect().iterator.flatMap(r => Option(r.getString(0))).map(mapper.readTree)
+      .collect().iterator.flatMap(r => Option(r.getString(0)))
+      .flatMap(j => scala.util.Try(mapper.readTree(j)).toOption)
     val batchSchema = SchemaInfer.inferSample(sample)
     val newFields = batchSchema.fields.filterNot(f => table.schema.fieldNames.contains(f.name))
     if (newFields.nonEmpty) table.addColumns(StructType(newFields.toSeq))
@@ -207,17 +238,28 @@ object ChangeStreamSync {
     */
   val MaintenanceEvery = 32
 
-  /** Executor-side extended-JSON post-image → Row of the table schema.
-    * The event `_id` overrides any `_id` inside the document so the
-    * upsert key is always the change-stream key, cast to the table's
-    * `_id` type (ADVICE r1: the raw event string would corrupt tables
-    * with non-string ids).
+  /** Marker column appended by [[parseImages]]: null for a cleanly
+    * parsed post-image, the raw payload for a malformed one (the row is
+    * then quarantined, never applied).
+    */
+  private[sync] val QuarantineCol = "_bad_json"
+
+  /** Executor-side extended-JSON post-image → Row of the table schema
+    * plus the [[QuarantineCol]] marker. The event `_id` overrides any
+    * `_id` inside the document so the upsert key is always the
+    * change-stream key, cast to the table's `_id` type (ADVICE r1: the
+    * raw event string would corrupt tables with non-string ids).
     *
     * Explicit-mode mappings apply the SAME projection/rename the
     * initial sync applied (reference T2): each target field is filled
     * by dot-path navigation of the post-image to its configured source
     * — resolving by target name alone would silently null every
     * renamed column on the steady-state path.
+    *
+    * A post-image that fails to parse or convert yields an all-null row
+    * carrying the raw payload in [[QuarantineCol]] instead of throwing:
+    * a single malformed document classified transient would otherwise
+    * put the whole micro-batch into retry-forever.
     */
   private[sync] def parseImages(
       spark: SparkSession,
@@ -225,7 +267,8 @@ object ChangeStreamSync {
       schema: StructType,
       idType: DataType,
       mapping: graft.config.MappingConfig): DataFrame = {
-    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema, lenient = true)
+    val outSchema = schema.add(StructField(QuarantineCol, StringType))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema, lenient = true)
     val idIdx = schema.fieldIndex("_id")
     // target field name -> dot-path in the source document
     val sourcePaths: Map[String, Seq[String]] =
@@ -236,20 +279,27 @@ object ChangeStreamSync {
         val mapper = new ObjectMapper()
         it.flatMap { r =>
           Option(r.getString(1)).map { json =>
-            val doc = mapper.readTree(json)
-            val values: Array[Any] =
-              if (sourcePaths.isEmpty) DocumentConverter.toRow(doc, schema).toSeq.toArray
-              else schema.fields.map { f =>
-                val node = sourcePaths.get(f.name) match {
-                  case Some(path) => path.foldLeft(doc: com.fasterxml.jackson.databind.JsonNode) {
-                    (n, seg) => if (n != null && n.isObject) n.get(seg) else null
+            try {
+              val doc = mapper.readTree(json)
+              val values: Array[Any] =
+                if (sourcePaths.isEmpty) DocumentConverter.toRow(doc, schema).toSeq.toArray
+                else schema.fields.map { f =>
+                  val node = sourcePaths.get(f.name) match {
+                    case Some(path) => path.foldLeft(doc: com.fasterxml.jackson.databind.JsonNode) {
+                      (n, seg) => if (n != null && n.isObject) n.get(seg) else null
+                    }
+                    case None => if (doc.isObject) doc.get(f.name) else null
                   }
-                  case None => if (doc.isObject) doc.get(f.name) else null
+                  DocumentConverter.convert(node, f.dataType)
                 }
-                DocumentConverter.convert(node, f.dataType)
-              }
-            values(idIdx) = r.get(0) // event key wins, already table-typed
-            Row.fromSeq(values.toIndexedSeq)
+              values(idIdx) = r.get(0) // event key wins, already table-typed
+              Row.fromSeq(values.toIndexedSeq :+ (null: Any))
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                val values = Array.fill[Any](schema.length)(null)
+                values(idIdx) = r.get(0)
+                Row.fromSeq(values.toIndexedSeq :+ (json: Any))
+            }
           }
         }
       }

@@ -30,6 +30,7 @@ final class SyncMetrics {
     val commitLatencyMsSum = new LongAdder
     val commitLatencyMsMax = new AtomicLong(0L)
     val errors = new LongAdder
+    val quarantined = new LongAdder
     val state = new AtomicReference[String]("INITIALIZING")
   }
 
@@ -47,6 +48,7 @@ final class SyncMetrics {
     m.commitLatencyMsMax.accumulateAndGet(latencyMs, math.max)
   }
   def recordError(syncId: String): Unit = of(syncId).errors.increment()
+  def recordQuarantined(syncId: String, n: Long): Unit = of(syncId).quarantined.add(n)
   def setState(syncId: String, state: String): Unit = of(syncId).state.set(state)
 
   /** Snapshot of all metrics as a queryable DataFrame. */
@@ -54,7 +56,7 @@ final class SyncMetrics {
     val rows = syncs.asScala.toSeq.sortBy(_._1).map { case (id, m) =>
       Row(id, m.state.get(), m.initialDocs.sum(), m.changeEvents.sum(),
         m.commits.sum(), m.commitLatencyMsSum.sum(), m.commitLatencyMsMax.get(),
-        m.errors.sum())
+        m.errors.sum(), m.quarantined.sum())
     }
     spark.createDataFrame(rows.asJava, SyncMetrics.Schema)
   }
@@ -69,7 +71,8 @@ object SyncMetrics {
     StructField("commits", LongType),
     StructField("commit_latency_ms_sum", LongType),
     StructField("commit_latency_ms_max", LongType),
-    StructField("errors", LongType)))
+    StructField("errors", LongType),
+    StructField("documents_quarantined", LongType)))
 
   /** Process-wide default registry (the reference has one Micrometer
     * registry per daemon).

@@ -1,6 +1,9 @@
 package graft.sync
 
+import java.util.concurrent.{Callable, ExecutionException, Executors, TimeUnit}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, min}
 
 import graft.config.{CollectionSyncConfig, SyncConfig}
 import graft.schema.DocumentSource
@@ -14,10 +17,20 @@ import graft.table.IceliteTable
   * MongoDB in this environment): `<root>/<database>/<collection>.jsonl`
   * for the collection content and `<root>/<database>/<collection>.changes/`
   * for the ordered change-event log.
+  *
+  * Error handling follows the reference daemon: transient failures in
+  * either phase retry FOREVER with 1 s → 60 s exponential backoff
+  * (`SyncStateMachine.withRetry`); config/validation errors are fatal.
+  * `retrySleep`/`retryMaxAttempts` are injectable so tests can observe
+  * the backoff curve without wall-clock sleeps.
   */
-final class SyncOrchestrator(
+class SyncOrchestrator(
     spark: SparkSession, config: SyncConfig, warehouse: String,
-    metrics: SyncMetrics = SyncMetrics.global) {
+    metrics: SyncMetrics = SyncMetrics.global,
+    retrySleep: Long => Unit = Thread.sleep,
+    retryMaxAttempts: Int = Int.MaxValue) {
+
+  import SyncOrchestrator._
 
   val checkpoints = new CheckpointStore(spark, warehouse)
 
@@ -29,6 +42,55 @@ final class SyncOrchestrator(
   def changeLogPath(c: CollectionSyncConfig): String =
     s"$fixtureRoot/${config.mongodb.database}/${c.source.collection}.changes"
 
+  /** Factory seam for fault-injection tests (override to install a
+    * failing batch hook); production uses the default wiring.
+    */
+  protected def newChangeStream(c: CollectionSyncConfig, table: IceliteTable): ChangeStreamSync =
+    new ChangeStreamSync(spark, c, table, checkpoints, config.mongodb.database, metrics)
+
+  /** Earliest change-event seq still retained by the log, if any — the
+    * engine's analog of the oldest oplog entry. At scale this is a
+    * head-file metadata lookup, not a full scan; the fixture log is
+    * small enough to min() directly.
+    */
+  private def earliestRetainedSeq(c: CollectionSyncConfig): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(changeLogPath(c))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return None
+    val r = spark.read.schema(ChangeStreamSync.EventSchema).json(changeLogPath(c))
+      .agg(min(col("seq"))).collect().head
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  /** Reference decision table: "resume token expired → fall back to
+    * full initial sync". If the checkpointed token points below the
+    * retained head of the change log, events were lost — tailing from
+    * the token would silently drop them. Record the rebuild obligation
+    * (state=INITIAL_SYNC, no hwm ⇒ truncate-and-resync) BEFORE any
+    * phase runs; the token itself is kept so the post-rebuild drain
+    * replays only the retained tail (idempotent LWW — the fresh
+    * snapshot already reflects every lost event).
+    */
+  private def maybeExpireToken(c: CollectionSyncConfig): Unit = {
+    val syncId = c.target.qualifiedName
+    checkpoints.read(syncId).foreach { cp =>
+      if (SyncStateMachine.tokenExpired(cp.resumeToken, earliestRetainedSeq(c))) {
+        checkpoints.write(cp.copy(
+          state = SyncState.InitialSync,
+          highWaterMarkId = None,
+          lastBatchId = -1L,
+          updatedAtMs = System.currentTimeMillis()))
+        metrics.setState(syncId, SyncState.InitialSync)
+      }
+    }
+  }
+
+  private def retrying[A](syncId: String)(body: => A): A =
+    SyncStateMachine.withRetry(
+      maxAttempts = retryMaxAttempts,
+      sleep = retrySleep,
+      onError = _ => metrics.recordError(syncId))(body)
+
   /** Run one collection's full lifecycle in batch mode: initial sync if
     * the decision table says so, then drain the change log (AvailableNow
     * semantics). Returns the target table.
@@ -38,11 +100,12 @@ final class SyncOrchestrator(
     val table = InitialSync.ensureTable(spark, warehouse, c, source)
     val syncId = c.target.qualifiedName
 
+    maybeExpireToken(c)
+
     SyncStateMachine.decideStart(checkpoints.read(syncId)) match {
       case SyncStateMachine.InitialSyncPhase =>
         metrics.setState(syncId, SyncState.InitialSync)
-        SyncStateMachine.withRetry(maxAttempts = 3, sleep = _ => (),
-          onError = _ => metrics.recordError(syncId)) {
+        retrying(syncId) {
           new InitialSync(spark, c, table, checkpoints, config.mongodb.database, metrics)
             .run(DocumentSource.applyMapping(source, c.mapping))
         }
@@ -50,7 +113,7 @@ final class SyncOrchestrator(
     }
     metrics.setState(syncId, SyncState.SteadyState)
 
-    val changes = new ChangeStreamSync(spark, c, table, checkpoints, config.mongodb.database, metrics)
+    val changes = newChangeStream(c, table)
     val fs = new org.apache.hadoop.fs.Path(changeLogPath(c))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(changeLogPath(c)))) {
@@ -80,15 +143,23 @@ final class SyncOrchestrator(
         checkpoints.read(syncId).filter(_.lastBatchId >= 0).foreach { cp =>
           checkpoints.write(cp.copy(lastBatchId = -1L))
         }
-        val q = changes.start(changeLogPath(c), s"$streamCheckpointDir/t${tok}r$round", availableNow = true)
-        q.awaitTermination()
+        // a transient stream failure retries under the SAME checkpoint
+        // dir: committed micro-batches are skipped by the batch-id
+        // guard, the failed one re-runs — at-least-once replay is
+        // already neutralized on the apply path
+        retrying(syncId) {
+          val q = changes.start(changeLogPath(c), s"$streamCheckpointDir/t${tok}r$round", availableNow = true)
+          q.awaitTermination()
+        }
         if (changes.invalidated) {
           if (round >= MaxRebuilds)
             throw new IllegalStateException(s"$syncId: >$MaxRebuilds rebuilds in one drain")
           metrics.setState(syncId, SyncState.InitialSync)
           val fresh = readSource(c)
-          new InitialSync(spark, c, table, checkpoints, config.mongodb.database, metrics)
-            .run(DocumentSource.applyMapping(fresh, c.mapping))
+          retrying(syncId) {
+            new InitialSync(spark, c, table, checkpoints, config.mongodb.database, metrics)
+              .run(DocumentSource.applyMapping(fresh, c.mapping))
+          }
           metrics.setState(syncId, SyncState.SteadyState)
           changes.resetInvalidated()
           round += 1
@@ -97,6 +168,37 @@ final class SyncOrchestrator(
     }
     maybeCompact(table)
     table
+  }
+
+  /** Daemon-mode steady state (reference: long-running ProcessingTime
+    * loop, transient failures restart the stream from the persisted
+    * token with backoff). Supervises the stream until `stopWhen` is
+    * satisfied; a production daemon passes `() => false` and runs until
+    * the process is killed. Restart resumes under the SAME stream
+    * checkpoint, so committed batches are never re-applied.
+    */
+  def superviseSteadyState(
+      c: CollectionSyncConfig,
+      table: IceliteTable,
+      streamCheckpointDir: String,
+      stopWhen: () => Boolean,
+      pollMs: Long = 25L): Unit = {
+    val syncId = c.target.qualifiedName
+    val changes = newChangeStream(c, table)
+    metrics.setState(syncId, SyncState.SteadyState)
+    var done = false
+    retrying(syncId) {
+      while (!done) {
+        val q = changes.start(changeLogPath(c), streamCheckpointDir, availableNow = false)
+        try {
+          while (q.isActive && !stopWhen()) Thread.sleep(pollMs)
+          if (q.isActive) { // clean external stop
+            q.stop()
+            done = true
+          } else q.awaitTermination() // surface the failure → retry restarts
+        } finally if (q.isActive) q.stop()
+      }
+    }
   }
 
   /** Post-drain maintenance (reference S8's scheduled compaction): fold
@@ -114,15 +216,52 @@ final class SyncOrchestrator(
     }
   }
 
-  private val MaxRebuilds = 100
-  private val CompactFileThreshold = 16
-
-  def syncAll(streamCheckpointRoot: String): Map[String, IceliteTable] =
-    config.sync.collections.map { c =>
-      c.target.qualifiedName ->
-        syncCollection(c, s"$streamCheckpointRoot/${c.target.qualifiedName}")
-    }.toMap
+  /** Sync every configured collection, up to [[MaxConcurrentCollections]]
+    * at a time (reference lifecycle pool: ≤8 collections in parallel).
+    * Each worker drives an independent table + checkpoint row; the
+    * shared checkpoint store is safe under concurrent committers (claim
+    * -file commit protocol). Spark schedules jobs from multiple threads
+    * natively, so per-collection work interleaves on the cluster.
+    */
+  def syncAll(
+      streamCheckpointRoot: String,
+      parallelism: Int = MaxConcurrentCollections): Map[String, IceliteTable] = {
+    val cols = config.sync.collections
+    val par = math.max(1, math.min(parallelism, math.min(MaxConcurrentCollections, cols.size)))
+    if (par <= 1)
+      cols.map { c =>
+        c.target.qualifiedName ->
+          syncCollection(c, s"$streamCheckpointRoot/${c.target.qualifiedName}")
+      }.toMap
+    else {
+      val pool = Executors.newFixedThreadPool(par)
+      try {
+        val futures = cols.map { c =>
+          pool.submit(new Callable[(String, IceliteTable)] {
+            def call(): (String, IceliteTable) =
+              c.target.qualifiedName ->
+                syncCollection(c, s"$streamCheckpointRoot/${c.target.qualifiedName}")
+          })
+        }
+        futures.map { f =>
+          try f.get()
+          catch { case e: ExecutionException => throw e.getCause }
+        }.toMap
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(1, TimeUnit.MINUTES)
+      }
+    }
+  }
 
   private def readSource(c: CollectionSyncConfig): DataFrame =
     DocumentSource.readJsonl(spark, collectionPath(c))
+}
+
+object SyncOrchestrator {
+  /** Reference lifecycle thread pool bound (docs/design.md §483). */
+  val MaxConcurrentCollections = 8
+
+  private val MaxRebuilds = 100
+  private val CompactFileThreshold = 16
 }

@@ -26,6 +26,20 @@ object SyncStateMachine {
   /** After a control event (drop/rename/invalidate): wipe forward. */
   def decideAfterInvalidate: Phase = InitialSyncPhase
 
+  /** Resume-token expiration (reference decision table: "resume token
+    * expired → fall back to full initial sync"). The engine's analog of
+    * a capped oplog window: a token is expired when the change log no
+    * longer retains the event right after it — i.e. the earliest
+    * retained seq has moved past token+1, so events in
+    * (token, earliest) are gone and tailing from the token would
+    * silently lose them. An empty/unknown log can't prove expiry.
+    */
+  def tokenExpired(token: Option[Long], earliestRetainedSeq: Option[Long]): Boolean =
+    (token, earliestRetainedSeq) match {
+      case (Some(t), Some(e)) => t < e - 1
+      case _ => false
+    }
+
   /** Exponential backoff (reference: delay = min(1s × 2^attempt, 60s),
     * retry forever on transient errors).
     */
@@ -46,7 +60,9 @@ object SyncStateMachine {
 
   /** Retry-forever-with-backoff wrapper for a sync phase; `sleep` is
     * injectable for tests, `maxAttempts` bounds runaway tests only,
-    * `onError` feeds the `sync.errors` metric.
+    * `onError` feeds the `sync.errors` metric — including the TERMINAL
+    * failure (fatal classification or attempts exhausted), which is
+    * exactly the error an operator most needs counted.
     */
   def withRetry[A](
       maxAttempts: Int = Int.MaxValue,
@@ -61,6 +77,9 @@ object SyncStateMachine {
           onError(e)
           sleep(backoffMs(attempt))
           attempt += 1
+        case e: Throwable =>
+          onError(e)
+          throw e
       }
     }
     throw new IllegalStateException("unreachable")

@@ -282,16 +282,27 @@ final class IceliteTable private (
   /** Snapshot/file GC: delete orphaned data/delete dirs no longer
     * referenced by the head metadata, and metadata versions older than
     * `keepVersions`.
+    *
+    * GRACE TTL: an unreferenced dir younger than `orphanGraceMs` is
+    * spared — the commit protocol supports concurrent committers, and a
+    * racing writer's files exist BEFORE its metadata publish; GC'ing
+    * them in that window would make the subsequent publish reference
+    * missing data. The default matches [[IceliteTable.ClaimTtlMs]]:
+    * past it, an unpublished commit's claim is breakable anyway, so its
+    * files are true garbage.
     */
-  def expireSnapshots(keepVersions: Int = 3): Unit = {
+  def expireSnapshots(keepVersions: Int = 3, orphanGraceMs: Long = ClaimTtlMs): Unit = {
     val fs = fileSystem()
+    val now = System.currentTimeMillis()
+    refresh() // GC against the latest published head, not a stale cache
     val live = (cachedMeta.liveDataFiles ++ cachedMeta.liveDeleteFiles)
       .map(f => f.split('/').take(2).mkString("/")).toSet // data/<uuid> | deletes/<uuid>
     Seq("data", "deletes").foreach { sub =>
       val dir = new Path(s"$location/$sub")
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
         val rel = s"$sub/${st.getPath.getName}"
-        if (!live.contains(rel)) fs.delete(st.getPath, true)
+        if (!live.contains(rel) && now - st.getModificationTime > orphanGraceMs)
+          fs.delete(st.getPath, true)
       }
     }
     val mdDir = new Path(s"$location/metadata")
@@ -352,6 +363,7 @@ final class IceliteTable private (
   private def retryCommit(body: TableMeta => (TableMeta, Long)): Long = {
     val fs = fileSystem()
     var attempts = 0
+    var lastClaimError: Throwable = null // ambiguous IO failures, kept for the cap error
     while (true) {
       val (head, headVersion) = loadHead(fs, location)
       val (next, seq) = body(head)
@@ -360,7 +372,7 @@ final class IceliteTable private (
       val claim = new Path(s"$location/metadata/${versionFile(nextVersion)}.claim")
       val payload = TableMeta.toJson(next)
       val claimToken = UUID.randomUUID().toString
-      if (!fs.exists(dst) && tryExclusiveCreate(fs, claim, claimToken)) {
+      if (!fs.exists(dst) && tryExclusiveCreate(fs, claim, claimToken, e => lastClaimError = e)) {
         val tmp = new Path(s"$location/metadata/.v$nextVersion-${UUID.randomUUID()}.tmp")
         writeString(fs, tmp, payload)
         // ownership fence: if our claim was TTL-broken while we stalled
@@ -391,7 +403,10 @@ final class IceliteTable private (
       }
       attempts += 1
       if (attempts > 20)
-        throw new IllegalStateException(s"commit conflict on $name after $attempts attempts")
+        // attach the last ambiguous claim failure, if any: a persistent
+        // fs problem looping as "lost race" must surface its real cause
+        throw new IllegalStateException(
+          s"commit conflict on $name after $attempts attempts", lastClaimError)
     }
     -1L // unreachable
   }
@@ -401,7 +416,9 @@ final class IceliteTable private (
     * create(overwrite=false) to a non-atomic exists-then-create),
     * Hadoop's exclusive create elsewhere.
     */
-  private def tryExclusiveCreate(fs: FileSystem, p: Path, token: String): Boolean = {
+  private def tryExclusiveCreate(
+      fs: FileSystem, p: Path, token: String,
+      onAmbiguous: Throwable => Unit = _ => ()): Boolean = {
     val uri = p.toUri
     try {
       if (uri.getScheme == null || uri.getScheme == "file") {
@@ -410,7 +427,12 @@ final class IceliteTable private (
         true
       } else {
         val out = try fs.create(p, false) catch {
-          case e: Throwable => throw new ClaimRaceLost(e)
+          // only the already-exists family is a RACE; anything else
+          // (permissions, missing parent) is a real filesystem failure
+          // that must not masquerade as 20 rounds of "lost race"
+          case e: org.apache.hadoop.fs.FileAlreadyExistsException => throw new ClaimRaceLost(e)
+          case e: java.nio.file.FileAlreadyExistsException => throw new ClaimRaceLost(e)
+          case e: Throwable => onAmbiguous(e); throw new ClaimRaceLost(e)
         }
         // create succeeded: a write/close failure must release the
         // claim we now own, or the version wedges until the TTL
@@ -419,6 +441,7 @@ final class IceliteTable private (
           case e: java.io.IOException =>
             scala.util.Try(out.close())
             scala.util.Try(fs.delete(p, false))
+            onAmbiguous(e)
             false
         }
       }
@@ -426,7 +449,10 @@ final class IceliteTable private (
       case _: java.nio.file.FileAlreadyExistsException => false
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: ClaimRaceLost => false
-      case _: java.io.IOException => false // treated as lost race; bounded by the retry cap
+      // local-path persistent failures (AccessDenied, NoSuchFile — the
+      // metadata dir itself is broken): a real error, not a race
+      case e: java.nio.file.FileSystemException => throw e
+      case e: java.io.IOException => onAmbiguous(e); false // ambiguous; surfaced as the conflict cause if the cap trips
     }
   }
 

@@ -209,8 +209,17 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     assert(t.meta.snapshots.map(_.operation) == Seq("rewrite"))
     assert(t.meta.liveDeleteFiles.isEmpty)
     assert(t.meta.liveDataFiles.size <= filesBefore)
-    // expiry drops orphaned commit dirs + old metadata versions
-    t.expireSnapshots(keepVersions = 1)
+    // expiry drops orphaned commit dirs + old metadata versions — but
+    // only past the grace TTL: a young unreferenced dir may belong to a
+    // concurrent committer that has not published yet
+    val dataDir = new java.io.File(s"$wh/ns/t/data")
+    val live = t.meta.liveDataFiles.map(_.split('/')(1)).toSet
+    val orphansBefore = dataDir.listFiles.count(d => !live.contains(d.getName))
+    assert(orphansBefore > 0)
+    t.expireSnapshots(keepVersions = 1) // default grace: young orphans SURVIVE
+    assert(dataDir.listFiles.count(d => !live.contains(d.getName)) == orphansBefore)
+    t.expireSnapshots(keepVersions = 1, orphanGraceMs = -1L) // grace off → GC
+    assert(dataDir.listFiles.forall(d => live.contains(d.getName)))
     val t2 = IceliteTable.load(spark, wh, "ns", "t")
     assert(t2.read().orderBy("_id").collect()
       .map(r => (r.getString(0), r.getString(2))).toSeq == before)
