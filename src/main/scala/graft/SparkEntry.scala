@@ -18,7 +18,7 @@ object SparkEntry {
   /** All registered engine queries, one per implemented operator. */
   def registry: Seq[GraftQuery] =
     Relational.all ++ RelationalExt.all ++ Temporal.all ++ Dedup.all ++
-      Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
+      Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++ Pipeline.all ++
       SyncQueries.all ++ graft.streaming.EventStreams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables.t
+import graft.operators.Dedup.{phash, phashSql}
+
+/** Training-data curation operators beyond dedup/similarity (the
+  * remaining first-class pieces of a 100 TB pipeline): deterministic
+  * dataset splitting, stratified and uniform sampling, corpus n-gram
+  * statistics, rational TF-IDF term scoring, length histograms, and a
+  * sliding event-time revenue window.
+  *
+  * Portability rules (same as the rest of the suite): all "randomness"
+  * is hash-derived (md5 prefix → uint32 — [[Dedup.phash]]), scores are
+  * either pure integers or a SINGLE IEEE division of exact integers,
+  * and every query carries a total ORDER BY.
+  *
+  * Scale notes: hash-based splitting/sampling is stateless per row (no
+  * global shuffle, no coordination — the property that makes the split
+  * reproducible across reruns AND machines); n-gram/TF-IDF pipelines
+  * are explode → hash-agg shapes that partition on their natural keys;
+  * the uniform sample is a TakeOrderedAndProject (no global sort).
+  */
+object Pipeline {
+
+  // -------------------------------------------------- dataset splitting
+
+  /** Deterministic train/validation/test assignment by content-stable
+    * hash bucket (80/10/10). The split is a pure function of doc_id —
+    * rerunning on a grown corpus keeps every existing document's
+    * assignment, the property training pipelines need to avoid
+    * train/test leakage across snapshots.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(phash(col("doc_id").cast("string")), lit(100))
+    t(spark, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("split")
+  }
+
+  private val splitAssignOracle =
+    s"""WITH b AS (
+       |  SELECT *, ${phashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'validation'
+       |            ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  count(DISTINCT lang) AS n_langs
+       |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+
+  // ------------------------------------------------- stratified sampling
+
+  /** Deterministic Bernoulli-by-hash sampling at 20% per language
+    * stratum: the keep decision hashes (lang, doc_id), so each stratum
+    * is sampled independently and reproducibly with zero coordination —
+    * rows are kept or dropped locally at scan time, nothing shuffles.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val keep = pmod(phash(concat_ws(":", col("lang"), col("doc_id").cast("string"))), lit(1000))
+    t(spark, dir, "documents")
+      .filter(keep < 200)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val stratifiedSampleOracle =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE ${phashSql("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000 < 200
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ uniform sample
+
+  /** Uniform k-sample by hash order: the 50 smallest doc-id hashes form
+    * a stable pseudo-random sample. Plans as TakeOrderedAndProject —
+    * per-partition top-k then a driver merge of k·partitions rows, no
+    * global sort, the right shape for "give me a sample of the corpus"
+    * at any scale.
+    */
+  def sampleTopkHash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        phash(col("doc_id").cast("string")).as("h"))
+      .orderBy("h", "doc_id")
+      .limit(50)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  private val sampleTopkHashOracle =
+    s"""SELECT doc_id, lang, n_chars FROM (
+       |  SELECT doc_id, lang, n_chars,
+       |    ${phashSql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents ORDER BY h, doc_id LIMIT 50)
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- length histogram
+
+  /** Document-length histogram: 100-char buckets capped at 20+ — the
+    * standard pre-training length-distribution diagnostic. Pure integer
+    * arithmetic; one hash-agg on the bucket id.
+    */
+  def docLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("bucket", least(expr("n_chars DIV 100"), lit(20L)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("bucket")
+
+  private val docLengthHistogramOracle =
+    """SELECT CAST(least(n_chars // 100, 20) AS INTEGER) AS bucket,
+      |  count(*) AS n_docs,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------- n-gram statistics
+
+  /** Top-5 bigrams per language — corpus n-gram statistics (the
+    * aggregate twin of the dedup shingle pipeline): codegen'd
+    * posexplode + window lead + concat, one hash-agg on (lang, bigram),
+    * bounded per-group top-k window. Integer counts end to end.
+    */
+  def ngramCounts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col("lang"), concat_ws(" ", col("w"), col("w1")).as("bigram"))
+    val counts = bigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy(col("lang")).orderBy(desc("n"), asc("bigram"))
+    counts.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("bigram"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
+  private val ngramCountsOracle =
+    """WITH words AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |bi AS (
+      |  SELECT lang, w[i] || ' ' || w[i+1] AS bigram
+      |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) u),
+      |c AS (SELECT lang, bigram, count(*) AS n FROM bi GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, bigram, n,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INTEGER) AS rank
+      |  FROM c)
+      |SELECT lang, rank, bigram, n FROM r WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
+  // --------------------------------------------------------- TF-IDF
+
+  /** Rational TF-IDF: score = tf · N / df with a SINGLE exact-integer
+    * division — same ranking as log-idf (both monotone in N/df) without
+    * cross-engine libm risk. df is one hash-agg over the (doc, term)
+    * stream; N broadcasts as a 1-row literal; the top-3 window is
+    * bounded per doc. Output scoped to doc_id < 50 (df/N still computed
+    * over the FULL corpus).
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.filter(col("doc_id") < 50)
+      .join(df_, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfTopTermsOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok
+      |  WHERE len(term) > 0 GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  WHERE tf.doc_id < 50),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, term) AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // ------------------------------------------------ sliding time window
+
+  /** 7-day sliding revenue per order priority: daily exact-decimal
+    * pre-aggregation (shrinks the window input from rows to days —
+    * the two-level shape that keeps sliding windows viable on a 100 TB
+    * fact table), then a RANGE frame over the day number. The window
+    * sums stay in decimal (exact, order-independent) and only cast to
+    * double at the output boundary.
+    */
+  def slidingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderdate"))
+      .agg(sum(col("o_totalprice").cast("decimal(27,2)")).as("day_rev"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("day", datediff(col("o_orderdate"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .select(col("o_orderpriority"), col("o_orderdate"), col("n_orders"),
+        col("day_rev").cast("double").as("day_revenue"),
+        sum(col("day_rev")).over(w).cast("double").as("rev_7d"),
+        sum(col("n_orders")).over(w).as("orders_7d"))
+      .orderBy("o_orderpriority", "o_orderdate")
+  }
+
+  private val slidingRevenueOracle =
+    """WITH daily AS (
+      |  SELECT o_orderpriority, o_orderdate,
+      |    sum(CAST(o_totalprice AS DECIMAL(27,2))) AS day_rev,
+      |    count(*) AS n_orders,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+      |  n_orders,
+      |  CAST(day_rev AS DOUBLE) AS day_revenue,
+      |  CAST(sum(day_rev) OVER w AS DOUBLE) AS rev_7d,
+      |  CAST(sum(n_orders) OVER w AS BIGINT) AS orders_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderpriority, o_orderdate""".stripMargin
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("split_assign", splitAssign _, Some(splitAssignOracle),
+      "deterministic hash-bucket train/val/test split (80/10/10)"),
+    GraftQuery("stratified_sample", stratifiedSample _, Some(stratifiedSampleOracle),
+      "per-stratum Bernoulli-by-hash sampling (20% per lang, zero coordination)"),
+    GraftQuery("sample_topk_hash", sampleTopkHash _, Some(sampleTopkHashOracle),
+      "uniform k-sample by hash order (TakeOrderedAndProject)"),
+    GraftQuery("doc_length_histogram", docLengthHistogram _, Some(docLengthHistogramOracle),
+      "document length histogram, 100-char buckets capped at 20"),
+    GraftQuery("ngram_counts", ngramCounts _, Some(ngramCountsOracle),
+      "top-5 bigrams per language (corpus n-gram stats)"),
+    GraftQuery("tfidf_top_terms", tfidfTopTerms _, Some(tfidfTopTermsOracle),
+      "rational TF-IDF top-3 terms per doc (integer-exact scoring)"),
+    GraftQuery("window_sliding_revenue", slidingRevenue _, Some(slidingRevenueOracle),
+      "7-day sliding revenue via daily decimal pre-agg + RANGE frame"))
+}

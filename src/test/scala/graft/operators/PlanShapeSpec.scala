@@ -47,4 +47,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     assert(planOf("sort_limit_global").contains("TakeOrderedAndProject"))
   }
+
+  test("hash sampling stays scan-local: no shuffle below the sample filter/limit") {
+    // uniform k-sample: per-partition top-k, never a global sort
+    assert(planOf("sample_topk_hash").contains("TakeOrderedAndProject"))
+    // Bernoulli-by-hash sampling: the keep decision is a scan-side
+    // Filter — the plan must not shuffle before filtering (splitting
+    // and sampling at 100 TB must be embarrassingly parallel)
+    val p = planOf("stratified_sample")
+    val filterLine = p.linesIterator.indexWhere(_.contains("Filter"))
+    val exchangeLine = p.linesIterator.indexWhere(_.contains("Exchange"))
+    assert(filterLine >= 0)
+    assert(exchangeLine == -1 || exchangeLine < filterLine,
+      "shuffle appears below the sampling filter")
+  }
 }
