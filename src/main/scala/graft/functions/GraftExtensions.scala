@@ -30,5 +30,9 @@ object GraftExtensions {
       exprs => FloatDot(exprs(0), exprs(1))),
     (FunctionIdentifier("float_norm_sq"),
       new ExpressionInfo(classOf[FloatNormSq].getName, "float_norm_sq"),
-      exprs => FloatNormSq(exprs.head)))
+      exprs => FloatNormSq(exprs.head)),
+    (FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      exprs => KmvSketchAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue))) // k must be a literal
 }

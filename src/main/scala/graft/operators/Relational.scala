@@ -494,30 +494,24 @@ object Relational {
     * layout is engine-specific. This is the portable-sketch answer to
     * the one rows-only row in the suite.
     *
-    * Scale shape: hash + dropDuplicates is one shuffle on (group, h);
-    * the per-group k-min is a bounded window (k rows survive per
-    * group); the estimate is a tiny final agg. Sketches merge by
-    * "union then keep k smallest" — associative and commutative, so
-    * the same query distributes with map-side partial sketches.
+    * Runs through the native Catalyst aggregate
+    * ([[graft.functions.KmvSketchAgg]], a `TypedImperativeAggregate`):
+    * partial sketches build map-side and merge associatively, so the
+    * shuffle carries ≤ k longs per group instead of every distinct
+    * hash — the windowed SQL formulation the DuckDB oracle runs is the
+    * same math with the generic operators.
     */
   val KmvK = 256
 
-  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = t(spark, dir, "lineitem")
-      .select(col("l_returnflag"),
-        Dedup.phash(col("l_orderkey").cast("string")).as("h"))
-      .dropDuplicates("l_returnflag", "h")
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
-    hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .agg(graft.functions.KmvSketchAgg
+        .kmvSketch(Dedup.phash(col("l_orderkey").cast("string")), KmvK).as("kmv"))
       .select(col("l_returnflag"),
-        when(col("n") < KmvK, col("n"))
-          .otherwise(expr(s"${(KmvK - 1).toLong * 4294967296L} DIV hk"))
-          .cast("long").as("distinct_estimate"),
-        col("n").cast("long").as("sketch_size"))
+        col("kmv.distinct_estimate").as("distinct_estimate"),
+        col("kmv.sketch_size").as("sketch_size"))
       .orderBy("l_returnflag")
-  }
 
   private val kmvDistinctOracle =
     s"""WITH h AS (
