@@ -69,26 +69,24 @@ object Dedup {
     s"CAST(concat('0x', substr(md5($expr), 1, 8)) AS BIGINT)"
 
   /** Exploded distinct (doc_id, shingle) stream: word 5-shingles,
-    * underscore-joined. Built from codegen'd primitives (posexplode +
-    * window `lead` + concat_ws) rather than interpreted higher-order
-    * functions (`transform`/`slice` evaluate a lambda per element with
-    * no codegen — measured ~10× slower at the same output). One shuffle
-    * on doc_id for the window, one for the distinct; both scale
-    * linearly and partition on the natural key.
+    * underscore-joined. Built from codegen'd primitives — split once,
+    * explode the start-index range, `element_at` the five positions —
+    * all inside ONE whole-stage-codegen pipeline with NO shuffle until
+    * the distinct (the earlier window-`lead` formulation paid a full
+    * shuffle+sort by doc_id first; interpreted `transform`/`slice`
+    * HOFs are ~10× slower again). One shuffle total, on the natural
+    * (doc_id, shingle) key.
     */
-  def shingleStream(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+  def shingleStream(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"), col("w"),
-        lead(col("w"), 1).over(w).as("w1"), lead(col("w"), 2).over(w).as("w2"),
-        lead(col("w"), 3).over(w).as("w3"), lead(col("w"), 4).over(w).as("w4"))
-      .filter(col("w4").isNotNull) // docs with <5 words yield no shingles
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= ShingleWidth) // docs with <5 words yield no shingles
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - ShingleWidth)).as("i"))
       .select(col("doc_id"),
-        concat_ws("_", col("w"), col("w1"), col("w2"), col("w3"), col("w4")).as("s"))
+        concat_ws("_",
+          (1 to ShingleWidth).map(o => element_at(col("ws"), col("i") + o)): _*).as("s"))
       .dropDuplicates("doc_id", "s")
-  }
 
   /** Memoized cached shingle index per (session, dataset): the exploded
     * distinct (doc_id, s, h) stream every dedup operator starts from,
@@ -206,7 +204,19 @@ object Dedup {
     * LSH recall is 1 (verified locally; the oracle replicates the full
     * pipeline including banding, so the match is exact regardless).
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized LSH-verified pair set per (session, dataset): the same
+    * verified pairs feed both the pair query and the cluster closure,
+    * so the band-join + verify runs once per session, like the shingle
+    * index it builds on.
+    */
+  private val lshPairSets =
+    new graft.util.IndexMemo[DataFrame](8)(_.unpersist(false))
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    lshPairSets.getOrElseUpdate(spark, dir)(minhashLshUncached(spark, dir).cache())
+      .orderBy("x", "y")
+
+  private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame = {
     val e = shingleIndex(spark, dir)
     val mhCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$i")
@@ -223,20 +233,25 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
       .distinct()
-    // exact verification scoped to the candidate pairs ONLY: join each
-    // pair to its two shingle sets and intersect — unlike a full
-    // inverted-index self-join this touches O(candidates · |set|) work,
-    // which is the whole point of LSH at 100 TB (the global pair space
-    // is never materialized)
-    val sets = e.groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("sh"), count(lit(1)).as("n"))
-    candidates
-      .join(sets.as("sa"), col("x") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("y") === col("sb.doc_id"))
+    // exact verification scoped to the candidate pairs ONLY, through
+    // the inverted index itself (the oracle's `common` CTE shape):
+    // candidates ⋈ index on the left doc, then ⋈ index on (right doc,
+    // shingle) counts the intersection — O(candidates · |set|) rows
+    // touched, never the global pair space, and no per-doc collect_set
+    // materialization (which would otherwise run once per join branch).
+    // AQE broadcasts the tiny candidate side at these sizes; at 100 TB
+    // the same plan degrades gracefully to a shuffle join on doc_id.
+    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = e.as("ea").join(candidates, col("ea.doc_id") === col("x"))
+      .select(col("x"), col("y"), col("ea.s").as("cs"))
+      .join(e.as("eb"), col("eb.doc_id") === col("y") && col("eb.s") === col("cs"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("x") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("y") === col("sb.doc_id"))
       .select(col("x"), col("y"),
-        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          (col("sa.n") + col("sb.n") - size(array_intersect(col("sa.sh"), col("sb.sh")))))
-          .as("jaccard"))
+        (col("common").cast("double") /
+          (col("sa.n") + col("sb.n") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy("x", "y")
   }
