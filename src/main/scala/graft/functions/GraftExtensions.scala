@@ -33,6 +33,12 @@ object GraftExtensions {
       exprs => FloatNormSq(exprs.head)),
     (FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
-      exprs => KmvSketchAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue))) // k must be a literal
+      exprs => {
+        val k = exprs(1)
+        val kv = if (k.foldable) k.eval() else null
+        if (kv == null) // non-literal or NULL k: fail with the contract, not a Catalyst internal error
+          throw new IllegalArgumentException(
+            "kmv_sketch(hash, k): k must be a non-null integer literal")
+        KmvSketchAgg(exprs(0), kv.asInstanceOf[Number].intValue)
+      }))
 }

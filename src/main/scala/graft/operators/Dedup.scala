@@ -256,7 +256,15 @@ object Dedup {
       .orderBy("x", "y")
   }
 
-  private val minhashLshOracle: String = {
+  /** Shared oracle CTE pipeline replicating [[minhashLsh]] end to end
+    * (capped shingle index → 16 permutation minima → 8 bands →
+    * candidate pairs → exact intersection counts). Used by BOTH the
+    * pair oracle and the cluster oracle so the DuckDB side applies the
+    * exact same banding restriction the engine does — an oracle built
+    * from the exact all-pairs join would disagree on any dataset where
+    * LSH recall < 1.
+    */
+  private val lshOracleCtes: String = {
     val mhSelect = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % $P) AS mh$i"
     }.mkString(",\n    ")
@@ -265,7 +273,7 @@ object Dedup {
         .mkString(" || ':' || ")
       s"SELECT doc_id, $j AS band, $sig AS sig FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
@@ -287,7 +295,11 @@ object Dedup {
        |common AS (
        |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS common
        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val minhashLshOracle: String =
+    s"""WITH $lshOracleCtes
        |SELECT c.x, c.y,
        |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
        |FROM candidates c
@@ -295,7 +307,6 @@ object Dedup {
        |JOIN sizes sa ON c.x = sa.doc_id JOIN sizes sb ON c.y = sb.doc_id
        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
        |ORDER BY x, y""".stripMargin
-  }
 
   // ----------------------------------------------------------- SimHash
 
@@ -484,23 +495,16 @@ object Dedup {
   }
 
   private val dupClustersOracle: String = {
-    // same exact-pair pipeline as the ngram oracle, then a recursive
+    // the SAME LSH-banded verified-pair pipeline the engine runs (NOT
+    // the exact all-pairs join — the cluster edges must restrict to
+    // band candidates exactly like minhashLsh does), then a recursive
     // transitive closure (components are tiny, so path enumeration is
     // bounded) and min-reachable-id labeling
-    s"""WITH RECURSIVE words AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sh AS (
-       |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
-       |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-       |e AS (SELECT doc_id, s FROM e0 WHERE s IN ($dfCapSql)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
-       |common AS (
-       |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS common
-       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+    s"""WITH RECURSIVE $lshOracleCtes,
        |pairs AS (
-       |  SELECT x, y FROM common
-       |  JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
+       |  SELECT c.x AS x, c.y AS y FROM candidates c
+       |  JOIN common USING (x, y)
+       |  JOIN sizes sa ON c.x = sa.doc_id JOIN sizes sb ON c.y = sb.doc_id
        |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold),
        |edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
        |reach AS (

@@ -74,9 +74,11 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // concat_ws on BOTH sides: Spark's concat_ws skips NULL args while
+  // `||` is null-poisoning — a null lang would silently diverge
   private val stratifiedSampleOracle =
     s"""SELECT doc_id, lang, source, n_chars FROM documents
-       |WHERE ${phashSql("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000 < 200
+       |WHERE ${phashSql("concat_ws(':', lang, CAST(doc_id AS VARCHAR))")} % 1000 < 200
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------ uniform sample

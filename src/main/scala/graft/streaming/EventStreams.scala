@@ -92,6 +92,24 @@ object EventStreams {
     * standard per-stream tuning for stateful queries (state parallelism
     * should track state volume, not CPU count). Restored afterwards.
     */
+  /** Drain output dirs (parquet result + stream checkpoint) created
+    * this session; reclaimed in one sweep at JVM exit — the returned
+    * DataFrames read their files lazily, so per-drain eager deletion
+    * would break re-reads within the session.
+    */
+  private val drainDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      drainDirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }
+    }, "graft-drain-cleanup"))
+  }
+
   private def drainToParquet(
       spark: SparkSession, streaming: DataFrame, mode: OutputMode): DataFrame = {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -99,6 +117,7 @@ object EventStreams {
     try {
       val base = java.nio.file.Files
         .createTempDirectory(s"graft_drain_${memCounter.incrementAndGet()}_").toString
+      drainDirs.add(new java.io.File(base))
       val out = s"$base/out"
       val ck = s"$base/ck"
       val writer = streaming.writeStream

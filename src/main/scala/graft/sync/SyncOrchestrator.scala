@@ -174,8 +174,18 @@ class SyncOrchestrator(
     * loop, transient failures restart the stream from the persisted
     * token with backoff). Supervises the stream until `stopWhen` is
     * satisfied; a production daemon passes `() => false` and runs until
-    * the process is killed. Restart resumes under the SAME stream
-    * checkpoint, so committed batches are never re-applied.
+    * the process is killed.
+    *
+    *  - transient failure → restart under the SAME stream checkpoint
+    *    (committed batches never re-apply) with exponential backoff;
+    *    the attempt counter RESETS once a restart stays healthy for
+    *    [[SyncOrchestrator.HealthyAfterMs]], so isolated blips spread
+    *    over a long lifetime don't ratchet every recovery to the cap;
+    *  - fatal failure (cause-chain classified) propagates immediately;
+    *  - control event (drop/rename/invalidate) → full rebuild inline,
+    *    then a fresh token-keyed stream checkpoint, exactly like the
+    *    batch drain path — a daemon that kept polling a stalled,
+    *    invalidated stream would look healthy while applying nothing.
     */
   def superviseSteadyState(
       c: CollectionSyncConfig,
@@ -187,17 +197,39 @@ class SyncOrchestrator(
     val changes = newChangeStream(c, table)
     metrics.setState(syncId, SyncState.SteadyState)
     var done = false
-    retrying(syncId) {
-      while (!done) {
-        val q = changes.start(changeLogPath(c), streamCheckpointDir, availableNow = false)
-        try {
-          while (q.isActive && !stopWhen()) Thread.sleep(pollMs)
-          if (q.isActive) { // clean external stop
-            q.stop()
-            done = true
-          } else q.awaitTermination() // surface the failure → retry restarts
-        } finally if (q.isActive) q.stop()
-      }
+    var attempt = 0
+    var rebuilds = 0
+    while (!done) {
+      val tok = checkpoints.read(syncId).flatMap(_.resumeToken).getOrElse(-1L)
+      val startedAt = System.currentTimeMillis()
+      val q = changes.start(changeLogPath(c), s"$streamCheckpointDir/t$tok", availableNow = false)
+      try {
+        while (q.isActive && !stopWhen() && !changes.invalidated) Thread.sleep(pollMs)
+        if (changes.invalidated) {
+          q.stop()
+          if (rebuilds >= MaxRebuilds)
+            throw new IllegalStateException(s"$syncId: >$MaxRebuilds rebuilds in daemon mode")
+          metrics.setState(syncId, SyncState.InitialSync)
+          retrying(syncId) {
+            new InitialSync(spark, c, table, checkpoints, config.mongodb.database, metrics)
+              .run(DocumentSource.applyMapping(readSource(c), c.mapping))
+          }
+          metrics.setState(syncId, SyncState.SteadyState)
+          changes.resetInvalidated()
+          rebuilds += 1 // loop continues under a fresh token-keyed dir
+        } else if (q.isActive) { // clean external stop
+          q.stop()
+          done = true
+        } else q.awaitTermination() // surface the failure below
+      } catch {
+        case e: Throwable if SyncStateMachine.isTransient(e) =>
+          metrics.recordError(syncId)
+          if (attempt >= retryMaxAttempts - 1) throw e
+          if (System.currentTimeMillis() - startedAt >= HealthyAfterMs)
+            attempt = 0 // the previous restart ran healthy — new incident
+          retrySleep(SyncStateMachine.backoffMs(attempt))
+          attempt += 1
+      } finally if (q.isActive) q.stop()
     }
   }
 
@@ -248,8 +280,14 @@ class SyncOrchestrator(
           catch { case e: ExecutionException => throw e.getCause }
         }.toMap
       } finally {
-        pool.shutdown()
-        pool.awaitTermination(1, TimeUnit.MINUTES)
+        // on the failure path sibling workers may be mid-retry-backoff:
+        // interrupt them rather than leaving zombies committing in the
+        // background after syncAll has already thrown (on success this
+        // is a no-op — every task already completed)
+        pool.shutdownNow()
+        if (!pool.awaitTermination(1, TimeUnit.MINUTES))
+          throw new IllegalStateException(
+            "syncAll worker threads did not terminate within 60s of shutdown")
       }
     }
   }
@@ -261,6 +299,12 @@ class SyncOrchestrator(
 object SyncOrchestrator {
   /** Reference lifecycle thread pool bound (docs/design.md §483). */
   val MaxConcurrentCollections = 8
+
+  /** A daemon restart that stays up this long closes the incident —
+    * the next failure backs off from attempt 0, not from wherever the
+    * counter ratcheted to over the process lifetime.
+    */
+  val HealthyAfterMs: Long = 60000L
 
   private val MaxRebuilds = 100
   private val CompactFileThreshold = 16

@@ -50,12 +50,26 @@ object SyncStateMachine {
 
   /** Transient vs fatal classification (reference error-handling table:
     * config/validation errors fatal; IO/timeouts transient → retry).
+    *
+    * Walks the CAUSE CHAIN: streaming failures arrive wrapped (a fatal
+    * error inside foreachBatch surfaces as StreamingQueryException →
+    * SparkException → the real cause), and classifying the wrapper as
+    * transient would retry a deterministic failure forever.
     */
-  def isTransient(e: Throwable): Boolean = e match {
-    case _: graft.config.ConfigError => false
-    case _: IllegalArgumentException => false
-    case _: java.io.FileNotFoundException => false
-    case _ => true
+  def isTransient(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 20) { // depth cap guards cause cycles
+      t match {
+        case _: graft.config.ConfigError => return false
+        case _: IllegalArgumentException => return false
+        case _: java.io.FileNotFoundException => return false
+        case _ => ()
+      }
+      t = t.getCause
+      depth += 1
+    }
+    true
   }
 
   /** Retry-forever-with-backoff wrapper for a sync phase; `sleep` is

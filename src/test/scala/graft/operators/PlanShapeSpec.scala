@@ -51,14 +51,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   test("hash sampling stays scan-local: no shuffle below the sample filter/limit") {
     // uniform k-sample: per-partition top-k, never a global sort
     assert(planOf("sample_topk_hash").contains("TakeOrderedAndProject"))
-    // Bernoulli-by-hash sampling: the keep decision is a scan-side
-    // Filter — the plan must not shuffle before filtering (splitting
-    // and sampling at 100 TB must be embarrassingly parallel)
-    val p = planOf("stratified_sample")
-    val filterLine = p.linesIterator.indexWhere(_.contains("Filter"))
-    val exchangeLine = p.linesIterator.indexWhere(_.contains("Exchange"))
-    assert(filterLine >= 0)
-    assert(exchangeLine == -1 || exchangeLine < filterLine,
-      "shuffle appears below the sampling filter")
+    // Bernoulli-by-hash sampling: the keep decision must sit DIRECTLY
+    // on the scan in the optimized plan (splitting and sampling at
+    // 100 TB must be embarrassingly parallel) — checked structurally,
+    // not by text position, so the top-level orderBy exchange can't
+    // mask a regression
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode}
+    val lp = SparkEntry.queries("stratified_sample")(spark, dir)
+      .queryExecution.optimizedPlan
+    val scanLocalFilter = lp.collect {
+      case f @ Filter(cond, _: LeafNode) if cond.sql.contains("pmod") => f
+    }
+    assert(scanLocalFilter.nonEmpty, s"sampling filter not directly over the scan:\n$lp")
   }
 }

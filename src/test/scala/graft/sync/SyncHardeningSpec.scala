@@ -213,6 +213,46 @@ class SyncHardeningSpec extends AnyFunSuite with SparkFixture {
     assert(sleeps.nonEmpty) // the injected failure went through backoff
   }
 
+  test("isTransient classifies through wrapper cause chains (streaming exceptions)") {
+    import SyncStateMachine.isTransient
+    assert(isTransient(new RuntimeException("io blip")))
+    assert(!isTransient(new IllegalArgumentException("bad config")))
+    // a fatal root cause wrapped the way Structured Streaming wraps
+    // foreachBatch failures must classify FATAL, not retry forever
+    assert(!isTransient(new RuntimeException("stream failed",
+      new RuntimeException("task failed", new IllegalArgumentException("fatal root")))))
+    assert(isTransient(new RuntimeException("stream failed",
+      new RuntimeException("executor lost"))))
+  }
+
+  test("daemon rebuilds inline on a control event instead of stalling invalidated") {
+    val root = Files.createTempDirectory("sync-dinv")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    val c = cfg.sync.collections.head
+    writeFixture(root, "shop", "orders", (1 to 4).map(i => doc(i, s"$i.00", "gold")))
+    val orch0 = new SyncOrchestrator(spark, cfg, wh)
+    val table = orch0.syncCollection(c, Files.createTempDirectory("ck").toString)
+
+    // drop mid-log, then a post-recreate update: the daemon must
+    // rebuild and still apply the tail, not poll a stalled stream
+    writeChanges(root, "shop", "orders", "b0", Seq(
+      upd(1, 1, "1.11", "plat"),
+      s"""{"seq":2,"op":"drop","_id":null,"fullDocument":null,"clusterTime":"2024-02-01T00:00:02.000Z"}""",
+      upd(3, 2, "2.22", "silver")))
+    val orch = new SyncOrchestrator(spark, cfg, wh, new SyncMetrics, retrySleep = _ => (), retryMaxAttempts = 5)
+    val deadline = System.currentTimeMillis() + 120000
+    orch.superviseSteadyState(c, table, Files.createTempDirectory("ck").toString,
+      stopWhen = () => System.currentTimeMillis() > deadline ||
+        orch.checkpoints.read("analytics.orders").flatMap(_.resumeToken).contains(3L),
+      pollMs = 100)
+    assert(System.currentTimeMillis() < deadline, "daemon did not converge before deadline")
+    assert(table.meta.snapshots.exists(_.operation == "truncate")) // rebuild ran
+    assert(tierOf(table, 1) == "gold")   // pre-drop update retired by the rebuild
+    assert(tierOf(table, 2) == "silver") // post-drop tail applied
+    assert(table.read().count() == 4)
+  }
+
   test("withRetry reports the TERMINAL failure to onError (fatal and exhausted)") {
     var errs = 0
     intercept[IllegalArgumentException] {
