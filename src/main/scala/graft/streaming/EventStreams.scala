@@ -279,6 +279,31 @@ object EventStreams {
       }
   }
 
+  // ---------------------------------------------------- streaming dedup
+
+  /** Streaming deduplication with a watermark-bounded state store —
+    * the ingest-side operator that collapses repeated events (retries,
+    * at-least-once sources) before they reach storage. Keys on
+    * (user_id, event_type, minute): state is bounded by the watermark
+    * (old keys age out), not by stream length. Output is exactly the
+    * distinct key set, so the batch DISTINCT is the oracle.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = readEventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"), col("ts"))
+      .dropDuplicates("user_id", "event_type", "minute")
+    drainToParquet(spark, deduped, OutputMode.Append())
+      .select(col("user_id"), col("event_type"), col("minute"))
+      .orderBy("user_id", "event_type", "minute")
+  }
+
+  private val streamDedupOracle =
+    """SELECT DISTINCT user_id, event_type,
+      |  CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute
+      |FROM events ORDER BY user_id, event_type, minute""".stripMargin
+
   // ------------------------------------------------- stream-stream join
 
   /** Stream-stream inner join (the remaining Structured Streaming
@@ -327,5 +352,7 @@ object EventStreams {
     GraftQuery("sessionize_events", sessionize _, Some(sessionizeOracle),
       "gap-based sessionization via typed groupByKey/flatMapGroups"),
     GraftQuery("stream_stream_join", streamStreamJoin _, Some(streamStreamJoinOracle),
-      "watermarked stream-stream inner join with time-range state bound"))
+      "watermarked stream-stream inner join with time-range state bound"),
+    GraftQuery("stream_dedup", streamDedup _, Some(streamDedupOracle),
+      "streaming dropDuplicates with watermark-bounded state (ingest dedup)"))
 }
