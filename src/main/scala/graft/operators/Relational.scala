@@ -532,6 +532,32 @@ object Relational {
        |  CAST(n AS BIGINT) AS sketch_size
        |FROM k ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------- native top-k-per-group
+
+  /** Top-3 orders by price per priority through the CUSTOM whole-stage
+    * operator ([[graft.plans.TopKPerGroup]]: logical node → planner
+    * strategy → partial/final bounded-heap physical plan). Shuffles at
+    * most k·groups rows per input partition and never sorts — the
+    * `row_number` window twin (the oracle) shuffles and sorts every
+    * row. The (price desc, orderkey asc) order is total, so both
+    * formulations select the identical row set.
+    */
+  def topkPerGroupNative(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopKPerGroup(
+        o, Seq("o_orderpriority"), Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  private val topkPerGroupNativeOracle =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -568,6 +594,8 @@ object Relational {
       "upsert/dedup semantics (reference R1/R4)"),
     GraftQuery("approx_distinct", approxDistinct _, None, "HLL approx_count_distinct (rows-only)"),
     GraftQuery("kmv_distinct", kmvDistinct _, Some(kmvDistinctOracle),
-      "KMV distinct sketch (portable: identical sketch + integer estimate cross-engine)")
+      "KMV distinct sketch (portable: identical sketch + integer estimate cross-engine)"),
+    GraftQuery("topk_per_group_native", topkPerGroupNative _, Some(topkPerGroupNativeOracle),
+      "custom LogicalPlan+Strategy+SparkPlan bounded-heap top-k (partial/final, no sort)")
   )
 }
