@@ -49,6 +49,12 @@ class TopKPerGroupSpec extends AnyFunSuite with SparkFixture {
     assert(top1 == Seq((1, 20), (2, 5)))
   }
 
+  test("empty input yields empty output (no per-partition state leaks)") {
+    import spark.implicits._
+    val d = Seq.empty[(Int, Int)].toDF("g", "v").repartition(3)
+    assert(TopKPerGroup(d, Seq("g"), Seq(("v", true)), 3).count() == 0)
+  }
+
   test("null order values follow the same default null ordering as the window twin") {
     import spark.implicits._
     val d = Seq((1, Some(3)), (1, None), (1, Some(7)), (2, None), (2, Some(1)))
