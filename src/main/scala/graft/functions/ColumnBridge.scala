@@ -28,6 +28,19 @@ object ColumnBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** The session's name resolver (honors spark.sql.caseSensitive). */
+  def resolver(spark: org.apache.spark.sql.SparkSession): (String, String) => Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.analyzer.resolver
+
+  /** True if the session planner already carries `strategy` — from any
+    * source (SparkSessionExtensions injection or experimental methods).
+    */
+  def plannerHasStrategy(
+      spark: org.apache.spark.sql.SparkSession, strategy: AnyRef): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.planner.strategies.exists(_ eq strategy)
+
   /** Register a function builder on an existing session's registry
     * (sessionState is also `private[sql]`); the SparkSessionExtensions
     * path (`graft.functions.GraftExtensions`) is the config-time

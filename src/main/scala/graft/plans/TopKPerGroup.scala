@@ -3,9 +3,10 @@ package graft.plans
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BindReferences, Descending, Ascending, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Add, Ascending, BindReferences, Descending, Expression, If, IsNaN, Literal, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.types.{DoubleType, FloatType}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -94,7 +95,10 @@ case class TopKPerGroupExec(
         val key = keyProj(row)
         var q = heaps.get(key)
         if (q == null) {
-          q = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
+          // small initial capacity — the queue grows on demand, so a
+          // large k with many tiny groups doesn't allocate k-slot
+          // arrays per group
+          q = new java.util.PriorityQueue[InternalRow](math.min(kk, 16) + 1, worstFirst)
           heaps.put(key.copy(), q) // projection row is reused — copy for map residency
         }
         if (q.size < kk) q.add(row.copy())
@@ -123,27 +127,48 @@ object TopKPerGroup {
       groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)],
       k: Int): DataFrame = {
-    require(k > 0, "topKPerGroup needs k > 0")
+    require(k > 0 && k < Int.MaxValue, "topKPerGroup needs 0 < k < Int.MaxValue")
     val spark = df.sparkSession
     ensureStrategy(spark)
     val plan = ColumnBridge.logicalPlan(df)
-    def attr(n: String) = plan.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"topKPerGroup: no column '$n' in ${plan.output.map(_.name).mkString(", ")}"))
-    val g = groupCols.map(attr)
+    val resolve = ColumnBridge.resolver(spark)
+    def attr(n: String) = plan.output.filter(a => resolve(a.name, n)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"topKPerGroup: no column '$n' in ${plan.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"topKPerGroup: ambiguous column '$n' (${many.mkString(", ")})")
+    }
+    val g = groupCols.map(n => normalizeKey(attr(n)))
     val o = orderCols.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }
     ColumnBridge.ofRows(spark, TopKPerGroupNode(g, o, k, plan))
   }
 
+  /** Float/double group keys must canonicalize -0.0/0.0 and NaN bit
+    * patterns BEFORE hashing/comparison — the optimizer's
+    * NormalizeFloatingNumbers rule does this for built-in grouping
+    * operators but does not know about this node, so raw keys would
+    * split groups the window formulation merges.
+    */
+  private def normalizeKey(e: Expression): Expression = e.dataType match {
+    case DoubleType => If(IsNaN(e), Literal(Double.NaN), Add(e, Literal(0.0d)))
+    case FloatType => If(IsNaN(e), Literal(Float.NaN), Add(e, Literal(0.0f)))
+    case _ => e
+  }
+
   /** Idempotently install the planner strategy on a session (the
     * `spark.sql.extensions=graft.functions.GraftExtensions` config
     * does the same at session build time).
     */
-  def ensureStrategy(spark: SparkSession): Unit = {
-    val cur = spark.experimental.extraStrategies
-    if (!cur.contains(TopKPerGroupStrategy))
-      spark.experimental.extraStrategies = cur :+ TopKPerGroupStrategy
-  }
+  def ensureStrategy(spark: SparkSession): Unit =
+    // the planner's strategy list covers BOTH sources (extension
+    // injection and experimental methods) — checking only
+    // extraStrategies would double-install on extension-built sessions
+    if (!ColumnBridge.plannerHasStrategy(spark, TopKPerGroupStrategy)) {
+      val cur = spark.experimental.extraStrategies
+      if (!cur.contains(TopKPerGroupStrategy))
+        spark.experimental.extraStrategies = cur :+ TopKPerGroupStrategy
+    }
 }

@@ -284,16 +284,20 @@ object EventStreams {
   /** Streaming deduplication with a watermark-bounded state store —
     * the ingest-side operator that collapses repeated events (retries,
     * at-least-once sources) before they reach storage. Keys on
-    * (user_id, event_type, minute): state is bounded by the watermark
-    * (old keys age out), not by stream length. Output is exactly the
-    * distinct key set, so the batch DISTINCT is the oracle.
+    * (user_id, event_type, minute) via `dropDuplicatesWithinWatermark`:
+    * that variant evicts state once the watermark passes a key's event
+    * time, so state is bounded by the watermark horizon, not stream
+    * length (plain `dropDuplicates` on a derived column would keep
+    * every key forever — the event-time metadata is lost by
+    * `date_trunc`, so nothing would ever age out). Output is exactly
+    * the distinct key set, so the batch DISTINCT is the oracle.
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val deduped = readEventStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_type"),
         date_trunc("minute", col("ts")).as("minute"), col("ts"))
-      .dropDuplicates("user_id", "event_type", "minute")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
     drainToParquet(spark, deduped, OutputMode.Append())
       .select(col("user_id"), col("event_type"), col("minute"))
       .orderBy("user_id", "event_type", "minute")

@@ -49,6 +49,16 @@ class TopKPerGroupSpec extends AnyFunSuite with SparkFixture {
     assert(top1 == Seq((1, 20), (2, 5)))
   }
 
+  test("float group keys canonicalize -0.0/0.0 like the window formulation") {
+    import spark.implicits._
+    val d = Seq((0.0d, 1), (-0.0d, 2), (1.5d, 3)).toDF("g", "v").repartition(3)
+    val native = TopKPerGroup(d, Seq("g"), Seq(("v", true)), 5)
+      .select(col("v")).orderBy("v").collect().map(_.getInt(0)).toSeq
+    assert(native == Seq(1, 2, 3)) // both zeros land in ONE group of two rows
+    val groups = TopKPerGroup(d, Seq("g"), Seq(("v", true)), 1).count()
+    assert(groups == 2) // {0.0,-0.0} merged, {1.5} — k=1 keeps one row each
+  }
+
   test("empty input yields empty output (no per-partition state leaks)") {
     import spark.implicits._
     val d = Seq.empty[(Int, Int)].toDF("g", "v").repartition(3)
