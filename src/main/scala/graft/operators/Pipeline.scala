@@ -81,6 +81,37 @@ object Pipeline {
        |WHERE ${phashSql("concat_ws(':', lang, CAST(doc_id AS VARCHAR))")} % 1000 < 200
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- weighted sample
+
+  /** Length-weighted sampling (importance sampling by n_chars at an
+    * expected ~50% mass rate): keep a doc iff
+    * hash/2³² < rate · n_chars/cap — evaluated as the INTEGER
+    * cross-multiplication `h · cap < rate · n_chars · 2³²` so both
+    * engines decide from exact integer arithmetic (no float compare to
+    * diverge on). Same zero-coordination scan-local shape as the other
+    * samplers; longer documents are proportionally more likely to
+    * survive, the standard curation move when token mass matters more
+    * than document count.
+    */
+  val WeightCapChars = 4000L
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = phash(col("doc_id").cast("string"))
+    // h * cap < (n_chars capped) * 2^32 / 2  ⇒  keep
+    val keep = h * lit(WeightCapChars) <
+      least(col("n_chars"), lit(WeightCapChars)) * lit(2147483648L) // 2^32/2, exact
+    t(spark, dir, "documents")
+      .filter(keep)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val weightedSampleOracle =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE ${phashSql("CAST(doc_id AS VARCHAR)")} * $WeightCapChars
+       |      < least(n_chars, $WeightCapChars) * 2147483648
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ uniform sample
 
   /** Uniform k-sample by hash order: the 50 smallest doc-id hashes form
@@ -263,6 +294,8 @@ object Pipeline {
       "per-stratum Bernoulli-by-hash sampling (20% per lang, zero coordination)"),
     GraftQuery("sample_topk_hash", sampleTopkHash _, Some(sampleTopkHashOracle),
       "uniform k-sample by hash order (TakeOrderedAndProject)"),
+    GraftQuery("weighted_sample", weightedSample _, Some(weightedSampleOracle),
+      "length-weighted sampling via integer cross-multiplication (no float compare)"),
     GraftQuery("doc_length_histogram", docLengthHistogram _, Some(docLengthHistogramOracle),
       "document length histogram, 100-char buckets capped at 20"),
     GraftQuery("ngram_counts", ngramCounts _, Some(ngramCountsOracle),

@@ -1,0 +1,46 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The 100 TB skew guard, demonstrated: a boilerplate shingle shared by
+  * every document must NOT create an all-pairs explosion in the n-gram
+  * inverted-index join. With the document-frequency cap the hot shingle
+  * drops out of the index; without it the self-join would materialize
+  * n²/2 candidate pairs.
+  */
+class DedupSkewSpec extends AnyFunSuite with SparkFixture {
+
+  test("df cap drops boilerplate shingles; true near-dups still pair up") {
+    import spark.implicits._
+    val n = 1000
+    val boiler = "common license header words repeated on every page" // 8-word shingle source
+    // every doc shares the boilerplate; docs 0/1 additionally share a
+    // long unique-ish body (true near-duplicates); the rest are random
+    val docs = (0 until n).map { i =>
+      val body =
+        if (i <= 1) s"alpha beta gamma delta epsilon zeta eta theta iota kappa v$i"
+        else (1 to 12).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"$boiler $body", "en", "synthetic", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("skew").toString
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val idx = Dedup.shingleIndex(spark, dir)
+    // the boilerplate shingles (df = 1000 > cap) are gone from the index
+    val hotShingle = "common_license_header_words_repeated"
+    assert(idx.filter(col("s") === hotShingle).count() == 0)
+    // per-shingle fanout is bounded by the cap — the join's worst bucket
+    val maxDf = idx.groupBy("s").count().agg(max("count")).collect().head.getLong(0)
+    assert(maxDf <= Dedup.MaxShingleDf)
+
+    // the true near-dup pair (docs 0,1) still survives: their shared
+    // body shingles are rare and stay in the index
+    val pairs = Dedup.ngramJaccard(spark, dir).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+}
