@@ -148,6 +148,40 @@ object Dedup {
       |  count(*) AS dup_count
       |FROM documents GROUP BY md5(text) ORDER BY kept_doc_id""".stripMargin
 
+  // ------------------------------------------------- incremental dedup
+
+  /** Incremental ingest dedup — the production shape: a NEW batch
+    * (doc_id ≥ 400 stands in for today's crawl) is classified against
+    * the EXISTING corpus's fingerprint index (content hash → kept doc),
+    * not against itself. The base side carries only (hash, kept_id) —
+    * at 100 TB that index is a few bytes per document and lives as a
+    * bucketed table joined on its own key; the new batch never touches
+    * base text. `dup_of` is null for genuinely new documents.
+    */
+  val IncrementalSplitId = 400L
+
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val baseIndex = docs.filter(col("doc_id") < IncrementalSplitId)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("dup_of"))
+    docs.filter(col("doc_id") >= IncrementalSplitId)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(baseIndex, Seq("h"), "left")
+      .select(col("doc_id"), col("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  private val incrementalOracle =
+    s"""WITH base AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS dup_of FROM documents
+       |  WHERE doc_id < $IncrementalSplitId GROUP BY 1)
+       |SELECT d.doc_id, base.dup_of
+       |FROM (SELECT doc_id, md5(text) AS h FROM documents
+       |      WHERE doc_id >= $IncrementalSplitId) d
+       |LEFT JOIN base USING (h)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ----------------------------------------------- n-gram Jaccard pairs
 
   /** Near-duplicate pairs by exact n-gram Jaccard via an inverted-index
@@ -535,5 +569,7 @@ object Dedup {
     GraftQuery("dedup_embedding_cosine", embeddingCosine _, Some(embeddingCosineOracle),
       "embedding near-dup pairs, blocked exact cosine"),
     GraftQuery("dedup_clusters", dupClusters _, Some(dupClustersOracle),
-      "connected components over the near-dup pair graph (keep-one-per-cluster)"))
+      "connected components over the near-dup pair graph (keep-one-per-cluster)"),
+    GraftQuery("dedup_incremental", incremental _, Some(incrementalOracle),
+      "new batch classified against the existing corpus fingerprint index"))
 }
