@@ -285,6 +285,58 @@ object Pipeline {
       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderpriority, o_orderdate""".stripMargin
 
+  // ------------------------------------------------------ curation funnel
+
+  /** The end-to-end curation funnel in ONE pass: per language, how many
+    * documents enter, survive the quality gate (same integer point
+    * system as `text_quality`: length in range +5, has stopwords +3,
+    * low punctuation +2, keep at ≥ 8), and additionally survive exact
+    * dedup (first doc per content hash) — plus the character mass that
+    * remains. This is the report a curation run publishes per
+    * snapshot. One projection + one window on the content hash + one
+    * hash-agg by lang; at 100 TB each stage is scan-local except the
+    * dedup window's single shuffle on the hash.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nTokens = size(words)
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val stop = size(filter(words, w => w.isin(TextAnalysis.Markers("en"): _*)))
+    val points =
+      when(nTokens.between(30, 1000), lit(5)).otherwise(lit(0)) +
+        when(stop > 0, lit(3)).otherwise(lit(0)) +
+        when(punct.cast("double") / nChars < 0.1, lit(2)).otherwise(lit(0))
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    t(spark, dir, "documents")
+      .withColumn("pts", points)
+      .withColumn("first_of_hash", row_number().over(w) === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("pts") >= 8, 1).otherwise(0)).as("n_quality"),
+        sum(when(col("pts") >= 8 && col("first_of_hash"), 1).otherwise(0)).as("n_kept"),
+        sum(when(col("pts") >= 8 && col("first_of_hash"), col("n_chars")).otherwise(0L))
+          .as("chars_kept"))
+      .orderBy("lang")
+  }
+
+  private val curationFunnelOracle: String = {
+    val stopSet = TextAnalysis.Markers("en").map(x => s"'$x'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 1000 THEN 5 ELSE 0 END +
+       |    CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ($stopSet))) > 0 THEN 3 ELSE 0 END +
+       |    CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |              / length(text) < 0.1 THEN 2 ELSE 0 END AS pts,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS first_of_hash
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN pts >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(sum(CASE WHEN pts >= 8 AND first_of_hash THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN pts >= 8 AND first_of_hash THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -303,5 +355,7 @@ object Pipeline {
     GraftQuery("tfidf_top_terms", tfidfTopTerms _, Some(tfidfTopTermsOracle),
       "rational TF-IDF top-3 terms per doc (integer-exact scoring)"),
     GraftQuery("window_sliding_revenue", slidingRevenue _, Some(slidingRevenueOracle),
-      "7-day sliding revenue via daily decimal pre-agg + RANGE frame"))
+      "7-day sliding revenue via daily decimal pre-agg + RANGE frame"),
+    GraftQuery("curation_funnel", curationFunnel _, Some(curationFunnelOracle),
+      "per-language quality-gate + dedup funnel report in one pass"))
 }
