@@ -83,23 +83,27 @@ object Pipeline {
 
   // ----------------------------------------------------- weighted sample
 
-  /** Length-weighted sampling (importance sampling by n_chars at an
-    * expected ~50% mass rate): keep a doc iff
-    * hash/2³² < rate · n_chars/cap — evaluated as the INTEGER
-    * cross-multiplication `h · cap < rate · n_chars · 2³²` so both
+  /** Length-weighted sampling: keep probability is
+    * 0.5 · min(n_chars, cap)/cap — proportional to document length up
+    * to the cap, so longer documents are proportionally more likely to
+    * survive (the curation move when token mass matters more than
+    * document count; the absolute rate depends on the corpus's length
+    * distribution). The decision `hash/2³² < p` is evaluated as the
+    * INTEGER cross-multiplication `h · cap < min(n,cap) · 2³¹` so both
     * engines decide from exact integer arithmetic (no float compare to
-    * diverge on). Same zero-coordination scan-local shape as the other
-    * samplers; longer documents are proportionally more likely to
-    * survive, the standard curation move when token mass matters more
-    * than document count.
+    * diverge on). The hash is SALTED with the sampler's name: each
+    * sampler/splitter must draw independent "randomness" from the same
+    * doc_id, or their selections correlate (a doc kept here would
+    * always also be in the uniform sample's low-hash prefix).
+    * Zero-coordination and scan-local like the other samplers.
     */
   val WeightCapChars = 4000L
 
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
-    val h = phash(col("doc_id").cast("string"))
-    // h * cap < (n_chars capped) * 2^32 / 2  ⇒  keep
+    val h = phash(concat_ws(":", lit("wsample"), col("doc_id").cast("string")))
+    // h * cap < min(n_chars, cap) * 2^31  ⇒  keep (p = 0.5·min(n,cap)/cap)
     val keep = h * lit(WeightCapChars) <
-      least(col("n_chars"), lit(WeightCapChars)) * lit(2147483648L) // 2^32/2, exact
+      least(col("n_chars"), lit(WeightCapChars)) * lit(2147483648L)
     t(spark, dir, "documents")
       .filter(keep)
       .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -108,7 +112,7 @@ object Pipeline {
 
   private val weightedSampleOracle =
     s"""SELECT doc_id, lang, n_chars FROM documents
-       |WHERE ${phashSql("CAST(doc_id AS VARCHAR)")} * $WeightCapChars
+       |WHERE ${phashSql("concat_ws(':', 'wsample', CAST(doc_id AS VARCHAR))")} * $WeightCapChars
        |      < least(n_chars, $WeightCapChars) * 2147483648
        |ORDER BY doc_id""".stripMargin
 
@@ -298,18 +302,9 @@ object Pipeline {
     * dedup window's single shuffle on the hash.
     */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val words = split(col("text"), " ")
-    val nTokens = size(words)
-    val nChars = length(col("text"))
-    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val stop = size(filter(words, w => w.isin(TextAnalysis.Markers("en"): _*)))
-    val points =
-      when(nTokens.between(30, 1000), lit(5)).otherwise(lit(0)) +
-        when(stop > 0, lit(3)).otherwise(lit(0)) +
-        when(punct.cast("double") / nChars < 0.1, lit(2)).otherwise(lit(0))
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     t(spark, dir, "documents")
-      .withColumn("pts", points)
+      .withColumn("pts", TextAnalysis.qualityPoints(col("text")))
       .withColumn("first_of_hash", row_number().over(w) === 1)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
@@ -321,13 +316,9 @@ object Pipeline {
   }
 
   private val curationFunnelOracle: String = {
-    val stopSet = TextAnalysis.Markers("en").map(x => s"'$x'").mkString(", ")
     s"""WITH scored AS (
        |  SELECT doc_id, lang, n_chars,
-       |    CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 1000 THEN 5 ELSE 0 END +
-       |    CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ($stopSet))) > 0 THEN 3 ELSE 0 END +
-       |    CASE WHEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-       |              / length(text) < 0.1 THEN 2 ELSE 0 END AS pts,
+       |    ${TextAnalysis.qualityPointsSql("text")} AS pts,
        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS first_of_hash
        |  FROM documents)
        |SELECT lang, count(*) AS n_total,

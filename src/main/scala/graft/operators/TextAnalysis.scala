@@ -27,6 +27,32 @@ object TextAnalysis {
 
   private val langs = Markers.keys.toSeq.sorted
 
+  /** The integer quality-point system (length in range +5, has
+    * stopwords +3, low punctuation +2) as a Column over a text column —
+    * the ONE definition `text_quality` and `curation_funnel` both
+    * score with (and [[qualityPointsSql]] mirrors), so the gate and
+    * the report can never silently disagree on what "quality" means.
+    */
+  def qualityPoints(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val words = split(text, " ")
+    val nTokens = size(words)
+    val nChars = length(text)
+    val punct = nChars - length(regexp_replace(text, "[.,!?;:]", ""))
+    val stop = size(filter(words, w => w.isin(Markers("en"): _*)))
+    when(nTokens.between(30, 1000), lit(5)).otherwise(lit(0)) +
+      when(stop > 0, lit(3)).otherwise(lit(0)) +
+      when(punct.cast("double") / nChars < 0.1, lit(2)).otherwise(lit(0))
+  }
+
+  /** Oracle-side rendering of [[qualityPoints]] over a text SQL expr. */
+  def qualityPointsSql(t: String): String = {
+    val stopSet = Markers("en").map(x => s"'$x'").mkString(", ")
+    s"""CASE WHEN len(string_split($t, ' ')) BETWEEN 30 AND 1000 THEN 5 ELSE 0 END +
+       |   CASE WHEN len(list_filter(string_split($t, ' '), x -> x IN ($stopSet))) > 0 THEN 3 ELSE 0 END +
+       |   CASE WHEN CAST(length($t) - length(regexp_replace($t, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |        / length($t) < 0.1 THEN 2 ELSE 0 END""".stripMargin
+  }
+
   // ------------------------------------------------------- language id
 
   /** Stopword-ratio language scoring: tokens matched against each
@@ -102,10 +128,7 @@ object TextAnalysis {
         // composite: in-range length & some stopwords & low noise.
         // Integer points / 10 — one fp division, no fp accumulation
         // (0.5+0.3+0.2 in binary fp is not exactly 1.0).
-        ((when(nTokens.between(30, 1000), lit(5)).otherwise(lit(0)) +
-          when(stop > 0, lit(3)).otherwise(lit(0)) +
-          when(punct.cast("double") / nChars < 0.1, lit(2)).otherwise(lit(0))
-          ).cast("double") / 10.0).as("quality_score"))
+        (qualityPoints(col("text")).cast("double") / 10.0).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -126,9 +149,7 @@ object TextAnalysis {
        |  CAST(stop AS DOUBLE) / n_tokens AS stopword_ratio,
        |  CAST(punct AS DOUBLE) / n_chars_computed AS punct_ratio,
        |  CAST(digits AS DOUBLE) / n_chars_computed AS digit_ratio,
-       |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 1000 THEN 5 ELSE 0 END +
-       |   CASE WHEN stop > 0 THEN 3 ELSE 0 END +
-       |   CASE WHEN CAST(punct AS DOUBLE) / n_chars_computed < 0.1 THEN 2 ELSE 0 END
+       |  CAST(${qualityPointsSql("text")}
        |   AS DOUBLE) / 10.0 AS quality_score
        |FROM base ORDER BY doc_id""".stripMargin
   }

@@ -31,8 +31,13 @@ class DedupSkewSpec extends AnyFunSuite with SparkFixture {
     docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
 
     val idx = Dedup.shingleIndex(spark, dir)
-    // the boilerplate shingles (df = 1000 > cap) are gone from the index
     val hotShingle = "common_license_header_words_repeated"
+    // positive control: the raw (uncapped) stream DOES contain the hot
+    // shingle — otherwise the exclusion assert below passes vacuously
+    // whenever the shingle encoding changes
+    assert(Dedup.shingleStream(spark.read.parquet(s"$dir/documents.parquet"))
+      .filter(col("s") === hotShingle).count() == n)
+    // the boilerplate shingles (df = 1000 > cap) are gone from the index
     assert(idx.filter(col("s") === hotShingle).count() == 0)
     // per-shingle fanout is bounded by the cap — the join's worst bucket
     val maxDf = idx.groupBy("s").count().agg(max("count")).collect().head.getLong(0)
