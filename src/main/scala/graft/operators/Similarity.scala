@@ -442,6 +442,52 @@ object Similarity {
        |SELECT q_id, vec_id, cosine_q8, rank FROM ranked
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------------ recall eval
+
+  /** ANN evaluation harness: recall of each approximate method (LSH,
+    * IVF, SQ8) against the exact brute-force top-k, measured as
+    * |method ∩ exact| / |exact| — the number every ANN deployment
+    * tracks when tuning its probe/band/quantization dials. Composes
+    * the existing pipelines (left-semi against the exact set, one tiny
+    * agg); recall is a single integer division, portable by
+    * construction.
+    */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = topkBruteForce(spark, dir).select(col("q_id"), col("vec_id"))
+    val tagged = Seq(
+      "ivf" -> topkIvf(spark, dir),
+      "lsh" -> topkLsh(spark, dir),
+      "sq8" -> topkSq8(spark, dir))
+      .map { case (m, df) => df.select(lit(m).as("method"), col("q_id"), col("vec_id")) }
+      .reduce(_ unionByName _)
+    val base = exact.agg(count(lit(1)).as("baseline"))
+    tagged.join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(base))
+      .select(col("method"), col("hits"), col("baseline"),
+        (col("hits").cast("double") / col("baseline")).as("recall"))
+      .orderBy("method")
+  }
+
+  private val recallEvalOracle: String =
+    s"""WITH exact_k AS (SELECT q_id, vec_id FROM ($topkBruteForceOracle) x),
+       |ivf_k AS (SELECT q_id, vec_id FROM ($topkIvfOracle) x),
+       |lsh_k AS (SELECT q_id, vec_id FROM ($topkLshOracle) x),
+       |sq8_k AS (SELECT q_id, vec_id FROM ($topkSq8Oracle) x),
+       |tagged AS (
+       |  SELECT 'ivf' AS method, * FROM ivf_k
+       |  UNION ALL SELECT 'lsh', * FROM lsh_k
+       |  UNION ALL SELECT 'sq8', * FROM sq8_k),
+       |base AS (SELECT count(*) AS baseline FROM exact_k),
+       |hits AS (
+       |  SELECT method, count(*) AS hits FROM tagged t
+       |  WHERE EXISTS (SELECT 1 FROM exact_k e
+       |                WHERE e.q_id = t.q_id AND e.vec_id = t.vec_id)
+       |  GROUP BY method)
+       |SELECT method, hits, baseline,
+       |  CAST(hits AS DOUBLE) / baseline AS recall
+       |FROM hits CROSS JOIN base ORDER BY method""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -452,5 +498,7 @@ object Similarity {
     GraftQuery("sim_topk_ivf", topkIvf _, Some(topkIvfOracle),
       "IVF-cell ANN: decimal-sum centroids, 2-cell probe, exact re-rank"),
     GraftQuery("sim_topk_sq8", topkSq8 _, Some(topkSq8Oracle),
-      "int8 scalar-quantized similarity (memory-bound scale path)"))
+      "int8 scalar-quantized similarity (memory-bound scale path)"),
+    GraftQuery("sim_recall_eval", recallEval _, Some(recallEvalOracle),
+      "recall@k of each ANN method vs the exact brute-force top-k"))
 }
