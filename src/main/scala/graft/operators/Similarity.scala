@@ -453,7 +453,12 @@ object Similarity {
     * construction.
     */
   def recallEval(spark: SparkSession, dir: String): DataFrame = {
-    val exact = topkBruteForce(spark, dir).select(col("q_id"), col("vec_id"))
+    // every ANN method emits top-5, so the exact side must be its own
+    // top-5 PREFIX (same k on both sides, or a perfect method would
+    // read as recall 0.5); materialized once — it feeds both the
+    // intersection and the baseline count
+    val exact = topkBruteForce(spark, dir).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id")).localCheckpoint(true)
     val tagged = Seq(
       "ivf" -> topkIvf(spark, dir),
       "lsh" -> topkLsh(spark, dir),
@@ -461,16 +466,23 @@ object Similarity {
       .map { case (m, df) => df.select(lit(m).as("method"), col("q_id"), col("vec_id")) }
       .reduce(_ unionByName _)
     val base = exact.agg(count(lit(1)).as("baseline"))
-    tagged.join(exact, Seq("q_id", "vec_id"), "left_semi")
+    val hits = tagged.join(exact, Seq("q_id", "vec_id"), "left_semi")
       .groupBy(col("method")).agg(count(lit(1)).as("hits"))
+    // static method list: a method with ZERO hits must report recall 0
+    // — the failure this eval exists to surface — not vanish from the
+    // groupBy output
+    import spark.implicits._
+    Seq("ivf", "lsh", "sq8").toDF("method")
+      .join(hits, Seq("method"), "left")
       .crossJoin(broadcast(base))
-      .select(col("method"), col("hits"), col("baseline"),
-        (col("hits").cast("double") / col("baseline")).as("recall"))
+      .select(col("method"), coalesce(col("hits"), lit(0L)).as("hits"), col("baseline"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("baseline")).as("recall"))
       .orderBy("method")
   }
 
   private val recallEvalOracle: String =
-    s"""WITH exact_k AS (SELECT q_id, vec_id FROM ($topkBruteForceOracle) x),
+    s"""WITH exact_k AS (
+       |  SELECT q_id, vec_id FROM ($topkBruteForceOracle) x WHERE rank <= 5),
        |ivf_k AS (SELECT q_id, vec_id FROM ($topkIvfOracle) x),
        |lsh_k AS (SELECT q_id, vec_id FROM ($topkLshOracle) x),
        |sq8_k AS (SELECT q_id, vec_id FROM ($topkSq8Oracle) x),
@@ -483,10 +495,12 @@ object Similarity {
        |  SELECT method, count(*) AS hits FROM tagged t
        |  WHERE EXISTS (SELECT 1 FROM exact_k e
        |                WHERE e.q_id = t.q_id AND e.vec_id = t.vec_id)
-       |  GROUP BY method)
-       |SELECT method, hits, baseline,
-       |  CAST(hits AS DOUBLE) / baseline AS recall
-       |FROM hits CROSS JOIN base ORDER BY method""".stripMargin
+       |  GROUP BY method),
+       |methods AS (SELECT unnest(['ivf', 'lsh', 'sq8']) AS method)
+       |SELECT m.method, coalesce(hits, 0) AS hits, baseline,
+       |  CAST(coalesce(hits, 0) AS DOUBLE) / baseline AS recall
+       |FROM methods m LEFT JOIN hits USING (method) CROSS JOIN base
+       |ORDER BY m.method""".stripMargin
 
   // ---------------------------------------------------------- registry
 

@@ -33,7 +33,7 @@ object TextAnalysis {
     * score with (and [[qualityPointsSql]] mirrors), so the gate and
     * the report can never silently disagree on what "quality" means.
     */
-  def qualityPoints(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def qualityPoints(text: Column): Column = {
     val words = split(text, " ")
     val nTokens = size(words)
     val nChars = length(text)
