@@ -29,7 +29,17 @@ object Similarity {
 
   val K = 10
   val NumQueries = 5 // vec_id < 5 are the query vectors
-  val Planes = 12
+
+  /** Sign-LSH hyperplane count — the recall/cost dial. Size it to the
+    * corpus: 2^Planes buckets should hold ~corpus/2^Planes ≳ k vectors
+    * each or Hamming-1 probing finds too few candidates to fill a
+    * top-k (measured by `sim_recall_eval`: 12 planes over the ~500-
+    * vector fixture made 4096 near-empty buckets and recall 0.04; 6
+    * planes → 64 buckets ≈ 8 vectors each). At 100 TB the same rule
+    * gives ~20+ planes — the dial grows with log2(corpus), which is
+    * exactly why it is a named constant and not a magic number.
+    */
+  val Planes = 6
 
   private def planeSignSql(j: Int, iExpr: String): String =
     s"CASE WHEN ${phashSql(s"concat('p${j}_', CAST($iExpr AS VARCHAR))")} % 2 = 1 THEN 1 ELSE -1 END"
@@ -118,7 +128,7 @@ object Similarity {
 
   // ------------------------------------------------- sign-LSH bucketed
 
-  /** Random-hyperplane LSH: corpus bucketed by the 12-bit sign
+  /** Random-hyperplane LSH: corpus bucketed by the `Planes`-bit sign
     * signature; each query probes its own bucket plus all Hamming-1
     * neighbors, then exact-re-ranks candidates (top-5). Deterministic
     * planes ⇒ the oracle reproduces bucketing bit-for-bit.
