@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables.t
+import graft.operators.Dedup.{dfCapSql, shinglesSql}
+
+/** Data-hygiene operators a 100 TB training-data pipeline runs before
+  * anything is allowed into a training mix: benchmark decontamination
+  * (n-gram overlap against an eval suite), repetition-based quality
+  * metrics (the Gopher-style "fraction of characters in the most
+  * common 2-gram" family), and PII detection/redaction.
+  *
+  * Portability rules match the rest of the suite: integer counts
+  * everywhere, a SINGLE IEEE division per emitted fraction (rounded to
+  * 12 places), total ORDER BY, identical column aliases both sides.
+  *
+  * Scale notes:
+  *   - Decontamination joins the corpus's shingle index against the
+  *     BENCHMARK side, which is tiny by construction (eval suites are
+  *     KBs–MBs while the corpus is TBs) — so the bench shingle set is
+  *     broadcast and the corpus is touched exactly once, scan-local.
+  *     Reuses the shared df-capped [[Dedup.shingleIndex]]: a shingle
+  *     shared by >MaxShingleDf documents is boilerplate, not evidence
+  *     of contamination — the same stop-gram rule real decontam
+  *     pipelines apply.
+  *   - Repetition metrics are per-document map-side pipelines (split /
+  *     explode / hash-agg on (doc_id, bigram)) — one shuffle on the
+  *     natural key, no cross-document state.
+  *   - PII redaction is a pure row-local projection (regexp in one
+  *     whole-stage-codegen pass); at scale it runs at scan speed.
+  */
+object Hygiene {
+
+  // ------------------------------------------------- decontamination
+
+  /** Every 7th doc_id stands in for the benchmark/eval suite. */
+  val BenchMod = 7
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥1
+    * word-5-gram with the eval suite, with the overlap count and the
+    * contaminated fraction of each document's shingle set. The shape —
+    * corpus inverted index ⋈ broadcast benchmark n-gram set — is the
+    * standard GPT-3/Llama-style decontamination pass.
+    */
+  def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Dedup.shingleIndex(spark, dir).select(col("doc_id"), col("s"))
+    val bench = idx.filter(col("doc_id") % BenchMod === 0).select(col("s")).distinct()
+    val corpus = idx.filter(col("doc_id") % BenchMod =!= 0)
+    val totals = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    corpus.join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 12)
+          .as("contamination_frac"))
+      .orderBy(desc("n_overlap"), col("doc_id"))
+  }
+
+  private val decontamOverlapOracle =
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
+       |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |e AS (SELECT doc_id, s FROM e0 WHERE s IN ($dfCapSql)),
+       |bench AS (SELECT DISTINCT s FROM e WHERE doc_id % $BenchMod = 0),
+       |corpus AS (SELECT doc_id, s FROM e WHERE doc_id % $BenchMod <> 0),
+       |totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+       |ov AS (
+       |  SELECT c.doc_id, count(*) AS n_overlap
+       |  FROM corpus c JOIN bench USING (s) GROUP BY 1)
+       |SELECT doc_id, n_overlap, n_shingles,
+       |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 12) AS contamination_frac
+       |FROM ov JOIN totals USING (doc_id)
+       |ORDER BY n_overlap DESC, doc_id""".stripMargin
+
+  // -------------------------------------------- repetition quality
+
+  /** Gopher-style repetition metrics per document: duplicate-word
+    * fraction and the fraction of (non-space) characters covered by
+    * the most frequent word bigram. High values on either are the
+    * classic machine-generated/boilerplate signal quality filters cut
+    * on. Top-bigram tie-break is (count DESC, bigram ASC) so the
+    * winner is deterministic cross-engine.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val words = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+    val stats = words.select(col("doc_id"),
+      size(col("ws")).as("n_words"),
+      size(array_distinct(col("ws"))).as("n_distinct_words"),
+      length(translate(col("text"), " ", "")).as("n_word_chars"))
+    val bigrams = words.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 2)).as("i"))
+      .select(col("doc_id"),
+        concat_ws("_",
+          element_at(col("ws"), col("i") + 1),
+          element_at(col("ws"), col("i") + 2)).as("b"))
+    val counted = bigrams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("c"), asc("b"))
+    val top = counted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("b").as("top_bigram"), col("c").as("top_bigram_count"))
+    stats.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        round((col("n_words") - col("n_distinct_words")).cast("double") / col("n_words"), 12)
+          .as("dup_word_frac"),
+        col("top_bigram"), col("top_bigram_count"),
+        round((col("top_bigram_count") * (length(col("top_bigram")) - 1)).cast("double") /
+          col("n_word_chars"), 12).as("top_bigram_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val textRepetitionOracle =
+    """WITH words AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest([ w[i] || '_' || w[i+1] for i in generate_series(1, len(w)-1) ]) AS b
+      |  FROM words WHERE len(w) >= 2),
+      |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id, b AS top_bigram, c AS top_bigram_count,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn
+      |  FROM bgc),
+      |stats AS (
+      |  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct_words,
+      |    length(replace(text, ' ', '')) AS n_word_chars
+      |  FROM words)
+      |SELECT s.doc_id, s.n_words, s.n_distinct_words,
+      |  round(CAST(s.n_words - s.n_distinct_words AS DOUBLE) / s.n_words, 12) AS dup_word_frac,
+      |  t.top_bigram, t.top_bigram_count,
+      |  round(CAST(t.top_bigram_count * (length(t.top_bigram) - 1) AS DOUBLE) / s.n_word_chars, 12)
+      |    AS top_bigram_char_frac
+      |FROM stats s JOIN top t ON s.doc_id = t.doc_id AND t.rn = 1
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ------------------------------------------------- PII redaction
+
+  /** Conservative patterns valid in BOTH Java regex (Spark) and RE2
+    * (DuckDB): no lookarounds, no backrefs.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{4}"
+
+  /** PII detect + redact. The fixture corpus is synthetic word-soup
+    * with no organic PII, so deterministic PII is injected first
+    * (emails on doc_id % 10 == 0, phone numbers on % 10 == 5) — the
+    * operator under test is the detection/redaction projection, which
+    * is a row-local single-pass regexp (codegen'd, scan-speed at any
+    * scale). `redacted_hash` proves the redacted text is byte-exact
+    * cross-engine, not just the match counts.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val aug = t(spark, dir, "documents").select(d,
+      when(d % 10 === 0,
+        concat(col("text"), lit(" contact user"), d.cast("string"),
+          lit("@example.com for details")))
+        .when(d % 10 === 5,
+          concat(col("text"), lit(" call 555-"),
+            lpad((d % 10000).cast("string"), 4, "0"), lit(" today")))
+        .otherwise(col("text")).as("t"))
+    aug.select(d,
+      size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("t"), lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>"))).as("redacted_hash"))
+      .filter(col("n_emails") + col("n_phones") > 0)
+      .orderBy("doc_id")
+  }
+
+  // DuckDB regexp_replace is first-match-only without the 'g' flag;
+  // Spark's is always global — the flag keeps them identical.
+  private val piiRedactOracle =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 0
+       |           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details'
+       |         WHEN doc_id % 10 = 5
+       |           THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+       |         ELSE text END AS t
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+       |    len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+       |    regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |  FROM aug)
+       |SELECT doc_id, n_emails, n_phones, md5(redacted) AS redacted_hash
+       |FROM red WHERE n_emails + n_phones > 0
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("decontam_overlap", decontamOverlap _, Some(decontamOverlapOracle),
+      "benchmark decontamination: corpus shingle index vs broadcast eval-suite n-grams"),
+    GraftQuery("text_repetition", textRepetition _, Some(textRepetitionOracle),
+      "Gopher-style repetition quality: dup-word and top-bigram char fractions"),
+    GraftQuery("pii_redact", piiRedact _, Some(piiRedactOracle),
+      "PII detect + redact: portable regex, byte-exact redaction proven by hash"))
+}
