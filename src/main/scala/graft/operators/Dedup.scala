@@ -68,25 +68,38 @@ object Dedup {
   def phashSql(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 8)) AS BIGINT)"
 
+  /** Exploded word n-gram stream over `text`, duplicates preserved,
+    * one n-gram row per start position, as column `s`. Built from
+    * codegen'd primitives — split once, explode the start-index range,
+    * `element_at` the positions — all inside ONE whole-stage-codegen
+    * pipeline with NO shuffle (the window-`lead` formulation pays a
+    * full shuffle+sort by doc_id first; interpreted `transform`/
+    * `slice` HOFs are ~10× slower again). `carryCols` (existing
+    * columns of `docs`) pass through unchanged — the shared building
+    * block for shingles ([[shingleStream]]), corpus bigram stats
+    * (`Pipeline.ngramCounts`) and repetition metrics
+    * (`Hygiene.textRepetition`); docs with fewer than `width` words
+    * yield no rows.
+    */
+  def wordNgramStream(docs: DataFrame, width: Int, sep: String = "_",
+      carryCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    val carry = carryCols.map(col)
+    docs
+      .select(carry :+ split(col("text"), " ").as("__ws"): _*)
+      .filter(size(col("__ws")) >= width)
+      .select(carry :+ col("__ws") :+
+        explode(sequence(lit(0), size(col("__ws")) - width)).as("__i"): _*)
+      .select(carry :+
+        concat_ws(sep,
+          (1 to width).map(o => element_at(col("__ws"), col("__i") + o)): _*).as("s"): _*)
+  }
+
   /** Exploded distinct (doc_id, shingle) stream: word 5-shingles,
-    * underscore-joined. Built from codegen'd primitives — split once,
-    * explode the start-index range, `element_at` the five positions —
-    * all inside ONE whole-stage-codegen pipeline with NO shuffle until
-    * the distinct (the earlier window-`lead` formulation paid a full
-    * shuffle+sort by doc_id first; interpreted `transform`/`slice`
-    * HOFs are ~10× slower again). One shuffle total, on the natural
-    * (doc_id, shingle) key.
+    * underscore-joined. One shuffle total, on the natural
+    * (doc_id, shingle) key of the distinct.
     */
   def shingleStream(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= ShingleWidth) // docs with <5 words yield no shingles
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0), size(col("ws")) - ShingleWidth)).as("i"))
-      .select(col("doc_id"),
-        concat_ws("_",
-          (1 to ShingleWidth).map(o => element_at(col("ws"), col("i") + o)): _*).as("s"))
-      .dropDuplicates("doc_id", "s")
+    wordNgramStream(docs, ShingleWidth).dropDuplicates("doc_id", "s")
 
   /** Memoized cached shingle index per (session, dataset): the exploded
     * distinct (doc_id, s, h) stream every dedup operator starts from,

@@ -88,29 +88,28 @@ object Hygiene {
     * winner is deterministic cross-engine.
     */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val words = t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
-    val stats = words.select(col("doc_id"),
-      size(col("ws")).as("n_words"),
-      size(array_distinct(col("ws"))).as("n_distinct_words"),
+    // per-doc scalars are projected BEFORE the n-gram explode and ride
+    // along every bigram row, so the whole query is ONE corpus scan
+    // (stats as a separate branch would scan + re-split the corpus
+    // twice); constant-per-doc, so min() in the agg recovers them
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"),
+      size(split(col("text"), " ")).as("n_words"),
+      size(array_distinct(split(col("text"), " "))).as("n_distinct_words"),
       length(translate(col("text"), " ", "")).as("n_word_chars"))
-    val bigrams = words.filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0), size(col("ws")) - 2)).as("i"))
-      .select(col("doc_id"),
-        concat_ws("_",
-          element_at(col("ws"), col("i") + 1),
-          element_at(col("ws"), col("i") + 2)).as("b"))
-    val counted = bigrams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(desc("c"), asc("b"))
-    val top = counted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("b").as("top_bigram"), col("c").as("top_bigram_count"))
-    stats.join(top, Seq("doc_id"))
+    val bigrams = Dedup.wordNgramStream(docs, 2, "_",
+      Seq("doc_id", "n_words", "n_distinct_words", "n_word_chars"))
+    val counted = bigrams
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("c"), min(col("n_words")).as("n_words"),
+        min(col("n_distinct_words")).as("n_distinct_words"),
+        min(col("n_word_chars")).as("n_word_chars"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("c"), asc("s"))
+    counted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
         round((col("n_words") - col("n_distinct_words")).cast("double") / col("n_words"), 12)
           .as("dup_word_frac"),
-        col("top_bigram"), col("top_bigram_count"),
-        round((col("top_bigram_count") * (length(col("top_bigram")) - 1)).cast("double") /
+        col("s").as("top_bigram"), col("c").as("top_bigram_count"),
+        round((col("c") * (length(col("s")) - 1)).cast("double") /
           col("n_word_chars"), 12).as("top_bigram_char_frac"))
       .orderBy("doc_id")
   }
@@ -128,7 +127,8 @@ object Hygiene {
       |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn
       |  FROM bgc),
       |stats AS (
-      |  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct_words,
+      |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words,
+      |    CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_words,
       |    length(replace(text, ' ', '')) AS n_word_chars
       |  FROM words)
       |SELECT s.doc_id, s.n_words, s.n_distinct_words,
@@ -187,8 +187,8 @@ object Hygiene {
        |  FROM documents),
        |red AS (
        |  SELECT doc_id,
-       |    len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
-       |    len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+       |    CAST(len(regexp_extract_all(t, '$EmailRe')) AS INTEGER) AS n_emails,
+       |    CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INTEGER) AS n_phones,
        |    regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
        |      '$PhoneRe', '<PHONE>', 'g') AS redacted
        |  FROM aug)

@@ -170,12 +170,11 @@ object Pipeline {
     * bounded per-group top-k window. Integer counts end to end.
     */
   def ngramCounts(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bigrams = t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead(col("w"), 1).over(w))
-      .filter(col("w1").isNotNull)
-      .select(col("lang"), concat_ws(" ", col("w"), col("w1")).as("bigram"))
+    // shared scan-local n-gram stream (no shuffle before the count —
+    // the earlier posexplode + lead-over-window build paid a full
+    // shuffle+sort by doc_id first)
+    val bigrams = Dedup.wordNgramStream(t(spark, dir, "documents"), 2, " ", Seq("lang"))
+      .select(col("lang"), col("s").as("bigram"))
     val counts = bigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
     val wr = Window.partitionBy(col("lang")).orderBy(desc("n"), asc("bigram"))
     counts.withColumn("rank", row_number().over(wr))

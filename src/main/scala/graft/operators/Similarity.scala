@@ -15,11 +15,12 @@ import Dedup.{decimalDot, decimalNormSq, phashSql}
   *  - brute-force exact top-k: broadcast the (small) query set against
   *    the distributed corpus — one linear scan, the honest baseline and
   *    the correctness reference for any ANN index;
-  *  - sign-LSH bucketed ANN: 12 deterministic hyperplanes (portable
-  *    pseudo-random construction) → 12-bit bucket signature → candidates
-  *    from Hamming-≤1 buckets (query probes its bucket + 12 neighbors) →
-  *    exact re-rank. The bucket join is the 100 TB path: the corpus is
-  *    hashed once, queries touch 13/4096 of the space.
+  *  - sign-LSH bucketed ANN: `Planes` deterministic hyperplanes
+  *    (portable pseudo-random construction) → `Planes`-bit bucket
+  *    signature → candidates from Hamming-≤1 buckets (query probes its
+  *    bucket + `Planes` neighbors) → exact re-rank. The bucket join is
+  *    the 100 TB path: the corpus is hashed once, queries touch
+  *    (Planes+1)/2^Planes of the space.
   *
   * All cosine arithmetic uses the decimal-accumulated dot product
   * ([[Dedup.decimalDot]]) so scores are bit-identical to the DuckDB
@@ -48,7 +49,8 @@ object Similarity {
     * sign of a portable md5 hash bit of "p{j}_{i}" — the exact value
     * the oracle's [[planeSignSql]] computes per row, but evaluated
     * ONCE on the driver and shipped as literal arrays (the per-row
-    * md5-per-plane-per-dim formulation cost rows × 12 × 64 md5 calls).
+    * md5-per-plane-per-dim formulation cost rows × Planes × 64 md5
+    * calls).
     */
   private[operators] lazy val planeSigns: IndexedSeq[IndexedSeq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
