@@ -64,4 +64,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
     assert(scanLocalFilter.nonEmpty, s"sampling filter not directly over the scan:\n$lp")
   }
+
+  test("decontamination joins the benchmark side as a broadcast") {
+    // the eval-suite n-gram set is tiny by construction; the corpus
+    // side must never shuffle for this join
+    assert(planOf("decontam_overlap").contains("BroadcastHashJoin"))
+  }
+
+  test("repetition metrics scan the corpus exactly once") {
+    // per-doc scalars ride along the n-gram stream — a second stats
+    // branch would re-scan (and re-split) the whole corpus
+    // string count, not collect: AQE's AdaptiveSparkPlanExec hides its
+    // subtree from collect() until execution
+    val pe = SparkEntry.queries("text_repetition")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(pe).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$pe")
+  }
+
+  test("pii redaction is a row-local projection (no shuffle before the sort)") {
+    // string count, not collect: AQE hides the subtree from collect()
+    val pe = SparkEntry.queries("pii_redact")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // exactly the one exchange the final total-order ORDER BY needs
+    val exchanges = "\\bExchange ".r.findAllIn(pe).size
+    assert(exchanges == 1, s"redaction path shuffles:\n$pe")
+  }
 }
