@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkFixture, SparkEntry}
+
+/** Profiling operators: the one-pass claim of the column profiler and
+  * the non-vacuous outlier dial are scale properties, not value
+  * properties — the oracle gate can't see them, so they're pinned here.
+  */
+class ProfilingSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("profile_columns covers every listed column in ONE table scan") {
+    val df = SparkEntry.queries("profile_columns")(spark, dir)
+    // string count, not collect: AQE hides the subtree from collect()
+    val pe = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(pe).size
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$pe")
+
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Profiling.ProfiledColumns.sorted)
+    // lineitem fixture has no nulls; distinct counts must be positive
+    // and bounded by the row count
+    rows.foreach { r =>
+      val (n, nulls, distinct) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nulls == 0L)
+      assert(distinct >= 1L && distinct <= n)
+    }
+    // flag columns really are low-cardinality; keys are high
+    val byName = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byName("l_returnflag") <= 5L)
+    assert(byName("l_orderkey") > 100L)
+  }
+
+  test("outlier_orders flags a small non-empty tail with |z| in (1.7, sqrt(3)]") {
+    val df = SparkEntry.queries("outlier_orders")(spark, dir)
+    val n = graft.Tables.t(spark, dir, "orders").count()
+    val rows = df.collect()
+    assert(rows.nonEmpty, "uniform-price fixture must flag the ~2% tails")
+    assert(rows.length < n / 10, s"dial too loose: ${rows.length} of $n flagged")
+    rows.foreach { r =>
+      val z = math.abs(r.getDouble(2))
+      assert(z > Profiling.ZThreshold && z < 1.7321)
+    }
+  }
+}
