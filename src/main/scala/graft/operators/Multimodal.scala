@@ -34,14 +34,33 @@ object Multimodal {
     * real library call — signature and batch shape stay identical.
     */
   object StubDecoder {
-    def decode(payload: Array[Byte], format: String): (Int, Int, Int) = {
+    /** First 32 bits of the payload md5 as an unsigned value — the
+      * seed every derived "decoded" quantity is computed from.
+      */
+    def hash32(payload: Array[Byte]): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val h = java.lang.Long.parseLong(
+      java.lang.Long.parseLong(
         md.digest(payload).take(4).map(b => f"$b%02x").mkString, 16)
+    }
+
+    def decode(payload: Array[Byte], format: String): (Int, Int, Int) = {
+      val h = hash32(payload)
       val width = (160 + h % 1760).toInt
       val height = (120 + (h / 1760) % 960).toInt
       val frames = (1 + h % 240).toInt
       (width, height, frames)
+    }
+
+    /** Frame iterator at a fixed sampling stride — the shape a real
+      * video decoder exposes (imperative per-frame yield; a frame's
+      * "brightness" stands in for any per-frame feature). Lazy: a real
+      * decoder seeks keyframes instead of decoding everything.
+      */
+    def sampleFrames(payload: Array[Byte], stride: Int): Iterator[(Int, Int)] = {
+      val h = hash32(payload)
+      val nFrames = (1 + h % 240).toInt
+      Iterator.range(0, nFrames, stride)
+        .map(idx => (idx, ((h * (idx + 7)) % 256).toInt))
     }
   }
 
@@ -102,9 +121,59 @@ object Multimodal {
       |  CAST(sum(1 + h % 240) AS BIGINT) AS total_frames
       |FROM meta GROUP BY format ORDER BY format""".stripMargin
 
+  // ------------------------------------------------- frame sampling
+
+  /** One sampled frame with its extracted feature. */
+  case class FrameSample(doc_id: Long, frame_idx: Int, brightness: Int)
+
+  /** Every [[FrameStride]]-th frame is decoded; the rest are skipped
+    * (a real pipeline seeks, it does not decode 100% of a video to
+    * keep 3%).
+    */
+  val FrameStride = 30
+
+  /** Strided frame sampling: each payload fans out into its sampled
+    * frames inside the SAME partition-batched decode pass (decoder
+    * built once per partition, frames yielded lazily — the fan-out
+    * never materializes per-document frame lists). The per-frame rows
+    * then flow into ordinary relational ops; at 100 TB the output is
+    * the (much smaller) frame-feature table a vision pipeline trains
+    * on.
+    */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          StubDecoder.sampleFrames(r.getAs[Array[Byte]](1), FrameStride)
+            .map { case (idx, b) => FrameSample(id, idx, b) }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val frameSamplesOracle =
+    s"""WITH meta AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, h,
+       |    unnest(generate_series(0, CAST(1 + h % 240 AS INTEGER) - 1, $FrameStride))
+       |      AS frame_idx
+       |  FROM meta)
+       |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |  CAST((h * (frame_idx + 7)) % 256 AS INTEGER) AS brightness
+       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("multimodal_meta", mediaStats _, Some(mediaStatsOracle),
-      "binary payload -> partition-batched decode -> typed metadata agg"))
+      "binary payload -> partition-batched decode -> typed metadata agg"),
+    GraftQuery("multimodal_frames", frameSamples _, Some(frameSamplesOracle),
+      "strided frame sampling: lazy per-partition decode fan-out -> frame-feature rows"))
 }

@@ -514,9 +514,46 @@ object Similarity {
        |FROM methods m LEFT JOIN hits USING (method) CROSS JOIN base
        |ORDER BY m.method""".stripMargin
 
+  // ------------------------------------------------- class centroids
+
+  /** Per-label embedding centroid (the class-prototype vector used for
+    * cluster seeding, nearest-class-mean labeling, and drift checks),
+    * emitted as (label, component, mean) rows. The component means
+    * come from exact decimal sums ÷ integer counts — one IEEE division
+    * each, bit-identical cross-engine.
+    *
+    * Scale: posexplode → hash-agg on (label, i) — shuffle volume is
+    * labels × dims (tiny), with map-side partial aggregation doing the
+    * real reduction; the corpus is scanned once.
+    */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val Dec = "decimal(38,20)"
+    t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select(col("label"), (col("i0") + 1).as("i"), col("v").cast("double").as("val"))
+      .groupBy(col("label"), col("i"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("val").cast(Dec)).cast("double").as("csum"))
+      .select(col("label"), col("i"), col("n_vecs"),
+        round(col("csum") / col("n_vecs"), 12).as("mean_val"))
+      .orderBy("label", "i")
+  }
+
+  private val embedCentroidsOracle =
+    """WITH elems AS (
+      |  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings,
+      |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u)
+      |SELECT label, CAST(i AS INTEGER) AS i, count(*) AS n_vecs,
+      |  round(CAST(sum(CAST(val AS DECIMAL(38,20))) AS DOUBLE) / count(*), 12)
+      |    AS mean_val
+      |FROM elems GROUP BY label, i
+      |ORDER BY label, i""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("embed_centroids", embedCentroids _, Some(embedCentroidsOracle),
+      "per-label class-prototype centroids as (label, component, mean) rows"),
     GraftQuery("sim_topk_bruteforce", topkBruteForce _, Some(topkBruteForceOracle),
       "exact cosine top-10 per query vector (broadcast scan)"),
     GraftQuery("sim_topk_lsh", topkLsh _, Some(topkLshOracle),

@@ -26,6 +26,22 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(w1 >= 160 && w1 < 1920 && h1 >= 120 && h1 < 1080 && f1 >= 1 && f1 <= 240)
   }
 
+  test("frame sampling yields exactly the strided frames of every document") {
+    val byDoc = Multimodal.frameSamples(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    val meta = Multimodal.decodeMeta(spark, dir).collect()
+    assert(meta.nonEmpty && byDoc.size == meta.length)
+    meta.foreach { m =>
+      val frames = byDoc(m.doc_id).map(_.getInt(1)).toSeq
+      val expected = 0 until m.n_frames by Multimodal.FrameStride
+      assert(frames == expected.toSeq, s"doc ${m.doc_id}")
+    }
+    byDoc.values.flatten.foreach { r =>
+      val b = r.getInt(2)
+      assert(b >= 0 && b < 256)
+    }
+  }
+
   test("decodeMeta runs on executors per partition and matches the stub row-by-row") {
     val meta = Multimodal.decodeMeta(spark, dir).collect().map(m => m.doc_id -> m).toMap
     val docs = spark.read.parquet(s"$dir/documents.parquet")
