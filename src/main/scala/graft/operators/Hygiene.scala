@@ -78,6 +78,58 @@ object Hygiene {
        |FROM ov JOIN totals USING (doc_id)
        |ORDER BY n_overlap DESC, doc_id""".stripMargin
 
+  // -------------------------------------------- cross-split leakage
+
+  /** Train→test leakage audit: test-split documents sharing ≥1
+    * df-capped 5-gram with any TRAIN-split document, under the REAL
+    * hash split ([[Pipeline.splitAssign]]'s bucket function) — the
+    * check a training run performs on its own split before shipping
+    * eval numbers.
+    *
+    * Unlike [[decontamOverlap]] (tiny eval suite → forced broadcast),
+    * the train side here is 80% of the corpus, so no broadcast is
+    * forced: the equi-join on the shingle is left to Catalyst/AQE,
+    * which broadcasts while the distinct train-shingle set fits the
+    * threshold and falls back to the hash-partitioned inverted-index
+    * join — whose bucket sizes the df cap bounds — when it doesn't.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(Dedup.phash(col("doc_id").cast("string")), lit(100))
+    val idx = Dedup.shingleIndex(spark, dir)
+      .select(col("doc_id"), col("s"), bucket.as("bucket"))
+    val trainSh = idx.filter(col("bucket") < 80).select(col("s")).distinct()
+    val test = idx.filter(col("bucket") >= 90)
+    val totals = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    test.join(trainSh, Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 12)
+          .as("leak_frac"))
+      .orderBy(desc("n_overlap"), col("doc_id"))
+  }
+
+  private val splitLeakageOracle =
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
+       |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |e AS (
+       |  SELECT doc_id, s,
+       |    ${Dedup.phashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM e0 WHERE s IN ($dfCapSql)),
+       |train_sh AS (SELECT DISTINCT s FROM e WHERE bucket < 80),
+       |test AS (SELECT doc_id, s FROM e WHERE bucket >= 90),
+       |totals AS (SELECT doc_id, count(*) AS n_shingles FROM test GROUP BY 1),
+       |ov AS (
+       |  SELECT t.doc_id, count(*) AS n_overlap
+       |  FROM test t JOIN train_sh USING (s) GROUP BY 1)
+       |SELECT doc_id, n_overlap, n_shingles,
+       |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 12) AS leak_frac
+       |FROM ov JOIN totals USING (doc_id)
+       |ORDER BY n_overlap DESC, doc_id""".stripMargin
+
   // -------------------------------------------- repetition quality
 
   /** Gopher-style repetition metrics per document: duplicate-word
@@ -201,6 +253,8 @@ object Hygiene {
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("decontam_overlap", decontamOverlap _, Some(decontamOverlapOracle),
       "benchmark decontamination: corpus shingle index vs broadcast eval-suite n-grams"),
+    GraftQuery("split_leakage", splitLeakage _, Some(splitLeakageOracle),
+      "train-to-test shingle leakage under the real hash split (inverted-index join)"),
     GraftQuery("text_repetition", textRepetition _, Some(textRepetitionOracle),
       "Gopher-style repetition quality: dup-word and top-bigram char fractions"),
     GraftQuery("pii_redact", piiRedact _, Some(piiRedactOracle),

@@ -327,9 +327,96 @@ object Pipeline {
        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // --------------------------------------------------- mixture planning
+
+  /** Data-mixture plan: downsampling rates that balance the corpus
+    * across sources (uniform target mixture with no upsampling — every
+    * source keeps `min(source token mass)` tokens, the standard
+    * rebalancing move for over-represented web crawl). `rate` is ONE
+    * IEEE division of two exact integer token masses.
+    *
+    * Scale: one hash-agg by source (map-side partials), then a
+    * broadcast of the K-row source table against itself via a window
+    * min — nothing per-document moves.
+    */
+  def mixRates(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = t(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("total_tokens"))
+    perSource
+      .withColumn("target_tokens", min(col("total_tokens")).over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("target_tokens"),
+        round(col("target_tokens").cast("double") / col("total_tokens"), 12).as("rate"))
+      .orderBy("source")
+  }
+
+  private val mixRatesOracle =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |  FROM documents GROUP BY 1)
+      |SELECT source, n_docs, total_tokens,
+      |  CAST(min(total_tokens) OVER () AS BIGINT) AS target_tokens,
+      |  round(CAST(min(total_tokens) OVER () AS DOUBLE) / total_tokens, 12) AS rate
+      |FROM s ORDER BY source""".stripMargin
+
+  // ------------------------------------------------ quality threshold sweep
+
+  /** Quality-threshold sweep: for every cut point of the integer
+    * quality score, the document/token mass that survives — the curve
+    * an engineer reads before choosing the gate. ONE corpus scan
+    * reduces to ≤ 11 (points, count, tokens) rows; the threshold
+    * fan-out is an 11 × ≤11 broadcast nested loop over those
+    * pre-aggregated rows, so the sweep costs the same as a single
+    * threshold at any corpus size.
+    */
+  def qualitySweep(spark: SparkSession, dir: String): DataFrame = {
+    val perPoint = t(spark, dir, "documents")
+      .select(TextAnalysis.qualityPoints(col("text")).as("p"),
+        size(split(col("text"), " ")).as("nt"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("nd"), sum(col("nt")).cast("long").as("tok"))
+    val totals = perPoint.agg(sum(col("nd")).as("all_docs"), sum(col("tok")).as("all_tok"))
+    val thr = spark.range(0, 11).select(col("id").cast("int").as("q_min"))
+    thr.join(perPoint, col("p") >= col("q_min"), "left")
+      .groupBy(col("q_min"))
+      .agg(coalesce(sum(col("nd")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("tok")), lit(0L)).as("n_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("q_min"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("all_docs"), 12).as("doc_frac"),
+        round(col("n_tokens").cast("double") / col("all_tok"), 12).as("token_frac"))
+      .orderBy("q_min")
+  }
+
+  private val qualitySweepOracle = {
+    s"""WITH scored AS (
+       |  SELECT ${TextAnalysis.qualityPointsSql("text")} AS p,
+       |    len(string_split(text, ' ')) AS nt
+       |  FROM documents),
+       |pp AS (
+       |  SELECT p, count(*) AS nd, CAST(sum(nt) AS BIGINT) AS tok
+       |  FROM scored GROUP BY 1),
+       |tot AS (SELECT CAST(sum(nd) AS BIGINT) AS all_docs,
+       |               CAST(sum(tok) AS BIGINT) AS all_tok FROM pp),
+       |thr AS (SELECT unnest(generate_series(0, 10)) AS q_min)
+       |SELECT CAST(q_min AS INTEGER) AS q_min,
+       |  CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(tok), 0) AS BIGINT) AS n_tokens,
+       |  round(CAST(coalesce(sum(nd), 0) AS DOUBLE) / any_value(all_docs), 12) AS doc_frac,
+       |  round(CAST(coalesce(sum(tok), 0) AS DOUBLE) / any_value(all_tok), 12) AS token_frac
+       |FROM thr LEFT JOIN pp ON p >= q_min CROSS JOIN tot
+       |GROUP BY q_min ORDER BY q_min""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("mix_rates", mixRates _, Some(mixRatesOracle),
+      "data-mixture plan: per-source downsampling rates to a uniform token target"),
+    GraftQuery("quality_sweep", qualitySweep _, Some(qualitySweepOracle),
+      "survival curve over every quality-score cut (one scan, pre-aggregated sweep)"),
     GraftQuery("split_assign", splitAssign _, Some(splitAssignOracle),
       "deterministic hash-bucket train/val/test split (80/10/10)"),
     GraftQuery("stratified_sample", stratifiedSample _, Some(stratifiedSampleOracle),
