@@ -35,6 +35,41 @@ import graft.operators.Dedup.{dfCapSql, shinglesSql}
   */
 object Hygiene {
 
+  // ------------------------------------------------- overlap reports
+
+  /** Shared tail of every shingle-overlap audit: given a scoped
+    * (doc_id, s) stream and a distinct shingle set to test against,
+    * emit per-document overlap count, shingle total, and fraction
+    * (one division, 12 places), most-contaminated first. Used by both
+    * [[decontamOverlap]] and [[splitLeakage]] so the two reports can
+    * never drift in rounding or ordering.
+    */
+  private def overlapReport(scoped: DataFrame, shingleSet: DataFrame,
+      fracCol: String): DataFrame = {
+    val totals = scoped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    scoped.join(shingleSet, Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 12)
+          .as(fracCol))
+      .orderBy(desc("n_overlap"), col("doc_id"))
+  }
+
+  /** Oracle-side rendering of [[overlapReport]] over CTEs named
+    * `corpusCte` (doc_id, s) and `setCte` (s).
+    */
+  private def overlapReportSql(corpusCte: String, setCte: String,
+      fracCol: String): String =
+    s"""totals AS (SELECT doc_id, count(*) AS n_shingles FROM $corpusCte GROUP BY 1),
+       |ov AS (
+       |  SELECT c.doc_id, count(*) AS n_overlap
+       |  FROM $corpusCte c JOIN $setCte USING (s) GROUP BY 1)
+       |SELECT doc_id, n_overlap, n_shingles,
+       |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 12) AS $fracCol
+       |FROM ov JOIN totals USING (doc_id)
+       |ORDER BY n_overlap DESC, doc_id""".stripMargin
+
   // ------------------------------------------------- decontamination
 
   /** Every 7th doc_id stands in for the benchmark/eval suite. */
@@ -50,14 +85,7 @@ object Hygiene {
     val idx = Dedup.shingleIndex(spark, dir).select(col("doc_id"), col("s"))
     val bench = idx.filter(col("doc_id") % BenchMod === 0).select(col("s")).distinct()
     val corpus = idx.filter(col("doc_id") % BenchMod =!= 0)
-    val totals = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    corpus.join(broadcast(bench), Seq("s"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-      .join(totals, Seq("doc_id"))
-      .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
-        round(col("n_overlap").cast("double") / col("n_shingles"), 12)
-          .as("contamination_frac"))
-      .orderBy(desc("n_overlap"), col("doc_id"))
+    overlapReport(corpus, broadcast(bench), "contamination_frac")
   }
 
   private val decontamOverlapOracle =
@@ -69,14 +97,7 @@ object Hygiene {
        |e AS (SELECT doc_id, s FROM e0 WHERE s IN ($dfCapSql)),
        |bench AS (SELECT DISTINCT s FROM e WHERE doc_id % $BenchMod = 0),
        |corpus AS (SELECT doc_id, s FROM e WHERE doc_id % $BenchMod <> 0),
-       |totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
-       |ov AS (
-       |  SELECT c.doc_id, count(*) AS n_overlap
-       |  FROM corpus c JOIN bench USING (s) GROUP BY 1)
-       |SELECT doc_id, n_overlap, n_shingles,
-       |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 12) AS contamination_frac
-       |FROM ov JOIN totals USING (doc_id)
-       |ORDER BY n_overlap DESC, doc_id""".stripMargin
+       |${overlapReportSql("corpus", "bench", "contamination_frac")}""".stripMargin
 
   // -------------------------------------------- cross-split leakage
 
@@ -98,15 +119,8 @@ object Hygiene {
     val idx = Dedup.shingleIndex(spark, dir)
       .select(col("doc_id"), col("s"), bucket.as("bucket"))
     val trainSh = idx.filter(col("bucket") < 80).select(col("s")).distinct()
-    val test = idx.filter(col("bucket") >= 90)
-    val totals = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    test.join(trainSh, Seq("s"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-      .join(totals, Seq("doc_id"))
-      .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
-        round(col("n_overlap").cast("double") / col("n_shingles"), 12)
-          .as("leak_frac"))
-      .orderBy(desc("n_overlap"), col("doc_id"))
+    val test = idx.filter(col("bucket") >= 90).select(col("doc_id"), col("s"))
+    overlapReport(test, trainSh, "leak_frac")
   }
 
   private val splitLeakageOracle =
@@ -121,14 +135,7 @@ object Hygiene {
        |  FROM e0 WHERE s IN ($dfCapSql)),
        |train_sh AS (SELECT DISTINCT s FROM e WHERE bucket < 80),
        |test AS (SELECT doc_id, s FROM e WHERE bucket >= 90),
-       |totals AS (SELECT doc_id, count(*) AS n_shingles FROM test GROUP BY 1),
-       |ov AS (
-       |  SELECT t.doc_id, count(*) AS n_overlap
-       |  FROM test t JOIN train_sh USING (s) GROUP BY 1)
-       |SELECT doc_id, n_overlap, n_shingles,
-       |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 12) AS leak_frac
-       |FROM ov JOIN totals USING (doc_id)
-       |ORDER BY n_overlap DESC, doc_id""".stripMargin
+       |${overlapReportSql("test", "train_sh", "leak_frac")}""".stripMargin
 
   // -------------------------------------------- repetition quality
 

@@ -33,6 +33,11 @@ object Multimodal {
     * arithmetically). A production build replaces `decode` with the
     * real library call — signature and batch shape stay identical.
     */
+  /** Frame-count modulus: n_frames ∈ [1, FrameMod]. ONE definition,
+    * interpolated into both oracles and used by both decoder paths.
+    */
+  val FrameMod = 240
+
   object StubDecoder {
     /** First 32 bits of the payload md5 as an unsigned value — the
       * seed every derived "decoded" quantity is computed from.
@@ -43,12 +48,16 @@ object Multimodal {
         md.digest(payload).take(4).map(b => f"$b%02x").mkString, 16)
     }
 
+    /** Frame count of a payload's "video" — shared by [[decode]],
+      * [[sampleFrames]], and (via [[FrameMod]]) the oracles.
+      */
+    def nFrames(h: Long): Int = (1 + h % FrameMod).toInt
+
     def decode(payload: Array[Byte], format: String): (Int, Int, Int) = {
       val h = hash32(payload)
       val width = (160 + h % 1760).toInt
       val height = (120 + (h / 1760) % 960).toInt
-      val frames = (1 + h % 240).toInt
-      (width, height, frames)
+      (width, height, nFrames(h))
     }
 
     /** Frame iterator at a fixed sampling stride — the shape a real
@@ -58,8 +67,7 @@ object Multimodal {
       */
     def sampleFrames(payload: Array[Byte], stride: Int): Iterator[(Int, Int)] = {
       val h = hash32(payload)
-      val nFrames = (1 + h % 240).toInt
-      Iterator.range(0, nFrames, stride)
+      Iterator.range(0, nFrames(h), stride)
         .map(idx => (idx, ((h * (idx + 7)) % 256).toInt))
     }
   }
@@ -109,7 +117,7 @@ object Multimodal {
       .orderBy("format")
 
   private val mediaStatsOracle =
-    """WITH meta AS (
+    s"""WITH meta AS (
       |  SELECT doc_id, source AS format,
       |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
       |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
@@ -118,7 +126,7 @@ object Multimodal {
       |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
       |  CAST(max(160 + h % 1760) AS INTEGER) AS max_width,
       |  CAST(min(120 + (h // 1760) % 960) AS INTEGER) AS min_height,
-      |  CAST(sum(1 + h % 240) AS BIGINT) AS total_frames
+      |  CAST(sum(1 + h % $FrameMod) AS BIGINT) AS total_frames
       |FROM meta GROUP BY format ORDER BY format""".stripMargin
 
   // ------------------------------------------------- frame sampling
@@ -162,7 +170,7 @@ object Multimodal {
        |  FROM documents),
        |fr AS (
        |  SELECT doc_id, h,
-       |    unnest(generate_series(0, CAST(1 + h % 240 AS INTEGER) - 1, $FrameStride))
+       |    unnest(generate_series(0, CAST(1 + h % $FrameMod AS INTEGER) - 1, $FrameStride))
        |      AS frame_idx
        |  FROM meta)
        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,

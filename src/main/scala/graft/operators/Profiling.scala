@@ -76,9 +76,12 @@ object Profiling {
     */
   def outlierOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
-    // (19,4) operands: the product is decimal(38,8) in both engines —
-    // exact for these magnitudes — and precision 19 forces DuckDB's
-    // int128 decimal path (DECIMAL(18) multiplies overflow in int64)
+    // (19,4) operands: Spark's product type under allowPrecisionLoss
+    // is decimal(38,7) (scale 8 exceeds the 38-digit budget, so the
+    // exact product is HALF_UP-rounded at scale 7); the oracle CASTs
+    // its exact decimal(38,8) product to (38,7) so both engines round
+    // identically even if a future fixture carries >2-decimal prices.
+    // Precision 19 also forces DuckDB's int128 decimal path.
     val stats = o.agg(
       count(lit(1)).as("n"),
       sum(col("o_totalprice").cast("decimal(19,4)")).as("s1"),
@@ -100,8 +103,8 @@ object Profiling {
     s"""WITH stats AS (
        |  SELECT count(*) AS n,
        |    sum(CAST(o_totalprice AS DECIMAL(19,4))) AS s1,
-       |    sum(CAST(o_totalprice AS DECIMAL(19,4)) *
-       |        CAST(o_totalprice AS DECIMAL(19,4))) AS s2
+       |    sum(CAST(CAST(o_totalprice AS DECIMAL(19,4)) *
+       |             CAST(o_totalprice AS DECIMAL(19,4)) AS DECIMAL(38,7))) AS s2
        |  FROM orders),
        |ms AS (
        |  SELECT CAST(s1 AS DOUBLE) / n AS mean,

@@ -54,7 +54,7 @@ class PackingSpec extends AnyFunSuite with SparkFixture {
     assert(pePack.contains("hashpartitioning(shard"), s"window not shard-partitioned:\n$pePack")
     val peStats = SparkEntry.queries("pack_stats")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(peStats.contains("partial_count") || peStats.contains("HashAggregate"),
+    assert(peStats.contains("partial_count") && peStats.contains("partial_sum"),
       s"no map-side partial agg:\n$peStats")
   }
 }
