@@ -361,6 +361,64 @@ object Pipeline {
       |  round(CAST(min(total_tokens) OVER () AS DOUBLE) / total_tokens, 12) AS rate
       |FROM s ORDER BY source""".stripMargin
 
+  /** Keep-decision resolution for [[mixApply]] (rate quantized to
+    * 1/[[MixRes]]). 10⁴ keeps `target·MixRes` inside a BIGINT even at
+    * petabyte-scale per-source token counts (overflow would need
+    * ~9·10¹⁴ tokens in one source).
+    */
+  val MixRes = 10000
+
+  /** The mixture plan APPLIED: each document keeps/drops by comparing
+    * its per-source hash draw against an integer threshold derived
+    * from [[mixRates]]'s rate — `threshold = target·MixRes div total`
+    * — so the decision is pure integer arithmetic (no float rate ever
+    * compared) and reproducible document-by-document across engines
+    * and reruns. Output is the per-source realized sample, which lands
+    * within sampling noise of the planned uniform token target.
+    *
+    * Scale: the K-row threshold table broadcasts; the keep decision is
+    * scan-local — the same zero-coordination property as
+    * [[stratifiedSample]], now with data-derived rates.
+    */
+  def mixApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("nt"))
+    val thresholds = docs
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).cast("long").as("total_tokens"))
+      .withColumn("target_tokens",
+        min(col("total_tokens")).over(Window.partitionBy()))
+      .select(col("source"),
+        expr(s"target_tokens * $MixRes DIV total_tokens").as("keep_threshold"))
+    val draw = pmod(phash(concat_ws(":", col("source"), col("doc_id").cast("string"))),
+      lit(MixRes))
+    docs.join(broadcast(thresholds), Seq("source"))
+      .filter(draw < col("keep_threshold"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("nt")).cast("long").as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  private val mixApplyOracle =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, CAST(sum(nt) AS BIGINT) AS total_tokens FROM d GROUP BY 1),
+       |thr AS (
+       |  SELECT source,
+       |    CAST(min(total_tokens) OVER () AS BIGINT) * $MixRes // total_tokens
+       |      AS keep_threshold
+       |  FROM s)
+       |SELECT source, count(*) AS n_docs_kept,
+       |  CAST(sum(nt) AS BIGINT) AS tokens_kept
+       |FROM d JOIN thr USING (source)
+       |WHERE ${phashSql(s"concat_ws(':', source, CAST(doc_id AS VARCHAR))")} % $MixRes
+       |      < keep_threshold
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------ quality threshold sweep
 
   /** Quality-threshold sweep: for every cut point of the integer
@@ -377,16 +435,21 @@ object Pipeline {
         size(split(col("text"), " ")).as("nt"))
       .groupBy(col("p"))
       .agg(count(lit(1)).as("nd"), sum(col("nt")).cast("long").as("tok"))
-    val totals = perPoint.agg(sum(col("nd")).as("all_docs"), sum(col("tok")).as("all_tok"))
     val thr = spark.range(0, 11).select(col("id").cast("int").as("q_min"))
-    thr.join(perPoint, col("p") >= col("q_min"), "left")
+    val sweep = thr.join(perPoint, col("p") >= col("q_min"), "left")
       .groupBy(col("q_min"))
       .agg(coalesce(sum(col("nd")), lit(0L)).as("n_docs"),
         coalesce(sum(col("tok")), lit(0L)).as("n_tokens"))
-      .crossJoin(broadcast(totals))
+    // survivors are monotone non-increasing in q_min, so the q_min=0
+    // row IS the corpus total — a window max over the 11-row sweep,
+    // not a second corpus scan
+    val all = Window.partitionBy()
+    sweep
       .select(col("q_min"), col("n_docs"), col("n_tokens"),
-        round(col("n_docs").cast("double") / col("all_docs"), 12).as("doc_frac"),
-        round(col("n_tokens").cast("double") / col("all_tok"), 12).as("token_frac"))
+        round(col("n_docs").cast("double") / max(col("n_docs")).over(all), 12)
+          .as("doc_frac"),
+        round(col("n_tokens").cast("double") / max(col("n_tokens")).over(all), 12)
+          .as("token_frac"))
       .orderBy("q_min")
   }
 
@@ -398,16 +461,17 @@ object Pipeline {
        |pp AS (
        |  SELECT p, count(*) AS nd, CAST(sum(nt) AS BIGINT) AS tok
        |  FROM scored GROUP BY 1),
-       |tot AS (SELECT CAST(sum(nd) AS BIGINT) AS all_docs,
-       |               CAST(sum(tok) AS BIGINT) AS all_tok FROM pp),
-       |thr AS (SELECT unnest(generate_series(0, 10)) AS q_min)
-       |SELECT CAST(q_min AS INTEGER) AS q_min,
-       |  CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_docs,
-       |  CAST(coalesce(sum(tok), 0) AS BIGINT) AS n_tokens,
-       |  round(CAST(coalesce(sum(nd), 0) AS DOUBLE) / any_value(all_docs), 12) AS doc_frac,
-       |  round(CAST(coalesce(sum(tok), 0) AS DOUBLE) / any_value(all_tok), 12) AS token_frac
-       |FROM thr LEFT JOIN pp ON p >= q_min CROSS JOIN tot
-       |GROUP BY q_min ORDER BY q_min""".stripMargin
+       |thr AS (SELECT unnest(generate_series(0, 10)) AS q_min),
+       |sweep AS (
+       |  SELECT CAST(q_min AS INTEGER) AS q_min,
+       |    CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_docs,
+       |    CAST(coalesce(sum(tok), 0) AS BIGINT) AS n_tokens
+       |  FROM thr LEFT JOIN pp ON p >= q_min
+       |  GROUP BY q_min)
+       |SELECT q_min, n_docs, n_tokens,
+       |  round(CAST(n_docs AS DOUBLE) / max(n_docs) OVER (), 12) AS doc_frac,
+       |  round(CAST(n_tokens AS DOUBLE) / max(n_tokens) OVER (), 12) AS token_frac
+       |FROM sweep ORDER BY q_min""".stripMargin
   }
 
   // ---------------------------------------------------------- registry
@@ -415,6 +479,8 @@ object Pipeline {
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mix_rates", mixRates _, Some(mixRatesOracle),
       "data-mixture plan: per-source downsampling rates to a uniform token target"),
+    GraftQuery("mix_apply", mixApply _, Some(mixApplyOracle),
+      "mixture plan applied: integer-threshold hash sampling per source"),
     GraftQuery("quality_sweep", qualitySweep _, Some(qualitySweepOracle),
       "survival curve over every quality-score cut (one scan, pre-aggregated sweep)"),
     GraftQuery("split_assign", splitAssign _, Some(splitAssignOracle),

@@ -23,9 +23,10 @@ import graft.Tables.t
   *     makes the oracle comparable for double/timestamp columns too.
   *   - [[outlierOrders]] derives mean and variance from exact decimal
   *     sums (sum x, sum x² — both map-side partial-aggregated), so the
-  *     z-scores are bit-identical cross-engine: one broadcast 1-row
-  *     stats join, then a scan-local filter. No second pass, no sort
-  *     until the tiny outlier set.
+  *     z-scores are bit-identical cross-engine: a pruned stats pass,
+  *     one broadcast 1-row stats join, then a scan-local filter pass —
+  *     the minimal two-pass shape of global z-scoring; no sort until
+  *     the tiny outlier set.
   */
 object Profiling {
 
@@ -72,7 +73,10 @@ object Profiling {
     * from exact decimal Σx and Σx² (single IEEE division each), and
     * each z-score is one subtraction + one division of those exact
     * quantities — deterministic cross-engine, no libm beyond sqrt
-    * (IEEE-754 correctly rounded in both engines).
+    * (IEEE-754 correctly rounded in both engines). Global z-scoring is
+    * inherently two-pass — a pruned stats scan, then a scan-local
+    * filter against the broadcast 1-row stats — and both passes read
+    * only the two needed columns.
     */
   def outlierOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")

@@ -82,6 +82,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(scans == 1, s"expected 1 documents scan, got $scans:\n$pe")
   }
 
+  test("quality sweep reduces the corpus in ONE scan (totals from the sweep, not a re-scan)") {
+    val pe = SparkEntry.queries("quality_sweep")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(pe).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$pe")
+  }
+
+  test("mixture apply broadcasts the threshold table; keep decision is scan-local") {
+    val pe = SparkEntry.queries("mix_apply")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(pe.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$pe")
+  }
+
   test("pii redaction is a row-local projection (no shuffle before the sort)") {
     // string count, not collect: AQE hides the subtree from collect()
     val pe = SparkEntry.queries("pii_redact")(spark, dir)
