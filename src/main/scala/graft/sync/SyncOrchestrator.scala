@@ -185,26 +185,52 @@ class SyncOrchestrator(
     *  - control event (drop/rename/invalidate) → full rebuild inline,
     *    then a fresh token-keyed stream checkpoint, exactly like the
     *    batch drain path — a daemon that kept polling a stalled,
-    *    invalidated stream would look healthy while applying nothing.
+    *    invalidated stream would look healthy while applying nothing;
+    *  - every `maintenanceIntervalMs`, COLD compaction + snapshot
+    *    expiry run on the supervisor thread while the stream keeps
+    *    committing (the reference's scheduled RewriteDataFilesAction
+    *    "filter to cold partitions only"): only snapshots behind the
+    *    hot ingest tail are rewritten, so maintenance cost tracks the
+    *    cold backlog, never the table size, and the claim-file commit
+    *    protocol arbitrates the concurrent committers. A maintenance
+    *    failure (e.g. a raced rewrite) skips the cycle and counts an
+    *    error — it never takes the stream down.
     */
   def superviseSteadyState(
       c: CollectionSyncConfig,
       table: IceliteTable,
       streamCheckpointDir: String,
       stopWhen: () => Boolean,
-      pollMs: Long = 25L): Unit = {
+      pollMs: Long = 25L,
+      maintenanceIntervalMs: Long = Long.MaxValue): Unit = {
     val syncId = c.target.qualifiedName
     val changes = newChangeStream(c, table)
     metrics.setState(syncId, SyncState.SteadyState)
     var done = false
     var attempt = 0
     var rebuilds = 0
+    var nextMaintenance =
+      if (maintenanceIntervalMs == Long.MaxValue) Long.MaxValue
+      else System.currentTimeMillis() + maintenanceIntervalMs
+    def maybeMaintain(): Unit =
+      if (System.currentTimeMillis() >= nextMaintenance) {
+        try {
+          table.compactCold()
+          table.expireSnapshots()
+        } catch {
+          case _: IllegalStateException => metrics.recordError(syncId)
+        }
+        nextMaintenance = System.currentTimeMillis() + maintenanceIntervalMs
+      }
     while (!done) {
       val tok = checkpoints.read(syncId).flatMap(_.resumeToken).getOrElse(-1L)
       val startedAt = System.currentTimeMillis()
       val q = changes.start(changeLogPath(c), s"$streamCheckpointDir/t$tok", availableNow = false)
       try {
-        while (q.isActive && !stopWhen() && !changes.invalidated) Thread.sleep(pollMs)
+        while (q.isActive && !stopWhen() && !changes.invalidated) {
+          Thread.sleep(pollMs)
+          maybeMaintain()
+        }
         if (changes.invalidated) {
           q.stop()
           if (rebuilds >= MaxRebuilds)

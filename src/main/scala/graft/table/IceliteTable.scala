@@ -279,6 +279,73 @@ final class IceliteTable private (
     } finally current.unpersist()
   }
 
+  /** Cold-scoped compaction (reference plan.md Phase 4: "Filter to cold
+    * partitions only"): rewrite ONLY the files of snapshots more than
+    * `keepHotCommits` commits behind the head, folding in every delete
+    * that affects them, and leave the hot tail untouched. At 100 TB
+    * this is the difference between a bounded maintenance job and
+    * rewriting the table — compaction cost tracks the cold backlog,
+    * not table size, and a hot ingest tail never gets churned.
+    *
+    * Correctness: rewritten rows KEEP their original `_graft_seq`, so
+    * LWW resolution against hot data and hot deletes is unchanged
+    * (hot deletes re-applying to already-folded rows is idempotent).
+    * Cold delete files are then dropped outright: a delete at seq
+    * d ≤ cutoff only affects rows with seq < d, all of which were just
+    * folded — hot rows all carry seq > cutoff.
+    *
+    * Returns the cutoff seq, or None when there is nothing cold.
+    */
+  def compactCold(keepHotCommits: Int = 2, targetFileMB: Int = 256): Option[Long] = {
+    refresh()
+    val before = cachedMeta
+    if (before.snapshots.size <= keepHotCommits) return None
+    val cutoff = before.snapshots.dropRight(keepHotCommits).last.seq
+    val coldSnaps = before.snapshots.filter(_.seq <= cutoff)
+    val coldSeqs = coldSnaps.map(_.seq)
+    if (coldSnaps.forall(s => s.dataFiles.isEmpty && s.deleteFiles.isEmpty)) return None
+    val survivors = applyDeletes(
+      readFiles(coldSnaps.flatMap(_.dataFiles), withSeq = true),
+      before.liveDeleteFiles)
+      .select((before.schema.fieldNames :+ SeqCol).map(col).toSeq: _*)
+      .cache()
+    try {
+      val count = survivors.count()
+      val bytes = estimateBytes(survivors)
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
+      val commitId = UUID.randomUUID().toString
+      val out = s"$location/data/$commitId"
+      var d = survivors
+      val partCols = before.partitioning.map(transformColumn)
+      partCols.foreach { case (n, c) => d = d.withColumn(n, c) }
+      val repartitioned =
+        if (partCols.nonEmpty) d.repartition(nFiles, partCols.map(p => col(p._1)): _*)
+        else d.repartition(nFiles)
+      // content is head-independent (rows keep their own seq), so the
+      // files are written ONCE; only the metadata swap runs in the
+      // optimistic-retry loop
+      if (count > 0) repartitioned.write.mode("errorifexists").parquet(out)
+      val files = if (count > 0) listParquet(out) else Nil
+      val statCols = prunableColumns(before.partitioning)
+      val stats = files.map(f => f -> footerInfo(f, statCols)._2)
+        .collect { case (f, s) if s.nonEmpty => f -> s }.toMap
+      retryCommit { head =>
+        // the cold prefix is immutable (seqs only grow) unless another
+        // maintenance rewrite raced us — then our folded set is stale
+        // and this job must not publish
+        val headCold = head.snapshots.filter(_.seq <= cutoff).map(_.seq)
+        if (headCold != coldSeqs)
+          throw new IllegalStateException(
+            s"concurrent rewrite under cold compaction of $name " +
+              s"(expected cold seqs $coldSeqs, head has $headCold)")
+        val synthetic = Snapshot(cutoff, System.currentTimeMillis(), "rewrite-cold",
+          files, Nil, count, stats)
+        (head.copy(snapshots = synthetic +: head.snapshots.filter(_.seq > cutoff)), cutoff)
+      }
+      Some(cutoff)
+    } finally survivors.unpersist()
+  }
+
   /** Snapshot/file GC: delete orphaned data/delete dirs no longer
     * referenced by the head metadata, and metadata versions older than
     * `keepVersions`.

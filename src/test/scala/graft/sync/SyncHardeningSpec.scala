@@ -213,6 +213,41 @@ class SyncHardeningSpec extends AnyFunSuite with SparkFixture {
     assert(sleeps.nonEmpty) // the injected failure went through backoff
   }
 
+  test("daemon scheduled maintenance: cold compaction runs under a live stream, state intact") {
+    val root = Files.createTempDirectory("sync-maint")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    val c = cfg.sync.collections.head
+    writeFixture(root, "shop", "orders", (1 to 4).map(i => doc(i, s"$i.00", "gold")))
+    val orch0 = new SyncOrchestrator(spark, cfg, wh)
+    val table = orch0.syncCollection(c, Files.createTempDirectory("ck").toString)
+
+    // the daemon applies two batches in SEPARATE micro-batches (the
+    // second file appears only after the first is checkpointed), so
+    // with the initial-sync commit a cold prefix forms behind the
+    // default 2-commit hot tail while the stream is still live
+    writeChanges(root, "shop", "orders", "b1", Seq(upd(1, 1, "1.11", "plat")))
+    val wrote2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val orch = new SyncOrchestrator(spark, cfg, wh, new SyncMetrics, retrySleep = _ => ())
+    val deadline = System.currentTimeMillis() + 120000
+    orch.superviseSteadyState(c, table, Files.createTempDirectory("ck").toString,
+      stopWhen = () => {
+        val tok = orch.checkpoints.read("analytics.orders").flatMap(_.resumeToken)
+        if (tok.contains(1L) && wrote2.compareAndSet(false, true))
+          writeChanges(root, "shop", "orders", "b2", Seq(upd(2, 2, "2.22", "plat")))
+        System.currentTimeMillis() > deadline ||
+          (tok.contains(2L) && table.meta.snapshots.exists(_.operation == "rewrite-cold"))
+      },
+      pollMs = 50, maintenanceIntervalMs = 1)
+    assert(System.currentTimeMillis() < deadline, "daemon did not converge before deadline")
+    assert(table.meta.snapshots.exists(_.operation == "rewrite-cold"))
+    assert(tierOf(table, 1) == "plat" && tierOf(table, 2) == "plat")
+    assert(table.read().count() == 4)
+    // reload from disk: the maintained metadata is the published truth
+    assert(IceliteTable.load(spark, wh, c.target.namespace, c.target.table)
+      .read().count() == 4)
+  }
+
   test("isTransient classifies through wrapper cause chains (streaming exceptions)") {
     import SyncStateMachine.isTransient
     assert(isTransient(new RuntimeException("io blip")))

@@ -225,6 +225,41 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getString(0), r.getString(2))).toSeq == before)
   }
 
+  test("cold compaction folds only the cold prefix; hot tail untouched; result unchanged") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "cold", docSchema)
+    t.append(rows(("a", 10.0, "new", "2024-01-05T00:00:00Z")))
+    t.append(rows(("b", 20.0, "new", "2024-01-06T00:00:00Z")))
+    t.upsert(rows(("a", 11.0, "paid", "2024-01-07T00:00:00Z")), Seq("_id"))
+    // hot tail: two most recent commits
+    t.upsert(rows(("c", 30.0, "new", "2024-01-08T00:00:00Z")), Seq("_id"))
+    t.delete(rows(("b", 0.0, "x", "2024-01-09T00:00:00Z")).select("_id"), Seq("_id"))
+    val before = t.read().orderBy("_id").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val hotBefore = t.meta.snapshots.takeRight(2)
+
+    val cut = t.compactCold(keepHotCommits = 2)
+    assert(cut.contains(3L))
+    // hot snapshots byte-identical; cold prefix collapsed to one rewrite
+    val snaps = t.meta.snapshots
+    assert(snaps.takeRight(2) == hotBefore)
+    assert(snaps.head.operation == "rewrite-cold" && snaps.head.seq == 3L)
+    assert(snaps.head.deleteFiles.isEmpty)
+    // cold deletes folded away, hot delete file retained
+    assert(t.meta.liveDeleteFiles.nonEmpty)
+    assert(t.meta.liveDeleteFiles.forall(f => hotBefore.flatMap(_.deleteFiles).contains(f)))
+    // result identical (including the hot delete of b and upsert of a)
+    val after = t.read().orderBy("_id").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(after.toSeq == before.toSeq)
+    assert(after.map(_._1).toSeq == Seq("a", "c"))
+    // reload from disk agrees (metadata round-trips the synthetic snapshot)
+    assert(IceliteTable.load(spark, wh, "ns", "cold").read().count() == 2)
+    // rewritten rows keep their original seqs: a's live version was
+    // written at seq 3, so time travel at the cutoff still shows it
+    assert(t.readAt(3L).filter(col("_id") === "a").head().getDouble(1) == 11.0)
+    // nothing cold left → no-op
+    assert(t.compactCold(keepHotCommits = 5).isEmpty)
+  }
+
   test("schema evolution: added column is null for old rows, filled for new") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "t", docSchema)
