@@ -231,6 +231,36 @@ final class IceliteTable private (
     */
   def readRaw(): DataFrame = readFiles(cachedMeta.liveDataFiles, withSeq = true)
 
+  // ------------------------------------------- metadata tables (Iceberg
+  // exposes `table.history` / `table.files`; same introspection here)
+
+  /** Snapshot history as a DataFrame — one row per live snapshot:
+    * (seq, committed_at, operation, n_data_files, n_delete_files,
+    * record_count). Driver-side metadata only; no data IO.
+    */
+  def historyTable(): DataFrame = {
+    import spark.implicits._
+    cachedMeta.snapshots.map { s =>
+      (s.seq, new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.dataFiles.size, s.deleteFiles.size, s.recordCount)
+    }.toDF("seq", "committed_at", "operation",
+      "n_data_files", "n_delete_files", "record_count")
+  }
+
+  /** Live files as a DataFrame — one row per data/delete file with its
+    * committing snapshot and any recorded partition-column min/max
+    * (the manifest view a maintenance job plans from).
+    */
+  def filesTable(): DataFrame = {
+    import spark.implicits._
+    cachedMeta.snapshots.flatMap { s =>
+      val stats = (f: String) => s.fileStats.getOrElse(f, Map.empty)
+        .map { case (c, (mn, mx)) => (c, mn, mx) }.toSeq.sortBy(_._1)
+      s.dataFiles.map(f => (f, "data", s.seq, s.operation, stats(f))) ++
+        s.deleteFiles.map(f => (f, "delete", s.seq, s.operation, stats(f)))
+    }.toDF("file", "content", "seq", "operation", "partition_stats")
+  }
+
   private def readFiles(files: Seq[String], withSeq: Boolean): DataFrame = {
     val m = cachedMeta
     val full = if (withSeq) m.schema.add(SeqCol, "long") else m.schema

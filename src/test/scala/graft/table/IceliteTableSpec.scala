@@ -225,6 +225,26 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getString(0), r.getString(2))).toSeq == before)
   }
 
+  test("metadata tables: history mirrors commits, files carries manifests + stats") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "md", docSchema,
+      Seq(PartitionConfig("order_ts", "month")))
+    t.append(rows(("a", 10.0, "new", "2024-01-05T00:00:00Z")))
+    t.upsert(rows(("a", 11.0, "paid", "2024-02-05T00:00:00Z")), Seq("_id"))
+    val hist = t.historyTable().orderBy("seq").collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "append"), (2L, "upsert")))
+    assert(hist.map(_.getLong(5)).toSeq == Seq(1L, 1L))
+    val files = t.filesTable().collect()
+    assert(files.count(_.getString(1) == "data") == t.meta.liveDataFiles.size)
+    assert(files.count(_.getString(1) == "delete") == t.meta.liveDeleteFiles.size)
+    // every data file of the month-partitioned table carries min/max
+    // stats for the derived partition column
+    files.filter(_.getString(1) == "data").foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](4).nonEmpty, r.getString(0))
+    }
+  }
+
   test("cold compaction folds only the cold prefix; hot tail untouched; result unchanged") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "cold", docSchema)
