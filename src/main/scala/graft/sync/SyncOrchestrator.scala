@@ -214,11 +214,14 @@ class SyncOrchestrator(
       else System.currentTimeMillis() + maintenanceIntervalMs
     def maybeMaintain(): Unit =
       if (System.currentTimeMillis() >= nextMaintenance) {
+        // ANY maintenance failure (raced rewrite, IO error, Spark job
+        // failure) skips the cycle — it must never restart or kill the
+        // healthy stream this loop supervises
         try {
           table.compactCold()
           table.expireSnapshots()
         } catch {
-          case _: IllegalStateException => metrics.recordError(syncId)
+          case scala.util.control.NonFatal(_) => metrics.recordError(syncId)
         }
         nextMaintenance = System.currentTimeMillis() + maintenanceIntervalMs
       }

@@ -103,33 +103,11 @@ final class IceliteTable private (
       operation: String): Long = retryCommit { head =>
     val seq = head.lastSeq + 1
     val commitId = UUID.randomUUID().toString
-    val (dataFiles, count, fileStats) = if (df != null) {
-      val out = s"$location/data/$commitId"
-      var finalDf = conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq))
-      val partCols = head.partitioning.map(transformColumn)
-      partCols.foreach { case (n, c) => finalDf = finalDf.withColumn(n, c) }
-      // Partition transforms as CLUSTERING, not hive dirs: derived
-      // columns are stored in-file and rows are shuffled so one file
-      // holds whole partition-value groups — parquet min/max footers
-      // then skip files/row-groups on partition predicates. (Hive-style
-      // per-commit subdirs break Spark's partition discovery across
-      // commits, and Iceberg prunes from metadata, not directories.)
-      if (partCols.nonEmpty)
-        finalDf = finalDf.repartition(partCols.map(p => col(p._1)): _*)
-      finalDf.write.mode("errorifexists").parquet(out)
-      // row counts AND per-file partition-column min/max from the
-      // footers of what was actually written — one driver-side
-      // metadata read per file, no second scan; the stats land in the
-      // snapshot so later reads prune files from table metadata alone.
-      // Only transforms with a sound string comparator are recorded
-      // (see prunableColumns) — a column we can't compare safely is
-      // simply never pruned.
-      val files = listParquet(out)
-      val statCols = prunableColumns(head.partitioning)
-      val infos = files.map(f => f -> footerInfo(f, statCols))
-      val stats = infos.collect { case (f, (_, s)) if s.nonEmpty => f -> s }.toMap
-      (files, infos.map(_._2._1).sum, stats)
-    } else (Seq.empty[String], 0L, Map.empty[String, Map[String, (String, String)]])
+    val (dataFiles, count, fileStats) =
+      if (df != null)
+        writeDataFiles(conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq)),
+          commitId, head.partitioning, nFiles = None)
+      else (Seq.empty[String], 0L, Map.empty[String, Map[String, (String, String)]])
     val deleteFiles = deleteKeys match {
       case Some(keys) =>
         val out = s"$location/deletes/$commitId"
@@ -286,25 +264,16 @@ final class IceliteTable private (
   def compact(targetFileMB: Int = 256): Long = {
     val current = read().cache()
     try {
-      val bytes = estimateBytes(current)
+      val bytes = estimateBytes(cachedMeta.liveDataFiles)
       val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
       retryCommit { head =>
         val seq = head.lastSeq + 1
         val commitId = UUID.randomUUID().toString
-        val out = s"$location/data/$commitId"
-        var d = conformToSchema(current, head.schema).withColumn(SeqCol, lit(seq))
-        val partCols = head.partitioning.map(transformColumn)
-        partCols.foreach { case (n, c) => d = d.withColumn(n, c) }
-        val repartitioned =
-          if (partCols.nonEmpty) d.repartition(nFiles, partCols.map(p => col(p._1)): _*)
-          else d.repartition(nFiles)
-        repartitioned.write.mode("errorifexists").parquet(out)
-        val files = listParquet(out)
-        val statCols = prunableColumns(head.partitioning)
-        val stats = files.map(f => f -> footerInfo(f, statCols)._2)
-          .collect { case (f, s) if s.nonEmpty => f -> s }.toMap
+        val (files, count, stats) = writeDataFiles(
+          conformToSchema(current, head.schema).withColumn(SeqCol, lit(seq)),
+          commitId, head.partitioning, Some(nFiles))
         (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "rewrite",
-          files, Nil, current.count(), stats)), seq)
+          files, Nil, count, stats)), seq)
       }
     } finally current.unpersist()
   }
@@ -318,13 +287,18 @@ final class IceliteTable private (
     * not table size, and a hot ingest tail never gets churned.
     *
     * Correctness: rewritten rows KEEP their original `_graft_seq`, so
-    * LWW resolution against hot data and hot deletes is unchanged
-    * (hot deletes re-applying to already-folded rows is idempotent).
-    * Cold delete files are then dropped outright: a delete at seq
-    * d ≤ cutoff only affects rows with seq < d, all of which were just
-    * folded — hot rows all carry seq > cutoff.
+    * LWW resolution against hot data and hot deletes is unchanged.
+    * Only COLD deletes (seq ≤ cutoff) are folded in — they can affect
+    * no hot row (hot rows all carry seq > cutoff) and are dropped
+    * outright after the fold. Hot deletes are NOT folded: they keep
+    * applying at read time, so `readAt(cutoff)` still shows rows that
+    * were only deleted later (history must not see future deletes).
     *
-    * Returns the cutoff seq, or None when there is nothing cold.
+    * Idempotent: a cold prefix that is already a single `rewrite-cold`
+    * snapshot is a no-op — steady-state maintenance with no new cold
+    * commits costs one metadata read, not a table rewrite.
+    *
+    * Returns the cutoff seq, or None when there is nothing to fold.
     */
   def compactCold(keepHotCommits: Int = 2, targetFileMB: Int = 256): Option[Long] = {
     refresh()
@@ -334,31 +308,26 @@ final class IceliteTable private (
     val coldSnaps = before.snapshots.filter(_.seq <= cutoff)
     val coldSeqs = coldSnaps.map(_.seq)
     if (coldSnaps.forall(s => s.dataFiles.isEmpty && s.deleteFiles.isEmpty)) return None
+    if (coldSnaps.size == 1 && coldSnaps.head.operation == "rewrite-cold") return None
+    val coldDataFiles = coldSnaps.flatMap(_.dataFiles)
     val survivors = applyDeletes(
-      readFiles(coldSnaps.flatMap(_.dataFiles), withSeq = true),
-      before.liveDeleteFiles)
+      readFiles(coldDataFiles, withSeq = true),
+      coldSnaps.flatMap(_.deleteFiles))
       .select((before.schema.fieldNames :+ SeqCol).map(col).toSeq: _*)
       .cache()
     try {
       val count = survivors.count()
-      val bytes = estimateBytes(survivors)
+      // pre-fold cold bytes: an upper bound on the survivor set (never
+      // the whole table — hot files don't count)
+      val bytes = estimateBytes(coldDataFiles)
       val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
       val commitId = UUID.randomUUID().toString
-      val out = s"$location/data/$commitId"
-      var d = survivors
-      val partCols = before.partitioning.map(transformColumn)
-      partCols.foreach { case (n, c) => d = d.withColumn(n, c) }
-      val repartitioned =
-        if (partCols.nonEmpty) d.repartition(nFiles, partCols.map(p => col(p._1)): _*)
-        else d.repartition(nFiles)
       // content is head-independent (rows keep their own seq), so the
       // files are written ONCE; only the metadata swap runs in the
       // optimistic-retry loop
-      if (count > 0) repartitioned.write.mode("errorifexists").parquet(out)
-      val files = if (count > 0) listParquet(out) else Nil
-      val statCols = prunableColumns(before.partitioning)
-      val stats = files.map(f => f -> footerInfo(f, statCols)._2)
-        .collect { case (f, s) if s.nonEmpty => f -> s }.toMap
+      val (files, _, stats) =
+        if (count > 0) writeDataFiles(survivors, commitId, before.partitioning, Some(nFiles))
+        else (Nil, 0L, Map.empty[String, Map[String, (String, String)]])
       retryCommit { head =>
         // the cold prefix is immutable (seqs only grow) unless another
         // maintenance rewrite raced us — then our folded set is stale
@@ -703,11 +672,48 @@ final class IceliteTable private (
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
-  private def estimateBytes(df: DataFrame): Long = {
-    val m = cachedMeta
+  private def estimateBytes(files: Seq[String]): Long = {
     val fs = fileSystem()
-    val sizes = m.liveDataFiles.map(f => fs.getFileStatus(new Path(abs(f))).getLen)
-    if (sizes.isEmpty) 0L else sizes.sum
+    files.map(f => fs.getFileStatus(new Path(abs(f))).getLen).sum
+  }
+
+  /** Shared data-file write path (commitWrite / compact / compactCold):
+    * derive the partition-transform columns, cluster rows so one file
+    * holds whole partition-value groups (optionally into `nFiles`
+    * right-sized files), write under `data/commitId`, and collect
+    * per-file footer row counts + prunable partition min/max stats.
+    *
+    * Partition transforms are CLUSTERING, not hive dirs: derived
+    * columns are stored in-file — parquet min/max footers then skip
+    * files/row-groups on partition predicates. (Hive-style per-commit
+    * subdirs break Spark's partition discovery across commits, and
+    * Iceberg prunes from metadata, not directories.) Stats come from
+    * the footers of what was actually written — one driver-side
+    * metadata read per file, no second scan; only transforms with a
+    * sound string comparator are recorded (see [[prunableColumns]]).
+    * `df` must already carry [[IceliteTable.SeqCol]].
+    */
+  private def writeDataFiles(
+      df: DataFrame,
+      commitId: String,
+      partitioning: Seq[PartitionConfig],
+      nFiles: Option[Int]): (Seq[String], Long, Map[String, Map[String, (String, String)]]) = {
+    val out = s"$location/data/$commitId"
+    var d = df
+    val partCols = partitioning.map(transformColumn)
+    partCols.foreach { case (n, c) => d = d.withColumn(n, c) }
+    val clustered = (nFiles, partCols) match {
+      case (Some(n), pc) if pc.nonEmpty => d.repartition(n, pc.map(p => col(p._1)): _*)
+      case (Some(n), _) => d.repartition(n)
+      case (None, pc) if pc.nonEmpty => d.repartition(pc.map(p => col(p._1)): _*)
+      case _ => d
+    }
+    clustered.write.mode("errorifexists").parquet(out)
+    val files = listParquet(out)
+    val statCols = prunableColumns(partitioning)
+    val infos = files.map(f => f -> footerInfo(f, statCols))
+    val stats = infos.collect { case (f, (_, s)) if s.nonEmpty => f -> s }.toMap
+    (files, infos.map(_._2._1).sum, stats)
   }
 
   private def keyColumnsOfDeletes(deleteFiles: Seq[String]): Seq[String] = {

@@ -276,7 +276,14 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     // rewritten rows keep their original seqs: a's live version was
     // written at seq 3, so time travel at the cutoff still shows it
     assert(t.readAt(3L).filter(col("_id") === "a").head().getDouble(1) == 11.0)
-    // nothing cold left → no-op
+    // hot deletes must NOT leak into history: b was deleted at seq 5,
+    // so the folded seq-3 state still shows it
+    assert(t.readAt(3L).filter(col("_id") === "b").head().getDouble(1) == 20.0)
+    assert(t.readAt(3L).count() == 2)
+    // idempotent: the surviving cold prefix is one rewrite-cold
+    // snapshot — the next maintenance cycle must NOT rewrite the table
+    assert(t.compactCold(keepHotCommits = 2).isEmpty)
+    // nothing cold at all → no-op
     assert(t.compactCold(keepHotCommits = 5).isEmpty)
   }
 
