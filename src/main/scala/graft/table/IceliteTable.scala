@@ -402,6 +402,32 @@ final class IceliteTable private (
       Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
   }
 
+  /** Partition-spec evolution (Iceberg's headline metadata-only spec
+    * change): NEW writes cluster and collect stats under `newParts`;
+    * existing files keep their old derived columns and stats and are
+    * NEVER rewritten. Retired specs are remembered in table properties
+    * so range reads over an old spec column still prune old files
+    * (new-spec files lack that stat and are safely kept), and row
+    * filters recompute the transform from the base column so they are
+    * exact for files of ANY spec generation. A later [[compact]] /
+    * [[compactCold]] naturally migrates surviving old files to the
+    * current spec — the same rewrite-to-migrate Iceberg documents.
+    */
+  def evolvePartitioning(newParts: Seq[PartitionConfig]): Long = retryCommit { head =>
+    val prevRetired = parseRetired(head.properties)
+    val allRetired = (prevRetired ++ head.partitioning)
+      .filterNot(newParts.contains).distinct
+    val seq = head.lastSeq + 1
+    (head.copy(partitioning = newParts,
+      properties = head.properties +
+        (PartitioningRetiredProp -> renderRetired(allRetired)))
+      .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve-spec",
+        Nil, Nil, 0L)), seq)
+  }
+
+  /** Specs this table wrote under before the current one. */
+  def retiredPartitioning: Seq[PartitionConfig] = parseRetired(cachedMeta.properties)
+
   // ------------------------------------------------------- internals
 
   private def conformToSchema(df: DataFrame, target: StructType): DataFrame = {
@@ -616,7 +642,7 @@ final class IceliteTable private (
   }
 
   private def pruneComparatorFor(partCol: String): Boolean =
-    prunableColumns(cachedMeta.partitioning).getOrElse(partCol,
+    prunableColumns(cachedMeta.partitioning ++ retiredPartitioning).getOrElse(partCol,
       throw new IllegalArgumentException(
         s"$partCol is not a prunable partition column (identity transforms " +
           "have no sound stat ordering — filter on the base column instead)"))
@@ -645,27 +671,28 @@ final class IceliteTable private (
   /** MoR read restricted to one partition-column range: files outside
     * the range are pruned from metadata stats (the Iceberg-manifest
     * read path), then the exact row-level bound is applied on the
-    * in-file derived column. At 100 TB this touches
+    * derived column RECOMPUTED from its base column — exact for files
+    * of any spec generation, including files written before a
+    * [[evolvePartitioning]] (which lack the stored column) and after
+    * (which lack the retired one). At 100 TB this touches
     * files-in-range + all delete files, never the whole table.
     */
   def readRange(partCol: String, lower: Option[String], upper: Option[String]): DataFrame = {
     val m = cachedMeta
-    val keep = pruneDataFiles(partCol, lower, upper).toSet
-    val dt = addPartitionFields(m.schema, m.partitioning)
-      .find(_.name == partCol)
-      .map(_.dataType)
+    val p = (m.partitioning ++ retiredPartitioning).find(partColName(_) == partCol)
       .getOrElse(throw new IllegalArgumentException(s"unknown partition column $partCol"))
+    val keep = pruneDataFiles(partCol, lower, upper).toSet
+    val dt = addPartitionFields(m.schema, Seq(p)).fields.last.dataType
     val full = m.schema.add(SeqCol, "long")
     val dataFiles = m.liveDataFiles.filter(keep.contains)
     val data =
       if (dataFiles.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          full.add(partCol, dt))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
       else spark.read
-        .schema(addPartitionFields(full, m.partitioning))
+        .schema(full) // stored derived columns are ignored; recomputed below
         .parquet(dataFiles.map(abs): _*)
-        .select((m.schema.fieldNames :+ SeqCol :+ partCol).map(col).toSeq: _*)
     val bounded = data
+      .withColumn(partCol, transformColumn(p)._2)
       .filter(lower.map(lo => col(partCol) >= lit(lo).cast(dt)).getOrElse(lit(true)))
       .filter(upper.map(hi => col(partCol) <= lit(hi).cast(dt)).getOrElse(lit(true)))
     applyDeletes(bounded, m.liveDeleteFiles)
@@ -753,6 +780,19 @@ object IceliteTable {
         case _ => 0
       }
     else a.compareTo(b)
+
+  /** Table property holding retired partition specs ([[evolvePartitioning]]). */
+  val PartitioningRetiredProp = "partitioning.retired"
+
+  private[table] def renderRetired(ps: Seq[PartitionConfig]): String =
+    ps.map(p => s"${p.field}:${p.transform}").mkString(";")
+
+  private[table] def parseRetired(props: Map[String, String]): Seq[PartitionConfig] =
+    props.get(PartitioningRetiredProp).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(';').toSeq.map { s =>
+        val Array(f, t) = s.split(':')
+        PartitionConfig(f, t)
+      })
 
   /** Derived hive-partition column name for a transform. */
   def partColName(p: PartitionConfig): String = s"_p_${p.field}_${sanitize(p.transform)}"

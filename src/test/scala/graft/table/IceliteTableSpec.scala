@@ -225,6 +225,46 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getString(0), r.getString(2))).toSeq == before)
   }
 
+  test("partition-spec evolution: old files keep pruning on the retired spec, no rewrite") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "evo", docSchema,
+      Seq(PartitionConfig("order_ts", "month")))
+    t.append(rows(("a", 10.0, "new", "2024-01-05T00:00:00Z")))
+    t.append(rows(("b", 20.0, "new", "2024-03-05T00:00:00Z")))
+    val filesBefore = t.meta.liveDataFiles
+
+    t.evolvePartitioning(Seq(PartitionConfig("status", "identity")))
+    assert(t.meta.partitioning.map(_.transform) == Seq("identity"))
+    assert(t.retiredPartitioning == Seq(PartitionConfig("order_ts", "month")))
+    // metadata-only: no data file was rewritten
+    assert(t.meta.liveDataFiles == filesBefore)
+
+    // new-spec write + old-spec write coexist
+    t.append(rows(("c", 30.0, "paid", "2024-01-20T00:00:00Z")))
+
+    // range read on the RETIRED spec column: old files prune by their
+    // stored stats, the new-spec file is kept (no stat) and filtered
+    // row-level by the recomputed transform
+    val jan = t.readRange("_p_order_ts_month", Some("2024-01"), Some("2024-01"))
+      .orderBy("_id").collect()
+    assert(jan.map(_.getString(0)).toSeq == Seq("a", "c"))
+    // b's March file is pruned from metadata alone; a's old-spec file
+    // and c's new-spec (stat-less on the retired column) file remain
+    val pruned = t.pruneDataFiles("_p_order_ts_month", Some("2024-01"), Some("2024-01"))
+    assert(pruned.size == t.meta.liveDataFiles.size - 1)
+
+    // full read sees all spec generations; reload round-trips the
+    // retired spec through the metadata JSON
+    assert(t.read().count() == 3)
+    val t2 = IceliteTable.load(spark, wh, "ns", "evo")
+    assert(t2.retiredPartitioning == Seq(PartitionConfig("order_ts", "month")))
+    assert(t2.readRange("_p_order_ts_month", Some("2024-01"), Some("2024-01")).count() == 2)
+    // compaction migrates everything to the CURRENT spec in one rewrite
+    t2.compact()
+    assert(t2.read().count() == 3)
+    assert(t2.meta.snapshots.map(_.operation) == Seq("rewrite"))
+  }
+
   test("metadata tables: history mirrors commits, files carries manifests + stats") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "md", docSchema,
