@@ -19,7 +19,7 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     Relational.all ++ RelationalExt.all ++ Temporal.all ++ Dedup.all ++
       Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++ Pipeline.all ++
-      Hygiene.all ++ Profiling.all ++ Packing.all ++
+      Hygiene.all ++ Profiling.all ++ Packing.all ++ Funnels.all ++
       SyncQueries.all ++ graft.streaming.EventStreams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+
+/** Event-sequence analytics over the change-stream-shaped `events`
+  * table: ordered funnel conversion and weekly retention cohorts — the
+  * two reports every large event pipeline serves.
+  *
+  * Time arithmetic is integer microseconds end to end (`unix_micros` /
+  * DuckDB `epoch_us` after the shared ns→µs truncation), so stage
+  * boundaries and week indices are bit-identical cross-engine; the
+  * only division in each query is the final single-division fraction.
+  *
+  * Scale notes:
+  *   - [[eventFunnel]] computes all three stage timestamps in
+  *     consecutive window projections over the SAME `user_id`
+  *     partitioning — Catalyst plans ONE hash exchange, and no
+  *     self-joins of the event table (the naive per-stage join shape
+  *     re-shuffles the full table once per stage).
+  *   - [[retentionCohorts]] reduces events to distinct (user, week)
+  *     pairs early (map-side combine), so the cohort join moves one
+  *     row per user-week, not one per event.
+  */
+object Funnels {
+
+  private val WeekUs: Long = 7L * 86400 * 1000000
+
+  /** Ordered funnel view → click → purchase: a user converts a stage
+    * only with an event STRICTLY after their previous stage's first
+    * event (the order-sensitive definition real funnels use; a click
+    * before the first view does not count).
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+    val staged = ev
+      .withColumn("t1", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("us") > col("t1"), col("us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("us") > col("t2"), col("us"))).over(w))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+    val counts = perUser.agg(
+      count(col("t1")).as("n1"), count(col("t2")).as("n2"), count(col("t3")).as("n3"))
+    counts
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), col("n1").as("n_users")),
+        struct(lit("2_click").as("stage"), col("n2").as("n_users")),
+        struct(lit("3_purchase").as("stage"), col("n3").as("n_users")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_users").as("n_users"))
+      .withColumn("conv_frac",
+        round(col("n_users").cast("double") /
+          max(col("n_users")).over(Window.partitionBy()), 12))
+      .orderBy("stage")
+  }
+
+  private val eventFunnelOracle =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+      |  OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+      |  OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+      |  OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      |  FROM s3 GROUP BY 1),
+      |c AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM u),
+      |st AS (
+      |  SELECT '1_view' AS stage, n1 AS n_users FROM c
+      |  UNION ALL SELECT '2_click', n2 FROM c
+      |  UNION ALL SELECT '3_purchase', n3 FROM c)
+      |SELECT stage, n_users,
+      |  round(CAST(n_users AS DOUBLE) / max(n_users) OVER (), 12) AS conv_frac
+      |FROM st ORDER BY stage""".stripMargin
+
+  /** Weekly retention: cohort = a user's first-activity week (integer
+    * µs-epoch week — no calendar/timezone semantics to diverge on);
+    * for each later week offset, the fraction of the cohort still
+    * active. The k=0 row IS the cohort size, so the denominator is a
+    * window max over the grid, not a second pass.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val uw = graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_k"))
+      .agg(count(lit(1)).as("n_active"))
+      .withColumn("retention_frac",
+        round(col("n_active").cast("double") /
+          max(col("n_active")).over(Window.partitionBy(col("cohort_wk"))), 12))
+      .orderBy("cohort_wk", "week_k")
+  }
+
+  private val retentionCohortsOracle =
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // $WeekUs AS wk
+       |  FROM events),
+       |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1),
+       |grid AS (
+       |  SELECT cohort_wk, wk - cohort_wk AS week_k, count(*) AS n_active
+       |  FROM uw JOIN cohort USING (user_id)
+       |  GROUP BY 1, 2)
+       |SELECT cohort_wk, week_k, n_active,
+       |  round(CAST(n_active AS DOUBLE) /
+       |    max(n_active) OVER (PARTITION BY cohort_wk), 12) AS retention_frac
+       |FROM grid ORDER BY cohort_wk, week_k""".stripMargin
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("event_funnel", eventFunnel _, Some(eventFunnelOracle),
+      "ordered view->click->purchase funnel, one shuffle via stacked windows"),
+    GraftQuery("retention_cohorts", retentionCohorts _, Some(retentionCohortsOracle),
+      "weekly retention grid from integer epoch-week cohorts"))
+}

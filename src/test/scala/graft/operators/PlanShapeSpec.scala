@@ -95,6 +95,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(pe.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$pe")
   }
 
+  test("event funnel shuffles the event table on user_id exactly once (no per-stage self-joins)") {
+    val pe = SparkEntry.queries("event_funnel")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(pe).size
+    assert(userExchanges == 1, s"expected 1 user_id shuffle, got $userExchanges:\n$pe")
+    val scans = "FileScan parquet".r.findAllIn(pe).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$pe")
+  }
+
   test("pii redaction is a row-local projection (no shuffle before the sort)") {
     // string count, not collect: AQE hides the subtree from collect()
     val pe = SparkEntry.queries("pii_redact")(spark, dir)
