@@ -262,11 +262,20 @@ final class IceliteTable private (
     * Also the schedule point for snapshot expiry.
     */
   def compact(targetFileMB: Int = 256): Long = {
+    refresh() // rewrite what is PUBLISHED, not a stale cache
+    val rewriting = cachedMeta.snapshots.map(_.seq)
     val current = read().cache()
     try {
       val bytes = estimateBytes(cachedMeta.liveDataFiles)
       val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
       retryCommit { head =>
+        // a full rewrite REPLACES the snapshot list — publishing over a
+        // head that gained (or lost) commits since `current` was read
+        // would silently erase them
+        if (head.snapshots.map(_.seq) != rewriting)
+          throw new IllegalStateException(
+            s"concurrent commit during compaction of $name " +
+              s"(read seqs $rewriting, head has ${head.snapshots.map(_.seq)})")
         val seq = head.lastSeq + 1
         val commitId = UUID.randomUUID().toString
         val (files, count, stats) = writeDataFiles(
@@ -307,8 +316,14 @@ final class IceliteTable private (
     val cutoff = before.snapshots.dropRight(keepHotCommits).last.seq
     val coldSnaps = before.snapshots.filter(_.seq <= cutoff)
     val coldSeqs = coldSnaps.map(_.seq)
-    if (coldSnaps.forall(s => s.dataFiles.isEmpty && s.deleteFiles.isEmpty)) return None
-    if (coldSnaps.size == 1 && coldSnaps.head.operation == "rewrite-cold") return None
+    // only snapshots CARRYING files matter for the no-op decision:
+    // metadata-only snapshots (evolve/evolve-spec) aging into the cold
+    // window must not trigger a spurious full cold rewrite
+    val coldWithFiles =
+      coldSnaps.filter(s => s.dataFiles.nonEmpty || s.deleteFiles.nonEmpty)
+    if (coldWithFiles.isEmpty) return None
+    if (coldWithFiles.size == 1 && coldWithFiles.head.operation == "rewrite-cold")
+      return None
     val coldDataFiles = coldSnaps.flatMap(_.dataFiles)
     val survivors = applyDeletes(
       readFiles(coldDataFiles, withSeq = true),
@@ -414,6 +429,12 @@ final class IceliteTable private (
     * current spec — the same rewrite-to-migrate Iceberg documents.
     */
   def evolvePartitioning(newParts: Seq[PartitionConfig]): Long = retryCommit { head =>
+    newParts.foreach(_.validate())
+    newParts.foreach { p =>
+      if (!head.schema.fieldNames.contains(p.field))
+        throw new IllegalArgumentException(
+          s"partition field '${p.field}' is not a column of $name")
+    }
     val prevRetired = parseRetired(head.properties)
     val allRetired = (prevRetired ++ head.partitioning)
       .filterNot(newParts.contains).distinct
@@ -681,6 +702,7 @@ final class IceliteTable private (
     val m = cachedMeta
     val p = (m.partitioning ++ retiredPartitioning).find(partColName(_) == partCol)
       .getOrElse(throw new IllegalArgumentException(s"unknown partition column $partCol"))
+    requireSessionTz(Seq(p))
     val keep = pruneDataFiles(partCol, lower, upper).toSet
     val dt = addPartitionFields(m.schema, Seq(p)).fields.last.dataType
     val full = m.schema.add(SeqCol, "long")
@@ -704,6 +726,26 @@ final class IceliteTable private (
     files.map(f => fs.getFileStatus(new Path(abs(f))).getLen).sum
   }
 
+  /** Date-based transforms (`date_format`) render under the SESSION
+    * timezone, and the footer stats pruning compares against were
+    * rendered under the writer's. A session whose timezone differs
+    * from the one pinned at table creation would write stats and
+    * recompute row filters inconsistently with existing files —
+    * silently losing rows at prune time — so it is rejected loudly.
+    * Tables without date transforms (identity/bucket) don't care;
+    * pre-pinning tables (no property) are not checked.
+    */
+  private def requireSessionTz(parts: Seq[PartitionConfig]): Unit =
+    if (hasDateTransform(parts))
+      cachedMeta.properties.get(TimeZoneProp).foreach { pinned =>
+        val session = spark.conf.get("spark.sql.session.timeZone")
+        if (session != pinned)
+          throw new IllegalStateException(
+            s"session timezone '$session' differs from table $name's pinned " +
+              s"'$pinned': date-based partition transforms would diverge from " +
+              "the stored file stats")
+      }
+
   /** Shared data-file write path (commitWrite / compact / compactCold):
     * derive the partition-transform columns, cluster rows so one file
     * holds whole partition-value groups (optionally into `nFiles`
@@ -725,6 +767,7 @@ final class IceliteTable private (
       commitId: String,
       partitioning: Seq[PartitionConfig],
       nFiles: Option[Int]): (Seq[String], Long, Map[String, Map[String, (String, String)]]) = {
+    requireSessionTz(partitioning)
     val out = s"$location/data/$commitId"
     var d = df
     val partCols = partitioning.map(transformColumn)
@@ -781,18 +824,26 @@ object IceliteTable {
       }
     else a.compareTo(b)
 
-  /** Table property holding retired partition specs ([[evolvePartitioning]]). */
+  /** Table property holding retired partition specs ([[evolvePartitioning]]),
+    * as the same JSON array shape as the top-level `partitioning`.
+    */
   val PartitioningRetiredProp = "partitioning.retired"
 
+  /** Table property pinning the session timezone date-based partition
+    * transforms were (and must be) computed under — see
+    * [[IceliteTable.requireSessionTz]].
+    */
+  val TimeZoneProp = "write.timeZone"
+
   private[table] def renderRetired(ps: Seq[PartitionConfig]): String =
-    ps.map(p => s"${p.field}:${p.transform}").mkString(";")
+    TableMeta.partitionConfigsToJson(ps)
 
   private[table] def parseRetired(props: Map[String, String]): Seq[PartitionConfig] =
     props.get(PartitioningRetiredProp).filter(_.nonEmpty).toSeq
-      .flatMap(_.split(';').toSeq.map { s =>
-        val Array(f, t) = s.split(':')
-        PartitionConfig(f, t)
-      })
+      .flatMap(TableMeta.partitionConfigsFromJson)
+
+  private def hasDateTransform(ps: Seq[PartitionConfig]): Boolean =
+    ps.exists(p => Set("year", "month", "day", "hour").contains(p.transform))
 
   /** Derived hive-partition column name for a transform. */
   def partColName(p: PartitionConfig): String = s"_p_${p.field}_${sanitize(p.transform)}"
@@ -847,7 +898,12 @@ object IceliteTable {
     if (fs.exists(mdDir) && fs.listStatus(mdDir).nonEmpty)
       throw new IllegalStateException(s"table $namespace.$table already exists at $location")
     fs.mkdirs(mdDir)
-    val meta = TableMeta(TableMeta.FormatVersion, namespace, table, schema, partitioning, Nil, properties)
+    partitioning.foreach(_.validate())
+    // pin the session timezone at creation: date-based transforms and
+    // their footer stats are rendered under it, and every later write
+    // or transform-recomputing read must run under the same one
+    val props = properties + (TimeZoneProp -> spark.conf.get("spark.sql.session.timeZone"))
+    val meta = TableMeta(TableMeta.FormatVersion, namespace, table, schema, partitioning, Nil, props)
     writeString(fs, new Path(s"$location/metadata/${versionFile(0)}"), TableMeta.toJson(meta))
     new IceliteTable(spark, location, meta)
   }

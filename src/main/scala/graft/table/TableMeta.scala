@@ -62,6 +62,24 @@ object TableMeta {
   val FormatVersion = 1
   private val mapper = new ObjectMapper()
 
+  /** JSON render/parse for a partition-config list stored inside a
+    * table PROPERTY (e.g. retired specs) — same representation as the
+    * top-level `partitioning` array, so field names may contain any
+    * character (no hand-rolled delimiters).
+    */
+  def partitionConfigsToJson(ps: Seq[PartitionConfig]): String = {
+    val arr = mapper.createArrayNode()
+    ps.foreach { p =>
+      val o = arr.addObject(); o.put("field", p.field); o.put("transform", p.transform)
+    }
+    arr.toString
+  }
+
+  def partitionConfigsFromJson(json: String): Seq[PartitionConfig] =
+    mapper.readTree(json).elements().asScala.map { p =>
+      PartitionConfig(p.get("field").asText(), p.get("transform").asText())
+    }.toSeq
+
   def toJson(m: TableMeta): String = {
     val root = mapper.createObjectNode()
     root.put("formatVersion", m.formatVersion)

@@ -323,8 +323,50 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     // idempotent: the surviving cold prefix is one rewrite-cold
     // snapshot — the next maintenance cycle must NOT rewrite the table
     assert(t.compactCold(keepHotCommits = 2).isEmpty)
+    // a metadata-only snapshot aging into the cold window must not
+    // trigger a spurious rewrite: collapse fully, evolve the schema,
+    // land two hot commits — the cold prefix is then exactly
+    // [rewrite-cold, evolve], which holds nothing foldable
+    assert(t.compactCold(keepHotCommits = 0).nonEmpty)
+    t.addColumns(StructType(Seq(StructField("note", StringType))))
+    t.append(rows(("d", 40.0, "new", "2024-01-10T00:00:00Z"))) // conformed: note=null
+    t.append(rows(("e", 50.0, "new", "2024-01-11T00:00:00Z")))
+    assert(t.compactCold(keepHotCommits = 2).isEmpty)
     // nothing cold at all → no-op
     assert(t.compactCold(keepHotCommits = 5).isEmpty)
+  }
+
+  test("evolvePartitioning rejects unknown transforms and unknown fields") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "evoval", docSchema)
+    intercept[Exception] {
+      t.evolvePartitioning(Seq(PartitionConfig("order_ts", "moth")))
+    }
+    intercept[IllegalArgumentException] {
+      t.evolvePartitioning(Seq(PartitionConfig("nope", "month")))
+    }
+    // nothing was committed by the failed attempts
+    assert(t.meta.snapshots.isEmpty && t.retiredPartitioning.isEmpty)
+  }
+
+  test("session-timezone guard: date-partitioned writes/range reads reject a TZ change") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "tzpin", docSchema,
+      Seq(PartitionConfig("order_ts", "month")))
+    t.append(rows(("a", 10.0, "new", "2024-01-05T00:00:00Z")))
+    val orig = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      intercept[IllegalStateException] {
+        t.append(rows(("b", 20.0, "new", "2024-02-05T00:00:00Z")))
+      }
+      intercept[IllegalStateException] {
+        t.readRange("_p_order_ts_month", Some("2024-01"), Some("2024-01")).collect()
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", orig)
+    // back under the pinned timezone everything works again
+    t.append(rows(("b", 20.0, "new", "2024-02-05T00:00:00Z")))
+    assert(t.readRange("_p_order_ts_month", Some("2024-01"), Some("2024-01")).count() == 1)
   }
 
   test("schema evolution: added column is null for old rows, filled for new") {
