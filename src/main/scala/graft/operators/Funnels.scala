@@ -115,11 +115,66 @@ object Funnels {
        |    max(n_active) OVER (PARTITION BY cohort_wk), 12) AS retention_frac
        |FROM grid ORDER BY cohort_wk, week_k""".stripMargin
 
+  private val HourUs: Long = 3600L * 1000000
+
+  /** Trailing window for the anomaly baseline (hours). */
+  val AnomalyBaselineHours = 24
+
+  /** Rate-anomaly detection: hours whose event count exceeds 2× the
+    * mean of the trailing 24 INCLUSIVE hours, per event type — the
+    * health check an ingest pipeline alarms on. The spike test is an
+    * integer cross-multiplication (`count · n_hours > 2 · window_sum`),
+    * so no fraction is ever compared; the reported ratio is the single
+    * final division.
+    *
+    * Scale: one hash-agg to hourly counts (map-side combine does the
+    * heavy reduction), then a RANGE-frame window over the tiny
+    * (type × hours) grid.
+    */
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(ts) DIV $HourUs").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-(AnomalyBaselineHours - 1), 0)
+    hourly
+      .withColumn("win_sum", sum(col("n")).over(w))
+      .withColumn("win_hours", count(lit(1)).over(w))
+      .filter(col("n") * col("win_hours") > col("win_sum") * 2)
+      .select(col("event_type"), col("hr"), col("n"),
+        col("win_sum"), col("win_hours"),
+        round(col("n").cast("double") * col("win_hours") / col("win_sum"), 12)
+          .as("spike_ratio"))
+      .orderBy("event_type", "hr")
+  }
+
+  private val eventAnomaliesOracle =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // $HourUs AS hr,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |win AS (
+       |  SELECT event_type, hr, n,
+       |    CAST(sum(n) OVER w AS BIGINT) AS win_sum,
+       |    count(*) OVER w AS win_hours
+       |  FROM hourly
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+       |    RANGE BETWEEN ${AnomalyBaselineHours - 1} PRECEDING AND CURRENT ROW))
+       |SELECT event_type, hr, n, win_sum, win_hours,
+       |  round(CAST(n AS DOUBLE) * win_hours / win_sum, 12) AS spike_ratio
+       |FROM win
+       |WHERE n * win_hours > win_sum * 2
+       |ORDER BY event_type, hr""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("event_funnel", eventFunnel _, Some(eventFunnelOracle),
       "ordered view->click->purchase funnel, one shuffle via stacked windows"),
     GraftQuery("retention_cohorts", retentionCohorts _, Some(retentionCohortsOracle),
-      "weekly retention grid from integer epoch-week cohorts"))
+      "weekly retention grid from integer epoch-week cohorts"),
+    GraftQuery("event_anomalies", eventAnomalies _, Some(eventAnomaliesOracle),
+      "hourly rate spikes vs trailing-24h mean (integer cross-multiplied test)"))
 }
