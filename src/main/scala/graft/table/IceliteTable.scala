@@ -261,13 +261,52 @@ final class IceliteTable private (
     * reference) and replace all live files in one `rewrite` snapshot.
     * Also the schedule point for snapshot expiry.
     */
-  def compact(targetFileMB: Int = 256): Long = {
+  def compact(targetFileMB: Int = 256): Long = compact(targetFileMB, Nil, None)
+
+  /** Compaction with optional Z-ORDER clustering (Iceberg's zorder
+    * rewrite): rows are range-partitioned and sorted by the bit-
+    * interleaved rank of `zorderBy` columns, so every output file
+    * covers a tight min/max range on EVERY zorder dimension at once —
+    * range reads then skip files on any of them, not just the first
+    * sort key. `zorderBy` columns must be integral (the interleave is
+    * a rank computation; normalization is layout-only and never
+    * affects row values). `numFilesOverride` pins the output file
+    * count (ops/testing knob; default sizes from bytes/targetFileMB).
+    */
+  def compact(
+      targetFileMB: Int,
+      zorderBy: Seq[String],
+      numFilesOverride: Option[Int]): Long = {
     refresh() // rewrite what is PUBLISHED, not a stale cache
     val rewriting = cachedMeta.snapshots.map(_.seq)
+    zorderBy.foreach { c =>
+      val f = cachedMeta.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"zorder column '$c' is not a column of $name"))
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => ()
+        case dt => throw new IllegalArgumentException(
+          s"zorder column '$c' has non-integral type $dt")
+      }
+    }
     val current = read().cache()
     try {
       val bytes = estimateBytes(cachedMeta.liveDataFiles)
-      val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
+      val nFiles = numFilesOverride.getOrElse(
+        math.max(1, math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt))
+      // per-column ranges for rank normalization (one tiny agg job);
+      // layout-only — row VALUES are untouched
+      val zRanges: Seq[(String, Long, Long)] =
+        if (zorderBy.isEmpty) Nil
+        else {
+          val aggs = zorderBy.flatMap(c =>
+            Seq(min(col(c).cast("long")).as(s"_mn_$c"), max(col(c).cast("long")).as(s"_mx_$c")))
+          val r = current.agg(aggs.head, aggs.tail: _*).collect().head
+          zorderBy.zipWithIndex.map { case (c, i) =>
+            (c, Option(r.get(2 * i)).map(_.asInstanceOf[Long]).getOrElse(0L),
+              Option(r.get(2 * i + 1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+          }
+        }
       retryCommit { head =>
         // a full rewrite REPLACES the snapshot list — publishing over a
         // head that gained (or lost) commits since `current` was read
@@ -280,8 +319,13 @@ final class IceliteTable private (
         val commitId = UUID.randomUUID().toString
         val (files, count, stats) = writeDataFiles(
           conformToSchema(current, head.schema).withColumn(SeqCol, lit(seq)),
-          commitId, head.partitioning, Some(nFiles))
-        (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "rewrite",
+          commitId, head.partitioning, Some(nFiles),
+          zorder = zRanges, extraStatCols = zorderBy)
+        val withZ =
+          if (zorderBy.isEmpty) head
+          else head.copy(properties =
+            head.properties + (ZorderColumnsProp -> zorderBy.mkString(",")))
+        (withZ.rewritten(Snapshot(seq, System.currentTimeMillis(), "rewrite",
           files, Nil, count, stats)), seq)
       }
     } finally current.unpersist()
