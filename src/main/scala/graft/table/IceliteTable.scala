@@ -707,8 +707,10 @@ final class IceliteTable private (
   }
 
   private def pruneComparatorFor(partCol: String): Boolean =
-    prunableColumns(cachedMeta.partitioning ++ retiredPartitioning).getOrElse(partCol,
-      throw new IllegalArgumentException(
+    prunableColumns(cachedMeta.partitioning ++ retiredPartitioning).get(partCol)
+      .orElse( // z-order columns are validated integral → numeric compare
+        if (zorderColumns(cachedMeta.properties).contains(partCol)) Some(true) else None)
+      .getOrElse(throw new IllegalArgumentException(
         s"$partCol is not a prunable partition column (identity transforms " +
           "have no sound stat ordering — filter on the base column instead)"))
 
@@ -805,18 +807,38 @@ final class IceliteTable private (
     * metadata read per file, no second scan; only transforms with a
     * sound string comparator are recorded (see [[prunableColumns]]).
     * `df` must already carry [[IceliteTable.SeqCol]].
+    *
+    * `zorder` (col, min, max) ranges switch clustering to a RANGE
+    * partition + in-partition sort on the bit-interleaved 16-bit rank
+    * of each z column — the Iceberg zorder rewrite layout. The z value
+    * is a transient layout key (computed, ranged on, dropped); row
+    * values and schema are untouched. `extraStatCols` adds raw columns
+    * (the z columns — validated integral by the caller) to the footer
+    * stats so range reads can prune on every z dimension.
     */
   private def writeDataFiles(
       df: DataFrame,
       commitId: String,
       partitioning: Seq[PartitionConfig],
-      nFiles: Option[Int]): (Seq[String], Long, Map[String, Map[String, (String, String)]]) = {
+      nFiles: Option[Int],
+      zorder: Seq[(String, Long, Long)] = Nil,
+      extraStatCols: Seq[String] = Nil)
+      : (Seq[String], Long, Map[String, Map[String, (String, String)]]) = {
     requireSessionTz(partitioning)
     val out = s"$location/data/$commitId"
     var d = df
     val partCols = partitioning.map(transformColumn)
     partCols.foreach { case (n, c) => d = d.withColumn(n, c) }
-    val clustered = (nFiles, partCols) match {
+    val clustered = if (zorder.nonEmpty) {
+      val zTmp = "_graft_zvalue"
+      val keys = partCols.map(p => col(p._1)) :+ col(zTmp)
+      val withZ = d.withColumn(zTmp, IceliteTable.zvalue(zorder))
+      val ranged = nFiles match {
+        case Some(n) => withZ.repartitionByRange(n, keys: _*)
+        case None => withZ.repartitionByRange(keys: _*)
+      }
+      ranged.sortWithinPartitions(keys: _*).drop(zTmp)
+    } else (nFiles, partCols) match {
       case (Some(n), pc) if pc.nonEmpty => d.repartition(n, pc.map(p => col(p._1)): _*)
       case (Some(n), _) => d.repartition(n)
       case (None, pc) if pc.nonEmpty => d.repartition(pc.map(p => col(p._1)): _*)
@@ -824,7 +846,7 @@ final class IceliteTable private (
     }
     clustered.write.mode("errorifexists").parquet(out)
     val files = listParquet(out)
-    val statCols = prunableColumns(partitioning)
+    val statCols = prunableColumns(partitioning) ++ extraStatCols.map(_ -> true)
     val infos = files.map(f => f -> footerInfo(f, statCols))
     val stats = infos.collect { case (f, (_, s)) if s.nonEmpty => f -> s }.toMap
     (files, infos.map(_._2._1).sum, stats)
@@ -872,6 +894,39 @@ object IceliteTable {
     * as the same JSON array shape as the top-level `partitioning`.
     */
   val PartitioningRetiredProp = "partitioning.retired"
+
+  /** Table property recording the z-order clustering columns of the
+    * latest zorder rewrite — registers those raw integral columns as
+    * numeric-comparable for metadata pruning (`pruneDataFiles`).
+    */
+  val ZorderColumnsProp = "graft.zorder.columns"
+
+  private[table] def zorderColumns(props: Map[String, String]): Seq[String] =
+    props.get(ZorderColumnsProp).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+
+  /** Bit-interleaved z-value (Morton order) of rank-normalized integral
+    * columns: each value maps to a 16-bit rank inside its [min, max]
+    * range, ranks are bit-interleaved so closeness in z implies
+    * closeness on EVERY dimension at once. Pure codegen'd column
+    * arithmetic (16·k shift/mask terms, no UDF); nulls rank lowest.
+    * Layout-only — callers range-partition/sort on it, then drop it.
+    */
+  private[table] def zvalue(ranges: Seq[(String, Long, Long)]): Column = {
+    val k = ranges.size
+    val norms = ranges.map { case (c, mn, mx) =>
+      val span = math.max(1L, mx - mn).toDouble
+      coalesce(
+        least(lit(65535L), greatest(lit(0L),
+          ((col(c).cast("double") - lit(mn.toDouble)) / lit(span) * lit(65535.0))
+            .cast("long"))),
+        lit(0L))
+    }
+    val terms = for {
+      i <- 0 until 16
+      (norm, j) <- norms.zipWithIndex
+    } yield shiftleft(shiftright(norm, i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ bitwiseOR _)
+  }
 
   /** Table property pinning the session timezone date-based partition
     * transforms were (and must be) computed under — see

@@ -400,4 +400,47 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalStateException](IceliteTable.create(spark, wh, "ns", "t", docSchema))
     intercept[IllegalStateException](IceliteTable.load(spark, wh, "ns", "missing"))
   }
+
+  test("zorder compaction: rows unchanged, files prune on EVERY z dimension, property persists") {
+    val wh = freshWarehouse()
+    val gridSchema = StructType(Seq(
+      StructField("_id", StringType), StructField("x", LongType), StructField("y", LongType)))
+    val t = IceliteTable.create(spark, wh, "ns", "zgrid", gridSchema)
+    // a 64×64 grid: x and y are fully independent, so any single-key
+    // sort layout can only ever prune on ONE of them
+    val grid = spark.range(4096).select(
+      concat(lit("d"), col("id")).as("_id"),
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    t.append(grid)
+    t.compact(targetFileMB = 256, zorderBy = Seq("x", "y"), numFilesOverride = Some(16))
+
+    // values untouched by the layout rewrite
+    val sums = t.read().agg(sum("x"), sum("y")).head()
+    assert(t.read().count() == 4096)
+    assert(sums.getLong(0) == 4096L * 63 / 2 && sums.getLong(1) == 4096L * 63 / 2)
+
+    // metadata pruning works on BOTH dimensions: a quarter-range query
+    // keeps at most half the files on either axis
+    val total = t.meta.liveDataFiles.size
+    assert(total > 4)
+    val px = t.pruneDataFiles("x", Some("0"), Some("15"))
+    val py = t.pruneDataFiles("y", Some("0"), Some("15"))
+    assert(px.size <= total / 2, s"x-prune kept ${px.size}/$total")
+    assert(py.size <= total / 2, s"y-prune kept ${py.size}/$total")
+
+    // property survives reload; pruning still available from cold metadata
+    val t2 = IceliteTable.load(spark, wh, "ns", "zgrid")
+    assert(t2.meta.properties(IceliteTable.ZorderColumnsProp) == "x,y")
+    assert(t2.pruneDataFiles("y", Some("48"), None).size <= total / 2)
+  }
+
+  test("zorder compaction rejects unknown and non-integral columns") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "zbad", docSchema)
+    t.append(rows(("a", 1.0, "x", "2024-01-01T00:00:00Z")))
+    intercept[IllegalArgumentException](
+      t.compact(targetFileMB = 256, zorderBy = Seq("nope"), numFilesOverride = None))
+    intercept[IllegalArgumentException](
+      t.compact(targetFileMB = 256, zorderBy = Seq("total"), numFilesOverride = None))
+  }
 }
