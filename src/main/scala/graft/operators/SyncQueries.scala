@@ -75,9 +75,55 @@ object SyncQueries {
       |  CAST(sum(CAST(price AS DECIMAL(27,2))) AS DOUBLE) AS revenue
       |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** CDF changelog as an oracle-gated query: build an icelite table
+    * from an orders subset (append → upsert → delete), then read the
+    * `(1, 3]` changelog — update pre/post image pairs and deletes with
+    * their pre-delete row values ([[IceliteTable.readChanges]]); DuckDB
+    * recomputes every expected change row relationally from the same
+    * input.
+    */
+  def tableChanges(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft-cdc-query").toString
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(11)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_cdc", src.schema)
+    table.append(src) // s1
+    table.upsert(src // s2: price bump on every third key
+      .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0), Seq("_id"))
+    table.delete(src // s3: delete every fifth key (some freshly updated)
+      .filter(pmod(col("o_orderkey"), lit(5)) === 0).select("_id"), Seq("_id"))
+    table.readChanges(1, 3)
+      .select(col(IceliteTable.ChangeTypeCol).as("_change_type"),
+        col(IceliteTable.CommitSeqCol).as("_commit_seq"),
+        col("_id"), col("o_totalprice"))
+      .orderBy("_commit_seq", "_change_type", "_id")
+  }
+
+  private val tableChangesOracle =
+    """WITH sub AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS id,
+      |         o_orderkey AS k, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 11 = 0)
+      |SELECT * FROM (
+      |  SELECT 'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_seq,
+      |         id AS _id, price AS o_totalprice FROM sub WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', CAST(2 AS BIGINT), id, price + 10.0
+      |  FROM sub WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT 'delete', CAST(3 AS BIGINT), id,
+      |         CASE WHEN k % 3 = 0 THEN price + 10.0 ELSE price END
+      |  FROM sub WHERE k % 5 = 0
+      |) ORDER BY _commit_seq, _change_type, _id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sync_pipeline", syncPipeline _, Some(syncPipelineOracle),
-      "end-to-end CDC sync: initial sync + change batch + MoR view"))
+      "end-to-end CDC sync: initial sync + change batch + MoR view"),
+    GraftQuery("table_changes", tableChanges _, Some(tableChangesOracle),
+      "CDF changelog read: update pre/post pairs + deletes with preimages"))
 }

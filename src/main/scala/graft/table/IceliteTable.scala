@@ -182,6 +182,99 @@ final class IceliteTable private (
     }
   }
 
+  /** CDF-style changelog read (Iceberg changelog scan with
+    * identifier-column update pairing; Delta CDF): every row-level
+    * change committed in `(fromSeq, toSeq]`, tagged
+    * `_change_type` ∈ {insert, update_preimage, update_postimage,
+    * delete} and `_commit_seq`. Deletes and update pre-images carry
+    * the row's last live version before the deleting commit.
+    *
+    * Scale shape: full history is consulted ONLY for keys that have a
+    * delete event in range — one semi-join of the data scan against
+    * the (change-volume-bounded, usually broadcastable) affected-key
+    * set, then ONE window pass over those keys' event logs classifies
+    * every emission (`lag`×2 + `lead`; a same-seq equality delete +
+    * data row is an upsert pair). Rows never pass through the driver.
+    *
+    * Maintenance snapshots re-tag rows (rewrite) or drop files without
+    * delete events (truncate), so a range crossing one is not a
+    * derivable changelog — callers get an error and should resync.
+    * Assumes keys are unique within a commit (upsert guarantees this;
+    * plain `append` of duplicate keys in ONE commit makes same-seq
+    * event order ambiguous).
+    */
+  def readChanges(fromSeq: Long, toSeq: Long): DataFrame = {
+    require(fromSeq <= toSeq, s"fromSeq $fromSeq > toSeq $toSeq")
+    val m = cachedMeta
+    val inRange = m.snapshots.filter(s => s.seq > fromSeq && s.seq <= toSeq)
+    inRange.find(s => s.operation.startsWith("rewrite") || s.operation == "truncate")
+      .foreach { s =>
+        throw new IllegalStateException(
+          s"changelog range ($fromSeq, $toSeq] crosses maintenance snapshot " +
+            s"${s.seq} (${s.operation}): layout rewrites re-tag row seqs — " +
+            "resync from the full table instead")
+      }
+    val payloadCols = m.schema.fieldNames.toSeq
+    def emit(df: DataFrame, tpe: Column, seqCol: Column): DataFrame =
+      df.select(payloadCols.map(col) ++ Seq(tpe.as(ChangeTypeCol), seqCol.as(CommitSeqCol)): _*)
+
+    val outSchema = m.schema.add(ChangeTypeCol, "string").add(CommitSeqCol, "long")
+    if (inRange.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+
+    val addedInRange = readFiles(inRange.flatMap(_.dataFiles), withSeq = true)
+    val delFilesInRange = inRange.flatMap(_.deleteFiles)
+    if (delFilesInRange.isEmpty) // append-only range: every added row is an insert
+      return emit(addedInRange, lit("insert"), col(SeqCol))
+
+    val keyCols = m.properties.get(DeleteKeyColumnsProp)
+      .map(_.split(',').toSeq).getOrElse(keyColumnsOfDeletes(delFilesInRange))
+    val hist = m.snapshots.filter(_.seq <= toSeq)
+    val delAll = spark.read.parquet(hist.flatMap(_.deleteFiles).map(abs): _*)
+    val affected = delAll.filter(col(SeqCol) > fromSeq).select(keyCols.map(col): _*).distinct()
+
+    // keys never deleted in range: plain inserts, no history needed
+    val plainInserts = emit(
+      addedInRange.join(affected, keyCols, "left_anti"), lit("insert"), col(SeqCol))
+
+    // event log for affected keys: kind 0 = delete, 1 = data; at equal
+    // seq the delete sorts first (upsert semantics: own-seq data survives)
+    val payload = struct(payloadCols.map(col): _*)
+    val dataHist = readFiles(hist.flatMap(_.dataFiles), withSeq = true)
+      .join(affected, keyCols, "left_semi")
+    val dEv = dataHist.select(
+      keyCols.map(col) ++ Seq(col(SeqCol).as("_ev_seq"), lit(1).as("_ev_kind"), payload.as("_ev_p")): _*)
+    val pType = dEv.schema("_ev_p").dataType
+    val xEv = delAll.join(affected, keyCols, "left_semi").select(
+      keyCols.map(col) ++ Seq(col(SeqCol).as("_ev_seq"), lit(0).as("_ev_kind"),
+        lit(null).cast(pType).as("_ev_p")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_ev_seq"), col("_ev_kind"))
+    val g = dEv.unionByName(xEv)
+      .withColumn("_pk1", lag("_ev_kind", 1).over(w))
+      .withColumn("_ps1", lag("_ev_seq", 1).over(w))
+      .withColumn("_pp1", lag("_ev_p", 1).over(w))
+      .withColumn("_pk2", lag("_ev_kind", 2).over(w))
+      .withColumn("_nk", lead("_ev_kind", 1).over(w))
+      .withColumn("_ns", lead("_ev_seq", 1).over(w))
+      .filter(col("_ev_seq") > fromSeq)
+    // data event: an upsert pair (same-seq delete whose own predecessor
+    // was live data) is a post-image; anything else is an insert
+    val posts = emit(
+      g.filter(col("_ev_kind") === 1).select(col("_ev_seq"), col("_ev_p").as("_row"),
+        (col("_pk1") === 0 && col("_ps1") === col("_ev_seq") && col("_pk2") === 1).as("_upd"))
+        .select(col("_ev_seq"), col("_row.*"), col("_upd")),
+      when(col("_upd"), "update_postimage").otherwise("insert"), col("_ev_seq"))
+    // delete event with a live predecessor: pre-image row; paired with
+    // a same-seq data event it is an update, otherwise a delete
+    val pres = emit(
+      g.filter(col("_ev_kind") === 0 && col("_pk1") === 1)
+        .select(col("_ev_seq"), col("_pp1").as("_row"),
+          (col("_nk") === 1 && col("_ns") === col("_ev_seq")).as("_upd"))
+        .select(col("_ev_seq"), col("_row.*"), col("_upd")),
+      when(col("_upd"), "update_preimage").otherwise("delete"), col("_ev_seq"))
+    plainInserts.unionByName(posts).unionByName(pres)
+  }
+
   /** MoR survivor filter shared by every read path: a row survives
     * unless some delete for its key carries a later seq.
     */
@@ -864,6 +957,10 @@ object IceliteTable {
 
   /** Hidden per-row commit sequence column (MoR ordering). */
   val SeqCol = "_graft_seq"
+
+  /** Changelog output columns ([[IceliteTable.readChanges]]). */
+  val ChangeTypeCol = "_change_type"
+  val CommitSeqCol = "_commit_seq"
 
   /** Age after which an unpublished claim file is considered orphaned
     * (holder crashed between claim and publish) and may be broken.

@@ -434,6 +434,57 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     assert(t2.pruneDataFiles("y", Some("48"), None).size <= total / 2)
   }
 
+  test("readChanges: insert / update pair / delete preimages; replay rebuilds the target state") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "cdc", docSchema)
+    t.append(rows( // s1
+      ("a", 10.0, "new", "2024-01-01T00:00:00Z"),
+      ("b", 20.0, "new", "2024-01-01T00:00:00Z"),
+      ("c", 30.0, "new", "2024-01-01T00:00:00Z")))
+    t.upsert(rows(("a", 99.0, "paid", "2024-01-02T00:00:00Z")), Seq("_id")) // s2
+    t.delete(rows(("b", 20.0, "new", "2024-01-01T00:00:00Z")).select("_id"), Seq("_id")) // s3
+    t.append(rows(("d", 40.0, "new", "2024-01-03T00:00:00Z"))) // s4
+    t.upsert(rows(("e", 50.0, "new", "2024-01-04T00:00:00Z")), Seq("_id")) // s5: upsert of a NEW key
+    t.delete(rows(("b", 0.0, "x", "2024-01-01T00:00:00Z")).select("_id"), Seq("_id")) // s6: key already dead
+
+    val ch = t.readChanges(1, 6)
+      .select("_change_type", "_commit_seq", "_id", "total")
+      .orderBy("_commit_seq", "_change_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(ch.toSeq == Seq(
+      ("update_postimage", 2L, "a", 99.0),
+      ("update_preimage", 2L, "a", 10.0),
+      ("delete", 3L, "b", 20.0), // preimage carries the pre-delete values
+      ("insert", 4L, "d", 40.0),
+      ("insert", 5L, "e", 50.0))) // upsert of an unseen key is an insert, not an update
+      // s6 emits nothing: the equality delete matched no live row
+
+    // full-range changelog also reports the initial appends
+    assert(t.readChanges(0, 1).collect().forall(_.getAs[String]("_change_type") == "insert"))
+    assert(t.readChanges(6, 6).isEmpty)
+
+    // replay invariant: applying the per-key LAST change onto readAt(from)
+    // reproduces readAt(to) exactly
+    val changes = t.readChanges(1, 6)
+    val lastPerKey = changes
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_id")
+          .orderBy(col("_commit_seq").desc,
+            // postimage outranks its same-commit preimage
+            when(col("_change_type") === "update_postimage", 1).otherwise(0).desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val replayed = t.readAt(1).join(lastPerKey.select("_id"), Seq("_id"), "left_anti")
+      .unionByName(lastPerKey
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .drop("_change_type", "_commit_seq"))
+    val want = t.readAt(6).orderBy("_id").collect().toSeq
+    assert(replayed.orderBy("_id").collect().toSeq == want)
+
+    // maintenance snapshots break changelog derivability → explicit error
+    t.compact()
+    intercept[IllegalStateException](t.readChanges(1, t.meta.lastSeq))
+  }
+
   test("zorder compaction rejects unknown and non-integral columns") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "zbad", docSchema)
