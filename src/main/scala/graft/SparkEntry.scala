@@ -18,7 +18,7 @@ object SparkEntry {
   /** All registered engine queries, one per implemented operator. */
   def registry: Seq[GraftQuery] =
     Relational.all ++ RelationalExt.all ++ Temporal.all ++ Dedup.all ++
-      Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++ Pipeline.all ++
+      Similarity.all ++ Clustering.all ++ TextAnalysis.all ++ Multimodal.all ++ Pipeline.all ++
       Hygiene.all ++ Profiling.all ++ Packing.all ++ Funnels.all ++
       SyncQueries.all ++ graft.streaming.EventStreams.all
 

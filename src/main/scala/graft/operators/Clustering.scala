@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.Tables.t
+
+/** Spherical k-means (Lloyd's algorithm under cosine similarity) over
+  * the embeddings table — the clustering pass a training-data pipeline
+  * uses for semantic bucketing: cluster-balanced mixture sampling,
+  * semantic dedup blocking, and topic discovery.
+  *
+  * Cosine is scale-invariant, so centroid component SUMS stand in for
+  * means (the [[Similarity]] IVF trick) and every score is an exact
+  * decimal accumulation followed by one IEEE division — bit-identical
+  * to the DuckDB oracle, which unrolls the same fixed iterations as a
+  * CTE chain. Seeding is deterministic: the first [[K]] vectors by
+  * vec_id are the initial centroids, so both engines converge through
+  * identical states.
+  *
+  * Scale: each Lloyd round is ONE broadcast of the K×dims centroid
+  * table against a linear scan of the exploded corpus (shuffle =
+  * vectors × K partial dot products reduced map-side) plus a
+  * vectors-sized argmax window. No pairwise joins anywhere; rounds are
+  * fixed, so the whole plan is static — at 1000 executors this is the
+  * textbook distributed Lloyd sweep.
+  */
+object Clustering {
+
+  /** Cluster count (seeded from vec_id 0..K-1). */
+  val K = 8
+
+  /** Assignment passes (assign → update → assign = 2 Lloyd rounds). */
+  val Iters = 2
+
+  private val Dec = "decimal(38,20)"
+
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Dedup.decimalNormSq(col("embedding")).as("nsq"))
+    val elems = e
+      .select(col("vec_id"), col("label"), col("nsq"),
+        posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select(col("vec_id"), col("label"), col("nsq"),
+        (col("i0") + 1).as("i"), col("v").cast("double").as("val"))
+
+    // assignment under centroids (cid, i, cval) + norms (cid, c_nsq):
+    // exact-decimal dot, one division, argmax by (cos desc, cid asc)
+    def assign(c: DataFrame, cn: DataFrame): DataFrame = {
+      val cos = elems.join(broadcast(c), "i")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("val") * col("cval")).cast(Dec)).cast("double").as("cdot"),
+          first(col("nsq")).as("nsq"))
+        .join(broadcast(cn), "cid")
+        .select(col("vec_id"), col("cid"),
+          (col("cdot") / (sqrt(col("nsq")) * sqrt(col("c_nsq")))).as("cos"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("cid"))
+      cos.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "cid")
+    }
+
+    // new centroids = exact-decimal component sums of the members
+    def update(a: DataFrame): (DataFrame, DataFrame) = {
+      val c = elems.join(a, "vec_id").groupBy(col("cid"), col("i"))
+        .agg(sum(col("val").cast(Dec)).cast("double").as("cval"))
+      val cn = c.groupBy(col("cid"))
+        .agg(sum((col("cval") * col("cval")).cast(Dec)).cast("double").as("c_nsq"))
+      (c, cn)
+    }
+
+    var c = elems.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("i"), col("val").as("cval"))
+    var cn = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("nsq").as("c_nsq"))
+    var a: DataFrame = null
+    for (_ <- 1 to Iters) {
+      a = assign(c, cn)
+      val upd = update(a)
+      c = upd._1; cn = upd._2
+    }
+
+    val byLab = a.join(e.select("vec_id", "label"), "vec_id")
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy(col("cid")).orderBy(desc("n"), asc("label"))
+    val maj = byLab.withColumn("rn", row_number().over(wl)).filter(col("rn") === 1)
+    byLab.groupBy("cid").agg(sum("n").as("n_members"))
+      .join(maj.select(col("cid"), col("label").as("majority_label"),
+        col("n").as("majority_n")), "cid")
+      .select(col("cid").as("cluster_id"), col("n_members"),
+        col("majority_label"), col("majority_n"))
+      .orderBy("cluster_id")
+  }
+
+  /** The same fixed Lloyd rounds unrolled as a DuckDB CTE chain. */
+  private val kmeansOracle: String = {
+    val base =
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |elems AS (
+         |  SELECT vec_id, label, embedding[i] AS val, i FROM e,
+         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+         |norms AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS nsq
+         |  FROM elems GROUP BY vec_id),
+         |c0 AS (
+         |  SELECT vec_id AS cid, i, CAST(val AS DOUBLE) AS cval
+         |  FROM elems WHERE vec_id < $K),
+         |cn0 AS (SELECT vec_id AS cid, nsq AS c_nsq FROM norms WHERE vec_id < $K)""".stripMargin
+    val rounds = (1 to Iters).map { r =>
+      val upd =
+        if (r == Iters) "" // the last round's centroids are never used
+        else s""",
+           |c$r AS (
+           |  SELECT a.cid, ev.i,
+           |    CAST(sum(CAST(CAST(ev.val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS cval
+           |  FROM elems ev JOIN a$r a USING (vec_id) GROUP BY a.cid, ev.i),
+           |cn$r AS (
+           |  SELECT cid, CAST(sum(CAST(cval * cval AS DECIMAL(38,20))) AS DOUBLE) AS c_nsq
+           |  FROM c$r GROUP BY cid)""".stripMargin
+      s""",
+         |dots$r AS (
+         |  SELECT ev.vec_id, c.cid,
+         |    CAST(sum(CAST(CAST(ev.val AS DOUBLE) * c.cval AS DECIMAL(38,20))) AS DOUBLE)
+         |      / (sqrt(any_value(n.nsq)) * sqrt(any_value(cn.c_nsq))) AS cos
+         |  FROM elems ev JOIN c${r - 1} c ON ev.i = c.i
+         |  JOIN norms n ON n.vec_id = ev.vec_id
+         |  JOIN cn${r - 1} cn ON cn.cid = c.cid
+         |  GROUP BY ev.vec_id, c.cid),
+         |a$r AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |    FROM dots$r) WHERE rn = 1)""".stripMargin + upd
+    }.mkString
+    val report =
+      s""",
+         |labeled AS (SELECT a.cid, e.label FROM a$Iters a JOIN e USING (vec_id)),
+         |bylab AS (SELECT cid, label, count(*) AS n FROM labeled GROUP BY cid, label),
+         |maj AS (
+         |  SELECT cid, label, n,
+         |    row_number() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn
+         |  FROM bylab),
+         |sizes AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_members FROM bylab GROUP BY cid)
+         |SELECT s.cid AS cluster_id, s.n_members,
+         |  m.label AS majority_label, m.n AS majority_n
+         |FROM sizes s JOIN maj m ON m.cid = s.cid AND m.rn = 1
+         |ORDER BY cluster_id""".stripMargin
+    base + rounds + report
+  }
+
+  // ---------------------------------------------------------- registry
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("kmeans_clusters", kmeansClusters _, Some(kmeansOracle),
+      "spherical k-means (2 Lloyd rounds, deterministic seeds): cluster sizes + majority labels"))
+}

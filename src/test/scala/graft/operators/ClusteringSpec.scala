@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class ClusteringSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kmeans: partition is total and exclusive; ids are seeds; majority bounded") {
+    val out = Clustering.kmeansClusters(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.map(_.getAs[Long]("n_members")).sum == total) // every vector in exactly one cluster
+    assert(out.map(_.getAs[Long]("cluster_id")).forall(c => c >= 0 && c < Clustering.K))
+    assert(out.forall(r => r.getAs[Long]("majority_n") <= r.getAs[Long]("n_members")))
+    assert(out.length <= Clustering.K && out.length > 1) // seeds may lose all members, but >1 survives
+  }
+
+  test("kmeans: deterministic across runs") {
+    val a = Clustering.kmeansClusters(spark, dir).collect().toSeq
+    val b = Clustering.kmeansClusters(spark, dir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("kmeans plan: centroid tables broadcast, no pairwise corpus join") {
+    val plan = Clustering.kmeansClusters(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
