@@ -96,6 +96,73 @@ final class IceliteTable private (
       deleteKeys = Some(deleteKeys.select(keyCols.map(col): _*).dropDuplicates(keyCols)),
       keyCols = keyCols, operation = "upsert")
 
+  /** General MERGE (the Delta / Iceberg `MERGE INTO` shape): classify
+    * every SOURCE row against the current table state by key, then
+    * commit all resulting changes atomically in ONE snapshot —
+    * matched rows satisfying `matchedDelete` are equality-deleted,
+    * matched rows satisfying `matchedUpdate` are replaced by the
+    * source row, unmatched rows satisfying `notMatchedInsert` are
+    * inserted. Conditions are evaluated on the joined pair and may
+    * reference source columns as `s.col` and matched target columns as
+    * `t.col` (null-safe: target refs are only evaluated under a match).
+    * Delete wins over update when both conditions hold. Extra source
+    * columns (condition scaffolding like an op flag) are dropped at
+    * write time; missing table columns become null.
+    *
+    * The source must be unique per key (multiple source matches for
+    * one target row are ambiguous — same rule as Delta/Iceberg; this
+    * is validated and rejected).
+    *
+    * Scale: one key-equi join of the (usually modest) source batch
+    * against the MoR scan classifies everything; the classified frame
+    * is cached so validation, metrics, and both commit files read it
+    * once. Rows never pass through the driver; the commit is the same
+    * delete-file + data-file pair as upsert, so changelog reads
+    * ([[readChanges]]) see merge updates as proper pre/post pairs.
+    */
+  def merge(
+      source: DataFrame,
+      keyCols: Seq[String],
+      matchedUpdate: Option[Column] = Some(lit(true)),
+      matchedDelete: Option[Column] = None,
+      notMatchedInsert: Option[Column] = Some(lit(true))): MergeStats = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val marker = "_t_matched"
+    require(!source.columns.contains(marker), s"source may not carry $marker")
+    val srcCols = source.columns.toSeq
+    val joined = source.alias("s").join(
+      read().withColumn(marker, lit(true)).alias("t"),
+      keyCols.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _),
+      "left_outer")
+    val matched = coalesce(col(s"t.$marker"), lit(false))
+    val action = when(matched && matchedDelete.getOrElse(lit(false)), "delete")
+      .when(matched && matchedUpdate.getOrElse(lit(false)), "update")
+      .when(!matched && notMatchedInsert.getOrElse(lit(false)), "insert")
+      .otherwise("skip")
+    val classified = joined
+      .select(srcCols.map(c => col(s"s.$c").as(c)) :+ action.as("_merge_action"): _*)
+      .cache()
+    try {
+      val dup = classified.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        s"merge source has duplicate keys on (${keyCols.mkString(", ")}) — ambiguous match")
+      val counts = classified.groupBy("_merge_action").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+      val (nIns, nUpd, nDel) = (counts("insert"), counts("update"), counts("delete"))
+      if (nIns + nUpd + nDel == 0) return MergeStats(cachedMeta.lastSeq, 0, 0, 0)
+      val writes = classified.filter(col("_merge_action").isin("update", "insert"))
+        .drop("_merge_action")
+      val delKeys = classified.filter(col("_merge_action").isin("update", "delete"))
+        .select(keyCols.map(col): _*)
+      val seq = commitWrite(
+        if (nIns + nUpd == 0) null else writes,
+        deleteKeys = if (nUpd + nDel == 0) None else Some(delKeys),
+        keyCols = keyCols, operation = "merge")
+      MergeStats(seq, nIns, nUpd, nDel)
+    } finally classified.unpersist()
+  }
+
   private def commitWrite(
       df: DataFrame,
       deleteKeys: Option[DataFrame],
@@ -961,6 +1028,9 @@ object IceliteTable {
   /** Changelog output columns ([[IceliteTable.readChanges]]). */
   val ChangeTypeCol = "_change_type"
   val CommitSeqCol = "_commit_seq"
+
+  /** Row-level outcome of a [[IceliteTable.merge]] commit. */
+  final case class MergeStats(seq: Long, inserted: Long, updated: Long, deleted: Long)
 
   /** Age after which an unpublished claim file is considered orphaned
     * (holder crashed between claim and publish) and may be broken.

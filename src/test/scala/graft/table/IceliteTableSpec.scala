@@ -434,6 +434,44 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     assert(t2.pruneDataFiles("y", Some("48"), None).size <= total / 2)
   }
 
+  test("merge: conditional update/delete/insert in one snapshot; t-references; dup source rejected") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "mrg", docSchema)
+    t.append(rows(
+      ("a", 10.0, "new", "2024-01-01T00:00:00Z"),
+      ("b", 20.0, "new", "2024-01-01T00:00:00Z"),
+      ("c", 30.0, "paid", "2024-01-01T00:00:00Z"),
+      ("k", 40.0, "new", "2024-01-01T00:00:00Z")))
+    // source: update a (changed total), keep c (t-condition false: total
+    // unchanged → skip), delete b, insert d; k untouched (not in source)
+    val src = rows(
+      ("a", 11.0, "new", "2024-01-02T00:00:00Z"),
+      ("b", 0.0, "gone", "2024-01-02T00:00:00Z"),
+      ("c", 30.0, "paid", "2024-01-02T00:00:00Z"),
+      ("d", 44.0, "new", "2024-01-02T00:00:00Z"))
+    val stats = t.merge(src, Seq("_id"),
+      matchedUpdate = Some(col("s.total") =!= col("t.total")),
+      matchedDelete = Some(col("s.status") === "gone"))
+    assert(stats == IceliteTable.MergeStats(2L, inserted = 1, updated = 1, deleted = 1))
+    assert(t.meta.snapshots.map(_.operation) == Seq("append", "merge")) // ONE commit
+    val got = t.read().orderBy("_id").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("a", 11.0), ("c", 30.0), ("d", 44.0), ("k", 40.0)))
+
+    // changelog sees merge updates as proper pre/post pairs
+    val types = t.readChanges(1, 2).collect()
+      .map(r => (r.getAs[String]("_id"), r.getAs[String]("_change_type"))).sorted.toSeq
+    assert(types == Seq(("a", "update_postimage"), ("a", "update_preimage"),
+      ("b", "delete"), ("d", "insert")))
+
+    // no-op merge commits nothing
+    val noop = t.merge(src.filter(col("_id") === "c"), Seq("_id"),
+      matchedUpdate = Some(col("s.total") =!= col("t.total")))
+    assert(noop == IceliteTable.MergeStats(2L, 0, 0, 0) && t.meta.lastSeq == 2L)
+
+    // duplicate source keys are ambiguous → rejected
+    intercept[IllegalArgumentException](t.merge(src.unionAll(src), Seq("_id")))
+  }
+
   test("readChanges: insert / update pair / delete preimages; replay rebuilds the target state") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "cdc", docSchema)
