@@ -113,25 +113,43 @@ final class IceliteTable private (
     * one target row are ambiguous — same rule as Delta/Iceberg; this
     * is validated and rejected).
     *
-    * Scale: one key-equi join of the (usually modest) source batch
-    * against the MoR scan classifies everything; the classified frame
-    * is cached so validation, metrics, and both commit files read it
-    * once. Rows never pass through the driver; the commit is the same
-    * delete-file + data-file pair as upsert, so changelog reads
-    * ([[readChanges]]) see merge updates as proper pre/post pairs.
+    * `matchedUpdateSet` selects COLUMN-LEVEL updates (the Delta /
+    * Iceberg `UPDATE SET col = expr` shape): when non-empty, an
+    * updated row keeps every target column except the listed ones,
+    * whose expressions may reference `s.col` / `t.col`. When empty
+    * (default), an update replaces the whole row with the source row.
+    * Key columns may not be assigned.
+    *
+    * Scale: the target scan is PRUNED to files whose key-column
+    * footer stats intersect the source's key range (a 100-row batch
+    * against a 100 TB table touches only the files that can match),
+    * then one key-equi join classifies everything; the classified
+    * frame is cached so validation, metrics, and both commit files
+    * read it once. Rows never pass through the driver; the commit is
+    * the same delete-file + data-file pair as upsert, so changelog
+    * reads ([[readChanges]]) see merge updates as proper pre/post
+    * pairs.
     */
   def merge(
       source: DataFrame,
       keyCols: Seq[String],
       matchedUpdate: Option[Column] = Some(lit(true)),
       matchedDelete: Option[Column] = None,
-      notMatchedInsert: Option[Column] = Some(lit(true))): MergeStats = {
+      notMatchedInsert: Option[Column] = Some(lit(true)),
+      matchedUpdateSet: Map[String, Column] = Map.empty): MergeStats = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    val tableSchema = cachedMeta.schema
+    matchedUpdateSet.keys.foreach { c =>
+      require(tableSchema.fieldNames.contains(c),
+        s"UPDATE SET column '$c' is not a column of $name")
+      require(!keyCols.contains(c), s"UPDATE SET may not assign key column '$c'")
+    }
     val marker = "_t_matched"
     require(!source.columns.contains(marker), s"source may not carry $marker")
-    val srcCols = source.columns.toSeq
+    val srcSet = source.columns.toSet
+    keyCols.foreach(k => require(srcSet.contains(k), s"source lacks key column '$k'"))
     val joined = source.alias("s").join(
-      read().withColumn(marker, lit(true)).alias("t"),
+      readForKeyRange(source, keyCols).withColumn(marker, lit(true)).alias("t"),
       keyCols.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _),
       "left_outer")
     val matched = coalesce(col(s"t.$marker"), lit(false))
@@ -139,8 +157,21 @@ final class IceliteTable private (
       .when(matched && matchedUpdate.getOrElse(lit(false)), "update")
       .when(!matched && notMatchedInsert.getOrElse(lit(false)), "insert")
       .otherwise("skip")
+    // one expression per TABLE column covering both write actions:
+    // inserts take the source value (null when absent), updates take
+    // the UPDATE SET expression, else the preserved target value
+    // (whole-row mode: the source value, the pre-r5 behavior)
+    def insertVal(f: org.apache.spark.sql.types.StructField): Column =
+      (if (srcSet.contains(f.name)) col(s"s.${f.name}") else lit(null)).cast(f.dataType)
+    def updateVal(f: org.apache.spark.sql.types.StructField): Column =
+      matchedUpdateSet.get(f.name).map(_.cast(f.dataType)).getOrElse(
+        if (matchedUpdateSet.isEmpty) insertVal(f) else col(s"t.${f.name}").cast(f.dataType))
+    val payload = tableSchema.fields.toSeq.map { f =>
+      if (keyCols.contains(f.name)) col(s"s.${f.name}").as(f.name)
+      else when(action === "update", updateVal(f)).otherwise(insertVal(f)).as(f.name)
+    }
     val classified = joined
-      .select(srcCols.map(c => col(s"s.$c").as(c)) :+ action.as("_merge_action"): _*)
+      .select(payload :+ action.as("_merge_action"): _*)
       .cache()
     try {
       val dup = classified.groupBy(keyCols.map(col): _*).count()
@@ -170,17 +201,26 @@ final class IceliteTable private (
       operation: String): Long = retryCommit { head =>
     val seq = head.lastSeq + 1
     val commitId = UUID.randomUUID().toString
+    // per-file key-column min/max (this commit's keys, or the table's
+    // recorded key columns for keyless appends): the manifest stat that
+    // lets readChanges / merge prune history files by key range instead
+    // of scanning the whole table
+    val statKeys = keyStatColumns(
+      if (keyCols.nonEmpty) keyCols else tableKeyColumns(head.properties), head.schema)
     val (dataFiles, count, fileStats) =
       if (df != null)
         writeDataFiles(conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq)),
-          commitId, head.partitioning, nFiles = None)
+          commitId, head.partitioning, nFiles = None, extraStatCols = statKeys.toMap)
       else (Seq.empty[String], 0L, Map.empty[String, Map[String, (String, String)]])
-    val deleteFiles = deleteKeys match {
+    val (deleteFiles, deleteStats) = deleteKeys match {
       case Some(keys) =>
         val out = s"$location/deletes/$commitId"
         keys.withColumn(SeqCol, lit(seq)).write.mode("errorifexists").parquet(out)
-        listParquet(out)
-      case None => Nil
+        val files = listParquet(out)
+        val ds = files.map(f => f -> footerInfo(f, statKeys.toMap)._2)
+          .collect { case (f, s) if s.nonEmpty => f -> s }.toMap
+        (files, ds)
+      case None => (Nil, Map.empty[String, Map[String, (String, String)]])
     }
     // remember the delete-key columns in table properties so the key
     // schema survives compaction folding every delete file away
@@ -189,7 +229,7 @@ final class IceliteTable private (
         head.copy(properties = head.properties + (DeleteKeyColumnsProp -> keyCols.mkString(",")))
       else head
     (withKeyProp.withSnapshot(Snapshot(seq, System.currentTimeMillis(), operation,
-      dataFiles, deleteFiles, count, fileStats)), seq)
+      dataFiles, deleteFiles, count, fileStats ++ deleteStats)), seq)
   }
 
   // ------------------------------------------------------------- reads
@@ -257,22 +297,38 @@ final class IceliteTable private (
     * the row's last live version before the deleting commit.
     *
     * Scale shape: full history is consulted ONLY for keys that have a
-    * delete event in range — one semi-join of the data scan against
-    * the (change-volume-bounded, usually broadcastable) affected-key
-    * set, then ONE window pass over those keys' event logs classifies
-    * every emission (`lag`×2 + `lead`; a same-seq equality delete +
-    * data row is an upsert pair). Rows never pass through the driver.
+    * delete event in range — historical data/delete file lists are
+    * first PRUNED by key-column footer stats against the affected-key
+    * min/max (a narrow change range over a 100 TB table reads a file
+    * subset, not the table), then one semi-join of the pruned scan
+    * against the (change-volume-bounded, usually broadcastable)
+    * affected-key set, then ONE window pass over those keys' event
+    * logs classifies every emission (`lag`×2 + `lead`; a same-seq
+    * equality delete + data row is an upsert pair). Rows never pass
+    * through the driver.
     *
     * Maintenance snapshots re-tag rows (rewrite) or drop files without
     * delete events (truncate), so a range crossing one is not a
-    * derivable changelog — callers get an error and should resync.
-    * Assumes keys are unique within a commit (upsert guarantees this;
-    * plain `append` of duplicate keys in ONE commit makes same-seq
-    * event order ambiguous).
+    * derivable changelog — callers get an error and should resync; a
+    * range reaching BEFORE the oldest retained snapshot (its commits
+    * expired by compaction/snapshot expiry) errors the same way
+    * instead of silently under-reporting. Assumes keys are unique
+    * within a commit (upsert guarantees this; plain `append` of
+    * duplicate keys in ONE commit makes same-seq event order
+    * ambiguous).
     */
   def readChanges(fromSeq: Long, toSeq: Long): DataFrame = {
     require(fromSeq <= toSeq, s"fromSeq $fromSeq > toSeq $toSeq")
     val m = cachedMeta
+    // expired history: seqs in range older than the oldest retained
+    // snapshot were collapsed by a rewrite and GC'd — not derivable
+    m.snapshots.headOption.foreach { oldest =>
+      if (fromSeq < toSeq && fromSeq + 1 < oldest.seq)
+        throw new IllegalStateException(
+          s"changelog range ($fromSeq, $toSeq] reaches before the oldest " +
+            s"retained snapshot ${oldest.seq} of $name: that history has " +
+            "expired (compaction/snapshot expiry) — resync from the full table")
+    }
     val inRange = m.snapshots.filter(s => s.seq > fromSeq && s.seq <= toSeq)
     inRange.find(s => s.operation.startsWith("rewrite") || s.operation == "truncate")
       .foreach { s =>
@@ -296,9 +352,26 @@ final class IceliteTable private (
 
     val keyCols = m.properties.get(DeleteKeyColumnsProp)
       .map(_.split(',').toSeq).getOrElse(keyColumnsOfDeletes(delFilesInRange))
+    // affected keys come from the IN-RANGE delete files alone (each
+    // delete row carries its commit seq); their min/max then prunes
+    // the historical file lists before any data IO
+    val delInRange = spark.read.parquet(delFilesInRange.map(abs): _*)
+    val affected = delInRange.select(keyCols.map(col): _*).distinct()
     val hist = m.snapshots.filter(_.seq <= toSeq)
-    val delAll = spark.read.parquet(hist.flatMap(_.deleteFiles).map(abs): _*)
-    val affected = delAll.filter(col(SeqCol) > fromSeq).select(keyCols.map(col): _*).distinct()
+    val (histDataFiles, histDelFiles) =
+      keyStatColumns(keyCols, m.schema).headOption match {
+        case Some((k, numeric)) =>
+          val r = delInRange.agg(min(col(k)), max(col(k))).collect().head
+          if (r.isNullAt(0) || r.isNullAt(1))
+            (hist.flatMap(_.dataFiles), hist.flatMap(_.deleteFiles))
+          else {
+            val (lo, hi) = (String.valueOf(r.get(0)), String.valueOf(r.get(1)))
+            (pruneByKeyStats(hist, _.dataFiles, k, lo, hi, numeric),
+              pruneByKeyStats(hist, _.deleteFiles, k, lo, hi, numeric))
+          }
+        case None => (hist.flatMap(_.dataFiles), hist.flatMap(_.deleteFiles))
+      }
+    val delAll = spark.read.parquet(histDelFiles.map(abs): _*)
 
     // keys never deleted in range: plain inserts, no history needed
     val plainInserts = emit(
@@ -307,7 +380,7 @@ final class IceliteTable private (
     // event log for affected keys: kind 0 = delete, 1 = data; at equal
     // seq the delete sorts first (upsert semantics: own-seq data survives)
     val payload = struct(payloadCols.map(col): _*)
-    val dataHist = readFiles(hist.flatMap(_.dataFiles), withSeq = true)
+    val dataHist = readFiles(histDataFiles, withSeq = true)
       .join(affected, keyCols, "left_semi")
     val dEv = dataHist.select(
       keyCols.map(col) ++ Seq(col(SeqCol).as("_ev_seq"), lit(1).as("_ev_kind"), payload.as("_ev_p")): _*)
@@ -480,7 +553,9 @@ final class IceliteTable private (
         val (files, count, stats) = writeDataFiles(
           conformToSchema(current, head.schema).withColumn(SeqCol, lit(seq)),
           commitId, head.partitioning, Some(nFiles),
-          zorder = zRanges, extraStatCols = zorderBy)
+          zorder = zRanges,
+          extraStatCols = zorderBy.map(_ -> true).toMap ++
+            keyStatColumns(tableKeyColumns(head.properties), head.schema).toMap)
         val withZ =
           if (zorderBy.isEmpty) head
           else head.copy(properties =
@@ -545,7 +620,8 @@ final class IceliteTable private (
       // files are written ONCE; only the metadata swap runs in the
       // optimistic-retry loop
       val (files, _, stats) =
-        if (count > 0) writeDataFiles(survivors, commitId, before.partitioning, Some(nFiles))
+        if (count > 0) writeDataFiles(survivors, commitId, before.partitioning, Some(nFiles),
+          extraStatCols = keyStatColumns(tableKeyColumns(before.properties), before.schema).toMap)
         else (Nil, 0L, Map.empty[String, Map[String, (String, String)]])
       retryCommit { head =>
         // the cold prefix is immutable (seqs only grow) unless another
@@ -973,8 +1049,9 @@ final class IceliteTable private (
     * of each z column — the Iceberg zorder rewrite layout. The z value
     * is a transient layout key (computed, ranged on, dropped); row
     * values and schema are untouched. `extraStatCols` adds raw columns
-    * (the z columns — validated integral by the caller) to the footer
-    * stats so range reads can prune on every z dimension.
+    * (z-order / key columns, mapped to whether their stat comparator
+    * is numeric) to the footer stats so range reads and key-range
+    * pruning can skip files on them.
     */
   private def writeDataFiles(
       df: DataFrame,
@@ -982,7 +1059,7 @@ final class IceliteTable private (
       partitioning: Seq[PartitionConfig],
       nFiles: Option[Int],
       zorder: Seq[(String, Long, Long)] = Nil,
-      extraStatCols: Seq[String] = Nil)
+      extraStatCols: Map[String, Boolean] = Map.empty)
       : (Seq[String], Long, Map[String, Map[String, (String, String)]]) = {
     requireSessionTz(partitioning)
     val out = s"$location/data/$commitId"
@@ -1006,7 +1083,7 @@ final class IceliteTable private (
     }
     clustered.write.mode("errorifexists").parquet(out)
     val files = listParquet(out)
-    val statCols = prunableColumns(partitioning) ++ extraStatCols.map(_ -> true)
+    val statCols = prunableColumns(partitioning) ++ extraStatCols
     val infos = files.map(f => f -> footerInfo(f, statCols))
     val stats = infos.collect { case (f, (_, s)) if s.nonEmpty => f -> s }.toMap
     (files, infos.map(_._2._1).sum, stats)
