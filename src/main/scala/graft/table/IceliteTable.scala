@@ -950,6 +950,91 @@ final class IceliteTable private (
         s"$partCol is not a prunable partition column (identity transforms " +
           "have no sound stat ordering — filter on the base column instead)"))
 
+  /** Key columns usable for footer-stat range pruning, mapped to
+    * whether their stat comparator is numeric: integral types compare
+    * numerically, strings lexicographically (parquet renders string
+    * min/max as UTF-8; ASCII-safe). Types without a sound rendered
+    * ordering (double, timestamp, decimal, binary) are EXCLUDED —
+    * a wrong comparator prunes files that DO intersect, silently
+    * losing rows, so such keys simply never participate in metadata
+    * pruning (row-group stats inside parquet still apply at scan
+    * time). Keys absent from the schema are skipped.
+    */
+  private def keyStatColumns(
+      keyCols: Seq[String], schema: StructType): Seq[(String, Boolean)] = {
+    import org.apache.spark.sql.types._
+    keyCols.flatMap { k =>
+      schema.find(_.name == k).flatMap { f =>
+        f.dataType match {
+          case LongType | IntegerType | ShortType | ByteType => Some(k -> true)
+          case StringType => Some(k -> false)
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** The table's recorded equality-delete key columns (set at the
+    * first keyed commit), or empty for a table that never saw one.
+    */
+  private def tableKeyColumns(props: Map[String, String]): Seq[String] =
+    props.get(DeleteKeyColumnsProp).toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+
+  /** Files (selected by `pick` from each snapshot) whose recorded
+    * [statCol] min/max may intersect [lo, hi] under the column's
+    * comparator. CONSERVATIVE by construction: files with no recorded
+    * stat for the column are always kept (never prune on missing
+    * information), and `cmpStat` treats unparseable numeric operands
+    * as equal-to-everything, which also keeps the file.
+    */
+  private def pruneByKeyStats(
+      snaps: Seq[Snapshot],
+      pick: Snapshot => Seq[String],
+      statCol: String,
+      lo: String,
+      hi: String,
+      numeric: Boolean): Seq[String] =
+    snaps.flatMap { s =>
+      pick(s).filter { f =>
+        s.fileStats.get(f).flatMap(_.get(statCol)) match {
+          case Some((mn, mx)) =>
+            IceliteTable.cmpStat(mx, lo, numeric) >= 0 &&
+              IceliteTable.cmpStat(mn, hi, numeric) <= 0
+          case None => true
+        }
+      }
+    }
+
+  /** MoR read restricted to data/delete files whose first prunable
+    * key column's footer stats intersect the SOURCE's key min/max —
+    * the [[merge]] target scan: a small batch against a huge table
+    * touches only the files that can hold a matching key. Falls back
+    * to the full [[read]] when no key column is prunable or the
+    * source's key range is null/empty (conservative, never wrong).
+    *
+    * Pruned-away rows can only have keys OUTSIDE the source range, so
+    * the merge's key-equi join never misses a match; delete files are
+    * pruned by the same range, which is sound because a delete for a
+    * key outside the range cannot affect any key inside it. The one
+    * extra job is a 2-value agg over the (small) source.
+    */
+  private def readForKeyRange(source: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val m = cachedMeta
+    keyStatColumns(keyCols, m.schema).headOption match {
+      case Some((k, numeric)) =>
+        val r = source.agg(min(col(k)), max(col(k))).collect().head
+        if (r.isNullAt(0) || r.isNullAt(1)) read()
+        else {
+          val (lo, hi) = (String.valueOf(r.get(0)), String.valueOf(r.get(1)))
+          val dataFiles = pruneByKeyStats(m.snapshots, _.dataFiles, k, lo, hi, numeric)
+          val delFiles = pruneByKeyStats(m.snapshots, _.deleteFiles, k, lo, hi, numeric)
+          applyDeletes(readFiles(dataFiles, withSeq = true), delFiles)
+            .select(m.schema.fieldNames.map(col).toSeq: _*)
+        }
+      case None => read()
+    }
+  }
+
   /** Data files whose stored [partCol] range may intersect
     * [lower, upper] (inclusive, either side optional) — pure table
     * metadata, no file IO. Files without stats are kept (never prune
