@@ -960,7 +960,7 @@ final class IceliteTable private (
     * pruning (row-group stats inside parquet still apply at scan
     * time). Keys absent from the schema are skipped.
     */
-  private def keyStatColumns(
+  private[table] def keyStatColumns(
       keyCols: Seq[String], schema: StructType): Seq[(String, Boolean)] = {
     import org.apache.spark.sql.types._
     keyCols.flatMap { k =>
@@ -977,7 +977,7 @@ final class IceliteTable private (
   /** The table's recorded equality-delete key columns (set at the
     * first keyed commit), or empty for a table that never saw one.
     */
-  private def tableKeyColumns(props: Map[String, String]): Seq[String] =
+  private[table] def tableKeyColumns(props: Map[String, String]): Seq[String] =
     props.get(DeleteKeyColumnsProp).toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
 
   /** Files (selected by `pick` from each snapshot) whose recorded
@@ -987,7 +987,7 @@ final class IceliteTable private (
     * information), and `cmpStat` treats unparseable numeric operands
     * as equal-to-everything, which also keeps the file.
     */
-  private def pruneByKeyStats(
+  private[table] def pruneByKeyStats(
       snaps: Seq[Snapshot],
       pick: Snapshot => Seq[String],
       statCol: String,
@@ -1018,7 +1018,7 @@ final class IceliteTable private (
     * key outside the range cannot affect any key inside it. The one
     * extra job is a 2-value agg over the (small) source.
     */
-  private def readForKeyRange(source: DataFrame, keyCols: Seq[String]): DataFrame = {
+  private[table] def readForKeyRange(source: DataFrame, keyCols: Seq[String]): DataFrame = {
     val m = cachedMeta
     keyStatColumns(keyCols, m.schema).headOption match {
       case Some((k, numeric)) =>

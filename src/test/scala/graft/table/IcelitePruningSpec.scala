@@ -1,0 +1,123 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Key-range footer-stat pruning (IceliteTable.keyStatColumns /
+  * pruneByKeyStats / readForKeyRange and their use inside merge and
+  * readChanges): a narrow key range must plan a STRICT SUBSET of the
+  * table's files, under the right comparator, while never pruning on
+  * missing information — and the pruned read paths must return exactly
+  * what the unpruned ones would.
+  */
+class IcelitePruningSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshWarehouse(): String =
+    Files.createTempDirectory("icelite-prune").toString
+
+  private val kvSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType)))
+
+  private def kv(data: (java.lang.Long, Double)*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      data.map { case (id, v) => Row(id, v) }.asJava, kvSchema)
+  }
+
+  /** Table with one stat-less commit (plain append before any keyed
+    * commit: no recorded key columns yet) and three keyed commits over
+    * disjoint id ranges. Returns (table, statlessFiles).
+    */
+  private def multiRangeTable(): (IceliteTable, Seq[String]) = {
+    val t = IceliteTable.create(spark, freshWarehouse(), "ns", "kv", kvSchema)
+    t.append(kv((500L, 0.5))) // s1: NO key stats (key columns unknown yet)
+    val statless = t.meta.snapshots.last.dataFiles
+    t.upsert(kv((1L to 9L).map(i => (java.lang.Long.valueOf(i), i * 1.0)): _*), Seq("id")) // s2
+    t.upsert(kv((10L to 19L).map(i => (java.lang.Long.valueOf(i), i * 1.0)): _*), Seq("id")) // s3
+    t.upsert(kv((1000L to 1009L).map(i => (java.lang.Long.valueOf(i), i * 1.0)): _*), Seq("id")) // s4
+    (t, statless)
+  }
+
+  test("keyStatColumns: integral→numeric, string→lexicographic, unsound types excluded") {
+    val t = IceliteTable.create(spark, freshWarehouse(), "ns", "ksc", StructType(Seq(
+      StructField("l", LongType), StructField("s", StringType),
+      StructField("d", DoubleType), StructField("ts", TimestampType))))
+    assert(t.keyStatColumns(Seq("l", "s", "d", "ts", "nope"), t.schema) ==
+      Seq("l" -> true, "s" -> false))
+  }
+
+  test("pruneByKeyStats: NUMERIC overlap (not lexicographic); files without stats always kept") {
+    val (t, statless) = multiRangeTable()
+    val all = t.meta.liveDataFiles
+    // narrow range [1000, 1009]: keeps the matching commit + the
+    // stat-less file; prunes [1..9] and [10..19]. Lexicographically
+    // "9" > "1000" would KEEP the [1..9] file — numeric compare must win.
+    val kept = t.pruneByKeyStats(t.meta.snapshots, _.dataFiles, "id", "1000", "1009", numeric = true)
+    val s4Files = t.meta.snapshots.last.dataFiles
+    assert(kept.toSet == (statless ++ s4Files).toSet)
+    assert(kept.size < all.size) // strict subset
+    // range that misses everything still keeps the stat-less file
+    val none = t.pruneByKeyStats(t.meta.snapshots, _.dataFiles, "id", "5000", "6000", numeric = true)
+    assert(none.toSet == statless.toSet)
+    // delete files prune through the same path (s2-s4 upserts carry them)
+    val delKept = t.pruneByKeyStats(t.meta.snapshots, _.deleteFiles, "id", "1", "9", numeric = true)
+    val delAll = t.meta.liveDeleteFiles
+    assert(delKept.nonEmpty && delKept.size < delAll.size)
+  }
+
+  test("readForKeyRange: rows in the source key range identical to full read; null range falls back") {
+    val (t, _) = multiRangeTable()
+    val src = kv((1000L, -1.0), (1004L, -1.0), (9999L, -1.0))
+    val pruned = t.readForKeyRange(src, Seq("id"))
+    // every row whose key CAN match the source is present and identical
+    val inRange = (df: DataFrame) => df.filter(col("id").between(1000L, 9999L))
+      .orderBy("id").collect().toSeq
+    assert(inRange(pruned) == inRange(t.read()))
+    // all-null key range: conservative fallback to the full read
+    val nullSrc = kv((null, -1.0))
+    assert(t.readForKeyRange(nullSrc, Seq("id")).orderBy("id").collect().toSeq ==
+      t.read().orderBy("id").collect().toSeq)
+    // unsound key type: fallback too (no prunable key column)
+    assert(t.readForKeyRange(src.withColumnRenamed("id", "x"), Seq("v")).count() == t.read().count())
+  }
+
+  test("merge against a multi-commit table: pruned target scan, state identical to expected") {
+    val (t, _) = multiRangeTable()
+    // batch touching only the [1000..1009] range: update 1000, delete
+    // 1004, insert 2000 — rows in other ranges must be untouched
+    val src = kv((1000L, 77.0), (1004L, 0.0), (2000L, 20.0))
+    val stats = t.merge(src, Seq("id"),
+      matchedUpdate = Some(col("s.v") > 0),
+      matchedDelete = Some(col("s.v") === 0))
+    assert((stats.inserted, stats.updated, stats.deleted) == (1L, 1L, 1L))
+    val got = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = ((1L to 9L) ++ (10L to 19L)).map(i => (i, i * 1.0)) ++ Seq((500L, 0.5)) ++
+      Seq((1000L, 77.0)) ++ (1001L to 1009L).filterNot(_ == 1004L).map(i => (i, i * 1.0)) ++
+      Seq((2000L, 20.0))
+    assert(got == want.sortBy(_._1))
+  }
+
+  test("narrow readChanges plans a strict file subset and still derives the exact changelog") {
+    val (t, _) = multiRangeTable()
+    val s5 = t.upsert(kv((1005L, 555.0)), Seq("id")) // update inside [1000..1009]
+    // the history prune readChanges applies for range (s4, s5]: affected
+    // key 1005 → only s4's data files (plus stat-less s1) are consulted
+    val hist = t.meta.snapshots.filter(_.seq <= s5)
+    val kept = t.pruneByKeyStats(hist, _.dataFiles, "id", "1005", "1005", numeric = true)
+    assert(kept.size < hist.flatMap(_.dataFiles).size) // strict subset
+    val ch = t.readChanges(s5 - 1, s5)
+      .select("_change_type", "id", "v").orderBy("_change_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(ch == Seq(
+      ("update_postimage", 1005L, 555.0),
+      ("update_preimage", 1005L, 1005.0)))
+    // wide range still exact: every key's history reconstructs
+    assert(t.readChanges(0, s5).count() == 1 + 9 + 10 + 10 + 2) // s1..s4 inserts + s5 pair
+  }
+}
