@@ -119,11 +119,67 @@ object SyncQueries {
       |  FROM sub WHERE k % 5 = 0
       |) ORDER BY _commit_seq, _change_type, _id""".stripMargin
 
+  /** MERGE INTO as an oracle-gated query ([[IceliteTable.merge]]):
+    * seed an icelite table with an orders subset, then merge a source
+    * batch that exercises every clause in one commit — matched rows
+    * are column-level UPDATE SET (referencing both `s.` and `t.`
+    * values), matched rows hitting the delete condition are removed
+    * (delete wins over update), and unmatched rows insert only under
+    * the insert condition. DuckDB recomputes the final table state
+    * with the equivalent outer-join + union. The merge target scan is
+    * key-range pruned ([[IceliteTable.readForKeyRange]]); correctness
+    * here is also the standing proof that pruning loses no rows.
+    */
+  def tableMerge(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft-merge-query").toString
+    def subset(mod: Int) = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(mod)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val base = subset(7)
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_merge", base.schema)
+    table.append(base)
+    // source: overlapping + new keys, doubled price so updates are visible
+    val src = subset(3).withColumn("o_totalprice", col("o_totalprice") * 2.0)
+    table.merge(src, Seq("_id"),
+      matchedUpdate = Some(lit(true)),
+      matchedDelete = Some(pmod(col("s.o_orderkey"), lit(5)) === 0),
+      notMatchedInsert = Some(pmod(col("s.o_orderkey"), lit(2)) === 0),
+      matchedUpdateSet = Map(
+        "o_totalprice" -> (col("t.o_totalprice") + col("s.o_totalprice")),
+        "o_orderstatus" -> lit("M")))
+    table.read().orderBy("_id")
+  }
+
+  private val tableMergeOracle =
+    """WITH base AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
+      |         o_orderkey, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |src AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
+      |         o_orderkey, o_totalprice * 2.0 AS o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT * FROM (
+      |  SELECT b._id, b.o_orderkey,
+      |    CASE WHEN s._id IS NOT NULL THEN b.o_totalprice + s.o_totalprice
+      |         ELSE b.o_totalprice END AS o_totalprice,
+      |    CASE WHEN s._id IS NOT NULL THEN 'M' ELSE b.o_orderstatus END AS o_orderstatus
+      |  FROM base b LEFT JOIN src s ON b._id = s._id
+      |  WHERE s._id IS NULL OR s.o_orderkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT s._id, s.o_orderkey, s.o_totalprice, s.o_orderstatus
+      |  FROM src s LEFT JOIN base b ON s._id = b._id
+      |  WHERE b._id IS NULL AND s.o_orderkey % 2 = 0
+      |) ORDER BY _id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("sync_pipeline", syncPipeline _, Some(syncPipelineOracle),
       "end-to-end CDC sync: initial sync + change batch + MoR view"),
     GraftQuery("table_changes", tableChanges _, Some(tableChangesOracle),
-      "CDF changelog read: update pre/post pairs + deletes with preimages"))
+      "CDF changelog read: update pre/post pairs + deletes with preimages"),
+    GraftQuery("table_merge", tableMerge _, Some(tableMergeOracle),
+      "MERGE INTO: conditional update/delete/insert + column-level UPDATE SET in one commit"))
 }
