@@ -173,6 +173,31 @@ object SyncQueries {
       |  WHERE b._id IS NULL AND s.o_orderkey % 2 = 0
       |) ORDER BY _id""".stripMargin
 
+  /** Z-order range scan as an oracle-gated query: orders land in an
+    * icelite table, a z-order compaction clusters files on
+    * (o_orderkey, o_custkey), then a range read on the SECOND z
+    * dimension prunes files from footer stats before the exact row
+    * filter ([[IceliteTable.readZRange]]) — the layout property that
+    * distinguishes z-order from a plain sort, verified against DuckDB
+    * computing the same range directly. The companion spec asserts
+    * the file skips; this query gates the row-level correctness.
+    */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Files.createTempDirectory("graft-zscan-query").toString
+    val src = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_z", src.schema)
+    table.append(src)
+    table.compact(targetFileMB = 256, zorderBy = Seq("o_orderkey", "o_custkey"),
+      numFilesOverride = Some(16))
+    table.readZRange("o_custkey", Some(100L), Some(200L))
+      .orderBy("o_orderkey")
+  }
+
+  private val zorderScanOracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey BETWEEN 100 AND 200 ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -181,5 +206,7 @@ object SyncQueries {
     GraftQuery("table_changes", tableChanges _, Some(tableChangesOracle),
       "CDF changelog read: update pre/post pairs + deletes with preimages"),
     GraftQuery("table_merge", tableMerge _, Some(tableMergeOracle),
-      "MERGE INTO: conditional update/delete/insert + column-level UPDATE SET in one commit"))
+      "MERGE INTO: conditional update/delete/insert + column-level UPDATE SET in one commit"),
+    GraftQuery("zorder_scan", zorderScan _, Some(zorderScanOracle),
+      "z-order range read: second-dimension file pruning + exact row bound"))
 }

@@ -1088,6 +1088,27 @@ final class IceliteTable private (
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** MoR read restricted to one Z-ORDER column's range: files outside
+    * [lower, upper] are pruned from the recorded footer stats (the
+    * payoff of [[compact]]'s z-order layout — a range on ANY z
+    * dimension skips files, not just the leading sort key), then the
+    * exact row-level bound is applied on the raw column. Z columns are
+    * real integral table columns, so no transform recompute is needed;
+    * files written after the z rewrite (no z stats) are always kept.
+    */
+  def readZRange(zCol: String, lower: Option[Long], upper: Option[Long]): DataFrame = {
+    val m = cachedMeta
+    require(zorderColumns(m.properties).contains(zCol),
+      s"'$zCol' is not a z-order column of $name (have: " +
+        s"${zorderColumns(m.properties).mkString(", ")})")
+    val keep = pruneDataFiles(zCol, lower.map(_.toString), upper.map(_.toString)).toSet
+    val data = readFiles(m.liveDataFiles.filter(keep.contains), withSeq = true)
+      .filter(lower.map(lo => col(zCol) >= lo).getOrElse(lit(true)))
+      .filter(upper.map(hi => col(zCol) <= hi).getOrElse(lit(true)))
+    applyDeletes(data, m.liveDeleteFiles)
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
+  }
+
   private def estimateBytes(files: Seq[String]): Long = {
     val fs = fileSystem()
     files.map(f => fs.getFileStatus(new Path(abs(f))).getLen).sum

@@ -120,4 +120,36 @@ class IcelitePruningSpec extends AnyFunSuite with SparkFixture {
     // wide range still exact: every key's history reconstructs
     assert(t.readChanges(0, s5).count() == 1 + 9 + 10 + 10 + 2) // s1..s4 inserts + s5 pair
   }
+
+  test("readZRange: second-z-dimension range skips files, rows exact, post-rewrite files kept") {
+    val gridSchema = StructType(Seq(
+      StructField("_id", StringType), StructField("x", LongType), StructField("y", LongType)))
+    val t = IceliteTable.create(spark, freshWarehouse(), "ns", "zread", gridSchema)
+    val grid = spark.range(4096).select(
+      concat(lit("d"), col("id")).as("_id"),
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    t.append(grid)
+    t.compact(targetFileMB = 256, zorderBy = Seq("x", "y"), numFilesOverride = Some(16))
+    val total = t.meta.liveDataFiles.size
+    // a quarter range on the SECOND dimension must skip files...
+    assert(t.pruneDataFiles("y", Some("0"), Some("15")).size <= total / 2)
+    // ...and the pruned read returns exactly the filtered rows
+    val got = t.readZRange("y", Some(0L), Some(15L))
+    assert(got.count() == 16 * 64)
+    assert(got.agg(min("y"), max("y")).head() == Row(0L, 15L))
+    assert(got.orderBy("_id").collect().toSeq ==
+      t.read().filter(col("y").between(0, 15)).orderBy("_id").collect().toSeq)
+    // files appended AFTER the z rewrite have no y stats → always read
+    t.append(kvLike(gridSchema, ("late", 999L, 7L)))
+    assert(t.readZRange("y", Some(0L), Some(15L)).filter(col("_id") === "late").count() == 1)
+    // unknown z column rejected
+    intercept[IllegalArgumentException](t.readZRange("_id", None, None))
+  }
+
+  private def kvLike(schema: StructType, data: (String, Long, Long)*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      data.map { case (a, b, c) => Row(a, java.lang.Long.valueOf(b), java.lang.Long.valueOf(c)) }.asJava,
+      schema)
+  }
 }
