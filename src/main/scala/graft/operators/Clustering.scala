@@ -29,15 +29,31 @@ import graft.Tables.t
   */
 object Clustering {
 
-  /** Cluster count (seeded from vec_id 0..K-1). */
+  /** Cluster count of the REGISTERED query (seeded from vec_id 0..K-1);
+    * the oracle CTE chain is generated from the same constant.
+    */
   val K = 8
 
-  /** Assignment passes (assign → update → assign = 2 Lloyd rounds). */
+  /** Assignment passes of the registered query (assign → update →
+    * assign = 2 Lloyd rounds); the oracle unrolls the same count.
+    */
   val Iters = 2
 
   private val Dec = "decimal(38,20)"
 
-  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    kmeans(spark, dir, K, Iters)
+
+  /** Parameterized spherical k-means. Each Lloyd round ends in an
+    * EAGER `localCheckpoint` of the (tiny, k×dims) centroid tables, so
+    * plan depth is CONSTANT in `iters` — without it the lineage grows
+    * a full assign+update layer per round and the optimizer re-plans
+    * the whole unrolled chain, which is what kills iterative jobs at
+    * realistic round counts. Checkpointing materializes only the
+    * centroids, never the corpus.
+    */
+  def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"need k > 0 and iters > 0 (got k=$k, iters=$iters)")
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
         Dedup.decimalNormSq(col("embedding")).as("nsq"))
@@ -71,15 +87,18 @@ object Clustering {
       (c, cn)
     }
 
-    var c = elems.filter(col("vec_id") < K)
+    var c = elems.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("i"), col("val").as("cval"))
-    var cn = e.filter(col("vec_id") < K)
+    var cn = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("nsq").as("c_nsq"))
     var a: DataFrame = null
-    for (_ <- 1 to Iters) {
+    for (r <- 1 to iters) {
       a = assign(c, cn)
-      val upd = update(a)
-      c = upd._1; cn = upd._2
+      if (r < iters) { // the last round's centroids are never used
+        val upd = update(a)
+        c = upd._1.localCheckpoint(true)
+        cn = upd._2.localCheckpoint(true)
+      }
     }
 
     val byLab = a.join(e.select("vec_id", "label"), "vec_id")

@@ -30,4 +30,20 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("kmeans parameterized: iters=5 completes with CONSTANT plan depth (centroid checkpoint)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def joins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }.size
+    val p2 = Clustering.kmeans(spark, dir, k = 3, iters = 2)
+    val p5 = Clustering.kmeans(spark, dir, k = 3, iters = 5)
+    // without the per-round localCheckpoint the join count grows ~3 per
+    // extra Lloyd round; with it the final plan reads checkpointed
+    // centroids and its shape is independent of iteration count
+    assert(joins(p5) == joins(p2), s"plan grew with iters: ${joins(p2)} -> ${joins(p5)}")
+    val out = p5.collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.map(_.getAs[Long]("n_members")).sum == total)
+    assert(out.map(_.getAs[Long]("cluster_id")).forall(c => c >= 0 && c < 3))
+  }
 }
