@@ -26,10 +26,39 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // sync throughput (the reference's planned perf metrics,
+    // docs/plan.md:242-247): sync_pipeline runs the full chunked CDC
+    // sync eagerly, so its wall time over the recorded document/event
+    // counters yields docs/sec + events/sec; commit latency comes from
+    // the same registry
+    val m = graft.sync.SyncMetrics.global.of("analytics.orders_sync")
+    val syncSec = results.collectFirst { case ("sync_pipeline", s) if s > 0 => s }
+    val sync = Map(
+      "initial_docs" -> m.initialDocs.sum.toDouble,
+      "change_events" -> m.changeEvents.sum.toDouble,
+      "docs_per_sec" -> syncSec.map(s => m.initialDocs.sum / s).getOrElse(0.0),
+      "events_per_sec" -> syncSec.map(s => m.changeEvents.sum / s).getOrElse(0.0),
+      "commit_latency_ms_mean" ->
+        (if (m.commits.sum > 0) m.commitLatencyMsSum.sum.toDouble / m.commits.sum else 0.0),
+      "commit_latency_ms_max" -> m.commitLatencyMsMax.get.toDouble)
+    // full-precision sidecar (per-query seconds + sync throughput) —
+    // the driver captures only the last 2000 stdout chars, so the
+    // stdout line below is kept compact enough to survive intact:
+    // per-query integer milliseconds ("qunit") and a basename sf
+    val detail = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val syncJson = sync.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sync":$syncJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    val qs = results.map { case (k, v) => s""""$k":${math.round(v * 1000)}""" }
+      .mkString("{", ",", "}")
+    val totalR = math.round(total * 1000) / 1000.0
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }
