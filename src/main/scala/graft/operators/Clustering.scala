@@ -78,14 +78,15 @@ object Clustering {
         .select("vec_id", "cid")
     }
 
-    // new centroids = exact-decimal component sums of the members
-    def update(a: DataFrame): (DataFrame, DataFrame) = {
-      val c = elems.join(a, "vec_id").groupBy(col("cid"), col("i"))
+    // new centroids = exact-decimal component sums of the members; the
+    // norm table derives from the centroid table, so callers checkpoint
+    // only `c` and compute `cn` from the (tiny) checkpointed frame
+    def update(a: DataFrame): DataFrame =
+      elems.join(a, "vec_id").groupBy(col("cid"), col("i"))
         .agg(sum(col("val").cast(Dec)).cast("double").as("cval"))
-      val cn = c.groupBy(col("cid"))
+    def normsOf(c: DataFrame): DataFrame =
+      c.groupBy(col("cid"))
         .agg(sum((col("cval") * col("cval")).cast(Dec)).cast("double").as("c_nsq"))
-      (c, cn)
-    }
 
     var c = elems.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("i"), col("val").as("cval"))
@@ -95,9 +96,8 @@ object Clustering {
     for (r <- 1 to iters) {
       a = assign(c, cn)
       if (r < iters) { // the last round's centroids are never used
-        val upd = update(a)
-        c = upd._1.localCheckpoint(true)
-        cn = upd._2.localCheckpoint(true)
+        c = update(a).localCheckpoint(true) // ONE materialization per round
+        cn = normsOf(c) // k rows over the checkpointed frame — no second job
       }
     }
 
