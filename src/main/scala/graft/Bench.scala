@@ -20,10 +20,11 @@ object Bench {
     // which otherwise lands entirely on the alphabetically-first entry
     try SparkEntry.queries.get("agg_pricing_summary").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.Set.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // don't bill one query for its predecessors' garbage
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -31,9 +32,12 @@ object Bench {
     // docs/plan.md:242-247): sync_pipeline runs the full chunked CDC
     // sync eagerly, so its wall time over the recorded document/event
     // counters yields docs/sec + events/sec; commit latency comes from
-    // the same registry
+    // the same registry. A FAILED sync run publishes no rates — a
+    // partial run's counters over its wall time are not a throughput.
     val m = graft.sync.SyncMetrics.global.of("analytics.orders_sync")
-    val syncSec = results.collectFirst { case ("sync_pipeline", s) if s > 0 => s }
+    val syncSec = results.collectFirst {
+      case ("sync_pipeline", s) if !failed("sync_pipeline") => s
+    }
     val sync = Map(
       "initial_docs" -> m.initialDocs.sum.toDouble,
       "change_events" -> m.changeEvents.sum.toDouble,
@@ -51,14 +55,17 @@ object Bench {
       .map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sync":$syncJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (full + "\n").getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val qs = results.map { case (k, v) => s""""$k":${math.round(v * 1000)}""" }
       .mkString("{", ",", "}")
     val totalR = math.round(total * 1000) / 1000.0
     val sfName = new java.io.File(sfDir).getName
+    // stdout line FIRST — it is the one output the driver depends on;
+    // the full-precision sidecar is best-effort (cwd may not be writable)
     println(s"""{"metric":"total","value":$totalR,"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfName"}""")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

@@ -138,7 +138,10 @@ object SyncQueries {
         col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
     val base = subset(7)
     val table = IceliteTable.create(spark, wh, "analytics", "orders_merge", base.schema)
-    table.append(base)
+    // seed via UPSERT, not append: a keyed commit records per-file _id
+    // footer stats, so the merge below actually prunes its target scan
+    // — this gate must exercise the pruned path, not bypass it
+    table.upsert(base, Seq("_id"))
     // source: overlapping + new keys, doubled price so updates are visible
     val src = subset(3).withColumn("o_totalprice", col("o_totalprice") * 2.0)
     table.merge(src, Seq("_id"),

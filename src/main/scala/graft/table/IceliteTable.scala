@@ -365,7 +365,7 @@ final class IceliteTable private (
           if (r.isNullAt(0) || r.isNullAt(1))
             (hist.flatMap(_.dataFiles), hist.flatMap(_.deleteFiles))
           else {
-            val (lo, hi) = (String.valueOf(r.get(0)), String.valueOf(r.get(1)))
+            val (lo, hi) = (Some(String.valueOf(r.get(0))), Some(String.valueOf(r.get(1))))
             (pruneByKeyStats(hist, _.dataFiles, k, lo, hi, numeric),
               pruneByKeyStats(hist, _.deleteFiles, k, lo, hi, numeric))
           }
@@ -952,8 +952,9 @@ final class IceliteTable private (
 
   /** Key columns usable for footer-stat range pruning, mapped to
     * whether their stat comparator is numeric: integral types compare
-    * numerically, strings lexicographically (parquet renders string
-    * min/max as UTF-8; ASCII-safe). Types without a sound rendered
+    * numerically, strings in UTF-8 BYTE order (matching both the
+    * parquet footer ordering and Spark's UTF8String min/max — see
+    * [[IceliteTable.cmpStat]]). Types without a sound rendered
     * ordering (double, timestamp, decimal, binary) are EXCLUDED —
     * a wrong comparator prunes files that DO intersect, silently
     * losing rows, so such keys simply never participate in metadata
@@ -981,42 +982,46 @@ final class IceliteTable private (
     props.get(DeleteKeyColumnsProp).toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
 
   /** Files (selected by `pick` from each snapshot) whose recorded
-    * [statCol] min/max may intersect [lo, hi] under the column's
-    * comparator. CONSERVATIVE by construction: files with no recorded
-    * stat for the column are always kept (never prune on missing
-    * information), and `cmpStat` treats unparseable numeric operands
-    * as equal-to-everything, which also keeps the file.
+    * [statCol] min/max may intersect [lo, hi] (either bound optional)
+    * under the column's comparator — the ONE overlap predicate behind
+    * key-range, z-order and partition-range pruning. CONSERVATIVE by
+    * construction: files with no recorded stat for the column are
+    * always kept (never prune on missing information), and `cmpStat`
+    * treats unparseable numeric operands as equal-to-everything, which
+    * also keeps the file.
     */
   private[table] def pruneByKeyStats(
       snaps: Seq[Snapshot],
       pick: Snapshot => Seq[String],
       statCol: String,
-      lo: String,
-      hi: String,
+      lo: Option[String],
+      hi: Option[String],
       numeric: Boolean): Seq[String] =
     snaps.flatMap { s =>
       pick(s).filter { f =>
         s.fileStats.get(f).flatMap(_.get(statCol)) match {
           case Some((mn, mx)) =>
-            IceliteTable.cmpStat(mx, lo, numeric) >= 0 &&
-              IceliteTable.cmpStat(mn, hi, numeric) <= 0
+            lo.forall(l => IceliteTable.cmpStat(mx, l, numeric) >= 0) &&
+              hi.forall(h => IceliteTable.cmpStat(mn, h, numeric) <= 0)
           case None => true
         }
       }
     }
 
-  /** MoR read restricted to data/delete files whose first prunable
-    * key column's footer stats intersect the SOURCE's key min/max —
-    * the [[merge]] target scan: a small batch against a huge table
-    * touches only the files that can hold a matching key. Falls back
-    * to the full [[read]] when no key column is prunable or the
-    * source's key range is null/empty (conservative, never wrong).
+  /** MoR read restricted to the SOURCE's key range on the first
+    * prunable key column — the [[merge]] target scan: a small batch
+    * against a huge table touches only the files that can hold a
+    * matching key. Falls back to the full [[read]] when no key column
+    * is prunable or the source's key range is null/empty
+    * (conservative, never wrong).
     *
-    * Pruned-away rows can only have keys OUTSIDE the source range, so
-    * the merge's key-equi join never misses a match; delete files are
-    * pruned by the same range, which is sound because a delete for a
-    * key outside the range cannot affect any key inside it. The one
-    * extra job is a 2-value agg over the (small) source.
+    * Rows are also row-filtered to keys in [min, max]: kept files may
+    * carry out-of-range keys whose DELETE files were legitimately
+    * pruned (a delete outside the range cannot affect a key inside
+    * it), and without the bound those rows would surface as deleted-
+    * row zombies to any caller other than a key-equi join. With the
+    * bound, every returned row is MoR-exact. The one extra job is a
+    * 2-value agg over the (small) source.
     */
   private[table] def readForKeyRange(source: DataFrame, keyCols: Seq[String]): DataFrame = {
     val m = cachedMeta
@@ -1026,9 +1031,11 @@ final class IceliteTable private (
         if (r.isNullAt(0) || r.isNullAt(1)) read()
         else {
           val (lo, hi) = (String.valueOf(r.get(0)), String.valueOf(r.get(1)))
-          val dataFiles = pruneByKeyStats(m.snapshots, _.dataFiles, k, lo, hi, numeric)
-          val delFiles = pruneByKeyStats(m.snapshots, _.deleteFiles, k, lo, hi, numeric)
-          applyDeletes(readFiles(dataFiles, withSeq = true), delFiles)
+          val dataFiles = pruneByKeyStats(m.snapshots, _.dataFiles, k, Some(lo), Some(hi), numeric)
+          val delFiles = pruneByKeyStats(m.snapshots, _.deleteFiles, k, Some(lo), Some(hi), numeric)
+          val bounded = readFiles(dataFiles, withSeq = true)
+            .filter(col(k) >= lit(r.get(0)) && col(k) <= lit(r.get(1)))
+          applyDeletes(bounded, delFiles)
             .select(m.schema.fieldNames.map(col).toSeq: _*)
         }
       case None => read()
@@ -1042,19 +1049,9 @@ final class IceliteTable private (
     * prunable (see [[prunableColumns]]).
     */
   def pruneDataFiles(
-      partCol: String, lower: Option[String], upper: Option[String]): Seq[String] = {
-    val numeric = pruneComparatorFor(partCol)
-    cachedMeta.snapshots.flatMap { s =>
-      s.dataFiles.filter { f =>
-        s.fileStats.get(f).flatMap(_.get(partCol)) match {
-          case Some((mn, mx)) =>
-            lower.forall(lo => IceliteTable.cmpStat(mx, lo, numeric) >= 0) &&
-              upper.forall(hi => IceliteTable.cmpStat(mn, hi, numeric) <= 0)
-          case None => true
-        }
-      }
-    }
-  }
+      partCol: String, lower: Option[String], upper: Option[String]): Seq[String] =
+    pruneByKeyStats(cachedMeta.snapshots, _.dataFiles, partCol, lower, upper,
+      pruneComparatorFor(partCol))
 
   /** MoR read restricted to one partition-column range: files outside
     * the range are pruned from metadata stats (the Iceberg-manifest
@@ -1227,10 +1224,16 @@ object IceliteTable {
   val DeleteKeyColumnsProp = "graft.delete.key.columns"
 
   /** Stat-string comparison under the column's declared comparator:
-    * numeric for int transforms (year/bucket), lexicographic for the
-    * zero-padded "yyyy-MM[-dd[-HH]]" string transforms. An unparseable
-    * numeric operand disables pruning decisions safely by comparing
-    * equal-to-everything (caller keeps the file).
+    * numeric for int transforms (year/bucket) and integral key
+    * columns, UTF-8 BYTE order otherwise. Byte order matters: parquet
+    * footer min/max for strings are unsigned-byte-ordered, and Spark's
+    * string min/max (UTF8String) compares the same way — but Java's
+    * String.compareTo orders by UTF-16 code unit, which DISAGREES for
+    * supplementary characters (an astral-plane key would compare
+    * differently and prune a file that contains it, silently losing
+    * rows). Date-transform strings are ASCII where the orders agree.
+    * An unparseable numeric operand disables pruning decisions safely
+    * by comparing equal-to-everything (caller keeps the file).
     */
   private[table] def cmpStat(a: String, b: String, numeric: Boolean): Int =
     if (numeric)
@@ -1238,7 +1241,17 @@ object IceliteTable {
         case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
         case _ => 0
       }
-    else a.compareTo(b)
+    else {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    }
 
   /** Table property holding retired partition specs ([[evolvePartitioning]]),
     * as the same JSON array shape as the top-level `partitioning`.

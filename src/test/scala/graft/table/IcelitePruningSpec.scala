@@ -44,12 +44,24 @@ class IcelitePruningSpec extends AnyFunSuite with SparkFixture {
     (t, statless)
   }
 
-  test("keyStatColumns: integral→numeric, string→lexicographic, unsound types excluded") {
+  test("keyStatColumns: integral→numeric, string→utf8-byte-order, unsound types excluded") {
     val t = IceliteTable.create(spark, freshWarehouse(), "ns", "ksc", StructType(Seq(
       StructField("l", LongType), StructField("s", StringType),
       StructField("d", DoubleType), StructField("ts", TimestampType))))
     assert(t.keyStatColumns(Seq("l", "s", "d", "ts", "nope"), t.schema) ==
       Seq("l" -> true, "s" -> false))
+  }
+
+  test("cmpStat strings: UTF-8 BYTE order (parquet/Spark), not Java UTF-16 code-unit order") {
+    // U+FFFD (EF BF BD) sorts BELOW U+1F600 (F0 9F 98 80) in byte order,
+    // but Java String.compareTo says the opposite (0xFFFD > 0xD83D):
+    // with UTF-16 ordering a file containing the astral-plane key would
+    // be pruned away and the row silently lost
+    assert(IceliteTable.cmpStat("�", "😀", numeric = false) < 0)
+    assert(IceliteTable.cmpStat("😀", "�", numeric = false) > 0)
+    assert(IceliteTable.cmpStat("abc", "abd", numeric = false) < 0) // ASCII unchanged
+    assert(IceliteTable.cmpStat("ab", "abc", numeric = false) < 0) // prefix shorter-first
+    assert(IceliteTable.cmpStat("x", "x", numeric = false) == 0)
   }
 
   test("pruneByKeyStats: NUMERIC overlap (not lexicographic); files without stats always kept") {
@@ -58,15 +70,15 @@ class IcelitePruningSpec extends AnyFunSuite with SparkFixture {
     // narrow range [1000, 1009]: keeps the matching commit + the
     // stat-less file; prunes [1..9] and [10..19]. Lexicographically
     // "9" > "1000" would KEEP the [1..9] file — numeric compare must win.
-    val kept = t.pruneByKeyStats(t.meta.snapshots, _.dataFiles, "id", "1000", "1009", numeric = true)
+    val kept = t.pruneByKeyStats(t.meta.snapshots, _.dataFiles, "id", Some("1000"), Some("1009"), numeric = true)
     val s4Files = t.meta.snapshots.last.dataFiles
     assert(kept.toSet == (statless ++ s4Files).toSet)
     assert(kept.size < all.size) // strict subset
     // range that misses everything still keeps the stat-less file
-    val none = t.pruneByKeyStats(t.meta.snapshots, _.dataFiles, "id", "5000", "6000", numeric = true)
+    val none = t.pruneByKeyStats(t.meta.snapshots, _.dataFiles, "id", Some("5000"), Some("6000"), numeric = true)
     assert(none.toSet == statless.toSet)
     // delete files prune through the same path (s2-s4 upserts carry them)
-    val delKept = t.pruneByKeyStats(t.meta.snapshots, _.deleteFiles, "id", "1", "9", numeric = true)
+    val delKept = t.pruneByKeyStats(t.meta.snapshots, _.deleteFiles, "id", Some("1"), Some("9"), numeric = true)
     val delAll = t.meta.liveDeleteFiles
     assert(delKept.nonEmpty && delKept.size < delAll.size)
   }
@@ -109,7 +121,7 @@ class IcelitePruningSpec extends AnyFunSuite with SparkFixture {
     // the history prune readChanges applies for range (s4, s5]: affected
     // key 1005 → only s4's data files (plus stat-less s1) are consulted
     val hist = t.meta.snapshots.filter(_.seq <= s5)
-    val kept = t.pruneByKeyStats(hist, _.dataFiles, "id", "1005", "1005", numeric = true)
+    val kept = t.pruneByKeyStats(hist, _.dataFiles, "id", Some("1005"), Some("1005"), numeric = true)
     assert(kept.size < hist.flatMap(_.dataFiles).size) // strict subset
     val ch = t.readChanges(s5 - 1, s5)
       .select("_change_type", "id", "v").orderBy("_change_type").collect()
