@@ -53,6 +53,27 @@ object Clustering {
     * centroids, never the corpus.
     */
   def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    val (e, a) = assignmentsWithBase(spark, dir, k, iters)
+    val byLab = a.join(e.select("vec_id", "label"), "vec_id")
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy(col("cid")).orderBy(desc("n"), asc("label"))
+    val maj = byLab.withColumn("rn", row_number().over(wl)).filter(col("rn") === 1)
+    byLab.groupBy("cid").agg(sum("n").as("n_members"))
+      .join(maj.select(col("cid"), col("label").as("majority_label"),
+        col("n").as("majority_n")), "cid")
+      .select(col("cid").as("cluster_id"), col("n_members"),
+        col("majority_label"), col("majority_n"))
+      .orderBy("cluster_id")
+  }
+
+  /** Final-round cluster assignment (vec_id, cid) — the blocking key
+    * other operators compose with (e.g. [[Dedup.semanticDedup]]).
+    */
+  def assignments(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
+    assignmentsWithBase(spark, dir, k, iters)._2
+
+  private def assignmentsWithBase(
+      spark: SparkSession, dir: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0 (got k=$k, iters=$iters)")
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
@@ -100,21 +121,15 @@ object Clustering {
         cn = normsOf(c) // k rows over the checkpointed frame — no second job
       }
     }
-
-    val byLab = a.join(e.select("vec_id", "label"), "vec_id")
-      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
-    val wl = Window.partitionBy(col("cid")).orderBy(desc("n"), asc("label"))
-    val maj = byLab.withColumn("rn", row_number().over(wl)).filter(col("rn") === 1)
-    byLab.groupBy("cid").agg(sum("n").as("n_members"))
-      .join(maj.select(col("cid"), col("label").as("majority_label"),
-        col("n").as("majority_n")), "cid")
-      .select(col("cid").as("cluster_id"), col("n_members"),
-        col("majority_label"), col("majority_n"))
-      .orderBy("cluster_id")
+    (e, a)
   }
 
-  /** The same fixed Lloyd rounds unrolled as a DuckDB CTE chain. */
-  private val kmeansOracle: String = {
+  /** The Lloyd rounds unrolled as a DuckDB CTE chain, ending at the
+    * final assignment `a<iters>` (with `e`/`elems`/`norms` CTEs in
+    * scope) — shared by the k-means report oracle and any oracle that
+    * composes cluster assignments (e.g. semantic dedup).
+    */
+  private[operators] def kmeansAssignCte(k: Int, iters: Int): String = {
     val base =
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
          |elems AS (
@@ -126,11 +141,11 @@ object Clustering {
          |  FROM elems GROUP BY vec_id),
          |c0 AS (
          |  SELECT vec_id AS cid, i, CAST(val AS DOUBLE) AS cval
-         |  FROM elems WHERE vec_id < $K),
-         |cn0 AS (SELECT vec_id AS cid, nsq AS c_nsq FROM norms WHERE vec_id < $K)""".stripMargin
-    val rounds = (1 to Iters).map { r =>
+         |  FROM elems WHERE vec_id < $k),
+         |cn0 AS (SELECT vec_id AS cid, nsq AS c_nsq FROM norms WHERE vec_id < $k)""".stripMargin
+    val rounds = (1 to iters).map { r =>
       val upd =
-        if (r == Iters) "" // the last round's centroids are never used
+        if (r == iters) "" // the last round's centroids are never used
         else s""",
            |c$r AS (
            |  SELECT a.cid, ev.i,
@@ -154,7 +169,12 @@ object Clustering {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
          |    FROM dots$r) WHERE rn = 1)""".stripMargin + upd
     }.mkString
-    val report =
+    base + rounds
+  }
+
+  /** The fixed Lloyd rounds of the registered query + cluster report. */
+  private val kmeansOracle: String =
+    kmeansAssignCte(K, Iters) +
       s""",
          |labeled AS (SELECT a.cid, e.label FROM a$Iters a JOIN e USING (vec_id)),
          |bylab AS (SELECT cid, label, count(*) AS n FROM labeled GROUP BY cid, label),
@@ -167,8 +187,6 @@ object Clustering {
          |  m.label AS majority_label, m.n AS majority_n
          |FROM sizes s JOIN maj m ON m.cid = s.cid AND m.rn = 1
          |ORDER BY cluster_id""".stripMargin
-    base + rounds + report
-  }
 
   // ---------------------------------------------------------- registry
 

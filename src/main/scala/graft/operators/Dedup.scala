@@ -568,9 +568,67 @@ object Dedup {
        |ORDER BY cluster_id, doc_id""".stripMargin
   }
 
+  // -------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style semantic dedup: k-means clusters as the blocking
+    * key ([[Clustering.assignments]]), pairwise exact-decimal cosine
+    * ONLY within each cluster, drop the higher vec_id of every
+    * near-dup pair; reports per-cluster member/drop counts. This is
+    * the published web-scale recipe (cluster first, compare within):
+    * pair cost is Σ n_c², bounded by growing k with corpus size,
+    * never all-pairs. Same two-phase scoring as [[embeddingCosine]]
+    * — codegen float prefilter with a guard band, decimal rescore on
+    * survivors only. The oracle replays the identical Lloyd rounds as
+    * a CTE chain and recomputes the within-cluster pairs.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), decimalNormSq(col("embedding")).as("nsq"))
+    val a = Clustering.assignments(spark, dir, Clustering.K, Clustering.Iters)
+    val m = e.join(a, "vec_id")
+    val fastDot = graft.functions.VecExpressions.floatDot(col("a.embedding"), col("b.embedding"))
+    val dropped = m.as("a").join(m.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(fastDot / (sqrt(col("a.nsq")) * sqrt(col("b.nsq"))) >= CosineThreshold - 1e-6)
+      .filter(round(decimalDot(col("a.embedding"), col("b.embedding")) /
+        (sqrt(col("a.nsq")) * sqrt(col("b.nsq"))), 12) >= CosineThreshold)
+      .groupBy(col("a.cid").as("cid"))
+      .agg(countDistinct(col("b.vec_id")).as("n_dropped"))
+    a.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cid"), "left")
+      .select(col("cid").as("cluster_id"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  private val semanticDedupOracle: String =
+    Clustering.kmeansAssignCte(Clustering.K, Clustering.Iters) +
+      s""",
+         |m AS (SELECT vec_id, cid FROM a${Clustering.Iters}),
+         |pdots AS (
+         |  SELECT pa.cid, pa.vec_id AS x, pb.vec_id AS y,
+         |    CAST(sum(CAST(CAST(ea.val AS DOUBLE) * CAST(eb.val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+         |  FROM m pa JOIN m pb ON pa.cid = pb.cid AND pa.vec_id < pb.vec_id
+         |  JOIN elems ea ON ea.vec_id = pa.vec_id
+         |  JOIN elems eb ON eb.vec_id = pb.vec_id AND ea.i = eb.i
+         |  GROUP BY pa.cid, pa.vec_id, pb.vec_id),
+         |sim AS (
+         |  SELECT d.cid, d.y AS dropped
+         |  FROM pdots d
+         |  JOIN norms na ON na.vec_id = d.x
+         |  JOIN norms nb ON nb.vec_id = d.y
+         |  WHERE round(d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 12) >= $CosineThreshold),
+         |drops AS (SELECT cid, count(DISTINCT dropped) AS n_dropped FROM sim GROUP BY cid),
+         |sizes AS (SELECT cid, count(*) AS n_members FROM m GROUP BY cid)
+         |SELECT s.cid AS cluster_id, CAST(s.n_members AS BIGINT) AS n_members,
+         |  CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped
+         |FROM sizes s LEFT JOIN drops d USING (cid) ORDER BY cluster_id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("dedup_semantic", semanticDedup _, Some(semanticDedupOracle),
+      "SemDeDup: k-means cluster blocking + within-cluster exact cosine, drop higher id"),
     GraftQuery("dedup_exact", exact _, Some(exactOracle),
       "exact dedup by content hash"),
     GraftQuery("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardOracle),
