@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,7 +26,7 @@ object SyncQueries {
       .withColumn("_id", format_string("%012d", col("o_orderkey")))
 
   def syncPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft-sync-query").toString
+    val wh = graft.util.Scratch.dir("sync-query")
     // reference-default batch thresholds (50k records / 128 MB / 60 s)
     // → 3 checkpointed chunks at sf0.1, 1 at sf0.01
     val cfg = CollectionSyncConfig(
@@ -83,7 +81,7 @@ object SyncQueries {
     * input.
     */
   def tableChanges(spark: SparkSession, dir: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft-cdc-query").toString
+    val wh = graft.util.Scratch.dir("cdc-query")
     val src = t(spark, dir, "orders")
       .filter(pmod(col("o_orderkey"), lit(11)) === 0)
       .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
@@ -131,7 +129,7 @@ object SyncQueries {
     * here is also the standing proof that pruning loses no rows.
     */
   def tableMerge(spark: SparkSession, dir: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft-merge-query").toString
+    val wh = graft.util.Scratch.dir("merge-query")
     def subset(mod: Int) = t(spark, dir, "orders")
       .filter(pmod(col("o_orderkey"), lit(mod)) === 0)
       .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
@@ -176,30 +174,35 @@ object SyncQueries {
       |  WHERE b._id IS NULL AND s.o_orderkey % 2 = 0
       |) ORDER BY _id""".stripMargin
 
-  /** Z-order range scan as an oracle-gated query: orders land in an
+  /** Z-order BOX scan as an oracle-gated query: orders land in an
     * icelite table, a z-order compaction clusters files on
-    * (o_orderkey, o_custkey), then a range read on the SECOND z
-    * dimension prunes files from footer stats before the exact row
-    * filter ([[IceliteTable.readZRange]]) — the layout property that
-    * distinguishes z-order from a plain sort, verified against DuckDB
-    * computing the same range directly. The companion spec asserts
-    * the file skips; this query gates the row-level correctness.
+    * (o_orderkey, o_custkey), then a conjunctive 2-D box read prunes
+    * on BOTH dimensions' footer stats before the exact row filter
+    * ([[IceliteTable.readZBox]]) — the layout property that
+    * distinguishes z-order from a plain sort (a box skips files on
+    * every dimension at once), verified against DuckDB computing the
+    * same box directly. The companion spec asserts the box keeps
+    * strictly fewer files than either single-dimension range; this
+    * query gates the row-level correctness.
     */
   def zorderScan(spark: SparkSession, dir: String): DataFrame = {
-    val wh = Files.createTempDirectory("graft-zscan-query").toString
+    val wh = graft.util.Scratch.dir("zscan-query")
     val src = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val table = IceliteTable.create(spark, wh, "analytics", "orders_z", src.schema)
     table.append(src)
     table.compact(targetFileMB = 256, zorderBy = Seq("o_orderkey", "o_custkey"),
       numFilesOverride = Some(16))
-    table.readZRange("o_custkey", Some(100L), Some(200L))
+    table.readZBox(Seq(
+      ("o_orderkey", Some(0L), Some(40000L)),
+      ("o_custkey", Some(100L), Some(200L))))
       .orderBy("o_orderkey")
   }
 
   private val zorderScanOracle =
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-      |WHERE o_custkey BETWEEN 100 AND 200 ORDER BY o_orderkey""".stripMargin
+      |WHERE o_orderkey BETWEEN 0 AND 40000 AND o_custkey BETWEEN 100 AND 200
+      |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------- registry
 

@@ -353,24 +353,16 @@ final class IceliteTable private (
     val keyCols = m.properties.get(DeleteKeyColumnsProp)
       .map(_.split(',').toSeq).getOrElse(keyColumnsOfDeletes(delFilesInRange))
     // affected keys come from the IN-RANGE delete files alone (each
-    // delete row carries its commit seq); their min/max then prunes
-    // the historical file lists before any data IO
+    // delete row carries its commit seq); their min/max per prunable
+    // key column then prunes the historical file lists CONJUNCTIVELY
+    // before any data IO
     val delInRange = spark.read.parquet(delFilesInRange.map(abs): _*)
     val affected = delInRange.select(keyCols.map(col): _*).distinct()
     val hist = m.snapshots.filter(_.seq <= toSeq)
+    val bounds = keyRangeBounds(delInRange, keyStatColumns(keyCols, m.schema))
     val (histDataFiles, histDelFiles) =
-      keyStatColumns(keyCols, m.schema).headOption match {
-        case Some((k, numeric)) =>
-          val r = delInRange.agg(min(col(k)), max(col(k))).collect().head
-          if (r.isNullAt(0) || r.isNullAt(1))
-            (hist.flatMap(_.dataFiles), hist.flatMap(_.deleteFiles))
-          else {
-            val (lo, hi) = (Some(String.valueOf(r.get(0))), Some(String.valueOf(r.get(1))))
-            (pruneByKeyStats(hist, _.dataFiles, k, lo, hi, numeric),
-              pruneByKeyStats(hist, _.deleteFiles, k, lo, hi, numeric))
-          }
-        case None => (hist.flatMap(_.dataFiles), hist.flatMap(_.deleteFiles))
-      }
+      (pruneConjunctive(hist, _.dataFiles, bounds),
+        pruneConjunctive(hist, _.deleteFiles, bounds))
     val delAll = spark.read.parquet(histDelFiles.map(abs): _*)
 
     // keys never deleted in range: plain inserts, no history needed
@@ -916,30 +908,33 @@ final class IceliteTable private (
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val stats = scala.collection.mutable.Map.empty[String, (String, String)]
+      // a column whose min/max bytes don't survive the UTF-8 round trip
+      // anywhere in the file is dropped ENTIRELY for the file (merging a
+      // lossy block's range could under-cover and prune a file that DOES
+      // intersect); dropping ⇒ the file is always kept, conservative
+      val poisoned = scala.collection.mutable.Set.empty[String]
       blocks.foreach { b =>
         b.getColumns.asScala.foreach { c =>
           val name = c.getPath.toDotString
           val s = c.getStatistics
           if (numericByCol.contains(name) && s != null && s.hasNonNullValue) {
             val numeric = numericByCol(name)
-            val mn = renderStat(s.genericGetMin)
-            val mx = renderStat(s.genericGetMax)
-            stats.updateWith(name) {
-              case Some((pm, px)) => Some((
-                if (IceliteTable.cmpStat(mn, pm, numeric) < 0) mn else pm,
-                if (IceliteTable.cmpStat(mx, px, numeric) > 0) mx else px))
-              case None => Some((mn, mx))
+            (renderStat(s.genericGetMin), renderStat(s.genericGetMax)) match {
+              case (Some(mn), Some(mx)) =>
+                stats.updateWith(name) {
+                  case Some((pm, px)) => Some((
+                    if (IceliteTable.cmpStat(mn, pm, numeric) < 0) mn else pm,
+                    if (IceliteTable.cmpStat(mx, px, numeric) > 0) mx else px))
+                  case None => Some((mn, mx))
+                }
+              case _ => poisoned += name
             }
           }
         }
       }
+      poisoned.foreach(stats.remove)
       (blocks.map(_.getRowCount.toLong).sum, stats.toMap)
     } finally reader.close()
-  }
-
-  private def renderStat(v: Any): String = v match {
-    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-    case x => String.valueOf(x)
   }
 
   private def pruneComparatorFor(partCol: String): Boolean =
@@ -959,19 +954,27 @@ final class IceliteTable private (
     * a wrong comparator prunes files that DO intersect, silently
     * losing rows, so such keys simply never participate in metadata
     * pruning (row-group stats inside parquet still apply at scan
-    * time). Keys absent from the schema are skipped.
+    * time). Keys absent from the schema are skipped. Lookup follows
+    * Spark's resolution rules (case-insensitive unless
+    * `spark.sql.caseSensitive`), and the CANONICAL schema name is
+    * returned — a keyed commit using differently-cased key names must
+    * still engage pruning, since stats are recorded under the schema
+    * casing.
     */
   private[table] def keyStatColumns(
       keyCols: Seq[String], schema: StructType): Seq[(String, Boolean)] = {
     import org.apache.spark.sql.types._
+    val caseSensitive =
+      spark.conf.getOption("spark.sql.caseSensitive").exists(_.toBoolean)
     keyCols.flatMap { k =>
-      schema.find(_.name == k).flatMap { f =>
-        f.dataType match {
-          case LongType | IntegerType | ShortType | ByteType => Some(k -> true)
-          case StringType => Some(k -> false)
-          case _ => None
+      schema.find(f => if (caseSensitive) f.name == k else f.name.equalsIgnoreCase(k))
+        .flatMap { f =>
+          f.dataType match {
+            case LongType | IntegerType | ShortType | ByteType => Some(f.name -> true)
+            case StringType => Some(f.name -> false)
+            case _ => None
+          }
         }
-      }
     }
   }
 
@@ -1008,37 +1011,77 @@ final class IceliteTable private (
       }
     }
 
-  /** MoR read restricted to the SOURCE's key range on the first
-    * prunable key column — the [[merge]] target scan: a small batch
-    * against a huge table touches only the files that can hold a
-    * matching key. Falls back to the full [[read]] when no key column
-    * is prunable or the source's key range is null/empty
-    * (conservative, never wrong).
+  /** Per-column [min, max] of `df` over the given stat columns — ONE
+    * agg job for all columns at once. Columns whose range is all-null
+    * are dropped (nothing to bound on). Each entry is
+    * (column, numericComparator, loValue, hiValue).
+    */
+  private def keyRangeBounds(
+      df: DataFrame, statCols: Seq[(String, Boolean)]): Seq[(String, Boolean, Any, Any)] = {
+    if (statCols.isEmpty) return Nil
+    val aggs = statCols.flatMap { case (k, _) => Seq(min(col(k)), max(col(k))) }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+    statCols.zipWithIndex.collect {
+      case ((k, numeric), i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
+        (k, numeric, r.get(2 * i), r.get(2 * i + 1))
+    }
+  }
+
+  /** Conjunctive multi-column key-range prune: a file survives only if
+    * its recorded stats may intersect [lo, hi] on EVERY bounded column
+    * — a composite key like (tenant, _id) prunes on both, not just the
+    * leading column (a low-cardinality leading key alone barely prunes
+    * at 100 TB). Per column the test is [[pruneByKeyStats]], so each
+    * dimension stays conservative (missing stat ⇒ that dimension keeps
+    * the file); output preserves snapshot file order.
+    */
+  private def pruneConjunctive(
+      snaps: Seq[Snapshot],
+      pick: Snapshot => Seq[String],
+      bounds: Seq[(String, Boolean, Any, Any)]): Seq[String] =
+    if (bounds.isEmpty) snaps.flatMap(pick)
+    else {
+      val keepSets = bounds.map { case (k, numeric, lo, hi) =>
+        pruneByKeyStats(snaps, pick, k,
+          Some(String.valueOf(lo)), Some(String.valueOf(hi)), numeric).toSet
+      }
+      snaps.flatMap(pick).filter(f => keepSets.forall(_.contains(f)))
+    }
+
+  /** MoR read restricted to the SOURCE's key range on EVERY prunable
+    * key column (conjunctive overlap) — the [[merge]] target scan: a
+    * small batch against a huge table touches only the files that can
+    * hold a matching key, and a composite key like (tenant, _id)
+    * prunes on the selective trailing column even when the leading one
+    * is low-cardinality. Falls back to the full [[read]] when no key
+    * column is prunable or every prunable column's source range is
+    * all-null (conservative, never wrong).
     *
-    * Rows are also row-filtered to keys in [min, max]: kept files may
-    * carry out-of-range keys whose DELETE files were legitimately
-    * pruned (a delete outside the range cannot affect a key inside
-    * it), and without the bound those rows would surface as deleted-
-    * row zombies to any caller other than a key-equi join. With the
-    * bound, every returned row is MoR-exact. The one extra job is a
-    * 2-value agg over the (small) source.
+    * Rows are also row-filtered to keys in [min, max] per bounded
+    * column: kept files may carry out-of-range keys whose DELETE files
+    * were legitimately pruned (a delete outside the range cannot
+    * affect a key inside it), and without the bound those rows would
+    * surface as deleted-row zombies to any caller other than a
+    * key-equi join. With the bound, every returned NON-NULL-keyed row
+    * is MoR-exact; rows whose key is null in any bounded column are
+    * EXCLUDED (the range bound never matches null) — fine for
+    * [[merge]]'s equi-join, where null keys can never match, but a
+    * future non-equi-join caller wanting read() parity on null keys
+    * must OR in `col(k).isNull` itself. The one extra job is a
+    * single multi-column agg over the (small) source.
     */
   private[table] def readForKeyRange(source: DataFrame, keyCols: Seq[String]): DataFrame = {
     val m = cachedMeta
-    keyStatColumns(keyCols, m.schema).headOption match {
-      case Some((k, numeric)) =>
-        val r = source.agg(min(col(k)), max(col(k))).collect().head
-        if (r.isNullAt(0) || r.isNullAt(1)) read()
-        else {
-          val (lo, hi) = (String.valueOf(r.get(0)), String.valueOf(r.get(1)))
-          val dataFiles = pruneByKeyStats(m.snapshots, _.dataFiles, k, Some(lo), Some(hi), numeric)
-          val delFiles = pruneByKeyStats(m.snapshots, _.deleteFiles, k, Some(lo), Some(hi), numeric)
-          val bounded = readFiles(dataFiles, withSeq = true)
-            .filter(col(k) >= lit(r.get(0)) && col(k) <= lit(r.get(1)))
-          applyDeletes(bounded, delFiles)
-            .select(m.schema.fieldNames.map(col).toSeq: _*)
-        }
-      case None => read()
+    val bounds = keyRangeBounds(source, keyStatColumns(keyCols, m.schema))
+    if (bounds.isEmpty) read()
+    else {
+      val dataFiles = pruneConjunctive(m.snapshots, _.dataFiles, bounds)
+      val delFiles = pruneConjunctive(m.snapshots, _.deleteFiles, bounds)
+      val rowBound = bounds.map { case (k, _, lo, hi) =>
+        col(k) >= lit(lo) && col(k) <= lit(hi)
+      }.reduce(_ && _)
+      applyDeletes(readFiles(dataFiles, withSeq = true).filter(rowBound), delFiles)
+        .select(m.schema.fieldNames.map(col).toSeq: _*)
     }
   }
 
@@ -1093,15 +1136,35 @@ final class IceliteTable private (
     * real integral table columns, so no transform recompute is needed;
     * files written after the z rewrite (no z stats) are always kept.
     */
-  def readZRange(zCol: String, lower: Option[Long], upper: Option[Long]): DataFrame = {
+  def readZRange(zCol: String, lower: Option[Long], upper: Option[Long]): DataFrame =
+    readZBox(Seq((zCol, lower, upper)))
+
+  /** MoR read restricted to a conjunctive BOX over several z-order
+    * columns — the actual z-order use case: a 2-D box query intersects
+    * the per-dimension keep-sets before reading, so it reads strictly
+    * fewer files than either single-dimension range when both
+    * dimensions are selective. Each dimension prunes exactly like
+    * [[readZRange]] (files without that column's stats are kept BY
+    * that dimension); the exact row bound is the conjunction of all
+    * ranges.
+    */
+  def readZBox(boxBounds: Seq[(String, Option[Long], Option[Long])]): DataFrame = {
     val m = cachedMeta
-    require(zorderColumns(m.properties).contains(zCol),
-      s"'$zCol' is not a z-order column of $name (have: " +
-        s"${zorderColumns(m.properties).mkString(", ")})")
-    val keep = pruneDataFiles(zCol, lower.map(_.toString), upper.map(_.toString)).toSet
+    require(boxBounds.nonEmpty, "readZBox needs at least one z-column bound")
+    boxBounds.foreach { case (zCol, _, _) =>
+      require(zorderColumns(m.properties).contains(zCol),
+        s"'$zCol' is not a z-order column of $name (have: " +
+          s"${zorderColumns(m.properties).mkString(", ")})")
+    }
+    val keep = boxBounds.map { case (zCol, lower, upper) =>
+      pruneDataFiles(zCol, lower.map(_.toString), upper.map(_.toString)).toSet
+    }.reduce(_ intersect _)
+    val rowBound = boxBounds.map { case (zCol, lower, upper) =>
+      lower.map(lo => col(zCol) >= lo).getOrElse(lit(true)) &&
+        upper.map(hi => col(zCol) <= hi).getOrElse(lit(true))
+    }.reduce(_ && _)
     val data = readFiles(m.liveDataFiles.filter(keep.contains), withSeq = true)
-      .filter(lower.map(lo => col(zCol) >= lo).getOrElse(lit(true)))
-      .filter(upper.map(hi => col(zCol) <= hi).getOrElse(lit(true)))
+      .filter(rowBound)
     applyDeletes(data, m.liveDeleteFiles)
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
@@ -1252,6 +1315,24 @@ object IceliteTable {
       }
       java.lang.Integer.compare(x.length, y.length)
     }
+
+  /** Render a parquet footer stat value for metadata storage. Binary
+    * (string-column) stats are recorded ONLY if their raw bytes
+    * round-trip through java.lang.String losslessly: invalid UTF-8 /
+    * unpaired surrogates collapse to replacement characters, and a
+    * collapsed bound compared against a real key could prune a file
+    * that DOES intersect — silently losing rows. Returning None makes
+    * the caller drop the stat, which keeps the file (conservative).
+    */
+  private[table] def renderStat(v: Any): Option[String] = v match {
+    case b: org.apache.parquet.io.api.Binary =>
+      val bytes = b.getBytes
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      if (java.util.Arrays.equals(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), bytes))
+        Some(s)
+      else None
+    case x => Some(String.valueOf(x))
+  }
 
   /** Table property holding retired partition specs ([[evolvePartitioning]]),
     * as the same JSON array shape as the top-level `partitioning`.

@@ -164,4 +164,80 @@ class IcelitePruningSpec extends AnyFunSuite with SparkFixture {
       data.map { case (a, b, c) => Row(a, java.lang.Long.valueOf(b), java.lang.Long.valueOf(c)) }.asJava,
       schema)
   }
+
+  // ------------------------------------------- composite-key pruning
+
+  private val tenantSchema = StructType(Seq(
+    StructField("tenant", StringType), StructField("id", LongType),
+    StructField("v", DoubleType)))
+
+  private def trows(data: (String, Long, Double)*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      data.map { case (t, i, v) => Row(t, java.lang.Long.valueOf(i), v) }.asJava, tenantSchema)
+  }
+
+  test("composite key (tenant, id): the SECOND column prunes files the first cannot") {
+    val t = IceliteTable.create(spark, freshWarehouse(), "ns", "tkv", tenantSchema)
+    // three keyed commits: same low-cardinality leading tenant 'a' on
+    // two disjoint id ranges, plus a 'b' commit
+    t.upsert(trows((1L to 9L).map(i => ("a", i, i * 1.0)): _*), Seq("tenant", "id")) // s1
+    t.upsert(trows((1000L to 1009L).map(i => ("a", i, i * 1.0)): _*), Seq("tenant", "id")) // s2
+    t.upsert(trows((1L to 9L).map(i => ("b", i, i * 1.0)): _*), Seq("tenant", "id")) // s3
+    val src = trows(("a", 1000L, -1.0), ("a", 1005L, -1.0))
+    // leading column alone keeps BOTH 'a' commits; the id dimension
+    // must cut the [1..9] one → strictly fewer files than tenant-only
+    val tenantOnly = t.pruneByKeyStats(t.meta.snapshots, _.dataFiles, "tenant",
+      Some("a"), Some("a"), numeric = false)
+    val s2Files = t.meta.snapshots(1).dataFiles.toSet
+    val pruned = t.readForKeyRange(src, Seq("tenant", "id"))
+    assert(tenantOnly.size > s2Files.size) // tenant alone under-prunes
+    assert(pruned.orderBy("tenant", "id").collect().toSeq ==
+      t.read().filter(col("tenant") === "a" && col("id").between(1000L, 1005L))
+        .orderBy("tenant", "id").collect().toSeq)
+    // merge keyed on the composite still lands the right final state
+    val stats = t.merge(trows(("a", 1005L, 55.0), ("a", 1500L, 15.0)), Seq("tenant", "id"))
+    assert((stats.inserted, stats.updated, stats.deleted) == (1L, 1L, 0L))
+    assert(t.read().filter(col("tenant") === "a" && col("id") === 1005L)
+      .head().getDouble(2) == 55.0)
+    assert(t.read().count() == 9 + 10 + 9 + 1)
+  }
+
+  test("keyStatColumns resolves case-insensitively (Spark default) with canonical names") {
+    val t = IceliteTable.create(spark, freshWarehouse(), "ns", "cikv", StructType(Seq(
+      StructField("TenantId", StringType), StructField("v", DoubleType))))
+    assert(t.keyStatColumns(Seq("tenantid"), t.schema) == Seq("TenantId" -> false))
+    assert(t.keyStatColumns(Seq("TENANTID"), t.schema) == Seq("TenantId" -> false))
+  }
+
+  test("renderStat: invalid-UTF-8 binary stats are dropped, valid ones kept") {
+    import org.apache.parquet.io.api.Binary
+    val good = Binary.fromConstantByteArray("plain".getBytes("UTF-8"))
+    assert(IceliteTable.renderStat(good).contains("plain"))
+    // 0xC3 alone is a truncated UTF-8 sequence → replacement on decode
+    val bad = Binary.fromConstantByteArray(Array[Byte](0x61, 0xC3.toByte))
+    assert(IceliteTable.renderStat(bad).isEmpty)
+    assert(IceliteTable.renderStat(java.lang.Long.valueOf(7L)).contains("7"))
+  }
+
+  test("readZBox: 2-D box reads strictly fewer files than either single-dimension range") {
+    val gridSchema = StructType(Seq(
+      StructField("_id", StringType), StructField("x", LongType), StructField("y", LongType)))
+    val t = IceliteTable.create(spark, freshWarehouse(), "ns", "zbox", gridSchema)
+    val grid = spark.range(4096).select(
+      concat(lit("d"), col("id")).as("_id"),
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    t.append(grid)
+    t.compact(targetFileMB = 256, zorderBy = Seq("x", "y"), numFilesOverride = Some(16))
+    val xKeep = t.pruneDataFiles("x", Some("0"), Some("15")).toSet
+    val yKeep = t.pruneDataFiles("y", Some("0"), Some("15")).toSet
+    val boxKeep = xKeep intersect yKeep
+    assert(boxKeep.size < xKeep.size && boxKeep.size < yKeep.size)
+    val box = t.readZBox(Seq(("x", Some(0L), Some(15L)), ("y", Some(0L), Some(15L))))
+    assert(box.count() == 16 * 16)
+    assert(box.orderBy("_id").collect().toSeq ==
+      t.read().filter(col("x").between(0, 15) && col("y").between(0, 15))
+        .orderBy("_id").collect().toSeq)
+    intercept[IllegalArgumentException](t.readZBox(Nil))
+  }
 }
