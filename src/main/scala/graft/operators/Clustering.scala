@@ -129,7 +129,15 @@ object Clustering {
     * scope) — shared by the k-means report oracle and any oracle that
     * composes cluster assignments (e.g. semantic dedup).
     */
-  private[operators] def kmeansAssignCte(k: Int, iters: Int): String = {
+  private[operators] def kmeansAssignCte(k: Int, iters: Int): String =
+    kmeansAssignCteK(k.toString, iters)
+
+  /** Same CTE chain with `kSql` an arbitrary SQL expression for the
+    * cluster count — the chain is generic in k (centroids are ROWS,
+    * only the iterations unroll), so a data-dependent k (e.g. scaled
+    * to corpus size via a scalar subquery) drops straight in.
+    */
+  private[operators] def kmeansAssignCteK(kSql: String, iters: Int): String = {
     val base =
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
          |elems AS (
@@ -141,8 +149,8 @@ object Clustering {
          |  FROM elems GROUP BY vec_id),
          |c0 AS (
          |  SELECT vec_id AS cid, i, CAST(val AS DOUBLE) AS cval
-         |  FROM elems WHERE vec_id < $k),
-         |cn0 AS (SELECT vec_id AS cid, nsq AS c_nsq FROM norms WHERE vec_id < $k)""".stripMargin
+         |  FROM elems WHERE vec_id < ($kSql)),
+         |cn0 AS (SELECT vec_id AS cid, nsq AS c_nsq FROM norms WHERE vec_id < ($kSql))""".stripMargin
     val rounds = (1 to iters).map { r =>
       val upd =
         if (r == iters) "" // the last round's centroids are never used

@@ -101,28 +101,16 @@ object Dedup {
   def shingleStream(docs: DataFrame): DataFrame =
     wordNgramStream(docs, ShingleWidth).dropDuplicates("doc_id", "s")
 
-  /** Memoized cached shingle index per (session, dataset): the exploded
-    * distinct (doc_id, s, h) stream every dedup operator starts from,
-    * with the [[MaxShingleDf]] stop-shingle cap applied (a groupBy on
-    * the shingle + a semi join — both partition on `s`, the natural
-    * key). In a real deployment this is the materialized inverted
-    * index you build once and reuse across dedup passes; here the
-    * bounded memo keeps the scan+window from running once per query in
-    * the same session without retaining stopped sessions' caches.
+  /** The capped shingle index (doc_id, s, h) every dedup operator
+    * starts from — served from the PERSISTED index tables
+    * ([[ShingleIndex]]: build once at ingest, maintain incrementally,
+    * read everywhere), with the [[MaxShingleDf]] stop-shingle cap
+    * applied at read. Content is identical to building the index
+    * inline from the corpus; the cost is a table read, not a corpus
+    * re-shingle.
     */
-  private val shingleIndexes =
-    new graft.util.IndexMemo[DataFrame](8)(_.unpersist(false))
-
   def shingleIndex(spark: SparkSession, dir: String): DataFrame =
-    shingleIndexes.getOrElseUpdate(spark, dir) {
-      val raw = shingleStream(t(spark, dir, "documents"))
-      // raw is distinct on (doc_id, s), so count(*) per s IS the df
-      val keep = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxShingleDf)
-      raw.join(keep.select(col("s")), Seq("s"), "left_semi")
-        .withColumn("h", pmod(phash(col("s")), lit(P)))
-        .cache()
-    }
+    ShingleIndex.index(spark, dir)
 
   /** Oracle-side shingle set (same join character, same distinctness). */
   val shinglesSql: String =
@@ -570,22 +558,62 @@ object Dedup {
 
   // -------------------------------------------------- semantic dedup
 
+  /** SemDeDup blocking k for a corpus of `n` vectors: k grows with the
+    * corpus so within-cluster pair cost stays Σ n_c² ≈ n ×
+    * [[SemTargetClusterSize]] — LINEAR in n — instead of n²/k at fixed
+    * k. Floor of [[Clustering.K]] keeps small fixtures on the
+    * well-tested seed set; the oracle computes the same formula in SQL.
+    */
+  val SemTargetClusterSize = 125
+  def semK(n: Long): Int = math.max(Clustering.K, math.ceil(n / SemTargetClusterSize.toDouble).toInt)
+
+  /** Per-cluster size cap for the pairwise phase: a pathological
+    * cluster (k-means collapse, degenerate embeddings) of size c costs
+    * c² pairs no matter how k scales, so clusters beyond the cap are
+    * SKIPPED (reported `capped`, n_dropped 0, skip logged) rather than
+    * allowed to detonate the stage — the same bounded-work rule as
+    * [[DriverCcMaxPairs]]. Mirrored in the oracle, so capping is part
+    * of the gated semantics, not a silent engine-side truncation.
+    */
+  val SemMaxClusterSize = 500
+
   /** SemDeDup-style semantic dedup: k-means clusters as the blocking
-    * key ([[Clustering.assignments]]), pairwise exact-decimal cosine
-    * ONLY within each cluster, drop the higher vec_id of every
-    * near-dup pair; reports per-cluster member/drop counts. This is
-    * the published web-scale recipe (cluster first, compare within):
-    * pair cost is Σ n_c², bounded by growing k with corpus size,
-    * never all-pairs. Same two-phase scoring as [[embeddingCosine]]
-    * — codegen float prefilter with a guard band, decimal rescore on
-    * survivors only. The oracle replays the identical Lloyd rounds as
-    * a CTE chain and recomputes the within-cluster pairs.
+    * key ([[Clustering.assignments]] with k ∝ corpus size via
+    * [[semK]]), pairwise exact-decimal cosine ONLY within each
+    * eligible cluster (size ≤ [[SemMaxClusterSize]]), drop the higher
+    * vec_id of every near-dup pair; reports per-cluster member/drop
+    * counts and the capped flag. This is the published web-scale
+    * recipe (cluster first, compare within): pair cost is Σ n_c²,
+    * bounded by k scaling and the per-cluster cap, never all-pairs.
+    * Same two-phase scoring as [[embeddingCosine]] — codegen float
+    * prefilter with a guard band, decimal rescore on survivors only.
+    * The oracle replays the identical Lloyd rounds as a CTE chain
+    * (same data-dependent k) and recomputes the within-cluster pairs
+    * under the same cap.
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), decimalNormSq(col("embedding")).as("nsq"))
-    val a = Clustering.assignments(spark, dir, Clustering.K, Clustering.Iters)
-    val m = e.join(a, "vec_id")
+    val k = semK(t(spark, dir, "embeddings").count())
+    val a = Clustering.assignments(spark, dir, k, Clustering.Iters)
+    semanticDedupOn(e, a, SemMaxClusterSize)
+  }
+
+  /** The pairwise phase over explicit embeddings + assignments — the
+    * unit the skew spec drives with a fabricated degenerate cluster.
+    */
+  private[operators] def semanticDedupOn(
+      e: DataFrame, a: DataFrame, maxClusterSize: Long): DataFrame = {
+    val sizes = a.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    val eligible = sizes.filter(col("n_members") <= maxClusterSize).select("cid")
+    val skipped = sizes.filter(col("n_members") > maxClusterSize)
+      .collect() // bounded: ≤ k rows
+    if (skipped.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semanticDedup skipped pairwise scoring for ${skipped.length} " +
+          s"over-cap cluster(s) (cap $maxClusterSize): " +
+          skipped.map(r => s"cid=${r.get(0)} size=${r.get(1)}").mkString(", "))
+    val m = e.join(a, "vec_id").join(broadcast(eligible), Seq("cid"), "left_semi")
     val fastDot = graft.functions.VecExpressions.floatDot(col("a.embedding"), col("b.embedding"))
     val dropped = m.as("a").join(m.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
@@ -594,21 +622,29 @@ object Dedup {
         (sqrt(col("a.nsq")) * sqrt(col("b.nsq"))), 12) >= CosineThreshold)
       .groupBy(col("a.cid").as("cid"))
       .agg(countDistinct(col("b.vec_id")).as("n_dropped"))
-    a.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    sizes
       .join(dropped, Seq("cid"), "left")
       .select(col("cid").as("cluster_id"), col("n_members"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") > maxClusterSize).as("capped"))
       .orderBy("cluster_id")
   }
 
+  /** Data-dependent k in SQL — the exact [[semK]] formula. */
+  private val semKSql: String =
+    s"SELECT GREATEST(${Clustering.K}, CAST(ceil(count(*) / $SemTargetClusterSize.0) AS BIGINT)) FROM embeddings"
+
   private val semanticDedupOracle: String =
-    Clustering.kmeansAssignCte(Clustering.K, Clustering.Iters) +
+    Clustering.kmeansAssignCteK(semKSql, Clustering.Iters) +
       s""",
          |m AS (SELECT vec_id, cid FROM a${Clustering.Iters}),
+         |sizes AS (SELECT cid, count(*) AS n_members FROM m GROUP BY cid),
+         |elig AS (SELECT cid FROM sizes WHERE n_members <= $SemMaxClusterSize),
+         |me AS (SELECT m.* FROM m JOIN elig USING (cid)),
          |pdots AS (
          |  SELECT pa.cid, pa.vec_id AS x, pb.vec_id AS y,
          |    CAST(sum(CAST(CAST(ea.val AS DOUBLE) * CAST(eb.val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS dot
-         |  FROM m pa JOIN m pb ON pa.cid = pb.cid AND pa.vec_id < pb.vec_id
+         |  FROM me pa JOIN me pb ON pa.cid = pb.cid AND pa.vec_id < pb.vec_id
          |  JOIN elems ea ON ea.vec_id = pa.vec_id
          |  JOIN elems eb ON eb.vec_id = pb.vec_id AND ea.i = eb.i
          |  GROUP BY pa.cid, pa.vec_id, pb.vec_id),
@@ -618,10 +654,10 @@ object Dedup {
          |  JOIN norms na ON na.vec_id = d.x
          |  JOIN norms nb ON nb.vec_id = d.y
          |  WHERE round(d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 12) >= $CosineThreshold),
-         |drops AS (SELECT cid, count(DISTINCT dropped) AS n_dropped FROM sim GROUP BY cid),
-         |sizes AS (SELECT cid, count(*) AS n_members FROM m GROUP BY cid)
+         |drops AS (SELECT cid, count(DISTINCT dropped) AS n_dropped FROM sim GROUP BY cid)
          |SELECT s.cid AS cluster_id, CAST(s.n_members AS BIGINT) AS n_members,
-         |  CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped
+         |  CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+         |  s.n_members > $SemMaxClusterSize AS capped
          |FROM sizes s LEFT JOIN drops d USING (cid) ORDER BY cluster_id""".stripMargin
 
   // ---------------------------------------------------------- registry

@@ -48,4 +48,24 @@ class DedupSkewSpec extends AnyFunSuite with SparkFixture {
     val pairs = Dedup.ngramJaccard(spark, dir).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
   }
+
+  test("semantic dedup: over-cap cluster is skipped-and-reported, small clusters still scored") {
+    import spark.implicits._
+    // identical unit vectors → every within-cluster pair is a near-dup
+    val vec = Array.fill(4)(0.5f)
+    val e = (0L to 6L).map(i => (i, vec)).toDF("vec_id", "embedding")
+      .withColumn("nsq", Dedup.decimalNormSq(col("embedding")))
+    // deliberately skewed blocking: cluster 0 holds 5 of 7 vectors
+    val a = Seq(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 1, 6L -> 1)
+      .toDF("vec_id", "cid")
+    val out = Dedup.semanticDedupOn(e, a, maxClusterSize = 4L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // the degenerate cluster pays ZERO pairwise work and says so;
+    // the small cluster still drops its higher-id duplicate
+    assert(out.toSeq == Seq((0, 5L, 0L, true), (1, 2L, 1L, false)))
+    // control: without the cap the same cluster detonates into 4 drops
+    val unc = Dedup.semanticDedupOn(e, a, maxClusterSize = 100L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(unc.toSeq == Seq((0, 5L, 4L, false), (1, 2L, 1L, false)))
+  }
 }
