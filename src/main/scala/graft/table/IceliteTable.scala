@@ -249,7 +249,8 @@ final class IceliteTable private (
     * same trade Iceberg makes when old snapshots are expired).
     */
   def readAt(asOfSeq: Long): DataFrame =
-    readSnapshots(cachedMeta.snapshots.filter(_.seq <= asOfSeq))
+    readSnapshotsAs(cachedMeta.snapshots.filter(_.seq <= asOfSeq),
+      schemaAt(asOfSeq), asOfSeq)
 
   /** Incremental consumption: the row VERSIONS appended after
     * `sinceSeq` (inserts + new upsert images, tagged with their commit
@@ -422,11 +423,19 @@ final class IceliteTable private (
         .drop("_max_del_seq")
     }
 
-  private def readSnapshots(snaps: Seq[Snapshot]): DataFrame = {
-    val m = cachedMeta
-    val data = readFiles(snaps.flatMap(_.dataFiles), withSeq = true)
+  private def readSnapshots(snaps: Seq[Snapshot]): DataFrame =
+    readSnapshotsAs(snaps, cachedMeta.schema, Long.MaxValue)
+
+  /** MoR view under an explicit target schema valid at `asOf` — the
+    * shared body of [[read]] (current schema) and [[readAt]] (the
+    * schema as of the travel seq, including later-renamed columns
+    * under their then-current names and later-dropped columns).
+    */
+  private def readSnapshotsAs(
+      snaps: Seq[Snapshot], target: StructType, asOf: Long): DataFrame = {
+    val data = readFilesAs(snaps.flatMap(_.dataFiles), target, asOf)
     applyDeletes(data, snaps.flatMap(_.deleteFiles))
-      .select(m.schema.fieldNames.map(col).toSeq: _*)
+      .select(target.fieldNames.map(col).toSeq: _*)
   }
 
   /** Read including the hidden seq + derived partition columns (for
@@ -464,19 +473,43 @@ final class IceliteTable private (
     }.toDF("file", "content", "seq", "operation", "partition_stats")
   }
 
-  private def readFiles(files: Seq[String], withSeq: Boolean): DataFrame = {
+  private def readFiles(files: Seq[String], withSeq: Boolean): DataFrame =
+    readFilesAs(files, cachedMeta.schema, Long.MaxValue)
+
+  /** Read data files under `target` (names valid at `asOf`),
+    * translating RENAMED columns per file epoch: a file written at
+    * seq f stores a column under the name it had AT f, so files are
+    * grouped by their translated name vector and each group is read
+    * with its own schema, aliased back to the target names. With no
+    * renames in scope this is one flat multi-file read — the common
+    * case pays nothing. The committed schema fills evolution gaps
+    * with nulls; derived partition columns live in-file and are
+    * projected away (recomputable from the base column).
+    */
+  private def readFilesAs(files: Seq[String], target: StructType, asOf: Long): DataFrame = {
     val m = cachedMeta
-    val full = if (withSeq) m.schema.add(SeqCol, "long") else m.schema
+    val full = target.add(SeqCol, "long")
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
-    else
-      // explicit leaf-file list; the committed schema fills evolution
-      // gaps with nulls; derived partition columns live in-file and are
-      // projected away here (they're recomputable from the base column)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    def readGroup(names: Seq[String], fs: Seq[String]): DataFrame = {
+      val readSchema = StructType(target.fields.zip(names).map { case (f, n) => f.copy(name = n) })
+        .add(SeqCol, "long")
       spark.read
-        .schema(addPartitionFields(full, m.partitioning))
-        .parquet(files.map(abs): _*)
-        .select((m.schema.fieldNames :+ SeqCol).map(col).toSeq: _*)
+        .schema(addPartitionFields(readSchema, m.partitioning))
+        .parquet(fs.map(abs): _*)
+        .select((names.zip(target.fieldNames).map { case (n, t) => col(n).as(t) } :+
+          col(SeqCol)): _*)
+    }
+    if (schemaOps(m.properties).forall(_.seq > asOf))
+      readGroup(target.fieldNames.toSeq, files)
+    else {
+      val seqOf = m.snapshots.flatMap(s => s.dataFiles.map(_ -> s.seq)).toMap
+      files.groupBy { f =>
+        val fileSeq = seqOf.getOrElse(f, Long.MaxValue)
+        target.fieldNames.toSeq.map(n => nameAtFileSeq(n, asOf, fileSeq))
+      }.toSeq.map { case (names, fs) => readGroup(names, fs) }
+        .reduce(_ unionByName _)
+    }
   }
 
   // ----------------------------------------------------- maintenance
@@ -595,6 +628,15 @@ final class IceliteTable private (
     if (coldWithFiles.isEmpty) return None
     if (coldWithFiles.size == 1 && coldWithFiles.head.operation == "rewrite-cold")
       return None
+    // a cold rewrite stamps files with the CUTOFF seq but writes them
+    // under the CURRENT schema names/shape; schema ops newer than the
+    // cutoff would make epoch translation (and time travel) read those
+    // files under the wrong names — run a full compact() to migrate
+    // instead
+    if (schemaOps(before.properties).exists(_.seq > cutoff))
+      throw new IllegalStateException(
+        s"cold compaction of $name: schema evolution newer than cold cutoff " +
+          s"$cutoff — run a full compact() to migrate the layout first")
     val coldDataFiles = coldSnaps.flatMap(_.dataFiles)
     val survivors = applyDeletes(
       readFiles(coldDataFiles, withSeq = true),
@@ -688,6 +730,99 @@ final class IceliteTable private (
     (head.withSchema(merged).withSnapshot(
       Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
   }
+
+  /** Metadata-only column RENAME (Iceberg's field-ID rename: no file is
+    * rewritten). Files written before the rename store the column under
+    * its old name; the read path translates per file epoch, so
+    * [[read]] serves every row under the NEW name while [[readAt]] a
+    * pre-rename seq still shows the old shape. Renaming key,
+    * partition-source, or z-order columns is rejected — delete files,
+    * recorded stats, and transform recomputes are anchored to those
+    * names. Chained renames compose (a→b then b→c reads epoch-0 files
+    * as `a`).
+    */
+  def renameColumn(from: String, to: String): Long = retryCommit { head =>
+    val f = head.schema.find(_.name == from).getOrElse(
+      throw new IllegalArgumentException(s"no column '$from' in $name"))
+    if (head.schema.fieldNames.contains(to))
+      throw new IllegalArgumentException(s"column '$to' already exists in $name")
+    requireNotAnchored(head, from, "rename")
+    val seq = head.lastSeq + 1
+    val newSchema = StructType(head.schema.fields.map(x =>
+      if (x.name == from) x.copy(name = to) else x))
+    val ops = schemaOps(head.properties) :+ SchemaOp.Rename(from, to, seq)
+    (head.withSchema(newSchema)
+      .copy(properties = head.properties + (SchemaOpsProp -> SchemaOp.render(ops)))
+      .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+  }
+
+  /** Metadata-only column DROP: the column leaves the current schema
+    * but no file is rewritten — existing files keep the bytes, reads
+    * simply stop projecting them, and [[readAt]] a pre-drop seq still
+    * shows the column with its values (the op log records type and
+    * position for the resurrection). A later [[compact]] naturally
+    * rewrites survivors without the column. Same anchoring guard as
+    * rename; dropping the last column is rejected.
+    */
+  def dropColumn(colName: String): Long = retryCommit { head =>
+    val idx = head.schema.fieldNames.indexOf(colName)
+    if (idx < 0) throw new IllegalArgumentException(s"no column '$colName' in $name")
+    require(head.schema.fields.length > 1, s"cannot drop the last column of $name")
+    requireNotAnchored(head, colName, "drop")
+    val seq = head.lastSeq + 1
+    val f = head.schema.fields(idx)
+    val newSchema = StructType(head.schema.fields.filterNot(_.name == colName))
+    val ops = schemaOps(head.properties) :+ SchemaOp.Drop(colName, f.dataType, idx, seq)
+    (head.withSchema(newSchema)
+      .copy(properties = head.properties + (SchemaOpsProp -> SchemaOp.render(ops)))
+      .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+  }
+
+  /** Columns that anchor physical artifacts may not change name or
+    * vanish: equality-delete files carry key columns by name,
+    * partition transforms (current AND retired) recompute from their
+    * base column, and z-order stats register the raw column.
+    */
+  private def requireNotAnchored(head: TableMeta, colName: String, what: String): Unit = {
+    val anchored =
+      tableKeyColumns(head.properties).toSet ++
+        (head.partitioning ++ parseRetired(head.properties)).map(_.field) ++
+        zorderColumns(head.properties)
+    if (anchored.contains(colName))
+      throw new IllegalArgumentException(
+        s"cannot $what column '$colName' of $name: it anchors delete keys, " +
+          "partition transforms, or z-order stats")
+  }
+
+  /** Table schema as of commit `asOfSeq`: inverse-apply every logged
+    * rename/drop newer than it (drops resurrect at their recorded
+    * position with their recorded type). Columns ADDED after
+    * `asOfSeq` are not hidden (same always-null behavior as before
+    * the op log existed).
+    */
+  def schemaAt(asOfSeq: Long): StructType =
+    schemaOps(cachedMeta.properties).reverse.filter(_.seq > asOfSeq)
+      .foldLeft(cachedMeta.schema) { (s, op) =>
+        op match {
+          case SchemaOp.Rename(from, to, _) =>
+            StructType(s.fields.map(f => if (f.name == to) f.copy(name = from) else f))
+          case SchemaOp.Drop(n, dt, idx, _) =>
+            val (pre, post) = s.fields.splitAt(math.min(idx, s.fields.length))
+            StructType((pre :+ org.apache.spark.sql.types.StructField(n, dt)) ++ post)
+        }
+      }
+
+  /** The name column `targetName` (valid at `asOfSeq`) had when a file
+    * was written at `fileSeq`: inverse-walk renames in
+    * (fileSeq, asOfSeq].
+    */
+  private def nameAtFileSeq(targetName: String, asOfSeq: Long, fileSeq: Long): String =
+    schemaOps(cachedMeta.properties).reverse
+      .filter(op => op.seq > fileSeq && op.seq <= asOfSeq)
+      .foldLeft(targetName) {
+        case (n, SchemaOp.Rename(from, to, _)) if to == n => from
+        case (n, _) => n
+      }
 
   /** Partition-spec evolution (Iceberg's headline metadata-only spec
     * change): NEW writes cluster and collect stats under `newParts`;
@@ -1112,14 +1247,9 @@ final class IceliteTable private (
     requireSessionTz(Seq(p))
     val keep = pruneDataFiles(partCol, lower, upper).toSet
     val dt = addPartitionFields(m.schema, Seq(p)).fields.last.dataType
-    val full = m.schema.add(SeqCol, "long")
-    val dataFiles = m.liveDataFiles.filter(keep.contains)
-    val data =
-      if (dataFiles.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
-      else spark.read
-        .schema(full) // stored derived columns are ignored; recomputed below
-        .parquet(dataFiles.map(abs): _*)
+    // stored derived columns are ignored (projected away by the
+    // reader); the transform is recomputed below from the base column
+    val data = readFilesAs(m.liveDataFiles.filter(keep.contains), m.schema, Long.MaxValue)
     val bounded = data
       .withColumn(partCol, transformColumn(p)._2)
       .filter(lower.map(lo => col(partCol) >= lit(lo).cast(dt)).getOrElse(lit(true)))
@@ -1344,6 +1474,55 @@ object IceliteTable {
     * numeric-comparable for metadata pruning (`pruneDataFiles`).
     */
   val ZorderColumnsProp = "graft.zorder.columns"
+
+  /** Table property holding the ordered schema-evolution op log
+    * (renames/drops with their commit seq) — the field-ID analog:
+    * files are never rewritten, the read path translates names per
+    * file epoch, and time travel resurrects pre-op shapes.
+    */
+  val SchemaOpsProp = "graft.schema.oplog"
+
+  /** A logged metadata-only schema change. */
+  sealed trait SchemaOp { def seq: Long }
+  object SchemaOp {
+    final case class Rename(from: String, to: String, seq: Long) extends SchemaOp
+    final case class Drop(name: String, dataType: org.apache.spark.sql.types.DataType,
+        index: Int, seq: Long) extends SchemaOp
+
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def render(ops: Seq[SchemaOp]): String = {
+      val arr = mapper.createArrayNode()
+      ops.foreach {
+        case Rename(f, t, s) =>
+          val o = arr.addObject()
+          o.put("op", "rename"); o.put("from", f); o.put("to", t); o.put("seq", s)
+        case Drop(n, dt, i, s) =>
+          val o = arr.addObject()
+          o.put("op", "drop"); o.put("name", n); o.put("type", dt.json)
+          o.put("index", i); o.put("seq", s)
+      }
+      arr.toString
+    }
+
+    def parse(json: String): Seq[SchemaOp] = {
+      import scala.jdk.CollectionConverters._
+      mapper.readTree(json).elements().asScala.map { o =>
+        o.get("op").asText() match {
+          case "rename" =>
+            Rename(o.get("from").asText(), o.get("to").asText(), o.get("seq").asLong())
+          case "drop" =>
+            Drop(o.get("name").asText(),
+              org.apache.spark.sql.types.DataType.fromJson(o.get("type").asText()),
+              o.get("index").asInt(), o.get("seq").asLong())
+          case other => throw new IllegalStateException(s"unknown schema op '$other'")
+        }
+      }.toSeq
+    }
+  }
+
+  private[table] def schemaOps(props: Map[String, String]): Seq[SchemaOp] =
+    props.get(SchemaOpsProp).filter(_.nonEmpty).toSeq.flatMap(SchemaOp.parse)
 
   private[table] def zorderColumns(props: Map[String, String]): Seq[String] =
     props.get(ZorderColumnsProp).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)

@@ -1,0 +1,120 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Column rename/drop evolution with field-ID semantics
+  * (IceliteTable.renameColumn / dropColumn): metadata-only ops — no
+  * file is rewritten, reads translate names per file epoch, time
+  * travel shows the pre-op shape, and anchored columns (keys,
+  * partition sources, z-order) are protected.
+  */
+class IceliteEvolutionSpec extends AnyFunSuite with SparkFixture {
+
+  private def wh(): String = Files.createTempDirectory("icelite-evolve").toString
+
+  private val schema3 = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType),
+    StructField("note", StringType)))
+
+  private def rows3(name: String, data: (Long, Double, String)*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      data.map { case (i, v, n) => Row(java.lang.Long.valueOf(i), v, n) }.asJava,
+      StructType(schema3.fields.map(f => if (f.name == "note") f.copy(name = name) else f)))
+  }
+
+  test("rename: old files read under new name, time travel shows old shape, no rewrite") {
+    val t = IceliteTable.create(spark, wh(), "ns", "ev", schema3)
+    t.upsert(rows3("note", (1L, 1.0, "a"), (2L, 2.0, "b")), Seq("id"))
+    val preRename = t.meta.lastSeq
+    val filesBefore = t.meta.liveDataFiles.toSet
+    t.renameColumn("note", "comment")
+    assert(t.meta.liveDataFiles.toSet == filesBefore) // metadata-only
+    t.upsert(rows3("comment", (3L, 3.0, "c")), Seq("id"))
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v", "comment"))
+    // both epochs under the CURRENT name
+    assert(t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel: the old shape, old name, pre-rename rows only
+    val at = t.readAt(preRename)
+    assert(at.schema.fieldNames.toSeq == Seq("id", "v", "note"))
+    assert(at.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // upserting an epoch-0 key under the new name still LWW-replaces it
+    t.upsert(rows3("comment", (1L, 10.0, "a2")), Seq("id"))
+    assert(t.read().filter(col("id") === 1L).head().getString(2) == "a2")
+  }
+
+  test("chained renames compose: epoch-0 files resolve through every hop") {
+    val t = IceliteTable.create(spark, wh(), "ns", "chain", schema3)
+    t.append(rows3("note", (1L, 1.0, "x")))
+    t.renameColumn("note", "remark")
+    t.append(rows3("remark", (2L, 2.0, "y")))
+    t.renameColumn("remark", "comment")
+    t.append(rows3("comment", (3L, 3.0, "z")))
+    assert(t.read().orderBy("id").collect().map(_.getString(2)).toSeq == Seq("x", "y", "z"))
+    // s1 append, s2 rename→remark, s3 append: at s3 the name is
+    // `remark` and both epoch-0 and epoch-1 rows resolve
+    assert(t.readAt(3).schema.fieldNames.contains("remark"))
+    assert(t.readAt(3).orderBy("id").collect().map(_.getString(2)).toSeq == Seq("x", "y"))
+  }
+
+  test("drop: column hidden without rewrite, time travel resurrects it, compact migrates") {
+    val t = IceliteTable.create(spark, wh(), "ns", "drop", schema3)
+    t.upsert(rows3("note", (1L, 1.0, "a"), (2L, 2.0, "b")), Seq("id"))
+    val preDrop = t.meta.lastSeq
+    val filesBefore = t.meta.liveDataFiles.toSet
+    t.dropColumn("v")
+    assert(t.meta.liveDataFiles.toSet == filesBefore) // metadata-only
+    assert(t.schema.fieldNames.toSeq == Seq("id", "note"))
+    assert(t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // time travel BEFORE the drop: the column is back, values intact,
+    // at its original position
+    val at = t.readAt(preDrop)
+    assert(at.schema.fieldNames.toSeq == Seq("id", "v", "note"))
+    assert(at.orderBy("id").collect().map(_.getDouble(1)).toSeq == Seq(1.0, 2.0))
+    // a full compact rewrites survivors under the current (dropped) shape
+    t.compact()
+    assert(t.read().schema.fieldNames.toSeq == Seq("id", "note"))
+    assert(t.read().count() == 2)
+  }
+
+  test("anchored and invalid targets are rejected") {
+    val t = IceliteTable.create(spark, wh(), "ns", "guard", schema3,
+      partitioning = Seq(graft.config.PartitionConfig("id", "bucket[4]")))
+    t.upsert(rows3("note", (1L, 1.0, "a")), Seq("id"))
+    intercept[IllegalArgumentException](t.renameColumn("id", "id2")) // key + partition source
+    intercept[IllegalArgumentException](t.dropColumn("id"))
+    intercept[IllegalArgumentException](t.renameColumn("nope", "x")) // unknown
+    intercept[IllegalArgumentException](t.renameColumn("v", "note")) // collision
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+  }
+
+  test("changelog survives a rename; cold compaction refuses to cross one") {
+    val t = IceliteTable.create(spark, wh(), "ns", "cdc", schema3)
+    t.upsert(rows3("note", (1L, 1.0, "a"), (2L, 2.0, "b")), Seq("id")) // s1
+    t.renameColumn("note", "comment") // s2 (evolve, no files)
+    val s3 = t.upsert(rows3("comment", (1L, 9.0, "a9")), Seq("id")) // s3
+    val ch = t.readChanges(0, s3)
+      .select("_change_type", "id", "comment").orderBy("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(ch == Seq(
+      ("insert", 1L, "a"), ("insert", 2L, "b"),
+      ("update_postimage", 1L, "a9"), ("update_preimage", 1L, "a")))
+    // cold compaction would stamp current-name files at a pre-rename
+    // cutoff (keepHot=2 ⇒ cutoff=s1 < rename@s2) — must refuse and
+    // point at full compact
+    intercept[IllegalStateException](t.compactCold(keepHotCommits = 2))
+    t.compact() // the migration path works...
+    assert(t.read().count() == 2)
+    assert(t.read().filter(col("id") === 1L).head().getString(2) == "a9")
+  }
+}
