@@ -43,14 +43,19 @@ object Bench {
     // the same registry. A FAILED sync run publishes no rates — a
     // partial run's counters over its wall time are not a throughput.
     val m = graft.sync.SyncMetrics.global.of("analytics.orders_sync")
-    val syncSec = results.collectFirst {
-      case ("sync_pipeline", s) if !failed("sync_pipeline") => s
-    }
+    val ok = !failed("sync_pipeline") &&
+      results.exists { case (n, _) => n == "sync_pipeline" }
+    // per-PHASE rates from SyncMetrics' own wall-time windows (the old
+    // derivation divided both counters by the whole query's wall time,
+    // understating initial sync and entangling the two rates)
+    def rate(n: Long, ms: Long): Double = if (ok && ms > 0) n * 1000.0 / ms else 0.0
     val sync = Map(
       "initial_docs" -> m.initialDocs.sum.toDouble,
       "change_events" -> m.changeEvents.sum.toDouble,
-      "docs_per_sec" -> syncSec.map(s => m.initialDocs.sum / s).getOrElse(0.0),
-      "events_per_sec" -> syncSec.map(s => m.changeEvents.sum / s).getOrElse(0.0),
+      "initial_sync_sec" -> m.initialSyncMs.sum / 1000.0,
+      "change_apply_sec" -> m.changeApplyMs.sum / 1000.0,
+      "docs_per_sec" -> rate(m.initialDocs.sum, m.initialSyncMs.sum),
+      "events_per_sec" -> rate(m.changeEvents.sum, m.changeApplyMs.sum),
       "commit_latency_ms_mean" ->
         (if (m.commits.sum > 0) m.commitLatencyMsSum.sum.toDouble / m.commits.sum else 0.0),
       "commit_latency_ms_max" -> m.commitLatencyMsMax.get.toDouble)

@@ -204,9 +204,61 @@ object SyncQueries {
       |WHERE o_orderkey BETWEEN 0 AND 40000 AND o_custkey BETWEEN 100 AND 200
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Mid-stream schema evolution as an oracle-gated query (reference
+    * docs/design.md schema evolution: auto mode adds columns): a
+    * synced orders subset receives a change batch whose post-images
+    * carry a NEW field — the steady-state handler infers it, widens
+    * the table metadata-only ([[IceliteTable.addColumns]] via
+    * `maybeEvolve`), and applies the batch in one commit. The MoR
+    * read then shows updated rows with the new column populated and
+    * untouched rows with nulls backfilled; DuckDB recomputes the same
+    * final state relationally. This was the last designed sync
+    * behavior without a driver gate (previously spec-only).
+    */
+  def syncEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("evo-query")
+    val cfg = CollectionSyncConfig(
+      SourceConfig("orders"), TargetConfig("analytics", "orders_evo"))
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_evo", src.schema)
+    table.append(src)
+    // change batch: every even subset key gets a price bump AND a new
+    // `tier` field the table has never seen
+    val updates = src.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey").as("seq"), lit("update").as("op"), col("_id"),
+        to_json(struct(col("_id"), col("o_orderkey"),
+          (col("o_totalprice") + 5.5).as("o_totalprice"),
+          concat(lit("T"), pmod(col("o_orderkey"), lit(3)).cast("string")).as("tier")))
+          .as("fullDocument"),
+        lit(null).cast("timestamp").as("clusterTime"))
+      .select(ChangeStreamSync.EventSchema.fieldNames.map(col).toSeq: _*)
+    new ChangeStreamSync(spark, cfg, table, new CheckpointStore(spark, wh), "shop")
+      .processBatch(updates, batchId = 0)
+    table.read()
+      .select(col("_id"), col("o_orderkey"), col("o_totalprice"), col("tier"))
+      .orderBy("_id")
+  }
+
+  private val syncEvolutionOracle =
+    """WITH sub AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
+      |         o_orderkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 = 0)
+      |SELECT _id, o_orderkey,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 5.5 ELSE o_totalprice END
+      |    AS o_totalprice,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 'T' || CAST(o_orderkey % 3 AS VARCHAR) END
+      |    AS tier
+      |FROM sub ORDER BY _id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("sync_evolution", syncEvolution _, Some(syncEvolutionOracle),
+      "mid-stream add-column evolution: new post-image field widens the table, nulls backfill"),
     GraftQuery("sync_pipeline", syncPipeline _, Some(syncPipelineOracle),
       "end-to-end CDC sync: initial sync + change batch + MoR view"),
     GraftQuery("table_changes", tableChanges _, Some(tableChangesOracle),

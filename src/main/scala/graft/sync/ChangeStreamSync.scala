@@ -93,6 +93,12 @@ final class ChangeStreamSync(
     // land after the rebuild (ADVICE r1 — previously they were applied
     // to the stale table while the stream drained)
     if (invalidatedFlag) return
+    val batchT0 = System.currentTimeMillis()
+    try processBatchInner(batch, batchId)
+    finally metrics.recordChangeApplyMs(syncId, System.currentTimeMillis() - batchT0)
+  }
+
+  private def processBatchInner(batch: Dataset[Row], batchId: Long): Unit = {
     beforeBatch(batchId)
     val prior = checkpoints.read(syncId)
     if (prior.exists(_.lastBatchId >= batchId)) return // replayed batch (R6)

@@ -41,6 +41,7 @@ final class InitialSync(
     * can skip or duplicate chunks).
     */
   def run(source: DataFrame, idCol: String = "_id"): Long = {
+    val runT0 = System.currentTimeMillis()
     val idType = source.schema(idCol).dataType
     val prior = checkpoints.read(syncId)
     val hwm = prior.flatMap(_.highWaterMarkId)
@@ -93,6 +94,7 @@ final class InitialSync(
       lastSnapshotId = table.meta.lastSeq,
       lastBatchId = prior.map(_.lastBatchId).getOrElse(-1L),
       updatedAtMs = System.currentTimeMillis()))
+    metrics.recordInitialSyncMs(syncId, System.currentTimeMillis() - runT0)
     processed
   }
 

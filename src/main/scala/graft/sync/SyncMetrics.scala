@@ -32,6 +32,11 @@ final class SyncMetrics {
     val errors = new LongAdder
     val quarantined = new LongAdder
     val state = new AtomicReference[String]("INITIALIZING")
+    // per-PHASE wall time, so initial-sync and change-apply throughput
+    // are each derived from their own window (dividing both by one
+    // end-to-end wall time understates the first and entangles the two)
+    val initialSyncMs = new LongAdder
+    val changeApplyMs = new LongAdder
   }
 
   private val syncs = new ConcurrentHashMap[String, PerSync]()
@@ -50,13 +55,16 @@ final class SyncMetrics {
   def recordError(syncId: String): Unit = of(syncId).errors.increment()
   def recordQuarantined(syncId: String, n: Long): Unit = of(syncId).quarantined.add(n)
   def setState(syncId: String, state: String): Unit = of(syncId).state.set(state)
+  def recordInitialSyncMs(syncId: String, ms: Long): Unit = of(syncId).initialSyncMs.add(ms)
+  def recordChangeApplyMs(syncId: String, ms: Long): Unit = of(syncId).changeApplyMs.add(ms)
 
   /** Snapshot of all metrics as a queryable DataFrame. */
   def asDataFrame(spark: SparkSession): DataFrame = {
     val rows = syncs.asScala.toSeq.sortBy(_._1).map { case (id, m) =>
       Row(id, m.state.get(), m.initialDocs.sum(), m.changeEvents.sum(),
         m.commits.sum(), m.commitLatencyMsSum.sum(), m.commitLatencyMsMax.get(),
-        m.errors.sum(), m.quarantined.sum())
+        m.errors.sum(), m.quarantined.sum(),
+        m.initialSyncMs.sum(), m.changeApplyMs.sum())
     }
     spark.createDataFrame(rows.asJava, SyncMetrics.Schema)
   }
@@ -72,7 +80,9 @@ object SyncMetrics {
     StructField("commit_latency_ms_sum", LongType),
     StructField("commit_latency_ms_max", LongType),
     StructField("errors", LongType),
-    StructField("documents_quarantined", LongType)))
+    StructField("documents_quarantined", LongType),
+    StructField("initial_sync_ms", LongType),
+    StructField("change_apply_ms", LongType)))
 
   /** Process-wide default registry (the reference has one Micrometer
     * registry per daemon).
