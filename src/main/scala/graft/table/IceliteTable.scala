@@ -331,12 +331,13 @@ final class IceliteTable private (
             "expired (compaction/snapshot expiry) — resync from the full table")
     }
     val inRange = m.snapshots.filter(s => s.seq > fromSeq && s.seq <= toSeq)
-    inRange.find(s => s.operation.startsWith("rewrite") || s.operation == "truncate")
+    inRange.find(s => s.operation.startsWith("rewrite") || s.operation == "truncate" ||
+        s.operation == "rollback")
       .foreach { s =>
         throw new IllegalStateException(
           s"changelog range ($fromSeq, $toSeq] crosses maintenance snapshot " +
-            s"${s.seq} (${s.operation}): layout rewrites re-tag row seqs — " +
-            "resync from the full table instead")
+            s"${s.seq} (${s.operation}): layout rewrites re-tag row seqs and " +
+            "rollbacks erase commits — resync from the full table instead")
       }
     val payloadCols = m.schema.fieldNames.toSeq
     def emit(df: DataFrame, tpe: Column, seqCol: Column): DataFrame =
@@ -729,6 +730,48 @@ final class IceliteTable private (
     val seq = head.lastSeq + 1
     (head.withSchema(merged).withSnapshot(
       Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+  }
+
+  /** Roll the table back to the state as of snapshot `toSeq` (Iceberg's
+    * `rollback_to_snapshot`): metadata-only — snapshots after `toSeq`
+    * leave the live list, their files become orphans reclaimed by
+    * [[expireSnapshots]], and the NEXT commit continues the seq line
+    * above the rolled-back head (seqs never reuse, so incremental
+    * consumers see a gap, not a fork). Schema ops newer than `toSeq`
+    * are rolled back with it (the op log is truncated and the schema
+    * recomputed), keeping epoch translation consistent. Rolling back
+    * past the oldest retained snapshot (history collapsed by
+    * rewrite/expiry) is rejected.
+    */
+  def rollbackTo(toSeq: Long): Long = retryCommit { head =>
+    if (toSeq >= head.lastSeq)
+      throw new IllegalArgumentException(
+        s"rollback of $name to $toSeq: not before current head ${head.lastSeq}")
+    if (!head.snapshots.exists(_.seq <= toSeq))
+      throw new IllegalArgumentException(
+        s"rollback of $name to $toSeq: history before the oldest retained " +
+          s"snapshot ${head.snapshots.headOption.map(_.seq).getOrElse(-1L)} has expired")
+    val keptOps = schemaOps(head.properties).filter(_.seq <= toSeq)
+    // recompute the schema as of toSeq by inverse-applying the ops
+    // being rolled back (same walk as schemaAt, against the head meta)
+    val rolledSchema = schemaOps(head.properties).reverse.filter(_.seq > toSeq)
+      .foldLeft(head.schema) { (s, op) =>
+        op match {
+          case SchemaOp.Rename(from, to, _) =>
+            StructType(s.fields.map(f => if (f.name == to) f.copy(name = from) else f))
+          case SchemaOp.Drop(n, dt, idx, _) =>
+            val (pre, post) = s.fields.splitAt(math.min(idx, s.fields.length))
+            StructType((pre :+ org.apache.spark.sql.types.StructField(n, dt)) ++ post)
+        }
+      }
+    val seq = head.lastSeq + 1
+    (head.copy(
+      schema = rolledSchema,
+      snapshots = head.snapshots.filter(_.seq <= toSeq) :+
+        Snapshot(seq, System.currentTimeMillis(), "rollback", Nil, Nil, 0L),
+      properties =
+        if (keptOps.isEmpty) head.properties - SchemaOpsProp
+        else head.properties + (SchemaOpsProp -> SchemaOp.render(keptOps))), seq)
   }
 
   /** Metadata-only column RENAME (Iceberg's field-ID rename: no file is

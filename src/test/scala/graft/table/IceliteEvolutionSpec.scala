@@ -117,4 +117,28 @@ class IceliteEvolutionSpec extends AnyFunSuite with SparkFixture {
     assert(t.read().count() == 2)
     assert(t.read().filter(col("id") === 1L).head().getString(2) == "a9")
   }
+
+  test("rollback: state, schema ops and seq line; changelog refuses to cross it") {
+    val t = IceliteTable.create(spark, wh(), "ns", "rb", schema3)
+    val s1 = t.upsert(rows3("note", (1L, 1.0, "a"), (2L, 2.0, "b")), Seq("id"))
+    t.renameColumn("note", "comment") // s2
+    val s3 = t.upsert(rows3("comment", (1L, 9.0, "a9"), (3L, 3.0, "c")), Seq("id"))
+    val rbSeq = t.rollbackTo(s1)
+    // state is exactly the s1 state, under the s1 SCHEMA (rename rolled back)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v", "note"))
+    assert(t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // seqs never reuse: the rollback snapshot continues the line
+    assert(rbSeq == s3 + 1 && t.meta.lastSeq == rbSeq)
+    val s5 = t.upsert(rows3("note", (4L, 4.0, "d")), Seq("id"))
+    assert(s5 == rbSeq + 1 && t.read().count() == 3)
+    // a changelog range crossing the rollback is not derivable
+    intercept[IllegalStateException](t.readChanges(s1, s5))
+    // ...but the post-rollback tail is
+    assert(t.readChanges(rbSeq, s5).count() == 1)
+    // guards: not-before-head and expired-history rejected
+    intercept[IllegalArgumentException](t.rollbackTo(s5))
+    t.compact() // collapses history
+    intercept[IllegalArgumentException](t.rollbackTo(s1))
+  }
 }
