@@ -481,28 +481,35 @@ final class IceliteTable private (
     * translating RENAMED columns per file epoch: a file written at
     * seq f stores a column under the name it had AT f, so files are
     * grouped by their translated name vector and each group is read
-    * with its own schema, aliased back to the target names. With no
-    * renames in scope this is one flat multi-file read — the common
-    * case pays nothing. The committed schema fills evolution gaps
-    * with nulls; derived partition columns live in-file and are
-    * projected away (recomputable from the base column).
+    * with its own schema, aliased back to the target names. A `None`
+    * in the name vector marks a column (re-)ADDED after the file was
+    * written — it is projected as NULL and kept OUT of the read
+    * schema, which both enforces fresh-field semantics (a prior
+    * life's bytes under the same name stay dead) and avoids
+    * duplicate-name read schemas after rename(a→b) + add(a). With no
+    * ops in scope this is one flat multi-file read — the common case
+    * pays nothing. The committed schema fills evolution gaps with
+    * nulls; derived partition columns live in-file and are projected
+    * away (recomputable from the base column).
     */
   private def readFilesAs(files: Seq[String], target: StructType, asOf: Long): DataFrame = {
     val m = cachedMeta
     val full = target.add(SeqCol, "long")
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
-    def readGroup(names: Seq[String], fs: Seq[String]): DataFrame = {
-      val readSchema = StructType(target.fields.zip(names).map { case (f, n) => f.copy(name = n) })
-        .add(SeqCol, "long")
+    def readGroup(names: Seq[Option[String]], fs: Seq[String]): DataFrame = {
+      val present = target.fields.zip(names).collect { case (f, Some(n)) => f.copy(name = n) }
+      val readSchema = StructType(present.toArray).add(SeqCol, "long")
       spark.read
         .schema(addPartitionFields(readSchema, m.partitioning))
         .parquet(fs.map(abs): _*)
-        .select((names.zip(target.fieldNames).map { case (n, t) => col(n).as(t) } :+
-          col(SeqCol)): _*)
+        .select((target.fields.toSeq.zip(names).map {
+          case (f, Some(n)) => col(n).as(f.name)
+          case (f, None) => lit(null).cast(f.dataType).as(f.name)
+        } :+ col(SeqCol)): _*)
     }
     if (schemaOps(m.properties).forall(_.seq > asOf))
-      readGroup(target.fieldNames.toSeq, files)
+      readGroup(target.fieldNames.toSeq.map(Some(_)), files)
     else {
       val seqOf = m.snapshots.flatMap(s => s.dataFiles.map(_ -> s.seq)).toMap
       files.groupBy { f =>
@@ -723,12 +730,23 @@ final class IceliteTable private (
 
   /** Metadata-only schema evolution (reference S7 / design "schema
     * evolution": auto mode adds columns): merge new fields in, existing
-    * files read the added columns as null.
+    * files read the added columns as null. Every NEW name is logged as
+    * an [[SchemaOp.Add]] birth record, so a name that had a previous
+    * life (dropped, or renamed away — which [[graft.sync.ChangeStreamSync]]'s
+    * auto-evolution can re-add when source post-images still carry the
+    * old field) reads as null from pre-add files instead of silently
+    * resurrecting their dead bytes, matching Iceberg's fresh-field-ID
+    * semantics. Adds are rolled back by [[rollbackTo]] like any op.
     */
   def addColumns(added: StructType): Long = retryCommit { head =>
     val merged = graft.schema.SchemaInfer.mergeStructs(head.schema, added)
+    val newNames = merged.fieldNames.filterNot(head.schema.fieldNames.contains)
     val seq = head.lastSeq + 1
-    (head.withSchema(merged).withSnapshot(
+    val ops = schemaOps(head.properties) ++ newNames.map(SchemaOp.Add(_, seq))
+    val props =
+      if (newNames.isEmpty) head.properties
+      else head.properties + (SchemaOpsProp -> SchemaOp.render(ops))
+    (head.withSchema(merged).copy(properties = props).withSnapshot(
       Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
   }
 
@@ -753,17 +771,11 @@ final class IceliteTable private (
           s"snapshot ${head.snapshots.headOption.map(_.seq).getOrElse(-1L)} has expired")
     val keptOps = schemaOps(head.properties).filter(_.seq <= toSeq)
     // recompute the schema as of toSeq by inverse-applying the ops
-    // being rolled back (same walk as schemaAt, against the head meta)
+    // being rolled back (same walk as schemaAt, against the head meta;
+    // later-ADDED columns are removed with their Add op, so the rolled
+    // schema is exactly the toSeq schema)
     val rolledSchema = schemaOps(head.properties).reverse.filter(_.seq > toSeq)
-      .foldLeft(head.schema) { (s, op) =>
-        op match {
-          case SchemaOp.Rename(from, to, _) =>
-            StructType(s.fields.map(f => if (f.name == to) f.copy(name = from) else f))
-          case SchemaOp.Drop(n, dt, idx, _) =>
-            val (pre, post) = s.fields.splitAt(math.min(idx, s.fields.length))
-            StructType((pre :+ org.apache.spark.sql.types.StructField(n, dt)) ++ post)
-        }
-      }
+      .foldLeft(head.schema) { (s, op) => inverseApply(s, op) }
     val seq = head.lastSeq + 1
     (head.copy(
       schema = rolledSchema,
@@ -838,33 +850,38 @@ final class IceliteTable private (
   }
 
   /** Table schema as of commit `asOfSeq`: inverse-apply every logged
-    * rename/drop newer than it (drops resurrect at their recorded
-    * position with their recorded type). Columns ADDED after
-    * `asOfSeq` are not hidden (same always-null behavior as before
-    * the op log existed).
+    * rename/drop/add newer than it (drops resurrect at their recorded
+    * position with their recorded type; adds disappear — proper
+    * time-travel, the column did not exist yet).
     */
   def schemaAt(asOfSeq: Long): StructType =
     schemaOps(cachedMeta.properties).reverse.filter(_.seq > asOfSeq)
-      .foldLeft(cachedMeta.schema) { (s, op) =>
-        op match {
-          case SchemaOp.Rename(from, to, _) =>
-            StructType(s.fields.map(f => if (f.name == to) f.copy(name = from) else f))
-          case SchemaOp.Drop(n, dt, idx, _) =>
-            val (pre, post) = s.fields.splitAt(math.min(idx, s.fields.length))
-            StructType((pre :+ org.apache.spark.sql.types.StructField(n, dt)) ++ post)
-        }
-      }
+      .foldLeft(cachedMeta.schema) { (s, op) => inverseApply(s, op) }
+
+  private def inverseApply(s: StructType, op: SchemaOp): StructType = op match {
+    case SchemaOp.Rename(from, to, _) =>
+      StructType(s.fields.map(f => if (f.name == to) f.copy(name = from) else f))
+    case SchemaOp.Drop(n, dt, idx, _) =>
+      val (pre, post) = s.fields.splitAt(math.min(idx, s.fields.length))
+      StructType((pre :+ org.apache.spark.sql.types.StructField(n, dt)) ++ post)
+    case SchemaOp.Add(n, _) =>
+      StructType(s.fields.filterNot(_.name == n))
+  }
 
   /** The name column `targetName` (valid at `asOfSeq`) had when a file
     * was written at `fileSeq`: inverse-walk renames in
-    * (fileSeq, asOfSeq].
+    * (fileSeq, asOfSeq]. `None` means the column was BORN (re-)added
+    * after the file was written — the file must serve NULL for it, even
+    * if it happens to store bytes under the same name from the column's
+    * previous life.
     */
-  private def nameAtFileSeq(targetName: String, asOfSeq: Long, fileSeq: Long): String =
+  private def nameAtFileSeq(targetName: String, asOfSeq: Long, fileSeq: Long): Option[String] =
     schemaOps(cachedMeta.properties).reverse
       .filter(op => op.seq > fileSeq && op.seq <= asOfSeq)
-      .foldLeft(targetName) {
-        case (n, SchemaOp.Rename(from, to, _)) if to == n => from
-        case (n, _) => n
+      .foldLeft(Option(targetName)) {
+        case (Some(n), SchemaOp.Rename(from, to, _)) if to == n => Some(from)
+        case (Some(n), SchemaOp.Add(name, _)) if name == n => None
+        case (acc, _) => acc
       }
 
   /** Partition-spec evolution (Iceberg's headline metadata-only spec
@@ -1531,6 +1548,13 @@ object IceliteTable {
     final case class Rename(from: String, to: String, seq: Long) extends SchemaOp
     final case class Drop(name: String, dataType: org.apache.spark.sql.types.DataType,
         index: Int, seq: Long) extends SchemaOp
+    /** Column birth record (Iceberg's fresh-field-ID analog): a column
+      * added at `seq` reads as NULL from any file written before it —
+      * even when an OLDER file physically stores bytes under the same
+      * name from a previous life (dropped or renamed-away). Without
+      * this, re-adding such a name silently resurrects dead data.
+      */
+    final case class Add(name: String, seq: Long) extends SchemaOp
 
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -1544,6 +1568,9 @@ object IceliteTable {
           val o = arr.addObject()
           o.put("op", "drop"); o.put("name", n); o.put("type", dt.json)
           o.put("index", i); o.put("seq", s)
+        case Add(n, s) =>
+          val o = arr.addObject()
+          o.put("op", "add"); o.put("name", n); o.put("seq", s)
       }
       arr.toString
     }
@@ -1558,6 +1585,8 @@ object IceliteTable {
             Drop(o.get("name").asText(),
               org.apache.spark.sql.types.DataType.fromJson(o.get("type").asText()),
               o.get("index").asInt(), o.get("seq").asLong())
+          case "add" =>
+            Add(o.get("name").asText(), o.get("seq").asLong())
           case other => throw new IllegalStateException(s"unknown schema op '$other'")
         }
       }.toSeq

@@ -118,6 +118,50 @@ class IceliteEvolutionSpec extends AnyFunSuite with SparkFixture {
     assert(t.read().filter(col("id") === 1L).head().getString(2) == "a9")
   }
 
+  test("re-adding a dropped column name does NOT resurrect the dropped data") {
+    val t = IceliteTable.create(spark, wh(), "ns", "readd", schema3)
+    t.append(rows3("note", (1L, 1.0, "secret"), (2L, 2.0, "hidden")))
+    t.dropColumn("note")
+    // auto-evolution re-adds the same name (ChangeStreamSync.maybeEvolve
+    // does this when source post-images still carry the field)
+    t.addColumns(StructType(Seq(StructField("note", StringType))))
+    t.append(rows3("note", (3L, 3.0, "fresh")))
+    // pre-add files serve NULL for the reborn column — their old bytes
+    // under the same name stay dead (Iceberg fresh-field-ID semantics)
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    assert(got == Seq((1L, None), (2L, None), (3L, Some("fresh"))))
+    // time travel BEFORE the add does not show the reborn column...
+    val preAdd = t.readAt(2)
+    assert(!preAdd.schema.fieldNames.contains("note"))
+    // ...and before the DROP shows the original values
+    assert(t.readAt(1).orderBy("id").collect().map(_.getString(2)).toSeq ==
+      Seq("secret", "hidden"))
+  }
+
+  test("rename then re-add of the from-name: no duplicate read schema, no resurrection") {
+    val t = IceliteTable.create(spark, wh(), "ns", "renadd", schema3)
+    t.append(rows3("note", (1L, 1.0, "old-a"))) // stores physical column `note`
+    t.renameColumn("note", "comment")
+    t.addColumns(StructType(Seq(StructField("note", StringType)))) // fresh column, old name
+    t.append(rows3("comment", (2L, 2.0, "new-b")).withColumn("note", lit("new-a")))
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), Option(r.getString(3)))).toSeq
+    // epoch-0 bytes serve the RENAMED column under its new name; the
+    // reborn `note` is null there — never bound to the old bytes
+    assert(got == Seq((1L, "old-a", None), (2L, "new-b", Some("new-a"))))
+  }
+
+  test("rollback removes later-added columns (exact toSeq schema)") {
+    val t = IceliteTable.create(spark, wh(), "ns", "rbadd", schema3)
+    val s1 = t.append(rows3("note", (1L, 1.0, "a")))
+    t.addColumns(StructType(Seq(StructField("extra", DoubleType))))
+    t.append(rows3("note", (2L, 2.0, "b")).withColumn("extra", lit(9.9)))
+    t.rollbackTo(s1)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v", "note"))
+    assert(t.read().count() == 1)
+  }
+
   test("rollback: state, schema ops and seq line; changelog refuses to cross it") {
     val t = IceliteTable.create(spark, wh(), "ns", "rb", schema3)
     val s1 = t.upsert(rows3("note", (1L, 1.0, "a"), (2L, 2.0, "b")), Seq("id"))
