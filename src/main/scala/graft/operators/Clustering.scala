@@ -41,20 +41,36 @@ object Clustering {
 
   private val Dec = "decimal(38,20)"
 
+  /** The registered cluster report: assignments come from the
+    * PERSISTED ingest-time index ([[ClusterIndex.assignments]]) — the
+    * per-query cost is the report join, never a Lloyd re-run over the
+    * corpus (the difference between an index read and a clustering job
+    * per invocation at 100 TB).
+    */
   def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
-    kmeans(spark, dir, K, Iters)
+    report(ClusterIndex.assignments(spark, dir, K, Iters),
+      t(spark, dir, "embeddings").select("vec_id", "label"))
 
-  /** Parameterized spherical k-means. Each Lloyd round ends in an
-    * EAGER `localCheckpoint` of the (tiny, k×dims) centroid tables, so
-    * plan depth is CONSTANT in `iters` — without it the lineage grows
-    * a full assign+update layer per round and the optimizer re-plans
-    * the whole unrolled chain, which is what kills iterative jobs at
-    * realistic round counts. Checkpointing materializes only the
-    * centroids, never the corpus.
+  /** Parameterized spherical k-means, clustering + report INLINE (the
+    * unit specs drive at arbitrary (k, iters)). Each Lloyd round ends
+    * in an EAGER `localCheckpoint` of the (tiny, k×dims) centroid
+    * tables, so plan depth is CONSTANT in `iters` — without it the
+    * lineage grows a full assign+update layer per round and the
+    * optimizer re-plans the whole unrolled chain, which is what kills
+    * iterative jobs at realistic round counts. Checkpointing
+    * materializes only the centroids, never the corpus.
     */
   def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
     val (e, a) = assignmentsWithBase(spark, dir, k, iters)
-    val byLab = a.join(e.select("vec_id", "label"), "vec_id")
+    report(a, e.select("vec_id", "label"))
+  }
+
+  /** Per-cluster member count + majority label over an assignment
+    * frame: one groupBy and a k-sized window — report cost, not
+    * clustering cost.
+    */
+  private def report(a: DataFrame, labels: DataFrame): DataFrame = {
+    val byLab = a.join(labels, "vec_id")
       .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
     val wl = Window.partitionBy(col("cid")).orderBy(desc("n"), asc("label"))
     val maj = byLab.withColumn("rn", row_number().over(wl)).filter(col("rn") === 1)

@@ -595,7 +595,10 @@ object Dedup {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), decimalNormSq(col("embedding")).as("nsq"))
     val k = semK(t(spark, dir, "embeddings").count())
-    val a = Clustering.assignments(spark, dir, k, Clustering.Iters)
+    // blocking key from the PERSISTED ingest-time cluster index — the
+    // per-query cost is the within-cluster pairwise phase, never a
+    // Lloyd re-run over the corpus
+    val a = ClusterIndex.assignments(spark, dir, k, Clustering.Iters)
     semanticDedupOn(e, a, SemMaxClusterSize)
   }
 

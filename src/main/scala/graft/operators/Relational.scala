@@ -474,17 +474,59 @@ object Relational {
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------- approx distinct
-  /** HLL-sketch approximate distinct (SURVEY "Distinct/approx" row).
-    * Sketch internals differ per engine ⇒ no value oracle (driver does
-    * the rows-only check); correctness of the exact path is covered by
-    * [[distinctCount]].
+
+  /** KMV sketch size (shared by [[approxDistinct]] and [[kmvDistinct]];
+    * declared before both so the oracle-string vals see it initialized).
+    */
+  val KmvK = 256
+
+  /** Approximate distinct over TWO key columns per group (SURVEY
+    * "Distinct/approx" row). Built on the portable KMV estimator
+    * ([[graft.functions.KmvSketchAgg]]) instead of Spark's native
+    * HLL (`approx_count_distinct`): HLL's register layout is
+    * engine-specific, so an HLL result can never value-gate against
+    * DuckDB — KMV's sketch (k smallest portable hashes) and integer
+    * estimate are bit-identical cross-engine, which turns the one
+    * rows-only query in the suite into a real hash-gated one. Same
+    * scale shape as HLL: partial sketches build map-side and merge
+    * associatively, ≤ k longs per (group, column) cross the shuffle.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(
+        graft.functions.KmvSketchAgg
+          .kmvSketch(Dedup.phash(col("l_orderkey").cast("string")), KmvK).as("ko"),
+        graft.functions.KmvSketchAgg
+          .kmvSketch(Dedup.phash(col("l_partkey").cast("string")), KmvK).as("kp"))
+      .select(col("l_returnflag"),
+        col("ko.distinct_estimate").as("approx_orders"),
+        col("kp.distinct_estimate").as("approx_parts"))
       .orderBy("l_returnflag")
+
+  private val approxDistinctOracle = {
+    def est(colSql: String, a: String) =
+      s"""${a}_h AS (
+         |  SELECT DISTINCT l_returnflag,
+         |    ${graft.operators.Dedup.phashSql(colSql)} AS h
+         |  FROM lineitem),
+         |${a}_r AS (
+         |  SELECT l_returnflag, h,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |  FROM ${a}_h),
+         |${a}_k AS (
+         |  SELECT l_returnflag, count(*) AS n, max(h) AS hk
+         |  FROM ${a}_r WHERE rn <= $KmvK GROUP BY 1)""".stripMargin
+    def estimate(a: String) =
+      s"CAST(CASE WHEN $a.n < $KmvK THEN $a.n ELSE ${(KmvK - 1).toLong * 4294967296L} // $a.hk END AS BIGINT)"
+    s"""WITH ${est("CAST(l_orderkey AS VARCHAR)", "o")},
+       |${est("CAST(l_partkey AS VARCHAR)", "p")}
+       |SELECT o_k.l_returnflag,
+       |  ${estimate("o_k")} AS approx_orders,
+       |  ${estimate("p_k")} AS approx_parts
+       |FROM o_k JOIN p_k USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
 
   /** KMV (k-minimum-values) distinct sketch with a REAL value oracle:
     * the sketch is the [[KmvK]] smallest md5-derived 32-bit hashes per
@@ -501,8 +543,6 @@ object Relational {
     * hash — the windowed SQL formulation the DuckDB oracle runs is the
     * same math with the generic operators.
     */
-  val KmvK = 256
-
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -592,7 +632,8 @@ object Relational {
       "scalar aggregate as broadcast filter"),
     GraftQuery("last_writer_wins", lastWriterWins _, Some(lastWriterWinsOracle),
       "upsert/dedup semantics (reference R1/R4)"),
-    GraftQuery("approx_distinct", approxDistinct _, None, "HLL approx_count_distinct (rows-only)"),
+    GraftQuery("approx_distinct", approxDistinct _, Some(approxDistinctOracle),
+      "two-column approximate distinct per group (portable KMV estimate)"),
     GraftQuery("kmv_distinct", kmvDistinct _, Some(kmvDistinctOracle),
       "KMV distinct sketch (portable: identical sketch + integer estimate cross-engine)"),
     GraftQuery("topk_per_group_native", topkPerGroupNative _, Some(topkPerGroupNativeOracle),

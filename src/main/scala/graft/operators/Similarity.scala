@@ -245,19 +245,31 @@ object Similarity {
     * recall/cost dial.
     */
   /** Memoized per (session, dataset), like [[Dedup.shingleIndex]]: the
-    * IVF index (embeddings+norms, ranked cell assignment) is built once
-    * and reused across queries in the session instead of leaking a new
-    * cache per invocation. Bounded + stopped-session-purging
+    * norm-carrying embeddings frame is referenced by several plan
+    * branches across IVF consumers, so it is built once per session
+    * and cached (rows × 8B·dims, tiny per vector) instead of leaking a
+    * new cache per invocation. Bounded + stopped-session-purging
     * ([[graft.util.IndexMemo]]); assumes the dataset under `dir` is
     * immutable for the session (call `invalidate` after a rewrite).
     */
-  private val ivfIndexes =
-    new graft.util.IndexMemo[(DataFrame, DataFrame)](8)({ case (a, b) =>
-      a.unpersist(false); b.unpersist(false)
-    })
+  private val embNorms = new graft.util.IndexMemo[DataFrame](8)(_.unpersist(false))
+
+  /** Cached (vec_id, label, embedding, nsq) with the interpreted
+    * per-row decimal norm fold paid once per session.
+    */
+  private[operators] def embWithNorms(spark: SparkSession, dir: String): DataFrame =
+    embNorms.getOrElseUpdate(spark, dir) {
+      t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          decimalNormSq(col("embedding")).as("nsq"))
+        .cache()
+    }
 
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
-    val (e, rankedCells) = ivfIndexes.getOrElseUpdate(spark, dir)(buildIvfIndex(spark, dir))
+    val e = embWithNorms(spark, dir)
+    // the ranked cell assignment is an ingest-time artifact — read the
+    // persisted index ([[ClusterIndex.ivfCells]]), never recompute here
+    val rankedCells = ClusterIndex.ivfCells(spark, dir)
 
     val corpus = rankedCells.filter(col("cell_rank") === 1 && col("vec_id") >= NumQueries)
       .select(col("vec_id"), col("c_label").as("cell"))
@@ -278,15 +290,18 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  private def buildIvfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The IVF ranked cell assignment (vec_id, c_label, cell_rank) —
+    * ONE corpus clustering job, run at ingest by
+    * [[ClusterIndex.ensureBuilt]] and persisted as the `ivf_cells`
+    * icelite table; [[topkIvf]] and the recall harness read the table
+    * back instead of invoking this. Deterministic (exact-decimal
+    * accumulation, label-ascending tiebreaks), so the persisted rows
+    * are bit-identical to an inline recompute — [[ClusterIndexSpec]]
+    * proves it and the DuckDB oracle replays the same pipeline.
+    */
+  def ivfRankedCells(spark: SparkSession, dir: String): DataFrame = {
     val Dec = "decimal(38,20)"
-    // e is referenced by three plan branches (elems, corpus payload,
-    // probe payload) and carries the interpreted per-row norm fold —
-    // cache it so the fold runs once (rows × 8B·dims, tiny per vector)
-    val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"),
-        decimalNormSq(col("embedding")).as("nsq"))
-      .cache()
+    val e = embWithNorms(spark, dir)
 
     // all centroid/assignment arithmetic is RELATIONAL (explode → join
     // → decimal hash-agg): the decimal sums run inside whole-stage
@@ -314,11 +329,8 @@ object Similarity {
       .select(col("vec_id"), col("c_label"),
         (col("cdot") / (sqrt(col("nsq")) * sqrt(col("c_nsq")))).as("cell_cos"))
     val wCell = Window.partitionBy(col("vec_id")).orderBy(desc("cell_cos"), asc("c_label"))
-    // corpus and probes both branch from the ranked assignment — cache
-    // the (vec, cell, rank) table (rows × cells, small) so the explode/
-    // join/agg pipeline executes once
-    val rankedCells = cellcos.withColumn("cell_rank", row_number().over(wCell)).cache()
-    (e, rankedCells)
+    cellcos.withColumn("cell_rank", row_number().over(wCell))
+      .select(col("vec_id"), col("c_label"), col("cell_rank"))
   }
 
   private val topkIvfOracle: String =

@@ -212,9 +212,26 @@ final class ChangeStreamSync(
   /** Auto-mode schema evolution: infer the union schema of this batch's
     * post-images (bounded sample) and add any new columns (explicit mode
     * skips with the reference's log-and-ignore behavior).
+    *
+    * Gated behind an EXECUTOR-side unseen-key probe: evolution can only
+    * add a column whose top-level name is new, so the batch's distinct
+    * `json_object_keys` set (codegen'd scan, no driver JSON parsing) is
+    * checked against the known columns first — steady state pays one
+    * short-circuiting aggregate per batch and the driver parses ZERO
+    * documents; only a genuinely novel key triggers the bounded
+    * driver-side sample + [[SchemaInfer]] pass.
     */
   private def maybeEvolve(upserts: DataFrame): IceliteTable = {
     if (cfg.mapping.mode != graft.config.MappingConfig.ModeAuto) return table
+    val known = table.schema.fieldNames.toSeq
+    // malformed JSON → json_object_keys yields null → explode drops it;
+    // quarantine happens downstream in parseImages either way
+    val novel = upserts
+      .select(explode(expr("json_object_keys(fullDocument)")).as("k"))
+      .filter(!col("k").isin(known: _*))
+      .limit(1)
+    if (novel.isEmpty) return table
+    driverInfers.incrementAndGet()
     val mapper = new ObjectMapper()
     // malformed post-images are skipped here and quarantined downstream
     // in parseImages — inference must not poison the batch first
@@ -229,6 +246,11 @@ final class ChangeStreamSync(
 }
 
 object ChangeStreamSync {
+
+  /** Visible for tests: how many batches fell through the unseen-key
+    * probe into the driver-side sample+infer path in this JVM.
+    */
+  private[sync] val driverInfers = new java.util.concurrent.atomic.AtomicInteger(0)
 
   val EventSchema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),

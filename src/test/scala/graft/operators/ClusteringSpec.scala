@@ -25,7 +25,10 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("kmeans plan: centroid tables broadcast, no pairwise corpus join") {
-    val plan = Clustering.kmeansClusters(spark, dir).queryExecution.executedPlan.toString
+    // the inline Lloyd chain (the registered query reads the persisted
+    // index, so the clustering plan only appears in the build path)
+    val plan = Clustering.kmeans(spark, dir, Clustering.K, Clustering.Iters)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))

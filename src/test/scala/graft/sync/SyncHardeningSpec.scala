@@ -127,6 +127,36 @@ class SyncHardeningSpec extends AnyFunSuite with SparkFixture {
       .select("documents_quarantined").collect().head.getLong(0) == 1)
   }
 
+  test("schema-evolution probe: a no-new-key batch parses zero documents on the driver") {
+    val root = Files.createTempDirectory("sync-evp")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    val c = cfg.sync.collections.head
+    writeFixture(root, "shop", "orders", (1 to 5).map(i => doc(i, s"$i.00", "gold")))
+    writeChanges(root, "shop", "orders", "b0", Seq(upd(1, 1, "1.11", "plat")))
+    val before = ChangeStreamSync.driverInfers.get()
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val t1 = orch.syncCollection(c, Files.createTempDirectory("ck").toString)
+    assert(tierOf(t1, 1) == "plat")
+    assert(ChangeStreamSync.driverInfers.get() == before,
+      "a batch with only known keys hit the driver-side sample+infer path")
+
+    // a post-image carrying a NOVEL top-level key falls through the
+    // probe exactly once: column added, value applied
+    val novelDoc = s"""{"_id":{"$$oid":"${oid(2)}"},"total":{"$$numberDecimal":"2.22"},""" +
+      s""""customer":{"name":"c2","tier":"plat"},"orderDate":{"$$date":"2024-01-02T00:00:00Z"},""" +
+      s""""loyalty_points":{"$$numberLong":"42"}}"""
+    writeChanges(root, "shop", "orders", "b1", Seq(
+      s"""{"seq":2,"op":"update","_id":"${oid(2)}","fullDocument":${jstr(novelDoc)},"clusterTime":"2024-02-01T00:00:02.000Z"}"""))
+    val orch2 = new SyncOrchestrator(spark, cfg, wh)
+    val t2 = orch2.syncCollection(c, Files.createTempDirectory("ck").toString)
+    assert(ChangeStreamSync.driverInfers.get() == before + 1,
+      "a novel-key batch must trigger exactly one driver-side infer")
+    assert(t2.schema.fieldNames.contains("loyalty_points"))
+    assert(t2.read().filter(col("_id") === oid(2))
+      .select("loyalty_points").collect().head.getLong(0) == 42L)
+  }
+
   test("concurrent syncAll: collections sync in parallel with independent checkpoints") {
     val root = Files.createTempDirectory("sync-par")
     val wh = Files.createTempDirectory("sync-wh").toString
