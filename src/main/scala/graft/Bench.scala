@@ -36,12 +36,20 @@ object Bench {
     catch { case _: Throwable => () }
     val clusterIngestSec = (System.nanoTime() - clusterT0) / 1e9
     val failed = scala.collection.mutable.Set.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      System.gc() // don't bill one query for its predecessors' garbage
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // noise control: TWO full passes over the suite, report the min per
+    // query (BASELINE.md §methodology) — one-time costs (codegen
+    // compile, shuffle-service setup, first-touch page cache) land on
+    // pass 1 and the min reflects steady-state engine time; consecutive
+    // runs of the reported numbers agree within ~10%
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        System.gc() // don't bill one query for its predecessors' garbage
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val p1 = pass().toMap
+    val results = pass().map { case (n, s) => n -> math.min(s, p1.getOrElse(n, s)) }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // sync throughput (the reference's planned perf metrics,
     // docs/plan.md:242-247): sync_pipeline runs the full chunked CDC

@@ -94,14 +94,18 @@ final class ChangeStreamSync(
     // to the stale table while the stream drained)
     if (invalidatedFlag) return
     val batchT0 = System.currentTimeMillis()
-    try processBatchInner(batch, batchId)
-    finally metrics.recordChangeApplyMs(syncId, System.currentTimeMillis() - batchT0)
+    // only batches that APPLIED events count toward changeApplyMs —
+    // replayed/empty/control batches would deflate events-per-second
+    // with wall time that moved zero events
+    if (processBatchInner(batch, batchId))
+      metrics.recordChangeApplyMs(syncId, System.currentTimeMillis() - batchT0)
   }
 
-  private def processBatchInner(batch: Dataset[Row], batchId: Long): Unit = {
+  /** True iff the batch applied at least one event to the table. */
+  private def processBatchInner(batch: Dataset[Row], batchId: Long): Boolean = {
     beforeBatch(batchId)
     val prior = checkpoints.read(syncId)
-    if (prior.exists(_.lastBatchId >= batchId)) return // replayed batch (R6)
+    if (prior.exists(_.lastBatchId >= batchId)) return false // replayed batch (R6)
 
     val resumeFrom = prior.flatMap(_.resumeToken).getOrElse(-1L)
     val fresh = batch.filter(col("seq") > resumeFrom)
@@ -129,7 +133,7 @@ final class ChangeStreamSync(
         lastBatchId = -1L, // post-rebuild replay starts a fresh batch numbering
         updatedAtMs = System.currentTimeMillis()))
       invalidatedFlag = true // R7: invalidate ⇒ re-initial-sync
-      return
+      return false
     }
 
     // final event per key by change order (LWW within the batch)
@@ -145,7 +149,7 @@ final class ChangeStreamSync(
       val stats = finals.agg(
         count(lit(1)).as("n"), max(col("seq")).as("maxSeq")).collect().head
       val nFinal = stats.getLong(0)
-      if (nFinal == 0) return
+      if (nFinal == 0) return false
       val maxSeq = stats.getLong(1)
 
       table.refresh() // pick up concurrent schema evolution
@@ -206,6 +210,7 @@ final class ChangeStreamSync(
         batchesSinceMaintenance = 0
         checkpoints.maintain()
       }
+      true
     } finally finals.unpersist()
   }
 
