@@ -174,6 +174,37 @@ object SyncQueries {
       |  WHERE b._id IS NULL AND s.o_orderkey % 2 = 0
       |) ORDER BY _id""".stripMargin
 
+  /** Both Iceberg v2 MoR delete shapes in one table lifecycle, gated
+    * end to end: orders land via keyed upsert, an EQUALITY delete
+    * retires a key set, then a POSITION delete
+    * ([[IceliteTable.deleteWhere]]) erases a predicate's rows as
+    * (file_path, pos) coordinates — no data file rewritten by either.
+    * The MoR read merges data minus both delete shapes; DuckDB
+    * recomputes the same final state relationally.
+    */
+  def tablePosDelete(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("posdel-query")
+    val base = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_pd", base.schema)
+    table.upsert(base, Seq("o_orderkey"))
+    table.delete(base.filter(pmod(col("o_orderkey"), lit(9)) === 0)
+      .select("o_orderkey"), Seq("o_orderkey"))
+    table.deleteWhere(col("o_orderpriority") === "1-URGENT" &&
+      col("o_totalprice") > 150000.0)
+    table.read().orderBy("o_orderkey")
+  }
+
+  private val tablePosDeleteOracle =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 3 = 0
+      |  AND o_orderkey % 9 <> 0
+      |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Z-order BOX scan as an oracle-gated query: orders land in an
     * icelite table, a z-order compaction clusters files on
     * (o_orderkey, o_custkey), then a conjunctive 2-D box read prunes
@@ -263,6 +294,8 @@ object SyncQueries {
       "end-to-end CDC sync: initial sync + change batch + MoR view"),
     GraftQuery("table_changes", tableChanges _, Some(tableChangesOracle),
       "CDF changelog read: update pre/post pairs + deletes with preimages"),
+    GraftQuery("table_pos_delete", tablePosDelete _, Some(tablePosDeleteOracle),
+      "equality + position deletes merged on read (Iceberg v2 delete shapes)"),
     GraftQuery("table_merge", tableMerge _, Some(tableMergeOracle),
       "MERGE INTO: conditional update/delete/insert + column-level UPDATE SET in one commit"),
     GraftQuery("zorder_scan", zorderScan _, Some(zorderScanOracle),

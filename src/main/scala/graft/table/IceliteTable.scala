@@ -85,6 +85,44 @@ final class IceliteTable private (
     commitWrite(null, deleteKeys = Some(keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)),
       keyCols = keyCols, operation = "delete")
 
+  /** Row-level DELETE WHERE as an Iceberg v2 POSITION delete — the
+    * second delete shape (design.md MoR v2), complementing key-based
+    * equality deletes: the predicate runs over the current MoR view
+    * scanned with physical (file_path, row_index) coordinates, and one
+    * commit adds a position-delete file holding the matching
+    * coordinates. No data file is rewritten and no key is required —
+    * the shape a predicate delete takes on a table without a natural
+    * key, and what an engine emits when it already knows the exact
+    * rows (dedup jobs, GDPR row erasure by scan). Scale: the scan is
+    * the same pruned MoR read as [[read]]; the delete file is
+    * coordinates only (two longs + a path per row).
+    *
+    * Returns the commit seq (recordCount = rows deleted); a predicate
+    * matching nothing publishes no new snapshot.
+    */
+  def deleteWhere(condition: Column): Long = retryCommit { head =>
+    val seq = head.lastSeq + 1
+    val commitId = UUID.randomUUID().toString
+    val data = readFilesAs(head.snapshots.flatMap(_.dataFiles), head.schema,
+      Long.MaxValue, withPos = true)
+    val visible = applyDeletes(
+      applyPosDeletes(data, head.snapshots.flatMap(_.posDeleteFiles)),
+      head.snapshots.flatMap(_.deleteFiles))
+    val coords = visible.filter(condition)
+      .select(col(PosFileCol), col(PosCol)).withColumn(SeqCol, lit(seq))
+      .cache()
+    try {
+      val n = coords.count()
+      if (n == 0) (head, head.lastSeq)
+      else {
+        val out = s"$location/deletes/$commitId"
+        coords.write.mode("errorifexists").parquet(out)
+        (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "pos-delete",
+          Nil, Nil, n, posDeleteFiles = listParquet(out))), seq)
+      }
+    } finally coords.unpersist()
+  }
+
   /** One commit applying a resolved change batch: equality-delete every
     * key in `deleteKeys` (upserted AND deleted keys) + data file with
     * the final upsert images — the reference's "write delete files,
@@ -339,6 +377,17 @@ final class IceliteTable private (
             s"${s.seq} (${s.operation}): layout rewrites re-tag row seqs and " +
             "rollbacks erase commits — resync from the full table instead")
       }
+    // position deletes remove PHYSICAL rows with no key: the removal
+    // cannot be emitted as a keyed delete event, and a pos delete in
+    // history silently falsifies pre-images reconstructed from raw
+    // data files — refuse rather than emit a wrong feed (same contract
+    // as truncate; compaction folds pos deletes away and re-enables)
+    m.snapshots.find(_.posDeleteFiles.nonEmpty).foreach { s =>
+      throw new IllegalStateException(
+        s"changelog over $name: live position-delete snapshot ${s.seq} — " +
+          "physical-row deletes are not expressible as key events; " +
+          "compact() to fold them, then resync from the full table")
+    }
     val payloadCols = m.schema.fieldNames.toSeq
     def emit(df: DataFrame, tpe: Column, seqCol: Column): DataFrame =
       df.select(payloadCols.map(col) ++ Seq(tpe.as(ChangeTypeCol), seqCol.as(CommitSeqCol)): _*)
@@ -424,6 +473,20 @@ final class IceliteTable private (
         .drop("_max_del_seq")
     }
 
+  /** Remove position-deleted PHYSICAL rows: anti-join on the
+    * (file_path, pos) coordinates carried by the scan (`data` must
+    * have been read `withPos`). Coordinate sets are tiny relative to
+    * data (bounded by rows ever point-deleted), so the delete side
+    * broadcasts — same shape as the equality side.
+    */
+  private def applyPosDeletes(data: DataFrame, posDeleteFiles: Seq[String]): DataFrame =
+    if (posDeleteFiles.isEmpty) data
+    else {
+      val dels = spark.read.parquet(posDeleteFiles.map(abs): _*)
+        .select(col(PosFileCol), col(PosCol)).dropDuplicates(PosFileCol, PosCol)
+      data.join(broadcast(dels), Seq(PosFileCol, PosCol), "left_anti")
+    }
+
   private def readSnapshots(snaps: Seq[Snapshot]): DataFrame =
     readSnapshotsAs(snaps, cachedMeta.schema, Long.MaxValue)
 
@@ -434,8 +497,12 @@ final class IceliteTable private (
     */
   private def readSnapshotsAs(
       snaps: Seq[Snapshot], target: StructType, asOf: Long): DataFrame = {
-    val data = readFilesAs(snaps.flatMap(_.dataFiles), target, asOf)
-    applyDeletes(data, snaps.flatMap(_.deleteFiles))
+    val posFiles = snaps.flatMap(_.posDeleteFiles)
+    // pos coordinates ride the scan only when a pos delete is in scope
+    // — the common (no-pos-delete) plan is unchanged
+    val data = readFilesAs(snaps.flatMap(_.dataFiles), target, asOf,
+      withPos = posFiles.nonEmpty)
+    applyDeletes(applyPosDeletes(data, posFiles), snaps.flatMap(_.deleteFiles))
       .select(target.fieldNames.map(col).toSeq: _*)
   }
 
@@ -470,7 +537,8 @@ final class IceliteTable private (
       val stats = (f: String) => s.fileStats.getOrElse(f, Map.empty)
         .map { case (c, (mn, mx)) => (c, mn, mx) }.toSeq.sortBy(_._1)
       s.dataFiles.map(f => (f, "data", s.seq, s.operation, stats(f))) ++
-        s.deleteFiles.map(f => (f, "delete", s.seq, s.operation, stats(f)))
+        s.deleteFiles.map(f => (f, "delete", s.seq, s.operation, stats(f))) ++
+        s.posDeleteFiles.map(f => (f, "pos-delete", s.seq, s.operation, stats(f)))
     }.toDF("file", "content", "seq", "operation", "partition_stats")
   }
 
@@ -492,11 +560,19 @@ final class IceliteTable private (
     * nulls; derived partition columns live in-file and are projected
     * away (recomputable from the base column).
     */
-  private def readFilesAs(files: Seq[String], target: StructType, asOf: Long): DataFrame = {
+  private def readFilesAs(
+      files: Seq[String], target: StructType, asOf: Long,
+      withPos: Boolean = false): DataFrame = {
     val m = cachedMeta
-    val full = target.add(SeqCol, "long")
+    val full0 = target.add(SeqCol, "long")
+    val full = if (withPos) full0.add(PosFileCol, "string").add(PosCol, "long") else full0
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    // physical row coordinates for position deletes come straight from
+    // the scan's metadata struct — no materialized pos column in files
+    val posCols = if (withPos)
+      Seq(col("_metadata.file_path").as(PosFileCol), col("_metadata.row_index").as(PosCol))
+    else Nil
     def readGroup(names: Seq[Option[String]], fs: Seq[String]): DataFrame = {
       val present = target.fields.zip(names).collect { case (f, Some(n)) => f.copy(name = n) }
       val readSchema = StructType(present.toArray).add(SeqCol, "long")
@@ -506,7 +582,7 @@ final class IceliteTable private (
         .select((target.fields.toSeq.zip(names).map {
           case (f, Some(n)) => col(n).as(f.name)
           case (f, None) => lit(null).cast(f.dataType).as(f.name)
-        } :+ col(SeqCol)): _*)
+        } :+ col(SeqCol)) ++ posCols: _*)
     }
     if (schemaOps(m.properties).forall(_.seq > asOf))
       readGroup(target.fieldNames.toSeq.map(Some(_)), files)
@@ -632,10 +708,22 @@ final class IceliteTable private (
     // metadata-only snapshots (evolve/evolve-spec) aging into the cold
     // window must not trigger a spurious full cold rewrite
     val coldWithFiles =
-      coldSnaps.filter(s => s.dataFiles.nonEmpty || s.deleteFiles.nonEmpty)
+      coldSnaps.filter(s =>
+        s.dataFiles.nonEmpty || s.deleteFiles.nonEmpty || s.posDeleteFiles.nonEmpty)
     if (coldWithFiles.isEmpty) return None
     if (coldWithFiles.size == 1 && coldWithFiles.head.operation == "rewrite-cold")
       return None
+    // a HOT position delete may target a COLD file by physical path;
+    // rewriting that file would dangle the coordinate and resurrect
+    // the row. Skip this cycle — the pos-delete commit ages into the
+    // cold window and folds on a later run (self-healing), or a full
+    // compact() folds everything now.
+    if (before.snapshots.exists(s => s.seq > cutoff && s.posDeleteFiles.nonEmpty)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"cold compaction of $name skipped: position-delete commit(s) newer than " +
+          s"cold cutoff $cutoff may target cold files — will fold once they age in")
+      return None
+    }
     // a cold rewrite stamps files with the CUTOFF seq but writes them
     // under the CURRENT schema names/shape; schema ops newer than the
     // cutoff would make epoch translation (and time travel) read those
@@ -646,8 +734,16 @@ final class IceliteTable private (
         s"cold compaction of $name: schema evolution newer than cold cutoff " +
           s"$cutoff — run a full compact() to migrate the layout first")
     val coldDataFiles = coldSnaps.flatMap(_.dataFiles)
+    // cold position deletes can only target cold files (a coordinate
+    // references a file that existed at its commit seq ≤ cutoff), so
+    // folding them here is complete; hot eq-deletes stay live and keep
+    // applying at read time, unchanged
+    val coldPosFiles = coldSnaps.flatMap(_.posDeleteFiles)
     val survivors = applyDeletes(
-      readFiles(coldDataFiles, withSeq = true),
+      applyPosDeletes(
+        readFilesAs(coldDataFiles, before.schema, Long.MaxValue,
+          withPos = coldPosFiles.nonEmpty),
+        coldPosFiles),
       coldSnaps.flatMap(_.deleteFiles))
       .select((before.schema.fieldNames :+ SeqCol).map(col).toSeq: _*)
       .cache()
@@ -1272,10 +1368,13 @@ final class IceliteTable private (
     else {
       val dataFiles = pruneConjunctive(m.snapshots, _.dataFiles, bounds)
       val delFiles = pruneConjunctive(m.snapshots, _.deleteFiles, bounds)
+      val posFiles = m.livePosDeleteFiles // coordinates carry no key stats — never pruned
       val rowBound = bounds.map { case (k, _, lo, hi) =>
         col(k) >= lit(lo) && col(k) <= lit(hi)
       }.reduce(_ && _)
-      applyDeletes(readFiles(dataFiles, withSeq = true).filter(rowBound), delFiles)
+      val data = readFilesAs(dataFiles, m.schema, Long.MaxValue,
+        withPos = posFiles.nonEmpty).filter(rowBound)
+      applyDeletes(applyPosDeletes(data, posFiles), delFiles)
         .select(m.schema.fieldNames.map(col).toSeq: _*)
     }
   }
@@ -1309,12 +1408,14 @@ final class IceliteTable private (
     val dt = addPartitionFields(m.schema, Seq(p)).fields.last.dataType
     // stored derived columns are ignored (projected away by the
     // reader); the transform is recomputed below from the base column
-    val data = readFilesAs(m.liveDataFiles.filter(keep.contains), m.schema, Long.MaxValue)
+    val posFiles = m.livePosDeleteFiles
+    val data = readFilesAs(m.liveDataFiles.filter(keep.contains), m.schema, Long.MaxValue,
+      withPos = posFiles.nonEmpty)
     val bounded = data
       .withColumn(partCol, transformColumn(p)._2)
       .filter(lower.map(lo => col(partCol) >= lit(lo).cast(dt)).getOrElse(lit(true)))
       .filter(upper.map(hi => col(partCol) <= lit(hi).cast(dt)).getOrElse(lit(true)))
-    applyDeletes(bounded, m.liveDeleteFiles)
+    applyDeletes(applyPosDeletes(bounded, posFiles), m.liveDeleteFiles)
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -1353,9 +1454,11 @@ final class IceliteTable private (
       lower.map(lo => col(zCol) >= lo).getOrElse(lit(true)) &&
         upper.map(hi => col(zCol) <= hi).getOrElse(lit(true))
     }.reduce(_ && _)
-    val data = readFiles(m.liveDataFiles.filter(keep.contains), withSeq = true)
+    val posFiles = m.livePosDeleteFiles
+    val data = readFilesAs(m.liveDataFiles.filter(keep.contains), m.schema, Long.MaxValue,
+      withPos = posFiles.nonEmpty)
       .filter(rowBound)
-    applyDeletes(data, m.liveDeleteFiles)
+    applyDeletes(applyPosDeletes(data, posFiles), m.liveDeleteFiles)
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -1461,6 +1564,14 @@ object IceliteTable {
   /** Changelog output columns ([[IceliteTable.readChanges]]). */
   val ChangeTypeCol = "_change_type"
   val CommitSeqCol = "_commit_seq"
+
+  /** Position-delete coordinate columns: the absolute file URI (what
+    * `_metadata.file_path` yields on the scan) and the row's index
+    * within that file (`_metadata.row_index`) — Iceberg v2's
+    * (file_path, pos) delete-file shape.
+    */
+  val PosFileCol = "_graft_pos_file"
+  val PosCol = "_graft_pos"
 
   /** Row-level outcome of a [[IceliteTable.merge]] commit. */
   final case class MergeStats(seq: Long, inserted: Long, updated: Long, deleted: Long)

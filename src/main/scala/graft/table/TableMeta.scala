@@ -14,11 +14,17 @@ import graft.config.PartitionConfig
   * docs/design.md "Merge-on-Read with equality deletes"): a delete file
   * at seq S removes every row with the same key written at seq < S;
   * data rows carry their writing seq in a hidden `_graft_seq` column.
+  *
+  * Position-delete semantics are Iceberg v2's second delete shape: a
+  * position-delete file holds (file_path, pos) coordinates of PHYSICAL
+  * rows; a coordinate removes exactly that row from every read whose
+  * snapshot scope includes the delete (time travel before the delete's
+  * seq still sees the row because the file is out of scope).
   */
 final case class Snapshot(
     seq: Long,
     timestampMs: Long,
-    operation: String, // append | upsert | delete | rewrite | evolve | truncate
+    operation: String, // append | upsert | delete | pos-delete | rewrite | evolve | truncate
     dataFiles: Seq[String],
     deleteFiles: Seq[String],
     recordCount: Long,
@@ -27,7 +33,12 @@ final case class Snapshot(
       * analog that lets the read path prune whole files from table
       * metadata alone, before any footer or data IO.
       */
-    fileStats: Map[String, Map[String, (String, String)]] = Map.empty)
+    fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
+    /** Position-delete files ((file_path, pos) coordinate parquet);
+      * last field with a default so pre-existing metadata (and
+      * positional constructor calls) parse/compile unchanged.
+      */
+    posDeleteFiles: Seq[String] = Nil)
 
 /** Full table state at one metadata version. Commit = atomic rename of
   * v{N+1}.json.tmp → v{N+1}.json; the failed renamer retries against the
@@ -49,6 +60,7 @@ final case class TableMeta(
     */
   def liveDataFiles: Seq[String] = snapshots.flatMap(_.dataFiles)
   def liveDeleteFiles: Seq[String] = snapshots.flatMap(_.deleteFiles)
+  def livePosDeleteFiles: Seq[String] = snapshots.flatMap(_.posDeleteFiles)
 
   def withSnapshot(s: Snapshot): TableMeta = copy(snapshots = snapshots :+ s)
 
@@ -97,6 +109,9 @@ object TableMeta {
       o.put("operation", s.operation); o.put("recordCount", s.recordCount)
       val df = o.putArray("dataFiles"); s.dataFiles.foreach(df.add)
       val del = o.putArray("deleteFiles"); s.deleteFiles.foreach(del.add)
+      if (s.posDeleteFiles.nonEmpty) {
+        val pdel = o.putArray("posDeleteFiles"); s.posDeleteFiles.foreach(pdel.add)
+      }
       if (s.fileStats.nonEmpty) {
         val fs = o.putObject("fileStats")
         s.fileStats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
@@ -133,6 +148,9 @@ object TableMeta {
           dataFiles = strings(o, "dataFiles"),
           deleteFiles = strings(o, "deleteFiles"),
           recordCount = o.get("recordCount").asLong(),
+          posDeleteFiles = Option(o.get("posDeleteFiles")).collect {
+            case a: ArrayNode => a.elements().asScala.map(_.asText()).toSeq
+          }.getOrElse(Nil),
           fileStats = Option(o.get("fileStats")).filter(_.isObject).map { fs =>
             fs.properties().asScala.map { fe =>
               fe.getKey -> fe.getValue.properties().asScala.map { ce =>

@@ -1,0 +1,106 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Position deletes (Iceberg v2's second delete shape,
+  * [[IceliteTable.deleteWhere]]): predicate deletes land as
+  * (file_path, pos) coordinate files, merge on read alongside
+  * equality deletes, respect time travel, fold under compaction, and
+  * block the changelog until folded.
+  */
+class IcelitePosDeleteSpec extends AnyFunSuite with SparkFixture {
+
+  private def wh(): String = Files.createTempDirectory("icelite-posdel").toString
+
+  private def rows(data: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    data.toDF("id", "grp", "score")
+  }
+
+  private def state(t: IceliteTable): Seq[(Long, String, Double)] =
+    t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+  test("deleteWhere removes exactly the matching visible rows, no rewrite") {
+    val t = IceliteTable.create(spark, wh(), "ns", "pd", rows().schema)
+    t.append(rows((1L, "a", 1.0), (2L, "a", 9.0), (3L, "b", 5.0), (4L, "b", 9.5)))
+    val filesBefore = t.meta.liveDataFiles.toSet
+    t.deleteWhere(col("score") > 8.0)
+    assert(t.meta.liveDataFiles.toSet == filesBefore) // MoR: no data rewrite
+    assert(t.meta.snapshots.last.operation == "pos-delete")
+    assert(t.meta.snapshots.last.recordCount == 2L)
+    assert(state(t) == Seq((1L, "a", 1.0), (3L, "b", 5.0)))
+  }
+
+  test("no-match predicate publishes no new snapshot") {
+    val t = IceliteTable.create(spark, wh(), "ns", "pd0", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    val seqBefore = t.meta.lastSeq
+    val snapsBefore = t.meta.snapshots.size
+    t.deleteWhere(col("score") > 100.0)
+    assert(t.meta.lastSeq == seqBefore && t.meta.snapshots.size == snapsBefore)
+  }
+
+  test("position + equality deletes compose; time travel sees pre-delete rows") {
+    val t = IceliteTable.create(spark, wh(), "ns", "pdmix", rows().schema)
+    t.upsert(rows((1L, "a", 1.0), (2L, "a", 9.0), (3L, "b", 5.0)), Seq("id"))
+    val preDelete = t.meta.lastSeq
+    t.deleteWhere(col("grp") === "a" && col("score") > 8.0) // pos-deletes id 2
+    t.delete(rows((3L, "b", 5.0)).select("id"), Seq("id"))  // eq-deletes id 3
+    assert(state(t) == Seq((1L, "a", 1.0)))
+    // upsert of a pos-deleted id is a fresh row (new physical position)
+    t.upsert(rows((2L, "a", 2.0)), Seq("id"))
+    assert(state(t) == Seq((1L, "a", 1.0), (2L, "a", 2.0)))
+    // travel before either delete: all three original rows
+    assert(t.readAt(preDelete).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("pruned key-range read honors position deletes") {
+    val t = IceliteTable.create(spark, wh(), "ns", "pdrange", rows().schema)
+    t.upsert(rows((1L, "a", 1.0), (2L, "a", 9.0), (3L, "b", 5.0)), Seq("id"))
+    t.deleteWhere(col("score") > 8.0)
+    val probe = rows((2L, "a", 0.0), (3L, "b", 0.0))
+    val got = t.readForKeyRange(probe.select("id"), Seq("id"))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L)) // id 2 pos-deleted; id 1 may prune, ids asked for are exact
+  }
+
+  test("full compact folds position deletes and re-enables the changelog") {
+    val t = IceliteTable.create(spark, wh(), "ns", "pdfold", rows().schema)
+    t.upsert(rows((1L, "a", 1.0), (2L, "a", 9.0), (3L, "b", 5.0)), Seq("id"))
+    t.deleteWhere(col("score") > 8.0)
+    intercept[IllegalStateException](t.readChanges(0L, t.meta.lastSeq))
+    val before = state(t)
+    t.compact(targetFileMB = 256)
+    assert(state(t) == before)
+    assert(t.meta.livePosDeleteFiles.isEmpty && t.meta.liveDeleteFiles.isEmpty)
+    val from = t.meta.lastSeq // fold point: consume increments after it
+    t.upsert(rows((4L, "c", 4.0)), Seq("id"))
+    assert(t.readChanges(from, t.meta.lastSeq)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("cold compaction skips while a hot pos-delete lives, folds after it ages in") {
+    val t = IceliteTable.create(spark, wh(), "ns", "pdcold", rows().schema)
+    t.append(rows((1L, "a", 1.0), (2L, "a", 9.0)))
+    t.append(rows((3L, "b", 5.0)))
+    t.deleteWhere(col("score") > 8.0) // hot (last commit)
+    // the pos-delete is within the hot window AND targets a cold file
+    assert(t.compactCold(keepHotCommits = 1).isEmpty)
+    assert(state(t) == Seq((1L, "a", 1.0), (3L, "b", 5.0)))
+    // two more commits age the pos-delete into the cold window
+    t.append(rows((4L, "c", 4.0)))
+    t.append(rows((5L, "c", 4.5)))
+    assert(t.compactCold(keepHotCommits = 2).nonEmpty)
+    assert(t.meta.livePosDeleteFiles.isEmpty) // folded
+    assert(state(t) ==
+      Seq((1L, "a", 1.0), (3L, "b", 5.0), (4L, "c", 4.0), (5L, "c", 4.5)))
+  }
+}
