@@ -1,12 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
 import graft.Tables.t
 import graft.config._
-import graft.sync.{ChangeStreamSync, CheckpointStore, InitialSync}
+import graft.sync.{ChangeStreamSync, CheckpointStore, InitialSync, SyncOrchestrator}
 import graft.table.IceliteTable
 
 /** The CDC sync pipeline itself as an oracle-gated query: chunked
@@ -174,6 +174,102 @@ object SyncQueries {
       |  WHERE b._id IS NULL AND s.o_orderkey % 2 = 0
       |) ORDER BY _id""".stripMargin
 
+  /** Multi-collection concurrent orchestration
+    * ([[SyncOrchestrator.syncAll]], reference thread model
+    * docs/design.md: one worker per collection, independent
+    * checkpoints) as an oracle-gated query: TWO collections (orders +
+    * customer subsets) are written as jsonl fixtures with their own
+    * change logs, synced CONCURRENTLY through the full production
+    * path — schema inference, chunked initial sync, streaming change
+    * drain, per-collection checkpoints — and both final MoR states are
+    * gated row-level against DuckDB recomputing them relationally.
+    * Previously spec-only (the concurrency spec asserts isolation;
+    * this gates end-state correctness).
+    */
+  def syncAllCollections(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("syncall-src")
+    val wh = graft.util.Scratch.dir("syncall-wh")
+    def writeJsonl(df: DataFrame, path: String): Unit =
+      df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
+        .coalesce(1).write.text(path)
+
+    val orders = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(17)) === 0)
+      .select(format_string("%012d", col("o_orderkey")).as("_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val cust = t(spark, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(13)) === 0)
+      .select(format_string("%012d", col("c_custkey")).as("_id"),
+        col("c_custkey"), col("c_acctbal"))
+    writeJsonl(orders, s"$root/shop/orders.jsonl")
+    writeJsonl(cust, s"$root/shop/customer.jsonl")
+
+    // per-collection change logs (seq = key: unique total order);
+    // update and delete key sets are disjoint so the oracle is a
+    // single CASE per collection
+    def updates(src: DataFrame, key: String, doc: Column): DataFrame = src
+      .select(col(key).as("seq"), lit("update").as("op"), col("_id"),
+        doc.as("fullDocument"))
+    def deletes(src: DataFrame, key: String): DataFrame = src
+      .select(col(key).as("seq"), lit("delete").as("op"), col("_id"),
+        lit(null).cast("string").as("fullDocument"))
+    val oEvents = updates(
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0 &&
+          pmod(col("o_orderkey"), lit(5)) =!= 0),
+        "o_orderkey",
+        to_json(struct(col("_id"), col("o_orderkey"),
+          (col("o_totalprice") + 7.25).as("o_totalprice"))))
+      .unionByName(deletes(
+        orders.filter(pmod(col("o_orderkey"), lit(5)) === 0), "o_orderkey"))
+    val cEvents = updates(
+        cust.filter(pmod(col("c_custkey"), lit(3)) === 0 &&
+          pmod(col("c_custkey"), lit(7)) =!= 0),
+        "c_custkey",
+        to_json(struct(col("_id"), col("c_custkey"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))))
+      .unionByName(deletes(
+        cust.filter(pmod(col("c_custkey"), lit(7)) === 0), "c_custkey"))
+    def writeEvents(ev: DataFrame, path: String): Unit =
+      ev.select(to_json(struct(col("seq"), col("op"), col("_id"),
+        col("fullDocument"))).as("value"))
+        .coalesce(1).write.text(path)
+    writeEvents(oEvents, s"$root/shop/orders.changes")
+    writeEvents(cEvents, s"$root/shop/customer.changes")
+
+    val cfg = SyncConfig(
+      MongoConfig(root, "shop"),
+      IcebergConfig(CatalogConfig("local", warehouse = Some(wh))),
+      SyncSection(Seq(
+        CollectionSyncConfig(SourceConfig("orders"), TargetConfig("analytics", "orders_all")),
+        CollectionSyncConfig(SourceConfig("customer"), TargetConfig("analytics", "customer_all")))))
+    val tables = new SyncOrchestrator(spark, cfg, wh)
+      .syncAll(graft.util.Scratch.dir("syncall-ck"), parallelism = 2)
+
+    val o = tables("analytics.orders_all").read()
+      .select(lit("orders").as("collection"), col("_id"),
+        col("o_totalprice").as("val"))
+    val c = tables("analytics.customer_all").read()
+      .select(lit("customer").as("collection"), col("_id"),
+        col("c_acctbal").as("val"))
+    o.unionByName(c).orderBy("collection", "_id")
+  }
+
+  private val syncAllOracle =
+    """WITH o AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
+      |    CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0
+      |         THEN o_totalprice + 7.25 ELSE o_totalprice END AS val
+      |  FROM orders WHERE o_orderkey % 17 = 0 AND o_orderkey % 5 <> 0),
+      |c AS (
+      |  SELECT lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS _id,
+      |    CASE WHEN c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+      |         THEN c_acctbal + 100.0 ELSE c_acctbal END AS val
+      |  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0)
+      |SELECT 'orders' AS collection, _id, val FROM o
+      |UNION ALL
+      |SELECT 'customer', _id, val FROM c
+      |ORDER BY collection, _id""".stripMargin
+
   /** Both Iceberg v2 MoR delete shapes in one table lifecycle, gated
     * end to end: orders land via keyed upsert, an EQUALITY delete
     * retires a key set, then a POSITION delete
@@ -292,6 +388,8 @@ object SyncQueries {
       "mid-stream add-column evolution: new post-image field widens the table, nulls backfill"),
     GraftQuery("sync_pipeline", syncPipeline _, Some(syncPipelineOracle),
       "end-to-end CDC sync: initial sync + change batch + MoR view"),
+    GraftQuery("sync_all", syncAllCollections _, Some(syncAllOracle),
+      "concurrent multi-collection orchestration: independent checkpoints, gated end states"),
     GraftQuery("table_changes", tableChanges _, Some(tableChangesOracle),
       "CDF changelog read: update pre/post pairs + deletes with preimages"),
     GraftQuery("table_pos_delete", tablePosDelete _, Some(tablePosDeleteOracle),
