@@ -976,9 +976,27 @@ final class IceliteTable private (
       .filter(op => op.seq > fileSeq && op.seq <= asOfSeq)
       .foldLeft(Option(targetName)) {
         case (Some(n), SchemaOp.Rename(from, to, _)) if to == n => Some(from)
-        case (Some(n), SchemaOp.Add(name, _)) if name == n => None
+        // an Add kills pre-add bytes ONLY when the name had a previous
+        // life (reborn column): fresh first-time adds leave no bytes in
+        // pre-add files, so the plain schema-fill read is already
+        // null-correct and the flat single-scan fast path survives —
+        // a table that only ever ADDS columns never pays a group split
+        case (Some(n), SchemaOp.Add(name, opSeq)) if name == n =>
+          if (hadPreviousLife(n, opSeq)) None else Some(n)
         case (acc, _) => acc
       }
+
+  /** A name has a PREVIOUS LIFE before `beforeSeq` iff an earlier op
+    * shows files may physically store bytes under it: it was dropped,
+    * or renamed away. (A name cannot be added twice without one of
+    * those in between, so this is complete.)
+    */
+  private def hadPreviousLife(n: String, beforeSeq: Long): Boolean =
+    schemaOps(cachedMeta.properties).exists(op => op.seq < beforeSeq && (op match {
+      case SchemaOp.Drop(name, _, _, _) => name == n
+      case SchemaOp.Rename(from, _, _) => from == n
+      case _ => false
+    }))
 
   /** Partition-spec evolution (Iceberg's headline metadata-only spec
     * change): NEW writes cluster and collect stats under `newParts`;

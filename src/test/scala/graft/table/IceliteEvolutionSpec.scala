@@ -152,6 +152,27 @@ class IceliteEvolutionSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq((1L, "old-a", None), (2L, "new-b", Some("new-a"))))
   }
 
+  test("fresh first-time add keeps the flat single-scan read (no union), nulls backfill") {
+    import org.apache.spark.sql.types._
+    val t = IceliteTable.create(spark, wh(), "ns", "freshadd", schema3)
+    t.append(rows3("note", (1L, 1.0, "a"), (2L, 2.0, "b")))
+    t.addColumns(StructType(Seq(StructField("tier", StringType))))
+    t.append(rows3("note", (3L, 3.0, "c")).withColumn("tier", lit("T1")))
+    val df = t.read()
+    // fresh add = no previous life: pre-add files have no bytes under
+    // the name, so schema-fill null is correct and the read stays ONE
+    // flat multi-file scan — no per-epoch group split, no Union
+    assert(!df.queryExecution.executedPlan.toString.contains("Union"),
+      "a first-time column add forced the read off the single-scan fast path")
+    assert(df.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("tier")))).toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some("T1"))))
+    // rollback to before the add (append=1, add=2) still removes the
+    // column exactly — fresh adds stay in the op log for this
+    t.rollbackTo(1)
+    assert(!t.schema.fieldNames.contains("tier"))
+  }
+
   test("rollback removes later-added columns (exact toSeq schema)") {
     val t = IceliteTable.create(spark, wh(), "ns", "rbadd", schema3)
     val s1 = t.append(rows3("note", (1L, 1.0, "a")))
