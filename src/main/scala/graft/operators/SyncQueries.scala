@@ -174,6 +174,74 @@ object SyncQueries {
       |  WHERE b._id IS NULL AND s.o_orderkey % 2 = 0
       |) ORDER BY _id""".stripMargin
 
+  /** Snapshot refs (branches/tags) gated end to end: an orders subset
+    * lands via upsert, a TAG pins that state, a later upsert mutates
+    * and deletes rows, a BRANCH fast-forwards to head — then both ref
+    * reads are emitted side by side ([[IceliteTable.readRef]]) and
+    * DuckDB recomputes each state relationally. Proves refs read
+    * through the same MoR time-travel path the seq API uses.
+    */
+  def tableRefs(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("refs-query")
+    val base = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(19)) === 0)
+      .select(format_string("%012d", col("o_orderkey")).as("_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_refs", base.schema)
+    table.upsert(base, Seq("_id"))
+    table.createTag("v1", table.meta.lastSeq)
+    table.createBranch("audit")
+    table.upsert(base.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 50.0), Seq("_id"))
+    table.delete(base.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select("_id"), Seq("_id"))
+    table.fastForward("audit")
+    table.readRef("v1").select(lit("v1").as("ref"), col("_id"),
+        col("o_totalprice").as("val"))
+      .unionByName(table.readRef("audit").select(lit("audit").as("ref"),
+        col("_id"), col("o_totalprice").as("val")))
+      .orderBy("ref", "_id")
+  }
+
+  private val tableRefsOracle =
+    """WITH base AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
+      |         o_orderkey AS k, o_totalprice AS val
+      |  FROM orders WHERE o_orderkey % 19 = 0)
+      |SELECT 'audit' AS ref, _id,
+      |  CASE WHEN k % 2 = 0 THEN val + 50.0 ELSE val END AS val
+      |FROM base WHERE k % 3 <> 0
+      |UNION ALL
+      |SELECT 'v1', _id, val FROM base
+      |ORDER BY ref, _id""".stripMargin
+
+  /** The `partitions` metadata table gated end to end: orders land in
+    * a month-partitioned icelite table, a key set is MoR-deleted, and
+    * [[IceliteTable.partitionsTable]]'s per-partition record counts
+    * (exact, merge-on-read) are checked against DuckDB grouping the
+    * same surviving rows by the same transform.
+    */
+  def tablePartitions(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("parts-query")
+    val src = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_parts", src.schema,
+      partitioning = Seq(PartitionConfig("o_orderdate", "month")))
+    table.upsert(src, Seq("o_orderkey"))
+    table.delete(src.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select("o_orderkey"), Seq("o_orderkey"))
+    table.partitionsTable()
+      .select(col(IceliteTable.partColName(PartitionConfig("o_orderdate", "month")))
+        .as("month"), col("record_count"))
+      .orderBy("month")
+  }
+
+  private val tablePartitionsOracle =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |       count(*) AS record_count
+      |FROM orders WHERE o_orderkey % 5 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Multi-collection concurrent orchestration
     * ([[SyncOrchestrator.syncAll]], reference thread model
     * docs/design.md: one worker per collection, independent
@@ -392,6 +460,10 @@ object SyncQueries {
       "concurrent multi-collection orchestration: independent checkpoints, gated end states"),
     GraftQuery("table_changes", tableChanges _, Some(tableChangesOracle),
       "CDF changelog read: update pre/post pairs + deletes with preimages"),
+    GraftQuery("table_refs", tableRefs _, Some(tableRefsOracle),
+      "snapshot branches/tags: tag pins state, branch fast-forwards, both gated"),
+    GraftQuery("table_partitions", tablePartitions _, Some(tablePartitionsOracle),
+      "partitions metadata table: exact MoR per-partition record counts"),
     GraftQuery("table_pos_delete", tablePosDelete _, Some(tablePosDeleteOracle),
       "equality + position deletes merged on read (Iceberg v2 delete shapes)"),
     GraftQuery("table_merge", tableMerge _, Some(tableMergeOracle),

@@ -882,6 +882,148 @@ final class IceliteTable private (
         else head.properties + (SchemaOpsProp -> SchemaOp.render(keptOps))), seq)
   }
 
+  // ------------------------------------------- refs (branches / tags)
+
+  /** Create an immutable TAG on a retained snapshot (Iceberg's
+    * snapshot tags): a named bookmark read back via [[readRef]].
+    * Metadata-only — refs live in table properties and no snapshot is
+    * created. Refs inherit [[readAt]]'s retention trade: history
+    * collapsed by a rewrite (compaction/truncate) EXPIRES refs
+    * pointing into it, and [[readRef]] then fails with an explicit
+    * error — the analog of Iceberg reading an expired snapshot.
+    */
+  def createTag(name: String, seq: Long): Unit = putRef(name, "tag", seq)
+
+  /** Create a movable BRANCH ref (default: at the current head).
+    * Branches advance with [[fastForward]]; divergent branch WRITES
+    * are not supported — icelite's snapshot log is linear (a branch is
+    * a movable bookmark, like a git branch that only fast-forwards).
+    */
+  def createBranch(name: String, atSeq: Option[Long] = None): Unit =
+    putRef(name, "branch", atSeq.getOrElse(cachedMeta.lastSeq))
+
+  /** Advance a branch ref to the current head (Iceberg's
+    * fast_forward). Tags are immutable — fast-forwarding one throws.
+    */
+  def fastForward(refName: String): Unit = {
+    refs.get(refName) match {
+      case None => throw new IllegalArgumentException(s"no ref '$refName' on $name")
+      case Some(("tag", _)) =>
+        throw new IllegalArgumentException(s"ref '$refName' of $name is a tag (immutable)")
+      case Some(_) => ()
+    }
+    retryCommit { head =>
+      (head.copy(properties =
+        head.properties + (RefPropPrefix + refName -> s"branch:${head.lastSeq}")),
+        head.lastSeq)
+    }
+    ()
+  }
+
+  def dropRef(refName: String): Unit = {
+    retryCommit { head =>
+      if (!head.properties.contains(RefPropPrefix + refName))
+        throw new IllegalArgumentException(s"no ref '$refName' on $name")
+      (head.copy(properties = head.properties - (RefPropPrefix + refName)), head.lastSeq)
+    }
+    ()
+  }
+
+  /** Table state at a named ref — [[readAt]] of the ref's seq, with an
+    * explicit error when the referenced history has expired (rewrite/
+    * truncate collapsed it) or was erased (rollback below the ref).
+    */
+  def readRef(refName: String): DataFrame = {
+    val (_, seq) = refs.getOrElse(refName,
+      throw new IllegalArgumentException(s"no ref '$refName' on $name"))
+    val m = cachedMeta
+    // refs are created only at retained snapshot seqs, so an absent
+    // seq means the referenced state is no longer reconstructable:
+    // collapsed by a rewrite/truncate, or erased by a rollback
+    if (!m.snapshots.exists(_.seq == seq)) {
+      val how =
+        if (m.snapshots.headOption.forall(_.seq > seq))
+          "has expired (compaction/truncate collapsed it)"
+        else "was erased (rollback or cold rewrite removed the commit)"
+      throw new IllegalStateException(
+        s"ref '$refName' of $name points at seq $seq whose history $how " +
+          "— drop or re-point the ref")
+    }
+    readAt(seq)
+  }
+
+  /** All named refs: name → (type, seq). */
+  def refs: Map[String, (String, Long)] =
+    cachedMeta.properties.collect {
+      case (k, v) if k.startsWith(RefPropPrefix) =>
+        val Array(tpe, seq) = v.split(":", 2)
+        k.stripPrefix(RefPropPrefix) -> (tpe, seq.toLong)
+    }
+
+  /** Refs as a metadata table (name, type, seq) — no data IO. */
+  def refsTable(): DataFrame = {
+    import spark.implicits._
+    refs.toSeq.map { case (n, (t, s)) => (n, t, s) }.sortBy(_._1)
+      .toDF("name", "type", "seq")
+  }
+
+  private def putRef(refName: String, tpe: String, seq: Long): Unit = {
+    require(refName.matches("[A-Za-z0-9._-]+"),
+      s"ref name '$refName' must match [A-Za-z0-9._-]+")
+    retryCommit { head =>
+      if (head.properties.contains(RefPropPrefix + refName))
+        throw new IllegalArgumentException(s"ref '$refName' already exists on $name")
+      if (!head.snapshots.exists(_.seq == seq))
+        throw new IllegalArgumentException(
+          s"ref '$refName': seq $seq is not a retained snapshot of $name " +
+            s"(have ${head.snapshots.map(_.seq).mkString(", ")})")
+      (head.copy(properties =
+        head.properties + (RefPropPrefix + refName -> s"$tpe:$seq")), head.lastSeq)
+    }
+    ()
+  }
+
+  // --------------------------------------- partitions metadata table
+
+  /** Iceberg's `partitions` metadata table: one row per live partition
+    * value of the current spec with its exact MoR `record_count` and
+    * `file_count` = live data files whose footer-stat range may hold
+    * the value (exact when each file covers one value; conservative —
+    * never undercounting — for hash-packed files spanning several).
+    * Record counts are one scan of the MoR view column-pruned to the
+    * partition SOURCE columns (there are no manifests to sum here);
+    * file counts are pure metadata via the same comparator the range
+    * reader prunes with. Unpartitioned tables report one table row.
+    */
+  def partitionsTable(): DataFrame = {
+    import spark.implicits._
+    val m = cachedMeta
+    if (m.partitioning.isEmpty)
+      return Seq(("<unpartitioned>", read().count(), m.liveDataFiles.size.toLong))
+        .toDF("partition", "record_count", "file_count")
+    requireSessionTz(m.partitioning)
+    val pcols = m.partitioning.map(transformColumn)
+    var v = read().select(m.partitioning.map(p => col(p.field)): _*)
+    pcols.foreach { case (n, c) => v = v.withColumn(n, c) }
+    val counts = v.groupBy(pcols.map(p => col(p._1)): _*)
+      .agg(count(lit(1)).as("record_count"))
+      .collect() // bounded: one row per live partition value
+    val rows = counts.map { r =>
+      val values = pcols.indices.map(i => Option(r.get(i)).map(_.toString).orNull)
+      val keep = pcols.zipWithIndex.map { case ((n, _), i) =>
+        pruneDataFiles(n, Option(values(i)), Option(values(i))).toSet
+      }.reduce(_ intersect _)
+      org.apache.spark.sql.Row.fromSeq(
+        values ++ Seq(r.getLong(pcols.size), keep.size.toLong))
+    }
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val schema = StructType(
+      pcols.map(p => StructField(p._1, StringType)) ++
+        Seq(StructField("record_count", LongType), StructField("file_count", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /** Metadata-only column RENAME (Iceberg's field-ID rename: no file is
     * rewritten). Files written before the rename store the column under
     * its old name; the read path translates per file epoch, so
@@ -1604,6 +1746,11 @@ object IceliteTable {
     * files away).
     */
   val DeleteKeyColumnsProp = "graft.delete.key.columns"
+
+  /** Property-key prefix for named snapshot refs (branches/tags):
+    * `graft.ref.<name>` = `"tag:<seq>"` | `"branch:<seq>"`.
+    */
+  val RefPropPrefix = "graft.ref."
 
   /** Stat-string comparison under the column's declared comparator:
     * numeric for int transforms (year/bucket) and integral key

@@ -1,0 +1,101 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.config.PartitionConfig
+
+/** Named snapshot refs (branches/tags) and the `partitions` metadata
+  * table — the table-layer surfaces after rollback: metadata-only ref
+  * CRUD, time-travel reads through refs, explicit expiry when a
+  * rewrite collapses the referenced history, and exact MoR partition
+  * record counts.
+  */
+class IceliteRefsSpec extends AnyFunSuite with SparkFixture {
+
+  private def wh(): String = Files.createTempDirectory("icelite-refs").toString
+
+  private def rows(data: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    data.toDF("id", "grp", "score")
+  }
+
+  test("tag and branch: create, read, fast-forward, drop; refsTable lists them") {
+    val t = IceliteTable.create(spark, wh(), "ns", "refs", rows().schema)
+    t.upsert(rows((1L, "a", 1.0), (2L, "a", 2.0)), Seq("id"))
+    t.createTag("v1", t.meta.lastSeq)
+    t.createBranch("audit") // at head = v1's seq
+    t.upsert(rows((2L, "a", 9.0), (3L, "b", 3.0)), Seq("id"))
+
+    // the tag and the un-advanced branch both read the OLD state
+    assert(t.readRef("v1").orderBy("id").collect().map(_.getDouble(2)).toSeq ==
+      Seq(1.0, 2.0))
+    assert(t.readRef("audit").orderBy("id").collect().map(_.getDouble(2)).toSeq ==
+      Seq(1.0, 2.0))
+    // fast-forward moves the branch to head; the tag stays immutable
+    t.fastForward("audit")
+    assert(t.readRef("audit").orderBy("id").collect().map(_.getDouble(2)).toSeq ==
+      Seq(1.0, 9.0, 3.0))
+    intercept[IllegalArgumentException](t.fastForward("v1"))
+    assert(t.refsTable().collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("audit", "branch"), ("v1", "tag")))
+    t.dropRef("v1")
+    assert(t.refs.keySet == Set("audit"))
+    intercept[IllegalArgumentException](t.readRef("v1"))
+  }
+
+  test("ref validation: duplicates, unknown seqs, bad names rejected") {
+    val t = IceliteTable.create(spark, wh(), "ns", "refsv", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    t.createTag("v1", 1L)
+    intercept[IllegalArgumentException](t.createTag("v1", 1L))       // duplicate
+    intercept[IllegalArgumentException](t.createTag("v2", 99L))      // not a snapshot
+    intercept[IllegalArgumentException](t.createTag("bad name", 1L)) // invalid name
+    intercept[IllegalArgumentException](t.dropRef("nope"))
+  }
+
+  test("refs into collapsed or erased history fail explicitly") {
+    val t = IceliteTable.create(spark, wh(), "ns", "refse", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    t.createTag("old", 1L)
+    t.append(rows((2L, "a", 2.0)))
+    t.compact(targetFileMB = 256) // collapses history: tag expires
+    val e = intercept[IllegalStateException](t.readRef("old"))
+    assert(e.getMessage.contains("expired"))
+    // a branch above a rolled-back head is erased, not silently head
+    t.append(rows((3L, "b", 3.0)))
+    t.createBranch("future") // at head
+    t.rollbackTo(t.meta.snapshots.head.seq)
+    val e2 = intercept[IllegalStateException](t.readRef("future"))
+    assert(e2.getMessage.contains("rollback"))
+  }
+
+  test("partitions metadata table: exact MoR record counts per partition value") {
+    import spark.implicits._
+    val src = Seq(
+      (1L, "2024-01-05", 1.0), (2L, "2024-01-20", 2.0),
+      (3L, "2024-02-01", 3.0), (4L, "2024-03-10", 4.0))
+      .toDF("id", "d", "score").withColumn("d", col("d").cast("date"))
+    val t = IceliteTable.create(spark, wh(), "ns", "parts", src.schema,
+      partitioning = Seq(PartitionConfig("d", "month")))
+    t.upsert(src, Seq("id"))
+    t.delete(Seq(2L).toDF("id"), Seq("id")) // MoR: count reflects the delete
+    val got = t.partitionsTable().orderBy(col(IceliteTable.partColName(
+      PartitionConfig("d", "month")))).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("2024-01", 1L), ("2024-02", 1L), ("2024-03", 1L)))
+    // file_count is never below 1 for a populated partition
+    assert(t.partitionsTable().collect().forall(_.getLong(2) >= 1L))
+  }
+
+  test("partitions metadata table: unpartitioned tables report one row") {
+    val t = IceliteTable.create(spark, wh(), "ns", "parts0", rows().schema)
+    t.append(rows((1L, "a", 1.0), (2L, "b", 2.0)))
+    val got = t.partitionsTable().collect()
+    assert(got.length == 1 && got.head.getLong(1) == 2L)
+  }
+}
