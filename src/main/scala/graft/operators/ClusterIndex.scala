@@ -3,6 +3,7 @@ package graft.operators
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.table.IceliteTable
 
@@ -14,14 +15,19 @@ import graft.table.IceliteTable
   * maintains them as tables; re-clustering per query is the difference
   * between an index read and a full corpus sweep per invocation.
   *
-  * Layout (warehouse `cidx` namespace), one table per parameter point:
+  * Layout (warehouse `cidx` namespace), one pair per parameter point:
   *  - `assign_k{k}_i{iters}(vec_id, cid)` — final-round spherical
   *    k-means assignments ([[Clustering.assignments]]), keyed by the
   *    (k, iters) that produced them: `dedup_semantic` (corpus-scaled k)
   *    and `kmeans_clusters` ([[Clustering.K]]) read their own points;
+  *  - `centroids_k{k}_i{iters}(cid, i, cval)` — the centroids that
+  *    final round ran against: the FROZEN model [[appendVectors]]
+  *    assigns later batches under (broadcast join, no Lloyd re-run);
   *  - `ivf_cells(vec_id, c_label, cell_rank)` — the IVF ranked cell
   *    assignment ([[Similarity]]): rank-1 rows are corpus cell
-  *    membership, rank ≤ nprobe rows are query probe sets.
+  *    membership, rank ≤ nprobe rows are query probe sets;
+  *  - `ivf_centroids(c_label, i, cval)` — the frozen IVF cell model
+  *    for incremental cell assignment.
   *
   * The clustering passes are DETERMINISTIC (decimal accumulation,
   * seeded from the first k vec_ids, total-order tiebreaks), so the
@@ -49,63 +55,121 @@ object ClusterIndex {
   private val served = new graft.util.IndexMemo[DataFrame](16)(_.unpersist(false))
 
   private def assignTable(k: Int, iters: Int) = s"assign_k${k}_i$iters"
+  private def centroidTable(k: Int, iters: Int) = s"centroids_k${k}_i$iters"
 
   /** Persisted k-means assignments (vec_id, cid) for this parameter
     * point — what [[Dedup.semanticDedup]] and
     * [[Clustering.kmeansClusters]] consume as their blocking key.
     */
-  def assignments(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
-    read(spark, dir, assignTable(k, iters))(
-      Clustering.assignments(spark, dir, k, iters))
+  def assignments(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    ensurePoint(spark, dir, k, iters)
+    readTable(spark, dir, assignTable(k, iters))
+  }
+
+  /** Persisted final-round centroids (cid, i, cval) for this parameter
+    * point — the frozen model [[appendVectors]] assigns new batches
+    * against.
+    */
+  def centroids(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    ensurePoint(spark, dir, k, iters)
+    readTable(spark, dir, centroidTable(k, iters))
+  }
 
   /** Persisted IVF ranked cell assignment (vec_id, c_label, cell_rank)
     * — what [[Similarity.topkIvf]] consumes for corpus cells + probes.
     */
-  def ivfCells(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "ivf_cells")(Similarity.ivfRankedCells(spark, dir))
+  def ivfCells(spark: SparkSession, dir: String): DataFrame = {
+    ensureIvf(spark, dir)
+    readTable(spark, dir, "ivf_cells")
+  }
+
+  /** Registered k-means parameter points for dataset `dir`: the report
+    * K and the ingest-frozen corpus-scaled semantic-dedup k.
+    */
+  private def points(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
+    val semK = Dedup.semK(graft.Tables.t(spark, dir, "embeddings").count())
+    Seq((Clustering.K, Clustering.Iters), (semK, Clustering.Iters)).distinct
+  }
 
   /** Ingest step: materialize every registered parameter point for
     * dataset `dir` (kmeans report k, semantic-dedup corpus-scaled k,
-    * IVF cells) — [[graft.Bench]] runs this untimed as setup, exactly
-    * like a real deployment clusters embeddings when they land, not
-    * when the first semantic query arrives.
+    * IVF cells + centroids) — [[graft.Bench]] runs this untimed as
+    * setup, exactly like a real deployment clusters embeddings when
+    * they land, not when the first semantic query arrives.
     */
   def ensureBuilt(spark: SparkSession, dir: String): Unit = {
-    ensureTable(spark, dir, assignTable(Clustering.K, Clustering.Iters))(
-      Clustering.assignments(spark, dir, Clustering.K, Clustering.Iters))
-    val semK = Dedup.semK(graft.Tables.t(spark, dir, "embeddings").count())
-    ensureTable(spark, dir, assignTable(semK, Clustering.Iters))(
-      Clustering.assignments(spark, dir, semK, Clustering.Iters))
-    ensureTable(spark, dir, "ivf_cells")(Similarity.ivfRankedCells(spark, dir))
+    points(spark, dir).foreach { case (k, i) => ensurePoint(spark, dir, k, i) }
+    ensureIvf(spark, dir)
   }
 
-  /** Memoized cached read of one index table, building it first if this
-    * JVM has not yet (first use outside the ingest step).
+  /** INCREMENTAL maintenance: a new embeddings batch (vec_id, label,
+    * embedding) gets cluster assignments and IVF cells under the
+    * FROZEN persisted centroids — one broadcast join per table, no
+    * Lloyd re-run, no corpus scan — and the rows are appended to the
+    * index tables (centroids refresh by re-running the build on the
+    * ingest cadence, the standard ANN maintenance pattern). The served
+    * read memos invalidate so this session sees the appended rows.
     */
-  private def read(spark: SparkSession, dir: String, table: String)(
-      build: => DataFrame): DataFrame =
+  def appendVectors(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val wh = warehouseFor(dir)
+    points(spark, dir).foreach { case (k, i) =>
+      ensurePoint(spark, dir, k, i)
+      val assigned = Clustering.assignBatch(batch, centroids(spark, dir, k, i))
+      IceliteTable.load(spark, wh, Ns, assignTable(k, i)).append(assigned)
+      served.invalidate(spark, s"$dir#${assignTable(k, i)}")
+    }
+    ensureIvf(spark, dir)
+    val e = batch.select(col("vec_id"), col("embedding"),
+      Dedup.decimalNormSq(col("embedding")).as("nsq"))
+    val cells = Similarity.rankCellsUnder(e, readTable(spark, dir, "ivf_centroids"))
+    IceliteTable.load(spark, wh, Ns, "ivf_cells").append(cells)
+    served.invalidate(spark, s"$dir#ivf_cells")
+  }
+
+  /** Memoized cached read of one EXISTING index table. */
+  private def readTable(spark: SparkSession, dir: String, table: String): DataFrame =
     served.getOrElseUpdate(spark, s"$dir#$table") {
-      ensureTable(spark, dir, table)(build).read().cache()
+      IceliteTable.load(spark, warehouseFor(dir), Ns, table).read().cache()
     }
 
   private def warehouseFor(dir: String): String = warehouses.synchronized {
     warehouses.getOrElseUpdate(dir, graft.util.Scratch.dir("cluster-index"))
   }
 
-  /** Create-once icelite table holding `build`'s result (one corpus
-    * clustering job at ingest; a plain table read afterwards).
+  /** Create-once per parameter point: ONE Lloyd chain feeds BOTH the
+    * assignments and the centroids table, so the persisted pair is
+    * consistent by construction.
     */
-  private def ensureTable(spark: SparkSession, dir: String, table: String)(
-      build: => DataFrame): IceliteTable = synchronized {
+  private def ensurePoint(spark: SparkSession, dir: String, k: Int, iters: Int): Unit =
+    synchronized {
+      val wh = warehouseFor(dir)
+      val at = assignTable(k, iters)
+      val ct = centroidTable(k, iters)
+      val haveA = IceliteTable.exists(spark, wh, Ns, at)
+      val haveC = IceliteTable.exists(spark, wh, Ns, ct)
+      if (!haveA || !haveC) {
+        builds.incrementAndGet()
+        val (a, c) = Clustering.assignmentsAndCentroids(spark, dir, k, iters)
+        if (!haveA) IceliteTable.create(spark, wh, Ns, at, a.schema).append(a)
+        if (!haveC) IceliteTable.create(spark, wh, Ns, ct, c.schema).append(c)
+      }
+    }
+
+  /** Create-once IVF pair: cells + the frozen per-label centroids. */
+  private def ensureIvf(spark: SparkSession, dir: String): Unit = synchronized {
     val wh = warehouseFor(dir)
-    if (IceliteTable.exists(spark, wh, Ns, table))
-      IceliteTable.load(spark, wh, Ns, table)
-    else {
+    val haveCells = IceliteTable.exists(spark, wh, Ns, "ivf_cells")
+    val haveCent = IceliteTable.exists(spark, wh, Ns, "ivf_centroids")
+    if (!haveCells || !haveCent) {
       builds.incrementAndGet()
-      val df = build
-      val t = IceliteTable.create(spark, wh, Ns, table, df.schema)
-      t.append(df)
-      t
+      if (!haveCent) {
+        val c = Similarity.ivfCentroids(spark, dir)
+        IceliteTable.create(spark, wh, Ns, "ivf_centroids", c.schema).append(c)
+      }
+      if (!haveCells) {
+        val cells = Similarity.ivfRankedCells(spark, dir)
+        IceliteTable.create(spark, wh, Ns, "ivf_cells", cells.schema).append(cells)
+      }
     }
   }
 }

@@ -88,32 +88,86 @@ object Clustering {
   def assignments(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
     assignmentsWithBase(spark, dir, k, iters)._2
 
+  /** (vec_id, label, nsq, i, val) element explode of a norm-carrying
+    * embeddings frame — the relational shape every pass here runs on.
+    */
+  private def elemsOf(e: DataFrame): DataFrame = e
+    .select(col("vec_id"), col("label"), col("nsq"),
+      posexplode(col("embedding")).as(Seq("i0", "v")))
+    .select(col("vec_id"), col("label"), col("nsq"),
+      (col("i0") + 1).as("i"), col("v").cast("double").as("val"))
+
+  /** Assignment of exploded elements under EXPLICIT centroids (cid, i,
+    * cval) + norms (cid, c_nsq): exact-decimal dot, one division,
+    * argmax by (cos desc, cid asc). Shared by the Lloyd loop and the
+    * incremental batch path ([[assignBatch]]) so both are bit-identical
+    * by construction.
+    */
+  private def assignUnder(elems: DataFrame, c: DataFrame, cn: DataFrame): DataFrame = {
+    val cos = elems.join(broadcast(c), "i")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("val") * col("cval")).cast(Dec)).cast("double").as("cdot"),
+        first(col("nsq")).as("nsq"))
+      .join(broadcast(cn), "cid")
+      .select(col("vec_id"), col("cid"),
+        (col("cdot") / (sqrt(col("nsq")) * sqrt(col("c_nsq")))).as("cos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("cid"))
+    cos.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "cid")
+  }
+
+  private def normsOf(c: DataFrame): DataFrame =
+    c.groupBy(col("cid"))
+      .agg(sum((col("cval") * col("cval")).cast(Dec)).cast("double").as("c_nsq"))
+
+  /** The centroids (cid, i, cval) the FINAL assignment round ran
+    * against — what [[ClusterIndex]] persists so later batches assign
+    * incrementally under frozen centroids instead of re-running Lloyd.
+    */
+  def finalCentroids(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
+    chain(spark, dir, k, iters)._3
+
+  /** Final assignments AND the centroids they were computed under,
+    * from ONE chain — what [[ClusterIndex]] materializes per
+    * parameter point (persisting them together guarantees the pair is
+    * consistent without relying on two deterministic replays).
+    */
+  def assignmentsAndCentroids(
+      spark: SparkSession, dir: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val (_, a, c) = chain(spark, dir, k, iters)
+    (a, c)
+  }
+
+  /** Assign a NEW vector batch (vec_id, label, embedding) under FROZEN
+    * centroids — the incremental index-maintenance path: embeddings
+    * landing after ingest get cluster assignments from one broadcast
+    * of the k×dims centroid table against a linear batch scan; nobody
+    * re-clusters the corpus. (Centroids are refreshed by periodically
+    * re-running the build, the standard ANN/SemDeDup maintenance
+    * cadence.)
+    */
+  def assignBatch(batch: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = batch.select(col("vec_id"), col("label"), col("embedding"),
+      Dedup.decimalNormSq(col("embedding")).as("nsq"))
+    assignUnder(elemsOf(e), centroids, normsOf(centroids))
+  }
+
   private def assignmentsWithBase(
       spark: SparkSession, dir: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val (e, a, _) = chain(spark, dir, k, iters)
+    (e, a)
+  }
+
+  /** The full Lloyd chain: returns (embeddings+norms, final
+    * assignments, the centroids that final assignment used).
+    */
+  private def chain(
+      spark: SparkSession, dir: String, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0 (got k=$k, iters=$iters)")
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
         Dedup.decimalNormSq(col("embedding")).as("nsq"))
-    val elems = e
-      .select(col("vec_id"), col("label"), col("nsq"),
-        posexplode(col("embedding")).as(Seq("i0", "v")))
-      .select(col("vec_id"), col("label"), col("nsq"),
-        (col("i0") + 1).as("i"), col("v").cast("double").as("val"))
-
-    // assignment under centroids (cid, i, cval) + norms (cid, c_nsq):
-    // exact-decimal dot, one division, argmax by (cos desc, cid asc)
-    def assign(c: DataFrame, cn: DataFrame): DataFrame = {
-      val cos = elems.join(broadcast(c), "i")
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum((col("val") * col("cval")).cast(Dec)).cast("double").as("cdot"),
-          first(col("nsq")).as("nsq"))
-        .join(broadcast(cn), "cid")
-        .select(col("vec_id"), col("cid"),
-          (col("cdot") / (sqrt(col("nsq")) * sqrt(col("c_nsq")))).as("cos"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("cid"))
-      cos.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("vec_id", "cid")
-    }
+    val elems = elemsOf(e)
 
     // new centroids = exact-decimal component sums of the members; the
     // norm table derives from the centroid table, so callers checkpoint
@@ -121,9 +175,6 @@ object Clustering {
     def update(a: DataFrame): DataFrame =
       elems.join(a, "vec_id").groupBy(col("cid"), col("i"))
         .agg(sum(col("val").cast(Dec)).cast("double").as("cval"))
-    def normsOf(c: DataFrame): DataFrame =
-      c.groupBy(col("cid"))
-        .agg(sum((col("cval") * col("cval")).cast(Dec)).cast("double").as("c_nsq"))
 
     var c = elems.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("i"), col("val").as("cval"))
@@ -131,13 +182,13 @@ object Clustering {
       .select(col("vec_id").as("cid"), col("nsq").as("c_nsq"))
     var a: DataFrame = null
     for (r <- 1 to iters) {
-      a = assign(c, cn)
+      a = assignUnder(elems, c, cn)
       if (r < iters) { // the last round's centroids are never used
         c = update(a).localCheckpoint(true) // ONE materialization per round
         cn = normsOf(c) // k rows over the checkpointed frame — no second job
       }
     }
-    (e, a)
+    (e, a, c)
   }
 
   /** The Lloyd rounds unrolled as a DuckDB CTE chain, ending at the

@@ -299,27 +299,45 @@ object Similarity {
     * are bit-identical to an inline recompute — [[ClusterIndexSpec]]
     * proves it and the DuckDB oracle replays the same pipeline.
     */
-  def ivfRankedCells(spark: SparkSession, dir: String): DataFrame = {
+  def ivfRankedCells(spark: SparkSession, dir: String): DataFrame =
+    rankCellsUnder(embWithNorms(spark, dir), ivfCentroids(spark, dir))
+
+  /** The frozen IVF cell model: per-label centroid component sums
+    * (c_label, i, cval) over the corpus — exact decimal accumulation
+    * (sums stand in for means because cosine is scale-invariant).
+    * Persisted by [[ClusterIndex]] so later batches rank cells without
+    * touching the corpus.
+    */
+  def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
     val Dec = "decimal(38,20)"
-    val e = embWithNorms(spark, dir)
-
-    // all centroid/assignment arithmetic is RELATIONAL (explode → join
-    // → decimal hash-agg): the decimal sums run inside whole-stage
-    // codegen, unlike a per-row interpreted array fold, and the shape
-    // is byte-for-byte the oracle's CTE pipeline
-    val elems = e
-      .select(col("vec_id"), col("label"), col("nsq"),
-        posexplode(col("embedding")).as(Seq("i0", "v")))
-      .select(col("vec_id"), col("label"), col("nsq"),
-        (col("i0") + 1).as("i"), col("v").cast("double").as("val"))
-
-    // centroid[i] = exact decimal component sum per label (see above:
-    // sums stand in for means because cosine is scale-invariant)
-    val celems = elems.groupBy(col("label").as("c_label"), col("i"))
+    // all centroid arithmetic is RELATIONAL (explode → decimal
+    // hash-agg): the decimal sums run inside whole-stage codegen,
+    // unlike a per-row interpreted array fold, and the shape is
+    // byte-for-byte the oracle's CTE pipeline
+    embWithNorms(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select(col("label").as("c_label"), (col("i0") + 1).as("i"),
+        col("v").cast("double").as("val"))
+      .groupBy(col("c_label"), col("i"))
       .agg(sum(col("val").cast(Dec)).cast("double").as("cval"))
+  }
+
+  /** Ranked cell assignment (vec_id, c_label, cell_rank) of arbitrary
+    * norm-carrying vectors under EXPLICIT centroids — shared by the
+    * corpus build and the incremental batch path
+    * ([[ClusterIndex.appendVectors]]), so both are bit-identical by
+    * construction: one broadcast of the cells×dims centroid table
+    * against a linear scan of the vectors.
+    */
+  private[operators] def rankCellsUnder(e: DataFrame, celems: DataFrame): DataFrame = {
+    val Dec = "decimal(38,20)"
+    val elems = e
+      .select(col("vec_id"), col("nsq"),
+        posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select(col("vec_id"), col("nsq"),
+        (col("i0") + 1).as("i"), col("v").cast("double").as("val"))
     val cnorms = celems.groupBy(col("c_label"))
       .agg(sum((col("cval") * col("cval")).cast(Dec)).cast("double").as("c_nsq"))
-
     // vec × cell exact-decimal cosine, ranked per vec (label-asc ties)
     val cellcos = elems.join(broadcast(celems), "i")
       .groupBy(col("vec_id"), col("c_label"))

@@ -43,6 +43,47 @@ class ClusterIndexSpec extends AnyFunSuite with SparkFixture {
     assert(ranked1 == persisted.map(_._1))
   }
 
+  test("incremental assignment under frozen centroids is bit-identical to the build's") {
+    // re-assigning the corpus itself under the persisted centroids
+    // must reproduce the persisted assignments exactly — the final
+    // Lloyd round IS assignment under these centroids
+    val corpus = graft.Tables.t(spark, dir, "embeddings")
+    val persisted = assignRows(
+      ClusterIndex.assignments(spark, dir, Clustering.K, Clustering.Iters))
+    val re = assignRows(Clustering.assignBatch(corpus,
+      ClusterIndex.centroids(spark, dir, Clustering.K, Clustering.Iters)))
+    assert(re == persisted)
+    // same property for the IVF side
+    import org.apache.spark.sql.functions._
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      Dedup.decimalNormSq(col("embedding")).as("nsq"))
+    val reCells = cellRows(Similarity.rankCellsUnder(e,
+      Similarity.ivfCentroids(spark, dir)))
+    assert(reCells == cellRows(ClusterIndex.ivfCells(spark, dir)))
+  }
+
+  test("appendVectors: a new batch lands in every index table without a rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    ClusterIndex.ensureBuilt(spark, dir)
+    val before = ClusterIndex.builds.get()
+    val maxId = graft.Tables.t(spark, dir, "embeddings")
+      .agg(max("vec_id")).collect().head.getLong(0)
+    val dims = graft.Tables.t(spark, dir, "embeddings")
+      .select(size(col("embedding"))).collect().head.getInt(0)
+    val batch = Seq((maxId + 1, 0), (maxId + 2, 1)).toDF("vec_id", "label")
+      .withColumn("embedding",
+        array((1 to dims).map(i => (lit(1.0f) / lit(i.toFloat))): _*).cast("array<float>"))
+    ClusterIndex.appendVectors(spark, dir, batch)
+    assert(ClusterIndex.builds.get() == before,
+      "incremental append must not re-run a clustering build")
+    val a = ClusterIndex.assignments(spark, dir, Clustering.K, Clustering.Iters)
+    assert(a.filter(col("vec_id") > maxId).count() == 2)
+    val cells = ClusterIndex.ivfCells(spark, dir)
+      .filter(col("vec_id") > maxId && col("cell_rank") === 1)
+    assert(cells.count() == 2)
+  }
+
   test("index tables build once and every consumer reads them back") {
     ClusterIndex.ensureBuilt(spark, dir)
     val after = ClusterIndex.builds.get()
