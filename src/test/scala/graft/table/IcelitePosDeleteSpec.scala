@@ -72,6 +72,20 @@ class IcelitePosDeleteSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq(3L)) // id 2 pos-deleted; id 1 may prune, ids asked for are exact
   }
 
+  test("pos-delete merge plans as a BROADCAST anti-join; no-pos reads carry no pos columns") {
+    val t = IceliteTable.create(spark, wh(), "ns", "pdplan", rows().schema)
+    t.append(rows((1L, "a", 1.0), (2L, "a", 9.0)))
+    // before any pos delete: the scan must NOT pay for row coordinates
+    val before = t.read().queryExecution.executedPlan.toString
+    assert(!before.contains("_graft_pos"),
+      "a table without position deletes read row coordinates anyway")
+    t.deleteWhere(col("score") > 8.0)
+    val plan = t.read().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"position-delete merge must broadcast the coordinate set:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("full compact folds position deletes and re-enables the changelog") {
     val t = IceliteTable.create(spark, wh(), "ns", "pdfold", rows().schema)
     t.upsert(rows((1L, "a", 1.0), (2L, "a", 9.0), (3L, "b", 5.0)), Seq("id"))
