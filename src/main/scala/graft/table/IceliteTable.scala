@@ -461,6 +461,18 @@ final class IceliteTable private (
   /** MoR survivor filter shared by every read path: a row survives
     * unless some delete for its key carries a later seq.
     */
+  /** Delete-side join strategy guard: the MoR merge broadcasts the
+    * aggregated delete set while its at-rest bytes stay under this
+    * bound, and falls back to a shuffle join past it — a churn-heavy
+    * table between compactions must degrade to a (correct, slower)
+    * shuffle, not blow the executor broadcast limit. Compaction folds
+    * deletes away and restores the broadcast path.
+    */
+  private[table] var maxBroadcastDeleteBytes: Long = 256L << 20
+
+  private def deleteSide(dels: DataFrame, files: Seq[String]): DataFrame =
+    if (estimateBytes(files) <= maxBroadcastDeleteBytes) broadcast(dels) else dels
+
   private def applyDeletes(data: DataFrame, deleteFiles: Seq[String]): DataFrame =
     if (deleteFiles.isEmpty) data
     else {
@@ -468,23 +480,23 @@ final class IceliteTable private (
       val dels = spark.read.parquet(deleteFiles.map(abs): _*)
         .groupBy(keyCols.map(col): _*)
         .agg(max(col(SeqCol)).as("_max_del_seq"))
-      data.join(broadcast(dels), keyCols, "left")
+      data.join(deleteSide(dels, deleteFiles), keyCols, "left")
         .filter(col("_max_del_seq").isNull || col(SeqCol) >= col("_max_del_seq"))
         .drop("_max_del_seq")
     }
 
   /** Remove position-deleted PHYSICAL rows: anti-join on the
     * (file_path, pos) coordinates carried by the scan (`data` must
-    * have been read `withPos`). Coordinate sets are tiny relative to
+    * have been read `withPos`). Coordinate sets are small relative to
     * data (bounded by rows ever point-deleted), so the delete side
-    * broadcasts — same shape as the equality side.
+    * broadcasts under the same size guard as the equality side.
     */
   private def applyPosDeletes(data: DataFrame, posDeleteFiles: Seq[String]): DataFrame =
     if (posDeleteFiles.isEmpty) data
     else {
       val dels = spark.read.parquet(posDeleteFiles.map(abs): _*)
         .select(col(PosFileCol), col(PosCol)).dropDuplicates(PosFileCol, PosCol)
-      data.join(broadcast(dels), Seq(PosFileCol, PosCol), "left_anti")
+      data.join(deleteSide(dels, posDeleteFiles), Seq(PosFileCol, PosCol), "left_anti")
     }
 
   private def readSnapshots(snaps: Seq[Snapshot]): DataFrame =
