@@ -164,9 +164,10 @@ object Clustering {
   private def chain(
       spark: SparkSession, dir: String, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0 (got k=$k, iters=$iters)")
-    val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"),
-        Dedup.decimalNormSq(col("embedding")).as("nsq"))
+    // the SESSION-cached norm-carrying frame ([[Similarity.embWithNorms]]):
+    // every assign/update job of every chain reuses one materialized
+    // norm fold instead of re-reading + re-folding the parquet per job
+    val e = Similarity.embWithNorms(spark, dir)
     val elems = elemsOf(e)
 
     // new centroids = exact-decimal component sums of the members; the
