@@ -174,6 +174,47 @@ object SyncQueries {
       |  WHERE b._id IS NULL AND s.o_orderkey % 2 = 0
       |) ORDER BY _id""".stripMargin
 
+  /** Write-audit-publish gated end to end
+    * ([[IceliteTable.stageAppend]]): a curated batch stages invisibly,
+    * the audit reads the exact staged bytes (here: a row-count +
+    * negative-price gate), the good batch publishes atomically and a
+    * failing batch is discarded without trace — the ingestion-audit
+    * workflow Iceberg ships as WAP. DuckDB recomputes the published
+    * state: base ∪ the batch that passed the audit, nothing from the
+    * discarded one.
+    */
+  def tableWap(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("wap-query")
+    def subset(mod: Int) = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(mod)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_wap", subset(7).schema)
+    table.append(subset(7))
+    // batch 1: clean — audit passes, publish
+    val good = table.stageAppend(
+      subset(11).filter(pmod(col("o_orderkey"), lit(7)) =!= 0))
+    val audit1 = table.readStaged(good)
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("mn")).collect().head
+    require(audit1.getLong(0) > 0 && audit1.getDouble(1) >= 0.0, "audit gate failed")
+    table.publishStaged(good)
+    // batch 2: poisoned (negated prices) — audit fails, discard
+    val bad = table.stageAppend(
+      subset(13).withColumn("o_totalprice", -col("o_totalprice")))
+    val audit2 = table.readStaged(bad)
+      .agg(min(col("o_totalprice")).as("mn")).collect().head
+    require(audit2.getDouble(0) < 0.0) // the poison is visible ONLY to the audit
+    table.discardStaged(bad)
+    table.read().orderBy("o_orderkey")
+  }
+
+  private val tableWapOracle =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey % 7 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Snapshot refs (branches/tags) gated end to end: an orders subset
     * lands via upsert, a TAG pins that state, a later upsert mutates
     * and deletes rows, a BRANCH fast-forwards to head — then both ref
@@ -460,6 +501,8 @@ object SyncQueries {
       "concurrent multi-collection orchestration: independent checkpoints, gated end states"),
     GraftQuery("table_changes", tableChanges _, Some(tableChangesOracle),
       "CDF changelog read: update pre/post pairs + deletes with preimages"),
+    GraftQuery("table_wap", tableWap _, Some(tableWapOracle),
+      "write-audit-publish: staged invisible, audited exactly, atomic publish/discard"),
     GraftQuery("table_refs", tableRefs _, Some(tableRefsOracle),
       "snapshot branches/tags: tag pins state, branch fast-forwards, both gated"),
     GraftQuery("table_partitions", tablePartitions _, Some(tablePartitionsOracle),

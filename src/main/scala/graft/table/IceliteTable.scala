@@ -806,8 +806,14 @@ final class IceliteTable private (
     val fs = fileSystem()
     val now = System.currentTimeMillis()
     refresh() // GC against the latest published head, not a stale cache
-    val live = (cachedMeta.liveDataFiles ++ cachedMeta.liveDeleteFiles)
-      .map(f => f.split('/').take(2).mkString("/")).toSet // data/<uuid> | deletes/<uuid>
+    // live = every file shape the head references (data, equality
+    // deletes, POSITION deletes) plus STAGED appends awaiting their
+    // audit (unreferenced by the head by design — a live staged
+    // manifest shields its data dir from GC until publish/discard)
+    val live = (cachedMeta.liveDataFiles ++ cachedMeta.liveDeleteFiles ++
+      cachedMeta.livePosDeleteFiles)
+      .map(f => f.split('/').take(2).mkString("/")).toSet ++ // data/<uuid> | deletes/<uuid>
+      stagedIds.map(id => s"data/$id").toSet
     Seq("data", "deletes").foreach { sub =>
       val dir = new Path(s"$location/$sub")
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
@@ -892,6 +898,116 @@ final class IceliteTable private (
       properties =
         if (keptOps.isEmpty) head.properties - SchemaOpsProp
         else head.properties + (SchemaOpsProp -> SchemaOp.render(keptOps))), seq)
+  }
+
+  // --------------------------------------- write-audit-publish (WAP)
+
+  /** STAGE an append without publishing (Iceberg's write-audit-publish
+    * workflow): the data files land under `data/<stageId>` and a
+    * staged manifest records them, but no snapshot is committed —
+    * [[read]] does not see staged rows. Audit the exact staged bytes
+    * with [[readStaged]], then [[publishStaged]] (atomic metadata-only
+    * snapshot attach: the files are never rewritten) or
+    * [[discardStaged]].
+    *
+    * Staged files are stamped with the seq they will publish at
+    * (head.lastSeq + 1, recorded in the manifest), and publish REFUSES
+    * if any other commit claimed that seq meanwhile (re-stage). That
+    * restriction keeps MoR LWW seq semantics exact without a
+    * publish-time rewrite — rows can never carry a seq from before
+    * they existed, so an interleaved delete can't incorrectly erase
+    * them. (Iceberg's wap.id cherry-pick allows reordering because its
+    * sequence numbers live in manifest metadata, not rows.)
+    */
+  def stageAppend(df: DataFrame): String = {
+    refresh()
+    val head = cachedMeta
+    val stageId = s"stage-${UUID.randomUUID()}"
+    val seq = head.lastSeq + 1
+    val statKeys = keyStatColumns(tableKeyColumns(head.properties), head.schema)
+    val (files, count, stats) = writeDataFiles(
+      conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq)),
+      stageId, head.partitioning, nFiles = None, extraStatCols = statKeys.toMap)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("expectedSeq", seq); root.put("recordCount", count)
+    val farr = root.putArray("files"); files.foreach(farr.add)
+    val fs = root.putObject("fileStats")
+    stats.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+      val fo = fs.putObject(f)
+      cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        val co = fo.putObject(c); co.put("min", mn); co.put("max", mx)
+      }
+    }
+    writeString(fileSystem(), stagedManifestPath(stageId), root.toPrettyString)
+    stageId
+  }
+
+  /** The staged rows exactly as they will publish (the audit view). */
+  def readStaged(stageId: String): DataFrame = {
+    val (_, _, files, _) = stagedManifest(stageId)
+    readFilesAs(files, cachedMeta.schema, Long.MaxValue)
+      .select(cachedMeta.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Atomically attach a staged append as the next snapshot. Fails if
+    * another commit claimed the staged seq (re-stage and re-audit).
+    */
+  def publishStaged(stageId: String): Long = {
+    val (expectedSeq, count, files, stats) = stagedManifest(stageId)
+    val seq = retryCommit { head =>
+      if (head.lastSeq + 1 != expectedSeq)
+        throw new IllegalStateException(
+          s"staged $stageId of $name expected to publish at seq $expectedSeq " +
+            s"but the head moved to ${head.lastSeq} — discard and re-stage")
+      (head.withSnapshot(Snapshot(expectedSeq, System.currentTimeMillis(), "append",
+        files, Nil, count, stats)), expectedSeq)
+    }
+    fileSystem().delete(stagedManifestPath(stageId), false)
+    seq
+  }
+
+  /** Drop a staged append: delete its files and manifest; the table is
+    * untouched (nothing was ever visible).
+    */
+  def discardStaged(stageId: String): Unit = {
+    stagedManifest(stageId) // existence check with a clear error
+    val fs = fileSystem()
+    fs.delete(new Path(s"$location/data/$stageId"), true)
+    fs.delete(stagedManifestPath(stageId), false)
+  }
+
+  /** Stage ids awaiting publish/discard (operational visibility). */
+  def stagedIds: Seq[String] = {
+    val fs = fileSystem()
+    val md = new Path(s"$location/metadata")
+    if (!fs.exists(md)) Nil
+    else fs.listStatus(md).map(_.getPath.getName)
+      .filter(n => n.startsWith("staged-stage-") && n.endsWith(".json"))
+      .map(_.stripPrefix("staged-").stripSuffix(".json")).toSeq.sorted
+  }
+
+  private def stagedManifestPath(stageId: String): Path =
+    new Path(s"$location/metadata/staged-$stageId.json")
+
+  private def stagedManifest(stageId: String)
+      : (Long, Long, Seq[String], Map[String, Map[String, (String, String)]]) = {
+    val fs = fileSystem()
+    val p = stagedManifestPath(stageId)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"no staged append '$stageId' on $name (published or discarded already?)")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readString(fs, p))
+    import scala.jdk.CollectionConverters._
+    val files = root.get("files").elements().asScala.map(_.asText()).toSeq
+    val stats = Option(root.get("fileStats")).filter(_.isObject).map { fsNode =>
+      fsNode.properties().asScala.map { fe =>
+        fe.getKey -> fe.getValue.properties().asScala.map { ce =>
+          ce.getKey -> (ce.getValue.get("min").asText(), ce.getValue.get("max").asText())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, (String, String)]])
+    (root.get("expectedSeq").asLong(), root.get("recordCount").asLong(), files, stats)
   }
 
   // ------------------------------------------- refs (branches / tags)

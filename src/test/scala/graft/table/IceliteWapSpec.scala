@@ -1,0 +1,74 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Write-audit-publish ([[IceliteTable.stageAppend]]): staged files
+  * are invisible until an atomic metadata-only publish, auditable as
+  * exact bytes, discardable without trace, protected from GC, and
+  * seq-exact (publish refuses when another commit claimed the staged
+  * seq).
+  */
+class IceliteWapSpec extends AnyFunSuite with SparkFixture {
+
+  private def wh(): String = Files.createTempDirectory("icelite-wap").toString
+
+  private def rows(data: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    data.toDF("id", "grp", "score")
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.orderBy("id").collect().map(_.getLong(0)).toSeq
+
+  test("stage → audit → publish: invisible until the atomic attach") {
+    val t = IceliteTable.create(spark, wh(), "ns", "wap", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    val stage = t.stageAppend(rows((2L, "b", 2.0), (3L, "b", 3.0)))
+    assert(ids(t.read()) == Seq(1L))            // staged rows invisible
+    assert(ids(t.readStaged(stage)) == Seq(2L, 3L)) // audit sees exact rows
+    assert(t.stagedIds == Seq(stage))
+    val seq = t.publishStaged(stage)
+    assert(ids(t.read()) == Seq(1L, 2L, 3L))
+    assert(t.meta.lastSeq == seq && t.stagedIds.isEmpty)
+    intercept[IllegalArgumentException](t.publishStaged(stage)) // once only
+  }
+
+  test("discard leaves no trace") {
+    val t = IceliteTable.create(spark, wh(), "ns", "wapd", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    val stage = t.stageAppend(rows((2L, "b", 2.0)))
+    t.discardStaged(stage)
+    assert(ids(t.read()) == Seq(1L) && t.stagedIds.isEmpty)
+    intercept[IllegalArgumentException](t.readStaged(stage))
+  }
+
+  test("publish refuses when another commit claimed the staged seq") {
+    val t = IceliteTable.create(spark, wh(), "ns", "wapc", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    val stage = t.stageAppend(rows((2L, "b", 2.0)))
+    t.append(rows((9L, "z", 9.0))) // interleaved commit takes the seq
+    val e = intercept[IllegalStateException](t.publishStaged(stage))
+    assert(e.getMessage.contains("re-stage"))
+    t.discardStaged(stage)
+    assert(ids(t.read()) == Seq(1L, 9L))
+  }
+
+  test("GC spares staged appends and committed position-delete files") {
+    val t = IceliteTable.create(spark, wh(), "ns", "wapgc", rows().schema)
+    t.append(rows((1L, "a", 1.0), (2L, "a", 9.0)))
+    t.deleteWhere(col("score") > 8.0) // committed pos-delete file
+    val stage = t.stageAppend(rows((3L, "b", 3.0)))
+    t.expireSnapshots(keepVersions = 1, orphanGraceMs = 0L) // aggressive GC
+    // the pos delete still applies (its file survived GC)...
+    assert(ids(t.read()) == Seq(1L))
+    // ...and the staged append is still publishable
+    t.publishStaged(stage)
+    assert(ids(t.read()) == Seq(1L, 3L))
+  }
+}
