@@ -402,6 +402,41 @@ object SyncQueries {
     table.read().orderBy("o_orderkey")
   }
 
+  /** Keyless row-level UPDATE ([[IceliteTable.updateWhere]]) gated end
+    * to end: one commit position-deletes the matching old images and
+    * appends the mutated ones (all set-expressions against the
+    * PRE-update row); DuckDB recomputes the same final state with a
+    * CASE projection. Composes with a later equality delete to prove
+    * the update's new rows carry the update commit's seq.
+    */
+  def tableUpdateWhere(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("updw-query")
+    val base = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(23)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_updw", base.schema)
+    table.upsert(base, Seq("o_orderkey"))
+    table.updateWhere(
+      col("o_orderpriority") === "1-URGENT" && col("o_totalprice") < 100000.0,
+      Map("o_totalprice" -> (col("o_totalprice") * 1.1),
+        "o_orderstatus" -> lit("U")))
+    table.delete(base.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select("o_orderkey"), Seq("o_orderkey"))
+    table.read().orderBy("o_orderkey")
+  }
+
+  private val tableUpdateWhereOracle =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice < 100000.0
+      |       THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |  o_orderpriority,
+      |  CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice < 100000.0
+      |       THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 23 = 0 AND o_orderkey % 5 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   private val tablePosDeleteOracle =
     """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
       |FROM orders
@@ -509,6 +544,8 @@ object SyncQueries {
       "partitions metadata table: exact MoR per-partition record counts"),
     GraftQuery("table_pos_delete", tablePosDelete _, Some(tablePosDeleteOracle),
       "equality + position deletes merged on read (Iceberg v2 delete shapes)"),
+    GraftQuery("table_update_where", tableUpdateWhere _, Some(tableUpdateWhereOracle),
+      "keyless UPDATE WHERE: pos-delete old images + mutated append, one commit"),
     GraftQuery("table_merge", tableMerge _, Some(tableMergeOracle),
       "MERGE INTO: conditional update/delete/insert + column-level UPDATE SET in one commit"),
     GraftQuery("zorder_scan", zorderScan _, Some(zorderScanOracle),

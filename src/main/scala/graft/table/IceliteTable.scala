@@ -900,6 +900,49 @@ final class IceliteTable private (
         else head.properties + (SchemaOpsProp -> SchemaOp.render(keptOps))), seq)
   }
 
+  /** Row-level UPDATE WHERE for keyless tables (Iceberg v2 UPDATE):
+    * one commit position-deletes every visible row matching the
+    * predicate AND appends the mutated images (`set` column → new
+    * expression, evaluated against the pre-update row). Keyed tables
+    * have [[merge]]; this is the shape an engine emits when there is
+    * no key to equality-delete on. MoR both ways: neither the old
+    * files nor anything else is rewritten.
+    */
+  def updateWhere(condition: Column, set: Map[String, Column]): Long = retryCommit { head =>
+    set.keys.foreach { c =>
+      if (!head.schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(s"update of $name: unknown column '$c'")
+    }
+    val seq = head.lastSeq + 1
+    val commitId = UUID.randomUUID().toString
+    val data = readFilesAs(head.snapshots.flatMap(_.dataFiles), head.schema,
+      Long.MaxValue, withPos = true)
+    val visible = applyDeletes(
+      applyPosDeletes(data, head.snapshots.flatMap(_.posDeleteFiles)),
+      head.snapshots.flatMap(_.deleteFiles))
+    val matching = visible.filter(condition).cache()
+    try {
+      if (matching.isEmpty) (head, head.lastSeq)
+      else {
+        // coordinates of the old images → position-delete file
+        val out = s"$location/deletes/$commitId"
+        matching.select(col(PosFileCol), col(PosCol)).withColumn(SeqCol, lit(seq))
+          .write.mode("errorifexists").parquet(out)
+        // mutated images → data file (stamped with this commit's seq)
+        val statKeys = keyStatColumns(tableKeyColumns(head.properties), head.schema)
+        // one simultaneous projection: every set-expression sees the
+        // PRE-update row (SQL UPDATE semantics), never a half-applied one
+        val updated = matching.select(head.schema.fieldNames.toSeq.map(n =>
+          set.get(n).map(_.as(n)).getOrElse(col(n))): _*)
+        val (files, count, stats) = writeDataFiles(
+          conformToSchema(updated, head.schema).withColumn(SeqCol, lit(seq)),
+          commitId, head.partitioning, nFiles = None, extraStatCols = statKeys.toMap)
+        (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "update",
+          files, Nil, count, stats, posDeleteFiles = listParquet(out))), seq)
+      }
+    } finally matching.unpersist()
+  }
+
   // --------------------------------------- write-audit-publish (WAP)
 
   /** STAGE an append without publishing (Iceberg's write-audit-publish

@@ -120,6 +120,27 @@ class IcelitePosDeleteSpec extends AnyFunSuite with SparkFixture {
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
+  test("updateWhere: keyless row update = pos-delete + mutated append in ONE commit") {
+    val t = IceliteTable.create(spark, wh(), "ns", "pdupd", rows().schema)
+    t.append(rows((1L, "a", 1.0), (2L, "a", 9.0), (3L, "b", 9.5)))
+    val preUpdate = t.meta.lastSeq
+    t.updateWhere(col("score") > 8.0,
+      Map("score" -> (col("score") * 2.0), "grp" -> concat(col("grp"), lit("+"))))
+    assert(t.meta.snapshots.last.operation == "update")
+    assert(state(t) == Seq((1L, "a", 1.0), (2L, "a+", 18.0), (3L, "b+", 19.0)))
+    // one commit: time travel to just before shows the originals
+    assert(t.readAt(preUpdate).orderBy("id").collect().map(_.getDouble(2)).toSeq ==
+      Seq(1.0, 9.0, 9.5))
+    // set-expressions see the PRE-update row (grp mutated from old grp,
+    // score from old score — not from each other's outputs)
+    t.updateWhere(col("id") === 1L, Map("grp" -> lit("z"), "score" -> (col("score") + 1.0)))
+    assert(state(t).head == ((1L, "z", 2.0)))
+    // no-match update publishes nothing
+    val seqBefore = t.meta.lastSeq
+    t.updateWhere(col("score") > 1e9, Map("grp" -> lit("x")))
+    assert(t.meta.lastSeq == seqBefore)
+  }
+
   test("cold compaction skips while a hot pos-delete lives, folds after it ages in") {
     val t = IceliteTable.create(spark, wh(), "ns", "pdcold", rows().schema)
     t.append(rows((1L, "a", 1.0), (2L, "a", 9.0)))
