@@ -255,9 +255,79 @@ object Hygiene {
        |FROM red WHERE n_emails + n_phones > 0
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- semantic decontamination
+
+  /** Flagging threshold for embedding-level decontamination: corpus
+    * vectors whose cosine to ANY eval vector reaches this are
+    * suspicious (chosen to be non-vacuous on the synthetic fixtures at
+    * every SF; a production suite tunes it per eval benchmark).
+    */
+  val SemDecontamThreshold = 0.35
+
+  /** EMBEDDING-level decontamination — the semantic complement of the
+    * n-gram overlap audit ([[decontamOverlap]]): a paraphrased eval
+    * item shares no 5-grams but still sits next to the benchmark in
+    * embedding space. Corpus vectors are scored against the eval set
+    * (vec_id < [[Similarity.NumQueries]], standing in for an embedded
+    * eval suite) and every (vector, #eval hits, max cosine) at or over
+    * [[SemDecontamThreshold]] is reported.
+    *
+    * Scale: the eval side is tiny by construction → broadcast; the
+    * corpus is touched ONCE, scan-local, with the same two-phase
+    * scoring as the dedup family (codegen float prefilter with a guard
+    * band, exact-decimal rescore of survivors only — the filter is the
+    * selective step, so almost nothing reaches the decimal path).
+    */
+  def decontamSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecExpressions.floatDot
+    import Dedup.decimalDot
+    val e = Similarity.embWithNorms(spark, dir)
+    val eval = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nsq").as("q_nsq"))
+    e.filter(col("vec_id") >= Similarity.NumQueries)
+      .crossJoin(broadcast(eval))
+      .filter(floatDot(col("q_emb"), col("embedding")) /
+        (sqrt(col("q_nsq")) * sqrt(col("nsq"))) >= SemDecontamThreshold - 1e-6)
+      .select(col("vec_id"),
+        round(decimalDot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cos"))
+      .filter(col("cos") >= SemDecontamThreshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  private val decontamSemanticOracle =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |elems AS (
+       |  SELECT vec_id, embedding[i] AS val, i FROM e,
+       |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+       |norms AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS nsq
+       |  FROM elems GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT c.vec_id AS vec_id, q.vec_id AS q_id,
+       |    CAST(sum(CAST(CAST(c.val AS DOUBLE) * CAST(q.val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM elems c JOIN elems q ON c.i = q.i
+       |    AND q.vec_id < ${Similarity.NumQueries} AND c.vec_id >= ${Similarity.NumQueries}
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT p.vec_id,
+       |    round(dot / (sqrt(nc.nsq) * sqrt(nq.nsq)), 12) AS cos
+       |  FROM pairs p
+       |  JOIN norms nc ON p.vec_id = nc.vec_id
+       |  JOIN norms nq ON p.q_id = nq.vec_id)
+       |SELECT vec_id, count(*) AS n_eval_hits, max(cos) AS max_cos
+       |FROM cos WHERE cos >= $SemDecontamThreshold
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("decontam_semantic", decontamSemantic _, Some(decontamSemanticOracle),
+      "embedding-level decontamination: corpus vs broadcast eval set, two-phase cosine"),
     GraftQuery("decontam_overlap", decontamOverlap _, Some(decontamOverlapOracle),
       "benchmark decontamination: corpus shingle index vs broadcast eval-suite n-grams"),
     GraftQuery("split_leakage", splitLeakage _, Some(splitLeakageOracle),
