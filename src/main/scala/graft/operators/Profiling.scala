@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -121,11 +122,80 @@ object Profiling {
        |WHERE abs(round((o_totalprice - mean) / std, 12)) > $ZThreshold
        |ORDER BY o_orderkey""".stripMargin
 
+  // ----------------------------------------------- distribution drift
+
+  /** Value-distribution DRIFT between the early and late halves of the
+    * event stream — the monitor a training-data pipeline runs per
+    * ingest batch to catch upstream shifts before they poison a mix:
+    * the metric value is bucketed into [[DriftBuckets]] equal-width
+    * bins over its global range, early/late = the µs-epoch midpoint of
+    * the time range (integers, exact), and each bin reports both
+    * counts, both fractions, and the absolute fraction gap (the
+    * per-bin term a PSI/TVD monitor thresholds on; fractions are one
+    * IEEE division each, rounded to 12 — transcendental-free, so both
+    * engines agree bit-exactly).
+    *
+    * Scale: ONE scan of events (the 1-row bounds frame broadcasts back
+    * like [[outlierOrders]]), then an 8-row window — no re-scan for
+    * the totals.
+    */
+  val DriftBuckets = 8
+
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(unix_micros(col("ts")).as("us"), col("value"))
+    val bounds = ev.agg(min(col("us")).as("mn_us"), max(col("us")).as("mx_us"),
+      min(col("value")).as("mn_v"), max(col("value")).as("mx_v"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .select(
+        least(floor((col("value") - col("mn_v")) * lit(DriftBuckets.toDouble) /
+          (col("mx_v") - col("mn_v"))), lit((DriftBuckets - 1).toLong))
+          .cast("int").as("bucket"),
+        (col("us") <= expr("(mn_us + mx_us) div 2")).as("early"))
+      .groupBy("bucket")
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("n_late"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("frac_early", round(col("n_early") / sum(col("n_early")).over(w), 12))
+      .withColumn("frac_late", round(col("n_late") / sum(col("n_late")).over(w), 12))
+      .select(col("bucket"), col("n_early"), col("n_late"),
+        col("frac_early"), col("frac_late"),
+        round(abs(col("frac_early") - col("frac_late")), 12).as("drift"))
+      .orderBy("bucket")
+  }
+
+  private val profileDriftOracle =
+    s"""WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+       |b AS (SELECT min(us) AS mn_us, max(us) AS mx_us,
+       |             min(value) AS mn_v, max(value) AS mx_v FROM ev),
+       |tagged AS (
+       |  SELECT LEAST(CAST(floor((value - mn_v) * ${DriftBuckets}.0 / (mx_v - mn_v)) AS BIGINT),
+       |               ${DriftBuckets - 1}) AS bucket,
+       |         us <= (mn_us + mx_us) // 2 AS early
+       |  FROM ev, b),
+       |counts AS (
+       |  SELECT CAST(bucket AS INTEGER) AS bucket,
+       |    count(*) FILTER (early) AS n_early,
+       |    count(*) FILTER (NOT early) AS n_late
+       |  FROM tagged GROUP BY 1),
+       |tot AS (SELECT sum(n_early) AS te, sum(n_late) AS tl FROM counts),
+       |fr AS (
+       |  SELECT bucket, n_early, n_late,
+       |    round(CAST(n_early AS DOUBLE) / te, 12) AS frac_early,
+       |    round(CAST(n_late AS DOUBLE) / tl, 12) AS frac_late
+       |  FROM counts, tot)
+       |SELECT bucket, n_early, n_late, frac_early, frac_late,
+       |  round(abs(frac_early - frac_late), 12) AS drift
+       |FROM fr ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("profile_columns", profileColumns _, Some(profileColumnsOracle),
       "one-pass per-column profile of lineitem (rows / nulls / exact distinct)"),
     GraftQuery("outlier_orders", outlierOrders _, Some(outlierOrdersOracle),
-      "z-score price outliers from exact-decimal mean/variance"))
+      "z-score price outliers from exact-decimal mean/variance"),
+    GraftQuery("profile_drift", profileDrift _, Some(profileDriftOracle),
+      "early-vs-late value-distribution drift report (equal-width bins, exact split)"))
 }
