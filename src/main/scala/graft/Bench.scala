@@ -41,15 +41,34 @@ object Bench {
     // compile, shuffle-service setup, first-touch page cache) land on
     // pass 1 and the min reflects steady-state engine time; consecutive
     // runs of the reported numbers agree within ~10%
-    def pass(): Seq[(String, Double)] =
+    // a failed attempt's fail-fast wall time must not win the min — it
+    // measures the error path, not the query (if BOTH passes failed the
+    // raw time is reported and the name stays in `failed`)
+    def pass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         System.gc() // don't bill one query for its predecessors' garbage
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => failed += name; false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-    val p1 = pass().toMap
-    val results = pass().map { case (n, s) => n -> math.min(s, p1.getOrElse(n, s)) }
+    val p1 = pass().map { case (n, s, ok) => n -> (s, ok) }.toMap
+    // sync counters accumulate in the global registry across BOTH
+    // passes (sync_pipeline runs twice) — snapshot after pass 1 so the
+    // published absolute numbers are one run's, not doubled
+    val m1 = graft.sync.SyncMetrics.global.of("analytics.orders_sync")
+    val base = Map(
+      "initialDocs" -> m1.initialDocs.sum, "changeEvents" -> m1.changeEvents.sum,
+      "initialSyncMs" -> m1.initialSyncMs.sum, "changeApplyMs" -> m1.changeApplyMs.sum,
+      "commits" -> m1.commits.sum, "commitLatencyMsSum" -> m1.commitLatencyMsSum.sum)
+    val results = pass().map { case (n, s, ok) =>
+      n -> (p1.get(n) match {
+        case Some((s1, ok1)) if ok1 && ok => math.min(s, s1)
+        case Some((s1, true)) => s1 // pass 2 failed: pass 1's real run
+        case _ => s // pass 1 failed (or missing): this attempt's time
+      })
+    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // sync throughput (the reference's planned perf metrics,
     // docs/plan.md:242-247): sync_pipeline runs the full chunked CDC
@@ -60,19 +79,26 @@ object Bench {
     val m = graft.sync.SyncMetrics.global.of("analytics.orders_sync")
     val ok = !failed("sync_pipeline") &&
       results.exists { case (n, _) => n == "sync_pipeline" }
+    // pass-2 DELTAS: the published numbers are one run's, not both
+    // passes' accumulation (max latency stays a cross-pass max — same
+    // workload, and a max can't be delta'd)
+    def d(key: String, now: Long): Long = now - base.getOrElse(key, 0L)
+    val (nDocs, nEvents) = (d("initialDocs", m.initialDocs.sum), d("changeEvents", m.changeEvents.sum))
+    val (isMs, caMs) = (d("initialSyncMs", m.initialSyncMs.sum), d("changeApplyMs", m.changeApplyMs.sum))
+    val (nCommits, latSum) = (d("commits", m.commits.sum), d("commitLatencyMsSum", m.commitLatencyMsSum.sum))
     // per-PHASE rates from SyncMetrics' own wall-time windows (the old
     // derivation divided both counters by the whole query's wall time,
     // understating initial sync and entangling the two rates)
     def rate(n: Long, ms: Long): Double = if (ok && ms > 0) n * 1000.0 / ms else 0.0
     val sync = Map(
-      "initial_docs" -> m.initialDocs.sum.toDouble,
-      "change_events" -> m.changeEvents.sum.toDouble,
-      "initial_sync_sec" -> m.initialSyncMs.sum / 1000.0,
-      "change_apply_sec" -> m.changeApplyMs.sum / 1000.0,
-      "docs_per_sec" -> rate(m.initialDocs.sum, m.initialSyncMs.sum),
-      "events_per_sec" -> rate(m.changeEvents.sum, m.changeApplyMs.sum),
+      "initial_docs" -> nDocs.toDouble,
+      "change_events" -> nEvents.toDouble,
+      "initial_sync_sec" -> isMs / 1000.0,
+      "change_apply_sec" -> caMs / 1000.0,
+      "docs_per_sec" -> rate(nDocs, isMs),
+      "events_per_sec" -> rate(nEvents, caMs),
       "commit_latency_ms_mean" ->
-        (if (m.commits.sum > 0) m.commitLatencyMsSum.sum.toDouble / m.commits.sum else 0.0),
+        (if (nCommits > 0) latSum.toDouble / nCommits else 0.0),
       "commit_latency_ms_max" -> m.commitLatencyMsMax.get.toDouble)
     // full-precision sidecar (per-query seconds + sync throughput) —
     // the driver captures only the last 2000 stdout chars, so the

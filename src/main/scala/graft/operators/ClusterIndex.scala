@@ -61,27 +61,21 @@ object ClusterIndex {
     * point — what [[Dedup.semanticDedup]] and
     * [[Clustering.kmeansClusters]] consume as their blocking key.
     */
-  def assignments(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
-    ensurePoint(spark, dir, k, iters)
-    readTable(spark, dir, assignTable(k, iters))
-  }
+  def assignments(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
+    readTable(spark, dir, assignTable(k, iters))(ensurePoint(spark, dir, k, iters))
 
   /** Persisted final-round centroids (cid, i, cval) for this parameter
     * point — the frozen model [[appendVectors]] assigns new batches
     * against.
     */
-  def centroids(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
-    ensurePoint(spark, dir, k, iters)
-    readTable(spark, dir, centroidTable(k, iters))
-  }
+  def centroids(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
+    readTable(spark, dir, centroidTable(k, iters))(ensurePoint(spark, dir, k, iters))
 
   /** Persisted IVF ranked cell assignment (vec_id, c_label, cell_rank)
     * — what [[Similarity.topkIvf]] consumes for corpus cells + probes.
     */
-  def ivfCells(spark: SparkSession, dir: String): DataFrame = {
-    ensureIvf(spark, dir)
-    readTable(spark, dir, "ivf_cells")
-  }
+  def ivfCells(spark: SparkSession, dir: String): DataFrame =
+    readTable(spark, dir, "ivf_cells")(ensureIvf(spark, dir))
 
   /** Registered k-means parameter points for dataset `dir`: the report
     * K and the ingest-frozen corpus-scaled semantic-dedup k.
@@ -121,14 +115,20 @@ object ClusterIndex {
     ensureIvf(spark, dir)
     val e = batch.select(col("vec_id"), col("embedding"),
       Dedup.decimalNormSq(col("embedding")).as("nsq"))
-    val cells = Similarity.rankCellsUnder(e, readTable(spark, dir, "ivf_centroids"))
+    val cells = Similarity.rankCellsUnder(e,
+      readTable(spark, dir, "ivf_centroids")(ensureIvf(spark, dir)))
     IceliteTable.load(spark, wh, Ns, "ivf_cells").append(cells)
     served.invalidate(spark, s"$dir#ivf_cells")
   }
 
-  /** Memoized cached read of one EXISTING index table. */
-  private def readTable(spark: SparkSession, dir: String, table: String): DataFrame =
+  /** Memoized cached read of one index table; `ensure` (the build-if-
+    * missing step, with its filesystem probes and object lock) runs
+    * ONLY on memo miss — the per-query hot path is one map lookup.
+    */
+  private def readTable(spark: SparkSession, dir: String, table: String)(
+      ensure: => Unit): DataFrame =
     served.getOrElseUpdate(spark, s"$dir#$table") {
+      ensure
       IceliteTable.load(spark, warehouseFor(dir), Ns, table).read().cache()
     }
 

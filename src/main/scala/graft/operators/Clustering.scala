@@ -120,13 +120,6 @@ object Clustering {
     c.groupBy(col("cid"))
       .agg(sum((col("cval") * col("cval")).cast(Dec)).cast("double").as("c_nsq"))
 
-  /** The centroids (cid, i, cval) the FINAL assignment round ran
-    * against — what [[ClusterIndex]] persists so later batches assign
-    * incrementally under frozen centroids instead of re-running Lloyd.
-    */
-  def finalCentroids(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
-    chain(spark, dir, k, iters)._3
-
   /** Final assignments AND the centroids they were computed under,
     * from ONE chain — what [[ClusterIndex]] materializes per
     * parameter point (persisting them together guarantees the pair is

@@ -101,6 +101,7 @@ final class IceliteTable private (
     * matching nothing publishes no new snapshot.
     */
   def deleteWhere(condition: Column): Long = retryCommit { head =>
+    cachedMeta = head // the scan below must see HEAD's schema ops/spec
     val seq = head.lastSeq + 1
     val commitId = UUID.randomUUID().toString
     val data = readFilesAs(head.snapshots.flatMap(_.dataFiles), head.schema,
@@ -301,9 +302,24 @@ final class IceliteTable private (
     * consuming the rewrite as an increment.
     */
   def readAppendedSince(sinceSeq: Long): DataFrame = {
+    requireNoPosDeletes("incremental feed")
     val snaps = cachedMeta.snapshots.filter(_.seq > sinceSeq)
     readFiles(snaps.flatMap(_.dataFiles), withSeq = true)
   }
+
+  /** The incremental feed and changelog are KEY-event protocols, and a
+    * position delete removes physical rows with no key: its removals
+    * are inexpressible, so serving the feed anyway would silently hand
+    * consumers resurrected rows. Refuse instead (same contract as
+    * truncate); compaction folds pos deletes away and re-enables.
+    */
+  private def requireNoPosDeletes(what: String): Unit =
+    cachedMeta.snapshots.find(_.posDeleteFiles.nonEmpty).foreach { s =>
+      throw new IllegalStateException(
+        s"$what over $name: live position-delete snapshot ${s.seq} — " +
+          "physical-row deletes have no key events; compact() to fold them, " +
+          "then resync from the full table")
+    }
 
   /** Keys equality-deleted (or replaced by upsert) after `sinceSeq`,
     * tagged with the deleting commit's seq — the removal half of the
@@ -314,6 +330,7 @@ final class IceliteTable private (
     * yields just the seq column.
     */
   def readDeleteKeysSince(sinceSeq: Long): DataFrame = {
+    requireNoPosDeletes("incremental delete feed")
     val files = cachedMeta.snapshots.filter(_.seq > sinceSeq).flatMap(_.deleteFiles)
     if (files.nonEmpty) spark.read.parquet(files.map(abs): _*)
     else {
@@ -377,17 +394,9 @@ final class IceliteTable private (
             s"${s.seq} (${s.operation}): layout rewrites re-tag row seqs and " +
             "rollbacks erase commits — resync from the full table instead")
       }
-    // position deletes remove PHYSICAL rows with no key: the removal
-    // cannot be emitted as a keyed delete event, and a pos delete in
-    // history silently falsifies pre-images reconstructed from raw
-    // data files — refuse rather than emit a wrong feed (same contract
-    // as truncate; compaction folds pos deletes away and re-enables)
-    m.snapshots.find(_.posDeleteFiles.nonEmpty).foreach { s =>
-      throw new IllegalStateException(
-        s"changelog over $name: live position-delete snapshot ${s.seq} — " +
-          "physical-row deletes are not expressible as key events; " +
-          "compact() to fold them, then resync from the full table")
-    }
+    // a pos delete in history also falsifies pre-images reconstructed
+    // from raw data files — same refusal as the incremental feed
+    requireNoPosDeletes("changelog")
     val payloadCols = m.schema.fieldNames.toSeq
     def emit(df: DataFrame, tpe: Column, seqCol: Column): DataFrame =
       df.select(payloadCols.map(col) ++ Seq(tpe.as(ChangeTypeCol), seqCol.as(CommitSeqCol)): _*)
@@ -470,8 +479,17 @@ final class IceliteTable private (
     */
   private[table] var maxBroadcastDeleteBytes: Long = 256L << 20
 
-  private def deleteSide(dels: DataFrame, files: Seq[String]): DataFrame =
-    if (estimateBytes(files) <= maxBroadcastDeleteBytes) broadcast(dels) else dels
+  // at-rest byte totals per delete-file list (immutable once committed)
+  // — one getFileStatus sweep per list, not per read
+  private val deleteBytesMemo = scala.collection.mutable.Map.empty[Seq[String], Long]
+
+  private def deleteSide(dels: DataFrame, files: Seq[String]): DataFrame = {
+    val bytes = deleteBytesMemo.synchronized {
+      if (deleteBytesMemo.size > 64) deleteBytesMemo.clear()
+      deleteBytesMemo.getOrElseUpdate(files, estimateBytes(files))
+    }
+    if (bytes <= maxBroadcastDeleteBytes) broadcast(dels) else dels
+  }
 
   private def applyDeletes(data: DataFrame, deleteFiles: Seq[String]): DataFrame =
     if (deleteFiles.isEmpty) data
@@ -581,9 +599,15 @@ final class IceliteTable private (
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     // physical row coordinates for position deletes come straight from
-    // the scan's metadata struct — no materialized pos column in files
+    // the scan's metadata struct — no materialized pos column in files.
+    // The file path is RELATIVIZED to `data/<commit>/<part>` (the last
+    // `/data/` segment is always the table's data dir: commit ids are
+    // UUIDs and part names are parquet's) so stored coordinates survive
+    // a table relocation, like every other path in table metadata.
     val posCols = if (withPos)
-      Seq(col("_metadata.file_path").as(PosFileCol), col("_metadata.row_index").as(PosCol))
+      Seq(concat(lit("data/"), substring_index(col("_metadata.file_path"), "/data/", -1))
+          .as(PosFileCol),
+        col("_metadata.row_index").as(PosCol))
     else Nil
     def readGroup(names: Seq[Option[String]], fs: Seq[String]): DataFrame = {
       val present = target.fields.zip(names).collect { case (f, Some(n)) => f.copy(name = n) }
@@ -782,6 +806,13 @@ final class IceliteTable private (
           throw new IllegalStateException(
             s"concurrent rewrite under cold compaction of $name " +
               s"(expected cold seqs $coldSeqs, head has $headCold)")
+        // re-validate the hot-pos-delete guard against THIS head: a
+        // deleteWhere racing in after the pre-read could hold
+        // coordinates into the cold files being replaced
+        if (head.snapshots.exists(s => s.seq > cutoff && s.posDeleteFiles.nonEmpty))
+          throw new IllegalStateException(
+            s"concurrent position delete under cold compaction of $name — " +
+              "its coordinates may target a cold file; rerun after it ages in")
         val synthetic = Snapshot(cutoff, System.currentTimeMillis(), "rewrite-cold",
           files, Nil, count, stats)
         (head.copy(snapshots = synthetic +: head.snapshots.filter(_.seq > cutoff)), cutoff)
@@ -909,6 +940,7 @@ final class IceliteTable private (
     * files nor anything else is rewritten.
     */
   def updateWhere(condition: Column, set: Map[String, Column]): Long = retryCommit { head =>
+    cachedMeta = head // the scan below must see HEAD's schema ops/spec
     set.keys.foreach { c =>
       if (!head.schema.fieldNames.contains(c))
         throw new IllegalArgumentException(s"update of $name: unknown column '$c'")
@@ -1011,12 +1043,17 @@ final class IceliteTable private (
   }
 
   /** Drop a staged append: delete its files and manifest; the table is
-    * untouched (nothing was ever visible).
+    * untouched (nothing was ever visible). If the stage turns out to be
+    * PUBLISHED already (a crash between publish's metadata commit and
+    * its manifest cleanup leaves the manifest behind), only the stale
+    * manifest is removed — the files are live table data.
     */
   def discardStaged(stageId: String): Unit = {
     stagedManifest(stageId) // existence check with a clear error
     val fs = fileSystem()
-    fs.delete(new Path(s"$location/data/$stageId"), true)
+    refresh()
+    val published = cachedMeta.liveDataFiles.exists(_.startsWith(s"data/$stageId/"))
+    if (!published) fs.delete(new Path(s"$location/data/$stageId"), true)
     fs.delete(stagedManifestPath(stageId), false)
   }
 

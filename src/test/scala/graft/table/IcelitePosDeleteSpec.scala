@@ -86,6 +86,19 @@ class IcelitePosDeleteSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("position deletes survive a table relocation (coordinates are relative)") {
+    val whRoot = Files.createTempDirectory("icelite-posmv")
+    val t0 = IceliteTable.create(spark, s"$whRoot/a", "ns", "pdmv", rows().schema)
+    t0.append(rows((1L, "a", 1.0), (2L, "a", 9.0)))
+    t0.deleteWhere(col("score") > 8.0)
+    assert(state(t0) == Seq((1L, "a", 1.0)))
+    // mv the whole warehouse — every stored path must keep resolving
+    Files.move(whRoot.resolve("a"), whRoot.resolve("b"))
+    val moved = IceliteTable.load(spark, s"$whRoot/b", "ns", "pdmv")
+    assert(state(moved) == Seq((1L, "a", 1.0)),
+      "a relocated table resurrected its position-deleted rows")
+  }
+
   test("oversized delete sets degrade to a shuffle join with identical results") {
     val t = IceliteTable.create(spark, wh(), "ns", "pdbig", rows().schema)
     t.upsert(rows((1L, "a", 1.0), (2L, "a", 9.0), (3L, "b", 5.0)), Seq("id"))
