@@ -361,6 +361,55 @@ object Pipeline {
       |  round(CAST(min(total_tokens) OVER () AS DOUBLE) / total_tokens, 12) AS rate
       |FROM s ORDER BY source""".stripMargin
 
+  /** TEMPERATURE-flattened mixture plan (the published multilingual
+    * recipe: sample share q_i ∝ n_i^α with α = 0.5, so low-resource
+    * sources are up-weighted relative to their natural share instead
+    * of drowned by the head source). α is fixed at 0.5 because the
+    * exponent is then `sqrt` — a correctly-rounded IEEE primitive both
+    * engines agree on bit-exactly, unlike a general transcendental
+    * `pow`. The share denominator Σ√n is summed in DECIMAL so
+    * cross-source accumulation order can't perturb the last bits;
+    * every emitted fraction is a single rounded IEEE division.
+    *
+    * Scale: a K-row plan from one aggregated scan — the application
+    * step is [[mixApply]]'s broadcast-threshold pattern.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).cast("long").as("total_tokens"))
+      .withColumn("w", sqrt(col("total_tokens").cast("double")))
+    val w = Window.partitionBy()
+    s
+      .withColumn("wsum", sum(col("w").cast("decimal(38,12)")).over(w).cast("double"))
+      .withColumn("budget", sum(col("total_tokens")).over(w)) // exact long sum
+      .withColumn("share", round(col("w") / col("wsum"), 12))
+      .withColumn("target_tokens",
+        floor(col("share") * col("budget").cast("double")))
+      .select(col("source"), col("total_tokens"), col("share"), col("target_tokens"),
+        least(lit(1.0),
+          round(col("target_tokens").cast("double") / col("total_tokens"), 12)).as("rate"))
+      .orderBy("source")
+  }
+
+  private val mixTemperatureOracle =
+    """WITH s AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT source, total_tokens,
+      |        sqrt(CAST(total_tokens AS DOUBLE)) AS w FROM s),
+      |agg AS (SELECT source, total_tokens, w,
+      |  CAST(sum(CAST(w AS DECIMAL(38,12))) OVER () AS DOUBLE) AS wsum,
+      |  CAST(sum(total_tokens) OVER () AS BIGINT) AS budget FROM w),
+      |sh AS (SELECT source, total_tokens,
+      |         round(w / wsum, 12) AS share, budget FROM agg)
+      |SELECT source, total_tokens, share,
+      |  CAST(floor(share * CAST(budget AS DOUBLE)) AS BIGINT) AS target_tokens,
+      |  LEAST(1.0, round(CAST(floor(share * CAST(budget AS DOUBLE)) AS DOUBLE)
+      |    / total_tokens, 12)) AS rate
+      |FROM sh ORDER BY source""".stripMargin
+
   /** Keep-decision resolution for [[mixApply]] (rate quantized to
     * 1/[[MixRes]]). 10⁴ keeps `target·MixRes` inside a BIGINT even at
     * petabyte-scale per-source token counts (overflow would need
@@ -479,6 +528,8 @@ object Pipeline {
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mix_rates", mixRates _, Some(mixRatesOracle),
       "data-mixture plan: per-source downsampling rates to a uniform token target"),
+    GraftQuery("mix_temperature", mixTemperature _, Some(mixTemperatureOracle),
+      "temperature-flattened mixture plan (q ∝ n^0.5, decimal-exact share denominator)"),
     GraftQuery("mix_apply", mixApply _, Some(mixApplyOracle),
       "mixture plan applied: integer-threshold hash sampling per source"),
     GraftQuery("quality_sweep", qualitySweep _, Some(qualitySweepOracle),
