@@ -42,15 +42,16 @@ object Bench {
     // pass 1 and the min reflects steady-state engine time; consecutive
     // runs of the reported numbers agree within ~10%
     // a failed attempt's fail-fast wall time must not win the min — it
-    // measures the error path, not the query (if BOTH passes failed the
-    // raw time is reported and the name stays in `failed`)
+    // measures the error path, not the query; a query is FAILED only
+    // when no pass succeeded (a transient pass-1 flake with a clean
+    // pass-2 run publishes the clean time and stays out of `failed`)
     def pass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         System.gc() // don't bill one query for its predecessors' garbage
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => failed += name; false }
+          catch { case _: Throwable => false }
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     val p1 = pass().map { case (n, s, ok) => n -> (s, ok) }.toMap
@@ -63,9 +64,11 @@ object Bench {
       "initialSyncMs" -> m1.initialSyncMs.sum, "changeApplyMs" -> m1.changeApplyMs.sum,
       "commits" -> m1.commits.sum, "commitLatencyMsSum" -> m1.commitLatencyMsSum.sum)
     val results = pass().map { case (n, s, ok) =>
-      n -> (p1.get(n) match {
-        case Some((s1, ok1)) if ok1 && ok => math.min(s, s1)
-        case Some((s1, true)) => s1 // pass 2 failed: pass 1's real run
+      val (s1, ok1) = p1.getOrElse(n, (s, ok))
+      if (!ok && !ok1) failed += n // no pass succeeded
+      n -> ((ok, ok1) match {
+        case (true, true) => math.min(s, s1)
+        case (false, true) => s1 // pass 2 failed: pass 1's real run
         case _ => s // pass 1 failed (or missing): this attempt's time
       })
     }

@@ -121,15 +121,21 @@ object ClusterIndex {
     served.invalidate(spark, s"$dir#ivf_cells")
   }
 
-  /** Memoized cached read of one index table; `ensure` (the build-if-
-    * missing step, with its filesystem probes and object lock) runs
-    * ONLY on memo miss — the per-query hot path is one map lookup.
+  /** Memoized cached read of one index table. The hot path is one
+    * locked map lookup; on a miss, `ensure` (the build-if-missing
+    * step — potentially a full clustering job) runs OUTSIDE the memo
+    * monitor so it never blocks concurrent hits on other tables, then
+    * the (cheap) table load races into the memo normally — `ensure` is
+    * idempotent and internally synchronized, so a double miss builds
+    * once and loads twice at worst.
     */
   private def readTable(spark: SparkSession, dir: String, table: String)(
       ensure: => Unit): DataFrame =
-    served.getOrElseUpdate(spark, s"$dir#$table") {
+    served.peek(spark, s"$dir#$table").getOrElse {
       ensure
-      IceliteTable.load(spark, warehouseFor(dir), Ns, table).read().cache()
+      served.getOrElseUpdate(spark, s"$dir#$table") {
+        IceliteTable.load(spark, warehouseFor(dir), Ns, table).read().cache()
+      }
     }
 
   private def warehouseFor(dir: String): String = warehouses.synchronized {

@@ -101,11 +101,10 @@ final class IceliteTable private (
     * matching nothing publishes no new snapshot.
     */
   def deleteWhere(condition: Column): Long = retryCommit { head =>
-    cachedMeta = head // the scan below must see HEAD's schema ops/spec
     val seq = head.lastSeq + 1
     val commitId = UUID.randomUUID().toString
     val data = readFilesAs(head.snapshots.flatMap(_.dataFiles), head.schema,
-      Long.MaxValue, withPos = true)
+      Long.MaxValue, withPos = true, meta = head)
     val visible = applyDeletes(
       applyPosDeletes(data, head.snapshots.flatMap(_.posDeleteFiles)),
       head.snapshots.flatMap(_.deleteFiles))
@@ -302,8 +301,13 @@ final class IceliteTable private (
     * consuming the rewrite as an increment.
     */
   def readAppendedSince(sinceSeq: Long): DataFrame = {
-    requireNoPosDeletes("incremental feed")
-    val snaps = cachedMeta.snapshots.filter(_.seq > sinceSeq)
+    val m = cachedMeta
+    // scoped guard: a pos delete at seq P can only target files written
+    // at seq ≤ P, so one at or below the consumer's checkpoint is
+    // already reflected in the state the consumer resynced from — only
+    // NEWER pos-delete commits make the feed unservable
+    requireNoPosDeletes(m, "incremental feed", afterSeq = sinceSeq)
+    val snaps = m.snapshots.filter(_.seq > sinceSeq)
     readFiles(snaps.flatMap(_.dataFiles), withSeq = true)
   }
 
@@ -312,9 +316,12 @@ final class IceliteTable private (
     * are inexpressible, so serving the feed anyway would silently hand
     * consumers resurrected rows. Refuse instead (same contract as
     * truncate); compaction folds pos deletes away and re-enables.
+    * Checks the CALLER's captured meta so the guard can never validate
+    * a different snapshot list than the one being read.
     */
-  private def requireNoPosDeletes(what: String): Unit =
-    cachedMeta.snapshots.find(_.posDeleteFiles.nonEmpty).foreach { s =>
+  private def requireNoPosDeletes(
+      m: TableMeta, what: String, afterSeq: Long = Long.MinValue): Unit =
+    m.snapshots.find(s => s.seq > afterSeq && s.posDeleteFiles.nonEmpty).foreach { s =>
       throw new IllegalStateException(
         s"$what over $name: live position-delete snapshot ${s.seq} — " +
           "physical-row deletes have no key events; compact() to fold them, " +
@@ -330,7 +337,7 @@ final class IceliteTable private (
     * yields just the seq column.
     */
   def readDeleteKeysSince(sinceSeq: Long): DataFrame = {
-    requireNoPosDeletes("incremental delete feed")
+    requireNoPosDeletes(cachedMeta, "incremental delete feed", afterSeq = sinceSeq)
     val files = cachedMeta.snapshots.filter(_.seq > sinceSeq).flatMap(_.deleteFiles)
     if (files.nonEmpty) spark.read.parquet(files.map(abs): _*)
     else {
@@ -394,9 +401,10 @@ final class IceliteTable private (
             s"${s.seq} (${s.operation}): layout rewrites re-tag row seqs and " +
             "rollbacks erase commits — resync from the full table instead")
       }
-    // a pos delete in history also falsifies pre-images reconstructed
-    // from raw data files — same refusal as the incremental feed
-    requireNoPosDeletes("changelog")
+    // a pos delete ANYWHERE in history falsifies pre-images
+    // reconstructed from raw data files (unlike the seq-scoped feed
+    // guard, pre-image reads reach back before the range)
+    requireNoPosDeletes(m, "changelog")
     val payloadCols = m.schema.fieldNames.toSeq
     def emit(df: DataFrame, tpe: Column, seqCol: Column): DataFrame =
       df.select(payloadCols.map(col) ++ Seq(tpe.as(ChangeTypeCol), seqCol.as(CommitSeqCol)): _*)
@@ -484,9 +492,16 @@ final class IceliteTable private (
   private val deleteBytesMemo = scala.collection.mutable.Map.empty[Seq[String], Long]
 
   private def deleteSide(dels: DataFrame, files: Seq[String]): DataFrame = {
-    val bytes = deleteBytesMemo.synchronized {
-      if (deleteBytesMemo.size > 64) deleteBytesMemo.clear()
-      deleteBytesMemo.getOrElseUpdate(files, estimateBytes(files))
+    // filesystem sweep OUTSIDE the lock, and a hit never evicts — the
+    // cap only bounds growth across distinct (i.e. new-commit) lists
+    val bytes = deleteBytesMemo.synchronized(deleteBytesMemo.get(files)).getOrElse {
+      val b = estimateBytes(files)
+      deleteBytesMemo.synchronized {
+        if (!deleteBytesMemo.contains(files) && deleteBytesMemo.size > 64)
+          deleteBytesMemo.clear()
+        deleteBytesMemo.update(files, b)
+      }
+      b
     }
     if (bytes <= maxBroadcastDeleteBytes) broadcast(dels) else dels
   }
@@ -592,8 +607,12 @@ final class IceliteTable private (
     */
   private def readFilesAs(
       files: Seq[String], target: StructType, asOf: Long,
-      withPos: Boolean = false): DataFrame = {
-    val m = cachedMeta
+      withPos: Boolean = false,
+      meta: TableMeta = null): DataFrame = {
+    // commit bodies that SCAN (deleteWhere/updateWhere) pass the head
+    // they are committing against, so the epoch translation and spec
+    // can never lag the schema the caller resolved
+    val m = if (meta == null) cachedMeta else meta
     val full0 = target.add(SeqCol, "long")
     val full = if (withPos) full0.add(PosFileCol, "string").add(PosCol, "long") else full0
     if (files.isEmpty)
@@ -940,7 +959,6 @@ final class IceliteTable private (
     * files nor anything else is rewritten.
     */
   def updateWhere(condition: Column, set: Map[String, Column]): Long = retryCommit { head =>
-    cachedMeta = head // the scan below must see HEAD's schema ops/spec
     set.keys.foreach { c =>
       if (!head.schema.fieldNames.contains(c))
         throw new IllegalArgumentException(s"update of $name: unknown column '$c'")
@@ -948,7 +966,7 @@ final class IceliteTable private (
     val seq = head.lastSeq + 1
     val commitId = UUID.randomUUID().toString
     val data = readFilesAs(head.snapshots.flatMap(_.dataFiles), head.schema,
-      Long.MaxValue, withPos = true)
+      Long.MaxValue, withPos = true, meta = head)
     val visible = applyDeletes(
       applyPosDeletes(data, head.snapshots.flatMap(_.posDeleteFiles)),
       head.snapshots.flatMap(_.deleteFiles))
@@ -1933,10 +1951,14 @@ object IceliteTable {
   val ChangeTypeCol = "_change_type"
   val CommitSeqCol = "_commit_seq"
 
-  /** Position-delete coordinate columns: the absolute file URI (what
-    * `_metadata.file_path` yields on the scan) and the row's index
-    * within that file (`_metadata.row_index`) — Iceberg v2's
-    * (file_path, pos) delete-file shape.
+  /** Position-delete coordinate columns — Iceberg v2's (file_path,
+    * pos) delete-file shape. The stored path is LOCATION-RELATIVE
+    * (`data/<commit>/<part>`, derived from `_metadata.file_path` by
+    * taking the last `/data/` segment) so coordinates survive table
+    * relocation like every other path in table metadata; the row index
+    * is `_metadata.row_index`. This has been the coordinate format
+    * since position deletes were introduced — there are no tables with
+    * absolute-path coordinates to migrate.
     */
   val PosFileCol = "_graft_pos_file"
   val PosCol = "_graft_pos"

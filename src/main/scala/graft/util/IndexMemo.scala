@@ -44,6 +44,16 @@ final class IndexMemo[V](maxEntries: Int)(release: V => Unit) {
     }
   }
 
+  /** Hit-only lookup (refreshes LRU position, never builds) — lets a
+    * caller keep an expensive build OUTSIDE this memo's monitor so a
+    * miss never blocks concurrent hits on other keys.
+    */
+  def peek(spark: SparkSession, dir: String): Option[V] = synchronized {
+    purgeStopped()
+    val key = (spark, dir)
+    entries.remove(key).map { e => entries.put(key, e); e.value }
+  }
+
   /** Drop (and release) the entry for a dataset whose files changed. */
   def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
     entries.remove((spark, dir)).foreach(releaseQuietly)
