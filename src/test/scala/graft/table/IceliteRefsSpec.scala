@@ -92,6 +92,17 @@ class IceliteRefsSpec extends AnyFunSuite with SparkFixture {
     assert(t.partitionsTable().collect().forall(_.getLong(2) >= 1L))
   }
 
+  test("refs persist across a fresh table load (metadata round-trip)") {
+    val w = wh()
+    val t = IceliteTable.create(spark, w, "ns", "refsrt", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    t.createTag("v1", 1L)
+    t.createBranch("dev")
+    val reloaded = IceliteTable.load(spark, w, "ns", "refsrt")
+    assert(reloaded.refs == Map("v1" -> ("tag", 1L), "dev" -> ("branch", 1L)))
+    assert(reloaded.readRef("v1").count() == 1L)
+  }
+
   test("partitions metadata table: unpartitioned tables report one row") {
     val t = IceliteTable.create(spark, wh(), "ns", "parts0", rows().schema)
     t.append(rows((1L, "a", 1.0), (2L, "b", 2.0)))

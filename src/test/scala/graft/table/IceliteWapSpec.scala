@@ -59,6 +59,25 @@ class IceliteWapSpec extends AnyFunSuite with SparkFixture {
     assert(ids(t.read()) == Seq(1L, 9L))
   }
 
+  test("publish after schema evolution: staged files null-fill the new column") {
+    val t = IceliteTable.create(spark, wh(), "ns", "wapev", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    val stage = t.stageAppend(rows((2L, "b", 2.0)))
+    // evolution lands while the stage awaits its audit
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tier", org.apache.spark.sql.types.StringType))))
+    // the evolve commit claimed the staged seq — exact-seq publish refuses
+    intercept[IllegalStateException](t.publishStaged(stage))
+    t.discardStaged(stage)
+    // a re-staged batch under the evolved schema publishes fine and
+    // old rows serve null for the new column
+    val stage2 = t.stageAppend(rows((3L, "c", 3.0)).withColumn("tier", lit("T")))
+    t.publishStaged(stage2)
+    assert(t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("tier")))).toSeq ==
+      Seq((1L, None), (3L, Some("T"))))
+  }
+
   test("GC spares staged appends and committed position-delete files") {
     val t = IceliteTable.create(spark, wh(), "ns", "wapgc", rows().schema)
     t.append(rows((1L, "a", 1.0), (2L, "a", 9.0)))
