@@ -26,15 +26,30 @@ object SyncState {
   val SteadyState = "STEADY_STATE"
 }
 
-/** Checkpoint store on an icelite table — the same commit mechanism as
+/** Checkpoint store on icelite tables — the same commit mechanism as
   * data tables (reference S9: checkpoint rows in an Iceberg table,
   * upsert = equality-delete + append).
+  *
+  * ONE TABLE PER SYNC (`_sync._sync_checkpoints__<syncId>`): the
+  * reference's thread model gives every collection its own worker with
+  * an independent checkpoint row (design.md §checkpointing, 8-way
+  * collection concurrency), so checkpoint writes from different syncs
+  * must never contend. A single shared table serialized the whole
+  * fleet on one optimistic-commit CAS — under a concurrent syncAll the
+  * losers re-wrote their one-row parquet files every retry round and
+  * commit latency hit tens of seconds. Per-sync tables restore the
+  * invariant the commit protocol is built on: exactly one writer per
+  * table, so every checkpoint commit succeeds on its first attempt.
   */
 final class CheckpointStore(spark: SparkSession, warehouse: String) {
   import CheckpointStore._
 
-  private val table: IceliteTable =
-    IceliteTable.createOrLoad(spark, warehouse, "_sync", "_sync_checkpoints", Schema)
+  private val tables =
+    scala.collection.concurrent.TrieMap.empty[String, IceliteTable]
+
+  private def tableFor(syncId: String): IceliteTable =
+    tables.getOrElseUpdate(syncId,
+      IceliteTable.createOrLoad(spark, warehouse, Namespace, tableName(syncId), Schema))
 
   // Write-through cache: each sync has exactly one writer (reference
   // thread model: one writer per table), so the last record THIS store
@@ -47,6 +62,7 @@ final class CheckpointStore(spark: SparkSession, warehouse: String) {
 
   def read(syncId: String): Option[CheckpointRecord] =
     lastWritten.get(syncId).orElse {
+      val table = tableFor(syncId)
       table.refresh()
       val committed = table.read()
         .filter(org.apache.spark.sql.functions.col("sync_id") === syncId)
@@ -63,6 +79,7 @@ final class CheckpointStore(spark: SparkSession, warehouse: String) {
     * direct Iceberg checkpoint append.
     */
   def write(rec: CheckpointRecord): Unit = {
+    val table = tableFor(rec.syncId)
     table.commitFiles("upsert") { seq =>
       val commitId = java.util.UUID.randomUUID().toString
       val dataRel = s"data/$commitId/part-00000.parquet"
@@ -118,24 +135,57 @@ final class CheckpointStore(spark: SparkSession, warehouse: String) {
     val keys = spark.createDataFrame(
       java.util.List.of(Row(syncId)),
       StructType(Seq(StructField("sync_id", StringType, nullable = false))))
-    table.delete(keys, Seq("sync_id"))
+    tableFor(syncId).delete(keys, Seq("sync_id"))
     lastWritten.remove(syncId)
   }
 
   /** Fold accumulated per-batch commits into one compacted snapshot and
     * expire old metadata/files — keeps a long-lived stream's checkpoint
-    * table bounded (every checkpoint write is a full icelite commit).
+    * tables bounded (every checkpoint write is a full icelite commit).
+    * Maintains every sync this store has touched.
     */
-  def maintain(): Unit = {
+  def maintain(): Unit = tables.values.foreach { table =>
     table.compact()
     table.expireSnapshots()
   }
 
-  /** All checkpoints as a queryable DataFrame (ops surface). */
-  def all(): org.apache.spark.sql.DataFrame = { table.refresh(); table.read() }
+  /** All checkpoints as one queryable DataFrame (ops surface): union of
+    * every per-sync checkpoint table under the `_sync` namespace —
+    * including syncs written by OTHER processes, discovered from the
+    * warehouse listing (cheap: one directory list; the row count is the
+    * number of syncs, not data volume).
+    */
+  def all(): org.apache.spark.sql.DataFrame = {
+    val nsPath = new org.apache.hadoop.fs.Path(s"$warehouse/$Namespace")
+    val fs = nsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names =
+      if (!fs.exists(nsPath)) Nil
+      else fs.listStatus(nsPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(TablePrefix))
+    val reads = names.map { n =>
+      val t = tables.values.find(_.name == s"$Namespace.$n")
+        .getOrElse(IceliteTable.load(spark, warehouse, Namespace, n))
+      t.refresh(); t.read()
+    }
+    reads.reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        java.util.List.of[Row](), Schema))
+  }
 }
 
 object CheckpointStore {
+
+  /** Namespace holding the per-sync checkpoint tables. */
+  val Namespace = "_sync"
+
+  /** Per-sync checkpoint table name prefix. */
+  val TablePrefix = "_sync_checkpoints__"
+
+  /** `_sync._sync_checkpoints__<syncId>` with the sync id (already
+    * `namespace.table`) sanitized to a filesystem-safe table name.
+    */
+  def tableName(syncId: String): String =
+    TablePrefix + syncId.replaceAll("[^A-Za-z0-9_]", "_")
 
   /** Parquet message types for the driver-side writer (mirrors
     * [[Schema]]; timestamp as INT64 micros UTC, strings as UTF8).

@@ -1469,6 +1469,12 @@ final class IceliteTable private (
         // fs problem looping as "lost race" must surface its real cause
         throw new IllegalStateException(
           s"commit conflict on $name after $attempts attempts", lastClaimError)
+      // lost the optimistic race: back off with jitter before reloading
+      // the head — a tight spin re-runs the commit body (which may
+      // re-write files) against a still-contended claim and livelocks
+      // N concurrent writers into seconds of wasted retries
+      Thread.sleep(math.min(200L, 10L << math.min(attempts, 4)) +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(25L))
     }
     -1L // unreachable
   }
@@ -2230,7 +2236,15 @@ object IceliteTable {
       schema: => StructType,
       partitioning: Seq[PartitionConfig] = Nil): IceliteTable =
     if (exists(spark, warehouse, namespace, table)) load(spark, warehouse, namespace, table)
-    else create(spark, warehouse, namespace, table, schema, partitioning)
+    else
+      try create(spark, warehouse, namespace, table, schema, partitioning)
+      catch {
+        // two writers racing the first-use create of the same table
+        // (e.g. two checkpoint stores for one sync): the loser loads
+        // what the winner published instead of failing the sync
+        case _: IllegalStateException if exists(spark, warehouse, namespace, table) =>
+          load(spark, warehouse, namespace, table)
+      }
 
   private def loadHead(fs: FileSystem, location: String): (TableMeta, Long) = {
     val mdDir = new Path(s"$location/metadata")
