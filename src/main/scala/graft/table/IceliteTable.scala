@@ -1220,6 +1220,14 @@ final class IceliteTable private (
     * partition SOURCE columns (there are no manifests to sum here);
     * file counts are pure metadata via the same comparator the range
     * reader prunes with. Unpartitioned tables report one table row.
+    *
+    * File counts come from ONE broadcast range-join of the
+    * (metadata-sized) file→stat-range table against the per-value
+    * counts: building the stat table is O(files) driver work and the
+    * value×file overlap test runs distributed — at thousands of
+    * partitions × tens of thousands of files a per-value
+    * [[pruneDataFiles]] loop would be quadratic ON THE DRIVER, the
+    * thing a 1000-executor cluster can't parallelize away.
     */
   def partitionsTable(): DataFrame = {
     import spark.implicits._
@@ -1233,21 +1241,44 @@ final class IceliteTable private (
     pcols.foreach { case (n, c) => v = v.withColumn(n, c) }
     val counts = v.groupBy(pcols.map(p => col(p._1)): _*)
       .agg(count(lit(1)).as("record_count"))
-      .collect() // bounded: one row per live partition value
-    val rows = counts.map { r =>
-      val values = pcols.indices.map(i => Option(r.get(i)).map(_.toString).orNull)
-      val keep = pcols.zipWithIndex.map { case ((n, _), i) =>
-        pruneDataFiles(n, Option(values(i)), Option(values(i))).toSet
-      }.reduce(_ intersect _)
-      org.apache.spark.sql.Row.fromSeq(
-        values ++ Seq(r.getLong(pcols.size), keep.size.toLong))
+      .select(pcols.map { case (n, _) => col(n).cast("string").as(n) }
+        :+ col("record_count"): _*)
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val statSchema = StructType(
+      StructField("_file", StringType) +:
+        pcols.flatMap { case (n, _) => Seq(
+          StructField(s"_mn_$n", StringType), StructField(s"_mx_$n", StringType)) })
+    val statRows: Seq[org.apache.spark.sql.Row] = m.snapshots.flatMap { s =>
+      s.dataFiles.map { f =>
+        org.apache.spark.sql.Row.fromSeq(
+          f +: pcols.flatMap { case (n, _) =>
+            s.fileStats.get(f).flatMap(_.get(n)) match {
+              case Some((mn, mx)) => Seq(mn, mx)
+              case None => Seq(null, null)
+            }
+          })
+      }
     }
-    import org.apache.spark.sql.types.{LongType, StringType, StructField}
-    val schema = StructType(
-      pcols.map(p => StructField(p._1, StringType)) ++
-        Seq(StructField("record_count", LongType), StructField("file_count", LongType)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    val files = spark.createDataFrame(
+      java.util.Arrays.asList(statRows: _*), statSchema)
+    // per column, the same conservative test as pruneByKeyStats/cmpStat:
+    // no value bound, missing stats, or (numeric) an unparseable side
+    // all KEEP the file; string compare is UTF-8 byte order, which is
+    // exactly Spark's UTF8String ordering
+    val overlap = pcols.map { case (n, _) =>
+      val base = col(n).isNull || col(s"_mn_$n").isNull
+      if (pruneComparatorFor(n)) {
+        val vL = expr(s"try_cast(`$n` as bigint)")
+        val mnL = expr(s"try_cast(`_mn_$n` as bigint)")
+        val mxL = expr(s"try_cast(`_mx_$n` as bigint)")
+        base || vL.isNull || mnL.isNull || mxL.isNull || (mxL >= vL && mnL <= vL)
+      } else
+        base || (col(s"_mx_$n") >= col(n) && col(s"_mn_$n") <= col(n))
+    }.reduce(_ && _)
+    counts.join(broadcast(files), overlap, "left")
+      .groupBy(pcols.map { case (n, _) => col(n) }: _*)
+      .agg(max(col("record_count")).as("record_count"),
+        count(col("_file")).as("file_count"))
   }
 
   /** Metadata-only column RENAME (Iceberg's field-ID rename: no file is
@@ -1778,9 +1809,11 @@ final class IceliteTable private (
     * prunable (see [[prunableColumns]]).
     */
   def pruneDataFiles(
-      partCol: String, lower: Option[String], upper: Option[String]): Seq[String] =
+      partCol: String, lower: Option[String], upper: Option[String]): Seq[String] = {
+    IceliteTable.pruneCalls.incrementAndGet() // test hook: loop detection
     pruneByKeyStats(cachedMeta.snapshots, _.dataFiles, partCol, lower, upper,
       pruneComparatorFor(partCol))
+  }
 
   /** MoR read restricted to one partition-column range: files outside
     * the range are pruned from metadata stats (the Iceberg-manifest
@@ -1949,6 +1982,12 @@ final class IceliteTable private (
 }
 
 object IceliteTable {
+
+  /** JVM-global [[pruneDataFiles]] call counter — a test hook (like
+    * ShingleIndex.builds) proving metadata-table code paths stay
+    * join-based instead of looping the prune per partition value.
+    */
+  val pruneCalls = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Hidden per-row commit sequence column (MoR ordering). */
   val SeqCol = "_graft_seq"

@@ -103,6 +103,26 @@ class IceliteRefsSpec extends AnyFunSuite with SparkFixture {
     assert(reloaded.readRef("v1").count() == 1L)
   }
 
+  test("partitions metadata table: file counts are join-based, no per-value prune loop") {
+    import spark.implicits._
+    // several partition values × several files — the shape where a
+    // per-value pruneDataFiles loop would fire values×columns times
+    val src = (1 to 24).map(i => (i.toLong, f"2024-${i % 6 + 1}%02d-10", i.toDouble))
+      .toDF("id", "d", "score").withColumn("d", col("d").cast("date"))
+    val t = IceliteTable.create(spark, wh(), "ns", "partsjoin", src.schema,
+      partitioning = Seq(PartitionConfig("d", "month")))
+    t.append(src)
+    t.append(src.withColumn("id", col("id") + 100L)) // second file set
+    val before = IceliteTable.pruneCalls.get()
+    val got = t.partitionsTable().orderBy(col(IceliteTable.partColName(
+      PartitionConfig("d", "month")))).collect()
+    assert(IceliteTable.pruneCalls.get() == before,
+      "partitionsTable must not call pruneDataFiles per partition value")
+    assert(got.length == 6)
+    assert(got.forall(_.getLong(1) == 8L)) // 4 ids/month × 2 appends
+    assert(got.forall(_.getLong(2) >= 1L)) // ≥1 file per populated value
+  }
+
   test("partitions metadata table: unpartitioned tables report one row") {
     val t = IceliteTable.create(spark, wh(), "ns", "parts0", rows().schema)
     t.append(rows((1L, "a", 1.0), (2L, "b", 2.0)))
