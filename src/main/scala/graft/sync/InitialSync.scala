@@ -59,7 +59,7 @@ final class InitialSync(
       case None => source
     }
 
-    val boundaries = chunkBoundaries(remaining, idCol, cfg.batch.maxRecords)
+    val boundaries = chunkBoundaries(remaining, idCol, effectiveMaxRecords(remaining))
     var lower: Option[Any] = None
     for (upper <- boundaries) {
       val chunk = remaining
@@ -130,6 +130,27 @@ final class InitialSync(
       case other => lit(mark).cast(other)
     }
 
+  /** Records per chunk honoring BOTH size thresholds (reference R5:
+    * `batch.maxRecords` AND `batch.maxBytes` are each hard flush
+    * triggers; the reference estimates batch bytes as average document
+    * size × records): the average serialized document size is measured
+    * once from a bounded sample (JSON rendering — same order of
+    * magnitude as the wire documents the reference estimates from),
+    * and the chunk size becomes min(maxRecords, maxBytes / avgBytes).
+    * A collection of 10 KB documents therefore flushes by BYTES well
+    * before the record cap — data files stay near the configured size
+    * instead of scaling with document width.
+    */
+  private def effectiveMaxRecords(df: DataFrame): Long = {
+    val sampled = df.limit(InitialSync.BytesSampleDocs)
+      .select(length(to_json(struct(df.columns.map(col).toSeq: _*))).cast("double").as("sz"))
+      .agg(avg(col("sz"))).collect().head
+    val avgBytes = if (sampled.isNullAt(0)) 0.0 else sampled.getDouble(0)
+    if (avgBytes <= 0) cfg.batch.maxRecords
+    else math.max(1L,
+      math.min(cfg.batch.maxRecords, (cfg.batch.maxBytes / avgBytes).toLong))
+  }
+
   /** Upper-bound `_id` per chunk: range-partition the NATIVE id column
     * into ceil(count/maxRecords) ranges (distributed, sampled — no
     * global sort, no single-partition window), then take each range's
@@ -154,6 +175,11 @@ final class InitialSync(
 }
 
 object InitialSync {
+
+  /** Sample size for the average-document-size estimate backing the
+    * `batch.maxBytes` flush threshold.
+    */
+  val BytesSampleDocs = 1000
 
   /** Create the target table on first batch if absent (reference S7):
     * auto mode infers the union schema from a sample; explicit mode

@@ -57,6 +57,29 @@ class SyncPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(table.meta.snapshots.count(_.operation == "append") >= 4)
   }
 
+  test("initial sync: wide documents flush by batch.maxBytes before the record cap") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val pad = "x" * 2048 // ~2 KB per document
+    writeFixture(root, "shop", "orders", (1 to 30).map(i =>
+      s"""{"_id":{"$$oid":"${oid(i)}"},"pad":"$pad"}"""))
+    val cfg = SyncConfig(
+      MongoConfig(root.toString, "shop"),
+      IcebergConfig(CatalogConfig("local", warehouse = Some(wh))),
+      SyncSection(Seq(CollectionSyncConfig(
+        SourceConfig("orders"),
+        TargetConfig("analytics", "orders_wide"),
+        // records alone would allow 30-doc chunks; 8 KB caps a chunk
+        // at ~4 of these ~2 KB docs → bytes is the binding threshold
+        batch = BatchConfig(maxRecords = 30, maxBytes = 8192, flushIntervalSeconds = 1)))))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val table = orch.syncCollection(cfg.sync.collections.head,
+      Files.createTempDirectory("sync-ckpt").toString)
+    assert(table.read().count() == 30)
+    val appends = table.meta.snapshots.count(_.operation == "append")
+    assert(appends >= 6, s"expected byte-bounded chunks (≥6 appends), got $appends")
+  }
+
   test("initial sync resume: second run only copies ids above the hwm") {
     val root = Files.createTempDirectory("sync-fix")
     val wh = Files.createTempDirectory("sync-wh").toString
