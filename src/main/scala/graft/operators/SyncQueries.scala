@@ -93,7 +93,10 @@ object SyncQueries {
       .withColumn("o_totalprice", col("o_totalprice") + 10.0), Seq("_id"))
     table.delete(src // s3: delete every fifth key (some freshly updated)
       .filter(pmod(col("o_orderkey"), lit(5)) === 0).select("_id"), Seq("_id"))
-    table.readChanges(1, 3)
+    // s4: POSITION delete (physical rows, no key events) — the
+    // changelog resolves the coordinates back to exact pre-images
+    table.deleteWhere(pmod(col("o_orderkey"), lit(7)) === 0)
+    table.readChanges(1, 4)
       .select(col(IceliteTable.ChangeTypeCol).as("_change_type"),
         col(IceliteTable.CommitSeqCol).as("_commit_seq"),
         col("_id"), col("o_totalprice"))
@@ -115,6 +118,10 @@ object SyncQueries {
       |  SELECT 'delete', CAST(3 AS BIGINT), id,
       |         CASE WHEN k % 3 = 0 THEN price + 10.0 ELSE price END
       |  FROM sub WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT 'delete', CAST(4 AS BIGINT), id,
+      |         CASE WHEN k % 3 = 0 THEN price + 10.0 ELSE price END
+      |  FROM sub WHERE k % 7 = 0 AND k % 5 <> 0
       |) ORDER BY _commit_seq, _change_type, _id""".stripMargin
 
   /** MERGE INTO as an oracle-gated query ([[IceliteTable.merge]]):

@@ -401,10 +401,24 @@ final class IceliteTable private (
             s"${s.seq} (${s.operation}): layout rewrites re-tag row seqs and " +
             "rollbacks erase commits — resync from the full table instead")
       }
-    // a pos delete ANYWHERE in history falsifies pre-images
-    // reconstructed from raw data files (unlike the seq-scoped feed
-    // guard, pre-image reads reach back before the range)
-    requireNoPosDeletes(m, "changelog")
+    // position deletes RESOLVE to the rows they killed by coordinate
+    // join (Iceberg's changelog scan does the same): the referenced
+    // data files are re-read with physical coordinates and inner-
+    // joined to the stored (file, pos) tuples, recovering each deleted
+    // row's payload as an exact pre-image. Only the referenced files
+    // are scanned (the coordinate file list is metadata-sized).
+    val posInRange = inRange.flatMap(_.posDeleteFiles)
+    val posAll = m.snapshots.filter(_.seq <= toSeq).flatMap(_.posDeleteFiles)
+    def resolvePos(posFiles: Seq[String]): DataFrame = {
+      val coords = spark.read.parquet(posFiles.map(abs): _*)
+        .select(col(PosFileCol), col(PosCol), col(SeqCol).as("_pos_seq"))
+      val referenced = coords.select(col(PosFileCol)).distinct()
+        .collect().map(_.getString(0)).toSet // bounded by table file count
+      val files = m.snapshots.filter(_.seq <= toSeq).flatMap(_.dataFiles)
+        .filter(referenced.contains)
+      readFilesAs(files, m.schema, Long.MaxValue, withPos = true)
+        .join(deleteSide(coords, posFiles), Seq(PosFileCol, PosCol))
+    }
     val payloadCols = m.schema.fieldNames.toSeq
     def emit(df: DataFrame, tpe: Column, seqCol: Column): DataFrame =
       df.select(payloadCols.map(col) ++ Seq(tpe.as(ChangeTypeCol), seqCol.as(CommitSeqCol)): _*)
@@ -415,19 +429,36 @@ final class IceliteTable private (
 
     val addedInRange = readFiles(inRange.flatMap(_.dataFiles), withSeq = true)
     val delFilesInRange = inRange.flatMap(_.deleteFiles)
-    if (delFilesInRange.isEmpty) // append-only range: every added row is an insert
-      return emit(addedInRange, lit("insert"), col(SeqCol))
+    if (delFilesInRange.isEmpty) {
+      // no equality deletes in range: every added row is an insert and
+      // every in-range pos delete is a resolved-row delete event (an
+      // updateWhere commit therefore reads as delete + insert at one
+      // seq — physical-row updates carry no pairing identity)
+      val inserts = emit(addedInRange, lit("insert"), col(SeqCol))
+      return if (posInRange.isEmpty) inserts
+      else inserts.unionByName(
+        emit(resolvePos(posInRange), lit("delete"), col("_pos_seq")))
+    }
 
     val keyCols = m.properties.get(DeleteKeyColumnsProp)
       .map(_.split(',').toSeq).getOrElse(keyColumnsOfDeletes(delFilesInRange))
-    // affected keys come from the IN-RANGE delete files alone (each
-    // delete row carries its commit seq); their min/max per prunable
-    // key column then prunes the historical file lists CONJUNCTIVELY
-    // before any data IO
+    // affected keys come from the IN-RANGE delete files (each delete
+    // row carries its commit seq) plus the keys of rows pos-deleted in
+    // range; their min/max per prunable key column then prunes the
+    // historical file lists CONJUNCTIVELY before any data IO. Resolved
+    // pos deletes join the per-key event log as delete events, so the
+    // lag/lead machinery sees the row leave at the pos-delete seq —
+    // pre-images stay exact when physical and keyed deletes interleave.
+    val resolvedPos = if (posAll.isEmpty) None else Some(resolvePos(posAll))
     val delInRange = spark.read.parquet(delFilesInRange.map(abs): _*)
-    val affected = delInRange.select(keyCols.map(col): _*).distinct()
+    val affectedKeySrc = resolvedPos match {
+      case Some(rp) => delInRange.select(keyCols.map(col): _*)
+        .unionByName(rp.filter(col("_pos_seq") > fromSeq).select(keyCols.map(col): _*))
+      case None => delInRange.select(keyCols.map(col): _*)
+    }
+    val affected = affectedKeySrc.distinct()
     val hist = m.snapshots.filter(_.seq <= toSeq)
-    val bounds = keyRangeBounds(delInRange, keyStatColumns(keyCols, m.schema))
+    val bounds = keyRangeBounds(affectedKeySrc, keyStatColumns(keyCols, m.schema))
     val (histDataFiles, histDelFiles) =
       (pruneConjunctive(hist, _.dataFiles, bounds),
         pruneConjunctive(hist, _.deleteFiles, bounds))
@@ -448,8 +479,15 @@ final class IceliteTable private (
     val xEv = delAll.join(affected, keyCols, "left_semi").select(
       keyCols.map(col) ++ Seq(col(SeqCol).as("_ev_seq"), lit(0).as("_ev_kind"),
         lit(null).cast(pType).as("_ev_p")): _*)
+    // resolved pos deletes (any seq ≤ toSeq) as delete events for
+    // affected keys: a key pos-deleted BEFORE the range must show its
+    // row leaving then, or a later equality delete would fabricate a
+    // pre-image for an already-gone row
+    val pEv = resolvedPos.map(_.join(affected, keyCols, "left_semi").select(
+      keyCols.map(col) ++ Seq(col("_pos_seq").as("_ev_seq"), lit(0).as("_ev_kind"),
+        lit(null).cast(pType).as("_ev_p")): _*))
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_ev_seq"), col("_ev_kind"))
-    val g = dEv.unionByName(xEv)
+    val g = pEv.foldLeft(dEv.unionByName(xEv))(_ unionByName _)
       .withColumn("_pk1", lag("_ev_kind", 1).over(w))
       .withColumn("_ps1", lag("_ev_seq", 1).over(w))
       .withColumn("_pp1", lag("_ev_p", 1).over(w))

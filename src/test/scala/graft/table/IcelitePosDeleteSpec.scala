@@ -12,7 +12,7 @@ import graft.SparkFixture
   * [[IceliteTable.deleteWhere]]): predicate deletes land as
   * (file_path, pos) coordinate files, merge on read alongside
   * equality deletes, respect time travel, fold under compaction, and
-  * block the changelog until folded.
+  * resolve to exact pre-image delete events in the changelog.
   */
 class IcelitePosDeleteSpec extends AnyFunSuite with SparkFixture {
 
@@ -118,11 +118,18 @@ class IcelitePosDeleteSpec extends AnyFunSuite with SparkFixture {
     } finally t.maxBroadcastDeleteBytes = saved
   }
 
-  test("full compact folds position deletes and re-enables the changelog") {
+  test("full compact folds position deletes and the changelog stays readable") {
     val t = IceliteTable.create(spark, wh(), "ns", "pdfold", rows().schema)
     t.upsert(rows((1L, "a", 1.0), (2L, "a", 9.0), (3L, "b", 5.0)), Seq("id"))
     t.deleteWhere(col("score") > 8.0)
-    intercept[IllegalStateException](t.readChanges(0L, t.meta.lastSeq))
+    // the pos delete resolves to an exact pre-image delete event
+    val ch = t.readChanges(0L, t.meta.lastSeq)
+      .select("_change_type", "_commit_seq", "id", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      .sortBy(e => (e._2, e._3, e._1))
+    assert(ch == Seq(
+      ("insert", 1L, 1L, 1.0), ("insert", 1L, 2L, 9.0), ("insert", 1L, 3L, 5.0),
+      ("delete", 2L, 2L, 9.0)))
     val before = state(t)
     t.compact(targetFileMB = 256)
     assert(state(t) == before)
@@ -131,6 +138,25 @@ class IcelitePosDeleteSpec extends AnyFunSuite with SparkFixture {
     t.upsert(rows((4L, "c", 4.0)), Seq("id"))
     assert(t.readChanges(from, t.meta.lastSeq)
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("changelog: pos deletes interleave with keyed commits, pre-images stay exact") {
+    val t = IceliteTable.create(spark, wh(), "ns", "pdcdc", rows().schema)
+    t.upsert(rows((1L, "a", 1.0), (2L, "a", 9.0)), Seq("id")) // s1
+    t.deleteWhere(col("id") === 2L) // s2: physical delete of key 2's row
+    t.delete(rows((2L, "x", 0.0)).select("id"), Seq("id")) // s3: no-op (already gone)
+    t.upsert(rows((2L, "b", 3.0)), Seq("id")) // s4: fresh insert, NOT an update
+    val ch = t.readChanges(0L, t.meta.lastSeq)
+      .select("_change_type", "_commit_seq", "id", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      .sortBy(e => (e._2, e._3, e._1))
+    assert(ch == Seq(
+      ("insert", 1L, 1L, 1.0), ("insert", 1L, 2L, 9.0),
+      // the row leaves at the POS-delete seq with its exact pre-image;
+      // the later equality delete of the already-gone key emits nothing
+      // and the re-upsert reads as a fresh insert, not an update pair
+      ("delete", 2L, 2L, 9.0),
+      ("insert", 4L, 2L, 3.0)))
   }
 
   test("updateWhere: keyless row update = pos-delete + mutated append in ONE commit") {
