@@ -47,7 +47,10 @@ object Hygiene {
   private def overlapReport(scoped: DataFrame, shingleSet: DataFrame,
       fracCol: String): DataFrame = {
     val totals = scoped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    scoped.join(shingleSet, Seq("s"))
+    // LEFT SEMI: each scoped row matches at most once, so the set side
+    // needs no pre-distinct — callers pass the raw shingle stream and
+    // skip that whole extra shuffle (dedup happens inside the join)
+    scoped.join(shingleSet, Seq("s"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
       .join(totals, Seq("doc_id"))
       .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
@@ -118,7 +121,9 @@ object Hygiene {
     val bucket = pmod(Dedup.phash(col("doc_id").cast("string")), lit(100))
     val idx = Dedup.shingleIndex(spark, dir)
       .select(col("doc_id"), col("s"), bucket.as("bucket"))
-    val trainSh = idx.filter(col("bucket") < 80).select(col("s")).distinct()
+    // no distinct on the train side: the semi join dedups, so 80% of
+    // the index skips a full pre-aggregation shuffle
+    val trainSh = idx.filter(col("bucket") < 80).select(col("s"))
     val test = idx.filter(col("bucket") >= 90).select(col("doc_id"), col("s"))
     overlapReport(test, trainSh, "leak_frac")
   }
