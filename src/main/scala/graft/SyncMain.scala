@@ -20,13 +20,25 @@ import graft.table.IceliteTable
   */
 object SyncMain {
 
-  /** Testable core: returns the synced tables keyed by qualified name. */
+  /** Testable core: returns the synced tables keyed by qualified name.
+    * The catalog factory resolves the configured type (reference
+    * `IcebergConfig.java` switch): data lands under the catalog's
+    * warehouse, and every synced table's location is REGISTERED with
+    * the catalog afterwards — a no-op for the filesystem catalog, a
+    * real pointer publish for a REST catalog.
+    */
   def run(spark: SparkSession, configPath: String): Map[String, IceliteTable] = {
     val config = ConfigLoader.load(Paths.get(configPath))
-    val warehouse = config.iceberg.catalog.warehouse
-      .getOrElse(Files.createTempDirectory("graft-warehouse").toString)
+    val catalog = graft.catalog.CatalogFactory.from(spark, config.iceberg.catalog,
+      Files.createTempDirectory("graft-warehouse").toString)
+    val warehouse = catalog.warehouse
     val orchestrator = new SyncOrchestrator(spark, config, warehouse)
-    orchestrator.syncAll(s"$warehouse/_stream_checkpoints")
+    val tables = orchestrator.syncAll(s"$warehouse/_stream_checkpoints")
+    tables.foreach { case (qualified, table) =>
+      val Array(ns, name) = qualified.split("\\.", 2)
+      catalog.register(ns, name, s"$warehouse/$ns/$name")
+    }
+    tables
   }
 
   def main(args: Array[String]): Unit = {
