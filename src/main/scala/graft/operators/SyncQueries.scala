@@ -444,6 +444,56 @@ object SyncQueries {
       |WHERE o_orderkey % 23 = 0 AND o_orderkey % 5 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Changelog UPDATE pairing across physical-delete commits: a keyed
+    * updateWhere lands as pos-delete + rewritten append in ONE commit,
+    * and [[IceliteTable.readChanges]] resolves the coordinates and
+    * pairs them with the same-seq data events into
+    * update_preimage/update_postimage — while a later plain upsert
+    * pairs through its equality delete the classic way. Gates the
+    * round-10 pos-delete changelog path end to end against DuckDB
+    * recomputing both commits' pre/post states.
+    */
+  def tableUpdateChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("updcdc-query")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_updcdc", src.schema)
+    table.upsert(src, Seq("_id")) // s1
+    table.updateWhere( // s2: physical update (pos-delete + append, one commit)
+      pmod(col("o_orderkey"), lit(2)) === 0,
+      Map("o_totalprice" -> (col("o_totalprice") * 2.0)))
+    table.upsert(src // s3: keyed upsert over some already-updated keys
+      .filter(pmod(col("o_orderkey"), lit(9)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0), Seq("_id"))
+    table.readChanges(1, 3)
+      .select(col(IceliteTable.ChangeTypeCol).as("_change_type"),
+        col(IceliteTable.CommitSeqCol).as("_commit_seq"),
+        col("_id"), col("o_totalprice"))
+      .orderBy("_commit_seq", "_change_type", "_id")
+  }
+
+  private val tableUpdateChangelogOracle =
+    """WITH sub AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS id,
+      |         o_orderkey AS k, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 13 = 0)
+      |SELECT * FROM (
+      |  SELECT 'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_seq,
+      |         id AS _id, price AS o_totalprice FROM sub WHERE k % 2 = 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', CAST(2 AS BIGINT), id, price * 2.0
+      |  FROM sub WHERE k % 2 = 0
+      |  UNION ALL
+      |  SELECT 'update_preimage', CAST(3 AS BIGINT), id,
+      |         CASE WHEN k % 2 = 0 THEN price * 2.0 ELSE price END
+      |  FROM sub WHERE k % 9 = 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', CAST(3 AS BIGINT), id, price + 5.0
+      |  FROM sub WHERE k % 9 = 0
+      |) ORDER BY _commit_seq, _change_type, _id""".stripMargin
+
   private val tablePosDeleteOracle =
     """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
       |FROM orders
@@ -553,6 +603,8 @@ object SyncQueries {
       "equality + position deletes merged on read (Iceberg v2 delete shapes)"),
     GraftQuery("table_update_where", tableUpdateWhere _, Some(tableUpdateWhereOracle),
       "keyless UPDATE WHERE: pos-delete old images + mutated append, one commit"),
+    GraftQuery("table_update_changelog", tableUpdateChangelog _, Some(tableUpdateChangelogOracle),
+      "changelog pairs physical updates into update_pre/postimage via coordinate resolution"),
     GraftQuery("table_merge", tableMerge _, Some(tableMergeOracle),
       "MERGE INTO: conditional update/delete/insert + column-level UPDATE SET in one commit"),
     GraftQuery("zorder_scan", zorderScan _, Some(zorderScanOracle),
