@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 object DevTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(",").toSeq
+    val names = args.drop(1).flatMap(_.split(",")).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

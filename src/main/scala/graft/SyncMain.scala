@@ -34,9 +34,12 @@ object SyncMain {
     val warehouse = catalog.warehouse
     val orchestrator = new SyncOrchestrator(spark, config, warehouse)
     val tables = orchestrator.syncAll(s"$warehouse/_stream_checkpoints")
-    tables.foreach { case (qualified, table) =>
-      val Array(ns, name) = qualified.split("\\.", 2)
-      catalog.register(ns, name, s"$warehouse/$ns/$name")
+    // namespace/table come from the config, never re-parsed out of the
+    // qualified name (a namespace may itself contain a dot)
+    config.sync.collections.foreach { c =>
+      if (tables.contains(c.target.qualifiedName))
+        catalog.register(c.target.namespace, c.target.table,
+          s"$warehouse/${c.target.namespace}/${c.target.table}")
     }
     tables
   }

@@ -49,10 +49,14 @@ final class LocalCatalog(spark: SparkSession, val warehouse: String)
     else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 
-  override def listNamespaces(): Seq[String] = dirs(new Path(warehouse)).sorted
+  override def listNamespaces(): Seq[String] =
+    // "_"-prefixed roots are engine bookkeeping (sync checkpoints,
+    // stream checkpoints), not user namespaces
+    dirs(new Path(warehouse)).filterNot(_.startsWith("_")).sorted
 
   override def listTables(namespace: String): Seq[String] =
-    dirs(new Path(s"$warehouse/$namespace"))
+    if (namespace.startsWith("_")) Nil
+    else dirs(new Path(s"$warehouse/$namespace"))
       .filter(t => fs.exists(new Path(s"$warehouse/$namespace/$t/metadata"))).sorted
 
   override def register(namespace: String, table: String, location: String): Unit = {
@@ -84,6 +88,12 @@ final class RestCatalog(baseUri: String, val warehouse: String)
   private val http = java.net.http.HttpClient.newHttpClient()
   private val base = baseUri.stripSuffix("/")
 
+  /** Percent-encode one URI path segment (config only requires names
+    * to be non-empty, so spaces / '#' / '?' must not break the path).
+    */
+  private def seg(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
   private def send(req: java.net.http.HttpRequest): String = {
     val resp = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)
@@ -102,7 +112,7 @@ final class RestCatalog(baseUri: String, val warehouse: String)
   }
 
   override def listTables(namespace: String): Seq[String] = {
-    val root = mapper.readTree(get(s"/v1/namespaces/$namespace/tables"))
+    val root = mapper.readTree(get(s"/v1/namespaces/${seg(namespace)}/tables"))
     val arr = root.get("identifiers")
     (0 until arr.size()).map(i => arr.get(i).get("name").asText()).sorted
   }
@@ -112,7 +122,7 @@ final class RestCatalog(baseUri: String, val warehouse: String)
     body.put("name", table)
     body.put("metadata-location", location)
     send(java.net.http.HttpRequest
-      .newBuilder(java.net.URI.create(s"$base/v1/namespaces/$namespace/register"))
+      .newBuilder(java.net.URI.create(s"$base/v1/namespaces/${seg(namespace)}/register"))
       .header("Content-Type", "application/json")
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body)))
       .build())
@@ -122,7 +132,7 @@ final class RestCatalog(baseUri: String, val warehouse: String)
   override def locationOf(namespace: String, table: String): Option[String] = {
     val resp = http.send(
       java.net.http.HttpRequest
-        .newBuilder(java.net.URI.create(s"$base/v1/namespaces/$namespace/tables/$table"))
+        .newBuilder(java.net.URI.create(s"$base/v1/namespaces/${seg(namespace)}/tables/${seg(table)}"))
         .GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() == 404) None

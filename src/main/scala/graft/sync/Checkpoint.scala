@@ -162,6 +162,11 @@ final class CheckpointStore(spark: SparkSession, warehouse: String) {
       if (!fs.exists(nsPath)) Nil
       else fs.listStatus(nsPath).toSeq.map(_.getPath.getName)
         .filter(_.startsWith(TablePrefix))
+        // skip dirs with no published metadata (a create that crashed
+        // between mkdir and the first commit, or one mid-flight in
+        // another process) — the ops surface must not throw on orphans
+        .filter(n => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$warehouse/$Namespace/$n/metadata")))
     val reads = names.map { n =>
       val t = tables.values.find(_.name == s"$Namespace.$n")
         .getOrElse(IceliteTable.load(spark, warehouse, Namespace, n))
@@ -182,10 +187,16 @@ object CheckpointStore {
   val TablePrefix = "_sync_checkpoints__"
 
   /** `_sync._sync_checkpoints__<syncId>` with the sync id (already
-    * `namespace.table`) sanitized to a filesystem-safe table name.
+    * `namespace.table`) sanitized to a filesystem-safe table name. A
+    * hash of the RAW id is appended so distinct ids that sanitize
+    * alike ("a-b" vs "a_b") can never share a table — sharing would
+    * silently reintroduce the multi-writer CAS contention the
+    * per-sync layout exists to eliminate.
     */
-  def tableName(syncId: String): String =
-    TablePrefix + syncId.replaceAll("[^A-Za-z0-9_]", "_")
+  def tableName(syncId: String): String = {
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(syncId))
+    TablePrefix + syncId.replaceAll("[^A-Za-z0-9_]", "_") + "__" + h
+  }
 
   /** Parquet message types for the driver-side writer (mirrors
     * [[Schema]]; timestamp as INT64 micros UTC, strings as UTF8).

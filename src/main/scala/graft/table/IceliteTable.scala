@@ -429,19 +429,31 @@ final class IceliteTable private (
 
     val addedInRange = readFiles(inRange.flatMap(_.dataFiles), withSeq = true)
     val delFilesInRange = inRange.flatMap(_.deleteFiles)
-    if (delFilesInRange.isEmpty) {
-      // no equality deletes in range: every added row is an insert and
-      // every in-range pos delete is a resolved-row delete event (an
-      // updateWhere commit therefore reads as delete + insert at one
-      // seq — physical-row updates carry no pairing identity)
+    if (delFilesInRange.isEmpty && posInRange.isEmpty)
+      return emit(addedInRange, lit("insert"), col(SeqCol))
+    // key columns: the recorded table property, else derivable from
+    // in-range delete files; absent only on keyless tables
+    val keyColsOpt = m.properties.get(DeleteKeyColumnsProp).map(_.split(',').toSeq)
+      .orElse(if (delFilesInRange.nonEmpty) Some(keyColumnsOfDeletes(delFilesInRange))
+        else None)
+    if (keyColsOpt.isEmpty) {
+      // KEYLESS table: every added row is an insert and every in-range
+      // pos delete is a resolved-row delete event (an updateWhere
+      // commit reads as delete + insert at one seq — physical rows of
+      // a keyless table carry no pairing identity)
       val inserts = emit(addedInRange, lit("insert"), col(SeqCol))
-      return if (posInRange.isEmpty) inserts
-      else inserts.unionByName(
+      return inserts.unionByName(
         emit(resolvePos(posInRange), lit("delete"), col("_pos_seq")))
     }
-
-    val keyCols = m.properties.get(DeleteKeyColumnsProp)
-      .map(_.split(',').toSeq).getOrElse(keyColumnsOfDeletes(delFilesInRange))
+    // KEYED table: always the per-key event log — even a pos-delete-
+    // only range classifies through it, so an incremental per-commit
+    // consumer sees the same change types a wide-range reader does.
+    val keyCols = keyColsOpt.get
+    def emptyKeyed: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType((keyCols.map(k => m.schema(k)) :+
+        org.apache.spark.sql.types.StructField(SeqCol,
+          org.apache.spark.sql.types.LongType)).toArray))
     // affected keys come from the IN-RANGE delete files (each delete
     // row carries its commit seq) plus the keys of rows pos-deleted in
     // range; their min/max per prunable key column then prunes the
@@ -449,8 +461,15 @@ final class IceliteTable private (
     // pos deletes join the per-key event log as delete events, so the
     // lag/lead machinery sees the row leave at the pos-delete seq —
     // pre-images stay exact when physical and keyed deletes interleave.
-    val resolvedPos = if (posAll.isEmpty) None else Some(resolvePos(posAll))
-    val delInRange = spark.read.parquet(delFilesInRange.map(abs): _*)
+    // The resolution is projected to (keys, seq) and materialized ONCE
+    // (localCheckpoint): it feeds the bounds agg, the affected-key set
+    // and the event log, and re-running the coordinate join per subtree
+    // would multiply the dominant IO of the read.
+    val resolvedPos = if (posAll.isEmpty) None
+      else Some(resolvePos(posAll)
+        .select(keyCols.map(col) :+ col("_pos_seq"): _*).localCheckpoint())
+    val delInRange = if (delFilesInRange.isEmpty) emptyKeyed
+      else spark.read.parquet(delFilesInRange.map(abs): _*)
     val affectedKeySrc = resolvedPos match {
       case Some(rp) => delInRange.select(keyCols.map(col): _*)
         .unionByName(rp.filter(col("_pos_seq") > fromSeq).select(keyCols.map(col): _*))
@@ -462,7 +481,8 @@ final class IceliteTable private (
     val (histDataFiles, histDelFiles) =
       (pruneConjunctive(hist, _.dataFiles, bounds),
         pruneConjunctive(hist, _.deleteFiles, bounds))
-    val delAll = spark.read.parquet(histDelFiles.map(abs): _*)
+    val delAll = if (histDelFiles.isEmpty) emptyKeyed
+      else spark.read.parquet(histDelFiles.map(abs): _*)
 
     // keys never deleted in range: plain inserts, no history needed
     val plainInserts = emit(
@@ -1302,16 +1322,23 @@ final class IceliteTable private (
     // per column, the same conservative test as pruneByKeyStats/cmpStat:
     // no value bound, missing stats, or (numeric) an unparseable side
     // all KEEP the file; string compare is UTF-8 byte order, which is
-    // exactly Spark's UTF8String ordering
+    // exactly Spark's UTF8String ordering. Identity transforms have no
+    // sound stat ordering (and record no stats), so they keep every
+    // file rather than rejecting the whole metadata table.
+    val prunable = prunableColumns(m.partitioning ++ retiredPartitioning)
     val overlap = pcols.map { case (n, _) =>
-      val base = col(n).isNull || col(s"_mn_$n").isNull
-      if (pruneComparatorFor(n)) {
-        val vL = expr(s"try_cast(`$n` as bigint)")
-        val mnL = expr(s"try_cast(`_mn_$n` as bigint)")
-        val mxL = expr(s"try_cast(`_mx_$n` as bigint)")
-        base || vL.isNull || mnL.isNull || mxL.isNull || (mxL >= vL && mnL <= vL)
-      } else
-        base || (col(s"_mx_$n") >= col(n) && col(s"_mn_$n") <= col(n))
+      prunable.get(n) match {
+        case None => lit(true)
+        case Some(numeric) =>
+          val base = col(n).isNull || col(s"_mn_$n").isNull
+          if (numeric) {
+            val vL = expr(s"try_cast(`$n` as bigint)")
+            val mnL = expr(s"try_cast(`_mn_$n` as bigint)")
+            val mxL = expr(s"try_cast(`_mx_$n` as bigint)")
+            base || vL.isNull || mnL.isNull || mxL.isNull || (mxL >= vL && mnL <= vL)
+          } else
+            base || (col(s"_mx_$n") >= col(n) && col(s"_mn_$n") <= col(n))
+      }
     }.reduce(_ && _)
     counts.join(broadcast(files), overlap, "left")
       .groupBy(pcols.map { case (n, _) => col(n) }: _*)

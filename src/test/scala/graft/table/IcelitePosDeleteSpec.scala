@@ -159,6 +159,23 @@ class IcelitePosDeleteSpec extends AnyFunSuite with SparkFixture {
       ("insert", 4L, 2L, 3.0)))
   }
 
+  test("changelog: pos-delete-only range on a keyed table classifies like a wide range") {
+    val t = IceliteTable.create(spark, wh(), "ns", "pdrange", rows().schema)
+    t.upsert(rows((1L, "a", 1.0), (2L, "a", 9.0)), Seq("id")) // s1
+    t.updateWhere(col("id") === 2L, Map("score" -> (col("score") * 2.0))) // s2
+    def events(from: Long, to: Long) = t.readChanges(from, to)
+      .filter(col("id") === 2L)
+      .select("_change_type", "_commit_seq", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    // the narrow range (pos delete only) and the wide range must agree:
+    // an incremental per-commit consumer may not see different change
+    // types than a batch reader of the same history
+    val expected = Seq(
+      ("update_postimage", 2L, 18.0), ("update_preimage", 2L, 9.0))
+    assert(events(1L, 2L) == expected)
+    assert(events(0L, 2L).filter(_._2 == 2L) == expected)
+  }
+
   test("updateWhere: keyless row update = pos-delete + mutated append in ONE commit") {
     val t = IceliteTable.create(spark, wh(), "ns", "pdupd", rows().schema)
     t.append(rows((1L, "a", 1.0), (2L, "a", 9.0), (3L, "b", 9.5)))

@@ -123,6 +123,23 @@ class IceliteRefsSpec extends AnyFunSuite with SparkFixture {
     assert(got.forall(_.getLong(2) >= 1L)) // ≥1 file per populated value
   }
 
+  test("partitions metadata table: identity transform reports all files, no crash") {
+    import spark.implicits._
+    // identity is the config DEFAULT transform; it has no sound stat
+    // ordering, so file_count must conservatively count every file
+    val src = Seq((1L, "red", 1.0), (2L, "red", 2.0), (3L, "blue", 3.0))
+      .toDF("id", "color", "score")
+    val t = IceliteTable.create(spark, wh(), "ns", "partsid", src.schema,
+      partitioning = Seq(PartitionConfig("color"))) // identity
+    t.append(src)
+    t.append(src.withColumn("id", col("id") + 10L))
+    val total = t.meta.liveDataFiles.size.toLong
+    val got = t.partitionsTable().orderBy(col(IceliteTable.partColName(
+      PartitionConfig("color")))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("blue", 2L, total), ("red", 4L, total)))
+  }
+
   test("partitions metadata table: unpartitioned tables report one row") {
     val t = IceliteTable.create(spark, wh(), "ns", "parts0", rows().schema)
     t.append(rows((1L, "a", 1.0), (2L, "b", 2.0)))
