@@ -444,6 +444,52 @@ object SyncQueries {
       |WHERE o_orderkey % 23 = 0 AND o_orderkey % 5 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The incremental-consumer feed ([[IceliteTable.readAppendedSince]] /
+    * [[IceliteTable.readDeleteKeysSince]]): a downstream job that
+    * resynced at a checkpoint seq pulls exactly the rows appended and
+    * the keys deleted after it, each tagged with its commit seq — the
+    * raw pull protocol under the changelog (no pre/post-image
+    * reconstruction, so it reads only the NEW files, never history).
+    * DuckDB recomputes both halves from the same commit arithmetic.
+    */
+  def tableIncrementalFeed(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("feed-query")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(17)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_feed", src.schema)
+    table.upsert(src, Seq("_id")) // s1: the consumer's resync point
+    val mark = table.meta.lastSeq
+    table.upsert(src.filter(pmod(col("o_orderkey"), lit(4)) === 0) // s2
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0), Seq("_id"))
+    table.delete(src.filter(pmod(col("o_orderkey"), lit(6)) === 0) // s3
+      .select("_id"), Seq("_id"))
+    val ups = table.readAppendedSince(mark)
+      .select(lit("upsert").as("_kind"), col(IceliteTable.SeqCol).as("_seq"),
+        col("_id"), col("o_totalprice"))
+    val dels = table.readDeleteKeysSince(mark)
+      .select(lit("delete").as("_kind"), col(IceliteTable.SeqCol).as("_seq"),
+        col("_id"), lit(null).cast("double").as("o_totalprice"))
+    ups.unionByName(dels).orderBy("_seq", "_kind", "_id")
+  }
+
+  private val tableIncrementalFeedOracle =
+    """WITH sub AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS id,
+      |         o_orderkey AS k, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 17 = 0)
+      |SELECT * FROM (
+      |  SELECT 'upsert' AS _kind, CAST(2 AS BIGINT) AS _seq,
+      |         id AS _id, price + 1.0 AS o_totalprice FROM sub WHERE k % 4 = 0
+      |  UNION ALL
+      |  SELECT 'delete', CAST(2 AS BIGINT), id, CAST(NULL AS DOUBLE)
+      |  FROM sub WHERE k % 4 = 0
+      |  UNION ALL
+      |  SELECT 'delete', CAST(3 AS BIGINT), id, CAST(NULL AS DOUBLE)
+      |  FROM sub WHERE k % 6 = 0
+      |) ORDER BY _seq, _kind, _id""".stripMargin
+
   /** Changelog UPDATE pairing across physical-delete commits: a keyed
     * updateWhere lands as pos-delete + rewritten append in ONE commit,
     * and [[IceliteTable.readChanges]] resolves the coordinates and
@@ -605,6 +651,8 @@ object SyncQueries {
       "keyless UPDATE WHERE: pos-delete old images + mutated append, one commit"),
     GraftQuery("table_update_changelog", tableUpdateChangelog _, Some(tableUpdateChangelogOracle),
       "changelog pairs physical updates into update_pre/postimage via coordinate resolution"),
+    GraftQuery("table_incremental_feed", tableIncrementalFeed _, Some(tableIncrementalFeedOracle),
+      "incremental consumer pull: appended rows + deleted keys since a checkpoint seq"),
     GraftQuery("table_merge", tableMerge _, Some(tableMergeOracle),
       "MERGE INTO: conditional update/delete/insert + column-level UPDATE SET in one commit"),
     GraftQuery("zorder_scan", zorderScan _, Some(zorderScanOracle),

@@ -176,6 +176,22 @@ class IcelitePosDeleteSpec extends AnyFunSuite with SparkFixture {
     assert(events(0L, 2L).filter(_._2 == 2L) == expected)
   }
 
+  test("changelog resolves pos deletes across a column rename (epoch translation)") {
+    val t = IceliteTable.create(spark, wh(), "ns", "pdren", rows().schema)
+    t.upsert(rows((1L, "a", 1.0), (2L, "a", 9.0)), Seq("id")) // s1, files store "score"
+    t.renameColumn("score", "points") // s2: metadata-only
+    t.deleteWhere(col("points") > 8.0) // s3: coordinates into an epoch-0 file
+    val ch = t.readChanges(0L, t.meta.lastSeq)
+      .select("_change_type", "_commit_seq", "id", "points").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      .sortBy(e => (e._2, e._3, e._1))
+    // the pre-image surfaces under the NEW name even though the killed
+    // physical row was written before the rename
+    assert(ch == Seq(
+      ("insert", 1L, 1L, 1.0), ("insert", 1L, 2L, 9.0),
+      ("delete", 3L, 2L, 9.0)))
+  }
+
   test("updateWhere: keyless row update = pos-delete + mutated append in ONE commit") {
     val t = IceliteTable.create(spark, wh(), "ns", "pdupd", rows().schema)
     t.append(rows((1L, "a", 1.0), (2L, "a", 9.0), (3L, "b", 9.5)))
