@@ -45,6 +45,9 @@ object Dedup {
 
   val BandRows = 2 // rows per LSH band → 8 bands over 16 perms
   val JaccardThreshold = 0.5
+
+  /** Asymmetric-overlap threshold for [[containment]]. */
+  val ContainmentThreshold = 0.9
   val CosineThreshold = 0.45
   val ShingleWidth = 5
 
@@ -225,6 +228,52 @@ object Dedup {
        |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
        |FROM common JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= $JaccardThreshold
+       |ORDER BY x, y""".stripMargin
+
+  /** CONTAINMENT dedup — the asymmetric complement of Jaccard: a short
+    * document wholly embedded in a longer one (quoted articles,
+    * boilerplate-wrapped reposts, prefix/suffix-padded copies) scores
+    * common/least(|A|,|B|) ≈ 1 while its Jaccard stays low (the union
+    * is dominated by the longer doc), so a symmetric threshold never
+    * catches it. Same df-capped inverted-index join as
+    * [[ngramJaccard]]; only the normalizer differs.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val e = shingleIndex(spark, dir)
+    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = e.as("a").join(e.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("x") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("y") === col("sb.doc_id"))
+      .select(col("x"), col("y"),
+        (col("common").cast("double") / least(col("sa.n"), col("sb.n")))
+          .as("containment"),
+        (col("common").cast("double") /
+          (col("sa.n") + col("sb.n") - col("common"))).as("jaccard"))
+      .filter(col("containment") >= ContainmentThreshold)
+      .orderBy("x", "y")
+  }
+
+  private val containmentOracle =
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
+       |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |e AS (SELECT doc_id, s FROM e0 WHERE s IN ($dfCapSql)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS common
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT x, y,
+       |  CAST(common AS DOUBLE) / least(sa.n, sb.n) AS containment,
+       |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+       |FROM common JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / least(sa.n, sb.n) >= $ContainmentThreshold
        |ORDER BY x, y""".stripMargin
 
   // --------------------------------------------------- MinHash + LSH
@@ -672,6 +721,8 @@ object Dedup {
       "exact dedup by content hash"),
     GraftQuery("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardOracle),
       "near-dup pairs, exact 5-gram Jaccard via inverted-index join"),
+    GraftQuery("dedup_containment", containment _, Some(containmentOracle),
+      "asymmetric containment: short docs embedded in longer ones (Jaccard-blind)"),
     GraftQuery("dedup_minhash_lsh", minhashLsh _, Some(minhashLshOracle),
       "MinHash(16) + 8-band LSH candidates + exact verify"),
     GraftQuery("dedup_simhash", simhash _, Some(simhashOracle),
