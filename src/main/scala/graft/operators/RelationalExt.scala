@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
 import graft.Tables.t
+import graft.functions.BloomFilterFns
 import Relational.dsum
 
 /** Second tranche of the classic relational checklist (SURVEY §2.4):
@@ -270,7 +271,47 @@ object RelationalExt {
 
   // ---------------------------------------------------------- registry
 
+  // ------------------------------------------------- bloom prefilter join
+  /** Selective semi join with a bloom-filter runtime prefilter (SURVEY
+    * §2.4 joins EXT; same shape as Spark's `InjectRuntimeFilter` /
+    * Trino dynamic filtering, but explicit and stats-independent).
+    *
+    * The dim side's keys build ONE bounded bloom filter via the native
+    * [[graft.functions.BloomFilterBuildAgg]] (partials map-side, OR
+    * merge); fact rows that cannot match are dropped at the scan by the
+    * codegen'd `might_contain` predicate BEFORE the join shuffle — at
+    * 100 TB this cuts the shuffled fact volume to ~selectivity + fpp.
+    * False positives survive the prefilter and are removed by the exact
+    * semi join, so the result is exactly the plain semi join's.
+    */
+  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val dimKeys = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // Size the filter from a cheap key-count (at scale: catalog stats).
+    val nKeys = dimKeys.count()
+    val blob = dimKeys
+      .agg(BloomFilterFns.bloomBuild(col("o_orderkey"), math.max(1000L, nKeys), 0.03))
+      .head.getAs[Array[Byte]](0)
+    t(spark, dir, "lineitem")
+      .where(BloomFilterFns.bloomMightContain(col("l_orderkey"), blob))
+      .join(dimKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val joinBloomPrefilterOracle =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("join_bloom_prefilter", joinBloomPrefilter _, Some(joinBloomPrefilterOracle),
+      "bloom runtime prefilter before an exact semi join"),
     GraftQuery("grouping_sets", groupingSets _, Some(groupingSetsOracle),
       "explicit GROUPING SETS via SQL surface"),
     GraftQuery("pivot_agg", pivotAgg _, Some(pivotAggOracle),
