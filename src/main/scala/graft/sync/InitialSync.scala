@@ -8,9 +8,14 @@ import graft.schema.{DocumentSource, SchemaInfer}
 import graft.table.IceliteTable
 
 /** Initial collection scan (reference S1/T5/R9): `_id`-ordered resumable
-  * copy of the source collection into the target table, checkpointing a
-  * high-water-mark `_id` after each committed chunk so a crash resumes
-  * with a pushed-down `_id > hwm` range scan instead of restarting.
+  * copy of the source collection into the target table. Each chunk
+  * commit carries its high-water-mark `_id` IN THE SNAPSHOT SUMMARY —
+  * progress publishes atomically with the data, so a crash resumes
+  * with a pushed-down `_id > hwm` range scan that is exactly-once (the
+  * reference's separate checkpoint write opens an at-least-once window
+  * between data commit and checkpoint, docs/design.md:339-348, and
+  * doubles commit traffic; riding the marker on the commit closes
+  * both).
   *
   * Scale shape: chunk boundaries are computed in ONE distributed pass
   * (row_number over the `_id` order, keep every maxRecords-th id — the
@@ -44,14 +49,29 @@ final class InitialSync(
     val runT0 = System.currentTimeMillis()
     val idType = source.schema(idCol).dataType
     val prior = checkpoints.read(syncId)
-    val hwm = prior.flatMap(_.highWaterMarkId)
-    var processed = prior.map(_.documentsProcessed).getOrElse(0L)
+    val ckptHwm = prior.flatMap(_.highWaterMarkId)
 
-    // No high-water mark means this is a from-scratch sync (first run
-    // or a post-invalidate rebuild): the target must start empty, or
-    // stale pre-drop rows survive next to the fresh copy. Truncate is
-    // idempotent, so a crash anywhere in the rebuild re-runs safely.
-    if (hwm.isEmpty && table.meta.liveDataFiles.nonEmpty) table.truncate()
+    // No checkpointed high-water mark means this is a from-scratch sync
+    // (first run or a post-invalidate rebuild): the target must start
+    // empty, or stale pre-drop rows survive next to the fresh copy.
+    // Truncate is idempotent (and resets any stale progress markers of
+    // a previous epoch), so a crash anywhere in the rebuild re-runs
+    // safely.
+    if (ckptHwm.isEmpty && table.meta.liveDataFiles.nonEmpty) table.truncate()
+
+    // Resume point: each chunk commit carries its high-water mark in
+    // the SNAPSHOT SUMMARY, atomically with the data, so a marker is
+    // never ahead of or behind its chunk — resume is exactly-once, not
+    // at-least-once. The checkpoint row (written once at first chunk,
+    // once at completion) pins the no-truncate decision above; the
+    // snapshot marker — always ≥ the checkpointed one — refines it.
+    val tagged = table.meta.snapshots.reverse
+      .find(_.summary.get(InitialSync.SyncIdKey).contains(syncId))
+    val hwm = tagged.flatMap(_.summary.get(InitialSync.HwmKey)).orElse(ckptHwm)
+    var processed = tagged.flatMap(_.summary.get(InitialSync.DocsKey))
+      .map(_.toLong)
+      .orElse(prior.map(_.documentsProcessed))
+      .getOrElse(0L)
 
     val remaining = hwm match {
       case Some(mark) => // pushed-down resume (T5), hwm parsed back to the native id type
@@ -61,27 +81,41 @@ final class InitialSync(
 
     val boundaries = chunkBoundaries(remaining, idCol, effectiveMaxRecords(remaining))
     var lower: Option[Any] = None
+    var checkpointed = ckptHwm.isDefined
     for (upper <- boundaries) {
       val chunk = remaining
         .filter(lower.map(lo => col(idCol) > typedLit(lo, idType)).getOrElse(lit(true)))
         .filter(col(idCol) <= typedLit(upper, idType))
       val t0 = System.currentTimeMillis()
-      val snapshotSeq = table.append(chunk)
+      val before = processed
+      val snapshotSeq = table.append(chunk, n => Map(
+        InitialSync.SyncIdKey -> syncId,
+        InitialSync.HwmKey -> renderId(upper),
+        // cumulative count rides with the chunk too, so resume never
+        // needs to sum (or even see) earlier snapshots — and it
+        // survives compaction folding them away
+        InitialSync.DocsKey -> (before + n).toString))
       val n = table.meta.snapshots.last.recordCount
       processed += n
       metrics.recordCommit(syncId, System.currentTimeMillis() - t0)
       metrics.recordInitialDocs(syncId, n)
-      checkpoints.write(CheckpointRecord(
-        syncId = syncId,
-        state = SyncState.InitialSync,
-        sourceDatabase = sourceDatabase,
-        sourceCollection = cfg.source.collection,
-        resumeToken = prior.flatMap(_.resumeToken),
-        highWaterMarkId = Some(renderId(upper)),
-        documentsProcessed = processed,
-        lastSnapshotId = snapshotSeq,
-        lastBatchId = prior.map(_.lastBatchId).getOrElse(-1L),
-        updatedAtMs = System.currentTimeMillis()))
+      if (!checkpointed) {
+        // ONE durable checkpoint row per initial sync marks "progress
+        // exists — do not truncate on resume"; every later chunk's
+        // progress travels in its own commit.
+        checkpoints.write(CheckpointRecord(
+          syncId = syncId,
+          state = SyncState.InitialSync,
+          sourceDatabase = sourceDatabase,
+          sourceCollection = cfg.source.collection,
+          resumeToken = prior.flatMap(_.resumeToken),
+          highWaterMarkId = Some(renderId(upper)),
+          documentsProcessed = processed,
+          lastSnapshotId = snapshotSeq,
+          lastBatchId = prior.map(_.lastBatchId).getOrElse(-1L),
+          updatedAtMs = System.currentTimeMillis()))
+        checkpointed = true
+      }
       lower = Some(upper)
     }
 
@@ -175,6 +209,14 @@ final class InitialSync(
 }
 
 object InitialSync {
+
+  /** Snapshot-summary keys for the atomic per-chunk progress marker
+    * (prefix must match [[graft.table.IceliteTable.SyncProgressPrefix]]
+    * so compaction rewrites carry it forward).
+    */
+  val SyncIdKey = "graft.sync.id"
+  val HwmKey = "graft.sync.hwm"
+  val DocsKey = "graft.sync.docs"
 
   /** Sample size for the average-document-size estimate backing the
     * `batch.maxBytes` flush threshold.

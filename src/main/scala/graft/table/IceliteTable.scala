@@ -46,6 +46,17 @@ final class IceliteTable private (
   def append(df: DataFrame): Long =
     commitWrite(df, deleteKeys = None, keyCols = Nil, operation = "append")
 
+  /** Append with commit-summary metadata published atomically with the
+    * data (Iceberg snapshot-summary analog) — the initial-sync path
+    * rides its high-water mark on this so progress and data commit in
+    * one rename (exactly-once resume, no separate checkpoint commit).
+    * The summary is built from the committed record count (known only
+    * after the files are written).
+    */
+  def append(df: DataFrame, summary: Long => Map[String, String]): Long =
+    commitWrite(df, deleteKeys = None, keyCols = Nil, operation = "append",
+      summary = summary)
+
   /** Upsert batch by key (steady-state change-stream path, reference
     * R1): one commit carrying an equality-delete file for the batch keys
     * plus a data file with the new row versions — the Iceberg MoR
@@ -236,7 +247,8 @@ final class IceliteTable private (
       df: DataFrame,
       deleteKeys: Option[DataFrame],
       keyCols: Seq[String],
-      operation: String): Long = retryCommit { head =>
+      operation: String,
+      summary: Long => Map[String, String] = _ => Map.empty): Long = retryCommit { head =>
     val seq = head.lastSeq + 1
     val commitId = UUID.randomUUID().toString
     // per-file key-column min/max (this commit's keys, or the table's
@@ -267,7 +279,7 @@ final class IceliteTable private (
         head.copy(properties = head.properties + (DeleteKeyColumnsProp -> keyCols.mkString(",")))
       else head
     (withKeyProp.withSnapshot(Snapshot(seq, System.currentTimeMillis(), operation,
-      dataFiles, deleteFiles, count, fileStats ++ deleteStats)), seq)
+      dataFiles, deleteFiles, count, fileStats ++ deleteStats, summary = summary(count))), seq)
   }
 
   // ------------------------------------------------------------- reads
@@ -716,6 +728,16 @@ final class IceliteTable private (
     * reference) and replace all live files in one `rewrite` snapshot.
     * Also the schedule point for snapshot expiry.
     */
+  /** Latest sync-progress summary among `snaps` (see
+    * [[IceliteTable.SyncProgressPrefix]]) — what a rewrite that folds
+    * those snapshots away must re-publish.
+    */
+  private def carrySyncProgress(snaps: Seq[Snapshot]): Map[String, String] =
+    snaps.reverse
+      .find(_.summary.keys.exists(_.startsWith(IceliteTable.SyncProgressPrefix)))
+      .map(_.summary.filter(_._1.startsWith(IceliteTable.SyncProgressPrefix)))
+      .getOrElse(Map.empty)
+
   def compact(targetFileMB: Int = 256): Long = compact(targetFileMB, Nil, None)
 
   /** Compaction with optional Z-ORDER clustering (Iceberg's zorder
@@ -783,7 +805,11 @@ final class IceliteTable private (
           else head.copy(properties =
             head.properties + (ZorderColumnsProp -> zorderBy.mkString(",")))
         (withZ.rewritten(Snapshot(seq, System.currentTimeMillis(), "rewrite",
-          files, Nil, count, stats)), seq)
+          files, Nil, count, stats,
+          // a full rewrite REPLACES the snapshot list; sync progress
+          // markers ride on the rewrite or a crashed initial sync
+          // loses its resume point (truncate alone resets them)
+          summary = carrySyncProgress(head.snapshots))), seq)
       }
     } finally current.unpersist()
   }
@@ -890,8 +916,11 @@ final class IceliteTable private (
           throw new IllegalStateException(
             s"concurrent position delete under cold compaction of $name — " +
               "its coordinates may target a cold file; rerun after it ages in")
+        // cold snapshots fold away — their latest sync-progress marker
+        // moves to the synthetic snapshot (hot tagged commits keep
+        // their own and win resume, being later in the list)
         val synthetic = Snapshot(cutoff, System.currentTimeMillis(), "rewrite-cold",
-          files, Nil, count, stats)
+          files, Nil, count, stats, summary = carrySyncProgress(coldSnaps))
         (head.copy(snapshots = synthetic +: head.snapshots.filter(_.seq > cutoff)), cutoff)
       }
       Some(cutoff)
@@ -2086,6 +2115,13 @@ object IceliteTable {
     * files away).
     */
   val DeleteKeyColumnsProp = "graft.delete.key.columns"
+
+  /** Snapshot-summary key prefix for sync progress markers (the
+    * initial-sync high-water mark riding atomically on its chunk
+    * commit). Compaction rewrites carry the LATEST such summary
+    * forward; truncate (rebuild reset) deliberately drops them.
+    */
+  val SyncProgressPrefix = "graft.sync."
 
   /** Property-key prefix for named snapshot refs (branches/tags):
     * `graft.ref.<name>` = `"tag:<seq>"` | `"branch:<seq>"`.

@@ -38,7 +38,14 @@ final case class Snapshot(
       * last field with a default so pre-existing metadata (and
       * positional constructor calls) parse/compile unchanged.
       */
-    posDeleteFiles: Seq[String] = Nil)
+    posDeleteFiles: Seq[String] = Nil,
+    /** Commit summary metadata (Iceberg snapshot-summary analog):
+      * small string properties that travel ATOMICALLY with the commit
+      * — e.g. the initial-sync high-water mark, which makes crash
+      * resume exactly-once because progress publishes in the same
+      * rename as the data it describes.
+      */
+    summary: Map[String, String] = Map.empty)
 
 /** Full table state at one metadata version. Commit = atomic rename of
   * v{N+1}.json.tmp → v{N+1}.json; the failed renamer retries against the
@@ -121,6 +128,10 @@ object TableMeta {
           }
         }
       }
+      if (s.summary.nonEmpty) {
+        val sm = o.putObject("summary")
+        s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
+      }
     }
     val props = root.putObject("properties")
     m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
@@ -157,6 +168,9 @@ object TableMeta {
                 ce.getKey -> (ce.getValue.get("min").asText(), ce.getValue.get("max").asText())
               }.toMap
             }.toMap
+          }.getOrElse(Map.empty),
+          summary = Option(o.get("summary")).filter(_.isObject).map { sm =>
+            sm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
           }.getOrElse(Map.empty))
       }.toSeq,
       properties = Option(root.get("properties")).filter(_.isObject).map { p =>

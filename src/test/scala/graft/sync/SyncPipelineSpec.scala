@@ -99,6 +99,51 @@ class SyncPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(orch.checkpoints.read("analytics.orders").get.documentsProcessed == 14)
   }
 
+  test("crash between chunk commit and checkpoint write resumes exactly-once") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    writeFixture(root, "shop", "orders", (1 to 12).map(i => doc(i, "1.00", "gold")))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val c = cfg.sync.collections.head
+    orch.syncCollection(c, Files.createTempDirectory("ck1").toString)
+    // simulate the crash window: the table holds chunks through oid(12)
+    // (snapshot summaries carry hwm atomically) but the durable
+    // checkpoint row lags at oid(10) — the state the old per-chunk
+    // checkpoint design replays (duplicating 11-12) on resume
+    val cp = orch.checkpoints.read("analytics.orders").get
+    orch.checkpoints.write(cp.copy(
+      state = SyncState.InitialSync, highWaterMarkId = Some(oid(10)),
+      documentsProcessed = 10))
+    writeFixture(root, "shop", "orders", (1 to 14).map(i => doc(i, "1.00", "gold")))
+    val table = orch.syncCollection(c, Files.createTempDirectory("ck2").toString)
+    assert(table.read().count() == 14)
+    assert(table.read().groupBy("_id").count().filter(col("count") > 1).count() == 0)
+    assert(orch.checkpoints.read("analytics.orders").get.documentsProcessed == 14)
+  }
+
+  test("compaction preserves the initial-sync resume marker") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = config(root, wh)
+    writeFixture(root, "shop", "orders", (1 to 12).map(i => doc(i, "1.00", "gold")))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val c = cfg.sync.collections.head
+    orch.syncCollection(c, Files.createTempDirectory("ck1").toString)
+    val cp = orch.checkpoints.read("analytics.orders").get
+    orch.checkpoints.write(cp.copy(
+      state = SyncState.InitialSync, highWaterMarkId = Some(oid(10)),
+      documentsProcessed = 10))
+    val t0 = graft.table.IceliteTable.load(spark, wh, "analytics", "orders")
+    t0.compact() // folds every chunk snapshot into one rewrite
+    assert(t0.meta.snapshots.last.summary.get(InitialSync.HwmKey).contains(oid(12)))
+    writeFixture(root, "shop", "orders", (1 to 14).map(i => doc(i, "1.00", "gold")))
+    val table = orch.syncCollection(c, Files.createTempDirectory("ck2").toString)
+    assert(table.read().count() == 14)
+    assert(table.read().groupBy("_id").count().filter(col("count") > 1).count() == 0)
+    assert(orch.checkpoints.read("analytics.orders").get.documentsProcessed == 14)
+  }
+
   test("change stream: insert/update/delete replay to golden LWW state; idempotent on batch replay") {
     val root = Files.createTempDirectory("sync-fix")
     val wh = Files.createTempDirectory("sync-wh").toString
