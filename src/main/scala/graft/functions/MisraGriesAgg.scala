@@ -1,0 +1,153 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra-Gries frequent-items summary as a native Catalyst
+  * `TypedImperativeAggregate` — the bounded-memory candidate pass of
+  * the classic two-pass heavy-hitters algorithm (Misra & Gries 1982;
+  * merge rule from Agarwal et al., "Mergeable Summaries", PODS 2012).
+  *
+  * Buffer: at most `k` (key → weight) counters. Update: increment a
+  * tracked key, admit an untracked key while capacity remains,
+  * otherwise decrement ALL counters by one and evict the zeros (each
+  * decrement "spends" k occurrences, which is where the error bound
+  * comes from). Merge: pointwise counter sum, then subtract the
+  * (k+1)-th largest weight from every counter and evict non-positives
+  * — associative enough that the GUARANTEE (not the exact counter
+  * values) is partition-independent: after any update/merge tree over
+  * n total rows, every key with true count > n/(k+1) is present in
+  * the summary. Output: the candidate keys, sorted.
+  *
+  * Scale shape: one scan with O(k) state per partial and ≤ k entries
+  * of shuffle per partition — the distinct-key stream never shuffles.
+  * Callers rescan with the (≤ k) candidates as a scan predicate to
+  * get exact counts, so final results are exact and deterministic
+  * even though intermediate counters are not: candidates ⊇ true
+  * hitters is the only property consumed.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]] {
+
+  require(k >= 1, "misra_gries needs k >= 1 counters")
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"misra_gries requires a StringType key input, got ${child.dataType.catalogString}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "misra_gries"
+
+  override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
+    new java.util.HashMap[String, java.lang.Long]()
+
+  override def update(
+      buf: java.util.HashMap[String, java.lang.Long], input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(key)
+      if (cur != null && cur != 0L) buf.put(key, cur + 1L)
+      else if (buf.size < k) buf.put(key, 1L)
+      else {
+        // full and key untracked: decrement everything, evict zeros
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.HashMap[String, java.lang.Long],
+      other: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = buf.get(e.getKey)
+      buf.put(e.getKey, (if (cur == null) 0L else cur.longValue()) + e.getValue)
+    }
+    if (buf.size > k) {
+      // subtract the (k+1)-th largest weight from all, evict <= 0
+      val weights = new Array[Long](buf.size)
+      var i = 0
+      val vit = buf.values().iterator()
+      while (vit.hasNext) { weights(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(weights)
+      val cut = weights(weights.length - k - 1) // (k+1)-th largest
+      val eit = buf.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        if (e.getValue <= cut) eit.remove() else e.setValue(e.getValue - cut)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[String, java.lang.Long]): Any = {
+    val keys = new Array[String](buf.size)
+    buf.keySet().toArray(keys)
+    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+    new GenericArrayData(keys.map(UTF8String.fromString(_).asInstanceOf[Any]))
+  }
+
+  override def serialize(buf: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey)
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+}
+
+object MisraGriesAgg {
+
+  /** DataFrame-side aggregate column: candidate heavy-hitter keys
+    * (sorted `array<string>`, ≤ k entries) over a string key column.
+    * Guarantee: contains every key whose true count exceeds n/(k+1).
+    */
+  def mgCandidates(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+}

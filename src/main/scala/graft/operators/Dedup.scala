@@ -578,13 +578,16 @@ object Dedup {
       .orderBy("cluster_id", "doc_id")
   }
 
-  private val dupClustersOracle: String = {
-    // the SAME LSH-banded verified-pair pipeline the engine runs (NOT
-    // the exact all-pairs join — the cluster edges must restrict to
-    // band candidates exactly like minhashLsh does), then a recursive
-    // transitive closure (components are tiny, so path enumeration is
-    // bounded) and min-reachable-id labeling
-    s"""WITH RECURSIVE $lshOracleCtes,
+  /** Shared oracle CTE chain ending in `comp(id, cluster_id)` — the
+    * SAME LSH-banded verified-pair pipeline the engine runs (NOT the
+    * exact all-pairs join — the cluster edges must restrict to band
+    * candidates exactly like [[minhashLsh]] does), then a recursive
+    * transitive closure (components are tiny, so path enumeration is
+    * bounded) and min-reachable-id labeling. Callers prepend
+    * `WITH RECURSIVE` and append their own consuming CTEs/SELECT.
+    */
+  private[operators] val clusterOracleCtes: String =
+    s"""$lshOracleCtes,
        |pairs AS (
        |  SELECT c.x AS x, c.y AS y FROM candidates c
        |  JOIN common USING (x, y)
@@ -596,7 +599,10 @@ object Dedup {
        |  UNION
        |  SELECT reach.id, edges.y AS r FROM reach JOIN edges ON reach.r = edges.x),
        |comp AS (
-       |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+       |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  private val dupClustersOracle: String = {
+    s"""WITH RECURSIVE $clusterOracleCtes,
        |csize AS (
        |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
        |SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,

@@ -59,6 +59,50 @@ object Pipeline {
        |  count(DISTINCT lang) AS n_langs
        |FROM b GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Leakage-free split: near-duplicate documents must land in the
+    * SAME split, or the held-out set silently contains paraphrases of
+    * training rows and evals overstate generalization. Group id = the
+    * connected-component root of the LSH-verified near-dup graph
+    * ([[Dedup.dupClusters]]); docs outside any cluster group as
+    * themselves. The split decision then hashes the GROUP, not the
+    * doc, so a whole dup-cluster moves together.
+    *
+    * Scale shape: the cluster map is proportional to the DUPLICATED
+    * subset (pairs survive LSH band buckets + verification), far
+    * smaller than the corpus — the left join broadcasts under the
+    * optimizer's size rule; the split itself stays a stateless
+    * row-local hash like [[splitAssign]].
+    */
+  def splitGroupAware(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val grouped = t(spark, dir, "documents").select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+    // salt decorrelates from the per-doc split's hash stream
+    val bucket = pmod(phash(concat(lit("grp:"), col("group_id").cast("string"))), lit(100))
+    grouped
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  private val splitGroupAwareOracle =
+    s"""WITH RECURSIVE ${Dedup.clusterOracleCtes},
+       |grp AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+       |SELECT doc_id, group_id,
+       |  CASE WHEN b < 80 THEN 'train'
+       |       WHEN b < 90 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, group_id,
+       |    ${phashSql("'grp:' || CAST(group_id AS VARCHAR)")} % 100 AS b
+       |  FROM grp) s
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- stratified sampling
 
   /** Deterministic Bernoulli-by-hash sampling at 20% per language
@@ -534,6 +578,8 @@ object Pipeline {
       "mixture plan applied: integer-threshold hash sampling per source"),
     GraftQuery("quality_sweep", qualitySweep _, Some(qualitySweepOracle),
       "survival curve over every quality-score cut (one scan, pre-aggregated sweep)"),
+    GraftQuery("split_group_aware", splitGroupAware _, Some(splitGroupAwareOracle),
+      "leakage-free split: whole near-dup clusters assigned to one split"),
     GraftQuery("split_assign", splitAssign _, Some(splitAssignOracle),
       "deterministic hash-bucket train/val/test split (80/10/10)"),
     GraftQuery("stratified_sample", stratifiedSample _, Some(stratifiedSampleOracle),

@@ -268,7 +268,74 @@ object TextAnalysis {
       |FROM documents
       |GROUP BY 1 ORDER BY kept_doc_id""".stripMargin
 
+  // ----------------------------------------------- heavy hitters (MG)
+
+  /** Misra-Gries counter budget for [[heavyHitters]]: every bigram
+    * with relative frequency > 1/(HhK+1) ≈ 0.098% is guaranteed to
+    * survive the sketch pass, so the 0.12% report threshold can have
+    * no false negatives. Fixed k — the sketch state does NOT grow
+    * with the corpus.
+    */
+  val HhK = 1024
+
+  /** Report threshold as a fraction of total bigram occurrences. Must
+    * stay above 1/(HhK+1) or the sketch guarantee no longer covers
+    * the report set.
+    */
+  val HhSupport = 0.0012
+
+  private def bigrams(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))")).as("t"))
+
+  /** Corpus-wide frequent token bigrams (vocab/boilerplate discovery)
+    * via the classic two-pass heavy hitters: pass 1 runs the
+    * [[graft.functions.MisraGriesAgg]] bounded sketch (one scan, O(k)
+    * state per partial, ≤ k entries of shuffle per partition — the
+    * distinct-bigram stream NEVER shuffles) yielding ≤ k candidates +
+    * the exact total; pass 2 rescans counting ONLY candidate rows (a
+    * codegen'd InSet scan predicate before the tiny groupBy). Output
+    * is exact — candidates ⊇ true hitters is the sketch guarantee —
+    * unlike a plain groupBy whose shuffle carries every distinct key
+    * (vocabulary-sized at 100 TB).
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val bg = bigrams(spark, dir)
+    val pass1 = bg.agg(
+      graft.functions.MisraGriesAgg.mgCandidates(col("t"), HhK).as("cand"),
+      count(lit(1)).as("n")).collect()(0)
+    val cand = pass1.getSeq[String](0)
+    val n = pass1.getLong(1)
+    // threshold compared in DOUBLE on both sides (IEEE multiply is
+    // engine-independent; a ceil/round could split on the oracle)
+    bg.filter(col("t").isin(cand: _*))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") >= lit(HhSupport) * n.toDouble)
+      .select(col("t").as("bigram"), col("cnt"))
+      .orderBy("bigram")
+  }
+
+  private val heavyHittersOracle =
+    s"""WITH tok AS (
+       |  SELECT string_split(text, ' ') AS a FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |bg AS (
+       |  SELECT a[i] || ' ' || a[i + 1] AS t
+       |  FROM tok, LATERAL (SELECT unnest(range(1, len(a))) AS i) u),
+       |c AS (SELECT t, count(*) AS cnt FROM bg GROUP BY t),
+       |tot AS (SELECT sum(cnt) AS n FROM c)
+       |SELECT c.t AS bigram, c.cnt AS cnt
+       |FROM c, tot
+       |WHERE CAST(c.cnt AS DOUBLE) >= CAST($HhSupport AS DOUBLE) * CAST(tot.n AS DOUBLE)
+       |ORDER BY bigram""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_heavy_hitters", heavyHitters _, Some(heavyHittersOracle),
+      "frequent bigrams via bounded Misra-Gries sketch + exact candidate rescan"),
     GraftQuery("text_corpus_stats", corpusStats _, Some(corpusStatsOracle),
       "corpus-level stats: docs, tokens, vocabulary, mean length"),
     GraftQuery("dedup_exact_normalized", dedupNormalized _, Some(dedupNormalizedOracle),

@@ -28,4 +28,23 @@ class DedupClustersSpec extends AnyFunSuite with SparkFixture {
     assert(byCluster(10L).map(_.getLong(0)).toSet == Set(10L, 11L, 12L, 13L, 14L))
     assert(a.count(_.getBoolean(3)) == 4) // exactly one kept per cluster
   }
+
+  test("group-aware split never separates a near-dup cluster and covers every doc") {
+    val dir = "/root/testdata/sf0.001"
+    val split = Pipeline.splitGroupAware(spark, dir).collect()
+    val docs = graft.Tables.t(spark, dir, "documents").count()
+    assert(split.length == docs) // total function: one row per doc
+    // every cluster maps to exactly one split label
+    val clusters = Dedup.dupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty, "fixture must contain near-dup clusters")
+    val splitOf = split.map(r => r.getLong(0) -> r.getString(2)).toMap
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      val labels = members.keys.map(splitOf).toSet
+      assert(labels.size == 1, s"cluster $cid straddles splits: $labels")
+    }
+    // and the assignment is reproducible
+    val again = Pipeline.splitGroupAware(spark, dir).collect()
+    assert(split.toSeq == again.toSeq)
+  }
 }
