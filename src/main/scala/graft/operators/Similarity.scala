@@ -351,7 +351,68 @@ object Similarity {
       .select(col("vec_id"), col("c_label"), col("cell_rank"))
   }
 
-  private val topkIvfOracle: String =
+  // --------------------------------------------------------- KNN join
+
+  /** Query-side size of the KNN JOIN: every vec_id below this is a
+    * query, the rest are corpus — a query SET 20× [[NumQueries]],
+    * chosen to make broadcast-of-queries the wrong plan on purpose.
+    */
+  val KnnQueries = 100
+
+  /** Neighbors returned per query by [[knnJoin]]. */
+  val KnnK = 3
+
+  /** KNN JOIN — batch ANN for a LARGE query set. The broadcast top-k
+    * ([[topkBruteForce]], [[topkIvf]]) dies when the query side stops
+    * fitting in a broadcast (scoring every (query, corpus) pair is
+    * |Q|·|C| work); the scale shape is instead: both sides carry their
+    * IVF cell from the persisted index, co-partition ON CELL in a
+    * shuffle-hash join (each task scores one cell's queries against
+    * that cell's corpus — never the cross product), then per-query
+    * top-k. Work drops to |Q|·probes/K of the corpus and parallelism
+    * follows the cell count. The `shuffle_hash` hint pins the
+    * co-partitioned plan so a size misestimate can't silently fall
+    * back to broadcasting a 100-million-row query set.
+    *
+    * Scoring is the usual two-phase: native-codegen double cosine
+    * prefilter with a 1e-9 band around the k-th fast score, exact
+    * decimal rescore of survivors only.
+    */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecExpressions.floatDot
+    val e = embWithNorms(spark, dir)
+    val rankedCells = ClusterIndex.ivfCells(spark, dir)
+    val corpus = rankedCells.filter(col("cell_rank") === 1 && col("vec_id") >= KnnQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .join(e, "vec_id")
+    val probes = rankedCells.filter(col("cell_rank") <= IvfProbes && col("vec_id") < KnnQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .join(e, "vec_id")
+      .select(col("vec_id").as("q_id"), col("cell"),
+        col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+    val fast = probes.hint("shuffle_hash").join(corpus, "cell")
+      .withColumn("fcos",
+        floatDot(col("q_emb"), col("embedding")) / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
+    val wAll = Window.partitionBy(col("q_id")).orderBy(desc("fcos"), asc("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val kept = fast.withColumn("kth_fcos", nth_value(col("fcos"), KnnK).over(wAll))
+      .filter(col("kth_fcos").isNull || col("fcos") >= col("kth_fcos") - lit(1e-9))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    kept
+      .select(col("q_id"), col("vec_id"),
+        round(decimalDot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle chain shared by `sim_topk_ivf` (query bound [[NumQueries]],
+    * top-5) and `sim_knn_join` (query bound [[KnnQueries]], top-
+    * [[KnnK]]): cell ranking, probe/corpus split at `qBound`, exact-
+    * decimal scoring, per-query rank.
+    */
+  private def ivfTopkOracleSql(qBound: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
        |elems AS (
        |  SELECT vec_id, label, embedding[i] AS val, i FROM e,
@@ -383,10 +444,10 @@ object Similarity {
        |  FROM cellcos),
        |corpus AS (
        |  SELECT vec_id, c_label AS cell FROM ranked_cells
-       |  WHERE cell_rank = 1 AND vec_id >= $NumQueries),
+       |  WHERE cell_rank = 1 AND vec_id >= $qBound),
        |probes AS (
        |  SELECT vec_id AS q_id, c_label AS cell FROM ranked_cells
-       |  WHERE cell_rank <= $IvfProbes AND vec_id < $NumQueries),
+       |  WHERE cell_rank <= $IvfProbes AND vec_id < $qBound),
        |cand AS (
        |  SELECT DISTINCT p.q_id, c.vec_id FROM probes p JOIN corpus c USING (cell)),
        |dots AS (
@@ -407,7 +468,11 @@ object Similarity {
        |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
        |  FROM scored)
        |SELECT q_id, vec_id, cosine, rank FROM ranked
-       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  private val topkIvfOracle: String = ivfTopkOracleSql(NumQueries, 5)
+
+  private val knnJoinOracle: String = ivfTopkOracleSql(KnnQueries, KnnK)
 
   // --------------------------------------------------- SQ8 quantization
 
@@ -590,6 +655,8 @@ object Similarity {
       "sign-LSH bucketed ANN with Hamming-1 probing + exact re-rank"),
     GraftQuery("sim_topk_ivf", topkIvf _, Some(topkIvfOracle),
       "IVF-cell ANN: decimal-sum centroids, 2-cell probe, exact re-rank"),
+    GraftQuery("sim_knn_join", knnJoin _, Some(knnJoinOracle),
+      "cell-co-partitioned shuffle KNN join for a large query set (no broadcast)"),
     GraftQuery("sim_topk_sq8", topkSq8 _, Some(topkSq8Oracle),
       "int8 scalar-quantized similarity (memory-bound scale path)"),
     GraftQuery("sim_recall_eval", recallEval _, Some(recallEvalOracle),

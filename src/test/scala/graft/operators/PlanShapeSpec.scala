@@ -44,6 +44,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("knn join co-partitions on cell as a shuffle-hash join, never a broadcast") {
+    val p = planOf("sim_knn_join")
+    // the whole point of the operator: a query set too big to
+    // broadcast meets the corpus in a cell-partitioned shuffle join
+    assert(p.contains("ShuffledHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     assert(planOf("sort_limit_global").contains("TakeOrderedAndProject"))
   }
