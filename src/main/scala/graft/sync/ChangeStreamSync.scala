@@ -33,7 +33,10 @@ import graft.table.IceliteTable
   *
   * Flush thresholds (R5): flushIntervalSeconds → Trigger.ProcessingTime;
   * maxRecords/maxBytes map to source rate options (maxFilesPerTrigger
-  * here; maxOffsets/maxBytesPerTrigger on rate-limited sources).
+  * here; maxOffsets/maxBytesPerTrigger on rate-limited sources) — and
+  * maxBytes is ALSO enforced downstream of the source: an oversized
+  * micro-batch commits as byte-bounded key-hash sub-commits (see
+  * processBatchInner), so a burst can't produce an unbounded file.
   */
 final class ChangeStreamSync(
     spark: SparkSession,
@@ -147,10 +150,12 @@ final class ChangeStreamSync(
       .cache()
     try {
       val stats = finals.agg(
-        count(lit(1)).as("n"), max(col("seq")).as("maxSeq")).collect().head
+        count(lit(1)).as("n"), max(col("seq")).as("maxSeq"),
+        sum(length(col("fullDocument"))).as("bytes")).collect().head
       val nFinal = stats.getLong(0)
       if (nFinal == 0) return false
       val maxSeq = stats.getLong(1)
+      val totalBytes = if (stats.isNullAt(2)) 0L else stats.getLong(2)
 
       table.refresh() // pick up concurrent schema evolution
 
@@ -187,9 +192,33 @@ final class ChangeStreamSync(
         val deleteKeys =
           if (badCount == 0) allKeys
           else allKeys.join(bad.select(col("_id")), Seq("_id"), "left_anti")
-        val t0 = System.currentTimeMillis()
-        evolved.applyChanges(images, deleteKeys, Seq("_id"))
-        metrics.recordCommit(syncId, System.currentTimeMillis() - t0)
+        // R5: batch.maxBytes is a hard flush bound in STEADY STATE too
+        // (reference BatchConfig.java:9, design.md:383) — an oversized
+        // micro-batch (burst after downtime, source without rate
+        // limits) commits as ceil(bytes/maxBytes) byte-bounded
+        // sub-commits, split by key hash. `finals` carries ONE event
+        // per key, so every key's image+delete land atomically in one
+        // sub-commit; a crash mid-split replays the whole micro-batch
+        // (lastBatchId is written after all splits), which the
+        // key-LWW upsert absorbs — the same R4 at-least-once window
+        // every multi-action batch has.
+        val nSplits = math.max(1L, math.min(nFinal,
+          (totalBytes + cfg.batch.maxBytes - 1) / cfg.batch.maxBytes)).toInt
+        if (nSplits == 1) {
+          val t0 = System.currentTimeMillis()
+          evolved.applyChanges(images, deleteKeys, Seq("_id"))
+          metrics.recordCommit(syncId, System.currentTimeMillis() - t0)
+        } else {
+          val bucketOf = (c: org.apache.spark.sql.Column) =>
+            pmod(xxhash64(c.cast("string")), lit(nSplits.toLong))
+          for (s <- 0 until nSplits) {
+            val t0 = System.currentTimeMillis()
+            evolved.applyChanges(
+              images.filter(bucketOf(col("_id")) === s),
+              deleteKeys.filter(bucketOf(col("_id")) === s), Seq("_id"))
+            metrics.recordCommit(syncId, System.currentTimeMillis() - t0)
+          }
+        }
         metrics.recordChangeEvents(syncId, nFinal)
       } finally parsed.unpersist()
 

@@ -177,6 +177,43 @@ class SyncPipelineSpec extends AnyFunSuite with SparkFixture {
     assert(state() == expected)
   }
 
+  test("steady state: an oversized micro-batch splits into byte-bounded sub-commits") {
+    val root = Files.createTempDirectory("sync-fix")
+    val wh = Files.createTempDirectory("sync-wh").toString
+    val cfg = SyncConfig(
+      MongoConfig(root.toString, "shop"),
+      IcebergConfig(CatalogConfig("local", warehouse = Some(wh))),
+      SyncSection(Seq(CollectionSyncConfig(
+        SourceConfig("orders"),
+        TargetConfig("analytics", "orders"),
+        // ~180-byte event images; 256 bytes forces an 8-upsert batch
+        // into multiple commits while initial sync (3 small docs, one
+        // chunk under maxRecords) is unaffected
+        batch = BatchConfig(maxRecords = 50, maxBytes = 256, flushIntervalSeconds = 1)))))
+    val c = cfg.sync.collections.head
+    writeFixture(root, "shop", "orders", (1 to 3).map(i => doc(i, s"$i.00", "gold")))
+    val orch = new SyncOrchestrator(spark, cfg, wh)
+    val table = orch.syncCollection(c, Files.createTempDirectory("ck").toString)
+    // drive the oversized batch directly (the orchestrator's post-drain
+    // maintenance would fold the sub-commits into one rewrite snapshot)
+    writeChanges(root, "shop", "orders", "b0",
+      (4 to 11).map(i =>
+        s"""{"seq":${i - 3},"op":"insert","_id":"${oid(i)}","fullDocument":${jstr(doc(i, s"$i.00", "new"))},"clusterTime":"2024-02-01T00:00:0${i - 4}.000Z"}""") :+
+        s"""{"seq":9,"op":"delete","_id":"${oid(1)}","fullDocument":null,"clusterTime":"2024-02-01T00:00:09.000Z"}""")
+    val changes = new ChangeStreamSync(spark, c, table, orch.checkpoints, "shop")
+    val before = table.meta.snapshots.length
+    val batch = spark.read.schema(ChangeStreamSync.EventSchema)
+      .json(root.resolve("shop/orders.changes").toString)
+    changes.processBatch(batch, batchId = 1000)
+    // golden LWW state: docs 2..11 present, doc 1 deleted
+    assert(table.read().select("_id").orderBy("_id").collect().map(_.getString(0)).toSeq
+      == (2 to 11).map(oid).sorted)
+    // the single micro-batch committed as >1 byte-bounded upsert snapshot
+    val upserts = table.meta.snapshots.drop(before).count(_.operation == "upsert")
+    assert(upserts > 1, s"expected byte-split sub-commits, got $upserts upsert snapshot(s)")
+    assert(orch.checkpoints.read("analytics.orders").get.resumeToken.contains(9L))
+  }
+
   test("schema evolution mid-stream: new field widens table, old rows null") {
     val root = Files.createTempDirectory("sync-fix")
     val wh = Files.createTempDirectory("sync-wh").toString
