@@ -490,6 +490,76 @@ object SyncQueries {
       |  FROM sub WHERE k % 6 = 0
       |) ORDER BY _seq, _kind, _id""".stripMargin
 
+  /** Incremental view maintenance from the changelog — the natural
+    * consumer of CDF: a materialized per-group aggregate (count +
+    * exact-decimal sum) is brought from snapshot S to head by folding
+    * ONLY the change events in (S, head] as signed deltas
+    * (+row for insert/update_postimage, −row for delete/
+    * update_preimage), never rescanning the base table. Decimal
+    * accumulation makes delta-apply ≡ full recompute EXACTLY (double
+    * sums would drift by summation order), and that equivalence is
+    * precisely what the oracle gates: DuckDB recomputes the final
+    * state from scratch. At 100 TB this is the difference between
+    * touching ΔN changed rows and re-aggregating the corpus per
+    * refresh.
+    */
+  def tableViewMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val Dec = "decimal(27,4)"
+    val wh = graft.util.Scratch.dir("ivm-query")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(11)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), pmod(col("o_orderkey"), lit(5)).as("grp"),
+        col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_ivm", src.schema)
+    table.upsert(src, Seq("_id")) // s1: the view's refresh point
+    val mark = table.meta.lastSeq
+    // the materialized view as of the mark (time travel pins it)
+    val v1 = table.readAt(mark).groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(Dec)).as("sumdec"))
+    table.upsert(src.filter(pmod(col("o_orderkey"), lit(3)) === 0) // s2: updates
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0), Seq("_id"))
+    val inserts = t(spark, dir, "orders") // s3: fresh keys, disjoint from base
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0 && pmod(col("o_orderkey"), lit(11)) =!= 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), pmod(col("o_orderkey"), lit(5)).as("grp"),
+        col("o_totalprice"))
+    table.upsert(inserts, Seq("_id"))
+    table.delete(src.filter(pmod(col("o_orderkey"), lit(4)) === 0) // s4: deletes
+      .select("_id"), Seq("_id"))
+    // fold (mark, head] as signed per-group deltas — the only scan is
+    // the changelog itself (readChanges' fromSeq is the exclusive
+    // anchor snapshot, i.e. the view's refresh point)
+    val sgn = when(col(IceliteTable.ChangeTypeCol).isin("insert", "update_postimage"), lit(1))
+      .otherwise(lit(-1))
+    val deltas = table.readChanges(mark, table.meta.lastSeq)
+      .select(col("grp"), sgn.as("sgn"), col("o_totalprice"))
+      .groupBy(col("grp"))
+      .agg(sum(col("sgn")).cast("long").as("dcnt"),
+        sum((col("sgn") * col("o_totalprice")).cast(Dec)).as("dsumdec"))
+    v1.join(deltas, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L))).as("n_orders"),
+        (coalesce(col("sumdec"), lit(0).cast(Dec)) +
+          coalesce(col("dsumdec"), lit(0).cast(Dec))).cast("double").as("total_price"))
+      .filter(col("n_orders") > 0)
+      .orderBy("grp")
+  }
+
+  private val tableViewMaintainOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderkey % 5 AS grp, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |final AS (
+      |  SELECT grp, CASE WHEN k % 3 = 0 THEN price + 10.0 ELSE price END AS price
+      |  FROM base WHERE NOT (k % 4 = 0)
+      |  UNION ALL
+      |  SELECT o_orderkey % 5 AS grp, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0)
+      |SELECT grp, count(*) AS n_orders,
+      |  CAST(sum(CAST(price AS DECIMAL(27,4))) AS DOUBLE) AS total_price
+      |FROM final GROUP BY grp ORDER BY grp""".stripMargin
+
   /** Changelog UPDATE pairing across physical-delete commits: a keyed
     * updateWhere lands as pos-delete + rewritten append in ONE commit,
     * and [[IceliteTable.readChanges]] resolves the coordinates and
@@ -651,6 +721,8 @@ object SyncQueries {
       "keyless UPDATE WHERE: pos-delete old images + mutated append, one commit"),
     GraftQuery("table_update_changelog", tableUpdateChangelog _, Some(tableUpdateChangelogOracle),
       "changelog pairs physical updates into update_pre/postimage via coordinate resolution"),
+    GraftQuery("table_view_maintain", tableViewMaintain _, Some(tableViewMaintainOracle),
+      "incremental view maintenance: changelog deltas ≡ full recompute"),
     GraftQuery("table_incremental_feed", tableIncrementalFeed _, Some(tableIncrementalFeedOracle),
       "incremental consumer pull: appended rows + deleted keys since a checkpoint seq"),
     GraftQuery("table_merge", tableMerge _, Some(tableMergeOracle),
