@@ -1147,6 +1147,30 @@ final class IceliteTable private (
     seq
   }
 
+  /** Publish a staged append whose seq was claimed by a later commit —
+    * the Iceberg cherry-pick analog. [[publishStaged]] is the
+    * zero-rewrite fast path (metadata-only attach) but can only land
+    * at the seq the rows were staged with, because the row-seq baked
+    * into the staged files is what MoR LWW resolves against; once the
+    * head moves, re-applying the AUDITED rows atop the new head
+    * requires re-sequencing them — a rewrite bounded by the staged
+    * batch (never the corpus), exactly like Iceberg re-applying the
+    * append on the new base. Interleaved deletes/upserts of the same
+    * keys lose to the cherry-picked rows (they publish later), the
+    * same outcome as staging after those commits.
+    *
+    * Crash between commit and cleanup leaves the staged dir + manifest
+    * behind; [[discardStaged]] then removes the redundant copies (the
+    * published rows live under the cherry-pick's own commit dir).
+    */
+  def cherryPickStaged(stageId: String): Long = {
+    stagedManifest(stageId) // existence check with a clear error
+    val seq = append(readStaged(stageId))
+    fileSystem().delete(new Path(s"$location/data/$stageId"), true)
+    fileSystem().delete(stagedManifestPath(stageId), false)
+    seq
+  }
+
   /** Drop a staged append: delete its files and manifest; the table is
     * untouched (nothing was ever visible). If the stage turns out to be
     * PUBLISHED already (a crash between publish's metadata commit and

@@ -59,6 +59,30 @@ class IceliteWapSpec extends AnyFunSuite with SparkFixture {
     assert(ids(t.read()) == Seq(1L, 9L))
   }
 
+  test("cherry-pick re-applies the audited rows atop a moved head") {
+    val t = IceliteTable.create(spark, wh(), "ns", "wapp", rows().schema)
+    t.upsert(rows((1L, "a", 1.0), (2L, "old", 0.0)), Seq("id"))
+    val stage = t.stageAppend(rows((2L, "b", 2.0), (3L, "b", 3.0)))
+    val audited = t.readStaged(stage).collect().toSet
+    // head moves past the staged seq: a foreign upsert touches one of
+    // the staged keys and a delete kills another existing row
+    t.upsert(rows((2L, "mid", 9.9)), Seq("id"))
+    intercept[IllegalStateException](t.publishStaged(stage))
+    val seq = t.cherryPickStaged(stage)
+    assert(seq == t.meta.lastSeq)
+    // the cherry-picked rows publish LATER than the interleaved upsert,
+    // so they win LWW — same outcome as staging after it
+    val byId = t.read().collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(byId == Map(1L -> ("a", 1.0), 2L -> ("b", 2.0), 3L -> ("b", 3.0)))
+    assert(byId(2L) == (("b", 2.0)), "staged row must beat the interleaved upsert")
+    // published rows match the audited bytes; no stage residue remains
+    assert(t.stagedIds.isEmpty)
+    assert(audited.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      == Set((2L, "b", 2.0), (3L, "b", 3.0)))
+    // GC finds nothing dangling: the staged dir was cleaned up
+    intercept[IllegalArgumentException](t.readStaged(stage))
+  }
+
   test("publish after schema evolution: staged files null-fill the new column") {
     val t = IceliteTable.create(spark, wh(), "ns", "wapev", rows().schema)
     t.append(rows((1L, "a", 1.0)))
