@@ -112,6 +112,9 @@ case class MisraGriesAgg(
     new GenericArrayData(keys.map(UTF8String.fromString(_).asInstanceOf[Any]))
   }
 
+  // length-prefixed UTF-8, NOT DataOutputStream.writeUTF: modified-UTF8
+  // caps keys at 64 KB and one oversized token in a garbage document
+  // would poison the whole scan with UTFDataFormatException
   override def serialize(buf: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -119,7 +122,9 @@ case class MisraGriesAgg(
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      val kb = e.getKey.getBytes("UTF-8")
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -131,7 +136,12 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val buf = new java.util.HashMap[String, java.lang.Long](n * 2)
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.put(new String(kb, "UTF-8"), in.readLong())
+      i += 1
+    }
     buf
   }
 

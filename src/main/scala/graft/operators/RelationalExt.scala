@@ -285,9 +285,13 @@ object RelationalExt {
     * semi join, so the result is exactly the plain semi join's.
     */
   def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the dim-key set (dim-sized, broadcast-class) is read
+    // three times — sizing count, bloom build, exact semi join — and
+    // must scan the orders table exactly once
     val dimKeys = t(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
+      .cache()
     // Size the filter from a cheap key-count (at scale: catalog stats).
     val nKeys = dimKeys.count()
     val blob = dimKeys

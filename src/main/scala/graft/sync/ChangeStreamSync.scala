@@ -195,29 +195,46 @@ final class ChangeStreamSync(
         // R5: batch.maxBytes is a hard flush bound in STEADY STATE too
         // (reference BatchConfig.java:9, design.md:383) — an oversized
         // micro-batch (burst after downtime, source without rate
-        // limits) commits as ceil(bytes/maxBytes) byte-bounded
-        // sub-commits, split by key hash. `finals` carries ONE event
-        // per key, so every key's image+delete land atomically in one
-        // sub-commit; a crash mid-split replays the whole micro-batch
-        // (lastBatchId is written after all splits), which the
-        // key-LWW upsert absorbs — the same R4 at-least-once window
-        // every multi-action batch has.
-        val nSplits = math.max(1L, math.min(nFinal,
-          (totalBytes + cfg.batch.maxBytes - 1) / cfg.batch.maxBytes)).toInt
-        if (nSplits == 1) {
+        // limits) commits as byte-bounded sub-commits. The split is a
+        // running byte prefix-sum in key order (a hash split only
+        // bounds bytes in EXPECTATION and fails on a few huge docs):
+        // each bucket packs contiguous keys up to maxBytes, overshooting
+        // by at most one document — the same bound the chunked initial
+        // sync gives. `finals` carries ONE event per key, so every
+        // key's image+delete land atomically in one sub-commit; a
+        // crash mid-split replays the whole micro-batch (lastBatchId
+        // is written after all splits), which the key-LWW upsert
+        // absorbs — the same R4 at-least-once window every multi-
+        // action batch has. The single-partition window is bounded by
+        // the micro-batch itself (source-rate-limited; the split path
+        // only runs past maxBytes).
+        if (totalBytes <= cfg.batch.maxBytes) {
           val t0 = System.currentTimeMillis()
           evolved.applyChanges(images, deleteKeys, Seq("_id"))
           metrics.recordCommit(syncId, System.currentTimeMillis() - t0)
         } else {
-          val bucketOf = (c: org.apache.spark.sql.Column) =>
-            pmod(xxhash64(c.cast("string")), lit(nSplits.toLong))
-          for (s <- 0 until nSplits) {
-            val t0 = System.currentTimeMillis()
-            evolved.applyChanges(
-              images.filter(bucketOf(col("_id")) === s),
-              deleteKeys.filter(bucketOf(col("_id")) === s), Seq("_id"))
-            metrics.recordCommit(syncId, System.currentTimeMillis() - t0)
-          }
+          val wB = org.apache.spark.sql.expressions.Window
+            .orderBy(col("_id")).rowsBetween(Long.MinValue, 0)
+          val buckets = finals
+            .select(col("_id").cast(idType).as("_id"),
+              coalesce(length(col("fullDocument")).cast("long"), lit(64L)).as("_bytes"))
+            .withColumn("_bucket",
+              ((sum(col("_bytes")).over(wB) - 1) / cfg.batch.maxBytes).cast("long"))
+            .select(col("_id"), col("_bucket"))
+            .cache()
+          try {
+            val ids = buckets.select("_bucket").distinct()
+              .collect().map(_.getLong(0)).sorted
+            val imagesB = images.join(buckets, Seq("_id"), "left")
+            val deleteKeysB = deleteKeys.join(buckets, Seq("_id"), "left")
+            for (b <- ids) {
+              val t0 = System.currentTimeMillis()
+              evolved.applyChanges(
+                imagesB.filter(col("_bucket") === b).drop("_bucket"),
+                deleteKeysB.filter(col("_bucket") === b).drop("_bucket"), Seq("_id"))
+              metrics.recordCommit(syncId, System.currentTimeMillis() - t0)
+            }
+          } finally buckets.unpersist()
         }
         metrics.recordChangeEvents(syncId, nFinal)
       } finally parsed.unpersist()

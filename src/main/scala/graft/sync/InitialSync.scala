@@ -54,10 +54,15 @@ final class InitialSync(
     // No checkpointed high-water mark means this is a from-scratch sync
     // (first run or a post-invalidate rebuild): the target must start
     // empty, or stale pre-drop rows survive next to the fresh copy.
-    // Truncate is idempotent (and resets any stale progress markers of
-    // a previous epoch), so a crash anywhere in the rebuild re-runs
-    // safely.
-    if (ckptHwm.isEmpty && table.meta.liveDataFiles.nonEmpty) table.truncate()
+    // Truncate is idempotent and resets any stale progress markers of
+    // a previous epoch — which is why the gate also fires on a marker
+    // with NO live files (an emptied-then-compacted table still carries
+    // the old epoch's marker forward; trusting it would resume the
+    // rebuild from a dead epoch's hwm and copy nothing).
+    val staleMarker = table.meta.snapshots
+      .exists(_.summary.contains(InitialSync.SyncIdKey))
+    if (ckptHwm.isEmpty && (table.meta.liveDataFiles.nonEmpty || staleMarker))
+      table.truncate()
 
     // Resume point: each chunk commit carries its high-water mark in
     // the SNAPSHOT SUMMARY, atomically with the data, so a marker is

@@ -723,11 +723,6 @@ final class IceliteTable private (
 
   // ----------------------------------------------------- maintenance
 
-  /** Compaction (reference S8): rewrite the current MoR view into fresh
-    * right-sized files (targetFileMB each, 256 MB default like the
-    * reference) and replace all live files in one `rewrite` snapshot.
-    * Also the schedule point for snapshot expiry.
-    */
   /** Latest sync-progress summary among `snaps` (see
     * [[IceliteTable.SyncProgressPrefix]]) — what a rewrite that folds
     * those snapshots away must re-publish.
@@ -738,6 +733,11 @@ final class IceliteTable private (
       .map(_.summary.filter(_._1.startsWith(IceliteTable.SyncProgressPrefix)))
       .getOrElse(Map.empty)
 
+  /** Compaction (reference S8): rewrite the current MoR view into fresh
+    * right-sized files (targetFileMB each, 256 MB default like the
+    * reference) and replace all live files in one `rewrite` snapshot.
+    * Also the schedule point for snapshot expiry.
+    */
   def compact(targetFileMB: Int = 256): Long = compact(targetFileMB, Nil, None)
 
   /** Compaction with optional Z-ORDER clustering (Iceberg's zorder
@@ -1155,20 +1155,39 @@ final class IceliteTable private (
     * head moves, re-applying the AUDITED rows atop the new head
     * requires re-sequencing them — a rewrite bounded by the staged
     * batch (never the corpus), exactly like Iceberg re-applying the
-    * append on the new base. Interleaved deletes/upserts of the same
-    * keys lose to the cherry-picked rows (they publish later), the
-    * same outcome as staging after those commits.
+    * append on the new base. On a KEYED table the re-apply is a keyed
+    * upsert (data + equality-delete for the batch keys), so
+    * interleaved versions of the same keys are SUPERSEDED — the same
+    * outcome as staging after those commits — never duplicated; on a
+    * keyless append table the rows simply re-attach.
     *
-    * Crash between commit and cleanup leaves the staged dir + manifest
-    * behind; [[discardStaged]] then removes the redundant copies (the
+    * A stage that turns out to be already PUBLISHED (a crash between
+    * publishStaged's metadata commit and its manifest cleanup) is
+    * detected the same way [[discardStaged]] does: only the stale
+    * manifest is removed — the files are live table data and the rows
+    * must not land twice. Crash between the cherry-pick commit and
+    * its own cleanup leaves the staged dir + manifest behind;
+    * [[discardStaged]] then removes the redundant copies (the
     * published rows live under the cherry-pick's own commit dir).
     */
   def cherryPickStaged(stageId: String): Long = {
     stagedManifest(stageId) // existence check with a clear error
-    val seq = append(readStaged(stageId))
-    fileSystem().delete(new Path(s"$location/data/$stageId"), true)
-    fileSystem().delete(stagedManifestPath(stageId), false)
-    seq
+    refresh()
+    val published = cachedMeta.snapshots
+      .find(_.dataFiles.exists(_.startsWith(s"data/$stageId/")))
+    published match {
+      case Some(snap) => // crashed publish: rows are live; clean up only
+        fileSystem().delete(stagedManifestPath(stageId), false)
+        snap.seq
+      case None =>
+        val keyCols = tableKeyColumns(cachedMeta.properties)
+        val seq =
+          if (keyCols.nonEmpty) upsert(readStaged(stageId), keyCols)
+          else append(readStaged(stageId))
+        fileSystem().delete(new Path(s"$location/data/$stageId"), true)
+        fileSystem().delete(stagedManifestPath(stageId), false)
+        seq
+    }
   }
 
   /** Drop a staged append: delete its files and manifest; the table is

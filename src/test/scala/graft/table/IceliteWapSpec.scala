@@ -70,17 +70,47 @@ class IceliteWapSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalStateException](t.publishStaged(stage))
     val seq = t.cherryPickStaged(stage)
     assert(seq == t.meta.lastSeq)
-    // the cherry-picked rows publish LATER than the interleaved upsert,
-    // so they win LWW — same outcome as staging after it
-    val byId = t.read().collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
-    assert(byId == Map(1L -> ("a", 1.0), 2L -> ("b", 2.0), 3L -> ("b", 3.0)))
-    assert(byId(2L) == (("b", 2.0)), "staged row must beat the interleaved upsert")
+    // the cherry-picked rows SUPERSEDE the interleaved upsert (keyed
+    // re-apply) — exactly one live row per key, staged version wins
+    val rows2 = t.read().collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows2.length == 3, s"duplicate key rows survived: ${rows2.toSeq.sortBy(_._1)}")
+    assert(rows2.toSet == Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0)))
     // published rows match the audited bytes; no stage residue remains
     assert(t.stagedIds.isEmpty)
     assert(audited.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
       == Set((2L, "b", 2.0), (3L, "b", 3.0)))
     // GC finds nothing dangling: the staged dir was cleaned up
     intercept[IllegalArgumentException](t.readStaged(stage))
+  }
+
+  test("cherry-pick of an already-published stage cleans the manifest, never doubles rows") {
+    val t = IceliteTable.create(spark, wh(), "ns", "wapx", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    val stage = t.stageAppend(rows((2L, "b", 2.0)))
+    // simulate the crash window: publish committed but manifest cleanup
+    // didn't run — snapshot the manifest bytes and restore them after
+    val manifest = new org.apache.hadoop.fs.Path(
+      s"${t.location}/metadata/staged-$stage.json")
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = {
+      val in = fs.open(manifest)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+        bos.toByteArray
+      } finally in.close()
+    }
+    val pubSeq = t.publishStaged(stage)
+    val out = fs.create(manifest)
+    out.write(bytes)
+    out.close()
+    val got = t.cherryPickStaged(stage)
+    assert(got == pubSeq) // detected as published; nothing re-applied
+    assert(ids(t.read()) == Seq(1L, 2L))
+    assert(t.read().count() == 2)
+    assert(t.stagedIds.isEmpty)
+    // the published files are intact (no recursive delete of live data)
+    assert(ids(t.readAt(pubSeq)) == Seq(1L, 2L))
   }
 
   test("publish after schema evolution: staged files null-fill the new column") {
