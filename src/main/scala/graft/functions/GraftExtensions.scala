@@ -36,11 +36,37 @@ object GraftExtensions {
     (FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
       exprs => {
-        val k = exprs(1)
-        val kv = if (k.foldable) k.eval() else null
-        if (kv == null) // non-literal or NULL k: fail with the contract, not a Catalyst internal error
-          throw new IllegalArgumentException(
-            "kmv_sketch(hash, k): k must be a non-null integer literal")
-        KmvSketchAgg(exprs(0), kv.asInstanceOf[Number].intValue)
+        val kv = intLiteral(exprs(1), "kmv_sketch(hash, k): k")
+        KmvSketchAgg(exprs(0), kv)
+      }),
+    (FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      exprs => {
+        val kv = intLiteral(exprs(1), "misra_gries(key, k): k")
+        MisraGriesAgg(exprs(0), kv)
+      }),
+    (FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomFilterBuildAgg].getName, "bloom_build"),
+      exprs => {
+        val items = intLiteral(exprs(1), "bloom_build(key, expectedItems, fpp): expectedItems")
+        val fpp = exprs(2)
+        val fv = if (fpp.foldable) fpp.eval() else null
+        val fd = fv match {
+          case null => throw new IllegalArgumentException(
+            "bloom_build(key, expectedItems, fpp): fpp must be a non-null numeric literal")
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble // SQL decimal literal
+          case n: Number => n.doubleValue
+        }
+        BloomFilterBuildAgg(exprs(0), items.toLong, fd)
       }))
+
+  /** Evaluate a required foldable integer argument, failing with the
+    * function's contract instead of a Catalyst internal error.
+    */
+  private def intLiteral(e: Expression, what: String): Int = {
+    val v = if (e.foldable) e.eval() else null
+    if (v == null)
+      throw new IllegalArgumentException(s"$what must be a non-null integer literal")
+    v.asInstanceOf[Number].intValue
+  }
 }

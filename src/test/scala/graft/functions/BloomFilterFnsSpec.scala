@@ -19,6 +19,17 @@ class BloomFilterFnsSpec extends AnyFunSuite with SparkFixture {
       .agg(BloomFilterFns.bloomBuild(col("k"), 10000L, 0.03))
       .head.getAs[Array[Byte]](0)
 
+  test("SQL registration: bloom_build callable from SQL, bytes match the column API") {
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerTempFunction(
+      spark, "bloom_build",
+      GraftExtensions.functions.find(_._1.funcName == "bloom_build").get._3)
+    val keys = (1L to 500L).map(_ * 3)
+    keys.toDF("k").createOrReplaceTempView("bloom_keys")
+    val viaSql = spark.sql("SELECT bloom_build(k, 10000, 0.03) FROM bloom_keys")
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaSql, buildBytes(keys, 4)))
+  }
+
   test("built filter bytes are identical regardless of partitioning and row order") {
     val keys = (1L to 5000L).map(_ * 7)
     val a = buildBytes(keys, 1)

@@ -54,7 +54,8 @@ class KmvSketchSpec extends AnyFunSuite with SparkFixture {
 
   test("SQL registration: kmv_sketch callable from SQL with a literal k") {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerTempFunction(
-      spark, "kmv_sketch", GraftExtensions.functions.last._3)
+      spark, "kmv_sketch",
+      GraftExtensions.functions.find(_._1.funcName == "kmv_sketch").get._3)
     docs.createOrReplaceTempView("kmv_docs")
     val viaSql = spark.sql(
       """SELECT s.distinct_estimate AS est, s.sketch_size AS n FROM (

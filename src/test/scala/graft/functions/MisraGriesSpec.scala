@@ -77,6 +77,18 @@ class MisraGriesSpec extends AnyFunSuite with SparkFixture {
     assert(back == buf)
   }
 
+  test("SQL registration: misra_gries callable from SQL with a literal k") {
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerTempFunction(
+      spark, "misra_gries",
+      GraftExtensions.functions.find(_._1.funcName == "misra_gries").get._3)
+    corpus.toDF("t").createOrReplaceTempView("mg_docs")
+    val cand = spark.sql("SELECT misra_gries(t, 64) FROM mg_docs")
+      .collect().head.getSeq[String](0)
+    val truth = exactOver(corpus, corpus.size / 65 + 1)
+    assert(truth.subsetOf(cand.toSet))
+    assert(cand.size <= 64)
+  }
+
   test("merge trims to the k largest-weight survivors with the MG subtraction") {
     val agg = MisraGriesAgg(
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("t")), 2)

@@ -70,7 +70,7 @@ class VecExpressionsSpec extends AnyFunSuite with SparkFixture {
 
   test("extension class exposes the same builders") {
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
-      Set("float_dot", "float_norm_sq", "kmv_sketch"))
+      Set("float_dot", "float_norm_sq", "kmv_sketch", "misra_gries", "bloom_build"))
     val dot = GraftExtensions.functions.find(_._1.funcName == "float_dot").get._3
     val expr = dot(Seq(
       org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0f, 2.0f)),
