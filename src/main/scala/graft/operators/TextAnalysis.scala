@@ -333,9 +333,68 @@ object TextAnalysis {
        |WHERE CAST(c.cnt AS DOUBLE) >= CAST($HhSupport AS DOUBLE) * CAST(tot.n AS DOUBLE)
        |ORDER BY bigram""".stripMargin
 
+  /** Per-language report threshold for [[heavyHittersByLang]] — above
+    * 1/(HhK+1) so the per-GROUP sketch guarantee covers it.
+    */
+  val HhLangSupport = 0.0014
+
+  private def langBigrams(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))")).as("t"))
+
+  /** GROUPED heavy hitters: frequent bigrams PER LANGUAGE — the sketch
+    * as a grouped aggregate. Pass 1 is one groupBy carrying ≤ k
+    * counter entries per (partition, group) through the shuffle (the
+    * per-group distinct-key stream still never shuffles); the per-group
+    * candidate sets + totals are driver-bounded at #groups × k. Pass 2
+    * rescans behind a BROADCAST semi join on (group, candidate) — the
+    * grouped analog of the global query's InSet predicate — then exact
+    * counts filter at each group's own threshold.
+    */
+  def heavyHittersByLang(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = langBigrams(spark, dir)
+    val pass1 = bg.groupBy(col("lang"))
+      .agg(graft.functions.MisraGriesAgg.mgCandidates(col("t"), HhK).as("cand"),
+        count(lit(1)).as("n"))
+      .collect()
+    val candDf = pass1.toSeq
+      .flatMap(r => r.getSeq[String](1).map(tt => (r.getString(0), tt)))
+      .toDF("lang", "t")
+    val thresholds = pass1.toSeq
+      .map(r => (r.getString(0), HhLangSupport * r.getLong(2).toDouble))
+      .toDF("lang", "thresh")
+    bg.join(broadcast(candDf), Seq("lang", "t"), "left_semi")
+      .groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(thresholds), "lang")
+      .filter(col("cnt").cast("double") >= col("thresh"))
+      .select(col("lang"), col("t").as("bigram"), col("cnt"))
+      .orderBy("lang", "bigram")
+  }
+
+  private val heavyHittersByLangOracle =
+    s"""WITH tok AS (
+       |  SELECT lang, string_split(text, ' ') AS a FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |bg AS (
+       |  SELECT lang, a[i] || ' ' || a[i + 1] AS t
+       |  FROM tok, LATERAL (SELECT unnest(range(1, len(a))) AS i) u),
+       |c AS (SELECT lang, t, count(*) AS cnt FROM bg GROUP BY lang, t),
+       |tot AS (SELECT lang, sum(cnt) AS n FROM c GROUP BY lang)
+       |SELECT c.lang, c.t AS bigram, c.cnt AS cnt
+       |FROM c JOIN tot ON c.lang = tot.lang
+       |WHERE CAST(c.cnt AS DOUBLE) >= CAST($HhLangSupport AS DOUBLE) * CAST(tot.n AS DOUBLE)
+       |ORDER BY c.lang, bigram""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("text_heavy_hitters", heavyHitters _, Some(heavyHittersOracle),
       "frequent bigrams via bounded Misra-Gries sketch + exact candidate rescan"),
+    GraftQuery("text_heavy_hitters_by_lang", heavyHittersByLang _, Some(heavyHittersByLangOracle),
+      "grouped heavy hitters: per-language frequent bigrams, sketch per group"),
     GraftQuery("text_corpus_stats", corpusStats _, Some(corpusStatsOracle),
       "corpus-level stats: docs, tokens, vocabulary, mean length"),
     GraftQuery("dedup_exact_normalized", dedupNormalized _, Some(dedupNormalizedOracle),
