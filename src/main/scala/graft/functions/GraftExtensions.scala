@@ -11,10 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * spark.sql.extensions=graft.functions.GraftExtensions
   * }}}
   *
-  * registers graft's native codegen kernels as SQL functions
-  * (`float_dot`, `float_norm_sq`) in every session built with the
-  * config — the same builders [[VecExpressions.registerSql]] installs
-  * on an already-running session.
+  * registers graft's full native SQL surface — the codegen kernels
+  * `float_dot` / `float_norm_sq` (also installable on a running
+  * session via [[VecExpressions.registerSql]]) plus the sketch
+  * aggregates `kmv_sketch`, `misra_gries`, and `bloom_build` — and
+  * injects the whole-operator top-k planner strategy, in every
+  * session built with the config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -36,37 +38,49 @@ object GraftExtensions {
     (FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
       exprs => {
-        val kv = intLiteral(exprs(1), "kmv_sketch(hash, k): k")
-        KmvSketchAgg(exprs(0), kv)
+        requireArity(exprs, 2, "kmv_sketch(hash, k)")
+        KmvSketchAgg(exprs(0), intLiteral(exprs(1), "kmv_sketch(hash, k): k"))
       }),
     (FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
       exprs => {
-        val kv = intLiteral(exprs(1), "misra_gries(key, k): k")
-        MisraGriesAgg(exprs(0), kv)
+        requireArity(exprs, 2, "misra_gries(key, k)")
+        MisraGriesAgg(exprs(0), intLiteral(exprs(1), "misra_gries(key, k): k"))
       }),
     (FunctionIdentifier("bloom_build"),
       new ExpressionInfo(classOf[BloomFilterBuildAgg].getName, "bloom_build"),
       exprs => {
-        val items = intLiteral(exprs(1), "bloom_build(key, expectedItems, fpp): expectedItems")
-        val fpp = exprs(2)
-        val fv = if (fpp.foldable) fpp.eval() else null
-        val fd = fv match {
-          case null => throw new IllegalArgumentException(
-            "bloom_build(key, expectedItems, fpp): fpp must be a non-null numeric literal")
-          case d: org.apache.spark.sql.types.Decimal => d.toDouble // SQL decimal literal
-          case n: Number => n.doubleValue
-        }
-        BloomFilterBuildAgg(exprs(0), items.toLong, fd)
+        requireArity(exprs, 3, "bloom_build(key, expectedItems, fpp)")
+        val items = numericLiteral(exprs(1),
+          "bloom_build(key, expectedItems, fpp): expectedItems").toLong
+        val fpp = numericLiteral(exprs(2), "bloom_build(key, expectedItems, fpp): fpp")
+        BloomFilterBuildAgg(exprs(0), items, fpp)
       }))
 
-  /** Evaluate a required foldable integer argument, failing with the
-    * function's contract instead of a Catalyst internal error.
+  private def requireArity(exprs: Seq[Expression], n: Int, what: String): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$what takes $n arguments, got ${exprs.length}")
+
+  /** Evaluate a required foldable numeric argument to a double, failing
+    * with the function's contract instead of a Catalyst internal error
+    * (SQL integer literals eval as Int/Long, fractional as Decimal).
     */
-  private def intLiteral(e: Expression, what: String): Int = {
+  private def numericLiteral(e: Expression, what: String): Double = {
     val v = if (e.foldable) e.eval() else null
-    if (v == null)
-      throw new IllegalArgumentException(s"$what must be a non-null integer literal")
-    v.asInstanceOf[Number].intValue
+    v match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a non-null numeric literal")
+    }
+  }
+
+  /** [[numericLiteral]] narrowed to a bounds-checked Int. */
+  private def intLiteral(e: Expression, what: String): Int = {
+    val d = numericLiteral(e, what)
+    if (d < 1 || d > Int.MaxValue)
+      throw new IllegalArgumentException(s"$what must be in [1, ${Int.MaxValue}], got $d")
+    d.toInt
   }
 }

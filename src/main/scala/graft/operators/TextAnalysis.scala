@@ -284,12 +284,10 @@ object TextAnalysis {
     */
   val HhSupport = 0.0012
 
+  // Catalyst prunes the unused lang column from the shared tokenizer,
+  // so the global query pays no extra scan width
   private def bigrams(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(split(col("text"), " ").as("a"))
-      .filter(size(col("a")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i + 1]))")).as("t"))
+    langBigrams(spark, dir).select(col("t"))
 
   /** Corpus-wide frequent token bigrams (vocab/boilerplate discovery)
     * via the classic two-pass heavy hitters: pass 1 runs the
