@@ -184,6 +184,70 @@ object RelationalExt {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Exact DISCRETE quantiles (order statistics) WITHOUT a global sort
+    * — the at-scale selection path [[percentileAgg]]'s sort-based exact
+    * percentile can't take. Two passes: (1) a deterministic hash sample
+    * brackets each target rank with a ±4√s safety margin; (2) ONE scan
+    * counts rows below each bracket and collects only the bracket
+    * windows (O(n/√s) rows, driver-bounded), from which the exact
+    * k-th element is selected. Rank arithmetic is verified against the
+    * counted bounds — if a freak sample misbrackets (never observed;
+    * the margin is ~4σ), the affected quantile falls back to an exact
+    * sort-limit select rather than returning a wrong element. Matches
+    * DuckDB's `quantile_disc` (rank = ⌈q·n⌉): the answer is an actual
+    * data element, no interpolation arithmetic to diverge on.
+    */
+  def quantileSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Seq(0.5, 0.9, 0.99)
+    val vals = graft.Tables.t(spark, dir, "lineitem")
+      .select(col("l_extendedprice").as("x"),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rk"))
+    val n = vals.count()
+    val sample = vals
+      .filter(pmod(graft.operators.Dedup.phash(col("rk")), lit(50)) === 0)
+      .select(col("x")).collect().map(_.getDouble(0)).sorted
+    val s = sample.length
+    val margin = math.max(10, (4 * math.sqrt(s.toDouble)).toInt)
+    val brackets = qs.map { q =>
+      val r = math.max(1L, math.ceil(q * n).toLong) // quantile_disc rank
+      val p = ((r.toDouble / n) * s).toInt
+      val lo = sample(math.max(0, p - margin))
+      val hi = sample(math.min(s - 1, p + margin))
+      (q, r, lo, hi)
+    }
+    // one scan: per-bracket below-counts + the union of bracket windows
+    val belowAggs = brackets.map { case (q, _, lo, _) =>
+      sum(when(col("x") < lo, 1L).otherwise(0L)).as(s"below_$q")
+    }
+    val below = vals.agg(belowAggs.head, belowAggs.tail: _*).collect().head
+    val windowCond = brackets.map { case (_, _, lo, hi) =>
+      col("x") >= lo && col("x") <= hi
+    }.reduce(_ || _)
+    val window = vals.filter(windowCond).select(col("x"))
+      .collect().map(_.getDouble(0)).sorted
+    val rows = brackets.zipWithIndex.map { case ((q, r, lo, hi), i) =>
+      val cntBelow = below.getLong(i)
+      val inWin = window.filter(v => v >= lo && v <= hi)
+      val idx = r - cntBelow - 1 // 0-based rank within the sorted window
+      val value =
+        if (idx >= 0 && idx < inWin.length) inWin(idx.toInt)
+        else // misbracketed: exact fallback, never wrong output
+          vals.orderBy(asc("x")).limit(r.toInt)
+            .orderBy(desc("x")).limit(1).collect().head.getDouble(0)
+      (q, value)
+    }
+    rows.toDF("q", "value").orderBy("q")
+  }
+
+  private val quantileSelectOracle =
+    """SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(l_extendedprice, 0.5) AS value FROM lineitem
+      |UNION ALL
+      |SELECT CAST(0.9 AS DOUBLE), quantile_disc(l_extendedprice, 0.9) FROM lineitem
+      |UNION ALL
+      |SELECT CAST(0.99 AS DOUBLE), quantile_disc(l_extendedprice, 0.99) FROM lineitem
+      |ORDER BY q""".stripMargin
+
   // ------------------------------------------------ extended window fns
   /** Rank-family window surface beyond row_number (SURVEY "Window
     * functions" row): ntile, percent_rank, cume_dist, first/last value
@@ -326,6 +390,8 @@ object RelationalExt {
       "IEEE-exact math function surface"),
     GraftQuery("join_salted_skew", joinSaltedSkew _, Some(joinSaltedSkewOracle),
       "skew-salted equi-join, identical results to the plain join"),
+    GraftQuery("quantile_select", quantileSelect _, Some(quantileSelectOracle),
+      "exact order-statistic quantiles via 2-pass sample-bracketed selection, no global sort"),
     GraftQuery("percentile_agg", percentileAgg _, Some(percentileAggOracle),
       "exact interpolated percentiles per group"),
     GraftQuery("window_funcs_ext", windowFuncsExt _, Some(windowFuncsExtOracle),
