@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -184,46 +184,117 @@ object RelationalExt {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Driver-side sample budget for [[quantileSelectOn]] — the collected
+    * sample targets this many rows regardless of input size (the r10
+    * fixed-2%-fraction sample was linear in n: a driver OOM at 100 TB).
+    */
+  private[graft] val QuantileSampleTarget = 100000L
+
+  /** Cap on the collected bracket-window row count. The window is
+    * O(n/√s) only when values are spread; under extreme duplication
+    * (most rows equal to the bracket value) it can be corpus-sized, so
+    * it is COUNTED before collection and over-cap inputs take the
+    * scan-only bisection path instead of a driver collect.
+    */
+  private[graft] var QuantileWindowCap = 2000000L // var: specs shrink it to exercise the cap path
+
+  /** Observability for specs: size of the last driver-collected sample. */
+  private[graft] var lastQuantileSampleSize: Int = -1
+
+  /** Sampling modulus for n rows: expected sample size is
+    * min(n/50, [[QuantileSampleTarget]]) — CONSTANT in n past the knee
+    * (n = 50·target), unlike the r10 fixed-2% fraction.
+    */
+  private[graft] def quantileSampleModulus(n: Long): Long =
+    math.max(50L, n / QuantileSampleTarget)
+
+  /** Monotone double→long bit transform (and inverse): preserves IEEE
+    * total order so the bisection below can halve the VALUE domain.
+    */
+  private def toOrd(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    if (b < 0) b ^ 0x7FFFFFFFFFFFFFFFL else b
+  }
+  private def fromOrd(l: Long): Double = {
+    val b = if (l < 0) l ^ 0x7FFFFFFFFFFFFFFFL else l
+    java.lang.Double.longBitsToDouble(b)
+  }
+
+  /** Exact r-th smallest of `vals.x` by bisection over the ordered
+    * double bit-space: ≤64 counting scans, no sort, no driver
+    * collection, no 32-bit rank limit. The always-correct fallback for
+    * degenerate inputs (empty sample, duplicate-heavy window,
+    * misbracketed rank) — never the common path.
+    */
+  private[graft] def selectByBisection(vals: DataFrame, r: Long): Double = {
+    val mm = vals.agg(min(col("x")).as("mn"), max(col("x")).as("mx")).collect().head
+    var lo = toOrd(mm.getDouble(0))
+    var hi = toOrd(mm.getDouble(1))
+    while (lo < hi) { // invariant: answer's ord in [lo, hi]
+      val mid = lo + (hi - lo) / 2
+      val c = vals.filter(col("x") <= fromOrd(mid)).count()
+      if (c >= r) hi = mid else lo = mid + 1
+    }
+    fromOrd(lo)
+  }
+
   /** Exact DISCRETE quantiles (order statistics) WITHOUT a global sort
     * — the at-scale selection path [[percentileAgg]]'s sort-based exact
     * percentile can't take. Two passes: (1) a deterministic hash sample
-    * brackets each target rank with a ±4√s safety margin; (2) ONE scan
-    * counts rows below each bracket and collects only the bracket
-    * windows (O(n/√s) rows, driver-bounded), from which the exact
-    * k-th element is selected. Rank arithmetic is verified against the
-    * counted bounds — if a freak sample misbrackets (never observed;
-    * the margin is ~4σ), the affected quantile falls back to an exact
-    * sort-limit select rather than returning a wrong element. Matches
-    * DuckDB's `quantile_disc` (rank = ⌈q·n⌉): the answer is an actual
-    * data element, no interpolation arithmetic to diverge on.
+    * (modulus derived from n so the collected size is a CONSTANT
+    * ~[[QuantileSampleTarget]], not a fraction of n) brackets each
+    * target rank with a ±4√s safety margin; (2) ONE scan counts rows
+    * below each bracket and collects only the bracket windows (counted
+    * first, capped at [[QuantileWindowCap]]), from which the exact k-th
+    * element is selected. Rank arithmetic is verified against the
+    * counted bounds — if a freak sample misbrackets (the margin is
+    * ~4σ), the affected quantile falls back to [[selectByBisection]]
+    * rather than returning a wrong element. Matches DuckDB's
+    * `quantile_disc` (rank = ⌈q·n⌉): the answer is an actual data
+    * element, no interpolation arithmetic to diverge on.
     */
   def quantileSelect(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val qs = Seq(0.5, 0.9, 0.99)
     val vals = graft.Tables.t(spark, dir, "lineitem")
       .select(col("l_extendedprice").as("x"),
         concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rk"))
+    quantileSelectOn(spark, vals, Seq(0.5, 0.9, 0.99))
+  }
+
+  /** Core of [[quantileSelect]] over any (x: double, rk: string) frame. */
+  private[graft] def quantileSelectOn(
+      spark: SparkSession, vals: DataFrame, qs: Seq[Double]): DataFrame = {
+    import spark.implicits._
     val n = vals.count()
+    def rank(q: Double): Long = math.max(1L, math.ceil(q * n).toLong)
+    if (n == 0L) return Seq.empty[(Double, Double)].toDF("q", "value")
+    val modulus = quantileSampleModulus(n)
     val sample = vals
-      .filter(pmod(graft.operators.Dedup.phash(col("rk")), lit(50)) === 0)
+      .filter(pmod(graft.operators.Dedup.phash(col("rk")), lit(modulus)) === 0)
       .select(col("x")).collect().map(_.getDouble(0)).sorted
     val s = sample.length
+    lastQuantileSampleSize = s
+    if (s == 0) // freak empty sample (only plausible for tiny n)
+      return qs.map(q => (q, selectByBisection(vals, rank(q))))
+        .toDF("q", "value").orderBy("q")
     val margin = math.max(10, (4 * math.sqrt(s.toDouble)).toInt)
     val brackets = qs.map { q =>
-      val r = math.max(1L, math.ceil(q * n).toLong) // quantile_disc rank
+      val r = rank(q) // quantile_disc rank
       val p = ((r.toDouble / n) * s).toInt
-      val lo = sample(math.max(0, p - margin))
+      val lo = sample(math.max(0, math.min(s - 1, p - margin)))
       val hi = sample(math.min(s - 1, p + margin))
       (q, r, lo, hi)
     }
-    // one scan: per-bracket below-counts + the union of bracket windows
-    val belowAggs = brackets.map { case (q, _, lo, _) =>
-      sum(when(col("x") < lo, 1L).otherwise(0L)).as(s"below_$q")
-    }
-    val below = vals.agg(belowAggs.head, belowAggs.tail: _*).collect().head
+    // one scan: per-bracket below-counts + the size of the union window
     val windowCond = brackets.map { case (_, _, lo, hi) =>
       col("x") >= lo && col("x") <= hi
     }.reduce(_ || _)
+    val belowAggs = brackets.map { case (q, _, lo, _) =>
+      sum(when(col("x") < lo, 1L).otherwise(0L)).as(s"below_$q")
+    } :+ sum(when(windowCond, 1L).otherwise(0L)).as("win_n")
+    val below = vals.agg(belowAggs.head, belowAggs.tail: _*).collect().head
+    if (below.getLong(qs.length) > QuantileWindowCap)
+      return qs.map(q => (q, selectByBisection(vals, rank(q))))
+        .toDF("q", "value").orderBy("q")
     val window = vals.filter(windowCond).select(col("x"))
       .collect().map(_.getDouble(0)).sorted
     val rows = brackets.zipWithIndex.map { case ((q, r, lo, hi), i) =>
@@ -232,13 +303,124 @@ object RelationalExt {
       val idx = r - cntBelow - 1 // 0-based rank within the sorted window
       val value =
         if (idx >= 0 && idx < inWin.length) inWin(idx.toInt)
-        else // misbracketed: exact fallback, never wrong output
-          vals.orderBy(asc("x")).limit(r.toInt)
-            .orderBy(desc("x")).limit(1).collect().head.getDouble(0)
+        else selectByBisection(vals, r) // misbracketed: never wrong output
       (q, value)
     }
     rows.toDF("q", "value").orderBy("q")
   }
+
+  /** Per-GROUP exact discrete quantiles without a global (or per-group)
+    * sort — generalizes [[quantileSelectOn]]: one scan samples every
+    * group at a group-sized modulus (driver sample ≤ ~target TOTAL,
+    * split across groups), one scan counts below-bracket + window rows
+    * PER GROUP (when-chain brackets, single hash agg), then the exact
+    * in-group rank is selected from the collected windows. Driver state
+    * is O(groups × per-group sample) — the same order as the grouped
+    * RESULT itself, so inherent to the operator. Degenerate groups
+    * (empty sample, oversized window, misbracket) fall back to
+    * [[selectByBisection]] on that group only.
+    */
+  def quantileSelectGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val vals = graft.Tables.events(spark, dir)
+      .select(col("event_type").as("g"), col("value").as("x"),
+        col("event_id").cast("string").as("rk"))
+    quantileSelectGroupedOn(spark, vals, Seq(0.5, 0.9))
+      .select(col("g").as("event_type"), col("q"), col("value"))
+      .orderBy("event_type", "q")
+  }
+
+  /** Core of [[quantileSelectGrouped]] over any (g, x, rk) frame. */
+  private[graft] def quantileSelectGroupedOn(
+      spark: SparkSession, vals: DataFrame, qs: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    val counts = vals.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty)
+      return Seq.empty[(String, Double, Double)].toDF("g", "q", "value")
+    def rank(q: Double, n: Long): Long = math.max(1L, math.ceil(q * n).toLong)
+    def groupOf(df: DataFrame, g: String): DataFrame =
+      df.filter(col("g") === g).select(col("x"))
+    // per-group modulus: total driver sample ~QuantileSampleTarget
+    val perTarget = math.max(1000L, QuantileSampleTarget / counts.size)
+    def chainD(m: Map[String, Double], default: Double): Column =
+      m.foldLeft(lit(default)) { case (acc, (g, v)) =>
+        when(col("g") === g, lit(v)).otherwise(acc)
+      }
+    val modChain = counts.foldLeft(lit(Long.MaxValue)) { case (acc, (g, n)) =>
+      when(col("g") === g, lit(math.max(50L, n / perTarget))).otherwise(acc)
+    }
+    val sampled = vals
+      .filter(pmod(graft.operators.Dedup.phash(col("rk")), modChain) === 0)
+      .select(col("g"), col("x")).collect()
+    val samples: Map[String, Array[Double]] = sampled.groupBy(_.getString(0))
+      .map { case (g, rows) => g -> rows.map(_.getDouble(1)).sorted }
+    // brackets per (group, q); sampleless groups go straight to bisection
+    val bracketed = counts.keys.toSeq.sorted.flatMap { g =>
+      samples.get(g).filter(_.nonEmpty).map { sample =>
+        val n = counts(g)
+        val s = sample.length
+        val margin = math.max(10, (4 * math.sqrt(s.toDouble)).toInt)
+        val bs = qs.map { q =>
+          val r = rank(q, n)
+          val p = ((r.toDouble / n) * s).toInt
+          val lo = sample(math.max(0, math.min(s - 1, p - margin)))
+          val hi = sample(math.min(s - 1, p + margin))
+          (q, r, lo, hi)
+        }
+        g -> bs
+      }
+    }.toMap
+    // ONE grouped scan: per-(group, q) below-counts + per-group window size
+    val loChains = qs.indices.map { j =>
+      chainD(bracketed.map { case (g, bs) => g -> bs(j)._3 }, Double.NegativeInfinity)
+    }
+    val winLo = chainD(bracketed.map { case (g, bs) => g -> bs.map(_._3).min },
+      Double.PositiveInfinity)
+    val winHi = chainD(bracketed.map { case (g, bs) => g -> bs.map(_._4).max },
+      Double.NegativeInfinity)
+    val winCond = col("x") >= winLo && col("x") <= winHi
+    val aggCols = qs.indices.map { j =>
+      sum(when(col("x") < loChains(j), 1L).otherwise(0L)).as(s"below_$j")
+    } :+ sum(when(winCond, 1L).otherwise(0L)).as("win_n")
+    val stats = vals.groupBy(col("g")).agg(aggCols.head, aggCols.tail: _*)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val okWindow = bracketed.keySet.filter { g =>
+      stats(g).getLong(qs.length + 1) <= QuantileWindowCap / math.max(1, counts.size)
+    }
+    val windows: Map[String, Array[Double]] =
+      if (okWindow.isEmpty) Map.empty
+      else vals.filter(winCond && col("g").isInCollection(okWindow))
+        .select(col("g"), col("x")).collect()
+        .groupBy(_.getString(0))
+        .map { case (g, rows) => g -> rows.map(_.getDouble(1)).sorted }
+    val rows = counts.keys.toSeq.sorted.flatMap { g =>
+      val n = counts(g)
+      qs.zipWithIndex.map { case (q, j) =>
+        val r = rank(q, n)
+        val value = bracketed.get(g).filter(_ => okWindow(g)) match {
+          case Some(bs) =>
+            val (_, _, lo, hi) = bs(j)
+            val cntBelow = stats(g).getLong(j + 1)
+            val inWin = windows.getOrElse(g, Array.empty[Double])
+              .filter(v => v >= lo && v <= hi)
+            val idx = r - cntBelow - 1
+            if (idx >= 0 && idx < inWin.length) inWin(idx.toInt)
+            else selectByBisection(groupOf(vals, g), r)
+          case None => selectByBisection(groupOf(vals, g), r)
+        }
+        (g, q, value)
+      }
+    }
+    rows.toDF("g", "q", "value")
+  }
+
+  private val quantileSelectGroupedOracle =
+    """SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+      |  quantile_disc(value, 0.5) AS value FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT event_type, CAST(0.9 AS DOUBLE),
+      |  quantile_disc(value, 0.9) FROM events GROUP BY event_type
+      |ORDER BY event_type, q""".stripMargin
 
   private val quantileSelectOracle =
     """SELECT CAST(0.5 AS DOUBLE) AS q, quantile_disc(l_extendedprice, 0.5) AS value FROM lineitem
@@ -349,24 +531,29 @@ object RelationalExt {
     * semi join, so the result is exactly the plain semi join's.
     */
   def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
-    // cached: the dim-key set (dim-sized, broadcast-class) is read
-    // three times — sizing count, bloom build, exact semi join — and
-    // must scan the orders table exactly once
+    // cached while the function runs: the dim-key set (dim-sized,
+    // broadcast-class) is read twice driver-side — sizing count, bloom
+    // build — off one orders scan; released in the finally below
     val dimKeys = t(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
       .cache()
-    // Size the filter from a cheap key-count (at scale: catalog stats).
-    val nKeys = dimKeys.count()
-    val blob = dimKeys
-      .agg(BloomFilterFns.bloomBuild(col("o_orderkey"), math.max(1000L, nKeys), 0.03))
-      .head.getAs[Array[Byte]](0)
-    t(spark, dir, "lineitem")
-      .where(BloomFilterFns.bloomMightContain(col("l_orderkey"), blob))
-      .join(dimKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
-      .orderBy("l_returnflag")
+    try {
+      // Size the filter from a cheap key-count (at scale: catalog stats).
+      val nKeys = dimKeys.count()
+      val blob = dimKeys
+        .agg(BloomFilterFns.bloomBuild(col("o_orderkey"), math.max(1000L, nKeys), 0.03))
+        .head.getAs[Array[Byte]](0)
+      t(spark, dir, "lineitem")
+        .where(BloomFilterFns.bloomMightContain(col("l_orderkey"), blob))
+        .join(dimKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("l_returnflag")
+    } finally dimKeys.unpersist()
+    // unpersist is plan-keyed: the returned plan stays correct — it
+    // recomputes the (filter+project) dim side instead of leaking cached
+    // partitions into the shared session across bench invocations
   }
 
   private val joinBloomPrefilterOracle =
@@ -392,6 +579,8 @@ object RelationalExt {
       "skew-salted equi-join, identical results to the plain join"),
     GraftQuery("quantile_select", quantileSelect _, Some(quantileSelectOracle),
       "exact order-statistic quantiles via 2-pass sample-bracketed selection, no global sort"),
+    GraftQuery("quantile_select_grouped", quantileSelectGrouped _, Some(quantileSelectGroupedOracle),
+      "exact per-group discrete quantiles, one sampled scan + one grouped counting scan"),
     GraftQuery("percentile_agg", percentileAgg _, Some(percentileAggOracle),
       "exact interpolated percentiles per group"),
     GraftQuery("window_funcs_ext", windowFuncsExt _, Some(windowFuncsExtOracle),
