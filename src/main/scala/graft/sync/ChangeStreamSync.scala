@@ -225,8 +225,19 @@ final class ChangeStreamSync(
           try {
             val ids = buckets.select("_bucket").distinct()
               .collect().map(_.getLong(0)).sorted
+            // the join is total by construction (buckets was built from
+            // the same finals the images/deleteKeys derive from), but an
+            // _id-equality mismatch (e.g. a cast asymmetry) would give a
+            // null bucket and the row would match NO sub-commit — silent
+            // data loss on the rarely-exercised split path. Route null
+            // buckets into the first committed bucket so such a row
+            // still commits (bucket ids need not start at 0: a first
+            // doc larger than maxBytes starts at bucket >= 1).
+            val fallbackBucket = ids.headOption.getOrElse(0L)
             val imagesB = images.join(buckets, Seq("_id"), "left")
+              .withColumn("_bucket", coalesce(col("_bucket"), lit(fallbackBucket)))
             val deleteKeysB = deleteKeys.join(buckets, Seq("_id"), "left")
+              .withColumn("_bucket", coalesce(col("_bucket"), lit(fallbackBucket)))
             for (b <- ids) {
               val t0 = System.currentTimeMillis()
               evolved.applyChanges(

@@ -63,7 +63,8 @@ final class IceliteTable private (
     * "equality delete old + append new in one txn" shape.
     * The batch is deduplicated last-writer-wins on `orderCol` first.
     */
-  def upsert(df: DataFrame, keyCols: Seq[String], orderCol: Option[String] = None): Long = {
+  def upsert(df: DataFrame, keyCols: Seq[String], orderCol: Option[String] = None,
+      summary: Long => Map[String, String] = _ => Map.empty): Long = {
     val deduped = orderCol match {
       case Some(oc) =>
         val w = Window.partitionBy(keyCols.map(col): _*).orderBy(desc(oc))
@@ -71,7 +72,7 @@ final class IceliteTable private (
       case None => df.dropDuplicates(keyCols)
     }
     commitWrite(deduped, deleteKeys = Some(deduped.select(keyCols.map(col): _*)),
-      keyCols = keyCols, operation = "upsert")
+      keyCols = keyCols, operation = "upsert", summary = summary)
   }
 
   /** Commit files the CALLER writes (Iceberg's own commit surface: the
@@ -1165,25 +1166,38 @@ final class IceliteTable private (
     * publishStaged's metadata commit and its manifest cleanup) is
     * detected the same way [[discardStaged]] does: only the stale
     * manifest is removed — the files are live table data and the rows
-    * must not land twice. Crash between the cherry-pick commit and
-    * its own cleanup leaves the staged dir + manifest behind;
-    * [[discardStaged]] then removes the redundant copies (the
-    * published rows live under the cherry-pick's own commit dir).
+    * must not land twice. The cherry-pick commit itself is stamped with
+    * [[IceliteTable.CherryPickStageKey]] = stageId in its snapshot
+    * summary, so a crash between that commit and its cleanup is ALSO
+    * detected on retry (cleanup-only) — without the marker, a retry on
+    * a keyless table would re-append the staged rows (the re-sequenced
+    * files live under a fresh commit dir, invisible to the
+    * `data/<stageId>/` check), and the caller could not tell
+    * crash-before-commit (retry correct) from crash-after (duplicate).
     */
   def cherryPickStaged(stageId: String): Long = {
     stagedManifest(stageId) // existence check with a clear error
     refresh()
     val published = cachedMeta.snapshots
-      .find(_.dataFiles.exists(_.startsWith(s"data/$stageId/")))
+      .find(s => s.dataFiles.exists(_.startsWith(s"data/$stageId/")) ||
+        s.summary.get(IceliteTable.CherryPickStageKey).contains(stageId))
     published match {
-      case Some(snap) => // crashed publish: rows are live; clean up only
+      case Some(snap) =>
+        // crashed publish OR crashed cherry-pick: rows are live.
+        // Remove the now-redundant staged copies (a published stage's
+        // files ARE the live data, so only the manifest goes; a
+        // cherry-picked stage's files were re-sequenced into the
+        // commit's own dir, so the staged dir goes too).
+        if (!snap.dataFiles.exists(_.startsWith(s"data/$stageId/")))
+          fileSystem().delete(new Path(s"$location/data/$stageId"), true)
         fileSystem().delete(stagedManifestPath(stageId), false)
         snap.seq
       case None =>
         val keyCols = tableKeyColumns(cachedMeta.properties)
+        val mark = (_: Long) => Map(IceliteTable.CherryPickStageKey -> stageId)
         val seq =
-          if (keyCols.nonEmpty) upsert(readStaged(stageId), keyCols)
-          else append(readStaged(stageId))
+          if (keyCols.nonEmpty) upsert(readStaged(stageId), keyCols, summary = mark)
+          else append(readStaged(stageId), summary = mark)
         fileSystem().delete(new Path(s"$location/data/$stageId"), true)
         fileSystem().delete(stagedManifestPath(stageId), false)
         seq
@@ -2170,6 +2184,15 @@ object IceliteTable {
     * `graft.ref.<name>` = `"tag:<seq>"` | `"branch:<seq>"`.
     */
   val RefPropPrefix = "graft.ref."
+
+  /** Snapshot-summary key stamping a cherry-pick commit with the stage
+    * id it re-applied (Iceberg `wap.id` analog) — the marker that makes
+    * [[cherryPickStaged]] retry idempotent: a crash between the
+    * cherry-pick commit and its staged-dir cleanup is detected by this
+    * summary on retry, not by the (re-sequenced, hence re-located) data
+    * files.
+    */
+  val CherryPickStageKey = "graft.wap.stage-id"
 
   /** Stat-string comparison under the column's declared comparator:
     * numeric for int transforms (year/bucket) and integral key

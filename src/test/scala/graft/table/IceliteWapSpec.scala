@@ -113,6 +113,44 @@ class IceliteWapSpec extends AnyFunSuite with SparkFixture {
     assert(ids(t.readAt(pubSeq)) == Seq(1L, 2L))
   }
 
+  test("cherry-pick retry after crash-before-cleanup is idempotent (keyless table)") {
+    val t = IceliteTable.create(spark, wh(), "ns", "wapi", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    val stage = t.stageAppend(rows((2L, "b", 2.0), (3L, "b", 3.0)))
+    t.append(rows((9L, "z", 9.0))) // head moves; exact-seq publish refuses
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manifest = new org.apache.hadoop.fs.Path(
+      s"${t.location}/metadata/staged-$stage.json")
+    val stagedDir = new org.apache.hadoop.fs.Path(s"${t.location}/data/$stage")
+    val fs = manifest.getFileSystem(conf)
+    // snapshot the manifest bytes + staged data dir so the crash window
+    // (commit done, cleanup not) can be reconstructed afterwards
+    val bytes = {
+      val in = fs.open(manifest)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+        bos.toByteArray
+      } finally in.close()
+    }
+    val backup = new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("wap-crash").toString, "staged")
+    org.apache.hadoop.fs.FileUtil.copy(fs, stagedDir, fs, backup, false, conf)
+    val seq = t.cherryPickStaged(stage)
+    assert(ids(t.read()) == Seq(1L, 2L, 3L, 9L))
+    // crash simulation: the cherry-pick committed but its cleanup never
+    // ran — staged dir and manifest are back on disk
+    val out = fs.create(manifest); out.write(bytes); out.close()
+    org.apache.hadoop.fs.FileUtil.copy(fs, backup, fs, stagedDir, false, conf)
+    // retry must detect the summary marker and clean up, NOT re-append
+    val got = t.cherryPickStaged(stage)
+    assert(got == seq)
+    assert(t.read().count() == 4, "staged rows were re-appended on retry")
+    assert(ids(t.read()) == Seq(1L, 2L, 3L, 9L))
+    assert(t.stagedIds.isEmpty)
+    assert(!fs.exists(stagedDir))
+  }
+
   test("publish after schema evolution: staged files null-fill the new column") {
     val t = IceliteTable.create(spark, wh(), "ns", "wapev", rows().schema)
     t.append(rows((1L, "a", 1.0)))
