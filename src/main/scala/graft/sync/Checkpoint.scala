@@ -148,12 +148,24 @@ final class CheckpointStore(spark: SparkSession, warehouse: String) {
     } finally writer.close()
   }
 
-  private def newWriter(path: String, schema: org.apache.parquet.schema.MessageType) =
+  private def newWriter(path: String, schema: org.apache.parquet.schema.MessageType) = {
+    // local paths write through java.nio directly — the Hadoop local fs
+    // stream costs ~2x per file (checksum shadow files + conf plumbing),
+    // and the checkpoint hot loop pays it twice per commit
+    val uri = new org.apache.hadoop.fs.Path(path).toUri
+    val out =
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        val p = java.nio.file.Paths.get(uri.getPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        new org.apache.parquet.io.LocalOutputFile(p)
+      } else
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path), spark.sparkContext.hadoopConfiguration)
     org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path), spark.sparkContext.hadoopConfiguration))
+      .builder(out)
       .withType(schema)
       .build()
+  }
 
   /** Remove a sync's checkpoint row entirely (invalidate handling: the
     * rebuild must start from a clean slate — a stale high-water mark

@@ -30,9 +30,16 @@ import graft.config.PartitionConfig
 final class IceliteTable private (
     val spark: SparkSession,
     val location: String,
-    @volatile private var cachedMeta: TableMeta) {
+    @volatile private var cachedHead: IceliteTable.CachedHead) {
 
   import IceliteTable._
+
+  /** The metadata this instance last observed. Meta and its version
+    * number live in ONE volatile holder so a concurrent commit can
+    * never be seen as a (new version, old meta) torn pair — the fast
+    * head probe below builds on that.
+    */
+  private def cachedMeta: TableMeta = cachedHead.meta
 
   def meta: TableMeta = cachedMeta
   def schema: StructType = cachedMeta.schema
@@ -249,7 +256,23 @@ final class IceliteTable private (
       deleteKeys: Option[DataFrame],
       keyCols: Seq[String],
       operation: String,
-      summary: Long => Map[String, String] = _ => Map.empty): Long = retryCommit { head =>
+      summary: Long => Map[String, String] = _ => Map.empty): Long = {
+    // the upsert/applyChanges shape reads the batch twice (data write +
+    // delete-key write, the keys a projection of the same deduped plan):
+    // cache it for the commit's duration so the dedup shuffle runs once,
+    // not once per write (and once more per optimistic retry)
+    val cacheBatch = df != null && deleteKeys.isDefined
+    if (cacheBatch) df.persist()
+    try commitWriteInner(df, deleteKeys, keyCols, operation, summary)
+    finally if (cacheBatch) df.unpersist()
+  }
+
+  private def commitWriteInner(
+      df: DataFrame,
+      deleteKeys: Option[DataFrame],
+      keyCols: Seq[String],
+      operation: String,
+      summary: Long => Map[String, String]): Long = retryCommit { head =>
     val seq = head.lastSeq + 1
     val commitId = UUID.randomUUID().toString
     // per-file key-column min/max (this commit's keys, or the table's
@@ -266,7 +289,9 @@ final class IceliteTable private (
     val (deleteFiles, deleteStats) = deleteKeys match {
       case Some(keys) =>
         val out = s"$location/deletes/$commitId"
-        keys.withColumn(SeqCol, lit(seq)).write.mode("errorifexists").parquet(out)
+        val keyRows = keys.withColumn(SeqCol, lit(seq))
+        val keysW = if (isSmallBatch(keyRows)) keyRows.coalesce(1) else keyRows
+        fastWrite(keysW).parquet(out)
         val files = listParquet(out)
         val ds = files.map(f => f -> footerInfo(f, statKeys.toMap)._2)
           .collect { case (f, s) if s.nonEmpty => f -> s }.toMap
@@ -1604,12 +1629,36 @@ final class IceliteTable private (
     * and retry, like an Iceberg CAS failure. A read-back verify guards
     * any filesystem whose exclusive create is advisory.
     */
+  /** O(1) head load in the uncontended case: probe FORWARD from the
+    * version this instance already holds instead of listing the whole
+    * metadata dir (O(published versions) per commit — a linear term
+    * that made every commit slower than the last) and re-parsing JSON
+    * the instance already has in memory. A foreign commit just moves
+    * the probe forward, and only then is the new head actually read.
+    * Sound because version numbers are monotone (truncate commits a
+    * snapshot, never resets numbering) and expiry deletes only OLD
+    * versions — a newer head can never live at a lower number.
+    */
+  private def loadHeadFast(fs: FileSystem): (TableMeta, Long) = {
+    val known = cachedHead
+    var v = known.version
+    while (fs.exists(new Path(s"$location/metadata/${versionFile(v + 1)}"))) v += 1
+    if (v == known.version) (known.meta, v)
+    else
+      try (TableMeta.fromJson(readString(fs, new Path(s"$location/metadata/${versionFile(v)}"))), v)
+      catch {
+        // expiry raced us between the probe and the read: fall back to
+        // the full listing, which always resolves the live head
+        case _: java.io.IOException => loadHead(fs, location)
+      }
+  }
+
   private def retryCommit(body: TableMeta => (TableMeta, Long)): Long = {
     val fs = fileSystem()
     var attempts = 0
     var lastClaimError: Throwable = null // ambiguous IO failures, kept for the cap error
     while (true) {
-      val (head, headVersion) = loadHead(fs, location)
+      val (head, headVersion) = loadHeadFast(fs)
       val (next, seq) = body(head)
       val nextVersion = headVersion + 1
       val dst = new Path(s"$location/metadata/${versionFile(nextVersion)}")
@@ -1631,7 +1680,7 @@ final class IceliteTable private (
         // DynamoDB), exactly as Iceberg's HadoopCatalog documents.
         val stillOurs = scala.util.Try(readString(fs, claim)).toOption.contains(claimToken)
         if (stillOurs && fs.rename(tmp, dst) && readString(fs, dst) == payload) {
-          cachedMeta = next
+          cachedHead = CachedHead(next, nextVersion)
           return seq
         }
         // we own (or owned) this claim and failed to publish — release
@@ -1720,8 +1769,8 @@ final class IceliteTable private (
     } catch { case _: java.io.IOException => false }
 
   def refresh(): TableMeta = {
-    val (m, _) = loadHead(fileSystem(), location)
-    cachedMeta = m
+    val (m, v) = loadHeadFast(fileSystem())
+    cachedHead = CachedHead(m, v)
     m
   }
 
@@ -2113,16 +2162,42 @@ final class IceliteTable private (
     } else (nFiles, partCols) match {
       case (Some(n), pc) if pc.nonEmpty => d.repartition(n, pc.map(p => col(p._1)): _*)
       case (Some(n), _) => d.repartition(n)
-      case (None, pc) if pc.nonEmpty => d.repartition(pc.map(p => col(p._1)): _*)
-      case _ => d
+      case (None, pc) if pc.nonEmpty =>
+        if (isSmallBatch(d)) d.repartition(1)
+        else d.repartition(pc.map(p => col(p._1)): _*)
+      case _ => if (isSmallBatch(d)) d.coalesce(1) else d
     }
-    clustered.write.mode("errorifexists").parquet(out)
+    fastWrite(clustered).parquet(out)
     val files = listParquet(out)
     val statCols = prunableColumns(partitioning) ++ extraStatCols
     val infos = files.map(f => f -> footerInfo(f, statCols))
     val stats = infos.collect { case (f, (_, s)) if s.nonEmpty => f -> s }.toMap
     (files, infos.map(_._2._1).sum, stats)
   }
+
+  /** Commit-dir writer with the per-commit fixed costs trimmed: no
+    * _SUCCESS marker (icelite's own metadata publish is the commit
+    * signal, the marker is one more fs round trip per commit) and
+    * committer algorithm 2 (task outputs move on task commit — dir
+    * atomicity is irrelevant here because an unpublished commit dir is
+    * invisible until the metadata rename, and partial dirs are GC'd as
+    * orphans).
+    */
+  private def fastWrite(d: DataFrame) =
+    d.write.mode("errorifexists")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+
+  /** Catalyst-estimated "this batch is tiny" test gating the
+    * single-file write path: a steady-state CDC micro-batch or
+    * checkpoint row otherwise fans out into one KB-file per input
+    * partition — per-commit driver footer reads now, small-file debt
+    * at scale. The threshold sits far below one target file (128 MB),
+    * so even a 4x under-estimate still yields a single comfortably
+    * writable file; large batches keep their parallel write untouched.
+    */
+  private def isSmallBatch(d: DataFrame): Boolean =
+    d.queryExecution.optimizedPlan.stats.sizeInBytes <= SmallWriteBytes
 
   private def keyColumnsOfDeletes(deleteFiles: Seq[String]): Seq[String] = {
     // all delete files share the key schema by construction — one
@@ -2134,6 +2209,11 @@ final class IceliteTable private (
 
 object IceliteTable {
 
+  /** Atomic (metadata, version-number) pair an instance holds — one
+    * volatile field so the fast head probe never observes a torn pair.
+    */
+  private final case class CachedHead(meta: TableMeta, version: Long)
+
   /** JVM-global [[pruneDataFiles]] call counter — a test hook (like
     * ShingleIndex.builds) proving metadata-table code paths stay
     * join-based instead of looping the prune per partition value.
@@ -2142,6 +2222,11 @@ object IceliteTable {
 
   /** Hidden per-row commit sequence column (MoR ordering). */
   val SeqCol = "_graft_seq"
+
+  /** Batches whose Catalyst size estimate is at or below this write as
+    * ONE file (see `isSmallBatch`).
+    */
+  val SmallWriteBytes: Long = 32L << 20
 
   /** Changelog output columns ([[IceliteTable.readChanges]]). */
   val ChangeTypeCol = "_change_type"
@@ -2417,14 +2502,14 @@ object IceliteTable {
     val props = properties + (TimeZoneProp -> spark.conf.get("spark.sql.session.timeZone"))
     val meta = TableMeta(TableMeta.FormatVersion, namespace, table, schema, partitioning, Nil, props)
     writeString(fs, new Path(s"$location/metadata/${versionFile(0)}"), TableMeta.toJson(meta))
-    new IceliteTable(spark, location, meta)
+    new IceliteTable(spark, location, CachedHead(meta, 0L))
   }
 
   def load(spark: SparkSession, warehouse: String, namespace: String, table: String): IceliteTable = {
     val location = s"$warehouse/$namespace/$table"
     val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (meta, _) = loadHead(fs, location)
-    new IceliteTable(spark, location, meta)
+    val (meta, version) = loadHead(fs, location)
+    new IceliteTable(spark, location, CachedHead(meta, version))
   }
 
   def exists(spark: SparkSession, warehouse: String, namespace: String, table: String): Boolean = {
