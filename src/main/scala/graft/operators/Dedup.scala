@@ -85,14 +85,15 @@ object Dedup {
     * yield no rows.
     */
   def wordNgramStream(docs: DataFrame, width: Int, sep: String = "_",
-      carryCols: Seq[String] = Seq("doc_id")): DataFrame = {
+      carryCols: Seq[String] = Seq("doc_id"), posCol: Option[String] = None): DataFrame = {
     val carry = carryCols.map(col)
+    val pos = posCol.map(p => (col("__i") + 1).as(p)).toSeq // 1-based start position
     docs
       .select(carry :+ split(col("text"), " ").as("__ws"): _*)
       .filter(size(col("__ws")) >= width)
       .select(carry :+ col("__ws") :+
         explode(sequence(lit(0), size(col("__ws")) - width)).as("__i"): _*)
-      .select(carry :+
+      .select(carry ++ pos :+
         concat_ws(sep,
           (1 to width).map(o => element_at(col("__ws"), col("__i") + o)): _*).as("s"): _*)
   }
@@ -275,6 +276,97 @@ object Dedup {
        |FROM common JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
        |WHERE CAST(common AS DOUBLE) / least(sa.n, sb.n) >= $ContainmentThreshold
        |ORDER BY x, y""".stripMargin
+
+  // ---------------------------------------------- exact substring dedup
+
+  /** Minimum verbatim run length, in tokens, that counts as substring
+    * duplication (a W-gram = a run of exactly W consecutive tokens).
+    */
+  val SubstringWidth = 12
+
+  /** EXACT substring dedup — documents sharing a VERBATIM run of
+    * ≥ [[SubstringWidth]] consecutive tokens (boilerplate frames,
+    * quoted passages, license headers inside otherwise-distinct
+    * documents). Set-based near-dup (Jaccard / containment / MinHash)
+    * is blind to a short verbatim run inside two long distinct docs:
+    * the shared shingles are a sliver of either set, so every
+    * set-similarity score stays near 0 while the training-data harm
+    * (a memorizable repeated span) is real.
+    *
+    * Core identity: two docs share a verbatim run of ≥ W consecutive
+    * tokens **iff** they share at least one W-token n-gram — so
+    * candidates come from an inverted-index equi-join on the W-gram,
+    * never all-pairs (the same posting-list shape as [[ngramJaccard]]).
+    * The MAXIMAL shared run needs positions, not sets: matches with
+    * equal start-offset difference (`delta = i_y − i_x`) and
+    * consecutive `i_x` chain into one run of `chain_len + W − 1`
+    * tokens; the gaps-and-islands `i − row_number()` trick finds
+    * chains without a suffix structure. df-capped like every shingle
+    * join ([[MaxShingleDf]]): a W-gram in more docs than the cap is
+    * corpus-wide boilerplate whose quadratic pairing belongs in the
+    * cluster formulation, and a run containing a capped gram splits
+    * at it — in BOTH engines, so the compare stays exact.
+    *
+    * The persisted 5-shingle index cannot serve this operator: it
+    * stores DISTINCT (doc, shingle) without positions, and a run is a
+    * positional property. The W-gram stream is the same zero-shuffle
+    * codegen pipeline as every n-gram consumer, so the inline build
+    * costs one scan. Plan shape: scan → gram explode → df-cap
+    * semi-join → posting join → ONE window shuffle on (x, y, delta)
+    * (the chain-id window reuses that exchange — its keys extend the
+    * partition keys, so only a sort is added) → final (x, y) agg.
+    */
+  def substringRuns(spark: SparkSession, dir: String): DataFrame =
+    substringRunsOn(t(spark, dir, "documents"))
+
+  private[operators] def substringRunsOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = SubstringWidth
+    val g0 = wordNgramStream(docs, W, posCol = Some("i"))
+    val keep = g0.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= MaxShingleDf).select(col("s"))
+    val g = g0.join(keep, Seq("s"), "left_semi")
+    val hits = g.as("a").join(g.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        col("a.s").as("s"), col("a.i").as("i"),
+        (col("b.i") - col("a.i")).as("delta"))
+    val byDelta = Window.partitionBy(col("x"), col("y"), col("delta"))
+    val chained = hits
+      .withColumn("chain", col("i") - row_number().over(byDelta.orderBy(col("i"))))
+      .withColumn("chain_len", count(lit(1)).over(
+        Window.partitionBy(col("x"), col("y"), col("delta"), col("chain"))))
+    chained.groupBy(col("x"), col("y"))
+      .agg((max(col("chain_len")) + (W - 1)).as("max_run"),
+        countDistinct(col("s")).as("shared_grams"))
+      .orderBy("x", "y")
+  }
+
+  private val substringOracle = {
+    val W = SubstringWidth
+    val terms = (0 until W).map(o => s"w[i+$o]").mkString(" || '_' || ")
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g0 AS (SELECT doc_id, u.i AS i, u.s AS s FROM (
+       |  SELECT doc_id, unnest([{'i': i, 's': $terms}
+       |    for i in generate_series(1, len(w) - ${W - 1})]) AS u
+       |  FROM words WHERE len(w) >= $W) t),
+       |g AS (SELECT doc_id, i, s FROM g0 WHERE s IN (
+       |  SELECT s FROM g0 GROUP BY s HAVING count(DISTINCT doc_id) <= $MaxShingleDf)),
+       |hits AS (SELECT a.doc_id AS x, b.doc_id AS y, a.s AS s, a.i AS i,
+       |    b.i - a.i AS delta
+       |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |chains AS (SELECT x, y, s, delta,
+       |    i - row_number() OVER (PARTITION BY x, y, delta ORDER BY i) AS chain
+       |  FROM hits),
+       |runs AS (SELECT x, y, delta, chain, count(*) + ${W - 1} AS run_len
+       |  FROM chains GROUP BY x, y, delta, chain)
+       |SELECT r.x, r.y, r.max_run, sh.shared_grams FROM
+       |  (SELECT x, y, max(run_len) AS max_run FROM runs GROUP BY x, y) r
+       |  JOIN (SELECT x, y, count(DISTINCT s) AS shared_grams
+       |        FROM hits GROUP BY x, y) sh USING (x, y)
+       |ORDER BY x, y""".stripMargin
+  }
 
   // --------------------------------------------------- MinHash + LSH
 
@@ -729,6 +821,8 @@ object Dedup {
       "near-dup pairs, exact 5-gram Jaccard via inverted-index join"),
     GraftQuery("dedup_containment", containment _, Some(containmentOracle),
       "asymmetric containment: short docs embedded in longer ones (Jaccard-blind)"),
+    GraftQuery("dedup_substring", substringRuns _, Some(substringOracle),
+      "verbatim repeated token runs >= 12 via positional W-gram chain join"),
     GraftQuery("dedup_minhash_lsh", minhashLsh _, Some(minhashLshOracle),
       "MinHash(16) + 8-band LSH candidates + exact verify"),
     GraftQuery("dedup_simhash", simhash _, Some(simhashOracle),
