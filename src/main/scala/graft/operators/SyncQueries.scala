@@ -290,6 +290,61 @@ object SyncQueries {
       |FROM orders WHERE o_orderkey % 5 <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The `snapshots` + `manifests` metadata tables gated end to end:
+    * three commits of known shape (append, keyed upsert, key delete)
+    * land in a fixture table, then the snapshot log's added/cumulative
+    * record totals AND the per-file manifest metrics (summed per
+    * snapshot and content from [[IceliteTable.manifestsTable]] — row
+    * counts captured at commit time, no file IO) are checked against
+    * DuckDB recomputing each commit's cardinality relationally.
+    * Timestamps and file sizes are env-dependent, so the gate covers
+    * the relational columns; sizes/summary are spec-asserted instead
+    * (`IceliteRefsSpec`).
+    */
+  def tableSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("snapshots-query")
+    val base = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(17)) === 0)
+      .select(format_string("%012d", col("o_orderkey")).as("_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_snap", base.schema)
+    table.append(base)
+    table.upsert(base.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0), Seq("_id"))
+    table.delete(base.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select("_id"), Seq("_id"))
+    val mrows = table.manifestsTable()
+      .groupBy(col("seq").as("mseq"))
+      .agg(
+        sum(when(col("content") === "data", col("record_count")).otherwise(0L))
+          .as("mdata"),
+        sum(when(col("content") === "delete", col("record_count")).otherwise(0L))
+          .as("mdel"))
+    table.snapshotsTable()
+      .select(col("seq"), col("operation"), col("added_records"), col("total_records"))
+      .join(mrows, col("seq") === col("mseq"), "left")
+      .select(col("seq"), col("operation"), col("added_records"), col("total_records"),
+        coalesce(col("mdata"), lit(0L)).as("data_rows"),
+        coalesce(col("mdel"), lit(0L)).as("delete_rows"))
+      .orderBy("seq")
+  }
+
+  private val tableSnapshotsOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 17 = 0),
+      |n1 AS (SELECT count(*) AS c FROM base),
+      |n2 AS (SELECT count(*) AS c FROM base WHERE k % 2 = 0),
+      |n3 AS (SELECT count(*) AS c FROM base WHERE k % 3 = 0)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS seq, 'append' AS operation,
+      |    n1.c AS added_records, n1.c AS total_records,
+      |    n1.c AS data_rows, CAST(0 AS BIGINT) AS delete_rows FROM n1
+      |  UNION ALL
+      |  SELECT 2, 'upsert', n2.c, n1.c + n2.c, n2.c, n2.c FROM n1, n2
+      |  UNION ALL
+      |  SELECT 3, 'delete', 0, n1.c + n2.c, 0, n3.c FROM n1, n2, n3
+      |) ORDER BY seq""".stripMargin
+
   /** Multi-collection concurrent orchestration
     * ([[SyncOrchestrator.syncAll]], reference thread model
     * docs/design.md: one worker per collection, independent
@@ -715,6 +770,8 @@ object SyncQueries {
       "snapshot branches/tags: tag pins state, branch fast-forwards, both gated"),
     GraftQuery("table_partitions", tablePartitions _, Some(tablePartitionsOracle),
       "partitions metadata table: exact MoR per-partition record counts"),
+    GraftQuery("table_snapshots", tableSnapshots _, Some(tableSnapshotsOracle),
+      "snapshots + manifests metadata tables: per-commit added/cumulative totals and per-file metrics"),
     GraftQuery("table_pos_delete", tablePosDelete _, Some(tablePosDeleteOracle),
       "equality + position deletes merged on read (Iceberg v2 delete shapes)"),
     GraftQuery("table_update_where", tableUpdateWhere _, Some(tableUpdateWhereOracle),

@@ -281,22 +281,28 @@ final class IceliteTable private (
     // of scanning the whole table
     val statKeys = keyStatColumns(
       if (keyCols.nonEmpty) keyCols else tableKeyColumns(head.properties), head.schema)
-    val (dataFiles, count, fileStats) =
+    val (dataFiles, count, fileStats, dataMetrics) =
       if (df != null)
         writeDataFiles(conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq)),
           commitId, head.partitioning, nFiles = None, extraStatCols = statKeys.toMap)
-      else (Seq.empty[String], 0L, Map.empty[String, Map[String, (String, String)]])
-    val (deleteFiles, deleteStats) = deleteKeys match {
+      else (Seq.empty[String], 0L, Map.empty[String, Map[String, (String, String)]],
+        Map.empty[String, (Long, Long)])
+    val (deleteFiles, deleteStats, deleteMetrics) = deleteKeys match {
       case Some(keys) =>
         val out = s"$location/deletes/$commitId"
         val keyRows = keys.withColumn(SeqCol, lit(seq))
         val keysW = if (isSmallBatch(keyRows)) keyRows.coalesce(1) else keyRows
         fastWrite(keysW).parquet(out)
-        val files = listParquet(out)
-        val ds = files.map(f => f -> footerInfo(f, statKeys.toMap)._2)
-          .collect { case (f, s) if s.nonEmpty => f -> s }.toMap
-        (files, ds)
-      case None => (Nil, Map.empty[String, Map[String, (String, String)]])
+        val listed = listParquetInfos(out)
+        val infos = listed.map { case (f, bytes) =>
+          val (rows, stats) = footerInfo(f, statKeys.toMap)
+          (f, rows, bytes, stats)
+        }
+        (listed.map(_._1),
+          infos.collect { case (f, _, _, s) if s.nonEmpty => f -> s }.toMap,
+          infos.map { case (f, rows, bytes, _) => f -> (rows, bytes) }.toMap)
+      case None => (Nil, Map.empty[String, Map[String, (String, String)]],
+        Map.empty[String, (Long, Long)])
     }
     // remember the delete-key columns in table properties so the key
     // schema survives compaction folding every delete file away
@@ -305,7 +311,8 @@ final class IceliteTable private (
         head.copy(properties = head.properties + (DeleteKeyColumnsProp -> keyCols.mkString(",")))
       else head
     (withKeyProp.withSnapshot(Snapshot(seq, System.currentTimeMillis(), operation,
-      dataFiles, deleteFiles, count, fileStats ++ deleteStats, summary = summary(count))), seq)
+      dataFiles, deleteFiles, count, fileStats ++ deleteStats, summary = summary(count),
+      fileMetrics = dataMetrics ++ deleteMetrics)), seq)
   }
 
   // ------------------------------------------------------------- reads
@@ -668,6 +675,59 @@ final class IceliteTable private (
       "n_data_files", "n_delete_files", "record_count")
   }
 
+  /** Iceberg's `snapshots` metadata table — one row per retained
+    * snapshot with its commit SUMMARY and added/cumulative totals:
+    * (seq, committed_at, operation, added_data_files,
+    * added_delete_files, added_pos_delete_files, added_records,
+    * added_file_bytes, total_data_files, total_records, summary).
+    * `added_records` is the snapshot's recordCount (data rows written
+    * by that commit — 0 for delete-only commits); `total_*` are
+    * cumulative over the RETAINED log, which after a rewrite restarts
+    * at the rewrite snapshot exactly as Iceberg totals restart from
+    * surviving manifests. `added_file_bytes` is null when any of the
+    * snapshot's files predates metrics capture (never guessed).
+    * Driver-side metadata only; no data IO.
+    */
+  def snapshotsTable(): DataFrame = {
+    import spark.implicits._
+    val m = cachedMeta
+    var cumFiles = 0L
+    var cumRecords = 0L
+    m.snapshots.map { s =>
+      cumFiles += s.dataFiles.size
+      cumRecords += s.recordCount
+      val bytes =
+        if (s.dataFiles.forall(s.fileMetrics.contains))
+          Some(s.dataFiles.map(f => s.fileMetrics(f)._2).sum)
+        else None
+      (s.seq, new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.dataFiles.size.toLong, s.deleteFiles.size.toLong,
+        s.posDeleteFiles.size.toLong, s.recordCount, bytes,
+        cumFiles, cumRecords, s.summary)
+    }.toDF("seq", "committed_at", "operation", "added_data_files",
+      "added_delete_files", "added_pos_delete_files", "added_records",
+      "added_file_bytes", "total_data_files", "total_records", "summary")
+  }
+
+  /** Iceberg's `manifests`-style per-file metrics table — one row per
+    * live file with the (row_count, size_bytes) captured at commit
+    * time: (file, content, seq, operation, record_count,
+    * file_size_bytes). Metrics come from TABLE METADATA alone (the
+    * commit path records them from the footer/listing it already
+    * reads) — planning a maintenance pass over 100 TB touches no data
+    * file. Files committed before metrics capture surface nulls.
+    */
+  def manifestsTable(): DataFrame = {
+    import spark.implicits._
+    cachedMeta.snapshots.flatMap { s =>
+      def m(f: String) = s.fileMetrics.get(f)
+      s.dataFiles.map(f => (f, "data", s.seq, s.operation, m(f).map(_._1), m(f).map(_._2))) ++
+        s.deleteFiles.map(f => (f, "delete", s.seq, s.operation, m(f).map(_._1), m(f).map(_._2))) ++
+        s.posDeleteFiles.map(f =>
+          (f, "pos-delete", s.seq, s.operation, m(f).map(_._1), m(f).map(_._2)))
+    }.toDF("file", "content", "seq", "operation", "record_count", "file_size_bytes")
+  }
+
   /** Live files as a DataFrame — one row per data/delete file with its
     * committing snapshot and any recorded partition-column min/max
     * (the manifest view a maintenance job plans from).
@@ -820,7 +880,7 @@ final class IceliteTable private (
               s"(read seqs $rewriting, head has ${head.snapshots.map(_.seq)})")
         val seq = head.lastSeq + 1
         val commitId = UUID.randomUUID().toString
-        val (files, count, stats) = writeDataFiles(
+        val (files, count, stats, metrics) = writeDataFiles(
           conformToSchema(current, head.schema).withColumn(SeqCol, lit(seq)),
           commitId, head.partitioning, Some(nFiles),
           zorder = zRanges,
@@ -835,7 +895,8 @@ final class IceliteTable private (
           // a full rewrite REPLACES the snapshot list; sync progress
           // markers ride on the rewrite or a crashed initial sync
           // loses its resume point (truncate alone resets them)
-          summary = carrySyncProgress(head.snapshots))), seq)
+          summary = carrySyncProgress(head.snapshots),
+          fileMetrics = metrics)), seq)
       }
     } finally current.unpersist()
   }
@@ -922,10 +983,11 @@ final class IceliteTable private (
       // content is head-independent (rows keep their own seq), so the
       // files are written ONCE; only the metadata swap runs in the
       // optimistic-retry loop
-      val (files, _, stats) =
+      val (files, _, stats, metrics) =
         if (count > 0) writeDataFiles(survivors, commitId, before.partitioning, Some(nFiles),
           extraStatCols = keyStatColumns(tableKeyColumns(before.properties), before.schema).toMap)
-        else (Nil, 0L, Map.empty[String, Map[String, (String, String)]])
+        else (Nil, 0L, Map.empty[String, Map[String, (String, String)]],
+          Map.empty[String, (Long, Long)])
       retryCommit { head =>
         // the cold prefix is immutable (seqs only grow) unless another
         // maintenance rewrite raced us — then our folded set is stale
@@ -946,7 +1008,8 @@ final class IceliteTable private (
         // moves to the synthetic snapshot (hot tagged commits keep
         // their own and win resume, being later in the list)
         val synthetic = Snapshot(cutoff, System.currentTimeMillis(), "rewrite-cold",
-          files, Nil, count, stats, summary = carrySyncProgress(coldSnaps))
+          files, Nil, count, stats, summary = carrySyncProgress(coldSnaps),
+          fileMetrics = metrics)
         (head.copy(snapshots = synthetic +: head.snapshots.filter(_.seq > cutoff)), cutoff)
       }
       Some(cutoff)
@@ -1097,11 +1160,12 @@ final class IceliteTable private (
         // PRE-update row (SQL UPDATE semantics), never a half-applied one
         val updated = matching.select(head.schema.fieldNames.toSeq.map(n =>
           set.get(n).map(_.as(n)).getOrElse(col(n))): _*)
-        val (files, count, stats) = writeDataFiles(
+        val (files, count, stats, metrics) = writeDataFiles(
           conformToSchema(updated, head.schema).withColumn(SeqCol, lit(seq)),
           commitId, head.partitioning, nFiles = None, extraStatCols = statKeys.toMap)
         (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "update",
-          files, Nil, count, stats, posDeleteFiles = listParquet(out))), seq)
+          files, Nil, count, stats, posDeleteFiles = listParquet(out),
+          fileMetrics = metrics)), seq)
       }
     } finally matching.unpersist()
   }
@@ -1131,7 +1195,7 @@ final class IceliteTable private (
     val stageId = s"stage-${UUID.randomUUID()}"
     val seq = head.lastSeq + 1
     val statKeys = keyStatColumns(tableKeyColumns(head.properties), head.schema)
-    val (files, count, stats) = writeDataFiles(
+    val (files, count, stats, metrics) = writeDataFiles(
       conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq)),
       stageId, head.partitioning, nFiles = None, extraStatCols = statKeys.toMap)
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1145,13 +1209,17 @@ final class IceliteTable private (
         val co = fo.putObject(c); co.put("min", mn); co.put("max", mx)
       }
     }
+    val fm = root.putObject("fileMetrics")
+    metrics.toSeq.sortBy(_._1).foreach { case (f, (rows, bytes)) =>
+      val fo = fm.putObject(f); fo.put("rows", rows); fo.put("bytes", bytes)
+    }
     writeString(fileSystem(), stagedManifestPath(stageId), root.toPrettyString)
     stageId
   }
 
   /** The staged rows exactly as they will publish (the audit view). */
   def readStaged(stageId: String): DataFrame = {
-    val (_, _, files, _) = stagedManifest(stageId)
+    val (_, _, files, _, _) = stagedManifest(stageId)
     readFilesAs(files, cachedMeta.schema, Long.MaxValue)
       .select(cachedMeta.schema.fieldNames.map(col).toSeq: _*)
   }
@@ -1160,14 +1228,14 @@ final class IceliteTable private (
     * another commit claimed the staged seq (re-stage and re-audit).
     */
   def publishStaged(stageId: String): Long = {
-    val (expectedSeq, count, files, stats) = stagedManifest(stageId)
+    val (expectedSeq, count, files, stats, metrics) = stagedManifest(stageId)
     val seq = retryCommit { head =>
       if (head.lastSeq + 1 != expectedSeq)
         throw new IllegalStateException(
           s"staged $stageId of $name expected to publish at seq $expectedSeq " +
             s"but the head moved to ${head.lastSeq} — discard and re-stage")
       (head.withSnapshot(Snapshot(expectedSeq, System.currentTimeMillis(), "append",
-        files, Nil, count, stats)), expectedSeq)
+        files, Nil, count, stats, fileMetrics = metrics)), expectedSeq)
     }
     fileSystem().delete(stagedManifestPath(stageId), false)
     seq
@@ -1258,7 +1326,8 @@ final class IceliteTable private (
     new Path(s"$location/metadata/staged-$stageId.json")
 
   private def stagedManifest(stageId: String)
-      : (Long, Long, Seq[String], Map[String, Map[String, (String, String)]]) = {
+      : (Long, Long, Seq[String], Map[String, Map[String, (String, String)]],
+        Map[String, (Long, Long)]) = {
     val fs = fileSystem()
     val p = stagedManifestPath(stageId)
     if (!fs.exists(p))
@@ -1274,7 +1343,13 @@ final class IceliteTable private (
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, (String, String)]])
-    (root.get("expectedSeq").asLong(), root.get("recordCount").asLong(), files, stats)
+    val metrics = Option(root.get("fileMetrics")).filter(_.isObject).map { fmNode =>
+      fmNode.properties().asScala.map { fe =>
+        fe.getKey -> (fe.getValue.get("rows").asLong(), fe.getValue.get("bytes").asLong())
+      }.toMap
+    }.getOrElse(Map.empty[String, (Long, Long)])
+    (root.get("expectedSeq").asLong(), root.get("recordCount").asLong(), files, stats,
+      metrics)
   }
 
   // ------------------------------------------- refs (branches / tags)
@@ -1779,15 +1854,23 @@ final class IceliteTable private (
 
   private def abs(rel: String): String = s"$location/$rel"
 
-  private def listParquet(dir: String): Seq[String] = {
+  private def listParquet(dir: String): Seq[String] =
+    listParquetInfos(dir).map(_._1)
+
+  /** Like [[listParquet]] but keeps each file's length from the SAME
+    * listing — the commit path records (rows, bytes) manifest metrics
+    * without a second round of per-file status calls.
+    */
+  private def listParquetInfos(dir: String): Seq[(String, Long)] = {
     val fs = fileSystem()
     val base = new Path(dir)
     val it = fs.listFiles(base, true)
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet"))
-        out += f.getPath.toUri.getPath.stripPrefix(new Path(location).toUri.getPath).stripPrefix("/")
+        out += ((f.getPath.toUri.getPath.stripPrefix(
+          new Path(location).toUri.getPath).stripPrefix("/"), f.getLen))
     }
     out.result()
   }
@@ -2144,7 +2227,8 @@ final class IceliteTable private (
       nFiles: Option[Int],
       zorder: Seq[(String, Long, Long)] = Nil,
       extraStatCols: Map[String, Boolean] = Map.empty)
-      : (Seq[String], Long, Map[String, Map[String, (String, String)]]) = {
+      : (Seq[String], Long, Map[String, Map[String, (String, String)]],
+        Map[String, (Long, Long)]) = {
     requireSessionTz(partitioning)
     val out = s"$location/data/$commitId"
     var d = df
@@ -2168,11 +2252,14 @@ final class IceliteTable private (
       case _ => if (isSmallBatch(d)) d.coalesce(1) else d
     }
     fastWrite(clustered).parquet(out)
-    val files = listParquet(out)
+    val listed = listParquetInfos(out)
+    val files = listed.map(_._1)
+    val sizes = listed.toMap
     val statCols = prunableColumns(partitioning) ++ extraStatCols
     val infos = files.map(f => f -> footerInfo(f, statCols))
     val stats = infos.collect { case (f, (_, s)) if s.nonEmpty => f -> s }.toMap
-    (files, infos.map(_._2._1).sum, stats)
+    val metrics = infos.map { case (f, (rows, _)) => f -> (rows, sizes(f)) }.toMap
+    (files, infos.map(_._2._1).sum, stats, metrics)
   }
 
   /** Commit-dir writer with the per-commit fixed costs trimmed: no

@@ -45,7 +45,15 @@ final case class Snapshot(
       * resume exactly-once because progress publishes in the same
       * rename as the data it describes.
       */
-    summary: Map[String, String] = Map.empty)
+    summary: Map[String, String] = Map.empty,
+    /** Per-file (row_count, size_bytes) — the Iceberg data-file
+      * manifest entry's metrics, captured at commit time from the
+      * footer/listing the commit already reads, so the `manifests`
+      * metadata table plans from table metadata alone (no file IO).
+      * Empty for files committed before this field existed (surfaced
+      * as nulls, never guessed).
+      */
+    fileMetrics: Map[String, (Long, Long)] = Map.empty)
 
 /** Full table state at one metadata version. Commit = atomic rename of
   * v{N+1}.json.tmp → v{N+1}.json; the failed renamer retries against the
@@ -132,6 +140,12 @@ object TableMeta {
         val sm = o.putObject("summary")
         s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
       }
+      if (s.fileMetrics.nonEmpty) {
+        val fm = o.putObject("fileMetrics")
+        s.fileMetrics.toSeq.sortBy(_._1).foreach { case (file, (rows, bytes)) =>
+          val fo = fm.putObject(file); fo.put("rows", rows); fo.put("bytes", bytes)
+        }
+      }
     }
     val props = root.putObject("properties")
     m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
@@ -171,6 +185,11 @@ object TableMeta {
           }.getOrElse(Map.empty),
           summary = Option(o.get("summary")).filter(_.isObject).map { sm =>
             sm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+          }.getOrElse(Map.empty),
+          fileMetrics = Option(o.get("fileMetrics")).filter(_.isObject).map { fm =>
+            fm.properties().asScala.map { fe =>
+              fe.getKey -> (fe.getValue.get("rows").asLong(), fe.getValue.get("bytes").asLong())
+            }.toMap
           }.getOrElse(Map.empty))
       }.toSeq,
       properties = Option(root.get("properties")).filter(_.isObject).map { p =>

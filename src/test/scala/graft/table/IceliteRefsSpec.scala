@@ -146,4 +146,56 @@ class IceliteRefsSpec extends AnyFunSuite with SparkFixture {
     val got = t.partitionsTable().collect()
     assert(got.length == 1 && got.head.getLong(1) == 2L)
   }
+
+  test("snapshots metadata table: added/cumulative totals, bytes, summary") {
+    val t = IceliteTable.create(spark, wh(), "ns", "snaps", rows().schema)
+    t.append(rows((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)),
+      summary = n => Map("marker" -> s"rows=$n"))
+    t.upsert(rows((2L, "a", 9.0), (4L, "b", 4.0)), Seq("id"))
+    t.delete(rows((1L, "a", 0.0)).select("id"), Seq("id"))
+    val got = t.snapshotsTable().orderBy("seq").collect()
+    assert(got.map(_.getString(2)).toSeq == Seq("append", "upsert", "delete"))
+    // added / cumulative record totals
+    assert(got.map(_.getLong(6)).toSeq == Seq(3L, 2L, 0L))
+    assert(got.map(_.getLong(9)).toSeq == Seq(3L, 5L, 5L))
+    // added_file_bytes present (metrics captured) and matches the files
+    val metaBySeq = t.meta.snapshots.map(s => s.seq -> s).toMap
+    got.foreach { r =>
+      val s = metaBySeq(r.getLong(0))
+      assert(!r.isNullAt(7)) // all commits post-metrics-capture
+      assert(r.getLong(7) == s.dataFiles.map(f => s.fileMetrics(f)._2).sum)
+      if (s.dataFiles.nonEmpty) assert(r.getLong(7) > 0)
+      else assert(r.getLong(7) == 0L) // delete-only commit adds no data bytes
+    }
+    // commit summary travels through
+    assert(got(0).getMap[String, String](10).get("marker").contains("rows=3"))
+  }
+
+  test("manifests metadata table: per-file metrics from metadata alone") {
+    val w = wh()
+    val t = IceliteTable.create(spark, w, "ns", "mans", rows().schema)
+    t.append(rows((1L, "a", 1.0), (2L, "a", 2.0)))
+    t.upsert(rows((2L, "a", 9.0), (3L, "b", 3.0), (4L, "b", 4.0)), Seq("id"))
+    val rowsOut = t.manifestsTable().collect()
+    // every live file has captured metrics: positive size, exact rows
+    assert(rowsOut.nonEmpty)
+    rowsOut.foreach { r =>
+      assert(!r.isNullAt(4) && !r.isNullAt(5), s"missing metrics for ${r.getString(0)}")
+      assert(r.getLong(5) > 0)
+    }
+    val dataRows = rowsOut.filter(_.getString(1) == "data").map(_.getLong(4)).sum
+    val delRows = rowsOut.filter(_.getString(1) == "delete").map(_.getLong(4)).sum
+    assert(dataRows == 5L) // 2 appended + 3 upserted physical rows
+    assert(delRows == 3L) // upsert writes one delete key per batch row
+    // metrics survive the JSON metadata round trip (fresh instance)
+    val t2 = IceliteTable.load(spark, w, "ns", "mans")
+    assert(t2.manifestsTable().collect().map(_.toSeq).toSet ==
+      rowsOut.map(_.toSeq).toSet)
+    // WAP: staged manifests carry metrics through publish
+    val stage = t.stageAppend(rows((9L, "z", 9.9)))
+    t.publishStaged(stage)
+    val staged = t.manifestsTable().collect()
+      .filter(r => r.getLong(2) == t.meta.lastSeq)
+    assert(staged.nonEmpty && staged.forall(r => !r.isNullAt(4) && r.getLong(4) == 1L))
+  }
 }
