@@ -329,6 +329,72 @@ object SyncQueries {
       .orderBy("seq")
   }
 
+  /** The streaming CDC CONSUMER loop gated end to end
+    * ([[graft.streaming.ChangelogFeed]]): commits land in a fixture
+    * table, the feed exports their changelog increments, a Spark
+    * file-stream consumer drains into a parquet sink on a PERSISTENT
+    * checkpoint, more commits land, and the SAME consumer resumes for
+    * the new increment. The final sink is hash-gated against DuckDB
+    * recomputing the full changelog — any dropped or re-delivered
+    * event across the resume breaks the hash (exact resume semantics
+    * are additionally spec-proven in `ChangelogFeedSpec`).
+    */
+  def tableChangelogStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = graft.util.Scratch.dir("cdcfeed-query")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_feed", src.schema)
+    val feed = new graft.streaming.ChangelogFeed(
+      table, graft.util.Scratch.dir("cdcfeed-dir"))
+    val sink = graft.util.Scratch.dir("cdcfeed-sink")
+    val ck = graft.util.Scratch.dir("cdcfeed-ck")
+    def drainOnce(): Unit = {
+      val q = feed.readStream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", sink)
+        .start()
+      q.awaitTermination()
+    }
+    table.append(src) // s1: inserts
+    table.upsert(src.filter(pmod(col("o_orderkey"), lit(3)) === 0) // s2: update pairs
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0), Seq("_id"))
+    feed.exportAvailable()
+    drainOnce()
+    table.delete(src.filter(pmod(col("o_orderkey"), lit(5)) === 0) // s3: deletes
+      .select("_id"), Seq("_id"))
+    feed.exportAvailable()
+    drainOnce() // resumes the checkpoint: consumes exactly s3
+    spark.read.schema(feed.schema).parquet(sink)
+      .select(col(IceliteTable.ChangeTypeCol).as("_change_type"),
+        col(IceliteTable.CommitSeqCol).as("_commit_seq"),
+        col("_id"), col("o_totalprice"))
+      .orderBy("_commit_seq", "_change_type", "_id")
+  }
+
+  private val tableChangelogStreamOracle =
+    """WITH sub AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS id,
+      |         o_orderkey AS k, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 13 = 0)
+      |SELECT * FROM (
+      |  SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_seq,
+      |         id AS _id, price AS o_totalprice FROM sub
+      |  UNION ALL
+      |  SELECT 'update_preimage', CAST(2 AS BIGINT), id, price
+      |  FROM sub WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', CAST(2 AS BIGINT), id, price + 10.0
+      |  FROM sub WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT 'delete', CAST(3 AS BIGINT), id,
+      |         CASE WHEN k % 3 = 0 THEN price + 10.0 ELSE price END
+      |  FROM sub WHERE k % 5 = 0
+      |) ORDER BY _commit_seq, _change_type, _id""".stripMargin
+
   private val tableSnapshotsOracle =
     """WITH base AS (
       |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 17 = 0),
@@ -772,6 +838,8 @@ object SyncQueries {
       "partitions metadata table: exact MoR per-partition record counts"),
     GraftQuery("table_snapshots", tableSnapshots _, Some(tableSnapshotsOracle),
       "snapshots + manifests metadata tables: per-commit added/cumulative totals and per-file metrics"),
+    GraftQuery("table_changelog_stream", tableChangelogStream _, Some(tableChangelogStreamOracle),
+      "streaming CDC consumer: changelog feed export + checkpointed file-stream resume"),
     GraftQuery("table_pos_delete", tablePosDelete _, Some(tablePosDeleteOracle),
       "equality + position deletes merged on read (Iceberg v2 delete shapes)"),
     GraftQuery("table_update_where", tableUpdateWhere _, Some(tableUpdateWhereOracle),

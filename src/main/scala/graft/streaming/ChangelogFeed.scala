@@ -1,0 +1,155 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.table.IceliteTable
+
+/** Streaming CDC CONSUMER feed over an icelite table's changelog — the
+  * consumer half of the reference's CDC design (its producer half is
+  * the change-stream tail, docs/design.md "Change Streams": capture →
+  * apply → commit; this closes the loop commit → export → readStream).
+  *
+  * Shape: a PRODUCER side ([[exportAvailable]]) incrementally
+  * materializes each newly committed snapshot's changelog rows
+  * ([[IceliteTable.readChanges]] over exactly that seq) as parquet
+  * files in `feedDir`; CONSUMERS are plain Spark file-stream readers
+  * ([[readStream]]) — Spark's own source checkpoint gives every
+  * consumer independent exactly-once resume, watermarks, and stateful
+  * ops downstream, with no custom Source implementation to maintain.
+  *
+  * Crash safety without a write-ahead pending state: every artifact is
+  * deterministic and individually atomic, so ANY interleaving of crash
+  * and retry converges —
+  *  - a seq's rows are split into `n = ceil(commit bytes / bucketBytes)`
+  *    buckets by a row-content hash; `n` derives from the snapshot's
+  *    [[graft.table.Snapshot.fileMetrics]] (table METADATA, identical
+  *    on every retry), never from a runtime estimate that could
+  *    re-shuffle rows across names on redo;
+  *  - each bucket publishes by atomic rename to its deterministic name
+  *    `seq-<seq>-b<i>.parquet`; an existing name is SKIPPED on redo, so
+  *    a consumer that already read a file never has it change or
+  *    vanish underneath its checkpoint;
+  *  - the `_feed_state.json` marker (underscore prefix: invisible to
+  *    the file source) only records the fully-exported floor; it
+  *    advances AFTER a seq's buckets all exist, and a crash before the
+  *    advance just redoes exists-checks.
+  *
+  * At 100 TB: steady-state CDC commits are micro-batches (R5 bounds
+  * them by records/bytes), so `n` is almost always 1 and an export is
+  * one small job per commit; a bulk commit fans out to `n` bounded
+  * single-bucket jobs rather than one job with a nondeterministic
+  * layout — the price of redo-stable file names.
+  *
+  * Maintenance snapshots (rewrite/truncate/rollback) are not derivable
+  * as changes; [[exportAvailable]] propagates [[IceliteTable]]'s
+  * explicit error and the feed must be rebuilt from a fresh dir plus a
+  * full resync — the same contract as every changelog reader here.
+  */
+final class ChangelogFeed(
+    val table: IceliteTable,
+    val feedDir: String,
+    bucketBytes: Long = 64L << 20) {
+
+  private def spark = table.spark
+  private def fs: FileSystem =
+    new Path(feedDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def markerPath = new Path(s"$feedDir/_feed_state.json")
+
+  /** Feed row schema: the table schema + change metadata columns. */
+  def schema: StructType = table.schema
+    .add(IceliteTable.ChangeTypeCol, "string")
+    .add(IceliteTable.CommitSeqCol, "long")
+
+  /** The streaming consumer view. Each caller passes its own
+    * checkpointLocation to its writeStream — that, not the feed,
+    * holds per-consumer progress.
+    */
+  def readStream: DataFrame =
+    spark.readStream.schema(schema).parquet(feedDir)
+
+  /** Exported-through floor (0 before the first export). */
+  def exportedThrough: Long = readThrough()
+
+  /** Export every committed-but-unexported snapshot's changelog rows;
+    * returns the `(from, to]` range exported (empty range if already
+    * current). Idempotent: redo after any crash point re-derives the
+    * same bucket files and skips the ones that already published.
+    */
+  def exportAvailable(): (Long, Long) = {
+    table.refresh()
+    val head = table.meta.lastSeq
+    val from = readThrough()
+    var cur = from
+    while (cur < head) {
+      val seq = cur + 1
+      exportSeq(seq)
+      writeThrough(seq)
+      cur = seq
+    }
+    (from, head)
+  }
+
+  private def exportSeq(seq: Long): Unit = {
+    val n = bucketsFor(seq)
+    val missing = (0 until n).filter(b => !fs.exists(bucketPath(seq, b)))
+    if (missing.isEmpty) return
+    val changes = table.readChanges(seq - 1, seq)
+    val cols = schema.fieldNames.toSeq
+    // row-content bucket id: deterministic across retries (unlike a
+    // repartition, whose task layout is free to differ per run)
+    val bucketed =
+      if (n == 1) changes.withColumn("_b", lit(0))
+      else changes.withColumn("_b", pmod(xxhash64(cols.map(col): _*), lit(n.toLong)))
+    missing.foreach { b =>
+      val tmp = new Path(s"$feedDir/.tmp-seq-$seq-b$b")
+      fs.delete(tmp, true)
+      bucketed.filter(col("_b") === b).drop("_b").coalesce(1)
+        .write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet written under $tmp"))
+      if (!fs.rename(part, bucketPath(seq, b)) && !fs.exists(bucketPath(seq, b)))
+        throw new IllegalStateException(s"failed to publish ${bucketPath(seq, b)}")
+      fs.delete(tmp, true)
+    }
+  }
+
+  /** Bucket count for a seq, from the snapshot's commit-time file
+    * metrics — pure metadata, so every retry computes the same split.
+    * Metrics-less legacy snapshots and empty commits export 1 bucket.
+    */
+  private def bucketsFor(seq: Long): Int = {
+    val bytes = table.meta.snapshots.find(_.seq == seq)
+      .map(s => s.fileMetrics.values.map(_._2).sum).getOrElse(0L)
+    math.max(1, math.ceil(bytes.toDouble / bucketBytes).toInt)
+  }
+
+  private def bucketPath(seq: Long, b: Int): Path =
+    new Path(s"$feedDir/seq-$seq-b$b.parquet")
+
+  private def readThrough(): Long =
+    if (!fs.exists(markerPath)) 0L
+    else new ObjectMapper().readTree(readString(markerPath)).get("throughSeq").asLong()
+
+  private def writeThrough(seq: Long): Unit = {
+    val root = new ObjectMapper().createObjectNode()
+    root.put("throughSeq", seq)
+    val tmp = new Path(s"$feedDir/._feed_state.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(root.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(markerPath, false)
+    if (!fs.rename(tmp, markerPath))
+      throw new IllegalStateException(s"failed to publish feed marker $markerPath")
+  }
+
+  private def readString(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.table.IceliteTable
+
+/** The CDC consumer loop: producer exports the icelite changelog
+  * incrementally, a Spark file-stream consumer drains it with its own
+  * checkpoint — a second drain RESUMES and sees exactly the new
+  * events, and a crashed/retried export never changes a published
+  * file under the consumer.
+  */
+class ChangelogFeedSpec extends AnyFunSuite with SparkFixture {
+
+  private def rows(data: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    data.toDF("id", "grp", "score")
+  }
+
+  /** Drain the feed's stream with AvailableNow on a PERSISTENT
+    * checkpoint; returns the batch of rows this drain delivered.
+    */
+  private def drain(feed: ChangelogFeed, ck: String): Seq[(Long, String, Long)] = {
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = feed.readStream.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        got.synchronized {
+          got ++= batch.collect().map(r => (
+            r.getLong(r.fieldIndex("id")),
+            r.getString(r.fieldIndex("_change_type")),
+            r.getLong(r.fieldIndex("_commit_seq"))))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    got.toSeq
+  }
+
+  test("second drain resumes from its checkpoint and sees exactly the new events") {
+    val wh = Files.createTempDirectory("feed-wh").toString
+    val t = IceliteTable.create(spark, wh, "ns", "feed", rows().schema)
+    val feed = new ChangelogFeed(t, Files.createTempDirectory("feed-dir").toString)
+    val ck = Files.createTempDirectory("feed-ck").toString
+
+    t.upsert(rows((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)), Seq("id"))
+    assert(feed.exportAvailable() == (0L, 1L))
+    val first = drain(feed, ck)
+    assert(first.toSet == Set((1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 1L)))
+
+    // new commits: an update pair and a delete
+    t.upsert(rows((2L, "a", 9.0)), Seq("id"))
+    t.delete(rows((1L, "a", 0.0)).select("id"), Seq("id"))
+    assert(feed.exportAvailable() == (1L, 3L))
+    val second = drain(feed, ck)
+    assert(second.toSet == Set(
+      (2L, "update_preimage", 2L), (2L, "update_postimage", 2L),
+      (1L, "delete", 3L)))
+
+    // third drain with nothing new delivers nothing
+    assert(feed.exportAvailable() == (3L, 3L))
+    assert(drain(feed, ck).isEmpty)
+  }
+
+  test("export is idempotent: a retried/redone export rewrites nothing") {
+    val wh = Files.createTempDirectory("feed-wh2").toString
+    val t = IceliteTable.create(spark, wh, "ns", "feed2", rows().schema)
+    val dir = Files.createTempDirectory("feed-dir2").toString
+    val feed = new ChangelogFeed(t, dir)
+    t.upsert(rows((1L, "a", 1.0), (2L, "b", 2.0)), Seq("id"))
+    feed.exportAvailable()
+    def listing() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).sortBy(_._1).toSeq
+    val before = listing()
+    assert(before.nonEmpty)
+    // simulate a crash BEFORE the marker advanced: reset it and redo
+    Files.delete(java.nio.file.Paths.get(dir, "_feed_state.json"))
+    assert(feed.exportedThrough == 0L)
+    Thread.sleep(20) // so an (incorrect) rewrite would bump mtime
+    assert(feed.exportAvailable() == (0L, 1L))
+    assert(listing() == before, "published bucket files must never be rewritten")
+    // plain double-export is a no-op too
+    assert(feed.exportAvailable() == (1L, 1L))
+    assert(listing() == before)
+  }
+
+  test("multi-bucket export delivers every row exactly once") {
+    val wh = Files.createTempDirectory("feed-wh3").toString
+    val t = IceliteTable.create(spark, wh, "ns", "feed3", rows().schema)
+    val dir = Files.createTempDirectory("feed-dir3").toString
+    // tiny bucketBytes forces n > 1 from the commit's real file metrics
+    val feed = new ChangelogFeed(t, dir, bucketBytes = 256L)
+    val batch = (1L to 200L).map(i => (i, s"g${i % 7}", i * 0.5))
+    t.upsert(rows(batch: _*), Seq("id"))
+    feed.exportAvailable()
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("seq-1-b")).map(_.getName).toSeq
+    assert(files.size > 1, s"expected multiple buckets, got $files")
+    val got = drain(feed, Files.createTempDirectory("feed-ck3").toString)
+    assert(got.size == 200)
+    assert(got.map(_._1).toSet == (1L to 200L).toSet)
+    assert(got.forall(e => e._2 == "insert" && e._3 == 1L))
+  }
+
+  test("a maintenance snapshot in range fails the export loudly") {
+    val wh = Files.createTempDirectory("feed-wh4").toString
+    val t = IceliteTable.create(spark, wh, "ns", "feed4", rows().schema)
+    val feed = new ChangelogFeed(t, Files.createTempDirectory("feed-dir4").toString)
+    t.upsert(rows((1L, "a", 1.0), (2L, "b", 2.0)), Seq("id"))
+    feed.exportAvailable()
+    t.upsert(rows((3L, "c", 3.0)), Seq("id"))
+    t.compact() // rewrite: not derivable as changes
+    val e = intercept[IllegalStateException](feed.exportAvailable())
+    assert(e.getMessage.contains("resync"))
+  }
+}
