@@ -1,5 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Accumulates executor task shuffle metrics across all jobs — the
+  * numeric plan-shape guard: a future regression that un-pushes a
+  * filter or turns a broadcast join into a shuffle join shows up as a
+  * per-query shuffle-byte jump in BENCH_DETAIL.json, without anyone
+  * eyeballing `.explain` output.
+  */
+private final class ShuffleTally extends SparkListener {
+  val written = new java.util.concurrent.atomic.AtomicLong
+  val read = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+    }
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,16 +65,25 @@ object Bench {
     // measures the error path, not the query; a query is FAILED only
     // when no pass succeeded (a transient pass-1 flake with a clean
     // pass-2 run publishes the clean time and stays out of `failed`)
-    def pass(): Seq[(String, Double, Boolean)] =
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    def drainTally(): Unit =
+      try org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
+      catch { case _: Throwable => () }
+    def pass(): Seq[(String, Double, Boolean, Long)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         System.gc() // don't bill one query for its predecessors' garbage
+        drainTally()
+        val w0 = tally.written.get()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val sec = (System.nanoTime() - t0) / 1e9
+        drainTally()
+        (name, sec, ok, tally.written.get() - w0)
       }
-    val p1 = pass().map { case (n, s, ok) => n -> (s, ok) }.toMap
+    val p1 = pass().map { case (n, s, ok, _) => n -> (s, ok) }.toMap
     // sync counters accumulate in the global registry across BOTH
     // passes (sync_pipeline runs twice) — snapshot after pass 1 so the
     // published absolute numbers are one run's, not doubled
@@ -63,7 +92,12 @@ object Bench {
       "initialDocs" -> m1.initialDocs.sum, "changeEvents" -> m1.changeEvents.sum,
       "initialSyncMs" -> m1.initialSyncMs.sum, "changeApplyMs" -> m1.changeApplyMs.sum,
       "commits" -> m1.commits.sum, "commitLatencyMsSum" -> m1.commitLatencyMsSum.sum)
-    val results = pass().map { case (n, s, ok) =>
+    val pass2 = pass()
+    // shuffle bytes are a property of the PLAN, not the run — pass 2's
+    // delta is the steady-state number (pass 1 additionally absorbs
+    // first-touch index builds and broadcast warmups)
+    val shuffleBytes = pass2.map { case (n, _, _, b) => n -> b }
+    val results = pass2.map { case (n, s, ok, _) =>
       val (s1, ok1) = p1.getOrElse(n, (s, ok))
       if (!ok && !ok1) failed += n // no pass succeeded
       n -> ((ok, ok1) match {
@@ -108,11 +142,13 @@ object Bench {
     // stdout line below is kept compact enough to survive intact:
     // per-query integer milliseconds ("qunit") and a basename sf
     val detail = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val shufJson = shuffleBytes.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     val syncJson = sync.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"queries":$detail,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val qs = results.map { case (k, v) => s""""$k":${math.round(v * 1000)}""" }
       .mkString("{", ",", "}")
     val totalR = math.round(total * 1000) / 1000.0
