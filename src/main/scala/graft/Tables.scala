@@ -15,14 +15,22 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and convert to µs TimestampType
-    * with integer division (ns values ~1.7e18 exceed double's 2^53 exact
-    * range, so a double-division route would corrupt timestamps).
+  /** `events.ts` has shipped in two parquet flavors across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as long, convert to µs with INTEGER division:
+    * ns values ~1.7e18 exceed double's 2^53 exact range, so a
+    * double-division route would corrupt timestamps) and plain µs
+    * TIMESTAMP with isAdjustedToUTC=false (Spark: TIMESTAMP_NTZ).
+    * Normalize both to session-zone TimestampType — the session runs
+    * UTC, so the NTZ cast is wall-clock-preserving and every consumer
+    * sees one type.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

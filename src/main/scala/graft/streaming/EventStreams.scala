@@ -43,9 +43,13 @@ object EventStreams {
     val (base, globFilter) = if (isFile) (dir, "events.parquet") else (path, "*.parquet")
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", globFilter)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(base)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = reader.parquet(base)
+    // both testdata flavors (see Tables.events): long nanos → µs with
+    // integer division; µs TIMESTAMP_NTZ → session-zone cast (UTC)
+    schema("ts").dataType.typeName match {
+      case "long" => stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => stream.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1-hour event-time windows per event_type, with a 1-hour
