@@ -703,6 +703,62 @@ object Dedup {
        |ORDER BY cluster_id, doc_id""".stripMargin
   }
 
+  // -------------------------------------- canonical survivor selection
+
+  /** Canonical-survivor selection — the step AFTER cluster detection
+    * that decides WHICH copy of each near-dup cluster enters the
+    * training corpus. [[dupClusters]]' `kept` flag keeps the min id
+    * (deterministic but content-blind); a real curation pipeline keeps
+    * the BEST copy. Policy: highest [[TextAnalysis.qualityPoints]],
+    * then longest text (most complete variant), then lowest doc_id —
+    * each tiebreak total, so the survivor is unique and reproducible.
+    *
+    * Plan shape: the cluster map is ∝ the duplicated subset (tiny next
+    * to the corpus); one equi-join brings in the score inputs, one
+    * window partitioned by cluster_id ranks members. At 100 TB both
+    * the join and the window key on cluster_id/doc_id — no global
+    * sort, no driver loop, cluster sizes bound each window partition.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val scored = t(spark, dir, "documents").select(
+      col("doc_id"),
+      graft.operators.TextAnalysis.qualityPoints(col("text")).as("quality"),
+      length(col("text")).cast("long").as("text_len"))
+    val rank = row_number().over(
+      Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("text_len").desc, col("doc_id").asc))
+    clusters.join(scored, "doc_id")
+      .withColumn("keep", rank === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality"), col("text_len"), col("keep"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  private val keepBestOracle: String = {
+    s"""WITH RECURSIVE $clusterOracleCtes,
+       |csize AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(${graft.operators.TextAnalysis.qualityPointsSql("text")} AS INTEGER)
+       |      AS quality,
+       |    CAST(len(text) AS BIGINT) AS text_len
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+       |    q.quality, q.text_len,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.quality DESC, q.text_len DESC, c.id ASC) AS rn
+       |  FROM comp c JOIN csize s USING (cluster_id)
+       |  JOIN scored q ON q.doc_id = c.id)
+       |SELECT doc_id, cluster_id, cluster_size, quality, text_len,
+       |  rn = 1 AS keep
+       |FROM ranked ORDER BY cluster_id, doc_id""".stripMargin
+  }
+
   // -------------------------------------------------- semantic dedup
 
   /** SemDeDup blocking k for a corpus of `n` vectors: k grows with the
@@ -831,6 +887,8 @@ object Dedup {
       "embedding near-dup pairs, blocked exact cosine"),
     GraftQuery("dedup_clusters", dupClusters _, Some(dupClustersOracle),
       "connected components over the near-dup pair graph (keep-one-per-cluster)"),
+    GraftQuery("dedup_keep_best", keepBest _, Some(keepBestOracle),
+      "canonical survivor per dup cluster: quality desc, length desc, id asc"),
     GraftQuery("dedup_incremental", incremental _, Some(incrementalOracle),
       "new batch classified against the existing corpus fingerprint index"))
 }

@@ -29,6 +29,25 @@ class DedupClustersSpec extends AnyFunSuite with SparkFixture {
     assert(a.count(_.getBoolean(3)) == 4) // exactly one kept per cluster
   }
 
+  test("keep-best selects exactly one survivor per cluster, by the declared policy") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Dedup.keepBest(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture must contain near-dup clusters")
+    val clusters = Dedup.dupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == clusters.size, "keep-best is total over clustered docs")
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      val kept = members.filter(_.getBoolean(5))
+      assert(kept.length == 1, s"cluster $cid must keep exactly one")
+      // the survivor is the policy max: quality desc, text_len desc, id asc
+      val best = members.minBy(r =>
+        (-r.getInt(3), -r.getLong(4), r.getLong(0)))
+      assert(kept.head.getLong(0) == best.getLong(0), s"cluster $cid")
+      // and cluster_size matches the member count
+      assert(members.forall(_.getLong(2) == members.length), s"cluster $cid size")
+    }
+  }
+
   test("group-aware split never separates a near-dup cluster and covers every doc") {
     val dir = "/root/testdata/sf0.001"
     val split = Pipeline.splitGroupAware(spark, dir).collect()
