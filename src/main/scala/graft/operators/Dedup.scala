@@ -71,6 +71,19 @@ object Dedup {
   def phashSql(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 8)) AS BIGINT)"
 
+  /** 60-bit portable hash (15 hex chars of md5 — the widest prefix
+    * that fits a signed 64-bit int in BOTH engines). Used where a hash
+    * stands in for a wide join key and 32 bits would collide at corpus
+    * scale: 60 bits keeps the accidental-equality rate ~4e-7 even at
+    * 10¹² keys, and both engines compute the identical value, so any
+    * collision is part of the gated semantics, never a compare skew.
+    */
+  def phash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Oracle-side rendering of [[phash60]]. */
+  def phash60Sql(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
   /** Exploded word n-gram stream over `text`, duplicates preserved,
     * one n-gram row per start position, as column `s`. Built from
     * codegen'd primitives — split once, explode the start-index range,
@@ -315,6 +328,16 @@ object Dedup {
     * semi-join → posting join → ONE window shuffle on (x, y, delta)
     * (the chain-id window reuses that exchange — its keys extend the
     * partition keys, so only a sort is added) → final (x, y) agg.
+    *
+    * The posting join keys on [[phash60]] of the gram, not the gram
+    * STRING: a W=12-token gram is ~80 bytes and was the suite's
+    * largest shuffle payload (18 MB at sf0.1 — and the gram column
+    * rides the df-cap exchange, the join exchange AND the window
+    * exchange); an 8-byte key cuts that ~10×, which at 100 TB is the
+    * difference between shuffling the corpus text twice and shuffling
+    * a fingerprint stream. 60-bit accidental equality (~4e-7 at 10¹²
+    * grams) can at worst surface a phantom pair with `max_run` = W;
+    * both engines hash identically, so the gate is unaffected.
     */
   def substringRuns(spark: SparkSession, dir: String): DataFrame =
     substringRunsOn(t(spark, dir, "documents"))
@@ -323,14 +346,15 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val W = SubstringWidth
     val g0 = wordNgramStream(docs, W, posCol = Some("i"))
-    val keep = g0.groupBy(col("s"))
+      .select(col("doc_id"), col("i"), phash60(col("s")).as("hs"))
+    val keep = g0.groupBy(col("hs"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= MaxShingleDf).select(col("s"))
-    val g = g0.join(keep, Seq("s"), "left_semi")
+      .filter(col("df") <= MaxShingleDf).select(col("hs"))
+    val g = g0.join(keep, Seq("hs"), "left_semi")
     val hits = g.as("a").join(g.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
-        col("a.s").as("s"), col("a.i").as("i"),
+        col("a.hs").as("s"), col("a.i").as("i"),
         (col("b.i") - col("a.i")).as("delta"))
     val byDelta = Window.partitionBy(col("x"), col("y"), col("delta"))
     val chained = hits
@@ -347,10 +371,11 @@ object Dedup {
     val W = SubstringWidth
     val terms = (0 until W).map(o => s"w[i+$o]").mkString(" || '_' || ")
     s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |g0 AS (SELECT doc_id, u.i AS i, u.s AS s FROM (
+       |g1 AS (SELECT doc_id, u.i AS i, u.s AS sg FROM (
        |  SELECT doc_id, unnest([{'i': i, 's': $terms}
        |    for i in generate_series(1, len(w) - ${W - 1})]) AS u
        |  FROM words WHERE len(w) >= $W) t),
+       |g0 AS (SELECT doc_id, i, ${phash60Sql("sg")} AS s FROM g1),
        |g AS (SELECT doc_id, i, s FROM g0 WHERE s IN (
        |  SELECT s FROM g0 GROUP BY s HAVING count(DISTINCT doc_id) <= $MaxShingleDf)),
        |hits AS (SELECT a.doc_id AS x, b.doc_id AS y, a.s AS s, a.i AS i,
