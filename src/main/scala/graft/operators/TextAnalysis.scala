@@ -388,7 +388,76 @@ object TextAnalysis {
        |WHERE CAST(c.cnt AS DOUBLE) >= CAST($HhLangSupport AS DOUBLE) * CAST(tot.n AS DOUBLE)
        |ORDER BY c.lang, bigram""".stripMargin
 
+  // -------------------------------------- corpus-LM quality scoring
+
+  /** Corpus-LM quality score (the CCNet/perplexity-filter step of a
+    * training-data pipeline) as an INTEGER bit-cost proxy: each doc
+    * bigram (w1, w2) costs `len2(c1(w1)) − len2(c2(w1, w2))` bits,
+    * where `len2(x)` = binary-digit count = ⌊log2 x⌋ + 1 and c1/c2 are
+    * corpus predecessor/bigram counts — an integer-arithmetic stand-in
+    * for −log2 p(w2|w1) (within 1 bit of it, monotone in the ratio).
+    * A doc's score is its mean bigram cost: low = predictable
+    * boilerplate-ish text, high = rare transitions. Transcendental-free
+    * on purpose (the [[Profiling]] drift report's rule): a real log
+    * differs in final ulps across libm implementations and would break
+    * the bit-exact oracle; `conv(x, 10, 2)`/`bin(x)` string lengths
+    * are exact in both engines. The averaging division is one IEEE
+    * double op over two exact integers — identical everywhere.
+    *
+    * Plan shape at 100 TB: tokens explode scan-locally; every
+    * groupBy/join keys on a [[Dedup.phash60]] of the word/bigram, so
+    * the count-table shuffles and the scoring join carry 8-byte keys,
+    * never token text. Cost rows join c2/c1 in two hash joins — no
+    * driver state, no per-doc collect; the count tables are the same
+    * corpus-bounded cardinality every n-gram consumer here shuffles.
+    * (Corpus = scoring target here, so every bigram is seen ≥ 1 —
+    * scoring a doc set against a FOREIGN corpus LM adds the standard
+    * uniform-backoff branch on the left join's null.)
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreOn(t(spark, dir, "documents"))
+
+  private[operators] def lmScoreOn(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, concat(a[i], ' ', a[i + 1]) AS t))")).as("p"))
+      .select(col("doc_id"),
+        Dedup.phash60(col("p.w1")).as("h1"),
+        Dedup.phash60(col("p.t")).as("h2"))
+    val c2 = bg.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    def len2(c: Column): Column = length(conv(c, 10, 2))
+    bg.join(c2, "h2").join(c1, "h1")
+      .select(col("doc_id"), (len2(col("c1")) - len2(col("c2"))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("bits")).cast("double") / count(lit(1))).as("avg_bits"))
+      .orderBy("doc_id")
+  }
+
+  private val lmScoreOracle =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    ${Dedup.phash60Sql("u.w1")} AS h1, ${Dedup.phash60Sql("u.t")} AS h2
+       |  FROM (
+       |    SELECT doc_id, unnest([{'w1': w[i], 't': w[i] || ' ' || w[i + 1]}
+       |      for i in generate_series(1, len(w) - 1)]) AS u
+       |    FROM words WHERE len(w) >= 2) s),
+       |c2 AS (SELECT h2, count(*) AS c2 FROM bg GROUP BY h2),
+       |c1 AS (SELECT h1, count(*) AS c1 FROM bg GROUP BY h1),
+       |cost AS (
+       |  SELECT doc_id, length(bin(c1.c1)) - length(bin(c2.c2)) AS bits
+       |  FROM bg JOIN c2 USING (h2) JOIN c1 USING (h1))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
+       |FROM cost GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_lm_score", lmScore _, Some(lmScoreOracle),
+      "corpus-LM perplexity-proxy: integer bit-cost per bigram, mean per doc"),
     GraftQuery("text_heavy_hitters", heavyHitters _, Some(heavyHittersOracle),
       "frequent bigrams via bounded Misra-Gries sketch + exact candidate rescan"),
     GraftQuery("text_heavy_hitters_by_lang", heavyHittersByLang _, Some(heavyHittersByLangOracle),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Known-answer semantics for the corpus-LM bit-cost scorer: costs on
+  * a tiny corpus are hand-computable (len2 = binary digit count of the
+  * corpus predecessor/bigram counts).
+  */
+class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
+
+  test("lm score: hand-computed bit costs on a planted corpus") {
+    import spark.implicits._
+    // doc 1 bigrams: (a,b), (b,a), (a,b)   doc 2 bigrams: (a,c)
+    // c1: a→3, b→1   c2: "a b"→2, "b a"→1, "a c"→1
+    // len2: 3→2, 1→1, 2→2
+    // doc 1 costs: (2−2) + (1−1) + (2−2) = 0 → avg 0.0 over 3
+    // doc 2 costs: (2−1) = 1 → avg 1.0 over 1
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.lmScoreOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(1L) == ((3L, 0.0)))
+    assert(rows(2L) == ((1L, 1.0)))
+  }
+
+  test("lm score: single-token and empty docs produce no row, others all score") {
+    import spark.implicits._
+    val docs = Seq((1L, "lonely"), (2L, ""), (3L, "two words here"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.lmScoreOn(docs).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(rows.head.getLong(1) == 2L) // two bigrams
+  }
+
+  test("lm score: repeated boilerplate scores strictly below rare text") {
+    import spark.implicits._
+    // 5 copies of the same sentence + one doc reusing those
+    // predecessors with novel successors: the boilerplate's
+    // transitions are the predictable ones (cost 0 — a predecessor
+    // with a single successor is free, the correct LM behavior), the
+    // rare doc pays bits exactly where a shared predecessor takes a
+    // surprising turn.
+    val boiler = (1 to 5).map(i => (i.toLong, "the same old line again"))
+    val rare = Seq((9L, "the novel same surprise old twist"))
+    val rows = TextAnalysis.lmScoreOn((boiler ++ rare).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows(1L) < rows(9L))
+    assert(rows(1L) == rows(5L)) // identical docs score identically
+  }
+}
