@@ -345,8 +345,13 @@ object Dedup {
   private[operators] def substringRunsOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = SubstringWidth
+    // materialize the fingerprint stream ONCE (3 numeric cols/row): the
+    // df-cap agg, its semi join and BOTH posting-join sides consume it,
+    // and recomputing would tokenize + md5 the corpus four times (the
+    // inline analog of ShingleIndex's persist-at-ingest rule)
     val g0 = wordNgramStream(docs, W, posCol = Some("i"))
       .select(col("doc_id"), col("i"), phash60(col("s")).as("hs"))
+      .localCheckpoint(true)
     val keep = g0.groupBy(col("hs"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= MaxShingleDf).select(col("hs"))
