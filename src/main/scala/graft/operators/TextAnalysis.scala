@@ -437,6 +437,67 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Foreign-LM scoring — the shape CCNet actually deploys: the LM is
+    * trained on a REFERENCE corpus (here the `lang = 'en'` subset),
+    * every doc is scored against it, and docs whose text the LM finds
+    * expensive get filtered. Scoring a foreign corpus means unseen
+    * transitions exist, so the left join's null takes the uniform
+    * backoff: `len2(T)` bits (T = reference bigram occurrences — the
+    * cost of a uniform pick among everything the LM ever saw; strictly
+    * ≥ any seen cost, monotone, integer-exact). English docs score low,
+    * cross-lingual docs high — the LM IS the language/quality filter.
+    * Same 8-byte-key joins and transcendental-free arithmetic as
+    * [[lmScore]]; the 1-row total joins in broadcast.
+    */
+  def lmScoreForeign(spark: SparkSession, dir: String): DataFrame = {
+    val bigramsOf = (docs: DataFrame, carry: Seq[Column]) => docs
+      .select(carry :+ split(col("text"), " ").as("a"): _*)
+      .filter(size(col("a")) >= 2)
+      .select(carry :+ explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, concat(a[i], ' ', a[i + 1]) AS t))")).as("p"): _*)
+      .select(carry ++ Seq(
+        Dedup.phash60(col("p.w1")).as("h1"), Dedup.phash60(col("p.t")).as("h2")): _*)
+    val docs = t(spark, dir, "documents")
+    val ref = bigramsOf(docs.filter(col("lang") === "en"), Seq.empty)
+    val c2 = ref.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
+    val c1 = ref.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val total = ref.agg(count(lit(1)).as("t_ref"))
+    def len2(c: Column): Column = length(conv(c, 10, 2))
+    bigramsOf(docs, Seq(col("doc_id"), col("lang")))
+      .join(c2, Seq("h2"), "left").join(c1, Seq("h1"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("lang"),
+        when(col("c2").isNotNull, len2(col("c1")) - len2(col("c2")))
+          .otherwise(len2(col("t_ref"))).as("bits"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("bits")).cast("double") / count(lit(1))).as("avg_bits"))
+      .orderBy("doc_id")
+  }
+
+  private val lmScoreForeignOracle =
+    s"""WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |    ${Dedup.phash60Sql("u.w1")} AS h1, ${Dedup.phash60Sql("u.t")} AS h2
+       |  FROM (
+       |    SELECT doc_id, lang, unnest([{'w1': w[i], 't': w[i] || ' ' || w[i + 1]}
+       |      for i in generate_series(1, len(w) - 1)]) AS u
+       |    FROM words WHERE len(w) >= 2) s),
+       |ref AS (SELECT h1, h2 FROM bg WHERE lang = 'en'),
+       |c2 AS (SELECT h2, count(*) AS c2 FROM ref GROUP BY h2),
+       |c1 AS (SELECT h1, count(*) AS c1 FROM ref GROUP BY h1),
+       |tot AS (SELECT count(*) AS t_ref FROM ref),
+       |cost AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN c2.c2 IS NOT NULL
+       |         THEN length(bin(c1.c1)) - length(bin(c2.c2))
+       |         ELSE length(bin(tot.t_ref)) END AS bits
+       |  FROM bg LEFT JOIN c2 USING (h2) LEFT JOIN c1 USING (h1), tot)
+       |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
+       |FROM cost GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
   private val lmScoreOracle =
     s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |bg AS (
@@ -458,6 +519,8 @@ object TextAnalysis {
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("text_lm_score", lmScore _, Some(lmScoreOracle),
       "corpus-LM perplexity-proxy: integer bit-cost per bigram, mean per doc"),
+    GraftQuery("text_lm_filter", lmScoreForeign _, Some(lmScoreForeignOracle),
+      "foreign-LM scoring with uniform backoff: en-trained LM scores every doc"),
     GraftQuery("text_heavy_hitters", heavyHitters _, Some(heavyHittersOracle),
       "frequent bigrams via bounded Misra-Gries sketch + exact candidate rescan"),
     GraftQuery("text_heavy_hitters_by_lang", heavyHittersByLang _, Some(heavyHittersByLangOracle),

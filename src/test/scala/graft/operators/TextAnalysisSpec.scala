@@ -33,6 +33,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(rows.head.getLong(1) == 2L) // two bigrams
   }
 
+  test("foreign-LM filter: unseen transitions pay the uniform backoff, en-trained LM ranks en lowest") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.lmScoreForeign(spark, dir).collect()
+    val docs = graft.Tables.t(spark, dir, "documents").count()
+    val scoreable = graft.Tables.t(spark, dir, "documents")
+      .where("size(split(text, ' ')) >= 2").count()
+    assert(rows.length == scoreable && scoreable >= docs - 5)
+    val byLang = rows.groupBy(_.getString(1)).map { case (l, rs) =>
+      l -> rs.map(_.getDouble(3)).sum / rs.length
+    }
+    assert(byLang.keySet.contains("en"))
+    // the en-trained LM must find en text cheapest on average
+    assert(byLang("en") == byLang.values.min)
+    assert(rows.forall(_.getDouble(3) >= 0))
+  }
+
   test("lm score: repeated boilerplate scores strictly below rare text") {
     import spark.implicits._
     // 5 copies of the same sentence + one doc reusing those
