@@ -418,6 +418,9 @@ object TextAnalysis {
     lmScoreOn(t(spark, dir, "documents"))
 
   private[operators] def lmScoreOn(docs: DataFrame): DataFrame = {
+    // one materialization (3 numeric cols/row): the c1/c2 count aggs
+    // and the scoring join all consume this stream, and recomputing it
+    // means tokenizing + hashing the corpus three times
     val bg = docs
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .filter(size(col("a")) >= 2)
@@ -426,6 +429,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         Dedup.phash60(col("p.w1")).as("h1"),
         Dedup.phash60(col("p.t")).as("h2"))
+      .localCheckpoint(true)
     val c2 = bg.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     def len2(c: Column): Column = length(conv(c, 10, 2))
@@ -458,7 +462,10 @@ object TextAnalysis {
       .select(carry ++ Seq(
         Dedup.phash60(col("p.w1")).as("h1"), Dedup.phash60(col("p.t")).as("h2")): _*)
     val docs = t(spark, dir, "documents")
+    // the reference stream feeds three consumers (c1, c2, total);
+    // materialize once, same rule as lmScoreOn
     val ref = bigramsOf(docs.filter(col("lang") === "en"), Seq.empty)
+      .localCheckpoint(true)
     val c2 = ref.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
     val c1 = ref.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     val total = ref.agg(count(lit(1)).as("t_ref"))
