@@ -287,7 +287,12 @@ object Multimodal {
 
   private[operators] def phashPairsOn(
       spark: SparkSession, corpus: DataFrame): DataFrame = {
-    val sigs = decodePhash(spark, corpus).toDF()
+    // one decode pass: band explode, df-cap, both candidate-join sides
+    // and the two Hamming-verify joins all consume the signatures, and
+    // each re-evaluation would re-run the 64-window digest over every
+    // payload (the decode is the expensive step a real pipeline never
+    // repeats)
+    val sigs = decodePhash(spark, corpus).toDF().localCheckpoint(true)
     val bands = sigs.select(col("media_id"),
       posexplode(col("sig")).as(Seq("band", "bval")))
     val keep = bands.groupBy(col("band"), col("bval"))
