@@ -375,6 +375,70 @@ object SyncQueries {
       .orderBy("_commit_seq", "_change_type", "_id")
   }
 
+  /** Full CDC replication round-trip — the reference's end purpose
+    * demonstrated inside one stack: SOURCE icelite table takes commits
+    * (append, upsert pairs, deletes, second upsert) → [[graft.streaming.ChangelogFeed]]
+    * exports each snapshot's changes → a STREAMING consumer
+    * (`foreachBatch` over the feed's file stream) applies every batch
+    * to a REPLICA table — latest event per key (postimages upserted,
+    * deletes deleted; preimages dropped), so replica state converges to
+    * source state through the changelog alone, never a source re-read.
+    * The gate is the replicated STATE: the oracle recomputes what the
+    * source must contain after the commit history.
+    *
+    * Ordering: each drain's AvailableNow pass delivers all exported
+    * files as one micro-batch (well under the 1000-file trigger
+    * default), and per key the apply keeps the max `_commit_seq` event
+    * — so intra-batch ordering needs no file-order assumption. At
+    * scale each micro-batch applies as one bounded MERGE; the replica
+    * lags by at most the trigger interval, the standard CDC-mirror
+    * deployment.
+    */
+  def tableReplicaSync(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("replica-query")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(11)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val source = IceliteTable.create(spark, wh, "analytics", "orders_src", src.schema)
+    val replica = IceliteTable.create(spark, wh, "analytics", "orders_replica", src.schema)
+    val feed = new graft.streaming.ChangelogFeed(
+      source, graft.util.Scratch.dir("replica-feed"))
+    val ck = graft.util.Scratch.dir("replica-ck")
+    def drainApply(): Unit = feed.replicateOnce(replica, Seq("_id"), ck)
+    source.append(src) // s1: full insert
+    source.upsert(src.filter(pmod(col("o_orderkey"), lit(3)) === 0) // s2: update pairs
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0), Seq("_id"))
+    feed.exportAvailable()
+    drainApply() // consumer 1st cycle: s1 + s2
+    source.delete(src.filter(pmod(col("o_orderkey"), lit(4)) === 0) // s3: deletes
+      .select("_id"), Seq("_id"))
+    source.upsert(src // s4: bump survivors with even keys
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0 && pmod(col("o_orderkey"), lit(4)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + 6.0)
+          .otherwise(col("o_totalprice") + 1.0)), Seq("_id"))
+    feed.exportAvailable()
+    drainApply() // consumer 2nd cycle resumes: s3 + s4 only
+    replica.read()
+      .select(col("_id"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("_id")
+  }
+
+  private val tableReplicaSyncOracle =
+    """WITH sub AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
+      |         o_orderkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 = 0)
+      |SELECT _id, o_orderkey,
+      |  o_totalprice
+      |    + CASE WHEN o_orderkey % 3 = 0 THEN 5.0 ELSE 0.0 END
+      |    + CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+      |           THEN 1.0 ELSE 0.0 END
+      |  AS o_totalprice
+      |FROM sub WHERE o_orderkey % 4 <> 0
+      |ORDER BY _id""".stripMargin
+
   private val tableChangelogStreamOracle =
     """WITH sub AS (
       |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS id,
@@ -840,6 +904,8 @@ object SyncQueries {
       "snapshots + manifests metadata tables: per-commit added/cumulative totals and per-file metrics"),
     GraftQuery("table_changelog_stream", tableChangelogStream _, Some(tableChangelogStreamOracle),
       "streaming CDC consumer: changelog feed export + checkpointed file-stream resume"),
+    GraftQuery("table_replica_sync", tableReplicaSync _, Some(tableReplicaSyncOracle),
+      "CDC replication round-trip: feed -> streaming consumer -> replica state == source"),
     GraftQuery("table_pos_delete", tablePosDelete _, Some(tablePosDeleteOracle),
       "equality + position deletes merged on read (Iceberg v2 delete shapes)"),
     GraftQuery("table_update_where", tableUpdateWhere _, Some(tableUpdateWhereOracle),

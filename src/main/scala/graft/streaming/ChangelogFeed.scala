@@ -74,6 +74,45 @@ final class ChangelogFeed(
   /** Exported-through floor (0 before the first export). */
   def exportedThrough: Long = readThrough()
 
+  /** Drain everything currently exported into `replica` — CDC
+    * replication as a consumer: one AvailableNow pass whose every
+    * micro-batch applies the LATEST event per key (postimages/inserts
+    * upserted, deletes deleted, preimages dropped — keyed on
+    * `keyCols`, ordered by `_commit_seq`), so the replica converges to
+    * the source state through the changelog alone, never a source
+    * re-read. `checkpointDir` is this consumer's resume state: a later
+    * call applies only commits exported since. Per-key latest makes
+    * the apply insensitive to file ordering inside a batch; ACROSS
+    * batches the file source replays in discovery order, with each
+    * batch a bounded MERGE — the standard CDC-mirror loop.
+    */
+  def replicateOnce(
+      replica: IceliteTable, keyCols: Seq[String], checkpointDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val dataCols = table.schema.fieldNames.toSeq
+    val q = readStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val latest = batch
+          .filter(col(IceliteTable.ChangeTypeCol) =!= "update_preimage")
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(keyCols.map(col): _*)
+              .orderBy(col(IceliteTable.CommitSeqCol).desc)))
+          .filter(col("__rn") === 1)
+        val dels = latest.filter(col(IceliteTable.ChangeTypeCol) === "delete")
+          .select(keyCols.map(col): _*)
+        val ups = latest.filter(col(IceliteTable.ChangeTypeCol) =!= "delete")
+          .select(dataCols.map(col): _*)
+        if (!ups.isEmpty) replica.upsert(ups, keyCols)
+        if (!dels.isEmpty) replica.delete(dels, keyCols)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Export every committed-but-unexported snapshot's changelog rows;
     * returns the `(from, to]` range exported (empty range if already
     * current). Idempotent: redo after any crash point re-derives the

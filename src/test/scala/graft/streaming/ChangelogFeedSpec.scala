@@ -69,6 +69,37 @@ class ChangelogFeedSpec extends AnyFunSuite with SparkFixture {
     assert(drain(feed, ck).isEmpty)
   }
 
+  test("replicateOnce converges the replica to the source state across resumed cycles") {
+    val wh = Files.createTempDirectory("feed-wh").toString
+    val src = IceliteTable.create(spark, wh, "ns", "repl_src", rows().schema)
+    val rep = IceliteTable.create(spark, wh, "ns", "repl_dst", rows().schema)
+    val feed = new ChangelogFeed(src, Files.createTempDirectory("feed-dir").toString)
+    val ck = Files.createTempDirectory("feed-ck").toString
+    def states() = {
+      def st(t: IceliteTable) = t.read().select("id", "grp", "score")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      (st(src), st(rep))
+    }
+    // cycle 1: inserts + an update pair in one drain
+    src.upsert(rows((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)), Seq("id"))
+    src.upsert(rows((2L, "a", 9.0), (4L, "c", 4.0)), Seq("id"))
+    feed.exportAvailable()
+    feed.replicateOnce(rep, Seq("id"), ck)
+    val (s1, r1) = states()
+    assert(r1 == s1 && r1.nonEmpty, "replica must equal source after cycle 1")
+    // cycle 2 resumes the consumer checkpoint: delete + re-insert + update
+    src.delete(rows((2L, "a", 0.0)).select("id"), Seq("id"))
+    src.upsert(rows((2L, "z", 20.0), (1L, "a", 1.5)), Seq("id"))
+    feed.exportAvailable()
+    feed.replicateOnce(rep, Seq("id"), ck)
+    val (s2, r2) = states()
+    assert(r2 == s2, "replica must equal source after a delete/re-insert cycle")
+    assert(r2.contains((2L, "z", 20.0)) && r2.contains((1L, "a", 1.5)))
+    // idle cycle: nothing exported, replica unchanged
+    feed.replicateOnce(rep, Seq("id"), ck)
+    assert(states()._2 == r2)
+  }
+
   test("export is idempotent: a retried/redone export rewrites nothing") {
     val wh = Files.createTempDirectory("feed-wh2").toString
     val t = IceliteTable.create(spark, wh, "ns", "feed2", rows().schema)
