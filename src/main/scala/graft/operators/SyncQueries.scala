@@ -425,6 +425,72 @@ object SyncQueries {
       .orderBy("_id")
   }
 
+  /** Metadata-only compaction planning — what the r11 commit-time file
+    * metrics exist FOR: the planner reads `manifestsTable()` (table
+    * metadata, zero per-file IO at any table size), selects live data
+    * files under the size target, and packs them into rewrite groups
+    * by a cumulative-sum group id (`floor(exclusive_cumsum / target)`
+    * — the same relational prefix-sum shape as sequence packing; no
+    * driver loop, no greedy state). The fixture commits five small
+    * single-file appends of known cardinality, so the oracle can
+    * recompute every file's record count, the data-dependent target
+    * (half the total), and the identical grouping arithmetic.
+    *
+    * At 100 TB the plan input is file COUNT (metadata scale); a real
+    * planner additionally partitions the window by table partition,
+    * which bounds each prefix-sum partition — the single ordered
+    * window here is the one-partition case of that.
+    */
+  def tableCompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wh = graft.util.Scratch.dir("cplan-query")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(19)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_cplan", src.schema)
+    (0 until 5).foreach { r =>
+      table.append(src.filter(pmod(col("o_orderkey"), lit(5)) === r).coalesce(1))
+    }
+    val files = table.manifestsTable()
+      .filter(col("content") === "data" && col("record_count").isNotNull)
+      .select(col("seq"), col("record_count"))
+    val total = files.agg(sum(col("record_count")).as("total"))
+    val w = Window.orderBy(col("seq"))
+    files.crossJoin(broadcast(total))
+      .withColumn("target", greatest(lit(1L), (col("total") / 2).cast("long")))
+      .filter(col("record_count") < col("target"))
+      .withColumn("cum_before",
+        coalesce(sum(col("record_count")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("group_id", (col("cum_before") / col("target")).cast("long"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("record_count")).as("group_records"),
+        min(col("seq")).as("min_seq"), max(col("seq")).as("max_seq"))
+      .orderBy("group_id")
+  }
+
+  private val tableCompactionPlanOracle =
+    """WITH sub AS (
+      |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 19 = 0),
+      |cnt AS (
+      |  SELECT CAST(r + 1 AS BIGINT) AS seq,
+      |    (SELECT count(*) FROM sub WHERE k % 5 = r) AS record_count
+      |  FROM (SELECT unnest(generate_series(0, 4)) AS r)),
+      |tot AS (SELECT sum(record_count) AS total FROM cnt),
+      |tgt AS (SELECT greatest(1, CAST(total // 2 AS BIGINT)) AS target FROM tot),
+      |packed AS (
+      |  SELECT seq, record_count, target,
+      |    coalesce(sum(record_count) OVER (ORDER BY seq
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM cnt, tgt WHERE record_count < target)
+      |SELECT CAST(cum_before // target AS BIGINT) AS group_id,
+      |  count(*) AS n_files,
+      |  CAST(sum(record_count) AS BIGINT) AS group_records,
+      |  min(seq) AS min_seq, max(seq) AS max_seq
+      |FROM packed GROUP BY 1 ORDER BY group_id""".stripMargin
+
   private val tableReplicaSyncOracle =
     """WITH sub AS (
       |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
@@ -906,6 +972,8 @@ object SyncQueries {
       "streaming CDC consumer: changelog feed export + checkpointed file-stream resume"),
     GraftQuery("table_replica_sync", tableReplicaSync _, Some(tableReplicaSyncOracle),
       "CDC replication round-trip: feed -> streaming consumer -> replica state == source"),
+    GraftQuery("table_compaction_plan", tableCompactionPlan _, Some(tableCompactionPlanOracle),
+      "metadata-only compaction planner: manifests metrics -> prefix-sum rewrite groups"),
     GraftQuery("table_pos_delete", tablePosDelete _, Some(tablePosDeleteOracle),
       "equality + position deletes merged on read (Iceberg v2 delete shapes)"),
     GraftQuery("table_update_where", tableUpdateWhere _, Some(tableUpdateWhereOracle),
