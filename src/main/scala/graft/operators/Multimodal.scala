@@ -177,6 +177,88 @@ object Multimodal {
        |  CAST((h * (frame_idx + 7)) % 256 AS INTEGER) AS brightness
        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --------------------------------------------- audio frame analysis
+
+  /** Audio frame width in samples (one byte = one stub PCM sample);
+    * only FULL frames are analyzed — a real pipeline pads or drops the
+    * tail, and dropping is the deterministic choice both engines can
+    * mirror.
+    */
+  val AudioFrameSamples = 64
+
+  /** A frame whose total amplitude is below this is "silence". */
+  val AudioSilenceEnergy = 2300L
+
+  /** A sample at or above this absolute amplitude is "clipped". */
+  val AudioClipAmplitude = 57
+
+  /** One analyzed audio frame (what a real PCM decoder would emit per
+    * window): total absolute amplitude and clipped-sample count.
+    */
+  case class AudioFrame(doc_id: Long, frame_idx: Int, energy: Long, clipped: Int)
+
+  /** Audio-modality analysis — the third leg of the multimodal mandate
+    * (image = [[phashDedup]], video = [[frameSamples]], audio = this):
+    * per-payload waveform quality metrics a speech-corpus pipeline
+    * gates on (silence fraction, clipping rate, mean frame energy).
+    * The stub "waveform" reads each payload byte as a centered PCM
+    * sample (`amplitude = byte − 64`); a real build swaps ONE loop for
+    * a PCM/FFmpeg frame iterator — the partition-batched decode, the
+    * per-frame fan-out and the relational agg downstream are identical.
+    * Sub-frame tails are dropped (full frames only), payloads shorter
+    * than one frame never reach the analyzer — both mirrored exactly
+    * in the oracle.
+    */
+  def audioQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val p = r.getAs[Array[Byte]](1)
+          Iterator.range(0, p.length / AudioFrameSamples).map { f =>
+            var e = 0L; var clip = 0; var j = f * AudioFrameSamples
+            val end = j + AudioFrameSamples
+            while (j < end) {
+              val a = math.abs((p(j) & 0xff) - 64)
+              e += a
+              if (a >= AudioClipAmplitude) clip += 1
+              j += 1
+            }
+            AudioFrame(id, f, e, clip)
+          }
+        }
+      }
+    frames.toDF()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("total_energy"),
+        (sum(col("energy")).cast("double") / count(lit(1))).as("mean_frame_energy"),
+        sum(when(col("energy") < AudioSilenceEnergy, 1L).otherwise(0L)).as("silent_frames"),
+        sum(col("clipped")).cast("long").as("clipped_samples"))
+      .orderBy("doc_id")
+  }
+
+  private val audioQualityOracle =
+    s"""WITH chars AS (
+       |  SELECT doc_id, len(text) AS n, i, abs(ord(substr(text, i, 1)) - 64) AS a
+       |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) u
+       |  WHERE len(text) >= $AudioFrameSamples),
+       |frames AS (
+       |  SELECT doc_id, (i - 1) // $AudioFrameSamples AS f,
+       |    CAST(sum(a) AS BIGINT) AS energy,
+       |    sum(CASE WHEN a >= $AudioClipAmplitude THEN 1 ELSE 0 END) AS clipped
+       |  FROM chars WHERE (i - 1) // $AudioFrameSamples < n // $AudioFrameSamples
+       |  GROUP BY doc_id, (i - 1) // $AudioFrameSamples)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(energy) AS BIGINT) AS total_energy,
+       |  CAST(sum(energy) AS DOUBLE) / count(*) AS mean_frame_energy,
+       |  CAST(sum(CASE WHEN energy < $AudioSilenceEnergy THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS silent_frames,
+       |  CAST(sum(clipped) AS BIGINT) AS clipped_samples
+       |FROM frames GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- perceptual-hash dedup
 
   /** Media smaller than this many payload bytes are skipped by the
@@ -362,5 +444,7 @@ object Multimodal {
     GraftQuery("multimodal_frames", frameSamples _, Some(frameSamplesOracle),
       "strided frame sampling: lazy per-partition decode fan-out -> frame-feature rows"),
     GraftQuery("multimodal_phash_dedup", phashDedup _, Some(phashDedupOracle),
-      "perceptual-hash near-dup: decode-pass pHash -> banded Hamming-LSH candidates -> exact verify"))
+      "perceptual-hash near-dup: decode-pass pHash -> banded Hamming-LSH candidates -> exact verify"),
+    GraftQuery("multimodal_audio", audioQuality _, Some(audioQualityOracle),
+      "audio quality gates: stub-PCM frame energy, silence fraction, clipping rate"))
 }

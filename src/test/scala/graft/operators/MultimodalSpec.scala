@@ -42,6 +42,32 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("audio analysis: frame metrics match a scalar recomputation, partial tails dropped") {
+    val rows = Multimodal.audioQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+    val w = Multimodal.AudioFrameSamples
+    var checked = 0
+    docs.foreach { d =>
+      val bytes = d.getString(1).getBytes("UTF-8")
+      val nf = bytes.length / w
+      if (nf == 0) assert(!rows.contains(d.getLong(0)), "sub-frame payloads never analyzed")
+      else {
+        val r = rows(d.getLong(0)); checked += 1
+        val energies = (0 until nf).map { f =>
+          bytes.slice(f * w, (f + 1) * w).map(b => math.abs((b & 0xff) - 64).toLong).sum
+        }
+        assert(r.getLong(1) == nf && r.getLong(2) == energies.sum)
+        assert(r.getLong(4) == energies.count(_ < Multimodal.AudioSilenceEnergy))
+        val clips = (0 until nf * w).count(j =>
+          math.abs((bytes(j) & 0xff) - 64) >= Multimodal.AudioClipAmplitude)
+        assert(r.getLong(5) == clips)
+      }
+    }
+    assert(checked > 0)
+  }
+
   test("pHash: re-encoded and lightly-edited copies are found, unrelated payloads are not") {
     import spark.implicits._
     val base = ("the quick brown fox jumps over the lazy dog and keeps going " * 5).trim
