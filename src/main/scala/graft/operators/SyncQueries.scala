@@ -397,7 +397,7 @@ object SyncQueries {
   def tableReplicaSync(spark: SparkSession, dir: String): DataFrame = {
     val wh = graft.util.Scratch.dir("replica-query")
     val src = t(spark, dir, "orders")
-      .filter(pmod(col("o_orderkey"), lit(11)) === 0)
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
       .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
         col("o_orderkey"), col("o_totalprice"))
     val source = IceliteTable.create(spark, wh, "analytics", "orders_src", src.schema)
@@ -495,7 +495,7 @@ object SyncQueries {
     """WITH sub AS (
       |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
       |         o_orderkey, o_totalprice
-      |  FROM orders WHERE o_orderkey % 11 = 0)
+      |  FROM orders WHERE o_orderkey % 37 = 0)
       |SELECT _id, o_orderkey,
       |  o_totalprice
       |    + CASE WHEN o_orderkey % 3 = 0 THEN 5.0 ELSE 0.0 END

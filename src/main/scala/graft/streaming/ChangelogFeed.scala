@@ -101,12 +101,17 @@ final class ChangelogFeed(
             Window.partitionBy(keyCols.map(col): _*)
               .orderBy(col(IceliteTable.CommitSeqCol).desc)))
           .filter(col("__rn") === 1)
-        val dels = latest.filter(col(IceliteTable.ChangeTypeCol) === "delete")
-          .select(keyCols.map(col): _*)
+        // ONE snapshot per micro-batch (the S5 apply shape, same as the
+        // change-stream sink): the equality-delete covers EVERY touched
+        // key — it clears each key's prior version, and this commit's
+        // own upsert rows survive it by seq LWW — while non-delete
+        // latest events re-land as the new images. Atomic convergence
+        // per batch, half the commit traffic of upsert-then-delete.
+        val touched = latest.select(keyCols.map(col): _*)
         val ups = latest.filter(col(IceliteTable.ChangeTypeCol) =!= "delete")
           .select(dataCols.map(col): _*)
-        if (!ups.isEmpty) replica.upsert(ups, keyCols)
-        if (!dels.isEmpty) replica.delete(dels, keyCols)
+        if (!touched.isEmpty)
+          replica.applyChanges(ups, touched, keyCols)
         ()
       }
       .start()
@@ -122,21 +127,35 @@ final class ChangelogFeed(
     table.refresh()
     val head = table.meta.lastSeq
     val from = readThrough()
-    var cur = from
-    while (cur < head) {
-      val seq = cur + 1
-      exportSeq(seq)
-      writeThrough(seq)
-      cur = seq
-    }
+    if (from >= head) return (from, head)
+    // fast path: ONE changelog read spans every pending seq (cached,
+    // filtered per seq — per-seq bucket determinism is a property of
+    // the rows, not of how many seqs one job read). A maintenance
+    // snapshot anywhere in the range fails the whole-range read; fall
+    // back to the per-seq loop so everything before the maintenance
+    // seq still exports before the loud failure (same partial-export
+    // contract as always).
+    val whole =
+      try Some(table.readChanges(from, head).cache())
+      catch { case _: IllegalStateException => None }
+    try {
+      var cur = from
+      while (cur < head) {
+        val seq = cur + 1
+        exportSeq(seq,
+          whole.map(_.filter(col(IceliteTable.CommitSeqCol) === seq)))
+        writeThrough(seq)
+        cur = seq
+      }
+    } finally whole.foreach(_.unpersist())
     (from, head)
   }
 
-  private def exportSeq(seq: Long): Unit = {
+  private def exportSeq(seq: Long, pre: Option[DataFrame] = None): Unit = {
     val n = bucketsFor(seq)
     val missing = (0 until n).filter(b => !fs.exists(bucketPath(seq, b)))
     if (missing.isEmpty) return
-    val changes = table.readChanges(seq - 1, seq)
+    val changes = pre.getOrElse(table.readChanges(seq - 1, seq))
     val cols = schema.fieldNames.toSeq
     // row-content bucket id: deterministic across retries (unlike a
     // repartition, whose task layout is free to differ per run)
