@@ -104,6 +104,32 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(sig == expected.toSeq)
   }
 
+  test("pHash banded pipeline equals brute-force all-pairs on a seeded random corpus") {
+    import spark.implicits._
+    // deterministic pseudo-random payloads; small enough that no band
+    // bucket can exceed the df-cap, so banded output must equal the
+    // exact all-pairs answer (the pigeonhole guarantee d < bands, end
+    // to end through the real pipeline)
+    val rnd = new scala.util.Random(12345)
+    val corpus0 = (1L to 200L).map { id =>
+      val base = rnd.alphanumeric.take(180 + rnd.nextInt(120)).mkString
+      (id, if (id % 7 == 0) base.dropRight(base.length / 25) + "tail salt" else base)
+    }
+    val corpus = corpus0.toDF("media_id", "payload_str")
+      .select(col("media_id"), encode(col("payload_str"), "UTF-8").as("payload"))
+    val got = Multimodal.phashPairsOn(spark, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Multimodal.decodePhash(spark, corpus).collect()
+      .map(s => s.media_id -> s.sig).toMap
+    val expected = (for {
+      x <- sigs.keys; y <- sigs.keys if x < y
+      h = sigs(x).zip(sigs(y)).map { case (p, q) =>
+        java.lang.Integer.bitCount(p ^ q) }.sum
+      if h <= Multimodal.PhashMaxHamming
+    } yield (x, y, h.toLong)).toSet
+    assert(got == expected)
+  }
+
   test("pHash candidate join is banded, never a cartesian product") {
     val plan = Multimodal.phashDedup(spark, dir).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
