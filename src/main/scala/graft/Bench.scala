@@ -55,6 +55,11 @@ object Bench {
     try graft.operators.ClusterIndex.ensureBuilt(spark, sfDir)
     catch { case _: Throwable => () }
     val clusterIngestSec = (System.nanoTime() - clusterT0) / 1e9
+    // ... and the LM count tables (same ingest lifecycle)
+    val lmT0 = System.nanoTime()
+    try graft.operators.LmIndex.ensureBuilt(spark, sfDir)
+    catch { case _: Throwable => () }
+    val lmIngestSec = (System.nanoTime() - lmT0) / 1e9
     val failed = scala.collection.mutable.Set.empty[String]
     // noise control: TWO full passes over the suite, report the min per
     // query (BASELINE.md §methodology) — one-time costs (codegen
@@ -148,7 +153,7 @@ object Bench {
       .map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"ingest_lm_index_sec":$lmIngestSec,"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val qs = results.map { case (k, v) => s""""$k":${math.round(v * 1000)}""" }
       .mkString("{", ",", "}")
     val totalR = math.round(total * 1000) / 1000.0

@@ -25,6 +25,8 @@ object DevTime {
     catch { case _: Throwable => () }
     try graft.operators.ClusterIndex.ensureBuilt(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.operators.LmIndex.ensureBuilt(spark, sfDir)
+    catch { case _: Throwable => () }
     for (pass <- 1 to 2; name <- names) {
       val fn = SparkEntry.queries(name)
       System.gc()

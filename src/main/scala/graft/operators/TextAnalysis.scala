@@ -414,14 +414,22 @@ object TextAnalysis {
     * scoring a doc set against a FOREIGN corpus LM adds the standard
     * uniform-backoff branch on the left join's null.)
     */
-  def lmScore(spark: SparkSession, dir: String): DataFrame =
-    lmScoreOn(t(spark, dir, "documents"))
+  /** The gated query reads the PERSISTED count tables ([[LmIndex]],
+    * built once at ingest like the shingle/cluster indexes) — only the
+    * per-doc hash stream is computed at query time. Served counts are
+    * identical to the inline aggregation (LmIndexSpec), so the oracle
+    * is unchanged.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val (c1, c2) = LmIndex.counts(spark, dir)
+    lmScoreJoin(bigramHashStream(t(spark, dir, "documents")), c1, c2)
+  }
 
-  private[operators] def lmScoreOn(docs: DataFrame): DataFrame = {
-    // one materialization (3 numeric cols/row): the c1/c2 count aggs
-    // and the scoring join all consume this stream, and recomputing it
-    // means tokenizing + hashing the corpus three times
-    val bg = docs
+  /** The shared (doc_id, h1, h2) bigram-hash stream: one scan-local
+    * explode, 8-byte [[Dedup.phash60]] keys for predecessor and bigram.
+    */
+  private[operators] def bigramHashStream(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .filter(size(col("a")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -429,16 +437,26 @@ object TextAnalysis {
       .select(col("doc_id"),
         Dedup.phash60(col("p.w1")).as("h1"),
         Dedup.phash60(col("p.t")).as("h2"))
-      .localCheckpoint(true)
-    val c2 = bg.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
-    def len2(c: Column): Column = length(conv(c, 10, 2))
+
+  private def len2(c: Column): Column = length(conv(c, 10, 2))
+
+  /** Scoring join shared by the inline and index-served paths. */
+  private def lmScoreJoin(bg: DataFrame, c1: DataFrame, c2: DataFrame): DataFrame =
     bg.join(c2, "h2").join(c1, "h1")
       .select(col("doc_id"), (len2(col("c1")) - len2(col("c2"))).as("bits"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("bits")).cast("double") / count(lit(1))).as("avg_bits"))
       .orderBy("doc_id")
+
+  private[operators] def lmScoreOn(docs: DataFrame): DataFrame = {
+    // one materialization (3 numeric cols/row): the c1/c2 count aggs
+    // and the scoring join all consume this stream, and recomputing it
+    // means tokenizing + hashing the corpus three times
+    val bg = bigramHashStream(docs).localCheckpoint(true)
+    val c2 = bg.groupBy(col("h2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    lmScoreJoin(bg, c1, c2)
   }
 
   /** Foreign-LM scoring — the shape CCNet actually deploys: the LM is
