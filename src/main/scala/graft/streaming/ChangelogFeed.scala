@@ -88,34 +88,45 @@ final class ChangelogFeed(
     */
   def replicateOnce(
       replica: IceliteTable, keyCols: Seq[String], checkpointDir: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.Trigger
-    val dataCols = table.schema.fieldNames.toSeq
     val q = readStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val latest = batch
-          .filter(col(IceliteTable.ChangeTypeCol) =!= "update_preimage")
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(keyCols.map(col): _*)
-              .orderBy(col(IceliteTable.CommitSeqCol).desc)))
-          .filter(col("__rn") === 1)
-        // ONE snapshot per micro-batch (the S5 apply shape, same as the
-        // change-stream sink): the equality-delete covers EVERY touched
-        // key — it clears each key's prior version, and this commit's
-        // own upsert rows survive it by seq LWW — while non-delete
-        // latest events re-land as the new images. Atomic convergence
-        // per batch, half the commit traffic of upsert-then-delete.
-        val touched = latest.select(keyCols.map(col): _*)
-        val ups = latest.filter(col(IceliteTable.ChangeTypeCol) =!= "delete")
-          .select(dataCols.map(col): _*)
-        if (!touched.isEmpty)
-          replica.applyChanges(ups, touched, keyCols)
-        ()
+        applyBatch(batch.toDF(), replica, keyCols)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Apply one changelog micro-batch to `replica`: latest event per
+    * key wins (postimages/inserts upserted, deletes deleted, preimages
+    * dropped), committed as ONE snapshot (the S5 apply shape, same as
+    * the change-stream sink) — the equality-delete covers EVERY touched
+    * key, clearing each key's prior version, while this commit's own
+    * upsert rows survive it by seq LWW. IDEMPOTENT by construction:
+    * re-applying the same batch recomputes the same final per-key
+    * images, so foreachBatch's at-least-once replay window (crash
+    * between the commit and the consumer checkpoint advancing) cannot
+    * diverge the replica — [[ChangelogFeedSpec]] proves re-apply is a
+    * state no-op.
+    */
+  private[streaming] def applyBatch(
+      batch: DataFrame, replica: IceliteTable, keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val dataCols = table.schema.fieldNames.toSeq
+    val latest = batch
+      .filter(col(IceliteTable.ChangeTypeCol) =!= "update_preimage")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(IceliteTable.CommitSeqCol).desc)))
+      .filter(col("__rn") === 1)
+    val touched = latest.select(keyCols.map(col): _*)
+    val ups = latest.filter(col(IceliteTable.ChangeTypeCol) =!= "delete")
+      .select(dataCols.map(col): _*)
+    if (!touched.isEmpty)
+      replica.applyChanges(ups, touched, keyCols)
+    ()
   }
 
   /** Export every committed-but-unexported snapshot's changelog rows;

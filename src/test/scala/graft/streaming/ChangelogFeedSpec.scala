@@ -100,6 +100,25 @@ class ChangelogFeedSpec extends AnyFunSuite with SparkFixture {
     assert(states()._2 == r2)
   }
 
+  test("re-applying the same micro-batch is a state no-op (at-least-once replay window)") {
+    val wh = Files.createTempDirectory("feed-wh").toString
+    val src = IceliteTable.create(spark, wh, "ns", "redo_src", rows().schema)
+    val rep = IceliteTable.create(spark, wh, "ns", "redo_dst", rows().schema)
+    val feed = new ChangelogFeed(src, Files.createTempDirectory("feed-dir").toString)
+    src.upsert(rows((1L, "a", 1.0), (2L, "b", 2.0)), Seq("id"))
+    src.upsert(rows((1L, "a", 7.0)), Seq("id"))
+    src.delete(rows((2L, "b", 0.0)).select("id"), Seq("id"))
+    feed.exportAvailable()
+    val batch = spark.read.schema(feed.schema).parquet(feed.feedDir)
+    def state() = rep.read().select("id", "grp", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    feed.applyBatch(batch, rep, Seq("id"))
+    val once = state()
+    assert(once == Set((1L, "a", 7.0)))
+    feed.applyBatch(batch, rep, Seq("id")) // crash-replay of the same batch
+    assert(state() == once, "replayed batch must not diverge the replica")
+  }
+
   test("export is idempotent: a retried/redone export rewrites nothing") {
     val wh = Files.createTempDirectory("feed-wh2").toString
     val t = IceliteTable.create(spark, wh, "ns", "feed2", rows().schema)
