@@ -399,8 +399,12 @@ object Multimodal {
       .orderBy("x", "y")
   }
 
-  private val phashDedupOracle =
-    s"""WITH media AS (
+  /** Shared oracle CTE chain ending in `pairs(x, y, hamming)` (all
+    * candidates, pre-threshold) — the pair query and the cluster
+    * closure both build on it.
+    */
+  private val phashOracleCtes =
+    s"""media AS (
        |  SELECT doc_id AS media_id, text AS payload
        |  FROM documents WHERE len(text) >= $PhashMinBytes
        |  UNION ALL
@@ -432,9 +436,48 @@ object Multimodal {
        |  SELECT x, y,
        |    CAST(list_sum(list_transform(range(1, ${PhashBands + 1}),
        |      j -> bit_count(xor(sa.sig[j], sb.sig[j])))) AS BIGINT) AS hamming
-       |  FROM cand JOIN sigs sa ON x = sa.media_id JOIN sigs sb ON y = sb.media_id)
+       |  FROM cand JOIN sigs sa ON x = sa.media_id JOIN sigs sb ON y = sb.media_id)""".stripMargin
+
+  private val phashDedupOracle =
+    s"""WITH $phashOracleCtes
        |SELECT x, y, hamming FROM pairs
        |WHERE hamming <= $PhashMaxHamming ORDER BY x, y""".stripMargin
+
+  /** Image duplicate CLUSTERS: connected components over the pHash
+    * near-dup pair graph — "which payloads are the same picture"
+    * groups, the multimodal mirror of [[Dedup.dupClusters]] (find →
+    * cluster → keep one). Reuses the identical CC machinery (driver
+    * union-find under the pair cap, distributed min-label propagation
+    * above it), so the scale story is already proven there; edges come
+    * from the banded candidate join, never all-pairs.
+    */
+  def phashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = phashDedup(spark, dir).select(col("x"), col("y"))
+      .localCheckpoint(true)
+    val head = pairs.limit(Dedup.DriverCcMaxPairs + 1).collect()
+    val cc =
+      if (head.length <= Dedup.DriverCcMaxPairs) Dedup.driverUnionFind(spark, head)
+      else Dedup.distributedCc(pairs)
+    cc.withColumnRenamed("doc_id", "media_id")
+      .orderBy("cluster_id", "media_id")
+  }
+
+  private val phashClustersOracle =
+    s"""WITH RECURSIVE $phashOracleCtes,
+       |near AS (SELECT x, y FROM pairs WHERE hamming <= $PhashMaxHamming),
+       |edges AS (SELECT x, y FROM near UNION SELECT y, x FROM near),
+       |reach AS (
+       |  SELECT x AS id, y AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, edges.y AS r FROM reach JOIN edges ON reach.r = edges.x),
+       |comp AS (
+       |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+       |csize AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT c.id AS media_id, c.cluster_id, s.cluster_size,
+       |  c.id = c.cluster_id AS kept
+       |FROM comp c JOIN csize s USING (cluster_id)
+       |ORDER BY cluster_id, media_id""".stripMargin
 
   // ---------------------------------------------------------- registry
 
@@ -446,5 +489,7 @@ object Multimodal {
     GraftQuery("multimodal_phash_dedup", phashDedup _, Some(phashDedupOracle),
       "perceptual-hash near-dup: decode-pass pHash -> banded Hamming-LSH candidates -> exact verify"),
     GraftQuery("multimodal_audio", audioQuality _, Some(audioQualityOracle),
-      "audio quality gates: stub-PCM frame energy, silence fraction, clipping rate"))
+      "audio quality gates: stub-PCM frame energy, silence fraction, clipping rate"),
+    GraftQuery("multimodal_phash_clusters", phashClusters _, Some(phashClustersOracle),
+      "image dup clusters: connected components over the pHash pair graph"))
 }
