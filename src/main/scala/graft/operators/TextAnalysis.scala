@@ -459,6 +459,102 @@ object TextAnalysis {
     lmScoreJoin(bg, c1, c2)
   }
 
+  /** Number of BPE merge rules [[bpeMerges]] learns. */
+  val BpeMergeRounds = 6
+
+  /** BPE tokenizer TRAINING — the classic Sennrich trainer loop over
+    * the word-count vocabulary (the input real BPE trainers use: a
+    * vocabulary-sized table, never the corpus): count adjacent symbol
+    * pairs weighted by word frequency, merge the most frequent pair in
+    * every word (left-to-right, non-overlapping), repeat. Output is
+    * the learned merge table (step, symbols, pair count) — the
+    * artifact a tokenizer ships.
+    *
+    * Portability is the hard part, solved by ENCODING: a word's symbol
+    * sequence is a string with two-space separators
+    * (`"  l  o  w  "`), and applying merge (L, R) is
+    * `replace(v, " L  R ", " LR ")` — the single-space-flanked pattern
+    * lets adjacent matches share a boundary, and literal `replace` is
+    * left-to-right non-overlapping with IDENTICAL semantics in Java
+    * and DuckDB, so both engines re-segment identically ("a a a" →
+    * "aa a", verified). Ties break (count desc, left asc, right asc) —
+    * total, so the learned rules are unique. The per-round argmax is a
+    * 1-row driver collect (the [[Clustering]] Lloyd-round pattern);
+    * each round is one explode + one hash agg + one map over the
+    * vocabulary.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOn(spark, t(spark, dir, "documents"))
+
+  private[operators] def bpeMergesOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var vocab = words
+      .select(concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("v"),
+        col("cnt"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= BpeMergeRounds && !exhausted) {
+      val toks = vocab
+        .select(col("cnt"), split(trim(col("v")), "  ").as("a"))
+        .filter(size(col("a")) >= 2)
+      val best = toks
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS l, a[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        learned += ((k, l, r, c))
+        vocab = vocab
+          .select(call_function("replace", col("v"),
+            lit(s" $l  $r "), lit(s" $l$r ")).as("v"), col("cnt"))
+          .localCheckpoint(true)
+        k += 1
+      }
+    }
+    learned.toSeq.toDF("step", "merge_left", "merge_right", "pair_count")
+      .orderBy("step")
+  }
+
+  private val bpeMergesOracle: String = {
+    val rounds = (1 to BpeMergeRounds).map { k =>
+      s"""p$k AS (
+         |  SELECT u.l AS l, u.r AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, unnest([{'l': a[i], 'r': a[i + 1]}
+         |      for i in generate_series(1, len(a) - 1)]) AS u
+         |    FROM (SELECT cnt, string_split(trim(v), '  ') AS a FROM v${k - 1}) t
+         |    WHERE len(a) >= 2) s
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |v$k AS (
+         |  SELECT replace(v.v, ' ' || b.l || '  ' || b.r || ' ',
+         |    ' ' || b.l || b.r || ' ') AS v, v.cnt
+         |  FROM v${k - 1} v, b$k b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMergeRounds).map { k =>
+      s"SELECT $k AS step, l AS merge_left, r AS merge_right, c AS pair_count FROM b$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |v0 AS (
+       |  SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS v, cnt FROM w0),
+       |$rounds
+       |SELECT * FROM (
+       |  $out
+       |) ORDER BY step""".stripMargin
+  }
+
   /** Foreign-LM scoring — the shape CCNet actually deploys: the LM is
     * trained on a REFERENCE corpus (here the `lang = 'en'` subset),
     * every doc is scored against it, and docs whose text the LM finds
@@ -546,6 +642,8 @@ object TextAnalysis {
       "corpus-LM perplexity-proxy: integer bit-cost per bigram, mean per doc"),
     GraftQuery("text_lm_filter", lmScoreForeign _, Some(lmScoreForeignOracle),
       "foreign-LM scoring with uniform backoff: en-trained LM scores every doc"),
+    GraftQuery("text_bpe_merges", bpeMerges _, Some(bpeMergesOracle),
+      "BPE tokenizer training: iterative pair-count + merge over the word vocabulary"),
     GraftQuery("text_heavy_hitters", heavyHitters _, Some(heavyHittersOracle),
       "frequent bigrams via bounded Misra-Gries sketch + exact candidate rescan"),
     GraftQuery("text_heavy_hitters_by_lang", heavyHittersByLang _, Some(heavyHittersByLangOracle),

@@ -33,6 +33,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(rows.head.getLong(1) == 2L) // two bigrams
   }
 
+  test("BPE trainer: hand-computed merges on the classic low/lower/lowest corpus") {
+    import spark.implicits._
+    // vocab: low×3, lower×1, lowest×1
+    // r1: (l,o)=5 ties (o,w)=5 → left-asc tiebreak picks (l,o)
+    // r2: (lo,w)=5 → low
+    // r3: (low,e)=2 beats (e,r)/(e,s)/(s,t)=1 → lowe
+    // r4: (lowe,r)=1 ties (lowe,s)... wait (lowe,r)=1, (lowe,s)=1,
+    //     (s,t)=1 → left asc: "lowe" < "s"; then right asc: r < s →
+    //     (lowe,r)
+    // r5: (lowe,s)=1, (s,t)=1 → (lowe,s)
+    // r6: (lowes,t)=1 → lowest
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergesOn(spark, docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "e", 2L),
+      (4, "lowe", "r", 1L), (5, "lowe", "s", 1L), (6, "lowes", "t", 1L)))
+  }
+
   test("foreign-LM filter: unseen transitions pay the uniform backoff, en-trained LM ranks en lowest") {
     val dir = "/root/testdata/sf0.001"
     val rows = TextAnalysis.lmScoreForeign(spark, dir).collect()
