@@ -525,7 +525,11 @@ object TextAnalysis {
       .orderBy("step")
   }
 
-  private val bpeMergesOracle: String = {
+  /** Shared trainer CTE chain ending in `b1..bK` (one learned merge
+    * each) — the merge-table query and the tokenizer apply both build
+    * on it.
+    */
+  private val bpeOracleCtes: String = {
     val rounds = (1 to BpeMergeRounds).map { k =>
       s"""p$k AS (
          |  SELECT u.l AS l, u.r AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
@@ -540,19 +544,80 @@ object TextAnalysis {
          |    ' ' || b.l || b.r || ' ') AS v, v.cnt
          |  FROM v${k - 1} v, b$k b)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeMergeRounds).map { k =>
-      s"SELECT $k AS step, l AS merge_left, r AS merge_right, c AS pair_count FROM b$k"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT w, count(*) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) > 0 GROUP BY w),
        |v0 AS (
        |  SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS v, cnt FROM w0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val bpeMergesOracle: String = {
+    val out = (1 to BpeMergeRounds).map { k =>
+      s"SELECT $k AS step, l AS merge_left, r AS merge_right, c AS pair_count FROM b$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $bpeOracleCtes
        |SELECT * FROM (
        |  $out
        |) ORDER BY step""".stripMargin
+  }
+
+  /** Tokenize the corpus under the LEARNED merges — train → apply end
+    * to end: every word re-encodes and replays the K merge rules (the
+    * rules are a driver-side artifact, as a shipped tokenizer is), and
+    * the per-doc subword count against word/char counts is the
+    * compression the tokenizer buys. The apply is scan-local (K
+    * literal replaces inside one codegen projection — no joins, no
+    * shuffle until the per-doc agg).
+    */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenizeOn(spark, t(spark, dir, "documents"))
+
+  private[operators] def bpeTokenizeOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val merges = bpeMergesOn(spark, docs).collect() // ≤ K rows: the artifact
+    val spaced = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), length(col("w")).cast("long").as("nc"),
+        concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("v"))
+    val applied = merges.foldLeft(spaced) { (df, m) =>
+      val (l, r) = (m.getString(1), m.getString(2))
+      df.withColumn("v", call_function("replace", col("v"),
+        lit(s" $l  $r "), lit(s" $l$r ")))
+    }
+    applied
+      .select(col("doc_id"), col("nc"),
+        size(split(trim(col("v")), "  ")).cast("long").as("toks"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("toks")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  private val bpeTokenizeOracle: String = {
+    val applies = (1 to BpeMergeRounds).map { k =>
+      s"""s$k AS (
+         |  SELECT doc_id, nc,
+         |    replace(s.v, ' ' || b.l || '  ' || b.r || ' ',
+         |      ' ' || b.l || b.r || ' ') AS v
+         |  FROM s${k - 1} s, b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeOracleCtes,
+       |dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |s0 AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS nc,
+       |    '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS v
+       |  FROM dw),
+       |$applies
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(nc) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(string_split(trim(v), '  '))) AS BIGINT) AS n_subwords
+       |FROM s$BpeMergeRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Foreign-LM scoring — the shape CCNet actually deploys: the LM is
@@ -644,6 +709,8 @@ object TextAnalysis {
       "foreign-LM scoring with uniform backoff: en-trained LM scores every doc"),
     GraftQuery("text_bpe_merges", bpeMerges _, Some(bpeMergesOracle),
       "BPE tokenizer training: iterative pair-count + merge over the word vocabulary"),
+    GraftQuery("text_bpe_tokenize", bpeTokenize _, Some(bpeTokenizeOracle),
+      "tokenize under the learned BPE merges: per-doc subword/word/char counts"),
     GraftQuery("text_heavy_hitters", heavyHitters _, Some(heavyHittersOracle),
       "frequent bigrams via bounded Misra-Gries sketch + exact candidate rescan"),
     GraftQuery("text_heavy_hitters_by_lang", heavyHittersByLang _, Some(heavyHittersByLangOracle),

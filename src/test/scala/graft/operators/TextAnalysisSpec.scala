@@ -52,6 +52,15 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       (4, "lowe", "r", 1L), (5, "lowe", "s", 1L), (6, "lowes", "t", 1L)))
   }
 
+  test("BPE tokenize: the learned merges fully reassemble the training words") {
+    import spark.implicits._
+    // with the 6 merges learned on this corpus (see trainer test),
+    // every word collapses to a single subword: low, lower, lowest
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTokenizeOn(spark, docs).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((5L, 20L, 5L)))
+  }
+
   test("foreign-LM filter: unseen transitions pay the uniform backoff, en-trained LM ranks en lowest") {
     val dir = "/root/testdata/sf0.001"
     val rows = TextAnalysis.lmScoreForeign(spark, dir).collect()
