@@ -309,7 +309,7 @@ object Multimodal {
     * the stand-in for the same image saved at a different quality,
     * which a real pipeline must recognize as a duplicate).
     */
-  private def phashCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def phashCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(length(col("text")) >= PhashMinBytes)
     val originals = docs.select(
@@ -355,26 +355,32 @@ object Multimodal {
       }
   }
 
-  /** Image near-dup via perceptual hash: decode-pass pHash → band
-    * explode → df-capped band-equality candidate join (the SimHash
-    * band machinery — bucketed, never all-pairs) → exact Hamming
-    * verify on the 8 band bytes → pairs within [[PhashMaxHamming]].
-    * Finds each original/re-encode pair plus the corpus's planted
-    * truncation near-dups. At 100 TB the candidate volume is bounded
-    * by [[PhashMaxBandDf]] × corpus rows (cap × postings), the same
+  /** Image near-dup via perceptual hash: persisted signature table
+    * ([[PhashIndex]] — decode paid ONCE at ingest) → band explode →
+    * df-capped band-equality candidate join (the SimHash band
+    * machinery — bucketed, never all-pairs) → exact Hamming verify on
+    * the 8 band bytes → pairs within [[PhashMaxHamming]]. Finds each
+    * original/re-encode pair plus the corpus's planted truncation
+    * near-dups. At 100 TB the candidate volume is bounded by
+    * [[PhashMaxBandDf]] × corpus rows (cap × postings), the same
     * linear envelope as every shingle-index join here.
     */
   def phashDedup(spark: SparkSession, dir: String): DataFrame =
-    phashPairsOn(spark, phashCorpus(spark, dir))
+    phashPairsFromSigs(PhashIndex.sigs(spark, dir))
 
+  /** Inline-decode variant (tests prove it ≡ the persisted-index
+    * path): one decode pass materialized, then the same banded join.
+    */
   private[operators] def phashPairsOn(
-      spark: SparkSession, corpus: DataFrame): DataFrame = {
-    // one decode pass: band explode, df-cap, both candidate-join sides
-    // and the two Hamming-verify joins all consume the signatures, and
-    // each re-evaluation would re-run the 64-window digest over every
-    // payload (the decode is the expensive step a real pipeline never
-    // repeats)
-    val sigs = decodePhash(spark, corpus).toDF().localCheckpoint(true)
+      spark: SparkSession, corpus: DataFrame): DataFrame =
+    phashPairsFromSigs(decodePhash(spark, corpus).toDF().localCheckpoint(true))
+
+  /** Banded Hamming-LSH pair search over a materialized signature
+    * frame (cached index read or checkpointed inline decode — band
+    * explode, df-cap and both Hamming-verify sides all re-consume it,
+    * so the caller must hand in a frame that is cheap to re-evaluate).
+    */
+  private[operators] def phashPairsFromSigs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("media_id"),
       posexplode(col("sig")).as(Seq("band", "bval")))
     val keep = bands.groupBy(col("band"), col("bval"))
