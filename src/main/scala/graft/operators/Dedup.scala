@@ -749,17 +749,29 @@ object Dedup {
     * the join and the window key on cluster_id/doc_id — no global
     * sort, no driver loop, cluster sizes bound each window partition.
     */
-  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+  /** THE survivor-selection total order, shared by every keep-best
+    * consumer (text clusters here, image clusters in
+    * [[Multimodal.phashKeepBest]]): highest `quality`, then longest
+    * content (`lenCol` — chars for text, bytes for media), then lowest
+    * id — each tiebreak total, so the survivor is unique and
+    * reproducible. One window partitioned by cluster_id; cluster sizes
+    * bound each partition, so no global sort at any scale.
+    */
+  private[operators] def survivorRank(lenCol: String, idCol: String): Column = {
     import org.apache.spark.sql.expressions.Window
+    row_number().over(
+      Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col(lenCol).desc, col(idCol).asc))
+  }
+
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
     val clusters = dupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     val scored = t(spark, dir, "documents").select(
       col("doc_id"),
       graft.operators.TextAnalysis.qualityPoints(col("text")).as("quality"),
       length(col("text")).cast("long").as("text_len"))
-    val rank = row_number().over(
-      Window.partitionBy(col("cluster_id"))
-        .orderBy(col("quality").desc, col("text_len").desc, col("doc_id").asc))
+    val rank = survivorRank("text_len", "doc_id")
     clusters.join(scored, "doc_id")
       .withColumn("keep", rank === 1)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),

@@ -485,6 +485,60 @@ object Multimodal {
        |FROM comp c JOIN csize s USING (cluster_id)
        |ORDER BY cluster_id, media_id""".stripMargin
 
+  /** Canonical-survivor selection over the IMAGE near-dup clusters —
+    * the multimodal mirror of [[Dedup.keepBest]], under the SAME
+    * survivor policy ([[Dedup.survivorRank]]: quality desc, content
+    * length desc, id asc — every tiebreak total): of each pHash
+    * cluster, keep the best-quality, longest payload. Quality scores
+    * the decoded payload (the variant's truncated content scores as
+    * what it IS, not as its source document), so a higher-quality
+    * re-encode can outrank its original — exactly the curation
+    * semantics a real image pipeline wants (keep the best copy, not
+    * the first-seen copy).
+    */
+  def phashKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = phashClusters(spark, dir)
+      .select(col("media_id"), col("cluster_id"), col("cluster_size"))
+    val scored = phashCorpus(spark, dir).select(
+      col("media_id"),
+      TextAnalysis.qualityPoints(decode(col("payload"), "UTF-8")).as("quality"),
+      length(col("payload")).cast("long").as("byte_len"))
+    val rank = Dedup.survivorRank("byte_len", "media_id")
+    clusters.join(scored, "media_id")
+      .withColumn("keep", rank === 1)
+      .select(col("media_id"), col("cluster_id"), col("cluster_size"),
+        col("quality"), col("byte_len"), col("keep"))
+      .orderBy("cluster_id", "media_id")
+  }
+
+  private val phashKeepBestOracle =
+    s"""WITH RECURSIVE $phashOracleCtes,
+       |near AS (SELECT x, y FROM pairs WHERE hamming <= $PhashMaxHamming),
+       |edges AS (SELECT x, y FROM near UNION SELECT y, x FROM near),
+       |reach AS (
+       |  SELECT x AS id, y AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, edges.y AS r FROM reach JOIN edges ON reach.r = edges.x),
+       |comp AS (
+       |  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+       |csize AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id),
+       |scored AS (
+       |  SELECT media_id,
+       |    CAST(${TextAnalysis.qualityPointsSql("payload")} AS INTEGER) AS quality,
+       |    CAST(octet_length(encode(payload)) AS BIGINT) AS byte_len
+       |  FROM media),
+       |ranked AS (
+       |  SELECT c.id AS media_id, c.cluster_id, s.cluster_size,
+       |    q.quality, q.byte_len,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.quality DESC, q.byte_len DESC, c.id ASC) AS rn
+       |  FROM comp c JOIN csize s USING (cluster_id)
+       |  JOIN scored q ON q.media_id = c.id)
+       |SELECT media_id, cluster_id, cluster_size, quality, byte_len,
+       |  rn = 1 AS keep
+       |FROM ranked ORDER BY cluster_id, media_id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -497,5 +551,7 @@ object Multimodal {
     GraftQuery("multimodal_audio", audioQuality _, Some(audioQualityOracle),
       "audio quality gates: stub-PCM frame energy, silence fraction, clipping rate"),
     GraftQuery("multimodal_phash_clusters", phashClusters _, Some(phashClustersOracle),
-      "image dup clusters: connected components over the pHash pair graph"))
+      "image dup clusters: connected components over the pHash pair graph"),
+    GraftQuery("multimodal_keep_best", phashKeepBest _, Some(phashKeepBestOracle),
+      "image survivor selection: shared keep-best policy over pHash clusters"))
 }

@@ -136,6 +136,18 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       "pHash near-dup must pair via band buckets, not all-pairs")
   }
 
+  test("keep-best picks exactly one survivor per image cluster, the shared-policy maximum") {
+    val rows = Multimodal.phashKeepBest(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      assert(members.count(_.getBoolean(5)) == 1,
+        s"cluster $cid must keep exactly one member")
+      val best = members.minBy(r =>
+        (-r.getInt(3), -r.getLong(4), r.getLong(0))) // quality desc, bytes desc, id asc
+      assert(best.getBoolean(5), s"cluster $cid survivor must be the policy maximum")
+    }
+  }
+
   test("decodeMeta runs on executors per partition and matches the stub row-by-row") {
     val meta = Multimodal.decodeMeta(spark, dir).collect().map(m => m.doc_id -> m).toMap
     val docs = spark.read.parquet(s"$dir/documents.parquet")
