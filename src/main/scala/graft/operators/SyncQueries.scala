@@ -426,20 +426,27 @@ object SyncQueries {
   }
 
   /** Metadata-only compaction planning — what the r11 commit-time file
-    * metrics exist FOR: the planner reads `manifestsTable()` (table
-    * metadata, zero per-file IO at any table size), selects live data
-    * files under the size target, and packs them into rewrite groups
-    * by a cumulative-sum group id (`floor(exclusive_cumsum / target)`
-    * — the same relational prefix-sum shape as sequence packing; no
-    * driver loop, no greedy state). The fixture commits five small
-    * single-file appends of known cardinality, so the oracle can
-    * recompute every file's record count, the data-dependent target
-    * (half the total), and the identical grouping arithmetic.
+    * metrics exist FOR: the planner reads `manifestsTable()` +
+    * `filesTable()` (table metadata, zero per-file IO at any table
+    * size), selects live data files under the size target, and packs
+    * them into rewrite groups PER TABLE PARTITION by a cumulative-sum
+    * group id (`floor(exclusive_cumsum / target)` — the same
+    * relational prefix-sum shape as sequence packing; no driver loop,
+    * no greedy state). The window partitions by the file's partition
+    * value (from the recorded identity-partition footer stats: each
+    * fixture file holds one bucket, so min = max = the value), which
+    * bounds every prefix-sum partition — at 100 TB no single ordered
+    * window ever sees the whole manifest, and groups never span a
+    * partition (a rewrite is a within-partition operation).
     *
-    * At 100 TB the plan input is file COUNT (metadata scale); a real
-    * planner additionally partitions the window by table partition,
-    * which bounds each prefix-sum partition — the single ordered
-    * window here is the one-partition case of that.
+    * The fixture commits one small append per (residue, bucket) of
+    * known cardinality into an identity-partitioned table, so the
+    * oracle can recompute every file's record count and partition, the
+    * data-dependent per-partition target (half the partition total),
+    * and the identical grouping arithmetic. Empty residue classes are
+    * dropped on BOTH sides (`record_count > 0` here, HAVING in the
+    * oracle) — an empty append still advances the commit seq, so the
+    * seq arithmetic stays aligned at every scale factor.
     */
   def tableCompactionPlan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -447,49 +454,65 @@ object SyncQueries {
     val src = t(spark, dir, "orders")
       .filter(pmod(col("o_orderkey"), lit(19)) === 0)
       .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
-        col("o_orderkey"), col("o_totalprice"))
-    val table = IceliteTable.create(spark, wh, "analytics", "orders_cplan", src.schema)
-    (0 until 5).foreach { r =>
-      table.append(src.filter(pmod(col("o_orderkey"), lit(5)) === r).coalesce(1))
-    }
+        col("o_orderkey"), col("o_totalprice"),
+        pmod(col("o_orderkey"), lit(2)).cast("long").as("pbucket"))
+    val pconf = graft.config.PartitionConfig("pbucket", "identity")
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_cplan",
+      src.schema, partitioning = Seq(pconf))
+    for (r <- 0 until 5; b <- 0 until 2)
+      table.append(src.filter(
+        pmod(col("o_orderkey"), lit(5)) === r && col("pbucket") === b).coalesce(1))
+    val pcol = IceliteTable.partColName(pconf)
+    // per-file partition value from the recorded footer stats (the
+    // manifest-level partition tuple): identity stats, min == max
+    val parts = table.filesTable()
+      .filter(col("content") === "data")
+      .select(col("file"), element_at(
+        filter(col("partition_stats"), s => s.getField("_1") === lit(pcol)), 1)
+        .getField("_2").cast("long").as("pbucket"))
     val files = table.manifestsTable()
-      .filter(col("content") === "data" && col("record_count").isNotNull)
-      .select(col("seq"), col("record_count"))
-    val total = files.agg(sum(col("record_count")).as("total"))
-    val w = Window.orderBy(col("seq"))
-    files.crossJoin(broadcast(total))
-      .withColumn("target", greatest(lit(1L), (col("total") / 2).cast("long")))
+      .filter(col("content") === "data" &&
+        col("record_count").isNotNull && col("record_count") > 0)
+      .join(parts, "file")
+      .select(col("seq"), col("pbucket"), col("record_count"))
+    val ptotal = sum(col("record_count")).over(Window.partitionBy(col("pbucket")))
+    val w = Window.partitionBy(col("pbucket")).orderBy(col("seq"))
+    files
+      .withColumn("target", greatest(lit(1L), (ptotal / 2).cast("long")))
       .filter(col("record_count") < col("target"))
       .withColumn("cum_before",
         coalesce(sum(col("record_count")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("group_id", (col("cum_before") / col("target")).cast("long"))
-      .groupBy(col("group_id"))
+      .groupBy(col("pbucket"), col("group_id"))
       .agg(count(lit(1)).as("n_files"),
         sum(col("record_count")).as("group_records"),
         min(col("seq")).as("min_seq"), max(col("seq")).as("max_seq"))
-      .orderBy("group_id")
+      .orderBy("pbucket", "group_id")
   }
 
   private val tableCompactionPlanOracle =
     """WITH sub AS (
       |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 19 = 0),
       |cnt AS (
-      |  SELECT CAST(r + 1 AS BIGINT) AS seq,
-      |    (SELECT count(*) FROM sub WHERE k % 5 = r) AS record_count
-      |  FROM (SELECT unnest(generate_series(0, 4)) AS r)),
-      |tot AS (SELECT sum(record_count) AS total FROM cnt),
-      |tgt AS (SELECT greatest(1, CAST(total // 2 AS BIGINT)) AS target FROM tot),
+      |  SELECT CAST(r * 2 + b + 1 AS BIGINT) AS seq, CAST(b AS BIGINT) AS pbucket,
+      |    (SELECT count(*) FROM sub WHERE k % 5 = r AND k % 2 = b) AS record_count
+      |  FROM (SELECT unnest(generate_series(0, 4)) AS r),
+      |       (SELECT unnest(generate_series(0, 1)) AS b)),
+      |live AS (SELECT * FROM cnt WHERE record_count > 0),
+      |tot AS (SELECT pbucket, sum(record_count) AS ptotal FROM live GROUP BY pbucket),
+      |tgt AS (
+      |  SELECT pbucket, greatest(1, CAST(ptotal // 2 AS BIGINT)) AS target FROM tot),
       |packed AS (
-      |  SELECT seq, record_count, target,
-      |    coalesce(sum(record_count) OVER (ORDER BY seq
+      |  SELECT l.seq, l.pbucket, l.record_count, t.target,
+      |    coalesce(sum(l.record_count) OVER (PARTITION BY l.pbucket ORDER BY l.seq
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-      |  FROM cnt, tgt WHERE record_count < target)
-      |SELECT CAST(cum_before // target AS BIGINT) AS group_id,
+      |  FROM live l JOIN tgt t USING (pbucket) WHERE l.record_count < t.target)
+      |SELECT pbucket, CAST(cum_before // target AS BIGINT) AS group_id,
       |  count(*) AS n_files,
       |  CAST(sum(record_count) AS BIGINT) AS group_records,
       |  min(seq) AS min_seq, max(seq) AS max_seq
-      |FROM packed GROUP BY 1 ORDER BY group_id""".stripMargin
+      |FROM packed GROUP BY 1, 2 ORDER BY pbucket, group_id""".stripMargin
 
   private val tableReplicaSyncOracle =
     """WITH sub AS (

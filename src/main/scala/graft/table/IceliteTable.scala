@@ -1508,10 +1508,10 @@ final class IceliteTable private (
     // per column, the same conservative test as pruneByKeyStats/cmpStat:
     // no value bound, missing stats, or (numeric) an unparseable side
     // all KEEP the file; string compare is UTF-8 byte order, which is
-    // exactly Spark's UTF8String ordering. Identity transforms have no
-    // sound stat ordering (and record no stats), so they keep every
-    // file rather than rejecting the whole metadata table.
-    val prunable = prunableColumns(m.partitioning ++ retiredPartitioning)
+    // exactly Spark's UTF8String ordering. Identity transforms over
+    // types without a sound rendered ordering record no stats, so they
+    // keep every file rather than rejecting the whole metadata table.
+    val prunable = prunableColumns(m.partitioning ++ retiredPartitioning, m.schema)
     val overlap = pcols.map { case (n, _) =>
       prunable.get(n) match {
         case None => lit(true)
@@ -1884,13 +1884,30 @@ final class IceliteTable private (
     * columns are simply never candidates for metadata pruning (row-
     * group stats inside parquet still apply at scan time).
     */
-  private def prunableColumns(parts: Seq[PartitionConfig]): Map[String, Boolean] =
-    parts.collect {
-      case p if p.transform == "year" || p.transform.startsWith("bucket") =>
-        partColName(p) -> true
-      case p if p.transform == "month" || p.transform == "day" || p.transform == "hour" =>
-        partColName(p) -> false
+  private def prunableColumns(
+      parts: Seq[PartitionConfig], schema: StructType): Map[String, Boolean] =
+    parts.flatMap { p =>
+      val cmp = p.transform match {
+        case "year" => Some(true)
+        case t if t.startsWith("bucket") => Some(true)
+        case "month" | "day" | "hour" => Some(false)
+        // identity: prunable iff the BASE column's type has a sound
+        // rendered ordering — integral (numeric compare) or string
+        // (UTF-8 byte order); other types record no stats
+        case "identity" => identityComparator(p, schema)
+        case _ => None
+      }
+      cmp.map(partColName(p) -> _)
     }.toMap
+
+  private def identityComparator(p: PartitionConfig, schema: StructType): Option[Boolean] = {
+    import org.apache.spark.sql.types._
+    schema.find(_.name == p.field).flatMap(_.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => Some(true)
+      case StringType => Some(false)
+      case _ => None
+    })
+  }
 
   /** Row count + min/max of the requested columns from one parquet
     * file's footer (driver-side metadata read only); `numericByCol`
@@ -1935,12 +1952,13 @@ final class IceliteTable private (
   }
 
   private def pruneComparatorFor(partCol: String): Boolean =
-    prunableColumns(cachedMeta.partitioning ++ retiredPartitioning).get(partCol)
+    prunableColumns(cachedMeta.partitioning ++ retiredPartitioning, cachedMeta.schema)
+      .get(partCol)
       .orElse( // z-order columns are validated integral → numeric compare
         if (zorderColumns(cachedMeta.properties).contains(partCol)) Some(true) else None)
       .getOrElse(throw new IllegalArgumentException(
-        s"$partCol is not a prunable partition column (identity transforms " +
-          "have no sound stat ordering — filter on the base column instead)"))
+        s"$partCol is not a prunable partition column (its transform or base " +
+          "type has no sound stat ordering — filter on the base column instead)"))
 
   /** Key columns usable for footer-stat range pruning, mapped to
     * whether their stat comparator is numeric: integral types compare
@@ -2088,8 +2106,9 @@ final class IceliteTable private (
   /** Data files whose stored [partCol] range may intersect
     * [lower, upper] (inclusive, either side optional) — pure table
     * metadata, no file IO. Files without stats are kept (never prune
-    * on missing information). Only non-identity transforms are
-    * prunable (see [[prunableColumns]]).
+    * on missing information). Prunable: year/month/day/hour/bucket
+    * transforms plus identity over integral/string base columns (see
+    * [[prunableColumns]]).
     */
   def pruneDataFiles(
       partCol: String, lower: Option[String], upper: Option[String]): Seq[String] = {
@@ -2255,7 +2274,7 @@ final class IceliteTable private (
     val listed = listParquetInfos(out)
     val files = listed.map(_._1)
     val sizes = listed.toMap
-    val statCols = prunableColumns(partitioning) ++ extraStatCols
+    val statCols = prunableColumns(partitioning, df.schema) ++ extraStatCols
     val infos = files.map(f => f -> footerInfo(f, statCols))
     val stats = infos.collect { case (f, (_, s)) if s.nonEmpty => f -> s }.toMap
     val metrics = infos.map { case (f, (rows, _)) => f -> (rows, sizes(f)) }.toMap

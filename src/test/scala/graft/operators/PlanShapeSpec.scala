@@ -112,6 +112,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(scans == 1, s"expected 1 events scan, got $scans:\n$pe")
   }
 
+  test("compaction planner packs within partition groups (partitioned window, no global funnel)") {
+    val pe = SparkEntry.queries("table_compaction_plan")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val windows = pe.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, s"no window in plan:\n$pe")
+    assert(windows.forall(_.contains("pbucket")),
+      s"every planner window must partition by pbucket:\n${windows.mkString("\n")}")
+  }
+
   test("pii redaction is a row-local projection (no shuffle before the sort)") {
     // string count, not collect: AQE hides the subtree from collect()
     val pe = SparkEntry.queries("pii_redact")(spark, dir)

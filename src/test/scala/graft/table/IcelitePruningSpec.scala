@@ -203,6 +203,33 @@ class IcelitePruningSpec extends AnyFunSuite with SparkFixture {
     assert(t.read().count() == 9 + 10 + 9 + 1)
   }
 
+  test("identity partition columns record footer stats and prune files") {
+    import graft.config.PartitionConfig
+    val pconf = PartitionConfig("id", "identity")
+    val t = IceliteTable.create(spark, freshWarehouse(), "ns", "idp",
+      kvSchema, partitioning = Seq(pconf))
+    t.append(kv((1L to 5L).map(i => (java.lang.Long.valueOf(i), i * 1.0)): _*))
+    t.append(kv((100L to 105L).map(i => (java.lang.Long.valueOf(i), i * 1.0)): _*))
+    val pcol = IceliteTable.partColName(pconf)
+    val all = t.meta.snapshots.flatMap(_.dataFiles)
+    val lowOnly = t.pruneDataFiles(pcol, Some("1"), Some("50"))
+    assert(lowOnly.toSet == t.meta.snapshots.head.dataFiles.toSet,
+      s"identity stats must prune the high-range file (kept $lowOnly of $all)")
+    // pruned range read returns exactly the rows a full read would
+    val got = t.readRange(pcol, Some("1"), Some("50"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 5L))
+  }
+
+  test("identity partitions over unsound base types stay unprunable (no bad comparator)") {
+    import graft.config.PartitionConfig
+    val t = IceliteTable.create(spark, freshWarehouse(), "ns", "idd",
+      kvSchema, partitioning = Seq(PartitionConfig("v", "identity")))
+    t.append(kv((1L, 1.5)))
+    val pcol = IceliteTable.partColName(PartitionConfig("v", "identity"))
+    intercept[IllegalArgumentException] { t.pruneDataFiles(pcol, Some("0"), None) }
+  }
+
   test("keyStatColumns resolves case-insensitively (Spark default) with canonical names") {
     val t = IceliteTable.create(spark, freshWarehouse(), "ns", "cikv", StructType(Seq(
       StructField("TenantId", StringType), StructField("v", DoubleType))))
