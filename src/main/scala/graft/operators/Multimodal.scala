@@ -81,6 +81,23 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"),
         col("source").as("format"))
 
+  /** Single-byte payload guard for the BYTE-oriented stub pipelines
+    * (audio PCM frames, pHash windows): the engine walks payload
+    * BYTES while the DuckDB oracle indexes text by CHARACTER, and the
+    * two only coincide when every character is one byte. Enforced as
+    * an explicit filter on BOTH sides (`octet_length(encode(text)) =
+    * len(text)` in the oracle) rather than assumed of the fixtures —
+    * a non-ASCII document is simply outside these stubs' domain, the
+    * way a real pipeline routes non-PCM payloads away from a PCM
+    * analyzer.
+    */
+  private def singleByteDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(length(encode(col("text"), "UTF-8")) === length(col("text")))
+
+  /** Oracle-side rendering of the [[singleByteDocs]] guard. */
+  private val singleByteSql = "octet_length(encode(text)) = len(text)"
+
   /** Executor-side batch decode: one decoder instantiation per
     * partition, streaming over the partition's rows — never a
     * per-row UDF re-setup, never a driver collect.
@@ -211,8 +228,8 @@ object Multimodal {
     */
   def audioQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val frames = mediaTable(spark, dir)
-      .select(col("doc_id"), col("payload"))
+    val frames = singleByteDocs(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
@@ -244,7 +261,7 @@ object Multimodal {
     s"""WITH chars AS (
        |  SELECT doc_id, len(text) AS n, i, abs(ord(substr(text, i, 1)) - 64) AS a
        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) u
-       |  WHERE len(text) >= $AudioFrameSamples),
+       |  WHERE len(text) >= $AudioFrameSamples AND $singleByteSql),
        |frames AS (
        |  SELECT doc_id, (i - 1) // $AudioFrameSamples AS f,
        |    CAST(sum(a) AS BIGINT) AS energy,
@@ -310,7 +327,7 @@ object Multimodal {
     * which a real pipeline must recognize as a duplicate).
     */
   private[operators] def phashCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    val docs = singleByteDocs(spark, dir)
       .filter(length(col("text")) >= PhashMinBytes)
     val originals = docs.select(
       col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -412,11 +429,11 @@ object Multimodal {
   private val phashOracleCtes =
     s"""media AS (
        |  SELECT doc_id AS media_id, text AS payload
-       |  FROM documents WHERE len(text) >= $PhashMinBytes
+       |  FROM documents WHERE len(text) >= $PhashMinBytes AND $singleByteSql
        |  UNION ALL
        |  SELECT doc_id + $PhashVariantOffset,
        |    substr(text, 1, len(text) - len(text) // 20)
-       |  FROM documents WHERE len(text) >= $PhashMinBytes),
+       |  FROM documents WHERE len(text) >= $PhashMinBytes AND $singleByteSql),
        |cells AS (
        |  SELECT media_id, i,
        |    CASE WHEN CAST(concat('0x', substr(md5(

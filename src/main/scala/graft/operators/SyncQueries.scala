@@ -420,7 +420,7 @@ object SyncQueries {
           .otherwise(col("o_totalprice") + 1.0)), Seq("_id"))
     feed.exportAvailable()
     drainApply() // consumer 2nd cycle resumes: s3 + s4 only
-    replica.read()
+    graft.streaming.ChangelogFeed.replicaState(replica)
       .select(col("_id"), col("o_orderkey"), col("o_totalprice"))
       .orderBy("_id")
   }

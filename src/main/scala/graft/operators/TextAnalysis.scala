@@ -528,6 +528,17 @@ object TextAnalysis {
   /** Shared trainer CTE chain ending in `b1..bK` (one learned merge
     * each) — the merge-table query and the tokenizer apply both build
     * on it.
+    *
+    * Every `b$k` is TOTAL (exactly one row): when round k has no
+    * learnable pair left (`p$k` empty — trainer exhaustion), the LEFT
+    * JOIN emits a `is_real = FALSE` fallback whose replace pattern
+    * (four consecutive spaces — the spaced vocabulary never contains a
+    * run longer than two) is a no-op, so the `v$k`/`s$k` chains carry
+    * the vocabulary through unchanged instead of a cross join against
+    * an empty CTE emptying everything downstream. The engine stops
+    * learning at the same round (its per-round argmax collect comes
+    * back empty), so fallback rounds mirror its frozen vocabulary
+    * exactly; the merges query filters fallbacks out with `is_real`.
     */
   private val bpeOracleCtes: String = {
     val rounds = (1 to BpeMergeRounds).map { k =>
@@ -538,7 +549,11 @@ object TextAnalysis {
          |    FROM (SELECT cnt, string_split(trim(v), '  ') AS a FROM v${k - 1}) t
          |    WHERE len(a) >= 2) s
          |  GROUP BY 1, 2),
-         |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |b$k AS (
+         |  SELECT coalesce(t.l, '') AS l, coalesce(t.r, '') AS r,
+         |    coalesce(t.c, 0) AS c, t.l IS NOT NULL AS is_real
+         |  FROM (SELECT 1 AS one) o LEFT JOIN
+         |    (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1) t ON TRUE),
          |v$k AS (
          |  SELECT replace(v.v, ' ' || b.l || '  ' || b.r || ' ',
          |    ' ' || b.l || b.r || ' ') AS v, v.cnt
@@ -555,7 +570,8 @@ object TextAnalysis {
 
   private val bpeMergesOracle: String = {
     val out = (1 to BpeMergeRounds).map { k =>
-      s"SELECT $k AS step, l AS merge_left, r AS merge_right, c AS pair_count FROM b$k"
+      s"SELECT $k AS step, l AS merge_left, r AS merge_right, c AS pair_count " +
+        s"FROM b$k WHERE is_real"
     }.mkString("\n  UNION ALL ")
     s"""WITH $bpeOracleCtes
        |SELECT * FROM (

@@ -100,32 +100,55 @@ final class ChangelogFeed(
   }
 
   /** Apply one changelog micro-batch to `replica`: latest event per
-    * key wins (postimages/inserts upserted, deletes deleted, preimages
-    * dropped), committed as ONE snapshot (the S5 apply shape, same as
-    * the change-stream sink) — the equality-delete covers EVERY touched
-    * key, clearing each key's prior version, while this commit's own
-    * upsert rows survive it by seq LWW. IDEMPOTENT by construction:
-    * re-applying the same batch recomputes the same final per-key
-    * images, so foreachBatch's at-least-once replay window (crash
-    * between the commit and the consumer checkpoint advancing) cannot
-    * diverge the replica — [[ChangelogFeedSpec]] proves re-apply is a
-    * state no-op.
+    * key wins WITHIN the batch (preimages dropped), and two stored
+    * guard columns enforce LWW ACROSS batches — every event (deletes
+    * included, as `_cdc_deleted` TOMBSTONE rows) upserts a row carrying
+    * its `_commit_seq`, and a matched row only updates when the event's
+    * seq is at or above the stored one. So even if one drain spans
+    * several micro-batches and file discovery interleaves commit seqs,
+    * a later batch can neither roll a key back to an older image NOR
+    * resurrect a key a newer-seq delete removed (the tombstone out-seqs
+    * the stale insert). Committed as ONE merge snapshot; older events
+    * classify as skip and write nothing. IDEMPOTENT by construction:
+    * re-applying the same batch re-matches at equal seq (the guard is
+    * `>=`) and rewrites the same images, so foreachBatch's
+    * at-least-once replay window (crash between the commit and the
+    * consumer checkpoint advancing) cannot diverge the replica —
+    * [[ChangelogFeedSpec]] proves re-apply is a state no-op and that
+    * out-of-order older batches are rejected. Consumers read the live
+    * state through [[ChangelogFeed.replicaState]] (tombstones and
+    * guard columns filtered); tombstones of long-dead keys compact
+    * away under the table's normal maintenance (`deleteWhere` on aged
+    * tombstones), the standard CDC-mirror retention knob.
     */
   private[streaming] def applyBatch(
       batch: DataFrame, replica: IceliteTable, keyCols: Seq[String]): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val seqCol = IceliteTable.CommitSeqCol
+    val typeCol = IceliteTable.ChangeTypeCol
+    // first apply evolves the replica to carry the guard columns
+    if (!replica.schema.fieldNames.contains(seqCol) ||
+        !replica.schema.fieldNames.contains(ChangelogFeed.DeletedCol))
+      replica.addColumns(StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          seqCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          ChangelogFeed.DeletedCol, org.apache.spark.sql.types.BooleanType))))
     val dataCols = table.schema.fieldNames.toSeq
     val latest = batch
-      .filter(col(IceliteTable.ChangeTypeCol) =!= "update_preimage")
+      .filter(col(typeCol) =!= "update_preimage")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(IceliteTable.CommitSeqCol).desc)))
+          .orderBy(col(seqCol).desc)))
       .filter(col("__rn") === 1)
-    val touched = latest.select(keyCols.map(col): _*)
-    val ups = latest.filter(col(IceliteTable.ChangeTypeCol) =!= "delete")
-      .select(dataCols.map(col): _*)
-    if (!touched.isEmpty)
-      replica.applyChanges(ups, touched, keyCols)
+      .withColumn(ChangelogFeed.DeletedCol, col(typeCol) === "delete")
+      .select((dataCols :+ seqCol :+ ChangelogFeed.DeletedCol).map(col): _*)
+    if (latest.isEmpty) return
+    // null stored seq (pre-guard rows) counts as older than any event
+    val newer = col(s"s.$seqCol") >= coalesce(col(s"t.$seqCol"), lit(Long.MinValue))
+    replica.merge(latest, keyCols,
+      matchedUpdate = Some(newer),
+      notMatchedInsert = Some(lit(true)))
     ()
   }
 
@@ -220,5 +243,26 @@ final class ChangelogFeed(
   private def readString(p: Path): String = {
     val in = fs.open(p)
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+}
+
+object ChangelogFeed {
+
+  /** Tombstone marker column a [[ChangelogFeed.replicateOnce]] replica
+    * carries: deletes upsert a `true` row instead of removing the key,
+    * so a stale out-of-order insert can never resurrect a deleted key
+    * (the tombstone's `_commit_seq` out-ranks it).
+    */
+  val DeletedCol = "_cdc_deleted"
+
+  /** The LIVE state of a replica maintained by [[ChangelogFeed
+    * .replicateOnce]]: tombstoned keys filtered out, guard columns
+    * dropped — what a downstream reader of the mirror consumes.
+    */
+  def replicaState(replica: IceliteTable): DataFrame = {
+    val r = replica.read()
+    if (!r.columns.contains(DeletedCol)) r
+    else r.filter(!coalesce(col(DeletedCol), lit(false)))
+      .drop(DeletedCol, IceliteTable.CommitSeqCol)
   }
 }

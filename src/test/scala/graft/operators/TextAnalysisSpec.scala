@@ -61,6 +61,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((5L, 20L, 5L)))
   }
 
+  test("BPE trainer exhaustion: fewer learnable merges than rounds stops cleanly, tokenize still counts") {
+    import spark.implicits._
+    // single-char words: no pair ever exists -> zero merges, tokenize
+    // emits per-doc counts over the unmerged vocabulary (matches the
+    // oracle's total b_k fallback chain, hand-run in DuckDB)
+    val flat = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeMergesOn(spark, flat).collect().isEmpty)
+    val r0 = TextAnalysis.bpeTokenizeOn(spark, flat).collect().head
+    assert((r0.getLong(1), r0.getLong(2), r0.getLong(3)) == ((4L, 4L, 4L)))
+    // two learnable merges, then exhaustion mid-rounds
+    val two = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMergesOn(spark, two).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m == Seq((1, "a", "b", 2L), (2, "c", "d", 1L)))
+    val r1 = TextAnalysis.bpeTokenizeOn(spark, two).collect().head
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((3L, 6L, 3L)))
+  }
+
   test("foreign-LM filter: unseen transitions pay the uniform backoff, en-trained LM ranks en lowest") {
     val dir = "/root/testdata/sf0.001"
     val rows = TextAnalysis.lmScoreForeign(spark, dir).collect()

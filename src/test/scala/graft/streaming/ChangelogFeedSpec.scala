@@ -76,9 +76,9 @@ class ChangelogFeedSpec extends AnyFunSuite with SparkFixture {
     val feed = new ChangelogFeed(src, Files.createTempDirectory("feed-dir").toString)
     val ck = Files.createTempDirectory("feed-ck").toString
     def states() = {
-      def st(t: IceliteTable) = t.read().select("id", "grp", "score")
+      def st(df: org.apache.spark.sql.DataFrame) = df.select("id", "grp", "score")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
-      (st(src), st(rep))
+      (st(src.read()), st(ChangelogFeed.replicaState(rep)))
     }
     // cycle 1: inserts + an update pair in one drain
     src.upsert(rows((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)), Seq("id"))
@@ -110,13 +110,37 @@ class ChangelogFeedSpec extends AnyFunSuite with SparkFixture {
     src.delete(rows((2L, "b", 0.0)).select("id"), Seq("id"))
     feed.exportAvailable()
     val batch = spark.read.schema(feed.schema).parquet(feed.feedDir)
-    def state() = rep.read().select("id", "grp", "score")
+    def state() = ChangelogFeed.replicaState(rep).select("id", "grp", "score")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     feed.applyBatch(batch, rep, Seq("id"))
     val once = state()
     assert(once == Set((1L, "a", 7.0)))
     feed.applyBatch(batch, rep, Seq("id")) // crash-replay of the same batch
     assert(state() == once, "replayed batch must not diverge the replica")
+  }
+
+  test("an older-seq batch applied after a newer one can neither roll back nor resurrect") {
+    val wh = Files.createTempDirectory("feed-wh-ooo").toString
+    val src = IceliteTable.create(spark, wh, "ns", "ooo_src", rows().schema)
+    val rep = IceliteTable.create(spark, wh, "ns", "ooo_dst", rows().schema)
+    val feed = new ChangelogFeed(src, Files.createTempDirectory("feed-dir-ooo").toString)
+    src.upsert(rows((1L, "old", 1.0), (2L, "b", 2.0)), Seq("id")) // seq 1
+    src.upsert(rows((1L, "new", 9.0)), Seq("id")) // seq 2
+    src.delete(rows((2L, "b", 0.0)).select("id"), Seq("id")) // seq 3
+    feed.exportAvailable()
+    val all = spark.read.schema(feed.schema).parquet(feed.feedDir)
+    def state() = ChangelogFeed.replicaState(rep).select("id", "grp", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    import org.apache.spark.sql.functions.col
+    // newer events land first (one micro-batch), older events later —
+    // the interleaving a multi-batch drain with unlucky file discovery
+    // order would produce
+    feed.applyBatch(all.filter(col("_commit_seq") >= 2), rep, Seq("id"))
+    assert(state() == Set((1L, "new", 9.0)))
+    feed.applyBatch(all.filter(col("_commit_seq") === 1), rep, Seq("id"))
+    assert(state() == Set((1L, "new", 9.0)),
+      "older-seq events must neither overwrite newer state (key 1) " +
+        "nor resurrect a newer-seq-deleted key (key 2 tombstone)")
   }
 
   test("export is idempotent: a retried/redone export rewrites nothing") {
