@@ -908,9 +908,87 @@ object Dedup {
          |  s.n_members > $SemMaxClusterSize AS capped
          |FROM sizes s LEFT JOIN drops d USING (cid) ORDER BY cluster_id""".stripMargin
 
+  // ------------------------------------- line-level boilerplate removal
+
+  /** "Line" width in words: the fixture corpus carries no newlines, so
+    * a line is a fixed non-overlapping word window — the same
+    * segmentation a CCNet-style line dedup applies to newline-free
+    * content. Real newline-delimited corpora swap the segmenter, not
+    * the index.
+    */
+  val LineWords = 4
+
+  /** A line shared by MORE distinct docs than this is corpus
+    * boilerplate (header/footer/nav frames) and is dropped from every
+    * doc that carries it.
+    */
+  val LineMaxDocDf = 5
+
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * gate): segment every doc into [[LineWords]]-word lines, key each
+    * by [[phash60]] (8-byte keys through the index — the shingle-index
+    * rule), count each line's DISTINCT-doc df, and drop from every doc
+    * the lines shared by more than [[LineMaxDocDf]] docs; emits the
+    * per-doc retention ledger (lines kept/dropped, chars dropped).
+    *
+    * Scale shape: one hash agg over 8-byte line keys builds the df
+    * index (no candidate pairs exist anywhere in this operator — the
+    * quadratic risk the shingle joins must cap simply never arises);
+    * the boilerplate subset is ∝ corpus/(df+1) and joins back by hash.
+    * The segment stream is materialized once and feeds both the index
+    * build and the flag join.
+    */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOn(t(spark, dir, "documents"))
+
+  private[operators] def lineDedupOn(docs: DataFrame): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, cast(ceil(size(a) / $LineWords.0) as int) - 1), " +
+          s"s -> array_join(slice(a, s * $LineWords + 1, $LineWords), ' '))")).as("seg"))
+    val hashed = segs
+      .select(col("doc_id"), length(col("seg")).cast("long").as("nc"),
+        phash60(col("seg")).as("h"))
+      .localCheckpoint(true) // feeds the df index AND the flag join
+    val boiler = hashed.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > LineMaxDocDf)
+      .select(col("h"), lit(true).as("_drop"))
+    hashed.join(boiler, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("_drop").isNull, 1L).otherwise(0L)).as("lines_kept"),
+        sum(when(col("_drop").isNotNull, 1L).otherwise(0L)).as("lines_dropped"),
+        sum(when(col("_drop").isNotNull, col("nc")).otherwise(0L)).as("chars_dropped"))
+      .orderBy("doc_id")
+  }
+
+  private val lineDedupOracle: String =
+    s"""WITH segs AS (
+       |  SELECT doc_id, array_to_string(a[(s * $LineWords + 1):((s + 1) * $LineWords)], ' ') AS seg
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) w,
+       |  LATERAL (SELECT unnest(generate_series(0,
+       |    CAST(ceil(len(a) / $LineWords.0) AS INT) - 1)) AS s) u),
+       |hashed AS (
+       |  SELECT doc_id, CAST(len(seg) AS BIGINT) AS nc,
+       |    ${phash60Sql("seg")} AS h
+       |  FROM segs),
+       |boiler AS (
+       |  SELECT h FROM hashed GROUP BY h
+       |  HAVING count(DISTINCT doc_id) > $LineMaxDocDf)
+       |SELECT hashed.doc_id,
+       |  CAST(sum(CASE WHEN b.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lines_kept,
+       |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lines_dropped,
+       |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN nc ELSE 0 END) AS BIGINT) AS chars_dropped
+       |FROM hashed LEFT JOIN boiler b ON hashed.h = b.h
+       |GROUP BY hashed.doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_line_dedup", lineDedup _, Some(lineDedupOracle),
+      "line-level boilerplate removal: hashed line df index, drop lines shared by > N docs"),
     GraftQuery("dedup_semantic", semanticDedup _, Some(semanticDedupOracle),
       "SemDeDup: k-means cluster blocking + within-cluster exact cosine, drop higher id"),
     GraftQuery("dedup_exact", exact _, Some(exactOracle),
