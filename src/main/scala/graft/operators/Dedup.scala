@@ -779,9 +779,14 @@ object Dedup {
       .orderBy("cluster_id", "doc_id")
   }
 
-  private val keepBestOracle: String = {
-    s"""WITH RECURSIVE $clusterOracleCtes,
-       |csize AS (
+  /** Oracle CTE block appended after [[clusterOracleCtes]], ending in
+    * `ranked(doc_id, cluster_id, cluster_size, quality, text_len, rn)`
+    * — the survivor ranking shared verbatim by [[keepBest]]'s oracle
+    * and the composed corpus query (`Pipeline.corpusFinal`), so the two
+    * can never disagree on which cluster member survives.
+    */
+  private[operators] val survivorOracleCtes: String =
+    s"""csize AS (
        |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id),
        |scored AS (
        |  SELECT doc_id,
@@ -795,7 +800,11 @@ object Dedup {
        |    row_number() OVER (PARTITION BY c.cluster_id
        |      ORDER BY q.quality DESC, q.text_len DESC, c.id ASC) AS rn
        |  FROM comp c JOIN csize s USING (cluster_id)
-       |  JOIN scored q ON q.doc_id = c.id)
+       |  JOIN scored q ON q.doc_id = c.id)""".stripMargin
+
+  private val keepBestOracle: String = {
+    s"""WITH RECURSIVE $clusterOracleCtes,
+       |$survivorOracleCtes
        |SELECT doc_id, cluster_id, cluster_size, quality, text_len,
        |  rn = 1 AS keep
        |FROM ranked ORDER BY cluster_id, doc_id""".stripMargin

@@ -567,9 +567,165 @@ object Pipeline {
        |FROM sweep ORDER BY q_min""".stripMargin
   }
 
+  // ------------------------------------------- end-to-end corpus artifact
+
+  /** THE composed deliverable of the curation suite: every gate the
+    * standalone queries expose, run as ONE plan, emitting the manifest
+    * a training run actually consumes — per (source, split): documents
+    * entering, surviving each gate (cumulatively, in pipeline order),
+    * and the final post-mixture document/token mass.
+    *
+    * Stage order (each flag IDENTICAL to its standalone query, so the
+    * attritions reconcile — asserted by `CorpusFinalSpec`):
+    *   1. eval-suite exclusion (doc_id % [[Hygiene.BenchMod]] — the
+    *      docs standing in for the benchmark are not corpus),
+    *   2. quality gate (`text_quality` points ≥ 8, as `curation_funnel`),
+    *   3. near-dup survivor selection (`dedup_keep_best` — docs outside
+    *      any cluster survive by definition),
+    *   4. n-gram decontamination (`decontam_overlap`: any df-capped
+    *      5-gram shared with the eval suite flags the doc),
+    *   5. semantic decontamination (`decontam_semantic`: embedding
+    *      cosine ≥ threshold vs any eval vector; docs without an
+    *      embedding pass — vec_id is the doc_id of the embedded subset),
+    *   6. leakage-free split (`split_group_aware`: the split hashes the
+    *      dup-cluster root, never the doc),
+    *   7. mixture apply (`mix_apply`'s integer-threshold draw, with the
+    *      per-source token totals computed over the CURATED corpus —
+    *      the plan a real run derives after cleaning, not before; the
+    *      draw is salted 'cf' so it is independent of `mix_apply`'s).
+    *
+    * Scale shape: gates 1/2 are scan-local projections; 3–5 left-join
+    * maps proportional to the duplicated/contaminated subsets (tiny
+    * next to the corpus — AQE broadcasts them), each served from the
+    * persisted shingle index / memoized LSH pair set, so no stage
+    * re-derives what an index already holds; 6/7 are stateless hash
+    * decisions; the only full-corpus shuffle is the final (source,
+    * split) hash-agg, whose partial aggregation reduces map-side to
+    * K·3 rows per task.
+    */
+  def corpusFinal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(col("doc_id") % Hygiene.BenchMod =!= 0)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        TextAnalysis.qualityPoints(col("text")).as("pts"))
+    val survivors = Dedup.keepBest(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("keep").as("dedup_keep"))
+    val ngramBad = Hygiene.decontamOverlap(spark, dir)
+      .select(col("doc_id"), lit(true).as("ngram_bad"))
+    val semBad = Hygiene.decontamSemantic(spark, dir)
+      .select(col("vec_id").as("doc_id"), lit(true).as("sem_bad"))
+    val bucket = pmod(phash(concat(lit("grp:"), col("group_id").cast("string"))), lit(100))
+    val flags = docs
+      .join(survivors, Seq("doc_id"), "left")
+      .join(ngramBad, Seq("doc_id"), "left")
+      .join(semBad, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("nt"), col("pts"),
+        coalesce(col("dedup_keep"), lit(true)).as("dedup_keep"),
+        coalesce(col("ngram_bad"), lit(false)).as("ngram_bad"),
+        coalesce(col("sem_bad"), lit(false)).as("sem_bad"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test"))
+      .withColumn("q_ok", col("pts") >= 8)
+      .withColumn("surv",
+        col("q_ok") && col("dedup_keep") && !col("ngram_bad") && !col("sem_bad"))
+    val thresholds = flags.filter(col("surv"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("total_tokens"))
+      .withColumn("target_tokens", min(col("total_tokens")).over(Window.partitionBy()))
+      .select(col("source"),
+        expr(s"target_tokens * $MixRes DIV total_tokens").as("keep_threshold"))
+    val draw = pmod(phash(concat_ws(":", lit("cf"), col("source"), col("doc_id").cast("string"))),
+      lit(MixRes))
+    flags.join(broadcast(thresholds), Seq("source"), "left")
+      .withColumn("mix_keep",
+        coalesce(col("surv") && draw < col("keep_threshold"), lit(false)))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("q_ok") && col("dedup_keep"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("surv"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("mix_keep"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("mix_keep"), col("nt")).otherwise(0L)).as("tokens_final"))
+      .orderBy("source", "split")
+  }
+
+  private val corpusFinalOracle: String = {
+    val grpB = phashSql("'grp:' || CAST(group_id AS VARCHAR)")
+    val drawSql = phashSql("concat_ws(':', 'cf', f.source, CAST(f.doc_id AS VARCHAR))")
+    s"""WITH RECURSIVE ${Dedup.clusterOracleCtes},
+       |${Dedup.survivorOracleCtes},
+       |bench AS (SELECT DISTINCT s FROM e WHERE doc_id % ${Hygiene.BenchMod} = 0),
+       |ngram_bad AS (
+       |  SELECT DISTINCT e.doc_id FROM e JOIN bench USING (s)
+       |  WHERE e.doc_id % ${Hygiene.BenchMod} <> 0),
+       |emb AS (SELECT vec_id, embedding FROM embeddings),
+       |velems AS (
+       |  SELECT vec_id, embedding[i] AS val, i FROM emb,
+       |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+       |vnorms AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS nsq
+       |  FROM velems GROUP BY vec_id),
+       |vdots AS (
+       |  SELECT c.vec_id AS vec_id, q.vec_id AS q_id,
+       |    CAST(sum(CAST(CAST(c.val AS DOUBLE) * CAST(q.val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM velems c JOIN velems q ON c.i = q.i
+       |    AND q.vec_id < ${Similarity.NumQueries} AND c.vec_id >= ${Similarity.NumQueries}
+       |  GROUP BY 1, 2),
+       |sem_bad AS (
+       |  SELECT DISTINCT d.vec_id AS doc_id
+       |  FROM vdots d
+       |  JOIN vnorms nc ON d.vec_id = nc.vec_id
+       |  JOIN vnorms nq ON d.q_id = nq.vec_id
+       |  WHERE round(dot / (sqrt(nc.nsq) * sqrt(nq.nsq)), 12)
+       |        >= ${Hygiene.SemDecontamThreshold}),
+       |base AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+       |    ${TextAnalysis.qualityPointsSql("d.text")} AS pts,
+       |    coalesce(r.rn = 1, TRUE) AS dedup_keep,
+       |    d.doc_id IN (SELECT doc_id FROM ngram_bad) AS ngram_bad,
+       |    d.doc_id IN (SELECT doc_id FROM sem_bad) AS sem_bad,
+       |    coalesce(c.cluster_id, d.doc_id) AS group_id
+       |  FROM documents d
+       |  LEFT JOIN comp c ON c.id = d.doc_id
+       |  LEFT JOIN ranked r ON r.doc_id = d.doc_id
+       |  WHERE d.doc_id % ${Hygiene.BenchMod} <> 0),
+       |flags AS (
+       |  SELECT *,
+       |    CASE WHEN b < 80 THEN 'train'
+       |         WHEN b < 90 THEN 'validation'
+       |         ELSE 'test' END AS split,
+       |    pts >= 8 AS q_ok,
+       |    (pts >= 8 AND dedup_keep AND NOT ngram_bad AND NOT sem_bad) AS surv
+       |  FROM (SELECT *, $grpB % 100 AS b FROM base) x),
+       |thr AS (
+       |  SELECT source,
+       |    CAST(min(total_tokens) OVER () AS BIGINT) * $MixRes // total_tokens
+       |      AS keep_threshold
+       |  FROM (
+       |    SELECT source, CAST(sum(nt) AS BIGINT) AS total_tokens
+       |    FROM flags WHERE surv GROUP BY 1) s),
+       |fin AS (
+       |  SELECT f.source, f.split, f.nt, f.q_ok, f.dedup_keep, f.surv,
+       |    coalesce(f.surv AND $drawSql % $MixRes < t.keep_threshold, FALSE) AS mix_keep
+       |  FROM flags f LEFT JOIN thr t USING (source))
+       |SELECT source, split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(sum(CASE WHEN q_ok AND dedup_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       |  CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       |  CAST(sum(CASE WHEN mix_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       |  CAST(sum(CASE WHEN mix_keep THEN nt ELSE 0 END) AS BIGINT) AS tokens_final
+       |FROM fin GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("corpus_final", corpusFinal _, Some(corpusFinalOracle),
+      "end-to-end curated-corpus manifest: quality → keep-best → decontam → split → mixture, per (source, split)"),
     GraftQuery("mix_rates", mixRates _, Some(mixRatesOracle),
       "data-mixture plan: per-source downsampling rates to a uniform token target"),
     GraftQuery("mix_temperature", mixTemperature _, Some(mixTemperatureOracle),
