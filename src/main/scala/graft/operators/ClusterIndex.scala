@@ -77,6 +77,20 @@ object ClusterIndex {
   def ivfCells(spark: SparkSession, dir: String): DataFrame =
     readTable(spark, dir, "ivf_cells")(ensureIvf(spark, dir))
 
+  /** Persisted PQ code table (vec_id, m, cid) — the corpus as
+    * [[Similarity.PqM]] small integers per vector, what
+    * [[Similarity.topkPq]]'s ADC scan reads instead of float vectors.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    readTable(spark, dir, "pq_codes")(ensurePq(spark, dir))
+
+  /** Persisted PQ codebooks (m, cid, j, cval) — the frozen per-subspace
+    * centroid model: ADC lookup tables derive from it per query, and
+    * [[appendVectors]] encodes later batches under it.
+    */
+  def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    readTable(spark, dir, "pq_codebooks")(ensurePq(spark, dir))
+
   /** Registered k-means parameter points for dataset `dir`: the report
     * K and the ingest-frozen corpus-scaled semantic-dedup k.
     */
@@ -94,6 +108,7 @@ object ClusterIndex {
   def ensureBuilt(spark: SparkSession, dir: String): Unit = {
     points(spark, dir).foreach { case (k, i) => ensurePoint(spark, dir, k, i) }
     ensureIvf(spark, dir)
+    ensurePq(spark, dir)
   }
 
   /** INCREMENTAL maintenance: a new embeddings batch (vec_id, label,
@@ -119,6 +134,10 @@ object ClusterIndex {
       readTable(spark, dir, "ivf_centroids")(ensureIvf(spark, dir)))
     IceliteTable.load(spark, wh, Ns, "ivf_cells").append(cells)
     served.invalidate(spark, s"$dir#ivf_cells")
+    ensurePq(spark, dir)
+    val pqAssigned = Similarity.pqAssign(batch, pqCodebooks(spark, dir))
+    IceliteTable.load(spark, wh, Ns, "pq_codes").append(pqAssigned)
+    served.invalidate(spark, s"$dir#pq_codes")
   }
 
   /** Memoized cached read of one index table. The hot path is one
@@ -160,6 +179,25 @@ object ClusterIndex {
         if (!haveC) IceliteTable.create(spark, wh, Ns, ct, c.schema).append(c)
       }
     }
+
+  /** Create-once PQ pair: ONE trainer chain feeds BOTH the code table
+    * and the codebooks, so the persisted pair is consistent by
+    * construction (the codes are the assignment under exactly those
+    * codebooks).
+    */
+  private def ensurePq(spark: SparkSession, dir: String): Unit = synchronized {
+    val wh = warehouseFor(dir)
+    val haveCodes = IceliteTable.exists(spark, wh, Ns, "pq_codes")
+    val haveBooks = IceliteTable.exists(spark, wh, Ns, "pq_codebooks")
+    if (!haveCodes || !haveBooks) {
+      builds.incrementAndGet()
+      val (codes, books) = Similarity.pqTrain(spark, dir)
+      if (!haveCodes)
+        IceliteTable.create(spark, wh, Ns, "pq_codes", codes.schema).append(codes)
+      if (!haveBooks)
+        IceliteTable.create(spark, wh, Ns, "pq_codebooks", books.schema).append(books)
+    }
+  }
 
   /** Create-once IVF pair: cells + the frozen per-label centroids. */
   private def ensureIvf(spark: SparkSession, dir: String): Unit = synchronized {

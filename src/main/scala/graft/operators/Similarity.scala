@@ -549,6 +549,238 @@ object Similarity {
        |SELECT q_id, vec_id, cosine_q8, rank FROM ranked
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // --------------------------------------------- product quantization
+
+  /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims each (64-dim
+    * vectors), [[PqK]] codes per subspace — each corpus vector stores
+    * PqM·log2(PqK) bits instead of 64 floats, the memory-bound ANN
+    * standard one step past SQ8 (a production setup uses m=8..16,
+    * k=256 — the dials scale, the pipeline does not change).
+    */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 8
+
+  /** Assignment passes of the PQ trainer (assign → update → assign,
+    * like [[Clustering.Iters]]); the oracle unrolls the same count.
+    */
+  val PqIters = 2
+
+  /** ADC candidates exact-rescored per query (the PQ recall dial). */
+  val PqRerank = 20
+
+  private val Dec = "decimal(38,20)"
+
+  /** (id, m, j, val) subvector elements: dim i (1-based) lands in
+    * subspace m = (i-1) div [[PqSubDim]] at offset j = (i-1) mod
+    * [[PqSubDim]] + 1 — the relational shape every PQ pass runs on.
+    */
+  private def pqSubElems(df: DataFrame, idCol: String): DataFrame = df
+    .select(col("vec_id").as(idCol), posexplode(col("embedding")).as(Seq("i0", "v")))
+    .select(col(idCol), expr(s"i0 DIV $PqSubDim").cast("int").as("m"),
+      (col("i0") % PqSubDim + 1).cast("int").as("j"),
+      col("v").cast("double").as("val"))
+
+  /** Assignment of subvector elements under EXPLICIT codebooks
+    * (m, cid, j, cval): exact-decimal squared-L2 per (vector, subspace,
+    * code), argmin by (dist asc, cid asc). Shared by the trainer and
+    * the incremental batch path ([[pqAssign]]) so both are
+    * bit-identical by construction. PQ distances are L2, not cosine —
+    * subvector norms carry signal, so the spherical sum-for-mean trick
+    * does not apply; codebook centroids are component MEANS (exact
+    * decimal sum ÷ integer count, one IEEE division per component).
+    */
+  private def pqAssignUnder(elems: DataFrame, books: DataFrame): DataFrame = {
+    val dist = elems.join(broadcast(books), Seq("m", "j"))
+      .groupBy(col("vec_id"), col("m"), col("cid"))
+      .agg(sum(((col("val") - col("cval")) * (col("val") - col("cval"))).cast(Dec))
+        .cast("double").as("dist"))
+    val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(asc("dist"), asc("cid"))
+    dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid"))
+  }
+
+  /** Assign a NEW vector batch under FROZEN persisted codebooks — the
+    * incremental index-maintenance path ([[ClusterIndex.appendVectors]]):
+    * one broadcast of the m·k×subdim codebook table against a linear
+    * batch scan, no re-training, no corpus scan.
+    */
+  def pqAssign(batch: DataFrame, books: DataFrame): DataFrame =
+    pqAssignUnder(pqSubElems(batch, "vec_id"), books)
+
+  /** PQ trainer: all [[PqM]] subspace codebooks in ONE Lloyd chain
+    * (the subspace id is just a grouping column — each round is one
+    * broadcast of the m·k×subdim codebook table against a linear scan
+    * of the exploded corpus, exactly the [[Clustering]] sweep shape).
+    * Seeds are the first [[PqK]] CORPUS vectors' subvectors (cid =
+    * vec_id − [[NumQueries]]), so both engines converge through
+    * identical states. Returns (codes, codebooks) from one chain —
+    * the codes are the assignment under exactly those codebooks, the
+    * pair [[ClusterIndex]] persists together.
+    */
+  private[operators] def pqTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val elems = pqSubElems(
+      embWithNorms(spark, dir).filter(col("vec_id") >= NumQueries), "vec_id")
+    def update(a: DataFrame): DataFrame =
+      elems.join(a, Seq("vec_id", "m"))
+        .groupBy(col("m"), col("cid"), col("j"))
+        .agg((sum(col("val").cast(Dec)).cast("double") / count(lit(1))).as("cval"))
+    var books = elems.filter(col("vec_id") < NumQueries + PqK)
+      .select(col("m"), (col("vec_id") - NumQueries).cast("int").as("cid"),
+        col("j"), col("val").as("cval"))
+    var codes: DataFrame = null
+    for (r <- 1 to PqIters) {
+      codes = pqAssignUnder(elems, books)
+      if (r < PqIters) books = update(codes).localCheckpoint(true)
+    }
+    (codes, books)
+  }
+
+  /** PQ ANN with ADC scoring — the registered query. Codes + codebooks
+    * come from the PERSISTED ingest-time index
+    * ([[ClusterIndex.pqCodes]]/[[ClusterIndex.pqCodebooks]]); per query
+    * the work is: an m·k lookup TABLE of (query subvector · centroid)
+    * dots (broadcast — m·k·|queries| rows), one linear pass over the
+    * integer code table summing [[PqM]] table entries per corpus
+    * vector (asymmetric distance computation — the scan never touches
+    * a float vector), top-[[PqRerank]] by approximate cosine, then the
+    * usual exact-decimal rescore of ONLY those survivors → top-5.
+    * Approximate cosine = adc_dot / (‖q‖·‖reconstruction‖) with the
+    * reconstruction norm also table-served per code, so the
+    * approximate phase is integer-keyed lookups + 4-term sums — the
+    * shape that stays CPU-bound, not memory-bound, at 100 TB.
+    */
+  def topkPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorms(spark, dir)
+    val codes = ClusterIndex.pqCodes(spark, dir)
+    val books = ClusterIndex.pqCodebooks(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+    val qsub = pqSubElems(queries, "q_id")
+    val tdot = qsub.join(broadcast(books), Seq("m", "j"))
+      .groupBy(col("q_id"), col("m"), col("cid"))
+      .agg(sum((col("val") * col("cval")).cast(Dec)).cast("double").as("tdot"))
+    val cnsq = books.groupBy(col("m"), col("cid"))
+      .agg(sum((col("cval") * col("cval")).cast(Dec)).cast("double").as("cnsq"))
+    val lookup = tdot.join(cnsq, Seq("m", "cid"))
+    val qn = queries.select(col("vec_id").as("q_id"), col("nsq").as("q_nsq"))
+    val approx = codes.join(broadcast(lookup), Seq("m", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("tdot").cast(Dec)).cast("double").as("adot"),
+        sum(col("cnsq").cast(Dec)).cast("double").as("rnsq"))
+      .join(broadcast(qn), "q_id")
+      .withColumn("ascore", col("adot") / (sqrt(col("q_nsq")) * sqrt(col("rnsq"))))
+    val wA = Window.partitionBy(col("q_id")).orderBy(desc("ascore"), asc("vec_id"))
+    val cand = approx.withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= PqRerank)
+      .select(col("q_id"), col("vec_id"), col("ascore"))
+    val qe = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    cand
+      .join(e.select(col("vec_id"), col("embedding"), col("nsq")), "vec_id")
+      .join(broadcast(qe), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(decimalDot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cosine"),
+        round(col("ascore"), 12).as("ascore"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("q_id", "rank")
+  }
+
+  /** The PQ pipeline as a DuckDB CTE chain (subvector explode → seeded
+    * Lloyd rounds → codes → ADC lookup tables → candidate cut → exact
+    * rescore), `p`-prefixed names so it composes inside the recall
+    * oracle without clashing with the other methods' CTEs.
+    */
+  private val topkPqOracle: String = {
+    val rounds = (1 to PqIters).map { r =>
+      val upd =
+        if (r == PqIters) "" // the last round's codebook is never used
+        else s""",
+           |pc$r AS (
+           |  SELECT ce.m, a.cid, ce.j,
+           |    CAST(sum(CAST(ce.val AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS cval
+           |  FROM pq_corpus ce JOIN pa$r a ON ce.vec_id = a.vec_id AND ce.m = a.m
+           |  GROUP BY 1, 2, 3)""".stripMargin
+      s""",
+         |pd$r AS (
+         |  SELECT ce.vec_id, ce.m, c.cid,
+         |    CAST(sum(CAST((ce.val - c.cval) * (ce.val - c.cval) AS DECIMAL(38,20))) AS DOUBLE) AS dist
+         |  FROM pq_corpus ce JOIN pc${r - 1} c ON ce.m = c.m AND ce.j = c.j
+         |  GROUP BY 1, 2, 3),
+         |pa$r AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+         |    FROM pd$r) WHERE rn = 1)""".stripMargin + upd
+    }.mkString
+    val fb = s"pc${PqIters - 1}" // the codebook the final assignment used
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |elems AS (
+       |  SELECT vec_id, embedding[i] AS val, i FROM e,
+       |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+       |norms AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS nsq
+       |  FROM elems GROUP BY vec_id),
+       |pqe AS (
+       |  SELECT vec_id, CAST((i - 1) // $PqSubDim AS INTEGER) AS m,
+       |    CAST((i - 1) % $PqSubDim + 1 AS INTEGER) AS j,
+       |    CAST(val AS DOUBLE) AS val
+       |  FROM elems),
+       |pq_corpus AS (SELECT * FROM pqe WHERE vec_id >= $NumQueries),
+       |pc0 AS (
+       |  SELECT m, CAST(vec_id - $NumQueries AS INTEGER) AS cid, j, val AS cval
+       |  FROM pq_corpus WHERE vec_id < $NumQueries + $PqK)$rounds,
+       |ptd AS (
+       |  SELECT qe.vec_id AS q_id, c.m, c.cid,
+       |    CAST(sum(CAST(qe.val * c.cval AS DECIMAL(38,20))) AS DOUBLE) AS tdot
+       |  FROM pqe qe JOIN $fb c ON qe.m = c.m AND qe.j = c.j
+       |  WHERE qe.vec_id < $NumQueries GROUP BY 1, 2, 3),
+       |pcn AS (
+       |  SELECT m, cid,
+       |    CAST(sum(CAST(cval * cval AS DECIMAL(38,20))) AS DOUBLE) AS cnsq
+       |  FROM $fb GROUP BY 1, 2),
+       |papprox AS (
+       |  SELECT t.q_id, k.vec_id,
+       |    CAST(sum(CAST(t.tdot AS DECIMAL(38,20))) AS DOUBLE) AS adot,
+       |    CAST(sum(CAST(n.cnsq AS DECIMAL(38,20))) AS DOUBLE) AS rnsq
+       |  FROM pa$PqIters k
+       |  JOIN ptd t ON k.m = t.m AND k.cid = t.cid
+       |  JOIN pcn n ON k.m = n.m AND k.cid = n.cid
+       |  GROUP BY 1, 2),
+       |pasc AS (
+       |  SELECT p.q_id, p.vec_id,
+       |    p.adot / (sqrt(nq.nsq) * sqrt(p.rnsq)) AS ascore
+       |  FROM papprox p JOIN norms nq ON nq.vec_id = p.q_id),
+       |pcand AS (
+       |  SELECT q_id, vec_id, ascore FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ascore DESC, vec_id) AS rn
+       |    FROM pasc) WHERE rn <= $PqRerank),
+       |pdots AS (
+       |  SELECT pcand.q_id, pcand.vec_id, any_value(pcand.ascore) AS ascore,
+       |    CAST(sum(CAST(CAST(eq.val AS DOUBLE) * CAST(ec.val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM pcand
+       |  JOIN elems eq ON eq.vec_id = pcand.q_id
+       |  JOIN elems ec ON ec.vec_id = pcand.vec_id AND ec.i = eq.i
+       |  GROUP BY 1, 2),
+       |pscored AS (
+       |  SELECT d.q_id, d.vec_id,
+       |    round(d.dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 12) AS cosine,
+       |    round(d.ascore, 12) AS ascore
+       |  FROM pdots d JOIN norms nq ON d.q_id = nq.vec_id
+       |  JOIN norms nc ON d.vec_id = nc.vec_id),
+       |pranked AS (
+       |  SELECT q_id, vec_id, cosine, ascore,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM pscored)
+       |SELECT q_id, vec_id, cosine, ascore, rank FROM pranked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------ recall eval
 
   /** ANN evaluation harness: recall of each approximate method (LSH,
@@ -569,6 +801,7 @@ object Similarity {
     val tagged = Seq(
       "ivf" -> topkIvf(spark, dir),
       "lsh" -> topkLsh(spark, dir),
+      "pq" -> topkPq(spark, dir),
       "sq8" -> topkSq8(spark, dir))
       .map { case (m, df) => df.select(lit(m).as("method"), col("q_id"), col("vec_id")) }
       .reduce(_ unionByName _)
@@ -579,7 +812,7 @@ object Similarity {
     // — the failure this eval exists to surface — not vanish from the
     // groupBy output
     import spark.implicits._
-    Seq("ivf", "lsh", "sq8").toDF("method")
+    Seq("ivf", "lsh", "pq", "sq8").toDF("method")
       .join(hits, Seq("method"), "left")
       .crossJoin(broadcast(base))
       .select(col("method"), coalesce(col("hits"), lit(0L)).as("hits"), col("baseline"),
@@ -592,10 +825,12 @@ object Similarity {
        |  SELECT q_id, vec_id FROM ($topkBruteForceOracle) x WHERE rank <= 5),
        |ivf_k AS (SELECT q_id, vec_id FROM ($topkIvfOracle) x),
        |lsh_k AS (SELECT q_id, vec_id FROM ($topkLshOracle) x),
+       |pq_k AS (SELECT q_id, vec_id FROM ($topkPqOracle) x),
        |sq8_k AS (SELECT q_id, vec_id FROM ($topkSq8Oracle) x),
        |tagged AS (
        |  SELECT 'ivf' AS method, * FROM ivf_k
        |  UNION ALL SELECT 'lsh', * FROM lsh_k
+       |  UNION ALL SELECT 'pq', * FROM pq_k
        |  UNION ALL SELECT 'sq8', * FROM sq8_k),
        |base AS (SELECT count(*) AS baseline FROM exact_k),
        |hits AS (
@@ -603,7 +838,7 @@ object Similarity {
        |  WHERE EXISTS (SELECT 1 FROM exact_k e
        |                WHERE e.q_id = t.q_id AND e.vec_id = t.vec_id)
        |  GROUP BY method),
-       |methods AS (SELECT unnest(['ivf', 'lsh', 'sq8']) AS method)
+       |methods AS (SELECT unnest(['ivf', 'lsh', 'pq', 'sq8']) AS method)
        |SELECT m.method, coalesce(hits, 0) AS hits, baseline,
        |  CAST(coalesce(hits, 0) AS DOUBLE) / baseline AS recall
        |FROM methods m LEFT JOIN hits USING (method) CROSS JOIN base
@@ -659,6 +894,8 @@ object Similarity {
       "cell-co-partitioned shuffle KNN join for a large query set (no broadcast)"),
     GraftQuery("sim_topk_sq8", topkSq8 _, Some(topkSq8Oracle),
       "int8 scalar-quantized similarity (memory-bound scale path)"),
+    GraftQuery("sim_topk_pq", topkPq _, Some(topkPqOracle),
+      "product-quantization ANN: persisted subspace codebooks + codes, ADC table scoring, exact rescore"),
     GraftQuery("sim_recall_eval", recallEval _, Some(recallEvalOracle),
       "recall@k of each ANN method vs the exact brute-force top-k"))
 }

@@ -62,6 +62,37 @@ class ClusterIndexSpec extends AnyFunSuite with SparkFixture {
     assert(reCells == cellRows(ClusterIndex.ivfCells(spark, dir)))
   }
 
+  test("persisted PQ codes/codebooks are bit-identical to an inline trainer recompute") {
+    val (codes, books) = Similarity.pqTrain(spark, dir)
+    def codeRows(df: DataFrame): Set[(Long, Int, Int)] =
+      df.select("vec_id", "m", "cid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    def bookRows(df: DataFrame): Set[(Int, Int, Int, Double)] =
+      df.select("m", "cid", "j", "cval").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    val p = codeRows(ClusterIndex.pqCodes(spark, dir))
+    assert(p == codeRows(codes))
+    assert(p.nonEmpty)
+    // total encoding: every corpus vector carries exactly PqM codes
+    assert(p.size == p.map(_._1).size * Similarity.PqM)
+    assert(bookRows(ClusterIndex.pqCodebooks(spark, dir)) == bookRows(books))
+  }
+
+  test("incremental PQ encoding under frozen codebooks is bit-identical to the build's") {
+    // re-encoding the corpus itself under the persisted codebooks must
+    // reproduce the persisted code table exactly — the final trainer
+    // round IS assignment under these codebooks
+    import org.apache.spark.sql.functions._
+    val corpus = graft.Tables.t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= Similarity.NumQueries)
+    val re = Similarity.pqAssign(corpus, ClusterIndex.pqCodebooks(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val persisted = ClusterIndex.pqCodes(spark, dir)
+      .select("vec_id", "m", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(re == persisted)
+  }
+
   test("appendVectors: a new batch lands in every index table without a rebuild") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -82,6 +113,9 @@ class ClusterIndexSpec extends AnyFunSuite with SparkFixture {
     val cells = ClusterIndex.ivfCells(spark, dir)
       .filter(col("vec_id") > maxId && col("cell_rank") === 1)
     assert(cells.count() == 2)
+    // the PQ code table too: PqM codes per appended vector, no retrain
+    val pq = ClusterIndex.pqCodes(spark, dir).filter(col("vec_id") > maxId)
+    assert(pq.count() == 2L * Similarity.PqM)
   }
 
   test("index tables build once and every consumer reads them back") {
