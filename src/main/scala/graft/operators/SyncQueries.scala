@@ -346,38 +346,47 @@ object SyncQueries {
       .filter(pmod(col("o_orderkey"), lit(13)) === 0)
       .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
         col("o_orderkey"), col("o_totalprice"))
-    val table = IceliteTable.create(spark, wh, "analytics", "orders_feed", src.schema)
-    val feed = new graft.streaming.ChangelogFeed(
-      table, graft.util.Scratch.dir("cdcfeed-dir"))
-    val sink = graft.util.Scratch.dir("cdcfeed-sink")
-    val ck = graft.util.Scratch.dir("cdcfeed-ck")
-    def drainOnce(): Unit = {
-      val q = feed.readStream.writeStream
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .format("parquet").option("path", sink)
-        .start()
-      q.awaitTermination()
-    }
-    table.append(src) // s1: inserts
-    table.upsert(src.filter(pmod(col("o_orderkey"), lit(3)) === 0) // s2: update pairs
-      .withColumn("o_totalprice", col("o_totalprice") + 10.0), Seq("_id"))
-    feed.exportAvailable()
-    drainOnce()
-    table.delete(src.filter(pmod(col("o_orderkey"), lit(5)) === 0) // s3: deletes
-      .select("_id"), Seq("_id"))
-    feed.exportAvailable()
-    drainOnce() // resumes the checkpoint: consumes exactly s3
-    spark.read.schema(feed.schema).parquet(sink)
-      .select(col(IceliteTable.ChangeTypeCol).as("_change_type"),
-        col(IceliteTable.CommitSeqCol).as("_commit_seq"),
-        col("_id"), col("o_totalprice"))
-      .orderBy("_commit_seq", "_change_type", "_id")
+      .persist() // the fixture reads it for the append and both change sets
+    try {
+      val table = IceliteTable.create(spark, wh, "analytics", "orders_feed", src.schema)
+      val feed = new graft.streaming.ChangelogFeed(
+        table, graft.util.Scratch.dir("cdcfeed-dir"))
+      val sink = graft.util.Scratch.dir("cdcfeed-sink")
+      val ck = graft.util.Scratch.dir("cdcfeed-ck")
+      def drainOnce(): Unit = {
+        val q = feed.readStream.writeStream
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", sink)
+          .start()
+        q.awaitTermination()
+      }
+      table.append(src) // s1: inserts
+      feed.exportAvailable()
+      drainOnce()
+      // s2: ONE resolved change batch — the reference's steady-state
+      // commit shape (docs/design.md change-stream apply: delete files
+      // for every touched key + data file with the new images, one
+      // txn): upserted keys read back as update pairs, delete-only
+      // keys as deletes, all at one seq
+      val ups = src.filter(pmod(col("o_orderkey"), lit(3)) === 0 &&
+          pmod(col("o_orderkey"), lit(5)) =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      val dels = src.filter(pmod(col("o_orderkey"), lit(5)) === 0).select("_id")
+      table.applyChanges(ups, ups.select("_id").union(dels), Seq("_id"))
+      feed.exportAvailable()
+      drainOnce() // resumes the checkpoint: consumes exactly s2
+      spark.read.schema(feed.schema).parquet(sink)
+        .select(col(IceliteTable.ChangeTypeCol).as("_change_type"),
+          col(IceliteTable.CommitSeqCol).as("_commit_seq"),
+          col("_id"), col("o_totalprice"))
+        .orderBy("_commit_seq", "_change_type", "_id")
+    } finally src.unpersist()
   }
 
   /** Full CDC replication round-trip — the reference's end purpose
     * demonstrated inside one stack: SOURCE icelite table takes commits
-    * (append, upsert pairs, deletes, second upsert) → [[graft.streaming.ChangelogFeed]]
+    * (full append, then one resolved update+delete batch) → [[graft.streaming.ChangelogFeed]]
     * exports each snapshot's changes → a STREAMING consumer
     * (`foreachBatch` over the feed's file stream) applies every batch
     * to a REPLICA table — latest event per key (postimages upserted,
@@ -400,29 +409,38 @@ object SyncQueries {
       .filter(pmod(col("o_orderkey"), lit(37)) === 0)
       .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
         col("o_orderkey"), col("o_totalprice"))
-    val source = IceliteTable.create(spark, wh, "analytics", "orders_src", src.schema)
-    val replica = IceliteTable.create(spark, wh, "analytics", "orders_replica", src.schema)
-    val feed = new graft.streaming.ChangelogFeed(
-      source, graft.util.Scratch.dir("replica-feed"))
-    val ck = graft.util.Scratch.dir("replica-ck")
-    def drainApply(): Unit = feed.replicateOnce(replica, Seq("_id"), ck)
-    source.append(src) // s1: full insert
-    source.upsert(src.filter(pmod(col("o_orderkey"), lit(3)) === 0) // s2: update pairs
-      .withColumn("o_totalprice", col("o_totalprice") + 5.0), Seq("_id"))
-    feed.exportAvailable()
-    drainApply() // consumer 1st cycle: s1 + s2
-    source.delete(src.filter(pmod(col("o_orderkey"), lit(4)) === 0) // s3: deletes
-      .select("_id"), Seq("_id"))
-    source.upsert(src // s4: bump survivors with even keys
-      .filter(pmod(col("o_orderkey"), lit(2)) === 0 && pmod(col("o_orderkey"), lit(4)) =!= 0)
-      .withColumn("o_totalprice",
-        when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + 6.0)
-          .otherwise(col("o_totalprice") + 1.0)), Seq("_id"))
-    feed.exportAvailable()
-    drainApply() // consumer 2nd cycle resumes: s3 + s4 only
-    graft.streaming.ChangelogFeed.replicaState(replica)
-      .select(col("_id"), col("o_orderkey"), col("o_totalprice"))
-      .orderBy("_id")
+      .persist() // the fixture reads it for the append and the change batch
+    try {
+      val source = IceliteTable.create(spark, wh, "analytics", "orders_src", src.schema)
+      // replica created with the guard columns up front — the deployed
+      // mirror shape; skips the first-apply evolution commit
+      val replica = IceliteTable.create(spark, wh, "analytics", "orders_replica",
+        graft.streaming.ChangelogFeed.replicaSchema(src.schema))
+      val feed = new graft.streaming.ChangelogFeed(
+        source, graft.util.Scratch.dir("replica-feed"))
+      val ck = graft.util.Scratch.dir("replica-ck")
+      def drainApply(): Unit = feed.replicateOnce(replica, Seq("_id"), ck)
+      source.append(src) // s1: full insert
+      feed.exportAvailable()
+      drainApply() // consumer 1st cycle: s1
+      // s2: ONE resolved change batch (the steady-state commit shape,
+      // as in tableChangelogStream): delete every %4 key, update the
+      // surviving even keys — deletes and updates at one seq, so the
+      // resumed consumer must split one batch into tombstones and
+      // upserts
+      val ups = src
+        .filter(pmod(col("o_orderkey"), lit(2)) === 0 && pmod(col("o_orderkey"), lit(4)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + 6.0)
+            .otherwise(col("o_totalprice") + 1.0))
+      val dels = src.filter(pmod(col("o_orderkey"), lit(4)) === 0).select("_id")
+      source.applyChanges(ups, ups.select("_id").union(dels), Seq("_id"))
+      feed.exportAvailable()
+      drainApply() // consumer 2nd cycle resumes: exactly s2
+      graft.streaming.ChangelogFeed.replicaState(replica)
+        .select(col("_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("_id")
+    } finally src.unpersist()
   }
 
   /** Metadata-only compaction planning — what the r11 commit-time file
@@ -521,9 +539,9 @@ object SyncQueries {
       |  FROM orders WHERE o_orderkey % 37 = 0)
       |SELECT _id, o_orderkey,
       |  o_totalprice
-      |    + CASE WHEN o_orderkey % 3 = 0 THEN 5.0 ELSE 0.0 END
       |    + CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
-      |           THEN 1.0 ELSE 0.0 END
+      |           THEN CASE WHEN o_orderkey % 3 = 0 THEN 6.0 ELSE 1.0 END
+      |           ELSE 0.0 END
       |  AS o_totalprice
       |FROM sub WHERE o_orderkey % 4 <> 0
       |ORDER BY _id""".stripMargin
@@ -538,13 +556,12 @@ object SyncQueries {
       |         id AS _id, price AS o_totalprice FROM sub
       |  UNION ALL
       |  SELECT 'update_preimage', CAST(2 AS BIGINT), id, price
-      |  FROM sub WHERE k % 3 = 0
+      |  FROM sub WHERE k % 3 = 0 AND k % 5 <> 0
       |  UNION ALL
       |  SELECT 'update_postimage', CAST(2 AS BIGINT), id, price + 10.0
-      |  FROM sub WHERE k % 3 = 0
+      |  FROM sub WHERE k % 3 = 0 AND k % 5 <> 0
       |  UNION ALL
-      |  SELECT 'delete', CAST(3 AS BIGINT), id,
-      |         CASE WHEN k % 3 = 0 THEN price + 10.0 ELSE price END
+      |  SELECT 'delete', CAST(2 AS BIGINT), id, price
       |  FROM sub WHERE k % 5 = 0
       |) ORDER BY _commit_seq, _change_type, _id""".stripMargin
 

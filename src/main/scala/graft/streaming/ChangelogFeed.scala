@@ -135,7 +135,19 @@ final class ChangelogFeed(
         org.apache.spark.sql.types.StructField(
           ChangelogFeed.DeletedCol, org.apache.spark.sql.types.BooleanType))))
     val dataCols = table.schema.fieldNames.toSeq
+    // persisted: merge reads the batch for its key-range bounds, the
+    // join, and the commit files — one window materialization, not one
+    // per consumer. An explicit emptiness pre-check is redundant (and
+    // was one more job): an empty batch classifies to zero merge
+    // actions and commits nothing.
     val latest = batch
+      // AQE is disabled inside streaming micro-batches, so without
+      // this the window + join stages fan out to the session's full
+      // shuffle-partition count for a batch R5 bounds to ~128 MB.
+      // Hash-partitioning by key here satisfies the window's and the
+      // merge join's clustered distribution (no further exchange) at
+      // a partition count sized for a bounded batch.
+      .repartition(ChangelogFeed.BatchParts, keyCols.map(col): _*)
       .filter(col(typeCol) =!= "update_preimage")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*)
@@ -143,13 +155,15 @@ final class ChangelogFeed(
       .filter(col("__rn") === 1)
       .withColumn(ChangelogFeed.DeletedCol, col(typeCol) === "delete")
       .select((dataCols :+ seqCol :+ ChangelogFeed.DeletedCol).map(col): _*)
-    if (latest.isEmpty) return
-    // null stored seq (pre-guard rows) counts as older than any event
-    val newer = col(s"s.$seqCol") >= coalesce(col(s"t.$seqCol"), lit(Long.MinValue))
-    replica.merge(latest, keyCols,
-      matchedUpdate = Some(newer),
-      notMatchedInsert = Some(lit(true)))
-    ()
+      .persist()
+    try {
+      // null stored seq (pre-guard rows) counts as older than any event
+      val newer = col(s"s.$seqCol") >= coalesce(col(s"t.$seqCol"), lit(Long.MinValue))
+      replica.merge(latest, keyCols,
+        matchedUpdate = Some(newer),
+        notMatchedInsert = Some(lit(true)))
+      ()
+    } finally latest.unpersist()
   }
 
   /** Export every committed-but-unexported snapshot's changelog rows;
@@ -162,7 +176,22 @@ final class ChangelogFeed(
     val head = table.meta.lastSeq
     val from = readThrough()
     if (from >= head) return (from, head)
-    // fast path: ONE changelog read spans every pending seq (cached,
+    val pending = ((from + 1) to head).toSeq
+    // metadata-gated single-job path: when every pending commit is
+    // single-bucket AND the whole backlog fits one bucket's byte
+    // budget (both facts from snapshot fileMetrics — pure metadata),
+    // ONE write job exports every seq at once, partitioned by seq and
+    // renamed to the same deterministic bucket names. Steady-state CDC
+    // commits are micro-batches, so the common case is one small job
+    // per BACKLOG rather than one per commit; bulk commits keep the
+    // per-seq fan-out below.
+    if (pending.forall(bucketsFor(_) == 1) &&
+        pending.map(seqBytes).sum <= bucketBytes &&
+        exportRangeFast(from, head, pending)) {
+      writeThrough(head)
+      return (from, head)
+    }
+    // general path: ONE changelog read spans every pending seq (cached,
     // filtered per seq — per-seq bucket determinism is a property of
     // the rows, not of how many seqs one job read). A maintenance
     // snapshot anywhere in the range fails the whole-range read; fall
@@ -183,6 +212,47 @@ final class ChangelogFeed(
       }
     } finally whole.foreach(_.unpersist())
     (from, head)
+  }
+
+  /** One-job whole-backlog export (every pending seq single-bucket):
+    * writes the `(from, head]` changelog once partitioned by seq, then
+    * publishes each seq's file under its deterministic bucket name.
+    * Redo-safe the same way as the per-seq path — existing names are
+    * skipped, the marker only advances (in the caller) after every
+    * bucket exists. Returns false when the range cannot be read as
+    * changes (maintenance snapshot inside it); the caller falls back
+    * to the per-seq loop and its partial-export contract.
+    */
+  private def exportRangeFast(from: Long, head: Long, pending: Seq[Long]): Boolean = {
+    val missing = pending.filter(s => !fs.exists(bucketPath(s, 0)))
+    if (missing.isEmpty) return true
+    val changes =
+      try table.readChanges(from, head)
+      catch { case _: IllegalStateException => return false }
+    val tmp = new Path(s"$feedDir/.tmp-range-${from + 1}-$head")
+    fs.delete(tmp, true)
+    // the partition column is a COPY of the seq column so the data
+    // files still carry _commit_seq (partitionBy strips its column,
+    // and the published flat files lose the directory encoding)
+    changes.withColumn("_seq_part", col(IceliteTable.CommitSeqCol))
+      .coalesce(1).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .partitionBy("_seq_part").parquet(tmp.toString)
+    missing.foreach { s =>
+      val dir = new Path(tmp, s"_seq_part=$s")
+      val part =
+        if (fs.exists(dir))
+          fs.listStatus(dir).map(_.getPath).find(_.getName.endsWith(".parquet"))
+        else None
+      part match {
+        case Some(p) =>
+          if (!fs.rename(p, bucketPath(s, 0)) && !fs.exists(bucketPath(s, 0)))
+            throw new IllegalStateException(s"failed to publish ${bucketPath(s, 0)}")
+        case None => exportSeq(s) // empty commit: no partition dir written
+      }
+    }
+    fs.delete(tmp, true)
+    true
   }
 
   private def exportSeq(seq: Long, pre: Option[DataFrame] = None): Unit = {
@@ -216,11 +286,12 @@ final class ChangelogFeed(
     * metrics — pure metadata, so every retry computes the same split.
     * Metrics-less legacy snapshots and empty commits export 1 bucket.
     */
-  private def bucketsFor(seq: Long): Int = {
-    val bytes = table.meta.snapshots.find(_.seq == seq)
+  private def seqBytes(seq: Long): Long =
+    table.meta.snapshots.find(_.seq == seq)
       .map(s => s.fileMetrics.values.map(_._2).sum).getOrElse(0L)
-    math.max(1, math.ceil(bytes.toDouble / bucketBytes).toInt)
-  }
+
+  private def bucketsFor(seq: Long): Int =
+    math.max(1, math.ceil(seqBytes(seq).toDouble / bucketBytes).toInt)
 
   private def bucketPath(seq: Long, b: Int): Path =
     new Path(s"$feedDir/seq-$seq-b$b.parquet")
@@ -254,6 +325,23 @@ object ChangelogFeed {
     * (the tombstone's `_commit_seq` out-ranks it).
     */
   val DeletedCol = "_cdc_deleted"
+
+  /** Shuffle width for one replicated micro-batch: R5 bounds a CDC
+    * batch to maxBytes (128 MB default), so ~16 MB per partition —
+    * the non-AQE streaming context would otherwise run every batch
+    * stage at the session's full shuffle-partition count.
+    */
+  val BatchParts = 8
+
+  /** The schema a [[ChangelogFeed.replicateOnce]] replica converges to:
+    * the source data schema plus the two LWW guard columns. Creating
+    * the replica with this schema up front skips the first-apply
+    * schema-evolution commit (applyBatch still evolves a bare replica
+    * lazily for callers that didn't).
+    */
+  def replicaSchema(dataSchema: StructType): StructType = dataSchema
+    .add(IceliteTable.CommitSeqCol, org.apache.spark.sql.types.LongType)
+    .add(DeletedCol, org.apache.spark.sql.types.BooleanType)
 
   /** The LIVE state of a replica maintained by [[ChangelogFeed
     * .replicateOnce]]: tombstoned keys filtered out, guard columns

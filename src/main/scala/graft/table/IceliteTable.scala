@@ -231,13 +231,23 @@ final class IceliteTable private (
       .select(payload :+ action.as("_merge_action"): _*)
       .cache()
     try {
-      val dup = classified.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dup == 0,
+      // ONE stats pass over the cached classification serves both the
+      // ambiguity guard and the action counts (formerly two jobs): the
+      // per-key aggregate exposes the max multiplicity, and with unique
+      // keys every group is one row, so summing group actions counts
+      // rows per action exactly
+      val statsRow = classified
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_k_rows"), first(col("_merge_action")).as("_k_action"))
+        .agg(max(col("_k_rows")),
+          sum(when(col("_k_action") === "insert", 1L).otherwise(0L)),
+          sum(when(col("_k_action") === "update", 1L).otherwise(0L)),
+          sum(when(col("_k_action") === "delete", 1L).otherwise(0L)))
+        .collect()(0)
+      def n(i: Int): Long = if (statsRow.isNullAt(i)) 0L else statsRow.getLong(i)
+      require(n(0) <= 1,
         s"merge source has duplicate keys on (${keyCols.mkString(", ")}) — ambiguous match")
-      val counts = classified.groupBy("_merge_action").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
-      val (nIns, nUpd, nDel) = (counts("insert"), counts("update"), counts("delete"))
+      val (nIns, nUpd, nDel) = (n(1), n(2), n(3))
       if (nIns + nUpd + nDel == 0) return MergeStats(cachedMeta.lastSeq, 0, 0, 0)
       val writes = classified.filter(col("_merge_action").isin("update", "insert"))
         .drop("_merge_action")
