@@ -168,9 +168,73 @@ object Funnels {
        |WHERE n * win_hours > win_sum * 2
        |ORDER BY event_type, hr""".stripMargin
 
+  /** Last-touch attribution: every purchase credits the user's most
+    * recent STRICTLY-preceding touch event (click or view; none →
+    * 'direct') — the standard marketing-attribution transform, and a
+    * window pattern the rest of the suite doesn't cover:
+    * `last(..., ignoreNulls)` over a trailing row frame, i.e. "carry
+    * the latest qualifying value forward". Reports per channel:
+    * purchases, exact-decimal revenue, and total touch→purchase
+    * latency in integer µs (sums are exact; no float division inside
+    * the gate).
+    *
+    * Ties on one µs timestamp break on the unique `event_id`, so the
+    * frame boundary is deterministic cross-engine.
+    *
+    * Scale: ONE user_id hash exchange serves both window columns
+    * (same partitioning, same frame — Catalyst plans a single window
+    * operator); everything after is a hash-agg onto ≤3 channel rows
+    * with map-side partials.
+    */
+  def eventAttribution(spark: SparkSession, dir: String): DataFrame =
+    eventAttributionOn(graft.Tables.events(spark, dir))
+
+  private[operators] def eventAttributionOn(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    ev
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch_type"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        Relational.dsum(col("value"), 6).as("revenue"),
+        sum(coalesce(col("us") - col("touch_us"), lit(0L))).as("delay_us_total"))
+      .orderBy("channel")
+  }
+
+  private val eventAttributionOracle =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |t AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type IN ('click', 'view')
+      |      THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+      |    last_value(CASE WHEN event_type IN ('click', 'view')
+      |      THEN us END IGNORE NULLS) OVER w AS touch_us
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT coalesce(touch_type, 'direct') AS channel,
+      |  count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+      |  CAST(sum(coalesce(us - touch_us, 0)) AS BIGINT) AS delay_us_total
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("event_attribution", eventAttribution _, Some(eventAttributionOracle),
+      "last-touch purchase attribution via ignore-nulls trailing window"),
     GraftQuery("event_funnel", eventFunnel _, Some(eventFunnelOracle),
       "ordered view->click->purchase funnel, one shuffle via stacked windows"),
     GraftQuery("retention_cohorts", retentionCohorts _, Some(retentionCohortsOracle),

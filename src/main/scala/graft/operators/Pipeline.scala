@@ -721,9 +721,77 @@ object Pipeline {
        |FROM fin GROUP BY 1, 2 ORDER BY source, split""".stripMargin
   }
 
+  // ------------------------------------------------- output shard layout
+
+  /** Token mass one output shard targets in [[corpusShards]] — the
+    * knob a writer derives from its target file size (here sized so
+    * every test SF yields a multi-shard layout).
+    */
+  val ShardTargetTokens = 20000L
+
+  /** Physical output layout for the curated corpus — the step after
+    * [[corpusFinal]]'s manifest: derive the shard COUNT from the
+    * corpus's total token mass (`max(1, total DIV target)` — the same
+    * rule a writer uses to hit a target file size), assign every doc
+    * its shard by deterministic salted hash, and emit the per-shard
+    * manifest (docs, token/char mass, balance factor = shard tokens ÷
+    * ideal). Hash sharding gives E[balance]=1 with no coordination;
+    * the manifest row is what a training loader consumes to schedule
+    * shard reads.
+    *
+    * Scale: the total is ONE 1-row broadcast (crossJoin of a 1-row
+    * aggregate — the suite's standing pattern for corpus-level
+    * constants); assignment is a scan-local hash projection, and the
+    * only full-corpus shuffle is the final hash-agg onto n_shards
+    * rows with map-side partials. At 100 TB the writer would follow
+    * with `repartition(n_shards, shard_id)` + per-shard files — the
+    * assignment column IS that exchange's key.
+    */
+  def corpusShards(spark: SparkSession, dir: String): DataFrame =
+    corpusShardsOn(t(spark, dir, "documents"))
+
+  private[operators] def corpusShardsOn(input: DataFrame): DataFrame = {
+    val docs = input
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"), col("n_chars"))
+    val tot = docs.agg(sum(col("nt")).as("total_tokens"))
+      .select(col("total_tokens"),
+        greatest(lit(1L), expr(s"total_tokens DIV $ShardTargetTokens")).as("n_shards"))
+    docs.crossJoin(broadcast(tot))
+      .withColumn("shard_id",
+        pmod(phash(concat(lit("shard:"), col("doc_id").cast("string"))), col("n_shards")))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"),
+        sum(col("n_chars")).as("chars"),
+        max(col("n_shards")).as("ns"), max(col("total_tokens")).as("tt"))
+      .select(col("shard_id"), col("n_docs"), col("tokens"), col("chars"),
+        round((col("tokens") * col("ns")).cast("double") / col("tt"), 12).as("balance"))
+      .orderBy("shard_id")
+  }
+
+  private val corpusShardsOracle =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt, n_chars
+       |  FROM documents),
+       |tot AS (
+       |  SELECT CAST(sum(nt) AS BIGINT) AS tt,
+       |    greatest(1, CAST(sum(nt) AS BIGINT) // $ShardTargetTokens) AS ns
+       |  FROM d),
+       |s AS (
+       |  SELECT d.*, ns, tt,
+       |    ${phashSql("'shard:' || CAST(doc_id AS VARCHAR)")} % ns AS shard_id
+       |  FROM d, tot)
+       |SELECT shard_id, count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars,
+       |  round(CAST(sum(nt) * max(ns) AS DOUBLE) / max(tt), 12) AS balance
+       |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("corpus_shards", corpusShards _, Some(corpusShardsOracle),
+      "token-mass-derived output shard layout: deterministic hash assignment + balance manifest"),
     GraftQuery("corpus_final", corpusFinal _, Some(corpusFinalOracle),
       "end-to-end curated-corpus manifest: quality → keep-best → decontam → split → mixture, per (source, split)"),
     GraftQuery("mix_rates", mixRates _, Some(mixRatesOracle),

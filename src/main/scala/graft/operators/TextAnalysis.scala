@@ -718,7 +718,66 @@ object TextAnalysis {
        |  CAST(sum(bits) AS DOUBLE) / count(*) AS avg_bits
        |FROM cost GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Overlapping-window chunk size (chars) and stride for
+    * [[chunking]]. Stride < size ⇒ each chunk overlaps the next by
+    * `ChunkChars - ChunkStride` chars (RAG/context-window prep).
+    */
+  val ChunkChars = 200
+  val ChunkStride = 150
+
+  /** Document chunking: split every doc into overlapping fixed-width
+    * character windows — the RAG-indexing / context-window prep step
+    * between curation and embedding. Emits one row per chunk with its
+    * offset, exact length, and content digest (md5 — the same
+    * cross-engine-stable digest the dedup family keys on; chunk TEXT
+    * itself stays out of the gate to keep the result narrow).
+    *
+    * Chunk count per doc is pure integer arithmetic over the string
+    * length (`1 + ceil(max(0, n-W)/S)` as an integer DIV), so both
+    * engines enumerate identical windows; an empty text still yields
+    * its one (empty) chunk.
+    *
+    * Scale: `sequence` + `explode` + `substring` is one scan-local
+    * whole-stage-codegen projection — no shuffle at any corpus size
+    * (the orderBy is the gate's determinism, not the operator); the
+    * output is ~n/S rows per doc, the natural input to the embedding
+    * and packing stages downstream.
+    */
+  def chunking(spark: SparkSession, dir: String): DataFrame =
+    chunkingOn(t(spark, dir, "documents"))
+
+  private[operators] def chunkingOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        expr(s"(greatest(n - $ChunkChars, 0) + ${ChunkStride - 1}) DIV $ChunkStride")
+          .cast("int"))))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("chunk_start"),
+        length(expr(s"substring(text, chunk_idx * $ChunkStride + 1, $ChunkChars)"))
+          .as("chunk_chars"),
+        md5(expr(s"substring(text, chunk_idx * $ChunkStride + 1, $ChunkChars)"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val chunkingOracle =
+    s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+       |c AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0,
+       |      (greatest(n - $ChunkChars, 0) + ${ChunkStride - 1}) // $ChunkStride))
+       |      AS chunk_idx
+       |  FROM d)
+       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |  CAST(chunk_idx * $ChunkStride AS INT) AS chunk_start,
+       |  CAST(len(substr(text, chunk_idx * $ChunkStride + 1, $ChunkChars)) AS INT)
+       |    AS chunk_chars,
+       |  md5(substr(text, chunk_idx * $ChunkStride + 1, $ChunkChars)) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_chunking", chunking _, Some(chunkingOracle),
+      "overlapping char-window chunking with offsets + digests (RAG prep, scan-local)"),
     GraftQuery("text_lm_score", lmScore _, Some(lmScoreOracle),
       "corpus-LM perplexity-proxy: integer bit-cost per bigram, mean per doc"),
     GraftQuery("text_lm_filter", lmScoreForeign _, Some(lmScoreForeignOracle),

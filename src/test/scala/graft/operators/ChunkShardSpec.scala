@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Known-answer semantics for the corpus output-prep operators added
+  * this round: overlapping-window chunking, token-mass shard layout,
+  * and last-touch attribution.
+  */
+class ChunkShardSpec extends AnyFunSuite with SparkFixture {
+
+  import TextAnalysis.{ChunkChars, ChunkStride}
+
+  test("chunking: window arithmetic — count, offsets, exact tail length") {
+    import spark.implicits._
+    // lengths straddling the boundaries: 0, W, W+1 (first length that
+    // needs a 2nd chunk), W+S (still 2), W+S+1 (first needing a 3rd)
+    val docs = Seq(
+      (0L, ""),
+      (1L, "x" * ChunkChars),
+      (2L, "y" * (ChunkChars + 1)),
+      (3L, "z" * (ChunkChars + ChunkStride)),
+      (4L, "w" * (ChunkChars + ChunkStride + 1))
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkingOn(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(0L) == Seq((0L, 0, 0, 0))) // empty text: one empty chunk
+    assert(byDoc(1L) == Seq((1L, 0, 0, ChunkChars)))
+    assert(byDoc(2L) == Seq((2L, 0, 0, ChunkChars),
+      (2L, 1, ChunkStride, ChunkChars + 1 - ChunkStride)))
+    assert(byDoc(3L).map(_._4) == Seq(ChunkChars, ChunkChars))
+    assert(byDoc(4L).map(_._4) ==
+      Seq(ChunkChars, ChunkChars, ChunkChars + ChunkStride + 1 - 2 * ChunkStride))
+  }
+
+  test("chunking: consecutive chunks overlap by exactly W - S chars") {
+    import spark.implicits._
+    val text = (0 until 1000).map(i => ('a' + i % 26).toChar).mkString
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkingOn(docs).collect().sortBy(_.getInt(1))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getInt(2) - a.getInt(2) == ChunkStride)
+        // previous chunk covers [start, start+W) — the next starts S in,
+        // so W - S chars are shared
+        assert(a.getInt(2) + a.getInt(3) - b.getInt(2) == ChunkChars - ChunkStride)
+      case _ => ()
+    }
+    // full coverage: last chunk reaches the end of the text
+    val last = rows.last
+    assert(last.getInt(2) + last.getInt(3) == text.length)
+  }
+
+  test("shards: layout partitions the corpus exactly; count follows token mass") {
+    import spark.implicits._
+    val docs = (1L to 400L)
+      .map(d => (d, Seq.fill(60)("tok").mkString(" "), 239L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Pipeline.corpusShardsOn(docs).collect()
+    // 400 docs × 60 tokens = 24000 tokens → 24000 DIV 20000 = 1 shard;
+    // scale to 3× the docs → 72000 → 3 shards
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(out.head.getLong(1) == 400L && out.head.getLong(2) == 24000L)
+    assert(out.head.getDouble(4) == 1.0) // single shard is perfectly balanced
+    val docs3 = (1L to 1200L)
+      .map(d => (d, Seq.fill(60)("tok").mkString(" "), 239L))
+      .toDF("doc_id", "text", "n_chars")
+    val out3 = Pipeline.corpusShardsOn(docs3).collect()
+    assert(out3.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(out3.map(_.getLong(1)).sum == 1200L) // every doc in exactly one shard
+    assert(out3.map(_.getLong(2)).sum == 72000L)
+  }
+
+  test("attribution: planted sequence credits the strictly-preceding touch") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    // user 1: view@1, click@2, purchase@3 (→ click), purchase@4 (→ click)
+    // user 2: purchase@1 with no preceding touch (→ direct)
+    // user 3: click@5, view@6, purchase@7 (→ view: LAST touch wins)
+    val ev = Seq(
+      (1L, 1L, "view", 0.0, ts(1)), (2L, 1L, "click", 0.0, ts(2)),
+      (3L, 1L, "purchase", 10.0, ts(3)), (4L, 1L, "purchase", 5.0, ts(4)),
+      (5L, 2L, "purchase", 7.0, ts(1)),
+      (6L, 3L, "click", 0.0, ts(5)), (7L, 3L, "view", 0.0, ts(6)),
+      (8L, 3L, "purchase", 2.0, ts(7))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = Funnels.eventAttributionOn(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out("click") == ((2L, 15.0, 3000L))) // delays 1 ms + 2 ms in µs
+    assert(out("direct") == ((1L, 7.0, 0L)))
+    assert(out("view") == ((1L, 2.0, 1000L)))
+  }
+}
