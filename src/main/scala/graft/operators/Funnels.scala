@@ -198,10 +198,13 @@ object Funnels {
       .rowsBetween(Window.unboundedPreceding, -1)
     val isTouch = col("event_type").isin("click", "view")
     ev
-      .withColumn("touch_type",
-        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
-      .withColumn("touch_us",
-        last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+      // both window columns in ONE projection so CollapseWindow plans
+      // a single Window operator over the one user_id exchange
+      .select(col("*"),
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w)
+          .as("touch_type"),
+        last(when(isTouch, col("us")), ignoreNulls = true).over(w)
+          .as("touch_us"))
       .filter(col("event_type") === "purchase")
       .groupBy(coalesce(col("touch_type"), lit("direct")).as("channel"))
       .agg(count(lit(1)).as("n_purchases"),

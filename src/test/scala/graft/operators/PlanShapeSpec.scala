@@ -129,4 +129,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val exchanges = "\\bExchange ".r.findAllIn(pe).size
     assert(exchanges == 1, s"redaction path shuffles:\n$pe")
   }
+
+  test("chunking is scan-local: only the gate's ORDER BY exchanges") {
+    val pe = SparkEntry.queries("text_chunking")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "\\bExchange ".r.findAllIn(pe).size
+    assert(exchanges == 1, s"chunk derivation shuffles:\n$pe")
+    assert(!pe.contains("CartesianProduct"))
+  }
+
+  test("shard layout broadcasts its 1-row total; one corpus aggregation shuffle") {
+    val pe = SparkEntry.queries("corpus_shards")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the corpus-total crossJoin must be a broadcast of the 1-row
+    // side, never a shuffled join of the full corpus
+    assert(pe.contains("BroadcastNestedLoopJoin") || pe.contains("BroadcastExchange"),
+      s"total not broadcast:\n$pe")
+    val corpusScans = "FileScan parquet".r.findAllIn(pe).size
+    assert(corpusScans == 2, s"expected 2 scans (docs + total), got $corpusScans")
+  }
+
+  test("attribution shuffles events on user_id exactly once (single window operator)") {
+    val pe = SparkEntry.queries("event_attribution")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(pe).size
+    assert(userExchanges == 1, s"expected 1 user_id shuffle, got $userExchanges:\n$pe")
+    // both ignore-nulls window columns ride ONE Window operator
+    val windows = "- Window \\[".r.findAllIn(pe).size
+    assert(windows == 1, s"expected 1 window operator, got $windows:\n$pe")
+  }
 }
