@@ -165,7 +165,13 @@ object Multimodal {
     * the (much smaller) frame-feature table a vision pipeline trains
     * on.
     */
-  def frameSamples(spark: SparkSession, dir: String): DataFrame = {
+  def frameSamples(spark: SparkSession, dir: String): DataFrame =
+    framesOf(spark, dir).orderBy("doc_id", "frame_idx")
+
+  /** Unordered sampled-frame stream (decode fan-out only) — shared by
+    * [[frameSamples]] and [[sceneDetect]].
+    */
+  private def framesOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .select(col("doc_id"), col("payload"))
@@ -177,8 +183,88 @@ object Multimodal {
         }
       }
       .toDF()
-      .orderBy("doc_id", "frame_idx")
   }
+
+  /** Brightness jump (stub per-frame feature) that counts as a scene
+    * cut in [[sceneDetect]].
+    */
+  val SceneCutDelta = 64
+
+  /** Video scene detection over the sampled frame stream — the
+    * shot-boundary pass a video curation pipeline runs after frame
+    * sampling: a cut is a jump of more than [[SceneCutDelta]] in the
+    * per-frame feature between CONSECUTIVE sampled frames; scenes are
+    * the runs between cuts (classic threshold shot detection, with the
+    * stub brightness standing in for a real frame-difference metric).
+    * Emits per video: sampled frames, scene count, longest/shortest
+    * scene in frames.
+    *
+    * Declared as windows, not decoder-side state: lag → cut flag →
+    * running-sum scene id → two nested aggregations, all partitioned
+    * by doc_id, so Catalyst plans ONE doc_id exchange for the whole
+    * chain. Frame volume is bounded by the sampling stride (≤
+    * [[FrameMod]]/[[FrameStride]] rows per video), so the shuffle
+    * moves sampled features, never payload bytes.
+    */
+  def sceneDetect(spark: SparkSession, dir: String): DataFrame =
+    sceneDetectOn(framesOf(spark, dir))
+
+  private[operators] def sceneDetectOn(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev_b", lag(col("brightness"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev_b").isNotNull &&
+          abs(col("brightness") - col("prev_b")) > SceneCutDelta, 1).otherwise(0))
+      .withColumn("scene_id",
+        sum(col("cut")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(count(lit(1)).as("scene_frames"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("scene_frames")).as("n_frames"),
+        count(lit(1)).as("n_scenes"),
+        max(col("scene_frames")).as("longest_scene"),
+        min(col("scene_frames")).as("shortest_scene"))
+      .orderBy("doc_id")
+  }
+
+  private val sceneDetectOracle =
+    s"""WITH meta AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, h,
+       |    unnest(generate_series(0, CAST(1 + h % $FrameMod AS INTEGER) - 1, $FrameStride))
+       |      AS frame_idx
+       |  FROM meta),
+       |b AS (
+       |  SELECT doc_id, frame_idx,
+       |    CAST((h * (frame_idx + 7)) % 256 AS INTEGER) AS brightness
+       |  FROM fr),
+       |lagged AS (
+       |  SELECT *, lag(brightness) OVER
+       |    (PARTITION BY doc_id ORDER BY frame_idx) AS prev_b
+       |  FROM b),
+       |cuts AS (
+       |  SELECT *, CASE WHEN prev_b IS NOT NULL
+       |      AND abs(brightness - prev_b) > $SceneCutDelta
+       |    THEN 1 ELSE 0 END AS cut
+       |  FROM lagged),
+       |scenes AS (
+       |  SELECT *, sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+       |    ROWS UNBOUNDED PRECEDING) AS scene_id
+       |  FROM cuts),
+       |sl AS (
+       |  SELECT doc_id, scene_id, count(*) AS scene_frames
+       |  FROM scenes GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(scene_frames) AS BIGINT) AS n_frames,
+       |  count(*) AS n_scenes,
+       |  CAST(max(scene_frames) AS BIGINT) AS longest_scene,
+       |  CAST(min(scene_frames) AS BIGINT) AS shortest_scene
+       |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val frameSamplesOracle =
     s"""WITH meta AS (
@@ -563,6 +649,8 @@ object Multimodal {
       "binary payload -> partition-batched decode -> typed metadata agg"),
     GraftQuery("multimodal_frames", frameSamples _, Some(frameSamplesOracle),
       "strided frame sampling: lazy per-partition decode fan-out -> frame-feature rows"),
+    GraftQuery("multimodal_scenes", sceneDetect _, Some(sceneDetectOracle),
+      "threshold shot detection over sampled frames: cuts -> scene runs, one doc_id exchange"),
     GraftQuery("multimodal_phash_dedup", phashDedup _, Some(phashDedupOracle),
       "perceptual-hash near-dup: decode-pass pHash -> banded Hamming-LSH candidates -> exact verify"),
     GraftQuery("multimodal_audio", audioQuality _, Some(audioQualityOracle),

@@ -459,6 +459,109 @@ object TextAnalysis {
     lmScoreJoin(bg, c1, c2)
   }
 
+  /** Batch-perceptron rounds [[qualityClassifier]] trains. */
+  val PerceptronRounds = 4
+
+  /** Per-feature cap keeping perceptron features small integers. */
+  val FeatureCap = 20
+
+  /** Quality-classifier TRAINING — the fasttext-style linear-filter
+    * step of a production pipeline, here as a batch perceptron
+    * distilling the rule-based gate ([[qualityPoints]] ≥ 8 as the
+    * teacher label) into a learned weight vector over five capped
+    * INTEGER features (bias, token-count bucket, stopword hits,
+    * punctuation count, char-count bucket). Integer features + integer
+    * updates keep every weight and dot product bit-exact cross-engine
+    * — no sigmoid, no float gradient, yet the real training loop
+    * shape: K full-batch rounds, each updating `w += Σ y·x` over the
+    * currently misclassified set.
+    *
+    * Output is the training curve + learned artifact: per round, the
+    * misclassified count entering the round and the weights leaving
+    * it. Not a convergence claim (the teacher need not be separable in
+    * these features) — determinism is the gate.
+    *
+    * Scale: the feature frame is ONE scan materialized once
+    * ([[org.apache.spark.sql.Dataset.localCheckpoint]], the
+    * Lloyd-round pattern); each round is one filtered aggregation to a
+    * 1-row driver collect (broadcast weights as literals), so K rounds
+    * cost K aggregation jobs regardless of corpus size.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierOn(spark, t(spark, dir, "documents"))
+
+  private[operators] def qualityClassifierOn(
+      spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val words = split(col("text"), " ")
+    val stops = size(filter(words, w => w.isin(Markers("en"): _*)))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val f = docs.select(
+      lit(1L).as("x0"),
+      least(expr("size(split(text, ' ')) DIV 25"), lit(FeatureCap)).cast("long").as("x1"),
+      least(stops, lit(FeatureCap)).cast("long").as("x2"),
+      least(punct, lit(FeatureCap)).cast("long").as("x3"),
+      least(expr("length(text) DIV 50"), lit(FeatureCap)).cast("long").as("x4"),
+      when(qualityPoints(col("text")) >= 8, 1L).otherwise(-1L).as("y"))
+      .localCheckpoint(true)
+    try {
+      val w = Array.fill(5)(0L)
+      val rows = (1 to PerceptronRounds).map { k =>
+        val dot = (0 to 4).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
+        val r = f.filter(col("y") * dot <= 0)
+          .agg(count(lit(1)).as("n"),
+            sum(col("y") * col("x0")), sum(col("y") * col("x1")),
+            sum(col("y") * col("x2")), sum(col("y") * col("x3")),
+            sum(col("y") * col("x4")))
+          .collect()(0)
+        (0 to 4).foreach(i => w(i) += (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
+        (k, r.getLong(0), w(0), w(1), w(2), w(3), w(4))
+      }
+      rows.toDF("step", "n_mis", "w_bias", "w_len", "w_stop", "w_punct", "w_chars")
+        .orderBy("step")
+    } finally f.unpersist()
+  }
+
+  private val qualityClassifierOracle: String = {
+    val stopSet = Markers("en").map(x => s"'$x'").mkString(", ")
+    val rounds = (1 to PerceptronRounds).map { k =>
+      s"""m$k AS (
+         |  SELECT count(*) AS n,
+         |    coalesce(sum(y * x0), 0) AS db, coalesce(sum(y * x1), 0) AS dl,
+         |    coalesce(sum(y * x2), 0) AS ds, coalesce(sum(y * x3), 0) AS dp,
+         |    coalesce(sum(y * x4), 0) AS dc
+         |  FROM f, p${k - 1}
+         |  WHERE y * (wb*x0 + wl*x1 + ws*x2 + wp*x3 + wc*x4) <= 0),
+         |p$k AS (
+         |  SELECT p.wb + m.db AS wb, p.wl + m.dl AS wl, p.ws + m.ds AS ws,
+         |    p.wp + m.dp AS wp, p.wc + m.dc AS wc
+         |  FROM p${k - 1} p, m$k m)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to PerceptronRounds).map { k =>
+      s"SELECT $k AS step, m$k.n AS n_mis, p$k.wb AS w_bias, p$k.wl AS w_len, " +
+        s"p$k.ws AS w_stop, p$k.wp AS w_punct, p$k.wc AS w_chars FROM m$k, p$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH f AS (
+       |  SELECT CAST(1 AS BIGINT) AS x0,
+       |    CAST(least(len(string_split(text, ' ')) // 25, $FeatureCap) AS BIGINT) AS x1,
+       |    CAST(least(len(list_filter(string_split(text, ' '), x -> x IN ($stopSet))),
+       |      $FeatureCap) AS BIGINT) AS x2,
+       |    CAST(least(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')),
+       |      $FeatureCap) AS BIGINT) AS x3,
+       |    CAST(least(length(text) // 50, $FeatureCap) AS BIGINT) AS x4,
+       |    CAST(CASE WHEN ${qualityPointsSql("text")} >= 8
+       |         THEN 1 ELSE -1 END AS BIGINT) AS y
+       |  FROM documents),
+       |p0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS wl,
+       |    CAST(0 AS BIGINT) AS ws, CAST(0 AS BIGINT) AS wp,
+       |    CAST(0 AS BIGINT) AS wc),
+       |$rounds
+       |SELECT * FROM (
+       |  $out
+       |) ORDER BY step""".stripMargin
+  }
+
   /** Number of BPE merge rules [[bpeMerges]] learns. */
   val BpeMergeRounds = 6
 
@@ -776,6 +879,8 @@ object TextAnalysis {
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("quality_classifier", qualityClassifier _, Some(qualityClassifierOracle),
+      "batch-perceptron quality filter distilling the rule gate: integer-exact training curve + weights"),
     GraftQuery("text_chunking", chunking _, Some(chunkingOracle),
       "overlapping char-window chunking with offsets + digests (RAG prep, scan-local)"),
     GraftQuery("text_lm_score", lmScore _, Some(lmScoreOracle),

@@ -73,6 +73,46 @@ class ChunkShardSpec extends AnyFunSuite with SparkFixture {
     assert(out3.map(_.getLong(2)).sum == 72000L)
   }
 
+  test("perceptron: separable planted corpus converges after one full-batch round") {
+    import spark.implicits._
+    // doc A (good, y=+1): 30 tokens ("the" + 29×"aa", 90 chars), one
+    //   stopword, no punct → features (1, 30 DIV 25, 1, 0, 90 DIV 50)
+    //   = (1, 1, 1, 0, 1)
+    // doc B (bad, y=−1): "the the the" → (1, 0, 3, 0, 0)
+    // round 1: w=0 misclassifies both → w = (0, 1, −2, 0, 1)
+    // round 2: A dot=0 (y·dot=0 → still misclassified), B dot=−6 ✓
+    //   → w += A = (1, 2, −1, 0, 2)
+    // round 3: A dot=4 ✓, B dot=−2 ✓ → converged, weights frozen
+    val good = (Seq("the") ++ Seq.fill(29)("aa")).mkString(" ")
+    val docs = Seq((1L, good), (2L, "the the the")).toDF("doc_id", "text")
+    val rows = TextAnalysis.qualityClassifierOn(spark, docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    assert(rows.map(_._1).toSeq == (1 to TextAnalysis.PerceptronRounds))
+    assert(rows(0) == ((1, 2L, (0L, 1L, -2L, 0L, 1L))))
+    assert(rows(1) == ((2, 1L, (1L, 2L, -1L, 0L, 2L))))
+    rows.drop(2).foreach { case (_, nMis, w) =>
+      assert(nMis == 0L && w == ((1L, 2L, -1L, 0L, 2L)))
+    }
+  }
+
+  test("scenes: planted brightness jumps cut exactly where they exceed the delta") {
+    import spark.implicits._
+    val d = Multimodal.SceneCutDelta
+    // doc 1: jumps of ±(d+1) after frames 2 and 4 → scenes [2, 2, 1]
+    // doc 2: all moves ≤ d → one scene of 3
+    val frames = Seq(
+      (1L, 0, 10), (1L, 10, 10), (1L, 20, 10 + d + 1), (1L, 30, 10 + d + 5),
+      (1L, 40, 5),
+      (2L, 0, 100), (2L, 10, 100 + d), (2L, 20, 100)
+    ).toDF("doc_id", "frame_idx", "brightness")
+    val out = Multimodal.sceneDetectOn(frames).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((5L, 3L, 2L, 1L)))
+    assert(out(2L) == ((3L, 1L, 3L, 3L)))
+  }
+
   test("attribution: planted sequence credits the strictly-preceding touch") {
     import spark.implicits._
     import java.sql.Timestamp
