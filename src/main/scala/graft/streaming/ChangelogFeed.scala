@@ -39,10 +39,12 @@ import graft.table.IceliteTable
   *    advance just redoes exists-checks.
   *
   * At 100 TB: steady-state CDC commits are micro-batches (R5 bounds
-  * them by records/bytes), so `n` is almost always 1 and an export is
-  * one small job per commit; a bulk commit fans out to `n` bounded
-  * single-bucket jobs rather than one job with a nondeterministic
-  * layout — the price of redo-stable file names.
+  * them by records/bytes), so `n` is almost always 1 and the whole
+  * pending backlog exports as ONE small job (the metadata-gated fast
+  * path in [[exportAvailable]] — seq-partitioned write, renamed to
+  * the same deterministic bucket names); a bulk commit falls back to
+  * `n` bounded single-bucket jobs per seq rather than one job with a
+  * nondeterministic layout — the price of redo-stable file names.
   *
   * Maintenance snapshots (rewrite/truncate/rollback) are not derivable
   * as changes; [[exportAvailable]] propagates [[IceliteTable]]'s
