@@ -184,6 +184,47 @@ class ChangelogFeedSpec extends AnyFunSuite with SparkFixture {
     assert(got.forall(e => e._2 == "insert" && e._3 == 1L))
   }
 
+  test("fast-path redo after a partial publish: existing buckets untouched, missing ones appear") {
+    val wh = Files.createTempDirectory("feed-wh5").toString
+    val t = IceliteTable.create(spark, wh, "ns", "feed5", rows().schema)
+    val dir = Files.createTempDirectory("feed-dir5").toString
+    val feed = new ChangelogFeed(t, dir)
+    t.upsert(rows((1L, "a", 1.0), (2L, "b", 2.0)), Seq("id")) // seq 1
+    t.upsert(rows((3L, "c", 3.0)), Seq("id")) // seq 2
+    assert(feed.exportAvailable() == (0L, 2L)) // single-job backlog export
+    def f(name: String) = java.nio.file.Paths.get(dir, name)
+    assert(Files.exists(f("seq-1-b0.parquet")) && Files.exists(f("seq-2-b0.parquet")))
+    // simulate a crash between the two renames, before the marker
+    // advanced: seq-1 published, seq-2 missing, marker still at 0
+    val mtime1 = Files.getLastModifiedTime(f("seq-1-b0.parquet"))
+    Files.delete(f("seq-2-b0.parquet"))
+    Files.delete(f("_feed_state.json"))
+    Thread.sleep(20)
+    assert(feed.exportAvailable() == (0L, 2L)) // redo
+    assert(Files.getLastModifiedTime(f("seq-1-b0.parquet")) == mtime1,
+      "a published bucket must never be rewritten on redo")
+    assert(Files.exists(f("seq-2-b0.parquet")))
+    val got = drain(feed, Files.createTempDirectory("feed-ck5").toString)
+    assert(got.toSet == Set((1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 2L)))
+  }
+
+  test("an empty commit inside a fast-path backlog still publishes its (empty) bucket") {
+    val wh = Files.createTempDirectory("feed-wh6").toString
+    val t = IceliteTable.create(spark, wh, "ns", "feed6", rows().schema)
+    val dir = Files.createTempDirectory("feed-dir6").toString
+    val feed = new ChangelogFeed(t, dir)
+    t.upsert(rows((1L, "a", 1.0)), Seq("id")) // seq 1
+    t.append(rows().limit(0)) // seq 2: zero-row commit (seq still advances)
+    t.upsert(rows((2L, "b", 2.0)), Seq("id")) // seq 3
+    assert(feed.exportAvailable() == (0L, 3L))
+    (1 to 3).foreach { s =>
+      assert(Files.exists(java.nio.file.Paths.get(dir, s"seq-$s-b0.parquet")),
+        s"bucket for seq $s must exist (empty commits included)")
+    }
+    val got = drain(feed, Files.createTempDirectory("feed-ck6").toString)
+    assert(got.toSet == Set((1L, "insert", 1L), (2L, "insert", 3L)))
+  }
+
   test("a maintenance snapshot in range fails the export loudly") {
     val wh = Files.createTempDirectory("feed-wh4").toString
     val t = IceliteTable.create(spark, wh, "ns", "feed4", rows().schema)
