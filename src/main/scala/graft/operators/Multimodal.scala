@@ -468,8 +468,18 @@ object Multimodal {
     * [[PhashMaxBandDf]] × corpus rows (cap × postings), the same
     * linear envelope as every shingle-index join here.
     */
+  /** Memoized verified pair set per (session, dataset): the same
+    * pairs feed the pair query, the cluster closure, and the survivor
+    * pick, so the banded join + Hamming verify runs once per session
+    * (the text-side mirror of [[Dedup.minhashLsh]]'s pair memo).
+    */
+  private val phashPairSets =
+    new graft.util.IndexMemo[DataFrame](8)(_.unpersist(false))
+
   def phashDedup(spark: SparkSession, dir: String): DataFrame =
-    phashPairsFromSigs(PhashIndex.sigs(spark, dir))
+    phashPairSets.getOrElseUpdate(spark, dir)(
+      phashPairsFromSigs(PhashIndex.sigs(spark, dir)).cache())
+      .orderBy("x", "y")
 
   /** Inline-decode variant (tests prove it ≡ the persisted-index
     * path): one decode pass materialized, then the same banded join.
