@@ -31,6 +31,7 @@ import org.apache.spark.sql.types._
 case class KmvSketchAgg(
     child: Expression,
     k: Int,
+    withValues: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
@@ -46,7 +47,8 @@ case class KmvSketchAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"kmv_sketch requires a LongType hash input, got ${child.dataType.catalogString}")
   override def nullable: Boolean = false
-  override def dataType: DataType = KmvSketchAgg.OutType
+  override def dataType: DataType =
+    if (withValues) KmvSketchAgg.OutTypeWithValues else KmvSketchAgg.OutType
   override def prettyName: String = "kmv_sketch"
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
@@ -78,7 +80,16 @@ case class KmvSketchAgg(
     val est =
       if (n < k) n
       else (k - 1).toLong * KmvSketchAgg.HashDomain / buf.last().longValue()
-    InternalRow(est, n)
+    if (!withValues) InternalRow(est, n)
+    else {
+      // retained minima ascending — the mergeable sketch STATE, for
+      // sketch-algebra consumers (union/intersection across segments)
+      val arr = new Array[Long](buf.size)
+      val it = buf.iterator(); var i = 0
+      while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+      InternalRow(est, n,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(arr))
+    }
   }
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
@@ -115,8 +126,21 @@ object KmvSketchAgg {
     StructField("distinct_estimate", LongType, nullable = false),
     StructField("sketch_size", LongType, nullable = false)))
 
+  val OutTypeWithValues: StructType = StructType(Seq(
+    StructField("distinct_estimate", LongType, nullable = false),
+    StructField("sketch_size", LongType, nullable = false),
+    StructField("values", ArrayType(LongType, containsNull = false), nullable = false)))
+
   /** DataFrame-side aggregate column: `kmvSketch(hashCol, k)`. */
   def kmvSketch(c: Column, k: Int): Column =
     ColumnBridge.column(
       KmvSketchAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Sketch WITH its retained minima (the mergeable state), for
+    * sketch-algebra queries that combine per-segment sketches.
+    */
+  def kmvSketchValues(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvSketchAgg(ColumnBridge.expression(c), k, withValues = true)
+        .toAggregateExpression())
 }

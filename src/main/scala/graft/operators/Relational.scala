@@ -572,6 +572,97 @@ object Relational {
        |  CAST(n AS BIGINT) AS sketch_size
        |FROM k ORDER BY l_returnflag""".stripMargin
 
+  /** KMV sketch ALGEBRA — what a mergeable sketch exists for: the
+    * per-source vocabulary sketches (built once by the native
+    * [[graft.functions.KmvSketchAgg]], ≤ k longs each through the
+    * shuffle) are COMBINED pairwise to estimate union cardinality,
+    * Jaccard similarity, and intersection cardinality of any two
+    * sources' vocabularies — without ever joining the underlying
+    * corpora. Union sketch = k smallest of the merged minima; the
+    * union's sample that appears in BOTH input sketches estimates
+    * Jaccard (the classic KMV estimator); intersection =
+    * J × union-estimate in pure integer arithmetic.
+    *
+    * Scale: one corpus scan builds S sketches (S = #segments/sources);
+    * the pairwise combine touches S² sketch ROWS of k longs — at 100 TB
+    * the corpora never move, only the sketches do (the same reason
+    * engines persist theta/KMV sketches per partition and merge at
+    * query time). Every estimate is integer/array arithmetic on the
+    * portable hash, so the oracle reproduces it bit-for-bit.
+    */
+  def kmvSetAlgebra(spark: SparkSession, dir: String): DataFrame =
+    kmvSetAlgebraOn(t(spark, dir, "documents"))
+
+  private[operators] def kmvSetAlgebraOn(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val sk = words.groupBy(col("source"))
+      .agg(graft.functions.KmvSketchAgg
+        .kmvSketchValues(Dedup.phash(col("w")), KmvK).as("kmv"))
+      .select(col("source"), col("kmv.values").as("vals"))
+    val unionEstLit = (KmvK - 1).toLong * graft.functions.KmvSketchAgg.HashDomain
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .withColumn("uni", slice(array_sort(array_union(col("a.vals"), col("b.vals"))), 1, KmvK))
+      .withColumn("ku", size(col("uni")).cast("long"))
+      .withColumn("kth", element_at(col("uni"), size(col("uni"))))
+      .withColumn("union_estimate",
+        when(col("ku") < KmvK, col("ku")).otherwise(expr(s"${unionEstLit}L DIV kth")))
+      .withColumn("inter_sample",
+        size(filter(col("uni"), h =>
+          array_contains(col("a.vals"), h) && array_contains(col("b.vals"), h)))
+          .cast("long"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("ku").as("union_sketch_size"), col("union_estimate"), col("inter_sample"),
+        round(col("inter_sample").cast("double") / col("ku"), 12).as("jaccard_est"),
+        expr("inter_sample * union_estimate DIV ku").as("intersection_estimate"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val kmvSetAlgebraOracle = {
+    val unionEstLit = (KmvK - 1).toLong * graft.functions.KmvSketchAgg.HashDomain
+    val unionEstSql = s"CASE WHEN ku < $KmvK THEN ku ELSE $unionEstLit // kth END"
+    s"""WITH wrds AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (
+       |  SELECT DISTINCT source, ${graft.operators.Dedup.phashSql("w")} AS h
+       |  FROM wrds WHERE len(w) > 0),
+       |r AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM h),
+       |sk AS (SELECT source, h FROM r WHERE rn <= $KmvK),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pr AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |uh AS (
+       |  SELECT pr.sa, pr.sb, s.h FROM pr JOIN sk s ON s.source = pr.sa
+       |  UNION
+       |  SELECT pr.sa, pr.sb, s.h FROM pr JOIN sk s ON s.source = pr.sb),
+       |ur AS (
+       |  SELECT sa, sb, h,
+       |    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |  FROM uh),
+       |uk AS (SELECT sa, sb, h FROM ur WHERE rn <= $KmvK),
+       |ust AS (SELECT sa, sb, count(*) AS ku, max(h) AS kth FROM uk GROUP BY 1, 2),
+       |inter AS (
+       |  SELECT u.sa, u.sb, count(*) AS inter_sample
+       |  FROM uk u
+       |  JOIN sk x ON x.source = u.sa AND x.h = u.h
+       |  JOIN sk y ON y.source = u.sb AND y.h = u.h
+       |  GROUP BY 1, 2)
+       |SELECT sa AS source_a, sb AS source_b,
+       |  CAST(ku AS BIGINT) AS union_sketch_size,
+       |  CAST($unionEstSql AS BIGINT) AS union_estimate,
+       |  CAST(coalesce(inter_sample, 0) AS BIGINT) AS inter_sample,
+       |  round(CAST(coalesce(inter_sample, 0) AS DOUBLE) / ku, 12) AS jaccard_est,
+       |  CAST(coalesce(inter_sample, 0) * ($unionEstSql) // ku AS BIGINT)
+       |    AS intersection_estimate
+       |FROM ust LEFT JOIN inter USING (sa, sb)
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   // ---------------------------------------- native top-k-per-group
 
   /** Top-3 orders by price per priority through the CUSTOM whole-stage
@@ -636,6 +727,8 @@ object Relational {
       "two-column approximate distinct per group (portable KMV estimate)"),
     GraftQuery("kmv_distinct", kmvDistinct _, Some(kmvDistinctOracle),
       "KMV distinct sketch (portable: identical sketch + integer estimate cross-engine)"),
+    GraftQuery("kmv_set_algebra", kmvSetAlgebra _, Some(kmvSetAlgebraOracle),
+      "sketch algebra: pairwise union/Jaccard/intersection estimates from merged per-source KMV sketches"),
     GraftQuery("topk_per_group_native", topkPerGroupNative _, Some(topkPerGroupNativeOracle),
       "custom LogicalPlan+Strategy+SparkPlan bounded-heap top-k (partial/final, no sort)")
   )

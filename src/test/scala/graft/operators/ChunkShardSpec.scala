@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture
@@ -111,6 +112,39 @@ class ChunkShardSpec extends AnyFunSuite with SparkFixture {
       .toMap
     assert(out(1L) == ((5L, 3L, 2L, 1L)))
     assert(out(2L) == ((3L, 1L, 3L, 3L)))
+  }
+
+  test("kmv set algebra: sub-k vocabularies make every estimate exact") {
+    import spark.implicits._
+    // vocabularies far below k=256, so sketches hold the full hash
+    // sets and the estimators collapse to exact set arithmetic:
+    // A={a,b,c}, B={b,c,d}: union 4, inter 2, J=0.5, inter-est 2
+    // A∩C=∅: union 5, inter 0, J=0, inter-est 0
+    val docs = Seq(
+      ("A", "a b c"), ("B", "b c d"), ("C", "x y")
+    ).toDF("source", "text")
+    val out = Relational.kmvSetAlgebraOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(out(("A", "B")) == ((4L, 4L, 2L, 0.5, 2L)))
+    assert(out(("A", "C")) == ((5L, 5L, 0L, 0.0, 0L)))
+    assert(out(("B", "C")) == ((5L, 5L, 0L, 0.0, 0L)))
+  }
+
+  test("kmv sketch values: ascending retained minima, capped at k") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => ("g", i)).toDF("g", "v")
+      .select(col("g"), Dedup.phash(col("v").cast("string")).as("h"))
+    val row = df.groupBy("g")
+      .agg(graft.functions.KmvSketchAgg.kmvSketchValues(col("h"), 16).as("kmv"))
+      .select(col("kmv.sketch_size"), col("kmv.values")).collect()(0)
+    val vals = row.getSeq[Long](1)
+    assert(row.getLong(0) == 16L && vals.length == 16)
+    assert(vals == vals.sorted, "retained minima must be ascending")
+    // they are the true 16 smallest of the full hash set
+    val all = df.select("h").collect().map(_.getLong(0)).distinct.sorted.take(16).toSeq
+    assert(vals == all)
   }
 
   test("attribution: planted sequence credits the strictly-preceding touch") {
