@@ -66,6 +66,13 @@ object Bench {
     try graft.operators.PhashIndex.ensureBuilt(spark, sfDir)
     catch { case _: Throwable => () }
     val phashIngestSec = (System.nanoTime() - phashT0) / 1e9
+    // ... and the per-source vocabulary KMV sketch table (same
+    // lifecycle: sketches build when data lands; the sketch-algebra
+    // query only MERGES them)
+    val sketchT0 = System.nanoTime()
+    try graft.operators.SketchIndex.ensureBuilt(spark, sfDir)
+    catch { case _: Throwable => () }
+    val sketchIngestSec = (System.nanoTime() - sketchT0) / 1e9
     val failed = scala.collection.mutable.Set.empty[String]
     // noise control: TWO full passes over the suite, report the min per
     // query (BASELINE.md §methodology) — one-time costs (codegen
@@ -159,7 +166,7 @@ object Bench {
       .map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"ingest_lm_index_sec":$lmIngestSec,"ingest_phash_index_sec":$phashIngestSec,"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"ingest_lm_index_sec":$lmIngestSec,"ingest_phash_index_sec":$phashIngestSec,"ingest_sketch_index_sec":$sketchIngestSec,"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val qs = results.map { case (k, v) => s""""$k":${math.round(v * 1000)}""" }
       .mkString("{", ",", "}")
     val totalR = math.round(total * 1000) / 1000.0

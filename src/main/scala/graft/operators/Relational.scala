@@ -591,16 +591,16 @@ object Relational {
     * portable hash, so the oracle reproduces it bit-for-bit.
     */
   def kmvSetAlgebra(spark: SparkSession, dir: String): DataFrame =
-    kmvSetAlgebraOn(t(spark, dir, "documents"))
+    kmvCombine(SketchIndex.sketches(spark, dir))
 
-  private[operators] def kmvSetAlgebraOn(docs: DataFrame): DataFrame = {
-    val words = docs
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val sk = words.groupBy(col("source"))
-      .agg(graft.functions.KmvSketchAgg
-        .kmvSketchValues(Dedup.phash(col("w")), KmvK).as("kmv"))
-      .select(col("source"), col("kmv.values").as("vals"))
+  private[operators] def kmvSetAlgebraOn(docs: DataFrame): DataFrame =
+    kmvCombine(SketchIndex.sketchOf(docs))
+
+  /** Pairwise sketch combine over `sk(source, vals)` rows — the
+    * query-time half; the sketches themselves come from the persisted
+    * ingest-time [[SketchIndex]] (or an inline twin in specs).
+    */
+  private[operators] def kmvCombine(sk: DataFrame): DataFrame = {
     val unionEstLit = (KmvK - 1).toLong * graft.functions.KmvSketchAgg.HashDomain
     sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
       .withColumn("uni", slice(array_sort(array_union(col("a.vals"), col("b.vals"))), 1, KmvK))
