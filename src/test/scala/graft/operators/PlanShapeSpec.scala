@@ -149,6 +149,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(corpusScans == 2, s"expected 2 scans (docs + total), got $corpusScans")
   }
 
+  test("scene detection runs the window + both aggregations on ONE doc_id exchange") {
+    val pe = SparkEntry.queries("multimodal_scenes")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // hashpartitioning(doc_id) satisfies the (doc_id, scene_id) and
+    // (doc_id) clustered distributions downstream — a second exchange
+    // would mean the chain broke
+    val docExchanges = "hashpartitioning\\(doc_id".r.findAllIn(pe).size
+    assert(docExchanges == 1, s"expected 1 doc_id shuffle, got $docExchanges:\n$pe")
+  }
+
   test("attribution shuffles events on user_id exactly once (single window operator)") {
     val pe = SparkEntry.queries("event_attribution")(spark, dir)
       .queryExecution.executedPlan.toString
