@@ -490,39 +490,88 @@ object TextAnalysis {
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     qualityClassifierOn(spark, t(spark, dir, "documents"))
 
-  private[operators] def qualityClassifierOn(
-      spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
+  /** Perceptron feature frame: five capped integer features + the
+    * teacher label, with pass-through columns for downstream grouping.
+    */
+  private def perceptronFeatures(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val words = split(col("text"), " ")
     val stops = size(filter(words, w => w.isin(Markers("en"): _*)))
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val f = docs.select(
+    docs.select(carry.map(col) ++ Seq(
       lit(1L).as("x0"),
       least(expr("size(split(text, ' ')) DIV 25"), lit(FeatureCap)).cast("long").as("x1"),
       least(stops, lit(FeatureCap)).cast("long").as("x2"),
       least(punct, lit(FeatureCap)).cast("long").as("x3"),
       least(expr("length(text) DIV 50"), lit(FeatureCap)).cast("long").as("x4"),
-      when(qualityPoints(col("text")) >= 8, 1L).otherwise(-1L).as("y"))
-      .localCheckpoint(true)
+      when(qualityPoints(col("text")) >= 8, 1L).otherwise(-1L).as("y")): _*)
+  }
+
+  /** Run the K training rounds over a materialized feature frame;
+    * returns (per-round curve, final weights).
+    */
+  private def perceptronTrain(
+      f: DataFrame): (Seq[(Int, Long, Long, Long, Long, Long, Long)], Array[Long]) = {
+    val w = Array.fill(5)(0L)
+    val rows = (1 to PerceptronRounds).map { k =>
+      val dot = (0 to 4).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
+      val r = f.filter(col("y") * dot <= 0)
+        .agg(count(lit(1)).as("n"),
+          sum(col("y") * col("x0")), sum(col("y") * col("x1")),
+          sum(col("y") * col("x2")), sum(col("y") * col("x3")),
+          sum(col("y") * col("x4")))
+        .collect()(0)
+      (0 to 4).foreach(i => w(i) += (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
+      (k, r.getLong(0), w(0), w(1), w(2), w(3), w(4))
+    }
+    (rows, w)
+  }
+
+  private[operators] def qualityClassifierOn(
+      spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val f = perceptronFeatures(docs, Nil).localCheckpoint(true)
     try {
-      val w = Array.fill(5)(0L)
-      val rows = (1 to PerceptronRounds).map { k =>
-        val dot = (0 to 4).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
-        val r = f.filter(col("y") * dot <= 0)
-          .agg(count(lit(1)).as("n"),
-            sum(col("y") * col("x0")), sum(col("y") * col("x1")),
-            sum(col("y") * col("x2")), sum(col("y") * col("x3")),
-            sum(col("y") * col("x4")))
-          .collect()(0)
-        (0 to 4).foreach(i => w(i) += (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
-        (k, r.getLong(0), w(0), w(1), w(2), w(3), w(4))
-      }
+      val (rows, _) = perceptronTrain(f)
       rows.toDF("step", "n_mis", "w_bias", "w_len", "w_stop", "w_punct", "w_chars")
         .orderBy("step")
     } finally f.unpersist()
   }
 
-  private val qualityClassifierOracle: String = {
+  /** The classifier's APPLY side — train → deploy in one gated plan
+    * (the [[bpeMerges]]/[[bpeTokenize]] pairing, for the quality
+    * filter): the K training rounds produce the weight vector (a
+    * driver-side artifact, as a shipped model is), then ONE scan-local
+    * projection scores every document — keep = w·x > 0 — and a
+    * hash-agg reports the per-source filter outcome plus agreement
+    * with the rule-based teacher. At scale the apply is the only
+    * corpus-sized pass and it is a codegen projection with literal
+    * weights; the oracle re-derives the identical weights through the
+    * same unrolled integer CTE chain.
+    */
+  def qualityClassifierApply(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierApplyOn(spark, t(spark, dir, "documents"))
+
+  private[operators] def qualityClassifierApplyOn(
+      spark: SparkSession, docs: DataFrame): DataFrame = {
+    val f = perceptronFeatures(docs, Seq("source")).localCheckpoint(true)
+    try {
+      val (_, w) = perceptronTrain(f)
+      val dot = (0 to 4).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
+      f.withColumn("pred_keep", dot > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("pred_keep") === (col("y") > 0), 1L).otherwise(0L))
+            .as("n_agree"))
+        .orderBy("source")
+    } finally f.unpersist()
+  }
+
+  /** Shared trainer CTE chain (feature frame `f` with `source`
+    * carried, zero weights `p0`, then `m1/p1 .. mK/pK`) — the training
+    * curve and the apply query both build on it.
+    */
+  private val qualityOracleCtes: String = {
     val stopSet = Markers("en").map(x => s"'$x'").mkString(", ")
     val rounds = (1 to PerceptronRounds).map { k =>
       s"""m$k AS (
@@ -537,12 +586,9 @@ object TextAnalysis {
          |    p.wp + m.dp AS wp, p.wc + m.dc AS wc
          |  FROM p${k - 1} p, m$k m)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to PerceptronRounds).map { k =>
-      s"SELECT $k AS step, m$k.n AS n_mis, p$k.wb AS w_bias, p$k.wl AS w_len, " +
-        s"p$k.ws AS w_stop, p$k.wp AS w_punct, p$k.wc AS w_chars FROM m$k, p$k"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH f AS (
-       |  SELECT CAST(1 AS BIGINT) AS x0,
+    s"""f AS (
+       |  SELECT source,
+       |    CAST(1 AS BIGINT) AS x0,
        |    CAST(least(len(string_split(text, ' ')) // 25, $FeatureCap) AS BIGINT) AS x1,
        |    CAST(least(len(list_filter(string_split(text, ' '), x -> x IN ($stopSet))),
        |      $FeatureCap) AS BIGINT) AS x2,
@@ -556,10 +602,29 @@ object TextAnalysis {
        |  SELECT CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS wl,
        |    CAST(0 AS BIGINT) AS ws, CAST(0 AS BIGINT) AS wp,
        |    CAST(0 AS BIGINT) AS wc),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val qualityClassifierOracle: String = {
+    val out = (1 to PerceptronRounds).map { k =>
+      s"SELECT $k AS step, m$k.n AS n_mis, p$k.wb AS w_bias, p$k.wl AS w_len, " +
+        s"p$k.ws AS w_stop, p$k.wp AS w_punct, p$k.wc AS w_chars FROM m$k, p$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $qualityOracleCtes
        |SELECT * FROM (
        |  $out
        |) ORDER BY step""".stripMargin
+  }
+
+  private val qualityClassifierApplyOracle: String = {
+    val dot = "wb*x0 + wl*x1 + ws*x2 + wp*x3 + wc*x4"
+    s"""WITH $qualityOracleCtes
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN $dot > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN ($dot > 0) = (y > 0) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree
+       |FROM f, p$PerceptronRounds
+       |GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** Number of BPE merge rules [[bpeMerges]] learns. */
@@ -881,6 +946,8 @@ object TextAnalysis {
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("quality_classifier", qualityClassifier _, Some(qualityClassifierOracle),
       "batch-perceptron quality filter distilling the rule gate: integer-exact training curve + weights"),
+    GraftQuery("quality_classifier_apply", qualityClassifierApply _, Some(qualityClassifierApplyOracle),
+      "train -> deploy: learned weights score the corpus in one scan; per-source keep + teacher agreement"),
     GraftQuery("text_chunking", chunking _, Some(chunkingOracle),
       "overlapping char-window chunking with offsets + digests (RAG prep, scan-local)"),
     GraftQuery("text_lm_score", lmScore _, Some(lmScoreOracle),

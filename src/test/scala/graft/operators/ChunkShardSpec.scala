@@ -97,6 +97,20 @@ class ChunkShardSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("perceptron apply: converged weights reproduce the teacher on the planted corpus") {
+    import spark.implicits._
+    // 2 good + 1 bad doc: round 1 updates w to (1, 2, −1, 0, 2), round
+    // 2 classifies everything correctly → apply keeps exactly the
+    // goods and agrees with the teacher on every doc
+    val good = (Seq("the") ++ Seq.fill(29)("aa")).mkString(" ")
+    val docs = Seq(("s1", good), ("s1", "the the the"), ("s2", good))
+      .toDF("source", "text")
+    val out = TextAnalysis.qualityClassifierApplyOn(spark, docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("s1") == ((2L, 1L, 2L)))
+    assert(out("s2") == ((1L, 1L, 1L)))
+  }
+
   test("scenes: planted brightness jumps cut exactly where they exceed the delta") {
     import spark.implicits._
     val d = Multimodal.SceneCutDelta
