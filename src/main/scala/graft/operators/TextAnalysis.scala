@@ -543,10 +543,11 @@ object TextAnalysis {
     * driver-side artifact, as a shipped model is), then ONE scan-local
     * projection scores every document — keep = w·x > 0 — and a
     * hash-agg reports the per-source filter outcome plus agreement
-    * with the rule-based teacher. At scale the apply is the only
-    * corpus-sized pass and it is a codegen projection with literal
-    * weights; the oracle re-derives the identical weights through the
-    * same unrolled integer CTE chain.
+    * with the rule-based teacher. At scale ONE corpus scan
+    * materializes the 6-integer feature frame; the K training
+    * aggregations and the final scoring projection all run over that
+    * materialization, never the text again. The oracle re-derives the
+    * identical weights through the same unrolled integer CTE chain.
     */
   def qualityClassifierApply(spark: SparkSession, dir: String): DataFrame =
     qualityClassifierApplyOn(spark, t(spark, dir, "documents"))
