@@ -730,8 +730,10 @@ object Pipeline {
   val ShardTargetTokens = 20000L
 
   /** Physical output layout for the curated corpus — the step after
-    * [[corpusFinal]]'s manifest: derive the shard COUNT from the
-    * corpus's total token mass (`max(1, total DIV target)` — the same
+    * [[corpusFinal]]'s manifest: over the docs surviving the cheap
+    * gates (eval-suite exclusion + the quality gate, the same flags
+    * `corpus_final` stage 1–2 applies), derive the shard COUNT from
+    * the surviving token mass (`max(1, total DIV target)` — the same
     * rule a writer uses to hit a target file size), assign every doc
     * its shard by deterministic salted hash, and emit the per-shard
     * manifest (docs, token/char mass, balance factor = shard tokens ÷
@@ -752,6 +754,8 @@ object Pipeline {
 
   private[operators] def corpusShardsOn(input: DataFrame): DataFrame = {
     val docs = input
+      .filter(col("doc_id") % Hygiene.BenchMod =!= 0 &&
+        TextAnalysis.qualityPoints(col("text")) >= 8)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("nt"), col("n_chars"))
     val tot = docs.agg(sum(col("nt")).as("total_tokens"))
@@ -772,7 +776,9 @@ object Pipeline {
   private val corpusShardsOracle =
     s"""WITH d AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt, n_chars
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE doc_id % ${Hygiene.BenchMod} <> 0
+       |    AND ${TextAnalysis.qualityPointsSql("text")} >= 8),
        |tot AS (
        |  SELECT CAST(sum(nt) AS BIGINT) AS tt,
        |    greatest(1, CAST(sum(nt) AS BIGINT) // $ShardTargetTokens) AS ns

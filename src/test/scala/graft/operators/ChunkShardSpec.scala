@@ -54,24 +54,29 @@ class ChunkShardSpec extends AnyFunSuite with SparkFixture {
     assert(last.getInt(2) + last.getInt(3) == text.length)
   }
 
-  test("shards: layout partitions the corpus exactly; count follows token mass") {
+  test("shards: layout partitions the gated corpus exactly; count follows token mass") {
     import spark.implicits._
-    val docs = (1L to 400L)
-      .map(d => (d, Seq.fill(60)("tok").mkString(" "), 239L))
+    // 60 tokens incl. a stopword → quality points 10, passes the gate;
+    // doc_ids divisible by BenchMod (7) are eval docs and excluded
+    val text = (Seq("the") ++ Seq.fill(59)("aa")).mkString(" ")
+    def corpus(n: Long) = (1L to n).map(d => (d, text, 180L))
       .toDF("doc_id", "text", "n_chars")
-    val out = Pipeline.corpusShardsOn(docs).collect()
-    // 400 docs × 60 tokens = 24000 tokens → 24000 DIV 20000 = 1 shard;
-    // scale to 3× the docs → 72000 → 3 shards
+    val out = Pipeline.corpusShardsOn(corpus(400L)).collect()
+    // 400 − 57 eval docs = 343 surviving × 60 tokens = 20580
+    //   → 20580 DIV 20000 = 1 shard
     assert(out.map(_.getLong(0)).toSeq == Seq(0L))
-    assert(out.head.getLong(1) == 400L && out.head.getLong(2) == 24000L)
+    assert(out.head.getLong(1) == 343L && out.head.getLong(2) == 20580L)
     assert(out.head.getDouble(4) == 1.0) // single shard is perfectly balanced
-    val docs3 = (1L to 1200L)
-      .map(d => (d, Seq.fill(60)("tok").mkString(" "), 239L))
-      .toDF("doc_id", "text", "n_chars")
-    val out3 = Pipeline.corpusShardsOn(docs3).collect()
+    // 3× the docs: 1029 surviving × 60 = 61740 → 3 shards
+    val out3 = Pipeline.corpusShardsOn(corpus(1200L)).collect()
     assert(out3.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
-    assert(out3.map(_.getLong(1)).sum == 1200L) // every doc in exactly one shard
-    assert(out3.map(_.getLong(2)).sum == 72000L)
+    assert(out3.map(_.getLong(1)).sum == 1029L) // every surviving doc in exactly one shard
+    assert(out3.map(_.getLong(2)).sum == 61740L)
+    // a failing-quality doc never reaches a shard
+    val withBad = corpus(400L)
+      .union(Seq((401L, "the the the", 11L)).toDF("doc_id", "text", "n_chars"))
+    val outB = Pipeline.corpusShardsOn(withBad).collect()
+    assert(outB.map(_.getLong(1)).sum == 343L)
   }
 
   test("perceptron: separable planted corpus converges after one full-batch round") {
