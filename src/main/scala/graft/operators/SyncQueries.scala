@@ -532,6 +532,61 @@ object SyncQueries {
       |  min(seq) AS min_seq, max(seq) AS max_seq
       |FROM packed GROUP BY 1, 2 ORDER BY pbucket, group_id""".stripMargin
 
+  /** ANALYZE as an oracle-gated query ([[IceliteTable.analyze]] →
+    * [[IceliteTable.statsTable]]): seed a keyed table (one string, one
+    * long, one double, and one NULLABLE column with planted nulls),
+    * run ANALYZE over all four, and read the stats back from table
+    * METADATA. DuckDB recomputes every row — totals, null counts, and
+    * the KMV distinct estimates over the identical portable hash — so
+    * the statistics a planner would consume are proven bit-identical
+    * to a relational recomputation, including the sketch math.
+    */
+  def tableAnalyze(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("analyze-query")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(23)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_totalprice"),
+        when(pmod(col("o_orderkey"), lit(10)) === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("status_opt"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_stats", src.schema)
+    table.upsert(src, Seq("_id"))
+    table.analyze(Seq("_id", "o_orderkey", "o_totalprice", "status_opt"))
+    table.statsTable().orderBy("column")
+  }
+
+  private val tableAnalyzeOracle = {
+    val k = 256
+    val est = s"CASE WHEN cnt < $k THEN cnt ELSE ${(k - 1).toLong * 4294967296L} // hk END"
+    def colBlock(c: String, expr: String) =
+      s"""SELECT '$c' AS "column",
+         |  (SELECT count(*) FROM sub) AS n_rows,
+         |  (SELECT count(*) - count($expr) FROM sub) AS n_nulls,
+         |  CAST($est AS BIGINT) AS ndv_estimate,
+         |  CAST(cnt AS BIGINT) AS sketch_size
+         |FROM (
+         |  SELECT count(*) AS cnt, max(h) AS hk FROM (
+         |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+         |      SELECT DISTINCT CAST(concat('0x', substr(md5(CAST($expr AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |      FROM sub WHERE $expr IS NOT NULL) d) r
+         |  WHERE rn <= $k) s""".stripMargin
+    s"""WITH sub AS (
+       |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
+       |    o_orderkey, o_totalprice,
+       |    CASE WHEN o_orderkey % 10 = 0 THEN NULL
+       |         ELSE o_orderstatus END AS status_opt
+       |  FROM orders WHERE o_orderkey % 23 = 0)
+       |SELECT * FROM (
+       |  ${colBlock("_id", "_id")}
+       |  UNION ALL
+       |  ${colBlock("o_orderkey", "o_orderkey")}
+       |  UNION ALL
+       |  ${colBlock("o_totalprice", "o_totalprice")}
+       |  UNION ALL
+       |  ${colBlock("status_opt", "status_opt")}
+       |) ORDER BY "column"""".stripMargin
+  }
+
   private val tableReplicaSyncOracle =
     """WITH sub AS (
       |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
@@ -1008,6 +1063,8 @@ object SyncQueries {
       "partitions metadata table: exact MoR per-partition record counts"),
     GraftQuery("table_snapshots", tableSnapshots _, Some(tableSnapshotsOracle),
       "snapshots + manifests metadata tables: per-commit added/cumulative totals and per-file metrics"),
+    GraftQuery("table_analyze", tableAnalyze _, Some(tableAnalyzeOracle),
+      "ANALYZE: per-column null counts + KMV distinct estimates published as a stats snapshot, read from metadata"),
     GraftQuery("table_changelog_stream", tableChangelogStream _, Some(tableChangelogStreamOracle),
       "streaming CDC consumer: changelog feed export + checkpointed file-stream resume"),
     GraftQuery("table_replica_sync", tableReplicaSync _, Some(tableReplicaSyncOracle),

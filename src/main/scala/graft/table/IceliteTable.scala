@@ -738,6 +738,70 @@ final class IceliteTable private (
     }.toDF("file", "content", "seq", "operation", "record_count", "file_size_bytes")
   }
 
+  /** ANALYZE — column statistics computed in ONE aggregation over the
+    * current MoR view and published as a metadata-only `analyze`
+    * snapshot whose summary carries the stats (the Iceberg
+    * compute-table-stats / puffin shape: statistics travel in table
+    * metadata, atomically versioned alongside the data they describe).
+    * Per column: non-null count and a KMV distinct estimate over the
+    * portable md5-prefix hash of the value's string form — the same
+    * mergeable sketch the query surface exposes, so the numbers a
+    * cost-based planner would read are reproducible cross-engine.
+    *
+    * Scale: one scan with map-side partial aggregation (≤ k longs per
+    * column through the shuffle), a 1-row collect, one metadata
+    * rename; zero data files written. Returns the analyze snapshot's
+    * seq. An analyze snapshot adds no rows, so changelog consumers
+    * see nothing (an empty commit, like a no-op append).
+    */
+  def analyze(cols: Seq[String], k: Int = 256): Long = {
+    require(cols.nonEmpty, "analyze needs at least one column")
+    val sch = cachedMeta.schema
+    cols.foreach(c => require(sch.fieldNames.contains(c), s"no column '$c' in $name"))
+    def hashOf(c: String) =
+      conv(substring(md5(col(c).cast("string")), 1, 8), 16, 10).cast("long")
+    val aggs = count(lit(1)).as("_n") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"_nn_$c"),
+        graft.functions.KmvSketchAgg.kmvSketch(hashOf(c), k).as(s"_kmv_$c")))
+    val r = read().agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = r.getLong(0)
+    val summary = cols.zipWithIndex.flatMap { case (c, i) =>
+      val nn = r.getLong(1 + i * 2)
+      val kmv = r.getStruct(2 + i * 2)
+      Seq(
+        s"stats.$c.n_rows" -> n.toString,
+        s"stats.$c.n_nulls" -> (n - nn).toString,
+        s"stats.$c.ndv" -> kmv.getLong(0).toString,
+        s"stats.$c.sketch_size" -> kmv.getLong(1).toString)
+    }.toMap + ("stats.columns" -> cols.mkString(","))
+    retryCommit { head =>
+      val seq = head.lastSeq + 1
+      (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "analyze",
+        Nil, Nil, 0, summary = summary)), seq)
+    }
+  }
+
+  /** Latest ANALYZE statistics as a metadata table, one row per
+    * analyzed column — what a cost-based planner consumes. Rows parse
+    * from the analyze snapshot's summary: pure table metadata, no
+    * data IO at any table size. Empty if the table was never analyzed.
+    */
+  def statsTable(): DataFrame = {
+    import spark.implicits._
+    val rows = cachedMeta.snapshots.reverse.find(_.operation == "analyze") match {
+      case None => Seq.empty[(String, Long, Long, Long, Long)]
+      case Some(s) =>
+        s.summary("stats.columns").split(',').toSeq.map { c =>
+          (c, s.summary(s"stats.$c.n_rows").toLong,
+            s.summary(s"stats.$c.n_nulls").toLong,
+            s.summary(s"stats.$c.ndv").toLong,
+            s.summary(s"stats.$c.sketch_size").toLong)
+        }
+    }
+    rows.toDF("column", "n_rows", "n_nulls", "ndv_estimate", "sketch_size")
+  }
+
   /** Live files as a DataFrame — one row per data/delete file with its
     * committing snapshot and any recorded partition-column min/max
     * (the manifest view a maintenance job plans from).

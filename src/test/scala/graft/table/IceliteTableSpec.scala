@@ -532,4 +532,30 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](
       t.compact(targetFileMB = 256, zorderBy = Seq("total"), numFilesOverride = None))
   }
+
+  test("analyze publishes column stats in metadata; statsTable reads them back") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "stats", docSchema)
+    assert(t.statsTable().count() == 0) // never analyzed yet
+    t.upsert(rows(
+      ("a", 10.0, "new", "2024-01-05T00:00:00Z"),
+      ("b", 10.0, "new", "2024-01-06T00:00:00Z"),
+      ("c", 30.0, null, "2024-01-07T00:00:00Z")), Seq("_id"))
+    val seq = t.analyze(Seq("_id", "total", "status"))
+    assert(t.meta.snapshots.last.operation == "analyze" && t.meta.lastSeq == seq)
+    val st = t.statsTable().collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // n < k: the KMV estimate is the exact distinct count
+    assert(st("_id") == ((3L, 0L, 3L, 3L)))
+    assert(st("total") == ((3L, 0L, 2L, 2L))) // 10.0 twice, 30.0 once
+    assert(st("status") == ((3L, 1L, 1L, 1L))) // one null, one distinct value
+    // a later analyze supersedes (stats follow the data)
+    t.delete(rows(("c", 0.0, "x", "2024-01-07T00:00:00Z")).select("_id"), Seq("_id"))
+    t.analyze(Seq("status"))
+    val st2 = t.statsTable().collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(st2.keySet == Set("status"))
+    assert(st2("status") == ((2L, 0L, 1L)))
+  }
 }
