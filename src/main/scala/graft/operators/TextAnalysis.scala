@@ -510,7 +510,7 @@ object TextAnalysis {
     * returns (per-round curve, final weights).
     */
   private def perceptronTrain(
-      f: DataFrame): (Seq[(Int, Long, Long, Long, Long, Long, Long)], Array[Long]) = {
+      f: DataFrame): (Seq[(Long, Long, Long, Long, Long, Long, Long)], Array[Long]) = {
     val w = Array.fill(5)(0L)
     val rows = (1 to PerceptronRounds).map { k =>
       val dot = (0 to 4).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
@@ -521,7 +521,7 @@ object TextAnalysis {
           sum(col("y") * col("x4")))
         .collect()(0)
       (0 to 4).foreach(i => w(i) += (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
-      (k, r.getLong(0), w(0), w(1), w(2), w(3), w(4))
+      (k.toLong, r.getLong(0), w(0), w(1), w(2), w(3), w(4))
     }
     (rows, w)
   }
@@ -608,7 +608,7 @@ object TextAnalysis {
 
   private val qualityClassifierOracle: String = {
     val out = (1 to PerceptronRounds).map { k =>
-      s"SELECT $k AS step, m$k.n AS n_mis, p$k.wb AS w_bias, p$k.wl AS w_len, " +
+      s"SELECT CAST($k AS BIGINT) AS step, m$k.n AS n_mis, p$k.wb AS w_bias, p$k.wl AS w_len, " +
         s"p$k.ws AS w_stop, p$k.wp AS w_punct, p$k.wc AS w_chars FROM m$k, p$k"
     }.mkString("\n  UNION ALL ")
     s"""WITH $qualityOracleCtes
