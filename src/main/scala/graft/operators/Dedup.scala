@@ -940,37 +940,56 @@ object Dedup {
     * the lines shared by more than [[LineMaxDocDf]] docs; emits the
     * per-doc retention ledger (lines kept/dropped, chars dropped).
     *
-    * Scale shape: one hash agg over 8-byte line keys builds the df
-    * index (no candidate pairs exist anywhere in this operator — the
-    * quadratic risk the shingle joins must cap simply never arises);
-    * the boilerplate subset is ∝ corpus/(df+1) and joins back by hash.
-    * The segment stream is materialized once and feeds both the index
-    * build and the flag join.
+    * Scale shape: the df index is the PERSISTED [[LineIndex]] table
+    * (built once at ingest, folded incrementally as docs land — the
+    * shingle/cluster/LM/pHash/sketch lifecycle, sixth table); the
+    * gated query segments the corpus ONCE and left-joins the ≤
+    * corpus/(df+1)-sized boilerplate subset back by 8-byte hash. No
+    * candidate pairs exist anywhere in this operator — the quadratic
+    * risk the shingle joins must cap simply never arises.
     */
   def lineDedup(spark: SparkSession, dir: String): DataFrame =
-    lineDedupOn(t(spark, dir, "documents"))
+    lineLedger(
+      lineHashStream(t(spark, dir, "documents")),
+      LineIndex.boilerplate(spark, dir))
 
-  private[operators] def lineDedupOn(docs: DataFrame): DataFrame = {
-    val segs = docs
+  /** The corpus line segmentation as an 8-byte hash stream
+    * `(doc_id, nc, h)` — ONE scan-local codegen projection; feeds both
+    * the [[LineIndex]] build and the per-query flag join.
+    */
+  private[operators] def lineHashStream(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, cast(ceil(size(a) / $LineWords.0) as int) - 1), " +
           s"s -> array_join(slice(a, s * $LineWords + 1, $LineWords), ' '))")).as("seg"))
-    val hashed = segs
       .select(col("doc_id"), length(col("seg")).cast("long").as("nc"),
         phash60(col("seg")).as("h"))
-      .localCheckpoint(true) // feeds the df index AND the flag join
-    val boiler = hashed.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > LineMaxDocDf)
-      .select(col("h"), lit(true).as("_drop"))
-    hashed.join(boiler, Seq("h"), "left")
+
+  /** Distinct-doc df per line hash — the [[LineIndex]] build agg. */
+  private[operators] def lineDf(hashed: DataFrame): DataFrame =
+    hashed.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+
+  /** Per-doc retention ledger given the hash stream and the
+    * over-threshold boilerplate hash set.
+    */
+  private def lineLedger(hashed: DataFrame, boiler: DataFrame): DataFrame =
+    hashed.join(boiler.select(col("h"), lit(true).as("_drop")), Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(
         sum(when(col("_drop").isNull, 1L).otherwise(0L)).as("lines_kept"),
         sum(when(col("_drop").isNotNull, 1L).otherwise(0L)).as("lines_dropped"),
         sum(when(col("_drop").isNotNull, col("nc")).otherwise(0L)).as("chars_dropped"))
       .orderBy("doc_id")
+
+  /** Index-free inline variant (the persisted ≡ inline spec baseline):
+    * the segment stream is materialized once and feeds both the df agg
+    * and the flag join.
+    */
+  private[operators] def lineDedupOn(docs: DataFrame): DataFrame = {
+    val hashed = lineHashStream(docs)
+      .localCheckpoint(true) // feeds the df index AND the flag join
+    lineLedger(hashed, lineDf(hashed).filter(col("df") > LineMaxDocDf))
   }
 
   private val lineDedupOracle: String =

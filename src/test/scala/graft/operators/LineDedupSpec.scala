@@ -49,4 +49,34 @@ class LineDedupSpec extends AnyFunSuite with SparkFixture {
     val r = Dedup.lineDedupOn(docs).collect().head
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 0L, 0L)))
   }
+
+  test("persisted line-df index equals inline aggregation bit for bit") {
+    val dir = "/root/testdata/sf0.001"
+    val served = Dedup.lineDedup(spark, dir).collect().toSeq
+    val inline = Dedup.lineDedupOn(
+      graft.Tables.t(spark, dir, "documents")).collect().toSeq
+    assert(served == inline && served.nonEmpty)
+  }
+
+  test("incremental append equals a full rebuild over old + new") {
+    import spark.implicits._
+    val frame = "home about contact legal"
+    def doc(i: Int) = (i.toLong, s"$frame u${i}a u${i}b u${i}c u${i}d")
+    // old batch carries the frame 4 times (under the df cap); the new
+    // batch pushes it to 8 (over) — the append must cross the threshold
+    val old = (1 to 4).map(doc).toDF("doc_id", "text")
+    val fresh = ((5 to 8).map(doc) :+ ((9L, "nine solo words here")))
+      .toDF("doc_id", "text")
+    val whInc = java.nio.file.Files.createTempDirectory("line-idx-inc").toString
+    LineIndex.build(spark, whInc, old)
+    LineIndex.append(spark, whInc, fresh)
+    val whFull = java.nio.file.Files.createTempDirectory("line-idx-full").toString
+    LineIndex.build(spark, whFull, old.unionByName(fresh))
+    def m(wh: String) = LineIndex.readDf(spark, wh).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(whInc) == m(whFull))
+    // and the merged index crosses the boilerplate threshold
+    val over = m(whInc).count(_._2 > Dedup.LineMaxDocDf)
+    assert(over == 1, "the shared frame must be over-threshold after append")
+  }
 }
