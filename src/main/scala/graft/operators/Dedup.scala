@@ -964,6 +964,7 @@ object Dedup {
         s"transform(sequence(0, cast(ceil(size(a) / $LineWords.0) as int) - 1), " +
           s"s -> array_join(slice(a, s * $LineWords + 1, $LineWords), ' '))")).as("seg"))
       .select(col("doc_id"), length(col("seg")).cast("long").as("nc"),
+        size(split(col("seg"), " ")).cast("long").as("ntk"),
         phash60(col("seg")).as("h"))
 
   /** Distinct-doc df per line hash — the [[LineIndex]] build agg. */
@@ -990,6 +991,84 @@ object Dedup {
     val hashed = lineHashStream(docs)
       .localCheckpoint(true) // feeds the df index AND the flag join
     lineLedger(hashed, lineDf(hashed).filter(col("df") > LineMaxDocDf))
+  }
+
+  /** Per-doc token mass AFTER line-level boilerplate removal
+    * `(doc_id, nt_clean)` — what [[Pipeline.corpusFinal]]'s mixture
+    * budget and shard mass count (the tokens a training run actually
+    * reads). Served from the PERSISTED [[LineIndex]]: the only work
+    * per query is one segmentation scan + a left join against the
+    * tiny over-threshold hash set. `sum(ntk)` over a doc's segments
+    * equals its raw token count, so `nt − nt_clean` is exactly the
+    * dropped-line token mass.
+    */
+  private[operators] def lineCleanTokens(spark: SparkSession, dir: String): DataFrame =
+    lineHashStream(t(spark, dir, "documents"))
+      .join(LineIndex.boilerplate(spark, dir)
+        .select(col("h"), lit(true).as("_drop")), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("_drop").isNull, col("ntk")).otherwise(0L)).as("nt_clean"))
+
+  /** Oracle CTEs for [[lineCleanTokens]] (whole-corpus line df, like
+    * the persisted index): `lclean(doc_id, ntc)`.
+    */
+  private[operators] val lineCleanOracleCtes: String =
+    s"""lsegs AS (
+       |  SELECT doc_id, array_to_string(a[(s * $LineWords + 1):((s + 1) * $LineWords)], ' ') AS seg
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) lw,
+       |  LATERAL (SELECT unnest(generate_series(0,
+       |    CAST(ceil(len(a) / $LineWords.0) AS INT) - 1)) AS s) lu),
+       |lhash AS (
+       |  SELECT doc_id, CAST(len(string_split(seg, ' ')) AS BIGINT) AS ntk,
+       |    ${phash60Sql("seg")} AS h
+       |  FROM lsegs),
+       |lboiler AS (
+       |  SELECT h FROM lhash GROUP BY h
+       |  HAVING count(DISTINCT doc_id) > $LineMaxDocDf),
+       |lclean AS (
+       |  SELECT lhash.doc_id,
+       |    CAST(sum(CASE WHEN lb.h IS NULL THEN ntk ELSE 0 END) AS BIGINT) AS ntc
+       |  FROM lhash LEFT JOIN lboiler lb ON lhash.h = lb.h
+       |  GROUP BY lhash.doc_id)""".stripMargin
+
+  /** The doc set flagged by the substring-run gate: every doc that is
+    * the HIGHER id of at least one [[substringRuns]] pair (keep the
+    * first occurrence of a repeated span, drop later carriers — the
+    * [[keepBest]] orientation). Two docs pair iff they share ≥ 1
+    * df-capped W-gram, which is position-free — so the flag set needs
+    * only the distinct (doc, gram-hash) posting join, never the
+    * chain-window pass that sizes the runs.
+    */
+  private[operators] def substringFlagged(spark: SparkSession, dir: String): DataFrame = {
+    val g0 = wordNgramStream(t(spark, dir, "documents"), SubstringWidth)
+      .select(col("doc_id"), phash60(col("s")).as("hs"))
+      .dropDuplicates("doc_id", "hs")
+      .localCheckpoint(true) // feeds the df-cap agg AND both join sides
+    val keep = g0.groupBy(col("hs"))
+      .agg(count(lit(1)).as("df")) // stream is distinct per (doc, hs)
+      .filter(col("df") <= MaxShingleDf).select(col("hs"))
+    val g = g0.join(keep, Seq("hs"), "left_semi")
+    g.as("a").join(g.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id")).distinct()
+  }
+
+  /** Oracle CTEs for [[substringFlagged]]: `substr_bad(doc_id)`. */
+  private[operators] val substringFlaggedOracleCtes: String = {
+    val W = SubstringWidth
+    val terms = (0 until W).map(o => s"sw[i+$o]").mkString(" || '_' || ")
+    s"""sg1 AS (
+       |  SELECT doc_id, u AS sgr FROM (
+       |    SELECT doc_id, unnest([$terms
+       |      for i in generate_series(1, len(sw) - ${W - 1})]) AS u
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS sw FROM documents) swd
+       |    WHERE len(sw) >= $W) sgt),
+       |sg0 AS (SELECT DISTINCT doc_id, ${phash60Sql("sgr")} AS s FROM sg1),
+       |sgc AS (SELECT doc_id, s FROM sg0 WHERE s IN (
+       |  SELECT s FROM sg0 GROUP BY s HAVING count(*) <= $MaxShingleDf)),
+       |substr_bad AS (
+       |  SELECT DISTINCT sb.doc_id FROM sgc sa
+       |  JOIN sgc sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id)""".stripMargin
   }
 
   private val lineDedupOracle: String =

@@ -582,60 +582,113 @@ object Pipeline {
     *   2. quality gate (`text_quality` points ≥ 8, as `curation_funnel`),
     *   3. near-dup survivor selection (`dedup_keep_best` — docs outside
     *      any cluster survive by definition),
-    *   4. n-gram decontamination (`decontam_overlap`: any df-capped
+    *   4. substring-run gate (`dedup_substring`: docs that are the
+    *      HIGHER id of any verbatim ≥ W-token run pair drop — first
+    *      occurrence of a repeated span survives),
+    *   5. n-gram decontamination (`decontam_overlap`: any df-capped
     *      5-gram shared with the eval suite flags the doc),
-    *   5. semantic decontamination (`decontam_semantic`: embedding
+    *   6. semantic decontamination (`decontam_semantic`: embedding
     *      cosine ≥ threshold vs any eval vector; docs without an
     *      embedding pass — vec_id is the doc_id of the embedded subset),
-    *   6. leakage-free split (`split_group_aware`: the split hashes the
+    *   7. line-level cleanup (`text_line_dedup`'s boilerplate lines
+    *      drop from every survivor — a CONTENT transform, not a doc
+    *      gate: the doc's token mass shrinks to `nt_clean`, reported
+    *      per group as `tokens_line_dropped`),
+    *   8. leakage-free split (`split_group_aware`: the split hashes the
     *      dup-cluster root, never the doc),
-    *   7. mixture apply (`mix_apply`'s integer-threshold draw, with the
-    *      per-source token totals computed over the CURATED corpus —
-    *      the plan a real run derives after cleaning, not before; the
-    *      draw is salted 'cf' so it is independent of `mix_apply`'s).
+    *   9. mixture apply (`mix_apply`'s integer-threshold draw, with the
+    *      per-source CLEAN token totals computed over the CURATED
+    *      corpus — the plan a real run derives after cleaning, not
+    *      before; the draw is salted so it is independent of
+    *      `mix_apply`'s). Uniform (min-source) targets by default;
+    *      `corpus_final_temperature` runs the same stack with
+    *      `mix_temperature`'s α = 0.5 flattened targets instead.
     *
-    * Scale shape: gates 1/2 are scan-local projections; 3–5 left-join
+    * Scale shape: gates 1/2 are scan-local projections; 3–6 left-join
     * maps proportional to the duplicated/contaminated subsets (tiny
     * next to the corpus — AQE broadcasts them), each served from the
-    * persisted shingle index / memoized LSH pair set, so no stage
-    * re-derives what an index already holds; 6/7 are stateless hash
-    * decisions; the only full-corpus shuffle is the final (source,
-    * split) hash-agg, whose partial aggregation reduces map-side to
-    * K·3 rows per task.
+    * persisted shingle index / memoized LSH pair set; stage 7 reads
+    * the persisted [[LineIndex]] df table, so no stage re-derives what
+    * an index already holds; 8/9 are stateless hash decisions; the
+    * only full-corpus shuffles are the line-segmentation hash-agg and
+    * the final (source, split) hash-agg, whose partial aggregation
+    * reduces map-side to K·3 rows per task.
     */
-  def corpusFinal(spark: SparkSession, dir: String): DataFrame = {
+  def corpusFinal(spark: SparkSession, dir: String): DataFrame =
+    corpusFinalOn(spark, dir, temperature = false)
+
+  /** [[corpusFinal]] with the temperature-flattened mixture (same gate
+    * stack, `mix_temperature`'s targets over the curated clean token
+    * masses, an independent draw salt).
+    */
+  def corpusFinalTemperature(spark: SparkSession, dir: String): DataFrame =
+    corpusFinalOn(spark, dir, temperature = true)
+
+  /** α = 0.5 temperature keep-thresholds from a per-source
+    * `(source, total_tokens)` frame — [[mixTemperature]]'s exact share
+    * math (sqrt weights, DECIMAL-summed denominator, 12-digit rounded
+    * IEEE division), reduced to the integer draw threshold. A source
+    * whose flattened target meets or exceeds its mass keeps everything
+    * (threshold caps at [[MixRes]]).
+    */
+  private[operators] def temperatureKeepThresholds(totals: DataFrame): DataFrame = {
+    val w = Window.partitionBy()
+    totals
+      .withColumn("w", sqrt(col("total_tokens").cast("double")))
+      .withColumn("wsum", sum(col("w").cast("decimal(38,12)")).over(w).cast("double"))
+      .withColumn("budget", sum(col("total_tokens")).over(w))
+      .withColumn("share", round(col("w") / col("wsum"), 12))
+      .select(col("source"),
+        least(lit(MixRes.toLong), expr(
+          s"cast(floor(share * cast(budget as double)) as bigint) * $MixRes DIV total_tokens"))
+          .as("keep_threshold"))
+  }
+
+  private def corpusFinalOn(
+      spark: SparkSession, dir: String, temperature: Boolean): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(col("doc_id") % Hygiene.BenchMod =!= 0)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("nt"),
         TextAnalysis.qualityPoints(col("text")).as("pts"))
+    val lineClean = Dedup.lineCleanTokens(spark, dir)
     val survivors = Dedup.keepBest(spark, dir)
       .select(col("doc_id"), col("cluster_id"), col("keep").as("dedup_keep"))
+    val substrBad = Dedup.substringFlagged(spark, dir)
+      .select(col("doc_id"), lit(true).as("substr_bad"))
     val ngramBad = Hygiene.decontamOverlap(spark, dir)
       .select(col("doc_id"), lit(true).as("ngram_bad"))
     val semBad = Hygiene.decontamSemantic(spark, dir)
       .select(col("vec_id").as("doc_id"), lit(true).as("sem_bad"))
     val bucket = pmod(phash(concat(lit("grp:"), col("group_id").cast("string"))), lit(100))
     val flags = docs
+      .join(lineClean, Seq("doc_id"), "left")
       .join(survivors, Seq("doc_id"), "left")
+      .join(substrBad, Seq("doc_id"), "left")
       .join(ngramBad, Seq("doc_id"), "left")
       .join(semBad, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("nt"), col("pts"),
+        coalesce(col("nt_clean"), lit(0L)).as("ntc"),
         coalesce(col("dedup_keep"), lit(true)).as("dedup_keep"),
+        coalesce(col("substr_bad"), lit(false)).as("substr_bad"),
         coalesce(col("ngram_bad"), lit(false)).as("ngram_bad"),
         coalesce(col("sem_bad"), lit(false)).as("sem_bad"),
         coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test"))
       .withColumn("q_ok", col("pts") >= 8)
-      .withColumn("surv",
-        col("q_ok") && col("dedup_keep") && !col("ngram_bad") && !col("sem_bad"))
-    val thresholds = flags.filter(col("surv"))
-      .groupBy(col("source")).agg(sum(col("nt")).as("total_tokens"))
-      .withColumn("target_tokens", min(col("total_tokens")).over(Window.partitionBy()))
-      .select(col("source"),
-        expr(s"target_tokens * $MixRes DIV total_tokens").as("keep_threshold"))
-    val draw = pmod(phash(concat_ws(":", lit("cf"), col("source"), col("doc_id").cast("string"))),
+      .withColumn("sub_ok", col("q_ok") && col("dedup_keep") && !col("substr_bad"))
+      .withColumn("surv", col("sub_ok") && !col("ngram_bad") && !col("sem_bad"))
+    val totals = flags.filter(col("surv"))
+      .groupBy(col("source")).agg(sum(col("ntc")).as("total_tokens"))
+    val thresholds =
+      if (temperature) temperatureKeepThresholds(totals)
+      else totals
+        .withColumn("target_tokens", min(col("total_tokens")).over(Window.partitionBy()))
+        .select(col("source"),
+          expr(s"target_tokens * $MixRes DIV total_tokens").as("keep_threshold"))
+    val salt = if (temperature) "cft" else "cf"
+    val draw = pmod(phash(concat_ws(":", lit(salt), col("source"), col("doc_id").cast("string"))),
       lit(MixRes))
     flags.join(broadcast(thresholds), Seq("source"), "left")
       .withColumn("mix_keep",
@@ -644,17 +697,45 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality"),
         sum(when(col("q_ok") && col("dedup_keep"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("sub_ok"), 1L).otherwise(0L)).as("n_substr"),
         sum(when(col("surv"), 1L).otherwise(0L)).as("n_clean"),
         sum(when(col("mix_keep"), 1L).otherwise(0L)).as("n_final"),
-        sum(when(col("mix_keep"), col("nt")).otherwise(0L)).as("tokens_final"))
+        sum(when(col("mix_keep"), col("ntc")).otherwise(0L)).as("tokens_final"),
+        sum(when(col("surv"), col("nt") - col("ntc")).otherwise(0L))
+          .as("tokens_line_dropped"))
       .orderBy("source", "split")
   }
 
-  private val corpusFinalOracle: String = {
+  private def corpusFinalOracleFor(temperature: Boolean): String = {
     val grpB = phashSql("'grp:' || CAST(group_id AS VARCHAR)")
-    val drawSql = phashSql("concat_ws(':', 'cf', f.source, CAST(f.doc_id AS VARCHAR))")
+    val salt = if (temperature) "cft" else "cf"
+    val drawSql = phashSql(s"concat_ws(':', '$salt', f.source, CAST(f.doc_id AS VARCHAR))")
+    val thr =
+      if (temperature)
+        s"""thr AS (
+           |  SELECT source, LEAST($MixRes,
+           |    CAST(floor(share * CAST(budget AS DOUBLE)) AS BIGINT)
+           |      * $MixRes // total_tokens) AS keep_threshold
+           |  FROM (
+           |    SELECT source, total_tokens, budget, round(w / wsum, 12) AS share
+           |    FROM (
+           |      SELECT source, total_tokens, w,
+           |        CAST(sum(CAST(w AS DECIMAL(38,12))) OVER () AS DOUBLE) AS wsum,
+           |        CAST(sum(total_tokens) OVER () AS BIGINT) AS budget
+           |      FROM (
+           |        SELECT source, total_tokens,
+           |          sqrt(CAST(total_tokens AS DOUBLE)) AS w
+           |        FROM tot) tw) ta) ts)""".stripMargin
+      else
+        s"""thr AS (
+           |  SELECT source,
+           |    CAST(min(total_tokens) OVER () AS BIGINT) * $MixRes // total_tokens
+           |      AS keep_threshold
+           |  FROM tot)""".stripMargin
     s"""WITH RECURSIVE ${Dedup.clusterOracleCtes},
        |${Dedup.survivorOracleCtes},
+       |${Dedup.lineCleanOracleCtes},
+       |${Dedup.substringFlaggedOracleCtes},
        |bench AS (SELECT DISTINCT s FROM e WHERE doc_id % ${Hygiene.BenchMod} = 0),
        |ngram_bad AS (
        |  SELECT DISTINCT e.doc_id FROM e JOIN bench USING (s)
@@ -683,12 +764,15 @@ object Pipeline {
        |base AS (
        |  SELECT d.doc_id, d.source,
        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+       |    coalesce(lc.ntc, 0) AS ntc,
        |    ${TextAnalysis.qualityPointsSql("d.text")} AS pts,
        |    coalesce(r.rn = 1, TRUE) AS dedup_keep,
+       |    d.doc_id IN (SELECT doc_id FROM substr_bad) AS substr_bad,
        |    d.doc_id IN (SELECT doc_id FROM ngram_bad) AS ngram_bad,
        |    d.doc_id IN (SELECT doc_id FROM sem_bad) AS sem_bad,
        |    coalesce(c.cluster_id, d.doc_id) AS group_id
        |  FROM documents d
+       |  LEFT JOIN lclean lc ON lc.doc_id = d.doc_id
        |  LEFT JOIN comp c ON c.id = d.doc_id
        |  LEFT JOIN ranked r ON r.doc_id = d.doc_id
        |  WHERE d.doc_id % ${Hygiene.BenchMod} <> 0),
@@ -698,28 +782,35 @@ object Pipeline {
        |         WHEN b < 90 THEN 'validation'
        |         ELSE 'test' END AS split,
        |    pts >= 8 AS q_ok,
-       |    (pts >= 8 AND dedup_keep AND NOT ngram_bad AND NOT sem_bad) AS surv
+       |    (pts >= 8 AND dedup_keep AND NOT substr_bad) AS sub_ok,
+       |    (pts >= 8 AND dedup_keep AND NOT substr_bad
+       |      AND NOT ngram_bad AND NOT sem_bad) AS surv
        |  FROM (SELECT *, $grpB % 100 AS b FROM base) x),
-       |thr AS (
-       |  SELECT source,
-       |    CAST(min(total_tokens) OVER () AS BIGINT) * $MixRes // total_tokens
-       |      AS keep_threshold
-       |  FROM (
-       |    SELECT source, CAST(sum(nt) AS BIGINT) AS total_tokens
-       |    FROM flags WHERE surv GROUP BY 1) s),
+       |tot AS (
+       |  SELECT source, CAST(sum(ntc) AS BIGINT) AS total_tokens
+       |  FROM flags WHERE surv GROUP BY 1),
+       |$thr,
        |fin AS (
-       |  SELECT f.source, f.split, f.nt, f.q_ok, f.dedup_keep, f.surv,
+       |  SELECT f.source, f.split, f.nt, f.ntc, f.q_ok, f.dedup_keep,
+       |    f.sub_ok, f.surv,
        |    coalesce(f.surv AND $drawSql % $MixRes < t.keep_threshold, FALSE) AS mix_keep
        |  FROM flags f LEFT JOIN thr t USING (source))
        |SELECT source, split,
        |  count(*) AS n_docs,
        |  CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
        |  CAST(sum(CASE WHEN q_ok AND dedup_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       |  CAST(sum(CASE WHEN sub_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_substr,
        |  CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
        |  CAST(sum(CASE WHEN mix_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
-       |  CAST(sum(CASE WHEN mix_keep THEN nt ELSE 0 END) AS BIGINT) AS tokens_final
+       |  CAST(sum(CASE WHEN mix_keep THEN ntc ELSE 0 END) AS BIGINT) AS tokens_final,
+       |  CAST(sum(CASE WHEN surv THEN nt - ntc ELSE 0 END) AS BIGINT)
+       |    AS tokens_line_dropped
        |FROM fin GROUP BY 1, 2 ORDER BY source, split""".stripMargin
   }
+
+  private val corpusFinalOracle: String = corpusFinalOracleFor(temperature = false)
+  private val corpusFinalTemperatureOracle: String =
+    corpusFinalOracleFor(temperature = true)
 
   // ------------------------------------------------- output shard layout
 
@@ -799,7 +890,10 @@ object Pipeline {
     GraftQuery("corpus_shards", corpusShards _, Some(corpusShardsOracle),
       "token-mass-derived output shard layout: deterministic hash assignment + balance manifest"),
     GraftQuery("corpus_final", corpusFinal _, Some(corpusFinalOracle),
-      "end-to-end curated-corpus manifest: quality → keep-best → decontam → split → mixture, per (source, split)"),
+      "end-to-end curated-corpus manifest: quality → keep-best → substring gate → decontam → line cleanup → split → mixture, per (source, split)"),
+    GraftQuery("corpus_final_temperature", corpusFinalTemperature _,
+      Some(corpusFinalTemperatureOracle),
+      "corpus_final under the α=0.5 temperature-flattened mixture targets"),
     GraftQuery("mix_rates", mixRates _, Some(mixRatesOracle),
       "data-mixture plan: per-source downsampling rates to a uniform token target"),
     GraftQuery("mix_temperature", mixTemperature _, Some(mixTemperatureOracle),
