@@ -600,24 +600,61 @@ final class IceliteTable private (
     */
   private[table] var maxBroadcastDeleteBytes: Long = 256L << 20
 
+  /** Estimated in-memory bytes per AGGREGATED delete-side row (key
+    * columns + max-seq + row overhead) — what converts an ANALYZE NDV
+    * estimate into a broadcast-size estimate.
+    */
+  private[table] var estDeleteKeyRowBytes: Long = 64L
+
   // at-rest byte totals per delete-file list (immutable once committed)
   // — one getFileStatus sweep per list, not per read
   private val deleteBytesMemo = scala.collection.mutable.Map.empty[Seq[String], Long]
 
-  private def deleteSide(dels: DataFrame, files: Seq[String]): DataFrame = {
-    // filesystem sweep OUTSIDE the lock, and a hit never evicts — the
-    // cap only bounds growth across distinct (i.e. new-commit) lists
-    val bytes = deleteBytesMemo.synchronized(deleteBytesMemo.get(files)).getOrElse {
-      val b = estimateBytes(files)
-      deleteBytesMemo.synchronized {
-        if (!deleteBytesMemo.contains(files) && deleteBytesMemo.size > 64)
-          deleteBytesMemo.clear()
-        deleteBytesMemo.update(files, b)
-      }
-      b
+  /** Distinct key-tuple estimate from the latest ANALYZE snapshot:
+    * per-column KMV NDVs, product-combined for composite keys (the
+    * independence upper bound — over-estimating keeps the decision on
+    * the safe, shuffle side). None when the table was never analyzed
+    * or the analyze run did not cover every key column — the planner
+    * input exists only where the stats snapshot actually speaks.
+    */
+  private def statsKeyNdv(keyCols: Seq[String]): Option[Long] =
+    cachedMeta.snapshots.reverse.find(_.operation == "analyze").flatMap { s =>
+      val covered = s.summary.get("stats.columns")
+        .exists(cs => keyCols.forall(cs.split(',').toSet))
+      if (!covered || keyCols.isEmpty) None
+      else Some(keyCols.map(c => math.max(1L, s.summary(s"stats.$c.ndv").toLong))
+        .reduce((a, b) => if (a > Long.MaxValue / b) Long.MaxValue else a * b))
     }
-    if (bytes <= maxBroadcastDeleteBytes) broadcast(dels) else dels
-  }
+
+  /** Delete-side join strategy: prefer the ANALYZE stats estimate
+    * when one covers the key columns — the AGGREGATED delete set has
+    * at most ~NDV(key) rows, so a churn-heavy table whose raw delete
+    * files exceed the byte guard (the same key rewritten thousands of
+    * times) still broadcasts the small folded set; fall back to the
+    * at-rest byte threshold when no stats snapshot speaks. `keyCols`
+    * is None for position deletes (coordinates have no column stats).
+    */
+  private def deleteSide(
+      dels: DataFrame, files: Seq[String],
+      keyCols: Option[Seq[String]] = None): DataFrame =
+    keyCols.flatMap(statsKeyNdv) match {
+      case Some(ndv) =>
+        if (ndv <= maxBroadcastDeleteBytes / estDeleteKeyRowBytes) broadcast(dels)
+        else dels
+      case None =>
+        // filesystem sweep OUTSIDE the lock, and a hit never evicts — the
+        // cap only bounds growth across distinct (i.e. new-commit) lists
+        val bytes = deleteBytesMemo.synchronized(deleteBytesMemo.get(files)).getOrElse {
+          val b = estimateBytes(files)
+          deleteBytesMemo.synchronized {
+            if (!deleteBytesMemo.contains(files) && deleteBytesMemo.size > 64)
+              deleteBytesMemo.clear()
+            deleteBytesMemo.update(files, b)
+          }
+          b
+        }
+        if (bytes <= maxBroadcastDeleteBytes) broadcast(dels) else dels
+    }
 
   private def applyDeletes(data: DataFrame, deleteFiles: Seq[String]): DataFrame =
     if (deleteFiles.isEmpty) data
@@ -626,7 +663,7 @@ final class IceliteTable private (
       val dels = spark.read.parquet(deleteFiles.map(abs): _*)
         .groupBy(keyCols.map(col): _*)
         .agg(max(col(SeqCol)).as("_max_del_seq"))
-      data.join(deleteSide(dels, deleteFiles), keyCols, "left")
+      data.join(deleteSide(dels, deleteFiles, Some(keyCols)), keyCols, "left")
         .filter(col("_max_del_seq").isNull || col(SeqCol) >= col("_max_del_seq"))
         .drop("_max_del_seq")
     }

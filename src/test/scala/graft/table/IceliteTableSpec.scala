@@ -558,4 +558,50 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     assert(st2.keySet == Set("status"))
     assert(st2("status") == ((2L, 0L, 1L)))
   }
+
+  test("ANALYZE stats drive the MoR delete-side broadcast decision") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "statsbc", docSchema)
+    t.upsert(rows(
+      ("a", 10.0, "new", "2024-01-05T00:00:00Z"),
+      ("b", 20.0, "new", "2024-01-06T00:00:00Z"),
+      ("c", 30.0, "new", "2024-01-07T00:00:00Z")), Seq("_id"))
+    t.upsert(rows(
+      ("a", 11.0, "paid", "2024-01-08T00:00:00Z"),
+      ("b", 21.0, "paid", "2024-01-09T00:00:00Z")), Seq("_id"))
+    def hinted = t.read().queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast")
+    def state = t.read().orderBy("_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val expected = Seq(("a", 11.0), ("b", 21.0), ("c", 30.0))
+    assert(state == expected)
+    val savedBytes = t.maxBroadcastDeleteBytes
+    val savedRowBytes = t.estDeleteKeyRowBytes
+    try {
+      // raw delete parquet files far exceed 512 B at rest, so the
+      // stats-free byte guard withdraws the broadcast hint...
+      t.maxBroadcastDeleteBytes = 512L
+      assert(!hinted, "without stats the oversized raw delete files must shuffle")
+      // ...but the folded delete set is ~NDV(_id) rows: once an
+      // analyze snapshot covers the key, the estimate (3 keys × 64 B
+      // ≤ 512 B) flips the decision back to broadcast
+      t.analyze(Seq("_id"))
+      assert(hinted, "stats covering the key must restore the broadcast")
+      assert(state == expected, "the decision flip must not change results")
+      // precedence: a stats estimate ABOVE the bound vetoes broadcast
+      // even when the byte guard alone would have allowed it
+      t.maxBroadcastDeleteBytes = savedBytes // 256 MB: bytes say broadcast
+      t.estDeleteKeyRowBytes = 1L << 30
+      assert(!hinted, "an over-bound stats estimate must veto the broadcast")
+      // an analyze snapshot NOT covering the key columns is no planner
+      // input — the byte guard decides again
+      t.estDeleteKeyRowBytes = savedRowBytes
+      t.analyze(Seq("status"))
+      assert(hinted, "a non-covering analyze must fall back to the byte guard")
+      assert(state == expected)
+    } finally {
+      t.maxBroadcastDeleteBytes = savedBytes
+      t.estDeleteKeyRowBytes = savedRowBytes
+    }
+  }
 }
