@@ -140,6 +140,41 @@ object ClusterIndex {
     served.invalidate(spark, s"$dir#pq_codes")
   }
 
+  /** EXPLICIT-warehouse single-point lifecycle — the same build /
+    * frozen-model-append contract as the dir-keyed serving path, but
+    * against a caller-owned warehouse, so a split build (train on a
+    * base subset, fold batches incrementally — the `index_incremental`
+    * gate) never touches the shared per-dataset tables other queries
+    * read. `emb` is a raw (vec_id, label, embedding) frame.
+    */
+  def buildPoint(spark: SparkSession, warehouse: String,
+      emb: DataFrame, k: Int, iters: Int): Unit = {
+    builds.incrementAndGet()
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"),
+      Dedup.decimalNormSq(col("embedding")).as("nsq"))
+      .localCheckpoint(true) // every Lloyd round reuses one norm fold
+    val (a, c) = Clustering.assignmentsAndCentroidsOn(e, k, iters)
+    IceliteTable.create(spark, warehouse, Ns, assignTable(k, iters), a.schema)
+      .append(a)
+    IceliteTable.create(spark, warehouse, Ns, centroidTable(k, iters), c.schema)
+      .append(c)
+  }
+
+  /** Fold a NEW vector batch into an explicit-warehouse point: assign
+    * under the FROZEN persisted centroids (one broadcast join, no
+    * Lloyd re-run), append the rows.
+    */
+  def appendPoint(spark: SparkSession, warehouse: String,
+      batch: DataFrame, k: Int, iters: Int): Unit = {
+    val c = IceliteTable.load(spark, warehouse, Ns, centroidTable(k, iters)).read()
+    IceliteTable.load(spark, warehouse, Ns, assignTable(k, iters))
+      .append(Clustering.assignBatch(batch, c))
+  }
+
+  /** Uncached read of an explicit-warehouse point's assignments. */
+  def readPoint(spark: SparkSession, warehouse: String, k: Int, iters: Int): DataFrame =
+    IceliteTable.load(spark, warehouse, Ns, assignTable(k, iters)).read()
+
   /** Memoized cached read of one index table. The hot path is one
     * locked map lookup; on a miss, `ensure` (the build-if-missing
     * step — potentially a full clustering job) runs OUTSIDE the memo

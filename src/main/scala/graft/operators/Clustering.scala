@@ -151,16 +151,29 @@ object Clustering {
     (e, a)
   }
 
+  /** [[assignmentsAndCentroids]] over an EXPLICIT norm-carrying
+    * embeddings frame — what the split-build incremental gate
+    * ([[ClusterIndex.buildPoint]]) trains on a corpus subset.
+    */
+  private[operators] def assignmentsAndCentroidsOn(
+      e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val (_, a, c) = chainOn(e, k, iters)
+    (a, c)
+  }
+
   /** The full Lloyd chain: returns (embeddings+norms, final
     * assignments, the centroids that final assignment used).
     */
   private def chain(
-      spark: SparkSession, dir: String, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
-    require(k > 0 && iters > 0, s"need k > 0 and iters > 0 (got k=$k, iters=$iters)")
+      spark: SparkSession, dir: String, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) =
     // the SESSION-cached norm-carrying frame ([[Similarity.embWithNorms]]):
     // every assign/update job of every chain reuses one materialized
     // norm fold instead of re-reading + re-folding the parquet per job
-    val e = Similarity.embWithNorms(spark, dir)
+    chainOn(Similarity.embWithNorms(spark, dir), k, iters)
+
+  private def chainOn(
+      e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(k > 0 && iters > 0, s"need k > 0 and iters > 0 (got k=$k, iters=$iters)")
     val elems = elemsOf(e)
 
     // new centroids = exact-decimal component sums of the members; the
@@ -198,9 +211,10 @@ object Clustering {
     * only the iterations unroll), so a data-dependent k (e.g. scaled
     * to corpus size via a scalar subquery) drops straight in.
     */
-  private[operators] def kmeansAssignCteK(kSql: String, iters: Int): String = {
+  private[operators] def kmeansAssignCteK(
+      kSql: String, iters: Int, fromSql: String = "embeddings"): String = {
     val base =
-      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM $fromSql),
          |elems AS (
          |  SELECT vec_id, label, embedding[i] AS val, i FROM e,
          |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),

@@ -522,7 +522,7 @@ object Multimodal {
     * candidates, pre-threshold) — the pair query and the cluster
     * closure both build on it.
     */
-  private val phashOracleCtes =
+  private[operators] val phashOracleCtes =
     s"""media AS (
        |  SELECT doc_id AS media_id, text AS payload
        |  FROM documents WHERE len(text) >= $PhashMinBytes AND $singleByteSql

@@ -81,6 +81,10 @@ object PhashIndex {
     })
   }
 
+  /** Uncached read of an explicit warehouse's signature table. */
+  def readSigs(spark: SparkSession, warehouse: String): DataFrame =
+    IceliteTable.load(spark, warehouse, Ns, SigTable).read()
+
   /** Memoized cached signature table per (session, dataset) — what the
     * pHash dedup/cluster queries band and join against.
     */

@@ -110,6 +110,11 @@ object SketchIndex {
     })
   }
 
+  /** Uncached read of an explicit warehouse's sketch table. */
+  def readSketches(spark: SparkSession, warehouse: String): DataFrame =
+    IceliteTable.load(spark, warehouse, Ns, Table).read()
+      .select("source", "vals")
+
   /** Memoized cached sketch table per (session, dataset) — what the
     * sketch-algebra query combines pairwise.
     */
