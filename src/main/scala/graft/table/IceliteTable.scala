@@ -782,8 +782,16 @@ final class IceliteTable private (
     * metadata, atomically versioned alongside the data they describe).
     * Per column: non-null count and a KMV distinct estimate over the
     * portable md5-prefix hash of the value's string form — the same
-    * mergeable sketch the query surface exposes, so the numbers a
-    * cost-based planner would read are reproducible cross-engine.
+    * mergeable sketch the query surface exposes. Cross-engine contract:
+    * the published numbers are bit-reproducible by a relational
+    * recomputation in another engine for integral, string, decimal and
+    * boolean columns, whose canonical string forms engines agree on.
+    * For float/double columns the hash keys on THIS engine's shortest
+    * round-trip rendering (injective, so the NDV estimate itself is
+    * exactly as accurate), but another engine's VARCHAR cast may
+    * render values outside the plain-decimal range differently
+    * (E-notation thresholds) and hash-disagree — treat float-column
+    * stats as engine-local estimates, not cross-engine invariants.
     *
     * Scale: one scan with map-side partial aggregation (≤ k longs per
     * column through the shuffle), a 1-row collect, one metadata

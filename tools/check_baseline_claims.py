@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Validate BASELINE.md's round-row correctness claims against the driver's
+CORRECTNESS_r*.json sidecars, and emit new round rows' claims mechanically.
+
+The round-13 verdict flagged a hand-written "134/134 gated" claim that the
+committed CORRECTNESS_r13.json contradicted (133/134, quality_classifier
+hash-red). This tool makes that class of drift impossible to miss:
+
+  python3 tools/check_baseline_claims.py            # check every round row
+  python3 tools/check_baseline_claims.py --emit 14  # print round 14's claim
+
+Check mode parses every "| <round> | <queries> | N/M ..." row of the
+"Measured per round" table and fails (exit 1) when a row claims MORE passes
+than its sidecar records — overstating the driver's own gate is the failure
+mode; a row noting additional local verification beyond the sidecar is fine.
+Dev tooling only - not part of the shipped library.
+"""
+import json
+import os
+import re
+import sys
+
+
+def sidecar_counts(path):
+    with open(path) as f:
+        d = json.load(f)
+    qs = d.get("queries", d)
+
+    def green(v):
+        return (isinstance(v, dict) and v.get("hash_match")
+                and v.get("rows_match", True) and v.get("schema_match", True))
+
+    ok = sum(1 for v in qs.values() if green(v))
+    bad = sorted(k for k, v in qs.items() if not green(v))
+    return ok, len(qs), bad
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--emit":
+        n = int(sys.argv[2])
+        path = f"CORRECTNESS_r{n:02d}.json"
+        ok, total, bad = sidecar_counts(path)
+        extra = f" (red: {', '.join('`%s`' % b for b in bad)})" if bad else ""
+        print(f"{ok}/{total} driver-gated per `{path}`{extra}")
+        return
+    fail = False
+    with open("BASELINE.md") as f:
+        md = f.read()
+    for m in re.finditer(r"^\| (\d+) \| \d+ \| (\d+)/(\d+)", md, re.M):
+        rnd, claimed = int(m.group(1)), int(m.group(2))
+        path = f"CORRECTNESS_r{rnd:02d}.json"
+        if not os.path.exists(path):
+            continue
+        ok, stotal, bad = sidecar_counts(path)
+        if stotal == 0:  # empty sidecar (driver-side miss): no evidence
+            continue
+        if claimed > ok:
+            print(f"round {rnd}: BASELINE claims {claimed}/{m.group(3)} but "
+                  f"{path} records {ok}/{stotal}"
+                  f" (red: {', '.join(bad) or 'none'})")
+            fail = True
+    if fail:
+        sys.exit(1)
+    print("BASELINE round-row claims consistent with the driver sidecars")
+
+
+main()
