@@ -92,7 +92,7 @@ class ChunkShardSpec extends AnyFunSuite with SparkFixture {
     val good = (Seq("the") ++ Seq.fill(29)("aa")).mkString(" ")
     val docs = Seq((1L, good), (2L, "the the the")).toDF("doc_id", "text")
     val rows = TextAnalysis.qualityClassifierOn(spark, docs).collect()
-      .map(r => (r.getInt(0), r.getLong(1),
+      .map(r => (r.getLong(0).toInt, r.getLong(1),
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
     assert(rows.map(_._1).toSeq == (1 to TextAnalysis.PerceptronRounds))
     assert(rows(0) == ((1, 2L, (0L, 1L, -2L, 0L, 1L))))
