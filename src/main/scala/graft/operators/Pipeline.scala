@@ -512,6 +512,105 @@ object Pipeline {
        |      < keep_threshold
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------- token-budget greedy fill
+
+  /** Fraction of the corpus token mass the budgeted sample targets
+    * (denominator of the integer division — budget = total DIV 2).
+    */
+  val BudgetDiv = 2
+
+  /** Token-BUDGET-constrained selection — the op that fills a fixed
+    * training budget ("the next run reads N tokens") with the best
+    * available documents instead of a rate-sampled cross-section:
+    * a global budget (half the corpus token mass) is allocated across
+    * sources by the α = 0.5 temperature shares ([[mixTemperature]]'s
+    * exact sqrt/DECIMAL/rounded-division math, so low-resource sources
+    * keep a super-proportional slice), then each source admits its
+    * documents best-quality-first ([[TextAnalysis.qualityPoints]],
+    * doc_id tiebreak) while the running token mass stays within the
+    * allocation. Output is the per-source realized fill: allocation,
+    * docs/tokens admitted, and the quality score of the worst admitted
+    * document (the IMPLIED quality cutoff the budget buys).
+    *
+    * Scale shape: the allocation is a K-row frame from one aggregated
+    * scan (broadcast back); the greedy fill is ONE window per source
+    * partition — `sum(nt) ROWS UNBOUNDED PRECEDING` under a total
+    * (quality, doc_id) order, so the only full-corpus exchange keys on
+    * source. Exact greedy fill is inherently a per-source ordered
+    * pass; a head source big enough to skew its partition would use
+    * the two-pass quantile-cutoff shape ([[RelationalExt]]'s exact
+    * quantile selection) to pre-split the order — the contract here is
+    * the exact fill.
+    */
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    sampleTokenBudgetOn(t(spark, dir, "documents"))
+
+  private[operators] def sampleTokenBudgetOn(input: DataFrame): DataFrame = {
+    val docs = input
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        TextAnalysis.qualityPoints(col("text")).cast("long").as("pts"))
+    val all = Window.partitionBy()
+    val alloc = docs.groupBy(col("source"))
+      .agg(sum(col("nt")).as("total_tokens"))
+      .withColumn("w", sqrt(col("total_tokens").cast("double")))
+      .withColumn("wsum", sum(col("w").cast("decimal(38,12)")).over(all).cast("double"))
+      .withColumn("budget_all", expr(s"sum(total_tokens) over () DIV $BudgetDiv"))
+      .withColumn("share", round(col("w") / col("wsum"), 12))
+      .select(col("source"), col("total_tokens"),
+        floor(col("share") * col("budget_all").cast("double")).cast("long")
+          .as("budget_tokens"))
+    val fill = Window.partitionBy(col("source"))
+      .orderBy(col("pts").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("running", sum(col("nt")).over(fill))
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("sel", col("running") <= col("budget_tokens"))
+      .groupBy(col("source"))
+      .agg(max(col("total_tokens")).as("total_tokens"),
+        max(col("budget_tokens")).as("budget_tokens"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("sel"), col("nt")).otherwise(0L)).as("tokens_selected"),
+        min(when(col("sel"), col("pts"))).as("quality_cutoff"))
+      .orderBy("source")
+  }
+
+  private val sampleTokenBudgetOracle =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+       |    CAST(${TextAnalysis.qualityPointsSql("text")} AS BIGINT) AS pts
+       |  FROM documents),
+       |tot AS (
+       |  SELECT source, CAST(sum(nt) AS BIGINT) AS total_tokens FROM d GROUP BY 1),
+       |agg AS (
+       |  SELECT source, total_tokens, sqrt(CAST(total_tokens AS DOUBLE)) AS w,
+       |    CAST(sum(CAST(sqrt(CAST(total_tokens AS DOUBLE)) AS DECIMAL(38,12)))
+       |      OVER () AS DOUBLE) AS wsum,
+       |    CAST(sum(total_tokens) OVER () AS BIGINT) // $BudgetDiv AS budget_all
+       |  FROM tot),
+       |alloc AS (
+       |  SELECT source, total_tokens,
+       |    CAST(floor(round(w / wsum, 12) * CAST(budget_all AS DOUBLE)) AS BIGINT)
+       |      AS budget_tokens
+       |  FROM agg),
+       |ranked AS (
+       |  SELECT *, sum(nt) OVER (PARTITION BY source
+       |    ORDER BY pts DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS running
+       |  FROM d),
+       |sel AS (
+       |  SELECT r.source, a.total_tokens, a.budget_tokens, r.nt, r.pts,
+       |    r.running <= a.budget_tokens AS sel
+       |  FROM ranked r JOIN alloc a USING (source))
+       |SELECT source,
+       |  max(total_tokens) AS total_tokens,
+       |  max(budget_tokens) AS budget_tokens,
+       |  CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |  CAST(coalesce(sum(CASE WHEN sel THEN nt END), 0) AS BIGINT)
+       |    AS tokens_selected,
+       |  CAST(min(CASE WHEN sel THEN pts END) AS BIGINT) AS quality_cutoff
+       |FROM sel GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------ quality threshold sweep
 
   /** Quality-threshold sweep: for every cut point of the integer
@@ -900,6 +999,8 @@ object Pipeline {
       "temperature-flattened mixture plan (q ∝ n^0.5, decimal-exact share denominator)"),
     GraftQuery("mix_apply", mixApply _, Some(mixApplyOracle),
       "mixture plan applied: integer-threshold hash sampling per source"),
+    GraftQuery("sample_token_budget", sampleTokenBudget _, Some(sampleTokenBudgetOracle),
+      "token-budget greedy fill: sqrt-share allocation per source, best-quality-first admission"),
     GraftQuery("quality_sweep", qualitySweep _, Some(qualitySweepOracle),
       "survival curve over every quality-score cut (one scan, pre-aggregated sweep)"),
     GraftQuery("split_group_aware", splitGroupAware _, Some(splitGroupAwareOracle),
