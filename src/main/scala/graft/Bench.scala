@@ -87,6 +87,12 @@ object Bench {
     val lineIngestSec = ingest("line_index") {
       graft.operators.LineIndex.ensureBuilt(spark, sfDir); ()
     }
+    // ... and the incremental curation state (same lifecycle one level
+    // up: per-doc verdicts build on the base split and fold the late
+    // batch through the dirty-doc append; corpus_incremental READS it)
+    val curationIngestSec = ingest("curation_state") {
+      graft.operators.CurationState.ensureBuilt(spark, sfDir); ()
+    }
     val failed = scala.collection.mutable.Set.empty[String]
     // noise control: TWO full passes over the suite, report the min per
     // query (BASELINE.md §methodology) — one-time costs (codegen
@@ -180,7 +186,7 @@ object Bench {
       .map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"ingest_lm_index_sec":$lmIngestSec,"ingest_phash_index_sec":$phashIngestSec,"ingest_sketch_index_sec":$sketchIngestSec,"ingest_line_index_sec":$lineIngestSec,"ingest_failed":${ingestFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"ingest_lm_index_sec":$lmIngestSec,"ingest_phash_index_sec":$phashIngestSec,"ingest_sketch_index_sec":$sketchIngestSec,"ingest_line_index_sec":$lineIngestSec,"ingest_curation_state_sec":$curationIngestSec,"ingest_failed":${ingestFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val qs = results.map { case (k, v) => s""""$k":${math.round(v * 1000)}""" }
       .mkString("{", ",", "}")
     val totalR = math.round(total * 1000) / 1000.0

@@ -20,7 +20,8 @@ object SparkEntry {
     Relational.all ++ RelationalExt.all ++ Temporal.all ++ Dedup.all ++
       Similarity.all ++ Clustering.all ++ TextAnalysis.all ++ Multimodal.all ++ Pipeline.all ++
       Hygiene.all ++ Profiling.all ++ Packing.all ++ Funnels.all ++
-      SyncQueries.all ++ IndexIncremental.all ++ graft.streaming.EventStreams.all
+      SyncQueries.all ++ IndexIncremental.all ++ CurationState.all ++
+      graft.streaming.EventStreams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -424,29 +424,49 @@ object Dedup {
 
   private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame = {
     val e = shingleIndex(spark, dir)
-    val mhCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$i")
-    }
-    val sigs = e.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-    val bandCols = (0 until As.size / BandRows).map { j =>
-      struct(lit(j).as("band"),
-        concat_ws(":", (0 until BandRows).map(r => col(s"mh${j * BandRows + r}")): _*).as("sig"))
-    }
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bands = bandsFrom(sigsFrom(e))
     val candidates = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
       .distinct()
-    // exact verification scoped to the candidate pairs ONLY, through
-    // the inverted index itself (the oracle's `common` CTE shape):
-    // candidates ⋈ index on the left doc, then ⋈ index on (right doc,
-    // shingle) counts the intersection — O(candidates · |set|) rows
-    // touched, never the global pair space, and no per-doc collect_set
-    // materialization (which would otherwise run once per join branch).
-    // AQE broadcasts the tiny candidate side at these sizes; at 100 TB
-    // the same plan degrades gracefully to a shuffle join on doc_id.
+    verifyPairs(e, candidates).orderBy("x", "y")
+  }
+
+  /** MinHash signatures `(doc_id, mh0..mh15)` from a capped shingle
+    * index frame `(doc_id, s, h)` — the per-doc half of the LSH
+    * pipeline, shared by the session pair query and the incremental
+    * curation state (`CurationState`), which persists signatures and
+    * recomputes them only for signature-dirty docs.
+    */
+  private[operators] def sigsFrom(e: DataFrame): DataFrame = {
+    val mhCols = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$i")
+    }
+    e.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** Banded signature rows `(doc_id, band, sig)` from [[sigsFrom]]. */
+  private[operators] def bandsFrom(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until As.size / BandRows).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws(":", (0 until BandRows).map(r => col(s"mh${j * BandRows + r}")): _*).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Exact Jaccard verification of candidate pairs `(x, y)` through
+    * the capped index `e` — scoped to the candidate pairs ONLY, via
+    * the inverted index itself (the oracle's `common` CTE shape):
+    * candidates ⋈ index on the left doc, then ⋈ index on (right doc,
+    * shingle) counts the intersection — O(candidates · |set|) rows
+    * touched, never the global pair space, and no per-doc collect_set
+    * materialization (which would otherwise run once per join branch).
+    * AQE broadcasts the tiny candidate side at these sizes; at 100 TB
+    * the same plan degrades gracefully to a shuffle join on doc_id.
+    */
+  private[operators] def verifyPairs(e: DataFrame, candidates: DataFrame): DataFrame = {
     val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = e.as("ea").join(candidates, col("ea.doc_id") === col("x"))
       .select(col("x"), col("y"), col("ea.s").as("cs"))
@@ -459,7 +479,6 @@ object Dedup {
         (col("common").cast("double") /
           (col("sa.n") + col("sb.n") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy("x", "y")
   }
 
   /** Shared oracle CTE pipeline replicating [[minhashLsh]] end to end
@@ -634,8 +653,18 @@ object Dedup {
     */
   val DriverCcMaxPairs = 1000000
 
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("x"), col("y")).localCheckpoint(true)
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(spark,
+      minhashLsh(spark, dir).select(col("x"), col("y")))
+
+  /** Connected components over a verified pair frame — the adaptive
+    * driver/distributed path shared by [[dupClusters]] and the
+    * incremental curation read (which persists the pair set and only
+    * re-derives the closure).
+    */
+  private[operators] def clustersFromPairs(
+      spark: SparkSession, pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.localCheckpoint(true)
     // one materialization decides the path AND feeds the driver CC
     val head = pairs.limit(DriverCcMaxPairs + 1).collect()
     if (head.length <= DriverCcMaxPairs) driverUnionFind(spark, head)

@@ -284,13 +284,26 @@ object Hygiene {
     * selective step, so almost nothing reaches the decimal path).
     */
   def decontamSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.embWithNorms(spark, dir)
+    decontamSemanticOn(
+      e.filter(col("vec_id") >= Similarity.NumQueries),
+      e.filter(col("vec_id") < Similarity.NumQueries))
+  }
+
+  /** [[decontamSemantic]] over explicit corpus/eval `embWithNorms`
+    * frames — the per-vector decision depends only on the vector and
+    * the FIXED eval set, so the incremental curation state scores each
+    * landing batch through this with bit-identical results to a full
+    * corpus pass.
+    */
+  private[operators] def decontamSemanticOn(
+      corpus: DataFrame, evalSet: DataFrame): DataFrame = {
     import graft.functions.VecExpressions.floatDot
     import Dedup.decimalDot
-    val e = Similarity.embWithNorms(spark, dir)
-    val eval = e.filter(col("vec_id") < Similarity.NumQueries)
+    val eval = evalSet
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nsq").as("q_nsq"))
-    e.filter(col("vec_id") >= Similarity.NumQueries)
+    corpus
       .crossJoin(broadcast(eval))
       .filter(floatDot(col("q_emb"), col("embedding")) /
         (sqrt(col("q_nsq")) * sqrt(col("nsq"))) >= SemDecontamThreshold - 1e-6)

@@ -759,7 +759,6 @@ object Pipeline {
       .select(col("doc_id"), lit(true).as("ngram_bad"))
     val semBad = Hygiene.decontamSemantic(spark, dir)
       .select(col("vec_id").as("doc_id"), lit(true).as("sem_bad"))
-    val bucket = pmod(phash(concat(lit("grp:"), col("group_id").cast("string"))), lit(100))
     val flags = docs
       .join(lineClean, Seq("doc_id"), "left")
       .join(survivors, Seq("doc_id"), "left")
@@ -773,6 +772,24 @@ object Pipeline {
         coalesce(col("ngram_bad"), lit(false)).as("ngram_bad"),
         coalesce(col("sem_bad"), lit(false)).as("sem_bad"),
         coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+    manifestFromFlags(flags, temperature)
+  }
+
+  /** The manifest stage shared VERBATIM by [[corpusFinal]] and the
+    * incremental curation read ([[CurationState.corpusIncremental]]):
+    * from a per-doc flags frame `(doc_id, source, nt, pts, ntc,
+    * dedup_keep, substr_bad, ngram_bad, sem_bad, group_id)` — however
+    * those flags were derived, full recompute or incremental state —
+    * assign the group-hashed split, fold the gate conjunctions, derive
+    * the mixture thresholds over the surviving clean token mass, and
+    * aggregate the per-(source, split) manifest. One code path means
+    * the two queries can never drift on split/mixture/aggregation
+    * semantics.
+    */
+  private[operators] def manifestFromFlags(
+      flagsIn: DataFrame, temperature: Boolean): DataFrame = {
+    val bucket = pmod(phash(concat(lit("grp:"), col("group_id").cast("string"))), lit(100))
+    val flags = flagsIn
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test"))
       .withColumn("q_ok", col("pts") >= 8)
@@ -805,7 +822,7 @@ object Pipeline {
       .orderBy("source", "split")
   }
 
-  private def corpusFinalOracleFor(temperature: Boolean): String = {
+  private[operators] def corpusFinalOracleFor(temperature: Boolean): String = {
     val grpB = phashSql("'grp:' || CAST(group_id AS VARCHAR)")
     val salt = if (temperature) "cft" else "cf"
     val drawSql = phashSql(s"concat_ws(':', '$salt', f.source, CAST(f.doc_id AS VARCHAR))")

@@ -87,6 +87,20 @@ object ShingleIndex {
       matchedUpdateSet = Map("df" -> (col("t.df") + col("s.df"))))
   }
 
+  /** Uncapped postings read `(doc_id, s, h)` — what dirty-doc
+    * discovery in the incremental curation state joins flipped grams
+    * against (the cap is a READ-time property, so carriers of a
+    * just-flipped shingle are only findable in the raw table).
+    */
+  private[operators] def readPostings(spark: SparkSession, warehouse: String): DataFrame =
+    IceliteTable.load(spark, warehouse, Ns, PostingsTable).read()
+
+  /** Raw df table read `(s, df)` — pre-append df lookups for cap-flip
+    * detection.
+    */
+  private[operators] def readDfTable(spark: SparkSession, warehouse: String): DataFrame =
+    IceliteTable.load(spark, warehouse, Ns, DfTable).read()
+
   /** The served index: postings of shingles with df ≤ `maxDf` —
     * bit-identical content to the old session-built capped index
     * (same distinctness, same hash, same cap rule), but sourced from
