@@ -547,12 +547,16 @@ object SyncQueries {
 
   /** ANALYZE as an oracle-gated query ([[IceliteTable.analyze]] →
     * [[IceliteTable.statsTable]]): seed a keyed table (one string, one
-    * long, one double, and one NULLABLE column with planted nulls),
-    * run ANALYZE over all four, and read the stats back from table
+    * long, two doubles — one pushed into the E-notation range where
+    * engines' decimal renderings DIVERGE, exercising the canonical
+    * hex-float hash — and one NULLABLE column with planted nulls),
+    * run ANALYZE over all five, and read the stats back from table
     * METADATA. DuckDB recomputes every row — totals, null counts, and
-    * the KMV distinct estimates over the identical portable hash — so
-    * the statistics a planner would consume are proven bit-identical
-    * to a relational recomputation, including the sketch math.
+    * the KMV distinct estimates over the identical portable hash
+    * (the normalized `%a` encoding for the double columns) — so the
+    * statistics a planner would consume are proven bit-identical to a
+    * relational recomputation, including the sketch math, for every
+    * analyzed type.
     */
   def tableAnalyze(spark: SparkSession, dir: String): DataFrame = {
     val wh = graft.util.Scratch.dir("analyze-query")
@@ -560,18 +564,28 @@ object SyncQueries {
       .filter(pmod(col("o_orderkey"), lit(23)) === 0)
       .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
         col("o_orderkey"), col("o_totalprice"),
+        (col("o_totalprice") * lit(1.0e7d)).as("price_sci"),
         when(pmod(col("o_orderkey"), lit(10)) === 0, lit(null).cast("string"))
           .otherwise(col("o_orderstatus")).as("status_opt"))
     val table = IceliteTable.create(spark, wh, "analytics", "orders_stats", src.schema)
     table.upsert(src, Seq("_id"))
-    table.analyze(Seq("_id", "o_orderkey", "o_totalprice", "status_opt"))
+    table.analyze(Seq("_id", "o_orderkey", "o_totalprice", "price_sci", "status_opt"))
     table.statsTable().orderBy("column")
   }
 
   private val tableAnalyzeOracle = {
     val k = 256
     val est = s"CASE WHEN cnt < $k THEN cnt ELSE ${(k - 1).toLong * 4294967296L} // hk END"
-    def colBlock(c: String, expr: String) =
+    // normalized C99 hex-float — the engine's canonical double
+    // encoding (IceliteTable.analyze canonicalStr), bit-portable where
+    // shortest-decimal VARCHAR casts are not
+    def canon(expr: String) =
+      s"""CASE WHEN isnan($expr) THEN 'nan'
+         |       WHEN isinf($expr) AND $expr > 0 THEN 'inf'
+         |       WHEN isinf($expr) THEN '-inf'
+         |       WHEN $expr = 0 THEN '0'
+         |       ELSE replace(printf('%a', $expr), 'p+', 'p') END""".stripMargin
+    def colBlock(c: String, expr: String, strExpr: Option[String] = None) =
       s"""SELECT '$c' AS "column",
          |  (SELECT count(*) FROM sub) AS n_rows,
          |  (SELECT count(*) - count($expr) FROM sub) AS n_nulls,
@@ -580,12 +594,13 @@ object SyncQueries {
          |FROM (
          |  SELECT count(*) AS cnt, max(h) AS hk FROM (
          |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
-         |      SELECT DISTINCT CAST(concat('0x', substr(md5(CAST($expr AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |      SELECT DISTINCT CAST(concat('0x', substr(md5(${strExpr.getOrElse(s"CAST($expr AS VARCHAR)")}), 1, 8)) AS BIGINT) AS h
          |      FROM sub WHERE $expr IS NOT NULL) d) r
          |  WHERE rn <= $k) s""".stripMargin
     s"""WITH sub AS (
        |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
        |    o_orderkey, o_totalprice,
+       |    o_totalprice * 10000000.0 AS price_sci,
        |    CASE WHEN o_orderkey % 10 = 0 THEN NULL
        |         ELSE o_orderstatus END AS status_opt
        |  FROM orders WHERE o_orderkey % 23 = 0)
@@ -594,7 +609,9 @@ object SyncQueries {
        |  UNION ALL
        |  ${colBlock("o_orderkey", "o_orderkey")}
        |  UNION ALL
-       |  ${colBlock("o_totalprice", "o_totalprice")}
+       |  ${colBlock("o_totalprice", "o_totalprice", Some(canon("o_totalprice")))}
+       |  UNION ALL
+       |  ${colBlock("price_sci", "price_sci", Some(canon("price_sci")))}
        |  UNION ALL
        |  ${colBlock("status_opt", "status_opt")}
        |) ORDER BY "column"""".stripMargin

@@ -781,17 +781,21 @@ final class IceliteTable private (
     * compute-table-stats / puffin shape: statistics travel in table
     * metadata, atomically versioned alongside the data they describe).
     * Per column: non-null count and a KMV distinct estimate over the
-    * portable md5-prefix hash of the value's string form — the same
-    * mergeable sketch the query surface exposes. Cross-engine contract:
-    * the published numbers are bit-reproducible by a relational
-    * recomputation in another engine for integral, string, decimal and
-    * boolean columns, whose canonical string forms engines agree on.
-    * For float/double columns the hash keys on THIS engine's shortest
-    * round-trip rendering (injective, so the NDV estimate itself is
-    * exactly as accurate), but another engine's VARCHAR cast may
-    * render values outside the plain-decimal range differently
-    * (E-notation thresholds) and hash-disagree — treat float-column
-    * stats as engine-local estimates, not cross-engine invariants.
+    * portable md5-prefix hash of the value's CANONICAL string form —
+    * the same mergeable sketch the query surface exposes. Cross-engine
+    * contract: the published numbers are bit-reproducible by a
+    * relational recomputation in another engine for every analyzed
+    * type. Integral, string, decimal and boolean columns hash their
+    * string cast (engines agree on those). Float/double columns hash
+    * a normalized C99 hex-float (`%a`) encoding instead of the
+    * engine's decimal rendering — shortest-decimal renderings diverge
+    * across engines outside the plain-decimal range (E-notation
+    * thresholds differ), but the hex mantissa/exponent form is exact
+    * and engine-portable once normalized (strip the `+` exponent sign
+    * and the vacuous `.0` fraction; NaN/±inf/zero map to fixed
+    * tokens, collapsing -0.0 with 0.0). The DuckDB side of the
+    * `table_analyze` gate recomputes the identical encoding via
+    * `printf('%a', v)`, proven bit-equal over the full double range.
     *
     * Scale: one scan with map-side partial aggregation (≤ k longs per
     * column through the shuffle), a 1-row collect, one metadata
@@ -803,8 +807,19 @@ final class IceliteTable private (
     require(cols.nonEmpty, "analyze needs at least one column")
     val sch = cachedMeta.schema
     cols.foreach(c => require(sch.fieldNames.contains(c), s"no column '$c' in $name"))
+    def canonicalStr(c: String): Column = sch(sch.fieldIndex(c)).dataType match {
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+        val d = col(c).cast("double")
+        when(d.isNull, lit(null).cast("string"))
+          .when(d.isNaN, lit("nan"))
+          .when(d === Double.PositiveInfinity, lit("inf"))
+          .when(d === Double.NegativeInfinity, lit("-inf"))
+          .when(d === 0.0, lit("0")) // collapses -0.0
+          .otherwise(regexp_replace(format_string("%a", d), "\\.0p", "p"))
+      case _ => col(c).cast("string")
+    }
     def hashOf(c: String) =
-      conv(substring(md5(col(c).cast("string")), 1, 8), 16, 10).cast("long")
+      conv(substring(md5(canonicalStr(c)), 1, 8), 16, 10).cast("long")
     val aggs = count(lit(1)).as("_n") +:
       cols.flatMap(c => Seq(
         count(col(c)).as(s"_nn_$c"),

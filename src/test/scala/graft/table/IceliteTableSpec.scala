@@ -559,6 +559,23 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     assert(st2("status") == ((2L, 0L, 1L)))
   }
 
+  test("analyze hashes doubles by canonical hex-float: NaNs and ±0 collapse, extremes stay distinct") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "canon", docSchema)
+    val vals = Seq(0.0, -0.0, Double.NaN, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity,
+      1.0e7, 12345678.9, 1.5e300, 1.0e-320)
+    t.append(rows(vals.zipWithIndex.map { case (v, i) =>
+      (s"r$i", v, "x", "2024-01-05T00:00:00Z")
+    }: _*))
+    t.analyze(Seq("total"))
+    val st = t.statsTable().collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // 10 values, but -0.0 ≡ 0.0 and the NaNs collapse to one token:
+    // 8 distinct canonical encodings, counted exactly (n < k)
+    assert(st("total") == 8L)
+  }
+
   test("ANALYZE stats drive the MoR delete-side broadcast decision") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "statsbc", docSchema)
