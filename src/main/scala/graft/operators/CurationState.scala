@@ -415,8 +415,18 @@ object CurationState {
   def corpusIncremental(spark: SparkSession, dir: String): DataFrame =
     manifest(spark, ensureBuilt(spark, dir))
 
+  /** The temperature-mixture manifest from the SAME persisted state —
+    * one verdict store serves every mixture policy; only the
+    * K-row threshold derivation differs.
+    */
+  def corpusIncrementalTemperature(spark: SparkSession, dir: String): DataFrame =
+    manifest(spark, ensureBuilt(spark, dir), temperature = true)
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("corpus_incremental", corpusIncremental _,
       Some(Pipeline.corpusFinalOracleFor(temperature = false)),
-      "corpus_final's manifest from INCREMENTALLY maintained curation state: build on a 90% base, fold the batch re-evaluating only dirty docs, oracle = full recompute"))
+      "corpus_final's manifest from INCREMENTALLY maintained curation state: build on a 90% base, fold the batch re-evaluating only dirty docs, oracle = full recompute"),
+    GraftQuery("corpus_incremental_temperature", corpusIncrementalTemperature _,
+      Some(Pipeline.corpusFinalOracleFor(temperature = true)),
+      "temperature-mixture manifest read from the same incremental state (one verdict store, every mixture policy)"))
 }
