@@ -47,7 +47,6 @@ import graft.table.IceliteTable
   *    ngram_bad, sem_bad)` — the per-doc verdicts;
   *  - `wpost(doc_id, hs)` / `wdf(hs, df, min_doc)` — substring W-gram
   *    postings and metadata;
-  *  - `lpost(doc_id, h, ntk)` — per-doc line-hash token masses;
   *  - `bdf(s, bdf)` — eval-suite document frequency per 5-shingle;
   *  - `bands(doc_id, band, sig)` — LSH band rows;
   *  - `vpairs(x, y)` — verified near-dup pairs;
@@ -92,9 +91,6 @@ object CurationState {
     val wdf = wTbl.read().groupBy(col("hs"))
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("min_doc"))
     IceliteTable.create(spark, warehouse, Ns, "wdf", wdf.schema).append(wdf)
-
-    val lpost = linePostings(docs)
-    IceliteTable.create(spark, warehouse, Ns, "lpost", lpost.schema).append(lpost)
 
     val bdf = ShingleIndex.readPostings(spark, warehouse)
       .filter(col("doc_id") % Hygiene.BenchMod === 0)
@@ -181,15 +177,16 @@ object CurationState {
       .join(dirtyWGrams, Seq("hs"), "left_semi")
       .select(col("doc_id")).distinct().localCheckpoint(true)
 
-    val lb = Dedup.lineHashStream(batch).localCheckpoint(true)
-    val dl = lb.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ddf"))
+    val dl = Dedup.lineHashStream(batch)
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ddf"))
+      .localCheckpoint(true)
     val oldL = LineIndex.readDf(spark, warehouse).withColumnRenamed("df", "df_old")
       .join(dl.select(col("h")), Seq("h"), "left_semi")
     val flippedLines = dl.join(oldL, Seq("h"))
       .filter(col("df_old") <= Dedup.LineMaxDocDf &&
         col("df_old") + col("ddf") > Dedup.LineMaxDocDf)
       .select(col("h"))
-    val dirtyLine = readTbl(spark, warehouse, "lpost")
+    val dirtyLine = LineIndex.readPost(spark, warehouse)
       .join(flippedLines, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct().localCheckpoint(true)
 
@@ -208,8 +205,6 @@ object CurationState {
       matchedUpdateSet = Map(
         "df" -> (col("t.df") + col("s.df")),
         "min_doc" -> least(col("t.min_doc"), col("s.min_doc"))))
-    loadTbl(spark, warehouse, "lpost").append(
-      lb.groupBy(col("doc_id"), col("h")).agg(sum(col("ntk")).as("ntk")))
     val bdfDelta = d5.filter(col("dbdf") >= 1)
       .select(col("s"), col("dbdf").as("bdf"))
     if (!bdfDelta.isEmpty)
@@ -310,11 +305,6 @@ object CurationState {
       .select(col("doc_id"), Dedup.phash60(col("s")).as("hs"))
       .dropDuplicates("doc_id", "hs")
 
-  /** Per-(doc, line-hash) token masses of a docs frame. */
-  private def linePostings(docs: DataFrame): DataFrame =
-    Dedup.lineHashStream(docs)
-      .groupBy(col("doc_id"), col("h")).agg(sum(col("ntk")).as("ntk"))
-
   private def loadTbl(spark: SparkSession, wh: String, name: String): IceliteTable =
     IceliteTable.load(spark, wh, Ns, name)
 
@@ -340,7 +330,7 @@ object CurationState {
     val boiler = LineIndex.readDf(spark, wh)
       .filter(col("df") > Dedup.LineMaxDocDf)
       .select(col("h"), lit(true).as("_b"))
-    readTbl(spark, wh, "lpost").join(ids, Seq("doc_id"), "left_semi")
+    LineIndex.readPost(spark, wh).join(ids, Seq("doc_id"), "left_semi")
       .join(boiler, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(when(col("_b").isNull, col("ntk")).otherwise(0L)).as("ntc"))

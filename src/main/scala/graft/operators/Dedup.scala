@@ -969,18 +969,25 @@ object Dedup {
     * the lines shared by more than [[LineMaxDocDf]] docs; emits the
     * per-doc retention ledger (lines kept/dropped, chars dropped).
     *
-    * Scale shape: the df index is the PERSISTED [[LineIndex]] table
-    * (built once at ingest, folded incrementally as docs land — the
-    * shingle/cluster/LM/pHash/sketch lifecycle, sixth table); the
-    * gated query segments the corpus ONCE and left-joins the ≤
-    * corpus/(df+1)-sized boilerplate subset back by 8-byte hash. No
-    * candidate pairs exist anywhere in this operator — the quadratic
-    * risk the shingle joins must cap simply never arises.
+    * Scale shape: BOTH sides are PERSISTED [[LineIndex]] tables (built
+    * once at ingest, folded incrementally as docs land — the
+    * shingle/cluster/LM/pHash/sketch lifecycle, sixth table): the
+    * per-doc ledger is a postings-table scan left-joined with the ≤
+    * corpus/(df+1)-sized boilerplate subset by 8-byte hash — no corpus
+    * re-segmentation per query at any scale. No candidate pairs exist
+    * anywhere in this operator — the quadratic risk the shingle joins
+    * must cap simply never arises.
     */
   def lineDedup(spark: SparkSession, dir: String): DataFrame =
-    lineLedger(
-      lineHashStream(t(spark, dir, "documents")),
-      LineIndex.boilerplate(spark, dir))
+    LineIndex.readPost(spark, LineIndex.ensureBuilt(spark, dir))
+      .join(LineIndex.boilerplate(spark, dir)
+        .select(col("h"), lit(true).as("_drop")), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("_drop").isNull, col("cnt")).otherwise(0L)).as("lines_kept"),
+        sum(when(col("_drop").isNotNull, col("cnt")).otherwise(0L)).as("lines_dropped"),
+        sum(when(col("_drop").isNotNull, col("nc")).otherwise(0L)).as("chars_dropped"))
+      .orderBy("doc_id")
 
   /** The corpus line segmentation as an 8-byte hash stream
     * `(doc_id, nc, h)` — ONE scan-local codegen projection; feeds both
@@ -1025,14 +1032,14 @@ object Dedup {
   /** Per-doc token mass AFTER line-level boilerplate removal
     * `(doc_id, nt_clean)` — what [[Pipeline.corpusFinal]]'s mixture
     * budget and shard mass count (the tokens a training run actually
-    * reads). Served from the PERSISTED [[LineIndex]]: the only work
-    * per query is one segmentation scan + a left join against the
-    * tiny over-threshold hash set. `sum(ntk)` over a doc's segments
-    * equals its raw token count, so `nt − nt_clean` is exactly the
-    * dropped-line token mass.
+    * reads). Served ENTIRELY from the PERSISTED [[LineIndex]]: a
+    * postings-table scan + a left join against the tiny over-threshold
+    * hash set — no corpus re-segmentation per query. `sum(ntk)` over a
+    * doc's postings equals its raw token count, so `nt − nt_clean` is
+    * exactly the dropped-line token mass.
     */
   private[operators] def lineCleanTokens(spark: SparkSession, dir: String): DataFrame =
-    lineHashStream(t(spark, dir, "documents"))
+    LineIndex.readPost(spark, LineIndex.ensureBuilt(spark, dir))
       .join(LineIndex.boilerplate(spark, dir)
         .select(col("h"), lit(true).as("_drop")), Seq("h"), "left")
       .groupBy(col("doc_id"))

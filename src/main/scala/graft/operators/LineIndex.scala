@@ -16,23 +16,32 @@ import graft.table.IceliteTable
   * line-df index is an artifact documents are folded into as they
   * land, never a per-query corpus re-segmentation.
   *
-  * Layout (warehouse `lidx` namespace): `line_df(h, df)` — distinct-doc
-  * count per [[Dedup.phash60]] line hash (8-byte keys through every
-  * shuffle).
+  * Layout (warehouse `lidx` namespace):
+  *  - `line_df(h, df)` — distinct-doc count per [[Dedup.phash60]] line
+  *    hash (8-byte keys through every shuffle);
+  *  - `line_post(doc_id, h, cnt, nc, ntk)` — per-(doc, line-hash)
+  *    instance count and char/token masses, the posting side: the
+  *    per-doc retention ledger and clean token mass are pure
+  *    index-table joins, so NO consumer re-segments corpus text after
+  *    ingest (`text_line_dedup` and `corpus_final`'s line stage read
+  *    this), and the incremental curation state resolves
+  *    threshold-crossing lines to their carrier docs through it.
   *
   * Incremental maintenance is an associative MERGE (matched hashes add
-  * the batch's distinct-doc count, new hashes insert). Append ≡ rebuild
-  * holds EXACTLY under the ingest contract every index in this family
-  * assumes: a document lands in exactly ONE batch (doc_ids are never
-  * re-ingested), so per-batch distinct-doc counts partition the corpus
-  * df. The full df is stored (not just the over-threshold subset) so
-  * later appends can push an under-threshold line over
+  * the batch's distinct-doc count, new hashes insert) plus a postings
+  * append. Append ≡ rebuild holds EXACTLY under the ingest contract
+  * every index in this family assumes: a document lands in exactly ONE
+  * batch (doc_ids are never re-ingested), so per-batch distinct-doc
+  * counts partition the corpus df and batch postings are disjoint. The
+  * full df is stored (not just the over-threshold subset) so later
+  * appends can push an under-threshold line over
   * [[Dedup.LineMaxDocDf]]; the threshold applies at read time.
   */
 object LineIndex {
 
   private val Ns = "lidx"
   private val DfTable = "line_df"
+  private val PostTable = "line_post"
 
   /** Visible for tests: how many full index BUILDS ran in this JVM. */
   private[graft] val builds = new AtomicInteger(0)
@@ -44,18 +53,35 @@ object LineIndex {
   /** Build the df table from a documents frame (ingest-time job): one
     * corpus segmentation scan, one hash agg over 8-byte line keys.
     */
+  /** Per-(doc, line-hash) posting rows from a docs frame: instance
+    * count + char/token masses (lines can repeat within a doc).
+    */
+  private def postings(docs: DataFrame): DataFrame =
+    Dedup.lineHashStream(docs)
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("cnt"), sum(col("nc")).as("nc"),
+        sum(col("ntk")).as("ntk"))
+
   def build(spark: SparkSession, warehouse: String, docs: DataFrame): Unit = {
     builds.incrementAndGet()
-    val df = Dedup.lineDf(Dedup.lineHashStream(docs))
+    val post = postings(docs)
+    val pTbl = IceliteTable.create(spark, warehouse, Ns, PostTable, post.schema)
+    pTbl.append(post)
+    // df derives from the WRITTEN postings (distinct per (doc, h)), not
+    // a second segmentation pass
+    val df = pTbl.read().groupBy(col("h")).agg(count(lit(1)).as("df"))
     IceliteTable.create(spark, warehouse, Ns, DfTable, df.schema).append(df)
   }
 
-  /** Fold a NEW document batch into the persisted df: associative
-    * MERGE (matched hashes add the batch count, new hashes insert).
-    * After this, reads equal a full rebuild over old ∪ new.
+  /** Fold a NEW document batch into the persisted index: append its
+    * postings, associative df MERGE (matched hashes add the batch
+    * count, new hashes insert). After this, reads equal a full rebuild
+    * over old ∪ new.
     */
   def append(spark: SparkSession, warehouse: String, newDocs: DataFrame): Unit = {
-    val d = Dedup.lineDf(Dedup.lineHashStream(newDocs))
+    val post = postings(newDocs).localCheckpoint(true) // feeds both writes
+    IceliteTable.load(spark, warehouse, Ns, PostTable).append(post)
+    val d = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
     IceliteTable.load(spark, warehouse, Ns, DfTable).merge(d, Seq("h"),
       matchedUpdate = Some(lit(true)), notMatchedInsert = Some(lit(true)),
       matchedUpdateSet = Map("df" -> (col("t.df") + col("s.df"))))
@@ -64,6 +90,10 @@ object LineIndex {
   /** Uncached read of the persisted df table. */
   def readDf(spark: SparkSession, warehouse: String): DataFrame =
     IceliteTable.load(spark, warehouse, Ns, DfTable).read()
+
+  /** Uncached read of the persisted postings table. */
+  private[operators] def readPost(spark: SparkSession, warehouse: String): DataFrame =
+    IceliteTable.load(spark, warehouse, Ns, PostTable).read()
 
   /** Ensure the df table for dataset `dir` exists (first use in this
     * JVM builds it — [[graft.Bench]] runs this untimed as the ingest
