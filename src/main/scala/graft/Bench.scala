@@ -87,6 +87,12 @@ object Bench {
     val lineIngestSec = ingest("line_index") {
       graft.operators.LineIndex.ensureBuilt(spark, sfDir); ()
     }
+    // ... and the substring W-gram posting/metadata tables (same
+    // lifecycle: the substring GATE is per-doc logic over per-gram
+    // metadata once the index exists)
+    val wgramIngestSec = ingest("wgram_index") {
+      graft.operators.WgramIndex.ensureBuilt(spark, sfDir); ()
+    }
     // ... and the incremental curation state (same lifecycle one level
     // up: per-doc verdicts build on the base split and fold the late
     // batch through the dirty-doc append; corpus_incremental READS it)
@@ -186,7 +192,7 @@ object Bench {
       .map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"ingest_lm_index_sec":$lmIngestSec,"ingest_phash_index_sec":$phashIngestSec,"ingest_sketch_index_sec":$sketchIngestSec,"ingest_line_index_sec":$lineIngestSec,"ingest_curation_state_sec":$curationIngestSec,"ingest_failed":${ingestFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"ingest_lm_index_sec":$lmIngestSec,"ingest_phash_index_sec":$phashIngestSec,"ingest_sketch_index_sec":$sketchIngestSec,"ingest_line_index_sec":$lineIngestSec,"ingest_wgram_index_sec":$wgramIngestSec,"ingest_curation_state_sec":$curationIngestSec,"ingest_failed":${ingestFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val qs = results.map { case (k, v) => s""""$k":${math.round(v * 1000)}""" }
       .mkString("{", ",", "}")
     val totalR = math.round(total * 1000) / 1000.0

@@ -41,12 +41,13 @@ import graft.table.IceliteTable
   * `corpus_incremental` query: its oracle is `corpus_final`'s FULL
   * recompute, so a hash match certifies incremental ≡ from-scratch.
   *
-  * Layout (warehouse `cur` namespace, alongside a private
-  * [[ShingleIndex]] (`idx`) and [[LineIndex]] (`lidx`) pair):
+  * Layout (warehouse `cur` namespace, alongside split-built
+  * [[ShingleIndex]] (`idx`), [[LineIndex]] (`lidx`) and
+  * [[WgramIndex]] (`widx`) instances — the SAME serving-index classes
+  * the standalone queries read, so their posting/metadata tables are
+  * never duplicated here):
   *  - `state(doc_id, source, nt, pts, text_len, ntc, substr_bad,
   *    ngram_bad, sem_bad)` — the per-doc verdicts;
-  *  - `wpost(doc_id, hs)` / `wdf(hs, df, min_doc)` — substring W-gram
-  *    postings and metadata;
   *  - `bdf(s, bdf)` — eval-suite document frequency per 5-shingle;
   *  - `bands(doc_id, band, sig)` — LSH band rows;
   *  - `vpairs(x, y)` — verified near-dup pairs;
@@ -84,13 +85,7 @@ object CurationState {
       docs: DataFrame, emb: DataFrame): Unit = {
     ShingleIndex.build(spark, warehouse, docs)
     LineIndex.build(spark, warehouse, docs)
-
-    val wpost = wgramPostings(docs)
-    val wTbl = IceliteTable.create(spark, warehouse, Ns, "wpost", wpost.schema)
-    wTbl.append(wpost)
-    val wdf = wTbl.read().groupBy(col("hs"))
-      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("min_doc"))
-    IceliteTable.create(spark, warehouse, Ns, "wdf", wdf.schema).append(wdf)
+    WgramIndex.build(spark, warehouse, docs)
 
     val bdf = ShingleIndex.readPostings(spark, warehouse)
       .filter(col("doc_id") % Hygiene.BenchMod === 0)
@@ -162,18 +157,20 @@ object CurationState {
       .filter(col("doc_id") % Hygiene.BenchMod =!= 0)
       .select(col("doc_id")).distinct().localCheckpoint(true)
 
-    val pwb = wgramPostings(batch).localCheckpoint(true)
-    val dw = pwb.groupBy(col("hs"))
+    val dw = Dedup.wordNgramStream(batch, Dedup.SubstringWidth)
+      .select(col("doc_id"), Dedup.phash60(col("s")).as("hs"))
+      .dropDuplicates("doc_id", "hs")
+      .groupBy(col("hs"))
       .agg(count(lit(1)).as("ddf"), min(col("doc_id")).as("min_b"))
       .localCheckpoint(true)
-    val oldW = readTbl(spark, warehouse, "wdf")
+    val oldW = WgramIndex.readMeta(spark, warehouse)
       .withColumnRenamed("df", "df_old").withColumnRenamed("min_doc", "min_old")
       .join(dw.select(col("hs")), Seq("hs"), "left_semi")
     val dirtyWGrams = dw.join(oldW, Seq("hs"))
       .filter((col("df_old") <= cap && col("df_old") + col("ddf") > cap) ||
         col("min_b") < col("min_old"))
       .select(col("hs"))
-    val dirtySubstr = readTbl(spark, warehouse, "wpost")
+    val dirtySubstr = WgramIndex.readPost(spark, warehouse)
       .join(dirtyWGrams, Seq("hs"), "left_semi")
       .select(col("doc_id")).distinct().localCheckpoint(true)
 
@@ -197,14 +194,7 @@ object CurationState {
     // ---- phase B: fold the batch into every gram table
     ShingleIndex.append(spark, warehouse, batch)
     LineIndex.append(spark, warehouse, batch)
-    loadTbl(spark, warehouse, "wpost").append(pwb)
-    loadTbl(spark, warehouse, "wdf").merge(
-      dw.select(col("hs"), col("ddf").as("df"), col("min_b").as("min_doc")),
-      Seq("hs"),
-      matchedUpdate = Some(lit(true)), notMatchedInsert = Some(lit(true)),
-      matchedUpdateSet = Map(
-        "df" -> (col("t.df") + col("s.df")),
-        "min_doc" -> least(col("t.min_doc"), col("s.min_doc"))))
+    WgramIndex.append(spark, warehouse, batch)
     val bdfDelta = d5.filter(col("dbdf") >= 1)
       .select(col("s"), col("dbdf").as("bdf"))
     if (!bdfDelta.isEmpty)
@@ -299,12 +289,6 @@ object CurationState {
 
   // -------------------------------------------------- verdict assembly
 
-  /** Distinct substring W-gram postings `(doc_id, hs)` of a docs frame. */
-  private def wgramPostings(docs: DataFrame): DataFrame =
-    Dedup.wordNgramStream(docs, Dedup.SubstringWidth)
-      .select(col("doc_id"), Dedup.phash60(col("s")).as("hs"))
-      .dropDuplicates("doc_id", "hs")
-
   private def loadTbl(spark: SparkSession, wh: String, name: String): IceliteTable =
     IceliteTable.load(spark, wh, Ns, name)
 
@@ -315,8 +299,8 @@ object CurationState {
     * W-gram tables: flagged iff ∃ capped gram with min_doc < doc_id.
     */
   private def substrFlags(spark: SparkSession, wh: String, ids: DataFrame): DataFrame = {
-    val hit = readTbl(spark, wh, "wpost").join(ids, Seq("doc_id"), "left_semi")
-      .join(readTbl(spark, wh, "wdf"), Seq("hs"))
+    val hit = WgramIndex.readPost(spark, wh).join(ids, Seq("doc_id"), "left_semi")
+      .join(WgramIndex.readMeta(spark, wh), Seq("hs"))
       .filter(col("df") <= Dedup.MaxShingleDf && col("min_doc") < col("doc_id"))
       .select(col("doc_id")).distinct().withColumn("f", lit(true))
     ids.join(hit, Seq("doc_id"), "left")

@@ -1071,12 +1071,20 @@ object Dedup {
     * the HIGHER id of at least one [[substringRuns]] pair (keep the
     * first occurrence of a repeated span, drop later carriers — the
     * [[keepBest]] orientation). Two docs pair iff they share ≥ 1
-    * df-capped W-gram, which is position-free — so the flag set needs
-    * only the distinct (doc, gram-hash) posting join, never the
-    * chain-window pass that sizes the runs.
+    * df-capped W-gram, which is position-free — so the flag is pure
+    * per-doc logic over per-gram metadata (∃ capped gram whose FIRST
+    * carrier precedes the doc), served from the PERSISTED
+    * [[WgramIndex]]: no corpus re-n-gram and no pair join per query.
     */
-  private[operators] def substringFlagged(spark: SparkSession, dir: String): DataFrame = {
-    val g0 = wordNgramStream(t(spark, dir, "documents"), SubstringWidth)
+  private[operators] def substringFlagged(spark: SparkSession, dir: String): DataFrame =
+    WgramIndex.flaggedDocs(spark, WgramIndex.ensureBuilt(spark, dir))
+
+  /** Index-free inline variant (the persisted ≡ inline spec baseline,
+    * and the original pair-join formulation the metadata read must
+    * agree with).
+    */
+  private[operators] def substringFlaggedInline(docs: DataFrame): DataFrame = {
+    val g0 = wordNgramStream(docs, SubstringWidth)
       .select(col("doc_id"), phash60(col("s")).as("hs"))
       .dropDuplicates("doc_id", "hs")
       .localCheckpoint(true) // feeds the df-cap agg AND both join sides

@@ -5,17 +5,18 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
 
-/** End-to-end INCREMENTAL-maintenance gate over all six persisted
+/** End-to-end INCREMENTAL-maintenance gate over all seven persisted
   * index lifecycles — the driver-gated proof that the `append*` paths
   * are not spec-only: the corpus is deterministically split into a
   * base (≈90%) and a late-landing batch (≈10%), every index is BUILT
   * from the base and the batch is FOLDED IN through the incremental
   * API ([[ShingleIndex.append]], [[LmIndex.append]],
   * [[LineIndex.append]], [[SketchIndex.append]], [[PhashIndex.append]],
-  * [[ClusterIndex.appendPoint]]), and the query reads one
+  * [[WgramIndex.append]], [[ClusterIndex.appendPoint]]), and the query
+  * reads one
   * (row-count, content-checksum) fingerprint per index over the MERGED
   * state. The DuckDB oracle recomputes each fingerprint from the FULL
-  * union — for the five append≡rebuild indexes directly, and for the
+  * union — for the six append≡rebuild indexes directly, and for the
   * ANN index by replaying the Lloyd chain on the base subset and
   * assigning every vector under those frozen final-round centroids
   * (exactly the incremental contract: late vectors never retrain the
@@ -28,7 +29,7 @@ import graft.{GraftQuery, Tables}
   * indexes every other query reads are never touched.
   *
   * Scale shape: the build is the ingest cost every index already
-  * accounts (one corpus scan each); the gate read is six index-table
+  * accounts (one corpus scan each); the gate read is seven index-table
   * scans with single hash-agg fingerprints — ≤ 2 longs per index
   * through the final collect.
   */
@@ -84,6 +85,10 @@ object IndexIncremental {
             PhashIndex.append(spark, w,
               media.filter(col("media_id") % BatchMod === BatchRem))
           },
+          wh("wgram") { w =>
+            WgramIndex.build(spark, w, base)
+            WgramIndex.append(spark, w, batch)
+          },
           wh("ann") { w =>
             ClusterIndex.buildPoint(spark, w,
               emb.filter(col("vec_id") % BatchMod =!= BatchRem),
@@ -113,6 +118,7 @@ object IndexIncremental {
       .select(col("media_id"), posexplode(col("sig")).as(Seq("band", "bval")))
     val assign = ClusterIndex.readPoint(spark, whs("ann"),
       Clustering.K, Clustering.Iters)
+    val wgram = WgramIndex.readMeta(spark, whs("wgram"))
     fp("ann", assign, count(lit(1)),
         sum((col("vec_id") % M) * (col("cid") + 1) % M))
       .unionAll(fp("line", lineDf, count(lit(1)),
@@ -124,6 +130,8 @@ object IndexIncremental {
       .unionAll(fp("shingle", shingle, count(lit(1)),
         sum((col("h") % M + col("doc_id") % M) % M)))
       .unionAll(fp("sketch", sketch, count(lit(1)), sum(col("v") % M)))
+      .unionAll(fp("wgram", wgram, count(lit(1)),
+        sum((col("hs") % M + col("df") + col("min_doc") % M) % M)))
       .orderBy("family")
   }
 
@@ -185,7 +193,11 @@ object IndexIncremental {
        |  SELECT source, h,
        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
        |  FROM skh),
-       |skv AS (SELECT source, h FROM skr WHERE rn <= ${SketchIndex.K})
+       |skv AS (SELECT source, h FROM skr WHERE rn <= ${SketchIndex.K}),
+       |${Dedup.substringFlaggedOracleCtes},
+       |wgm AS (
+       |  SELECT s AS hs, count(*) AS df, min(doc_id) AS min_doc
+       |  FROM sg0 GROUP BY s)
        |SELECT * FROM (
        |  SELECT 'ann' AS family, CAST(count(*) AS BIGINT) AS n,
        |    CAST(coalesce(sum((vec_id % $M) * (cid + 1) % $M), 0) AS BIGINT) AS chk
@@ -206,6 +218,10 @@ object IndexIncremental {
        |  UNION ALL
        |  SELECT 'sketch', CAST(count(*) AS BIGINT),
        |    CAST(coalesce(sum(h % $M), 0) AS BIGINT) FROM skv
+       |  UNION ALL
+       |  SELECT 'wgram', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum((hs % $M + df + min_doc % $M) % $M), 0) AS BIGINT)
+       |  FROM wgm
        |) ORDER BY family""".stripMargin
   }
 
@@ -213,5 +229,5 @@ object IndexIncremental {
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("index_incremental", indexIncremental _, Some(indexIncrementalOracle),
-      "all six index lifecycles: build on a 90% base, fold the 10% batch via append*, fingerprint the merged state vs a full-union recompute"))
+      "all seven index lifecycles: build on a 90% base, fold the 10% batch via append*, fingerprint the merged state vs a full-union recompute"))
 }

@@ -88,9 +88,11 @@ class CurationStateSpec extends AnyFunSuite with SparkFixture {
 
   test("append ≡ rebuild for every persisted verdict table") {
     val (inc, full) = warehouses
-    for (name <- Seq("state", "vpairs", "bands", "wdf", "bdf"))
+    for (name <- Seq("state", "vpairs", "bands", "bdf"))
       assert(collectSorted(tbl(inc, name)) == collectSorted(tbl(full, name)),
         s"table $name diverged")
+    assert(collectSorted(WgramIndex.readMeta(spark, inc)) ==
+      collectSorted(WgramIndex.readMeta(spark, full)), "wgram metadata diverged")
   }
 
   test("incremental manifest equals the from-scratch manifest") {
