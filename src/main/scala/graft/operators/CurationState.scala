@@ -361,10 +361,22 @@ object CurationState {
 
   // ---------------------------------------------------------- registry
 
+  /** The late-landing residues [[ensureBuilt]] streams in: two
+    * separate micro-batch folds, so the driver gate exercises
+    * MULTI-append accumulation (df sums, min_doc lowering and eval-df
+    * arrival across successive folds), not just one append.
+    */
+  private[operators] val LateResidues = Seq(7L, 9L)
+
   /** Ensure the incremental state for dataset `dir` exists: build on
-    * the base split, fold the late batch through [[append]] (the
-    * [[IndexIncremental.BatchMod]]/[[IndexIncremental.BatchRem]]
-    * residue, like the index-level gate). Memoized per dataset.
+    * the base split (doc_id % [[IndexIncremental.BatchMod]] outside
+    * [[LateResidues]]), then fold the late batches through a REAL
+    * Structured Streaming pipeline — each residue lands as one file in
+    * a landing directory, a file-source stream admits one file per
+    * micro-batch, and `foreachBatch` calls [[append]] — the deployment
+    * shape of continuous curation: documents stream in, the state
+    * folds them as they land, and every manifest read reflects
+    * everything landed so far. Memoized per dataset.
     */
   def ensureBuilt(spark: SparkSession, dir: String): String = built.synchronized {
     built.getOrElseUpdate(dir, {
@@ -372,11 +384,26 @@ object CurationState {
       val docs = Tables.t(spark, dir, "documents")
       val emb = Tables.t(spark, dir, "embeddings")
       val m = IndexIncremental.BatchMod
-      val r = IndexIncremental.BatchRem
-      build(spark, wh,
-        docs.filter(col("doc_id") % m =!= r), emb.filter(col("vec_id") % m =!= r))
-      append(spark, wh,
-        docs.filter(col("doc_id") % m === r), emb.filter(col("vec_id") % m === r))
+      val isLate = LateResidues.map(r => col("doc_id") % m === r).reduce(_ || _)
+      val isLateVec = LateResidues.map(r => col("vec_id") % m === r).reduce(_ || _)
+      build(spark, wh, docs.filter(!isLate), emb.filter(!isLateVec))
+      val landing = graft.util.Scratch.dir("curation-landing")
+      LateResidues.foreach { r =>
+        docs.filter(col("doc_id") % m === r)
+          .coalesce(1).write.mode("append").parquet(landing)
+      }
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .option("checkpointLocation", graft.util.Scratch.dir("curation-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val batch = b.localCheckpoint(true)
+          append(spark, wh, batch,
+            emb.join(batch.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"))
+        }
+        .start().awaitTermination()
       wh
     })
   }

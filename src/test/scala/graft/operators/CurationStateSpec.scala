@@ -131,6 +131,25 @@ class CurationStateSpec extends AnyFunSuite with SparkFixture {
     assert(st(8L)._4 == 32L)
   }
 
+  test("TWO successive appends converge to the same state as one rebuild (fold associativity)") {
+    import org.apache.spark.sql.functions.col
+    val (base, batch, embB, embN) = frames
+    val b1 = batch.filter(col("doc_id") <= 51L)
+    val b2 = batch.filter(col("doc_id") > 51L)
+    val e1 = embN.filter(col("vec_id") <= 51L)
+    val e2 = embN.filter(col("vec_id") > 51L)
+    val wh2 = graft.util.Scratch.dir("cur-spec-two")
+    CurationState.build(spark, wh2, base, embB)
+    CurationState.append(spark, wh2, b1, e1)
+    CurationState.append(spark, wh2, b2, e2)
+    val (_, full) = warehouses
+    for (name <- Seq("state", "vpairs", "bands", "bdf"))
+      assert(collectSorted(tbl(wh2, name)) == collectSorted(tbl(full, name)),
+        s"table $name diverged after two folds")
+    assert(CurationState.manifest(spark, wh2).collect().map(_.toSeq).toSeq ==
+      CurationState.manifest(spark, full).collect().map(_.toSeq).toSeq)
+  }
+
   test("the late dup joins its cluster and the survivor stays the min id") {
     import org.apache.spark.sql.functions.col
     val (inc, _) = warehouses
