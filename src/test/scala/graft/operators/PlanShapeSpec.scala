@@ -168,4 +168,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val windows = "- Window \\[".r.findAllIn(pe).size
     assert(windows == 1, s"expected 1 window operator, got $windows:\n$pe")
   }
+
+  test("curation manifest read scans only state tables, never corpus text") {
+    // the flagship claim: after ingest, a manifest read is a
+    // state-table scan + tiny pair CC — if documents.parquet appears
+    // in the plan, the lifecycle regressed to a per-query recompute
+    CurationState.ensureBuilt(spark, dir) // build once (memoized)
+    val p = planOf("corpus_incremental")
+    assert(!p.contains("documents.parquet"),
+      "manifest read re-scans corpus text:\n" + p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("embeddings.parquet"),
+      "manifest read re-scans embeddings")
+  }
+
+  test("substring flag read is a posting-metadata join, no corpus n-gram scan") {
+    WgramIndex.ensureBuilt(spark, dir)
+    val lp = Dedup.substringFlagged(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!lp.contains("documents.parquet"),
+      "flag read re-n-grams the corpus")
+  }
 }
