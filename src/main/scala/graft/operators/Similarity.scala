@@ -651,10 +651,26 @@ object Similarity {
     * shape that stays CPU-bound, not memory-bound, at 100 TB.
     */
   def topkPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = embWithNorms(spark, dir)
     val codes = ClusterIndex.pqCodes(spark, dir)
+    val (lookup, qn) = adcLookup(spark, dir)
+    val approx = codes.join(broadcast(lookup), Seq("m", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("tdot").cast(Dec)).cast("double").as("adot"),
+        sum(col("cnsq").cast(Dec)).cast("double").as("rnsq"))
+      .join(broadcast(qn), "q_id")
+      .withColumn("ascore", col("adot") / (sqrt(col("q_nsq")) * sqrt(col("rnsq"))))
+    adcRescoreTop5(spark, dir, approx)
+  }
+
+  /** ADC machinery shared by [[topkPq]] and [[topkIvfPq]]: the
+    * broadcast per-(query, subspace, code) lookup table — (query
+    * subvector · centroid) dots joined with per-code reconstruction
+    * norms — plus the query-norm frame. m·k·|queries| + m·k rows,
+    * built once per query set from the persisted codebooks.
+    */
+  private def adcLookup(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val books = ClusterIndex.pqCodebooks(spark, dir)
-    val queries = e.filter(col("vec_id") < NumQueries)
+    val queries = embWithNorms(spark, dir).filter(col("vec_id") < NumQueries)
     val qsub = pqSubElems(queries, "q_id")
     val tdot = qsub.join(broadcast(books), Seq("m", "j"))
       .groupBy(col("q_id"), col("m"), col("cid"))
@@ -663,18 +679,22 @@ object Similarity {
       .agg(sum((col("cval") * col("cval")).cast(Dec)).cast("double").as("cnsq"))
     val lookup = tdot.join(cnsq, Seq("m", "cid"))
     val qn = queries.select(col("vec_id").as("q_id"), col("nsq").as("q_nsq"))
-    val approx = codes.join(broadcast(lookup), Seq("m", "cid"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("tdot").cast(Dec)).cast("double").as("adot"),
-        sum(col("cnsq").cast(Dec)).cast("double").as("rnsq"))
-      .join(broadcast(qn), "q_id")
-      .withColumn("ascore", col("adot") / (sqrt(col("q_nsq")) * sqrt(col("rnsq"))))
+    (lookup, qn)
+  }
+
+  /** Shared PQ tail: cut the approximate ranking at [[PqRerank]] per
+    * query, exact-decimal rescore ONLY those survivors, emit top-5.
+    * `approx` must carry (q_id, vec_id, ascore, q_nsq).
+    */
+  private def adcRescoreTop5(spark: SparkSession, dir: String, approx: DataFrame): DataFrame = {
+    val e = embWithNorms(spark, dir)
     val wA = Window.partitionBy(col("q_id")).orderBy(desc("ascore"), asc("vec_id"))
     val cand = approx.withColumn("arn", row_number().over(wA))
       .filter(col("arn") <= PqRerank)
       .select(col("q_id"), col("vec_id"), col("ascore"))
-    val qe = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+    val qe = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
     cand
       .join(e.select(col("vec_id"), col("embedding"), col("nsq")), "vec_id")
@@ -688,34 +708,78 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-PQ fused ANN — the canonical large-corpus serving composition
+    * (an inverted-file index deciding WHICH vectors to look at, product
+    * quantization deciding HOW CHEAPLY to look at each): candidates
+    * come from the persisted IVF cell assignment (each query probes
+    * its [[IvfProbes]] best cells, exactly [[topkIvf]]'s pruning), and
+    * only those candidates' integer codes are ADC-scored — the ADC
+    * pass touches IvfProbes/K of the corpus instead of all of it, and
+    * the exact-decimal rescore touches [[PqRerank]] rows per query.
+    * At 100 TB neither full-corpus term exists: the scan is code rows
+    * of the probed cells only, which is why production ANN deployments
+    * run this composition rather than either half alone. All state
+    * (cells, codes, codebooks) is read from [[ClusterIndex]] — built
+    * once at ingest, never per query.
+    */
+  def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val rankedCells = ClusterIndex.ivfCells(spark, dir)
+    val corpusCells = rankedCells.filter(col("cell_rank") === 1 && col("vec_id") >= NumQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    val probes = rankedCells.filter(col("cell_rank") <= IvfProbes && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("c_label").as("cell"))
+    val cand = probes.join(corpusCells, "cell")
+      .select(col("q_id"), col("vec_id")).distinct()
+    val codes = ClusterIndex.pqCodes(spark, dir)
+    val (lookup, qn) = adcLookup(spark, dir)
+    val approx = cand.join(codes, "vec_id")
+      .join(broadcast(lookup), Seq("q_id", "m", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("tdot").cast(Dec)).cast("double").as("adot"),
+        sum(col("cnsq").cast(Dec)).cast("double").as("rnsq"))
+      .join(broadcast(qn), "q_id")
+      .withColumn("ascore", col("adot") / (sqrt(col("q_nsq")) * sqrt(col("rnsq"))))
+    adcRescoreTop5(spark, dir, approx)
+  }
+
   /** The PQ pipeline as a DuckDB CTE chain (subvector explode → seeded
     * Lloyd rounds → codes → ADC lookup tables → candidate cut → exact
     * rescore), `p`-prefixed names so it composes inside the recall
     * oracle without clashing with the other methods' CTEs.
     */
+  /** The seeded Lloyd-round CTE fold (pd/pa/pc per round) shared by
+    * every PQ oracle chain; assumes `pq_corpus` and `pc0` are already
+    * in scope. The final assignment is `pa{PqIters}` under codebook
+    * [[pqFinalBookSql]].
+    */
+  private def pqRoundsSql: String = (1 to PqIters).map { r =>
+    val upd =
+      if (r == PqIters) "" // the last round's codebook is never used
+      else s""",
+         |pc$r AS (
+         |  SELECT ce.m, a.cid, ce.j,
+         |    CAST(sum(CAST(ce.val AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS cval
+         |  FROM pq_corpus ce JOIN pa$r a ON ce.vec_id = a.vec_id AND ce.m = a.m
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    s""",
+       |pd$r AS (
+       |  SELECT ce.vec_id, ce.m, c.cid,
+       |    CAST(sum(CAST((ce.val - c.cval) * (ce.val - c.cval) AS DECIMAL(38,20))) AS DOUBLE) AS dist
+       |  FROM pq_corpus ce JOIN pc${r - 1} c ON ce.m = c.m AND ce.j = c.j
+       |  GROUP BY 1, 2, 3),
+       |pa$r AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+       |    FROM pd$r) WHERE rn = 1)""".stripMargin + upd
+  }.mkString
+
+  /** The codebook CTE name the final PQ assignment used. */
+  private def pqFinalBookSql: String = s"pc${PqIters - 1}"
+
   private val topkPqOracle: String = {
-    val rounds = (1 to PqIters).map { r =>
-      val upd =
-        if (r == PqIters) "" // the last round's codebook is never used
-        else s""",
-           |pc$r AS (
-           |  SELECT ce.m, a.cid, ce.j,
-           |    CAST(sum(CAST(ce.val AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS cval
-           |  FROM pq_corpus ce JOIN pa$r a ON ce.vec_id = a.vec_id AND ce.m = a.m
-           |  GROUP BY 1, 2, 3)""".stripMargin
-      s""",
-         |pd$r AS (
-         |  SELECT ce.vec_id, ce.m, c.cid,
-         |    CAST(sum(CAST((ce.val - c.cval) * (ce.val - c.cval) AS DECIMAL(38,20))) AS DOUBLE) AS dist
-         |  FROM pq_corpus ce JOIN pc${r - 1} c ON ce.m = c.m AND ce.j = c.j
-         |  GROUP BY 1, 2, 3),
-         |pa$r AS (
-         |  SELECT vec_id, m, cid FROM (
-         |    SELECT vec_id, m, cid,
-         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
-         |    FROM pd$r) WHERE rn = 1)""".stripMargin + upd
-    }.mkString
-    val fb = s"pc${PqIters - 1}" // the codebook the final assignment used
+    val rounds = pqRoundsSql
+    val fb = pqFinalBookSql // the codebook the final assignment used
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |elems AS (
        |  SELECT vec_id, embedding[i] AS val, i FROM e,
@@ -781,10 +845,114 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** The fused IVF-PQ pipeline as one DuckDB CTE chain: the IVF half
+    * (cell centroids → ranked cells → probe/corpus split → candidate
+    * pairs) feeding the PQ half (seeded Lloyd rounds → codes → ADC
+    * lookup restricted to the candidates → shortlist → exact rescore).
+    * `f`-prefixed tail names so it composes inside the recall oracle.
+    */
+  private val topkIvfPqOracle: String = {
+    val rounds = pqRoundsSql
+    val fb = pqFinalBookSql
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |elems AS (
+       |  SELECT vec_id, label, embedding[i] AS val, i FROM e,
+       |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+       |norms AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS nsq
+       |  FROM elems GROUP BY vec_id),
+       |celems AS (
+       |  SELECT label AS c_label, i,
+       |    CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS cval
+       |  FROM elems GROUP BY label, i),
+       |cnorms AS (
+       |  SELECT c_label,
+       |    CAST(sum(CAST(cval * cval AS DECIMAL(38,20))) AS DOUBLE) AS c_nsq
+       |  FROM celems GROUP BY c_label),
+       |cellcos AS (
+       |  SELECT ev.vec_id, ce.c_label,
+       |    CAST(sum(CAST(CAST(ev.val AS DOUBLE) * ce.cval AS DECIMAL(38,20))) AS DOUBLE)
+       |      / (sqrt(any_value(n.nsq)) * sqrt(any_value(cn.c_nsq))) AS cell_cos
+       |  FROM elems ev
+       |  JOIN celems ce ON ev.i = ce.i
+       |  JOIN norms n ON n.vec_id = ev.vec_id
+       |  JOIN cnorms cn ON cn.c_label = ce.c_label
+       |  GROUP BY ev.vec_id, ce.c_label),
+       |ranked_cells AS (
+       |  SELECT vec_id, c_label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, c_label) AS cell_rank
+       |  FROM cellcos),
+       |corpus AS (
+       |  SELECT vec_id, c_label AS cell FROM ranked_cells
+       |  WHERE cell_rank = 1 AND vec_id >= $NumQueries),
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_label AS cell FROM ranked_cells
+       |  WHERE cell_rank <= $IvfProbes AND vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id FROM probes p JOIN corpus c USING (cell)),
+       |pqe AS (
+       |  SELECT vec_id, CAST((i - 1) // $PqSubDim AS INTEGER) AS m,
+       |    CAST((i - 1) % $PqSubDim + 1 AS INTEGER) AS j,
+       |    CAST(val AS DOUBLE) AS val
+       |  FROM elems),
+       |pq_corpus AS (SELECT * FROM pqe WHERE vec_id >= $NumQueries),
+       |pc0 AS (
+       |  SELECT m, CAST(vec_id - $NumQueries AS INTEGER) AS cid, j, val AS cval
+       |  FROM pq_corpus WHERE vec_id < $NumQueries + $PqK)$rounds,
+       |ptd AS (
+       |  SELECT qe.vec_id AS q_id, c.m, c.cid,
+       |    CAST(sum(CAST(qe.val * c.cval AS DECIMAL(38,20))) AS DOUBLE) AS tdot
+       |  FROM pqe qe JOIN $fb c ON qe.m = c.m AND qe.j = c.j
+       |  WHERE qe.vec_id < $NumQueries GROUP BY 1, 2, 3),
+       |pcn AS (
+       |  SELECT m, cid,
+       |    CAST(sum(CAST(cval * cval AS DECIMAL(38,20))) AS DOUBLE) AS cnsq
+       |  FROM $fb GROUP BY 1, 2),
+       |fapprox AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    CAST(sum(CAST(t.tdot AS DECIMAL(38,20))) AS DOUBLE) AS adot,
+       |    CAST(sum(CAST(n.cnsq AS DECIMAL(38,20))) AS DOUBLE) AS rnsq
+       |  FROM cand
+       |  JOIN pa$PqIters k ON k.vec_id = cand.vec_id
+       |  JOIN ptd t ON t.q_id = cand.q_id AND k.m = t.m AND k.cid = t.cid
+       |  JOIN pcn n ON k.m = n.m AND k.cid = n.cid
+       |  GROUP BY 1, 2),
+       |fasc AS (
+       |  SELECT p.q_id, p.vec_id,
+       |    p.adot / (sqrt(nq.nsq) * sqrt(p.rnsq)) AS ascore
+       |  FROM fapprox p JOIN norms nq ON nq.vec_id = p.q_id),
+       |fcand AS (
+       |  SELECT q_id, vec_id, ascore FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ascore DESC, vec_id) AS rn
+       |    FROM fasc) WHERE rn <= $PqRerank),
+       |fdots AS (
+       |  SELECT fcand.q_id, fcand.vec_id, any_value(fcand.ascore) AS ascore,
+       |    CAST(sum(CAST(CAST(eq.val AS DOUBLE) * CAST(ec.val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM fcand
+       |  JOIN elems eq ON eq.vec_id = fcand.q_id
+       |  JOIN elems ec ON ec.vec_id = fcand.vec_id AND ec.i = eq.i
+       |  GROUP BY 1, 2),
+       |fscored AS (
+       |  SELECT d.q_id, d.vec_id,
+       |    round(d.dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 12) AS cosine,
+       |    round(d.ascore, 12) AS ascore
+       |  FROM fdots d JOIN norms nq ON d.q_id = nq.vec_id
+       |  JOIN norms nc ON d.vec_id = nc.vec_id),
+       |franked AS (
+       |  SELECT q_id, vec_id, cosine, ascore,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM fscored)
+       |SELECT q_id, vec_id, cosine, ascore, rank FROM franked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------ recall eval
 
   /** ANN evaluation harness: recall of each approximate method (LSH,
-    * IVF, SQ8) against the exact brute-force top-k, measured as
+    * IVF, PQ, fused IVF-PQ, SQ8) against the exact brute-force top-k, measured as
     * |method ∩ exact| / |exact| — the number every ANN deployment
     * tracks when tuning its probe/band/quantization dials. Composes
     * the existing pipelines (left-semi against the exact set, one tiny
@@ -800,6 +968,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id")).localCheckpoint(true)
     val tagged = Seq(
       "ivf" -> topkIvf(spark, dir),
+      "ivfpq" -> topkIvfPq(spark, dir),
       "lsh" -> topkLsh(spark, dir),
       "pq" -> topkPq(spark, dir),
       "sq8" -> topkSq8(spark, dir))
@@ -812,7 +981,7 @@ object Similarity {
     // — the failure this eval exists to surface — not vanish from the
     // groupBy output
     import spark.implicits._
-    Seq("ivf", "lsh", "pq", "sq8").toDF("method")
+    Seq("ivf", "ivfpq", "lsh", "pq", "sq8").toDF("method")
       .join(hits, Seq("method"), "left")
       .crossJoin(broadcast(base))
       .select(col("method"), coalesce(col("hits"), lit(0L)).as("hits"), col("baseline"),
@@ -824,11 +993,13 @@ object Similarity {
     s"""WITH exact_k AS (
        |  SELECT q_id, vec_id FROM ($topkBruteForceOracle) x WHERE rank <= 5),
        |ivf_k AS (SELECT q_id, vec_id FROM ($topkIvfOracle) x),
+       |ivfpq_k AS (SELECT q_id, vec_id FROM ($topkIvfPqOracle) x),
        |lsh_k AS (SELECT q_id, vec_id FROM ($topkLshOracle) x),
        |pq_k AS (SELECT q_id, vec_id FROM ($topkPqOracle) x),
        |sq8_k AS (SELECT q_id, vec_id FROM ($topkSq8Oracle) x),
        |tagged AS (
        |  SELECT 'ivf' AS method, * FROM ivf_k
+       |  UNION ALL SELECT 'ivfpq', * FROM ivfpq_k
        |  UNION ALL SELECT 'lsh', * FROM lsh_k
        |  UNION ALL SELECT 'pq', * FROM pq_k
        |  UNION ALL SELECT 'sq8', * FROM sq8_k),
@@ -838,7 +1009,7 @@ object Similarity {
        |  WHERE EXISTS (SELECT 1 FROM exact_k e
        |                WHERE e.q_id = t.q_id AND e.vec_id = t.vec_id)
        |  GROUP BY method),
-       |methods AS (SELECT unnest(['ivf', 'lsh', 'pq', 'sq8']) AS method)
+       |methods AS (SELECT unnest(['ivf', 'ivfpq', 'lsh', 'pq', 'sq8']) AS method)
        |SELECT m.method, coalesce(hits, 0) AS hits, baseline,
        |  CAST(coalesce(hits, 0) AS DOUBLE) / baseline AS recall
        |FROM methods m LEFT JOIN hits USING (method) CROSS JOIN base
@@ -896,6 +1067,8 @@ object Similarity {
       "int8 scalar-quantized similarity (memory-bound scale path)"),
     GraftQuery("sim_topk_pq", topkPq _, Some(topkPqOracle),
       "product-quantization ANN: persisted subspace codebooks + codes, ADC table scoring, exact rescore"),
+    GraftQuery("sim_topk_ivfpq", topkIvfPq _, Some(topkIvfPqOracle),
+      "fused IVF-PQ ANN: cell-pruned candidates ADC-scored from the persisted code table, exact rescore"),
     GraftQuery("sim_recall_eval", recallEval _, Some(recallEvalOracle),
       "recall@k of each ANN method vs the exact brute-force top-k"))
 }

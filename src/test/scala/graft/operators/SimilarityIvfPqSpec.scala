@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The fused IVF-PQ path ([[Similarity.topkIvfPq]]): candidates must
+  * come ONLY from the IVF cell probe (the pruning that makes the ADC
+  * pass sub-corpus at scale), and the ADC approximation must be THE
+  * SAME number the unpruned PQ path computes for any pair both paths
+  * score — the fusion changes which pairs are looked at, never the
+  * arithmetic.
+  */
+class SimilarityIvfPqSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every fused result pair is inside the IVF probe candidate set") {
+    val rankedCells = ClusterIndex.ivfCells(spark, dir)
+    val corpus = rankedCells
+      .filter(col("cell_rank") === 1 && col("vec_id") >= Similarity.NumQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    val probes = rankedCells
+      .filter(col("cell_rank") <= Similarity.IvfProbes &&
+        col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("c_label").as("cell"))
+    val candSet = probes.join(corpus, "cell").select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.topkIvfPq(spark, dir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    assert(out.forall(candSet.contains))
+  }
+
+  test("ADC scores agree with the unpruned PQ path on shared pairs; ranks are total per query") {
+    val fused = Similarity.topkIvfPq(spark, dir)
+      .select("q_id", "vec_id", "ascore", "cosine", "rank").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3), r.getInt(4))))
+    val unpruned = Similarity.topkPq(spark, dir)
+      .select("q_id", "vec_id", "ascore", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // any pair surviving BOTH shortlists carries identical ascore and
+    // identical exact-rescored cosine — same codes, same lookup table
+    val shared = fused.filter { case (k, _) => unpruned.contains(k) }
+    assert(shared.nonEmpty)
+    shared.foreach { case (k, (a, c, _)) =>
+      assert(unpruned(k) == ((a, c)), s"pair $k diverged between fused and unpruned PQ")
+    }
+    // per-query ranks are contiguous from 1 (a total ranking, no gaps)
+    fused.groupBy(_._1._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2._3).sorted.toSeq == (1 to rows.length))
+    }
+  }
+}
