@@ -473,7 +473,18 @@ object Pipeline {
     * scan-local — the same zero-coordination property as
     * [[stratifiedSample]], now with data-derived rates.
     */
-  def mixApply(spark: SparkSession, dir: String): DataFrame = {
+  def mixApply(spark: SparkSession, dir: String): DataFrame =
+    mixKeptDocs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("nt")).cast("long").as("tokens_kept"))
+      .orderBy("source")
+
+  /** The mixture-kept document set (doc_id, source, nt) — the integer-
+    * threshold keep decision shared by [[mixApply]] (which reports it)
+    * and [[corpusOrder]] (which orders it).
+    */
+  private def mixKeptDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("nt"))
     val thresholds = docs
@@ -487,10 +498,7 @@ object Pipeline {
       lit(MixRes))
     docs.join(broadcast(thresholds), Seq("source"))
       .filter(draw < col("keep_threshold"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs_kept"),
-        sum(col("nt")).cast("long").as("tokens_kept"))
-      .orderBy("source")
+      .select(col("doc_id"), col("source"), col("nt"))
   }
 
   private val mixApplyOracle =
@@ -511,6 +519,77 @@ object Pipeline {
        |WHERE ${phashSql(s"concat_ws(':', source, CAST(doc_id AS VARCHAR))")} % $MixRes
        |      < keep_threshold
        |GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------- training order
+
+  /** Deterministic training-order interleave — the epoch schedule a
+    * data loader consumes after curation. The mixture-kept corpus
+    * ([[mixKeptDocs]]) is shuffled WITHIN each source by a salted
+    * portable hash, then sources are merged by stride scheduling: the
+    * r-th of a source's n docs sits at normalized position
+    * (r − 0.5)/n, so ANY prefix of the global order carries every
+    * source in proportion to its kept size (a sequential reader sees a
+    * stationary mixture instead of all of one source first — the
+    * property mixture training needs from its input order; each
+    * source's deviation from its proportional share is < 1 doc in any
+    * prefix).
+    *
+    * Scale: the within-source shuffle rank AND the global position are
+    * both [[DistributedRank]] numberings — range-sort + bounded count
+    * fold + offset + partition-local row_number; no single-task window
+    * exists in the plan. One IEEE division per doc for the stride key;
+    * everything else is integer.
+    */
+  def corpusOrder(spark: SparkSession, dir: String): DataFrame = {
+    val shuffleKey = phash(concat_ws(":", lit("order"), col("doc_id").cast("string")))
+    val ranked = DistributedRank.withRank(
+      mixKeptDocs(spark, dir).withColumn("shuf", shuffleKey),
+      Seq("source"), Seq(col("shuf"), col("doc_id")), "src_pos")
+    // per-source sizes as a broadcast K-row table (map-side partial
+    // agg), NOT a count window — a window over source would re-exchange
+    // every row by source hash just to attach one number
+    val nSrc = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+    val keyed = ranked
+      .join(broadcast(nSrc), "source")
+      .withColumn("okey", (col("src_pos").cast("double") - lit(0.5)) / col("n_src"))
+      .select(col("doc_id"), col("source"), col("src_pos"), col("okey"))
+    DistributedRank.withRank(keyed, Seq.empty,
+      Seq(col("okey"), col("source"), col("doc_id")), "global_pos")
+      .select(col("global_pos"), col("doc_id"), col("source"), col("src_pos"),
+        round(col("okey"), 12).as("order_key"))
+      .orderBy("global_pos")
+  }
+
+  private val corpusOrderOracle =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, CAST(sum(nt) AS BIGINT) AS total_tokens FROM d GROUP BY 1),
+       |thr AS (
+       |  SELECT source,
+       |    CAST(min(total_tokens) OVER () AS BIGINT) * $MixRes // total_tokens
+       |      AS keep_threshold
+       |  FROM s),
+       |kept AS (
+       |  SELECT d.doc_id, d.source FROM d JOIN thr USING (source)
+       |  WHERE ${phashSql(s"concat_ws(':', source, CAST(doc_id AS VARCHAR))")} % $MixRes
+       |        < keep_threshold),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY ${phashSql("concat_ws(':', 'order', CAST(doc_id AS VARCHAR))")}, doc_id)
+       |      AS BIGINT) AS src_pos,
+       |    count(*) OVER (PARTITION BY source) AS n_src
+       |  FROM kept),
+       |k AS (
+       |  SELECT *, (CAST(src_pos AS DOUBLE) - 0.5) / n_src AS okey FROM r)
+       |SELECT
+       |  CAST(row_number() OVER (ORDER BY okey, source, doc_id) AS BIGINT) AS global_pos,
+       |  doc_id, source, src_pos, round(okey, 12) AS order_key
+       |FROM k ORDER BY global_pos""".stripMargin
 
   // ------------------------------------------- token-budget greedy fill
 
@@ -1018,6 +1097,8 @@ object Pipeline {
       "mixture plan applied: integer-threshold hash sampling per source"),
     GraftQuery("sample_token_budget", sampleTokenBudget _, Some(sampleTokenBudgetOracle),
       "token-budget greedy fill: sqrt-share allocation per source, best-quality-first admission"),
+    GraftQuery("corpus_order", corpusOrder _, Some(corpusOrderOracle),
+      "deterministic training-order interleave: stride-scheduled source merge, distributed global numbering"),
     GraftQuery("quality_sweep", qualitySweep _, Some(qualitySweepOracle),
       "survival curve over every quality-score cut (one scan, pre-aggregated sweep)"),
     GraftQuery("split_group_aware", splitGroupAware _, Some(splitGroupAwareOracle),
