@@ -189,6 +189,81 @@ object Profiling {
        |  round(abs(frac_early - frac_late), 12) AS drift
        |FROM fr ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------ correlation matrix
+
+  /** Columns whose pairwise Pearson correlations [[profileCorrelations]]
+    * reports — the numeric measures of `lineitem`.
+    */
+  val CorrColumns: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def corrPairs: Seq[(String, String)] =
+    for {
+      i <- CorrColumns.indices
+      j <- (i + 1) until CorrColumns.length
+    } yield (CorrColumns(i), CorrColumns(j))
+
+  /** Pairwise Pearson correlation matrix over the numeric measure
+    * columns — the feature-redundancy screen run before training any
+    * model on tabular features (near-|1| pairs carry one signal twice;
+    * near-0 pairs justify keeping both). All five sufficient statistics
+    * per pair (n, Σx, Σy, Σx², Σy², Σxy) come from EXACT decimal sums
+    * (per-row double products are IEEE-exact, the cast-to-decimal
+    * accumulation is order-independent — the [[outlierOrders]]
+    * pattern), so the final r is a fixed sequence of IEEE ops on
+    * identical operands in both engines.
+    *
+    * Scale: ONE scan, ONE aggregation — all C + C(C−1)/2 sums are
+    * columns of a single map-side-combined hash-agg emitting one row;
+    * the C(C−1)/2 output rows are driver-free projections of that row.
+    * No shuffle moves anything but partial-agg states.
+    */
+  def profileCorrelations(spark: SparkSession, dir: String): DataFrame = {
+    val D = "decimal(38,12)"
+    val aggs =
+      count(lit(1)).cast("double").as("n") +:
+        (CorrColumns.map(c => sum(col(c).cast(D)).cast("double").as(s"s_$c")) ++
+          CorrColumns.map(c =>
+            sum((col(c) * col(c)).cast(D)).cast("double").as(s"ss_$c")) ++
+          corrPairs.map { case (a, b) =>
+            sum((col(a) * col(b)).cast(D)).cast("double").as(s"sp_${a}_$b")
+          })
+    val m = t(spark, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    corrPairs.map { case (a, b) =>
+      m.select(lit(a).as("col_x"), lit(b).as("col_y"),
+        col("n").cast("long").as("n_rows"),
+        round(
+          (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+            (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+              sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))),
+          12).as("pearson_r"))
+    }.reduce(_ unionByName _).orderBy("col_x", "col_y")
+  }
+
+  private val profileCorrelationsOracle: String = {
+    val sums =
+      (CorrColumns.map(c =>
+        s"CAST(sum(CAST($c AS DECIMAL(38,12))) AS DOUBLE) AS s_$c") ++
+        CorrColumns.map(c =>
+          s"CAST(sum(CAST($c * $c AS DECIMAL(38,12))) AS DOUBLE) AS ss_$c") ++
+        corrPairs.map { case (a, b) =>
+          s"CAST(sum(CAST($a * $b AS DECIMAL(38,12))) AS DOUBLE) AS sp_${a}_$b"
+        }).mkString(",\n    ")
+    val rows = corrPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n_rows,
+         |    round((n * sp_${a}_$b - s_$a * s_$b)
+         |      / (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)),
+         |      12) AS pearson_r
+         |  FROM m""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    $sums
+       |  FROM lineitem)
+       |$rows
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -197,5 +272,7 @@ object Profiling {
     GraftQuery("outlier_orders", outlierOrders _, Some(outlierOrdersOracle),
       "z-score price outliers from exact-decimal mean/variance"),
     GraftQuery("profile_drift", profileDrift _, Some(profileDriftOracle),
-      "early-vs-late value-distribution drift report (equal-width bins, exact split)"))
+      "early-vs-late value-distribution drift report (equal-width bins, exact split)"),
+    GraftQuery("profile_correlations", profileCorrelations _, Some(profileCorrelationsOracle),
+      "pairwise Pearson correlation matrix from one exact-decimal aggregation pass"))
 }

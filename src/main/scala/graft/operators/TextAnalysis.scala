@@ -628,6 +628,69 @@ object TextAnalysis {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** The classifier lifecycle's EVALUATION leg (train → apply →
+    * EVALUATE, what any deployed filter publishes before it gates
+    * data): per-source confusion matrix of the learned gate against
+    * the rule-based teacher, with precision/recall/F1. The counts are
+    * pure integers; each metric is ONE guarded IEEE division of exact
+    * integers (null where its denominator is 0, never an engine-
+    * specific inf), so the whole report is bit-portable.
+    *
+    * Scale: same shape as [[qualityClassifierApply]] — the feature
+    * frame is ONE materialized scan, training is K 1-row aggregations,
+    * and the evaluation itself is one hash-agg by source over the
+    * already-materialized features.
+    */
+  def qualityClassifierEval(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierEvalOn(spark, t(spark, dir, "documents"))
+
+  private[operators] def qualityClassifierEvalOn(
+      spark: SparkSession, docs: DataFrame): DataFrame = {
+    val f = perceptronFeatures(docs, Seq("source")).localCheckpoint(true)
+    try {
+      val (_, w) = perceptronTrain(f)
+      val dot = (0 to 4).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
+      f.withColumn("pred", dot > 0).withColumn("pos", col("y") > 0)
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("pred") && col("pos"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("pos"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("pred") && !col("pos"), 1L).otherwise(0L)).as("tn"))
+        .select(col("source"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") > 0,
+            round(col("tp").cast("double") / (col("tp") + col("fp")), 12)).as("prec"),
+          when(col("tp") + col("fn") > 0,
+            round(col("tp").cast("double") / (col("tp") + col("fn")), 12)).as("rec"),
+          when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+            round((lit(2L) * col("tp")).cast("double") /
+              (lit(2L) * col("tp") + col("fp") + col("fn")), 12)).as("f1"))
+        .orderBy("source")
+    } finally f.unpersist()
+  }
+
+  private val qualityClassifierEvalOracle: String = {
+    val dot = "wb*x0 + wl*x1 + ws*x2 + wp*x3 + wc*x4"
+    s"""WITH $qualityOracleCtes,
+       |scored AS (
+       |  SELECT source, y, $dot AS d FROM f, p$PerceptronRounds),
+       |cm AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN d > 0 AND y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN d > 0 AND y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN d <= 0 AND y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN d <= 0 AND y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM scored GROUP BY source)
+       |SELECT source, tp, fp, fn, tn,
+       |  CASE WHEN tp + fp > 0
+       |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 12) END AS prec,
+       |  CASE WHEN tp + fn > 0
+       |    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 12) END AS rec,
+       |  CASE WHEN 2 * tp + fp + fn > 0
+       |    THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 12) END AS f1
+       |FROM cm ORDER BY source""".stripMargin
+  }
+
   /** Number of BPE merge rules [[bpeMerges]] learns. */
   val BpeMergeRounds = 6
 
@@ -949,6 +1012,8 @@ object TextAnalysis {
       "batch-perceptron quality filter distilling the rule gate: integer-exact training curve + weights"),
     GraftQuery("quality_classifier_apply", qualityClassifierApply _, Some(qualityClassifierApplyOracle),
       "train -> deploy: learned weights score the corpus in one scan; per-source keep + teacher agreement"),
+    GraftQuery("quality_classifier_eval", qualityClassifierEval _, Some(qualityClassifierEvalOracle),
+      "train -> evaluate: per-source confusion matrix + precision/recall/F1 vs the teacher rule"),
     GraftQuery("text_chunking", chunking _, Some(chunkingOracle),
       "overlapping char-window chunking with offsets + digests (RAG prep, scan-local)"),
     GraftQuery("text_lm_score", lmScore _, Some(lmScoreOracle),

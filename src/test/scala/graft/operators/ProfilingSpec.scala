@@ -45,4 +45,16 @@ class ProfilingSpec extends AnyFunSuite with SparkFixture {
       assert(z > Profiling.ZThreshold && z < 1.7321)
     }
   }
+
+  test("profile_correlations matches Spark's built-in corr within rounding; |r| <= 1") {
+    val rows = SparkEntry.queries("profile_correlations")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(rows.size == Profiling.CorrColumns.length * (Profiling.CorrColumns.length - 1) / 2)
+    val li = graft.Tables.t(spark, dir, "lineitem")
+    rows.foreach { case ((a, b), r) =>
+      assert(math.abs(r) <= 1.0 + 1e-12)
+      val ref = li.agg(org.apache.spark.sql.functions.corr(a, b)).collect()(0).getDouble(0)
+      assert(math.abs(r - ref) < 1e-6, s"$a/$b: exact-decimal $r vs built-in $ref")
+    }
+  }
 }

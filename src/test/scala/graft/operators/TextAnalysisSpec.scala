@@ -2,7 +2,7 @@ package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.SparkFixture
+import graft.{SparkFixture, SparkEntry}
 
 /** Known-answer semantics for the corpus-LM bit-cost scorer: costs on
   * a tiny corpus are hand-computable (len2 = binary digit count of the
@@ -109,5 +109,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(rows(1L) < rows(9L))
     assert(rows(1L) == rows(5L)) // identical docs score identically
+  }
+
+  test("classifier eval reconciles with apply: kept = tp+fp, agree = tp+tn, total = matrix sum") {
+    val dir = "/root/testdata/sf0.001"
+    val apply = SparkEntry.queries("quality_classifier_apply")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val eval = SparkEntry.queries("quality_classifier_eval")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(eval.nonEmpty)
+    eval.foreach { case (src, (tp, fp, fn, tn)) =>
+      val (nDocs, nKept, nAgree) = apply(src)
+      assert(tp + fp == nKept, s"$src kept")
+      assert(tp + tn == nAgree, s"$src agree")
+      assert(tp + fp + fn + tn == nDocs, s"$src total")
+    }
   }
 }
