@@ -290,6 +290,76 @@ object Dedup {
        |WHERE CAST(common AS DOUBLE) / least(sa.n, sb.n) >= $ContainmentThreshold
        |ORDER BY x, y""".stripMargin
 
+  // ------------------------------------------- edit-distance verification
+
+  /** Minimum shared (df-capped) shingles before a candidate pair pays
+    * the O(n·m) edit-distance verification — the cheap token-level
+    * filter that keeps the expensive character-level check off the
+    * quadratic pair space.
+    */
+  val MinEditCommon = 3
+
+  /** Normalized edit-similarity keep threshold for [[editDistance]]. */
+  val EditSimThreshold = 0.8
+
+  /** CHARACTER-level near-dup pairs — Levenshtein-verified: shingle
+    * candidates (≥ [[MinEditCommon]] shared index shingles — reusing
+    * the persisted inverted index, so no pair space beyond docs that
+    * already share token runs), then the classic integer edit-distance
+    * DP on exactly those pairs, keeping edit_sim = 1 − lev/max(len) ≥
+    * [[EditSimThreshold]]. Catches what token-set measures miss in
+    * BOTH directions: reordered-token pairs score high Jaccard but low
+    * edit_sim; small character edits inside many tokens score low
+    * Jaccard but high edit_sim. Both engines implement the same
+    * unit-cost DP, so `lev` is the same integer and edit_sim one IEEE
+    * division.
+    *
+    * Scale: candidate generation is the [[ngramJaccard]] index join
+    * (df-capped, never all-pairs); the DP — the expensive part — runs
+    * scan-local on the ≥MinEditCommon survivors only. That gating
+    * order (set overlap before character DP) is the only way
+    * character-level verification survives a 100 TB corpus.
+    */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val e = shingleIndex(spark, dir)
+    val cand = e.as("a").join(e.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= MinEditCommon)
+    val docs = t(spark, dir, "documents")
+    val dx = docs.select(col("doc_id").as("x"), col("text").as("tx"))
+    val dy = docs.select(col("doc_id").as("y"), col("text").as("ty"))
+    cand.join(dx, "x").join(dy, "y")
+      .select(col("x"), col("y"), col("common"),
+        levenshtein(col("tx"), col("ty")).cast("long").as("lev"),
+        round(lit(1.0) - levenshtein(col("tx"), col("ty")).cast("double") /
+          greatest(length(col("tx")), length(col("ty"))), 12).as("edit_sim"))
+      .filter(col("edit_sim") >= EditSimThreshold)
+      .orderBy("x", "y")
+  }
+
+  private val editDistanceOracle =
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
+       |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |e AS (SELECT doc_id, s FROM e0 WHERE s IN ($dfCapSql)),
+       |cand AS (
+       |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS common
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinEditCommon),
+       |p AS (
+       |  SELECT cand.x, cand.y, cand.common,
+       |    CAST(levenshtein(dx.text, dy.text) AS BIGINT) AS lev,
+       |    round(1.0 - CAST(levenshtein(dx.text, dy.text) AS DOUBLE)
+       |      / greatest(length(dx.text), length(dy.text)), 12) AS edit_sim
+       |  FROM cand JOIN documents dx ON dx.doc_id = cand.x
+       |  JOIN documents dy ON dy.doc_id = cand.y)
+       |SELECT x, y, common, lev, edit_sim FROM p
+       |WHERE edit_sim >= $EditSimThreshold ORDER BY x, y""".stripMargin
+
   // ---------------------------------------------- exact substring dedup
 
   /** Minimum verbatim run length, in tokens, that counts as substring
@@ -1148,6 +1218,8 @@ object Dedup {
       "near-dup pairs, exact 5-gram Jaccard via inverted-index join"),
     GraftQuery("dedup_containment", containment _, Some(containmentOracle),
       "asymmetric containment: short docs embedded in longer ones (Jaccard-blind)"),
+    GraftQuery("dedup_edit_distance", editDistance _, Some(editDistanceOracle),
+      "Levenshtein-verified near-dup pairs: shingle candidates gate the character-level DP"),
     GraftQuery("dedup_substring", substringRuns _, Some(substringOracle),
       "verbatim repeated token runs >= 12 via positional W-gram chain join"),
     GraftQuery("dedup_minhash_lsh", minhashLsh _, Some(minhashLshOracle),

@@ -1050,6 +1050,65 @@ object Similarity {
       |FROM elems GROUP BY label, i
       |ORDER BY label, i""".stripMargin
 
+  // ------------------------------------------------ centroid outliers
+
+  /** Flagged outliers per label by [[embedOutliers]]. */
+  val EmbedOutlierK = 5
+
+  /** Embedding-space outlier report: the [[EmbedOutlierK]] vectors
+    * FARTHEST from their own label's centroid, per label — the
+    * mislabeled/corrupted-embedding screen run before any
+    * cluster-derived artifact (centroid seeding, nearest-class-mean
+    * labeling, SemDeDup) trusts the label column. Distance is the
+    * squared L2 to the component-mean centroid; means are exact
+    * decimal sums ÷ integer counts and the squared diffs re-accumulate
+    * in decimal, so `dist2` is bit-identical cross-engine.
+    *
+    * Scale: centroids are a labels×dims aggregate (map-side partials)
+    * broadcast back against one exploded corpus scan; the per-vector
+    * reduce partitions on (label, vec_id) — its natural key — and the
+    * final window ranks labels×k rows. Same shape as
+    * [[rankCellsUnder]], with a top-k instead of an argmax.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val elems = t(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select(col("label"), col("vec_id"), (col("i0") + 1).as("i"),
+        col("v").cast("double").as("val"))
+    val cents = elems.groupBy(col("label"), col("i"))
+      .agg((sum(col("val").cast(Dec)).cast("double") / count(lit(1))).as("mu"))
+    val d2 = elems.join(broadcast(cents), Seq("label", "i"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(((col("val") - col("mu")) * (col("val") - col("mu"))).cast(Dec))
+        .cast("double").as("d2"))
+    val w = Window.partitionBy(col("label")).orderBy(desc("d2"), asc("vec_id"))
+    d2.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= EmbedOutlierK)
+      .select(col("label"), col("vec_id"), round(col("d2"), 12).as("dist2"), col("rank"))
+      .orderBy("label", "rank")
+  }
+
+  private val embedOutliersOracle =
+    s"""WITH elems AS (
+       |  SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS val FROM embeddings,
+       |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
+       |cents AS (
+       |  SELECT label, i,
+       |    CAST(sum(CAST(val AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS mu
+       |  FROM elems GROUP BY label, i),
+       |d2 AS (
+       |  SELECT e.label, e.vec_id,
+       |    CAST(sum(CAST((e.val - c.mu) * (e.val - c.mu) AS DECIMAL(38,20))) AS DOUBLE) AS d2
+       |  FROM elems e JOIN cents c ON e.label = c.label AND e.i = c.i
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT label, vec_id, round(d2, 12) AS dist2,
+       |    CAST(row_number() OVER (PARTITION BY label
+       |      ORDER BY d2 DESC, vec_id) AS INTEGER) AS rank
+       |  FROM d2)
+       |SELECT label, vec_id, dist2, rank FROM ranked
+       |WHERE rank <= $EmbedOutlierK ORDER BY label, rank""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -1070,5 +1129,7 @@ object Similarity {
     GraftQuery("sim_topk_ivfpq", topkIvfPq _, Some(topkIvfPqOracle),
       "fused IVF-PQ ANN: cell-pruned candidates ADC-scored from the persisted code table, exact rescore"),
     GraftQuery("sim_recall_eval", recallEval _, Some(recallEvalOracle),
-      "recall@k of each ANN method vs the exact brute-force top-k"))
+      "recall@k of each ANN method vs the exact brute-force top-k"),
+    GraftQuery("embed_outliers", embedOutliers _, Some(embedOutliersOracle),
+      "per-label centroid-distance outliers (mislabel/corruption screen for the embedding table)"))
 }
