@@ -367,11 +367,65 @@ object EventStreams {
       |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL '10 minutes'
       |ORDER BY p.user_id, purchase_id, view_id""".stripMargin
 
+  // ------------------------------------------------ streaming sketches
+
+  /** The native KMV sketch aggregate ([[graft.functions.KmvSketchAgg]])
+    * running INSIDE a streaming aggregation: per event_type, the
+    * distinct-user estimate maintained incrementally across
+    * micro-batches (the sketch buffer IS the stream state — ≤ k longs
+    * per group in the state store, regardless of stream length). A KMV
+    * sketch keeps the k smallest distinct hashes, an order-independent
+    * reduction — so the drained result is bit-identical to the batch
+    * sketch over the same data no matter how the stream was
+    * micro-batched, which is what makes an exact oracle possible for a
+    * streaming approximate aggregate.
+    *
+    * Scale: this is the deployment shape for "live distinct users per
+    * segment" — state per group is k longs (not a distinct-set), the
+    * per-batch update is partial-aggregated before the shuffle, and
+    * the complete-mode output is |groups| rows per trigger.
+    */
+  def streamKmvUsers(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEventStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kmvSketch(
+        graft.operators.Dedup.phash(col("user_id").cast("string")),
+        graft.operators.Relational.KmvK).as("kmv"))
+    drainToParquet(spark, agg, OutputMode.Complete(), s"kmv_users:$dir")
+      .select(col("event_type"),
+        col("kmv.distinct_estimate").as("distinct_users_est"),
+        col("kmv.sketch_size").as("sketch_size"))
+      .orderBy("event_type")
+  }
+
+  private val streamKmvUsersOracle = {
+    val k = graft.operators.Relational.KmvK
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    ${graft.operators.Dedup.phashSql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h),
+       |k AS (
+       |  SELECT event_type, count(*) AS n, max(h) AS hk
+       |  FROM r WHERE rn <= $k GROUP BY 1)
+       |SELECT event_type,
+       |  CAST(CASE WHEN n < $k THEN n
+       |       ELSE ${(graft.operators.Relational.KmvK - 1).toLong * 4294967296L} // hk END AS BIGINT)
+       |    AS distinct_users_est,
+       |  CAST(n AS BIGINT) AS sketch_size
+       |FROM k ORDER BY event_type""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("stream_window_counts", windowCounts _, Some(windowCountsOracle),
       "streaming tumbling 1h window agg with watermark (AvailableNow drain)"),
+    GraftQuery("stream_kmv_users", streamKmvUsers _, Some(streamKmvUsersOracle),
+      "native KMV sketch as streaming state: per-type distinct-user estimate, batch-identical"),
     GraftQuery("sessionize_events", sessionize _, Some(sessionizeOracle),
       "gap-based sessionization via typed groupByKey/flatMapGroups"),
     GraftQuery("stream_stream_join", streamStreamJoin _, Some(streamStreamJoinOracle),

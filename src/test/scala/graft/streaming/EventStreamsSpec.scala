@@ -116,4 +116,37 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       .select("window_start", "event_type", "n_events").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("streaming KMV sketch across forced micro-batches equals the batch sketch") {
+    import graft.operators.{Dedup, Relational}
+    val srcDir = "/root/testdata/sf0.001"
+    // split the event fixture into several files so AvailableNow +
+    // maxFilesPerTrigger=1 processes REAL multiple micro-batches — the
+    // order-independence claim is vacuous on a single batch
+    val dir = java.nio.file.Files.createTempDirectory("kmvstream").toString
+    graft.Tables.events(spark, srcDir).repartition(3)
+      .write.parquet(s"$dir/events.parquet")
+    val agg = readEventStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kmvSketch(
+        Dedup.phash(col("user_id").cast("string")), Relational.KmvK).as("kmv"))
+    val q = agg.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("kmv_mb")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.map(_.numInputRows).count(_ > 0) >= 2,
+      "fixture did not actually split into multiple micro-batches")
+    val streamed = spark.table("kmv_mb")
+      .select(col("event_type"), col("kmv.distinct_estimate"), col("kmv.sketch_size"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.Tables.events(spark, srcDir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kmvSketch(
+        Dedup.phash(col("user_id").cast("string")), Relational.KmvK).as("kmv"))
+      .select(col("event_type"), col("kmv.distinct_estimate"), col("kmv.sketch_size"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
 }
