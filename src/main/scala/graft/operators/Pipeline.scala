@@ -540,10 +540,18 @@ object Pipeline {
     * exists in the plan. One IEEE division per doc for the stride key;
     * everything else is integer.
     */
-  def corpusOrder(spark: SparkSession, dir: String): DataFrame = {
+  def corpusOrder(spark: SparkSession, dir: String): DataFrame =
+    strideOrder(mixKeptDocs(spark, dir).select(col("doc_id"), col("source")))
+
+  /** Stride-scheduled interleave of an arbitrary (doc_id, source)
+    * document set — shared by [[corpusOrder]] (mixture-kept raw
+    * corpus) and [[corpusFinalOrder]] (the fully-gated curated
+    * corpus).
+    */
+  private def strideOrder(kept: DataFrame): DataFrame = {
     val shuffleKey = phash(concat_ws(":", lit("order"), col("doc_id").cast("string")))
     val ranked = DistributedRank.withRank(
-      mixKeptDocs(spark, dir).withColumn("shuf", shuffleKey),
+      kept.withColumn("shuf", shuffleKey),
       Seq("source"), Seq(col("shuf"), col("doc_id")), "src_pos")
     // per-source sizes as a broadcast K-row table (map-side partial
     // agg), NOT a count window — a window over source would re-exchange
@@ -561,6 +569,25 @@ object Pipeline {
       .orderBy("global_pos")
   }
 
+  /** Oracle-side stride-order chain over a prior CTE `src`(doc_id,
+    * source): within-source hash-shuffle rank, stride key, global
+    * numbering — the SQL mirror of [[strideOrder]].
+    */
+  private def strideOrderSql(src: String): String =
+    s"""ord_r AS (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY ${phashSql("concat_ws(':', 'order', CAST(doc_id AS VARCHAR))")}, doc_id)
+       |      AS BIGINT) AS src_pos,
+       |    count(*) OVER (PARTITION BY source) AS n_src
+       |  FROM $src),
+       |ord_k AS (
+       |  SELECT *, (CAST(src_pos AS DOUBLE) - 0.5) / n_src AS okey FROM ord_r)
+       |SELECT
+       |  CAST(row_number() OVER (ORDER BY okey, source, doc_id) AS BIGINT) AS global_pos,
+       |  doc_id, source, src_pos, round(okey, 12) AS order_key
+       |FROM ord_k ORDER BY global_pos""".stripMargin
+
   private val corpusOrderOracle =
     s"""WITH d AS (
        |  SELECT doc_id, source,
@@ -577,19 +604,7 @@ object Pipeline {
        |  SELECT d.doc_id, d.source FROM d JOIN thr USING (source)
        |  WHERE ${phashSql(s"concat_ws(':', source, CAST(doc_id AS VARCHAR))")} % $MixRes
        |        < keep_threshold),
-       |r AS (
-       |  SELECT doc_id, source,
-       |    CAST(row_number() OVER (PARTITION BY source
-       |      ORDER BY ${phashSql("concat_ws(':', 'order', CAST(doc_id AS VARCHAR))")}, doc_id)
-       |      AS BIGINT) AS src_pos,
-       |    count(*) OVER (PARTITION BY source) AS n_src
-       |  FROM kept),
-       |k AS (
-       |  SELECT *, (CAST(src_pos AS DOUBLE) - 0.5) / n_src AS okey FROM r)
-       |SELECT
-       |  CAST(row_number() OVER (ORDER BY okey, source, doc_id) AS BIGINT) AS global_pos,
-       |  doc_id, source, src_pos, round(okey, 12) AS order_key
-       |FROM k ORDER BY global_pos""".stripMargin
+       |${strideOrderSql("kept")}""".stripMargin
 
   // ------------------------------------------- token-budget greedy fill
 
@@ -823,7 +838,14 @@ object Pipeline {
   }
 
   private def corpusFinalOn(
-      spark: SparkSession, dir: String, temperature: Boolean): DataFrame = {
+      spark: SparkSession, dir: String, temperature: Boolean): DataFrame =
+    manifestFromFlags(corpusFinalFlags(spark, dir), temperature)
+
+  /** The full-recompute per-doc flags frame the final manifest folds
+    * (the incremental path derives the same columns from
+    * [[CurationState]] instead).
+    */
+  private[operators] def corpusFinalFlags(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(col("doc_id") % Hygiene.BenchMod =!= 0)
       .select(col("doc_id"), col("source"),
@@ -851,7 +873,7 @@ object Pipeline {
         coalesce(col("ngram_bad"), lit(false)).as("ngram_bad"),
         coalesce(col("sem_bad"), lit(false)).as("sem_bad"),
         coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
-    manifestFromFlags(flags, temperature)
+    flags
   }
 
   /** The manifest stage shared VERBATIM by [[corpusFinal]] and the
@@ -866,7 +888,28 @@ object Pipeline {
     * semantics.
     */
   private[operators] def manifestFromFlags(
-      flagsIn: DataFrame, temperature: Boolean): DataFrame = {
+      flagsIn: DataFrame, temperature: Boolean): DataFrame =
+    finalKeeps(flagsIn, temperature)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("q_ok") && col("dedup_keep"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("sub_ok"), 1L).otherwise(0L)).as("n_substr"),
+        sum(when(col("surv"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("mix_keep"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("mix_keep"), col("ntc")).otherwise(0L)).as("tokens_final"),
+        sum(when(col("surv"), col("nt") - col("ntc")).otherwise(0L))
+          .as("tokens_line_dropped"))
+      .orderBy("source", "split")
+
+  /** The per-document end of the gate stack: split assignment, the
+    * gate conjunctions, mixture thresholds over surviving clean token
+    * mass, and each document's final `mix_keep` — everything
+    * [[manifestFromFlags]] aggregates, exposed per-doc so the ORDERED
+    * curated corpus ([[corpusFinalOrder]]) can consume the same
+    * decisions the manifest reports.
+    */
+  private[operators] def finalKeeps(flagsIn: DataFrame, temperature: Boolean): DataFrame = {
     val bucket = pmod(phash(concat(lit("grp:"), col("group_id").cast("string"))), lit(100))
     val flags = flagsIn
       .withColumn("split",
@@ -888,20 +931,13 @@ object Pipeline {
     flags.join(broadcast(thresholds), Seq("source"), "left")
       .withColumn("mix_keep",
         coalesce(col("surv") && draw < col("keep_threshold"), lit(false)))
-      .groupBy(col("source"), col("split"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality"),
-        sum(when(col("q_ok") && col("dedup_keep"), 1L).otherwise(0L)).as("n_dedup"),
-        sum(when(col("sub_ok"), 1L).otherwise(0L)).as("n_substr"),
-        sum(when(col("surv"), 1L).otherwise(0L)).as("n_clean"),
-        sum(when(col("mix_keep"), 1L).otherwise(0L)).as("n_final"),
-        sum(when(col("mix_keep"), col("ntc")).otherwise(0L)).as("tokens_final"),
-        sum(when(col("surv"), col("nt") - col("ntc")).otherwise(0L))
-          .as("tokens_line_dropped"))
-      .orderBy("source", "split")
   }
 
-  private[operators] def corpusFinalOracleFor(temperature: Boolean): String = {
+  /** Oracle CTE chain down to the per-doc `fin` frame (split, gate
+    * booleans, mix_keep per doc_id) — shared by the manifest oracle
+    * and the curated-order oracle, mirroring [[finalKeeps]].
+    */
+  private def corpusFinalDocCtes(temperature: Boolean): String = {
     val grpB = phashSql("'grp:' || CAST(group_id AS VARCHAR)")
     val salt = if (temperature) "cft" else "cf"
     val drawSql = phashSql(s"concat_ws(':', '$salt', f.source, CAST(f.doc_id AS VARCHAR))")
@@ -986,10 +1022,14 @@ object Pipeline {
        |  FROM flags WHERE surv GROUP BY 1),
        |$thr,
        |fin AS (
-       |  SELECT f.source, f.split, f.nt, f.ntc, f.q_ok, f.dedup_keep,
+       |  SELECT f.doc_id, f.source, f.split, f.nt, f.ntc, f.q_ok, f.dedup_keep,
        |    f.sub_ok, f.surv,
        |    coalesce(f.surv AND $drawSql % $MixRes < t.keep_threshold, FALSE) AS mix_keep
-       |  FROM flags f LEFT JOIN thr t USING (source))
+       |  FROM flags f LEFT JOIN thr t USING (source))""".stripMargin
+  }
+
+  private[operators] def corpusFinalOracleFor(temperature: Boolean): String =
+    s"""${corpusFinalDocCtes(temperature)}
        |SELECT source, split,
        |  count(*) AS n_docs,
        |  CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
@@ -1001,11 +1041,33 @@ object Pipeline {
        |  CAST(sum(CASE WHEN surv THEN nt - ntc ELSE 0 END) AS BIGINT)
        |    AS tokens_line_dropped
        |FROM fin GROUP BY 1, 2 ORDER BY source, split""".stripMargin
-  }
 
   private val corpusFinalOracle: String = corpusFinalOracleFor(temperature = false)
   private val corpusFinalTemperatureOracle: String =
     corpusFinalOracleFor(temperature = true)
+
+  /** The ordered curated corpus — the artifact a training run actually
+    * consumes: the documents that survived the FULL gate stack
+    * ([[corpusFinal]]'s quality/dedup/substring/decontam/mixture
+    * conjunction, train split only) emitted in the stride-scheduled
+    * interleave, so a data loader reading the schedule sequentially
+    * sees the curated mixture stationary from the first batch. Same
+    * per-doc decisions the manifest aggregates ([[finalKeeps]] —
+    * one code path), same order machinery as [[corpusOrder]]
+    * ([[strideOrder]]: two [[DistributedRank]] numberings, no
+    * single-task window).
+    */
+  def corpusFinalOrder(spark: SparkSession, dir: String): DataFrame =
+    strideOrder(
+      finalKeeps(corpusFinalFlags(spark, dir), temperature = false)
+        .filter(col("mix_keep") && col("split") === "train")
+        .select(col("doc_id"), col("source")))
+
+  private val corpusFinalOrderOracle: String =
+    s"""${corpusFinalDocCtes(temperature = false)},
+       |keptord AS (
+       |  SELECT doc_id, source FROM fin WHERE mix_keep AND split = 'train'),
+       |${strideOrderSql("keptord")}""".stripMargin
 
   // ------------------------------------------------- output shard layout
 
@@ -1089,6 +1151,8 @@ object Pipeline {
     GraftQuery("corpus_final_temperature", corpusFinalTemperature _,
       Some(corpusFinalTemperatureOracle),
       "corpus_final under the α=0.5 temperature-flattened mixture targets"),
+    GraftQuery("corpus_final_order", corpusFinalOrder _, Some(corpusFinalOrderOracle),
+      "the ordered curated corpus: full gate stack survivors (train split) in the stride interleave"),
     GraftQuery("mix_rates", mixRates _, Some(mixRatesOracle),
       "data-mixture plan: per-source downsampling rates to a uniform token target"),
     GraftQuery("mix_temperature", mixTemperature _, Some(mixTemperatureOracle),

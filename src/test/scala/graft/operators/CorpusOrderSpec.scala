@@ -66,4 +66,18 @@ class CorpusOrderSpec extends AnyFunSuite with SparkFixture {
       assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
     }
   }
+
+  test("corpus_final_order carries exactly the manifest's train-split final docs per source") {
+    val nFinalTrain = Pipeline.corpusFinal(spark, dir).collect()
+      .filter(_.getString(1) == "train")
+      .map(r => r.getString(0) -> r.getLong(7)).toMap
+    val ordered = Pipeline.corpusFinalOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(ordered.nonEmpty)
+    assert(ordered.map(_._1).sorted.toSeq == (1L to ordered.length))
+    val perSource = ordered.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // every ordered doc is a manifest-final train doc and vice versa
+    assert(perSource == nFinalTrain.filter(_._2 > 0),
+      s"ordered $perSource vs manifest $nFinalTrain")
+  }
 }
