@@ -188,4 +188,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!lp.contains("documents.parquet"),
       "flag read re-n-grams the corpus")
   }
+
+  test("corpus order: distributed numbering leaves no single-partition exchange in the plan") {
+    val p = planOf("corpus_order")
+    assert(!p.contains("SinglePartition"), s"single-task funnel in corpus_order:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("fused IVF-PQ: ADC lookup broadcasts; no cartesian product") {
+    val p = planOf("sim_topk_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), s"ADC lookup join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("edit-distance dedup joins through the shingle index, never a cross join") {
+    val p = planOf("dedup_edit_distance")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
