@@ -269,7 +269,15 @@ object CurationState {
     * stage on the same code path.
     */
   def manifest(spark: SparkSession, warehouse: String,
-      temperature: Boolean = false): DataFrame = {
+      temperature: Boolean = false): DataFrame =
+    Pipeline.manifestFromFlags(stateFlags(spark, warehouse), temperature)
+
+  /** The per-doc flags frame assembled from the verdict store — the
+    * state-served twin of [[Pipeline.corpusFinalFlags]], feeding the
+    * same downstream code paths (manifest aggregation AND the ordered
+    * curated corpus).
+    */
+  private[operators] def stateFlags(spark: SparkSession, warehouse: String): DataFrame = {
     val st = readTbl(spark, warehouse, "state")
     val pairs = readTbl(spark, warehouse, "vpairs").select(col("x"), col("y"))
     val clusters = Dedup.clustersFromPairs(spark, pairs)
@@ -278,14 +286,23 @@ object CurationState {
     val survivors = clusters.join(scored, "doc_id")
       .withColumn("keep", Dedup.survivorRank("text_len", "doc_id") === 1)
       .select(col("doc_id"), col("cluster_id"), col("keep").as("dedup_keep"))
-    val flags = st.filter(col("doc_id") % Hygiene.BenchMod =!= 0)
+    st.filter(col("doc_id") % Hygiene.BenchMod =!= 0)
       .join(survivors, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("nt"), col("pts"), col("ntc"),
         coalesce(col("dedup_keep"), lit(true)).as("dedup_keep"),
         col("substr_bad"), col("ngram_bad"), col("sem_bad"),
         coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
-    Pipeline.manifestFromFlags(flags, temperature)
   }
+
+  /** The ordered curated corpus SERVED FROM THE VERDICT STORE — the
+    * deployment path: the training schedule derives from persisted
+    * per-doc decisions, never a corpus re-scan. Identical to the
+    * full-recompute derivation (state ≡ recompute is what
+    * `corpus_incremental`'s gate certifies), which is also what the
+    * driver's full-recompute oracle checks against this output.
+    */
+  def orderedCorpus(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.orderedFromFlags(stateFlags(spark, ensureBuilt(spark, dir)))
 
   // -------------------------------------------------- verdict assembly
 

@@ -1058,8 +1058,21 @@ object Pipeline {
     * single-task window).
     */
   def corpusFinalOrder(spark: SparkSession, dir: String): DataFrame =
+    CurationState.orderedCorpus(spark, dir)
+
+  /** The full-recompute derivation of the ordered curated corpus —
+    * the reference the state-served query must equal
+    * ([[CorpusOrderSpec]] asserts bit-equality).
+    */
+  private[operators] def corpusFinalOrderRecompute(spark: SparkSession, dir: String): DataFrame =
+    orderedFromFlags(corpusFinalFlags(spark, dir))
+
+  /** Gate stack tail shared by both derivations: final keeps (uniform
+    * mixture, train split) into the stride interleave.
+    */
+  private[operators] def orderedFromFlags(flags: DataFrame): DataFrame =
     strideOrder(
-      finalKeeps(corpusFinalFlags(spark, dir), temperature = false)
+      finalKeeps(flags, temperature = false)
         .filter(col("mix_keep") && col("split") === "train")
         .select(col("doc_id"), col("source")))
 

@@ -80,4 +80,14 @@ class CorpusOrderSpec extends AnyFunSuite with SparkFixture {
     assert(perSource == nFinalTrain.filter(_._2 > 0),
       s"ordered $perSource vs manifest $nFinalTrain")
   }
+
+  test("state-served corpus_final_order is bit-identical to the full-recompute derivation") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    val served = rows(Pipeline.corpusFinalOrder(spark, dir))
+    val recomputed = rows(Pipeline.corpusFinalOrderRecompute(spark, dir))
+    assert(served.nonEmpty)
+    assert(served == recomputed)
+  }
 }
