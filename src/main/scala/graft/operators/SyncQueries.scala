@@ -573,6 +573,35 @@ object SyncQueries {
     table.statsTable().orderBy("column")
   }
 
+  /** Incremental ANALYZE as an oracle-gated query
+    * ([[IceliteTable.analyzeIncremental]]): seed the same five-column
+    * projection SPLIT in two — the odd-key half appended and analyzed
+    * in full, then the even-key half appended and folded in with the
+    * incremental path, which scans ONLY the delta files and merges
+    * the stored mergeable state (counts add, KMV retained-minima
+    * union). The gate's oracle is the SAME recomputation as
+    * `table_analyze` over the full subset, so it proves the
+    * incremental fold is bit-identical to analyzing everything from
+    * scratch — the property that lets a 100 TB table refresh its
+    * stats at delta cost.
+    */
+  def tableAnalyzeIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("analyze-incr-query")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(23)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_totalprice"),
+        (col("o_totalprice") * lit(1.0e7d)).as("price_sci"),
+        when(pmod(col("o_orderkey"), lit(10)) === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("status_opt"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_stats_incr", src.schema)
+    table.append(src.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+    table.analyze(Seq("_id", "o_orderkey", "o_totalprice", "price_sci", "status_opt"))
+    table.append(src.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+    table.analyzeIncremental()
+    table.statsTable().orderBy("column")
+  }
+
   private val tableAnalyzeOracle = {
     val k = 256
     val est = s"CASE WHEN cnt < $k THEN cnt ELSE ${(k - 1).toLong * 4294967296L} // hk END"
@@ -1095,6 +1124,8 @@ object SyncQueries {
       "snapshots + manifests metadata tables: per-commit added/cumulative totals and per-file metrics"),
     GraftQuery("table_analyze", tableAnalyze _, Some(tableAnalyzeOracle),
       "ANALYZE: per-column null counts + KMV distinct estimates published as a stats snapshot, read from metadata"),
+    GraftQuery("table_analyze_incremental", tableAnalyzeIncremental _, Some(tableAnalyzeOracle),
+      "incremental ANALYZE: delta-only scan folds mergeable stats (counts + KMV minima), bit-equal to a full recompute"),
     GraftQuery("table_changelog_stream", tableChangelogStream _, Some(tableChangelogStreamOracle),
       "streaming CDC consumer: changelog feed export + checkpointed file-stream resume"),
     GraftQuery("table_replica_sync", tableReplicaSync _, Some(tableReplicaSyncOracle),

@@ -576,6 +576,44 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     assert(st("total") == 8L)
   }
 
+  test("analyzeIncremental: delta-only fold ≡ full recompute; no-op and delete-fallback paths") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "statsincr", docSchema)
+    val batch1 = Seq(
+      ("a", 10.0, "new", "2024-01-05T00:00:00Z"),
+      ("b", 20.0, null, "2024-01-06T00:00:00Z"))
+    val batch2 = Seq(
+      ("c", 10.0, "paid", "2024-01-07T00:00:00Z"),
+      ("d", 40.0, "paid", "2024-01-08T00:00:00Z"),
+      ("e", 50.0, null, "2024-01-09T00:00:00Z"),
+      ("f", 60.0, "ship", "2024-01-10T00:00:00Z"))
+    // k=4 < the 6 distinct _id hashes → the saturated-estimate merge
+    // path runs, not just the exact small-n path
+    t.append(rows(batch1: _*))
+    t.analyze(Seq("_id", "total", "status"), k = 4)
+    t.append(rows(batch2: _*))
+    val seq = t.analyzeIncremental()
+    assert(t.meta.lastSeq == seq && t.meta.snapshots.last.operation == "analyze")
+    def statsOf(x: IceliteTable) = x.statsTable().orderBy("column").collect().map(_.toSeq).toSeq
+    // bit-equal to analyzing the full table from scratch (same k)
+    val full = IceliteTable.create(spark, wh, "ns", "statsfull", docSchema)
+    full.append(rows((batch1 ++ batch2): _*))
+    full.analyze(Seq("_id", "total", "status"), k = 4)
+    assert(statsOf(t) == statsOf(full))
+    // nothing new committed → returns the existing seq, writes nothing
+    val nSnaps = t.meta.snapshots.size
+    assert(t.analyzeIncremental() == seq)
+    assert(t.meta.snapshots.size == nSnaps)
+    // a delete since the base can't be subtracted from sketches →
+    // the call falls back to one full re-analyze and stays correct
+    t.delete(rows(("a", 0.0, "x", "2024-01-05T00:00:00Z")).select("_id"), Seq("_id"))
+    t.analyzeIncremental()
+    val st = t.statsTable().collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(st("_id") == ((5L, 0L)))
+    assert(st("status") == ((5L, 2L)))
+  }
+
   test("ANALYZE stats drive the MoR delete-side broadcast decision") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "statsbc", docSchema)
