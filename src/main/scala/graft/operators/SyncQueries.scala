@@ -614,18 +614,27 @@ object SyncQueries {
          |       WHEN isinf($expr) THEN '-inf'
          |       WHEN $expr = 0 THEN '0'
          |       ELSE replace(printf('%a', $expr), 'p+', 'p') END""".stripMargin
-    def colBlock(c: String, expr: String, strExpr: Option[String] = None) =
+    def colBlock(c: String, expr: String, strExpr: Option[String] = None) = {
+      // bounds repr: raw string / decimal integer, or the canonical
+      // hex-float for doubles — exactly IceliteTable.canonRepr
+      val mnE = strExpr.map(_ => canon(s"min($expr)"))
+        .getOrElse(s"CAST(min($expr) AS VARCHAR)")
+      val mxE = strExpr.map(_ => canon(s"max($expr)"))
+        .getOrElse(s"CAST(max($expr) AS VARCHAR)")
       s"""SELECT '$c' AS "column",
          |  (SELECT count(*) FROM sub) AS n_rows,
          |  (SELECT count(*) - count($expr) FROM sub) AS n_nulls,
          |  CAST($est AS BIGINT) AS ndv_estimate,
-         |  CAST(cnt AS BIGINT) AS sketch_size
+         |  CAST(cnt AS BIGINT) AS sketch_size,
+         |  (SELECT $mnE FROM sub) AS min_repr,
+         |  (SELECT $mxE FROM sub) AS max_repr
          |FROM (
          |  SELECT count(*) AS cnt, max(h) AS hk FROM (
          |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
          |      SELECT DISTINCT CAST(concat('0x', substr(md5(${strExpr.getOrElse(s"CAST($expr AS VARCHAR)")}), 1, 8)) AS BIGINT) AS h
          |      FROM sub WHERE $expr IS NOT NULL) d) r
          |  WHERE rn <= $k) s""".stripMargin
+    }
     s"""WITH sub AS (
        |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
        |    o_orderkey, o_totalprice,

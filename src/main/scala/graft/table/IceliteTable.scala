@@ -809,24 +809,30 @@ final class IceliteTable private (
     cols.foreach(c => require(sch.fieldNames.contains(c), s"no column '$c' in $name"))
     val (n, per) = statsAggregate(read(), sch, cols, k)
     publishStats(cols, k, cols.map { c =>
-      val (nn, vals) = per(c)
-      ColStats(c, n, n - nn, vals)
+      val (nn, vals, mn, mx) = per(c)
+      ColStats(c, n, n - nn, vals, mn, mx)
     })
   }
 
-  /** One column's merged statistics state: the mergeable triple
-    * (row count, null count, KMV retained minima). The NDV estimate
-    * and sketch size derive from `kmv` at publish time.
+  /** One column's merged statistics state: the mergeable tuple
+    * (row count, null count, KMV retained minima, value bounds). The
+    * NDV estimate and sketch size derive from `kmv` at publish time.
+    * Bounds are canonical-repr strings ([[IceliteTable.canonRepr]]),
+    * `None` when the column has no non-null value or its type has no
+    * portable ordered encoding.
     */
-  private case class ColStats(col: String, nRows: Long, nNulls: Long, kmv: Seq[Long])
+  private case class ColStats(col: String, nRows: Long, nNulls: Long, kmv: Seq[Long],
+    min: Option[String], max: Option[String])
 
   /** The ANALYZE aggregation over an arbitrary frame: total row count
     * plus, per column, (non-null count, KMV retained minima over the
-    * canonical portable hash). Shared by the full scan and the
-    * incremental delta scan so both paths hash identically.
+    * canonical portable hash, canonical min/max bounds). Shared by the
+    * full scan and the incremental delta scan so both paths hash and
+    * bound identically.
     */
   private def statsAggregate(
-      df: DataFrame, sch: StructType, cols: Seq[String], k: Int): (Long, Map[String, (Long, Seq[Long])]) = {
+      df: DataFrame, sch: StructType, cols: Seq[String], k: Int)
+      : (Long, Map[String, (Long, Seq[Long], Option[String], Option[String])]) = {
     def canonicalStr(c: String): Column = sch(sch.fieldIndex(c)).dataType match {
       case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
         val d = col(c).cast("double")
@@ -840,14 +846,34 @@ final class IceliteTable private (
     }
     def hashOf(c: String) =
       conv(substring(md5(canonicalStr(c)), 1, 8), 16, 10).cast("long")
+    // min/max only for types whose value ordering has a portable
+    // canonical encoding; others publish no bounds (the typed value,
+    // not the canonical string, is what min/max ranks — the canonical
+    // repr of the winner is computed driver-side)
+    def boundAgg(c: String): Option[(Column, Column)] =
+      if (IceliteTable.boundedType(sch(sch.fieldIndex(c)).dataType))
+        Some((min(col(c)), max(col(c)))) else None
     val aggs = count(lit(1)).as("_n") +:
-      cols.flatMap(c => Seq(
-        count(col(c)).as(s"_nn_$c"),
-        graft.functions.KmvSketchAgg.kmvSketchValues(hashOf(c), k).as(s"_kmv_$c")))
+      cols.flatMap { c =>
+        Seq(count(col(c)).as(s"_nn_$c"),
+          graft.functions.KmvSketchAgg.kmvSketchValues(hashOf(c), k).as(s"_kmv_$c")) ++
+          boundAgg(c).toSeq.flatMap { case (mn, mx) =>
+            Seq(mn.as(s"_mn_$c"), mx.as(s"_mx_$c")) }
+      }
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = r.getLong(0)
-    val per = cols.zipWithIndex.map { case (c, i) =>
-      c -> (r.getLong(1 + i * 2), r.getStruct(2 + i * 2).getSeq[Long](2))
+    var i = 1
+    val per = cols.map { c =>
+      val nn = r.getLong(i)
+      val kmv = r.getStruct(i + 1).getSeq[Long](2)
+      val dt = sch(sch.fieldIndex(c)).dataType
+      val (mn, mx) =
+        if (IceliteTable.boundedType(dt)) {
+          val b = (if (r.isNullAt(i + 2)) None else Some(IceliteTable.canonRepr(r.get(i + 2), dt)),
+            if (r.isNullAt(i + 3)) None else Some(IceliteTable.canonRepr(r.get(i + 3), dt)))
+          i += 4; b
+        } else { i += 2; (None, None) }
+      c -> ((nn, kmv, mn, mx))
     }.toMap
     (n, per)
   }
@@ -867,7 +893,9 @@ final class IceliteTable private (
         s"stats.${s.col}.n_nulls" -> s.nNulls.toString,
         s"stats.${s.col}.ndv" -> est.toString,
         s"stats.${s.col}.sketch_size" -> s.kmv.size.toString,
-        s"stats.${s.col}.kmv" -> s.kmv.mkString(","))
+        s"stats.${s.col}.kmv" -> s.kmv.mkString(",")) ++
+        s.min.map(v => s"stats.${s.col}.min" -> v) ++
+        s.max.map(v => s"stats.${s.col}.max" -> v)
     }.toMap ++ Map("stats.columns" -> cols.mkString(","), "stats.k" -> k.toString)
     retryCommit { head =>
       val seq = head.lastSeq + 1
@@ -910,21 +938,35 @@ final class IceliteTable private (
     val newSnaps = m.snapshots.filter(_.seq > last.seq)
     // sketches can't subtract: any delete since the base → full re-analyze
     val impure = newSnaps.exists(s => s.deleteFiles.nonEmpty || s.posDeleteFiles.nonEmpty)
-    if (impure || !last.summary.contains(s"stats.${cols.head}.kmv"))
+    // a pre-bounds base snapshot (bounded column with non-null rows but
+    // no stored min) can't merge bounds either — re-base with one full pass
+    def boundless(c: String) =
+      IceliteTable.boundedType(m.schema(m.schema.fieldIndex(c)).dataType) &&
+        last.summary(s"stats.$c.n_rows").toLong > last.summary(s"stats.$c.n_nulls").toLong &&
+        !last.summary.contains(s"stats.$c.min")
+    if (impure || !last.summary.contains(s"stats.${cols.head}.kmv") || cols.exists(boundless))
       return analyze(cols, k)
     val newFiles = newSnaps.flatMap(_.dataFiles)
     if (newFiles.isEmpty) return last.seq
     val (dn, per) = statsAggregate(readFiles(newFiles, withSeq = false), m.schema, cols, k)
     publishStats(cols, k, cols.map { c =>
-      val (dnn, dvals) = per(c)
+      val (dnn, dvals, dmn, dmx) = per(c)
       val prior = last.summary(s"stats.$c.kmv") match {
         case "" => Seq.empty[Long]
         case s => s.split(',').toSeq.map(_.toLong)
       }
+      val dt = m.schema(m.schema.fieldIndex(c)).dataType
+      // bounds merge: min of mins / max of maxes under the TYPED
+      // ordering (canonical reprs round-trip exactly, so comparing
+      // parsed values is comparing the original aggregates)
+      val pmn = last.summary.get(s"stats.$c.min")
+      val pmx = last.summary.get(s"stats.$c.max")
       ColStats(c,
         last.summary(s"stats.$c.n_rows").toLong + dn,
         last.summary(s"stats.$c.n_nulls").toLong + (dn - dnn),
-        (prior ++ dvals).distinct.sorted.take(k))
+        (prior ++ dvals).distinct.sorted.take(k),
+        IceliteTable.mergeBound(pmn, dmn, dt, isMin = true),
+        IceliteTable.mergeBound(pmx, dmx, dt, isMin = false))
     })
   }
 
@@ -936,16 +978,19 @@ final class IceliteTable private (
   def statsTable(): DataFrame = {
     import spark.implicits._
     val rows = cachedMeta.snapshots.reverse.find(_.operation == "analyze") match {
-      case None => Seq.empty[(String, Long, Long, Long, Long)]
+      case None => Seq.empty[(String, Long, Long, Long, Long, Option[String], Option[String])]
       case Some(s) =>
         s.summary("stats.columns").split(',').toSeq.map { c =>
           (c, s.summary(s"stats.$c.n_rows").toLong,
             s.summary(s"stats.$c.n_nulls").toLong,
             s.summary(s"stats.$c.ndv").toLong,
-            s.summary(s"stats.$c.sketch_size").toLong)
+            s.summary(s"stats.$c.sketch_size").toLong,
+            s.summary.get(s"stats.$c.min"),
+            s.summary.get(s"stats.$c.max"))
         }
     }
-    rows.toDF("column", "n_rows", "n_nulls", "ndv_estimate", "sketch_size")
+    rows.toDF("column", "n_rows", "n_nulls", "ndv_estimate", "sketch_size",
+      "min_repr", "max_repr")
   }
 
   /** Live files as a DataFrame — one row per data/delete file with its
@@ -2539,6 +2584,72 @@ object IceliteTable {
     * volatile field so the fast head probe never observes a torn pair.
     */
   private final case class CachedHead(meta: TableMeta, version: Long)
+
+  import org.apache.spark.sql.types._
+
+  /** Types whose min/max have a portable canonical encoding ANALYZE
+    * can publish and cross-engine-verify: integral and string compare
+    * and render identically everywhere; float/double get the
+    * normalized hex-float repr. Other types record no bounds.
+    */
+  private[table] def boundedType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         FloatType | DoubleType => true
+    case _ => false
+  }
+
+  /** Canonical string repr of one bound value — integral as decimal,
+    * string raw, float/double as the SAME normalized hex-float the
+    * ANALYZE hash path encodes (`java.util.Formatter` `%a`, the
+    * engine-side `format_string` implementation, so driver and
+    * executor encodings can never diverge). Hex-floats round-trip via
+    * `Double.parseDouble`, which is what lets [[mergeBound]] compare
+    * stored bounds as typed values.
+    */
+  private[table] def canonRepr(v: Any, dt: DataType): String = dt match {
+    case FloatType | DoubleType =>
+      val d = v match { case f: Float => f.toDouble; case d: Double => d }
+      if (d.isNaN) "nan"
+      else if (d == Double.PositiveInfinity) "inf"
+      else if (d == Double.NegativeInfinity) "-inf"
+      else if (d == 0.0) "0"
+      else String.format("%a", Double.box(d)).replaceFirst("\\.0p", "p")
+    case _ => v.toString
+  }
+
+  private[table] def parseCanonDouble(s: String): Double = s match {
+    case "nan" => Double.NaN
+    case "inf" => Double.PositiveInfinity
+    case "-inf" => Double.NegativeInfinity
+    case "0" => 0.0
+    case h =>
+      // re-insert the vacuous fraction the canon form strips so the
+      // JDK parser (which requires a hex SIGNIFICAND) accepts it
+      val fixed = if (h.contains(".")) h else h.replaceFirst("p", ".0p")
+      java.lang.Double.parseDouble(fixed)
+  }
+
+  /** Fold two optional bounds under the TYPED ordering (NaN greatest,
+    * matching both engines' aggregate ordering; strings byte-wise
+    * UTF-8, matching Spark's UTF8String and DuckDB's binary collation).
+    */
+  private[table] def mergeBound(
+      a: Option[String], b: Option[String], dt: DataType, isMin: Boolean): Option[String] = {
+    def cmp(x: String, y: String): Int = dt match {
+      case FloatType | DoubleType =>
+        java.lang.Double.compare(parseCanonDouble(x), parseCanonDouble(y))
+      case StringType =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ => java.lang.Long.compare(x.toLong, y.toLong)
+    }
+    (a, b) match {
+      case (Some(x), Some(y)) =>
+        Some(if ((cmp(x, y) <= 0) == isMin) x else y)
+      case _ => a.orElse(b)
+    }
+  }
 
   /** JVM-global [[pruneDataFiles]] call counter — a test hook (like
     * ShingleIndex.builds) proving metadata-table code paths stay

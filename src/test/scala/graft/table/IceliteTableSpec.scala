@@ -588,9 +588,10 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
       ("e", 50.0, null, "2024-01-09T00:00:00Z"),
       ("f", 60.0, "ship", "2024-01-10T00:00:00Z"))
     // k=4 < the 6 distinct _id hashes → the saturated-estimate merge
-    // path runs, not just the exact small-n path
+    // path runs, not just the exact small-n path; order_ts (timestamp,
+    // no portable ordered encoding) proves the null-bounds corner
     t.append(rows(batch1: _*))
-    t.analyze(Seq("_id", "total", "status"), k = 4)
+    t.analyze(Seq("_id", "total", "status", "order_ts"), k = 4)
     t.append(rows(batch2: _*))
     val seq = t.analyzeIncremental()
     assert(t.meta.lastSeq == seq && t.meta.snapshots.last.operation == "analyze")
@@ -598,8 +599,16 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     // bit-equal to analyzing the full table from scratch (same k)
     val full = IceliteTable.create(spark, wh, "ns", "statsfull", docSchema)
     full.append(rows((batch1 ++ batch2): _*))
-    full.analyze(Seq("_id", "total", "status"), k = 4)
+    full.analyze(Seq("_id", "total", "status", "order_ts"), k = 4)
     assert(statsOf(t) == statsOf(full))
+    // bounds folded typed-correctly: the delta raised the max (60.0 →
+    // hex-float 0x1.ep5) while the min stayed in the base batch; the
+    // timestamp column publishes no bounds
+    val bounds = t.statsTable().collect()
+      .map(r => r.getString(0) -> ((r.getString(5), r.getString(6)))).toMap
+    assert(bounds("_id") == (("a", "f")))
+    assert(bounds("total") == (("0x1.4p3", "0x1.ep5")))
+    assert(bounds("order_ts") == ((null, null)))
     // nothing new committed → returns the existing seq, writes nothing
     val nSnaps = t.meta.snapshots.size
     assert(t.analyzeIncremental() == seq)
