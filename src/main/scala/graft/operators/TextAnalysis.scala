@@ -374,6 +374,91 @@ object TextAnalysis {
       .orderBy("lang", "bigram")
   }
 
+  /** How many top-lift supported bigrams [[collocations]] reports. */
+  val CollocTopN = 50
+
+  /** Collocation extraction (phrase/vocabulary discovery — the
+    * multi-word-expression mining step of a tokenizer pipeline): the
+    * top-N support-filtered bigrams ranked by POINTWISE LIFT, the PMI
+    * argument `N·c(w1,w2) / (c(w1)·c(w2))` — observed pair frequency
+    * over the independence expectation — computed as one IEEE double
+    * expression (exact integer inputs, identical operation order on
+    * both engines, so the gate hash-compares the doubles bit-for-bit;
+    * the log is monotone, so lift ranks exactly as PMI does). The
+    * top-N rank breaks lift ties on (w1, w2), making the report a
+    * deterministic total order; the rank window runs over the ≤ k
+    * supported bigrams, never the corpus, so its single partition is
+    * sketch-bounded, not data-bounded.
+    *
+    * Scale shape mirrors [[heavyHitters]]: the support floor makes the
+    * Misra-Gries candidate set PROVABLY complete (any bigram at
+    * support ≥ 1/(k+1) of the stream survives the sketch), so pass 1
+    * is one O(k)-state scan — the distinct-bigram stream never
+    * shuffles; pass 2 rescans counting only the ≤ k candidate bigrams
+    * and their ≤ 2k member words behind broadcast InSet predicates.
+    * Unigram counts for the vocabulary at large are never aggregated —
+    * only the candidates' members — so no vocabulary-sized shuffle
+    * exists anywhere.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val bg = bigrams(spark, dir)
+    val pass1 = bg.agg(
+      graft.functions.MisraGriesAgg.mgCandidates(col("t"), HhK).as("cand"),
+      count(lit(1)).as("nb")).collect()(0)
+    val cand = pass1.getSeq[String](0)
+    val nb = pass1.getLong(1)
+    val words = cand.flatMap(_.split(" ", 2)).distinct
+    val nTok = toks.agg(count(lit(1))).collect()(0).getLong(0)
+    val wc = toks.filter(col("w").isin(words: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val sup = bg.filter(col("t").isin(cand: _*))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt_pair"))
+      .filter(col("cnt_pair").cast("double") >= lit(HhSupport) * nb.toDouble)
+      .withColumn("w1", element_at(split(col("t"), " ", 2), 1))
+      .withColumn("w2", element_at(split(col("t"), " ", 2), 2))
+    val lift = col("cnt_pair").cast("double") * lit(nTok.toDouble) /
+      (col("cnt_w1").cast("double") * col("cnt_w2").cast("double"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+    sup
+      .join(broadcast(wc.select(col("w").as("w1"), col("cw").as("cnt_w1"))), "w1")
+      .join(broadcast(wc.select(col("w").as("w2"), col("cw").as("cnt_w2"))), "w2")
+      .withColumn("lift", lift)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= CollocTopN)
+      .select(col("rank"), col("w1"), col("w2"), col("cnt_pair"),
+        col("cnt_w1"), col("cnt_w2"), col("lift"))
+      .orderBy("rank")
+  }
+
+  private val collocationsOracle =
+    s"""WITH tok AS (SELECT string_split(text, ' ') AS a FROM documents),
+       |words AS (SELECT unnest(a) AS w FROM tok),
+       |wc AS (SELECT w, count(*) AS cw FROM words GROUP BY w),
+       |ntok AS (SELECT count(*) AS n FROM words),
+       |bg AS (
+       |  SELECT a[i] || ' ' || a[i + 1] AS t
+       |  FROM (SELECT a FROM tok WHERE len(a) >= 2) s,
+       |       LATERAL (SELECT unnest(range(1, len(a))) AS i) u),
+       |c AS (SELECT t, count(*) AS cnt FROM bg GROUP BY t),
+       |nb AS (SELECT sum(cnt) AS n FROM c),
+       |sup AS (
+       |  SELECT split_part(t, ' ', 1) AS w1, split_part(t, ' ', 2) AS w2, cnt
+       |  FROM c, nb
+       |  WHERE CAST(cnt AS DOUBLE) >= CAST($HhSupport AS DOUBLE) * CAST(nb.n AS DOUBLE))
+       |SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT) AS rank,
+       |  w1, w2, cnt_pair, cnt_w1, cnt_w2, lift
+       |FROM (
+       |  SELECT sup.w1, sup.w2, sup.cnt AS cnt_pair, x.cw AS cnt_w1, y.cw AS cnt_w2,
+       |    CAST(sup.cnt AS DOUBLE) * CAST(ntok.n AS DOUBLE)
+       |      / (CAST(x.cw AS DOUBLE) * CAST(y.cw AS DOUBLE)) AS lift
+       |  FROM sup JOIN wc x ON sup.w1 = x.w JOIN wc y ON sup.w2 = y.w, ntok) z
+       |QUALIFY rank <= $CollocTopN
+       |ORDER BY rank""".stripMargin
+
   private val heavyHittersByLangOracle =
     s"""WITH tok AS (
        |  SELECT lang, string_split(text, ' ') AS a FROM documents
@@ -1028,6 +1113,8 @@ object TextAnalysis {
       "frequent bigrams via bounded Misra-Gries sketch + exact candidate rescan"),
     GraftQuery("text_heavy_hitters_by_lang", heavyHittersByLang _, Some(heavyHittersByLangOracle),
       "grouped heavy hitters: per-language frequent bigrams, sketch per group"),
+    GraftQuery("text_collocations", collocations _, Some(collocationsOracle),
+      "collocation mining: support-filtered bigrams ranked by pointwise lift (PMI ratio)"),
     GraftQuery("text_corpus_stats", corpusStats _, Some(corpusStatsOracle),
       "corpus-level stats: docs, tokens, vocabulary, mean length"),
     GraftQuery("dedup_exact_normalized", dedupNormalized _, Some(dedupNormalizedOracle),
