@@ -907,19 +907,26 @@ object TextAnalysis {
   def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
     bpeTokenizeOn(spark, t(spark, dir, "documents"))
 
-  private[operators] def bpeTokenizeOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** Train on `docs`, then re-encode every word and replay the learned
+    * merges — the shared scan-local apply both [[bpeTokenizeOn]] and
+    * [[bpeEvalOn]] aggregate over. `carry` columns ride along.
+    */
+  private def bpeApply(spark: SparkSession, docs: DataFrame, carry: Seq[Column]): DataFrame = {
     val merges = bpeMergesOn(spark, docs).collect() // ≤ K rows: the artifact
     val spaced = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(carry :+ explode(split(col("text"), " ")).as("w"): _*)
       .filter(length(col("w")) > 0)
-      .select(col("doc_id"), length(col("w")).cast("long").as("nc"),
-        concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("v"))
-    val applied = merges.foldLeft(spaced) { (df, m) =>
+      .select(carry ++ Seq(length(col("w")).cast("long").as("nc"),
+        concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("v")): _*)
+    merges.foldLeft(spaced) { (df, m) =>
       val (l, r) = (m.getString(1), m.getString(2))
       df.withColumn("v", call_function("replace", col("v"),
         lit(s" $l  $r "), lit(s" $l$r ")))
     }
-    applied
+  }
+
+  private[operators] def bpeTokenizeOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    bpeApply(spark, docs, Seq(col("doc_id")))
       .select(col("doc_id"), col("nc"),
         size(split(trim(col("v")), "  ")).cast("long").as("toks"))
       .groupBy(col("doc_id"))
@@ -951,6 +958,82 @@ object TextAnalysis {
        |  CAST(sum(nc) AS BIGINT) AS n_chars,
        |  CAST(sum(len(string_split(trim(v), '  '))) AS BIGINT) AS n_subwords
        |FROM s$BpeMergeRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Tokenizer EVALUATION — train → apply → EVALUATE, the triad the
+    * quality classifier already has: per-source fertility
+    * (subwords/word), compression (chars/subword), and vocabulary
+    * utilization (distinct subwords actually emitted) under the
+    * learned merges. Fertility per source is the number a tokenizer
+    * team watches for under-served languages/domains (high fertility =
+    * the vocab serves that source poorly). Ratios are single IEEE
+    * double divisions of exact integer totals — bit-identical cross
+    * engine.
+    *
+    * Scale: the apply is the same scan-local K-replace projection as
+    * [[bpeTokenize]]; the word-level frame materializes ONCE and feeds
+    * both aggregations (totals, and the distinct-subword count whose
+    * shuffle is vocabulary-bounded after map-side partial distinct —
+    * at most chars + K merge tokens per source, not corpus-sized).
+    */
+  def bpeEval(spark: SparkSession, dir: String): DataFrame =
+    bpeEvalOn(spark, t(spark, dir, "documents"))
+
+  private[operators] def bpeEvalOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val words = bpeApply(spark, docs, Seq(col("doc_id"), col("source")))
+      .select(col("source"), col("doc_id"), col("nc"),
+        split(trim(col("v")), "  ").as("sws"))
+      .localCheckpoint(true) // two consumers below
+    val totals = words.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("nc")).as("n_chars"),
+        sum(size(col("sws")).cast("long")).as("n_subwords"))
+    val vocabUsed = words
+      .select(col("source"), explode(col("sws")).as("sw"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("sw")).as("n_distinct_subwords"))
+    totals.join(vocabUsed, "source")
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words").cast("double"))
+      .withColumn("chars_per_subword",
+        col("n_chars").cast("double") / col("n_subwords").cast("double"))
+      .orderBy("source")
+  }
+
+  private val bpeEvalOracle: String = {
+    val applies = (1 to BpeMergeRounds).map { k =>
+      s"""e$k AS (
+         |  SELECT source, doc_id, nc,
+         |    replace(s.v, ' ' || b.l || '  ' || b.r || ' ',
+         |      ' ' || b.l || b.r || ' ') AS v
+         |  FROM e${k - 1} s, b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeOracleCtes,
+       |ew AS (
+       |  SELECT source, doc_id, w FROM (
+       |    SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |e0 AS (
+       |  SELECT source, doc_id, CAST(len(w) AS BIGINT) AS nc,
+       |    '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS v
+       |  FROM ew),
+       |$applies,
+       |ev AS (
+       |  SELECT source, doc_id, nc, string_split(trim(v), '  ') AS sws
+       |  FROM e$BpeMergeRounds),
+       |a1 AS (
+       |  SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words,
+       |    CAST(sum(nc) AS BIGINT) AS n_chars,
+       |    CAST(sum(len(sws)) AS BIGINT) AS n_subwords
+       |  FROM ev GROUP BY source),
+       |a2 AS (
+       |  SELECT source, count(DISTINCT sw) AS n_distinct_subwords
+       |  FROM (SELECT source, unnest(sws) AS sw FROM ev) u GROUP BY source)
+       |SELECT a1.source, n_docs, n_words, n_chars, n_subwords, n_distinct_subwords,
+       |  CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+       |  CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE) AS chars_per_subword
+       |FROM a1 JOIN a2 USING (source) ORDER BY source""".stripMargin
   }
 
   /** Foreign-LM scoring — the shape CCNet actually deploys: the LM is
@@ -1109,6 +1192,8 @@ object TextAnalysis {
       "BPE tokenizer training: iterative pair-count + merge over the word vocabulary"),
     GraftQuery("text_bpe_tokenize", bpeTokenize _, Some(bpeTokenizeOracle),
       "tokenize under the learned BPE merges: per-doc subword/word/char counts"),
+    GraftQuery("text_bpe_eval", bpeEval _, Some(bpeEvalOracle),
+      "tokenizer evaluation: per-source fertility, compression, vocabulary utilization"),
     GraftQuery("text_heavy_hitters", heavyHitters _, Some(heavyHittersOracle),
       "frequent bigrams via bounded Misra-Gries sketch + exact candidate rescan"),
     GraftQuery("text_heavy_hitters_by_lang", heavyHittersByLang _, Some(heavyHittersByLangOracle),

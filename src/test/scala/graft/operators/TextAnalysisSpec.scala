@@ -79,6 +79,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((3L, 6L, 3L)))
   }
 
+  test("BPE eval: per-source totals reconcile with tokenize; hand-computed fertility and vocab use") {
+    import spark.implicits._
+    // merges learned on the UNION (low+lower+lowest fully reassemble,
+    // see trainer test): source s1's words all collapse to 1 subword;
+    // s2's 'unseen' only benefits from merges its chars happen to hit
+    val docs = Seq(
+      (1L, "low low lower", "s1"), (2L, "lowest low", "s1"),
+      (3L, "low unseen", "s2"))
+      .toDF("doc_id", "text", "source")
+    val ev = TextAnalysis.bpeEvalOn(spark, docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))).toMap
+    // totals reconcile against the per-doc tokenize counts
+    val tok = TextAnalysis.bpeTokenizeOn(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def sumOf(ids: Seq[Long]) = (
+      ids.size.toLong,
+      ids.map(tok(_)._1).sum, ids.map(tok(_)._2).sum, ids.map(tok(_)._3).sum)
+    val (d1, w1, c1, s1) = sumOf(Seq(1L, 2L))
+    assert((ev("s1")._1, ev("s1")._2, ev("s1")._3, ev("s1")._4) == ((d1, w1, c1, s1)))
+    val (d2, w2, c2, s2) = sumOf(Seq(3L))
+    assert((ev("s2")._1, ev("s2")._2, ev("s2")._3, ev("s2")._4) == ((d2, w2, c2, s2)))
+    // ratios are the exact double divisions of the integer totals
+    assert(ev("s1")._6 == s1.toDouble / w1.toDouble)
+    assert(ev("s2")._6 == s2.toDouble / w2.toDouble)
+    assert(ev("s2")._7 == c2.toDouble / s2.toDouble)
+    // vocabulary utilization is bounded by chars + learned merges and
+    // can never exceed the subwords emitted
+    val merges = TextAnalysis.bpeMergesOn(spark, docs).count()
+    val chars = docs.collect().flatMap(_.getString(1).replace(" ", "")).distinct.length
+    assert(ev("s1")._5 <= chars + merges && ev("s1")._5 <= s1)
+    assert(ev("s2")._5 <= chars + merges && ev("s2")._5 <= s2)
+  }
+
   test("foreign-LM filter: unseen transitions pay the uniform backoff, en-trained LM ranks en lowest") {
     val dir = "/root/testdata/sf0.001"
     val rows = TextAnalysis.lmScoreForeign(spark, dir).collect()
