@@ -602,6 +602,46 @@ object SyncQueries {
     table.statsTable().orderBy("column")
   }
 
+  /** General predicate file skipping ([[IceliteTable.readStatRange]]):
+    * stats DECLARED on a non-key column (`trackStats`, the Iceberg
+    * `write.metadata.metrics` shape), four range-banded appends so the
+    * files carry disjoint custkey bounds, a keyed DELETE in the middle
+    * (the pruned read must still run the full MoR merge), then a range
+    * read on the bottom quartile — the files metadata alone drops the
+    * other three bands before any data IO. The oracle recomputes the
+    * kept rows relationally from the full subset.
+    */
+  def tableStatsSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("stats-skip-query")
+    val sub = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_skip", sub.schema)
+    table.trackStats(Seq("o_custkey"))
+    val band = sub.agg(max(col("o_custkey"))).collect()(0).getLong(0) / 4
+    (0 until 4).foreach { i =>
+      val lo = col("o_custkey") > lit(i * band)
+      val hi = if (i == 3) lit(true) else col("o_custkey") <= lit((i + 1) * band)
+      table.append(sub.filter(lo && hi))
+    }
+    table.delete(
+      sub.filter(pmod(col("o_orderkey"), lit(70)) === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    table.readStatRange("o_custkey", Some(1L), Some(band))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val tableStatsSkippingOracle =
+    """WITH sub AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 7 = 0),
+      |hi AS (SELECT max(o_custkey) // 4 AS h FROM sub)
+      |SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM sub, hi
+      |WHERE o_orderkey % 70 <> 0 AND o_custkey >= 1 AND o_custkey <= hi.h
+      |ORDER BY o_orderkey""".stripMargin
+
   private val tableAnalyzeOracle = {
     val k = 256
     val est = s"CASE WHEN cnt < $k THEN cnt ELSE ${(k - 1).toLong * 4294967296L} // hk END"
@@ -1135,6 +1175,8 @@ object SyncQueries {
       "ANALYZE: per-column null counts + KMV distinct estimates published as a stats snapshot, read from metadata"),
     GraftQuery("table_analyze_incremental", tableAnalyzeIncremental _, Some(tableAnalyzeOracle),
       "incremental ANALYZE: delta-only scan folds mergeable stats (counts + KMV minima), bit-equal to a full recompute"),
+    GraftQuery("table_stats_skipping", tableStatsSkipping _, Some(tableStatsSkippingOracle),
+      "general predicate file skipping: declared stat columns prune data files from metadata under MoR deletes"),
     GraftQuery("table_changelog_stream", tableChangelogStream _, Some(tableChangelogStreamOracle),
       "streaming CDC consumer: changelog feed export + checkpointed file-stream resume"),
     GraftQuery("table_replica_sync", tableReplicaSync _, Some(tableReplicaSyncOracle),

@@ -294,7 +294,8 @@ final class IceliteTable private (
     val (dataFiles, count, fileStats, dataMetrics) =
       if (df != null)
         writeDataFiles(conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq)),
-          commitId, head.partitioning, nFiles = None, extraStatCols = statKeys.toMap)
+          commitId, head.partitioning, nFiles = None,
+          extraStatCols = statKeys.toMap ++ trackedStats(head.properties, head.schema))
       else (Seq.empty[String], 0L, Map.empty[String, Map[String, (String, String)]],
         Map.empty[String, (Long, Long)])
     val (deleteFiles, deleteStats, deleteMetrics) = deleteKeys match {
@@ -1150,7 +1151,8 @@ final class IceliteTable private (
           commitId, head.partitioning, Some(nFiles),
           zorder = zRanges,
           extraStatCols = zorderBy.map(_ -> true).toMap ++
-            keyStatColumns(tableKeyColumns(head.properties), head.schema).toMap)
+            keyStatColumns(tableKeyColumns(head.properties), head.schema).toMap ++
+            trackedStats(head.properties, head.schema))
         val withZ =
           if (zorderBy.isEmpty) head
           else head.copy(properties =
@@ -1250,7 +1252,9 @@ final class IceliteTable private (
       // optimistic-retry loop
       val (files, _, stats, metrics) =
         if (count > 0) writeDataFiles(survivors, commitId, before.partitioning, Some(nFiles),
-          extraStatCols = keyStatColumns(tableKeyColumns(before.properties), before.schema).toMap)
+          extraStatCols =
+            keyStatColumns(tableKeyColumns(before.properties), before.schema).toMap ++
+              trackedStats(before.properties, before.schema))
         else (Nil, 0L, Map.empty[String, Map[String, (String, String)]],
           Map.empty[String, (Long, Long)])
       retryCommit { head =>
@@ -1427,7 +1431,8 @@ final class IceliteTable private (
           set.get(n).map(_.as(n)).getOrElse(col(n))): _*)
         val (files, count, stats, metrics) = writeDataFiles(
           conformToSchema(updated, head.schema).withColumn(SeqCol, lit(seq)),
-          commitId, head.partitioning, nFiles = None, extraStatCols = statKeys.toMap)
+          commitId, head.partitioning, nFiles = None,
+          extraStatCols = statKeys.toMap ++ trackedStats(head.properties, head.schema))
         (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "update",
           files, Nil, count, stats, posDeleteFiles = listParquet(out),
           fileMetrics = metrics)), seq)
@@ -1462,7 +1467,8 @@ final class IceliteTable private (
     val statKeys = keyStatColumns(tableKeyColumns(head.properties), head.schema)
     val (files, count, stats, metrics) = writeDataFiles(
       conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq)),
-      stageId, head.partitioning, nFiles = None, extraStatCols = statKeys.toMap)
+      stageId, head.partitioning, nFiles = None,
+      extraStatCols = statKeys.toMap ++ trackedStats(head.properties, head.schema))
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("expectedSeq", seq); root.put("recordCount", count)
@@ -2221,6 +2227,10 @@ final class IceliteTable private (
       .get(partCol)
       .orElse( // z-order columns are validated integral → numeric compare
         if (zorderColumns(cachedMeta.properties).contains(partCol)) Some(true) else None)
+      .orElse( // declared stat columns carry their schema-type comparator
+        if (IceliteTable.statColumns(cachedMeta.properties).exists(_.equalsIgnoreCase(partCol)))
+          keyStatColumns(Seq(partCol), cachedMeta.schema).headOption.map(_._2)
+        else None)
       .getOrElse(throw new IllegalArgumentException(
         s"$partCol is not a prunable partition column (its transform or base " +
           "type has no sound stat ordering — filter on the base column instead)"))
@@ -2453,6 +2463,75 @@ final class IceliteTable private (
     applyDeletes(applyPosDeletes(data, posFiles), m.liveDeleteFiles)
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
+
+  /** Declare columns whose per-file min/max every FUTURE write records
+    * in the manifest (Iceberg's `write.metadata.metrics` knob) —
+    * metadata-only commit, no file rewritten. Only integral and string
+    * columns are accepted (the types with a sound portable stat
+    * ordering — see [[keyStatColumns]]); files written BEFORE the
+    * declaration carry no stats and are simply never pruned
+    * (conservative). Adds to any existing declaration.
+    */
+  def trackStats(cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "trackStats needs at least one column")
+    retryCommit { head =>
+      val resolved = keyStatColumns(cols, head.schema)
+      val missing = cols.filterNot(c =>
+        resolved.exists(_._1.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"cannot track stats on ${missing.mkString(", ")}: not in $name's schema " +
+          "or not an integral/string column (no sound portable stat ordering)")
+      val merged = (IceliteTable.statColumns(head.properties) ++ resolved.map(_._1)).distinct
+      val seq = head.lastSeq + 1
+      (head.copy(properties = head.properties +
+          (IceliteTable.StatColumnsProp -> merged.mkString(",")))
+        .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve",
+          Nil, Nil, 0L)), seq)
+    }
+  }
+
+  /** MoR read restricted to one DECLARED stat column's range — general
+    * predicate file skipping, the Iceberg scan-planning shape: files
+    * whose recorded [col] min/max cannot intersect [lower, upper] are
+    * pruned from metadata alone (no file IO), then the exact row bound
+    * applies to the survivors and the MoR delete merge runs over the
+    * FULL delete set (a delete's key says nothing about this column,
+    * so delete files are never pruned here). Files without the stat
+    * (written pre-declaration, or all-null in the column) are kept.
+    * Rows NULL in the column are excluded — a range never matches
+    * null, same contract as [[readRange]].
+    *
+    * At 100 TB: a selective predicate on ANY declared column touches
+    * files-in-range + delete files, never the whole table — provided
+    * the layout clusters that column (writes sorted/ranged on it, or
+    * [[compact]] z-ordered); on a scattered layout every file
+    * legitimately overlaps and the read degrades to [[read]] plus a
+    * filter, never to a wrong answer.
+    */
+  def readStatRange(statCol: String, lower: Option[Any], upper: Option[Any]): DataFrame = {
+    val m = cachedMeta
+    require(IceliteTable.statColumns(m.properties).exists(_.equalsIgnoreCase(statCol)),
+      s"'$statCol' is not a declared stat column of $name " +
+        s"(trackStats first; have: ${IceliteTable.statColumns(m.properties).mkString(", ")})")
+    val Seq((canonical, numeric)) = keyStatColumns(Seq(statCol), m.schema)
+    val keep = pruneByKeyStats(m.snapshots, _.dataFiles, canonical,
+      lower.map(String.valueOf), upper.map(String.valueOf), numeric).toSet
+    val rowBound =
+      lower.map(lo => col(canonical) >= lit(lo)).getOrElse(lit(true)) &&
+        upper.map(hi => col(canonical) <= lit(hi)).getOrElse(lit(true))
+    val posFiles = m.livePosDeleteFiles
+    val data = readFilesAs(m.liveDataFiles.filter(keep.contains), m.schema, Long.MaxValue,
+      withPos = posFiles.nonEmpty)
+      .filter(rowBound)
+    applyDeletes(applyPosDeletes(data, posFiles), m.liveDeleteFiles)
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Declared-stat-column comparators for a write ([[trackStats]]),
+    * merged into every write path's footer-stat request.
+    */
+  private def trackedStats(props: Map[String, String], schema: StructType): Map[String, Boolean] =
+    keyStatColumns(IceliteTable.statColumns(props), schema).toMap
 
   private def estimateBytes(files: Seq[String]): Long = {
     val fs = fileSystem()
@@ -2781,6 +2860,18 @@ object IceliteTable {
     * file epoch, and time travel resurrects pre-op shapes.
     */
   val SchemaOpsProp = "graft.schema.oplog"
+
+  /** Table property listing the DECLARED stat columns (Iceberg's
+    * `write.metadata.metrics` shape): every write after
+    * [[IceliteTable.trackStats]] records per-file footer min/max for
+    * these columns, so [[IceliteTable.readStatRange]] can skip files
+    * on ANY declared column's predicate — not just key/partition/z
+    * columns.
+    */
+  val StatColumnsProp = "graft.stat.columns"
+
+  private[table] def statColumns(props: Map[String, String]): Seq[String] =
+    props.get(StatColumnsProp).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
 
   /** A logged metadata-only schema change. */
   sealed trait SchemaOp { def seq: Long }

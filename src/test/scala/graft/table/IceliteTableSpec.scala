@@ -623,6 +623,40 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     assert(st("status") == ((5L, 2L)))
   }
 
+  test("trackStats + readStatRange: declared-column file skipping, conservative pre-declaration, MoR-exact") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "statskip", docSchema)
+    // file written BEFORE the declaration: no stats recorded → every
+    // later prune must keep it
+    t.append(rows(("pre", 5.0, "old", "2024-01-01T00:00:00Z")))
+    intercept[IllegalArgumentException](t.readStatRange("_id", Some("a"), Some("b")))
+    // only integral/string columns are declarable
+    intercept[IllegalArgumentException](t.trackStats(Seq("total")))
+    intercept[IllegalArgumentException](t.trackStats(Seq("nope")))
+    t.trackStats(Seq("_id"))
+    // three post-declaration files with disjoint _id ranges
+    t.append(rows(("a1", 1.0, "x", "2024-01-02T00:00:00Z"),
+      ("a9", 2.0, "x", "2024-01-02T00:00:00Z")))
+    t.append(rows(("m1", 3.0, "y", "2024-01-03T00:00:00Z"),
+      ("m9", 4.0, "y", "2024-01-03T00:00:00Z")))
+    t.append(rows(("z1", 5.0, "z", "2024-01-04T00:00:00Z"),
+      ("z9", 6.0, "z", "2024-01-04T00:00:00Z")))
+    // metadata keep-set: the middle band plus the statless pre file
+    val kept = t.pruneDataFiles("_id", Some("m0"), Some("mz")).toSet
+    assert(kept.size == 2, s"expected middle file + pre-declaration file, got $kept")
+    // the pruned read is row-exact, including under a later DELETE
+    // whose delete file is never pruned
+    assert(t.readStatRange("_id", Some("m0"), Some("mz"))
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("m1", "m9"))
+    t.delete(rows(("m9", 0.0, "x", "2024-01-04T00:00:00Z")).select("_id"), Seq("_id"))
+    assert(t.readStatRange("_id", Some("m0"), Some("mz"))
+      .collect().map(_.getString(0)).toSeq == Seq("m1"))
+    // open-ended range; the statless file always survives pruning and
+    // its rows row-filter correctly
+    assert(t.readStatRange("_id", None, Some("a9"))
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a1", "a9"))
+  }
+
   test("ANALYZE stats drive the MoR delete-side broadcast decision") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "statsbc", docSchema)
