@@ -602,6 +602,45 @@ object SyncQueries {
     table.statsTable().orderBy("column")
   }
 
+  /** Histogram statistics ([[IceliteTable.analyzeHistogram]]): ANALYZE
+    * freezes the bounds, the histogram buckets under them with
+    * all-integer clamped equi-width math, and the metadata table emits
+    * each bucket's exact value interval + count — the selectivity
+    * input a cost-based planner reads after NDV. The oracle recomputes
+    * bounds, bucket mapping, interval inversion, and counts (empty
+    * buckets included) relationally.
+    */
+  def tableHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("histogram-query")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(23)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_hist", src.schema)
+    table.append(src)
+    table.analyze(Seq("o_orderkey", "o_custkey"))
+    table.analyzeHistogram(Seq("o_orderkey", "o_custkey"), buckets = 16)
+    table.histogramTable().orderBy("column", "bucket")
+  }
+
+  private val tableHistogramOracle =
+    """WITH sub AS (
+      |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 23 = 0),
+      |v AS (
+      |  SELECT 'o_orderkey' AS name, o_orderkey AS v FROM sub
+      |  UNION ALL SELECT 'o_custkey', o_custkey FROM sub),
+      |b AS (SELECT name, min(v) AS mn, max(v) AS mx FROM v GROUP BY name),
+      |bk AS (
+      |  SELECT v.name, ((v.v - b.mn) * 16) // (b.mx - b.mn + 1) AS bucket
+      |  FROM v JOIN b USING (name)),
+      |c AS (SELECT name, bucket, count(*) AS cnt FROM bk GROUP BY name, bucket),
+      |g AS (SELECT name, i AS bucket FROM b, range(0, 16) r(i))
+      |SELECT g.name AS "column", CAST(g.bucket AS BIGINT) AS bucket,
+      |  CAST(b.mn + (g.bucket * (b.mx - b.mn + 1) + 15) // 16 AS BIGINT) AS bucket_lo,
+      |  CAST(b.mn + ((g.bucket + 1) * (b.mx - b.mn + 1) + 15) // 16 - 1 AS BIGINT) AS bucket_hi,
+      |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+      |FROM g JOIN b USING (name) LEFT JOIN c ON g.name = c.name AND g.bucket = c.bucket
+      |ORDER BY "column", bucket""".stripMargin
+
   /** General predicate file skipping ([[IceliteTable.readStatRange]]):
     * stats DECLARED on a non-key column (`trackStats`, the Iceberg
     * `write.metadata.metrics` shape), four range-banded appends so the
@@ -1177,6 +1216,8 @@ object SyncQueries {
       "incremental ANALYZE: delta-only scan folds mergeable stats (counts + KMV minima), bit-equal to a full recompute"),
     GraftQuery("table_stats_skipping", tableStatsSkipping _, Some(tableStatsSkippingOracle),
       "general predicate file skipping: declared stat columns prune data files from metadata under MoR deletes"),
+    GraftQuery("table_histogram", tableHistogram _, Some(tableHistogramOracle),
+      "equi-width histogram stats under frozen ANALYZE bounds: exact bucket intervals + counts from metadata"),
     GraftQuery("table_changelog_stream", tableChangelogStream _, Some(tableChangelogStreamOracle),
       "streaming CDC consumer: changelog feed export + checkpointed file-stream resume"),
     GraftQuery("table_replica_sync", tableReplicaSync _, Some(tableReplicaSyncOracle),

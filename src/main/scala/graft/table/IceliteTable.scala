@@ -831,6 +831,17 @@ final class IceliteTable private (
     * full scan and the incremental delta scan so both paths hash and
     * bound identically.
     */
+  /** Clamped equi-width bucket of `c` under FROZEN integer bounds:
+    * `((v − lo)·B) div (hi − lo + 1)`, edges absorbing out-of-range
+    * values — all-integer, so engine-portable, and bounds-frozen, so
+    * bucket counts are MERGEABLE (they simply add across segments).
+    */
+  private def bucketOf(c: String, lo: Long, hi: Long, b: Int): Column = {
+    val span = hi - lo + 1
+    val raw = expr(s"((cast(`$c` as bigint) - ${lo}L) * ${b}L) div ${span}L")
+    greatest(least(raw, lit(b.toLong - 1)), lit(0L))
+  }
+
   private def statsAggregate(
       df: DataFrame, sch: StructType, cols: Seq[String], k: Int)
       : (Long, Map[String, (Long, Seq[Long], Option[String], Option[String])]) = {
@@ -879,12 +890,112 @@ final class IceliteTable private (
     (n, per)
   }
 
+  /** Per-column clamped bucket counts over `df` under FROZEN bounds —
+    * one aggregation of B×C scan-local conditional sums, a 1-row
+    * collect. Shared by the full histogram build and the incremental
+    * delta fold so both paths bucket identically.
+    */
+  private def histAggregate(
+      df: DataFrame, spec: Seq[(String, Long, Long)], b: Int): Map[String, Seq[Long]] = {
+    val aggs = spec.flatMap { case (c, lo, hi) =>
+      val bkt = bucketOf(c, lo, hi, b)
+      (0 until b).map(i => sum(when(bkt === i.toLong, 1L).otherwise(0L)).as(s"_h_${c}_$i"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    spec.zipWithIndex.map { case ((c, _, _), ci) =>
+      c -> (0 until b).map(i =>
+        if (r.isNullAt(ci * b + i)) 0L else r.getLong(ci * b + i)).toSeq
+    }.toMap
+  }
+
+  private def histSummary(
+      spec: Seq[(String, Long, Long)], b: Int, counts: Map[String, Seq[Long]]): Map[String, String] =
+    spec.flatMap { case (c, lo, hi) => Seq(
+      s"hist.$c.lo" -> lo.toString,
+      s"hist.$c.hi" -> hi.toString,
+      s"hist.$c.counts" -> counts(c).mkString(","))
+    }.toMap ++ Map(
+      "hist.columns" -> spec.map(_._1).mkString(","),
+      "hist.buckets" -> b.toString)
+
+  /** Equi-width HISTOGRAM statistics (the selectivity-estimation input
+    * a cost-based planner reads next after NDV): per-column clamped
+    * bucket counts under bounds FROZEN from the latest [[analyze]]
+    * snapshot — `((v − lo)·B) div (hi − lo + 1)`, all-integer and so
+    * bit-reproducible cross-engine. Integral columns only (exact
+    * bucket arithmetic); the column must carry analyze bounds.
+    * Publishing extends the analyze snapshot's summary, so stats and
+    * histogram travel together and [[analyzeIncremental]] folds BOTH:
+    * frozen bounds make bucket counts purely additive across appends
+    * (out-of-range late values clamp to the edge buckets — visible
+    * skew at the edges says "re-analyze", never a wrong count).
+    * One scan, B×C conditional sums, a metadata-only commit.
+    */
+  def analyzeHistogram(cols: Seq[String], buckets: Int = 16): Long = {
+    require(cols.nonEmpty, "analyzeHistogram needs at least one column")
+    require(buckets >= 2 && buckets <= 1024, s"bucket count $buckets out of range [2, 1024]")
+    val m = cachedMeta
+    val last = m.snapshots.reverse.find(_.operation == "analyze").getOrElse(
+      throw new IllegalStateException(
+        s"analyzeHistogram on $name: run analyze first (bounds come from its snapshot)"))
+    import org.apache.spark.sql.types._
+    val spec = cols.map { c =>
+      m.schema.find(_.name == c) match {
+        case Some(f) if Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType) => ()
+        case Some(_) => throw new IllegalArgumentException(
+          s"analyzeHistogram on $name: '$c' is not integral (exact bucket math only)")
+        case None => throw new IllegalArgumentException(s"no column '$c' in $name")
+      }
+      val lo = last.summary.getOrElse(s"stats.$c.min",
+        throw new IllegalStateException(
+          s"analyzeHistogram on $name: '$c' has no analyze bounds (not analyzed, or all-null)"))
+      val hi = last.summary(s"stats.$c.max")
+      (c, lo.toLong, hi.toLong)
+    }
+    val counts = histAggregate(read(), spec, buckets)
+    retryCommit { head =>
+      val seq = head.lastSeq + 1
+      (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "analyze",
+        Nil, Nil, 0, summary = last.summary ++ histSummary(spec, buckets, counts))), seq)
+    }
+  }
+
+  /** Latest histogram statistics as a metadata table — one row per
+    * (column, bucket) with the bucket's EXACT value interval (the
+    * integer inverse of the bucket mapping) and count; pure metadata,
+    * no data IO. Empty if no histogram was published.
+    */
+  def histogramTable(): DataFrame = {
+    import spark.implicits._
+    val rows = cachedMeta.snapshots.reverse.find(_.operation == "analyze") match {
+      case Some(s) if s.summary.get("hist.columns").exists(_.nonEmpty) =>
+        val b = s.summary("hist.buckets").toInt
+        s.summary("hist.columns").split(',').toSeq.flatMap { c =>
+          val lo = s.summary(s"hist.$c.lo").toLong
+          val hi = s.summary(s"hist.$c.hi").toLong
+          val span = hi - lo + 1
+          val counts = s.summary(s"hist.$c.counts").split(',').map(_.toLong)
+          def ceilDiv(x: Long, y: Long) = (x + y - 1) / y
+          (0 until b).map { i =>
+            (c, i.toLong,
+              lo + ceilDiv(i.toLong * span, b.toLong),
+              lo + ceilDiv((i + 1).toLong * span, b.toLong) - 1,
+              counts(i))
+          }
+        }
+      case _ => Seq.empty[(String, Long, Long, Long, Long)]
+    }
+    rows.toDF("column", "bucket", "bucket_lo", "bucket_hi", "cnt")
+  }
+
   /** Commit merged column stats as a metadata-only `analyze` snapshot.
     * Alongside the derived numbers, the summary carries the MERGEABLE
     * sketch state itself (`stats.<col>.kmv`, the ≤ k retained minima,
     * ~2 KB per column) — what makes [[analyzeIncremental]] possible.
+    * `extra` entries (the folded histogram) ride along verbatim.
     */
-  private def publishStats(cols: Seq[String], k: Int, stats: Seq[ColStats]): Long = {
+  private def publishStats(cols: Seq[String], k: Int, stats: Seq[ColStats],
+      extra: Map[String, String] = Map.empty): Long = {
     val summary = stats.flatMap { s =>
       val est =
         if (s.kmv.size < k) s.kmv.size.toLong
@@ -897,7 +1008,7 @@ final class IceliteTable private (
         s"stats.${s.col}.kmv" -> s.kmv.mkString(",")) ++
         s.min.map(v => s"stats.${s.col}.min" -> v) ++
         s.max.map(v => s"stats.${s.col}.max" -> v)
-    }.toMap ++ Map("stats.columns" -> cols.mkString(","), "stats.k" -> k.toString)
+    }.toMap ++ Map("stats.columns" -> cols.mkString(","), "stats.k" -> k.toString) ++ extra
     retryCommit { head =>
       val seq = head.lastSeq + 1
       (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "analyze",
@@ -949,8 +1060,25 @@ final class IceliteTable private (
       return analyze(cols, k)
     val newFiles = newSnaps.flatMap(_.dataFiles)
     if (newFiles.isEmpty) return last.seq
-    val (dn, per) = statsAggregate(readFiles(newFiles, withSeq = false), m.schema, cols, k)
-    publishStats(cols, k, cols.map { c =>
+    val delta = readFiles(newFiles, withSeq = false)
+    val (dn, per) = statsAggregate(delta, m.schema, cols, k)
+    // a published histogram folds too: its bounds are FROZEN, so the
+    // delta's clamped bucket counts simply add (one extra delta-only
+    // scan); a delete-triggered full re-analyze drops the histogram —
+    // re-run analyzeHistogram to re-base it
+    val extra = last.summary.get("hist.columns").filter(_.nonEmpty) match {
+      case Some(hc) =>
+        val b = last.summary("hist.buckets").toInt
+        val spec = hc.split(',').toSeq.map(c =>
+          (c, last.summary(s"hist.$c.lo").toLong, last.summary(s"hist.$c.hi").toLong))
+        val dCounts = histAggregate(delta, spec, b)
+        histSummary(spec, b, spec.map { case (c, _, _) =>
+          val prior = last.summary(s"hist.$c.counts").split(',').map(_.toLong)
+          c -> prior.zip(dCounts(c)).map { case (a, d) => a + d }.toSeq
+        }.toMap)
+      case None => Map.empty[String, String]
+    }
+    publishStats(cols, k, extra = extra, stats = cols.map { c =>
       val (dnn, dvals, dmn, dmx) = per(c)
       val prior = last.summary(s"stats.$c.kmv") match {
         case "" => Seq.empty[Long]

@@ -623,6 +623,52 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     assert(st("status") == ((5L, 2L)))
   }
 
+  test("analyzeHistogram: frozen-bounds buckets, exact intervals, incremental fold clamps late values") {
+    val wh = freshWarehouse()
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("_id", StringType), StructField("v", LongType)))
+    def df(vs: Long*) = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        vs.map(v => org.apache.spark.sql.Row(s"k$v", v)).asJava, sch)
+    }
+    val t = IceliteTable.create(spark, wh, "ns", "hist", sch)
+    assert(t.histogramTable().count() == 0)
+    intercept[IllegalStateException](t.analyzeHistogram(Seq("v"))) // analyze first
+    // base: v in [0, 7], 4 buckets of width exactly 2
+    t.append(df(0L, 1L, 2L, 7L))
+    t.analyze(Seq("v"))
+    intercept[IllegalArgumentException](t.analyzeHistogram(Seq("_id"))) // not integral
+    t.analyzeHistogram(Seq("v"), buckets = 4)
+    def cells(x: IceliteTable) = x.histogramTable().orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // intervals partition [0, 7] exactly; counts by hand
+    assert(cells(t) == Seq((0L, 0L, 1L, 2L), (1L, 2L, 3L, 1L), (2L, 4L, 5L, 0L), (3L, 6L, 7L, 1L)))
+    // append in-range AND out-of-range values; the fold adds counts
+    // under the FROZEN bounds, clamping 9 into the top bucket
+    t.append(df(3L, 4L, 9L))
+    t.analyzeIncremental()
+    assert(cells(t) == Seq((0L, 0L, 1L, 2L), (1L, 2L, 3L, 2L), (2L, 4L, 5L, 1L), (3L, 6L, 7L, 2L)))
+    // the fold is bit-equal to a full recompute under the SAME bounds:
+    // a fresh table with all 7 rows, analyzed to the same [0, 7]
+    // bounds (9 present but bounds frozen is the incremental contract,
+    // so compare the three in-range buckets + clamped top)
+    val full = IceliteTable.create(spark, wh, "ns", "histfull", sch)
+    full.append(df(0L, 1L, 2L, 7L, 3L, 4L, 9L))
+    full.analyze(Seq("v"))
+    // full analyze sees max 9 → different bounds; histogram still
+    // covers every row (its own contract), 4 buckets over [0, 9]
+    full.analyzeHistogram(Seq("v"), buckets = 4)
+    assert(cells(full).map(_._4).sum == 7L)
+    // a delete forces the full re-analyze path, which DROPS the
+    // histogram (bounds re-base; re-run analyzeHistogram to restore)
+    t.delete(df(9L).select("_id"), Seq("_id"))
+    t.analyzeIncremental()
+    assert(t.histogramTable().count() == 0)
+    t.analyzeHistogram(Seq("v"), buckets = 4)
+    assert(t.histogramTable().count() == 4)
+  }
+
   test("trackStats + readStatRange: declared-column file skipping, conservative pre-declaration, MoR-exact") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "statskip", docSchema)
