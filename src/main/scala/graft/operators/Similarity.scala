@@ -407,12 +407,60 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Probe width under an attribute filter — the classic filtered-ANN
+    * probe EXPANSION: a filter thins every probed cell, so the query
+    * widens its probe set (2× [[IvfProbes]]) to recover candidate
+    * volume at the same index.
+    */
+  val FilteredProbes = IvfProbes * 2
+
+  /** Attribute-FILTERED ANN (the production vector-search shape:
+    * "nearest neighbors among documents WHERE lang = 'en'"): the
+    * corpus side of the probe join is pre-joined to the metadata
+    * filter, so the filter applies BEFORE scoring — no post-filtering
+    * of an unfiltered top-k (which under-fills k precisely when the
+    * filter is selective) — and each query probes [[FilteredProbes]]
+    * cells instead of [[IvfProbes]], the standard expansion dial.
+    *
+    * Scale: the filter arrives as a key-join of doc ids (broadcastable
+    * when selective) against the PERSISTED cell assignment; scoring
+    * still touches only probed-cell survivors — filter selectivity s
+    * cuts the scoring join to s·probes/K of the corpus.
+    */
+  def topkFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorms(spark, dir)
+    val rankedCells = ClusterIndex.ivfCells(spark, dir)
+    val keep = t(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val corpus = rankedCells.filter(col("cell_rank") === 1 && col("vec_id") >= NumQueries)
+      .join(keep, "vec_id")
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .join(e, "vec_id")
+    val probes = rankedCells
+      .filter(col("cell_rank") <= FilteredProbes && col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .join(e, "vec_id")
+      .select(col("vec_id").as("q_id"), col("cell"),
+        col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    probes.join(corpus, "cell")
+      .select(col("q_id"), col("vec_id"),
+        round(decimalDot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** Oracle chain shared by `sim_topk_ivf` (query bound [[NumQueries]],
-    * top-5) and `sim_knn_join` (query bound [[KnnQueries]], top-
-    * [[KnnK]]): cell ranking, probe/corpus split at `qBound`, exact-
+    * top-5), `sim_knn_join` (query bound [[KnnQueries]], top-[[KnnK]])
+    * and `sim_topk_filtered` (probe expansion + corpus-side attribute
+    * filter): cell ranking, probe/corpus split at `qBound`, exact-
     * decimal scoring, per-query rank.
     */
-  private def ivfTopkOracleSql(qBound: Int, k: Int): String =
+  private def ivfTopkOracleSql(
+      qBound: Int, k: Int, probes: Int = IvfProbes, corpusExtra: String = ""): String =
     s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
        |elems AS (
        |  SELECT vec_id, label, embedding[i] AS val, i FROM e,
@@ -444,10 +492,10 @@ object Similarity {
        |  FROM cellcos),
        |corpus AS (
        |  SELECT vec_id, c_label AS cell FROM ranked_cells
-       |  WHERE cell_rank = 1 AND vec_id >= $qBound),
+       |  WHERE cell_rank = 1 AND vec_id >= $qBound$corpusExtra),
        |probes AS (
        |  SELECT vec_id AS q_id, c_label AS cell FROM ranked_cells
-       |  WHERE cell_rank <= $IvfProbes AND vec_id < $qBound),
+       |  WHERE cell_rank <= $probes AND vec_id < $qBound),
        |cand AS (
        |  SELECT DISTINCT p.q_id, c.vec_id FROM probes p JOIN corpus c USING (cell)),
        |dots AS (
@@ -473,6 +521,11 @@ object Similarity {
   private val topkIvfOracle: String = ivfTopkOracleSql(NumQueries, 5)
 
   private val knnJoinOracle: String = ivfTopkOracleSql(KnnQueries, KnnK)
+
+  private val topkFilteredOracle: String = ivfTopkOracleSql(
+    NumQueries, 5, probes = FilteredProbes,
+    corpusExtra =
+      "\n    AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")
 
   // --------------------------------------------------- SQ8 quantization
 
@@ -1120,6 +1173,8 @@ object Similarity {
       "sign-LSH bucketed ANN with Hamming-1 probing + exact re-rank"),
     GraftQuery("sim_topk_ivf", topkIvf _, Some(topkIvfOracle),
       "IVF-cell ANN: decimal-sum centroids, 2-cell probe, exact re-rank"),
+    GraftQuery("sim_topk_filtered", topkFiltered _, Some(topkFilteredOracle),
+      "attribute-filtered ANN: metadata filter pre-join + probe expansion over the persisted IVF cells"),
     GraftQuery("sim_knn_join", knnJoin _, Some(knnJoinOracle),
       "cell-co-partitioned shuffle KNN join for a large query set (no broadcast)"),
     GraftQuery("sim_topk_sq8", topkSq8 _, Some(topkSq8Oracle),

@@ -34,6 +34,38 @@ class SimilarityIvfPqSpec extends AnyFunSuite with SparkFixture {
     assert(out.forall(candSet.contains))
   }
 
+  test("filtered ANN: only filter-passing corpus ids, all inside the EXPANDED probe set, scores exact") {
+    val en = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rankedCells = ClusterIndex.ivfCells(spark, dir)
+    val probeCand = rankedCells
+      .filter(col("cell_rank") <= Similarity.FilteredProbes &&
+        col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("c_label").as("cell"))
+      .join(rankedCells
+        .filter(col("cell_rank") === 1 && col("vec_id") >= Similarity.NumQueries)
+        .select(col("vec_id"), col("c_label").as("cell")), "cell")
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.topkFiltered(spark, dir)
+      .select("q_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // the filter applied BEFORE scoring: no non-en id can appear
+    assert(out.forall { case (_, v, _) => en.contains(v) })
+    // candidates come only from the expanded probe join
+    assert(out.forall { case (q, v, _) => probeCand.contains((q, v)) })
+    // scoring arithmetic is the shared exact-decimal cosine: any pair
+    // the unfiltered IVF path also surfaces carries the identical score
+    val unfiltered = Similarity.topkIvf(spark, dir)
+      .select("q_id", "vec_id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val shared = out.filter { case (q, v, _) => unfiltered.contains((q, v)) }
+    shared.foreach { case (q, v, c) =>
+      assert(unfiltered((q, v)) == c, s"pair ($q,$v) score diverged under the filter") }
+  }
+
   test("ADC scores agree with the unpruned PQ path on shared pairs; ranks are total per query") {
     val fused = Similarity.topkIvfPq(spark, dir)
       .select("q_id", "vec_id", "ascore", "cosine", "rank").collect()
