@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -264,6 +264,113 @@ object Profiling {
        |ORDER BY col_x, col_y""".stripMargin
   }
 
+  // ------------------------------------ functional-dependency discovery
+
+  /** Columns screened for functional dependencies — two derived
+    * columns plant REAL FDs (`o_orderpriority ↔ prio_class` is a
+    * bijection), the raw ones plant non-FDs at varied cardinalities.
+    */
+  val FdColumns: Seq[String] = Seq(
+    "o_custkey", "o_orderstatus", "o_orderpriority", "prio_class", "o_year")
+
+  private val fdPairs: Seq[(String, String)] =
+    for { a <- FdColumns; b <- FdColumns if a != b } yield (a, b)
+
+  val FdK = 256
+
+  private def fdSource(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(
+      col("o_custkey").cast("string").as("o_custkey"),
+      col("o_orderstatus"),
+      col("o_orderpriority"),
+      element_at(split(col("o_orderpriority"), "-"), 1).as("prio_class"),
+      year(col("o_orderdate")).cast("string").as("o_year"))
+
+  /** Functional-dependency discovery (the schema-inference profiler
+    * step: find `a → b` rules, i.e. candidate keys and derivable
+    * columns, before modeling a new table): `a → b` holds iff
+    * ndv(a) = ndv(a, b). Testing every pair exactly costs one
+    * distinct-aggregation per pair — at 100 TB that is the whole job,
+    * so this runs the two-phase sketch screen:
+    *
+    * phase 1 — ONE scan computes a KMV sketch per column AND per
+    * ordered pair (C + C·(C−1) sketches, O(k) state each, ≤ k longs
+    * through the shuffle per sketch); a pair whose estimate differs
+    * from its determinant's CANNOT hold (the sketch is exact below k,
+    * and ndv(a,b) ≥ ndv(a) always), so non-FDs are refuted for the
+    * price of one pass.
+    *
+    * phase 2 — only SCREEN SURVIVORS pay the exact distinct
+    * aggregation (typically a handful), confirming or refuting with
+    * exact counts. Every number is integer-exact cross-engine (the
+    * same md5-prefix KMV hash as ANALYZE; pair values hash their
+    * 0x1f-joined concatenation, injective for separator-free values).
+    */
+  def profileFds(spark: SparkSession, dir: String): DataFrame =
+    profileFdsOn(spark, fdSource(spark, dir))
+
+  private[operators] def profileFdsOn(spark: SparkSession, src: DataFrame): DataFrame = {
+    import spark.implicits._
+    def h(c: Column) = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    def sk(c: Column) = graft.functions.KmvSketchAgg.kmvSketch(h(c), FdK)
+    val aggs =
+      FdColumns.map(c => sk(col(c)).as(s"_s_$c")) ++
+        fdPairs.map { case (a, b) =>
+          sk(concat(col(a), lit("\u001f"), col(b))).as(s"_s_${a}_$b") }
+    val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val estS = FdColumns.zipWithIndex.map { case (c, i) =>
+      c -> r.getStruct(i).getLong(0) }.toMap
+    val estP = fdPairs.zipWithIndex.map { case (p, i) =>
+      p -> r.getStruct(FdColumns.size + i).getLong(0) }.toMap
+    val screened = fdPairs.filter(p => estS(p._1) == estP(p))
+    val exact: Map[(String, String), (Long, Long)] =
+      if (screened.isEmpty) Map.empty
+      else {
+        val ex = screened.flatMap { case (a, b) => Seq(
+          countDistinct(col(a)).as(s"_d_${a}_$b"),
+          countDistinct(col(a), col(b)).as(s"_p_${a}_$b")) }
+        val er = src.agg(ex.head, ex.tail: _*).collect()(0)
+        screened.zipWithIndex.map { case (p, i) =>
+          p -> ((er.getLong(2 * i), er.getLong(2 * i + 1))) }.toMap
+      }
+    fdPairs.map { case (a, b) =>
+      val scr = exact.get((a, b))
+      (a, b, estS(a), estP((a, b)), scr.isDefined,
+        scr.map(_._1), scr.map(_._2), scr.map(x => x._1 == x._2))
+    }.toDF("det", "dep", "ndv_det_est", "ndv_pair_est", "screened",
+      "ndv_det", "ndv_pair", "holds")
+      .orderBy("det", "dep")
+  }
+
+  private val profileFdsOracle: String = {
+    def est(expr: String) =
+      s"""(SELECT CAST(CASE WHEN cnt < $FdK THEN cnt
+         |      ELSE ${(FdK - 1).toLong * 4294967296L} // hk END AS BIGINT)
+         |    FROM (SELECT count(*) AS cnt, max(h) AS hk FROM (
+         |      SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+         |        SELECT DISTINCT CAST(concat('0x', substr(md5($expr), 1, 8)) AS BIGINT) AS h
+         |        FROM sub) d) r
+         |    WHERE rn <= $FdK) s)""".stripMargin
+    val rows = fdPairs.map { case (a, b) =>
+      val pairExpr = s"$a || chr(31) || $b"
+      s"""SELECT '$a' AS det, '$b' AS dep, ea.e AS ndv_det_est, ep.e AS ndv_pair_est,
+         |  ea.e = ep.e AS screened,
+         |  CASE WHEN ea.e = ep.e THEN (SELECT count(DISTINCT $a) FROM sub) END AS ndv_det,
+         |  CASE WHEN ea.e = ep.e THEN (SELECT count(DISTINCT ($a, $b)) FROM sub) END AS ndv_pair,
+         |  CASE WHEN ea.e = ep.e THEN
+         |    (SELECT count(DISTINCT $a) = count(DISTINCT ($a, $b)) FROM sub) END AS holds
+         |FROM (SELECT ${est(a)} AS e) ea, (SELECT ${est(pairExpr)} AS e) ep""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sub AS (
+       |  SELECT CAST(o_custkey AS VARCHAR) AS o_custkey, o_orderstatus,
+       |    o_orderpriority, string_split(o_orderpriority, '-')[1] AS prio_class,
+       |    CAST(year(o_orderdate) AS VARCHAR) AS o_year
+       |  FROM orders)
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY det, dep""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -274,5 +381,7 @@ object Profiling {
     GraftQuery("profile_drift", profileDrift _, Some(profileDriftOracle),
       "early-vs-late value-distribution drift report (equal-width bins, exact split)"),
     GraftQuery("profile_correlations", profileCorrelations _, Some(profileCorrelationsOracle),
-      "pairwise Pearson correlation matrix from one exact-decimal aggregation pass"))
+      "pairwise Pearson correlation matrix from one exact-decimal aggregation pass"),
+    GraftQuery("profile_fds", profileFds _, Some(profileFdsOracle),
+      "functional-dependency discovery: one-scan KMV screen over all column pairs, exact verify of survivors"))
 }

@@ -57,4 +57,35 @@ class ProfilingSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(r - ref) < 1e-6, s"$a/$b: exact-decimal $r vs built-in $ref")
     }
   }
+
+  test("FD discovery: sub-k screen is exact, so screened ⇔ the true FD and verification always confirms") {
+    import spark.implicits._
+    // planted dependencies over the five screened columns:
+    //   o_custkey unique        → determines everything
+    //   status ↔ priority       bijection (both directions hold)
+    //   priority → prio_class   holds (p1,p2 → q1; p3 → q2); reverse fails
+    //   o_year constant         → determined by everything, determines nothing
+    val src = Seq(
+      ("c1", "s1", "p1", "q1", "y1"), ("c2", "s1", "p1", "q1", "y1"),
+      ("c3", "s2", "p2", "q1", "y1"), ("c4", "s2", "p2", "q1", "y1"),
+      ("c5", "s3", "p3", "q2", "y1"), ("c6", "s3", "p3", "q2", "y1"))
+      .toDF(Profiling.FdColumns: _*)
+    val truth = {
+      val rows = src.collect().map(_.toSeq.map(_.toString))
+      val idx = Profiling.FdColumns.zipWithIndex.toMap
+      (a: String, b: String) =>
+        rows.groupBy(r => r(idx(a))).values.forall(_.map(r => r(idx(b))).distinct.size == 1)
+    }
+    val out = Profiling.profileFdsOn(spark, src).collect()
+    assert(out.length == Profiling.FdColumns.size * (Profiling.FdColumns.size - 1))
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (scr, holds) = (r.getBoolean(4), if (r.isNullAt(7)) None else Some(r.getBoolean(7)))
+      // every ndv here is far below k, so the sketch estimates are
+      // EXACT → the screen equals the true FD test, and the exact
+      // verification can only confirm
+      assert(scr == truth(a, b), s"screen wrong for $a -> $b")
+      assert(holds == (if (truth(a, b)) Some(true) else None), s"verdict wrong for $a -> $b")
+    }
+  }
 }
