@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -183,6 +183,46 @@ object Pipeline {
        |    ${phashSql("CAST(doc_id AS VARCHAR)")} AS h
        |  FROM documents ORDER BY h, doc_id LIMIT 50)
        |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- correlated join sampling
+
+  /** Join-sample keep rate, percent. */
+  val JoinSamplePct = 5
+
+  /** CORRELATED (join-consistent) sampling — the estimator trick that
+    * makes sampled joins work at 100 TB: both tables keep a row iff
+    * the SAME hash of the JOIN KEY falls under the rate, so the join
+    * of the samples IS the sample of the join restricted to the kept
+    * key set (independent per-table sampling would keep a matching
+    * PAIR only with probability p², destroying the estimate). One
+    * scan-local filter per side (pushes to the scan — p of each table
+    * is ever read into the join), then the ordinary key join; the
+    * per-group estimate scales by 1/p ONCE. Dev pipelines run their
+    * entire logic over the consistent 5% world and every join still
+    * matches.
+    */
+  def sampleJoinConsistent(spark: SparkSession, dir: String): DataFrame = {
+    def keep(k: Column): Column =
+      pmod(phash(concat(lit("jk:"), k.cast("string"))), lit(100)) < JoinSamplePct
+    val o = t(spark, dir, "orders").filter(keep(col("o_orderkey")))
+    val l = t(spark, dir, "lineitem").filter(keep(col("l_orderkey")))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sample"),
+        (count(lit(1)) * (100L / JoinSamplePct)).as("n_est"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val sampleJoinConsistentOracle = {
+    val keepO = s"${phashSql("concat('jk:', CAST(o_orderkey AS VARCHAR))")} % 100 < $JoinSamplePct"
+    val keepL = s"${phashSql("concat('jk:', CAST(l_orderkey AS VARCHAR))")} % 100 < $JoinSamplePct"
+    s"""SELECT o_orderpriority, count(*) AS n_sample,
+       |  count(*) * ${100L / JoinSamplePct} AS n_est
+       |FROM (SELECT * FROM orders WHERE $keepO) o
+       |JOIN (SELECT * FROM lineitem WHERE $keepL) l ON o.o_orderkey = l.l_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
 
   // -------------------------------------------------- length histogram
 
@@ -1184,6 +1224,8 @@ object Pipeline {
       "deterministic hash-bucket train/val/test split (80/10/10)"),
     GraftQuery("stratified_sample", stratifiedSample _, Some(stratifiedSampleOracle),
       "per-stratum Bernoulli-by-hash sampling (20% per lang, zero coordination)"),
+    GraftQuery("sample_join_consistent", sampleJoinConsistent _, Some(sampleJoinConsistentOracle),
+      "correlated key-hash sampling: the join of the samples IS the sample of the join"),
     GraftQuery("sample_topk_hash", sampleTopkHash _, Some(sampleTopkHashOracle),
       "uniform k-sample by hash order (TakeOrderedAndProject)"),
     GraftQuery("weighted_sample", weightedSample _, Some(weightedSampleOracle),

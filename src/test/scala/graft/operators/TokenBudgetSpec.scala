@@ -74,4 +74,27 @@ class TokenBudgetSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(4) <= r.getLong(2))
     }
   }
+
+  test("correlated sampling: the join of the samples IS the key-sample of the full join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    def keep(k: org.apache.spark.sql.Column) =
+      pmod(Dedup.phash(concat(lit("jk:"), k.cast("string"))), lit(100)) < Pipeline.JoinSamplePct
+    val o = graft.Tables.t(spark, dir, "orders")
+    val l = graft.Tables.t(spark, dir, "lineitem")
+    val sampleJoin = o.filter(keep(col("o_orderkey")))
+      .join(l.filter(keep(col("l_orderkey"))), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val joinSample = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .filter(keep(col("o_orderkey")))
+      .select(col("o_orderkey"), col("l_linenumber").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampleJoin.nonEmpty)
+    assert(sampleJoin == joinSample)
+    // and the estimator input is non-degenerate: the sample is a
+    // strict, non-empty subset of the join
+    val full = o.join(l, col("o_orderkey") === col("l_orderkey")).count()
+    assert(sampleJoin.size < full)
+  }
 }
