@@ -98,11 +98,65 @@ object Temporal {
        |  AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
        |ORDER BY a.user_id, first_id, second_id""".stripMargin
 
+  // ---------------------------------------------------- interval join
+
+  val ViewDurUs: Long = 10L * 60 * 1000 * 1000
+  val PromoDurUs: Long = 5L * 60 * 1000 * 1000
+  val GridUs: Long = 10L * 60 * 1000 * 1000
+
+  /** INTERVAL OVERLAP join — two interval sets (view sessions extended
+    * 10 min, purchase windows extended 5 min), pairs of the same user
+    * whose intervals intersect. Spark-first shape: each interval
+    * explodes onto the time-grid cells it spans (≤ len/W + 1 cells,
+    * bounded), the join is a pure EQUI-join on (user, cell), and the
+    * FIRST-OVERLAP-CELL condition `greatest(s_a, s_b) div W = cell`
+    * makes every overlapping pair match in EXACTLY ONE cell — the
+    * classic dedup-free grid interval join: no DISTINCT pass over the
+    * (potentially huge) pair stream, unlike the naive cell join whose
+    * duplicates force one. The exact overlap predicate filters inside
+    * the cell, so candidate volume is per-(user, cell) density, never
+    * |A|·|B| — the theta join Spark would otherwise run as a broadcast
+    * nested loop.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("s"))
+    def spans(tpe: String, dur: Long, id: String, s: String, e: String) = ev
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id").as(id),
+        col("s").as(s), (col("s") + dur).as(e))
+      .withColumn("cell", explode(expr(s"sequence($s div ${GridUs}L, $e div ${GridUs}L)")))
+    val v = spans("view", ViewDurUs, "view_id", "vs", "ve")
+    val p = spans("purchase", PromoDurUs, "purchase_id", "ps", "pe")
+    v.join(p, Seq("user_id", "cell"))
+      .filter(expr(s"vs <= pe AND ps <= ve AND greatest(vs, ps) div ${GridUs}L = cell"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (least(col("ve"), col("pe")) - greatest(col("vs"), col("ps"))).as("overlap_us"))
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
+  private val intervalJoinOracle =
+    s"""WITH v AS (
+       |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS vs,
+       |    epoch_us(ts) + $ViewDurUs AS ve
+       |  FROM events WHERE event_type = 'view'),
+       |p AS (
+       |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS ps,
+       |    epoch_us(ts) + $PromoDurUs AS pe
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT v.user_id AS user_id, view_id, purchase_id,
+       |  least(ve, pe) - greatest(vs, ps) AS overlap_us
+       |FROM v JOIN p ON v.user_id = p.user_id AND vs <= pe AND ps <= ve
+       |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("asof_join", asofJoin _, Some(asofJoinOracle),
       "as-of join via union + running-max window (single shuffle)"),
     GraftQuery("range_join", rangeJoin _, Some(rangeJoinOracle),
-      "bounded interval self-join via time-bucket equi-join"))
+      "bounded interval self-join via time-bucket equi-join"),
+    GraftQuery("interval_join", intervalJoin _, Some(intervalJoinOracle),
+      "interval overlap join: grid-cell equi-join with the dedup-free first-overlap-cell condition"))
 }

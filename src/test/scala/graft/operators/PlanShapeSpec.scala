@@ -44,6 +44,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("interval join is a (user, cell) equi-join with exactly-once pair matches") {
+    val p = planOf("interval_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the first-overlap-cell condition makes each pair match in ONE
+    // grid cell — no duplicate rows exist that a DISTINCT would hide
+    val out = Temporal.intervalJoin(spark, "/root/testdata/sf0.001")
+      .select("user_id", "view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.nonEmpty && out.distinct.size == out.size, "duplicate pair matches")
+  }
+
   test("knn join co-partitions on cell as a shuffle-hash join, never a broadcast") {
     val p = planOf("sim_knn_join")
     // the whole point of the operator: a query set too big to
