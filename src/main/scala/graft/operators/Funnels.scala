@@ -235,7 +235,55 @@ object Funnels {
 
   // ---------------------------------------------------------- registry
 
+  // ----------------------------------------------------- DAU/WAU ratio
+
+  /** DAU/WAU stickiness — the product-analytics engagement ratio. A
+    * sliding-window DISTINCT cannot sum daily distincts (users repeat
+    * across days), so each (user, active-day) pair CONTRIBUTES to the
+    * seven report days it covers: one distinct on (user, day), a ×7
+    * explode of that (already user-deduped) pair stream, and one
+    * distinct-agg per report day — shuffle is pairs×7, never events×7,
+    * and no self-join over the raw stream exists. Report days clamp to
+    * the observed range; the ratio is one IEEE division, rounded to 12
+    * like every cross-engine double here.
+    */
+  def eventStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val bounds = pairs.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+    val dau = pairs.groupBy(col("d").as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = pairs
+      .select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .crossJoin(broadcast(bounds))
+      .filter(col("day").between(col("mn"), col("mx")))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 12).as("stickiness"))
+      .orderBy("day")
+  }
+
+  private val eventStickinessOracle =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+      |b AS (SELECT min(d) AS mn, max(d) AS mx FROM pairs),
+      |dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau FROM pairs GROUP BY d),
+      |wau AS (
+      |  SELECT day, count(DISTINCT user_id) AS wau FROM (
+      |    SELECT user_id, d + i AS day FROM pairs, range(0, 7) r(i)) u
+      |  GROUP BY day)
+      |SELECT day, dau, wau,
+      |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 12) AS stickiness
+      |FROM dau JOIN wau USING (day), b
+      |WHERE day BETWEEN b.mn AND b.mx
+      |ORDER BY day""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("event_stickiness", eventStickiness _, Some(eventStickinessOracle),
+      "DAU/WAU stickiness: sliding 7-day distinct users via pairwise day contribution, no self-join"),
     GraftQuery("event_attribution", eventAttribution _, Some(eventAttributionOracle),
       "last-touch purchase attribution via ignore-nulls trailing window"),
     GraftQuery("event_funnel", eventFunnel _, Some(eventFunnelOracle),

@@ -342,6 +342,22 @@ final class IceliteTable private (
     * (compaction/truncate collapse earlier history by design — the
     * same trade Iceberg makes when old snapshots are expired).
     */
+  /** Time travel by TIMESTAMP (Iceberg's `FOR SYSTEM_TIME AS OF`): the
+    * table state at the newest commit whose wall-clock timestamp is
+    * ≤ `tsMillis` — resolves to a seq from metadata alone, then reads
+    * via [[readAt]]. Errors when the timestamp precedes all retained
+    * history (same contract as Iceberg: expired snapshots cannot be
+    * resurrected).
+    */
+  def readAsOf(tsMillis: Long): DataFrame = {
+    val snaps = cachedMeta.snapshots.filter(_.timestampMs <= tsMillis)
+    if (snaps.isEmpty)
+      throw new IllegalArgumentException(
+        s"no snapshot of $name at or before timestamp $tsMillis " +
+          s"(oldest retained: ${cachedMeta.snapshots.headOption.map(_.timestampMs)})")
+    readAt(snaps.map(_.seq).max)
+  }
+
   def readAt(asOfSeq: Long): DataFrame =
     readSnapshotsAs(cachedMeta.snapshots.filter(_.seq <= asOfSeq),
       schemaAt(asOfSeq), asOfSeq)

@@ -186,4 +186,24 @@ class ChunkShardSpec extends AnyFunSuite with SparkFixture {
     assert(out("direct") == ((1L, 7.0, 0L)))
     assert(out("view") == ((1L, 2.0, 1000L)))
   }
+
+  test("stickiness: WAU equals the brute 7-day distinct, DAU ≤ WAU, days clamp to the observed range") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = Funnels.eventStickiness(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+    assert(out.nonEmpty)
+    val (mn, mx) = (pairs.map(_._2).min, pairs.map(_._2).max)
+    assert(out.map(_._1).toSeq == (mn to mx).filter(d => pairs.exists(_._2 == d)))
+    out.foreach { case (day, (dau, wau, st)) =>
+      val bruteDau = pairs.filter(_._2 == day).map(_._1).distinct.length.toLong
+      val bruteWau = pairs.filter(p => p._2 >= day - 6 && p._2 <= day)
+        .map(_._1).distinct.length.toLong
+      assert(dau == bruteDau && wau == bruteWau, s"day $day")
+      assert(dau <= wau && st <= 1.0)
+    }
+  }
 }

@@ -53,6 +53,13 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
     assert(t.readAt(s2).filter(col("_id") === "a").head().getDouble(1) == 10.0)
     assert(t.readAt(s3).filter(col("_id") === "a").head().getDouble(1) == 99.0)
     assert(t.readAt(0).count() == 0) // before the first commit
+    // AS-OF-TIMESTAMP resolves a wall-clock stamp to the newest
+    // covered seq from the RECORDED snapshot stamps
+    val byTs = t.meta.snapshots.map(s => s.seq -> s.timestampMs).toMap
+    if (byTs(s1) < byTs(s2)) // commits in the same millisecond legitimately see further
+      assert(t.readAsOf(byTs(s1)).collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(t.readAsOf(byTs(s3) + 1000).filter(col("_id") === "a").head().getDouble(1) == 99.0)
+    intercept[IllegalArgumentException](t.readAsOf(byTs.values.min - 1))
     val s4 = t.truncate()
     assert(t.readAt(s4).count() == 0)
     assert(t.read().count() == 0)
