@@ -602,6 +602,45 @@ object SyncQueries {
     table.statsTable().orderBy("column")
   }
 
+  /** Bloom point lookup ([[IceliteTable.readForKeys]]): four
+    * HASH-SCATTERED appends (every file spans the full key range, so
+    * min/max bounds prune NOTHING — the case blooms exist for), per-
+    * file key blooms built once, a keyed DELETE of the smallest probe
+    * key (the pruned read still runs the full MoR merge), then a
+    * 3-key point lookup. The oracle recomputes the surviving probe
+    * rows relationally.
+    */
+  def tableBloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("bloom-lookup-query")
+    val sub = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_bloom", sub.schema)
+    (0 until 4).foreach { i =>
+      table.append(sub.filter(pmod(col("o_orderkey"), lit(4)) === i))
+    }
+    table.buildKeyBlooms("o_orderkey")
+    val probes = sub.orderBy("o_orderkey").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    table.delete(
+      sub.filter(col("o_orderkey") === probes.head).select("o_orderkey"),
+      Seq("o_orderkey"))
+    table.readForKeys(probes.map(Long.box))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val tableBloomLookupOracle =
+    """WITH sub AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 7 = 0),
+      |probes AS (SELECT o_orderkey FROM sub ORDER BY o_orderkey LIMIT 3),
+      |mn AS (SELECT min(o_orderkey) AS m FROM sub)
+      |SELECT s.o_orderkey, o_custkey, o_totalprice
+      |FROM sub s JOIN probes USING (o_orderkey), mn
+      |WHERE s.o_orderkey <> mn.m
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Histogram statistics ([[IceliteTable.analyzeHistogram]]): ANALYZE
     * freezes the bounds, the histogram buckets under them with
     * all-integer clamped equi-width math, and the metadata table emits
@@ -1218,6 +1257,8 @@ object SyncQueries {
       "general predicate file skipping: declared stat columns prune data files from metadata under MoR deletes"),
     GraftQuery("table_histogram", tableHistogram _, Some(tableHistogramOracle),
       "equi-width histogram stats under frozen ANALYZE bounds: exact bucket intervals + counts from metadata"),
+    GraftQuery("table_bloom_lookup", tableBloomLookup _, Some(tableBloomLookupOracle),
+      "point lookup via per-file key blooms: skips hash-scattered files min/max bounds cannot, MoR-exact"),
     GraftQuery("table_changelog_stream", tableChangelogStream _, Some(tableChangelogStreamOracle),
       "streaming CDC consumer: changelog feed export + checkpointed file-stream resume"),
     GraftQuery("table_replica_sync", tableReplicaSync _, Some(tableReplicaSyncOracle),

@@ -2677,6 +2677,125 @@ final class IceliteTable private (
   private def trackedStats(props: Map[String, String], schema: StructType): Map[String, Boolean] =
     keyStatColumns(IceliteTable.statColumns(props), schema).toMap
 
+  // ------------------------------------------------ key bloom filters
+
+  private def bloomsDir = s"$location/_blooms"
+
+  /** Key → LongType bloom probe value: integral keys are the value
+    * itself; string keys hash to the 60-bit md5 prefix. The SAME
+    * mapping runs as a Column on build and in Scala on probe
+    * ([[IceliteTable.bloomProbeHash]]), so a present key can never
+    * miss its own filter.
+    */
+  private def bloomKeyExpr(keyCol: String, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => conv(substring(md5(col(keyCol)), 1, 15), 16, 10).cast("long")
+      case ByteType | ShortType | IntegerType | LongType => col(keyCol).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"key blooms need an integral or string column, '$keyCol' is ${other.catalogString}")
+    }
+  }
+
+  private def loadBlooms(): Map[String, Array[Byte]] = {
+    if (!fileSystem().exists(new Path(bloomsDir))) return Map.empty
+    spark.read.option("recursiveFileLookup", "true").parquet(bloomsDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+  }
+
+  /** Build — or incrementally EXTEND — per-file BLOOM FILTERS over one
+    * key column: the point-lookup complement to min/max bounds, which
+    * cannot prune a hash-scattered key (every file's [min, max] spans
+    * the domain). One job scans ONLY the not-yet-covered files,
+    * aggregates a fixed-size filter per file (~KBs, grouped on
+    * `input_file_name`), and appends the (file, bloom) rows to the
+    * table's auxiliary bloom store — the same build-once/fold-on-
+    * append lifecycle as the ingest indexes and incremental ANALYZE;
+    * a compaction's rewritten files are simply uncovered (kept
+    * conservatively) until the next build. Returns how many files
+    * gained filters.
+    */
+  def buildKeyBlooms(
+      keyCol: String, expectedPerFile: Long = 1L << 16, fpp: Double = 0.01): Int = {
+    val m = cachedMeta
+    val f = m.schema.find(_.name == keyCol).getOrElse(
+      throw new IllegalArgumentException(s"no column '$keyCol' in $name"))
+    val kExpr = bloomKeyExpr(keyCol, f.dataType)
+    m.properties.get(IceliteTable.BloomColProp).foreach { existing =>
+      require(existing == keyCol,
+        s"$name already carries key blooms on '$existing', not '$keyCol'")
+    }
+    val covered = loadBlooms().keySet
+    val target = m.liveDataFiles.filterNot(covered)
+    if (target.isEmpty) return 0
+    // data-file basenames carry the commit UUID — globally unique, so
+    // the absolute input_file_name maps back to the metadata-relative
+    // path by basename alone
+    val byBase = target.map(rel => rel.split('/').last -> rel).toMap
+    val built = spark.read.parquet(target.map(abs): _*)
+      .select(input_file_name().as("f"), kExpr.as("k"))
+      .groupBy(col("f"))
+      .agg(graft.functions.BloomFilterFns.bloomBuild(col("k"), expectedPerFile, fpp)
+        .as("bloom"))
+      .collect()
+      .map(r => (byBase(r.getString(0).split('/').last), r.getAs[Array[Byte]](1)))
+    import spark.implicits._
+    built.toSeq.toDF("file", "bloom").coalesce(1)
+      .write.mode("append").parquet(s"$bloomsDir/${UUID.randomUUID()}")
+    if (!m.properties.contains(IceliteTable.BloomColProp))
+      retryCommit { head =>
+        val seq = head.lastSeq + 1
+        (head.copy(properties = head.properties + (IceliteTable.BloomColProp -> keyCol))
+          .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve",
+            Nil, Nil, 0L)), seq)
+      }
+    built.length
+  }
+
+  /** MoR POINT LOOKUP: rows whose bloom key column matches any of
+    * `keys`, reading only the files whose per-file bloom might contain
+    * one of them — the skip min/max bounds cannot provide when the key
+    * is hash-scattered across files. False positives only cost an
+    * extra file read (the exact row filter runs after); files without
+    * a filter (written since the last [[buildKeyBlooms]]) are always
+    * kept; delete files are never pruned, so the MoR merge is exact.
+    * At 100 TB a k-key lookup touches ~k files + deletes, not the
+    * table.
+    */
+  /** Data files whose bloom might contain any of `keys` (files without
+    * a filter kept) — the metadata-only keep-set [[readForKeys]] reads.
+    */
+  private[table] def pruneByBlooms(keys: Seq[Any]): Seq[String] = {
+    val m = cachedMeta
+    val keyCol = m.properties.getOrElse(IceliteTable.BloomColProp,
+      throw new IllegalStateException(s"no key blooms on $name — buildKeyBlooms first"))
+    val dt = m.schema(m.schema.fieldIndex(keyCol)).dataType
+    val hs = keys.map(IceliteTable.bloomProbeHash(_, dt))
+    val blooms = loadBlooms()
+    m.liveDataFiles.filter { f =>
+      blooms.get(f) match {
+        case Some(bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          hs.exists(bf.mightContainLong)
+        case None => true
+      }
+    }
+  }
+
+  def readForKeys(keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "readForKeys needs at least one key")
+    val m = cachedMeta
+    val keyCol = m.properties.getOrElse(IceliteTable.BloomColProp,
+      throw new IllegalStateException(s"no key blooms on $name — buildKeyBlooms first"))
+    val kept = pruneByBlooms(keys)
+    val posFiles = m.livePosDeleteFiles
+    val data = readFilesAs(kept, m.schema, Long.MaxValue, withPos = posFiles.nonEmpty)
+      .filter(col(keyCol).isin(keys: _*))
+    applyDeletes(applyPosDeletes(data, posFiles), m.liveDeleteFiles)
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
+  }
+
   private def estimateBytes(files: Seq[String]): Long = {
     val fs = fileSystem()
     files.map(f => fs.getFileStatus(new Path(abs(f))).getLen).sum
@@ -3016,6 +3135,30 @@ object IceliteTable {
 
   private[table] def statColumns(props: Map[String, String]): Seq[String] =
     props.get(StatColumnsProp).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+
+  /** Table property naming the per-file key-bloom column
+    * ([[IceliteTable.buildKeyBlooms]]).
+    */
+  val BloomColProp = "graft.bloom.column"
+
+  /** Driver-side twin of the build-time bloom key mapping: integral
+    * keys pass through, string keys take the 60-bit md5 prefix — the
+    * same bits `conv(substring(md5(c), 1, 15), 16, 10)` produces.
+    */
+  private[table] def bloomProbeHash(k: Any, dt: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(k.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = d.map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      case ByteType | ShortType | IntegerType | LongType =>
+        k.asInstanceOf[Number].longValue
+      case other => throw new IllegalArgumentException(
+        s"key blooms need an integral or string column, got ${other.catalogString}")
+    }
+  }
 
   /** A logged metadata-only schema change. */
   sealed trait SchemaOp { def seq: Long }

@@ -710,6 +710,38 @@ class IceliteTableSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getString(0)).sorted.toSeq == Seq("a1", "a9"))
   }
 
+  test("key blooms: prune hash-scattered files bounds cannot, conservative for uncovered, MoR-exact") {
+    val wh = freshWarehouse()
+    val t = IceliteTable.create(spark, wh, "ns", "bloomkeys", docSchema)
+    intercept[IllegalStateException](t.readForKeys(Seq("a1")))
+    // three files with fully OVERLAPPING _id ranges [a*, z*] — min/max
+    // bounds keep all three for any probe; only a bloom can skip
+    t.append(rows(("a1", 1.0, "x", "2024-01-02T00:00:00Z"),
+      ("z1", 2.0, "x", "2024-01-02T00:00:00Z")))
+    t.append(rows(("a2", 3.0, "y", "2024-01-03T00:00:00Z"),
+      ("z2", 4.0, "y", "2024-01-03T00:00:00Z")))
+    t.append(rows(("a3", 5.0, "z", "2024-01-04T00:00:00Z"),
+      ("z3", 6.0, "z", "2024-01-04T00:00:00Z")))
+    assert(t.buildKeyBlooms("_id") == 3)
+    assert(t.buildKeyBlooms("_id") == 0) // fully covered → no-op
+    intercept[IllegalArgumentException](t.buildKeyBlooms("status")) // one bloom column per table
+    // string-hash probe keeps exactly the carrier file (fpp ~1% on 3
+    // files — a false positive would add a file, never lose the row)
+    assert(t.pruneByBlooms(Seq("z2")).size <= 2)
+    assert(t.pruneByBlooms(Seq("z2")).nonEmpty)
+    assert(t.readForKeys(Seq("z2")).collect().map(_.getString(0)).toSeq == Seq("z2"))
+    // a file appended AFTER the build has no bloom → always kept, and
+    // its rows are findable before any re-build
+    t.append(rows(("m9", 7.0, "w", "2024-01-05T00:00:00Z")))
+    assert(t.readForKeys(Seq("m9")).collect().map(_.getString(0)).toSeq == Seq("m9"))
+    assert(t.buildKeyBlooms("_id") == 1) // fold: only the new file scans
+    // MoR: a keyed delete wins over the pruned read
+    t.delete(rows(("z2", 0.0, "x", "2024-01-03T00:00:00Z")).select("_id"), Seq("_id"))
+    assert(t.readForKeys(Seq("z2", "a3")).collect().map(_.getString(0)).toSeq == Seq("a3"))
+    // an absent key returns empty (usually zero files even read)
+    assert(t.readForKeys(Seq("nope")).count() == 0)
+  }
+
   test("ANALYZE stats drive the MoR delete-side broadcast decision") {
     val wh = freshWarehouse()
     val t = IceliteTable.create(spark, wh, "ns", "statsbc", docSchema)
