@@ -264,6 +264,64 @@ object Profiling {
        |ORDER BY col_x, col_y""".stripMargin
   }
 
+  // ------------------------------------------------ linear regression
+
+  /** Grouped closed-form OLS — y = intercept + slope·x per return
+    * flag (extendedprice on quantity): all five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σy²/Σx²) from ONE map-side-combined aggregation
+    * with exact decimal accumulation (the [[profileCorrelations]]
+    * discipline), then the normal-equation solve as a fixed-order
+    * IEEE double expression — bit-identical cross-engine, no iterative
+    * fitting, no second pass. The regression step a profiling suite
+    * takes after correlation says "related": HOW related.
+    */
+  def regressPrice(spark: SparkSession, dir: String): DataFrame = {
+    // scale 4: EXACT for the ≤2-decimal inputs and their ≤4-decimal
+    // products, and coarse enough that both engines' double→decimal
+    // conversions agree (a scale-12 cast of a product double rounds
+    // differently across engines at the 12th place, and the normal-
+    // equation cancellations amplify that ulp into the 11th output
+    // digit)
+    val D = "decimal(38,4)"
+    val g = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sx"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(D)).cast("double").as("sxy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(D)).cast("double").as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(D)).cast("double").as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    g.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        // rounding scales match each output's magnitude: at |x| ≈ 5e4
+        // a 12-decimal grid exceeds double precision and the engines'
+        // round() implementations legitimately disagree on the last
+        // ulp — 6/9/12 keep every rounded value exactly representable
+        round(cov / varx, 9).as("slope"),
+        round((col("sy") - cov / varx * col("sx")) / col("n"), 6).as("intercept"),
+        round(cov * cov / (varx * vary), 12).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  private val regressPriceOracle: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+      |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) AS r2
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------ functional-dependency discovery
 
   /** Columns screened for functional dependencies — two derived
@@ -383,5 +441,7 @@ object Profiling {
     GraftQuery("profile_correlations", profileCorrelations _, Some(profileCorrelationsOracle),
       "pairwise Pearson correlation matrix from one exact-decimal aggregation pass"),
     GraftQuery("profile_fds", profileFds _, Some(profileFdsOracle),
-      "functional-dependency discovery: one-scan KMV screen over all column pairs, exact verify of survivors"))
+      "functional-dependency discovery: one-scan KMV screen over all column pairs, exact verify of survivors"),
+    GraftQuery("regress_price", regressPrice _, Some(regressPriceOracle),
+      "grouped closed-form OLS from one exact-decimal sufficient-statistics pass"))
 }

@@ -691,7 +691,38 @@ object Relational {
 
   // ---------------------------------------------------------- registry
 
+  // ----------------------------------------------- co-occurrence pairs
+
+  /** Top co-purchased part pairs (the market-basket / recommender
+    * primitive): a SELF-join of lineitem on its order key pairs items
+    * of the same basket — bounded per order by basket width, so pair
+    * volume is Σ|basket|², never |lineitem|² — then one hash-agg on
+    * the (a, b) pair and a TakeOrdered top-20 (per-partition top-k +
+    * driver merge, no global sort). The `a < b` canonical ordering
+    * counts each unordered pair once.
+    */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("part_a"), asc("part_b"))
+      .limit(20)
+  }
+
+  private val copurchasePairsOracle =
+    """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS cnt
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY cnt DESC, part_a, part_b LIMIT 20""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("copurchase_pairs", copurchasePairs _, Some(copurchasePairsOracle),
+      "market-basket co-occurrence: basket-bounded self-join + top-20 pair counts"),
     GraftQuery("agg_pricing_summary", aggPricingSummary _, Some(aggPricingSummaryOracle),
       "TPC-H Q1-shape wide hash aggregation"),
     GraftQuery("filter_agg_revenue", filterRevenue _, Some(filterRevenueOracle),

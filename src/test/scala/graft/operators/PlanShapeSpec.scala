@@ -44,6 +44,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("copurchase pairs: equi-self-join + TakeOrdered, canonical a < b, counts non-increasing") {
+    val p = planOf("copurchase_pairs")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 should avoid a global sort")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    val out = Relational.copurchasePairs(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, _) => a < b })
+    assert(out.map(_._3).toSeq == out.map(_._3).sortBy(-_).toSeq)
+  }
+
   test("interval join is a (user, cell) equi-join with exactly-once pair matches") {
     val p = planOf("interval_join")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))

@@ -58,6 +58,27 @@ class ProfilingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("regress_price matches Spark's built-in covariance/variance within rounding; r2 in [0, 1]") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Profiling.regressPrice(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.nonEmpty)
+    val ref = graft.Tables.t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(covar_pop(col("l_quantity"), col("l_extendedprice")).as("cov"),
+        var_pop(col("l_quantity")).as("vx"),
+        avg(col("l_quantity")).as("mx"), avg(col("l_extendedprice")).as("my"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1) / r.getDouble(2),
+        r.getDouble(4) - r.getDouble(1) / r.getDouble(2) * r.getDouble(3)))).toMap
+    out.foreach { case (g, (slope, intercept, r2)) =>
+      assert(math.abs(slope - ref(g)._1) < 1e-6, s"$g slope")
+      assert(math.abs(intercept - ref(g)._2) < 1e-3, s"$g intercept")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
+    }
+  }
+
   test("FD discovery: sub-k screen is exact, so screened ⇔ the true FD and verification always confirms") {
     import spark.implicits._
     // planted dependencies over the five screened columns:
