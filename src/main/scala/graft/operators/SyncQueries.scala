@@ -602,6 +602,66 @@ object SyncQueries {
     table.statsTable().orderBy("column")
   }
 
+  /** Histogram-driven SELECTIVITY estimation — the stats CONSUMER a
+    * cost-based planner actually is: a range predicate's cardinality
+    * estimated from the published bucket intervals (full buckets plus
+    * integer linear interpolation on the edge buckets) next to the
+    * exact count, all-integer so both engines agree bit-for-bit. The
+    * estimate reads METADATA only (16 bucket rows); at 100 TB that is
+    * the difference between planning from a snapshot and scanning to
+    * decide how to scan.
+    */
+  def tableSelectivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = graft.util.Scratch.dir("selectivity-query")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(23)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_sel", src.schema)
+    table.append(src)
+    table.analyze(Seq("o_custkey"))
+    table.analyzeHistogram(Seq("o_custkey"), buckets = 16)
+    val st = table.statsTable().filter(col("column") === "o_custkey").collect()(0)
+    val (mn, mx) = (st.getString(5).toLong, st.getString(6).toLong)
+    val span = mx - mn + 1
+    val (qlo, qhi) = (mn + span / 8, mn + span / 3)
+    val est = table.histogramTable().collect().map { r =>
+      val (blo, bhi, cnt) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (lo, hi) = (math.max(blo, qlo), math.min(bhi, qhi))
+      if (hi >= lo) cnt * (hi - lo + 1) / (bhi - blo + 1) else 0L
+    }.sum
+    val exact = table.read().filter(col("o_custkey").between(qlo, qhi)).count()
+    Seq((qlo, qhi, est, exact, math.abs(est - exact)))
+      .toDF("qlo", "qhi", "est_rows", "exact_rows", "abs_err")
+  }
+
+  private val tableSelectivityOracle =
+    """WITH sub AS (
+      |  SELECT o_custkey FROM orders WHERE o_orderkey % 23 = 0),
+      |b AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM sub),
+      |q AS (
+      |  SELECT mn + (mx - mn + 1) // 8 AS qlo, mn + (mx - mn + 1) // 3 AS qhi
+      |  FROM b),
+      |c AS (
+      |  SELECT ((o_custkey - mn) * 16) // (mx - mn + 1) AS bucket, count(*) AS cnt
+      |  FROM sub, b GROUP BY 1),
+      |iv AS (
+      |  SELECT i AS bucket,
+      |    mn + (i * (mx - mn + 1) + 15) // 16 AS blo,
+      |    mn + ((i + 1) * (mx - mn + 1) + 15) // 16 - 1 AS bhi,
+      |    coalesce(cnt, 0) AS cnt
+      |  FROM b, range(0, 16) r(i) LEFT JOIN c ON c.bucket = i),
+      |est AS (
+      |  SELECT sum(CASE WHEN least(bhi, qhi) >= greatest(blo, qlo)
+      |    THEN cnt * (least(bhi, qhi) - greatest(blo, qlo) + 1) // (bhi - blo + 1)
+      |    ELSE 0 END) AS e
+      |  FROM iv, q),
+      |ex AS (
+      |  SELECT count(*) AS x FROM sub, q WHERE o_custkey BETWEEN qlo AND qhi)
+      |SELECT qlo, qhi, CAST(e AS BIGINT) AS est_rows, CAST(x AS BIGINT) AS exact_rows,
+      |  CAST(abs(e - x) AS BIGINT) AS abs_err
+      |FROM q, est, ex""".stripMargin
+
   /** Bloom point lookup ([[IceliteTable.readForKeys]]): four
     * HASH-SCATTERED appends (every file spans the full key range, so
     * min/max bounds prune NOTHING — the case blooms exist for), per-
@@ -1259,6 +1319,8 @@ object SyncQueries {
       "equi-width histogram stats under frozen ANALYZE bounds: exact bucket intervals + counts from metadata"),
     GraftQuery("table_bloom_lookup", tableBloomLookup _, Some(tableBloomLookupOracle),
       "point lookup via per-file key blooms: skips hash-scattered files min/max bounds cannot, MoR-exact"),
+    GraftQuery("table_selectivity", tableSelectivity _, Some(tableSelectivityOracle),
+      "histogram-driven selectivity estimate (metadata only) vs the exact range count, all-integer"),
     GraftQuery("table_changelog_stream", tableChangelogStream _, Some(tableChangelogStreamOracle),
       "streaming CDC consumer: changelog feed export + checkpointed file-stream resume"),
     GraftQuery("table_replica_sync", tableReplicaSync _, Some(tableReplicaSyncOracle),
