@@ -1290,6 +1290,115 @@ object SyncQueries {
       |    AS tier
       |FROM sub ORDER BY _id""".stripMargin
 
+  /** SCD Type 2 dimension maintenance ([[graft.table.Scd2]]): three
+    * sequential update batches over the customer dimension — initial
+    * load, a batch mixing NEW keys with attribute changes, and a batch
+    * mixing churn updates with NO-OP resends — applied through the
+    * close-and-open upsert path, then the full version history. The
+    * oracle recomputes the history relationally (consecutive-change
+    * dedup + lead validity intervals), so the gate proves the
+    * sequential MERGE-driven maintenance equals the declarative
+    * definition. Balance cents via floor(x*100): DuckDB's double→int
+    * CAST rounds where Spark's truncates, floor is IEEE-identical.
+    */
+  def tableScd2(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("scd2-query")
+    val dim = scd2Fixture(spark, dir, wh)
+    dim.history()
+      .select(col("c_custkey"), col("c_mktsegment"), col("acctbal_cents"),
+        col("eff_from"), col("eff_to"))
+      .orderBy("c_custkey", "eff_from")
+  }
+
+  /** Point-in-time dimension read over the same SCD2 history
+    * ([[graft.table.Scd2.asOf]]): the customer dimension as it stood
+    * at seq 250 — after the new-keys/changes batch, before churn. One
+    * validity-interval predicate over the history table; the oracle
+    * filters its recomputed intervals the same way.
+    */
+  def tableScd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("scd2-asof-query")
+    val dim = scd2Fixture(spark, dir, wh)
+    dim.asOf(250L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("acctbal_cents"),
+        col("eff_from"))
+      .orderBy("c_custkey")
+  }
+
+  /** Shared SCD2 fixture: b1 = initial load (keys % 3 != 0) at seq
+    * 100; b2 = all % 3 == 0 keys (NEW) plus % 5 == 0 keys with balance
+    * +1000.00 at seq 200; b3 = % 7 == 0 churn (segment CHURNED,
+    * +5000.00 more) plus % 11 == 0 no-op resends of current values at
+    * seq 300.
+    */
+  private def scd2Fixture(spark: SparkSession, dir: String, wh: String): graft.table.Scd2 = {
+    val k = col("c_custkey")
+    val base = t(spark, dir, "customer")
+      .select(k, col("c_mktsegment"), floor(col("c_acctbal") * 100).as("acctbal_cents"))
+    val b1 = base.filter(k % 3 =!= 0)
+    val b2 = base.filter(k % 3 === 0 || k % 5 === 0)
+      .withColumn("acctbal_cents",
+        col("acctbal_cents") + when(k % 5 === 0, 100000L).otherwise(0L))
+    val b3 = base.filter(k % 7 === 0 || k % 11 === 0)
+      .withColumn("c_mktsegment",
+        when(k % 7 === 0, lit("CHURNED")).otherwise(col("c_mktsegment")))
+      .withColumn("acctbal_cents",
+        col("acctbal_cents") + when(k % 5 === 0, 100000L).otherwise(0L)
+          + when(k % 7 === 0, 500000L).otherwise(0L))
+    val dim = graft.table.Scd2.create(spark, wh, "analytics", "customer_scd2", b1,
+      Seq("c_custkey"), Seq("c_mktsegment", "acctbal_cents"))
+    dim.apply(b1, 100L)
+    dim.apply(b2, 200L)
+    dim.apply(b3, 300L)
+    dim
+  }
+
+  private val scd2BatchesCte =
+    """b1 AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+      |    CAST(100 AS BIGINT) AS s
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |b2 AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT)
+      |      + CASE WHEN c_custkey % 5 = 0 THEN 100000 ELSE 0 END AS acctbal_cents,
+      |    CAST(200 AS BIGINT) AS s
+      |  FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 5 = 0),
+      |b3 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'CHURNED' ELSE c_mktsegment END AS c_mktsegment,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT)
+      |      + CASE WHEN c_custkey % 5 = 0 THEN 100000 ELSE 0 END
+      |      + CASE WHEN c_custkey % 7 = 0 THEN 500000 ELSE 0 END AS acctbal_cents,
+      |    CAST(300 AS BIGINT) AS s
+      |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0),
+      |allb AS (
+      |  SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3),
+      |v AS (
+      |  SELECT *,
+      |    lag(c_mktsegment) OVER w AS pm, lag(acctbal_cents) OVER w AS pa
+      |  FROM allb WINDOW w AS (PARTITION BY c_custkey ORDER BY s)),
+      |kept AS (
+      |  SELECT c_custkey, c_mktsegment, acctbal_cents, s FROM v
+      |  WHERE pm IS NULL OR pm <> c_mktsegment OR pa <> acctbal_cents),
+      |hist AS (
+      |  SELECT c_custkey, c_mktsegment, acctbal_cents, s AS eff_from,
+      |    lead(s) OVER (PARTITION BY c_custkey ORDER BY s) AS eff_to
+      |  FROM kept)""".stripMargin
+
+  private val tableScd2Oracle =
+    s"""WITH $scd2BatchesCte
+      |SELECT c_custkey, c_mktsegment, acctbal_cents, eff_from, eff_to
+      |FROM hist ORDER BY c_custkey, eff_from""".stripMargin
+
+  private val tableScd2AsOfOracle =
+    s"""WITH $scd2BatchesCte
+      |SELECT c_custkey, c_mktsegment, acctbal_cents, eff_from
+      |FROM hist
+      |WHERE eff_from <= 250 AND (eff_to IS NULL OR eff_to > 250)
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -1340,5 +1449,9 @@ object SyncQueries {
     GraftQuery("table_merge", tableMerge _, Some(tableMergeOracle),
       "MERGE INTO: conditional update/delete/insert + column-level UPDATE SET in one commit"),
     GraftQuery("zorder_scan", zorderScan _, Some(zorderScanOracle),
-      "z-order range read: second-dimension file pruning + exact row bound"))
+      "z-order range read: second-dimension file pruning + exact row bound"),
+    GraftQuery("table_scd2", tableScd2 _, Some(tableScd2Oracle),
+      "SCD Type 2 maintenance: close-and-open version history across new/changed/no-op batches"),
+    GraftQuery("table_scd2_asof", tableScd2AsOf _, Some(tableScd2AsOfOracle),
+      "point-in-time dimension read: one validity-interval predicate over the SCD2 history"))
 }
