@@ -281,7 +281,60 @@ object Funnels {
       |WHERE day BETWEEN b.mn AND b.mx
       |ORDER BY day""".stripMargin
 
+  /** Session gap bounding a journey step (µs): consecutive events
+    * further apart than this belong to different paths.
+    */
+  private val PathGapUs: Long = 1800L * 1000000
+
+  /** Top user-journey trigrams — sequential path mining, the "what do
+    * users DO around a purchase" report funnels can't answer: each
+    * user's event stream ordered by (ts, event_id), consecutive
+    * event-type triples whose BOTH gaps stay inside the 30-minute
+    * session bound, counted and ranked.
+    *
+    * Scale shape: the two leads stack on ONE (user_id) window
+    * partitioning — a single hash exchange of the event stream, no
+    * self-joins (the naive 3-way join re-shuffles the table twice);
+    * the trigram hash-agg's key space is |event_types|³ (map-side
+    * combine collapses it early), and the top-20 is TakeOrdered
+    * (per-partition heads + driver merge, no global sort).
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .withColumn("us2", lead(col("us"), 1).over(w))
+      .withColumn("us3", lead(col("us"), 2).over(w))
+      .filter(col("e3").isNotNull &&
+        col("us2") - col("us") <= PathGapUs && col("us3") - col("us2") <= PathGapUs)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(desc("n_paths"), col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  private val eventPathsOracle =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events),
+       |t AS (
+       |  SELECT event_type AS e1,
+       |    lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3,
+       |    us, lead(us, 1) OVER w AS us2, lead(us, 2) OVER w AS us3
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+       |SELECT e1, e2, e3, count(*) AS n_paths
+       |FROM t
+       |WHERE e3 IS NOT NULL AND us2 - us <= $PathGapUs AND us3 - us2 <= $PathGapUs
+       |GROUP BY 1, 2, 3
+       |ORDER BY n_paths DESC, e1, e2, e3
+       |LIMIT 20""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("event_paths", eventPaths _, Some(eventPathsOracle),
+      "top session-bounded event-type trigram journeys: stacked leads on one window exchange"),
     GraftQuery("event_stickiness", eventStickiness _, Some(eventStickinessOracle),
       "DAU/WAU stickiness: sliding 7-day distinct users via pairwise day contribution, no self-join"),
     GraftQuery("event_attribution", eventAttribution _, Some(eventAttributionOracle),

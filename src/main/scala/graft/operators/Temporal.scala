@@ -150,9 +150,80 @@ object Temporal {
        |FROM v JOIN p ON v.user_id = p.user_id AND vs <= pe AND ps <= ve
        |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
 
+  // ------------------------------------------------------ gap fill
+
+  private val DayUs: Long = 86400L * 1000000
+
+  /** Time-series gap fill with last-observation-carried-forward —
+    * the regularization step every downsampled metric feed needs
+    * before joins or charting: per event type, the LAST `value`
+    * observed each day (deterministic last: max (us, event_id) wins),
+    * re-gridded onto EVERY day of the observed range, missing days
+    * filled by the ignore-nulls trailing window. Days before a key's
+    * first observation stay null (`filled = false` marks carried
+    * rows).
+    *
+    * Scale shape: the per-day last-value reduction is one window on
+    * (type, day) — map-side the row stream collapses to one row per
+    * (type, day); the grid explode generates keys×days rows from a
+    * 1-row broadcast bound (never touching the event stream again);
+    * the LOCF window re-uses the (type) partitioning. No self-join,
+    * no per-gap probing.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("day", expr(s"us DIV ${DayUs}L"))
+    val lastPerDay = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("day"))
+          .orderBy(desc("us"), desc("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day"), col("value"))
+    val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val grid = lastPerDay.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerDay, Seq("event_type", "day"), "left")
+      .withColumn("filled_value", last(col("value"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("day"),
+        col("value").isNotNull.as("observed"), col("filled_value"))
+      .orderBy("event_type", "day")
+  }
+
+  private val gapFillOracle =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, value,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // $DayUs AS day
+       |  FROM events),
+       |lastd AS (
+       |  SELECT event_type, day, value FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY event_type, day ORDER BY us DESC, event_id DESC) AS rn
+       |    FROM e) WHERE rn = 1),
+       |b AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+       |grid AS (
+       |  SELECT event_type, mn + i AS day
+       |  FROM (SELECT DISTINCT event_type FROM lastd), b, range(0, 100000) r(i)
+       |  WHERE mn + i <= mx)
+       |SELECT g.event_type AS event_type, g.day AS day,
+       |  l.value IS NOT NULL AS observed,
+       |  last_value(l.value IGNORE NULLS) OVER (
+       |    PARTITION BY g.event_type ORDER BY g.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+       |FROM grid g LEFT JOIN lastd l
+       |  ON g.event_type = l.event_type AND g.day = l.day
+       |ORDER BY g.event_type, g.day""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("timeseries_gapfill", gapFill _, Some(gapFillOracle),
+      "daily re-grid + LOCF fill via ignore-nulls trailing window, no per-gap probing"),
     GraftQuery("asof_join", asofJoin _, Some(asofJoinOracle),
       "as-of join via union + running-max window (single shuffle)"),
     GraftQuery("range_join", rangeJoin _, Some(rangeJoinOracle),

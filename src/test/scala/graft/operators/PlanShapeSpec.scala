@@ -228,4 +228,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val p = planOf("dedup_edit_distance")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("event paths: both leads on ONE user_id window; top-20 via TakeOrdered") {
+    val pe = SparkEntry.queries("event_paths")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(pe).size
+    assert(userExchanges == 1, s"expected 1 user_id shuffle, got $userExchanges:\n$pe")
+    val windows = "- Window \\[".r.findAllIn(pe).size
+    assert(windows == 1, s"expected 1 window operator, got $windows:\n$pe")
+    assert(pe.contains("TakeOrderedAndProject"), "top-20 should avoid a global sort")
+  }
+
+  test("gap fill: grid explode rides a broadcast bound; no cartesian on the event stream") {
+    val p = planOf("timeseries_gapfill")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the 1-row bounds broadcast into the grid
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
 }
