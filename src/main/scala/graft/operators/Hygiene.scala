@@ -343,7 +343,89 @@ object Hygiene {
 
   // ---------------------------------------------------------- registry
 
+  /** Risky-class threshold: an equivalence class under the
+    * quasi-identifier signature with fewer rows than this re-identifies
+    * its members.
+    */
+  val KAnon: Int = 5
+
+  /** K-anonymity audit with one local-recoding generalization step —
+    * the privacy gate a dataset passes before release: rows group into
+    * equivalence classes under the quasi-identifier signature (nation,
+    * market segment, fine balance bucket); classes below k = [[KAnon]]
+    * re-identify their members, so THEIR rows coarsen the balance
+    * bucket 5× (local recoding — compliant classes keep full
+    * resolution) and class sizes recompute over the mixed signature.
+    * Output: per nation, the class counts and minimum class size (the
+    * k actually attained) before and after generalization.
+    *
+    * All-integer: balance buckets divide SHIFTED non-negative cents
+    * (Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    * so negative balances must never reach the division).
+    *
+    * Scale shape: two hash-aggs on the bounded QI signature space plus
+    * one shuffle join of rows to their fine-class size — the row
+    * stream is touched twice, no self-join; class cardinality (not row
+    * count) bounds every later operator.
+    */
+  def kanonAudit(spark: SparkSession, dir: String): DataFrame = {
+    val rows = t(spark, dir, "customer").select(
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("seg"),
+      expr("(floor(c_acctbal * 100) + 100000L) div 100000L").as("fine_b"),
+      expr("(floor(c_acctbal * 100) + 100000L) div 500000L").as("coarse_b"))
+    val fine = rows.groupBy("nation", "seg", "fine_b")
+      .agg(count(lit(1)).as("n")).withColumnRenamed("n", "fine_n")
+    val recoded = rows.join(fine, Seq("nation", "seg", "fine_b"))
+      .select(col("nation"), col("seg"),
+        when(col("fine_n") < KAnon, col("coarse_b") * lit(-1L) - lit(1L))
+          .otherwise(col("fine_b")).as("bucket"))
+    val post = recoded.groupBy("nation", "seg", "bucket")
+      .agg(count(lit(1)).as("post_n"))
+    val preStats = fine.groupBy("nation").agg(
+      count(lit(1)).as("n_classes"),
+      min(col("fine_n")).as("k_before"),
+      sum(when(col("fine_n") < KAnon, col("fine_n")).otherwise(0L)).as("rows_at_risk"))
+    val postStats = post.groupBy("nation").agg(
+      count(lit(1)).as("n_classes_post"),
+      min(col("post_n")).as("k_after"),
+      sum(when(col("post_n") < KAnon, col("post_n")).otherwise(0L)).as("rows_at_risk_post"))
+    preStats.join(postStats, "nation").orderBy("nation")
+  }
+
+  private val kanonAuditOracle =
+    s"""WITH rows_ AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS seg,
+       |    (CAST(floor(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS fine_b,
+       |    (CAST(floor(c_acctbal * 100) AS BIGINT) + 100000) // 500000 AS coarse_b
+       |  FROM customer),
+       |fine AS (
+       |  SELECT nation, seg, fine_b, count(*) AS fine_n
+       |  FROM rows_ GROUP BY 1, 2, 3),
+       |recoded AS (
+       |  SELECT r.nation AS nation, r.seg AS seg,
+       |    CASE WHEN f.fine_n < $KAnon THEN r.coarse_b * -1 - 1 ELSE r.fine_b END AS bucket
+       |  FROM rows_ r JOIN fine f
+       |    ON r.nation = f.nation AND r.seg = f.seg AND r.fine_b = f.fine_b),
+       |post AS (
+       |  SELECT nation, seg, bucket, count(*) AS post_n
+       |  FROM recoded GROUP BY 1, 2, 3),
+       |pre_s AS (
+       |  SELECT nation, count(*) AS n_classes, min(fine_n) AS k_before,
+       |    sum(CASE WHEN fine_n < $KAnon THEN fine_n ELSE 0 END) AS rows_at_risk
+       |  FROM fine GROUP BY 1),
+       |post_s AS (
+       |  SELECT nation, count(*) AS n_classes_post, min(post_n) AS k_after,
+       |    sum(CASE WHEN post_n < $KAnon THEN post_n ELSE 0 END) AS rows_at_risk_post
+       |  FROM post GROUP BY 1)
+       |SELECT nation, n_classes, k_before, CAST(rows_at_risk AS BIGINT) AS rows_at_risk,
+       |  n_classes_post, k_after, CAST(rows_at_risk_post AS BIGINT) AS rows_at_risk_post
+       |FROM pre_s JOIN post_s USING (nation)
+       |ORDER BY nation""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("kanon_audit", kanonAudit _, Some(kanonAuditOracle),
+      "k-anonymity audit + one local-recoding generalization: per-nation attained k before/after"),
     GraftQuery("decontam_semantic", decontamSemantic _, Some(decontamSemanticOracle),
       "embedding-level decontamination: corpus vs broadcast eval set, two-phase cosine"),
     GraftQuery("decontam_overlap", decontamOverlap _, Some(decontamOverlapOracle),
