@@ -1353,6 +1353,54 @@ object SyncQueries {
     dim
   }
 
+  /** Materialized-rollup SERVING (the aggregate-navigator pattern OLAP
+    * engines live on): a day × returnflag rollup of lineitem — sums in
+    * exact DECIMAL so partials re-aggregate bit-identically, counts
+    * alongside so averages stay derivable — persisted ONCE as an
+    * icelite table; the monthly report then re-aggregates the rollup
+    * (sum of sums, sum of counts, avg DERIVED from them — never an avg
+    * of avgs) and the base table is absent from the serving plan
+    * (pinned in `PlanShapeSpec`). The oracle computes the SAME report
+    * straight off lineitem, so the gate certifies the rewrite: serving
+    * from the materialization ≡ the direct query. At 100 TB the
+    * rollup is ~10⁴× smaller than the fact table and every dashboard
+    * refresh pays rollup-scan cost, not fact-scan cost.
+    */
+  def rollupServing(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("rollup-query")
+    val fine = t(spark, dir, "lineitem")
+      .groupBy(
+        (year(col("l_shipdate")).cast("long") * 10000 +
+          month(col("l_shipdate")) * 100 + dayofmonth(col("l_shipdate"))).as("day_key"),
+        col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(27,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(27,2)")).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+    val table = IceliteTable.create(spark, wh, "analytics", "lineitem_rollup", fine.schema)
+    table.append(fine)
+    table.read()
+      .groupBy(expr("day_key div 100").as("month_key"), col("l_returnflag"))
+      .agg(
+        sum(col("sum_qty")).cast("double").as("sum_qty"),
+        sum(col("sum_price")).cast("double").as("sum_price"),
+        sum(col("n_rows")).as("n_rows"),
+        (sum(col("sum_price")).cast("double") / sum(col("n_rows"))).as("avg_price"))
+      .orderBy("month_key", "l_returnflag")
+  }
+
+  private val rollupServingOracle =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) * 100 + month(l_shipdate) AS month_key,
+      |  l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / count(*)
+      |    AS avg_price
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY month_key, l_returnflag""".stripMargin
+
   private val scd2BatchesCte =
     """b1 AS (
       |  SELECT c_custkey, c_mktsegment,
@@ -1450,6 +1498,8 @@ object SyncQueries {
       "MERGE INTO: conditional update/delete/insert + column-level UPDATE SET in one commit"),
     GraftQuery("zorder_scan", zorderScan _, Some(zorderScanOracle),
       "z-order range read: second-dimension file pruning + exact row bound"),
+    GraftQuery("rollup_serving", rollupServing _, Some(rollupServingOracle),
+      "materialized day-rollup serving a monthly report: re-aggregated partials == direct fact query"),
     GraftQuery("table_scd2", tableScd2 _, Some(tableScd2Oracle),
       "SCD Type 2 maintenance: close-and-open version history across new/changed/no-op batches"),
     GraftQuery("table_scd2_asof", tableScd2AsOf _, Some(tableScd2AsOfOracle),

@@ -239,6 +239,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(pe.contains("TakeOrderedAndProject"), "top-20 should avoid a global sort")
   }
 
+  test("rollup serving never scans the fact table: the monthly plan reads only the rollup") {
+    val p = planOf("rollup_serving")
+    assert(!p.contains("lineitem.parquet"),
+      s"serving plan regressed to a fact-table scan:\n$p")
+  }
+
   test("gap fill: grid explode rides a broadcast bound; no cartesian on the event stream") {
     val p = planOf("timeseries_gapfill")
     assert(!p.contains("CartesianProduct"))
