@@ -419,9 +419,108 @@ object EventStreams {
        |FROM k ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------------------ late-data accounting
+
+  private val WinUs: Long = 3600L * 1000000
+
+  /** Split event dirs keyed by input dir (built once per session, like
+    * [[drainBases]]): two on-time files (event_id % 4 != 0, split at
+    * the 3/4 point of the time range) followed by a LATE file
+    * (% 4 == 0, spanning the full range), mtimes pinned 10 s apart so
+    * the file source's modification-time ordering IS the batch order
+    * under maxFilesPerTrigger=1. THREE data batches are the minimum
+    * that exercises the drop path: since Spark 3.4 late events filter
+    * against the PREVIOUS micro-batch's watermark
+    * (`watermarkForLateEvents` lags `watermarkForEviction` by one
+    * batch — SPARK-42376), so the late file's effective cut is the
+    * watermark earned by batch 1, max(first on-time file) − 1 h.
+    */
+  private val lateDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def lateSplitDir(spark: SparkSession, dir: String): String =
+    lateDirs.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files.createTempDirectory("graft_late_").toString
+      drainDirs.add(new java.io.File(base))
+      val tgt = java.nio.file.Paths.get(s"$base/in/events.parquet")
+      java.nio.file.Files.createDirectories(tgt)
+      val ev = graft.Tables.events(spark, dir)
+      val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).collect()(0)
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val t75 = mn + (mx - mn) * 3 / 4
+      val conds = Seq(
+        s"pmod(event_id, 4) != 0 AND unix_micros(ts) < ${t75}L",
+        s"pmod(event_id, 4) != 0 AND unix_micros(ts) >= ${t75}L",
+        "pmod(event_id, 4) = 0")
+      conds.zipWithIndex.foreach { case (cond, i) =>
+        val tmp = s"$base/tmp$i"
+        ev.filter(expr(cond)).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = tgt.resolve(f"part-$i%05d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1000000L + i * 10000L)
+      }
+      s"$base/in"
+    })
+
+  /** Watermark late-data accounting — the correctness contract of
+    * every streaming aggregation: the event fixture replays as THREE
+    * micro-batches — early on-time, recent on-time, then a
+    * deliberately disordered late feed spanning the full range — so
+    * the late batch's rows into windows already sealed by the
+    * previous batch's watermark (max of the FIRST file − 1 h, see
+    * [[lateSplitDir]] on the one-batch lag) are DROPPED, while append
+    * mode emits only windows the final watermark has sealed. The
+    * oracle recomputes both watermarks and applies the same two cuts
+    * relationally — the gate certifies the drop/emit boundary, not
+    * just the happy path.
+    *
+    * Scale: identical plan to [[windowCounts]] (streaming hash-agg,
+    * state bounded by live windows); the split dir is a fixture
+    * artifact, not a deployment step.
+    */
+  def lateEvents(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEventStream(spark, lateSplitDir(spark, dir), maxFilesPerTrigger = Some(1))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    drainToParquet(spark, agg, OutputMode.Append(), s"late_events:$dir")
+      .select(col("win.start").as("window_start"), col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type")
+  }
+
+  private val lateEventsOracle =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events),
+       |bounds AS (
+       |  SELECT min(us) AS mn, max(us) AS mx,
+       |    min(us) + (max(us) - min(us)) * 3 // 4 AS t75
+       |  FROM e),
+       |a AS (SELECT e.* FROM e WHERE event_id % 4 <> 0),
+       |b AS (SELECT e.* FROM e WHERE event_id % 4 = 0),
+       |wmdrop AS (
+       |  SELECT max(us) - $WinUs AS w FROM a, bounds WHERE us < t75),
+       |wmf AS (SELECT max(us) - $WinUs AS w FROM e),
+       |surv AS (
+       |  SELECT event_type, us FROM a
+       |  UNION ALL
+       |  SELECT b.event_type, b.us FROM b, wmdrop
+       |  WHERE (b.us // $WinUs + 1) * $WinUs > wmdrop.w),
+       |fin AS (
+       |  SELECT us // $WinUs AS win, event_type, count(*) AS n_events
+       |  FROM surv GROUP BY 1, 2)
+       |SELECT make_timestamp(win * $WinUs) AS window_start, event_type, n_events
+       |FROM fin, wmf
+       |WHERE (win + 1) * $WinUs <= wmf.w
+       |ORDER BY window_start, event_type""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("stream_late_events", lateEvents _, Some(lateEventsOracle),
+      "watermark late-data accounting: disordered two-batch replay, drop + emit boundaries gated"),
     GraftQuery("stream_window_counts", windowCounts _, Some(windowCountsOracle),
       "streaming tumbling 1h window agg with watermark (AvailableNow drain)"),
     GraftQuery("stream_kmv_users", streamKmvUsers _, Some(streamKmvUsersOracle),
