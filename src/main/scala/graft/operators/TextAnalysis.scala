@@ -1175,7 +1175,103 @@ object TextAnalysis {
        |  md5(substr(text, chunk_idx * $ChunkStride + 1, $ChunkChars)) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** BM25 query terms (fixed literal keyword query). */
+  val Bm25Terms: Seq[String] = Seq("merge", "vector", "stream")
+
+  /** Saturation cap on tf: BM25's tf factor saturates anyway, and the
+    * cap bounds the all-integer scoring against 64-bit overflow.
+    */
+  val Bm25TfCap = 50
+
+  /** idf scaling factor (integer score resolution). */
+  val Bm25IdfScale = 1000L
+
+  /** Keyword retrieval ranking — BM25 scoring (k1 = 1.2, b = 0.75)
+    * with the RAW-LIFT idf variant `(N − df + ½)/(df + ½)` instead of
+    * its log (the [[collocations]] precedent: the log is monotone
+    * per-term, and an all-integer rational keeps both engines
+    * bit-identical where transcendental rounding would diverge — the
+    * variant is documented, not hidden). Each term contribution is ONE
+    * integer floor division of exact 64-bit products:
+    * `(IdfScale·(2N−2df+1) · 22·tf·S) // ((2df+1) · (10·tf·S + 3S + 9·dl·N))`
+    * — the k1/b rationals multiplied through by `10S`, so no
+    * intermediate rounding exists anywhere; tf caps at [[Bm25TfCap]].
+    * Integer contributions sum order-independently.
+    *
+    * Scale shape: ONE corpus scan computes (dl, tf per query term)
+    * scan-locally (no explode — `filter(words, …)` counts inside the
+    * row); a 1-row aggregate broadcasts (N, S, df per term); scoring
+    * is a scan-local projection over matching docs and the top-10 is
+    * TakeOrdered. At 100 TB the same scoring runs off a word posting
+    * index (the [[LmIndex]] lifecycle) instead of the corpus scan.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val f = t(spark, dir, "documents").select(
+      col("doc_id") +: size(words).cast("long").as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (term, i) =>
+          size(filter(words, w => w === term)).cast("long").as(s"tf$i")
+        }: _*).localCheckpoint(true)
+    try {
+      val statAggs = count(lit(1)).cast("long").as("n") +:
+        sum(col("dl")).as("s") +:
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = f.agg(statAggs.head, statAggs.tail: _*)
+      val contribs = Bm25Terms.indices.map { i =>
+        val tf = least(col(s"tf$i"), lit(Bm25TfCap.toLong))
+        val num = lit(Bm25IdfScale) * (lit(2) * col("n") - lit(2) * col(s"df$i") + lit(1)) *
+          lit(22) * tf * col("s")
+        val den = (lit(2) * col(s"df$i") + lit(1)) *
+          (lit(10) * tf * col("s") + lit(3) * col("s") + lit(9) * col("dl") * col("n"))
+        when(col(s"tf$i") > 0, expr_div(num, den)).otherwise(lit(0L))
+      }
+      f.crossJoin(broadcast(stats))
+        .filter(Bm25Terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+        .select(col("doc_id"), contribs.reduce(_ + _).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10)
+    } finally f.unpersist()
+  }
+
+  /** Integer floor division as a Column (`div` keeps it exact — `/`
+    * would detour through doubles).
+    */
+  private def expr_div(num: Column, den: Column): Column =
+    call_function("div", num, den)
+
+  private val bm25Oracle = {
+    val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$term')) AS BIGINT) AS tf$i"
+    }.mkString(",\n       |    ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(", ")
+    val contribs = Bm25Terms.indices.map { i =>
+      val tf = s"least(tf$i, $Bm25TfCap)"
+      s"""CASE WHEN tf$i > 0 THEN
+         |    ($Bm25IdfScale * (2 * n - 2 * df$i + 1) * 22 * $tf * s)
+         |      // ((2 * df$i + 1) * (10 * $tf * s + 3 * s + 9 * dl * n))
+         |    ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    $tfs
+       |  FROM documents),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s, $dfs
+       |  FROM f)
+       |SELECT doc_id,
+       |  CAST($contribs AS BIGINT) AS score
+       |FROM f, st
+       |WHERE ${Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")}
+       |ORDER BY score DESC, doc_id
+       |LIMIT 10""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_bm25", bm25 _, Some(bm25Oracle),
+      "BM25 keyword retrieval (raw-lift idf, all-integer rational scoring): one scan + 1-row broadcast"),
     GraftQuery("quality_classifier", qualityClassifier _, Some(qualityClassifierOracle),
       "batch-perceptron quality filter distilling the rule gate: integer-exact training curve + weights"),
     GraftQuery("quality_classifier_apply", qualityClassifierApply _, Some(qualityClassifierApplyOracle),
