@@ -431,7 +431,82 @@ object Profiling {
 
   // ---------------------------------------------------------- registry
 
+  /** Declarative data-quality expectations (the dbt-test / Deequ
+    * check-suite shape): each check is a named predicate compiled into
+    * a conditional count, grouped so one scan per TABLE evaluates all
+    * of that table's checks (never one scan per check); the
+    * referential check is a broadcast-eligible anti-join on the key.
+    * Emits (check, n_violations, n_checked) — the report a pipeline
+    * gates a publish on. At 100 TB the per-table scans are the
+    * irreducible cost and everything else is a 1-row union.
+    */
+  def dqExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    val c = t(spark, dir, "customer")
+    // orders-scan checks: key uniqueness via count-distinct delta,
+    // accepted status set, non-negative total
+    val ordersChecks = o.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("bad_status"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_total"),
+      count(lit(1)).as("n_orders"))
+    val liChecks = li.agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 45, 1L).otherwise(0L))
+        .as("qty_range"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.08, 1L).otherwise(0L))
+        .as("disc_range"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"),
+      count(lit(1)).as("n_lineitem"))
+    val orphans = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_orphans"))
+    def row(name: String, v: Column, n: Column) =
+      struct(lit(name).as("check"), v.cast("long").as("n_violations"),
+        n.cast("long").as("n_checked"))
+    ordersChecks.crossJoin(liChecks).crossJoin(orphans)
+      .select(explode(array(
+        row("orders_unique_key", col("dup_orderkey"), col("n_orders")),
+        row("orders_status_set", col("bad_status"), col("n_orders")),
+        row("orders_positive_total", col("nonpos_total"), col("n_orders")),
+        row("orders_customer_fk", col("fk_orphans"), col("n_orders")),
+        row("lineitem_qty_range", col("qty_range"), col("n_lineitem")),
+        row("lineitem_discount_range", col("disc_range"), col("n_lineitem")),
+        row("lineitem_shipdate_not_null", col("null_shipdate"), col("n_lineitem")))).as("r"))
+      .select(col("r.check").as("check"), col("r.n_violations").as("n_violations"),
+        col("r.n_checked").as("n_checked"))
+      .orderBy("check")
+  }
+
+  private val dqExpectationsOracle =
+    """WITH oc AS (
+      |  SELECT count(*) - count(DISTINCT o_orderkey) AS dup_orderkey,
+      |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+      |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_total,
+      |    count(*) AS n_orders
+      |  FROM orders),
+      |lc AS (
+      |  SELECT CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS disc_range,
+      |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+      |    count(*) AS n_lineitem
+      |  FROM lineitem),
+      |fk AS (
+      |  SELECT count(*) AS fk_orphans FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |r AS (
+      |  SELECT 'orders_unique_key' AS check, dup_orderkey AS n_violations, n_orders AS n_checked FROM oc
+      |  UNION ALL SELECT 'orders_status_set', bad_status, n_orders FROM oc
+      |  UNION ALL SELECT 'orders_positive_total', nonpos_total, n_orders FROM oc
+      |  UNION ALL SELECT 'orders_customer_fk', fk_orphans, n_orders FROM oc, fk
+      |  UNION ALL SELECT 'lineitem_qty_range', qty_range, n_lineitem FROM lc
+      |  UNION ALL SELECT 'lineitem_discount_range', disc_range, n_lineitem FROM lc
+      |  UNION ALL SELECT 'lineitem_shipdate_not_null', null_shipdate, n_lineitem FROM lc)
+      |SELECT "check", n_violations, n_checked FROM r ORDER BY "check" """.stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("dq_expectations", dqExpectations _, Some(dqExpectationsOracle),
+      "declarative data-quality check suite: one scan per table + FK anti-join, named violation counts"),
     GraftQuery("profile_columns", profileColumns _, Some(profileColumnsOracle),
       "one-pass per-column profile of lineitem (rows / nulls / exact distinct)"),
     GraftQuery("outlier_orders", outlierOrders _, Some(outlierOrdersOracle),
