@@ -19,7 +19,7 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     Relational.all ++ RelationalExt.all ++ Temporal.all ++ Dedup.all ++
       Similarity.all ++ Clustering.all ++ TextAnalysis.all ++ Multimodal.all ++ Pipeline.all ++
-      Hygiene.all ++ Profiling.all ++ Packing.all ++ Funnels.all ++
+      Hygiene.all ++ Profiling.all ++ Packing.all ++ Funnels.all ++ Graph.all ++
       SyncQueries.all ++ IndexIncremental.all ++ CurationState.all ++
       graft.streaming.EventStreams.all
 
