@@ -1401,6 +1401,54 @@ object SyncQueries {
       |GROUP BY 1, 2
       |ORDER BY month_key, l_returnflag""".stripMargin
 
+  /** Dynamic partition overwrite ([[IceliteTable.overwritePartitions]])
+    * as an oracle-gated query: an identity-partitioned orders table
+    * seeded with one PURE single-partition file and two MIXED
+    * all-partition files, then two partitions re-loaded with a
+    * recomputed batch (subset of keys, +1 cent marker). The pure file
+    * drops from metadata alone, the mixed files rewrite only their
+    * surviving rows, untouched partitions keep their bytes — and the
+    * oracle recomputes the expected final content relationally.
+    */
+  def tableOverwritePartitions(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("overwrite-query")
+    val o = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).as("price_cents"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_dyn", o.schema,
+      partitioning = Seq(PartitionConfig("o_orderpriority")))
+    val k = col("o_orderkey")
+    // mixed file (all priorities in one file), pure file (one priority),
+    // then the rest — exercises both metadata classifications
+    table.append(o.filter(pmod(k, lit(2)) === 1))
+    table.append(o.filter(pmod(k, lit(2)) === 0 && col("o_orderpriority") === "1-URGENT"))
+    table.append(o.filter(pmod(k, lit(2)) === 0 && col("o_orderpriority") =!= "1-URGENT"))
+    val reload = o
+      .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM") && pmod(k, lit(3)) === 0)
+      .withColumn("price_cents", col("price_cents") + 1)
+    table.overwritePartitions(reload)
+    table.read()
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("sum_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val tableOverwritePartitionsOracle =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |fin AS (
+      |  SELECT o_orderpriority, cents FROM o
+      |  WHERE o_orderpriority NOT IN ('1-URGENT', '3-MEDIUM')
+      |  UNION ALL
+      |  SELECT o_orderpriority, cents + 1 FROM o
+      |  WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM') AND o_orderkey % 3 = 0)
+      |SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM fin GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   private val scd2BatchesCte =
     """b1 AS (
       |  SELECT c_custkey, c_mktsegment,
@@ -1498,6 +1546,9 @@ object SyncQueries {
       "MERGE INTO: conditional update/delete/insert + column-level UPDATE SET in one commit"),
     GraftQuery("zorder_scan", zorderScan _, Some(zorderScanOracle),
       "z-order range read: second-dimension file pruning + exact row bound"),
+    GraftQuery("table_overwrite_partitions", tableOverwritePartitions _,
+      Some(tableOverwritePartitionsOracle),
+      "dynamic partition overwrite: metadata-only pure-file drop + mixed-file survivor rewrite"),
     GraftQuery("rollup_serving", rollupServing _, Some(rollupServingOracle),
       "materialized day-rollup serving a monthly report: re-aggregated partials == direct fact query"),
     GraftQuery("table_scd2", tableScd2 _, Some(tableScd2Oracle),

@@ -1481,6 +1481,106 @@ final class IceliteTable private (
     (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "truncate", Nil, Nil, 0L)), seq)
   }
 
+  /** Dynamic partition OVERWRITE (Iceberg/Hive `INSERT OVERWRITE …
+    * PARTITION` with dynamic resolution): every partition VALUE present
+    * in `df` has its content replaced by the batch's rows for it;
+    * partitions the batch doesn't touch are untouched — the idempotent
+    * re-load shape backfill jobs are built on (re-running a day's load
+    * replaces that day, never duplicates it).
+    *
+    * Requires a table partitioned by ONE identity transform whose base
+    * column has a sound stat ordering (integral or string). File
+    * classification is METADATA-ONLY, from the partition-column min/max
+    * the manifests already carry: a file wholly inside a touched value
+    * (min == max ∈ touched) is dropped without being read; a file that
+    * MIGHT mix touched and untouched values (range intersects, or no
+    * stats) has its surviving rows rewritten preserving their original
+    * `_graft_seq` (so LWW against live equality deletes is unchanged —
+    * delete files stay live and keep applying at read time); files
+    * whose range excludes every touched value are kept as-is. At
+    * 100 TB a daily re-load therefore touches ~1 partition of files,
+    * not the table.
+    *
+    * One atomic commit: prior snapshots drop their dead files and the
+    * new snapshot carries the batch + mixed-survivor files. Like
+    * compaction, this collapses the overwritten partitions' history
+    * (time travel before the overwrite no longer sees their old rows).
+    * Refused when position deletes exist and a mixed file must be
+    * rewritten (the coordinates would dangle) — fold them with
+    * [[compact]] first.
+    */
+  def overwritePartitions(df: DataFrame): Long = {
+    refresh()
+    val before = cachedMeta
+    val parts = before.partitioning
+    require(parts.size == 1 && parts.head.transform == "identity",
+      s"overwritePartitions requires exactly one identity partition (got $parts)")
+    val p = parts.head
+    val pcol = IceliteTable.partColName(p)
+    val numeric = identityComparator(p, before.schema).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition column ${p.field} has no sound stat ordering for overwrite"))
+    val beforeSeqs = before.snapshots.map(_.seq)
+    val touched: Set[String] = df
+      .select(col(p.field).cast("string")).na.drop().distinct()
+      .collect().map(_.getString(0)).toSet
+    require(touched.nonEmpty, "overwritePartitions: batch has no partition values")
+
+    def classify(stats: Map[String, (String, String)]): String =
+      stats.get(pcol) match {
+        case Some((mn, mx)) if mn == mx =>
+          if (touched(mn)) "dead" else "keep"
+        case Some((mn, mx)) =>
+          if (touched.exists(v => IceliteTable.cmpStat(mn, v, numeric) <= 0 &&
+            IceliteTable.cmpStat(v, mx, numeric) <= 0)) "mixed"
+          else "keep"
+        case None => "mixed" // no stats recorded: conservative rewrite
+      }
+    val classified: Map[String, String] = before.snapshots.flatMap(s =>
+      s.dataFiles.map(f => f -> classify(s.fileStats.getOrElse(f, Map.empty)))).toMap
+    val mixedFiles = classified.collect { case (f, "mixed") => f }.toSeq
+    if (mixedFiles.nonEmpty && before.livePosDeleteFiles.nonEmpty)
+      throw new IllegalStateException(
+        s"overwritePartitions on $name: position deletes may target a mixed file " +
+          "being rewritten — compact() first to fold them")
+
+    val seq = before.lastSeq + 1
+    val commitId = UUID.randomUUID().toString
+    val statCols = keyStatColumns(tableKeyColumns(before.properties), before.schema).toMap ++
+      trackedStats(before.properties, before.schema)
+    // surviving rows of mixed files (original seqs preserved)
+    val (survFiles, survCount, survStats, survMetrics) =
+      if (mixedFiles.isEmpty)
+        (Seq.empty[String], 0L, Map.empty[String, Map[String, (String, String)]],
+          Map.empty[String, (Long, Long)])
+      else {
+        val (_, tc) = transformColumn(p)
+        val surv = readFilesAs(mixedFiles, before.schema, Long.MaxValue, meta = before)
+          .filter(!tc.cast("string").isin(touched.toSeq: _*) || tc.isNull)
+        writeDataFiles(surv, s"$commitId-surv", parts, None, extraStatCols = statCols)
+      }
+    // the batch itself, stamped with the commit seq
+    val (newFiles, newCount, newStats, newMetrics) = writeDataFiles(
+      conformToSchema(df, before.schema).withColumn(SeqCol, lit(seq)),
+      commitId, parts, nFiles = None, extraStatCols = statCols)
+
+    retryCommit { head =>
+      if (head.snapshots.map(_.seq) != beforeSeqs)
+        throw new IllegalStateException(
+          s"concurrent commit during partition overwrite of $name " +
+            s"(read seqs $beforeSeqs, head has ${head.snapshots.map(_.seq)})")
+      val gone = classified.collect { case (f, c) if c != "keep" => f }.toSet
+      val pruned = head.snapshots.map(s => s.copy(
+        dataFiles = s.dataFiles.filterNot(gone),
+        fileStats = s.fileStats.filterNot { case (f, _) => gone(f) },
+        fileMetrics = s.fileMetrics.filterNot { case (f, _) => gone(f) }))
+      val snap = Snapshot(seq, System.currentTimeMillis(), "overwrite-partitions",
+        survFiles ++ newFiles, Nil, survCount + newCount,
+        survStats ++ newStats, fileMetrics = survMetrics ++ newMetrics)
+      (head.copy(snapshots = pruned :+ snap), seq)
+    }
+  }
+
   /** Metadata-only schema evolution (reference S7 / design "schema
     * evolution": auto mode adds columns): merge new fields in, existing
     * files read the added columns as null. Every NEW name is logged as
