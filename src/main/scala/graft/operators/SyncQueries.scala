@@ -1449,6 +1449,51 @@ object SyncQueries {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM fin GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** Zero-copy clone ([[IceliteTable.cloneTo]]) as an oracle-gated
+    * query: clone an upserted orders table by METADATA REFERENCE (no
+    * data copied — `CloneSpec` proves the clone's data dir starts
+    * empty), then DIVERGE both sides with different upserts and read
+    * both. The oracle recomputes each side's expected end state, so
+    * the gate certifies isolation: neither side's writes leak into the
+    * other through the shared files.
+    */
+  def tableClone(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("clone-query")
+    val base = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(11)) === 0)
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100).as("cents"))
+    val src = IceliteTable.create(spark, wh, "analytics", "orders_src", base.schema)
+    src.append(base)
+    val clone = src.cloneTo(wh, "analytics", "orders_clone")
+    src.upsert(base.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("cents", col("cents") + 1), Seq("o_orderkey"))
+    clone.upsert(base.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .withColumn("cents", col("cents") + 2), Seq("o_orderkey"))
+    val s = src.read().agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("side", lit("source"))
+    val c = clone.read().agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .withColumn("side", lit("clone"))
+    s.unionByName(c).select(col("side"), col("n_rows"), col("sum_cents")).orderBy("side")
+  }
+
+  private val tableCloneOracle =
+    """WITH b AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |s AS (
+      |  SELECT 'source' AS side, count(*) AS n_rows,
+      |    CAST(sum(cents + CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS sum_cents
+      |  FROM b),
+      |c AS (
+      |  SELECT 'clone' AS side, count(*) AS n_rows,
+      |    CAST(sum(cents + CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 0 END) AS BIGINT)
+      |      AS sum_cents
+      |  FROM b)
+      |SELECT side, n_rows, sum_cents FROM c
+      |UNION ALL SELECT side, n_rows, sum_cents FROM s
+      |ORDER BY side""".stripMargin
+
   private val scd2BatchesCte =
     """b1 AS (
       |  SELECT c_custkey, c_mktsegment,
@@ -1546,6 +1591,8 @@ object SyncQueries {
       "MERGE INTO: conditional update/delete/insert + column-level UPDATE SET in one commit"),
     GraftQuery("zorder_scan", zorderScan _, Some(zorderScanOracle),
       "z-order range read: second-dimension file pruning + exact row bound"),
+    GraftQuery("table_clone", tableClone _, Some(tableCloneOracle),
+      "zero-copy clone by metadata reference, then divergent upserts both sides stay isolated"),
     GraftQuery("table_overwrite_partitions", tableOverwritePartitions _,
       Some(tableOverwritePartitionsOracle),
       "dynamic partition overwrite: metadata-only pure-file drop + mixed-file survivor rewrite"),

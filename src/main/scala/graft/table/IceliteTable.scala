@@ -2367,7 +2367,65 @@ final class IceliteTable private (
   private def fileSystem(): FileSystem =
     new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def abs(rel: String): String = s"$location/$rel"
+  /** Resolve a metadata file reference. Normally location-relative;
+    * ABSOLUTE references pass through — that is what lets a zero-copy
+    * [[cloneTo]] share another table's files by reference.
+    */
+  private def abs(rel: String): String =
+    if (rel.startsWith("/") || rel.contains("://")) rel else s"$location/$rel"
+
+  /** Zero-copy CLONE (Delta shallow clone / the metadata-only fork a
+    * dev or audit environment wants): a new table whose metadata
+    * references THIS table's current (or `atSeq` historical) files
+    * absolutely — no data is copied. Both tables then evolve
+    * independently: new commits on either side write into their own
+    * location; the shared files are never mutated (parquet files are
+    * immutable here, like Iceberg's). Position-delete coordinates keep
+    * working because they join on `/data/`-relativized scan paths,
+    * which render identically from either location.
+    *
+    * Caveat (same as Delta's): maintenance on the SOURCE
+    * ([[expireSnapshots]] after a rewrite) can physically delete files
+    * a clone still references — clones are working copies, not
+    * backups; [[compact]] on the clone re-materializes it fully local.
+    * `atSeq` reaches back only to the source's last rewrite, like
+    * [[readAt]].
+    */
+  def cloneTo(
+      warehouse: String,
+      namespace: String,
+      table: String,
+      atSeq: Option[Long] = None): IceliteTable = {
+    refresh()
+    val m = cachedMeta
+    val snaps = atSeq match {
+      case Some(s) =>
+        val kept = m.snapshots.filter(_.seq <= s)
+        if (kept.isEmpty && m.snapshots.nonEmpty)
+          throw new IllegalArgumentException(
+            s"clone of $name at seq $s: history before the last rewrite is collapsed")
+        kept
+      case None => m.snapshots
+    }
+    def absf(f: String) = abs(f)
+    val shared = snaps.map(sn => sn.copy(
+      dataFiles = sn.dataFiles.map(absf),
+      deleteFiles = sn.deleteFiles.map(absf),
+      posDeleteFiles = sn.posDeleteFiles.map(absf),
+      fileStats = sn.fileStats.map { case (k, v) => absf(k) -> v },
+      fileMetrics = sn.fileMetrics.map { case (k, v) => absf(k) -> v }))
+    val loc = s"$warehouse/$namespace/$table"
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdDir = new Path(s"$loc/metadata")
+    if (fs.exists(mdDir) && fs.listStatus(mdDir).nonEmpty)
+      throw new IllegalStateException(s"table $namespace.$table already exists at $loc")
+    fs.mkdirs(mdDir)
+    val meta = TableMeta(TableMeta.FormatVersion, namespace, table,
+      m.schema, m.partitioning, shared, m.properties)
+    IceliteTable.writeString(fs, new Path(s"$loc/metadata/${IceliteTable.versionFile(0L)}"),
+      TableMeta.toJson(meta))
+    new IceliteTable(spark, loc, CachedHead(meta, 0L))
+  }
 
   private def listParquet(dir: String): Seq[String] =
     listParquetInfos(dir).map(_._1)
