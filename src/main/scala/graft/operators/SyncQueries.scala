@@ -1325,6 +1325,59 @@ object SyncQueries {
       .orderBy("c_custkey")
   }
 
+  /** Point-in-time FACT join against the SCD2 history — the
+    * consumption pattern the dimension exists for: each order joins
+    * the customer VERSION valid at its own effective sequence (orders
+    * mapped onto the batch timeline by date terciles), never the
+    * current row. Spark shape: one equi-join on the customer key plus
+    * the validity-interval filter — per-key fan-out is the version
+    * count (≤ 3 here, small always), so the join stays a plain hash
+    * join, no interval machinery needed; facts before their customer's
+    * first version group under a null segment (the honest answer, not
+    * a silent drop).
+    */
+  def tableScd2FactJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("scd2-fact-query")
+    val dim = scd2Fixture(spark, dir, wh)
+    val o = t(spark, dir, "orders").filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("d"))
+    val b = o.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+    val facts = o.crossJoin(broadcast(b))
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("d") < col("mn") + (col("mx") - col("mn")) / 3, 100L)
+          .when(col("d") < col("mn") + (col("mx") - col("mn")) * 2 / 3, 200L)
+          .otherwise(300L).as("fact_seq"))
+    facts.join(dim.history().as("h"),
+        col("o_custkey") === col("h.c_custkey") &&
+          col("h.eff_from") <= col("fact_seq") &&
+          (col("h.eff_to").isNull || col("h.eff_to") > col("fact_seq")),
+        "left")
+      .groupBy(col("fact_seq"), col("h.c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("h.acctbal_cents")).as("sum_cents"))
+      .orderBy("fact_seq", "seg")
+  }
+
+  private def tableScd2FactJoinOracle =
+    s"""WITH $scd2BatchesCte,
+      |o AS (
+      |  SELECT o_orderkey, o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS d
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |bo AS (SELECT min(d) AS mn, max(d) AS mx FROM o),
+      |facts AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN d < mn + (mx - mn) / 3 THEN 100
+      |         WHEN d < mn + (mx - mn) * 2 / 3 THEN 200
+      |         ELSE 300 END AS fact_seq
+      |  FROM o, bo)
+      |SELECT CAST(fact_seq AS BIGINT) AS fact_seq, h.c_mktsegment AS seg,
+      |  count(*) AS n_orders, CAST(sum(h.acctbal_cents) AS BIGINT) AS sum_cents
+      |FROM facts LEFT JOIN hist h
+      |  ON facts.o_custkey = h.c_custkey AND h.eff_from <= fact_seq
+      |    AND (h.eff_to IS NULL OR h.eff_to > fact_seq)
+      |GROUP BY 1, 2
+      |ORDER BY fact_seq, seg""".stripMargin
+
   /** Shared SCD2 fixture: b1 = initial load (keys % 3 != 0) at seq
     * 100; b2 = all % 3 == 0 keys (NEW) plus % 5 == 0 keys with balance
     * +1000.00 at seq 200; b3 = % 7 == 0 churn (segment CHURNED,
@@ -1601,5 +1654,7 @@ object SyncQueries {
     GraftQuery("table_scd2", tableScd2 _, Some(tableScd2Oracle),
       "SCD Type 2 maintenance: close-and-open version history across new/changed/no-op batches"),
     GraftQuery("table_scd2_asof", tableScd2AsOf _, Some(tableScd2AsOfOracle),
-      "point-in-time dimension read: one validity-interval predicate over the SCD2 history"))
+      "point-in-time dimension read: one validity-interval predicate over the SCD2 history"),
+    GraftQuery("table_scd2_fact_join", tableScd2FactJoin _, Some(tableScd2FactJoinOracle),
+      "facts join the dimension VERSION valid at their own time: hash join + interval filter"))
 }
