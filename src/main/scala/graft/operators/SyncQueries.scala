@@ -1547,6 +1547,97 @@ object SyncQueries {
       |UNION ALL SELECT side, n_rows, sum_cents FROM s
       |ORDER BY side""".stripMargin
 
+  /** Snapshot diff ([[IceliteTable.diffSnapshots]]) as an oracle-gated
+    * query: seed orders, capture the seq, then update a subset, insert
+    * new keys, and delete a slice; the diff between the two snapshots
+    * must classify every key's NET change (the %35 keys are updated
+    * AND deleted — they must surface as deletes only). The oracle
+    * recomputes both states relationally and full-outer joins them.
+    */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("diff-query")
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100).as("cents"))
+    val k = col("o_orderkey")
+    val base = o.filter(pmod(k, lit(17)) === 0)
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_diff", base.schema)
+    table.upsert(base, Seq("o_orderkey"))
+    val s1 = table.meta.lastSeq
+    table.upsert(base.filter(pmod(k, lit(5)) === 0)
+      .withColumn("cents", col("cents") + 1), Seq("o_orderkey"))
+    table.upsert(o.filter(pmod(k, lit(17)) =!= 0 && pmod(k, lit(19)) === 0),
+      Seq("o_orderkey"))
+    table.delete(o.filter(pmod(k, lit(7)) === 0).select("o_orderkey"), Seq("o_orderkey"))
+    val s2 = table.meta.lastSeq
+    table.diffSnapshots(s1, s2, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("change"),
+        col("before.cents").as("cents_before"), col("after.cents").as("cents_after"))
+      .orderBy("o_orderkey")
+  }
+
+  private val tableDiffOracle =
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |s1 AS (SELECT * FROM o WHERE o_orderkey % 17 = 0),
+      |s2 AS (
+      |  SELECT o_orderkey,
+      |    cents + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS cents
+      |  FROM o WHERE o_orderkey % 17 = 0 AND o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, cents FROM o
+      |  WHERE o_orderkey % 17 <> 0 AND o_orderkey % 19 = 0 AND o_orderkey % 7 <> 0)
+      |SELECT coalesce(s1.o_orderkey, s2.o_orderkey) AS o_orderkey,
+      |  CASE WHEN s1.o_orderkey IS NULL THEN 'insert'
+      |       WHEN s2.o_orderkey IS NULL THEN 'delete'
+      |       ELSE 'update' END AS change,
+      |  s1.cents AS cents_before, s2.cents AS cents_after
+      |FROM s1 FULL OUTER JOIN s2 ON s1.o_orderkey = s2.o_orderkey
+      |WHERE s1.o_orderkey IS NULL OR s2.o_orderkey IS NULL OR s1.cents <> s2.cents
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** INCREMENTAL rollup maintenance — [[rollupServing]]'s refresh
+    * path: the day-level rollup builds from the first 80% of the fact
+    * stream, then the remaining 20% folds in as a PARTIAL AGGREGATE
+    * merged by key (`sum = t.sum + s.sum`, counts add; avg stays
+    * derived) — the associativity of the DECIMAL partials is exactly
+    * what makes the fold ≡ a full rebuild, and the gate proves it: the
+    * oracle is the SAME direct fact-table query as `rollup_serving`.
+    * At 100 TB a daily refresh costs one delta aggregation + one
+    * key-range-pruned MERGE, never a fact re-scan.
+    */
+  def rollupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("rollup-incr-query")
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(
+        (year(col("l_shipdate")).cast("long") * 10000 +
+          month(col("l_shipdate")) * 100 + dayofmonth(col("l_shipdate"))).as("day_key"),
+        col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(27,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(27,2)")).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+    val li = t(spark, dir, "lineitem")
+    val fine = partials(li.filter(pmod(col("l_orderkey"), lit(5)) =!= 0))
+    val table = IceliteTable.create(spark, wh, "analytics", "lineitem_rollup_incr",
+      fine.schema)
+    table.append(fine)
+    val delta = partials(li.filter(pmod(col("l_orderkey"), lit(5)) === 0))
+    table.merge(delta, Seq("day_key", "l_returnflag"),
+      matchedUpdateSet = Map(
+        "sum_qty" -> (col("t.sum_qty") + col("s.sum_qty")),
+        "sum_price" -> (col("t.sum_price") + col("s.sum_price")),
+        "n_rows" -> (col("t.n_rows") + col("s.n_rows"))))
+    table.read()
+      .groupBy(expr("day_key div 100").as("month_key"), col("l_returnflag"))
+      .agg(
+        sum(col("sum_qty")).cast("double").as("sum_qty"),
+        sum(col("sum_price")).cast("double").as("sum_price"),
+        sum(col("n_rows")).as("n_rows"),
+        (sum(col("sum_price")).cast("double") / sum(col("n_rows"))).as("avg_price"))
+      .orderBy("month_key", "l_returnflag")
+  }
+
   private val scd2BatchesCte =
     """b1 AS (
       |  SELECT c_custkey, c_mktsegment,
@@ -1644,6 +1735,10 @@ object SyncQueries {
       "MERGE INTO: conditional update/delete/insert + column-level UPDATE SET in one commit"),
     GraftQuery("zorder_scan", zorderScan _, Some(zorderScanOracle),
       "z-order range read: second-dimension file pruning + exact row bound"),
+    GraftQuery("table_diff", tableDiff _, Some(tableDiffOracle),
+      "snapshot diff by key: net insert/update/delete classification via one full-outer join"),
+    GraftQuery("rollup_incremental", rollupIncremental _, Some(rollupServingOracle),
+      "incremental rollup maintenance: delta partials MERGE-folded by key == full rebuild"),
     GraftQuery("table_clone", tableClone _, Some(tableCloneOracle),
       "zero-copy clone by metadata reference, then divergent upserts both sides stay isolated"),
     GraftQuery("table_overwrite_partitions", tableOverwritePartitions _,

@@ -358,9 +358,24 @@ final class IceliteTable private (
     readAt(snaps.map(_.seq).max)
   }
 
-  def readAt(asOfSeq: Long): DataFrame =
-    readSnapshotsAs(cachedMeta.snapshots.filter(_.seq <= asOfSeq),
+  def readAt(asOfSeq: Long): DataFrame = {
+    val m = cachedMeta
+    // a rewrite/truncate/cold-fold REPLACES collapsed history, so the
+    // oldest retained seq moving past 1 means earlier states are gone;
+    // answering them with an empty frame would silently misreport
+    // every surviving row as "inserted since" — refuse instead (the
+    // readAsOf contract: expired snapshots cannot be resurrected).
+    // asOfSeq = 0 on a never-rewritten table stays the legitimate
+    // "before the first commit" empty read.
+    m.snapshots.map(_.seq).minOption.foreach { oldest =>
+      if (asOfSeq < oldest && oldest > 1)
+        throw new IllegalArgumentException(
+          s"snapshot $asOfSeq of $name is not retained — history below " +
+            s"$oldest was collapsed by a rewrite/truncate and cannot be resurrected")
+    }
+    readSnapshotsAs(m.snapshots.filter(_.seq <= asOfSeq),
       schemaAt(asOfSeq), asOfSeq)
+  }
 
   /** Incremental consumption: the row VERSIONS appended after
     * `sinceSeq` (inserts + new upsert images, tagged with their commit
@@ -1215,6 +1230,44 @@ final class IceliteTable private (
       }.toSeq.map { case (names, fs) => readGroup(names, fs) }
         .reduce(_ unionByName _)
     }
+  }
+
+  /** Snapshot DIFF by key — the audit answer when the changelog
+    * between two points wasn't retained (or the table predates CDF):
+    * classify every key as insert / update / delete between
+    * `fromSeq` and `toSeq` by FULL-OUTER joining the two time-travel
+    * reads; unchanged keys drop out. Returns the key columns
+    * (coalesced across sides), `change`, and `before`/`after` row
+    * structs. Unlike [[readChanges]] this sees only NET change (a
+    * key updated five times shows once), which is exactly what a
+    * reconciliation job wants.
+    *
+    * Scale: one key-partitioned full-outer join of two pruned
+    * snapshot reads — both sides shuffle once on the key; the
+    * unchanged-row filter runs inside the join's projection, so only
+    * net-changed rows survive the operator.
+    */
+  def diffSnapshots(fromSeq: Long, toSeq: Long, keyCols: Seq[String]): DataFrame = {
+    val schema = cachedMeta.schema
+    val valueCols = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val a = readAt(fromSeq).alias("a")
+    val b = readAt(toSeq).alias("b")
+    val on = keyCols.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
+    val inA = col(s"a.${keyCols.head}").isNotNull
+    val inB = col(s"b.${keyCols.head}").isNotNull
+    val differs = valueCols.map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    a.join(b, on, "full_outer")
+      .withColumn("change",
+        when(!inA, lit("insert")).when(!inB, lit("delete"))
+          .when(differs, lit("update")).otherwise(lit("none")))
+      .filter(col("change") =!= "none")
+      .select(keyCols.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++ Seq(
+        col("change"),
+        when(inA, struct(schema.fieldNames.toSeq.map(c => col(s"a.$c").as(c)): _*))
+          .as("before"),
+        when(inB, struct(schema.fieldNames.toSeq.map(c => col(s"b.$c").as(c)): _*))
+          .as("after")): _*)
   }
 
   // ----------------------------------------------------- maintenance
