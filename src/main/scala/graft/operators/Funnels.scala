@@ -286,6 +286,56 @@ object Funnels {
     */
   private val PathGapUs: Long = 1800L * 1000000
 
+  /** Batch sessionization — the gap-based session assignment every
+    * event warehouse materializes (the batch twin of the streaming
+    * sessionize path): an event starts a NEW session when it is the
+    * user's first or follows a > 30-minute silence; the session id is
+    * the running count of session starts. Reports per-user session
+    * structure: session count, busiest session, longest session span.
+    *
+    * Scale shape: the lag and the running sum stack on ONE (user_id)
+    * window partitioning — a single hash exchange of the event
+    * stream; the two downstream hash-aggs re-use the same user
+    * partitioning (Catalyst collapses them onto the window exchange,
+    * no second shuffle of event rows). All session arithmetic is
+    * integer µs.
+    */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) <= PathGapUs, 0L).otherwise(1L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_ev"), (max(col("us")) - min(col("us"))).as("span_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"),
+        max(col("n_ev")).as("busiest_events"), max(col("span_us")).as("longest_span_us"))
+      .orderBy("user_id")
+  }
+
+  private val eventSessionsOracle =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+       |f AS (
+       |  SELECT user_id, us,
+       |    CASE WHEN us - lag(us, 1) OVER w <= $PathGapUs THEN 0 ELSE 1 END AS new_s,
+       |    event_id
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s AS (
+       |  SELECT user_id, us,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM f),
+       |per AS (
+       |  SELECT user_id, sid, count(*) AS n_ev, max(us) - min(us) AS span_us
+       |  FROM s GROUP BY user_id, sid)
+       |SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events,
+       |  max(n_ev) AS busiest_events, max(span_us) AS longest_span_us
+       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Top user-journey trigrams — sequential path mining, the "what do
     * users DO around a purchase" report funnels can't answer: each
     * user's event stream ordered by (ts, event_id), consecutive
@@ -333,6 +383,8 @@ object Funnels {
        |LIMIT 20""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("event_sessions", eventSessions _, Some(eventSessionsOracle),
+      "gap-based batch sessionization: one user-window exchange, per-user session structure"),
     GraftQuery("event_paths", eventPaths _, Some(eventPathsOracle),
       "top session-bounded event-type trigram journeys: stacked leads on one window exchange"),
     GraftQuery("event_stickiness", eventStickiness _, Some(eventStickinessOracle),

@@ -136,9 +136,68 @@ object Graph {
       |ORDER BY n_triangles DESC, part
       |LIMIT 10""".stripMargin
 
+  /** BFS hops unrolled identically in the oracle. */
+  val BfsHops: Int = 3
+
+  /** Bounded-hop BFS shortest distances from the smallest part key —
+    * the reachability primitive (how much of the catalog sits within
+    * K recommendation hops). Distances are exact integers: round k
+    * folds `dist_k(v) = min(dist_{k-1}(v), 1 + min over in-edges from
+    * the settled set)` — the relational Bellman-Ford step, monotone
+    * and idempotent once settled, so K unrolled rounds equal true
+    * BFS depth-K distances. Reports the distance histogram.
+    *
+    * Scale shape: the edge list builds once (basket-bounded like
+    * `copurchase_pairs`) and is MATERIALIZED; each round is one
+    * equi-join of the current distance vector with the cached edges
+    * plus a min hash-agg — the shuffle is the frontier-sized distance
+    * vector, never the edge list re-derivation. The source pick is a
+    * 1-row broadcast, not a driver constant baked per-run.
+    */
+  def bfs(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    try {
+      var d = e.agg(min(col("u")).as("p")).select(col("p"), lit(0L).as("d"))
+      for (_ <- 1 to BfsHops) {
+        val stepped = e.join(d, e("u") === d("p"))
+          .select(col("v").as("p"), (col("d") + 1L).as("d"))
+        d = d.select(col("p"), col("d")).union(stepped)
+          .groupBy(col("p")).agg(min(col("d")).as("d"))
+      }
+      d.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_parts")).orderBy("dist")
+    } finally e.unpersist()
+  }
+
+  private val bfsOracle = {
+    val rounds = (1 to BfsHops).map { k =>
+      s"""d$k AS (
+         |  SELECT p, min(d) AS d FROM (
+         |    SELECT p, d FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.v AS p, d${k - 1}.d + 1 AS d
+         |    FROM e JOIN d${k - 1} ON e.u = d${k - 1}.p) x
+         |  GROUP BY p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |d0 AS (SELECT min(u) AS p, CAST(0 AS BIGINT) AS d FROM e),
+       |$rounds
+       |SELECT d AS dist, count(*) AS n_parts FROM d$BfsHops
+       |GROUP BY d ORDER BY dist""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("graph_pagerank", pagerank _, Some(pagerankOracle),
       "integer PageRank over the co-purchase graph: K cached-edge joins, bit-exact unrolled oracle"),
     GraftQuery("graph_triangles", triangles _, Some(trianglesOracle),
-      "triangle participation via ordered-edge wedge join + closing-edge probe (each triangle once)"))
+      "triangle participation via ordered-edge wedge join + closing-edge probe (each triangle once)"),
+    GraftQuery("graph_bfs", bfs _, Some(bfsOracle),
+      "bounded-hop BFS distance histogram: K min-fold rounds over the cached co-purchase edges"))
 }

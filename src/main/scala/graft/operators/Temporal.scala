@@ -219,9 +219,58 @@ object Temporal {
        |  ON g.event_type = l.event_type AND g.day = l.day
        |ORDER BY g.event_type, g.day""".stripMargin
 
+  // ---------------------------------------------------------- resample
+
+  private val HourUs: Long = 3600L * 1000000
+
+  /** Time-series downsampling to OHLC bars — the resample step every
+    * metric/market feed runs before storage or charting: per
+    * (event_type, hour), open/close are the first/last observed value
+    * under the total (us, event_id) order, high/low the extremes,
+    * plus count and an exact integer-cents turnover. ONE hash
+    * aggregation, no window: open/close ride `min_by`/`max_by` over
+    * the unique (us, event_id) key, so partial aggregation stays
+    * map-side combinable — at 100 TB the shuffle carries one partial
+    * bar per (partition, type, hour), never raw ticks (the window
+    * formulation would shuffle every event to sort it). Doubles are
+    * only ever PICKED (first/last/min/max), never summed — the
+    * summed measure is exact integer cents.
+    */
+  def resample(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("hour", expr(s"us DIV ${HourUs}L"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min_by(col("value"), struct(col("us"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("event_type", "hour")
+
+  private val resampleOracle =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, value,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // $HourUs AS hour
+       |  FROM events)
+       |SELECT event_type, hour,
+       |  (min({'us': us, 'id': event_id, 'val': value})).val AS open,
+       |  max(value) AS high, min(value) AS low,
+       |  (max({'us': us, 'id': event_id, 'val': value})).val AS close,
+       |  count(*) AS n_events,
+       |  sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+       |FROM e GROUP BY event_type, hour
+       |ORDER BY event_type, hour""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("timeseries_resample", resample _, Some(resampleOracle),
+      "OHLC downsampling in ONE map-side-combinable hash agg: min_by/max_by opens and closes"),
     GraftQuery("timeseries_gapfill", gapFill _, Some(gapFillOracle),
       "daily re-grid + LOCF fill via ignore-nulls trailing window, no per-gap probing"),
     GraftQuery("asof_join", asofJoin _, Some(asofJoinOracle),

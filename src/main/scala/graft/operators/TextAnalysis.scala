@@ -331,6 +331,85 @@ object TextAnalysis {
        |WHERE CAST(c.cnt AS DOUBLE) >= CAST($HhSupport AS DOUBLE) * CAST(tot.n AS DOUBLE)
        |ORDER BY bigram""".stripMargin
 
+  /** Count-Min sketch depth (pairwise-independent hash rows). */
+  val CmsDepth = 4
+
+  /** Count-Min sketch width (cells per row). */
+  val CmsWidth = 2048
+
+  /** Count-Min hash modulus (2^31 − 1, prime): row hashes are
+    * `((a_j·(h mod P) + b_j) mod P) mod W` over the 60-bit token hash
+    * — every product stays under 2^62, so BIGINT arithmetic is exact
+    * in both engines.
+    */
+  val CmsP = 2147483647L
+
+  private val CmsA = Seq(1103515245L, 69069L, 1664525L, 22695477L)
+  private val CmsB = Seq(12345L, 362437L, 1013904223L, 1L)
+
+  /** Count-Min frequency sketch next to [[heavyHitters]]' Misra-Gries:
+    * MG answers "which keys are frequent", CMS answers "how frequent
+    * is THIS key" for any key, in D·W integers of mergeable state
+    * (cells are counts — two corpora's sketches ADD). The sketch IS a
+    * grouped count: each token occurrence emits its D (row, cell)
+    * coordinates scan-locally and ONE hash-agg over ≤ D·W = 8192
+    * groups builds the matrix — at 100 TB the shuffle carries the
+    * matrix, never tokens. The gate probes the 20 exact-top tokens and
+    * reports estimate vs exact: CMS never underestimates, and the
+    * collision bias surfaces as `overcount = est − exact ≥ 0`.
+    */
+  def freqCms(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(col("w"), Dedup.phash60(col("w")).as("h"))
+      .localCheckpoint(true)
+    try {
+      val coords = (0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"),
+          (((lit(CmsA(j)) * (col("h") % CmsP) + CmsB(j)) % CmsP) % CmsWidth).as("cell")))
+      val cms = tok.select(explode(array(coords: _*)).as("c"))
+        .groupBy(col("c.j").as("j"), col("c.cell").as("cell"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = tok.groupBy(col("w"), col("h"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(desc("exact_n"), col("w"))
+        .limit(20)
+      val probes = (0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"),
+          (((lit(CmsA(j)) * (col("h") % CmsP) + CmsB(j)) % CmsP) % CmsWidth).as("cell")))
+      top.select(col("w"), col("exact_n"), explode(array(probes: _*)).as("c"))
+        .join(broadcast(cms), col("c.j") === cms("j") && col("c.cell") === cms("cell"))
+        .groupBy(col("w"), col("exact_n"))
+        .agg(min(col("cnt")).as("cms_n"))
+        .select(col("w").as("token"), col("exact_n"), col("cms_n"),
+          (col("cms_n") - col("exact_n")).as("overcount"))
+        .orderBy(desc("exact_n"), col("token"))
+    } finally tok.unpersist()
+  }
+
+  private val freqCmsOracle = {
+    def cellOf(j: Int) = s"((${CmsA(j)} * (h % $CmsP) + ${CmsB(j)}) % $CmsP) % $CmsWidth"
+    val coordRows = (0 until CmsDepth).map(j =>
+      s"SELECT $j AS j, ${cellOf(j)} AS cell, h FROM tok").mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT u.w AS w, ${Dedup.phash60Sql("u.w")} AS h
+       |  FROM documents, LATERAL unnest(string_split(text, ' ')) u(w)),
+       |coords AS (
+       |  $coordRows),
+       |cms AS (SELECT j, cell, count(*) AS cnt FROM coords GROUP BY j, cell),
+       |top AS (
+       |  SELECT w, h, count(*) AS exact_n FROM tok GROUP BY w, h
+       |  ORDER BY exact_n DESC, w LIMIT 20),
+       |est AS (
+       |  SELECT t.w, t.exact_n, min(cms.cnt) AS cms_n
+       |  FROM top t, range(0, $CmsDepth) r(j)
+       |  JOIN cms ON cms.j = r.j
+       |   AND cms.cell = ((CASE r.j ${(0 until CmsDepth).map(j => s"WHEN $j THEN ${CmsA(j)} * (t.h % $CmsP) + ${CmsB(j)}").mkString(" ")} END) % $CmsP) % $CmsWidth
+       |  GROUP BY t.w, t.exact_n)
+       |SELECT w AS token, exact_n, cms_n, cms_n - exact_n AS overcount
+       |FROM est ORDER BY exact_n DESC, token""".stripMargin
+  }
+
   /** Per-language report threshold for [[heavyHittersByLang]] — above
     * 1/(HhK+1) so the per-GROUP sketch guarantee covers it.
     */
@@ -1290,6 +1369,8 @@ object TextAnalysis {
       "tokenize under the learned BPE merges: per-doc subword/word/char counts"),
     GraftQuery("text_bpe_eval", bpeEval _, Some(bpeEvalOracle),
       "tokenizer evaluation: per-source fertility, compression, vocabulary utilization"),
+    GraftQuery("text_freq_cms", freqCms _, Some(freqCmsOracle),
+      "Count-Min frequency sketch: D·W mergeable cells, top-20 probe estimate vs exact"),
     GraftQuery("text_heavy_hitters", heavyHitters _, Some(heavyHittersOracle),
       "frequent bigrams via bounded Misra-Gries sketch + exact candidate rescan"),
     GraftQuery("text_heavy_hitters_by_lang", heavyHittersByLang _, Some(heavyHittersByLangOracle),

@@ -251,4 +251,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // the only nested-loop is the 1-row bounds broadcast into the grid
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("sessionization: lag + running sum + both aggs on ONE user_id exchange") {
+    val pe = SparkEntry.queries("event_sessions")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(pe).size
+    assert(userExchanges == 1, s"expected 1 user_id shuffle, got $userExchanges:\n$pe")
+  }
+
+  test("OHLC resample: one hash aggregate with a partial (map-side) phase, no window") {
+    val pe = SparkEntry.queries("timeseries_resample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!pe.contains("- Window ["), s"resample regressed to a window plan:\n$pe")
+    assert("partial_min_by|partial_minby".r.findFirstIn(pe.toLowerCase).isDefined ||
+      pe.contains("HashAggregate"), s"no partial aggregation:\n$pe")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(pe).size
+    assert(exchanges == 1, s"expected 1 bar-keyed shuffle, got $exchanges:\n$pe")
+  }
+
+  test("count-min sketch: cell matrix broadcasts to the probe join, no cartesian") {
+    val p = planOf("text_freq_cms")
+    assert(p.contains("BroadcastHashJoin"), s"cms matrix should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
