@@ -450,6 +450,46 @@ object Relational {
        |WHERE c_acctbal > (SELECT ${oavg("c_acctbal", 2)} FROM customer)
        |ORDER BY c_custkey""".stripMargin
 
+  /** NOT IN's three-valued null semantics — the anti-join variant
+    * `Dataset.join(..., "left_anti")` deliberately is NOT: one NULL in
+    * the subquery poisons EVERY non-matching row (x NOT IN S is
+    * UNKNOWN, never TRUE, when S contains NULL), while NOT EXISTS
+    * ignores the null row entirely. The three counts pin all cases:
+    * clean NOT IN = the true anti count, poisoned NOT IN = 0, poisoned
+    * NOT EXISTS = the anti count again. Catalyst plans the single-key
+    * NOT IN as a broadcast null-aware anti join (one pass, no
+    * per-row subquery execution) — the plan shape that makes the
+    * correct semantics affordable at 100 TB.
+    */
+  def joinNotIn(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("naaj_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("naaj_orders")
+    spark.sql(s"""
+      |WITH sub AS (
+      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+      |  FROM naaj_orders)
+      |SELECT
+      |  (SELECT count(*) FROM naaj_customer
+      |   WHERE c_custkey NOT IN (SELECT o_custkey FROM naaj_orders)) AS n_not_in,
+      |  (SELECT count(*) FROM naaj_customer
+      |   WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in_poisoned,
+      |  (SELECT count(*) FROM naaj_customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey)) AS n_not_exists_poisoned
+      |""".stripMargin)
+  }
+
+  private val joinNotInOracle =
+    """WITH sub AS (
+      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+      |  FROM orders)
+      |SELECT
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_not_in,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in_poisoned,
+      |  (SELECT count(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey)) AS n_not_exists_poisoned""".stripMargin
+
   // ------------------------------------------------- last-writer-wins
   /** The reference's upsert semantics (SURVEY R1): latest version per key
     * via row_number over (key ORDER BY version DESC) = 1 — exactly the
@@ -750,6 +790,8 @@ object Relational {
     GraftQuery("cube_agg", cubeAgg _, Some(cubeAggOracle), "CUBE"),
     GraftQuery("conditional_agg", conditionalAgg _, Some(conditionalAggOracle),
       "CASE-WHEN pivot aggregation"),
+    GraftQuery("join_not_in", joinNotIn _, Some(joinNotInOracle),
+      "NOT IN three-valued null semantics as a broadcast null-aware anti join, vs NOT EXISTS"),
     GraftQuery("scalar_subquery", scalarSubquery _, Some(scalarSubqueryOracle),
       "scalar aggregate as broadcast filter"),
     GraftQuery("last_writer_wins", lastWriterWins _, Some(lastWriterWinsOracle),

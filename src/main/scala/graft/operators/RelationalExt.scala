@@ -260,6 +260,45 @@ object RelationalExt {
     quantileSelectOn(spark, vals, Seq(0.5, 0.9, 0.99))
   }
 
+  /** Quantile discretization (the feature BUCKETIZER every training
+    * pipeline runs on numeric features): equi-depth bucket edges from
+    * the exact p25/p50/p75 order statistics ([[quantileSelectOn]] —
+    * two bounded passes, no global sort), then bucket assignment is
+    * ONE scan-local CASE projection under the three broadcast edge
+    * literals, and the report is one bounded hash-agg. Buckets hold
+    * ~n/4 rows each (ties land low); exact element edges mean both
+    * engines cut at the identical values — no interpolation to
+    * diverge on.
+    */
+  def featureBucketize(spark: SparkSession, dir: String): DataFrame = {
+    val vals = graft.Tables.t(spark, dir, "lineitem")
+      .select(col("l_extendedprice").as("x"),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rk"))
+    val edges = quantileSelectOn(spark, vals, Seq(0.25, 0.5, 0.75))
+      .orderBy("q").collect().map(_.getDouble(1))
+    val bucket = when(col("x") <= edges(0), 0)
+      .when(col("x") <= edges(1), 1)
+      .when(col("x") <= edges(2), 2)
+      .otherwise(3)
+    vals.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy("bucket")
+  }
+
+  private val featureBucketizeOracle =
+    """WITH e AS (
+      |  SELECT quantile_disc(l_extendedprice, 0.25) AS e1,
+      |    quantile_disc(l_extendedprice, 0.5) AS e2,
+      |    quantile_disc(l_extendedprice, 0.75) AS e3
+      |  FROM lineitem)
+      |SELECT CASE WHEN l_extendedprice <= e1 THEN 0
+      |            WHEN l_extendedprice <= e2 THEN 1
+      |            WHEN l_extendedprice <= e3 THEN 2 ELSE 3 END AS bucket,
+      |  count(*) AS n_rows, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |FROM lineitem, e
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Core of [[quantileSelect]] over any (x: double, rk: string) frame. */
   private[graft] def quantileSelectOn(
       spark: SparkSession, vals: DataFrame, qs: Seq[Double]): DataFrame = {
@@ -577,6 +616,8 @@ object RelationalExt {
       "IEEE-exact math function surface"),
     GraftQuery("join_salted_skew", joinSaltedSkew _, Some(joinSaltedSkewOracle),
       "skew-salted equi-join, identical results to the plain join"),
+    GraftQuery("feature_bucketize", featureBucketize _, Some(featureBucketizeOracle),
+      "equi-depth quantile discretizer: exact order-statistic edges, scan-local bucket assignment"),
     GraftQuery("quantile_select", quantileSelect _, Some(quantileSelectOracle),
       "exact order-statistic quantiles via 2-pass sample-bracketed selection, no global sort"),
     GraftQuery("quantile_select_grouped", quantileSelectGrouped _, Some(quantileSelectGroupedOracle),

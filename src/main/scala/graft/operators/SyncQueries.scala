@@ -602,6 +602,72 @@ object SyncQueries {
     table.statsTable().orderBy("column")
   }
 
+  /** Join-cardinality estimation from published ANALYZE stats — the
+    * second planner-side stats consumer (after [[tableSelectivity]]'s
+    * range estimate): the classic CBO formula
+    * `|A ⋈ B| ≈ n_A · n_B / max(ndv_A, ndv_B)` evaluated ENTIRELY
+    * from two tables' stats snapshots (row counts, null counts, KMV
+    * NDV — a few metadata rows), next to the exact join count. All
+    * integer arithmetic, so both engines agree bit-for-bit on the
+    * estimate. At 100 TB this is what decides join ORDER and strategy
+    * before a single data file is opened.
+    */
+  def tableJoinEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = graft.util.Scratch.dir("join-est-query")
+    val o = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = t(spark, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(3)) === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val to = IceliteTable.create(spark, wh, "analytics", "orders_je", o.schema)
+    to.append(o)
+    to.analyze(Seq("o_custkey"))
+    val tc = IceliteTable.create(spark, wh, "analytics", "customer_je", c.schema)
+    tc.append(c)
+    tc.analyze(Seq("c_custkey"))
+    def keyStats(tab: IceliteTable, key: String): (Long, Long) = {
+      val r = tab.statsTable().filter(col("column") === key).collect()(0)
+      (r.getLong(1) - r.getLong(2), r.getLong(3)) // non-null rows, NDV
+    }
+    val (no, ndvO) = keyStats(to, "o_custkey")
+    val (nc, ndvC) = keyStats(tc, "c_custkey")
+    val est = no * nc / math.max(ndvO, ndvC)
+    val exact = to.read().join(tc.read(), col("o_custkey") === col("c_custkey")).count()
+    Seq((no, nc, ndvO, ndvC, est, exact, math.abs(est - exact)))
+      .toDF("n_orders", "n_customers", "ndv_o_custkey", "ndv_c_custkey",
+        "est_rows", "exact_rows", "abs_err")
+  }
+
+  private val tableJoinEstimateOracle = {
+    val k = 256
+    def ndv(src: String, expr: String) =
+      s"""SELECT CAST(CASE WHEN cnt < $k THEN cnt
+         |    ELSE ${(k - 1).toLong * 4294967296L} // hk END AS BIGINT) AS ndv
+         |FROM (
+         |  SELECT count(*) AS cnt, max(h) AS hk FROM (
+         |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+         |      SELECT DISTINCT CAST(concat('0x', substr(md5(CAST($expr AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |      FROM $src WHERE $expr IS NOT NULL) d) r
+         |  WHERE rn <= $k) s""".stripMargin
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 = 0),
+       |c AS (
+       |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
+       |no AS (SELECT count(o_custkey) AS n FROM o),
+       |nc AS (SELECT count(c_custkey) AS n FROM c),
+       |ndvo AS (${ndv("o", "o_custkey")}),
+       |ndvc AS (${ndv("c", "c_custkey")}),
+       |ex AS (SELECT count(*) AS x FROM o JOIN c ON o_custkey = c_custkey)
+       |SELECT no.n AS n_orders, nc.n AS n_customers,
+       |  ndvo.ndv AS ndv_o_custkey, ndvc.ndv AS ndv_c_custkey,
+       |  no.n * nc.n // greatest(ndvo.ndv, ndvc.ndv) AS est_rows,
+       |  ex.x AS exact_rows,
+       |  abs(no.n * nc.n // greatest(ndvo.ndv, ndvc.ndv) - ex.x) AS abs_err
+       |FROM no, nc, ndvo, ndvc, ex""".stripMargin
+  }
+
   /** Histogram-driven SELECTIVITY estimation — the stats CONSUMER a
     * cost-based planner actually is: a range predicate's cardinality
     * estimated from the published bucket intervals (full buckets plus
@@ -1713,6 +1779,8 @@ object SyncQueries {
       "equi-width histogram stats under frozen ANALYZE bounds: exact bucket intervals + counts from metadata"),
     GraftQuery("table_bloom_lookup", tableBloomLookup _, Some(tableBloomLookupOracle),
       "point lookup via per-file key blooms: skips hash-scattered files min/max bounds cannot, MoR-exact"),
+    GraftQuery("table_join_estimate", tableJoinEstimate _, Some(tableJoinEstimateOracle),
+      "CBO join-cardinality estimate from two ANALYZE snapshots (n·n/max NDV) next to the exact count"),
     GraftQuery("table_selectivity", tableSelectivity _, Some(tableSelectivityOracle),
       "histogram-driven selectivity estimate (metadata only) vs the exact range count, all-integer"),
     GraftQuery("table_changelog_stream", tableChangelogStream _, Some(tableChangelogStreamOracle),

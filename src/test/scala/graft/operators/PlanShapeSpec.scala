@@ -274,4 +274,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), s"cms matrix should broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("NOT IN plans as a null-aware anti join, not a per-row subquery") {
+    val pe = SparkEntry.queries("join_not_in")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the trailing boolean on BroadcastHashJoin's LeftAnti toString is
+    // the isNullAwareAntiJoin flag — both NOT IN subqueries carry it
+    val naaj = "LeftAnti, BuildRight, true".r.findAllIn(pe).size
+    assert(naaj >= 2, s"NOT IN did not plan null-aware ($naaj):\n$pe")
+  }
 }
