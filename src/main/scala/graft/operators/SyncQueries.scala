@@ -1472,6 +1472,56 @@ object SyncQueries {
     dim
   }
 
+  /** TRANSPARENT materialized-view rewrite ([[graft.plans.MvRewrite]])
+    * — [[rollupServing]] without the hand-routing: a (returnflag,
+    * linestatus) rollup of integer-cents partials is registered as an
+    * MV, then the gated query is written against the FACT frame —
+    * groups by returnflag only, asks for sum/count/max — and the
+    * injected optimizer rule rewrites it to aggregate the rollup's
+    * partials instead (sum of sums, sum of counts, max of maxes). The
+    * oracle computes from RAW lineitem in DuckDB, so a hash match
+    * certifies the rewrite preserved semantics exactly; `MvRewriteSpec`
+    * pins that the fact scan is really absent and that filtered /
+    * distinct / non-derivable aggregates DECLINE the rewrite. Integer
+    * cents keep re-aggregated sums bit-equal to direct sums (double
+    * partial sums would differ in summation order).
+    */
+  def tableMvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val fact = mvRewriteFact(spark, dir)
+    val mvDir = graft.util.Scratch.dir("mv-rewrite-query")
+    val partials = Seq(
+      sum(col("qty_cents")).as("sum_qty_cents"),
+      sum(col("price_cents")).as("sum_price_cents"),
+      count(lit(1)).as("n_rows"),
+      max(col("price_cents")).as("max_price_cents"))
+    fact.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(partials.head, partials.tail: _*)
+      .write.mode("overwrite").parquet(s"$mvDir/mv")
+    val mv = spark.read.parquet(s"$mvDir/mv")
+    graft.plans.MvRewrite.register(spark, "lineitem_cents_mv", fact,
+      Seq("l_returnflag", "l_linestatus"), partials, mv)
+    // the USER query: written against the fact frame, rewritten by rule
+    fact.groupBy(col("l_returnflag"))
+      .agg(sum(col("qty_cents")).as("sum_qty_cents"),
+        count(lit(1)).as("n_rows"),
+        max(col("price_cents")).as("max_price_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The MV demo's fact frame (shared with `MvRewriteSpec`). */
+  private[graft] def mvRewriteFact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(
+      col("l_returnflag"), col("l_linestatus"),
+      floor(col("l_quantity") * 100).cast("long").as("qty_cents"),
+      floor(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+
+  private val tableMvRewriteOracle =
+    """SELECT l_returnflag,
+      |  sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+      |  count(*) AS n_rows,
+      |  max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS max_price_cents
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Materialized-rollup SERVING (the aggregate-navigator pattern OLAP
     * engines live on): a day × returnflag rollup of lineitem — sums in
     * exact DECIMAL so partials re-aggregate bit-identically, counts
@@ -1812,6 +1862,8 @@ object SyncQueries {
     GraftQuery("table_overwrite_partitions", tableOverwritePartitions _,
       Some(tableOverwritePartitionsOracle),
       "dynamic partition overwrite: metadata-only pure-file drop + mixed-file survivor rewrite"),
+    GraftQuery("table_mv_rewrite", tableMvRewrite _, Some(tableMvRewriteOracle),
+      "transparent MV rewrite: optimizer rule answers a fact-table aggregate from the rollup"),
     GraftQuery("rollup_serving", rollupServing _, Some(rollupServingOracle),
       "materialized day-rollup serving a monthly report: re-aggregated partials == direct fact query"),
     GraftQuery("table_scd2", tableScd2 _, Some(tableScd2Oracle),
