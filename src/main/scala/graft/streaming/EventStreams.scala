@@ -358,6 +358,109 @@ object EventStreams {
       .orderBy("user_id", "purchase_id", "view_id")
   }
 
+  private val outerDirs =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Fixture for [[streamOuterJoin]]: the full event feed as batch 0,
+    * then two SENTINEL batches (a matched view+purchase pair per
+    * batch, far past the real range) whose only job is to ADVANCE the
+    * watermark past every real event so unmatched purchases are
+    * evicted and their null rows actually EMIT. Without them, an
+    * AvailableNow drain ends with the tail still in state and the
+    * outer join silently degenerates to the inner join — the sentinel
+    * batches are the deployment's "stream keeps flowing" stand-in.
+    */
+  private def outerSplitDir(spark: SparkSession, dir: String): String =
+    outerDirs.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files.createTempDirectory("graft_outer_").toString
+      drainDirs.add(new java.io.File(base))
+      val tgt = java.nio.file.Paths.get(s"$base/in/events.parquet")
+      java.nio.file.Files.createDirectories(tgt)
+      val ev = graft.Tables.events(spark, dir)
+      val mx = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      def sentinels(user: Long, vId: Long, pId: Long, tsUs: Long): DataFrame = {
+        import spark.implicits._
+        Seq((vId, user, "view", tsUs), (pId, user, "purchase", tsUs))
+          .toDF("event_id", "user_id", "event_type", "us")
+          .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .select(ev.schema.fieldNames.map(n =>
+            col(n).cast(ev.schema(n).dataType).as(n)).toSeq: _*)
+      }
+      val files = Seq(
+        ev,
+        sentinels(-1L, -1L, -2L, mx + 2L * 3600 * 1000000),
+        sentinels(-2L, -3L, -4L, mx + 6L * 3600 * 1000000))
+      files.zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$base/tmp$i"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = tgt.resolve(f"part-$i%05d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1000000L + i * 10000L)
+      }
+      s"$base/in"
+    })
+
+  /** LEFT OUTER stream-stream join — purchases that found NO view in
+    * their 10-minute lookback must still emit, with a null view side.
+    * The semantics the inner join cannot give: an outer row may only
+    * emit once the WATERMARK proves no matching view can still
+    * arrive, so emission is tied to watermark progress, not row
+    * arrival — matched rows emit at match time, unmatched purchases
+    * emit when evicted. The fixture's two sentinel batches push the
+    * final watermark past every real event, so the drained result is
+    * EXACTLY the relational LEFT JOIN (sentinel pairs included,
+    * matching each other) — no boundary approximation in the oracle.
+    *
+    * Scale: same co-partitioned symmetric-hash state as the inner
+    * join; watermark bounds state on both sides (evicted views free
+    * memory, evicted purchases emit their verdict). The oracle being
+    * a plain LEFT JOIN is the point: streaming + watermarks re-derive
+    * batch outer-join semantics exactly.
+    */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEventStream(spark, outerSplitDir(spark, dir), maxFilesPerTrigger = Some(1))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 10 minutes"),
+      "leftOuter")
+    drainToParquet(spark, joined, OutputMode.Append(), s"stream_outer_join:$dir")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      .orderBy("user_id", "purchase_id", "view_id")
+  }
+
+  private val streamOuterJoinOracle =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |mx AS (SELECT max(us) AS m FROM e),
+      |sent AS (
+      |  SELECT -1 AS event_id, -1 AS user_id, 'view' AS event_type, m + 7200000000 AS us FROM mx
+      |  UNION ALL SELECT -2, -1, 'purchase', m + 7200000000 FROM mx
+      |  UNION ALL SELECT -3, -2, 'view', m + 21600000000 FROM mx
+      |  UNION ALL SELECT -4, -2, 'purchase', m + 21600000000 FROM mx),
+      |a AS (SELECT * FROM e UNION ALL SELECT * FROM sent),
+      |v AS (SELECT user_id, event_id, us FROM a WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id, us FROM a WHERE event_type = 'purchase')
+      |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  v.event_id AS view_id, p.us - v.us AS gap_us
+      |FROM p LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.us <= p.us AND v.us >= p.us - 600000000
+      |ORDER BY user_id, purchase_id, view_id""".stripMargin
+
   private val streamStreamJoinOracle =
     """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
       |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
@@ -527,6 +630,8 @@ object EventStreams {
       "native KMV sketch as streaming state: per-type distinct-user estimate, batch-identical"),
     GraftQuery("sessionize_events", sessionize _, Some(sessionizeOracle),
       "gap-based sessionization via typed groupByKey/flatMapGroups"),
+    GraftQuery("stream_outer_join", streamOuterJoin _, Some(streamOuterJoinOracle),
+      "left-outer stream-stream join: watermark-gated null emission == the relational LEFT JOIN"),
     GraftQuery("stream_stream_join", streamStreamJoin _, Some(streamStreamJoinOracle),
       "watermarked stream-stream inner join with time-range state bound"),
     GraftQuery("stream_dedup", streamDedup _, Some(streamDedupOracle),
