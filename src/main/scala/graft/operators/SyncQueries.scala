@@ -1508,6 +1508,59 @@ object SyncQueries {
       .orderBy("l_returnflag")
   }
 
+  /** INCREMENTALLY MAINTAINED transparent MV — [[tableMvRewrite]] and
+    * [[rollupIncremental]] composed end to end: the rollup table is
+    * built from 80% of the fact stream, the remaining delta folds in
+    * as partial aggregates through one keyed MERGE (sums/counts add,
+    * max via greatest), and THEN the folded table is registered as an
+    * MV — so the gated user query (written against the full fact
+    * frame, rewritten by the optimizer rule) is answered from state
+    * that was never computed in one shot. The oracle reads RAW orders,
+    * so a hash match certifies BOTH the fold ≡ full-build and the
+    * rewrite ≡ direct-query equivalences in one gate. This is the
+    * deployment shape: facts land continuously, the rollup refreshes
+    * at delta cost, dashboards keep querying the fact table and keep
+    * being served from the rollup.
+    */
+  def tableMvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("mv-incr-query")
+    val rich = t(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_rows"),
+        max(col("cents")).as("max_cents"))
+    val fine = partials(rich.filter(pmod(col("o_orderkey"), lit(5)) =!= 0))
+    val mvT = IceliteTable.create(spark, wh, "analytics", "orders_mv_incr", fine.schema)
+    mvT.append(fine)
+    mvT.merge(partials(rich.filter(pmod(col("o_orderkey"), lit(5)) === 0)),
+      Seq("o_orderpriority", "o_orderstatus"),
+      matchedUpdateSet = Map(
+        "sum_cents" -> (col("t.sum_cents") + col("s.sum_cents")),
+        "n_rows" -> (col("t.n_rows") + col("s.n_rows")),
+        "max_cents" -> greatest(col("t.max_cents"), col("s.max_cents"))))
+    val fact = t(spark, dir, "orders").select(
+      col("o_orderpriority"), col("o_orderstatus"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    graft.plans.MvRewrite.register(spark, "orders_mv_incr", fact,
+      Seq("o_orderpriority", "o_orderstatus"),
+      Seq(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_rows"),
+        max(col("cents")).as("max_cents")),
+      mvT.read())
+    fact.groupBy(col("o_orderpriority"))
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_rows"),
+        max(col("cents")).as("max_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val tableMvIncrementalOracle =
+    """SELECT o_orderpriority,
+      |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+      |  count(*) AS n_rows,
+      |  max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS max_cents
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** The MV demo's fact frame (shared with `MvRewriteSpec`). */
   private[graft] def mvRewriteFact(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem").select(
@@ -1864,6 +1917,8 @@ object SyncQueries {
       "dynamic partition overwrite: metadata-only pure-file drop + mixed-file survivor rewrite"),
     GraftQuery("table_mv_rewrite", tableMvRewrite _, Some(tableMvRewriteOracle),
       "transparent MV rewrite: optimizer rule answers a fact-table aggregate from the rollup"),
+    GraftQuery("table_mv_incremental", tableMvIncremental _, Some(tableMvIncrementalOracle),
+      "delta-folded rollup transparently served: fold == full-build AND rewrite == direct in one gate"),
     GraftQuery("rollup_serving", rollupServing _, Some(rollupServingOracle),
       "materialized day-rollup serving a monthly report: re-aggregated partials == direct fact query"),
     GraftQuery("table_scd2", tableScd2 _, Some(tableScd2Oracle),

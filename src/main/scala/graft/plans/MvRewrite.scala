@@ -116,7 +116,12 @@ object MvRewrite {
         }
       case _ => None // grouping passthrough columns
     }
-    val mvPlan = mv.queryExecution.analyzed
+    // the OPTIMIZED plan, not the analyzed one: the rewrite grafts this
+    // subtree into a plan the main optimizer batches have already
+    // finished with, so it must carry no constructs they are required
+    // to eliminate (e.g. the ResolvedHint a MoR read's broadcast hint
+    // leaves, which the planner rejects if it survives)
+    val mvPlan = mv.queryExecution.optimizedPlan
     def mvAttr(n: String): Attribute = mvPlan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
         s"mv '$name': MV is missing column '$n' (has ${mvPlan.output.map(_.name)})"))

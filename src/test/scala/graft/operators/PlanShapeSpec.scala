@@ -275,6 +275,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("incrementally maintained MV serves the fact aggregate: no fact scan in the plan") {
+    val p = SparkEntry.queries("table_mv_incremental")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("o_totalprice"), s"fact scan survived the rewrite:\n$p")
+    assert(p.contains("sum_cents"), s"MV relation absent:\n$p")
+  }
+
   test("NOT IN plans as a null-aware anti join, not a per-row subquery") {
     val pe = SparkEntry.queries("join_not_in")(spark, dir)
       .queryExecution.executedPlan.toString
