@@ -1508,6 +1508,41 @@ object SyncQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Initial-default column add ([[IceliteTable.addColumnWithDefault]],
+    * the Iceberg v3 `initial-default`): half the orders subset lands,
+    * then a LONG and a STRING column are added with defaults — one
+    * metadata commit each, zero data I/O — and the second half lands
+    * WITH real values for both. The read must serve the defaults for
+    * every pre-add row and the stored values for every post-add row;
+    * the oracle recomputes the same split relationally. At 100 TB
+    * this is a schema migration with backfill semantics for the price
+    * of a metadata swap.
+    */
+  def tableAddDefault(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("add-default-query")
+    val o = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100).as("cents"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_defaults",
+      o.schema)
+    table.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+    table.addColumnWithDefault("region_code", org.apache.spark.sql.types.LongType, 7L)
+    table.addColumnWithDefault("tier", org.apache.spark.sql.types.StringType, "std")
+    table.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("region_code", pmod(col("o_orderkey"), lit(3)))
+      .withColumn("tier", when(col("cents") > 1000000L, "big").otherwise("small")))
+    table.read().orderBy("o_orderkey")
+  }
+
+  private val tableAddDefaultOracle =
+    """SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN 7 ELSE o_orderkey % 3 END AS region_code,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN 'std'
+      |       WHEN floor(o_totalprice * 100) > 1000000 THEN 'big'
+      |       ELSE 'small' END AS tier
+      |FROM orders WHERE o_orderkey % 13 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** INCREMENTALLY MAINTAINED transparent MV — [[tableMvRewrite]] and
     * [[rollupIncremental]] composed end to end: the rollup table is
     * built from 80% of the fact stream, the remaining delta folds in
@@ -1919,6 +1954,8 @@ object SyncQueries {
       "transparent MV rewrite: optimizer rule answers a fact-table aggregate from the rollup"),
     GraftQuery("table_mv_incremental", tableMvIncremental _, Some(tableMvIncrementalOracle),
       "delta-folded rollup transparently served: fold == full-build AND rewrite == direct in one gate"),
+    GraftQuery("table_add_default", tableAddDefault _, Some(tableAddDefaultOracle),
+      "initial-default column add: pre-add files serve the default, post-add files their values"),
     GraftQuery("rollup_serving", rollupServing _, Some(rollupServingOracle),
       "materialized day-rollup serving a monthly report: re-aggregated partials == direct fact query"),
     GraftQuery("table_scd2", tableScd2 _, Some(tableScd2Oracle),

@@ -1217,7 +1217,11 @@ final class IceliteTable private (
         .parquet(fs.map(abs): _*)
         .select((target.fields.toSeq.zip(names).map {
           case (f, Some(n)) => col(n).as(f.name)
-          case (f, None) => lit(null).cast(f.dataType).as(f.name)
+          // absent from this epoch's files: the declared initial
+          // default if one exists (addColumnWithDefault), else null
+          case (f, None) =>
+            defaultLit(m.properties, f.name).getOrElse(lit(null))
+              .cast(f.dataType).as(f.name)
         } :+ col(SeqCol)) ++ posCols: _*)
     }
     if (schemaOps(m.properties).forall(_.seq > asOf))
@@ -1656,6 +1660,71 @@ final class IceliteTable private (
       Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
   }
 
+  /** Metadata-only column add WITH an initial default (Iceberg v3
+    * `initial-default`): files written BEFORE the add serve `default`
+    * for the new column instead of null — the backfill every schema
+    * migration wants without rewriting a byte — while files written
+    * after store real values. The default rides table properties
+    * (typed literal), travels with renames, dies with drops and
+    * rollbacks, and a later fresh re-add of the same name starts
+    * clean (null-filled). Only the INITIAL default is implemented:
+    * writes that omit the column still null-fill (Iceberg's separate
+    * `write-default` is a write-path concern this table's explicit
+    * [[conformToSchema]] contract does not need).
+    *
+    * Scale: identical to [[addColumns]] — one metadata commit, no
+    * data I/O; the read-side cost is that PRE-ADD files leave the
+    * flat fast path and read as their own group (the same group
+    * split reborn columns already pay). Documented trade: after a
+    * later DROP of the column, time travel to between add and drop
+    * resurrects it null-filled for pre-add files (the default died
+    * with the drop; Iceberg keeps per-schema-id defaults instead).
+    */
+  def addColumnWithDefault(
+      colName: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      default: Any): Long = retryCommit { head =>
+    if (head.schema.fieldNames.contains(colName))
+      throw new IllegalArgumentException(s"column '$colName' already exists in $name")
+    val rendered = renderDefault(dataType, default)
+    val seq = head.lastSeq + 1
+    val ops = schemaOps(head.properties) :+ SchemaOp.Add(colName, seq)
+    (head.withSchema(head.schema.add(colName, dataType))
+      .copy(properties = head.properties +
+        (SchemaOpsProp -> SchemaOp.render(ops)) +
+        (DefaultPropPrefix + colName -> rendered))
+      .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+  }
+
+  private def renderDefault(
+      dt: org.apache.spark.sql.types.DataType, v: Any): String = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (LongType, x: Long) => s"long:$x"
+      case (IntegerType, x: Int) => s"int:$x"
+      case (DoubleType, x: Double) => s"double:$x"
+      case (BooleanType, x: Boolean) => s"boolean:$x"
+      case (StringType, x: String) => s"string:$x"
+      case _ => throw new IllegalArgumentException(
+        s"unsupported default $v for type $dt " +
+          "(long/int/double/boolean/string literals only)")
+    }
+  }
+
+  /** The default literal for a column, if declared (read-side fill). */
+  private def defaultLit(
+      props: Map[String, String], colName: String): Option[Column] =
+    props.get(DefaultPropPrefix + colName).map { r =>
+      val Array(t, v) = r.split(":", 2)
+      t match {
+        case "long" => lit(v.toLong)
+        case "int" => lit(v.toInt)
+        case "double" => lit(v.toDouble)
+        case "boolean" => lit(v.toBoolean)
+        case "string" => lit(v)
+      }
+    }
+
   /** Roll the table back to the state as of snapshot `toSeq` (Iceberg's
     * `rollback_to_snapshot`): metadata-only — snapshots after `toSeq`
     * leave the live list, their files become orphans reclaimed by
@@ -1683,13 +1752,20 @@ final class IceliteTable private (
     val rolledSchema = schemaOps(head.properties).reverse.filter(_.seq > toSeq)
       .foldLeft(head.schema) { (s, op) => inverseApply(s, op) }
     val seq = head.lastSeq + 1
+    // defaults of rolled-back Adds leave with their column
+    val keptNames = rolledSchema.fieldNames.toSet
+    val prunedProps = head.properties.filter {
+      case (k, _) if k.startsWith(DefaultPropPrefix) =>
+        keptNames.contains(k.stripPrefix(DefaultPropPrefix))
+      case _ => true
+    }
     (head.copy(
       schema = rolledSchema,
       snapshots = head.snapshots.filter(_.seq <= toSeq) :+
         Snapshot(seq, System.currentTimeMillis(), "rollback", Nil, Nil, 0L),
       properties =
-        if (keptOps.isEmpty) head.properties - SchemaOpsProp
-        else head.properties + (SchemaOpsProp -> SchemaOp.render(keptOps))), seq)
+        if (keptOps.isEmpty) prunedProps - SchemaOpsProp
+        else prunedProps + (SchemaOpsProp -> SchemaOp.render(keptOps))), seq)
   }
 
   /** Row-level UPDATE WHERE for keyless tables (Iceberg v2 UPDATE):
@@ -2120,8 +2196,12 @@ final class IceliteTable private (
     val newSchema = StructType(head.schema.fields.map(x =>
       if (x.name == from) x.copy(name = to) else x))
     val ops = schemaOps(head.properties) :+ SchemaOp.Rename(from, to, seq)
+    // an initial default follows its column through the rename
+    val movedDefault = head.properties.get(DefaultPropPrefix + from)
+    val props0 = head.properties - (DefaultPropPrefix + from)
+    val props = movedDefault.fold(props0)(d => props0 + (DefaultPropPrefix + to -> d))
     (head.withSchema(newSchema)
-      .copy(properties = head.properties + (SchemaOpsProp -> SchemaOp.render(ops)))
+      .copy(properties = props + (SchemaOpsProp -> SchemaOp.render(ops)))
       .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
   }
 
@@ -2142,8 +2222,11 @@ final class IceliteTable private (
     val f = head.schema.fields(idx)
     val newSchema = StructType(head.schema.fields.filterNot(_.name == colName))
     val ops = schemaOps(head.properties) :+ SchemaOp.Drop(colName, f.dataType, idx, seq)
+    // the initial default dies with the column: a later fresh re-add
+    // of this name starts null-filled, not with the dead default
     (head.withSchema(newSchema)
-      .copy(properties = head.properties + (SchemaOpsProp -> SchemaOp.render(ops)))
+      .copy(properties = (head.properties - (DefaultPropPrefix + colName)) +
+        (SchemaOpsProp -> SchemaOp.render(ops)))
       .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
   }
 
@@ -2200,7 +2283,14 @@ final class IceliteTable private (
         // null-correct and the flat single-scan fast path survives —
         // a table that only ever ADDS columns never pays a group split
         case (Some(n), SchemaOp.Add(name, opSeq)) if name == n =>
-          if (hadPreviousLife(n, opSeq)) None else Some(n)
+          // a declared initial default ALSO forces the group split:
+          // pre-add files must project the default literal, which the
+          // flat schema-fill path (null) cannot do. The prop is keyed
+          // by the column's CURRENT name (it follows renames), which
+          // is `targetName`, not the backward-walked epoch name `n`
+          if (hadPreviousLife(n, opSeq) ||
+              cachedMeta.properties.contains(DefaultPropPrefix + targetName)) None
+          else Some(n)
         case (acc, _) => acc
       }
 
@@ -3259,6 +3349,12 @@ object IceliteTable {
     * `graft.ref.<name>` = `"tag:<seq>"` | `"branch:<seq>"`.
     */
   val RefPropPrefix = "graft.ref."
+
+  /** Property-key prefix for a column's INITIAL DEFAULT
+    * ([[IceliteTable.addColumnWithDefault]]): `graft.default.<col>` =
+    * `"<type>:<literal>"`, served by pre-add files at read time.
+    */
+  val DefaultPropPrefix = "graft.default."
 
   /** Snapshot-summary key stamping a cherry-pick commit with the stage
     * id it re-applied (Iceberg `wap.id` analog) — the marker that makes

@@ -52,6 +52,43 @@ class IceliteEvolutionSpec extends AnyFunSuite with SparkFixture {
     assert(t.read().filter(col("id") === 1L).head().getString(2) == "a2")
   }
 
+  test("initial default: pre-add files serve it, post-add values win, lifecycle cleans up") {
+    import org.apache.spark.sql.types.LongType
+    val t = IceliteTable.create(spark, wh(), "ns", "defaults", schema3)
+    t.append(rows3("note", (1L, 1.0, "a")))
+    val preAdd = t.meta.lastSeq
+    t.addColumnWithDefault("score", LongType, 42L)
+    t.append(spark.createDataFrame(
+      java.util.List.of(Row(java.lang.Long.valueOf(2L), 2.0, "b", java.lang.Long.valueOf(9L))),
+      t.schema))
+    def scores = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(scores.toSeq == Seq((1L, 42L), (2L, 9L))) // default vs stored
+    // time travel before the add: no column at all
+    assert(!t.readAt(preAdd).schema.fieldNames.contains("score"))
+    // the default follows a rename
+    t.renameColumn("score", "points")
+    assert(t.read().filter(col("id") === 1L).head().getLong(3) == 42L)
+    // ... and dies with a drop: a fresh re-add of the name is null-filled
+    t.dropColumn("points")
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      StructField("points", LongType))))
+    assert(t.read().filter(col("id") === 1L).head().isNullAt(3))
+  }
+
+  test("initial default: rollback past the add removes the default with the column") {
+    import org.apache.spark.sql.types.LongType
+    val t = IceliteTable.create(spark, wh(), "ns", "defroll", schema3)
+    t.append(rows3("note", (1L, 1.0, "a")))
+    val preAdd = t.meta.lastSeq
+    t.addColumnWithDefault("score", LongType, 5L)
+    t.rollbackTo(preAdd)
+    assert(!t.schema.fieldNames.contains("score"))
+    assert(!t.meta.properties.keys.exists(_.startsWith(IceliteTable.DefaultPropPrefix)))
+    // re-adding plain after the rollback starts null-filled
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(StructField("score", LongType))))
+    assert(t.read().head().isNullAt(3))
+  }
+
   test("chained renames compose: epoch-0 files resolve through every hop") {
     val t = IceliteTable.create(spark, wh(), "ns", "chain", schema3)
     t.append(rows3("note", (1L, 1.0, "x")))
