@@ -1508,6 +1508,47 @@ object SyncQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Write-time CHECK constraints ([[IceliteTable.declareConstraint]])
+    * as a gated pipeline: constraints declared after the seed batch
+    * (declare-time validation scans once), then an upsert wave and a
+    * column-level MERGE both flow through the fused fail-fast
+    * enforcement — the gate proves enforcement is TRANSPARENT for
+    * valid data (bit-identical to the unconstrained relational
+    * recompute), while `IceliteConstraintSpec` proves violating
+    * writes throw and leave nothing behind. Enforcement rides the
+    * write scan (an assert inside the projection), so a 100 TB ingest
+    * pays zero extra passes for its data contract.
+    */
+  def tableConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("constraints-query")
+    val o = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(19)) === 0)
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100).as("cents"),
+        col("o_orderstatus"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_checked", o.schema)
+    table.append(o.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+    table.declareConstraint("cents_pos", "cents > 0")
+    table.declareConstraint("status_domain", "o_orderstatus IN ('F', 'O', 'P')")
+    table.upsert(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), Seq("o_orderkey"))
+    table.merge(
+      o.filter(pmod(col("o_orderkey"), lit(6)) === 0).select(col("o_orderkey")),
+      Seq("o_orderkey"),
+      matchedUpdateSet = Map("cents" -> (col("t.cents") + 1L)),
+      notMatchedInsert = None)
+    table.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val tableConstraintsOracle =
+    """SELECT o_orderstatus,
+      |  count(*) AS n_rows,
+      |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END) AS sum_cents
+      |FROM orders WHERE o_orderkey % 19 = 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Initial-default column add ([[IceliteTable.addColumnWithDefault]],
     * the Iceberg v3 `initial-default`): half the orders subset lands,
     * then a LONG and a STRING column are added with defaults — one
@@ -1956,6 +1997,8 @@ object SyncQueries {
       "delta-folded rollup transparently served: fold == full-build AND rewrite == direct in one gate"),
     GraftQuery("table_add_default", tableAddDefault _, Some(tableAddDefaultOracle),
       "initial-default column add: pre-add files serve the default, post-add files their values"),
+    GraftQuery("table_constraints", tableConstraints _, Some(tableConstraintsOracle),
+      "write-time CHECK constraints: fused fail-fast enforcement, transparent for valid data"),
     GraftQuery("rollup_serving", rollupServing _, Some(rollupServingOracle),
       "materialized day-rollup serving a monthly report: re-aggregated partials == direct fact query"),
     GraftQuery("table_scd2", tableScd2 _, Some(tableScd2Oracle),

@@ -261,6 +261,72 @@ final class IceliteTable private (
     } finally classified.unpersist()
   }
 
+  /** Declare a named write-time CHECK constraint (standard SQL
+    * semantics: a row violates only when the predicate is FALSE —
+    * NULL passes). Declaration validates the predicate resolves to a
+    * boolean against the current schema AND that every existing row
+    * satisfies it (the `ALTER TABLE ADD CONSTRAINT` contract — one
+    * table scan, paid once at declare time); from then on every
+    * ingest write (append / upsert / merge / update / staged append)
+    * fails fast on the first violating row. Enforcement is a
+    * side-effecting filter FUSED into the write's own scan
+    * (`assert_true` inside the projection pipeline) — zero extra
+    * passes over the batch at any scale. Maintenance rewrites
+    * (compaction, clone re-materialization) skip enforcement: their
+    * rows were validated when they first landed.
+    */
+  def declareConstraint(cname: String, predicateSql: String): Long = {
+    require(cname.nonEmpty && !cname.contains('='), s"bad constraint name '$cname'")
+    refresh()
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cachedMeta.schema)
+    val dt = probe.select(expr(predicateSql)).schema.head.dataType
+    if (dt != org.apache.spark.sql.types.BooleanType)
+      throw new IllegalArgumentException(
+        s"CHECK '$cname' of $name must be a boolean predicate, got $dt")
+    val bad = read().filter(!coalesce(expr(predicateSql), lit(true))).count()
+    if (bad > 0)
+      throw new IllegalStateException(
+        s"cannot declare CHECK '$cname' on $name: " +
+          s"$bad existing row(s) violate ($predicateSql)")
+    retryCommit { head =>
+      val seq = head.lastSeq + 1
+      (head.copy(properties =
+        head.properties + (ConstraintPropPrefix + cname -> predicateSql))
+        .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve",
+          Nil, Nil, 0L)), seq)
+    }
+  }
+
+  /** Remove a declared CHECK constraint (metadata-only). */
+  def dropConstraint(cname: String): Long = retryCommit { head =>
+    if (!head.properties.contains(ConstraintPropPrefix + cname))
+      throw new IllegalArgumentException(s"no CHECK '$cname' on $name")
+    val seq = head.lastSeq + 1
+    (head.copy(properties = head.properties - (ConstraintPropPrefix + cname))
+      .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve",
+        Nil, Nil, 0L)), seq)
+  }
+
+  /** Declared constraints: name → predicate SQL. */
+  def constraints: Map[String, String] =
+    cachedMeta.properties.collect {
+      case (k, v) if k.startsWith(ConstraintPropPrefix) =>
+        k.stripPrefix(ConstraintPropPrefix) -> v
+    }
+
+  /** Fuse every declared CHECK into the batch as fail-fast asserts —
+    * rides the write scan, no extra job. NULL predicate results pass
+    * (SQL CHECK), so only an explicit FALSE throws.
+    */
+  private def enforceChecks(df: DataFrame, props: Map[String, String]): DataFrame =
+    props.toSeq.filter(_._1.startsWith(ConstraintPropPrefix)).sortBy(_._1)
+      .foldLeft(df) { case (d, (k, p)) =>
+        val n = k.stripPrefix(ConstraintPropPrefix)
+        d.filter(assert_true(coalesce(expr(p), lit(true)),
+          lit(s"CHECK constraint '$n' of $name violated: $p")).isNull)
+      }
+
   private def commitWrite(
       df: DataFrame,
       deleteKeys: Option[DataFrame],
@@ -293,7 +359,9 @@ final class IceliteTable private (
       if (keyCols.nonEmpty) keyCols else tableKeyColumns(head.properties), head.schema)
     val (dataFiles, count, fileStats, dataMetrics) =
       if (df != null)
-        writeDataFiles(conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq)),
+        writeDataFiles(
+          enforceChecks(conformToSchema(df, head.schema), head.properties)
+            .withColumn(SeqCol, lit(seq)),
           commitId, head.partitioning, nFiles = None,
           extraStatCols = statKeys.toMap ++ trackedStats(head.properties, head.schema))
       else (Seq.empty[String], 0L, Map.empty[String, Map[String, (String, String)]],
@@ -1803,7 +1871,8 @@ final class IceliteTable private (
         val updated = matching.select(head.schema.fieldNames.toSeq.map(n =>
           set.get(n).map(_.as(n)).getOrElse(col(n))): _*)
         val (files, count, stats, metrics) = writeDataFiles(
-          conformToSchema(updated, head.schema).withColumn(SeqCol, lit(seq)),
+          enforceChecks(conformToSchema(updated, head.schema), head.properties)
+            .withColumn(SeqCol, lit(seq)),
           commitId, head.partitioning, nFiles = None,
           extraStatCols = statKeys.toMap ++ trackedStats(head.properties, head.schema))
         (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "update",
@@ -1839,7 +1908,8 @@ final class IceliteTable private (
     val seq = head.lastSeq + 1
     val statKeys = keyStatColumns(tableKeyColumns(head.properties), head.schema)
     val (files, count, stats, metrics) = writeDataFiles(
-      conformToSchema(df, head.schema).withColumn(SeqCol, lit(seq)),
+      enforceChecks(conformToSchema(df, head.schema), head.properties)
+        .withColumn(SeqCol, lit(seq)),
       stageId, head.partitioning, nFiles = None,
       extraStatCols = statKeys.toMap ++ trackedStats(head.properties, head.schema))
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -3349,6 +3419,12 @@ object IceliteTable {
     * `graft.ref.<name>` = `"tag:<seq>"` | `"branch:<seq>"`.
     */
   val RefPropPrefix = "graft.ref."
+
+  /** Property-key prefix for named write-time CHECK constraints
+    * ([[IceliteTable.declareConstraint]]): `graft.check.<name>` =
+    * boolean predicate SQL over the table schema.
+    */
+  val ConstraintPropPrefix = "graft.check."
 
   /** Property-key prefix for a column's INITIAL DEFAULT
     * ([[IceliteTable.addColumnWithDefault]]): `graft.default.<col>` =
