@@ -1508,6 +1508,43 @@ object SyncQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Declared SORT ORDER applied by maintenance
+    * ([[IceliteTable.declareSortOrder]]): four hash-scattered appends
+    * land — every file spans the full cents range, so a range read
+    * prunes NOTHING — then one compaction under the declared order
+    * rewrites into files owning DISJOINT cents ranges, and the gated
+    * range read serves from the few intersecting files (pruned-by-
+    * metadata keep-set pinned in `IceliteSortOrderSpec`; the oracle
+    * recomputes the range relationally, certifying pruning never
+    * changes answers). At 100 TB this is the difference between a
+    * range query touching every file and touching its band.
+    */
+  def tableSortOrder(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("sort-order-query")
+    val o = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(11)) === 0)
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100).as("cents"),
+        col("o_orderpriority"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_sorted", o.schema)
+    table.trackStats(Seq("cents"))
+    table.declareSortOrder(Seq("cents"))
+    (0 until 4).foreach(i =>
+      table.append(o.filter(pmod(col("o_orderkey"), lit(4)) === i)))
+    table.compact(targetFileMB = 256, Nil, numFilesOverride = Some(4))
+    table.readStatRange("cents", Some(1000000L), Some(2000000L))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val tableSortOrderOracle =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents
+      |FROM orders
+      |WHERE o_orderkey % 11 = 0
+      |  AND CAST(floor(o_totalprice * 100) AS BIGINT) BETWEEN 1000000 AND 2000000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Write-time CHECK constraints ([[IceliteTable.declareConstraint]])
     * as a gated pipeline: constraints declared after the seed batch
     * (declare-time validation scans once), then an upsert wave and a
@@ -1999,6 +2036,8 @@ object SyncQueries {
       "initial-default column add: pre-add files serve the default, post-add files their values"),
     GraftQuery("table_constraints", tableConstraints _, Some(tableConstraintsOracle),
       "write-time CHECK constraints: fused fail-fast enforcement, transparent for valid data"),
+    GraftQuery("table_sort_order", tableSortOrder _, Some(tableSortOrderOracle),
+      "declared sort order applied by compaction: disjoint file ranges, pruned range read"),
     GraftQuery("rollup_serving", rollupServing _, Some(rollupServingOracle),
       "materialized day-rollup serving a monthly report: re-aggregated partials == direct fact query"),
     GraftQuery("table_scd2", tableScd2 _, Some(tableScd2Oracle),

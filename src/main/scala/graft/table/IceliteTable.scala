@@ -1419,6 +1419,7 @@ final class IceliteTable private (
           conformToSchema(current, head.schema).withColumn(SeqCol, lit(seq)),
           commitId, head.partitioning, Some(nFiles),
           zorder = zRanges,
+          sortBy = if (zorderBy.isEmpty) sortOrderColumns(head.properties) else Nil,
           extraStatCols = zorderBy.map(_ -> true).toMap ++
             keyStatColumns(tableKeyColumns(head.properties), head.schema).toMap ++
             trackedStats(head.properties, head.schema))
@@ -2309,7 +2310,8 @@ final class IceliteTable private (
     val anchored =
       tableKeyColumns(head.properties).toSet ++
         (head.partitioning ++ parseRetired(head.properties)).map(_.field) ++
-        zorderColumns(head.properties)
+        zorderColumns(head.properties) ++
+        sortOrderColumns(head.properties)
     if (anchored.contains(colName))
       throw new IllegalArgumentException(
         s"cannot $what column '$colName' of $name: it anchors delete keys, " +
@@ -2987,6 +2989,36 @@ final class IceliteTable private (
     * declaration carry no stats and are simply never pruned
     * (conservative). Adds to any existing declaration.
     */
+  /** Declare a table SORT ORDER (Iceberg sort-order metadata): the
+    * named columns become the layout contract MAINTENANCE enforces —
+    * steady-state appends land in arrival order (no per-batch sort
+    * tax), and the next [[compact]] range-partitions + sorts the
+    * rewrite on them, so files own DISJOINT sort-key ranges and any
+    * later [[readStatRange]] on a declared stat column prunes to the
+    * few files whose bounds intersect. The one-dimensional sibling of
+    * z-order (an explicit `zorderBy` on compact wins when both are
+    * declared). Metadata-only commit.
+    */
+  def declareSortOrder(cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "declareSortOrder needs at least one column")
+    retryCommit { head =>
+      cols.foreach(c => require(head.schema.fieldNames.contains(c),
+        s"sort-order column '$c' is not a column of $name"))
+      val seq = head.lastSeq + 1
+      (head.copy(properties =
+        head.properties + (IceliteTable.SortOrderProp -> cols.mkString(",")))
+        .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve",
+          Nil, Nil, 0L)), seq)
+    }
+  }
+
+  /** The declared sort order, if any. */
+  def sortOrder: Seq[String] = sortOrderColumns(cachedMeta.properties)
+
+  private def sortOrderColumns(props: Map[String, String]): Seq[String] =
+    props.get(IceliteTable.SortOrderProp)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
   def trackStats(cols: Seq[String]): Long = {
     require(cols.nonEmpty, "trackStats needs at least one column")
     retryCommit { head =>
@@ -3223,6 +3255,7 @@ final class IceliteTable private (
       partitioning: Seq[PartitionConfig],
       nFiles: Option[Int],
       zorder: Seq[(String, Long, Long)] = Nil,
+      sortBy: Seq[String] = Nil,
       extraStatCols: Map[String, Boolean] = Map.empty)
       : (Seq[String], Long, Map[String, Map[String, (String, String)]],
         Map[String, (Long, Long)]) = {
@@ -3240,6 +3273,17 @@ final class IceliteTable private (
         case None => withZ.repartitionByRange(keys: _*)
       }
       ranged.sortWithinPartitions(keys: _*).drop(zTmp)
+    } else if (sortBy.nonEmpty) {
+      // declared LINEAR sort order (the one-dimension sibling of the
+      // z-order path): range-partition on (partition cols, sort cols)
+      // so files own disjoint sort-key ranges, then sort within each —
+      // footer min/max become tight and readStatRange prunes by file
+      val keys = partCols.map(p => col(p._1)) ++ sortBy.map(col)
+      val ranged = nFiles match {
+        case Some(n) => d.repartitionByRange(n, keys: _*)
+        case None => d.repartitionByRange(keys: _*)
+      }
+      ranged.sortWithinPartitions(keys: _*)
     } else (nFiles, partCols) match {
       case (Some(n), pc) if pc.nonEmpty => d.repartition(n, pc.map(p => col(p._1)): _*)
       case (Some(n), _) => d.repartition(n)
@@ -3499,6 +3543,11 @@ object IceliteTable {
     * numeric-comparable for metadata pruning (`pruneDataFiles`).
     */
   val ZorderColumnsProp = "graft.zorder.columns"
+
+  /** Property key for the declared linear sort order
+    * ([[IceliteTable.declareSortOrder]]): comma-joined column names.
+    */
+  val SortOrderProp = "graft.sort.columns"
 
   /** Table property holding the ordered schema-evolution op log
     * (renames/drops with their commit seq) — the field-ID analog:
