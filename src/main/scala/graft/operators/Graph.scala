@@ -193,11 +193,87 @@ object Graph {
        |GROUP BY d ORDER BY dist""".stripMargin
   }
 
+  /** Label-propagation rounds (unrolled identically in the oracle). */
+  val CommRounds: Int = 2
+
+  /** Synchronous label-propagation community detection — the
+    * community primitive next to PageRank (importance), triangles
+    * (tightness), and BFS (reachability). Every node starts as its
+    * own community (label = part key); each round every node adopts
+    * the PLURALITY label among its neighbors' previous-round labels,
+    * ties broken by the smallest label — all-integer counting and an
+    * integer tie-break, so K synchronous rounds are bit-identical
+    * cross-engine (the unrolled-chain pattern again; asynchronous LPA
+    * would be order-dependent and ungateable). Reports the 20 largest
+    * communities.
+    *
+    * Scale shape: the edge list materializes once (basket-bounded);
+    * each round is ONE equi-join of the |V|-row label vector with the
+    * cached edges, a (v, label) hash-agg bounded by |E|, and a
+    * row_number window whose per-key width is the node's distinct
+    * neighbor-label count (≤ degree) — on a cluster edges and labels
+    * co-partition on `u`, so the per-round shuffle is the label
+    * vector plus the |E|-bounded count stream, never a re-derivation.
+    */
+  def communities(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    try {
+      var l = e.select(col("u").as("p")).distinct()
+        .select(col("p"), col("p").as("label"))
+      for (_ <- 1 to CommRounds) {
+        val cnt = e.join(l, e("u") === l("p"))
+          .groupBy(col("v"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("v")).orderBy(desc("c"), asc("label"))
+        l = cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("v").as("p"), col("label"))
+      }
+      l.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(desc("n_parts"), col("community"))
+        .limit(20)
+    } finally e.unpersist()
+  }
+
+  private val communitiesOracle = {
+    val rounds = (1 to CommRounds).map { k =>
+      s"""l$k AS (
+         |  SELECT v AS p, label FROM (
+         |    SELECT v, label, c,
+         |      row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+         |    FROM (
+         |      SELECT e.v, l${k - 1}.label, count(*) AS c
+         |      FROM e JOIN l${k - 1} ON e.u = l${k - 1}.p
+         |      GROUP BY e.v, l${k - 1}.label) cnt) x
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |l0 AS (SELECT DISTINCT u AS p, u AS label FROM e),
+       |$rounds
+       |SELECT label AS community, count(*) AS n_parts
+       |FROM l$CommRounds
+       |GROUP BY label
+       |ORDER BY n_parts DESC, community
+       |LIMIT 20""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("graph_pagerank", pagerank _, Some(pagerankOracle),
       "integer PageRank over the co-purchase graph: K cached-edge joins, bit-exact unrolled oracle"),
     GraftQuery("graph_triangles", triangles _, Some(trianglesOracle),
       "triangle participation via ordered-edge wedge join + closing-edge probe (each triangle once)"),
     GraftQuery("graph_bfs", bfs _, Some(bfsOracle),
-      "bounded-hop BFS distance histogram: K min-fold rounds over the cached co-purchase edges"))
+      "bounded-hop BFS distance histogram: K min-fold rounds over the cached co-purchase edges"),
+    GraftQuery("graph_communities", communities _, Some(communitiesOracle),
+      "synchronous label propagation: K plurality-vote rounds, min-label ties, top-20 community sizes"))
 }

@@ -1162,6 +1162,50 @@ object Similarity {
        |SELECT label, vec_id, dist2, rank FROM ranked
        |WHERE rank <= $EmbedOutlierK ORDER BY label, rank""".stripMargin
 
+  // ------------------------------------------------- kNN classification
+
+  /** kNN majority-vote classification over the PERSISTED IVF index —
+    * what a production labeling pipeline does with its ANN index:
+    * classify incoming vectors by the plurality label of their top-5
+    * approximate neighbors (ties → smallest label). The neighbor set
+    * is EXACTLY [[topkIvf]]'s gated output (one code path), so the
+    * candidate generation stays cell-pruned (probes/K of the corpus,
+    * never a full scan) and the vote is a ≤ 5-row-per-query hash-agg
+    * plus a row_number window — all-integer, bit-stable cross-engine.
+    * Reports prediction vs the held-out true label per query.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = t(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val votes = topkIvf(spark, dir).join(labels, "vec_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("n_votes"), asc("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .select(col("q_id"), col("pred_label"), col("true_label"), col("n_votes"),
+        when(col("pred_label") === col("true_label"), 1L).otherwise(0L).as("correct"))
+      .orderBy("q_id")
+  }
+
+  private val knnClassifyOracle =
+    s"""WITH knn AS (SELECT * FROM (${ivfTopkOracleSql(NumQueries, 5)}) ivf),
+       |votes AS (
+       |  SELECT k.q_id, e.label, count(*) AS n_votes
+       |  FROM knn k JOIN embeddings e ON e.vec_id = k.vec_id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT q_id, label AS pred_label, n_votes FROM (
+       |    SELECT q_id, label, n_votes,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS rn
+       |    FROM votes) x
+       |  WHERE rn = 1)
+       |SELECT p.q_id, p.pred_label, e.label AS true_label, p.n_votes,
+       |  CAST(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM pred p JOIN embeddings e ON e.vec_id = p.q_id
+       |ORDER BY p.q_id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -1186,5 +1230,7 @@ object Similarity {
     GraftQuery("sim_recall_eval", recallEval _, Some(recallEvalOracle),
       "recall@k of each ANN method vs the exact brute-force top-k"),
     GraftQuery("embed_outliers", embedOutliers _, Some(embedOutliersOracle),
-      "per-label centroid-distance outliers (mislabel/corruption screen for the embedding table)"))
+      "per-label centroid-distance outliers (mislabel/corruption screen for the embedding table)"),
+    GraftQuery("embed_knn_classify", knnClassify _, Some(knnClassifyOracle),
+      "kNN majority-vote classification over the persisted IVF index (cell-pruned neighbors, integer vote)"))
 }

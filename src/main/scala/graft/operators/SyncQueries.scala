@@ -1966,6 +1966,99 @@ object SyncQueries {
       |WHERE eff_from <= 250 AND (eff_to IS NULL OR eff_to > 250)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Copy-on-write UPDATE ([[IceliteTable.updateWhereCoW]]) gated end
+    * to end: three key-banded appends give the table footer stats, an
+    * upsert wave plants live equality deletes, then the CoW update
+    * rewrites ONLY the files its stat range touches (band 1/3 files
+    * keep their bytes; the middle band and the range-spanning upsert
+    * file rewrite with masked rows folded) and commits zero delete
+    * files. The band bounds are layout-only — the final content is
+    * band-independent — but the oracle still reproduces them so the
+    * update predicate (middle band, even keys) matches bit-for-bit.
+    */
+  def tableCowUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("cow-query")
+    val base = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_cow", base.schema)
+    table.trackStats(Seq("o_orderkey"))
+    val maxk = base.agg(max(col("o_orderkey"))).collect().head.getLong(0)
+    val (b1, b2) = (maxk / 3, 2 * maxk / 3)
+    table.append(base.filter(col("o_orderkey") <= b1))
+    table.append(base.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2))
+    table.append(base.filter(col("o_orderkey") > b2))
+    table.upsert(base.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0), Seq("o_orderkey"))
+    table.updateWhereCoW(
+      col("o_orderkey") > b1 && col("o_orderkey") <= b2 &&
+        pmod(col("o_orderkey"), lit(2)) === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + 5.0),
+        "o_orderstatus" -> lit("W")),
+      statRange = Some(("o_orderkey", b1 + 1, b2)))
+    table.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Relational.dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val tableCowUpdateOracle =
+    """WITH sub AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |bounds AS (
+      |  SELECT CAST(max(k) AS BIGINT) // 3 AS b1,
+      |         (2 * CAST(max(k) AS BIGINT)) // 3 AS b2 FROM sub),
+      |upd AS (
+      |  SELECT
+      |    CASE WHEN k > b1 AND k <= b2 AND k % 2 = 0 THEN 'W' ELSE st END AS o_orderstatus,
+      |    (CASE WHEN k % 3 = 0 THEN p + 10.0 ELSE p END) +
+      |    (CASE WHEN k > b1 AND k <= b2 AND k % 2 = 0 THEN 5.0 ELSE 0.0 END) AS price
+      |  FROM sub, bounds)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(price AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+      |FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Orphan-file cleanup ([[IceliteTable.removeOrphans]], Iceberg's
+    * `remove_orphan_files`) gated end to end: a synced table gains
+    * three uncommitted commit directories (the debris a crashed writer
+    * leaves — data written, snapshot never published), the sweep
+    * removes exactly those, and the hash gate certifies table content
+    * is untouched — the action mutates storage, never state.
+    */
+  def tableOrphanCleanup(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("orphan-query")
+    val base = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(19)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_orph", base.schema)
+    table.upsert(base, Seq("o_orderkey"))
+    table.delete(base.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .select("o_orderkey"), Seq("o_orderkey"))
+    // crashed-writer debris: two data commit dirs + one delete dir,
+    // none referenced by any snapshot
+    base.limit(10).write.parquet(s"${table.location}/data/orphan-a")
+    base.limit(10).write.parquet(s"${table.location}/data/orphan-b")
+    base.limit(5).select("o_orderkey").write.parquet(s"${table.location}/deletes/orphan-c")
+    val removed = table.removeOrphans(graceMs = -1L) // no grace: test fixture
+    table.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Relational.dsum(col("o_totalprice"), 2).as("revenue"))
+      .withColumn("orphans_removed", lit(removed.toLong))
+      .orderBy("o_orderstatus")
+  }
+
+  private val tableOrphanCleanupOracle =
+    """WITH sub AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+      |  FROM orders WHERE o_orderkey % 19 = 0 AND o_orderkey % 4 <> 0)
+      |SELECT st AS o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(p AS DECIMAL(27,2))) AS DOUBLE) AS revenue,
+      |  CAST(3 AS BIGINT) AS orphans_removed
+      |FROM sub GROUP BY st ORDER BY st""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -2009,6 +2102,10 @@ object SyncQueries {
       "equality + position deletes merged on read (Iceberg v2 delete shapes)"),
     GraftQuery("table_update_where", tableUpdateWhere _, Some(tableUpdateWhereOracle),
       "keyless UPDATE WHERE: pos-delete old images + mutated append, one commit"),
+    GraftQuery("table_cow_update", tableCowUpdate _, Some(tableCowUpdateOracle),
+      "copy-on-write UPDATE: stat-pruned file rewrite, zero delete files, masked rows folded"),
+    GraftQuery("table_orphan_cleanup", tableOrphanCleanup _, Some(tableOrphanCleanupOracle),
+      "remove_orphan_files maintenance: uncommitted writer debris swept, content untouched"),
     GraftQuery("table_update_changelog", tableUpdateChangelog _, Some(tableUpdateChangelogOracle),
       "changelog pairs physical updates into update_pre/postimage via coordinate resolution"),
     GraftQuery("table_view_maintain", tableViewMaintain _, Some(tableViewMaintainOracle),

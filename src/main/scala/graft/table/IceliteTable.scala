@@ -1567,7 +1567,24 @@ final class IceliteTable private (
     * past it, an unpublished commit's claim is breakable anyway, so its
     * files are true garbage.
     */
-  def expireSnapshots(keepVersions: Int = 3, orphanGraceMs: Long = ClaimTtlMs): Unit = {
+  /** Remove ORPHAN files (Iceberg's `remove_orphan_files` maintenance
+    * action): physical commit directories under `data/` and `deletes/`
+    * referenced by NO retained snapshot, no staged (WAP) manifest, and
+    * older than `graceMs` — the debris of crashed writers (task output
+    * that never committed), discarded stages, and file lists dropped
+    * by layout rewrites. Purely physical: no snapshot is committed and
+    * table content is untouched (exactly Iceberg's contract — the
+    * action mutates storage, not metadata). The grace window is the
+    * safety interlock against deleting an IN-FLIGHT writer's output
+    * that simply hasn't committed yet; Iceberg defaults it to 3 days,
+    * here it defaults to the claim TTL. Returns the number of orphan
+    * directories removed.
+    *
+    * At 100 TB the sweep is one listing of the two commit-dir levels
+    * (directory count ≈ commit count, not file count) checked against
+    * a metadata-sized live set — no data IO at all.
+    */
+  def removeOrphans(graceMs: Long = ClaimTtlMs): Int = {
     val fs = fileSystem()
     val now = System.currentTimeMillis()
     refresh() // GC against the latest published head, not a stale cache
@@ -1579,14 +1596,23 @@ final class IceliteTable private (
       cachedMeta.livePosDeleteFiles)
       .map(f => f.split('/').take(2).mkString("/")).toSet ++ // data/<uuid> | deletes/<uuid>
       stagedIds.map(id => s"data/$id").toSet
+    var removed = 0
     Seq("data", "deletes").foreach { sub =>
       val dir = new Path(s"$location/$sub")
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
         val rel = s"$sub/${st.getPath.getName}"
-        if (!live.contains(rel) && now - st.getModificationTime > orphanGraceMs)
+        if (!live.contains(rel) && now - st.getModificationTime > graceMs) {
           fs.delete(st.getPath, true)
+          removed += 1
+        }
       }
     }
+    removed
+  }
+
+  def expireSnapshots(keepVersions: Int = 3, orphanGraceMs: Long = ClaimTtlMs): Unit = {
+    val fs = fileSystem()
+    removeOrphans(orphanGraceMs)
     val mdDir = new Path(s"$location/metadata")
     val versions = fs.listStatus(mdDir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
@@ -1881,6 +1907,90 @@ final class IceliteTable private (
           fileMetrics = metrics)), seq)
       }
     } finally matching.unpersist()
+  }
+
+  /** Copy-on-write UPDATE — the read-optimized twin of [[updateWhere]]
+    * (Iceberg `write.update.mode = copy-on-write`; Delta's default
+    * update path; reference target tables are plain Iceberg v2, where
+    * both modes exist): files that may hold matching rows are
+    * REWRITTEN with the update applied, producing ZERO delete files —
+    * every later read pays no MoR merge for this update. CoW buys
+    * read speed with write amplification; MoR the reverse — a table
+    * serving many readers per write wants this mode, a churn-heavy
+    * CDC target wants [[updateWhere]].
+    *
+    * The rewrite set is classified METADATA-ONLY when `statRange`
+    * names a declared stat column ([[trackStats]]) with a bound the
+    * caller guarantees `condition` implies: files whose recorded
+    * [min, max] cannot intersect it keep their bytes untouched (the
+    * Iceberg scan-planning prune applied to the CoW write set);
+    * stat-less files rewrite conservatively. Within a rewritten file,
+    * non-matching rows keep their original `_graft_seq` (later
+    * equality deletes keep their LWW ordering), rows MASKED by an
+    * existing equality delete fold away (compaction's delete folding
+    * scoped to the rewritten files — a masked row must not resurrect
+    * as an "updated" version), and matching rows stamp the new commit
+    * seq: they are new row versions. Untouched files' delete
+    * machinery is unchanged — the live delete files keep applying to
+    * them, and re-applying to rewritten survivors is a no-op (each
+    * survivor's seq already beats its key's max delete seq).
+    *
+    * Like every layout rewrite the commit is `rewrite-update`, so a
+    * changelog range crossing it refuses ([[readChanges]]): MoR
+    * [[updateWhere]] keeps the derivable changelog, CoW trades it
+    * away — the documented mode choice. Refused while position
+    * deletes are live (their coordinates would dangle into the
+    * rewrite) — [[compact]] first.
+    */
+  def updateWhereCoW(
+      condition: Column, set: Map[String, Column],
+      statRange: Option[(String, Any, Any)] = None): Long = {
+    refresh()
+    val before = cachedMeta
+    set.keys.foreach { c =>
+      if (!before.schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(s"update of $name: unknown column '$c'")
+    }
+    if (before.livePosDeleteFiles.nonEmpty)
+      throw new IllegalStateException(
+        s"copy-on-write update of $name: position deletes may target a file " +
+          "being rewritten — compact() first to fold them")
+    val beforeSeqs = before.snapshots.map(_.seq)
+    val touched: Seq[String] = statRange match {
+      case Some((c, lo, hi)) =>
+        require(IceliteTable.statColumns(before.properties).exists(_.equalsIgnoreCase(c)),
+          s"'$c' is not a declared stat column of $name (trackStats first)")
+        val Seq((canonical, numeric)) = keyStatColumns(Seq(c), before.schema)
+        pruneByKeyStats(before.snapshots, _.dataFiles, canonical,
+          Option(lo).map(String.valueOf), Option(hi).map(String.valueOf), numeric)
+      case None => before.snapshots.flatMap(_.dataFiles)
+    }
+    if (touched.isEmpty) return before.lastSeq
+    val seq = before.lastSeq + 1
+    val commitId = UUID.randomUUID().toString
+    val raw = readFilesAs(touched, before.schema, Long.MaxValue, meta = before)
+    val visible = applyDeletes(raw, before.liveDeleteFiles)
+    val rewritten = visible.select(before.schema.fieldNames.toSeq.map(n =>
+      set.get(n).map(e => when(condition, e).otherwise(col(n)).as(n)).getOrElse(col(n))) :+
+      when(condition, lit(seq)).otherwise(col(SeqCol)).as(SeqCol): _*)
+    val statCols = keyStatColumns(tableKeyColumns(before.properties), before.schema).toMap ++
+      trackedStats(before.properties, before.schema)
+    val (files, count, stats, metrics) = writeDataFiles(
+      enforceChecks(rewritten, before.properties), commitId, before.partitioning,
+      nFiles = None, extraStatCols = statCols)
+    retryCommit { head =>
+      if (head.snapshots.map(_.seq) != beforeSeqs)
+        throw new IllegalStateException(
+          s"concurrent commit during copy-on-write update of $name " +
+            s"(read seqs $beforeSeqs, head has ${head.snapshots.map(_.seq)})")
+      val gone = touched.toSet
+      val pruned = head.snapshots.map(s => s.copy(
+        dataFiles = s.dataFiles.filterNot(gone),
+        fileStats = s.fileStats.filterNot { case (f, _) => gone(f) },
+        fileMetrics = s.fileMetrics.filterNot { case (f, _) => gone(f) }))
+      (head.copy(snapshots = pruned :+ Snapshot(seq, System.currentTimeMillis(),
+        "rewrite-update", files, Nil, count, stats, fileMetrics = metrics)), seq)
+    }
   }
 
   // --------------------------------------- write-audit-publish (WAP)
