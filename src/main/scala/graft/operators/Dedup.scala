@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -1207,9 +1208,93 @@ object Dedup {
 
   // ---------------------------------------------------------- registry
 
+  // ---------------------------------------------------------- winnowing
+
+  /** Winnowing gram width (words per k-gram). */
+  val WinnowK = 3
+
+  /** Winnowing window width (grams per selection window). */
+  val WinnowW = 4
+
+  /** Document-frequency cap on winnowed fingerprints (boilerplate
+    * guard, same argument as [[MaxShingleDf]]).
+    */
+  val WinnowDfCap = 16
+
+  /** Winnowing fingerprints (the local document-fingerprinting scheme
+    * of Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD'03): hash every word
+    * [[WinnowK]]-gram, slide a [[WinnowW]]-gram window, keep each
+    * window's MINIMUM hash — the selected set is a ~2/(W+1)-density
+    * sample of positions with the winnowing GUARANTEE: any verbatim
+    * run of at least W+K-1 shared words contributes at least one
+    * common fingerprint, so long plagiarized/boilerplate passages can
+    * never slip between sampled positions (what a fixed-stride or
+    * random sample cannot promise). Pairs are then counted through
+    * the df-capped inverted fingerprint index — the standard
+    * bucket-join shape, never all-pairs.
+    *
+    * Scale shape: gram hashing rides [[wordNgramStream]] (one codegen
+    * scan, no shuffle); the window minimum is one (doc_id)-partitioned
+    * window pass; the index is corpus-positions/(W+1)·2 rows instead
+    * of every position, and [[WinnowDfCap]] bounds posting-list
+    * fanout exactly like the shingle index's cap. Min-hash selection
+    * is deterministic, so both engines pick identical fingerprints.
+    */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val grams = wordNgramStream(docs, WinnowK, posCol = Some("i"))
+      .select(col("doc_id"), col("i"), phash60(col("s")).as("g"))
+    val wMin = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val wCnt = Window.partitionBy(col("doc_id"))
+    val fps = grams
+      .withColumn("fp", min(col("g")).over(wMin))
+      .withColumn("ng", count(lit(1)).over(wCnt))
+      .filter(col("i") <= col("ng") - (WinnowW - 1)) // complete windows only
+      .select(col("doc_id"), col("fp")).distinct()
+    val capped = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap).select(col("fp"))
+    val inv = fps.join(capped, "fp")
+    inv.as("a").join(inv.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .orderBy(desc("shared"), col("doc_a"), col("doc_b"))
+      .limit(25)
+  }
+
+  private val winnowingOracle = {
+    val gram = (1 to WinnowK).map(o => s"ws[i+${o - 1}]").mkString(" || '_' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, i, ${phash60Sql(gram)} AS g,
+       |    len(ws) - ${WinnowK - 1} AS ng
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - ${WinnowK - 1})) AS i) u
+       |  WHERE len(ws) >= $WinnowK),
+       |m0 AS (
+       |  SELECT doc_id, i, ng,
+       |    min(g) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+       |  FROM g),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM m0 WHERE i <= ng - ${WinnowW - 1}),
+       |capped AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $WinnowDfCap),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  JOIN capped c ON c.fp = a.fp
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared FROM pairs
+       |ORDER BY shared DESC, doc_a, doc_b LIMIT 25""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("text_line_dedup", lineDedup _, Some(lineDedupOracle),
       "line-level boilerplate removal: hashed line df index, drop lines shared by > N docs"),
+    GraftQuery("dedup_winnowing", winnowing _, Some(winnowingOracle),
+      "winnowing fingerprints (window-min k-gram hashes) + df-capped pair counting"),
     GraftQuery("dedup_semantic", semanticDedup _, Some(semanticDedupOracle),
       "SemDeDup: k-means cluster blocking + within-cluster exact cosine, drop higher id"),
     GraftQuery("dedup_exact", exact _, Some(exactOracle),

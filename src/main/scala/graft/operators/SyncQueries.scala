@@ -2059,6 +2059,52 @@ object SyncQueries {
       |  CAST(3 AS BIGINT) AS orphans_removed
       |FROM sub GROUP BY st ORDER BY st""".stripMargin
 
+  /** Manifest rewrite ([[IceliteTable.rewriteManifests]], Iceberg's
+    * `rewrite_manifests`) gated end to end: six micro-commit appends
+    * (the CDC accretion shape) fold into one merged base snapshot
+    * while the recent upsert + delete stay unfolded — the hash gate
+    * certifies content is bit-identical across the fold (per-row seqs
+    * live in files, so the recent delete files keep applying to folded
+    * data), and the snapshot counts pin the metadata collapse.
+    */
+  def tableRewriteManifests(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("manifests-query")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_mf", src.schema)
+    (0 until 6).foreach(r =>
+      table.append(src.filter(pmod(col("o_orderkey"), lit(6)) === r)))
+    table.upsert(src.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0), Seq("_id"))
+    table.delete(src.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+      .select("_id"), Seq("_id"))
+    val nBefore = table.meta.snapshots.size
+    table.rewriteManifests(keepRecent = 2)
+    val nAfter = table.meta.snapshots.size
+    table.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Relational.dsum(col("o_totalprice"), 2).as("revenue"))
+      .withColumn("snapshots_before", lit(nBefore.toLong))
+      .withColumn("snapshots_after", lit(nAfter.toLong))
+      .orderBy("o_orderstatus")
+  }
+
+  private val tableRewriteManifestsOracle =
+    """WITH sub AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |fin AS (
+      |  SELECT st, CASE WHEN k % 5 = 0 THEN p + 10.0 ELSE p END AS price
+      |  FROM sub WHERE k % 11 <> 0)
+      |SELECT st AS o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(price AS DECIMAL(27,2))) AS DOUBLE) AS revenue,
+      |  CAST(8 AS BIGINT) AS snapshots_before,
+      |  CAST(3 AS BIGINT) AS snapshots_after
+      |FROM fin GROUP BY st ORDER BY st""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -2106,6 +2152,9 @@ object SyncQueries {
       "copy-on-write UPDATE: stat-pruned file rewrite, zero delete files, masked rows folded"),
     GraftQuery("table_orphan_cleanup", tableOrphanCleanup _, Some(tableOrphanCleanupOracle),
       "remove_orphan_files maintenance: uncommitted writer debris swept, content untouched"),
+    GraftQuery("table_rewrite_manifests", tableRewriteManifests _,
+      Some(tableRewriteManifestsOracle),
+      "rewrite_manifests: micro-commit file lists folded into one base snapshot, content bit-identical"),
     GraftQuery("table_update_changelog", tableUpdateChangelog _, Some(tableUpdateChangelogOracle),
       "changelog pairs physical updates into update_pre/postimage via coordinate resolution"),
     GraftQuery("table_view_maintain", tableViewMaintain _, Some(tableViewMaintainOracle),

@@ -1623,6 +1623,57 @@ final class IceliteTable private (
     }
   }
 
+  /** Rewrite MANIFESTS (Iceberg's `rewrite_manifests` maintenance
+    * action mapped onto icelite's metadata shape): fold the per-commit
+    * file lists of every snapshot older than the `keepRecent` most
+    * recent into ONE merged base snapshot — no data file moves, one
+    * metadata commit. A long-lived CDC table accretes one snapshot per
+    * micro-batch; scan planning walks every snapshot's file list, so
+    * unbounded history makes METADATA the scan-planning bottleneck
+    * long before data does. After the fold, planning cost is
+    * O(keepRecent + 1) manifests regardless of table age — at 100 TB
+    * and years of commits, that is the difference between metadata
+    * that fits an RPC and metadata that needs its own scan.
+    *
+    * Content is bit-identical: per-row seqs live IN the files, so LWW
+    * against delete files is untouched. The fold trades history for
+    * compactness exactly like compaction: time travel below the
+    * merged seq and changelog ranges crossing it refuse (op name
+    * `rewrite-manifests`). The latest ANALYZE snapshot is never
+    * folded (its summary carries the table's stats); superseded older
+    * ones fold away. Refused when schema evolution happened inside
+    * the folded range — per-file rename/default translation keys off
+    * each file's snapshot seq, which the fold would coarsen
+    * ([[compact]] instead: it rewrites bytes under the current
+    * schema, which is why it has no such restriction).
+    */
+  def rewriteManifests(keepRecent: Int = 2): Long = retryCommit { head =>
+    val n = head.snapshots.size
+    val latestAnalyze = head.snapshots.lastIndexWhere(_.operation == "analyze")
+    val limit =
+      if (latestAnalyze >= 0) math.min(n - math.max(keepRecent, 0), latestAnalyze)
+      else n - math.max(keepRecent, 0)
+    if (limit < 2) (head, head.lastSeq)
+    else {
+      val olds = head.snapshots.take(limit)
+      val recents = head.snapshots.drop(limit)
+      if (schemaOps(head.properties)
+          .exists(op => op.seq > olds.head.seq && op.seq <= olds.last.seq))
+        throw new IllegalStateException(
+          s"rewrite-manifests on $name: schema evolution inside the folded range " +
+            "would coarsen per-file epoch translation — compact() instead")
+      val merged = Snapshot(olds.last.seq, olds.last.timestampMs, "rewrite-manifests",
+        olds.flatMap(_.dataFiles), olds.flatMap(_.deleteFiles),
+        olds.map(_.recordCount).sum,
+        olds.map(_.fileStats)
+          .foldLeft(Map.empty[String, Map[String, (String, String)]])(_ ++ _),
+        posDeleteFiles = olds.flatMap(_.posDeleteFiles),
+        summary = carrySyncProgress(olds),
+        fileMetrics = olds.map(_.fileMetrics).foldLeft(Map.empty[String, (Long, Long)])(_ ++ _))
+      (head.copy(snapshots = merged +: recents), olds.last.seq)
+    }
+  }
+
   /** Truncate: drop every live data/delete file in one rewrite snapshot
     * (reference invalidate handling: full rebuild starts from an empty
     * table — docs/design.md "Trigger full index rebuild" via
