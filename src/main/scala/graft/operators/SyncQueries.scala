@@ -2105,6 +2105,42 @@ object SyncQueries {
       |  CAST(3 AS BIGINT) AS snapshots_after
       |FROM fin GROUP BY st ORDER BY st""".stripMargin
 
+  /** Governed read ([[IceliteTable.declarePolicy]] /
+    * [[IceliteTable.readGoverned]]) gated end to end: an analyst
+    * policy on the synced customer table hides rows outside the
+    * permitted nations, redacts names, and coarsens balances to
+    * 100-unit buckets; the gate aggregates THROUGH the governed view,
+    * so the hash certifies filter + masks applied exactly — and
+    * `n_names = 1` proves the name column really was redacted.
+    */
+  def tableGovernedRead(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("policy-query")
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val table = IceliteTable.create(spark, wh, "analytics", "customer_gov", base.schema)
+    table.append(base)
+    table.declarePolicy("analyst",
+      rowFilter = Some("c_nationkey < 13"),
+      masks = Map(
+        "c_name" -> "'***'",
+        "c_acctbal" -> "CAST(floor(c_acctbal / 100) * 100 AS DOUBLE)"))
+    table.readGoverned("analyst")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        Relational.dsum(col("c_acctbal"), 2).as("bal_bucket_sum"),
+        countDistinct(col("c_name")).as("n_names"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val tableGovernedReadOracle =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(c_acctbal / 100) * 100 AS DECIMAL(27,2))) AS DOUBLE)
+      |    AS bal_bucket_sum,
+      |  CAST(1 AS BIGINT) AS n_names
+      |FROM customer WHERE c_nationkey < 13
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val all: Seq[GraftQuery] = Seq(
@@ -2155,6 +2191,8 @@ object SyncQueries {
     GraftQuery("table_rewrite_manifests", tableRewriteManifests _,
       Some(tableRewriteManifestsOracle),
       "rewrite_manifests: micro-commit file lists folded into one base snapshot, content bit-identical"),
+    GraftQuery("table_governed_read", tableGovernedRead _, Some(tableGovernedReadOracle),
+      "governance policy read: row-access filter + column masks applied at read, raw schema preserved"),
     GraftQuery("table_update_changelog", tableUpdateChangelog _, Some(tableUpdateChangelogOracle),
       "changelog pairs physical updates into update_pre/postimage via coordinate resolution"),
     GraftQuery("table_view_maintain", tableViewMaintain _, Some(tableViewMaintainOracle),

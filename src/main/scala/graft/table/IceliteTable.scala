@@ -315,6 +315,104 @@ final class IceliteTable private (
         k.stripPrefix(ConstraintPropPrefix) -> v
     }
 
+  /** Declare a named GOVERNANCE policy — the row-access + column-mask
+    * shape of lakehouse governance layers (Snowflake row access
+    * policies / masking policies, Unity Catalog row filters / column
+    * masks), declared ON the table and applied at read: `rowFilter`
+    * is a boolean predicate a row must satisfy to be VISIBLE (NULL
+    * hides — deny-by-default, the opposite polarity of a CHECK), and
+    * `masks` maps column → replacement expression evaluated against
+    * the PRE-mask row (simultaneous projection, like UPDATE
+    * set-expressions) and cast back to the column's declared type, so
+    * a governed read serves the EXACT raw schema — downstream code
+    * cannot tell it was masked, which is the point of the model: one
+    * table, per-principal projections, zero data copies.
+    *
+    * Declaration validates every expression resolves against the
+    * current schema (metadata-only — no scan: unlike a CHECK, a
+    * policy makes no claim about stored data). The raw [[read]] is
+    * untouched; enforcement happens where a governed consumer reads
+    * ([[readGoverned]]). Redeclaring a name replaces it.
+    */
+  def declarePolicy(
+      pname: String, rowFilter: Option[String], masks: Map[String, String]): Long = {
+    require(pname.nonEmpty && !pname.contains('=') && !pname.contains('.'),
+      s"bad policy name '$pname'")
+    require(rowFilter.nonEmpty || masks.nonEmpty, s"policy '$pname' declares nothing")
+    refresh()
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cachedMeta.schema)
+    rowFilter.foreach { f =>
+      val dt = probe.select(expr(f)).schema.head.dataType
+      if (dt != org.apache.spark.sql.types.BooleanType)
+        throw new IllegalArgumentException(
+          s"policy '$pname' of $name: row filter must be boolean, got $dt")
+    }
+    masks.foreach { case (c, m) =>
+      if (!cachedMeta.schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"policy '$pname' of $name masks unknown column '$c'")
+      probe.select(expr(m)) // must resolve against the schema
+    }
+    retryCommit { head =>
+      val seq = head.lastSeq + 1
+      val cleared = head.properties.filterNot(_._1.startsWith(s"$PolicyPropPrefix$pname."))
+      val added = rowFilter.map(f => s"$PolicyPropPrefix$pname.filter" -> f).toMap ++
+        masks.map { case (c, m) => s"$PolicyPropPrefix$pname.mask.$c" -> m }
+      (head.copy(properties = cleared ++ added)
+        .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve",
+          Nil, Nil, 0L)), seq)
+    }
+  }
+
+  /** Remove a declared policy (metadata-only). */
+  def dropPolicy(pname: String): Long = retryCommit { head =>
+    val keys = head.properties.keys.filter(_.startsWith(s"$PolicyPropPrefix$pname.")).toSeq
+    if (keys.isEmpty) throw new IllegalArgumentException(s"no policy '$pname' on $name")
+    val seq = head.lastSeq + 1
+    (head.copy(properties = head.properties -- keys)
+      .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve",
+        Nil, Nil, 0L)), seq)
+  }
+
+  /** Declared policies: name → (row filter, column masks). */
+  def policies: Map[String, (Option[String], Map[String, String])] =
+    cachedMeta.properties.keys
+      .filter(_.startsWith(PolicyPropPrefix))
+      .map(_.stripPrefix(PolicyPropPrefix).takeWhile(_ != '.')).toSeq.distinct
+      .map { p =>
+        val props = cachedMeta.properties
+        val maskPrefix = s"$PolicyPropPrefix$p.mask."
+        p -> (props.get(s"$PolicyPropPrefix$p.filter"),
+          props.collect { case (k, v) if k.startsWith(maskPrefix) =>
+            k.stripPrefix(maskPrefix) -> v })
+      }.toMap
+
+  /** The MoR view under a declared policy: row filter applied (NULL
+    * hides), masked columns replaced in ONE simultaneous projection
+    * (every mask sees pre-mask values) and cast to their declared
+    * types — same schema as [[read]], governed content.
+    */
+  def readGoverned(pname: String): DataFrame = {
+    refresh()
+    val (rowFilter, masks) = policies.getOrElse(pname,
+      throw new IllegalArgumentException(s"no policy '$pname' on $name"))
+    val base = read()
+    val filtered = rowFilter
+      .map(f => base.filter(coalesce(expr(f), lit(false))))
+      .getOrElse(base)
+    filtered.select(cachedMeta.schema.fields.toSeq.map { f =>
+      masks.get(f.name).map { m =>
+        val masked = expr(m).cast(f.dataType)
+        // a literal mask would tighten nullability vs the declared
+        // schema — the isNotNull-guard keeps every value and marks the
+        // column nullable again (not analyzer-foldable)
+        val aligned = if (f.nullable) when(masked.isNotNull, masked) else masked
+        aligned.as(f.name)
+      }.getOrElse(col(f.name))
+    }: _*)
+  }
+
   /** Fuse every declared CHECK into the batch as fail-fast asserts —
     * rides the write scan, no extra job. NULL predicate results pass
     * (SQL CHECK), so only an explicit FALSE throws.
@@ -3636,6 +3734,13 @@ object IceliteTable {
     * `"<type>:<literal>"`, served by pre-add files at read time.
     */
   val DefaultPropPrefix = "graft.default."
+
+  /** Property-key prefix for named GOVERNANCE policies
+    * ([[IceliteTable.declarePolicy]]): `graft.policy.<name>.filter` =
+    * row-access predicate SQL; `graft.policy.<name>.mask.<col>` =
+    * replacement expression SQL for that column.
+    */
+  val PolicyPropPrefix = "graft.policy."
 
   /** Snapshot-summary key stamping a cherry-pick commit with the stage
     * id it re-applied (Iceberg `wap.id` analog) — the marker that makes
