@@ -382,7 +382,53 @@ object Funnels {
        |ORDER BY n_paths DESC, e1, e2, e3
        |LIMIT 20""".stripMargin
 
+  /** A/B experiment readout — deterministic hash-bucket assignment
+    * (the ONLY production-safe split: arm membership derives from the
+    * user id alone, so every event of a user lands in one arm without
+    * any assignment table, join, or coordination) and per-arm funnel
+    * conversion. Per-user reduction first (one hash-agg on user_id),
+    * then a 2-group rollup: conversion rate is a SINGLE IEEE division
+    * of exact integer counts and revenue the exact-decimal sum, so
+    * both engines agree bit-for-bit. At 100 TB the per-user agg
+    * map-side combines and the arm rollup moves 2 rows.
+    */
+  def eventAbtest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)).cast("decimal(27,4)")).as("rev"))
+      .withColumn("arm",
+        when(pmod(Dedup.phash(col("user_id").cast("string")), lit(2)) === 0, "A")
+          .otherwise("B"))
+    perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("conv")).as("n_converted"),
+        (sum(col("conv")).cast("double") / count(lit(1))).as("conv_rate"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy("arm")
+  }
+
+  private val eventAbtestOracle = {
+    val armHash = Dedup.phashSql("CAST(user_id AS VARCHAR)")
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+       |    sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+       |      AS DECIMAL(27,4))) AS rev,
+       |    CASE WHEN $armHash % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+       |  FROM events GROUP BY user_id)
+       |SELECT arm, count(*) AS n_users,
+       |  CAST(sum(conv) AS BIGINT) AS n_converted,
+       |  CAST(sum(conv) AS DOUBLE) / count(*) AS conv_rate,
+       |  CAST(sum(rev) AS DOUBLE) AS revenue
+       |FROM per_user GROUP BY arm ORDER BY arm""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("event_abtest", eventAbtest _, Some(eventAbtestOracle),
+      "A/B readout: deterministic hash-bucket arms, per-arm funnel conversion + exact revenue"),
     GraftQuery("event_sessions", eventSessions _, Some(eventSessionsOracle),
       "gap-based batch sessionization: one user-window exchange, per-user session structure"),
     GraftQuery("event_paths", eventPaths _, Some(eventPathsOracle),

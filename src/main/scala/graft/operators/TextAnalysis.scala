@@ -1348,7 +1348,103 @@ object TextAnalysis {
        |LIMIT 10""".stripMargin
   }
 
+  // -------------------------------------------------- keyphrase mining
+
+  /** Max words per candidate keyphrase. */
+  val KeyphraseMaxLen = 3
+
+  /** RAKE-style keyphrase extraction (Rose et al., "Automatic Keyword
+    * Extraction from Individual Documents" — the degree/frequency
+    * heuristic): text splits into candidate phrases at stopwords and
+    * punctuation-bearing tokens, each content word scores
+    * degree(w)/freq(w) over the candidate-phrase corpus (degree = Σ
+    * length of phrases containing w — favors words that appear inside
+    * longer collocations; freq = plain occurrence count), and a
+    * phrase scores the sum of its word scores. Top-20 corpus-wide.
+    *
+    * Determinism: phrase segmentation is a running-sum window over
+    * boundary flags (integer); per-word ratios are ×10⁶ fixed-point
+    * integer floor divisions (`degree·10⁶ div freq` — the PageRank
+    * precedent: a double ratio cast to wide decimal diverges at the
+    * last digit because the engines convert double→decimal via
+    * different decimal expansions), so the phrase score is an exact
+    * integer sum — bit-identical cross-engine.
+    *
+    * Scale shape: one (doc_id)-partitioned window pass segments
+    * phrases, the word-stats table is vocabulary-sized (hash-agg with
+    * map-side combine), and scoring is a broadcast-sized join of
+    * phrase words against it — no pair space, no corpus re-scan.
+    */
+  def keyphrases(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = Markers("en")
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("i0", "w")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("w"))
+    val flagged = tok.withColumn("b",
+      when(col("w").isin(stops: _*) || col("w").rlike("[.,!?;:]") ||
+        length(col("w")) === 0, 1).otherwise(0))
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val pid = flagged.withColumn("pid", sum(col("b")).over(wRun))
+    val phrases = pid.filter(col("b") === 0)
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("i"), col("w")))),
+          s => s.getField("w"))).as("phrase"),
+        count(lit(1)).as("plen"))
+      .filter(col("plen").between(1, KeyphraseMaxLen))
+    val pw = phrases.select(col("doc_id"), col("pid"), col("phrase"), col("plen"),
+      explode(split(col("phrase"), " ")).as("pword"))
+    val stats = pw.groupBy(col("pword"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+    val scored = pw.join(broadcast(stats), "pword")
+      .groupBy(col("doc_id"), col("pid"), col("phrase"))
+      .agg(sum(call_function("div", col("degree") * lit(1000000L), col("freq")))
+        .as("score_micro"))
+    scored.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("score_micro")).as("score_micro"))
+      .orderBy(desc("score_micro"), col("phrase"))
+      .limit(20)
+  }
+
+  private val keyphrasesOracle = {
+    val stopSet = Markers("en").map(x => s"'$x'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, i, ws[i] AS w
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |    LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u),
+       |flagged AS (
+       |  SELECT doc_id, i, w,
+       |    CASE WHEN w IN ($stopSet) OR regexp_matches(w, '[.,!?;:]')
+       |           OR length(w) = 0 THEN 1 ELSE 0 END AS b
+       |  FROM tok),
+       |pid AS (
+       |  SELECT doc_id, i, w, b,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+       |  FROM flagged),
+       |phrases AS (
+       |  SELECT doc_id, pid, string_agg(w, ' ' ORDER BY i) AS phrase,
+       |    count(*) AS plen
+       |  FROM pid WHERE b = 0 GROUP BY doc_id, pid
+       |  HAVING count(*) BETWEEN 1 AND $KeyphraseMaxLen),
+       |pw AS (
+       |  SELECT doc_id, pid, phrase, plen, unnest(string_split(phrase, ' ')) AS pword
+       |  FROM phrases),
+       |stats AS (
+       |  SELECT pword, count(*) AS freq, sum(plen) AS degree FROM pw GROUP BY pword),
+       |scored AS (
+       |  SELECT p.doc_id, p.pid, p.phrase,
+       |    CAST(sum((s.degree * 1000000) // s.freq) AS BIGINT) AS score_micro
+       |  FROM pw p JOIN stats s ON p.pword = s.pword
+       |  GROUP BY 1, 2, 3)
+       |SELECT phrase, count(*) AS n_occurrences, max(score_micro) AS score_micro
+       |FROM scored GROUP BY phrase
+       |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_keyphrases", keyphrases _, Some(keyphrasesOracle),
+      "RAKE keyphrase extraction: stopword/punct segmentation, degree/freq word scores, decimal-exact phrase sum"),
     GraftQuery("text_bm25", bm25 _, Some(bm25Oracle),
       "BM25 keyword retrieval (raw-lift idf, all-integer rational scoring): one scan + 1-row broadcast"),
     GraftQuery("quality_classifier", qualityClassifier _, Some(qualityClassifierOracle),
