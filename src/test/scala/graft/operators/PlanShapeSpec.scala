@@ -290,4 +290,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val naaj = "LeftAnti, BuildRight, true".r.findAllIn(pe).size
     assert(naaj >= 2, s"NOT IN did not plan null-aware ($naaj):\n$pe")
   }
+
+  test("label propagation: equi-joins only, top-20 as TakeOrdered") {
+    val p = planOf("graph_communities")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 should avoid a global sort")
+  }
+
+  test("winnowing: fingerprint pair join is an equi-join, top-25 as TakeOrdered") {
+    val p = planOf("dedup_winnowing")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("keyphrases: word stats broadcast to the phrase-word stream, no cartesian") {
+    val p = planOf("text_keyphrases")
+    assert(p.contains("BroadcastHashJoin"), s"stats should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("A/B readout: two hash-aggs, no window, no join") {
+    val p = planOf("event_abtest")
+    assert(!p.contains("Window"), "per-user reduction must be an agg, not a window")
+    assert(!p.contains("Join"), "arm assignment must be scan-local, never a join")
+  }
 }
