@@ -209,7 +209,11 @@ object Multimodal {
   def sceneDetect(spark: SparkSession, dir: String): DataFrame =
     sceneDetectOn(framesOf(spark, dir))
 
-  private[operators] def sceneDetectOn(frames: DataFrame): DataFrame = {
+  /** Per-video scene lengths (doc_id, scene_id, scene_frames) — the
+    * shared lag → cut → running-sum → agg chain under ONE doc_id
+    * exchange, feeding both [[sceneDetect]] and [[sceneDedup]].
+    */
+  private def sceneLengthsOn(frames: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     frames
@@ -221,6 +225,10 @@ object Multimodal {
         sum(col("cut")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("scene_id"))
       .agg(count(lit(1)).as("scene_frames"))
+  }
+
+  private[operators] def sceneDetectOn(frames: DataFrame): DataFrame = {
+    sceneLengthsOn(frames)
       .groupBy(col("doc_id"))
       .agg(sum(col("scene_frames")).as("n_frames"),
         count(lit(1)).as("n_scenes"),
@@ -229,7 +237,10 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  private val sceneDetectOracle =
+  /** Shared oracle CTE chain ending at `sl(doc_id, scene_id,
+    * scene_frames)` — the SQL twin of [[sceneLengthsOn]].
+    */
+  private val sceneSlSql =
     s"""WITH meta AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
@@ -258,13 +269,53 @@ object Multimodal {
        |  FROM cuts),
        |sl AS (
        |  SELECT doc_id, scene_id, count(*) AS scene_frames
-       |  FROM scenes GROUP BY 1, 2)
+       |  FROM scenes GROUP BY 1, 2)""".stripMargin
+
+  private val sceneDetectOracle =
+    s"""$sceneSlSql
        |SELECT doc_id,
        |  CAST(sum(scene_frames) AS BIGINT) AS n_frames,
        |  count(*) AS n_scenes,
        |  CAST(max(scene_frames) AS BIGINT) AS longest_scene,
        |  CAST(min(scene_frames) AS BIGINT) AS shortest_scene
        |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Video near-dup by TEMPORAL STRUCTURE: two videos whose ordered
+    * scene-length sequences are identical share an edit lineage even
+    * when per-frame bytes differ (re-encode, resize, watermark) — the
+    * cut pattern is the signature, the temporal sibling of the pHash
+    * image path. Signature = md5 of the scene-ordered length sequence
+    * (one hash per video, exact group-by dedup — no pair space at
+    * all); survivor = min doc_id per signature group, like
+    * [[Dedup.exact]]. At 100 TB the signature table is one row per
+    * video and the dedup one vocabulary-sized hash-agg — candidate
+    * pairs never exist.
+    */
+  def sceneDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = sceneLengthsOn(framesOf(spark, dir))
+      .groupBy(col("doc_id"))
+      .agg(md5(concat_ws("_",
+        transform(array_sort(collect_list(struct(col("scene_id"), col("scene_frames")))),
+          s => s.getField("scene_frames").cast("string")))).as("scene_sig"))
+    val grp = sig.groupBy(col("scene_sig")).agg(min(col("doc_id")).as("survivor"))
+    sig.join(grp, "scene_sig")
+      .select(col("doc_id"), col("scene_sig"), col("survivor"),
+        when(col("doc_id") =!= col("survivor"), 1L).otherwise(0L).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val sceneDedupOracle =
+    s"""$sceneSlSql,
+       |sig AS (
+       |  SELECT doc_id,
+       |    md5(string_agg(CAST(scene_frames AS VARCHAR), '_' ORDER BY scene_id))
+       |      AS scene_sig
+       |  FROM sl GROUP BY doc_id),
+       |grp AS (SELECT scene_sig, min(doc_id) AS survivor FROM sig GROUP BY scene_sig)
+       |SELECT s.doc_id, s.scene_sig, g.survivor,
+       |  CAST(CASE WHEN s.doc_id <> g.survivor THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM sig s JOIN grp g USING (scene_sig)
+       |ORDER BY s.doc_id""".stripMargin
 
   private val frameSamplesOracle =
     s"""WITH meta AS (
@@ -661,6 +712,8 @@ object Multimodal {
       "strided frame sampling: lazy per-partition decode fan-out -> frame-feature rows"),
     GraftQuery("multimodal_scenes", sceneDetect _, Some(sceneDetectOracle),
       "threshold shot detection over sampled frames: cuts -> scene runs, one doc_id exchange"),
+    GraftQuery("multimodal_scene_dedup", sceneDedup _, Some(sceneDedupOracle),
+      "video near-dup by temporal structure: scene-length-sequence signature, exact group dedup"),
     GraftQuery("multimodal_phash_dedup", phashDedup _, Some(phashDedupOracle),
       "perceptual-hash near-dup: decode-pass pHash -> banded Hamming-LSH candidates -> exact verify"),
     GraftQuery("multimodal_audio", audioQuality _, Some(audioQualityOracle),
