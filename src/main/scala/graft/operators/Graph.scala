@@ -267,7 +267,57 @@ object Graph {
        |LIMIT 20""".stripMargin
   }
 
+  /** Link prediction by COMMON-NEIGHBOR count — the classic local
+    * similarity index (Liben-Nowell/Kleinberg): for part pairs NOT yet
+    * co-purchased, count shared co-purchase neighbors; the top pairs
+    * are the "customers also bought" recommendations the graph itself
+    * implies. Candidates come from the same wedge join as triangle
+    * counting (cost = Σ deg², never |V|²), existing edges leave via
+    * one anti join on the canonical `a < b` pair, and the count/ties
+    * are all-integer — bit-exact cross-engine. Top-20.
+    */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    try {
+      // wedges through a shared neighbor w, oriented a < b
+      val cand = e.as("e1").join(e.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        .select(col("e1.v").as("a"), col("e2.v").as("b"))
+      val ordered = e.filter(col("u") < col("v"))
+        .select(col("u").as("a"), col("v").as("b"))
+      cand.join(ordered, Seq("a", "b"), "left_anti")
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("common_neighbors"))
+        .orderBy(desc("common_neighbors"), col("a"), col("b"))
+        .limit(20)
+    } finally e.unpersist()
+  }
+
+  private val linkPredictOracle =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey <> b.l_partkey),
+      |cand AS (
+      |  SELECT e1.v AS a, e2.v AS b
+      |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v),
+      |ordered AS (SELECT u AS a, v AS b FROM e WHERE u < v),
+      |missing AS (
+      |  SELECT c.a, c.b FROM cand c
+      |  WHERE NOT EXISTS (SELECT 1 FROM ordered o WHERE o.a = c.a AND o.b = c.b))
+      |SELECT a, b, count(*) AS common_neighbors
+      |FROM missing GROUP BY a, b
+      |ORDER BY common_neighbors DESC, a, b
+      |LIMIT 20""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("graph_link_predict", linkPredict _, Some(linkPredictOracle),
+      "common-neighbor link prediction: wedge candidates minus existing edges, integer counts"),
     GraftQuery("graph_pagerank", pagerank _, Some(pagerankOracle),
       "integer PageRank over the co-purchase graph: K cached-edge joins, bit-exact unrolled oracle"),
     GraftQuery("graph_triangles", triangles _, Some(trianglesOracle),

@@ -504,7 +504,72 @@ object Profiling {
       |  UNION ALL SELECT 'lineitem_shipdate_not_null', null_shipdate, n_lineitem FROM lc)
       |SELECT "check", n_violations, n_checked FROM r ORDER BY "check" """.stripMargin
 
+  /** Benford first-digit expectations in parts-per-million —
+    * `round(log10(1 + 1/d) · 10⁶)` precomputed as integer constants
+    * (they sum to exactly 1,000,000), so no transcendental is ever
+    * evaluated in either engine.
+    */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford first-digit screen over order totals — the data-quality /
+    * fraud heuristic: naturally-grown monetary amounts follow the
+    * logarithmic first-digit law, fabricated or truncated feeds don't.
+    * All-integer: amounts become cents via `floor(x·100 + 0.5)` (the
+    * engine-identical rounding idiom), the leading digit falls out of
+    * a 13-branch integer threshold ladder (no float log, no
+    * double→string rendering — both diverge cross-engine), observed
+    * shares and deviations are ppm integers via floor division, and
+    * the Benford expectations are precomputed ppm literals. One
+    * scan-local projection + one 9-group hash-agg.
+    */
+  def profileBenford(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    // leading digit = cents div (largest power of 10 <= cents): the
+    // ascending fold leaves the LARGEST power as the outermost branch
+    val digit = (1 to 13).foldLeft(col("cents")) { (acc, p) =>
+      val pow = math.pow(10, p).toLong
+      when(col("cents") >= pow, call_function("div", col("cents"), lit(pow))).otherwise(acc)
+    }
+    val expected = BenfordPpm.foldLeft(lit(0L)) { case (acc, (d, ppm)) =>
+      when(col("digit") === d, lit(ppm)).otherwise(acc)
+    }
+    base.select(digit.as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("total", sum(col("n_obs")).over(Window.partitionBy()))
+      .select(col("digit"), col("n_obs"),
+        expr("div(n_obs * 1000000, total)").as("obs_ppm"),
+        expected.as("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      .orderBy("digit")
+  }
+
+  private val profileBenfordOracle = {
+    val ladder = (1 to 13).foldLeft("cents") { (acc, p) =>
+      val pow = math.pow(10, p).toLong
+      s"CASE WHEN cents >= $pow THEN cents // $pow ELSE $acc END"
+    }
+    val exp = BenfordPpm.map { case (d, ppm) =>
+      s"WHEN digit = $d THEN $ppm"
+    }.mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH c AS (
+       |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+       |d AS (SELECT $ladder AS digit FROM c),
+       |g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+       |tt AS (SELECT sum(n_obs) AS total FROM g)
+       |SELECT digit, n_obs,
+       |  CAST((n_obs * 1000000) // total AS BIGINT) AS obs_ppm,
+       |  CAST($exp AS BIGINT) AS benford_ppm,
+       |  CAST(abs((n_obs * 1000000) // total - ($exp)) AS BIGINT) AS dev_ppm
+       |FROM g, tt ORDER BY digit""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("profile_benford", profileBenford _, Some(profileBenfordOracle),
+      "Benford first-digit screen: integer cents, threshold-ladder digit, ppm deviations vs the law"),
     GraftQuery("dq_expectations", dqExpectations _, Some(dqExpectationsOracle),
       "declarative data-quality check suite: one scan per table + FK anti-join, named violation counts"),
     GraftQuery("profile_columns", profileColumns _, Some(profileColumnsOracle),
