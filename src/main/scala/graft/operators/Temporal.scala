@@ -268,7 +268,97 @@ object Temporal {
 
   // ---------------------------------------------------------- registry
 
+  /** Seasonal-naive forecast + backtest — the baseline every real
+    * forecasting pipeline must beat, run as one relational job: the
+    * first 80% of observed days train an hour-of-day seasonal profile
+    * per event type (predicted hourly count = train-total div
+    * train-days, integer floor), the remaining days are scored on the
+    * FULL (type × day × hour) grid — absent hours count as actual 0,
+    * the error a sparse-join evaluation silently hides. All-integer:
+    * µs-epoch day/hour arithmetic, floor-division predictions, MAE
+    * reported in ppm (1e6·Σ|err| div points).
+    *
+    * Scale shape: two hash-aggs over the event stream (train profile,
+    * test actuals), a 1-row bounds broadcast, and a types×days×24
+    * grid exploded from literals — the grid is report-sized, never
+    * event-sized; no window, no self-join.
+    */
+  def forecast(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val HourUs = 3600000000L
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div $DayUs").as("d"),
+        pmod(expr(s"unix_micros(ts) div $HourUs"), lit(24)).as("h"))
+    val b = ev.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+      .withColumn("cutoff",
+        col("mn") + call_function("div", (col("mx") - col("mn") + 1) * 4, lit(5)))
+    val train = ev.crossJoin(broadcast(b)).filter(col("d") < col("cutoff"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(b))
+      .select(col("event_type"), col("h"),
+        call_function("div", col("c"), col("cutoff") - col("mn")).as("pred"))
+    val actual = ev.crossJoin(broadcast(b)).filter(col("d") >= col("cutoff"))
+      .groupBy(col("event_type"), col("d"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(b))
+      .select(col("event_type"), explode(expr("sequence(cutoff, mx)")).as("d"))
+      .select(col("event_type"), col("d"), explode(expr("sequence(0, 23)")).as("h"))
+    grid
+      .join(actual, Seq("event_type", "d", "h"), "left")
+      .join(broadcast(train), Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("a"),
+        coalesce(col("pred"), lit(0L)).as("p"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("a")).as("n_actual"),
+        sum(abs(col("a") - col("p"))).as("total_abs_err"))
+      .withColumn("mae_ppm",
+        call_function("div", col("total_abs_err") * 1000000L, col("n_points")))
+      .orderBy("event_type")
+  }
+
+  private val forecastOracle =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) // 86400000000 AS d,
+      |    (epoch_us(ts) // 3600000000) % 24 AS h
+      |  FROM events),
+      |b AS (
+      |  SELECT min(d) AS mn, max(d) AS mx,
+      |    min(d) + ((max(d) - min(d) + 1) * 4) // 5 AS cutoff
+      |  FROM ev),
+      |train AS (
+      |  SELECT event_type, h, count(*) // (cutoff - mn) AS pred
+      |  FROM ev, b WHERE d < cutoff GROUP BY event_type, h, cutoff, mn),
+      |actual AS (
+      |  SELECT event_type, d, h, count(*) AS cnt
+      |  FROM ev, b WHERE d >= cutoff GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT event_type, d, h
+      |  FROM (SELECT DISTINCT event_type FROM ev),
+      |    b, LATERAL (SELECT unnest(generate_series(cutoff, mx)) AS d) gd,
+      |    LATERAL (SELECT unnest(generate_series(0, 23)) AS h) gh),
+      |scored AS (
+      |  SELECT g.event_type,
+      |    coalesce(a.cnt, 0) AS a,
+      |    coalesce(t.pred, 0) AS p
+      |  FROM grid g
+      |  LEFT JOIN actual a ON a.event_type = g.event_type AND a.d = g.d AND a.h = g.h
+      |  LEFT JOIN train t ON t.event_type = g.event_type AND t.h = g.h)
+      |SELECT event_type,
+      |  count(*) AS n_points,
+      |  CAST(sum(a) AS BIGINT) AS n_actual,
+      |  CAST(sum(abs(a - p)) AS BIGINT) AS total_abs_err,
+      |  CAST((sum(abs(a - p)) * 1000000) // count(*) AS BIGINT) AS mae_ppm
+      |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("timeseries_forecast", forecast _, Some(forecastOracle),
+      "seasonal-naive hour-of-day forecast + full-grid integer MAE backtest (absent hours count)"),
     GraftQuery("timeseries_resample", resample _, Some(resampleOracle),
       "OHLC downsampling in ONE map-side-combinable hash agg: min_by/max_by opens and closes"),
     GraftQuery("timeseries_gapfill", gapFill _, Some(gapFillOracle),
