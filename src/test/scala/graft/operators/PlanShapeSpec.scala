@@ -314,4 +314,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Window"), "per-user reduction must be an agg, not a window")
     assert(!p.contains("Join"), "arm assignment must be scan-local, never a join")
   }
+
+  test("scene dedup: signature group-by, no candidate pair join exists") {
+    val p = planOf("multimodal_scene_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("link prediction: wedge equi-join + anti join, top-20 as TakeOrdered") {
+    val p = planOf("graph_link_predict")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("Benford screen: one scan, digit ladder scan-local, no join") {
+    val p = planOf("profile_benford")
+    assert(!p.contains("Join"), "the digit ladder and ppm math must be scan-local")
+  }
+
+  test("forecast backtest: aggs + report-sized grid, no window, no cartesian blowup") {
+    val p = planOf("timeseries_forecast")
+    assert(!p.contains("Window"), "train profile must be an agg, not a window")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
