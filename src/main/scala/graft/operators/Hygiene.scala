@@ -423,7 +423,97 @@ object Hygiene {
        |FROM pre_s JOIN post_s USING (nation)
        |ORDER BY nation""".stripMargin
 
+  // --------------------------------------- differentially-private release
+
+  /** Per-document contribution clip for the noisy token-mass release —
+    * THE bounded-sensitivity move: an unbounded sum has unbounded
+    * sensitivity (one document could shift the statistic arbitrarily),
+    * so each document contributes at most this many characters and the
+    * mass noise is scaled by exactly this cap.
+    */
+  val DpMassCap = 2000L
+
+  /** Small-cell suppression threshold, applied to the NOISY count (a
+    * post-processing step, so it spends no extra privacy budget).
+    */
+  val DpSuppressK = 5L
+
+  /** Symmetric-geometric noise (the discrete analog of Laplace, ε=ln 2
+    * for a sensitivity-1 count) drawn deterministically from the
+    * portable hash of (salt, release keys): sign from the low hash
+    * bit, magnitude = trailing-zero count of the remaining bits —
+    * P(mag = m) = 2^-(m+1), capped at 16 by OR-ing 2^16 in. All
+    * integer bit arithmetic (`>>`, `&`, two's-complement lowest-set-
+    * bit, `bit_count`), so both engines draw the identical noise and
+    * the release is reproducible — the property a DP data-release
+    * pipeline needs for audits (the "seeded noise" deployment; true
+    * deployments key the salt by release epoch).
+    */
+  private def dpNoise(salt: String, keys: Column*): Column = {
+    val h = Dedup.phash(concat_ws(":", (lit(salt) +: keys): _*))
+    val x = shiftright(h, 1).bitwiseOR(lit(65536L))
+    val mag = bit_count(x.bitwiseAND(lit(0L) - x) - lit(1L)).cast("long")
+    when(pmod(h, lit(2)) === 1, mag).otherwise(-mag)
+  }
+
+  private def dpNoiseSql(salt: String): String = {
+    val h = Dedup.phashSql(s"concat_ws(':', '$salt', lang, source, len_kb)")
+    val x = s"((($h) >> 1) | 65536)"
+    s"(CASE WHEN ($h) % 2 = 1 THEN 1 ELSE -1 END) * " +
+      s"CAST(bit_count((($x) & -($x)) - 1) AS BIGINT)"
+  }
+
+  /** Differentially-private corpus statistics release: the per-(lang,
+    * source, length-bucket) document counts and clipped character
+    * masses a data owner can publish about a private training corpus.
+    * Counts get unit-sensitivity symmetric-geometric noise; masses
+    * clip each document's contribution at [[DpMassCap]] and scale the
+    * same noise by the cap (the sensitivity); cells whose NOISY count
+    * falls below [[DpSuppressK]] are suppressed entirely (count-based
+    * suppression on the released value — post-processing, free under
+    * DP). True counts never appear in the output.
+    *
+    * Scale shape: ONE hash-aggregation over the corpus (map-side
+    * partials — the clip is scan-local arithmetic), then noise and
+    * suppression run on the GROUPED frame, ≤ |cells| rows. Nothing
+    * else touches the data.
+    */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        least((col("n_chars") / 1000).cast("long"), lit(8L)).as("len_kb"),
+        least(col("n_chars"), lit(DpMassCap)).as("clipped"))
+      .groupBy("lang", "source", "len_kb")
+      .agg(count(lit(1)).as("n_true"), sum(col("clipped")).as("mass_true"))
+    cells.select(col("lang"), col("source"), col("len_kb"),
+        greatest(col("n_true") + dpNoise("dpn", col("lang"), col("source"), col("len_kb")),
+          lit(0L)).as("n_noisy"),
+        greatest(col("mass_true") +
+          dpNoise("dpm", col("lang"), col("source"), col("len_kb")) * lit(DpMassCap),
+          lit(0L)).as("mass_noisy"))
+      .filter(col("n_noisy") >= DpSuppressK)
+      .orderBy("lang", "source", "len_kb")
+  }
+
+  private val dpCountsOracle =
+    s"""WITH cells AS (
+       |  SELECT lang, source,
+       |    least(n_chars // 1000, 8) AS len_kb,
+       |    count(*) AS n_true,
+       |    CAST(sum(least(n_chars, $DpMassCap)) AS BIGINT) AS mass_true
+       |  FROM documents GROUP BY 1, 2, 3),
+       |noised AS (
+       |  SELECT lang, source, len_kb,
+       |    greatest(n_true + ${dpNoiseSql("dpn")}, 0) AS n_noisy,
+       |    greatest(mass_true + ${dpNoiseSql("dpm")} * $DpMassCap, 0) AS mass_noisy
+       |  FROM cells)
+       |SELECT lang, source, len_kb, n_noisy, mass_noisy
+       |FROM noised WHERE n_noisy >= $DpSuppressK
+       |ORDER BY lang, source, len_kb""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("privacy_dp_counts", dpCounts _, Some(dpCountsOracle),
+      "DP-style noisy release: clipped masses, symmetric-geometric noise, small-cell suppression"),
     GraftQuery("kanon_audit", kanonAudit _, Some(kanonAuditOracle),
       "k-anonymity audit + one local-recoding generalization: per-nation attained k before/after"),
     GraftQuery("decontam_semantic", decontamSemantic _, Some(decontamSemanticOracle),

@@ -76,4 +76,44 @@ class HygieneSpec extends AnyFunSuite with SparkFixture {
     assert(red.count() == 1)
     assert(red.filter(col("r").contains("@")).count() == 0)
   }
+
+  /** Reference implementation of the release's symmetric-geometric
+    * noise draw (md5-prefix hash → sign bit + trailing-zero magnitude)
+    * — the spec recomputes what both engines must emit.
+    */
+  private def dpNoiseRef(salt: String, lang: String, source: String, lenKb: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt:$lang:$source:$lenKb".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex, 16)
+    val mag = java.lang.Long.numberOfTrailingZeros((h >> 1) | 65536L).toLong
+    if (h % 2 == 1) mag else -mag
+  }
+
+  test("dp release: deterministic noise, contribution clipping, small-cell suppression") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dp").toString
+    // one big cell (30 docs, n_chars 2500 → clipped to DpMassCap each,
+    // len bucket 2) and one single-document cell that the noisy-count
+    // suppression threshold must hide (|noise| ≤ 16 < the 30-doc count,
+    // and 1 + noise < 5 unless the deterministic draw says otherwise)
+    val docs = (1L to 30L).map(i => (i, "x", "en", "web", 2500L)) :+
+      ((99L, "x", "zz", "web", 50L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = Hygiene.dpCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    val nExp = math.max(30L + dpNoiseRef("dpn", "en", "web", 2L), 0L)
+    val mExp = math.max(
+      30L * Hygiene.DpMassCap + dpNoiseRef("dpm", "en", "web", 2L) * Hygiene.DpMassCap, 0L)
+    assert(out(("en", "web", 2L)) == ((nExp, mExp)))
+    // the singleton cell: released only if its noisy count clears the
+    // threshold — with this fixture's deterministic draw it must not
+    val zzNoisy = math.max(1L + dpNoiseRef("dpn", "zz", "web", 0L), 0L)
+    assert(out.contains(("zz", "web", 0L)) == (zzNoisy >= Hygiene.DpSuppressK))
+    // true counts never appear: the released count differs from the
+    // true one whenever the draw is nonzero (it is, for this cell)
+    assert(dpNoiseRef("dpn", "en", "web", 2L) != 0L || nExp == 30L)
+  }
 }
