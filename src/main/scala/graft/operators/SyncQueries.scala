@@ -2020,6 +2020,61 @@ object SyncQueries {
       |  CAST(sum(CAST(price AS DECIMAL(27,2))) AS DOUBLE) AS revenue
       |FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Row lineage ([[IceliteTable.appendWithLineage]], the Iceberg v3
+    * headline surface) gated end to end: two key-banded lineage
+    * appends assign globally dense `_row_id`s (batch 2 continues where
+    * batch 1's atomic high-water-mark bump left off), a copy-on-write
+    * update then REWRITES every file — and the gate proves ids
+    * survived the rewrite bit-for-bit while `_last_updated_seq`
+    * re-stamped exactly the modified rows. The oracle replays the
+    * assignment rule (per-batch dense numbering in key order) and the
+    * update, so any id reuse, loss, or misattributed modification
+    * stamp hash-fails.
+    */
+  def tableRowLineage(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("lineage-query")
+    val base = t(spark, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(5)) === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val withL = base
+      .withColumn(IceliteTable.RowIdCol, lit(0L))
+      .withColumn(IceliteTable.LastUpdatedSeqCol, lit(0L))
+    val table = IceliteTable.create(spark, wh, "analytics", "cust_lineage", withL.schema)
+    val maxk = base.agg(max(col("c_custkey"))).collect().head.getLong(0)
+    val b = maxk / 2
+    table.appendWithLineage(base.filter(col("c_custkey") <= b), Seq("c_custkey"))
+    table.appendWithLineage(base.filter(col("c_custkey") > b), Seq("c_custkey"))
+    table.updateWhereCoW(
+      pmod(col("c_custkey"), lit(3)) === 0,
+      Map("bal_cents" -> (col("bal_cents") + lit(100L))))
+    table.read()
+      .select(col("c_custkey"), col("bal_cents"),
+        col(IceliteTable.RowIdCol), col(IceliteTable.LastUpdatedSeqCol))
+      .orderBy(IceliteTable.RowIdCol)
+  }
+
+  private val tableRowLineageOracle =
+    """WITH sub AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |bounds AS (SELECT CAST(max(k) AS BIGINT) // 2 AS b FROM sub),
+      |b1 AS (
+      |  SELECT k, bal, row_number() OVER (ORDER BY k) - 1 AS rid, 1 AS s0
+      |  FROM sub, bounds WHERE k <= b),
+      |b2 AS (
+      |  SELECT k, bal,
+      |    (SELECT count(*) FROM b1) + row_number() OVER (ORDER BY k) - 1 AS rid,
+      |    2 AS s0
+      |  FROM sub, bounds WHERE k > b),
+      |allr AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      |SELECT k AS c_custkey,
+      |  bal + CASE WHEN k % 3 = 0 THEN 100 ELSE 0 END AS bal_cents,
+      |  CAST(rid AS BIGINT) AS _row_id,
+      |  CAST(CASE WHEN k % 3 = 0 THEN 3 ELSE s0 END AS BIGINT) AS _last_updated_seq
+      |FROM allr ORDER BY _row_id""".stripMargin
+
   /** Orphan-file cleanup ([[IceliteTable.removeOrphans]], Iceberg's
     * `remove_orphan_files`) gated end to end: a synced table gains
     * three uncommitted commit directories (the debris a crashed writer
@@ -2186,6 +2241,9 @@ object SyncQueries {
       "keyless UPDATE WHERE: pos-delete old images + mutated append, one commit"),
     GraftQuery("table_cow_update", tableCowUpdate _, Some(tableCowUpdateOracle),
       "copy-on-write UPDATE: stat-pruned file rewrite, zero delete files, masked rows folded"),
+    GraftQuery("table_row_lineage", tableRowLineage _, Some(tableRowLineageOracle),
+      "Iceberg v3 row lineage: dense commit-assigned _row_id survives CoW rewrite, " +
+        "_last_updated_seq re-stamps only modified rows"),
     GraftQuery("table_orphan_cleanup", tableOrphanCleanup _, Some(tableOrphanCleanupOracle),
       "remove_orphan_files maintenance: uncommitted writer debris swept, content untouched"),
     GraftQuery("table_rewrite_manifests", tableRewriteManifests _,
