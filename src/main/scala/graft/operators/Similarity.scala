@@ -461,6 +461,22 @@ object Similarity {
     */
   private def ivfTopkOracleSql(
       qBound: Int, k: Int, probes: Int = IvfProbes, corpusExtra: String = ""): String =
+    s"""${ivfScoredCteSql(qBound, probes, corpusExtra)},
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** The IVF candidate-generation + exact-scoring CTE chain up to
+    * `scored(q_id, vec_id, cosine)` — the shared prefix of the top-k,
+    * KNN-join, filtered and RANGE oracles (only the final consumption
+    * of the scores differs).
+    */
+  private def ivfScoredCteSql(
+      qBound: Int, probes: Int = IvfProbes, corpusExtra: String = ""): String =
     s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
        |elems AS (
        |  SELECT vec_id, label, embedding[i] AS val, i FROM e,
@@ -509,14 +525,7 @@ object Similarity {
        |  SELECT d.q_id, d.vec_id,
        |    round(d.dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 12) AS cosine
        |  FROM dots d JOIN norms nq ON d.q_id = nq.vec_id
-       |  JOIN norms nc ON d.vec_id = nc.vec_id),
-       |ranked AS (
-       |  SELECT q_id, vec_id, cosine,
-       |    CAST(row_number() OVER (PARTITION BY q_id
-       |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
-       |  FROM scored)
-       |SELECT q_id, vec_id, cosine, rank FROM ranked
-       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+       |  JOIN norms nc ON d.vec_id = nc.vec_id)""".stripMargin
 
   private val topkIvfOracle: String = ivfTopkOracleSql(NumQueries, 5)
 
@@ -526,6 +535,59 @@ object Similarity {
     NumQueries, 5, probes = FilteredProbes,
     corpusExtra =
       "\n    AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")
+
+  // ------------------------------------------------------- range search
+
+  /** Cosine radius of the range search — every candidate at or above
+    * this similarity is returned (rendered identically as a literal in
+    * both engines; scores are the shared 12-place rounded exact-
+    * decimal cosine, so the threshold compare can never split).
+    */
+  val RangeTau = 0.25
+
+  /** RANGE (radius) search — the other half of a vector-search API
+    * next to top-k: return ALL corpus vectors within a similarity
+    * radius of each query, however many there are (dedup mining and
+    * "find everything that matches this template" run on radius, not
+    * rank — k is unknowable when the answer size varies 1000× across
+    * queries). Same persisted-IVF candidate generation as [[topkIvf]]
+    * (each query touches IvfProbes cells of the corpus, never all of
+    * it), then the two-phase score: native-codegen double cosine keeps
+    * only candidates within 1e-9 of the radius (the band dwarfs the
+    * double-vs-decimal divergence, so no true match is lost), exact-
+    * decimal rescore of the survivors, and the final compare runs on
+    * the rounded exact score — bit-identical to the oracle's. No
+    * window operator at all: a radius query needs no rank, so the
+    * plan is join → scan-local score → filter, the cheapest ANN
+    * consumption shape there is.
+    */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecExpressions.floatDot
+    val e = embWithNorms(spark, dir)
+    val rankedCells = ClusterIndex.ivfCells(spark, dir)
+    val corpus = rankedCells.filter(col("cell_rank") === 1 && col("vec_id") >= NumQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .join(e, "vec_id")
+    val probes = rankedCells.filter(col("cell_rank") <= IvfProbes && col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .join(e, "vec_id")
+      .select(col("vec_id").as("q_id"), col("cell"),
+        col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+    probes.join(corpus, "cell")
+      .withColumn("fcos",
+        floatDot(col("q_emb"), col("embedding")) / (sqrt(col("q_nsq")) * sqrt(col("nsq"))))
+      .filter(col("fcos") >= lit(RangeTau) - lit(1e-9))
+      .select(col("q_id"), col("vec_id"),
+        round(decimalDot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cosine"))
+      .filter(col("cosine") >= lit(RangeTau))
+      .orderBy("q_id", "vec_id")
+  }
+
+  private val rangeSearchOracle: String =
+    s"""${ivfScoredCteSql(NumQueries)}
+       |SELECT q_id, vec_id, cosine FROM scored
+       |WHERE cosine >= $RangeTau ORDER BY q_id, vec_id""".stripMargin
 
   // --------------------------------------------------- SQ8 quantization
 
@@ -1217,6 +1279,9 @@ object Similarity {
       "sign-LSH bucketed ANN with Hamming-1 probing + exact re-rank"),
     GraftQuery("sim_topk_ivf", topkIvf _, Some(topkIvfOracle),
       "IVF-cell ANN: decimal-sum centroids, 2-cell probe, exact re-rank"),
+    GraftQuery("sim_range_search", rangeSearch _, Some(rangeSearchOracle),
+      "radius vector search over the persisted IVF cells: all matches within " +
+        "a cosine threshold, two-phase scored, no window operator"),
     GraftQuery("sim_topk_filtered", topkFiltered _, Some(topkFilteredOracle),
       "attribute-filtered ANN: metadata filter pre-join + probe expansion over the persisted IVF cells"),
     GraftQuery("sim_knn_join", knnJoin _, Some(knnJoinOracle),

@@ -79,6 +79,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(planOf("sort_limit_global").contains("TakeOrderedAndProject"))
   }
 
+  test("range search: no window operator, no cartesian — join, score, filter only") {
+    val p = planOf("sim_range_search")
+    // a radius query has no rank, so the plan must not pay a per-query
+    // sort: score → threshold filter, nothing else
+    assert(!p.contains("- Window ["), s"range search regressed to a window plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // both threshold compares survive in the physical plan (the fast
+    // double band and the exact rounded compare)
+    assert(p.contains("Filter"))
+  }
+
   test("hash sampling stays scan-local: no shuffle below the sample filter/limit") {
     // uniform k-sample: per-partition top-k, never a global sort
     assert(planOf("sample_topk_hash").contains("TakeOrderedAndProject"))
