@@ -63,6 +63,40 @@ object RelationalExt {
       |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(27,2)) END) AS DOUBLE) AS rev_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------ unpivot
+
+  /** UNPIVOT (melt) — [[pivotAgg]]'s inverse reshape: a wide one-row-
+    * per-group measure frame unfolds into (group, measure, value)
+    * long form, the shape metric stores and chart layers consume.
+    * Runs AFTER the aggregation, so the expand operator touches
+    * |groups| rows, not the corpus — at 100 TB the melt is free; the
+    * one hash-agg shuffle beneath it is the whole query's cost. Uses
+    * Spark's native `unpivot` (an `Expand` node, scan-local, no
+    * shuffle of its own) against DuckDB's standard UNPIVOT clause.
+    */
+  def unpivotWide(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_price"),
+        dsum(col("l_discount"), 2).as("sum_disc"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+  }
+
+  private val unpivotWideOracle =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, measure, value
+      |FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   // -------------------------------------------------------- array funcs
   /** Array-function surface (SURVEY "Array functions" row) over the
     * tokenized documents: size, distinct size, membership, sorted
@@ -608,6 +642,9 @@ object RelationalExt {
       "bloom runtime prefilter before an exact semi join"),
     GraftQuery("grouping_sets", groupingSets _, Some(groupingSetsOracle),
       "explicit GROUPING SETS via SQL surface"),
+    GraftQuery("unpivot_wide", unpivotWide _, Some(unpivotWideOracle),
+      "UNPIVOT/melt: wide measure frame to long (group, measure, value) form, " +
+        "expand after the aggregation"),
     GraftQuery("pivot_agg", pivotAgg _, Some(pivotAggOracle),
       "DataFrame pivot with explicit values"),
     GraftQuery("array_funcs", arrayFuncs _, Some(arrayFuncsOracle),
