@@ -589,6 +589,140 @@ object Similarity {
        |SELECT q_id, vec_id, cosine FROM scored
        |WHERE cosine >= $RangeTau ORDER BY q_id, vec_id""".stripMargin
 
+  // ----------------------------------------------------- MMR re-ranking
+
+  /** MMR pool and pick sizes: the greedy diversifier selects [[MmrK]]
+    * results from each query's top-[[MmrPool]] relevance candidates.
+    */
+  val MmrPool = 10
+  val MmrK = 5
+
+  /** Maximal-marginal-relevance re-rank — the diversification pass a
+    * production retrieval stack runs between ANN and the consumer
+    * (RAG context assembly, dedup-aware search): from each query's
+    * top-[[MmrPool]] IVF candidates, greedily pick [[MmrK]] results
+    * maximizing `0.5·sim(q,d) − 0.5·max_{s∈picked} sim(d,s)` — high
+    * relevance, but penalized for redundancy against what's already
+    * chosen.
+    *
+    * Shape: the greedy loop is K−1 BOUNDED relational rounds (the
+    * [[graft.operators.TextAnalysis]] perceptron pattern — a fixed
+    * small constant of driver-side iterations, each round fully
+    * distributed): candidate-pair similarities among pool members are
+    * computed ONCE (|Q|·pool² rows, scan-local per q_id cell), each
+    * round is one join + hash-agg max-penalty + one per-query window
+    * argmax over ≤pool rows, and the accumulating pick set is
+    * truncated-lineage-checkpointed so round k's plan never re-derives
+    * rounds 1..k−1. All scores are the shared 12-place-rounded exact-
+    * decimal cosines; the MMR combination multiplies them by 0.5
+    * (exact in IEEE) and subtracts — bit-identical in both engines, so
+    * the pick sequence can never split on float drift.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorms(spark, dir)
+    val rankedCells = ClusterIndex.ivfCells(spark, dir)
+    val corpus = rankedCells.filter(col("cell_rank") === 1 && col("vec_id") >= NumQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .join(e, "vec_id")
+    val probes = rankedCells.filter(col("cell_rank") <= IvfProbes && col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .join(e, "vec_id")
+      .select(col("vec_id").as("q_id"), col("cell"),
+        col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+    val wPool = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("vec_id"))
+    val pool = probes.join(corpus, "cell")
+      .select(col("q_id"), col("vec_id"),
+        round(decimalDot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_nsq")) * sqrt(col("nsq"))), 12).as("cosine"))
+      .withColumn("rn", row_number().over(wPool)).filter(col("rn") <= MmrPool)
+      .drop("rn").persist()
+    val poolE = pool.join(e.select(col("vec_id"), col("embedding"), col("nsq")), "vec_id")
+    val pairs = poolE.select(col("q_id"), col("vec_id").as("av"),
+        col("embedding").as("aemb"), col("nsq").as("ansq"))
+      .join(poolE.select(col("q_id"), col("vec_id").as("bv"),
+        col("embedding").as("bemb"), col("nsq").as("bnsq")), "q_id")
+      .filter(col("av") =!= col("bv"))
+      .select(col("q_id"), col("av"), col("bv"),
+        round(decimalDot(col("aemb"), col("bemb")) /
+          (sqrt(col("ansq")) * sqrt(col("bnsq"))), 12).as("psim"))
+      .persist()
+    try {
+      val wPick = Window.partitionBy(col("q_id"))
+      var picked = pool
+        .withColumn("rn", row_number().over(wPick.orderBy(desc("cosine"), asc("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("cosine"), lit(1).as("pick"))
+        .localCheckpoint(true)
+      for (k <- 2 to MmrK) {
+        val pen = pairs
+          .join(picked.select(col("q_id"), col("vec_id").as("bv")), Seq("q_id", "bv"))
+          .groupBy(col("q_id"), col("av")).agg(max(col("psim")).as("maxsim"))
+          .withColumnRenamed("q_id", "pen_q")
+        val pick = pool
+          .join(picked.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+          .join(pen, col("q_id") === col("pen_q") && col("vec_id") === col("av"))
+          .select(col("q_id"), col("vec_id"), col("cosine"),
+            (lit(0.5) * col("cosine") - lit(0.5) * col("maxsim")).as("mmr"))
+          .withColumn("rn", row_number().over(wPick.orderBy(desc("mmr"), asc("vec_id"))))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), col("vec_id"), col("cosine"), lit(k).as("pick"))
+        picked = picked.union(pick).localCheckpoint(true)
+      }
+      picked.select(col("q_id"), col("pick"), col("vec_id"), col("cosine"))
+        .orderBy("q_id", "pick")
+    } finally { pool.unpersist(); pairs.unpersist() }
+  }
+
+  private val mmrRerankOracle: String = {
+    val rounds = (2 to MmrK).map { k =>
+      val prev = s"sel${k - 1}"
+      s"""p$k AS (
+         |  SELECT q_id, vec_id, cosine, $k AS pick FROM (
+         |    SELECT c.q_id, c.vec_id, c.cosine,
+         |      row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY 0.5 * c.cosine - 0.5 * m.maxsim DESC, c.vec_id) AS rn
+         |    FROM cpool c
+         |    JOIN (
+         |      SELECT cp.q_id, cp.av, max(cp.psim) AS maxsim
+         |      FROM cp JOIN $prev s ON cp.q_id = s.q_id AND cp.bv = s.vec_id
+         |      GROUP BY 1, 2) m
+         |      ON m.q_id = c.q_id AND m.av = c.vec_id
+         |    WHERE NOT EXISTS (
+         |      SELECT 1 FROM $prev s
+         |      WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id)) x
+         |  WHERE rn = 1),
+         |sel$k AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$k)""".stripMargin
+    }.mkString(",\n")
+    s"""${ivfScoredCteSql(NumQueries)},
+       |cpool AS (
+       |  SELECT q_id, vec_id, cosine FROM (
+       |    SELECT q_id, vec_id, cosine,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC, vec_id) AS rn
+       |    FROM scored) x WHERE rn <= $MmrPool),
+       |cp AS (
+       |  SELECT a.q_id, a.vec_id AS av, b.vec_id AS bv,
+       |    round(
+       |      CAST(sum(CAST(CAST(ea.val AS DOUBLE) * CAST(eb.val AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
+       |      / (sqrt(any_value(na.nsq)) * sqrt(any_value(nb.nsq))), 12) AS psim
+       |  FROM cpool a
+       |  JOIN cpool b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+       |  JOIN elems ea ON ea.vec_id = a.vec_id
+       |  JOIN elems eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+       |  JOIN norms na ON na.vec_id = a.vec_id
+       |  JOIN norms nb ON nb.vec_id = b.vec_id
+       |  GROUP BY 1, 2, 3),
+       |sel1 AS (
+       |  SELECT q_id, vec_id, cosine, 1 AS pick FROM (
+       |    SELECT q_id, vec_id, cosine,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC, vec_id) AS rn
+       |    FROM cpool) x WHERE rn = 1),
+       |$rounds
+       |SELECT q_id, pick, vec_id, cosine FROM sel$MmrK
+       |ORDER BY q_id, pick""".stripMargin
+  }
+
   // --------------------------------------------------- SQ8 quantization
 
   /** Scalar-quantized (int8) similarity — the memory-bound scale path:
@@ -1279,6 +1413,9 @@ object Similarity {
       "sign-LSH bucketed ANN with Hamming-1 probing + exact re-rank"),
     GraftQuery("sim_topk_ivf", topkIvf _, Some(topkIvfOracle),
       "IVF-cell ANN: decimal-sum centroids, 2-cell probe, exact re-rank"),
+    GraftQuery("sim_mmr_rerank", mmrRerank _, Some(mmrRerankOracle),
+      "maximal-marginal-relevance diversification: greedy K-pick over the IVF " +
+        "top-pool, redundancy-penalized, bounded relational rounds"),
     GraftQuery("sim_range_search", rangeSearch _, Some(rangeSearchOracle),
       "radius vector search over the persisted IVF cells: all matches within " +
         "a cosine threshold, two-phase scored, no window operator"),

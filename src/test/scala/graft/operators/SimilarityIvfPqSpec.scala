@@ -34,6 +34,41 @@ class SimilarityIvfPqSpec extends AnyFunSuite with SparkFixture {
     assert(out.forall(candSet.contains))
   }
 
+  test("mmr rerank: K distinct picks from the IVF pool, pick 1 is pure relevance") {
+    val out = Similarity.mmrRerank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, picks) =>
+      // K picks, ranks 1..K, no result repeated
+      assert(picks.map(_._2).sorted.toSeq == (1 to Similarity.MmrK).toSeq)
+      assert(picks.map(_._3).distinct.length == picks.length)
+    }
+    // pick 1 carries no redundancy penalty yet — it must be the same
+    // vector the plain IVF top-k path ranks first
+    val ivfTop1 = Similarity.topkIvf(spark, dir).filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (q, picks) =>
+      assert(picks.find(_._2 == 1).map(_._3) == ivfTop1.get(q))
+    }
+    // all picks come from the probe candidate set (never outside the index)
+    val rankedCells = ClusterIndex.ivfCells(spark, dir)
+    val candSet = rankedCells
+      .filter(col("cell_rank") <= Similarity.IvfProbes &&
+        col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("c_label").as("cell"))
+      .join(rankedCells
+        .filter(col("cell_rank") === 1 && col("vec_id") >= Similarity.NumQueries)
+        .select(col("vec_id"), col("c_label").as("cell")), "cell")
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall { case (q, _, v, _) => candSet.contains((q, v)) })
+    // deterministic: a second run reproduces the pick sequence exactly
+    val again = Similarity.mmrRerank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("filtered ANN: only filter-passing corpus ids, all inside the EXPANDED probe set, scores exact") {
     val en = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("lang") === "en")
