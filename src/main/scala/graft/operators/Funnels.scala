@@ -382,6 +382,53 @@ object Funnels {
        |ORDER BY n_paths DESC, e1, e2, e3
        |LIMIT 20""".stripMargin
 
+  /** First-order Markov transition model over the event stream — the
+    * journey model product analytics exports (next-action prediction,
+    * anomaly screens on p(next|current)): consecutive event pairs per
+    * user, per-(from, to) transition counts, row-normalized
+    * probabilities (ONE IEEE division each, 12 places) and the rank of
+    * each destination within its source state. Scale: the lead()
+    * window shuffles once on user_id (the same exchange every
+    * sessionization pass pays), the transition count is a hash-agg on
+    * a |states|² key space, and the normalization windows run over
+    * ≤|states|² rows — nothing after the first exchange touches the
+    * event stream again.
+    */
+  def eventMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val trans = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .filter(col("e2").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wSrc = Window.partitionBy(col("e1"))
+    trans
+      .withColumn("n_src", sum(col("n_trans")).over(wSrc))
+      .select(col("e1"), col("e2"), col("n_trans"),
+        round(col("n_trans") / col("n_src"), 12).as("p_trans"),
+        row_number().over(wSrc.orderBy(desc("n_trans"), col("e2"))).as("dest_rank"))
+      .orderBy("e1", "e2")
+  }
+
+  private val eventMarkovOracle =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e2
+      |  FROM e),
+      |c AS (
+      |  SELECT e1, e2, count(*) AS n_trans FROM t
+      |  WHERE e2 IS NOT NULL GROUP BY 1, 2)
+      |SELECT e1, e2, n_trans,
+      |  round(CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY e1), 12) AS p_trans,
+      |  CAST(row_number() OVER (PARTITION BY e1 ORDER BY n_trans DESC, e2) AS INTEGER) AS dest_rank
+      |FROM c ORDER BY e1, e2""".stripMargin
+
   /** A/B experiment readout — deterministic hash-bucket assignment
     * (the ONLY production-safe split: arm membership derives from the
     * user id alone, so every event of a user lands in one arm without
@@ -431,6 +478,9 @@ object Funnels {
       "A/B readout: deterministic hash-bucket arms, per-arm funnel conversion + exact revenue"),
     GraftQuery("event_sessions", eventSessions _, Some(eventSessionsOracle),
       "gap-based batch sessionization: one user-window exchange, per-user session structure"),
+    GraftQuery("event_markov", eventMarkov _, Some(eventMarkovOracle),
+      "first-order Markov transition matrix: per-(from, to) counts, row-normalized " +
+        "probabilities, destination rank per source state"),
     GraftQuery("event_paths", eventPaths _, Some(eventPathsOracle),
       "top session-bounded event-type trigram journeys: stacked leads on one window exchange"),
     GraftQuery("event_stickiness", eventStickiness _, Some(eventStickinessOracle),
