@@ -367,15 +367,32 @@ object Profiling {
   def profileFds(spark: SparkSession, dir: String): DataFrame =
     profileFdsOn(spark, fdSource(spark, dir))
 
+  /** Pair-hash mixer: each pair sketch hashes the integer combination
+    * `(ha * 1000003 + hb) mod 2^32` of the two PRE-COMPUTED per-column
+    * hashes instead of md5-ing the concatenated values -- one md5 per
+    * COLUMN per row (C of them) instead of one per column AND ordered
+    * pair (C + C*(C-1), which at 5 columns made md5 the whole query:
+    * 25 digests per row). The odd multiplier keeps the mix a bijection
+    * of `ha`, so the combination stays KMV-uniform, and the product is
+    * < 2^32 * 10^6 -- far from BIGINT overflow, which DuckDB would
+    * refuse (Spark would silently wrap: the cross-engine trap this
+    * constant is sized against).
+    */
+  private val FdMix = 1000003L
+  private val FdMod = 4294967296L
+
   private[operators] def profileFdsOn(spark: SparkSession, src: DataFrame): DataFrame = {
     import spark.implicits._
     def h(c: Column) = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-    def sk(c: Column) = graft.functions.KmvSketchAgg.kmvSketch(h(c), FdK)
+    def sk(c: Column) = graft.functions.KmvSketchAgg.kmvSketch(c, FdK)
+    val hashed = src.select(
+      FdColumns.map(c => col(c)) ++ FdColumns.map(c => h(col(c)).as(s"_h_$c")): _*)
     val aggs =
-      FdColumns.map(c => sk(col(c)).as(s"_s_$c")) ++
+      FdColumns.map(c => sk(col(s"_h_$c")).as(s"_s_$c")) ++
         fdPairs.map { case (a, b) =>
-          sk(concat(col(a), lit("\u001f"), col(b))).as(s"_s_${a}_$b") }
-    val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+          sk(pmod(col(s"_h_$a") * lit(FdMix) + col(s"_h_$b"), lit(FdMod)))
+            .as(s"_s_${a}_$b") }
+    val r = hashed.agg(aggs.head, aggs.tail: _*).collect()(0)
     val estS = FdColumns.zipWithIndex.map { case (c, i) =>
       c -> r.getStruct(i).getLong(0) }.toMap
     val estP = fdPairs.zipWithIndex.map { case (p, i) =>
@@ -401,23 +418,24 @@ object Profiling {
   }
 
   private val profileFdsOracle: String = {
-    def est(expr: String) =
+    def hSql(c: String) = s"CAST(concat('0x', substr(md5($c), 1, 8)) AS BIGINT)"
+    def est(hExpr: String) =
       s"""(SELECT CAST(CASE WHEN cnt < $FdK THEN cnt
          |      ELSE ${(FdK - 1).toLong * 4294967296L} // hk END AS BIGINT)
          |    FROM (SELECT count(*) AS cnt, max(h) AS hk FROM (
          |      SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
-         |        SELECT DISTINCT CAST(concat('0x', substr(md5($expr), 1, 8)) AS BIGINT) AS h
+         |        SELECT DISTINCT $hExpr AS h
          |        FROM sub) d) r
          |    WHERE rn <= $FdK) s)""".stripMargin
     val rows = fdPairs.map { case (a, b) =>
-      val pairExpr = s"$a || chr(31) || $b"
+      val pairExpr = s"((${hSql(a)} * $FdMix + ${hSql(b)}) % $FdMod)"
       s"""SELECT '$a' AS det, '$b' AS dep, ea.e AS ndv_det_est, ep.e AS ndv_pair_est,
          |  ea.e = ep.e AS screened,
          |  CASE WHEN ea.e = ep.e THEN (SELECT count(DISTINCT $a) FROM sub) END AS ndv_det,
          |  CASE WHEN ea.e = ep.e THEN (SELECT count(DISTINCT ($a, $b)) FROM sub) END AS ndv_pair,
          |  CASE WHEN ea.e = ep.e THEN
          |    (SELECT count(DISTINCT $a) = count(DISTINCT ($a, $b)) FROM sub) END AS holds
-         |FROM (SELECT ${est(a)} AS e) ea, (SELECT ${est(pairExpr)} AS e) ep""".stripMargin
+         |FROM (SELECT ${est(hSql(a))} AS e) ea, (SELECT ${est(pairExpr)} AS e) ep""".stripMargin
     }.mkString("\n  UNION ALL ")
     s"""WITH sub AS (
        |  SELECT CAST(o_custkey AS VARCHAR) AS o_custkey, o_orderstatus,
