@@ -188,6 +188,43 @@ object Relational {
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
       |ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------ full outer join
+
+  /** FULL OUTER join — the reconciliation shape (two feeds of the same
+    * entity space, rows present on either side survive with nulls on
+    * the absent side): high-value customers against big-spender order
+    * aggregates, both sides restricted so each contributes unmatched
+    * rows. Null-key rows cannot arise (keys are table PKs), so the
+    * join stays a plain shuffled equi-join; the aggregate side reduces
+    * BEFORE joining (per-key hash-agg, map-side combined) — at 100 TB
+    * the join moves one row per key per side, never raw orders.
+    */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"), dsum(col("o_totalprice"), 2).as("big_rev"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("o_custkey"),
+        col("n_big"), col("big_rev"))
+      .orderBy(coalesce(col("c_custkey"), col("o_custkey")),
+        col("c_custkey").isNull)
+  }
+
+  private val joinFullOuterOracle =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000),
+      |o AS (
+      |  SELECT o_custkey, count(*) AS n_big,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS big_rev
+      |  FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+      |SELECT c_custkey, c_mktsegment, o_custkey, n_big, big_rev
+      |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+      |ORDER BY coalesce(c_custkey, o_custkey), c_custkey IS NULL""".stripMargin
+
   // ------------------------------------------------- window: top-k/group
   /** row_number window: top-3 orders per customer. Scale: single shuffle
     * on the partition key; no global sort. rank cast to int on both sides.
@@ -773,6 +810,8 @@ object Relational {
       "3-way join + agg + top-k (Q3 shape)"),
     GraftQuery("join_semi", joinSemi _, Some(joinSemiOracle), "left-semi (EXISTS)"),
     GraftQuery("join_anti", joinAnti _, Some(joinAntiOracle), "left-anti (NOT EXISTS / MoR delete)"),
+    GraftQuery("join_full_outer", joinFullOuter _, Some(joinFullOuterOracle),
+      "full outer reconciliation join: pre-aggregated order side, unmatched rows both ways"),
     GraftQuery("window_topk_per_group", windowTopkPerGroup _, Some(windowTopkPerGroupOracle),
       "row_number top-k per group"),
     GraftQuery("window_lag_lead", windowLag _, Some(windowLagOracle), "lag/lead offsets"),

@@ -69,6 +69,23 @@ class IceliteLineageSpec extends AnyFunSuite with SparkFixture {
     assert(vs == Map(1L -> 1L, 2L -> 102L, 3L -> 3L, 4L -> 104L, 5L -> 5L, 6L -> 106L))
   }
 
+  test("a multi-partition append numbers densely in key order (range-offset math)") {
+    import spark.implicits._
+    val t = IceliteTable.create(spark, wh(), "ns", "lin5", schema)
+    // enough rows to span many range partitions; shuffled input order so
+    // the assignment cannot lean on arrival order
+    val n = 5000L
+    val in = spark.range(n).select(
+        (col("id") * 2654435761L % n).as("id"), col("id").as("v"))
+      .repartition(8)
+    t.appendWithLineage(in, Seq("id"))
+    val got = t.read().select("id", IceliteTable.RowIdCol).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // ids are exactly the rank of the key in ascending order, 0-based
+    assert(got.map(_._2).toSeq == got.indices.map(_.toLong))
+    assert(t.meta.properties(IceliteTable.NextRowIdProp) == got.length.toString)
+  }
+
   test("lineage append requires the lineage columns in the schema") {
     val bare = StructType(schema.fields.take(2))
     val t = IceliteTable.create(spark, wh(), "ns", "lin3", bare)
