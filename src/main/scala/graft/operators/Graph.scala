@@ -105,10 +105,18 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     try {
+      // the closing-edge probe BROADCASTS the ordered edge list (tens
+      // of MB even at 10× this fixture): the wedge stream — the big
+      // intermediate, Σ deg² rows — then never shuffles; it probes the
+      // broadcast hash map scan-locally and only the 3-per-triangle
+      // corner explosion reaches the final hash-agg (map-side combined
+      // onto |V| groups). On a cluster the edge list outgrowing the
+      // broadcast budget degrades to a shuffle join on (a, c) — the
+      // plan Spark picks anyway once the hint stops binding.
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.v") === col("e2.u"))
         .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-        .join(e.as("e3"), col("a") === col("e3.u") && col("c") === col("e3.v"))
+        .join(broadcast(e.as("e3")), col("a") === col("e3.u") && col("c") === col("e3.v"))
         .select(col("a"), col("b"), col("c"))
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
         .groupBy(col("part"))
@@ -267,21 +275,41 @@ object Graph {
        |LIMIT 20""".stripMargin
   }
 
+  /** Minimum shared-order count for a co-purchase edge to carry
+    * link-prediction EVIDENCE (association mining's min-support): one
+    * shared order between random-basket parts is noise, and it is also
+    * the complexity bomb — at sf0.1 the unfiltered graph has 2.4M
+    * directed edges with near-UNIFORM degree ~120 (Σ deg² ≈ 3·10⁸
+    * wedges; a hub/df cap cannot help when there are no hubs, and the
+    * first cut of this query paid 130 s for exactly that reason). The
+    * support threshold is the principled fix AND the scale dial: it
+    * keeps repeat co-purchases only (7.7k edges at sf0.1, 300×
+    * smaller), the signal a recommender would actually trust. Like
+    * [[Dedup.MaxShingleDf]], the threshold is part of the gated
+    * semantics — the oracle applies the identical floor.
+    */
+  val LinkMinSupport = 2
+
   /** Link prediction by COMMON-NEIGHBOR count — the classic local
     * similarity index (Liben-Nowell/Kleinberg): for part pairs NOT yet
-    * co-purchased, count shared co-purchase neighbors; the top pairs
-    * are the "customers also bought" recommendations the graph itself
-    * implies. Candidates come from the same wedge join as triangle
-    * counting (cost = Σ deg², never |V|²), existing edges leave via
-    * one anti join on the canonical `a < b` pair, and the count/ties
-    * are all-integer — bit-exact cross-engine. Top-20.
+    * co-purchased (at the support level), count shared strong
+    * co-purchase neighbors; the top pairs are the "customers also
+    * bought" recommendations the graph itself implies. Edges carry a
+    * [[LinkMinSupport]] floor (see above — the noise/scale dial);
+    * candidates come from the same wedge join as triangle counting
+    * (cost = Σ deg² of the SUPPORT-FILTERED graph, never |V|²),
+    * existing edges leave via one anti join on the canonical `a < b`
+    * pair, and the count/ties are all-integer — bit-exact
+    * cross-engine. Top-20.
     */
   def linkPredict(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val e = li.as("a").join(li.as("b"), "l_orderkey")
       .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= LinkMinSupport)
+      .select(col("u"), col("v"))
       .localCheckpoint(true)
     try {
       // wedges through a shared neighbor w, oriented a < b
@@ -299,10 +327,11 @@ object Graph {
   }
 
   private val linkPredictOracle =
-    """WITH e AS (
-      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    s"""WITH e AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      |  WHERE a.l_partkey <> b.l_partkey),
+      |  WHERE a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= $LinkMinSupport),
       |cand AS (
       |  SELECT e1.v AS a, e2.v AS b
       |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v),
