@@ -47,16 +47,29 @@ object Graph {
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    // (u, v, d): the per-iteration join input, built once
-    val ed = e.join(deg, "u").localCheckpoint(true)
+    // (u, v, d): the per-iteration join input, built once and PINNED
+    // hash-partitioned on the join key u (localCheckpoint preserves
+    // the partitioning): every iteration's rank join then reuses the
+    // edge side in place and shuffles ONLY the |V|-sized rank vector
+    // — without the pin the bench showed the edge list re-exchanged
+    // each round (78 MB across 3 iterations at sf0.1)
+    val ed = e.join(deg, "u").repartition(col("u")).localCheckpoint(true)
     try {
       var r = deg.select(col("u").as("p"), lit(PrScale).as("r"))
       for (_ <- 1 to PrIters) {
+        // the |V|-sized rank vector is truncated-lineage-checkpointed
+        // each round: the next round's plan then references the pinned
+        // edge leaf exactly ONCE, so its preserved u-partitioning is
+        // honored (nested references get re-aliased expression ids by
+        // self-join dedup and re-exchange the edge list every round —
+        // the 78 MB the bench showed) — each round ships the rank
+        // vector and nothing else
         r = ed.join(r, ed("u") === r("p"))
           .groupBy(col("v"))
           .agg((lit(3L * PrScale / 20) +
             idiv(lit(17) * sum(idiv(col("r"), col("d"))), lit(20))).as("r"))
           .select(col("v").as("p"), col("r"))
+          .localCheckpoint(true)
       }
       r.select(col("p").as("part"), col("r").as("rank"))
         .orderBy(desc("rank"), col("part"))
@@ -168,6 +181,9 @@ object Graph {
       .filter(col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
+      // pinned on the iteration join key (see pagerank): rounds shuffle
+      // the per-node vector, never this edge list
+      .repartition(col("u"))
       .localCheckpoint(true)
     try {
       var d = e.agg(min(col("u")).as("p")).select(col("p"), lit(0L).as("d"))
@@ -176,6 +192,7 @@ object Graph {
           .select(col("v").as("p"), (col("d") + 1L).as("d"))
         d = d.select(col("p"), col("d")).union(stepped)
           .groupBy(col("p")).agg(min(col("d")).as("d"))
+          .localCheckpoint(true) // one edge-leaf reference per round (see pagerank)
       }
       d.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_parts")).orderBy("dist")
     } finally e.unpersist()
@@ -230,6 +247,9 @@ object Graph {
       .filter(col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
+      // pinned on the iteration join key (see pagerank): rounds shuffle
+      // the per-node vector, never this edge list
+      .repartition(col("u"))
       .localCheckpoint(true)
     try {
       var l = e.select(col("u").as("p")).distinct()
@@ -242,6 +262,7 @@ object Graph {
         l = cnt.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("v").as("p"), col("label"))
+          .localCheckpoint(true) // one edge-leaf reference per round (see pagerank)
       }
       l.groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_parts"))
