@@ -41,35 +41,26 @@ object Graph {
     call_function("div", num, den)
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("a").join(li.as("b"), "l_orderkey")
-      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
+    // edges come from the PERSISTED co-purchase index ([[EdgeIndex]]),
+    // never a per-query lineitem self-join
+    val e = EdgeIndex.edges(spark, dir).select(col("u"), col("v"))
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    // (u, v, d): the per-iteration join input, built once and PINNED
-    // hash-partitioned on the join key u (localCheckpoint preserves
-    // the partitioning): every iteration's rank join then reuses the
-    // edge side in place and shuffles ONLY the |V|-sized rank vector
-    // — without the pin the bench showed the edge list re-exchanged
-    // each round (78 MB across 3 iterations at sf0.1)
-    val ed = e.join(deg, "u").repartition(col("u")).localCheckpoint(true)
+    // (u, v, d): the per-iteration join input, materialized once from
+    // the index read (a pre-pinned edge partitioning does NOT survive
+    // the nested per-round references — self-join dedup re-aliases the
+    // leaf and re-exchanges anyway, measured, so the simple shape wins;
+    // on a cluster the per-round exchange is the |E| edge list, which
+    // co-partitioning infrastructure outside the query's control —
+    // AQE, storage-partitioned joins — is the right tool for)
+    val ed = e.join(deg, "u").localCheckpoint(true)
     try {
       var r = deg.select(col("u").as("p"), lit(PrScale).as("r"))
       for (_ <- 1 to PrIters) {
-        // the |V|-sized rank vector is truncated-lineage-checkpointed
-        // each round: the next round's plan then references the pinned
-        // edge leaf exactly ONCE, so its preserved u-partitioning is
-        // honored (nested references get re-aliased expression ids by
-        // self-join dedup and re-exchange the edge list every round —
-        // the 78 MB the bench showed) — each round ships the rank
-        // vector and nothing else
         r = ed.join(r, ed("u") === r("p"))
           .groupBy(col("v"))
           .agg((lit(3L * PrScale / 20) +
             idiv(lit(17) * sum(idiv(col("r"), col("d"))), lit(20))).as("r"))
           .select(col("v").as("p"), col("r"))
-          .localCheckpoint(true)
       }
       r.select(col("p").as("part"), col("r").as("rank"))
         .orderBy(desc("rank"), col("part"))
@@ -111,11 +102,10 @@ object Graph {
     * triangle, TakeOrdered top-10.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("x").join(li.as("y"), "l_orderkey")
-      .filter(col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
-      .distinct()
+    // canonical u < v slice of the persisted co-purchase index; still
+    // checkpointed locally — the plan references it three times
+    val e = EdgeIndex.edges(spark, dir).filter(col("u") < col("v"))
+      .select(col("u"), col("v"))
       .localCheckpoint(true)
     try {
       // the closing-edge probe BROADCASTS the ordered edge list (tens
@@ -176,14 +166,8 @@ object Graph {
     * 1-row broadcast, not a driver constant baked per-run.
     */
   def bfs(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("a").join(li.as("b"), "l_orderkey")
-      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
-      // pinned on the iteration join key (see pagerank): rounds shuffle
-      // the per-node vector, never this edge list
-      .repartition(col("u"))
+    // persisted co-purchase index, materialized once for the rounds
+    val e = EdgeIndex.edges(spark, dir).select(col("u"), col("v"))
       .localCheckpoint(true)
     try {
       var d = e.agg(min(col("u")).as("p")).select(col("p"), lit(0L).as("d"))
@@ -192,7 +176,6 @@ object Graph {
           .select(col("v").as("p"), (col("d") + 1L).as("d"))
         d = d.select(col("p"), col("d")).union(stepped)
           .groupBy(col("p")).agg(min(col("d")).as("d"))
-          .localCheckpoint(true) // one edge-leaf reference per round (see pagerank)
       }
       d.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_parts")).orderBy("dist")
     } finally e.unpersist()
@@ -242,14 +225,8 @@ object Graph {
     */
   def communities(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("a").join(li.as("b"), "l_orderkey")
-      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
-      // pinned on the iteration join key (see pagerank): rounds shuffle
-      // the per-node vector, never this edge list
-      .repartition(col("u"))
+    // persisted co-purchase index, materialized once for the rounds
+    val e = EdgeIndex.edges(spark, dir).select(col("u"), col("v"))
       .localCheckpoint(true)
     try {
       var l = e.select(col("u").as("p")).distinct()
@@ -262,7 +239,6 @@ object Graph {
         l = cnt.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("v").as("p"), col("label"))
-          .localCheckpoint(true) // one edge-leaf reference per round (see pagerank)
       }
       l.groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_parts"))
@@ -324,12 +300,8 @@ object Graph {
     * cross-engine. Top-20.
     */
   def linkPredict(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("a").join(li.as("b"), "l_orderkey")
-      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= LinkMinSupport)
+    // support-thresholded slice of the persisted co-purchase index
+    val e = EdgeIndex.edges(spark, dir).filter(col("w") >= LinkMinSupport)
       .select(col("u"), col("v"))
       .localCheckpoint(true)
     try {

@@ -778,17 +778,14 @@ object Relational {
     * driver merge, no global sort). The `a < b` canonical ordering
     * counts each unordered pair once.
     */
-  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-      .agg(count(lit(1)).as("cnt"))
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    // the canonical u < v slice of the persisted co-purchase graph
+    // ([[EdgeIndex]]) IS the weighted pair table — the query is a
+    // filter + TakeOrdered over the index, no lineitem self-join
+    EdgeIndex.edges(spark, dir).filter(col("u") < col("v"))
+      .select(col("u").as("part_a"), col("v").as("part_b"), col("w").as("cnt"))
       .orderBy(desc("cnt"), asc("part_a"), asc("part_b"))
       .limit(20)
-  }
 
   private val copurchasePairsOracle =
     """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS cnt
