@@ -5,18 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
 
-/** End-to-end INCREMENTAL-maintenance gate over all seven persisted
+/** End-to-end INCREMENTAL-maintenance gate over all eight persisted
   * index lifecycles — the driver-gated proof that the `append*` paths
   * are not spec-only: the corpus is deterministically split into a
   * base (≈90%) and a late-landing batch (≈10%), every index is BUILT
   * from the base and the batch is FOLDED IN through the incremental
   * API ([[ShingleIndex.append]], [[LmIndex.append]],
   * [[LineIndex.append]], [[SketchIndex.append]], [[PhashIndex.append]],
-  * [[WgramIndex.append]], [[ClusterIndex.appendPoint]]), and the query
+  * [[WgramIndex.append]], [[EdgeIndex.append]],
+  * [[ClusterIndex.appendPoint]]), and the query
   * reads one
   * (row-count, content-checksum) fingerprint per index over the MERGED
   * state. The DuckDB oracle recomputes each fingerprint from the FULL
-  * union — for the six append≡rebuild indexes directly, and for the
+  * union — for the seven append≡rebuild indexes directly, and for the
   * ANN index by replaying the Lloyd chain on the base subset and
   * assigning every vector under those frozen final-round centroids
   * (exactly the incremental contract: late vectors never retrain the
@@ -29,7 +30,7 @@ import graft.{GraftQuery, Tables}
   * indexes every other query reads are never touched.
   *
   * Scale shape: the build is the ingest cost every index already
-  * accounts (one corpus scan each); the gate read is seven index-table
+  * accounts (one corpus scan each); the gate read is eight index-table
   * scans with single hash-agg fingerprints — ≤ 2 longs per index
   * through the final collect.
   */
@@ -89,6 +90,15 @@ object IndexIncremental {
             WgramIndex.build(spark, w, base)
             WgramIndex.append(spark, w, batch)
           },
+          wh("edge") { w =>
+            // order-atomic split (the edge-index ingest contract: an
+            // order lands whole in exactly one batch)
+            val li = Tables.t(spark, dir, "lineitem")
+            EdgeIndex.build(spark, w,
+              li.filter(col("l_orderkey") % BatchMod =!= BatchRem))
+            EdgeIndex.append(spark, w,
+              li.filter(col("l_orderkey") % BatchMod === BatchRem))
+          },
           wh("ann") { w =>
             ClusterIndex.buildPoint(spark, w,
               emb.filter(col("vec_id") % BatchMod =!= BatchRem),
@@ -119,8 +129,11 @@ object IndexIncremental {
     val assign = ClusterIndex.readPoint(spark, whs("ann"),
       Clustering.K, Clustering.Iters)
     val wgram = WgramIndex.readMeta(spark, whs("wgram"))
+    val edges = EdgeIndex.readEdges(spark, whs("edge"))
     fp("ann", assign, count(lit(1)),
         sum((col("vec_id") % M) * (col("cid") + 1) % M))
+      .unionAll(fp("edge", edges, count(lit(1)),
+        sum((col("u") % M + col("v") % M + col("w")) % M)))
       .unionAll(fp("line", lineDf, count(lit(1)),
         sum((col("h") % M + col("df")) % M)))
       .unionAll(fp("lm", c2, count(lit(1)),
@@ -219,6 +232,13 @@ object IndexIncremental {
        |  SELECT 'sketch', CAST(count(*) AS BIGINT),
        |    CAST(coalesce(sum(h % $M), 0) AS BIGINT) FROM skv
        |  UNION ALL
+       |  SELECT 'edge', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum((u % $M + v % $M + w) % $M), 0) AS BIGINT)
+       |  FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2) fedges
+       |  UNION ALL
        |  SELECT 'wgram', CAST(count(*) AS BIGINT),
        |    CAST(coalesce(sum((hs % $M + df + min_doc % $M) % $M), 0) AS BIGINT)
        |  FROM wgm
@@ -229,5 +249,5 @@ object IndexIncremental {
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("index_incremental", indexIncremental _, Some(indexIncrementalOracle),
-      "all seven index lifecycles: build on a 90% base, fold the 10% batch via append*, fingerprint the merged state vs a full-union recompute"))
+      "all eight index lifecycles: build on a 90% base, fold the 10% batch via append*, fingerprint the merged state vs a full-union recompute"))
 }
