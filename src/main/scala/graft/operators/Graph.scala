@@ -90,6 +90,68 @@ object Graph {
        |LIMIT 20""".stripMargin
   }
 
+  /** PERSONALIZED PageRank from a seed node (topic-sensitive ranking,
+    * Haveliwala WWW'02) — "parts most relevant to THIS part by graph
+    * proximity", the item-page recommendation query, vs. global
+    * PageRank's "most important parts overall". Same exact integer
+    * arithmetic and unrolled-oracle contract as [[pagerank]]; the
+    * teleport mass returns to the SEED alone (picked as min(u), a
+    * 1-row frame joined in — never a driver constant baked per-run).
+    *
+    * Scale shape: the rank vector starts as ONE row and grows with the
+    * K-hop frontier — each round joins only the NONZERO entries
+    * against the cached edge list, so early iterations ship a frontier,
+    * not |V| (the sparsity a global rank can never exploit; for a
+    * 3-hop neighborhood of one item in a 100 TB graph that is the
+    * whole difference between a lookup and a full-graph job).
+    */
+  def pagerankPersonalized(spark: SparkSession, dir: String): DataFrame = {
+    val e = EdgeIndex.edges(spark, dir).select(col("u"), col("v"))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val ed = e.join(deg, "u").localCheckpoint(true)
+    try {
+      val seed = ed.agg(min(col("u")).as("s")).localCheckpoint(true)
+      val teleport = seed.select(col("s").as("p"), lit(3L * PrScale / 20).as("r"))
+      var r = seed.select(col("s").as("p"), lit(PrScale).as("r"))
+      for (_ <- 1 to PrIters) {
+        val propagated = ed.join(r, ed("u") === r("p"))
+          .groupBy(col("v"))
+          .agg(idiv(lit(17) * sum(idiv(col("r"), col("d"))), lit(20)).as("r"))
+          .select(col("v").as("p"), col("r"))
+        r = propagated.unionAll(teleport)
+          .groupBy(col("p")).agg(sum(col("r")).as("r"))
+      }
+      r.select(col("p").as("part"), col("r").as("rank"))
+        .orderBy(desc("rank"), col("part"))
+        .limit(20)
+    } finally ed.unpersist()
+  }
+
+  private val pagerankPersonalizedOracle = {
+    val tele = 3L * PrScale / 20
+    val iters = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT p, sum(r) AS r FROM (
+         |    SELECT e.v AS p, (17 * sum(r${k - 1}.r // deg.d)) // 20 AS r
+         |    FROM e JOIN deg ON e.u = deg.u JOIN r${k - 1} ON r${k - 1}.p = e.u
+         |    GROUP BY e.v
+         |    UNION ALL SELECT s, $tele FROM seed) x
+         |  GROUP BY p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+       |deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+       |seed AS (SELECT min(u) AS s FROM e),
+       |r0 AS (SELECT s AS p, CAST($PrScale AS BIGINT) AS r FROM seed),
+       |$iters
+       |SELECT p AS part, CAST(r AS BIGINT) AS rank
+       |FROM r$PrIters
+       |ORDER BY rank DESC, part
+       |LIMIT 20""".stripMargin
+  }
+
   /** Triangle counting + per-node triangle participation — the
     * clustering primitive (community tightness, recommendation
     * confidence) over the same co-purchase graph. Canonical ordered
@@ -342,6 +404,9 @@ object Graph {
       "common-neighbor link prediction: wedge candidates minus existing edges, integer counts"),
     GraftQuery("graph_pagerank", pagerank _, Some(pagerankOracle),
       "integer PageRank over the co-purchase graph: K cached-edge joins, bit-exact unrolled oracle"),
+    GraftQuery("graph_ppr", pagerankPersonalized _, Some(pagerankPersonalizedOracle),
+      "personalized PageRank from a seed part: sparse frontier propagation, " +
+        "seed-only teleport, integer-exact unrolled oracle"),
     GraftQuery("graph_triangles", triangles _, Some(trianglesOracle),
       "triangle participation via ordered-edge wedge join + closing-edge probe (each triangle once)"),
     GraftQuery("graph_bfs", bfs _, Some(bfsOracle),
