@@ -79,6 +79,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(planOf("sort_limit_global").contains("TakeOrderedAndProject"))
   }
 
+  test("dp release: one corpus hash-agg, no join, no window — noise is grouped-frame arithmetic") {
+    val p = planOf("privacy_dp_counts")
+    assert(!p.contains("Join"), s"dp release grew a join:\n$p")
+    assert(!p.contains("- Window ["))
+    // exactly one aggregation pair (partial + final) over the corpus
+    assert("HashAggregate".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("full outer join: pre-aggregated side, no nested loop") {
+    val p = planOf("join_full_outer")
+    assert(p.contains("FullOuter") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("range search: no window operator, no cartesian — join, score, filter only") {
     val p = planOf("sim_range_search")
     // a radius query has no rank, so the plan must not pay a per-query
