@@ -381,6 +381,58 @@ object Graph {
     } finally e.unpersist()
   }
 
+  /** Node-similarity by neighbor-set JACCARD over the support graph —
+    * link prediction's normalized sibling: raw common-neighbor counts
+    * favor high-degree nodes, while |N(a)∩N(b)| / |N(a)∪N(b)| ranks a
+    * pair by how much of their neighborhoods AGREE (the similarity an
+    * item-item recommender blends with co-occurrence). Scored in ppm
+    * by one integer floor division (`10⁶·common div (da+db−common)`) —
+    * both engines emit the identical integer, no float ranking to
+    * diverge on. Adjacent pairs stay IN (unlike [[linkPredict]], which
+    * anti-joins them away: similarity describes existing relations
+    * too). Same support-filtered wedge shape and cost as link
+    * prediction; degrees join from one |V|-sized hash-agg.
+    */
+  def jaccardSimilar(spark: SparkSession, dir: String): DataFrame = {
+    val e = EdgeIndex.edges(spark, dir).filter(col("w") >= LinkMinSupport)
+      .select(col("u"), col("v"))
+      .localCheckpoint(true)
+    try {
+      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val common = e.as("e1").join(e.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        .groupBy(col("e1.v").as("a"), col("e2.v").as("b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+        .select(col("a"), col("b"), col("common"),
+          idiv(lit(1000000L) * col("common"),
+            col("da") + col("db") - col("common")).as("jaccard_ppm"))
+        .orderBy(desc("jaccard_ppm"), col("a"), col("b"))
+        .limit(20)
+    } finally e.unpersist()
+  }
+
+  private val jaccardSimilarOracle =
+    s"""WITH e AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $LinkMinSupport),
+       |deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+       |common AS (
+       |  SELECT e1.v AS a, e2.v AS b, count(*) AS common
+       |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+       |  GROUP BY 1, 2)
+       |SELECT a, b, common,
+       |  (1000000 * common) // (da.d + db.d - common) AS jaccard_ppm
+       |FROM common
+       |JOIN deg da ON da.u = a
+       |JOIN deg db ON db.u = b
+       |ORDER BY jaccard_ppm DESC, a, b
+       |LIMIT 20""".stripMargin
+
   private val linkPredictOracle =
     s"""WITH e AS (
       |  SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -404,6 +456,9 @@ object Graph {
       "common-neighbor link prediction: wedge candidates minus existing edges, integer counts"),
     GraftQuery("graph_pagerank", pagerank _, Some(pagerankOracle),
       "integer PageRank over the co-purchase graph: K cached-edge joins, bit-exact unrolled oracle"),
+    GraftQuery("graph_jaccard", jaccardSimilar _, Some(jaccardSimilarOracle),
+      "neighbor-set Jaccard node similarity over the support graph: integer ppm " +
+        "scoring, degree-normalized common neighbors"),
     GraftQuery("graph_ppr", pagerankPersonalized _, Some(pagerankPersonalizedOracle),
       "personalized PageRank from a seed part: sparse frontier propagation, " +
         "seed-only teleport, integer-exact unrolled oracle"),
