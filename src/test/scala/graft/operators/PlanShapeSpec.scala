@@ -79,6 +79,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(planOf("sort_limit_global").contains("TakeOrderedAndProject"))
   }
 
+  test("graph similarity queries: equi-joins over the edge index, never a cartesian") {
+    for (name <- Seq("graph_jaccard", "graph_ppr", "graph_link_predict")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plan grew a product:\n${p.linesIterator.take(25).mkString("\n")}")
+    }
+    // top-20 consumers avoid a global sort
+    assert(planOf("graph_jaccard").contains("TakeOrderedAndProject"))
+  }
+
   test("dp release: one corpus hash-agg, no join, no window — noise is grouped-frame arithmetic") {
     val p = planOf("privacy_dp_counts")
     assert(!p.contains("Join"), s"dp release grew a join:\n$p")
