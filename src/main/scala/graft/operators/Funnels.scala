@@ -332,7 +332,8 @@ object Funnels {
        |per AS (
        |  SELECT user_id, sid, count(*) AS n_ev, max(us) - min(us) AS span_us
        |  FROM s GROUP BY user_id, sid)
-       |SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events,
+       |SELECT user_id, count(*) AS n_sessions,
+       |  CAST(sum(n_ev) AS BIGINT) AS n_events,
        |  max(n_ev) AS busiest_events, max(span_us) AS longest_span_us
        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
 

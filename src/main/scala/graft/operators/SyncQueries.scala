@@ -1539,7 +1539,7 @@ object SyncQueries {
 
   private val tableSortOrderOracle =
     """SELECT o_orderpriority, count(*) AS n_rows,
-      |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM orders
       |WHERE o_orderkey % 11 = 0
       |  AND CAST(floor(o_totalprice * 100) AS BIGINT) BETWEEN 1000000 AND 2000000
@@ -1581,8 +1581,8 @@ object SyncQueries {
   private val tableConstraintsOracle =
     """SELECT o_orderstatus,
       |  count(*) AS n_rows,
-      |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)
-      |      + CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END) AS sum_cents
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sum_cents
       |FROM orders WHERE o_orderkey % 19 = 0
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -1669,7 +1669,7 @@ object SyncQueries {
 
   private val tableMvIncrementalOracle =
     """SELECT o_orderpriority,
-      |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
       |  count(*) AS n_rows,
       |  max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS max_cents
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
@@ -1683,7 +1683,7 @@ object SyncQueries {
 
   private val tableMvRewriteOracle =
     """SELECT l_returnflag,
-      |  sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
       |  count(*) AS n_rows,
       |  max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS max_price_cents
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

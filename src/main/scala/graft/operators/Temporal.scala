@@ -262,7 +262,7 @@ object Temporal {
        |  max(value) AS high, min(value) AS low,
        |  (max({'us': us, 'id': event_id, 'val': value})).val AS close,
        |  count(*) AS n_events,
-       |  sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+       |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
        |FROM e GROUP BY event_type, hour
        |ORDER BY event_type, hour""".stripMargin
 

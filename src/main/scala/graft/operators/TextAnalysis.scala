@@ -741,9 +741,11 @@ object TextAnalysis {
     val rounds = (1 to PerceptronRounds).map { k =>
       s"""m$k AS (
          |  SELECT count(*) AS n,
-         |    coalesce(sum(y * x0), 0) AS db, coalesce(sum(y * x1), 0) AS dl,
-         |    coalesce(sum(y * x2), 0) AS ds, coalesce(sum(y * x3), 0) AS dp,
-         |    coalesce(sum(y * x4), 0) AS dc
+         |    CAST(coalesce(sum(y * x0), 0) AS BIGINT) AS db,
+         |    CAST(coalesce(sum(y * x1), 0) AS BIGINT) AS dl,
+         |    CAST(coalesce(sum(y * x2), 0) AS BIGINT) AS ds,
+         |    CAST(coalesce(sum(y * x3), 0) AS BIGINT) AS dp,
+         |    CAST(coalesce(sum(y * x4), 0) AS BIGINT) AS dc
          |  FROM f, p${k - 1}
          |  WHERE y * (wb*x0 + wl*x1 + ws*x2 + wp*x3 + wc*x4) <= 0),
          |p$k AS (

@@ -15,6 +15,21 @@ import duckdb
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+_INT64_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER"}
+_FLOAT_FAMILY = {"FLOAT", "DOUBLE"}
+
+def _types_compatible(a, b):
+    """Widths the driver's hasher treats as equal. HUGEINT is NEVER
+    compatible with anything Spark writes (the round-14 blind spot)."""
+    if a == b:
+        return True
+    if a in _INT64_FAMILY and b in _INT64_FAMILY:
+        return True
+    if a in _FLOAT_FAMILY and b in _FLOAT_FAMILY:
+        return True
+    return False
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -52,15 +67,31 @@ def main(outdir, sfdir):
         try:
             spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
             spark_cols = [c.lower() for c in spark_rel.columns]
+            spark_types = [str(t).upper() for t in spark_rel.types]
             spark_rows = spark_rel.fetchall()
             ora_rel = con.sql(sql)
             ora_cols = [c.lower() for c in ora_rel.columns]
+            ora_types = [str(t).upper() for t in ora_rel.types]
             ora_rows = ora_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
         problems = []
+        # The driver's value hasher distinguishes physical integer/decimal
+        # widths that Python repr() erases (round-14 root cause: DuckDB
+        # sum(BIGINT) -> HUGEINT vs Spark int64). Mirror it: fail on any
+        # oracle column whose DuckDB type has no Spark parquet analog, and
+        # on any type mismatch between matching column names.
+        for c, t in zip(ora_cols, ora_types):
+            if "HUGEINT" in t or "INT128" in t:
+                problems.append(f"oracle col '{c}' is {t} (no int64 parquet analog; cast OUTSIDE the aggregate)")
+        s_by = dict(zip(spark_cols, spark_types))
+        o_by = dict(zip(ora_cols, ora_types))
+        for c in sorted(set(s_by) & set(o_by)):
+            st, ot = s_by[c], o_by[c]
+            if st != ot and not _types_compatible(st, ot):
+                problems.append(f"type mismatch col '{c}': spark={st} oracle={ot}")
         if sorted(spark_cols) != sorted(ora_cols):
             problems.append(f"cols spark={sorted(spark_cols)} oracle={sorted(ora_cols)}")
         if len(spark_rows) != len(ora_rows):
