@@ -21,7 +21,7 @@ object SparkEntry {
       Similarity.all ++ Clustering.all ++ TextAnalysis.all ++ Multimodal.all ++ Pipeline.all ++
       Hygiene.all ++ Profiling.all ++ Packing.all ++ Funnels.all ++ Graph.all ++
       SyncQueries.all ++ IndexIncremental.all ++ CurationState.all ++
-      graft.streaming.EventStreams.all
+      graft.streaming.EventStreams.all ++ graft.sql.SqlSurface.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,300 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.IceliteTable
+
+/** SQL/DataSourceV2 read surface over icelite tables — the reference's
+  * end purpose (`docs/design.md:291-299`: synced Iceberg tables are
+  * queryable by engines, "query engines reconcile data files minus
+  * delete files at read"). Registering
+  * `spark.sql.catalog.<name> = graft.sql.IceliteCatalog` plus
+  * `spark.sql.catalog.<name>.warehouse = <root>` makes every synced
+  * table addressable as `<name>.<namespace>.<table>` from plain
+  * `spark.sql`, with the FULL MoR semantics of [[IceliteTable.read]]
+  * intact: equality-delete merge, position-delete anti-join,
+  * rename/drop/add epoch translation, initial defaults — because the
+  * scan IS that read path, surfaced through DSv2's V1 fallback
+  * ([[V1Scan]], the JDBC-connector shape) rather than a re-implemented
+  * row reader.
+  *
+  * Scale/pushdown: the analyzer pushes filters and required columns
+  * into [[IceliteScanBuilder]], which folds them into the MoR
+  * DataFrame BEFORE it compiles — so predicates reach the underlying
+  * parquet scans (footer stats + page pruning) exactly as they do on
+  * the programmatic path, and column pruning shrinks the read schema
+  * end to end. Handled filters are also re-evaluated by Spark above
+  * the scan (returned as residuals too): double evaluation of a
+  * pushed predicate is free relative to a scan that can't prune.
+  *
+  * Time travel rides the DSv2 hooks: `VERSION AS OF <seq>` resolves
+  * through `loadTable(ident, version)` → [[IceliteTable.readAt]] and
+  * `TIMESTAMP AS OF` through the micros overload →
+  * [[IceliteTable.readAsOf]]. Iceberg-style metadata tables are
+  * addressable with a `$` suffix (`` `orders$snapshots` ``,
+  * `$history`, `$files`, `$manifests`, `$partitions`). `INSERT INTO`
+  * appends through [[V1Write]] → [[IceliteTable.append]] (one icelite
+  * commit per INSERT).
+  */
+final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def local = new graft.catalog.LocalCatalog(spark, warehouse)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+      s"icelite catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catName
+
+  // ------------------------------------------------------------ tables
+
+  private def oneLevel(ident: Identifier): String = ident.namespace() match {
+    case Array(ns) => ns
+    case _ => throw new NoSuchTableException(ident)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = namespace match {
+    case Array(ns) => local.listTables(ns).map(Identifier.of(namespace, _)).toArray
+    case _ => throw new NoSuchNamespaceException(namespace)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && !ident.name.contains("$") &&
+      local.locationOf(ident.namespace()(0), ident.name).isDefined
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, t => new IceliteSparkTable(t))
+
+  /** `VERSION AS OF <commit seq>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val seq = try version.toLong catch {
+      case _: NumberFormatException => throw new NoSuchTableException(ident)
+    }
+    load(ident, t => IceliteSparkTable.readOnly(t, s"${t.name}@$seq", () => t.readAt(seq),
+      t.schemaAt(seq)))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, t => IceliteSparkTable.readOnly(t, s"${t.name}@ts", () =>
+      t.readAsOf(timestampMicros / 1000L), t.schema))
+
+  private def load(ident: Identifier, travel: IceliteTable => Table): Table = {
+    val ns = oneLevel(ident)
+    val (base, meta) = ident.name.split('$') match {
+      case Array(b) => (b, None)
+      case Array(b, m) => (b, Some(m))
+      case _ => throw new NoSuchTableException(ident)
+    }
+    if (local.locationOf(ns, base).isEmpty) throw new NoSuchTableException(ident)
+    val t = IceliteTable.load(spark, warehouse, ns, base)
+    meta match {
+      case None => travel(t)
+      case Some("snapshots") => IceliteSparkTable.readOnly(t, s"${t.name}$$snapshots", () => t.snapshotsTable())
+      case Some("history") => IceliteSparkTable.readOnly(t, s"${t.name}$$history", () => t.historyTable())
+      case Some("files") => IceliteSparkTable.readOnly(t, s"${t.name}$$files", () => t.filesTable())
+      case Some("manifests") => IceliteSparkTable.readOnly(t, s"${t.name}$$manifests", () => t.manifestsTable())
+      case Some("partitions") => IceliteSparkTable.readOnly(t, s"${t.name}$$partitions", () => t.partitionsTable())
+      case Some(other) => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val ns = oneLevel(ident)
+    require(partitions.isEmpty,
+      "icelite SQL createTable is unpartitioned; declare partition transforms " +
+        "through IceliteTable.transformColumn after create")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    new IceliteSparkTable(IceliteTable.create(spark, warehouse, ns, ident.name, schema))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use IceliteTable.addColumns/renameColumn/dropColumn (schema-evolution commits)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val ns = oneLevel(ident)
+    local.locationOf(ns, ident.name) match {
+      case Some(loc) =>
+        val p = new Path(loc)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      case None => false
+    }
+  }
+
+  override def renameTable(old: Identifier, n: Identifier): Unit =
+    throw new UnsupportedOperationException("icelite tables are path-addressed; rename is a catalog move")
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    local.listNamespaces().map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && local.listNamespaces().contains(namespace(0))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1, "icelite namespaces are single-level")
+    val p = new Path(s"$warehouse/${namespace(0)}")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("icelite namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new Path(s"$warehouse/${namespace(0)}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!cascade && local.listTables(namespace(0)).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace(0)} is not empty")
+    fs.delete(p, true)
+  }
+}
+
+/** One icelite table surfaced as a DSv2 [[Table]]. Reads go through
+  * DSv2's V1 fallback: the [[Scan]] hands Spark a classic
+  * [[BaseRelation]] whose `buildScan` IS the MoR DataFrame compiled to
+  * its internal-row RDD (`needConversion = false`, the Delta/JDBC
+  * shape) — zero row-format conversion, and the inner plan (delete
+  * merge joins, epoch translation, parquet pushdown) optimizes as it
+  * always did. Writes: `INSERT INTO` appends via [[V1Write]].
+  */
+final class IceliteSparkTable(table: IceliteTable) extends Table
+    with SupportsRead with SupportsWrite {
+
+  override def name(): String = table.name
+  override def schema(): StructType = table.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IceliteScanBuilder(() => table.read(), table.schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new V1Write {
+      override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          require(!overwrite, "INSERT OVERWRITE: use IceliteTable.overwritePartitions")
+          table.append(data)
+        }
+      }
+    }
+  }
+}
+
+object IceliteSparkTable {
+  /** A read-only table over a fixed view (metadata tables, time travel). */
+  def readOnly(t: IceliteTable, tableName: String, df: () => DataFrame,
+      fixedSchema: StructType = null): Table = new Table with SupportsRead {
+    override def name(): String = tableName
+    override lazy val schema: StructType =
+      if (fixedSchema != null) fixedSchema else df().schema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new IceliteScanBuilder(df, schema)
+  }
+}
+
+/** Filter + column pushdown folded into the MoR DataFrame before it
+  * compiles — the predicates reach the parquet scans underneath the
+  * delete-merge joins, so file/page pruning behaves identically to the
+  * programmatic read path. Unsupported filter shapes are returned as
+  * residuals for Spark to evaluate above the scan.
+  */
+final class IceliteScanBuilder(mkDf: () => DataFrame, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(f => IceliteScanBuilder.toColumn(f).isDefined)
+    pushed = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val outSchema = required
+    val filters = pushed
+    new V1Scan {
+      override def readSchema(): StructType = outSchema
+      override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T = {
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = outSchema
+          override def needConversion: Boolean = false
+          override def buildScan(): RDD[Row] = {
+            var df = mkDf()
+            filters.flatMap(IceliteScanBuilder.toColumn).foreach(c => df = df.filter(c))
+            df = df.select(outSchema.fieldNames.toIndexedSeq.map(col): _*)
+            df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+          }
+        }.asInstanceOf[T]
+      }
+    }
+  }
+}
+
+object IceliteScanBuilder {
+
+  /** Translate a v1 source [[Filter]] to a [[org.apache.spark.sql.Column]];
+    * None = shape we don't fold (Spark keeps it as a residual).
+    */
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === v)
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> v)
+    case sources.GreaterThan(a, v) => Some(col(a) > v)
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case sources.LessThan(a, v) => Some(col(a) < v)
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case sources.In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.Not(c) => toColumn(c).map(!_)
+    case sources.And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case sources.Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case _ => None
+  }
+}

@@ -1,0 +1,215 @@
+package graft.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.GraftQuery
+import graft.Tables.t
+import graft.streaming.ChangelogFeed
+import graft.table.IceliteTable
+
+/** Oracle-gated queries for the SQL/DSv2 surface ([[IceliteCatalog]])
+  * and the native changelog stream ([[IceliteChangelogSourceProvider]])
+  * — the two integration seams a reference user hits first: "can my
+  * query engine see the synced table?" and "can I subscribe to its
+  * changes without an export hop?" (reference `docs/design.md:291-299`).
+  */
+object SqlSurface {
+
+  /** Catalog name the gated queries register. One warehouse per JVM:
+    * Spark caches a catalog INSTANCE per name at first use, so the
+    * warehouse option must be stable for the session; fixtures get
+    * fresh table dirs under it per run instead.
+    */
+  private val CatName = "icelite_g"
+  private lazy val catWarehouse: String = graft.util.Scratch.dir("sql-catalog-wh")
+
+  private def registerCatalog(spark: SparkSession): String = {
+    spark.conf.set(s"spark.sql.catalog.$CatName", classOf[IceliteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$CatName.warehouse", catWarehouse)
+    catWarehouse
+  }
+
+  /** Drop-then-create: reruns in one JVM (bench two-pass, DevTime)
+    * rebuild the fixture under the same catalog-stable warehouse.
+    */
+  private def freshTable(spark: SparkSession, wh: String, ns: String,
+      name: String, schema: StructType): IceliteTable = {
+    val p = new Path(s"$wh/$ns/$name")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    IceliteTable.create(spark, wh, ns, name, schema)
+  }
+
+  // ------------------------------------------------------- table_sql_read
+
+  /** The full MoR read contract exercised PURELY through `spark.sql`
+    * on a registered catalog identifier: equality deletes
+    * ([[IceliteTable.applyChanges]]), position deletes
+    * ([[IceliteTable.deleteWhere]]), and schema evolution (a column
+    * added mid-history, null for pre-add rows) all land in the
+    * fixture, then ONE SQL statement aggregates the surviving state —
+    * with a WHERE predicate that pushes through the DSv2 scan into
+    * the parquet files under the delete-merge joins
+    * ([[IceliteScanBuilder]]; `IceliteCatalogSpec` pins the pushdown).
+    * The oracle recomputes the same survivors relationally.
+    */
+  def tableSqlRead(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(23)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val table = freshTable(spark, wh, "analytics", "orders_sql", src.schema)
+    // epoch 1: odd keys, pre-evolution
+    table.append(src.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+    // evolution commit: note column added, then epoch-2 rows carry it
+    table.addColumns(StructType(Seq(StructField("note", StringType))))
+    val t2 = IceliteTable.load(spark, wh, "analytics", "orders_sql")
+    t2.append(src.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("note", concat(lit("n"), col("o_orderkey"))))
+    // equality deletes (CDC path) + position deletes (coordinate path)
+    t2.applyChanges(
+      upserts = src.limit(0).withColumn("note", lit(null).cast("string")),
+      deleteKeys = src.filter(pmod(col("o_orderkey"), lit(7)) === 0).select("o_orderkey"),
+      keyCols = Seq("o_orderkey"))
+    t2.deleteWhere(pmod(col("o_orderkey"), lit(5)) === 0)
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  count(note) AS n_notes
+         |FROM $CatName.analytics.orders_sql
+         |WHERE cents > 500000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val tableSqlReadOracle =
+    """WITH state AS (
+      |  SELECT o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'n' || CAST(o_orderkey AS VARCHAR) END AS note
+      |  FROM orders
+      |  WHERE o_orderkey % 23 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  count(note) AS n_notes
+      |FROM state WHERE cents > 500000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------ table_sql_write
+
+  /** SQL WRITE + TIME TRAVEL through the catalog: `INSERT INTO` lands
+    * a third commit via the [[org.apache.spark.sql.connector.write.V1Write]]
+    * fallback → [[IceliteTable.append]], and the report reads THREE
+    * points of the same table purely in SQL — `VERSION AS OF 1` (the
+    * first commit), `TIMESTAMP AS OF` is exercised in the spec, and
+    * the current state including the inserted rows — proving commit
+    * isolation is visible to the SQL surface, not just the Scala API.
+    */
+  def tableSqlWrite(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(29)) === 0)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val table = freshTable(spark, wh, "analytics", "orders_sqlw", src.schema)
+    table.append(src.filter(pmod(col("o_orderkey"), lit(3)) === 0)) // seq 1
+    table.append(src.filter(pmod(col("o_orderkey"), lit(3)) === 1)) // seq 2
+    src.filter(pmod(col("o_orderkey"), lit(3)) === 2).createOrReplaceTempView("sqlw_batch3")
+    spark.sql(s"INSERT INTO $CatName.analytics.orders_sqlw SELECT * FROM sqlw_batch3") // seq 3
+    spark.sql(
+      s"""SELECT snap, n_rows, sum_cents FROM (
+         |  SELECT 'v1' AS snap, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |  FROM $CatName.analytics.orders_sqlw VERSION AS OF 1
+         |  UNION ALL
+         |  SELECT 'cur' AS snap, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |  FROM $CatName.analytics.orders_sqlw
+         |) ORDER BY snap""".stripMargin)
+  }
+
+  private val tableSqlWriteOracle =
+    """WITH sub AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 29 = 0)
+      |SELECT snap, n_rows, sum_cents FROM (
+      |  SELECT 'v1' AS snap, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |  FROM sub WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT 'cur' AS snap, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |  FROM sub
+      |) ORDER BY snap""".stripMargin
+
+  // -------------------------------------------------- table_stream_native
+
+  /** CDC replication through the NATIVE streaming source — the
+    * [[graft.operators.SyncQueries.tableReplicaSync]] round-trip with
+    * the parquet-export hop deleted: the consumer `readStream`s the
+    * source table's own commit log (`format("icelite-changelog")`,
+    * offsets = commit seqs) and applies each micro-batch to the
+    * replica with the SAME LWW apply ([[ChangelogFeed.applyChangeBatch]]).
+    * Two drains against one checkpoint prove resume: the first ships
+    * the full-insert commit, the second resumes at seq 1 and ships
+    * exactly the resolved update+delete commit. At 100 TB this is the
+    * zero-copy CDC subscription — per-commit deltas derived from table
+    * metadata + stat-pruned file reads, never an exported duplicate of
+    * the change volume. Same oracle as the feed-dir replication: the
+    * transport changed, the converged state must not.
+    */
+  def tableStreamNative(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("native-stream-wh")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(41)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_totalprice"))
+      .persist()
+    try {
+      val source = IceliteTable.create(spark, wh, "analytics", "orders_nsrc", src.schema)
+      val replica = IceliteTable.create(spark, wh, "analytics", "orders_nrep",
+        ChangelogFeed.replicaSchema(src.schema))
+      val ck = graft.util.Scratch.dir("native-stream-ck")
+      def drain(): Unit = ChangelogFeed.replicateStream(
+        spark.readStream.format("icelite-changelog")
+          .option("warehouse", wh).option("namespace", "analytics")
+          .option("table", "orders_nsrc").load(),
+        src.schema.fieldNames.toSeq, replica, Seq("_id"), ck)
+      source.append(src) // s1: full insert
+      drain()
+      val ups = src
+        .filter(pmod(col("o_orderkey"), lit(2)) === 0 && pmod(col("o_orderkey"), lit(4)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + 6.0)
+            .otherwise(col("o_totalprice") + 1.0))
+      val dels = src.filter(pmod(col("o_orderkey"), lit(4)) === 0).select("_id")
+      source.applyChanges(ups, ups.select("_id").union(dels), Seq("_id")) // s2
+      drain() // resumes at seq 1: exactly s2
+      ChangelogFeed.replicaState(replica)
+        .select(col("_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("_id")
+    } finally src.unpersist()
+  }
+
+  private val tableStreamNativeOracle =
+    """WITH sub AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
+      |         o_orderkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 41 = 0)
+      |SELECT _id, o_orderkey,
+      |  o_totalprice
+      |    + CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+      |           THEN CASE WHEN o_orderkey % 3 = 0 THEN 6.0 ELSE 1.0 END
+      |           ELSE 0.0 END
+      |  AS o_totalprice
+      |FROM sub WHERE o_orderkey % 4 <> 0
+      |ORDER BY _id""".stripMargin
+
+  // ---------------------------------------------------------- registry
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery("table_sql_read", tableSqlRead _, Some(tableSqlReadOracle),
+      "MoR read (equality+pos deletes, schema evolution) purely via spark.sql on a DSv2 catalog"),
+    GraftQuery("table_sql_write", tableSqlWrite _, Some(tableSqlWriteOracle),
+      "INSERT INTO + VERSION AS OF time travel through the DSv2 catalog"),
+    GraftQuery("table_stream_native", tableStreamNative _, Some(tableStreamNativeOracle),
+      "CDC replication via the native icelite-changelog streaming source (no export hop)"))
+}

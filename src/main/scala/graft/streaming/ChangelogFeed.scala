@@ -89,17 +89,9 @@ final class ChangelogFeed(
     * batch a bounded MERGE — the standard CDC-mirror loop.
     */
   def replicateOnce(
-      replica: IceliteTable, keyCols: Seq[String], checkpointDir: String): Unit = {
-    import org.apache.spark.sql.streaming.Trigger
-    val q = readStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        applyBatch(batch.toDF(), replica, keyCols)
-      }
-      .start()
-    q.awaitTermination()
-  }
+      replica: IceliteTable, keyCols: Seq[String], checkpointDir: String): Unit =
+    ChangelogFeed.replicateStream(
+      readStream, table.schema.fieldNames.toSeq, replica, keyCols, checkpointDir)
 
   /** Apply one changelog micro-batch to `replica`: latest event per
     * key wins WITHIN the batch (preimages dropped), and two stored
@@ -124,49 +116,8 @@ final class ChangelogFeed(
     * tombstones), the standard CDC-mirror retention knob.
     */
   private[streaming] def applyBatch(
-      batch: DataFrame, replica: IceliteTable, keyCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val seqCol = IceliteTable.CommitSeqCol
-    val typeCol = IceliteTable.ChangeTypeCol
-    // first apply evolves the replica to carry the guard columns
-    if (!replica.schema.fieldNames.contains(seqCol) ||
-        !replica.schema.fieldNames.contains(ChangelogFeed.DeletedCol))
-      replica.addColumns(StructType(Seq(
-        org.apache.spark.sql.types.StructField(
-          seqCol, org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField(
-          ChangelogFeed.DeletedCol, org.apache.spark.sql.types.BooleanType))))
-    val dataCols = table.schema.fieldNames.toSeq
-    // persisted: merge reads the batch for its key-range bounds, the
-    // join, and the commit files — one window materialization, not one
-    // per consumer. An explicit emptiness pre-check is redundant (and
-    // was one more job): an empty batch classifies to zero merge
-    // actions and commits nothing.
-    val latest = batch
-      // AQE is disabled inside streaming micro-batches, so without
-      // this the window + join stages fan out to the session's full
-      // shuffle-partition count for a batch R5 bounds to ~128 MB.
-      // Hash-partitioning by key here satisfies the window's and the
-      // merge join's clustered distribution (no further exchange) at
-      // a partition count sized for a bounded batch.
-      .repartition(ChangelogFeed.BatchParts, keyCols.map(col): _*)
-      .filter(col(typeCol) =!= "update_preimage")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(seqCol).desc)))
-      .filter(col("__rn") === 1)
-      .withColumn(ChangelogFeed.DeletedCol, col(typeCol) === "delete")
-      .select((dataCols :+ seqCol :+ ChangelogFeed.DeletedCol).map(col): _*)
-      .persist()
-    try {
-      // null stored seq (pre-guard rows) counts as older than any event
-      val newer = col(s"s.$seqCol") >= coalesce(col(s"t.$seqCol"), lit(Long.MinValue))
-      replica.merge(latest, keyCols,
-        matchedUpdate = Some(newer),
-        notMatchedInsert = Some(lit(true)))
-      ()
-    } finally latest.unpersist()
-  }
+      batch: DataFrame, replica: IceliteTable, keyCols: Seq[String]): Unit =
+    ChangelogFeed.applyChangeBatch(batch, table.schema.fieldNames.toSeq, replica, keyCols)
 
   /** Export every committed-but-unexported snapshot's changelog rows;
     * returns the `(from, to]` range exported (empty range if already
@@ -320,6 +271,91 @@ final class ChangelogFeed(
 }
 
 object ChangelogFeed {
+
+  /** Apply one changelog micro-batch to `replica`: latest event per
+    * key wins WITHIN the batch (preimages dropped), and two stored
+    * guard columns enforce LWW ACROSS batches — every event (deletes
+    * included, as [[DeletedCol]] TOMBSTONE rows) upserts a row carrying
+    * its `_commit_seq`, and a matched row only updates when the event's
+    * seq is at or above the stored one. So even if one drain spans
+    * several micro-batches and discovery interleaves commit seqs, a
+    * later batch can neither roll a key back to an older image NOR
+    * resurrect a key a newer-seq delete removed. Committed as ONE merge
+    * snapshot; older events classify as skip and write nothing.
+    * IDEMPOTENT by construction: re-applying the same batch re-matches
+    * at equal seq (the guard is `>=`) and rewrites the same images, so
+    * foreachBatch's at-least-once replay window cannot diverge the
+    * replica — [[ChangelogFeedSpec]] proves re-apply is a state no-op.
+    * Shared by the feed-dir consumer ([[ChangelogFeed.replicateOnce]])
+    * and the native source ([[graft.sql.IceliteChangelogSourceProvider]])
+    * — the apply semantics are a property of the change rows, not of
+    * how they were transported.
+    *
+    * @param dataCols the SOURCE data schema's field names (the change
+    *                 rows carry them plus the two change-meta columns)
+    */
+  def applyChangeBatch(
+      batch: DataFrame, dataCols: Seq[String],
+      replica: IceliteTable, keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val seqCol = IceliteTable.CommitSeqCol
+    val typeCol = IceliteTable.ChangeTypeCol
+    // first apply evolves the replica to carry the guard columns
+    if (!replica.schema.fieldNames.contains(seqCol) ||
+        !replica.schema.fieldNames.contains(DeletedCol))
+      replica.addColumns(StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          seqCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          DeletedCol, org.apache.spark.sql.types.BooleanType))))
+    // persisted: merge reads the batch for its key-range bounds, the
+    // join, and the commit files — one window materialization, not one
+    // per consumer. An explicit emptiness pre-check is redundant (and
+    // was one more job): an empty batch classifies to zero merge
+    // actions and commits nothing.
+    val latest = batch
+      // AQE is disabled inside streaming micro-batches, so without
+      // this the window + join stages fan out to the session's full
+      // shuffle-partition count for a batch R5 bounds to ~128 MB.
+      // Hash-partitioning by key here satisfies the window's and the
+      // merge join's clustered distribution (no further exchange) at
+      // a partition count sized for a bounded batch.
+      .repartition(BatchParts, keyCols.map(col): _*)
+      .filter(col(typeCol) =!= "update_preimage")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(seqCol).desc)))
+      .filter(col("__rn") === 1)
+      .withColumn(DeletedCol, col(typeCol) === "delete")
+      .select((dataCols :+ seqCol :+ DeletedCol).map(col): _*)
+      .persist()
+    try {
+      // null stored seq (pre-guard rows) counts as older than any event
+      val newer = col(s"s.$seqCol") >= coalesce(col(s"t.$seqCol"), lit(Long.MinValue))
+      replica.merge(latest, keyCols,
+        matchedUpdate = Some(newer),
+        notMatchedInsert = Some(lit(true)))
+      ()
+    } finally latest.unpersist()
+  }
+
+  /** Drain a changelog STREAM into `replica` with one AvailableNow
+    * pass — [[replicateOnce]]'s body, lifted so the native
+    * icelite-changelog source and the feed-dir file stream share it.
+    */
+  def replicateStream(
+      stream: DataFrame, dataCols: Seq[String], replica: IceliteTable,
+      keyCols: Seq[String], checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyChangeBatch(batch.toDF(), dataCols, replica, keyCols)
+      }
+      .start()
+    q.awaitTermination()
+  }
 
   /** Tombstone marker column a [[ChangelogFeed.replicateOnce]] replica
     * carries: deletes upsert a `true` row instead of removing the key,
