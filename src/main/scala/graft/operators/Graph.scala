@@ -41,31 +41,28 @@ object Graph {
     call_function("div", num, den)
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    // edges come from the PERSISTED co-purchase index ([[EdgeIndex]]),
-    // never a per-query lineitem self-join
-    val e = EdgeIndex.edges(spark, dir).select(col("u"), col("v"))
-    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    // (u, v, d): the per-iteration join input, materialized once from
-    // the index read (a pre-pinned edge partitioning does NOT survive
-    // the nested per-round references — self-join dedup re-aliases the
-    // leaf and re-exchanges anyway, measured, so the simple shape wins;
-    // on a cluster the per-round exchange is the |E| edge list, which
-    // co-partitioning infrastructure outside the query's control —
-    // AQE, storage-partitioned joins — is the right tool for)
-    val ed = e.join(deg, "u").localCheckpoint(true)
-    try {
-      var r = deg.select(col("u").as("p"), lit(PrScale).as("r"))
-      for (_ <- 1 to PrIters) {
-        r = ed.join(r, ed("u") === r("p"))
-          .groupBy(col("v"))
-          .agg((lit(3L * PrScale / 20) +
-            idiv(lit(17) * sum(idiv(col("r"), col("d"))), lit(20))).as("r"))
-          .select(col("v").as("p"), col("r"))
-      }
-      r.select(col("p").as("part"), col("r").as("rank"))
-        .orderBy(desc("rank"), col("part"))
-        .limit(20)
-    } finally ed.unpersist()
+    // edges come from the BUCKETED serving of the persisted index
+    // ([[EdgeIndex.bucketedEdges]]): every per-round reference is a
+    // fresh bucket-aligned scan deriving hashpartitioning(u) over its
+    // own attributes, so the edge side of each round's join never
+    // exchanges — unlike an in-plan repartition/localCheckpoint pin,
+    // which the nested per-round references re-alias and re-exchange
+    // (measured in r14: the |E| list shuffled every round). Per-round
+    // wire cost = the |V| rank vector + map-side-combined messages.
+    val ed = EdgeIndex.degreedEdges(spark, dir)
+    // bucket-local distinct: one rank row per source node
+    var r = ed.select(col("u").as("p")).distinct()
+      .select(col("p"), lit(PrScale).as("r"))
+    for (_ <- 1 to PrIters) {
+      r = ed.join(r, ed("u") === r("p"))
+        .groupBy(col("v"))
+        .agg((lit(3L * PrScale / 20) +
+          idiv(lit(17) * sum(idiv(col("r"), col("d"))), lit(20))).as("r"))
+        .select(col("v").as("p"), col("r"))
+    }
+    r.select(col("p").as("part"), col("r").as("rank"))
+      .orderBy(desc("rank"), col("part"))
+      .limit(20)
   }
 
   private val pagerankOracle = {
@@ -106,11 +103,12 @@ object Graph {
     * whole difference between a lookup and a full-graph job).
     */
   def pagerankPersonalized(spark: SparkSession, dir: String): DataFrame = {
-    val e = EdgeIndex.edges(spark, dir).select(col("u"), col("v"))
-    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    val ed = e.join(deg, "u").localCheckpoint(true)
+    // bucket-aligned edge scans per round (see [[pagerank]]); the seed
+    // stays a 1-row checkpointed frame — a driver constant would bake
+    // per-run, a nested agg would rescan per round
+    val ed = EdgeIndex.degreedEdges(spark, dir)
+    val seed = ed.agg(min(col("u")).as("s")).localCheckpoint(true)
     try {
-      val seed = ed.agg(min(col("u")).as("s")).localCheckpoint(true)
       val teleport = seed.select(col("s").as("p"), lit(3L * PrScale / 20).as("r"))
       var r = seed.select(col("s").as("p"), lit(PrScale).as("r"))
       for (_ <- 1 to PrIters) {
@@ -124,7 +122,7 @@ object Graph {
       r.select(col("p").as("part"), col("r").as("rank"))
         .orderBy(desc("rank"), col("part"))
         .limit(20)
-    } finally ed.unpersist()
+    } finally seed.unpersist()
   }
 
   private val pagerankPersonalizedOracle = {
@@ -163,6 +161,12 @@ object Graph {
     * each triangle to its three corners and hash-aggs — 3 rows per
     * triangle, TakeOrdered top-10.
     */
+  /** Edge-count ceiling for the triangle closing-edge broadcast: two
+    * 8-byte keys per row plus hash-map overhead keeps ~50M edges well
+    * under Spark's 8 GB broadcast hard limit with executor headroom.
+    */
+  val TriangleBroadcastMaxEdges: Long = 50000000L
+
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     // canonical u < v slice of the persisted co-purchase index; still
     // checkpointed locally — the plan references it three times
@@ -170,18 +174,23 @@ object Graph {
       .select(col("u"), col("v"))
       .localCheckpoint(true)
     try {
-      // the closing-edge probe BROADCASTS the ordered edge list (tens
-      // of MB even at 10× this fixture): the wedge stream — the big
-      // intermediate, Σ deg² rows — then never shuffles; it probes the
-      // broadcast hash map scan-locally and only the 3-per-triangle
-      // corner explosion reaches the final hash-agg (map-side combined
-      // onto |V| groups). On a cluster the edge list outgrowing the
-      // broadcast budget degrades to a shuffle join on (a, c) — the
-      // plan Spark picks anyway once the hint stops binding.
+      // the closing-edge probe BROADCASTS the ordered edge list when it
+      // is small enough (tens of MB even at 10× this fixture): the
+      // wedge stream — the big intermediate, Σ deg² rows — then never
+      // shuffles; it probes the broadcast hash map scan-locally and
+      // only the 3-per-triangle corner explosion reaches the final
+      // hash-agg (map-side combined onto |V| groups). The hint is
+      // SIZE-GATED here because Spark honors an explicit broadcast
+      // hint regardless of autoBroadcastJoinThreshold — an unguarded
+      // hint on an oversized edge list would hit the 8 GB/driver
+      // broadcast limits and fail the job rather than degrade; above
+      // the gate we fall back to the plain shuffle join on (a, c).
+      // e is locally checkpointed, so the count is a cached-RDD pass.
+      val e3 = if (e.count() <= TriangleBroadcastMaxEdges) broadcast(e.as("e3")) else e.as("e3")
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.v") === col("e2.u"))
         .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-        .join(broadcast(e.as("e3")), col("a") === col("e3.u") && col("c") === col("e3.v"))
+        .join(e3, col("a") === col("e3.u") && col("c") === col("e3.v"))
         .select(col("a"), col("b"), col("c"))
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
         .groupBy(col("part"))
@@ -228,11 +237,18 @@ object Graph {
     * 1-row broadcast, not a driver constant baked per-run.
     */
   def bfs(spark: SparkSession, dir: String): DataFrame = {
-    // persisted co-purchase index, materialized once for the rounds
-    val e = EdgeIndex.edges(spark, dir).select(col("u"), col("v"))
-      .localCheckpoint(true)
+    // bucket-aligned edge scans per hop (see [[pagerank]]): the edge
+    // side of each frontier join never exchanges; the wire cost per
+    // hop is the frontier-sized distance vector
+    // RAW bucketed scans here (not the cached degree frame): BFS's
+    // per-hop frontier is tiny, so each hop is a broadcast-frontier
+    // probe of the edge scan — re-reading the bucketed parquet per hop
+    // measured FASTER than the columnar cache locally and shuffles
+    // nearly nothing (0.3 MB vs 48 MB for the r14 per-hop re-exchange)
+    val e = EdgeIndex.bucketedEdges(spark, dir).select(col("u"), col("v"))
+    val src = e.agg(min(col("u")).as("p")).localCheckpoint(true)
     try {
-      var d = e.agg(min(col("u")).as("p")).select(col("p"), lit(0L).as("d"))
+      var d = src.select(col("p"), lit(0L).as("d"))
       for (_ <- 1 to BfsHops) {
         val stepped = e.join(d, e("u") === d("p"))
           .select(col("v").as("p"), (col("d") + 1L).as("d"))
@@ -240,7 +256,7 @@ object Graph {
           .groupBy(col("p")).agg(min(col("d")).as("d"))
       }
       d.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_parts")).orderBy("dist")
-    } finally e.unpersist()
+    } finally src.unpersist()
   }
 
   private val bfsOracle = {
@@ -287,26 +303,25 @@ object Graph {
     */
   def communities(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persisted co-purchase index, materialized once for the rounds
-    val e = EdgeIndex.edges(spark, dir).select(col("u"), col("v"))
-      .localCheckpoint(true)
-    try {
-      var l = e.select(col("u").as("p")).distinct()
-        .select(col("p"), col("p").as("label"))
-      for (_ <- 1 to CommRounds) {
-        val cnt = e.join(l, e("u") === l("p"))
-          .groupBy(col("v"), col("label"))
-          .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy(col("v")).orderBy(desc("c"), asc("label"))
-        l = cnt.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("v").as("p"), col("label"))
-      }
-      l.groupBy(col("label").as("community"))
-        .agg(count(lit(1)).as("n_parts"))
-        .orderBy(desc("n_parts"), col("community"))
-        .limit(20)
-    } finally e.unpersist()
+    // bucket-aligned edge scans per round (see [[pagerank]]); the
+    // per-round shuffle is the |V| label vector + the map-side-combined
+    // (v, label) counts
+    val e = EdgeIndex.degreedEdges(spark, dir).select(col("u"), col("v"))
+    var l = e.select(col("u").as("p")).distinct()
+      .select(col("p"), col("p").as("label"))
+    for (_ <- 1 to CommRounds) {
+      val cnt = e.join(l, e("u") === l("p"))
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("v")).orderBy(desc("c"), asc("label"))
+      l = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v").as("p"), col("label"))
+    }
+    l.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(desc("n_parts"), col("community"))
+      .limit(20)
   }
 
   private val communitiesOracle = {
@@ -334,9 +349,12 @@ object Graph {
        |LIMIT 20""".stripMargin
   }
 
-  /** Minimum shared-order count for a co-purchase edge to carry
-    * link-prediction EVIDENCE (association mining's min-support): one
-    * shared order between random-basket parts is noise, and it is also
+  /** Minimum co-occurrence MULTIPLICITY for a co-purchase edge to
+    * carry link-prediction evidence (association mining's min-support
+    * over lineitem-pair counts — a part listed twice in one order
+    * contributes 2, so this is multiplicity, not a distinct-order
+    * count; the oracle applies the identical floor): single-count
+    * co-occurrence between random-basket parts is noise, and it is also
     * the complexity bomb — at sf0.1 the unfiltered graph has 2.4M
     * directed edges with near-UNIFORM degree ~120 (Σ deg² ≈ 3·10⁸
     * wedges; a hub/df cap cannot help when there are no hubs, and the

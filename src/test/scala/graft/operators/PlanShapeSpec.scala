@@ -371,4 +371,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Window"), "train profile must be an agg, not a window")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("iterative graph: the edge list NEVER exchanges across rounds (bucket-pinned)") {
+    // the r14 gap: per-round joins re-shuffled the |E| edge list (72-98
+    // MB/query at sf0.1). The bucketed edge serving must keep every
+    // round's edge side exchange-free — the only hash exchanges left
+    // are the |V|-scale rank/label/message vectors (p/v), never u.
+    for (q <- Seq("graph_pagerank", "graph_ppr", "graph_bfs", "graph_communities")) {
+      val p = planOf(q)
+      val edgeExchanges = "Exchange hashpartitioning\\(u#".r.findAllIn(p).size
+      assert(edgeExchanges == 0,
+        s"$q re-exchanges the edge list $edgeExchanges time(s):\n$p")
+    }
+  }
+
+  test("BFS hops probe the bucketed edge scan directly") {
+    val p = planOf("graph_bfs")
+    assert(p.contains("SelectedBucketsCount"), s"bfs must scan the bucketed edge table:\n$p")
+  }
 }
