@@ -1067,6 +1067,54 @@ object SyncQueries {
     table.read().orderBy("o_orderkey")
   }
 
+  /** DELETION VECTORS ([[IceliteTable.consolidateDeleteVectors]] —
+    * Iceberg v3's minor delete compaction) gated end to end: two
+    * coordinate position-delete waves land, consolidate into per-file
+    * bitmaps (one maintenance commit; reads switch from the
+    * (file, pos) anti-join to a broadcast bitmap + codegen'd
+    * scan-local membership test), then a THIRD delete wave commits
+    * coordinates ON TOP of the DV generation — the steady state of a
+    * churn-heavy table (DVs fold the backlog, fresh deletes stay
+    * coordinates until the next consolidation). The aggregate must
+    * equal the plain relational recompute of all three waves;
+    * `IceliteDvSpec` additionally pins read equivalence against the
+    * coordinate path and the plan shape (no pos anti-join after
+    * consolidation).
+    */
+  def tableDv(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("dv-query")
+    val base = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(17)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_dv", base.schema)
+    table.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+    table.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+    table.deleteWhere(pmod(col("o_orderkey"), lit(5)) === 0)
+    table.deleteWhere(col("cents").between(5000000L, 15000000L))
+    table.consolidateDeleteVectors()
+    table.deleteWhere(pmod(col("o_orderkey"), lit(11)) === 0)
+    table.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val tableDvOracle =
+    """WITH state AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE o_orderkey % 17 = 0
+      |    AND o_orderkey % 5 <> 0
+      |    AND NOT (CAST(floor(o_totalprice * 100) AS BIGINT) BETWEEN 5000000 AND 15000000)
+      |    AND o_orderkey % 11 <> 0)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Keyless row-level UPDATE ([[IceliteTable.updateWhere]]) gated end
     * to end: one commit position-deletes the matching old images and
     * appends the mutated ones (all set-expressions against the
@@ -2237,6 +2285,8 @@ object SyncQueries {
       "metadata-only compaction planner: manifests metrics -> prefix-sum rewrite groups"),
     GraftQuery("table_pos_delete", tablePosDelete _, Some(tablePosDeleteOracle),
       "equality + position deletes merged on read (Iceberg v2 delete shapes)"),
+    GraftQuery("table_dv", tableDv _, Some(tableDvOracle),
+      "deletion vectors: coordinate deletes consolidated to per-file bitmaps (Iceberg v3)"),
     GraftQuery("table_update_where", tableUpdateWhere _, Some(tableUpdateWhereOracle),
       "keyless UPDATE WHERE: pos-delete old images + mutated append, one commit"),
     GraftQuery("table_cow_update", tableCowUpdate _, Some(tableCowUpdateOracle),

@@ -168,7 +168,7 @@ final class IceliteTable private (
     val data = readFilesAs(head.snapshots.flatMap(_.dataFiles), head.schema,
       Long.MaxValue, withPos = true, meta = head)
     val visible = applyDeletes(
-      applyPosDeletes(data, head.snapshots.flatMap(_.posDeleteFiles)),
+      applyPosState(data, head.snapshots),
       head.snapshots.flatMap(_.deleteFiles))
     val coords = visible.filter(condition)
       .select(col(PosFileCol), col(PosCol)).withColumn(SeqCol, lit(seq))
@@ -183,6 +183,54 @@ final class IceliteTable private (
           Nil, Nil, n, posDeleteFiles = listParquet(out))), seq)
       }
     } finally coords.unpersist()
+  }
+
+  /** Consolidate every live coordinate position delete — plus any
+    * previous DV generation — into per-file DELETION-VECTOR bitmaps
+    * ([[Dv]]): Iceberg v3's minor delete compaction. One maintenance
+    * commit whose snapshot supersedes all coordinate files at or
+    * before its seq on the main read path (old snapshots keep their
+    * coordinate lists, so time travel and changelog ranges BEFORE the
+    * consolidation still resolve them). After this, every read applies
+    * deletes as a broadcast of per-file bitmaps + a codegen'd
+    * scan-local membership test instead of a (file, pos) anti-join —
+    * at 100 TB the delete-merge join leaves the plan entirely for
+    * churn-heavy tables. Returns the commit seq (unchanged lastSeq if
+    * there was nothing to consolidate). Like a layout rewrite, the DV
+    * commit is a maintenance snapshot: changelog ranges crossing it
+    * error with the standard resync message.
+    */
+  def consolidateDeleteVectors(): Long = retryCommit { head =>
+    val (prevDvs, coordFiles) = posDeleteState(head.snapshots)
+    if (coordFiles.isEmpty) (head, head.lastSeq) // nothing new since the last DV
+    else {
+      val seq = head.lastSeq + 1
+      val commitId = UUID.randomUUID().toString
+      val encodeDv = udf((ps: Seq[Long]) => Dv.encode(ps.toArray))
+      val dvPositions = udf((dv: Array[Byte]) => Dv.positions(dv).toSeq)
+      val coords = spark.read.parquet(coordFiles.map(abs): _*)
+        .select(col(PosFileCol), col(PosCol))
+      val all =
+        if (prevDvs.isEmpty) coords
+        else coords.unionAll(spark.read.parquet(prevDvs.map(abs): _*)
+          .select(col(PosFileCol), explode(dvPositions(col(DvCol))).as(PosCol)))
+      // coordinates of files no longer live are inert — drop them so a
+      // DV generation never outlives the data it annotates
+      val liveFiles = head.liveDataFiles.toSet
+      val isLive = udf((f: String) => liveFiles.contains(f))
+      val dv = all.filter(isLive(col(PosFileCol)))
+        .dropDuplicates(PosFileCol, PosCol)
+        .groupBy(col(PosFileCol))
+        .agg(sort_array(collect_list(col(PosCol))).as("_ps"))
+        .select(col(PosFileCol), encodeDv(col("_ps")).as(DvCol),
+          size(col("_ps")).cast("long").as(DvCountCol))
+      val out = s"$location/deletes/$commitId"
+      dv.write.mode("errorifexists").parquet(out)
+      val files = listParquet(out)
+      if (files.isEmpty) (head, head.lastSeq) // every coordinate was inert
+      else (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "rewrite-dv",
+        Nil, Nil, 0, dvFiles = files)), seq)
+    }
   }
 
   /** One commit applying a resolved change batch: equality-delete every
@@ -923,6 +971,53 @@ final class IceliteTable private (
       data.join(deleteSide(dels, posDeleteFiles), Seq(PosFileCol, PosCol), "left_anti")
     }
 
+  /** Effective position-delete state for a snapshot scope: the NEWEST
+    * DV consolidation ([[consolidateDeleteVectors]]) supersedes every
+    * coordinate file at or before its seq; coordinate files committed
+    * after it still apply as coordinates until the next consolidation.
+    * Old snapshots keep their coordinate lists, so time travel BEFORE
+    * the consolidation (whose scope excludes the DV snapshot) and
+    * changelog derivation still resolve the original coordinates.
+    */
+  private def posDeleteState(snaps: Seq[Snapshot]): (Seq[String], Seq[String]) = {
+    val dvSnap = snaps.filter(_.dvFiles.nonEmpty).lastOption
+    (dvSnap.map(_.dvFiles).getOrElse(Nil),
+      snaps.filter(s => dvSnap.forall(s.seq > _.seq)).flatMap(_.posDeleteFiles))
+  }
+
+  /** True when the scan must carry (file, pos) coordinates for `snaps`. */
+  private def needPosCols(snaps: Seq[Snapshot]): Boolean = {
+    val (dvs, coords) = posDeleteState(snaps)
+    dvs.nonEmpty || coords.nonEmpty
+  }
+
+  /** Apply DELETION VECTORS: per-file bitmaps broadcast to the scan, a
+    * codegen'd membership test ([[DvContains]]) drops deleted rows
+    * scan-locally — no (file, pos) anti-join shuffle. Rows from files
+    * with no DV keep a null bitmap and pass.
+    */
+  private def applyDv(data: DataFrame, dvFiles: Seq[String]): DataFrame =
+    if (dvFiles.isEmpty) data
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val dvs = spark.read.parquet(dvFiles.map(abs): _*)
+        .select(col(PosFileCol), col(DvCol))
+      val hit = ColumnBridge.column(DvContains(
+        ColumnBridge.expression(col(DvCol)), ColumnBridge.expression(col(PosCol))))
+      data.join(broadcast(dvs), Seq(PosFileCol), "left")
+        .filter(!coalesce(hit, lit(false)))
+        .drop(DvCol)
+    }
+
+  /** DV + coordinate position deletes for a snapshot scope, in
+    * supersession order — the one entry point every MoR read variant
+    * uses, so consolidation can never be bypassed by a pruned path.
+    */
+  private def applyPosState(data: DataFrame, snaps: Seq[Snapshot]): DataFrame = {
+    val (dvs, coords) = posDeleteState(snaps)
+    applyPosDeletes(applyDv(data, dvs), coords)
+  }
+
   private def readSnapshots(snaps: Seq[Snapshot]): DataFrame =
     readSnapshotsAs(snaps, cachedMeta.schema, Long.MaxValue)
 
@@ -933,12 +1028,11 @@ final class IceliteTable private (
     */
   private def readSnapshotsAs(
       snaps: Seq[Snapshot], target: StructType, asOf: Long): DataFrame = {
-    val posFiles = snaps.flatMap(_.posDeleteFiles)
-    // pos coordinates ride the scan only when a pos delete is in scope
-    // — the common (no-pos-delete) plan is unchanged
+    // pos coordinates ride the scan only when a pos delete or DV is in
+    // scope — the common (no-pos-delete) plan is unchanged
     val data = readFilesAs(snaps.flatMap(_.dataFiles), target, asOf,
-      withPos = posFiles.nonEmpty)
-    applyDeletes(applyPosDeletes(data, posFiles), snaps.flatMap(_.deleteFiles))
+      withPos = needPosCols(snaps))
+    applyDeletes(applyPosState(data, snaps), snaps.flatMap(_.deleteFiles))
       .select(target.fieldNames.map(col).toSeq: _*)
   }
 
@@ -1613,7 +1707,8 @@ final class IceliteTable private (
     // window must not trigger a spurious full cold rewrite
     val coldWithFiles =
       coldSnaps.filter(s =>
-        s.dataFiles.nonEmpty || s.deleteFiles.nonEmpty || s.posDeleteFiles.nonEmpty)
+        s.dataFiles.nonEmpty || s.deleteFiles.nonEmpty || s.posDeleteFiles.nonEmpty ||
+          s.dvFiles.nonEmpty)
     if (coldWithFiles.isEmpty) return None
     if (coldWithFiles.size == 1 && coldWithFiles.head.operation == "rewrite-cold")
       return None
@@ -1622,9 +1717,10 @@ final class IceliteTable private (
     // the row. Skip this cycle — the pos-delete commit ages into the
     // cold window and folds on a later run (self-healing), or a full
     // compact() folds everything now.
-    if (before.snapshots.exists(s => s.seq > cutoff && s.posDeleteFiles.nonEmpty)) {
+    if (before.snapshots.exists(s =>
+        s.seq > cutoff && (s.posDeleteFiles.nonEmpty || s.dvFiles.nonEmpty))) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"cold compaction of $name skipped: position-delete commit(s) newer than " +
+        s"cold compaction of $name skipped: position-delete/DV commit(s) newer than " +
           s"cold cutoff $cutoff may target cold files — will fold once they age in")
       return None
     }
@@ -1642,12 +1738,11 @@ final class IceliteTable private (
     // references a file that existed at its commit seq ≤ cutoff), so
     // folding them here is complete; hot eq-deletes stay live and keep
     // applying at read time, unchanged
-    val coldPosFiles = coldSnaps.flatMap(_.posDeleteFiles)
     val survivors = applyDeletes(
-      applyPosDeletes(
+      applyPosState(
         readFilesAs(coldDataFiles, before.schema, Long.MaxValue,
-          withPos = coldPosFiles.nonEmpty),
-        coldPosFiles),
+          withPos = needPosCols(coldSnaps)),
+        coldSnaps),
       coldSnaps.flatMap(_.deleteFiles))
       .select((before.schema.fieldNames :+ SeqCol).map(col).toSeq: _*)
       .cache()
@@ -1734,7 +1829,7 @@ final class IceliteTable private (
     // audit (unreferenced by the head by design — a live staged
     // manifest shields its data dir from GC until publish/discard)
     val live = (cachedMeta.liveDataFiles ++ cachedMeta.liveDeleteFiles ++
-      cachedMeta.livePosDeleteFiles)
+      cachedMeta.livePosDeleteFiles ++ cachedMeta.liveDvFiles)
       .map(f => f.split('/').take(2).mkString("/")).toSet ++ // data/<uuid> | deletes/<uuid>
       stagedIds.map(id => s"data/$id").toSet
     var removed = 0
@@ -2073,7 +2168,7 @@ final class IceliteTable private (
     val data = readFilesAs(head.snapshots.flatMap(_.dataFiles), head.schema,
       Long.MaxValue, withPos = true, meta = head)
     val visible = applyDeletes(
-      applyPosDeletes(data, head.snapshots.flatMap(_.posDeleteFiles)),
+      applyPosState(data, head.snapshots),
       head.snapshots.flatMap(_.deleteFiles))
     val matching = visible.filter(condition).cache()
     try {
@@ -3196,13 +3291,13 @@ final class IceliteTable private (
     else {
       val dataFiles = pruneConjunctive(m.snapshots, _.dataFiles, bounds)
       val delFiles = pruneConjunctive(m.snapshots, _.deleteFiles, bounds)
-      val posFiles = m.livePosDeleteFiles // coordinates carry no key stats — never pruned
+      // pos deletes / DVs carry no key stats — never pruned
       val rowBound = bounds.map { case (k, _, lo, hi) =>
         col(k) >= lit(lo) && col(k) <= lit(hi)
       }.reduce(_ && _)
       val data = readFilesAs(dataFiles, m.schema, Long.MaxValue,
-        withPos = posFiles.nonEmpty).filter(rowBound)
-      applyDeletes(applyPosDeletes(data, posFiles), delFiles)
+        withPos = needPosCols(m.snapshots)).filter(rowBound)
+      applyDeletes(applyPosState(data, m.snapshots), delFiles)
         .select(m.schema.fieldNames.map(col).toSeq: _*)
     }
   }
@@ -3239,14 +3334,13 @@ final class IceliteTable private (
     val dt = addPartitionFields(m.schema, Seq(p)).fields.last.dataType
     // stored derived columns are ignored (projected away by the
     // reader); the transform is recomputed below from the base column
-    val posFiles = m.livePosDeleteFiles
     val data = readFilesAs(m.liveDataFiles.filter(keep.contains), m.schema, Long.MaxValue,
-      withPos = posFiles.nonEmpty)
+      withPos = needPosCols(m.snapshots))
     val bounded = data
       .withColumn(partCol, transformColumn(p)._2)
       .filter(lower.map(lo => col(partCol) >= lit(lo).cast(dt)).getOrElse(lit(true)))
       .filter(upper.map(hi => col(partCol) <= lit(hi).cast(dt)).getOrElse(lit(true)))
-    applyDeletes(applyPosDeletes(bounded, posFiles), m.liveDeleteFiles)
+    applyDeletes(applyPosState(bounded, m.snapshots), m.liveDeleteFiles)
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -3285,11 +3379,10 @@ final class IceliteTable private (
       lower.map(lo => col(zCol) >= lo).getOrElse(lit(true)) &&
         upper.map(hi => col(zCol) <= hi).getOrElse(lit(true))
     }.reduce(_ && _)
-    val posFiles = m.livePosDeleteFiles
     val data = readFilesAs(m.liveDataFiles.filter(keep.contains), m.schema, Long.MaxValue,
-      withPos = posFiles.nonEmpty)
+      withPos = needPosCols(m.snapshots))
       .filter(rowBound)
-    applyDeletes(applyPosDeletes(data, posFiles), m.liveDeleteFiles)
+    applyDeletes(applyPosState(data, m.snapshots), m.liveDeleteFiles)
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -3378,11 +3471,10 @@ final class IceliteTable private (
     val rowBound =
       lower.map(lo => col(canonical) >= lit(lo)).getOrElse(lit(true)) &&
         upper.map(hi => col(canonical) <= lit(hi)).getOrElse(lit(true))
-    val posFiles = m.livePosDeleteFiles
     val data = readFilesAs(m.liveDataFiles.filter(keep.contains), m.schema, Long.MaxValue,
-      withPos = posFiles.nonEmpty)
+      withPos = needPosCols(m.snapshots))
       .filter(rowBound)
-    applyDeletes(applyPosDeletes(data, posFiles), m.liveDeleteFiles)
+    applyDeletes(applyPosState(data, m.snapshots), m.liveDeleteFiles)
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -3504,10 +3596,10 @@ final class IceliteTable private (
     val keyCol = m.properties.getOrElse(IceliteTable.BloomColProp,
       throw new IllegalStateException(s"no key blooms on $name — buildKeyBlooms first"))
     val kept = pruneByBlooms(keys)
-    val posFiles = m.livePosDeleteFiles
-    val data = readFilesAs(kept, m.schema, Long.MaxValue, withPos = posFiles.nonEmpty)
+    val data = readFilesAs(kept, m.schema, Long.MaxValue,
+      withPos = needPosCols(m.snapshots))
       .filter(col(keyCol).isin(keys: _*))
-    applyDeletes(applyPosDeletes(data, posFiles), m.liveDeleteFiles)
+    applyDeletes(applyPosState(data, m.snapshots), m.liveDeleteFiles)
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -3763,6 +3855,12 @@ object IceliteTable {
     */
   val PosFileCol = "_graft_pos_file"
   val PosCol = "_graft_pos"
+
+  /** Bitmap column of a deletion-vector file row ([[Dv]] encoding). */
+  val DvCol = "_graft_dv"
+
+  /** Deleted-position count column of a deletion-vector file row. */
+  val DvCountCol = "_graft_dv_count"
 
   /** Row-level outcome of a [[IceliteTable.merge]] commit. */
   final case class MergeStats(seq: Long, inserted: Long, updated: Long, deleted: Long)

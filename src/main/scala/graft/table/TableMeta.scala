@@ -53,7 +53,14 @@ final case class Snapshot(
       * Empty for files committed before this field existed (surfaced
       * as nulls, never guessed).
       */
-    fileMetrics: Map[String, (Long, Long)] = Map.empty)
+    fileMetrics: Map[String, (Long, Long)] = Map.empty,
+    /** DELETION-VECTOR files (parquet rows of (data file, bitmap) —
+      * [[Dv]]): a snapshot carrying these SUPERSEDES every coordinate
+      * position-delete file at or before its seq on the main read
+      * path; time travel before it still resolves the coordinates.
+      * Written only by DV consolidation ([[IceliteTable.consolidateDeleteVectors]]).
+      */
+    dvFiles: Seq[String] = Nil)
 
 /** Full table state at one metadata version. Commit = atomic rename of
   * v{N+1}.json.tmp → v{N+1}.json; the failed renamer retries against the
@@ -76,6 +83,7 @@ final case class TableMeta(
   def liveDataFiles: Seq[String] = snapshots.flatMap(_.dataFiles)
   def liveDeleteFiles: Seq[String] = snapshots.flatMap(_.deleteFiles)
   def livePosDeleteFiles: Seq[String] = snapshots.flatMap(_.posDeleteFiles)
+  def liveDvFiles: Seq[String] = snapshots.flatMap(_.dvFiles)
 
   def withSnapshot(s: Snapshot): TableMeta = copy(snapshots = snapshots :+ s)
 
@@ -127,6 +135,9 @@ object TableMeta {
       if (s.posDeleteFiles.nonEmpty) {
         val pdel = o.putArray("posDeleteFiles"); s.posDeleteFiles.foreach(pdel.add)
       }
+      if (s.dvFiles.nonEmpty) {
+        val dv = o.putArray("dvFiles"); s.dvFiles.foreach(dv.add)
+      }
       if (s.fileStats.nonEmpty) {
         val fs = o.putObject("fileStats")
         s.fileStats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
@@ -174,6 +185,9 @@ object TableMeta {
           deleteFiles = strings(o, "deleteFiles"),
           recordCount = o.get("recordCount").asLong(),
           posDeleteFiles = Option(o.get("posDeleteFiles")).collect {
+            case a: ArrayNode => a.elements().asScala.map(_.asText()).toSeq
+          }.getOrElse(Nil),
+          dvFiles = Option(o.get("dvFiles")).collect {
             case a: ArrayNode => a.elements().asScala.map(_.asText()).toSeq
           }.getOrElse(Nil),
           fileStats = Option(o.get("fileStats")).filter(_.isObject).map { fs =>
