@@ -47,6 +47,24 @@ final class IceliteTable private (
 
   // ------------------------------------------------------------ writes
 
+  /** Guard for ROW-ADDING/MUTATING writes on a lineage-enabled table
+    * (schema declares `_row_id` + `_last_updated_seq`): only
+    * [[appendWithLineage]] assigns ids and advances the id high-water
+    * mark, and only [[updateWhereCoW]] re-stamps `_last_updated_seq` —
+    * any other row-adding path would silently break the "globally
+    * dense, never reused, modification-stamped" invariant, so it is
+    * REJECTED here rather than discovered by an auditor later.
+    * Deletes are exempt: removing rows neither mints ids nor leaves a
+    * stale stamp (Iceberg v3 lineage has the same shape).
+    */
+  private def requireLineageSafe(head: TableMeta, op: String): Unit = {
+    val f = head.schema.fieldNames.toSet
+    require(!(f.contains(RowIdCol) && f.contains(LastUpdatedSeqCol)),
+      s"$op on lineage-enabled table $name: rows written outside " +
+        s"appendWithLineage/updateWhereCoW would carry no $RowIdCol — " +
+        "use those entry points (or drop the lineage columns)")
+  }
+
   /** Append rows (initial-sync / insert path, reference S4). Returns the
     * committed sequence number.
     */
@@ -286,6 +304,7 @@ final class IceliteTable private (
       notMatchedInsert: Option[Column] = Some(lit(true)),
       matchedUpdateSet: Map[String, Column] = Map.empty): MergeStats = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    requireLineageSafe(cachedMeta, "merge")
     val tableSchema = cachedMeta.schema
     matchedUpdateSet.keys.foreach { c =>
       require(tableSchema.fieldNames.contains(c),
@@ -538,6 +557,7 @@ final class IceliteTable private (
       keyCols: Seq[String],
       operation: String,
       summary: Long => Map[String, String]): Long = retryCommit { head =>
+    if (operation != "delete") requireLineageSafe(head, operation)
     val seq = head.lastSeq + 1
     val commitId = UUID.randomUUID().toString
     // per-file key-column min/max (this commit's keys, or the table's
@@ -2159,6 +2179,7 @@ final class IceliteTable private (
     * files nor anything else is rewritten.
     */
   def updateWhere(condition: Column, set: Map[String, Column]): Long = retryCommit { head =>
+    requireLineageSafe(head, "updateWhere") // updateWhereCoW is the lineage path
     set.keys.foreach { c =>
       if (!head.schema.fieldNames.contains(c))
         throw new IllegalArgumentException(s"update of $name: unknown column '$c'")

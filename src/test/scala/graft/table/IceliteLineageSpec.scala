@@ -103,4 +103,28 @@ class IceliteLineageSpec extends AnyFunSuite with SparkFixture {
     t.appendWithLineage(withFake, Seq("id"))
     assert(lineage(t) == Map(7L -> ((0L, 1L))))
   }
+
+  test("non-lineage mutating writes on a lineage-enabled table are rejected") {
+    val t = IceliteTable.create(spark, wh(), "ns", "lin_guard", schema)
+    t.appendWithLineage(rows(1L -> 1L, 2L -> 2L), Seq("id"))
+    // every row-adding path outside appendWithLineage/updateWhereCoW
+    // would mint no _row_id — the guard refuses rather than corrupting
+    val full = rows(3L -> 3L)
+      .withColumn(IceliteTable.RowIdCol, lit(99L))
+      .withColumn(IceliteTable.LastUpdatedSeqCol, lit(99L))
+    intercept[IllegalArgumentException] { t.append(full) }
+    intercept[IllegalArgumentException] { t.upsert(full, Seq("id")) }
+    intercept[IllegalArgumentException] {
+      t.merge(full, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 1L, Map("v" -> lit(9L)))
+    }
+    // deletes are lineage-safe (no ids minted, no stale stamps left)
+    t.deleteWhere(col("id") === 2L)
+    assert(lineage(t).keySet == Set(1L))
+    // the lineage paths still work after the rejections
+    t.appendWithLineage(rows(4L -> 4L), Seq("id"))
+    assert(lineage(t)(4L)._1 == 2L)
+  }
 }
