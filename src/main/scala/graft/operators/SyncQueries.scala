@@ -1416,8 +1416,7 @@ object SyncQueries {
     * CAST rounds where Spark's truncates, floor is IEEE-identical.
     */
   def tableScd2(spark: SparkSession, dir: String): DataFrame = {
-    val wh = graft.util.Scratch.dir("scd2-query")
-    val dim = scd2Fixture(spark, dir, wh)
+    val dim = scd2Shared(spark, dir)
     dim.history()
       .select(col("c_custkey"), col("c_mktsegment"), col("acctbal_cents"),
         col("eff_from"), col("eff_to"))
@@ -1431,8 +1430,7 @@ object SyncQueries {
     * filters its recomputed intervals the same way.
     */
   def tableScd2AsOf(spark: SparkSession, dir: String): DataFrame = {
-    val wh = graft.util.Scratch.dir("scd2-asof-query")
-    val dim = scd2Fixture(spark, dir, wh)
+    val dim = scd2Shared(spark, dir)
     dim.asOf(250L)
       .select(col("c_custkey"), col("c_mktsegment"), col("acctbal_cents"),
         col("eff_from"))
@@ -1451,8 +1449,7 @@ object SyncQueries {
     * a silent drop).
     */
   def tableScd2FactJoin(spark: SparkSession, dir: String): DataFrame = {
-    val wh = graft.util.Scratch.dir("scd2-fact-query")
-    val dim = scd2Fixture(spark, dir, wh)
+    val dim = scd2Shared(spark, dir)
     val o = t(spark, dir, "orders").filter(pmod(col("o_orderkey"), lit(13)) === 0)
       .select(col("o_orderkey"), col("o_custkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("d"))
@@ -1498,6 +1495,20 @@ object SyncQueries {
     * +5000.00 more) plus % 11 == 0 no-op resends of current values at
     * seq 300.
     */
+  /** The SCD2 dimension fixture built ONCE per (session, dataset) and
+    * shared READ-ONLY by all three scd2 queries — the fixture is
+    * deterministic and none of the consumers mutate it (history /
+    * asOf / fact join are reads), so per-query rebuilds were three
+    * identical multi-commit builds of the same table (the dominant
+    * fixed cost of the scd2 bench family).
+    */
+  private val scd2Memo = new graft.util.IndexMemo[graft.table.Scd2](4)(_ => ())
+
+  private def scd2Shared(spark: SparkSession, dir: String): graft.table.Scd2 =
+    scd2Memo.getOrElseUpdate(spark, dir) {
+      scd2Fixture(spark, dir, graft.util.Scratch.dir("scd2-shared"))
+    }
+
   private def scd2Fixture(spark: SparkSession, dir: String, wh: String): graft.table.Scd2 = {
     val k = col("c_custkey")
     val base = t(spark, dir, "customer")

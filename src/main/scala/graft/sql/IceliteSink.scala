@@ -1,0 +1,85 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graftbridge.StreamingFrame
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.ChangelogFeed
+import graft.table.IceliteTable
+
+/** Native streaming SINK into an icelite table —
+  * `writeStream.format("icelite")` — the write half of the stream
+  * story ([[IceliteChangelogSourceProvider]] is the read half; the
+  * reference's whole purpose is streaming INTO Iceberg tables,
+  * `docs/design.md` capture → apply → commit).
+  *
+  * Exactly-once on top of at-least-once delivery: every applied batch
+  * commits `streaming.batchId` in its snapshot SUMMARY (metadata that
+  * travels atomically with the data — the same trick the initial-sync
+  * high-water mark rides), and a replayed batch id ≤ the stored one
+  * is skipped whole. Spark's checkpoint gives at-least-once; the
+  * summary turns it into exactly-once per batch, the R4 contract.
+  *
+  * Modes (option `mode`):
+  *  - `append` (default) — each micro-batch is one append commit.
+  *  - `upsert` — LWW upsert by `keys` (comma-separated option).
+  *  - `changelog` — the batch is CDC rows (`_change_type` +
+  *    `_commit_seq`, e.g. straight from the icelite-changelog source):
+  *    applied with the SAME guarded LWW merge as every other consumer
+  *    ([[ChangelogFeed.applyChangeBatch]]) — so end-to-end replication
+  *    is `readStream.format("icelite-changelog") → writeStream
+  *    .format("icelite")`, zero driver code in between.
+  *
+  * Options: `warehouse`, `namespace`, `table` (required; the table
+  * must exist — schema contracts are a create-time decision, not a
+  * first-batch accident), `mode`, `keys`.
+  */
+final class IceliteSinkProvider extends StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "icelite"
+
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    def req(k: String) = parameters.getOrElse(k,
+      throw new IllegalArgumentException(s"icelite sink needs option '$k'"))
+    val mode = parameters.getOrElse("mode", "append")
+    val keys = parameters.get("keys").map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
+    require(Set("append", "upsert", "changelog")(mode),
+      s"icelite sink mode '$mode' is not append|upsert|changelog")
+    require(mode == "append" || keys.nonEmpty,
+      s"icelite sink mode '$mode' needs option 'keys'")
+    new IceliteSink(req("warehouse"), req("namespace"), req("table"), mode, keys)
+  }
+}
+
+final class IceliteSink(
+    warehouse: String, namespace: String, tableName: String,
+    mode: String, keys: Seq[String]) extends Sink {
+
+  private val BatchIdKey = "streaming.batchId"
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val table = IceliteTable.load(SparkSession.active, warehouse, namespace, tableName)
+    val last = table.meta.snapshots
+      .flatMap(_.summary.get(BatchIdKey)).lastOption.map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) return // replayed batch: already committed
+    val batch = StreamingFrame.batch(data)
+    val stamp: Long => Map[String, String] = _ => Map(BatchIdKey -> batchId.toString)
+    mode match {
+      case "append" => table.append(batch, stamp)
+      case "upsert" =>
+        table.upsert(batch, keys, summary = stamp)
+      case "changelog" =>
+        // no batch-id stamp needed: the guarded LWW merge is
+        // IDEMPOTENT by construction (equal-seq re-apply rewrites the
+        // same images; ChangelogFeedSpec proves re-apply is a state
+        // no-op), so at-least-once replay converges on its own
+        val dataCols = batch.columns.toSeq
+          .filterNot(c => c == IceliteTable.ChangeTypeCol || c == IceliteTable.CommitSeqCol)
+        ChangelogFeed.applyChangeBatch(batch, dataCols, table, keys)
+    }
+  }
+}

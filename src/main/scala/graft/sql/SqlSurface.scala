@@ -203,6 +203,76 @@ object SqlSurface {
       |FROM sub WHERE o_orderkey % 4 <> 0
       |ORDER BY _id""".stripMargin
 
+  // -------------------------------------------------- table_stream_sink
+
+  /** CDC replication as PURE stream composition — `readStream
+    * .format("icelite-changelog")` piped straight into `writeStream
+    * .format("icelite").mode=changelog` ([[IceliteSinkProvider]]),
+    * zero driver code between source and sink: the sink applies each
+    * micro-batch with the same guarded LWW merge every other consumer
+    * uses. Two drains against one checkpoint prove source resume AND
+    * sink idempotence together. This is the deployment shape of the
+    * reference's end-to-end loop (capture → apply → commit) with both
+    * halves native.
+    */
+  def tableStreamSink(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("sink-stream-wh")
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(43)) === 0)
+      .select(lpad(col("o_orderkey").cast("string"), 12, "0").as("_id"),
+        col("o_orderkey"), col("o_totalprice"))
+      .persist()
+    try {
+      val source = IceliteTable.create(spark, wh, "analytics", "orders_ksrc", src.schema)
+      val replica = IceliteTable.create(spark, wh, "analytics", "orders_krep",
+        ChangelogFeed.replicaSchema(src.schema))
+      val ck = graft.util.Scratch.dir("sink-stream-ck")
+      def drain(): Unit = {
+        val q = spark.readStream.format("icelite-changelog")
+          .option("warehouse", wh).option("namespace", "analytics")
+          .option("table", "orders_ksrc").load()
+          .writeStream.format("icelite")
+          .option("warehouse", wh).option("namespace", "analytics")
+          .option("table", "orders_krep")
+          .option("mode", "changelog").option("keys", "_id")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      source.append(src) // s1: full insert
+      drain()
+      val ups = src
+        .filter(pmod(col("o_orderkey"), lit(2)) === 0 && pmod(col("o_orderkey"), lit(4)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + 6.0)
+            .otherwise(col("o_totalprice") + 1.0))
+      val dels = src.filter(pmod(col("o_orderkey"), lit(4)) === 0).select("_id")
+      source.applyChanges(ups, ups.select("_id").union(dels), Seq("_id")) // s2
+      drain()
+      // the sink committed through its own table handle — re-probe the
+      // published head before reading the converged state
+      replica.refresh()
+      ChangelogFeed.replicaState(replica)
+        .select(col("_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("_id")
+    } finally src.unpersist()
+  }
+
+  private val tableStreamSinkOracle =
+    """WITH sub AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS _id,
+      |         o_orderkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 43 = 0)
+      |SELECT _id, o_orderkey,
+      |  o_totalprice
+      |    + CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+      |           THEN CASE WHEN o_orderkey % 3 = 0 THEN 6.0 ELSE 1.0 END
+      |           ELSE 0.0 END
+      |  AS o_totalprice
+      |FROM sub WHERE o_orderkey % 4 <> 0
+      |ORDER BY _id""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   def all: Seq[GraftQuery] = Seq(
@@ -211,5 +281,7 @@ object SqlSurface {
     GraftQuery("table_sql_write", tableSqlWrite _, Some(tableSqlWriteOracle),
       "INSERT INTO + VERSION AS OF time travel through the DSv2 catalog"),
     GraftQuery("table_stream_native", tableStreamNative _, Some(tableStreamNativeOracle),
-      "CDC replication via the native icelite-changelog streaming source (no export hop)"))
+      "CDC replication via the native icelite-changelog streaming source (no export hop)"),
+    GraftQuery("table_stream_sink", tableStreamSink _, Some(tableStreamSinkOracle),
+      "pure readStream->writeStream CDC: native source piped into the icelite sink"))
 }

@@ -22,4 +22,17 @@ object StreamingFrame {
     classic.sparkSession.internalCreateDataFrame(
       classic.queryExecution.toRdd, schema, isStreaming = true)
   }
+
+  /** The inverse for a v1 SINK: re-wrap a micro-batch's incremental
+    * plan as a plain BATCH frame so the sink can run ordinary
+    * DataFrame ops on it (Spark's own ForeachBatchSink conversion —
+    * acting on the incoming frame directly would re-trigger the
+    * incremental execution per action).
+    */
+  def batch(df: DataFrame): DataFrame = {
+    val classic = castToImpl(df)
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      classic.queryExecution.toRdd, classic, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(classic.sparkSession, node)
+  }
 }

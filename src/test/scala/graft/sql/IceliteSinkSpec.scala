@@ -1,0 +1,82 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.table.IceliteTable
+import graft.util.Scratch
+
+/** Native icelite streaming sink ([[IceliteSinkProvider]]): batch-id
+  * exactly-once over at-least-once replay, append/upsert modes through
+  * a real file stream, and option validation.
+  */
+class IceliteSinkSpec extends AnyFunSuite with SparkFixture {
+
+  test("append mode lands one commit per micro-batch; replayed batch ids are skipped") {
+    import spark.implicits._
+    val wh = Scratch.dir("sink-spec")
+    val t = IceliteTable.create(spark, wh, "ns", "t_app",
+      Seq((1L, "a")).toDF("k", "v").schema)
+    val sink = new IceliteSink(wh, "ns", "t_app", "append", Nil)
+    // drive addBatch directly with batch frames — the replay contract
+    // is the sink's own, independent of any source
+    sink.addBatch(0, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    sink.addBatch(1, Seq((3L, "c")).toDF("k", "v"))
+    sink.addBatch(1, Seq((3L, "c")).toDF("k", "v")) // at-least-once replay
+    sink.addBatch(0, Seq((1L, "a")).toDF("k", "v")) // stale replay
+    val t2 = IceliteTable.load(spark, wh, "ns", "t_app")
+    assert(t2.read().count() == 3, "replayed batches must not re-append")
+    assert(t2.meta.lastSeq == 2, "exactly one commit per distinct batch id")
+    assert(t2.meta.snapshots.map(_.summary("streaming.batchId")) == Seq("0", "1"))
+  }
+
+  test("upsert mode converges by key under replay") {
+    import spark.implicits._
+    val wh = Scratch.dir("sink-spec")
+    val t = IceliteTable.create(spark, wh, "ns", "t_ups",
+      Seq((1L, 0L)).toDF("k", "v").schema)
+    val sink = new IceliteSink(wh, "ns", "t_ups", "upsert", Seq("k"))
+    sink.addBatch(0, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    sink.addBatch(1, Seq((1L, 11L), (3L, 30L)).toDF("k", "v"))
+    sink.addBatch(1, Seq((1L, 11L), (3L, 30L)).toDF("k", "v"))
+    val got = IceliteTable.load(spark, wh, "ns", "t_ups").read()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 11L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("a real writeStream.format(icelite) run appends through the registered provider") {
+    import spark.implicits._
+    val wh = Scratch.dir("sink-spec")
+    val landing = Scratch.dir("sink-landing")
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v").write.parquet(s"$landing/f1")
+    val t = IceliteTable.create(spark, wh, "ns", "t_stream",
+      Seq((1L, "x")).toDF("k", "v").schema)
+    val q = spark.readStream.schema(t.schema).parquet(s"$landing/*")
+      .writeStream.format("icelite")
+      .option("warehouse", wh).option("namespace", "ns").option("table", "t_stream")
+      .option("checkpointLocation", Scratch.dir("sink-ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(IceliteTable.load(spark, wh, "ns", "t_stream").read().count() == 2)
+  }
+
+  test("mode/keys option validation fails fast") {
+    val p = new IceliteSinkProvider
+    val sqlc = spark.sqlContext
+    intercept[IllegalArgumentException] {
+      p.createSink(sqlc, Map("warehouse" -> "w", "namespace" -> "n", "table" -> "t",
+        "mode" -> "upsert"), Nil, org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    intercept[IllegalArgumentException] {
+      p.createSink(sqlc, Map("warehouse" -> "w", "namespace" -> "n", "table" -> "t",
+        "mode" -> "bogus"), Nil, org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    intercept[IllegalArgumentException] {
+      p.createSink(sqlc, Map("namespace" -> "n", "table" -> "t"), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+  }
+}

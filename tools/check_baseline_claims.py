@@ -50,6 +50,14 @@ def main():
         rnd, claimed = int(m.group(1)), int(m.group(2))
         path = f"CORRECTNESS_r{rnd:02d}.json"
         if not os.path.exists(path):
+            # Round-14 lesson: a row written BEFORE its driver sidecar
+            # exists must not lead with a pass-count at all — not even a
+            # "LOCALLY"-qualified one. The claim cell stays "pending"
+            # (local sweeps go in the notes) until the sidecar lands.
+            print(f"round {rnd}: claim cell leads with {claimed}/{m.group(3)} "
+                  f"but {path} does not exist yet — write 'pending' and keep "
+                  "local-gate numbers in the notes column")
+            fail = True
             continue
         ok, stotal, bad = sidecar_counts(path)
         if stotal == 0:  # empty sidecar (driver-side miss): no evidence
