@@ -193,12 +193,30 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
   * always did. Writes: `INSERT INTO` appends via [[V1Write]].
   */
 final class IceliteSparkTable(table: IceliteTable) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = table.name
   override def schema(): StructType = table.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  /** `DELETE FROM <catalog>.<ns>.<t> WHERE …` → a position-delete
+    * commit through the existing [[IceliteTable.deleteWhere]] (one
+    * coordinate file; consolidate to DVs on maintenance). Only
+    * predicate shapes the filter translator handles are accepted —
+    * Spark surfaces a clear error for the rest instead of a partial
+    * delete.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => IceliteScanBuilder.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(IceliteScanBuilder.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)) // unqualified DELETE
+    table.deleteWhere(cond)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceliteScanBuilder(() => table.read(), table.schema)

@@ -1,9 +1,10 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.graftbridge.StreamingFrame
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.ChangelogFeed
@@ -36,9 +37,58 @@ import graft.table.IceliteTable
   * must exist — schema contracts are a create-time decision, not a
   * first-batch accident), `mode`, `keys`.
   */
-final class IceliteSinkProvider extends StreamSinkProvider with DataSourceRegister {
+final class IceliteSinkProvider extends StreamSinkProvider with DataSourceRegister
+    with RelationProvider with CreatableRelationProvider {
 
   override def shortName(): String = "icelite"
+
+  private def load(parameters: Map[String, String]): IceliteTable = {
+    def req(k: String) = parameters.getOrElse(k,
+      throw new IllegalArgumentException(s"icelite format needs option '$k'"))
+    IceliteTable.load(SparkSession.active, req("warehouse"), req("namespace"), req("table"))
+  }
+
+  /** `spark.read.format("icelite").options(…).load()` — the MoR read
+    * as a DSv1 relation with filter + column pushdown folded into the
+    * frame before it compiles (one code path with the catalog scan).
+    */
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val table = load(parameters)
+    val ctx = sqlContext
+    new BaseRelation with PrunedFilteredScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema = table.schema
+      override def needConversion: Boolean = false
+      override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+        filters.filter(f => IceliteScanBuilder.toColumn(f).isEmpty)
+      override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+        var df = table.read()
+        filters.flatMap(IceliteScanBuilder.toColumn).foreach(c => df = df.filter(c))
+        df = df.select(requiredColumns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
+        df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      }
+    }
+  }
+
+  /** `df.write.format("icelite").mode(…).options(…).save()` — Append
+    * is one commit; Overwrite/ErrorIfExists point at the explicit
+    * APIs (truncation and existence are table-lifecycle decisions the
+    * format string should not make implicitly).
+    */
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val table = load(parameters)
+    mode match {
+      case SaveMode.Append => table.append(data)
+      case SaveMode.Ignore => if (table.meta.snapshots.isEmpty) table.append(data)
+      case other => throw new UnsupportedOperationException(
+        s"icelite batch write mode $other: use IceliteTable.overwritePartitions/" +
+          "truncate explicitly, or SaveMode.Append")
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createSink(
       sqlContext: SQLContext, parameters: Map[String, String],

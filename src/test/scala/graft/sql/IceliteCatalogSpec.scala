@@ -89,6 +89,38 @@ class IceliteCatalogSpec extends AnyFunSuite with SparkFixture {
       .forall(_.getString(1) != "t_ddl"))
   }
 
+  test("DELETE FROM commits a position delete through the catalog") {
+    seed("t_del")
+    spark.sql(s"DELETE FROM $cat.ns.t_del WHERE k > 90 AND cat = 's1'")
+    val want = (1L to 100L).filterNot(k => k > 90 && k % 3 == 1)
+    val got = spark.sql(s"SELECT count(*) AS n FROM $cat.ns.t_del").collect().head.getLong(0)
+    assert(got == want.size)
+    val t = IceliteTable.load(spark, wh, "ns", "t_del")
+    assert(t.meta.livePosDeleteFiles.nonEmpty, "DELETE FROM must land as a pos-delete commit")
+    // a predicate outside the v1 Filter shapes errors loudly, never partially deletes
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"DELETE FROM $cat.ns.t_del WHERE k % 10 = 0")
+    }
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.t_del")
+      .collect().head.getLong(0) == want.size)
+  }
+
+  test("batch read/write through spark.read/write.format(icelite)") {
+    import spark.implicits._
+    seed("t_fmt")
+    val opts = Map("warehouse" -> wh, "namespace" -> "ns", "table" -> "t_fmt")
+    val df = spark.read.format("icelite").options(opts).load()
+      .filter(col("k") > 95).select("k", "v")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (96L to 100L))
+    Seq((200L, "s9", 2000L)).toDF("k", "cat", "v")
+      .write.format("icelite").mode("append").options(opts).save()
+    assert(spark.read.format("icelite").options(opts).load().count() == 101)
+    intercept[UnsupportedOperationException] {
+      Seq((1L, "s0", 1L)).toDF("k", "cat", "v")
+        .write.format("icelite").mode("overwrite").options(opts).save()
+    }
+  }
+
   test("schema evolution: pre-add rows read null through SQL") {
     import spark.implicits._
     val t = seed("t_evo")
