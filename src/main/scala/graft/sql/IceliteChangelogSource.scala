@@ -60,7 +60,8 @@ final class IceliteChangelogSourceProvider extends StreamSourceProvider with Dat
 
 final class IceliteChangelogSource(
     warehouse: String, namespace: String, tableName: String,
-    startSeq: Long, override val schema: StructType) extends Source {
+    startSeq: Long, override val schema: StructType) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // reload the head on every probe — commits from other writers (or
   // this session) must become visible without a new Source instance
@@ -77,6 +78,32 @@ final class IceliteChangelogSource(
   override def getOffset: Option[Offset] = {
     val last = table.meta.lastSeq
     if (last <= startSeq) None else Some(LongOffset(last))
+  }
+
+  // ---- Trigger.AvailableNow: freeze the head seq at query start so
+  // the run drains exactly the commits that existed then (commits
+  // landing mid-run wait for the next trigger) — no single-batch
+  // fallback wrapper, proper per-commit admission control.
+
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.meta.lastSeq)
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start) match {
+      case Some(o: Offset) => seqOf(o)
+      case Some(other) => other.json().trim.toLong
+      case None => startSeq
+    }
+    val head = availableNowCap.getOrElse(table.meta.lastSeq)
+    if (head <= from) null else LongOffset(head)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
