@@ -132,9 +132,31 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
     new IceliteSparkTable(IceliteTable.create(spark, warehouse, ns, ident.name, schema))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use IceliteTable.addColumns/renameColumn/dropColumn (schema-evolution commits)")
+  /** `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN` map to
+    * the schema-evolution commits (one metadata commit each, zero data
+    * IO; epoch translation serves old files under the new shape).
+    * Nested/positioned changes and property changes are refused —
+    * icelite columns are top-level and properties travel with their
+    * own APIs.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = loadTable(ident) match {
+      case _: IceliteSparkTable => IceliteTable.load(spark, warehouse, oneLevel(ident), ident.name)
+      case _ => throw new UnsupportedOperationException(s"cannot ALTER ${ident.name}")
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 && a.position() == null =>
+        t.addColumns(StructType(Seq(
+          org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(), a.isNullable))))
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        t.renameColumn(r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        t.dropColumn(d.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other: icelite supports top-level ADD/RENAME/DROP COLUMN")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val ns = oneLevel(ident)

@@ -121,6 +121,21 @@ class IceliteCatalogSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ALTER TABLE add/rename/drop column are schema-evolution commits") {
+    import spark.implicits._
+    seed("t_alter")
+    spark.sql(s"ALTER TABLE $cat.ns.t_alter ADD COLUMNS (tag STRING)")
+    spark.sql(s"ALTER TABLE $cat.ns.t_alter RENAME COLUMN cat TO segment")
+    IceliteTable.load(spark, wh, "ns", "t_alter")
+      .append(Seq((500L, "sx", 5L, "fresh")).toDF("k", "segment", "v", "tag"))
+    val got = spark.sql(
+      s"SELECT count(*) AS n, count(tag) AS tags, count(segment) AS segs FROM $cat.ns.t_alter")
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((101L, 1L, 101L)))
+    spark.sql(s"ALTER TABLE $cat.ns.t_alter DROP COLUMN tag")
+    assert(!spark.table(s"$cat.ns.t_alter").columns.contains("tag"))
+  }
+
   test("schema evolution: pre-add rows read null through SQL") {
     import spark.implicits._
     val t = seed("t_evo")
