@@ -41,10 +41,10 @@ object Graph {
     call_function("div", num, den)
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    // edges come from the BUCKETED serving of the persisted index
-    // ([[EdgeIndex.bucketedEdges]]): every per-round reference is a
-    // fresh bucket-aligned scan deriving hashpartitioning(u) over its
-    // own attributes, so the edge side of each round's join never
+    // edges come from the CACHED bucket-aligned degree frame
+    // ([[EdgeIndex.degreedEdges]]): every per-round reference is an
+    // InMemoryTableScan that REMAPS hashpartitioning(u) onto its own
+    // attributes, so the edge side of each round's join never
     // exchanges — unlike an in-plan repartition/localCheckpoint pin,
     // which the nested per-round references re-alias and re-exchange
     // (measured in r14: the |E| list shuffled every round). Per-round
@@ -103,9 +103,9 @@ object Graph {
     * whole difference between a lookup and a full-graph job).
     */
   def pagerankPersonalized(spark: SparkSession, dir: String): DataFrame = {
-    // bucket-aligned edge scans per round (see [[pagerank]]); the seed
-    // stays a 1-row checkpointed frame — a driver constant would bake
-    // per-run, a nested agg would rescan per round
+    // cached bucket-aligned degree frame per round (see [[pagerank]]);
+    // the seed stays a 1-row checkpointed frame — a driver constant
+    // would bake per-run, a nested agg would rescan per round
     val ed = EdgeIndex.degreedEdges(spark, dir)
     val seed = ed.agg(min(col("u")).as("s")).localCheckpoint(true)
     try {
@@ -168,12 +168,13 @@ object Graph {
   val TriangleBroadcastMaxEdges: Long = 50000000L
 
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    // canonical u < v slice of the persisted co-purchase index; still
-    // checkpointed locally — the plan references it three times
-    val e = EdgeIndex.edges(spark, dir).filter(col("u") < col("v"))
-      .select(col("u"), col("v"))
-      .localCheckpoint(true)
-    try {
+    // canonical u < v slice of the BUCKETED index serving: the wedge
+    // join keys e2 on u, so that side reads bucket-aligned with no
+    // exchange (e1 keys on v and pays its one exchange — the wedge
+    // stream's inherent orientation); the three references re-scan the
+    // bucketed parquet, which at scale is cheaper than re-shuffling
+    val e = EdgeIndex.canonicalEdges(spark, dir)
+    locally {
       // the closing-edge probe BROADCASTS the ordered edge list when it
       // is small enough (tens of MB even at 10× this fixture): the
       // wedge stream — the big intermediate, Σ deg² rows — then never
@@ -185,7 +186,7 @@ object Graph {
       // hint on an oversized edge list would hit the 8 GB/driver
       // broadcast limits and fail the job rather than degrade; above
       // the gate we fall back to the plain shuffle join on (a, c).
-      // e is locally checkpointed, so the count is a cached-RDD pass.
+      // The count is one bucket-local scan of the edge parquet.
       val e3 = if (e.count() <= TriangleBroadcastMaxEdges) broadcast(e.as("e3")) else e.as("e3")
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.v") === col("e2.u"))
@@ -197,7 +198,7 @@ object Graph {
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy(desc("n_triangles"), col("part"))
         .limit(10)
-    } finally e.unpersist()
+    }
   }
 
   private val trianglesOracle =
@@ -380,23 +381,23 @@ object Graph {
     * cross-engine. Top-20.
     */
   def linkPredict(spark: SparkSession, dir: String): DataFrame = {
-    // support-thresholded slice of the persisted co-purchase index
-    val e = EdgeIndex.edges(spark, dir).filter(col("w") >= LinkMinSupport)
-      .select(col("u"), col("v"))
-      .localCheckpoint(true)
-    try {
-      // wedges through a shared neighbor w, oriented a < b
-      val cand = e.as("e1").join(e.as("e2"),
-          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-        .select(col("e1.v").as("a"), col("e2.v").as("b"))
-      val ordered = e.filter(col("u") < col("v"))
-        .select(col("u").as("a"), col("v").as("b"))
-      cand.join(ordered, Seq("a", "b"), "left_anti")
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("common_neighbors"))
-        .orderBy(desc("common_neighbors"), col("a"), col("b"))
-        .limit(20)
-    } finally e.unpersist()
+    // support-thresholded slice of the BUCKETED index serving: the
+    // wedge self-join keys on u on BOTH sides, so two bucket-aligned
+    // scans join with ZERO exchanges (the support filter is row-local
+    // and keeps the scan's partitioning) — only the wedge stream's
+    // (a, b) hash-agg shuffles, which is the operator's inherent cost
+    val e = EdgeIndex.supportEdges(spark, dir, LinkMinSupport)
+    // wedges through a shared neighbor w, oriented a < b
+    val cand = e.as("e1").join(e.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("a"), col("e2.v").as("b"))
+    val ordered = e.filter(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+    cand.join(ordered, Seq("a", "b"), "left_anti")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .orderBy(desc("common_neighbors"), col("a"), col("b"))
+      .limit(20)
   }
 
   /** Node-similarity by neighbor-set JACCARD over the support graph —
@@ -412,24 +413,22 @@ object Graph {
     * prediction; degrees join from one |V|-sized hash-agg.
     */
   def jaccardSimilar(spark: SparkSession, dir: String): DataFrame = {
-    val e = EdgeIndex.edges(spark, dir).filter(col("w") >= LinkMinSupport)
-      .select(col("u"), col("v"))
-      .localCheckpoint(true)
-    try {
-      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      val common = e.as("e1").join(e.as("e2"),
-          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-        .groupBy(col("e1.v").as("a"), col("e2.v").as("b"))
-        .agg(count(lit(1)).as("common"))
-      common
-        .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
-        .select(col("a"), col("b"), col("common"),
-          idiv(lit(1000000L) * col("common"),
-            col("da") + col("db") - col("common")).as("jaccard_ppm"))
-        .orderBy(desc("jaccard_ppm"), col("a"), col("b"))
-        .limit(20)
-    } finally e.unpersist()
+    // bucket-aligned wedge join (see [[linkPredict]]); degrees are a
+    // bucket-local agg off the same scan — no exchange either
+    val e = EdgeIndex.supportEdges(spark, dir, LinkMinSupport)
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val common = e.as("e1").join(e.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .groupBy(col("e1.v").as("a"), col("e2.v").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        idiv(lit(1000000L) * col("common"),
+          col("da") + col("db") - col("common")).as("jaccard_ppm"))
+      .orderBy(desc("jaccard_ppm"), col("a"), col("b"))
+      .limit(20)
   }
 
   private val jaccardSimilarOracle =
