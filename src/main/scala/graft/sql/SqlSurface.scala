@@ -273,6 +273,57 @@ object SqlSurface {
       |FROM sub WHERE o_orderkey % 4 <> 0
       |ORDER BY _id""".stripMargin
 
+  // --------------------------------------------------- table_stream_agg
+
+  /** STREAMING AGGREGATION SERVED FROM AN ICELITE TABLE — the
+    * continuous-rollup deployment: a file stream of event batches
+    * feeds a stateful per-type aggregate whose Update-mode output
+    * UPSERTS into an icelite table through the native sink, so the
+    * table always holds the current rollup and any engine can read it
+    * mid-stream. Two landing waves with two AvailableNow drains prove
+    * the state store RESUMES (wave-2 counts accumulate onto wave-1
+    * state, not restart from zero) and the sink's keyed upsert
+    * converges. Exact integer cents so the oracle is bit-stable.
+    */
+  def tableStreamAgg(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("stream-agg-wh")
+    val landing = graft.util.Scratch.dir("stream-agg-landing")
+    val ck = graft.util.Scratch.dir("stream-agg-ck")
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_cents", org.apache.spark.sql.types.LongType)))
+    val table = IceliteTable.create(spark, wh, "analytics", "event_rollup", outSchema)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(s"$landing/*")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .writeStream.format("icelite")
+        .option("warehouse", wh).option("namespace", "analytics")
+        .option("table", "event_rollup")
+        .option("mode", "upsert").option("keys", "event_type")
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter(pmod(col("event_id"), lit(2)) === 0).write.parquet(s"$landing/w1")
+    drain()
+    ev.filter(pmod(col("event_id"), lit(2)) === 1).write.parquet(s"$landing/w2")
+    drain() // state resumes: wave-2 accumulates onto wave-1 counts
+    IceliteTable.load(spark, wh, "analytics", "event_rollup").read()
+      .orderBy("event_type")
+  }
+
+  private val tableStreamAggOracle =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   def all: Seq[GraftQuery] = Seq(
@@ -283,5 +334,7 @@ object SqlSurface {
     GraftQuery("table_stream_native", tableStreamNative _, Some(tableStreamNativeOracle),
       "CDC replication via the native icelite-changelog streaming source (no export hop)"),
     GraftQuery("table_stream_sink", tableStreamSink _, Some(tableStreamSinkOracle),
-      "pure readStream->writeStream CDC: native source piped into the icelite sink"))
+      "pure readStream->writeStream CDC: native source piped into the icelite sink"),
+    GraftQuery("table_stream_agg", tableStreamAgg _, Some(tableStreamAggOracle),
+      "stateful streaming rollup upserted into icelite via the sink; state resumes across drains"))
 }
