@@ -56,6 +56,7 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catName: String = _
   private var warehouse: String = _
+  private var principal: Option[String] = None
 
   private def spark: SparkSession = SparkSession.active
   private def local = new graft.catalog.LocalCatalog(spark, warehouse)
@@ -64,6 +65,11 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
     catName = name
     warehouse = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
       s"icelite catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+    // governed catalog: every read resolves through the named
+    // principal's row-filter/column-mask policies, and the catalog is
+    // READ-ONLY (a governed consumer must not write around its view) —
+    // register a second ungoverned catalog name for the writer role
+    principal = Option(options.get("principal"))
   }
 
   override def name(): String = catName
@@ -87,8 +93,13 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     load(ident, t => new IceliteSparkTable(t))
 
+  private def requireUngoverned(what: String): Unit =
+    if (principal.isDefined) throw new UnsupportedOperationException(
+      s"$what is not exposed through a governed catalog (policies apply to the CURRENT state)")
+
   /** `VERSION AS OF <commit seq>`. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    requireUngoverned("time travel")
     val seq = try version.toLong catch {
       case _: NumberFormatException => throw new NoSuchTableException(ident)
     }
@@ -97,9 +108,11 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** `TIMESTAMP AS OF` — Spark hands micros since epoch. */
-  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    requireUngoverned("time travel")
     load(ident, t => IceliteSparkTable.readOnly(t, s"${t.name}@ts", () =>
       t.readAsOf(timestampMicros / 1000L), t.schema))
+  }
 
   private def load(ident: Identifier, travel: IceliteTable => Table): Table = {
     val ns = oneLevel(ident)
@@ -110,6 +123,22 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
     }
     if (local.locationOf(ns, base).isEmpty) throw new NoSuchTableException(ident)
     val t = IceliteTable.load(spark, warehouse, ns, base)
+    principal match {
+      case Some(p) if meta.isEmpty =>
+        // tables with no policy for the principal serve the plain read
+        // (policies are per-table opt-in, the no-policy default is
+        // allow — the Ranger/UC convention); policied tables serve the
+        // filtered+masked view and nothing else. The reported schema
+        // is the GOVERNED frame's own (a mask can null a non-nullable
+        // column; reporting the base nullability would let Catalyst
+        // fold count(col) into count(*) over masked-away values)
+        return IceliteSparkTable.readOnly(t, s"${t.name}@$p",
+          () => if (t.policies.contains(p)) t.readGoverned(p) else t.read())
+      case Some(_) =>
+        throw new UnsupportedOperationException(
+          s"metadata/travel tables are not exposed through a governed catalog")
+      case None => ()
+    }
     meta match {
       case None => travel(t)
       case Some("snapshots") => IceliteSparkTable.readOnly(t, s"${t.name}$$snapshots", () => t.snapshotsTable())
@@ -124,6 +153,7 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    requireUngoverned("CREATE TABLE")
     val ns = oneLevel(ident)
     require(partitions.isEmpty,
       "icelite SQL createTable is unpartitioned; declare partition transforms " +
@@ -140,6 +170,7 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
     * own APIs.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireUngoverned("ALTER TABLE")
     val t = loadTable(ident) match {
       case _: IceliteSparkTable => IceliteTable.load(spark, warehouse, oneLevel(ident), ident.name)
       case _ => throw new UnsupportedOperationException(s"cannot ALTER ${ident.name}")
@@ -159,6 +190,7 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    requireUngoverned("DROP TABLE")
     val ns = oneLevel(ident)
     local.locationOf(ns, ident.name) match {
       case Some(loc) =>

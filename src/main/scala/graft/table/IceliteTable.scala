@@ -1014,17 +1014,24 @@ final class IceliteTable private (
   /** Apply DELETION VECTORS: per-file bitmaps broadcast to the scan, a
     * codegen'd membership test ([[DvContains]]) drops deleted rows
     * scan-locally — no (file, pos) anti-join shuffle. Rows from files
-    * with no DV keep a null bitmap and pass.
+    * with no DV keep a null bitmap and pass. The broadcast hint is
+    * SIZE-GATED under the same bound as the equality delete side
+    * (Spark honors an explicit hint regardless of
+    * autoBroadcastJoinThreshold, so an unguarded hint on a DV set that
+    * outgrew the budget would fail the job instead of degrading to the
+    * shuffle join — the r14-ADVICE triangle lesson applied here).
     */
   private def applyDv(data: DataFrame, dvFiles: Seq[String]): DataFrame =
     if (dvFiles.isEmpty) data
     else {
       import org.apache.spark.sql.graftbridge.ColumnBridge
-      val dvs = spark.read.parquet(dvFiles.map(abs): _*)
+      val dvs0 = spark.read.parquet(dvFiles.map(abs): _*)
         .select(col(PosFileCol), col(DvCol))
+      val dvs =
+        if (estimateBytes(dvFiles) <= maxBroadcastDeleteBytes) broadcast(dvs0) else dvs0
       val hit = ColumnBridge.column(DvContains(
         ColumnBridge.expression(col(DvCol)), ColumnBridge.expression(col(PosCol))))
-      data.join(broadcast(dvs), Seq(PosFileCol), "left")
+      data.join(dvs, Seq(PosFileCol), "left")
         .filter(!coalesce(hit, lit(false)))
         .drop(DvCol)
     }

@@ -136,6 +136,27 @@ class IceliteCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(!spark.table(s"$cat.ns.t_alter").columns.contains("tag"))
   }
 
+  test("a governed catalog serves the policy view read-only") {
+    val t = seed("t_gov")
+    t.declarePolicy("analyst", Some("k <= 50"), Map("v" -> "CAST(NULL AS BIGINT)"))
+    val gcat = "icelite_gov"
+    spark.conf.set(s"spark.sql.catalog.$gcat", classOf[IceliteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$gcat.warehouse", wh)
+    spark.conf.set(s"spark.sql.catalog.$gcat.principal", "analyst")
+    val got = spark.sql(s"SELECT count(*) AS n, count(v) AS vs FROM $gcat.ns.t_gov").collect().head
+    assert(got.getLong(0) == 50 && got.getLong(1) == 0,
+      "row filter and column mask must both apply")
+    // un-policied tables serve the plain read (no-policy default = allow)
+    seed("t_gov_open")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $gcat.ns.t_gov_open").collect().head.getLong(0) == 100)
+    // the governed catalog is read-only and travel-free
+    intercept[Exception] { spark.sql(s"INSERT INTO $gcat.ns.t_gov VALUES (1, 's0', 1)") }
+    intercept[Exception] { spark.sql(s"SELECT * FROM $gcat.ns.t_gov VERSION AS OF 1").collect() }
+    intercept[Exception] { spark.sql(s"DROP TABLE $gcat.ns.t_gov") }
+    // the same table through the ungoverned catalog still reads fully
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.t_gov").collect().head.getLong(0) == 100)
+  }
+
   test("schema evolution: pre-add rows read null through SQL") {
     import spark.implicits._
     val t = seed("t_evo")
