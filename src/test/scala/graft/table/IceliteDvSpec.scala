@@ -111,6 +111,28 @@ class IceliteDvSpec extends AnyFunSuite with SparkFixture {
     assert(t.meta.liveDvFiles.isEmpty && t.meta.livePosDeleteFiles.isEmpty)
   }
 
+  test("DV apply degrades to a shuffle join past the broadcast size gate, same answer") {
+    val t = seeded("t_gate")
+    t.deleteWhere(col("k") % 5 === 0)
+    t.consolidateDeleteVectors()
+    val want = keys(t)
+    // under budget: the explicit broadcast HINT is present (it is what
+    // would force a broadcast even past autoBroadcastJoinThreshold)
+    val hinted = t.read().queryExecution.optimizedPlan.toString
+    assert(hinted.contains("strategy=broadcast"), s"small DV set must hint broadcast:\n$hinted")
+    t.maxBroadcastDeleteBytes = 1L // force the over-budget path
+    try {
+      // over budget: NO hint — the planner now decides freely (here it
+      // still picks BHJ because the set is tiny; at real scale the
+      // thresholds would choose the shuffle join instead of failing on
+      // the broadcast hard limit)
+      val unhinted = t.read().queryExecution.optimizedPlan.toString
+      assert(unhinted.contains("dv_contains") && !unhinted.contains("strategy=broadcast"),
+        s"over-budget DV set must not carry the broadcast hint:\n$unhinted")
+      assert(keys(t) == want, "the gated path must read identically")
+    } finally t.maxBroadcastDeleteBytes = 256L << 20
+  }
+
   test("equality deletes and DVs compose") {
     import spark.implicits._
     val t = seeded("t_mix")
