@@ -100,6 +100,23 @@ object EdgeIndex {
       readEdges(spark, ensureBuilt(spark, dir)).cache()
     }
 
+  /** Upper bound on the LIVE directed edge count from TABLE METADATA
+    * alone (zero IO, zero jobs): the sum of per-snapshot record counts
+    * over the retained log. Exact after a pure build; an upper bound
+    * once merges update-in-place (each update re-writes the row and
+    * its delete masks the old image) — which is the safe direction
+    * for a broadcast size gate.
+    */
+  def directedEdgeCountBound(spark: SparkSession, dir: String): Long =
+    IceliteTable.load(spark, ensureBuilt(spark, dir), Ns, EdgeTable)
+      .meta.snapshots.map(_.recordCount).sum
+
+  /** Head commit seq of the persisted edge table — the freshness token
+    * the bucketed serving snapshot is keyed on.
+    */
+  private def edgeTableSeq(spark: SparkSession, dir: String): Long =
+    IceliteTable.load(spark, ensureBuilt(spark, dir), Ns, EdgeTable).meta.lastSeq
+
   /** Buckets for [[bucketedEdges]] — matched to the session's shuffle
     * width locally; a cluster deployment sizes it to its parallelism
     * once at ingest, like any bucketed fact table.
@@ -125,9 +142,24 @@ object EdgeIndex {
     * At 100 TB this is the difference between K·|E| and K·|V| bytes
     * on the wire per query.
     */
-  def bucketedEdges(spark: SparkSession, dir: String): DataFrame =
-    bucketServed.getOrElseUpdate(spark, dir) {
-      val name = s"gidx_edges_b_${Integer.toHexString(dir.hashCode)}"
+  def bucketedEdges(spark: SparkSession, dir: String): DataFrame = {
+    // freshness token: the serving snapshot is keyed on the edge
+    // table's head seq, so an in-session incremental append (merge)
+    // advances the seq and forces a rebuild instead of silently
+    // serving the stale bucket snapshot
+    val seq = edgeTableSeq(spark, dir)
+    bucketServed.getOrElseUpdate(spark, s"$dir@s$seq") {
+      // collision-proof name: a full-path digest, not String.hashCode
+      // (32-bit hashCode collisions across dataset dirs — or a
+      // metastore outliving the scratch path — would silently serve
+      // another dataset's edges to every graph query)
+      val name = s"gidx_edges_b_${pathToken(dir)}_s$seq"
+      // drop serving snapshots of OLDER seqs of the same dataset (the
+      // metastore entry outlives the memo across sessions)
+      spark.catalog.listTables().collect()
+        .map(_.name)
+        .filter(n => n.startsWith(s"gidx_edges_b_${pathToken(dir)}_s") && n != name)
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
       if (!spark.catalog.tableExists(name)) {
         readEdges(spark, ensureBuilt(spark, dir))
           .write.bucketBy(EdgeBuckets, "u").sortBy("u")
@@ -136,6 +168,17 @@ object EdgeIndex {
       }
       spark.table(name)
     }
+  }
+
+  /** Metastore-safe, collision-proof token for a dataset path: a
+    * readable sanitized tail plus an md5 prefix of the FULL path.
+    */
+  private def pathToken(dir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tail = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(24).stripPrefix("_")
+    s"${tail}_$md5"
+  }
 
   private val degreeServed = new graft.util.IndexMemo[DataFrame](8)(_.unpersist(false))
 
@@ -156,7 +199,7 @@ object EdgeIndex {
     * bucketed table underneath either way.
     */
   def degreedEdges(spark: SparkSession, dir: String): DataFrame =
-    degreeServed.getOrElseUpdate(spark, dir) {
+    degreeServed.getOrElseUpdate(spark, s"$dir@s${edgeTableSeq(spark, dir)}") {
       val e = bucketedEdges(spark, dir).select(col("u"), col("v"))
       val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
       val ed = e.join(deg, "u").cache()
@@ -173,7 +216,7 @@ object EdgeIndex {
     * wedge join runs with ZERO exchanges from memory.
     */
   def supportEdges(spark: SparkSession, dir: String, minW: Long): DataFrame =
-    supportServed.getOrElseUpdate(spark, s"$dir#w$minW") {
+    supportServed.getOrElseUpdate(spark, s"$dir@s${edgeTableSeq(spark, dir)}#w$minW") {
       val e = bucketedEdges(spark, dir).filter(col("w") >= minW)
         .select(col("u"), col("v")).cache()
       e.count()
@@ -186,7 +229,7 @@ object EdgeIndex {
     * counting's input (three references per query).
     */
   def canonicalEdges(spark: SparkSession, dir: String): DataFrame =
-    canonicalServed.getOrElseUpdate(spark, dir) {
+    canonicalServed.getOrElseUpdate(spark, s"$dir@s${edgeTableSeq(spark, dir)}") {
       val e = bucketedEdges(spark, dir).filter(col("u") < col("v"))
         .select(col("u"), col("v")).cache()
       e.count()

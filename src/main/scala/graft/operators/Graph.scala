@@ -186,8 +186,14 @@ object Graph {
       // hint on an oversized edge list would hit the 8 GB/driver
       // broadcast limits and fail the job rather than degrade; above
       // the gate we fall back to the plain shuffle join on (a, c).
-      // The count is one bucket-local scan of the edge parquet.
-      val e3 = if (e.count() <= TriangleBroadcastMaxEdges) broadcast(e.as("e3")) else e.as("e3")
+      // The gate probe is METADATA-ONLY: the persisted edge table's
+      // snapshot log carries exact per-commit record counts, so the
+      // directed-edge upper bound costs zero IO and zero jobs (the
+      // old e.count() re-scanned the edge parquet per invocation —
+      // a full extra pass at 100 TB). Canonical u < v edges are
+      // exactly half the stored directed pairs.
+      val canonBound = EdgeIndex.directedEdgeCountBound(spark, dir) / 2
+      val e3 = if (canonBound <= TriangleBroadcastMaxEdges) broadcast(e.as("e3")) else e.as("e3")
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.v") === col("e2.u"))
         .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
@@ -297,13 +303,12 @@ object Graph {
     * Scale shape: the edge list materializes once (basket-bounded);
     * each round is ONE equi-join of the |V|-row label vector with the
     * cached edges, a (v, label) hash-agg bounded by |E|, and a
-    * row_number window whose per-key width is the node's distinct
-    * neighbor-label count (≤ degree) — on a cluster edges and labels
-    * co-partition on `u`, so the per-round shuffle is the label
-    * vector plus the |E|-bounded count stream, never a re-derivation.
+    * struct-max plurality pick that map-side-combines to one row per
+    * node — on a cluster edges and labels co-partition on `u`, so the
+    * per-round shuffle is the label vector plus the partial-combined
+    * count stream, never a re-derivation.
     */
   def communities(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // bucket-aligned edge scans per round (see [[pagerank]]); the
     // per-round shuffle is the |V| label vector + the map-side-combined
     // (v, label) counts
@@ -314,10 +319,16 @@ object Graph {
       val cnt = e.join(l, e("u") === l("p"))
         .groupBy(col("v"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("v")).orderBy(desc("c"), asc("label"))
-      l = cnt.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("v").as("p"), col("label"))
+      // plurality pick as ONE struct-max aggregation (count desc via
+      // max, min-label tie-break via the negated label) instead of a
+      // row_number window: the max PARTIAL-aggregates map-side, so the
+      // second per-round exchange carries ≤ one row per node per
+      // partition rather than the full |E|-bounded count stream — and
+      // there is no per-partition sort at all. Labels are part keys
+      // (positive), so the negation is a safe total-order flip.
+      l = cnt.groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("v").as("p"), (-col("m").getField("nl")).as("label"))
     }
     l.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_parts"))

@@ -97,6 +97,31 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
     if (principal.isDefined) throw new UnsupportedOperationException(
       s"$what is not exposed through a governed catalog (policies apply to the CURRENT state)")
 
+  /** A governed catalog must not FAIL OPEN: a principal that matches
+    * no declared policy ANYWHERE in the warehouse — a misspelled
+    * `spark.sql.catalog.<name>.principal` being the typical cause —
+    * would otherwise silently serve the full ungoverned read of every
+    * table. Validated once per catalog instance (driver-side metadata
+    * scan over the warehouse's table heads; re-checked after a miss so
+    * a policy granted later in the session is picked up). Warehouses
+    * with NO policies at all stay open: there is nothing to govern,
+    * and failing would break read-only catalogs over policy-free data.
+    */
+  @volatile private var principalOk = false
+  private def validatePrincipal(p: String): Unit = {
+    if (principalOk) return
+    val tables = for {
+      ns <- local.listNamespaces(); tn <- local.listTables(ns)
+    } yield IceliteTable.load(spark, warehouse, ns, tn)
+    val declared = tables.flatMap(_.policies.keys).toSet
+    if (declared.nonEmpty && !declared.contains(p))
+      throw new IllegalArgumentException(
+        s"principal '$p' of governed catalog '$catName' matches no declared policy " +
+          s"in $warehouse (declared: ${declared.toSeq.sorted.mkString(", ")}) — " +
+          "a typo here would expose ungoverned data, so the catalog refuses")
+    principalOk = true
+  }
+
   /** `VERSION AS OF <commit seq>`. */
   override def loadTable(ident: Identifier, version: String): Table = {
     requireUngoverned("time travel")
@@ -125,6 +150,7 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
     val t = IceliteTable.load(spark, warehouse, ns, base)
     principal match {
       case Some(p) if meta.isEmpty =>
+        validatePrincipal(p)
         // tables with no policy for the principal serve the plain read
         // (policies are per-table opt-in, the no-policy default is
         // allow — the Ranger/UC convention); policied tables serve the
@@ -155,6 +181,12 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
       properties: util.Map[String, String]): Table = {
     requireUngoverned("CREATE TABLE")
     val ns = oneLevel(ident)
+    // '$' is the metadata-table selector in load()/tableExists() — a
+    // name like `a$b` could be created but never loaded or dropped
+    // through the catalog; fail at creation instead
+    require(!ident.name.contains("$"),
+      s"icelite table name '${ident.name}' may not contain '$$' (reserved for " +
+        "metadata-table suffixes like `t$snapshots`)")
     require(partitions.isEmpty,
       "icelite SQL createTable is unpartitioned; declare partition transforms " +
         "through IceliteTable.transformColumn after create")

@@ -109,7 +109,11 @@ final class IceliteSink(
     warehouse: String, namespace: String, tableName: String,
     mode: String, keys: Seq[String]) extends Sink {
 
-  private val BatchIdKey = "streaming.batchId"
+  // under the carried-progress prefix so maintenance rewrites
+  // (compact/compactCold/manifest merge) re-publish it like the sync
+  // HWM — a compaction between a crash and its replay must not reset
+  // the exactly-once watermark to -1 (ADVICE r15)
+  private val BatchIdKey = IceliteTable.SyncProgressPrefix + "streaming.batchId"
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val table = IceliteTable.load(SparkSession.active, warehouse, namespace, tableName)

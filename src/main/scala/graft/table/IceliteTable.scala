@@ -1606,15 +1606,19 @@ final class IceliteTable private (
 
   // ----------------------------------------------------- maintenance
 
-  /** Latest sync-progress summary among `snaps` (see
+  /** Latest sync-progress summary PER MARKER KEY among `snaps` (see
     * [[IceliteTable.SyncProgressPrefix]]) — what a rewrite that folds
-    * those snapshots away must re-publish.
+    * those snapshots away must re-publish. Folded per key, not per
+    * snapshot: distinct markers (a sync HWM and a streaming-sink batch
+    * id, say) advance in different commits, and taking only the
+    * latest marker-BEARING snapshot's map would silently drop every
+    * other marker — a compaction would then reset the streaming
+    * sink's exactly-once watermark and re-apply replayed batches.
     */
   private def carrySyncProgress(snaps: Seq[Snapshot]): Map[String, String] =
-    snaps.reverse
-      .find(_.summary.keys.exists(_.startsWith(IceliteTable.SyncProgressPrefix)))
-      .map(_.summary.filter(_._1.startsWith(IceliteTable.SyncProgressPrefix)))
-      .getOrElse(Map.empty)
+    snaps.foldLeft(Map.empty[String, String]) { (acc, s) =>
+      acc ++ s.summary.filter(_._1.startsWith(IceliteTable.SyncProgressPrefix))
+    }
 
   /** Compaction (reference S8): rewrite the current MoR view into fresh
     * right-sized files (targetFileMB each, 256 MB default like the

@@ -29,7 +29,25 @@ class IceliteSinkSpec extends AnyFunSuite with SparkFixture {
     val t2 = IceliteTable.load(spark, wh, "ns", "t_app")
     assert(t2.read().count() == 3, "replayed batches must not re-append")
     assert(t2.meta.lastSeq == 2, "exactly one commit per distinct batch id")
-    assert(t2.meta.snapshots.map(_.summary("streaming.batchId")) == Seq("0", "1"))
+    assert(t2.meta.snapshots.map(
+      _.summary(IceliteTable.SyncProgressPrefix + "streaming.batchId")) == Seq("0", "1"))
+  }
+
+  test("compaction carries the batch-id watermark; a post-compact replay is still skipped") {
+    import spark.implicits._
+    val wh = Scratch.dir("sink-spec")
+    val t = IceliteTable.create(spark, wh, "ns", "t_compact",
+      Seq((1L, "a")).toDF("k", "v").schema)
+    val sink = new IceliteSink(wh, "ns", "t_compact", "append", Nil)
+    sink.addBatch(0, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    sink.addBatch(1, Seq((3L, "c")).toDF("k", "v"))
+    IceliteTable.load(spark, wh, "ns", "t_compact").compact()
+    // crash-replay AFTER maintenance: the rewrite snapshot must have
+    // re-published the watermark, so the stale batch is still a no-op
+    sink.addBatch(1, Seq((3L, "c")).toDF("k", "v"))
+    sink.addBatch(0, Seq((1L, "a")).toDF("k", "v"))
+    assert(IceliteTable.load(spark, wh, "ns", "t_compact").read().count() == 3,
+      "compaction dropped the exactly-once watermark: replayed batch re-applied")
   }
 
   test("upsert mode converges by key under replay") {
