@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite.rule)
+    // SQL UPDATE/MERGE on icelite catalog tables → the engine's
+    // row-level APIs (no-op on every other plan)
+    ext.injectPostHocResolutionRule(session => graft.sql.IceliteDmlRule(session))
   }
 }
 

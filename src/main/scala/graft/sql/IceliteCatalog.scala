@@ -282,6 +282,11 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
+  /** The wrapped icelite table — [[IceliteDmlRule]] routes SQL
+    * UPDATE/MERGE onto its row-level APIs.
+    */
+  def underlying: IceliteTable = table
+
   override def name(): String = table.name
   override def schema(): StructType = table.schema
   override def capabilities(): util.Set[TableCapability] =

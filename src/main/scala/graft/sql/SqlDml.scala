@@ -1,0 +1,270 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.table.IceliteTable
+
+/** SQL row-level DML on icelite catalog tables — `spark.sql("UPDATE
+  * icelite.ns.t SET … WHERE …")` and `spark.sql("MERGE INTO … USING …
+  * ON … WHEN …")` — the statements a SQL user types right after
+  * DELETE FROM (which rides DSv2's [[org.apache.spark.sql.connector
+  * .catalog.SupportsDelete]]; Spark has no equivalent lightweight
+  * hook for UPDATE/MERGE short of the full group/delta row-level
+  * write machinery).
+  *
+  * Shape: an analyzer rule (injected via
+  * [[graft.functions.GraftExtensions]] — the sanctioned
+  * `SparkSessionExtensions` surface) recognizes a RESOLVED
+  * [[UpdateTable]]/[[MergeIntoTable]] whose target is an
+  * [[IceliteSparkTable]] relation and rewrites it into an eagerly-run
+  * command that routes onto the ALREADY-BUILT and oracle-gated
+  * engine paths: [[IceliteTable.updateWhere]] (one MoR commit —
+  * position-deletes the old images, appends the mutated ones) and
+  * [[IceliteTable.merge]] (key-pruned classify-then-commit; dup-key
+  * sources rejected). No second DML engine: SQL and Scala run the
+  * same code, so every merge/update invariant (ambiguity guard, key
+  * stat pruning, changelog pre/post pairs) holds for SQL callers too.
+  *
+  * Refusal discipline (same as SQL DELETE's translator gate): shapes
+  * the routing cannot express EXACTLY refuse loudly rather than
+  * half-apply — subqueries in predicates/values, nested-field
+  * assignment, non-equi or cross-named merge keys, non-pass-through
+  * INSERT values, `WHEN NOT MATCHED BY SOURCE`, and schema-evolving
+  * merges.
+  *
+  * Scale: identical to the Scala paths — the UPDATE scans the MoR
+  * view once and writes only matching images; the MERGE prunes the
+  * target scan to key-range-intersecting files, so a small-batch
+  * MERGE against a 100 TB table touches only the files that can
+  * match.
+  */
+object SqlDml {
+
+  private def refuse(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"icelite SQL DML: $what — use the IceliteTable Scala API for this shape")
+
+  private def noSubquery(e: Expression, where: String): Unit =
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      refuse(s"subquery in $where is not routed")
+
+  /** Rewrite every [[AttributeReference]] to an unresolved name so the
+    * expression re-resolves against the command's own frames (the
+    * analyzed exprIds belong to this statement's relation instance,
+    * not the one the engine path builds). Qualifier per side for the
+    * two-relation MERGE case; bare for single-relation UPDATE.
+    */
+  private def requalify(
+      e: Expression,
+      target: AttributeSet, source: AttributeSet): Column = {
+    val out = e.transform {
+      case a: AttributeReference if target.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if source.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+      case a: AttributeReference =>
+        refuse(s"reference ${a.name} is bound to neither MERGE side")
+    }
+    ColumnBridge.column(out)
+  }
+
+  private def unqualify(e: Expression): Column =
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  private[sql] def unwrapTable(p: LogicalPlan): Option[IceliteTable] = p match {
+    case SubqueryAlias(_, child) => unwrapTable(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: IceliteSparkTable => Some(t.underlying)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  // --------------------------------------------------------------- UPDATE
+
+  private[sql] def translateUpdate(
+      t: IceliteTable, assignments: Seq[Assignment],
+      cond: Option[Expression]): LogicalPlan = {
+    cond.foreach(noSubquery(_, "UPDATE WHERE"))
+    val set = assignments.flatMap { a =>
+      noSubquery(a.value, "UPDATE SET")
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => refuse(s"assignment to non-top-level field ${other.sql}")
+      }
+      a.value match {
+        // identity padding from assignment alignment (SET a = a): no-op
+        case v: AttributeReference if v.name == name => None
+        case v => Some(name -> unqualify(v))
+      }
+    }.toMap
+    IceliteUpdateCommand(t, cond.map(unqualify).getOrElse(lit(true)), set)
+  }
+
+  // ---------------------------------------------------------------- MERGE
+
+  private[sql] def translateMerge(m: MergeIntoTable, t: IceliteTable): LogicalPlan = {
+    if (m.notMatchedBySourceActions.nonEmpty)
+      refuse("WHEN NOT MATCHED BY SOURCE is not routed")
+    if (m.withSchemaEvolution) refuse("MERGE WITH SCHEMA EVOLUTION is not routed")
+    val target = m.targetTable.outputSet
+    val source = m.sourceTable.outputSet
+
+    // ON must be a conjunction of same-named target/source column
+    // equalities — IceliteTable.merge joins on shared key names
+    val keyCols = conjuncts(m.mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (tAttr, sAttr) =
+          if (target.contains(a) && source.contains(b)) (a, b)
+          else if (target.contains(b) && source.contains(a)) (b, a)
+          else refuse(s"ON conjunct ${a.name} = ${b.name} does not pair target with source")
+        if (!tAttr.name.equalsIgnoreCase(sAttr.name))
+          refuse(s"ON pairs differently-named columns ${tAttr.name} and ${sAttr.name}")
+        tAttr.name
+      case other => refuse(s"non-equality ON conjunct ${other.sql}")
+    }
+
+    def qual(e: Expression): Column = { noSubquery(e, "MERGE"); requalify(e, target, source) }
+
+    // SQL first-matching-clause-wins over the ordered WHEN MATCHED
+    // list, encoded as disjoint effective conditions
+    var prior: Column = lit(false)
+    var matchedUpdate: Option[Column] = None
+    var matchedDelete: Option[Column] = None
+    var updateSet: Map[String, Column] = Map.empty
+    var wholeRowUpdate = false
+    m.matchedActions.foreach { act =>
+      val own: Column = act.condition.map(qual).getOrElse(lit(true))
+      val eff = own && !prior
+      act match {
+        case UpdateAction(_, as, _) =>
+          if (matchedUpdate.isDefined) refuse("multiple WHEN MATCHED UPDATE clauses")
+          matchedUpdate = Some(eff)
+          updateSet = as.flatMap { a =>
+            val name = a.key match {
+              case ar: AttributeReference => ar.name
+              case other => refuse(s"assignment to non-top-level field ${other.sql}")
+            }
+            a.value match {
+              // key column assigned its own value — from either side:
+              // ON t.k = s.k makes s.k ≡ t.k on matched rows, and SET *
+              // expands to exactly this shape — provably identity, drop
+              // (merge refuses explicit key assignment by contract)
+              case v: AttributeReference if keyCols.contains(name) &&
+                v.name.equalsIgnoreCase(name) &&
+                (target.contains(v) || source.contains(v)) => None
+              case v => Some(name -> qual(v))
+            }
+          }.toMap
+          if (updateSet.isEmpty)
+            // SET only touched key columns identically: a no-op update
+            matchedUpdate = Some(lit(false))
+        case _: UpdateStarAction =>
+          if (matchedUpdate.isDefined) refuse("multiple WHEN MATCHED UPDATE clauses")
+          matchedUpdate = Some(eff)
+          wholeRowUpdate = true // merge's whole-row mode: replace with source row
+        case DeleteAction(_) =>
+          if (matchedDelete.isDefined) refuse("multiple WHEN MATCHED DELETE clauses")
+          matchedDelete = Some(eff)
+        case other => refuse(s"WHEN MATCHED action ${other.getClass.getSimpleName}")
+      }
+      prior = prior || own
+    }
+    if (wholeRowUpdate && updateSet.nonEmpty)
+      refuse("mixed whole-row and column-level updates")
+
+    var notMatchedInsert: Option[Column] = None
+    var insPrior: Column = lit(false)
+    m.notMatchedActions.foreach { act =>
+      val own: Column = act.condition.map(qual).getOrElse(lit(true))
+      act match {
+        case InsertAction(_, as) =>
+          if (notMatchedInsert.isDefined) refuse("multiple WHEN NOT MATCHED INSERT clauses")
+          // merge() inserts source columns BY NAME — only the
+          // pass-through shape routes exactly; anything computed needs
+          // the caller to project the source first
+          if (as.size != t.schema.size)
+            refuse(s"INSERT must assign all ${t.schema.size} columns (got ${as.size})")
+          as.foreach { a =>
+            val name = a.key match {
+              case ar: AttributeReference => ar.name
+              case other => refuse(s"assignment to non-top-level field ${other.sql}")
+            }
+            a.value match {
+              case v: AttributeReference if source.contains(v) && v.name.equalsIgnoreCase(name) => ()
+              case other => refuse(
+                s"INSERT value for $name is ${other.sql}, not the same-named source " +
+                  "column — project the source so INSERT values are pass-through")
+            }
+          }
+          notMatchedInsert = Some(own && !insPrior)
+        case other => refuse(s"WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
+      }
+      insPrior = insPrior || own
+    }
+
+    IceliteMergeCommand(t, m.sourceTable, keyCols,
+      Some(matchedUpdate.getOrElse(lit(false))),
+      matchedDelete, notMatchedInsert, updateSet)
+  }
+}
+
+/** Analyzer rule (post-hoc resolution): resolved UPDATE/MERGE on an
+  * icelite DSv2 relation → the matching engine command. Leaves every
+  * other plan untouched.
+  */
+case class IceliteDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import SqlDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u @ UpdateTable(table, assignments, cond) if u.resolved =>
+      SqlDml.unwrapTable(table)
+        .map(t => translateUpdate(t, assignments, cond)).getOrElse(u)
+    case m: MergeIntoTable if m.resolved =>
+      SqlDml.unwrapTable(m.targetTable).map(t => translateMerge(m, t)).getOrElse(m)
+    case other => other
+  }
+}
+
+/** `UPDATE <cat>.<ns>.<t> SET … [WHERE …]` → one
+  * [[IceliteTable.updateWhere]] MoR commit.
+  */
+case class IceliteUpdateCommand(
+    table: IceliteTable, cond: Column, set: Map[String, Column])
+  extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    table.updateWhere(cond, set)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <cat>.<ns>.<t> USING … ON … WHEN …` → one
+  * [[IceliteTable.merge]] commit (classify + delete/data file pair).
+  */
+case class IceliteMergeCommand(
+    table: IceliteTable, sourcePlan: LogicalPlan, keyCols: Seq[String],
+    matchedUpdate: Option[Column], matchedDelete: Option[Column],
+    notMatchedInsert: Option[Column], matchedUpdateSet: Map[String, Column])
+  extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val src = ColumnBridge.ofRows(sparkSession, sourcePlan)
+    table.merge(src, keyCols, matchedUpdate, matchedDelete,
+      notMatchedInsert, matchedUpdateSet)
+    Seq.empty
+  }
+}

@@ -140,6 +140,105 @@ object SqlSurface {
       |  FROM sub
       |) ORDER BY snap""".stripMargin
 
+  // ------------------------------------------------------ table_sql_update
+
+  /** SQL row-level UPDATE through the catalog ([[IceliteDmlRule]] →
+    * [[IceliteTable.updateWhere]]): one `spark.sql("UPDATE …")`
+    * statement mutates exactly the predicate's rows in one MoR commit
+    * (old images position-deleted, mutated images appended — zero
+    * file rewrites), then one SQL aggregate reads the surviving
+    * state. The SET expression reads the PRE-update row (standard
+    * UPDATE semantics), which the oracle recomputes relationally.
+    */
+  def tableSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(31)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val table = freshTable(spark, wh, "analytics", "orders_sqlu", src.schema)
+    table.append(src)
+    spark.sql(
+      s"""UPDATE $CatName.analytics.orders_sqlu
+         |SET cents = cents * 2 + 7, o_orderstatus = concat(o_orderstatus, '+')
+         |WHERE o_orderkey % 3 = 0 AND cents > 250000""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $CatName.analytics.orders_sqlu
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val tableSqlUpdateOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 31 = 0),
+      |state AS (
+      |  SELECT
+      |    CASE WHEN o_orderkey % 3 = 0 AND cents > 250000
+      |         THEN o_orderstatus || '+' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 3 = 0 AND cents > 250000
+      |         THEN cents * 2 + 7 ELSE cents END AS cents
+      |  FROM base)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------- table_sql_merge
+
+  /** SQL MERGE INTO through the catalog ([[IceliteDmlRule]] →
+    * [[IceliteTable.merge]]): delete/update/insert clauses with SQL
+    * first-match-wins ordering land as ONE classify-then-commit merge
+    * (key-range-pruned target scan, ambiguity-guarded source), then
+    * one SQL aggregate reads the converged state. The oracle
+    * recomputes the merge relationally: matched-and-not-deleted rows
+    * updated, unmatched source rows inserted.
+    */
+  def tableSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val sub = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val table = freshTable(spark, wh, "analytics", "orders_sqlm", sub.schema)
+    table.append(sub.filter(pmod(col("o_orderkey"), lit(2)) === 1)) // odd keys
+    sub.select(col("o_orderkey"), col("o_orderstatus"),
+        (col("cents") + 11).as("cents"))
+      .createOrReplaceTempView("sqlm_src")
+    spark.sql(
+      s"""MERGE INTO $CatName.analytics.orders_sqlm t USING sqlm_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.cents % 5 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET cents = s.cents + t.cents
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, cents)
+         |  VALUES (s.o_orderkey, s.o_orderstatus, s.cents)""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $CatName.analytics.orders_sqlm
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val tableSqlMergeOracle =
+    """WITH sub AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 37 = 0),
+      |tgt AS (SELECT * FROM sub WHERE o_orderkey % 2 = 1),
+      |srcv AS (SELECT o_orderkey, o_orderstatus, cents + 11 AS cents FROM sub),
+      |state AS (
+      |  SELECT t.o_orderkey, t.o_orderstatus, s.cents + t.cents AS cents
+      |  FROM tgt t JOIN srcv s ON t.o_orderkey = s.o_orderkey
+      |  WHERE NOT (s.cents % 5 = 0)
+      |  UNION ALL
+      |  SELECT s.o_orderkey, s.o_orderstatus, s.cents
+      |  FROM srcv s LEFT JOIN tgt t ON t.o_orderkey = s.o_orderkey
+      |  WHERE t.o_orderkey IS NULL)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // -------------------------------------------------- table_stream_native
 
   /** CDC replication through the NATIVE streaming source — the
@@ -331,6 +430,10 @@ object SqlSurface {
       "MoR read (equality+pos deletes, schema evolution) purely via spark.sql on a DSv2 catalog"),
     GraftQuery("table_sql_write", tableSqlWrite _, Some(tableSqlWriteOracle),
       "INSERT INTO + VERSION AS OF time travel through the DSv2 catalog"),
+    GraftQuery("table_sql_update", tableSqlUpdate _, Some(tableSqlUpdateOracle),
+      "SQL UPDATE routed onto the MoR updateWhere commit via the analyzer rule"),
+    GraftQuery("table_sql_merge", tableSqlMerge _, Some(tableSqlMergeOracle),
+      "SQL MERGE INTO (delete/update/insert, clause-order semantics) onto IceliteTable.merge"),
     GraftQuery("table_stream_native", tableStreamNative _, Some(tableStreamNativeOracle),
       "CDC replication via the native icelite-changelog streaming source (no export hop)"),
     GraftQuery("table_stream_sink", tableStreamSink _, Some(tableStreamSinkOracle),

@@ -1,0 +1,118 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.table.IceliteTable
+import graft.util.Scratch
+
+/** SQL UPDATE / MERGE INTO routed onto the engine's row-level APIs
+  * ([[IceliteDmlRule]]): happy paths, SQL clause-order semantics, and
+  * the refusal discipline for unroutable shapes.
+  */
+class SqlDmlSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val wh: String = {
+    val w = Scratch.dir("sqldml-wh")
+    spark.conf.set("spark.sql.catalog.dml", classOf[IceliteCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dml.warehouse", w)
+    w
+  }
+
+  private def mk(name: String, rows: Seq[(Long, String, Long)]): IceliteTable = {
+    import spark.implicits._
+    val df = rows.toDF("k", "s", "v")
+    val t = IceliteTable.create(spark, wh, "ns", name, df.schema)
+    if (rows.nonEmpty) t.append(df)
+    t
+  }
+
+  private def state(name: String): Seq[(Long, String, Long)] =
+    IceliteTable.load(spark, wh, "ns", name).read()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+
+  test("UPDATE with WHERE mutates exactly the matching rows in one MoR commit") {
+    mk("t_upd", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    spark.sql("UPDATE dml.ns.t_upd SET v = v + 100, s = concat(s, 'x') WHERE k >= 2")
+    assert(state("t_upd") == Seq((1L, "a", 10L), (2L, "bx", 120L), (3L, "cx", 130L)))
+    val t = IceliteTable.load(spark, wh, "ns", "t_upd")
+    assert(t.meta.snapshots.last.operation == "update", "routed through updateWhere")
+  }
+
+  test("unqualified UPDATE touches every row; SET expressions see the pre-update row") {
+    mk("t_upd_all", Seq((1L, "a", 1L), (2L, "b", 2L)))
+    // both assignments read v: each must see the PRE-update value
+    spark.sql("UPDATE dml.ns.t_upd_all SET v = v * 10, s = cast(v as string)")
+    assert(state("t_upd_all") == Seq((1L, "1", 10L), (2L, "2", 20L)))
+  }
+
+  test("MERGE INTO: update + delete + insert with clause-order semantics") {
+    import spark.implicits._
+    mk("t_mrg", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    Seq((2L, "B", 200L), (3L, "C", 300L), (4L, "D", 400L))
+      .toDF("k", "s", "v").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO dml.ns.t_mrg t USING mrg_src s ON t.k = s.k
+        |WHEN MATCHED AND s.v > 250 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+        |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v)
+        |""".stripMargin)
+    assert(state("t_mrg") == Seq((1L, "a", 10L), (2L, "b", 220L), (4L, "D", 400L)))
+  }
+
+  test("MERGE UPDATE SET * replaces the whole row with the source image") {
+    import spark.implicits._
+    mk("t_mrg_star", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    Seq((2L, "BB", 222L)).toDF("k", "s", "v").createOrReplaceTempView("mrg_star_src")
+    spark.sql(
+      """MERGE INTO dml.ns.t_mrg_star t USING mrg_star_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |""".stripMargin)
+    assert(state("t_mrg_star") == Seq((1L, "a", 10L), (2L, "BB", 222L)))
+  }
+
+  test("MERGE rejects a duplicate-key source as a SQL error") {
+    import spark.implicits._
+    mk("t_mrg_dup", Seq((1L, "a", 10L)))
+    Seq((1L, "x", 1L), (1L, "y", 2L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("mrg_dup_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml.ns.t_mrg_dup t USING mrg_dup_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("duplicate keys"), s"got: ${e.getMessage}")
+  }
+
+  test("unroutable shapes refuse loudly instead of half-applying") {
+    import spark.implicits._
+    mk("t_refuse", Seq((1L, "a", 10L)))
+    Seq((1L, "x", 1L)).toDF("k", "s", "v").createOrReplaceTempView("refuse_src")
+    // subquery in UPDATE WHERE
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql(
+        "UPDATE dml.ns.t_refuse SET v = 0 WHERE k IN (SELECT k FROM refuse_src)")
+    }
+    assert(e1.getMessage.contains("subquery"))
+    // non-equi merge key
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO dml.ns.t_refuse t USING refuse_src s ON t.k > s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("ON"))
+    // computed INSERT value
+    val e3 = intercept[UnsupportedOperationException] {
+      spark.sql(
+        """MERGE INTO dml.ns.t_refuse t USING refuse_src s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v + 1)
+          |""".stripMargin)
+    }
+    assert(e3.getMessage.contains("pass-through"))
+    // state untouched by all three refusals
+    assert(state("t_refuse") == Seq((1L, "a", 10L)))
+  }
+}
