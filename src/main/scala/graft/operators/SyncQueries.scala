@@ -1115,6 +1115,59 @@ object SyncQueries {
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** FULL delete consolidation ([[IceliteTable.consolidateDeletesFull]])
+    * gated end to end on a churn-heavy table: upsert re-images and key
+    * deletes (equality-delete files) plus a coordinate position delete
+    * all fold into per-file DV bitmaps in ONE maintenance commit, a
+    * hot-tail equality delete lands AFTER the fold and still applies,
+    * and the aggregate over the converged state matches DuckDB's
+    * relational recomputation. Post-fold (pre-tail) reads carry ZERO
+    * delete joins — only the broadcast bitmap membership test
+    * (`IceliteDvSpec` pins the plan); at 100 TB that removes the
+    * delete-merge join from every read of a CDC-churned table.
+    */
+  def tableDvFull(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("dvfull-query")
+    val base = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(19)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_dvf", base.schema)
+    table.upsert(base, Seq("o_orderkey")) // s1: full insert
+    table.upsert( // s2: churn — re-image a third of the keys
+      base.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .withColumn("cents", col("cents") + 5L),
+      Seq("o_orderkey"))
+    table.delete( // s3: equality delete
+      base.filter(pmod(col("o_orderkey"), lit(7)) === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    table.deleteWhere(pmod(col("o_orderkey"), lit(5)) === 0) // s4: position delete
+    table.consolidateDeletesFull() // s5: eq + pos + churn masks → bitmaps
+    table.delete( // s6: hot tail after the fold
+      base.filter(pmod(col("o_orderkey"), lit(11)) === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    table.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val tableDvFullOracle =
+    """WITH state AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 3 = 0 THEN 5 ELSE 0 END AS cents
+      |  FROM orders
+      |  WHERE o_orderkey % 19 = 0
+      |    AND o_orderkey % 7 <> 0
+      |    AND o_orderkey % 5 <> 0
+      |    AND o_orderkey % 11 <> 0)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Keyless row-level UPDATE ([[IceliteTable.updateWhere]]) gated end
     * to end: one commit position-deletes the matching old images and
     * appends the mutated ones (all set-expressions against the
@@ -2298,6 +2351,9 @@ object SyncQueries {
       "equality + position deletes merged on read (Iceberg v2 delete shapes)"),
     GraftQuery("table_dv", tableDv _, Some(tableDvOracle),
       "deletion vectors: coordinate deletes consolidated to per-file bitmaps (Iceberg v3)"),
+    GraftQuery("table_dv_full", tableDvFull _, Some(tableDvFullOracle),
+      "FULL delete consolidation: equality+position deletes resolved into DV bitmaps, " +
+        "zero delete joins post-fold, hot tail still applies"),
     GraftQuery("table_update_where", tableUpdateWhere _, Some(tableUpdateWhereOracle),
       "keyless UPDATE WHERE: pos-delete old images + mutated append, one commit"),
     GraftQuery("table_cow_update", tableCowUpdate _, Some(tableCowUpdateOracle),

@@ -187,7 +187,7 @@ final class IceliteTable private (
       Long.MaxValue, withPos = true, meta = head)
     val visible = applyDeletes(
       applyPosState(data, head.snapshots),
-      head.snapshots.flatMap(_.deleteFiles))
+      eqDeleteState(head.snapshots))
     val coords = visible.filter(condition)
       .select(col(PosFileCol), col(PosCol)).withColumn(SeqCol, lit(seq))
       .cache()
@@ -248,6 +248,58 @@ final class IceliteTable private (
       if (files.isEmpty) (head, head.lastSeq) // every coordinate was inert
       else (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "rewrite-dv",
         Nil, Nil, 0, dvFiles = files)), seq)
+    }
+  }
+
+  /** FULL delete consolidation (Iceberg v3's DV-only direction): one
+    * maintenance commit that resolves EVERY live delete — equality
+    * deletes, coordinate position deletes, and the previous DV
+    * generation — into per-file deletion-vector bitmaps, by
+    * materializing the current visible set once and bitmap-encoding
+    * its complement. After it, the main read path applies deletes as a
+    * broadcast bitmap + codegen membership test and NOTHING ELSE: no
+    * (key, seq) anti-join, no coordinate anti-join — until new deletes
+    * land, which apply as a hot tail and fold on the next run. The
+    * semantics are exact because the fold evaluates the same MoR view
+    * a read would: an equality delete at seq D masks versions with
+    * seq < D, all of which exist at fold time (seqs are monotone, so
+    * no future row can be masked by a past delete).
+    *
+    * Like every maintenance rewrite the commit (`rewrite-dv-full`) is
+    * a changelog barrier; time travel and changelog scopes BEFORE it
+    * resolve the original delete files, which stay in their
+    * snapshots. Returns the commit seq (unchanged lastSeq when there
+    * was no delete state at all to consolidate).
+    */
+  def consolidateDeletesFull(): Long = retryCommit { head =>
+    val eqFiles = eqDeleteState(head.snapshots)
+    val (prevDvs, coordFiles) = posDeleteState(head.snapshots)
+    if (eqFiles.isEmpty && coordFiles.isEmpty && prevDvs.isEmpty) (head, head.lastSeq)
+    else {
+      val seq = head.lastSeq + 1
+      val commitId = UUID.randomUUID().toString
+      val encodeDv = udf((ps: Seq[Long]) => Dv.encode(ps.toArray))
+      val data = readFilesAs(head.snapshots.flatMap(_.dataFiles), head.schema,
+        Long.MaxValue, withPos = true, meta = head)
+      val visible = applyDeletes(applyPosState(data, head.snapshots), eqFiles)
+      // complement of the visible set = every masked physical row, by
+      // coordinates — positions are unique per physical row, so the
+      // anti-join is exact
+      val masked = data.select(col(PosFileCol), col(PosCol))
+        .join(visible.select(col(PosFileCol), col(PosCol)),
+          Seq(PosFileCol, PosCol), "left_anti")
+      val dv = masked
+        .groupBy(col(PosFileCol))
+        .agg(sort_array(collect_list(col(PosCol))).as("_ps"))
+        .select(col(PosFileCol), encodeDv(col("_ps")).as(DvCol),
+          size(col("_ps")).cast("long").as(DvCountCol))
+      val out = s"$location/deletes/$commitId"
+      dv.write.mode("errorifexists").parquet(out)
+      // an empty bitmap set (every delete was inert) still commits:
+      // the marker supersedes the inert files so reads stop paying
+      // for them
+      (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "rewrite-dv-full",
+        Nil, Nil, 0, dvFiles = listParquet(out))), seq)
     }
   }
 
@@ -1000,9 +1052,26 @@ final class IceliteTable private (
     * changelog derivation still resolve the original coordinates.
     */
   private def posDeleteState(snaps: Seq[Snapshot]): (Seq[String], Seq[String]) = {
-    val dvSnap = snaps.filter(_.dvFiles.nonEmpty).lastOption
+    // a FULL consolidation snapshot counts as a DV generation even
+    // when it wrote no bitmap (every delete was inert): it still
+    // supersedes all coordinates at or before its seq
+    val dvSnap = snaps.filter(s =>
+      s.dvFiles.nonEmpty || s.operation == "rewrite-dv-full").lastOption
     (dvSnap.map(_.dvFiles).getOrElse(Nil),
       snaps.filter(s => dvSnap.forall(s.seq > _.seq)).flatMap(_.posDeleteFiles))
+  }
+
+  /** Effective EQUALITY-delete state for a snapshot scope: a FULL
+    * consolidation ([[consolidateDeletesFull]], op `rewrite-dv-full`)
+    * resolved every equality delete at or before its seq into the DV
+    * bitmaps, so only delete files committed AFTER it — the hot tail —
+    * still anti-join at read time. Old snapshots keep their delete
+    * lists, so time travel and changelog scopes BEFORE the
+    * consolidation still resolve the original files.
+    */
+  private def eqDeleteState(snaps: Seq[Snapshot]): Seq[String] = {
+    val full = snaps.filter(_.operation == "rewrite-dv-full").lastOption
+    snaps.filter(s => full.forall(s.seq > _.seq)).flatMap(_.deleteFiles)
   }
 
   /** True when the scan must carry (file, pos) coordinates for `snaps`. */
@@ -1059,7 +1128,7 @@ final class IceliteTable private (
     // scope — the common (no-pos-delete) plan is unchanged
     val data = readFilesAs(snaps.flatMap(_.dataFiles), target, asOf,
       withPos = needPosCols(snaps))
-    applyDeletes(applyPosState(data, snaps), snaps.flatMap(_.deleteFiles))
+    applyDeletes(applyPosState(data, snaps), eqDeleteState(snaps))
       .select(target.fieldNames.map(col).toSeq: _*)
   }
 
@@ -1774,7 +1843,7 @@ final class IceliteTable private (
         readFilesAs(coldDataFiles, before.schema, Long.MaxValue,
           withPos = needPosCols(coldSnaps)),
         coldSnaps),
-      coldSnaps.flatMap(_.deleteFiles))
+      eqDeleteState(coldSnaps))
       .select((before.schema.fieldNames :+ SeqCol).map(col).toSeq: _*)
       .cache()
     try {
@@ -1929,6 +1998,14 @@ final class IceliteTable private (
         throw new IllegalStateException(
           s"rewrite-manifests on $name: schema evolution inside the folded range " +
             "would coarsen per-file epoch translation — compact() instead")
+      // a DV generation inside the folded range cannot merge: the fold
+      // flattens all seqs to one, which would wrongly supersede
+      // post-DV coordinate files and lose the dv-full marker's
+      // eq-supersession point — compact() folds deletes into bytes
+      if (olds.exists(s => s.dvFiles.nonEmpty || s.operation == "rewrite-dv-full"))
+        throw new IllegalStateException(
+          s"rewrite-manifests on $name: deletion-vector snapshot inside the folded " +
+            "range — compact() instead (it folds the delete state into data bytes)")
       val merged = Snapshot(olds.last.seq, olds.last.timestampMs, "rewrite-manifests",
         olds.flatMap(_.dataFiles), olds.flatMap(_.deleteFiles),
         olds.map(_.recordCount).sum,
@@ -2009,10 +2086,11 @@ final class IceliteTable private (
     val classified: Map[String, String] = before.snapshots.flatMap(s =>
       s.dataFiles.map(f => f -> classify(s.fileStats.getOrElse(f, Map.empty)))).toMap
     val mixedFiles = classified.collect { case (f, "mixed") => f }.toSeq
-    if (mixedFiles.nonEmpty && before.livePosDeleteFiles.nonEmpty)
+    if (mixedFiles.nonEmpty &&
+        (before.livePosDeleteFiles.nonEmpty || before.liveDvFiles.nonEmpty))
       throw new IllegalStateException(
-        s"overwritePartitions on $name: position deletes may target a mixed file " +
-          "being rewritten — compact() first to fold them")
+        s"overwritePartitions on $name: position deletes/DVs may target a mixed " +
+          "file being rewritten — compact() first to fold them")
 
     val seq = before.lastSeq + 1
     val commitId = UUID.randomUUID().toString
@@ -2201,7 +2279,7 @@ final class IceliteTable private (
       Long.MaxValue, withPos = true, meta = head)
     val visible = applyDeletes(
       applyPosState(data, head.snapshots),
-      head.snapshots.flatMap(_.deleteFiles))
+      eqDeleteState(head.snapshots))
     val matching = visible.filter(condition).cache()
     try {
       if (matching.isEmpty) (head, head.lastSeq)
@@ -2270,9 +2348,9 @@ final class IceliteTable private (
       if (!before.schema.fieldNames.contains(c))
         throw new IllegalArgumentException(s"update of $name: unknown column '$c'")
     }
-    if (before.livePosDeleteFiles.nonEmpty)
+    if (before.livePosDeleteFiles.nonEmpty || before.liveDvFiles.nonEmpty)
       throw new IllegalStateException(
-        s"copy-on-write update of $name: position deletes may target a file " +
+        s"copy-on-write update of $name: position deletes/DVs may target a file " +
           "being rewritten — compact() first to fold them")
     val beforeSeqs = before.snapshots.map(_.seq)
     val touched: Seq[String] = statRange match {
@@ -2288,7 +2366,7 @@ final class IceliteTable private (
     val seq = before.lastSeq + 1
     val commitId = UUID.randomUUID().toString
     val raw = readFilesAs(touched, before.schema, Long.MaxValue, meta = before)
-    val visible = applyDeletes(raw, before.liveDeleteFiles)
+    val visible = applyDeletes(raw, eqDeleteState(before.snapshots))
     // row lineage: a lineage-enabled table re-stamps _last_updated_seq
     // on exactly the rows the update modifies (callers never set it
     // directly — the commit seq is the table's to assign); _row_id is
@@ -3322,7 +3400,11 @@ final class IceliteTable private (
     if (bounds.isEmpty) read()
     else {
       val dataFiles = pruneConjunctive(m.snapshots, _.dataFiles, bounds)
+      // prune within the EFFECTIVE eq-delete state: files a full DV
+      // consolidation already resolved positionally never re-join
+      val eqLive = eqDeleteState(m.snapshots).toSet
       val delFiles = pruneConjunctive(m.snapshots, _.deleteFiles, bounds)
+        .filter(eqLive)
       // pos deletes / DVs carry no key stats — never pruned
       val rowBound = bounds.map { case (k, _, lo, hi) =>
         col(k) >= lit(lo) && col(k) <= lit(hi)
@@ -3372,7 +3454,7 @@ final class IceliteTable private (
       .withColumn(partCol, transformColumn(p)._2)
       .filter(lower.map(lo => col(partCol) >= lit(lo).cast(dt)).getOrElse(lit(true)))
       .filter(upper.map(hi => col(partCol) <= lit(hi).cast(dt)).getOrElse(lit(true)))
-    applyDeletes(applyPosState(bounded, m.snapshots), m.liveDeleteFiles)
+    applyDeletes(applyPosState(bounded, m.snapshots), eqDeleteState(m.snapshots))
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -3414,7 +3496,7 @@ final class IceliteTable private (
     val data = readFilesAs(m.liveDataFiles.filter(keep.contains), m.schema, Long.MaxValue,
       withPos = needPosCols(m.snapshots))
       .filter(rowBound)
-    applyDeletes(applyPosState(data, m.snapshots), m.liveDeleteFiles)
+    applyDeletes(applyPosState(data, m.snapshots), eqDeleteState(m.snapshots))
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -3506,7 +3588,7 @@ final class IceliteTable private (
     val data = readFilesAs(m.liveDataFiles.filter(keep.contains), m.schema, Long.MaxValue,
       withPos = needPosCols(m.snapshots))
       .filter(rowBound)
-    applyDeletes(applyPosState(data, m.snapshots), m.liveDeleteFiles)
+    applyDeletes(applyPosState(data, m.snapshots), eqDeleteState(m.snapshots))
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -3631,7 +3713,7 @@ final class IceliteTable private (
     val data = readFilesAs(kept, m.schema, Long.MaxValue,
       withPos = needPosCols(m.snapshots))
       .filter(col(keyCol).isin(keys: _*))
-    applyDeletes(applyPosState(data, m.snapshots), m.liveDeleteFiles)
+    applyDeletes(applyPosState(data, m.snapshots), eqDeleteState(m.snapshots))
       .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 

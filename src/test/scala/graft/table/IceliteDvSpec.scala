@@ -142,4 +142,67 @@ class IceliteDvSpec extends AnyFunSuite with SparkFixture {
     val want = (1L to 300L).filterNot(k => k % 5 == 0 || k == 3 || k == 7)
     assert(keys(t) == want)
   }
+
+  // ------------------------------------------- full delete consolidation
+
+  test("full consolidation resolves equality deletes too; the read keeps ONLY the DV path") {
+    import spark.implicits._
+    val t = seeded("t_full")
+    // churn: upsert re-images (equality deletes + new rows), key deletes,
+    // and a coordinate position delete
+    t.upsert((1L to 300L).filter(_ % 3 == 0).map(i => (i, i % 7, s"w$i")).toDF("k", "g", "s"),
+      Seq("k"))
+    t.delete((1L to 300L).filter(_ % 13 == 0).toDF("k"), Seq("k"))
+    t.deleteWhere(col("k") % 5 === 0)
+    val before = keys(t)
+    val seq = t.consolidateDeletesFull()
+    assert(seq == t.meta.lastSeq && t.meta.snapshots.last.operation == "rewrite-dv-full")
+    assert(keys(t) == before, "full-DV read must equal the pre-fold read")
+    // values survive too (the upserted images, not the originals)
+    val s3 = t.read().filter(col("k") === 3L).select("s").collect()(0).getString(0)
+    assert(s3 == "w3", "upsert image must survive the fold")
+    val plan = t.read().queryExecution.executedPlan.toString
+    assert(plan.contains("dv_contains"), s"DV membership test missing:\n$plan")
+    assert(!plan.contains("_max_del_seq"), s"eq-delete join survived the full fold:\n$plan")
+    assert(!plan.toLowerCase.contains("leftanti"), s"pos anti-join survived:\n$plan")
+  }
+
+  test("hot-tail deletes after a full consolidation apply and fold on the next run") {
+    import spark.implicits._
+    val t = seeded("t_full_tail")
+    t.delete((1L to 300L).filter(_ % 13 == 0).toDF("k"), Seq("k"))
+    t.consolidateDeletesFull()
+    t.delete((1L to 300L).filter(_ % 11 == 0).toDF("k"), Seq("k")) // hot tail
+    t.deleteWhere(col("k") % 17 === 0)
+    val want = (1L to 300L).filterNot(k => k % 13 == 0 || k % 11 == 0 || k % 17 == 0)
+    assert(keys(t) == want)
+    t.consolidateDeletesFull()
+    assert(keys(t) == want)
+    val plan = t.read().queryExecution.executedPlan.toString
+    assert(!plan.contains("_max_del_seq") && !plan.toLowerCase.contains("leftanti"),
+      s"second fold must clear the hot tail:\n$plan")
+  }
+
+  test("time travel before the full consolidation resolves the original equality deletes") {
+    import spark.implicits._
+    val t = seeded("t_full_tt") // seq 1, 2: appends
+    t.delete((1L to 300L).filter(_ % 13 == 0).toDF("k"), Seq("k")) // seq 3
+    t.consolidateDeletesFull() // seq 4
+    t.delete((1L to 300L).filter(_ % 11 == 0).toDF("k"), Seq("k")) // seq 5
+    def at(seq: Long) = t.readAt(seq).select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(at(2) == (1L to 300L))
+    assert(at(3) == (1L to 300L).filterNot(_ % 13 == 0))
+    assert(at(4) == (1L to 300L).filterNot(_ % 13 == 0))
+    assert(at(5) == (1L to 300L).filterNot(k => k % 13 == 0 || k % 11 == 0))
+  }
+
+  test("full consolidation with no delete state is a no-op; rewrite-manifests refuses DV ranges") {
+    val t = seeded("t_full_noop")
+    val s = t.consolidateDeletesFull()
+    assert(s == t.meta.lastSeq && t.meta.snapshots.last.operation != "rewrite-dv-full")
+    t.deleteWhere(col("k") % 5 === 0)
+    t.consolidateDeletesFull()
+    val e = intercept[IllegalStateException](t.rewriteManifests(keepRecent = 0))
+    assert(e.getMessage.contains("deletion-vector"))
+  }
 }
