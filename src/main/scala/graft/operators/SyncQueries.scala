@@ -1115,6 +1115,50 @@ object SyncQueries {
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** NESTED schema evolution gated end to end: a struct column's field
+    * is RENAMED and a new field ADDED between two append epochs —
+    * both metadata-only commits ([[IceliteTable.renameNestedField]],
+    * [[IceliteTable.addNestedField]]; zero data IO) — and the read
+    * serves epoch-1 files under the NEW shape (old bytes under the
+    * renamed field, NULL for the born-later field) next to epoch-2
+    * files that physically carry it. The oracle recomputes the same
+    * frame with a parity CASE. At 100 TB this is the no-rewrite
+    * struct evolution a long-lived synced table needs (the reference
+    * evolves document schemas continuously, `docs/design.md` schema
+    * inference).
+    */
+  def tableNestedEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("nested-query")
+    val base = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+    val epoch1 = base.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("st"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents")).as("meta"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_nested", epoch1.schema)
+    table.append(epoch1)
+    table.renameNestedField("meta", "st", "status")
+    table.addNestedField("meta",
+      org.apache.spark.sql.types.StructField("disc", org.apache.spark.sql.types.LongType))
+    val epoch2 = base.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          pmod(col("o_orderkey"), lit(97)).as("disc")).as("meta"))
+    table.append(epoch2)
+    table.read()
+      .select(col("o_orderkey"), col("meta.status").as("status"),
+        col("meta.cents").as("cents"), col("meta.disc").as("disc"))
+      .orderBy("o_orderkey")
+  }
+
+  private val tableNestedEvolutionOracle =
+    """SELECT o_orderkey, o_orderstatus AS status,
+      |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 97 END AS disc
+      |FROM orders WHERE o_orderkey % 13 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** FULL delete consolidation ([[IceliteTable.consolidateDeletesFull]])
     * gated end to end on a churn-heavy table: upsert re-images and key
     * deletes (equality-delete files) plus a coordinate position delete
@@ -2354,6 +2398,9 @@ object SyncQueries {
     GraftQuery("table_dv_full", tableDvFull _, Some(tableDvFullOracle),
       "FULL delete consolidation: equality+position deletes resolved into DV bitmaps, " +
         "zero delete joins post-fold, hot tail still applies"),
+    GraftQuery("table_nested_evolution", tableNestedEvolution _, Some(tableNestedEvolutionOracle),
+      "nested struct-field rename+add (metadata-only), epoch translation serves old " +
+        "files under the new shape"),
     GraftQuery("table_update_where", tableUpdateWhere _, Some(tableUpdateWhereOracle),
       "keyless UPDATE WHERE: pos-delete old images + mutated append, one commit"),
     GraftQuery("table_cow_update", tableCowUpdate _, Some(tableCowUpdateOracle),

@@ -196,10 +196,11 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
 
   /** `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN` map to
     * the schema-evolution commits (one metadata commit each, zero data
-    * IO; epoch translation serves old files under the new shape).
-    * Nested/positioned changes and property changes are refused —
-    * icelite columns are top-level and properties travel with their
-    * own APIs.
+    * IO; epoch translation serves old files under the new shape) —
+    * including STRUCT-FIELD adds and renames (`ADD COLUMNS (meta.c T)`,
+    * `RENAME COLUMN meta.a TO b`). Positioned changes, deeper nesting,
+    * nested drops, and property changes are refused; properties travel
+    * with their own APIs.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     requireUngoverned("ALTER TABLE")
@@ -211,12 +212,18 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 && a.position() == null =>
         t.addColumns(StructType(Seq(
           org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(), a.isNullable))))
+      case a: TableChange.AddColumn if a.fieldNames().length == 2 && a.position() == null =>
+        t.addNestedField(a.fieldNames()(0),
+          org.apache.spark.sql.types.StructField(a.fieldNames()(1), a.dataType(), a.isNullable))
       case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
         t.renameColumn(r.fieldNames()(0), r.newName())
+      case r: TableChange.RenameColumn if r.fieldNames().length == 2 =>
+        t.renameNestedField(r.fieldNames()(0), r.fieldNames()(1), r.newName())
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
         t.dropColumn(d.fieldNames()(0))
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE change $other: icelite supports top-level ADD/RENAME/DROP COLUMN")
+        s"ALTER TABLE change $other: icelite supports top-level ADD/RENAME/DROP " +
+          "COLUMN and struct-field ADD/RENAME")
     }
     loadTable(ident)
   }

@@ -1608,28 +1608,60 @@ final class IceliteTable private (
           .as(PosFileCol),
         col("_metadata.row_index").as(PosCol))
     else Nil
-    def readGroup(names: Seq[Option[String]], fs: Seq[String]): DataFrame = {
-      val present = target.fields.zip(names).collect { case (f, Some(n)) => f.copy(name = n) }
+    // per target column: (stored top-level name or None, nested
+    // field-name vector — Nil for non-structs and identity mappings)
+    type ColMap = (Option[String], Seq[(String, Option[String])])
+    def readGroup(names: Seq[ColMap], fs: Seq[String]): DataFrame = {
+      // a nested-evolved struct reads under its STORED shape (present
+      // fields only, stored names) and is rebuilt to the target shape
+      // in the projection
+      def storedType(f: org.apache.spark.sql.types.StructField,
+          nested: Seq[(String, Option[String])]) = f.dataType match {
+        case st: StructType if nested.nonEmpty =>
+          StructType(st.fields.toSeq.zip(nested).collect {
+            case (sf, (_, Some(sn))) => sf.copy(name = sn)
+          }.toArray)
+        case dt => dt
+      }
+      val present = target.fields.toSeq.zip(names).collect {
+        case (f, (Some(n), nested)) => f.copy(name = n, dataType = storedType(f, nested))
+      }
       val readSchema = StructType(present.toArray).add(SeqCol, "long")
       spark.read
         .schema(addPartitionFields(readSchema, m.partitioning))
         .parquet(fs.map(abs): _*)
         .select((target.fields.toSeq.zip(names).map {
-          case (f, Some(n)) => col(n).as(f.name)
+          case (f, (Some(n), Nil)) => col(n).as(f.name)
+          case (f, (Some(n), nested)) =>
+            val st = f.dataType.asInstanceOf[StructType]
+            val rebuilt = struct(st.fields.toSeq.zip(nested).map {
+              case (sf, (_, Some(sn))) => col(n).getField(sn).as(sf.name)
+              case (sf, (_, None)) => lit(null).cast(sf.dataType).as(sf.name)
+            }: _*)
+            // a NULL struct must stay NULL, not become a struct of nulls
+            when(col(n).isNull, lit(null).cast(f.dataType))
+              .otherwise(rebuilt).as(f.name)
           // absent from this epoch's files: the declared initial
           // default if one exists (addColumnWithDefault), else null
-          case (f, None) =>
+          case (f, (None, _)) =>
             defaultLit(m.properties, f.name).getOrElse(lit(null))
               .cast(f.dataType).as(f.name)
         } :+ col(SeqCol)) ++ posCols: _*)
     }
     if (schemaOps(m.properties).forall(_.seq > asOf))
-      readGroup(target.fieldNames.toSeq.map(Some(_)), files)
+      readGroup(target.fieldNames.toSeq.map(n => (Some(n), Nil)), files)
     else {
       val seqOf = m.snapshots.flatMap(s => s.dataFiles.map(_ -> s.seq)).toMap
       files.groupBy { f =>
         val fileSeq = seqOf.getOrElse(f, Long.MaxValue)
-        target.fieldNames.toSeq.map(n => nameAtFileSeq(n, asOf, fileSeq))
+        target.fields.toSeq.map { tf =>
+          val top = nameAtFileSeq(tf.name, asOf, fileSeq)
+          val nested = (top, tf.dataType) match {
+            case (Some(_), st: StructType) => nestedNamesAtFileSeq(tf.name, st, asOf, fileSeq)
+            case _ => Nil
+          }
+          (top, nested): ColMap
+        }
       }.toSeq.map { case (names, fs) => readGroup(names, fs) }
         .reduce(_ unionByName _)
     }
@@ -2780,6 +2812,10 @@ final class IceliteTable private (
     if (head.schema.fieldNames.contains(to))
       throw new IllegalArgumentException(s"column '$to' already exists in $name")
     requireNotAnchored(head, from, "rename")
+    if (hasNestedOps(head, from))
+      throw new IllegalArgumentException(
+        s"cannot rename column '$from' of $name: it carries nested schema ops " +
+          "(the epoch walk keys on the stable top name) — compact() first")
     val seq = head.lastSeq + 1
     val newSchema = StructType(head.schema.fields.map(x =>
       if (x.name == from) x.copy(name = to) else x))
@@ -2818,6 +2854,79 @@ final class IceliteTable private (
       .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
   }
 
+  /** Metadata-only NESTED field rename (ALTER TABLE … RENAME COLUMN
+    * meta.a TO b): the struct column's type changes in the committed
+    * schema, no file is rewritten — the read path rebuilds the struct
+    * per file epoch from the stored field names. Top-level renames of
+    * a nested-evolved column (and nested ops on a top-renamed column)
+    * are refused: the epoch walk is keyed on one stable column name.
+    */
+  def renameNestedField(colName: String, from: String, to: String): Long =
+    retryCommit { head =>
+      val st = structTypeOf(head, colName, "rename nested field")
+      if (!st.fieldNames.contains(from))
+        throw new IllegalArgumentException(s"no field '$colName.$from' in $name")
+      if (st.fieldNames.contains(to))
+        throw new IllegalArgumentException(s"field '$colName.$to' already exists in $name")
+      requireStableTopName(head, colName)
+      val seq = head.lastSeq + 1
+      val newSt = StructType(st.fields.map(x => if (x.name == from) x.copy(name = to) else x))
+      val ops = schemaOps(head.properties) :+ SchemaOp.NestedRename(colName, from, to, seq)
+      (head.withSchema(withFieldType(head.schema, colName, newSt))
+        .copy(properties = head.properties + (SchemaOpsProp -> SchemaOp.render(ops)))
+        .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+    }
+
+  /** Metadata-only NESTED field ADD (ALTER TABLE … ADD COLUMNS
+    * (meta.c TYPE)): appended at the end of the struct; files written
+    * before the add serve NULL for it (fresh-field semantics hold even
+    * if the nested name had a previous life).
+    */
+  def addNestedField(colName: String, field: org.apache.spark.sql.types.StructField): Long =
+    retryCommit { head =>
+      val st = structTypeOf(head, colName, "add nested field")
+      if (st.fieldNames.contains(field.name))
+        throw new IllegalArgumentException(
+          s"field '$colName.${field.name}' already exists in $name")
+      requireStableTopName(head, colName)
+      val seq = head.lastSeq + 1
+      val newSt = StructType(st.fields :+ field.copy(nullable = true))
+      val ops = schemaOps(head.properties) :+ SchemaOp.NestedAdd(colName, field.name, seq)
+      (head.withSchema(withFieldType(head.schema, colName, newSt))
+        .copy(properties = head.properties + (SchemaOpsProp -> SchemaOp.render(ops)))
+        .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+    }
+
+  private def structTypeOf(head: TableMeta, colName: String, what: String): StructType =
+    head.schema.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no column '$colName' in $name")).dataType match {
+      case st: StructType => st
+      case other => throw new IllegalArgumentException(
+        s"$what on $name: '$colName' is ${other.catalogString}, not a struct")
+    }
+
+  private def withFieldType(s: StructType, colName: String, dt: org.apache.spark.sql.types.DataType): StructType =
+    StructType(s.fields.map(f => if (f.name == colName) f.copy(dataType = dt) else f))
+
+  /** Nested evolution keys the epoch walk on the column's top-level
+    * name; a column that was ever top-renamed (or is about to be)
+    * cannot also carry nested ops.
+    */
+  private def requireStableTopName(head: TableMeta, colName: String): Unit =
+    if (schemaOps(head.properties).exists {
+      case SchemaOp.Rename(from, to, _) => from == colName || to == colName
+      case _ => false
+    }) throw new IllegalArgumentException(
+      s"nested evolution on $name.$colName: the column was renamed at top level — " +
+        "compact() first to rebase the layout")
+
+  private def hasNestedOps(head: TableMeta, colName: String): Boolean =
+    schemaOps(head.properties).exists {
+      case SchemaOp.NestedRename(c, _, _, _) => c == colName
+      case SchemaOp.NestedAdd(c, _, _) => c == colName
+      case _ => false
+    }
+
   /** Columns that anchor physical artifacts may not change name or
     * vanish: equality-delete files carry key columns by name,
     * partition transforms (current AND retired) recompute from their
@@ -2852,6 +2961,24 @@ final class IceliteTable private (
       StructType((pre :+ org.apache.spark.sql.types.StructField(n, dt)) ++ post)
     case SchemaOp.Add(n, _) =>
       StructType(s.fields.filterNot(_.name == n))
+    case SchemaOp.NestedRename(c, from, to, _) =>
+      StructType(s.fields.map {
+        case f if f.name == c => f.dataType match {
+          case st: StructType => f.copy(dataType = StructType(
+            st.fields.map(x => if (x.name == to) x.copy(name = from) else x)))
+          case _ => f
+        }
+        case f => f
+      })
+    case SchemaOp.NestedAdd(c, field, _) =>
+      StructType(s.fields.map {
+        case f if f.name == c => f.dataType match {
+          case st: StructType =>
+            f.copy(dataType = StructType(st.fields.filterNot(_.name == field)))
+          case _ => f
+        }
+        case f => f
+      })
   }
 
   /** The name column `targetName` (valid at `asOfSeq`) had when a file
@@ -2882,6 +3009,33 @@ final class IceliteTable private (
           else Some(n)
         case (acc, _) => acc
       }
+
+  /** Nested field-name vector of struct column `colName` (target shape
+    * `st`, valid at `asOfSeq`) as stored by a file written at
+    * `fileSeq`: one (targetField → stored name or None) pair per
+    * target field, walked backward through the nested op log exactly
+    * like [[nameAtFileSeq]]. `None` = the field was born after the
+    * file (serve NULL — fresh-field semantics, even over same-named
+    * bytes from a previous life). Returns Nil when the mapping is the
+    * identity, so unevolved structs keep the flat fast path and the
+    * common group key.
+    */
+  private def nestedNamesAtFileSeq(
+      colName: String, st: StructType,
+      asOfSeq: Long, fileSeq: Long): Seq[(String, Option[String])] = {
+    val walked = schemaOps(cachedMeta.properties).reverse
+      .filter(op => op.seq > fileSeq && op.seq <= asOfSeq)
+      .foldLeft(st.fieldNames.toSeq.map(n => n -> Option(n))) { (acc, op) =>
+        op match {
+          case SchemaOp.NestedRename(c, from, to, _) if c == colName =>
+            acc.map { case (t, n) => (t, n.map(x => if (x == to) from else x)) }
+          case SchemaOp.NestedAdd(c, field, _) if c == colName =>
+            acc.map { case (t, n) => (t, n.filterNot(_ == field)) }
+          case _ => acc
+        }
+      }
+    if (walked.forall { case (t, s) => s.contains(t) }) Nil else walked
+  }
 
   /** A name has a PREVIOUS LIFE before `beforeSeq` iff an earlier op
     * shows files may physically store bytes under it: it was dropped,
@@ -4150,6 +4304,17 @@ object IceliteTable {
       * this, re-adding such a name silently resurrects dead data.
       */
     final case class Add(name: String, seq: Long) extends SchemaOp
+    /** Field rename INSIDE a struct column (`col`'s top-level name is
+      * stable — mixing top renames with nested ops is refused, which
+      * keeps the epoch walk keyed on one name).
+      */
+    final case class NestedRename(col: String, from: String, to: String, seq: Long)
+      extends SchemaOp
+    /** Field birth INSIDE a struct column: files written before it
+      * serve NULL for the field, even if an older file stores bytes
+      * under the same nested name from a previous life.
+      */
+    final case class NestedAdd(col: String, field: String, seq: Long) extends SchemaOp
 
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -4166,6 +4331,13 @@ object IceliteTable {
         case Add(n, s) =>
           val o = arr.addObject()
           o.put("op", "add"); o.put("name", n); o.put("seq", s)
+        case NestedRename(c, f, t, s) =>
+          val o = arr.addObject()
+          o.put("op", "nested-rename"); o.put("col", c)
+          o.put("from", f); o.put("to", t); o.put("seq", s)
+        case NestedAdd(c, f, s) =>
+          val o = arr.addObject()
+          o.put("op", "nested-add"); o.put("col", c); o.put("field", f); o.put("seq", s)
       }
       arr.toString
     }
@@ -4182,6 +4354,11 @@ object IceliteTable {
               o.get("index").asInt(), o.get("seq").asLong())
           case "add" =>
             Add(o.get("name").asText(), o.get("seq").asLong())
+          case "nested-rename" =>
+            NestedRename(o.get("col").asText(), o.get("from").asText(),
+              o.get("to").asText(), o.get("seq").asLong())
+          case "nested-add" =>
+            NestedAdd(o.get("col").asText(), o.get("field").asText(), o.get("seq").asLong())
           case other => throw new IllegalStateException(s"unknown schema op '$other'")
         }
       }.toSeq

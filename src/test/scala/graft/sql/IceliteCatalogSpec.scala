@@ -157,6 +157,36 @@ class IceliteCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.t_gov").collect().head.getLong(0) == 100)
   }
 
+  test("ALTER TABLE nested struct-field add/rename evolve through epoch translation") {
+    import spark.implicits._
+    val wh0 = wh
+    val df1 = (1L to 50L).map(i => (i, (s"n$i", i * 10L))).toDF("k", "meta")
+    val t = IceliteTable.create(spark, wh0, "ns", "t_nested", df1.schema)
+    t.append(df1) // epoch 1: meta = {_1, _2}
+    spark.sql(s"ALTER TABLE $cat.ns.t_nested RENAME COLUMN meta._1 TO label")
+    spark.sql(s"ALTER TABLE $cat.ns.t_nested ADD COLUMNS (meta.score BIGINT)")
+    // epoch 2 writes the NEW shape
+    val t2 = IceliteTable.load(spark, wh0, "ns", "t_nested")
+    val df2 = (51L to 60L).map(i => (i, (s"n$i", i * 10L, i * 7L))).toDF("k", "meta")
+    t2.append(df2)
+    val got = spark.sql(
+      s"""SELECT k, meta.label AS label, meta._2 AS v, meta.score AS score
+         |FROM $cat.ns.t_nested ORDER BY k""".stripMargin).collect()
+    assert(got.length == 60)
+    // epoch-1 rows: renamed field serves the old bytes, added field is null
+    assert(got(0).getString(1) == "n1" && got(0).getLong(2) == 10L && got(0).isNullAt(3))
+    // epoch-2 rows carry the new field
+    assert(got(59).getString(1) == "n60" && got(59).getLong(3) == 420L)
+    // time travel BEFORE the evolution shows the original nested shape
+    val old = t2.readAt(1).schema("meta").dataType.asInstanceOf[StructType]
+    assert(old.fieldNames.toSeq == Seq("_1", "_2"))
+    // refusal discipline: nested ops and top renames don't mix
+    intercept[IllegalArgumentException](t2.renameColumn("meta", "meta2"))
+    // nested drop is refused (not implemented)
+    intercept[UnsupportedOperationException](
+      spark.sql(s"ALTER TABLE $cat.ns.t_nested DROP COLUMN meta.score"))
+  }
+
   test("schema evolution: pre-add rows read null through SQL") {
     import spark.implicits._
     val t = seed("t_evo")
