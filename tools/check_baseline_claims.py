@@ -67,6 +67,34 @@ def main():
                   f"{path} records {ok}/{stotal}"
                   f" (red: {', '.join(bad) or 'none'})")
             fail = True
+    # Bench-total discipline (r15 VERDICT #8), rounds >= 16: the bench
+    # cell must lead with 'pending' until the DRIVER's BENCH_r{N}.json
+    # exists, and once it does, the leading number must be the driver
+    # sidecar's total (builder runs belong in the notes as supporting
+    # evidence). Historical rows (<= 15) predate the rule.
+    for m in re.finditer(r"^\| (\d+) \| \d+ \| [^|]* \| ([^|]*) \|", md, re.M):
+        rnd, cell = int(m.group(1)), m.group(2).strip()
+        if rnd < 16:
+            continue
+        lead = re.match(r"\**(\d+(?:\.\d+)?)", cell)
+        path = f"BENCH_r{rnd:02d}.json"
+        if not os.path.exists(path):
+            if lead:
+                print(f"round {rnd}: bench cell leads with {lead.group(1)} but "
+                      f"{path} does not exist yet — write 'pending' and keep "
+                      "builder-run numbers in the notes column")
+                fail = True
+            continue
+        with open(path) as f:
+            driver_total = float(json.load(f)["value"])
+        if not lead:
+            print(f"round {rnd}: bench cell must lead with the driver total "
+                  f"{driver_total} from {path}")
+            fail = True
+        elif abs(float(lead.group(1)) - driver_total) > max(0.05, driver_total * 1e-3):
+            print(f"round {rnd}: bench cell leads with {lead.group(1)} but "
+                  f"{path} records {driver_total} — quote the driver sidecar")
+            fail = True
     if fail:
         sys.exit(1)
     print("BASELINE round-row claims consistent with the driver sidecars")
