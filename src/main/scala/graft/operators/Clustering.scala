@@ -97,6 +97,47 @@ object Clustering {
     .select(col("vec_id"), col("label"), col("nsq"),
       (col("i0") + 1).as("i"), col("v").cast("double").as("val"))
 
+  /** Size gate for the matrix-argmax fast path: the centroid table
+    * collects to the driver and bakes into a [[graft.functions.CentroidArgMax]]
+    * projection only while k×dims stays bounded (4M doubles ≈ 32 MB —
+    * comfortably broadcastable); past it, assignment falls back to the
+    * relational explode+join+aggregate, which never materializes the
+    * matrix anywhere. The sf1 scale probe motivated the fast path: the
+    * n×k×dims exact-decimal aggregation dominated the cluster-index
+    * ingest (741 s at 10× data), while the same math as k per-row dot
+    * products costs no shuffle at all.
+    */
+  val MatrixMaxValues: Long = 4L << 20
+
+  /** Assignment under EXPLICIT centroids, via the gated matrix fast
+    * path when it fits ([[CentroidArgMax]] — bit-exact with the
+    * relational pipeline by construction, see its doc) or the
+    * relational path otherwise. `e` is the norm-carrying embeddings
+    * frame; `dims` its embedding width.
+    */
+  private def assignGated(
+      e: DataFrame, c: DataFrame, cn: DataFrame, dims: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cnRows = cn.collect() // k rows — tiny at any scale
+    val k = cnRows.length
+    if (k.toLong * dims > MatrixMaxValues || k == 0)
+      return assignUnder(elemsOf(e), c, cn)
+    val cids = cnRows.map(_.getLong(0)).sorted
+    val idx = cids.zipWithIndex.toMap
+    val cnorms = new Array[Double](k)
+    cnRows.foreach(r => cnorms(idx(r.getLong(0))) = r.getDouble(1))
+    val matrix = Array.fill(k)(new Array[Double](dims))
+    c.collect().foreach { r => // (cid, i, cval), i is 1-based
+      val i = r.getInt(1) - 1
+      if (i >= 0 && i < dims) matrix(idx(r.getLong(0)))(i) = r.getDouble(2)
+    }
+    val expr = graft.functions.CentroidArgMax(
+      ColumnBridge.expression(col("embedding")),
+      ColumnBridge.expression(col("nsq")),
+      cids, matrix, cnorms)
+    e.select(col("vec_id"), ColumnBridge.column(expr).as("cid"))
+  }
+
   /** Assignment of exploded elements under EXPLICIT centroids (cid, i,
     * cval) + norms (cid, c_nsq): exact-decimal dot, one division,
     * argmax by (cos desc, cid asc). Shared by the Lloyd loop and the
@@ -111,9 +152,15 @@ object Clustering {
       .join(broadcast(cn), "cid")
       .select(col("vec_id"), col("cid"),
         (col("cdot") / (sqrt(col("nsq")) * sqrt(col("c_nsq")))).as("cos"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("cid"))
-    cos.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "cid")
+    // argmax as ONE struct-max aggregation (cos desc, min-cid tie-break
+    // via negation) instead of a row_number window: the n×k cosine
+    // stream map-side-combines to one row per vector per partition and
+    // never sorts — the sf1 probe showed this window (×k centroids ×
+    // Lloyd rounds) dominating the cluster-index ingest. Identical
+    // result: max over (cos, -cid) IS the (cos desc, cid asc) pick.
+    cos.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m").getField("nc")).as("cid"))
   }
 
   private def normsOf(c: DataFrame): DataFrame =
@@ -142,8 +189,17 @@ object Clustering {
   def assignBatch(batch: DataFrame, centroids: DataFrame): DataFrame = {
     val e = batch.select(col("vec_id"), col("label"), col("embedding"),
       Dedup.decimalNormSq(col("embedding")).as("nsq"))
-    assignUnder(elemsOf(e), centroids, normsOf(centroids))
+    assignGated(e, centroids, normsOf(centroids), dimsOf(e))
   }
+
+  /** Embedding width of a frame (one limit-1 job; 0 for an empty
+    * frame, which routes the gate to the relational no-op path).
+    */
+  private def dimsOf(e: DataFrame): Int =
+    e.select(col("embedding")).head(1) match {
+      case Array(r) => r.getSeq[Float](0).length
+      case _ => 0
+    }
 
   private def assignmentsWithBase(
       spark: SparkSession, dir: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
@@ -175,6 +231,7 @@ object Clustering {
       e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0 (got k=$k, iters=$iters)")
     val elems = elemsOf(e)
+    val dims = dimsOf(e)
 
     // new centroids = exact-decimal component sums of the members; the
     // norm table derives from the centroid table, so callers checkpoint
@@ -189,7 +246,7 @@ object Clustering {
       .select(col("vec_id").as("cid"), col("nsq").as("c_nsq"))
     var a: DataFrame = null
     for (r <- 1 to iters) {
-      a = assignUnder(elems, c, cn)
+      a = assignGated(e, c, cn, dims)
       if (r < iters) { // the last round's centroids are never used
         c = update(a).localCheckpoint(true) // ONE materialization per round
         cn = normsOf(c) // k rows over the checkpointed frame — no second job
