@@ -85,10 +85,25 @@ final class InitialSync(
     }
 
     val boundaries = chunkBoundaries(remaining, idCol, effectiveMaxRecords(remaining))
+    // STAGE the remaining source once: range-partitioned on the id and
+    // sorted within partitions, disk-backed cache. Before this, every
+    // chunk's append re-filtered the raw source — a range predicate
+    // over an unsorted scan reads ~everything, so an N-chunk sync paid
+    // N source scans (the sf1 probe's O(N²/chunk) term: 50k → 21k
+    // docs/s at 10× data). Staged, each chunk's range filter prunes
+    // cached batches by their id min/max (in-memory batch pruning over
+    // the sorted layout), so the loop reads each row ~once. This is
+    // the classic sort-stage of a bulk loader: ONE extra materialized
+    // copy, spilled to executor disks at scale, dropped at the end.
+    val staged =
+      if (boundaries.size >= InitialSync.StageMinChunks)
+        remaining.repartitionByRange(boundaries.size, col(idCol))
+          .sortWithinPartitions(idCol).persist()
+      else remaining
     var lower: Option[Any] = None
     var checkpointed = ckptHwm.isDefined
     for (upper <- boundaries) {
-      val chunk = remaining
+      val chunk = staged
         .filter(lower.map(lo => col(idCol) > typedLit(lo, idType)).getOrElse(lit(true)))
         .filter(col(idCol) <= typedLit(upper, idType))
       val t0 = System.currentTimeMillis()
@@ -123,6 +138,8 @@ final class InitialSync(
       }
       lower = Some(upper)
     }
+
+    if (staged ne remaining) staged.unpersist(false)
 
     // complete → STEADY_STATE (reference: initial sync done, hand off)
     checkpoints.write(CheckpointRecord(
@@ -227,6 +244,11 @@ object InitialSync {
     * `batch.maxBytes` flush threshold.
     */
   val BytesSampleDocs = 1000
+
+  /** Minimum chunk count before the sort-stage pays for itself (a 1-3
+    * chunk sync scans the source about once either way).
+    */
+  val StageMinChunks = 4
 
   /** Create the target table on first batch if absent (reference S7):
     * auto mode infers the union schema from a sample; explicit mode
