@@ -49,10 +49,17 @@ object Bench {
     // ingest_failed sidecar list), not silently swallowed — otherwise
     // the first query to touch the missing index absorbs a full
     // corpus-scan build under its timed run with no signal why.
+    // focused-probe knobs (BOTH unset in driver runs — full suite):
+    // SPARK_GRAFT_ONLY=prefix1,prefix2 times only matching queries;
+    // SPARK_GRAFT_SKIP_INGEST=1 skips the index builds (only safe when
+    // the filtered queries read no persisted index, e.g. sync_/table_)
+    val onlyPrefixes = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    val skipIngest = sys.env.get("SPARK_GRAFT_SKIP_INGEST").contains("1")
     val ingestFailed = scala.collection.mutable.Set.empty[String]
     def ingest(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try body catch {
+      try { if (!skipIngest) body } catch {
         case e: Throwable =>
           ingestFailed += name
           System.err.println(s"ingest $name FAILED: $e")
@@ -121,7 +128,9 @@ object Bench {
       try org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
       catch { case _: Throwable => () }
     def pass(): Seq[(String, Double, Boolean, Long)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => onlyPrefixes.forall(_.exists(n.startsWith)) }
+        .map { case (name, fn) =>
         System.gc() // don't bill one query for its predecessors' garbage
         drainTally()
         val w0 = tally.written.get()

@@ -52,7 +52,8 @@ import graft.table.IceliteTable
   * appends through [[V1Write]] → [[IceliteTable.append]] (one icelite
   * commit per INSERT).
   */
-final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
+final class IceliteCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -241,6 +242,30 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(old: Identifier, n: Identifier): Unit =
     throw new UnsupportedOperationException("icelite tables are path-addressed; rename is a catalog move")
+
+  // -------------------------------------------------------- procedures
+
+  /** `CALL <name>.system.<proc>(table => 'ns.t', …)` — Iceberg-parity
+    * maintenance procedures ([[IceliteProcedures]]). Governed catalogs
+    * refuse: maintenance mutates table state, and the governed role is
+    * read-only by contract.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    requireUngoverned("CALL")
+    if (ident.namespace().toSeq != Seq("system"))
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.namespace().mkString(".")}.${ident.name} — " +
+          s"procedures live under $catName.system")
+    IceliteProcedures.load(spark, warehouse, ident.name).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.name} (have: ${IceliteProcedures.names.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      IceliteProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // -------------------------------------------------------- namespaces
 

@@ -1,0 +1,99 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.IceliteTable
+
+/** Iceberg-parity SQL stored procedures for table maintenance —
+  * `CALL <catalog>.system.<proc>(table => 'ns.t', …)` (the DSv2
+  * procedure surface Spark 4.1 added; reference `docs/design.md`
+  * "Maintenance": compaction and snapshot expiry are the reference's
+  * own two scheduled actions, surfaced here the way Iceberg's Spark
+  * integration surfaces them — as catalog procedures, so an operator
+  * can run table upkeep from plain SQL without the Scala API).
+  *
+  * Every procedure is a thin router onto the already-gated
+  * [[IceliteTable]] maintenance methods; each returns a one-row result
+  * via [[LocalScan]] so `CALL` surfaces the commit seq / removal count
+  * it produced. All are side-effecting ⇒ `isDeterministic = false`.
+  */
+object IceliteProcedures {
+
+  private def in(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def inD(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private final case class Spec(
+      name: String,
+      description: String,
+      params: Seq[ProcedureParameter],
+      resultSchema: StructType,
+      body: (IceliteTable, InternalRow) => Seq[Any])
+
+  private val tableParam = in("table", StringType)
+  private def seqResult = StructType(Seq(StructField("snapshot_seq", LongType, nullable = false)))
+  private def countResult(n: String) = StructType(Seq(StructField(n, IntegerType, nullable = false)))
+
+  private val specs: Seq[Spec] = Seq(
+    Spec("compact", "bin-pack live data files into ~target_file_mb files (one rewrite commit)",
+      Seq(tableParam, inD("target_file_mb", IntegerType, "256")), seqResult,
+      (t, r) => Seq(t.compact(r.getInt(1)))),
+    Spec("expire_snapshots", "delete metadata versions beyond keep_versions and sweep orphans",
+      Seq(tableParam, inD("keep_versions", IntegerType, "3")), countResult("expired_versions"),
+      (t, r) => Seq(t.expireSnapshots(r.getInt(1)))),
+    Spec("remove_orphan_files", "delete files referenced by no retained snapshot and older than grace_ms (< 0 = default TTL)",
+      Seq(tableParam, inD("grace_ms", LongType, "-1")), countResult("removed"),
+      (t, r) => Seq(if (r.getLong(1) < 0) t.removeOrphans() else t.removeOrphans(r.getLong(1)))),
+    Spec("rewrite_manifests", "fold file lists of snapshots older than the keep_recent most recent into one base snapshot (metadata-only)",
+      Seq(tableParam, inD("keep_recent", IntegerType, "2")), seqResult,
+      (t, r) => Seq(t.rewriteManifests(r.getInt(1)))),
+    Spec("rollback_to_snapshot", "metadata-only rollback: snapshots after seq leave the live view",
+      Seq(tableParam, in("seq", LongType)), seqResult,
+      (t, r) => Seq(t.rollbackTo(r.getLong(1)))),
+    Spec("consolidate_deletes", "fold equality+position deletes (full => including prior DVs) into per-file deletion-vector bitmaps",
+      Seq(tableParam, inD("full", BooleanType, "true")), seqResult,
+      (t, r) => Seq(if (r.getBoolean(1)) t.consolidateDeletesFull() else t.consolidateDeleteVectors())),
+    Spec("analyze", "compute column stats (NDV sketch, bounds) for the comma-separated columns; one metadata commit",
+      Seq(tableParam, in("columns", StringType)), seqResult,
+      (t, r) => Seq(t.analyze(r.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))))
+
+  def names: Seq[String] = specs.map(_.name)
+
+  def load(spark: SparkSession, warehouse: String, name: String): Option[UnboundProcedure] =
+    specs.find(_.name == name).map(new Proc(spark, warehouse, _))
+
+  private final class Proc(spark: SparkSession, warehouse: String, spec: Spec)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = spec.name
+    override def description(): String = spec.description
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = spec.params.toArray
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ref = input.getUTF8String(0).toString
+      val t = ref.split('.') match {
+        case Array(ns, tn) => IceliteTable.load(spark, warehouse, ns, tn)
+        case _ => throw new IllegalArgumentException(
+          s"procedure ${spec.name}: table must be 'namespace.table', got '$ref'")
+      }
+      val vals = spec.body(t, input).map {
+        case s: String => UTF8String.fromString(s)
+        case x => x
+      }
+      val out = InternalRow.fromSeq(vals)
+      val schema = spec.resultSchema
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(out)
+        override def readSchema(): StructType = schema
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+}

@@ -423,6 +423,55 @@ object SqlSurface {
       |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------- table_sql_maintenance
+
+  /** The whole maintenance lifecycle driven PURELY through SQL `CALL`
+    * ([[IceliteProcedures]], Spark 4.1 DSv2 procedures — the Iceberg
+    * stored-procedure surface): a fragmented table (3 append commits +
+    * a position delete) is consolidated to deletion vectors, compacted
+    * to one clean file set, its history expired, and its orphans swept
+    * — four `CALL <cat>.system.<proc>(…)` statements — then ONE SQL
+    * SELECT reads the surviving state. The oracle recomputes the
+    * survivors relationally: if any CALL corrupted, dropped, or
+    * resurrected a row, the hash gate fails. Each CALL's one-row
+    * result (commit seq / counts) is asserted in-fixture so a
+    * procedure that silently no-ops also fails.
+    */
+  def tableSqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(31)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val table = freshTable(spark, wh, "analytics", "orders_maint", src.schema)
+    table.append(src.filter(pmod(col("o_orderkey"), lit(3)) === 0)) // seq 1
+    table.append(src.filter(pmod(col("o_orderkey"), lit(3)) === 1)) // seq 2
+    table.append(src.filter(pmod(col("o_orderkey"), lit(3)) === 2)) // seq 3
+    table.deleteWhere(pmod(col("o_orderkey"), lit(5)) === 0)        // seq 4 (pos-delete)
+    def call(stmt: String): org.apache.spark.sql.Row =
+      spark.sql(s"CALL $CatName.system.$stmt").collect()(0)
+    val dvSeq = call("consolidate_deletes(table => 'analytics.orders_maint')").getLong(0)
+    require(dvSeq == 5, s"consolidate_deletes committed seq $dvSeq, expected 5")
+    val compactSeq = call("compact(table => 'analytics.orders_maint')").getLong(0)
+    require(compactSeq == 6, s"compact committed seq $compactSeq, expected 6")
+    val expired = call("expire_snapshots(table => 'analytics.orders_maint', keep_versions => 2)").getInt(0)
+    require(expired > 0, "expire_snapshots removed no metadata versions")
+    val swept = call("remove_orphan_files(table => 'analytics.orders_maint', grace_ms => 0)").getInt(0)
+    require(swept > 0, "remove_orphan_files swept nothing after a full-table compaction")
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $CatName.analytics.orders_maint
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val tableSqlMaintenanceOracle =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |WHERE o_orderkey % 31 = 0 AND o_orderkey % 5 <> 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   def all: Seq[GraftQuery] = Seq(
@@ -439,5 +488,7 @@ object SqlSurface {
     GraftQuery("table_stream_sink", tableStreamSink _, Some(tableStreamSinkOracle),
       "pure readStream->writeStream CDC: native source piped into the icelite sink"),
     GraftQuery("table_stream_agg", tableStreamAgg _, Some(tableStreamAggOracle),
-      "stateful streaming rollup upserted into icelite via the sink; state resumes across drains"))
+      "stateful streaming rollup upserted into icelite via the sink; state resumes across drains"),
+    GraftQuery("table_sql_maintenance", tableSqlMaintenance _, Some(tableSqlMaintenanceOracle),
+      "full maintenance lifecycle via SQL CALL procedures: consolidate_deletes, compact, expire, sweep orphans"))
 }

@@ -41,6 +41,18 @@ final class IceliteTable private (
     */
   private def cachedMeta: TableMeta = cachedHead.meta
 
+  /** Snapshot value → location-relative path of the immutable MANIFEST
+    * file already carrying its heavy payload ([[TableMeta.payloadJson]]).
+    * Keyed by the case-class VALUE: any code that derives a modified
+    * snapshot (partition overwrite / CoW update pruning dead files from
+    * old snapshots) produces a different value, misses here, and gets a
+    * fresh manifest — stale pointers are impossible by construction.
+    * Populated on load (from pointers in the version JSON) and on
+    * commit (when this instance externalizes a new snapshot).
+    */
+  private val manifestPaths =
+    new java.util.concurrent.ConcurrentHashMap[Snapshot, String]()
+
   def meta: TableMeta = cachedMeta
   def schema: StructType = cachedMeta.schema
   def name: String = s"${cachedMeta.namespace}.${cachedMeta.table}"
@@ -1975,20 +1987,41 @@ final class IceliteTable private (
         }
       }
     }
+    // MANIFEST orphans: pointer files whose snapshot left the head
+    // (rollback/truncate/fold) or that a lost commit attempt wrote and
+    // abandoned. Same head-referenced semantics as data files — old
+    // version JSONs may still name them, exactly as they name GC'd
+    // data files. The grace window shields a racing committer's
+    // just-written manifest awaiting its version publish.
+    val headSnaps = cachedMeta.snapshots.toSet
+    manifestPaths.entrySet().removeIf(e => !headSnaps.contains(e.getKey))
+    val liveManifests = cachedMeta.snapshots
+      .flatMap(s => Option(manifestPaths.get(s))).toSet
+    val mdir = new Path(s"$location/metadata/manifests")
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
+      val rel = s"metadata/manifests/${st.getPath.getName}"
+      if (!liveManifests.contains(rel) && now - st.getModificationTime > graceMs) {
+        fs.delete(st.getPath, false)
+        removed += 1
+      }
+    }
     removed
   }
 
-  def expireSnapshots(keepVersions: Int = 3, orphanGraceMs: Long = ClaimTtlMs): Unit = {
+  /** Returns the number of metadata versions expired. */
+  def expireSnapshots(keepVersions: Int = 3, orphanGraceMs: Long = ClaimTtlMs): Int = {
     val fs = fileSystem()
     removeOrphans(orphanGraceMs)
     val mdDir = new Path(s"$location/metadata")
     val versions = fs.listStatus(mdDir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .map(n => n.stripPrefix("v").stripSuffix(".json").toLong).sorted
-    versions.dropRight(keepVersions).foreach { v =>
+    val expired = versions.dropRight(keepVersions)
+    expired.foreach { v =>
       fs.delete(new Path(s"$location/metadata/${versionFile(v)}"), false)
       fs.delete(new Path(s"$location/metadata/${versionFile(v)}.claim"), false)
     }
+    expired.length
   }
 
   /** Rewrite MANIFESTS (Iceberg's `rewrite_manifests` maintenance
@@ -3121,13 +3154,40 @@ final class IceliteTable private (
     while (fs.exists(new Path(s"$location/metadata/${versionFile(v + 1)}"))) v += 1
     if (v == known.version) (known.meta, v)
     else
-      try (TableMeta.fromJson(readString(fs, new Path(s"$location/metadata/${versionFile(v)}"))), v)
+      try (TableMeta.fromJson(
+        readString(fs, new Path(s"$location/metadata/${versionFile(v)}")),
+        rel => readManifestCached(fs, location, rel),
+        (s, rel) => manifestPaths.put(s, rel)), v)
       catch {
         // expiry raced us between the probe and the read: fall back to
         // the full listing, which always resolves the live head
-        case _: java.io.IOException => loadHead(fs, location)
+        case _: java.io.IOException => loadHead(fs, location, manifestPaths)
       }
   }
+
+  /** Render the head for publication, EXTERNALIZING each snapshot's
+    * heavy payload into an immutable manifest file (written once; every
+    * later commit re-emits only the pointer). The version JSON a commit
+    * rewrites is then O(snapshots) header lines, not O(total files ×
+    * stats) — the sf1 probe's metadata-growth term: a bulk load's Nth
+    * chunk commit used to re-serialize all N−1 prior file lists.
+    * Snapshots with no files/stats (pure-metadata ops) stay inline.
+    */
+  private def renderHead(fs: FileSystem, m: TableMeta): String =
+    TableMeta.toJson(m, s => {
+      val heavy = s.dataFiles.nonEmpty || s.deleteFiles.nonEmpty ||
+        s.posDeleteFiles.nonEmpty || s.dvFiles.nonEmpty ||
+        s.fileStats.nonEmpty || s.fileMetrics.nonEmpty
+      if (!heavy) None
+      else Option(manifestPaths.get(s)).orElse {
+        val rel = s"metadata/manifests/m-${s.seq}-${UUID.randomUUID()}.json"
+        val body = TableMeta.payloadJson(s)
+        writeString(fs, new Path(abs(rel)), body)
+        cacheManifest(abs(rel), body)
+        manifestPaths.put(s, rel)
+        Some(rel)
+      }
+    })
 
   private def retryCommit(body: TableMeta => (TableMeta, Long)): Long = {
     val fs = fileSystem()
@@ -3139,7 +3199,7 @@ final class IceliteTable private (
       val nextVersion = headVersion + 1
       val dst = new Path(s"$location/metadata/${versionFile(nextVersion)}")
       val claim = new Path(s"$location/metadata/${versionFile(nextVersion)}.claim")
-      val payload = TableMeta.toJson(next)
+      val payload = renderHead(fs, next)
       val claimToken = UUID.randomUUID().toString
       if (!fs.exists(dst) && tryExclusiveCreate(fs, claim, claimToken, e => lastClaimError = e)) {
         val tmp = new Path(s"$location/metadata/.v$nextVersion-${UUID.randomUUID()}.tmp")
@@ -4477,8 +4537,11 @@ object IceliteTable {
   def load(spark: SparkSession, warehouse: String, namespace: String, table: String): IceliteTable = {
     val location = s"$warehouse/$namespace/$table"
     val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (meta, version) = loadHead(fs, location)
-    new IceliteTable(spark, location, CachedHead(meta, version))
+    val pointers = new java.util.concurrent.ConcurrentHashMap[Snapshot, String]()
+    val (meta, version) = loadHead(fs, location, pointers)
+    val t = new IceliteTable(spark, location, CachedHead(meta, version))
+    t.manifestPaths.putAll(pointers)
+    t
   }
 
   def exists(spark: SparkSession, warehouse: String, namespace: String, table: String): Boolean = {
@@ -4506,7 +4569,9 @@ object IceliteTable {
           load(spark, warehouse, namespace, table)
       }
 
-  private def loadHead(fs: FileSystem, location: String): (TableMeta, Long) = {
+  private def loadHead(
+      fs: FileSystem, location: String,
+      pointers: java.util.concurrent.ConcurrentHashMap[Snapshot, String]): (TableMeta, Long) = {
     val mdDir = new Path(s"$location/metadata")
     if (!fs.exists(mdDir))
       throw new IllegalStateException(s"no such table at $location")
@@ -4516,7 +4581,34 @@ object IceliteTable {
     if (versions.isEmpty) throw new IllegalStateException(s"no metadata versions at $location")
     val head = versions.max
     val json = readString(fs, new Path(s"$location/metadata/${versionFile(head)}"))
-    (TableMeta.fromJson(json), head)
+    (TableMeta.fromJson(json, rel => readManifestCached(fs, location, rel),
+      (s, rel) => pointers.put(s, rel)), head)
+  }
+
+  /** JVM-wide cache of manifest bodies by absolute path. Manifests are
+    * immutable (written once under a UUID name, never rewritten), so a
+    * hit can never be stale; the cap just bounds memory — a clear only
+    * costs re-reads. Makes a foreign-commit head reload O(new
+    * manifests), not O(history).
+    */
+  private val manifestReadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cacheManifest(absPath: String, body: String): Unit = {
+    if (manifestReadCache.size > 8192) manifestReadCache.clear()
+    manifestReadCache.put(absPath, body)
+  }
+
+  private def readManifestCached(fs: FileSystem, location: String, rel: String): String = {
+    val absPath =
+      if (rel.startsWith("/") || rel.contains("://")) rel else s"$location/$rel"
+    val hit = manifestReadCache.get(absPath)
+    if (hit != null) hit
+    else {
+      val body = readString(fs, new Path(absPath))
+      cacheManifest(absPath, body)
+      body
+    }
   }
 
   private def writeString(fs: FileSystem, p: Path, s: String): Unit = {

@@ -115,7 +115,56 @@ object TableMeta {
       PartitionConfig(p.get("field").asText(), p.get("transform").asText())
     }.toSeq
 
-  def toJson(m: TableMeta): String = {
+  /** The heavy per-snapshot payload — file lists, per-file stats and
+    * metrics — written into `node`. Shared by the inline shape and the
+    * externalized MANIFEST shape so both serialize identically.
+    */
+  private def writeHeavy(o: ObjectNode, s: Snapshot): Unit = {
+    val df = o.putArray("dataFiles"); s.dataFiles.foreach(df.add)
+    val del = o.putArray("deleteFiles"); s.deleteFiles.foreach(del.add)
+    if (s.posDeleteFiles.nonEmpty) {
+      val pdel = o.putArray("posDeleteFiles"); s.posDeleteFiles.foreach(pdel.add)
+    }
+    if (s.dvFiles.nonEmpty) {
+      val dv = o.putArray("dvFiles"); s.dvFiles.foreach(dv.add)
+    }
+    if (s.fileStats.nonEmpty) {
+      val fs = o.putObject("fileStats")
+      s.fileStats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val fo = fs.putObject(file)
+        cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val co = fo.putObject(c); co.put("min", mn); co.put("max", mx)
+        }
+      }
+    }
+    if (s.fileMetrics.nonEmpty) {
+      val fm = o.putObject("fileMetrics")
+      s.fileMetrics.toSeq.sortBy(_._1).foreach { case (file, (rows, bytes)) =>
+        val fo = fm.putObject(file); fo.put("rows", rows); fo.put("bytes", bytes)
+      }
+    }
+  }
+
+  /** A snapshot's externalized manifest file body (heavy payload only;
+    * headers — seq, timestamp, operation, count, summary — stay in the
+    * version JSON so history listings never touch manifests).
+    */
+  def payloadJson(s: Snapshot): String = {
+    val o = mapper.createObjectNode()
+    writeHeavy(o, s)
+    o.toPrettyString
+  }
+
+  /** Serialize with optional per-snapshot manifest EXTERNALIZATION
+    * (Iceberg's metadata.json → manifest split): `manifestFor` returns
+    * the location-relative path of an already-written manifest file
+    * carrying [[payloadJson]] for the snapshot, or None to inline.
+    * Externalized, a commit's version JSON is O(snapshot count) head
+    * lines instead of O(total files × stats) — the difference between
+    * a bulk load whose commit cost grows with history and one that
+    * writes each file list exactly once.
+    */
+  def toJson(m: TableMeta, manifestFor: Snapshot => Option[String]): String = {
     val root = mapper.createObjectNode()
     root.put("formatVersion", m.formatVersion)
     root.put("namespace", m.namespace)
@@ -130,32 +179,13 @@ object TableMeta {
       val o = snaps.addObject()
       o.put("seq", s.seq); o.put("timestampMs", s.timestampMs)
       o.put("operation", s.operation); o.put("recordCount", s.recordCount)
-      val df = o.putArray("dataFiles"); s.dataFiles.foreach(df.add)
-      val del = o.putArray("deleteFiles"); s.deleteFiles.foreach(del.add)
-      if (s.posDeleteFiles.nonEmpty) {
-        val pdel = o.putArray("posDeleteFiles"); s.posDeleteFiles.foreach(pdel.add)
-      }
-      if (s.dvFiles.nonEmpty) {
-        val dv = o.putArray("dvFiles"); s.dvFiles.foreach(dv.add)
-      }
-      if (s.fileStats.nonEmpty) {
-        val fs = o.putObject("fileStats")
-        s.fileStats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
-          val fo = fs.putObject(file)
-          cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
-            val co = fo.putObject(c); co.put("min", mn); co.put("max", mx)
-          }
-        }
+      manifestFor(s) match {
+        case Some(rel) => o.put("manifest", rel)
+        case None => writeHeavy(o, s)
       }
       if (s.summary.nonEmpty) {
         val sm = o.putObject("summary")
         s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
-      }
-      if (s.fileMetrics.nonEmpty) {
-        val fm = o.putObject("fileMetrics")
-        s.fileMetrics.toSeq.sortBy(_._1).foreach { case (file, (rows, bytes)) =>
-          val fo = fm.putObject(file); fo.put("rows", rows); fo.put("bytes", bytes)
-        }
       }
     }
     val props = root.putObject("properties")
@@ -163,10 +193,46 @@ object TableMeta {
     root.toPrettyString
   }
 
-  def fromJson(json: String): TableMeta = {
+  def toJson(m: TableMeta): String = toJson(m, _ => None)
+
+  private def strings(n: ObjectNode, key: String): Seq[String] =
+    n.get(key).asInstanceOf[ArrayNode].elements().asScala.map(_.asText()).toSeq
+
+  /** Parse the heavy payload fields out of either an inline snapshot
+    * node or an externalized manifest body (same keys by construction).
+    */
+  private def readHeavy(o: ObjectNode, base: Snapshot): Snapshot = base.copy(
+    dataFiles = strings(o, "dataFiles"),
+    deleteFiles = strings(o, "deleteFiles"),
+    posDeleteFiles = Option(o.get("posDeleteFiles")).collect {
+      case a: ArrayNode => a.elements().asScala.map(_.asText()).toSeq
+    }.getOrElse(Nil),
+    dvFiles = Option(o.get("dvFiles")).collect {
+      case a: ArrayNode => a.elements().asScala.map(_.asText()).toSeq
+    }.getOrElse(Nil),
+    fileStats = Option(o.get("fileStats")).filter(_.isObject).map { fs =>
+      fs.properties().asScala.map { fe =>
+        fe.getKey -> fe.getValue.properties().asScala.map { ce =>
+          ce.getKey -> (ce.getValue.get("min").asText(), ce.getValue.get("max").asText())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty),
+    fileMetrics = Option(o.get("fileMetrics")).filter(_.isObject).map { fm =>
+      fm.properties().asScala.map { fe =>
+        fe.getKey -> (fe.getValue.get("rows").asLong(), fe.getValue.get("bytes").asLong())
+      }.toMap
+    }.getOrElse(Map.empty))
+
+  /** Parse, resolving externalized snapshots through `readManifest`
+    * (location-relative path → manifest body). `onPointer` reports each
+    * resolved (snapshot, manifest path) pair so the caller can reuse
+    * the manifest on its next commit instead of re-writing it.
+    */
+  def fromJson(
+      json: String,
+      readManifest: String => String,
+      onPointer: (Snapshot, String) => Unit): TableMeta = {
     val root = mapper.readTree(json)
-    def strings(n: ObjectNode, key: String): Seq[String] =
-      n.get(key).asInstanceOf[ArrayNode].elements().asScala.map(_.asText()).toSeq
     TableMeta(
       formatVersion = root.get("formatVersion").asInt(),
       namespace = root.get("namespace").asText(),
@@ -177,37 +243,33 @@ object TableMeta {
       }.toSeq,
       snapshots = root.get("snapshots").elements().asScala.map { s =>
         val o = s.asInstanceOf[ObjectNode]
-        Snapshot(
+        val header = Snapshot(
           seq = o.get("seq").asLong(),
           timestampMs = o.get("timestampMs").asLong(),
           operation = o.get("operation").asText(),
-          dataFiles = strings(o, "dataFiles"),
-          deleteFiles = strings(o, "deleteFiles"),
+          dataFiles = Nil,
+          deleteFiles = Nil,
           recordCount = o.get("recordCount").asLong(),
-          posDeleteFiles = Option(o.get("posDeleteFiles")).collect {
-            case a: ArrayNode => a.elements().asScala.map(_.asText()).toSeq
-          }.getOrElse(Nil),
-          dvFiles = Option(o.get("dvFiles")).collect {
-            case a: ArrayNode => a.elements().asScala.map(_.asText()).toSeq
-          }.getOrElse(Nil),
-          fileStats = Option(o.get("fileStats")).filter(_.isObject).map { fs =>
-            fs.properties().asScala.map { fe =>
-              fe.getKey -> fe.getValue.properties().asScala.map { ce =>
-                ce.getKey -> (ce.getValue.get("min").asText(), ce.getValue.get("max").asText())
-              }.toMap
-            }.toMap
-          }.getOrElse(Map.empty),
           summary = Option(o.get("summary")).filter(_.isObject).map { sm =>
             sm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-          }.getOrElse(Map.empty),
-          fileMetrics = Option(o.get("fileMetrics")).filter(_.isObject).map { fm =>
-            fm.properties().asScala.map { fe =>
-              fe.getKey -> (fe.getValue.get("rows").asLong(), fe.getValue.get("bytes").asLong())
-            }.toMap
           }.getOrElse(Map.empty))
+        Option(o.get("manifest")).map(_.asText()) match {
+          case Some(rel) =>
+            val full = readHeavy(
+              mapper.readTree(readManifest(rel)).asInstanceOf[ObjectNode], header)
+            onPointer(full, rel)
+            full
+          case None => readHeavy(o, header)
+        }
       }.toSeq,
       properties = Option(root.get("properties")).filter(_.isObject).map { p =>
         p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       }.getOrElse(Map.empty))
   }
+
+  def fromJson(json: String): TableMeta = fromJson(
+    json,
+    rel => throw new IllegalStateException(
+      s"metadata references external manifest '$rel' but no manifest reader was supplied"),
+    (_, _) => ())
 }

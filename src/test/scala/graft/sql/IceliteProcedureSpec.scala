@@ -1,0 +1,109 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.table.IceliteTable
+
+/** SQL `CALL` maintenance procedures ([[IceliteProcedures]]) through
+  * the DSv2 procedure surface: routing, named/default arguments,
+  * result rows, unknown-procedure errors, and the governed-catalog
+  * refusal.
+  */
+class IceliteProcedureSpec extends AnyFunSuite with SparkFixture {
+
+  private val Cat = "icelite_proc"
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("icelite-procwh").toString
+    spark.conf.set(s"spark.sql.catalog.$Cat", classOf[IceliteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$Cat.warehouse", dir)
+    dir
+  }
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  private def mkTable(name: String, commits: Int): IceliteTable = {
+    val t = IceliteTable.create(spark, wh, "ns", name, schema)
+    (1 to commits).foreach { i =>
+      import scala.jdk.CollectionConverters._
+      t.append(spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(i.toLong, s"v$i")).asJava, schema))
+    }
+    t
+  }
+
+  test("CALL compact bin-packs the file set and returns the rewrite seq") {
+    mkTable("c1", 4)
+    val seq = spark.sql(s"CALL $Cat.system.compact(table => 'ns.c1')").collect()(0).getLong(0)
+    assert(seq == 5)
+    val t = IceliteTable.load(spark, wh, "ns", "c1")
+    assert(t.meta.snapshots.map(_.operation) == Seq("rewrite"))
+    assert(t.read().count() == 4)
+  }
+
+  test("CALL expire_snapshots + remove_orphan_files report their counts") {
+    mkTable("c2", 5)
+    spark.sql(s"CALL $Cat.system.compact(table => 'ns.c2')").collect()
+    val expired = spark.sql(
+      s"CALL $Cat.system.expire_snapshots(table => 'ns.c2', keep_versions => 1)")
+      .collect()(0).getInt(0)
+    assert(expired >= 4, s"expected >=4 expired versions, got $expired")
+    val swept = spark.sql(
+      s"CALL $Cat.system.remove_orphan_files(table => 'ns.c2', grace_ms => 0)")
+      .collect()(0).getInt(0)
+    assert(swept >= 5, s"expected the 5 pre-compaction commit dirs swept, got $swept")
+    assert(IceliteTable.load(spark, wh, "ns", "c2").read().count() == 5)
+  }
+
+  test("CALL rollback_to_snapshot; positional args work too") {
+    mkTable("c3", 3)
+    spark.sql(s"CALL $Cat.system.rollback_to_snapshot('ns.c3', 1)").collect()
+    assert(IceliteTable.load(spark, wh, "ns", "c3").read().count() == 1)
+  }
+
+  test("CALL consolidate_deletes folds a position delete into DVs") {
+    val t = mkTable("c4", 3)
+    t.deleteWhere(col("k") === 2L)
+    spark.sql(s"CALL $Cat.system.consolidate_deletes(table => 'ns.c4')").collect()
+    val t2 = IceliteTable.load(spark, wh, "ns", "c4")
+    assert(t2.meta.liveDvFiles.nonEmpty)
+    assert(t2.read().orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("CALL analyze commits stats for the named columns") {
+    mkTable("c5", 2)
+    val seq = spark.sql(s"CALL $Cat.system.analyze(table => 'ns.c5', columns => 'k,v')")
+      .collect()(0).getLong(0)
+    assert(seq == 3)
+    val t = IceliteTable.load(spark, wh, "ns", "c5")
+    assert(t.meta.snapshots.last.operation == "analyze")
+  }
+
+  // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE — the
+  // real message rides the cause chain
+  private def chain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+
+  test("unknown procedure and wrong namespace surface clear errors") {
+    wh // force catalog registration
+    val e1 = intercept[Exception](spark.sql(s"CALL $Cat.system.no_such_proc('ns.t')").collect())
+    assert(chain(e1).contains("unknown procedure"))
+    val e2 = intercept[Exception](spark.sql(s"CALL $Cat.other.compact('ns.t')").collect())
+    assert(chain(e2).contains("system"))
+  }
+
+  test("a governed catalog refuses CALL (read-only role)") {
+    mkTable("c6", 1).declarePolicy("analyst", Some("k > 0"), Map.empty)
+    spark.conf.set(s"spark.sql.catalog.${Cat}_gov", classOf[IceliteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.${Cat}_gov.warehouse", wh)
+    spark.conf.set(s"spark.sql.catalog.${Cat}_gov.principal", "analyst")
+    val e = intercept[Exception](
+      spark.sql(s"CALL ${Cat}_gov.system.compact(table => 'ns.c6')").collect())
+    assert(chain(e).contains("governed"))
+  }
+}
