@@ -177,6 +177,34 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** Map a DSv2 partition [[Transform]] onto icelite's partition spec
+    * (the reference's identity|year|month|day|hour|bucket[N] set —
+    * `PartitionConfig.java`). `PARTITIONED BY (c)` arrives as identity;
+    * `PARTITIONED BY (days(ts), bucket(16, id))` as named transforms.
+    */
+  private def toPartitionConfig(tr: Transform): graft.config.PartitionConfig = {
+    val refs = tr.references()
+    require(refs.length == 1 && refs(0).fieldNames().length == 1,
+      s"icelite partition transform must reference one top-level column, got $tr")
+    val field = refs(0).fieldNames()(0)
+    tr.name() match {
+      case "identity" => graft.config.PartitionConfig(field, "identity")
+      case "years" => graft.config.PartitionConfig(field, "year")
+      case "months" => graft.config.PartitionConfig(field, "month")
+      case "days" => graft.config.PartitionConfig(field, "day")
+      case "hours" => graft.config.PartitionConfig(field, "hour")
+      case "bucket" =>
+        val n = tr.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Int] => l.value().asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(s"bucket transform without a count: $tr"))
+        graft.config.PartitionConfig(field, s"bucket[$n]")
+      case other => throw new UnsupportedOperationException(
+        s"icelite partition transform '$other' — supported: identity, years, " +
+          "months, days, hours, bucket(N, col)")
+    }
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -188,11 +216,9 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
     require(!ident.name.contains("$"),
       s"icelite table name '${ident.name}' may not contain '$$' (reserved for " +
         "metadata-table suffixes like `t$snapshots`)")
-    require(partitions.isEmpty,
-      "icelite SQL createTable is unpartitioned; declare partition transforms " +
-        "through IceliteTable.transformColumn after create")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    new IceliteSparkTable(IceliteTable.create(spark, warehouse, ns, ident.name, schema))
+    new IceliteSparkTable(IceliteTable.create(spark, warehouse, ns, ident.name, schema,
+      partitioning = partitions.toSeq.map(toPartitionConfig)))
   }
 
   /** `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN` map to
@@ -322,7 +348,8 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
   override def name(): String = table.name
   override def schema(): StructType = table.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   /** `DELETE FROM <catalog>.<ns>.<t> WHERE …` → a position-delete
     * commit through the existing [[IceliteTable.deleteWhere]] (one
@@ -344,13 +371,24 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceliteScanBuilder(() => table.read(), table.schema)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+  /** `INSERT INTO` appends; `INSERT OVERWRITE` (static mode — the
+    * whole-table replace Spark plans as OverwriteByExpression(true))
+    * lands as ONE atomic rewrite commit via [[IceliteTable.overwriteAll]],
+    * partitioned or not. DYNAMIC partition overwrite (replace only the
+    * touched partition values) stays on the Scala API
+    * ([[IceliteTable.overwritePartitions]]) — Spark's dynamic mode
+    * plans a pure-v2 write the V1 fallback cannot serve, so it surfaces
+    * as a capability error rather than wrong semantics.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+    private var replaceAll = false
+    override def truncate(): WriteBuilder = { replaceAll = true; this }
     override def build(): Write = new V1Write {
       override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-          require(!overwrite, "INSERT OVERWRITE: use IceliteTable.overwritePartitions")
-          table.append(data)
-        }
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          if (replaceAll || overwrite) table.overwriteAll(data)
+          else table.append(data)
       }
     }
   }

@@ -472,6 +472,52 @@ object SqlSurface {
       |WHERE o_orderkey % 31 = 0 AND o_orderkey % 5 <> 0
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // --------------------------------------------------- table_sql_overwrite
+
+  /** Partitioned DDL + the idempotent-reload shape, all in SQL: a table
+    * is CREATEd with `PARTITIONED BY` through the catalog (transform
+    * mapping in [[IceliteCatalog.createTable]]), loaded with a first
+    * (partial, stale-valued) wave, then `INSERT OVERWRITE` lands the
+    * full corrected recompute as ONE atomic `rewrite-overwrite` commit
+    * ([[graft.table.IceliteTable.overwriteAll]]) — re-running a load
+    * replaces, never duplicates. The oracle recomputes the corrected
+    * state directly: any leak of wave-1 rows (duplicate or stale
+    * value) fails the hash gate.
+    */
+  def tableSqlOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val p = new Path(s"$wh/analytics/orders_ovw")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      s"""CREATE TABLE $CatName.analytics.orders_ovw
+         |(o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)
+         |PARTITIONED BY (o_orderstatus)""".stripMargin)
+    t(spark, dir, "orders").filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("ovw_src")
+    // wave 1: a partial load with STALE values (cents off by one)
+    spark.sql(
+      s"""INSERT INTO $CatName.analytics.orders_ovw
+         |SELECT o_orderkey, o_orderstatus, cents + 1 FROM ovw_src
+         |WHERE o_orderkey % 2 = 0""".stripMargin)
+    // the corrected full recompute replaces everything atomically
+    spark.sql(
+      s"""INSERT OVERWRITE $CatName.analytics.orders_ovw
+         |SELECT o_orderkey, o_orderstatus, cents FROM ovw_src""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $CatName.analytics.orders_ovw
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val tableSqlOverwriteOracle =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders WHERE o_orderkey % 37 = 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   def all: Seq[GraftQuery] = Seq(
@@ -490,5 +536,7 @@ object SqlSurface {
     GraftQuery("table_stream_agg", tableStreamAgg _, Some(tableStreamAggOracle),
       "stateful streaming rollup upserted into icelite via the sink; state resumes across drains"),
     GraftQuery("table_sql_maintenance", tableSqlMaintenance _, Some(tableSqlMaintenanceOracle),
-      "full maintenance lifecycle via SQL CALL procedures: consolidate_deletes, compact, expire, sweep orphans"))
+      "full maintenance lifecycle via SQL CALL procedures: consolidate_deletes, compact, expire, sweep orphans"),
+    GraftQuery("table_sql_overwrite", tableSqlOverwrite _, Some(tableSqlOverwriteOracle),
+      "PARTITIONED BY DDL + INSERT OVERWRITE: atomic full replace, idempotent reload via SQL"))
 }

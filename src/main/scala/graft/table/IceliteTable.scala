@@ -714,6 +714,19 @@ final class IceliteTable private (
           s"snapshot $asOfSeq of $name is not retained — history below " +
             s"$oldest was collapsed by a rewrite/truncate and cannot be resurrected")
     }
+    // a partition overwrite or CoW update prunes dead files out of
+    // PRIOR snapshots in place (their seqs survive, their bytes don't)
+    // — serving a seq below it would silently return the rewritten
+    // files' rows MISSING instead of as-of-then. Refuse like any
+    // collapsed history.
+    m.snapshots.filter(s =>
+        s.operation == "overwrite-partitions" || s.operation == "rewrite-update")
+      .map(_.seq).maxOption.foreach { ow =>
+        if (asOfSeq < ow)
+          throw new IllegalArgumentException(
+            s"snapshot $asOfSeq of $name is not reconstructible — the in-place " +
+              s"file rewrite at seq $ow pruned prior snapshots' files")
+      }
     readSnapshotsAs(m.snapshots.filter(_.seq <= asOfSeq),
       schemaAt(asOfSeq), asOfSeq)
   }
@@ -822,7 +835,7 @@ final class IceliteTable private (
     }
     val inRange = m.snapshots.filter(s => s.seq > fromSeq && s.seq <= toSeq)
     inRange.find(s => s.operation.startsWith("rewrite") || s.operation == "truncate" ||
-        s.operation == "rollback")
+        s.operation == "rollback" || s.operation.startsWith("overwrite"))
       .foreach { s =>
         throw new IllegalStateException(
           s"changelog range ($fromSeq, $toSeq] crosses maintenance snapshot " +
@@ -2091,6 +2104,33 @@ final class IceliteTable private (
   def truncate(): Long = retryCommit { head =>
     val seq = head.lastSeq + 1
     (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "truncate", Nil, Nil, 0L)), seq)
+  }
+
+  /** FULL-table overwrite in ONE atomic commit (`INSERT OVERWRITE` on
+    * an unpartitioned table): the batch replaces every live row; prior
+    * snapshots and their delete files leave the live view exactly as in
+    * [[compact]] — history collapses, so time travel below the
+    * overwrite refuses at the rewrite boundary, and a crash between
+    * nothing and nothing can never leave a half-replaced table (the
+    * files land first, the single metadata rename publishes them).
+    */
+  def overwriteAll(df: DataFrame): Long = {
+    refresh()
+    requireLineageSafe(cachedMeta, "overwrite")
+    retryCommit { head =>
+      val seq = head.lastSeq + 1
+      val commitId = UUID.randomUUID().toString
+      val (files, count, stats, metrics) = writeDataFiles(
+        enforceChecks(conformToSchema(df, head.schema), head.properties)
+          .withColumn(SeqCol, lit(seq)),
+        commitId, head.partitioning, nFiles = None,
+        extraStatCols = keyStatColumns(tableKeyColumns(head.properties), head.schema).toMap ++
+          trackedStats(head.properties, head.schema))
+      (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "rewrite-overwrite",
+        files, Nil, count, stats,
+        summary = carrySyncProgress(head.snapshots),
+        fileMetrics = metrics)), seq)
+    }
   }
 
   /** Dynamic partition OVERWRITE (Iceberg/Hive `INSERT OVERWRITE …

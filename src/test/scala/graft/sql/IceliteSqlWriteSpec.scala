@@ -1,0 +1,70 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.table.IceliteTable
+
+/** SQL DDL/write surface through the DSv2 catalog: PARTITIONED BY
+  * transform mapping, CTAS, and INSERT OVERWRITE (atomic full replace).
+  */
+class IceliteSqlWriteSpec extends AnyFunSuite with SparkFixture {
+
+  private val Cat = "icelite_w"
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("icelite-sqlw").toString
+    spark.conf.set(s"spark.sql.catalog.$Cat", classOf[IceliteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$Cat.warehouse", dir)
+    dir
+  }
+
+  test("CREATE TABLE ... PARTITIONED BY maps identity and named transforms") {
+    wh // register the catalog before the first spark.sql touches it
+    spark.sql(
+      s"""CREATE TABLE $Cat.ns.pt1 (id BIGINT, region STRING, ts TIMESTAMP)
+         |PARTITIONED BY (region, days(ts), bucket(4, id))""".stripMargin)
+    val t = IceliteTable.load(spark, wh, "ns", "pt1")
+    assert(t.meta.partitioning.map(p => p.field -> p.transform) ==
+      Seq("region" -> "identity", "ts" -> "day", "id" -> "bucket[4]"))
+    spark.sql(s"INSERT INTO $Cat.ns.pt1 VALUES (1, 'emea', TIMESTAMP'2024-03-05 00:00:00')")
+    assert(spark.sql(s"SELECT region FROM $Cat.ns.pt1").collect().map(_.getString(0)).toSeq == Seq("emea"))
+    // an unsupported transform is refused at create time
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE $Cat.ns.ptbad (id BIGINT) PARTITIONED BY (truncate(3, id))"))
+    assert(e.getMessage.contains("transform"))
+  }
+
+  test("CTAS creates and loads in one statement") {
+    wh
+    spark.range(5).selectExpr("id", "concat('v', id) AS v").createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE $Cat.ns.ctas1 AS SELECT * FROM ctas_src")
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.ns.ctas1").collect()(0).getLong(0) == 5)
+    assert(IceliteTable.load(spark, wh, "ns", "ctas1").meta.snapshots.map(_.operation) == Seq("append"))
+  }
+
+  test("INSERT OVERWRITE replaces the table in one atomic rewrite commit") {
+    wh
+    spark.sql(s"CREATE TABLE $Cat.ns.ovw1 (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $Cat.ns.ovw1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $Cat.ns.ovw1 VALUES (3, 'c')")
+    spark.sql(s"INSERT OVERWRITE $Cat.ns.ovw1 VALUES (9, 'z')")
+    val got = spark.sql(s"SELECT id, v FROM $Cat.ns.ovw1").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
+    val t = IceliteTable.load(spark, wh, "ns", "ovw1")
+    assert(t.meta.snapshots.map(_.operation) == Seq("rewrite-overwrite"))
+    // collapsed history refuses time travel below the overwrite
+    val e = intercept[IllegalArgumentException](t.readAt(1).collect())
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("INSERT OVERWRITE on a partitioned table is a full static replace") {
+    wh
+    spark.sql(s"CREATE TABLE $Cat.ns.ovw2 (id BIGINT, pt STRING) PARTITIONED BY (pt)")
+    spark.sql(s"INSERT INTO $Cat.ns.ovw2 VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT OVERWRITE $Cat.ns.ovw2 VALUES (9, 'a')")
+    assert(spark.sql(s"SELECT id, pt FROM $Cat.ns.ovw2").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "a")))
+  }
+}

@@ -116,4 +116,13 @@ class IceliteCowSpec extends AnyFunSuite with SparkFixture {
       t.updateWhereCoW(lit(true), Map("v" -> lit(1L)),
         statRange = Some(("id", 0L, 5L))))
   }
+
+  test("time travel below a CoW rewrite refuses: prior snapshots were pruned in place") {
+    val t = mk(wh())
+    val s1 = t.append(rows((1L, "a", 1L), (2L, "b", 2L)))
+    val up = t.updateWhereCoW(col("st") === "b", Map("v" -> lit(99L)))
+    val e = intercept[IllegalArgumentException](t.readAt(s1).collect())
+    assert(e.getMessage.contains("pruned"))
+    assert(t.readAt(up).count() == 2)
+  }
 }

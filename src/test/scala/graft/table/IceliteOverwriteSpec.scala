@@ -83,4 +83,18 @@ class IceliteOverwriteSpec extends AnyFunSuite with SparkFixture {
     t.append(rows((1L, "a", 1L)))
     intercept[IllegalArgumentException](t.overwritePartitions(rows((2L, "a", 2L))))
   }
+
+  test("time travel below an overwrite and changelog ranges crossing it refuse") {
+    val t = mk(wh())
+    val s1 = t.append(rows((1L, "a", 1L), (2L, "b", 2L)))
+    val ow = t.overwritePartitions(rows((9L, "a", 9L)))
+    // prior snapshots were pruned IN PLACE — seq 1 is no longer the
+    // state as-of-then, so serving it would silently drop rows
+    val e = intercept[IllegalArgumentException](t.readAt(s1).collect())
+    assert(e.getMessage.contains("pruned"))
+    val e2 = intercept[IllegalStateException](t.readChanges(s1 - 1, ow))
+    assert(e2.getMessage.contains("overwrite"))
+    // at or after the overwrite, reads serve normally
+    assert(t.readAt(ow).count() == 2)
+  }
 }
