@@ -30,7 +30,12 @@ import graft.table.IceliteTable
   *
   * Options: `warehouse`, `namespace`, `table` (required);
   * `startSeq` (default 0 = full history replay: the initial-load +
-  * tail pattern in one stream).
+  * tail pattern in one stream); `maxSeqsPerBatch` (default unlimited)
+  * — BACKPRESSURE: cap each micro-batch at N commits, so a consumer
+  * restarting against a deep backlog (or replaying full history at
+  * 100 TB) drains in bounded, checkpointed steps instead of one giant
+  * batch sized by the outage. `Trigger.AvailableNow` still terminates:
+  * each bounded batch advances toward the head frozen at query start.
   */
 final class IceliteChangelogSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -51,16 +56,19 @@ final class IceliteChangelogSourceProvider extends StreamSourceProvider with Dat
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source = {
     val t = load(parameters)
+    val maxSeqs = parameters.get("maxSeqsPerBatch").map(_.toLong).getOrElse(Long.MaxValue)
+    require(maxSeqs > 0, s"maxSeqsPerBatch must be > 0, got $maxSeqs")
     new IceliteChangelogSource(
       parameters("warehouse"), parameters("namespace"), parameters("table"),
       parameters.get("startSeq").map(_.toLong).getOrElse(0L),
-      IceliteChangelogSource.changeSchema(t))
+      IceliteChangelogSource.changeSchema(t), maxSeqs)
   }
 }
 
 final class IceliteChangelogSource(
     warehouse: String, namespace: String, tableName: String,
-    startSeq: Long, override val schema: StructType) extends Source
+    startSeq: Long, override val schema: StructType,
+    maxSeqsPerBatch: Long = Long.MaxValue) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // reload the head on every probe — commits from other writers (or
@@ -103,7 +111,11 @@ final class IceliteChangelogSource(
       case None => startSeq
     }
     val head = availableNowCap.getOrElse(table.meta.lastSeq)
-    if (head <= from) null else LongOffset(head)
+    // backpressure: never admit more than maxSeqsPerBatch commits into
+    // one micro-batch (saturating add — Long.MaxValue means unlimited)
+    val capped = math.min(head,
+      if (from > Long.MaxValue - maxSeqsPerBatch) Long.MaxValue else from + maxSeqsPerBatch)
+    if (capped <= from) null else LongOffset(capped)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

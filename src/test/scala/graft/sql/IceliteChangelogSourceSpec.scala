@@ -81,6 +81,32 @@ class IceliteChangelogSourceSpec extends AnyFunSuite with SparkFixture {
     assert(got == want)
   }
 
+  test("maxSeqsPerBatch drains a backlog in bounded micro-batches, nothing lost") {
+    import spark.implicits._
+    val wh = Scratch.dir("native-bp-spec")
+    val df = Seq((0L, 0L)).toDF("k", "v")
+    val t = IceliteTable.create(spark, wh, "ns", "bp1", df.schema)
+    (1L to 5L).foreach(i => t.append(Seq((i, i * 100L)).toDF("k", "v"))) // 5-commit backlog
+    val out = Scratch.dir("native-bp-out")
+    val ck = Scratch.dir("native-bp-ck")
+    val q = spark.readStream.format("icelite-changelog")
+      .option("warehouse", wh).option("namespace", "ns").option("table", "bp1")
+      .option("maxSeqsPerBatch", "2")
+      .load()
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    // all 5 commits arrive, in >= 3 micro-batches of <= 2 commits each
+    val got = spark.read.parquet(out)
+    assert(got.count() == 5)
+    assert(got.select("_commit_seq").distinct().count() == 5)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3, s"expected >=3 bounded batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 2))
+  }
+
   test("a rollback/rewrite in range surfaces the explicit resync error") {
     val (wh, t) = mkTable("t3")
     val ck = Scratch.dir("native-err-ck")

@@ -59,6 +59,17 @@ class IceliteSqlWriteSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("not retained"))
   }
 
+  test("CREATE OR REPLACE TABLE AS SELECT replaces schema and content") {
+    wh
+    spark.sql(s"CREATE TABLE $Cat.ns.rep1 (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $Cat.ns.rep1 VALUES (1, 'a')")
+    spark.range(3).selectExpr("id AS k", "id * 10 AS tens").createOrReplaceTempView("rtas_src")
+    spark.sql(s"CREATE OR REPLACE TABLE $Cat.ns.rep1 AS SELECT * FROM rtas_src")
+    val t = IceliteTable.load(spark, wh, "ns", "rep1")
+    assert(t.schema.fieldNames.toSeq == Seq("k", "tens"))
+    assert(spark.sql(s"SELECT sum(tens) FROM $Cat.ns.rep1").collect()(0).getLong(0) == 30)
+  }
+
   test("INSERT OVERWRITE on a partitioned table is a full static replace") {
     wh
     spark.sql(s"CREATE TABLE $Cat.ns.ovw2 (id BIGINT, pt STRING) PARTITIONED BY (pt)")
