@@ -61,7 +61,30 @@ object IceliteProcedures {
       (t, r) => Seq(if (r.getBoolean(1)) t.consolidateDeletesFull() else t.consolidateDeleteVectors())),
     Spec("analyze", "compute column stats (NDV sketch, bounds) for the comma-separated columns; one metadata commit",
       Seq(tableParam, in("columns", StringType)), seqResult,
-      (t, r) => Seq(t.analyze(r.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))))
+      (t, r) => Seq(t.analyze(r.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))),
+    Spec("declare_policy", "declare a principal's row filter and/or column masks ('col:EXPR' entries, ';'-separated); a governed catalog (spark.sql.catalog.<n>.principal) then serves the policy view",
+      Seq(tableParam, in("principal", StringType),
+        inD("row_filter", StringType, "NULL"), inD("masks", StringType, "''")), seqResult,
+      (t, r) => {
+        val filter = if (r.isNullAt(2)) None
+          else Some(r.getUTF8String(2).toString).filter(_.nonEmpty)
+        val masks = r.getUTF8String(3).toString.split(';').toSeq
+          .map(_.trim).filter(_.nonEmpty).map { entry =>
+            val i = entry.indexOf(':')
+            require(i > 0, s"mask entry '$entry' must be 'column:EXPR'")
+            entry.substring(0, i).trim -> entry.substring(i + 1).trim
+          }.toMap
+        Seq(t.declarePolicy(r.getUTF8String(1).toString, filter, masks))
+      }),
+    Spec("drop_policy", "remove a principal's policy declaration",
+      Seq(tableParam, in("principal", StringType)), seqResult,
+      (t, r) => Seq(t.dropPolicy(r.getUTF8String(1).toString))),
+    Spec("declare_constraint", "declare a write-time CHECK constraint (validates existing rows once; every later ingest write enforces it fail-fast)",
+      Seq(tableParam, in("name", StringType), in("predicate", StringType)), seqResult,
+      (t, r) => Seq(t.declareConstraint(r.getUTF8String(1).toString, r.getUTF8String(2).toString))),
+    Spec("drop_constraint", "drop a declared CHECK constraint",
+      Seq(tableParam, in("name", StringType)), seqResult,
+      (t, r) => Seq(t.dropConstraint(r.getUTF8String(1).toString))))
 
   def names: Seq[String] = specs.map(_.name)
 

@@ -84,6 +84,33 @@ class IceliteProcedureSpec extends AnyFunSuite with SparkFixture {
     assert(t.meta.snapshots.last.operation == "analyze")
   }
 
+  test("CALL declare_policy + drop_policy govern a principal's SQL reads") {
+    mkTable("c7", 1)
+    spark.sql(
+      s"""CALL $Cat.system.declare_policy(table => 'ns.c7', principal => 'auditor',
+         |row_filter => 'k >= 1', masks => 'v:CAST(NULL AS STRING)')""".stripMargin).collect()
+    val t = IceliteTable.load(spark, wh, "ns", "c7")
+    assert(t.policies.contains("auditor"))
+    val gov = t.readGoverned("auditor").collect()
+    assert(gov.length == 1 && gov(0).isNullAt(1), "mask did not apply")
+    spark.sql(s"CALL $Cat.system.drop_policy('ns.c7', 'auditor')").collect()
+    assert(!IceliteTable.load(spark, wh, "ns", "c7").policies.contains("auditor"))
+  }
+
+  test("CALL declare_constraint enforces subsequent writes; drop_constraint reopens") {
+    val t = mkTable("c8", 1)
+    spark.sql(
+      s"CALL $Cat.system.declare_constraint(table => 'ns.c8', name => 'k_pos', predicate => 'k > 0')")
+      .collect()
+    import scala.jdk.CollectionConverters._
+    val bad = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(-5L, "bad")).asJava, schema)
+    intercept[Exception](IceliteTable.load(spark, wh, "ns", "c8").append(bad))
+    spark.sql(s"CALL $Cat.system.drop_constraint('ns.c8', 'k_pos')").collect()
+    IceliteTable.load(spark, wh, "ns", "c8").append(bad) // now lands
+    assert(IceliteTable.load(spark, wh, "ns", "c8").read().count() == 2)
+  }
+
   // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE — the
   // real message rides the cause chain
   private def chain(e: Throwable): String =
