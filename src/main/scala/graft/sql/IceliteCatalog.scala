@@ -358,6 +358,14 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
     * Spark surfaces a clear error for the rest instead of a partial
     * delete.
     */
+  /** `TRUNCATE TABLE` → the real truncate commit (one rewrite snapshot
+    * dropping every live file), not the SupportsDelete default of a
+    * position-delete covering every row — at scale that default writes
+    * a coordinate file the size of the table and leaves MoR reads
+    * carrying it until consolidation.
+    */
+  override def truncateTable(): Boolean = { table.truncate(); true }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => IceliteScanBuilder.toColumn(f).isDefined)
 

@@ -59,6 +59,20 @@ class IceliteSqlWriteSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("not retained"))
   }
 
+  test("TRUNCATE TABLE commits a real truncate, not a table-sized position delete") {
+    wh
+    spark.sql(s"CREATE TABLE $Cat.ns.tr1 (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $Cat.ns.tr1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"TRUNCATE TABLE $Cat.ns.tr1")
+    val t = IceliteTable.load(spark, wh, "ns", "tr1")
+    assert(t.read().count() == 0)
+    assert(t.meta.snapshots.map(_.operation) == Seq("truncate"))
+    assert(t.meta.livePosDeleteFiles.isEmpty, "truncate fell back to a position delete")
+    // SHOW PROCEDURES lists the system namespace (DSv2 surface sanity)
+    val procs = spark.sql(s"SHOW PROCEDURES IN $Cat.`system`").collect().map(_.toString)
+    assert(procs.exists(_.contains("compact")), s"missing compact in $procs")
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT replaces schema and content") {
     wh
     spark.sql(s"CREATE TABLE $Cat.ns.rep1 (id BIGINT, v STRING)")
