@@ -248,9 +248,11 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
         t.renameNestedField(r.fieldNames()(0), r.fieldNames()(1), r.newName())
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
         t.dropColumn(d.fieldNames()(0))
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 2 =>
+        t.dropNestedField(d.fieldNames()(0), d.fieldNames()(1))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other: icelite supports top-level ADD/RENAME/DROP " +
-          "COLUMN and struct-field ADD/RENAME")
+          "COLUMN and struct-field ADD/RENAME/DROP")
     }
     loadTable(ident)
   }
@@ -436,8 +438,18 @@ final class IceliteScanBuilder(mkDf: () => DataFrame, tableSchema: StructType)
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Prune at TOP level only: Spark's nested-schema pruning hands a
+    * requiredSchema whose struct columns carry just the referenced
+    * fields (`meta: struct<_2>`), but this scan emits the table's full
+    * struct values — reporting the nested-pruned shape makes the
+    * consumer read struct fields by ORDINAL against a wider row
+    * (`meta._2` silently reads `meta.label`). Expanding back to the
+    * table's own column types keeps readSchema ≡ emitted rows; the
+    * whole-struct read underneath is what the MoR rebuild needs anyway.
+    */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = StructType(requiredSchema.fields.map(f =>
+      tableSchema.find(_.name == f.name).getOrElse(f)))
 
   override def build(): Scan = {
     val outSchema = required

@@ -2970,6 +2970,34 @@ final class IceliteTable private (
         .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
     }
 
+  /** Metadata-only NESTED field DROP (ALTER TABLE … DROP COLUMN
+    * meta.a): the field leaves the committed struct shape; files keep
+    * their stored bytes, which the target read schema clips away
+    * (parquet nested-schema pruning — zero data IO). A later re-add of
+    * the same nested name starts NULL-filled for pre-add files
+    * ([[SchemaOp.NestedAdd]]'s birth semantics), never resurrecting the
+    * dropped bytes. Time travel below the drop resurrects the field at
+    * its recorded position and type.
+    */
+  def dropNestedField(colName: String, fieldName: String): Long =
+    retryCommit { head =>
+      val st = structTypeOf(head, colName, "drop nested field")
+      val idx = st.fieldNames.indexOf(fieldName)
+      if (idx < 0)
+        throw new IllegalArgumentException(s"no field '$colName.$fieldName' in $name")
+      if (st.fields.length == 1)
+        throw new IllegalArgumentException(
+          s"cannot drop the last field of struct '$colName' in $name — drop the column")
+      requireStableTopName(head, colName)
+      val seq = head.lastSeq + 1
+      val newSt = StructType(st.fields.filterNot(_.name == fieldName))
+      val ops = schemaOps(head.properties) :+
+        SchemaOp.NestedDrop(colName, fieldName, st.fields(idx).dataType, idx, seq)
+      (head.withSchema(withFieldType(head.schema, colName, newSt))
+        .copy(properties = head.properties + (SchemaOpsProp -> SchemaOp.render(ops)))
+        .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+    }
+
   private def structTypeOf(head: TableMeta, colName: String, what: String): StructType =
     head.schema.find(_.name == colName).getOrElse(
       throw new IllegalArgumentException(s"no column '$colName' in $name")).dataType match {
@@ -2997,6 +3025,7 @@ final class IceliteTable private (
     schemaOps(head.properties).exists {
       case SchemaOp.NestedRename(c, _, _, _) => c == colName
       case SchemaOp.NestedAdd(c, _, _) => c == colName
+      case SchemaOp.NestedDrop(c, _, _, _, _) => c == colName
       case _ => false
     }
 
@@ -3048,6 +3077,17 @@ final class IceliteTable private (
         case f if f.name == c => f.dataType match {
           case st: StructType =>
             f.copy(dataType = StructType(st.fields.filterNot(_.name == field)))
+          case _ => f
+        }
+        case f => f
+      })
+    case SchemaOp.NestedDrop(c, field, dt, idx, _) =>
+      StructType(s.fields.map {
+        case f if f.name == c => f.dataType match {
+          case st: StructType =>
+            val (pre, post) = st.fields.splitAt(math.min(idx, st.fields.length))
+            f.copy(dataType = StructType(
+              (pre :+ org.apache.spark.sql.types.StructField(field, dt)) ++ post))
           case _ => f
         }
         case f => f
@@ -4415,6 +4455,12 @@ object IceliteTable {
       * under the same nested name from a previous life.
       */
     final case class NestedAdd(col: String, field: String, seq: Long) extends SchemaOp
+    /** Field drop INSIDE a struct column: files written before the drop
+      * keep their stored bytes (clipped away by the target read schema);
+      * time travel resurrects the field at its recorded position/type.
+      */
+    final case class NestedDrop(col: String, field: String,
+        dataType: org.apache.spark.sql.types.DataType, index: Int, seq: Long) extends SchemaOp
 
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -4438,6 +4484,10 @@ object IceliteTable {
         case NestedAdd(c, f, s) =>
           val o = arr.addObject()
           o.put("op", "nested-add"); o.put("col", c); o.put("field", f); o.put("seq", s)
+        case NestedDrop(c, f, dt, i, s) =>
+          val o = arr.addObject()
+          o.put("op", "nested-drop"); o.put("col", c); o.put("field", f)
+          o.put("type", dt.json); o.put("index", i); o.put("seq", s)
       }
       arr.toString
     }
@@ -4459,6 +4509,10 @@ object IceliteTable {
               o.get("to").asText(), o.get("seq").asLong())
           case "nested-add" =>
             NestedAdd(o.get("col").asText(), o.get("field").asText(), o.get("seq").asLong())
+          case "nested-drop" =>
+            NestedDrop(o.get("col").asText(), o.get("field").asText(),
+              org.apache.spark.sql.types.DataType.fromJson(o.get("type").asText()),
+              o.get("index").asInt(), o.get("seq").asLong())
           case other => throw new IllegalStateException(s"unknown schema op '$other'")
         }
       }.toSeq

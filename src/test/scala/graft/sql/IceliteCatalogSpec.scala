@@ -182,9 +182,45 @@ class IceliteCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(old.fieldNames.toSeq == Seq("_1", "_2"))
     // refusal discipline: nested ops and top renames don't mix
     intercept[IllegalArgumentException](t2.renameColumn("meta", "meta2"))
-    // nested drop is refused (not implemented)
-    intercept[UnsupportedOperationException](
-      spark.sql(s"ALTER TABLE $cat.ns.t_nested DROP COLUMN meta.score"))
+    // nested DROP: the field leaves the current shape (old files clip
+    // their stored bytes, zero IO); time travel resurrects it
+    spark.sql(s"ALTER TABLE $cat.ns.t_nested DROP COLUMN meta._2")
+    val t3 = IceliteTable.load(spark, wh0, "ns", "t_nested")
+    assert(t3.schema("meta").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("label", "score"))
+    val after = spark.sql(
+      s"SELECT k, meta.label AS label, meta.score AS score FROM $cat.ns.t_nested ORDER BY k")
+      .collect()
+    assert(after.length == 60 && after(0).getString(1) == "n1" && after(0).isNullAt(2))
+    assert(after(59).getLong(2) == 420L)
+    // a RE-ADD of the dropped name starts null-filled — stored _2 bytes
+    // in epoch-1/2 files must NOT resurrect
+    spark.sql(s"ALTER TABLE $cat.ns.t_nested ADD COLUMNS (meta._2 BIGINT)")
+    val readd = spark.sql(s"SELECT count(meta._2) AS n FROM $cat.ns.t_nested").collect()(0)
+    assert(readd.getLong(0) == 0, "dropped nested bytes resurrected through a re-add")
+    // time travel below the drop still serves the old field's bytes
+    val t4 = IceliteTable.load(spark, wh0, "ns", "t_nested")
+    val tt = t4.readAt(2).selectExpr("k", "meta._2 AS v").orderBy("k").collect()
+    assert(tt(0).getLong(1) == 10L)
+    // the last remaining field cannot be dropped (drop the column instead)
+    t4.dropNestedField("meta", "label")
+    t4.dropNestedField("meta", "score")
+    val last = intercept[IllegalArgumentException](t4.dropNestedField("meta", "_2"))
+    assert(last.getMessage.contains("last field"))
+  }
+
+  test("nested-field pruning reads the right field (ordinal-misalignment regression)") {
+    import spark.implicits._
+    val wh0 = wh
+    // UNEVOLVED struct: Spark prunes requiredSchema to meta:struct<b>;
+    // the scan emits the full struct, so reporting the pruned shape
+    // made `meta.b` read `meta.a` by ordinal (caught via count/null)
+    val df = (1L to 10L).map(i => (i, (s"a$i", i * 2L))).toDF("k", "meta")
+      .selectExpr("k", "named_struct('a', meta._1, 'b', meta._2) AS meta")
+    val t = IceliteTable.create(spark, wh0, "ns", "t_nprune", df.schema)
+    t.append(df)
+    val got = spark.sql(s"SELECT sum(meta.b) AS s FROM $cat.ns.t_nprune").collect()(0)
+    assert(got.getLong(0) == (1L to 10L).map(_ * 2).sum)
   }
 
   test("schema evolution: pre-add rows read null through SQL") {
