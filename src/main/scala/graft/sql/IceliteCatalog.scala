@@ -235,7 +235,16 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
       case _: IceliteSparkTable => IceliteTable.load(spark, warehouse, oneLevel(ident), ident.name)
       case _ => throw new UnsupportedOperationException(s"cannot ALTER ${ident.name}")
     }
-    changes.foreach {
+    // property changes batch into ONE commit (Spark hands one
+    // SetProperty per key of a single ALTER statement)
+    val setProps = changes.collect { case p: TableChange.SetProperty => p.property() -> p.value() }
+    val unsetProps = changes.collect { case p: TableChange.RemoveProperty => p.property() }
+    if (setProps.nonEmpty || unsetProps.nonEmpty)
+      t.setProperties(setProps.toMap, unsetProps)
+    changes.filter {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
+      case _ => true
+    }.foreach {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 && a.position() == null =>
         t.addColumns(StructType(Seq(
           org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(), a.isNullable))))
@@ -252,7 +261,7 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
         t.dropNestedField(d.fieldNames()(0), d.fieldNames()(1))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other: icelite supports top-level ADD/RENAME/DROP " +
-          "COLUMN and struct-field ADD/RENAME/DROP")
+          "COLUMN, struct-field ADD/RENAME/DROP, and SET/UNSET TBLPROPERTIES")
     }
     loadTable(ident)
   }
@@ -349,6 +358,7 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
 
   override def name(): String = table.name
   override def schema(): StructType = table.schema
+  override def properties(): util.Map[String, String] = table.meta.properties.asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)

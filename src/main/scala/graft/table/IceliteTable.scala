@@ -2106,6 +2106,29 @@ final class IceliteTable private (
     (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "truncate", Nil, Nil, 0L)), seq)
   }
 
+  /** USER-property commit (`ALTER TABLE … SET/UNSET TBLPROPERTIES` —
+    * comments, ownership, tags): free-form metadata only. Every
+    * `graft.*` key and the non-prefixed behavior anchors (row-id
+    * high-water mark, retired partition specs, pinned write timezone)
+    * ride their own validated commit paths — letting a raw property
+    * write touch them would corrupt schema history, lineage, or
+    * date-transform stats, so they refuse here.
+    */
+  def setProperties(set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    val guarded = Set(IceliteTable.NextRowIdProp,
+      IceliteTable.PartitioningRetiredProp, IceliteTable.TimeZoneProp)
+    (set.keys ++ unset).find(k => k.startsWith("graft.") || guarded(k)).foreach { k =>
+      throw new IllegalArgumentException(
+        s"property '$k' of $name is engine-managed — use its dedicated API " +
+          "(constraints, policies, sort order, schema evolution, lineage)")
+    }
+    retryCommit { head =>
+      val seq = head.lastSeq + 1
+      (head.copy(properties = head.properties -- unset ++ set)
+        .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "properties", Nil, Nil, 0L)), seq)
+    }
+  }
+
   /** FULL-table overwrite in ONE atomic commit (`INSERT OVERWRITE` on
     * an unpartitioned table): the batch replaces every live row; prior
     * snapshots and their delete files leave the live view exactly as in

@@ -73,6 +73,22 @@ class IceliteSqlWriteSpec extends AnyFunSuite with SparkFixture {
     assert(procs.exists(_.contains("compact")), s"missing compact in $procs")
   }
 
+  test("SET/UNSET TBLPROPERTIES commit user metadata; engine-managed keys refuse") {
+    wh
+    spark.sql(s"CREATE TABLE $Cat.ns.props1 (id BIGINT)")
+    spark.sql(s"ALTER TABLE $Cat.ns.props1 SET TBLPROPERTIES ('team' = 'ops', 'tag' = 'gold')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $Cat.ns.props1").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("team").contains("ops") && props.get("tag").contains("gold"))
+    spark.sql(s"ALTER TABLE $Cat.ns.props1 UNSET TBLPROPERTIES ('tag')")
+    val t = IceliteTable.load(spark, wh, "ns", "props1")
+    assert(t.meta.properties.get("team").contains("ops") && !t.meta.properties.contains("tag"))
+    assert(t.meta.snapshots.map(_.operation) == Seq("properties", "properties"))
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $Cat.ns.props1 SET TBLPROPERTIES ('graft.schema.oplog' = '[]')"))
+    assert(e.getMessage.contains("engine-managed"))
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT replaces schema and content") {
     wh
     spark.sql(s"CREATE TABLE $Cat.ns.rep1 (id BIGINT, v STRING)")
