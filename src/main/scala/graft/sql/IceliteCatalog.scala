@@ -75,6 +75,14 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catName
 
+  /** ALTER/CREATE with `DEFAULT <literal>` routes to the initial-default
+    * evolution ([[IceliteTable.addColumnWithDefault]]).
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   // ------------------------------------------------------------ tables
 
   private def oneLevel(ident: Identifier): String = ident.namespace() match {
@@ -217,6 +225,15 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
       s"icelite table name '${ident.name}' may not contain '$$' (reserved for " +
         "metadata-table suffixes like `t$snapshots`)")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // DEFAULT in CREATE TABLE arrives as column metadata this create
+    // path does not persist — refuse rather than silently drop it
+    // (post-create `ALTER TABLE ADD COLUMN … DEFAULT` is the supported
+    // route: it commits the initial-default evolution)
+    schema.fields.find(_.metadata.contains("CURRENT_DEFAULT")).foreach { f =>
+      throw new UnsupportedOperationException(
+        s"CREATE TABLE with DEFAULT on '${f.name}': declare the column with " +
+          "ALTER TABLE ADD COLUMN ... DEFAULT after create (initial-default evolution)")
+    }
     new IceliteSparkTable(IceliteTable.create(spark, warehouse, ns, ident.name, schema,
       partitioning = partitions.toSeq.map(toPartitionConfig)))
   }
@@ -245,6 +262,14 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
       case _ => true
     }.foreach {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 && a.position() == null
+          && a.defaultValue() != null =>
+        // ALTER ADD COLUMN ... DEFAULT <lit>: route to the
+        // initial-default evolution (pre-add files serve the literal)
+        val lit = a.defaultValue().getValue
+        t.addColumnWithDefault(a.fieldNames()(0), a.dataType(),
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(
+            lit.value(), lit.dataType()))
       case a: TableChange.AddColumn if a.fieldNames().length == 1 && a.position() == null =>
         t.addColumns(StructType(Seq(
           org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(), a.isNullable))))

@@ -89,6 +89,21 @@ class IceliteSqlWriteSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("engine-managed"))
   }
 
+  test("ALTER ADD COLUMN with DEFAULT: pre-add rows serve the literal through SQL") {
+    wh
+    spark.sql(s"CREATE TABLE $Cat.ns.def1 (id BIGINT)")
+    spark.sql(s"INSERT INTO $Cat.ns.def1 VALUES (1), (2)")
+    spark.sql(s"ALTER TABLE $Cat.ns.def1 ADD COLUMN grade STRING DEFAULT 'bronze'")
+    spark.sql(s"INSERT INTO $Cat.ns.def1 VALUES (3, 'gold')")
+    val got = spark.sql(s"SELECT id, grade FROM $Cat.ns.def1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "bronze"), (2L, "bronze"), (3L, "gold")))
+    // CREATE TABLE with an inline DEFAULT refuses (would silently drop)
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE $Cat.ns.def2 (id BIGINT, g STRING DEFAULT 'x')"))
+    assert(e.getMessage.contains("DEFAULT"))
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT replaces schema and content") {
     wh
     spark.sql(s"CREATE TABLE $Cat.ns.rep1 (id BIGINT, v STRING)")
