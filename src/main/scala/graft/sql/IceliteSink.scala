@@ -35,7 +35,9 @@ import graft.table.IceliteTable
   *
   * Options: `warehouse`, `namespace`, `table` (required; the table
   * must exist — schema contracts are a create-time decision, not a
-  * first-batch accident), `mode`, `keys`.
+  * first-batch accident), `mode`, `keys`, `mergeSchema` (default
+  * false: a batch carrying unknown columns REFUSES loudly; true:
+  * auto-evolve via one add-columns commit, Delta's mergeSchema).
   */
 final class IceliteSinkProvider extends StreamSinkProvider with DataSourceRegister
     with RelationProvider with CreatableRelationProvider {
@@ -101,13 +103,38 @@ final class IceliteSinkProvider extends StreamSinkProvider with DataSourceRegist
       s"icelite sink mode '$mode' is not append|upsert|changelog")
     require(mode == "append" || keys.nonEmpty,
       s"icelite sink mode '$mode' needs option 'keys'")
-    new IceliteSink(req("warehouse"), req("namespace"), req("table"), mode, keys)
+    new IceliteSink(req("warehouse"), req("namespace"), req("table"), mode, keys,
+      parameters.get("mergeSchema").contains("true"))
   }
 }
 
 final class IceliteSink(
     warehouse: String, namespace: String, tableName: String,
-    mode: String, keys: Seq[String]) extends Sink {
+    mode: String, keys: Seq[String], mergeSchema: Boolean = false) extends Sink {
+
+  /** Schema contract per micro-batch: columns the table does not know
+    * REFUSE loudly by default (the write path's schema projection would
+    * silently drop them — data loss no stream operator should default
+    * to); `mergeSchema=true` auto-evolves instead (one metadata-only
+    * add-columns commit, then the batch lands under the new shape —
+    * Delta's mergeSchema semantics, old rows read NULL for the adds).
+    */
+  private def conformOrEvolve(
+      table0: IceliteTable,
+      cols: Seq[org.apache.spark.sql.types.StructField]): IceliteTable = {
+    val extra = cols.filterNot(f => table0.schema.fieldNames.contains(f.name))
+    if (extra.isEmpty) table0
+    else if (!mergeSchema)
+      throw new IllegalArgumentException(
+        s"icelite sink: batch carries column(s) ${extra.map(_.name).mkString(", ")} " +
+          s"not in ${table0.name}'s schema — set option mergeSchema=true to " +
+          "auto-evolve, or drop them upstream (refusing beats silent loss)")
+    else {
+      table0.addColumns(org.apache.spark.sql.types.StructType(
+        extra.map(_.copy(nullable = true)).toArray))
+      IceliteTable.load(SparkSession.active, warehouse, namespace, tableName)
+    }
+  }
 
   // under the carried-progress prefix so maintenance rewrites
   // (compact/compactCold/manifest merge) re-publish it like the sync
@@ -116,11 +143,14 @@ final class IceliteSink(
   private val BatchIdKey = IceliteTable.SyncProgressPrefix + "streaming.batchId"
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val table = IceliteTable.load(SparkSession.active, warehouse, namespace, tableName)
-    val last = table.meta.snapshots
+    val loaded = IceliteTable.load(SparkSession.active, warehouse, namespace, tableName)
+    val last = loaded.meta.snapshots
       .flatMap(_.summary.get(BatchIdKey)).lastOption.map(_.toLong).getOrElse(-1L)
     if (batchId <= last) return // replayed batch: already committed
     val batch = StreamingFrame.batch(data)
+    val contractCols = batch.schema.fields.toSeq.filterNot(f =>
+      f.name == IceliteTable.ChangeTypeCol || f.name == IceliteTable.CommitSeqCol)
+    val table = conformOrEvolve(loaded, contractCols)
     val stamp: Long => Map[String, String] = _ => Map(BatchIdKey -> batchId.toString)
     mode match {
       case "append" => table.append(batch, stamp)

@@ -50,6 +50,26 @@ class IceliteSinkSpec extends AnyFunSuite with SparkFixture {
       "compaction dropped the exactly-once watermark: replayed batch re-applied")
   }
 
+  test("unknown batch columns refuse loudly; mergeSchema=true evolves instead") {
+    import spark.implicits._
+    val wh = Scratch.dir("sink-spec")
+    IceliteTable.create(spark, wh, "ns", "t_ms",
+      Seq((1L, "a")).toDF("k", "v").schema)
+    val strict = new IceliteSink(wh, "ns", "t_ms", "append", Nil)
+    strict.addBatch(0, Seq((1L, "a")).toDF("k", "v"))
+    // silent drop is data loss — the default contract is a loud refusal
+    val e = intercept[IllegalArgumentException](
+      strict.addBatch(1, Seq((2L, "b", 5L)).toDF("k", "v", "score")))
+    assert(e.getMessage.contains("mergeSchema"))
+    val evolving = new IceliteSink(wh, "ns", "t_ms", "append", Nil, mergeSchema = true)
+    evolving.addBatch(1, Seq((2L, "b", 5L)).toDF("k", "v", "score"))
+    val t2 = IceliteTable.load(spark, wh, "ns", "t_ms")
+    assert(t2.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    val rows = t2.read().orderBy("k").collect()
+    assert(rows(0).isNullAt(2), "pre-evolution row must read NULL for the added column")
+    assert(rows(1).getLong(2) == 5L)
+  }
+
   test("upsert mode converges by key under replay") {
     import spark.implicits._
     val wh = Scratch.dir("sink-spec")
