@@ -41,9 +41,17 @@ object IceliteProcedures {
   private def countResult(n: String) = StructType(Seq(StructField(n, IntegerType, nullable = false)))
 
   private val specs: Seq[Spec] = Seq(
-    Spec("compact", "bin-pack live data files into ~target_file_mb files (one rewrite commit)",
-      Seq(tableParam, inD("target_file_mb", IntegerType, "256")), seqResult,
-      (t, r) => Seq(t.compact(r.getInt(1)))),
+    Spec("compact", "bin-pack live data files into ~target_file_mb files (one rewrite commit); zorder_by = comma-separated integral columns for multi-dimension clustering",
+      Seq(tableParam, inD("target_file_mb", IntegerType, "256"),
+        inD("zorder_by", StringType, "''")), seqResult,
+      (t, r) => {
+        val z = r.getUTF8String(2).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        Seq(t.compact(r.getInt(1), z, None))
+      }),
+    Spec("declare_sort_order", "declare the table's sort order (comma-separated columns): the next compact range-partitions + sorts on them so files own disjoint key ranges (metadata-only commit)",
+      Seq(tableParam, in("columns", StringType)), seqResult,
+      (t, r) => Seq(t.declareSortOrder(
+        r.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))),
     Spec("expire_snapshots", "delete metadata versions beyond keep_versions and sweep orphans",
       Seq(tableParam, inD("keep_versions", IntegerType, "3")), countResult("expired_versions"),
       (t, r) => Seq(t.expireSnapshots(r.getInt(1)))),

@@ -75,6 +75,18 @@ class IceliteProcedureSpec extends AnyFunSuite with SparkFixture {
     assert(t2.read().orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 
+  test("CALL declare_sort_order + zordered compact cluster the layout") {
+    mkTable("c9", 4)
+    spark.sql(s"CALL $Cat.system.declare_sort_order(table => 'ns.c9', columns => 'k')").collect()
+    val t = IceliteTable.load(spark, wh, "ns", "c9")
+    assert(t.meta.properties.get(IceliteTable.SortOrderProp).contains("k"))
+    // explicit z-order through the procedure (single integral dim)
+    spark.sql(s"CALL $Cat.system.compact(table => 'ns.c9', zorder_by => 'k')").collect()
+    val t2 = IceliteTable.load(spark, wh, "ns", "c9")
+    assert(t2.meta.snapshots.map(_.operation) == Seq("rewrite"))
+    assert(t2.read().count() == 4)
+  }
+
   test("CALL analyze commits stats for the named columns") {
     mkTable("c5", 2)
     val seq = spark.sql(s"CALL $Cat.system.analyze(table => 'ns.c5', columns => 'k,v')")
