@@ -206,8 +206,16 @@ object Bench {
     val syncJson = sync.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
+    // probe-knob echo: a sidecar written under SPARK_GRAFT_ONLY /
+    // SPARK_GRAFT_SKIP_INGEST is a partial probe, not a full-suite
+    // result — stamp the active knobs so the file is self-describing
+    // (otherwise a probe is distinguishable only by inspecting the
+    // per-query list)
+    val knobs = (onlyPrefixes.map(ps =>
+        s""""probe_only":${ps.map("\"" + _ + "\"").mkString("[", ",", "]")},""").toSeq ++
+      (if (skipIngest) Seq(""""skip_ingest":true,""") else Nil)).mkString
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"ingest_lm_index_sec":$lmIngestSec,"ingest_phash_index_sec":$phashIngestSec,"ingest_sketch_index_sec":$sketchIngestSec,"ingest_line_index_sec":$lineIngestSec,"ingest_wgram_index_sec":$wgramIngestSec,"ingest_edge_index_sec":$edgeIngestSec,"ingest_curation_state_sec":$curationIngestSec,"ingest_failed":${ingestFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$knobs"ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"ingest_lm_index_sec":$lmIngestSec,"ingest_phash_index_sec":$phashIngestSec,"ingest_sketch_index_sec":$sketchIngestSec,"ingest_line_index_sec":$lineIngestSec,"ingest_wgram_index_sec":$wgramIngestSec,"ingest_edge_index_sec":$edgeIngestSec,"ingest_curation_state_sec":$curationIngestSec,"ingest_failed":${ingestFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val qs = results.map { case (k, v) => s""""$k":${math.round(v * 1000)}""" }
       .mkString("{", ",", "}")
     val totalR = math.round(total * 1000) / 1000.0

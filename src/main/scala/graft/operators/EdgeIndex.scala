@@ -28,12 +28,35 @@ import graft.table.IceliteTable
   *    pairs (triangles, basket mining), and support-thresholded
   *    evidence edges (`w >= k`, link prediction) are all one filter.
   *
+  * SERVING SHAPE — everything a graph query reads is a DISK-BACKED
+  * bucketed table built at ingest, never a block-manager cache:
+  *  - `gidx_edges_b_*` — the edge rows as a Spark BUCKETED table on
+  *    `u` ([[bucketedEdges]]);
+  *  - `gidx_edges_d_*` — the degree-joined (u, v, d) rows, ALSO
+  *    bucketed on `u` ([[degreedEdges]]) — the per-round join input of
+  *    the iterative consumers, with the degree aggregation pre-paid.
+  *  Both build inside [[ensureBuilt]] (the untimed ingest step
+  *  [[graft.Bench]] reports as `ingest_edge_index_sec`), and every
+  *  consumer reference is a bucket-aligned parquet SCAN: earlier
+  *  rounds held the degree frame in a `.cache()` built lazily by the
+  *  first consumer, and under memory pressure the rebuild (or even the
+  *  first build) landed inside a TIMED query — measured as the
+  *  r15/r16 `graph_communities` driver-run regressions. A bucketed
+  *  scan re-derives `hashpartitioning(u, buckets)` over its own output
+  *  attributes at every reference, so the exchange-free property needs
+  *  no cache residency at all, and the worst case under any pressure
+  *  is a re-read of a small parquet file — never a shuffle, never a
+  *  degree re-aggregation, never an icelite re-scan.
+  *
   * Incremental maintenance is an associative MERGE: the new batch's
   * pair counts add onto matched edges, unmatched insert. Append ≡
   * rebuild holds EXACTLY under the ingest contract the family assumes,
   * instantiated for graphs: an ORDER lands in exactly one batch (all
   * its lineitems together, order keys never re-ingested), so per-batch
-  * pair counts partition the total co-purchase weight.
+  * pair counts partition the total co-purchase weight. The serving
+  * tables are keyed on the edge table's head commit seq, so an
+  * in-session merge forces a serving rebuild instead of silently
+  * reading stale buckets.
   */
 object EdgeIndex {
 
@@ -80,24 +103,38 @@ object EdgeIndex {
   def readEdges(spark: SparkSession, warehouse: String): DataFrame =
     IceliteTable.load(spark, warehouse, Ns, EdgeTable).read()
 
-  /** Ensure the edge table for dataset `dir` exists (first use in this
-    * JVM builds it — [[graft.Bench]] runs this untimed as the ingest
-    * step) and return its warehouse.
+  /** The icelite edge table for dataset `dir` (first use in this JVM
+    * builds it) — the durable store the serving tables derive from.
     */
-  def ensureBuilt(spark: SparkSession, dir: String): String = warehouses.synchronized {
-    warehouses.getOrElseUpdate(dir, {
-      val wh = graft.util.Scratch.dir("edge-index")
-      build(spark, wh, t(spark, dir, "lineitem"))
-      wh
-    })
+  private def ensureTable(spark: SparkSession, dir: String): String =
+    warehouses.synchronized {
+      warehouses.getOrElseUpdate(dir, {
+        val wh = graft.util.Scratch.dir("edge-index")
+        build(spark, wh, t(spark, dir, "lineitem"))
+        wh
+      })
+    }
+
+  /** Ensure the edge table AND its bucketed serving tables for dataset
+    * `dir` exist ([[graft.Bench]] runs this untimed as the ingest
+    * step) and return the icelite warehouse. After this returns, no
+    * graph query ever pays an index or serving build inside its own
+    * timed run — the property the r16 driver-bench regression traced
+    * back to lazily-built serving state.
+    */
+  def ensureBuilt(spark: SparkSession, dir: String): String = {
+    val wh = ensureTable(spark, dir)
+    serve(spark, dir)
+    wh
   }
 
   /** Memoized cached (u, v, w) edge frame per (session, dataset) —
-    * what every graph consumer reads instead of re-joining lineitem.
+    * the single-reference consumers' read (e.g. the basket-pair
+    * report), off the bucketed serving scan.
     */
   def edges(spark: SparkSession, dir: String): DataFrame =
     served.getOrElseUpdate(spark, dir) {
-      readEdges(spark, ensureBuilt(spark, dir)).cache()
+      spark.table(serve(spark, dir)._1).cache()
     }
 
   /** Upper bound on the LIVE directed edge count from TABLE METADATA
@@ -108,14 +145,14 @@ object EdgeIndex {
     * for a broadcast size gate.
     */
   def directedEdgeCountBound(spark: SparkSession, dir: String): Long =
-    IceliteTable.load(spark, ensureBuilt(spark, dir), Ns, EdgeTable)
+    IceliteTable.load(spark, ensureTable(spark, dir), Ns, EdgeTable)
       .meta.snapshots.map(_.recordCount).sum
 
   /** Head commit seq of the persisted edge table — the freshness token
     * the bucketed serving snapshot is keyed on.
     */
   private def edgeTableSeq(spark: SparkSession, dir: String): Long =
-    IceliteTable.load(spark, ensureBuilt(spark, dir), Ns, EdgeTable).meta.lastSeq
+    IceliteTable.load(spark, ensureTable(spark, dir), Ns, EdgeTable).meta.lastSeq
 
   /** Buckets for [[bucketedEdges]] — matched to the session's shuffle
     * width locally; a cluster deployment sizes it to its parallelism
@@ -123,50 +160,52 @@ object EdgeIndex {
     */
   val EdgeBuckets = 32
 
-  private val bucketServed = new graft.util.IndexMemo[DataFrame](8)(_ => ())
+  private val bucketServed = new graft.util.IndexMemo[(String, String)](8)(_ => ())
 
-  /** The edge table re-served as a Spark BUCKETED table on `u` — the
-    * serving shape for the ITERATIVE consumers (PageRank, PPR, BFS,
-    * label propagation), built once per (session, dataset) like the
-    * cached frame above. Why a storage bucket and not an in-plan pin:
-    * each round's join references the edge leaf inside the previous
-    * round's nested plan, and any repartition/localCheckpoint pin is
-    * re-aliased there and re-exchanged (measured in r14 — the |E|
-    * edge list shuffled EVERY round, 72-98 MB per graph query at
-    * sf0.1). A bucketed SCAN, by contrast, re-derives
-    * `hashpartitioning(u, buckets)` over its own output attributes at
-    * every reference, so every per-round equi-join on `u` is
-    * exchange-free on the edge side no matter how deep the nesting —
-    * the per-round shuffle collapses to the |V|-sized rank/label
-    * vector plus the map-side-combined per-partition message vectors.
-    * At 100 TB this is the difference between K·|E| and K·|V| bytes
-    * on the wire per query.
+  /** Build-if-missing the two bucketed serving tables for the CURRENT
+    * head seq of the edge table and return their metastore names
+    * (edges, degree-joined). Keyed on the head seq, so an in-session
+    * incremental append (merge) advances the seq and forces a rebuild
+    * instead of silently serving the stale bucket snapshot.
     */
-  def bucketedEdges(spark: SparkSession, dir: String): DataFrame = {
-    // freshness token: the serving snapshot is keyed on the edge
-    // table's head seq, so an in-session incremental append (merge)
-    // advances the seq and forces a rebuild instead of silently
-    // serving the stale bucket snapshot
+  private def serve(spark: SparkSession, dir: String): (String, String) = {
     val seq = edgeTableSeq(spark, dir)
     bucketServed.getOrElseUpdate(spark, s"$dir@s$seq") {
       // collision-proof name: a full-path digest, not String.hashCode
       // (32-bit hashCode collisions across dataset dirs — or a
       // metastore outliving the scratch path — would silently serve
       // another dataset's edges to every graph query)
-      val name = s"gidx_edges_b_${pathToken(dir)}_s$seq"
+      val tok = pathToken(dir)
+      val bName = s"gidx_edges_b_${tok}_s$seq"
+      val dName = s"gidx_edges_d_${tok}_s$seq"
       // drop serving snapshots of OLDER seqs of the same dataset (the
       // metastore entry outlives the memo across sessions)
       spark.catalog.listTables().collect()
         .map(_.name)
-        .filter(n => n.startsWith(s"gidx_edges_b_${pathToken(dir)}_s") && n != name)
+        .filter(n => (n.startsWith(s"gidx_edges_b_${tok}_s") ||
+          n.startsWith(s"gidx_edges_d_${tok}_s")) && n != bName && n != dName)
         .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
-      if (!spark.catalog.tableExists(name)) {
-        readEdges(spark, ensureBuilt(spark, dir))
+      if (!spark.catalog.tableExists(bName)) {
+        readEdges(spark, ensureTable(spark, dir))
           .write.bucketBy(EdgeBuckets, "u").sortBy("u")
           .option("path", graft.util.Scratch.dir("edge-bucketed"))
-          .saveAsTable(name)
+          .saveAsTable(bName)
       }
-      spark.table(name)
+      if (!spark.catalog.tableExists(dName)) {
+        // degrees aggregate bucket-locally off the bucketed scan (no
+        // exchange) and the degree join is bucket-aligned (no
+        // exchange); the result persists bucketed on `u` so every
+        // per-round consumer reference re-derives hashpartitioning(u)
+        // from the SCAN — pre-paying at ingest the aggregation the
+        // old cached frame recomputed whenever cache residency broke
+        val e = spark.table(bName).select(col("u"), col("v"))
+        val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        e.join(deg, "u")
+          .write.bucketBy(EdgeBuckets, "u").sortBy("u")
+          .option("path", graft.util.Scratch.dir("edge-degreed"))
+          .saveAsTable(dName)
+      }
+      (bName, dName)
     }
   }
 
@@ -180,59 +219,53 @@ object EdgeIndex {
     s"${tail}_$md5"
   }
 
-  private val degreeServed = new graft.util.IndexMemo[DataFrame](8)(_.unpersist(false))
+  /** The edge table served as a Spark BUCKETED table on `u` — built at
+    * ingest ([[ensureBuilt]]). Why a storage bucket and not an in-plan
+    * pin: each round's join references the edge leaf inside the
+    * previous round's nested plan, and any repartition/localCheckpoint
+    * pin is re-aliased there and re-exchanged (measured in r14 — the
+    * |E| edge list shuffled EVERY round, 72-98 MB per graph query at
+    * sf0.1). A bucketed SCAN, by contrast, re-derives
+    * `hashpartitioning(u, buckets)` over its own output attributes at
+    * every reference, so every per-round equi-join on `u` is
+    * exchange-free on the edge side no matter how deep the nesting —
+    * the per-round shuffle collapses to the |V|-sized rank/label
+    * vector plus the map-side-combined per-partition message vectors.
+    * At 100 TB this is the difference between K·|E| and K·|V| bytes
+    * on the wire per query.
+    */
+  def bucketedEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.table(serve(spark, dir)._1)
 
-  /** CACHED bucket-partitioned (u, v, d) frame — the per-iteration
-    * join input of the iterative consumers, built once per (session,
-    * dataset): degrees aggregate bucket-locally off [[bucketedEdges]]
-    * (no exchange) and the degree join is bucket-aligned (no
-    * exchange), so the cached partitioning IS hashpartitioning(u).
-    * Caching (InMemoryRelation) is the one in-plan holder that keeps
-    * that partitioning across nested per-round references: every
-    * InMemoryTableScan instance REMAPS the cached plan's partitioning
-    * onto its own output attributes, where a localCheckpoint pin gets
-    * re-aliased and re-exchanged (measured in r14). Local effect: the
-    * per-round edge-side exchange AND the per-round parquet re-scan
-    * both disappear; at 100 TB the cache spills-or-rescans per
-    * executor but the partitioning contract — per-round wire cost =
-    * the |V| rank/label vector, never K·|E| — is carried by the
-    * bucketed table underneath either way.
+  /** Bucket-partitioned (u, v, d) serving table — the per-iteration
+    * join input of the iterative consumers (PageRank, PPR, label
+    * propagation), built at ingest with the degree aggregation
+    * pre-paid. Each reference is a bucket-aligned parquet scan:
+    * disk-backed by construction, so no memory pressure can ever turn
+    * a per-round reference into a degree re-aggregation (the r16
+    * driver-bench pathology this replaces — the old `.cache()`d join
+    * was built inside the first timed consumer and re-derived under
+    * pressure).
     */
   def degreedEdges(spark: SparkSession, dir: String): DataFrame =
-    degreeServed.getOrElseUpdate(spark, s"$dir@s${edgeTableSeq(spark, dir)}") {
-      val e = bucketedEdges(spark, dir).select(col("u"), col("v"))
-      val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-      val ed = e.join(deg, "u").cache()
-      ed.count() // materialize once, outside any timed round
-      ed
-    }
+    spark.table(serve(spark, dir)._2)
 
-  private val supportServed = new graft.util.IndexMemo[DataFrame](8)(_.unpersist(false))
-
-  /** CACHED bucket-aligned support-filtered slice (w ≥ minW) — the
-    * wedge-join consumers' input (link prediction, neighbor Jaccard):
-    * the row filter keeps the bucketed scan's hashpartitioning(u), the
-    * cache keeps it across the self-join's two references, so the
-    * wedge join runs with ZERO exchanges from memory.
+  /** Support-filtered slice (w ≥ minW) of the bucketed serving table —
+    * the wedge-join consumers' input (link prediction, neighbor
+    * Jaccard): the row filter is scan-local and keeps the bucketed
+    * scan's hashpartitioning(u), so the wedge self-join runs with ZERO
+    * exchanges straight off two parquet scans.
     */
   def supportEdges(spark: SparkSession, dir: String, minW: Long): DataFrame =
-    supportServed.getOrElseUpdate(spark, s"$dir@s${edgeTableSeq(spark, dir)}#w$minW") {
-      val e = bucketedEdges(spark, dir).filter(col("w") >= minW)
-        .select(col("u"), col("v")).cache()
-      e.count()
-      e
-    }
+    bucketedEdges(spark, dir).filter(col("w") >= minW)
+      .select(col("u"), col("v"))
 
-  private val canonicalServed = new graft.util.IndexMemo[DataFrame](8)(_.unpersist(false))
-
-  /** CACHED bucket-aligned canonical (u < v) slice — triangle
-    * counting's input (three references per query).
+  /** Canonical (u < v) slice of the bucketed serving table — triangle
+    * counting's input (three scan-local references per query; re-
+    * reading the bucketed parquet measured FASTER than the columnar
+    * cache locally, and is immune to cache eviction by construction).
     */
   def canonicalEdges(spark: SparkSession, dir: String): DataFrame =
-    canonicalServed.getOrElseUpdate(spark, s"$dir@s${edgeTableSeq(spark, dir)}") {
-      val e = bucketedEdges(spark, dir).filter(col("u") < col("v"))
-        .select(col("u"), col("v")).cache()
-      e.count()
-      e
-    }
+    bucketedEdges(spark, dir).filter(col("u") < col("v"))
+      .select(col("u"), col("v"))
 }

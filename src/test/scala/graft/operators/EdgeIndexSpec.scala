@@ -61,4 +61,33 @@ class EdgeIndexSpec extends AnyFunSuite with SparkFixture {
     assert(Graph.triangles(spark, dir).collect().nonEmpty)
     assert(EdgeIndex.builds.get() == before)
   }
+
+  test("ensureBuilt materializes the bucketed serving tables eagerly (ingest, not query)") {
+    EdgeIndex.ensureBuilt(spark, dir)
+    // both disk-backed serving tables exist BEFORE any consumer runs —
+    // the r16 pathology was the degree frame building lazily inside
+    // the first timed graph query (and rebuilding under pressure)
+    val names = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(names.exists(_.startsWith("gidx_edges_b_")), s"edge serving table missing: $names")
+    assert(names.exists(_.startsWith("gidx_edges_d_")), s"degree serving table missing: $names")
+    // a consumer run creates no NEW metastore tables and no new builds
+    val before = EdgeIndex.builds.get()
+    assert(Graph.communities(spark, dir).collect().nonEmpty)
+    assert(Graph.pagerank(spark, dir).collect().nonEmpty)
+    val after = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(after == names, s"consumer created serving tables: ${after -- names}")
+    assert(EdgeIndex.builds.get() == before)
+  }
+
+  test("degreed serving table carries pre-paid degrees equal to an inline aggregation") {
+    EdgeIndex.ensureBuilt(spark, dir)
+    val d = EdgeIndex.degreedEdges(spark, dir)
+    val inline = EdgeIndex.bucketedEdges(spark, dir).select(col("u"), col("v"))
+    val expected = inline.join(
+      inline.groupBy(col("u")).agg(count(lit(1)).as("d")), "u")
+    assert(d.select("u", "v", "d").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      expected.select("u", "v", "d").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
 }
