@@ -273,6 +273,16 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn if a.fieldNames().length == 1 && a.position() == null =>
         t.addColumns(StructType(Seq(
           org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType(), a.isNullable))))
+      case a: TableChange.AddColumn if a.fieldNames().length == 2 && a.position() == null
+          && a.defaultValue() != null =>
+        // the catalog advertises SUPPORT_COLUMN_DEFAULT_VALUE, so Spark
+        // passes nested defaults through without complaint — refuse
+        // loudly instead of silently dropping the literal (pre-add rows
+        // would read NULL where the user declared a DEFAULT)
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ADD COLUMN ${a.fieldNames().mkString(".")} DEFAULT: struct-field " +
+            "defaults are not supported — add the nested field without DEFAULT " +
+            "(pre-add rows read NULL), or add a top-level column with DEFAULT")
       case a: TableChange.AddColumn if a.fieldNames().length == 2 && a.position() == null =>
         t.addNestedField(a.fieldNames()(0),
           org.apache.spark.sql.types.StructField(a.fieldNames()(1), a.dataType(), a.isNullable))

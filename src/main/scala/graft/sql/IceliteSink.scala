@@ -122,7 +122,11 @@ final class IceliteSink(
   private def conformOrEvolve(
       table0: IceliteTable,
       cols: Seq[org.apache.spark.sql.types.StructField]): IceliteTable = {
-    val extra = cols.filterNot(f => table0.schema.fieldNames.contains(f.name))
+    // case-INSENSITIVE membership, matching Spark's default resolver:
+    // a batch column differing only in case ('Value' vs table 'value')
+    // must land in the existing column, not auto-evolve a near-duplicate
+    val known = table0.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val extra = cols.filterNot(f => known(f.name.toLowerCase(java.util.Locale.ROOT)))
     if (extra.isEmpty) table0
     else if (!mergeSchema)
       throw new IllegalArgumentException(
@@ -147,10 +151,19 @@ final class IceliteSink(
     val last = loaded.meta.snapshots
       .flatMap(_.summary.get(BatchIdKey)).lastOption.map(_.toLong).getOrElse(-1L)
     if (batchId <= last) return // replayed batch: already committed
-    val batch = StreamingFrame.batch(data)
-    val contractCols = batch.schema.fields.toSeq.filterNot(f =>
+    val batch0 = StreamingFrame.batch(data)
+    val contractCols = batch0.schema.fields.toSeq.filterNot(f =>
       f.name == IceliteTable.ChangeTypeCol || f.name == IceliteTable.CommitSeqCol)
     val table = conformOrEvolve(loaded, contractCols)
+    // canonicalize case-variant batch columns to the table's casing
+    // (the write path conforms BY EXACT NAME — without this a 'Value'
+    // batch column would null-fill the table's 'value')
+    val canon = table.schema.fieldNames
+      .map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
+    val batch = batch0.columns.foldLeft(batch0) { (df, c) =>
+      canon.get(c.toLowerCase(java.util.Locale.ROOT))
+        .filter(_ != c).fold(df)(n => df.withColumnRenamed(c, n))
+    }
     val stamp: Long => Map[String, String] = _ => Map(BatchIdKey -> batchId.toString)
     mode match {
       case "append" => table.append(batch, stamp)

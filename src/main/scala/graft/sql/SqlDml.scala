@@ -37,8 +37,10 @@ import graft.table.IceliteTable
   * the routing cannot express EXACTLY refuse loudly rather than
   * half-apply — subqueries in predicates/values, nested-field
   * assignment, non-equi or cross-named merge keys, non-pass-through
-  * INSERT values, `WHEN NOT MATCHED BY SOURCE`, and schema-evolving
-  * merges.
+  * INSERT values, and schema-evolving merges. `WHEN NOT MATCHED BY
+  * SOURCE` routes (target-only conditions/SET; the engine classifies
+  * source-absent target rows over the full MoR scan — the clause's
+  * inherent cost, since an unmatched row can live in any file).
   *
   * Scale: identical to the Scala paths — the UPDATE scans the MoR
   * view once and writes only matching images; the MERGE prunes the
@@ -119,8 +121,6 @@ object SqlDml {
   // ---------------------------------------------------------------- MERGE
 
   private[sql] def translateMerge(m: MergeIntoTable, t: IceliteTable): LogicalPlan = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("WHEN NOT MATCHED BY SOURCE is not routed")
     if (m.withSchemaEvolution) refuse("MERGE WITH SCHEMA EVOLUTION is not routed")
     val target = m.targetTable.outputSet
     val source = m.sourceTable.outputSet
@@ -218,9 +218,57 @@ object SqlDml {
       insPrior = insPrior || own
     }
 
+    // WHEN NOT MATCHED BY SOURCE (target rows no source row matched):
+    // conditions and SET values may reference the TARGET side only —
+    // there is no source row to read from
+    def qualTargetOnly(e: Expression): Column = {
+      noSubquery(e, "MERGE")
+      ColumnBridge.column(e.transform {
+        case a: AttributeReference if target.contains(a) =>
+          UnresolvedAttribute(Seq("t", a.name))
+        case a: AttributeReference if source.contains(a) =>
+          refuse(s"NOT MATCHED BY SOURCE references source column ${a.name} " +
+            "(no source row exists for these target rows)")
+        case a: AttributeReference =>
+          refuse(s"reference ${a.name} is bound to neither MERGE side")
+      })
+    }
+    var bsUpdate: Option[Column] = None
+    var bsDelete: Option[Column] = None
+    var bsSet: Map[String, Column] = Map.empty
+    var bsPrior: Column = lit(false)
+    m.notMatchedBySourceActions.foreach { act =>
+      val own: Column = act.condition.map(qualTargetOnly).getOrElse(lit(true))
+      val eff = own && !bsPrior
+      act match {
+        case UpdateAction(_, as, _) =>
+          if (bsUpdate.isDefined) refuse("multiple WHEN NOT MATCHED BY SOURCE UPDATE clauses")
+          bsUpdate = Some(eff)
+          bsSet = as.flatMap { a =>
+            val name = a.key match {
+              case ar: AttributeReference => ar.name
+              case other => refuse(s"assignment to non-top-level field ${other.sql}")
+            }
+            a.value match {
+              // identity padding from assignment alignment (SET a = a)
+              case v: AttributeReference if target.contains(v) &&
+                v.name.equalsIgnoreCase(name) => None
+              case v => Some(name -> qualTargetOnly(v))
+            }
+          }.toMap
+          if (bsSet.isEmpty) bsUpdate = Some(lit(false)) // all-identity SET: no-op
+        case DeleteAction(_) =>
+          if (bsDelete.isDefined) refuse("multiple WHEN NOT MATCHED BY SOURCE DELETE clauses")
+          bsDelete = Some(eff)
+        case other => refuse(s"WHEN NOT MATCHED BY SOURCE action ${other.getClass.getSimpleName}")
+      }
+      bsPrior = bsPrior || own
+    }
+
     IceliteMergeCommand(t, m.sourceTable, keyCols,
       Some(matchedUpdate.getOrElse(lit(false))),
-      matchedDelete, notMatchedInsert, updateSet)
+      matchedDelete, notMatchedInsert, updateSet,
+      bsUpdate, bsDelete, bsSet)
   }
 }
 
@@ -259,12 +307,16 @@ case class IceliteUpdateCommand(
 case class IceliteMergeCommand(
     table: IceliteTable, sourcePlan: LogicalPlan, keyCols: Seq[String],
     matchedUpdate: Option[Column], matchedDelete: Option[Column],
-    notMatchedInsert: Option[Column], matchedUpdateSet: Map[String, Column])
+    notMatchedInsert: Option[Column], matchedUpdateSet: Map[String, Column],
+    notMatchedBySourceUpdate: Option[Column] = None,
+    notMatchedBySourceDelete: Option[Column] = None,
+    notMatchedBySourceUpdateSet: Map[String, Column] = Map.empty)
   extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val src = ColumnBridge.ofRows(sparkSession, sourcePlan)
     table.merge(src, keyCols, matchedUpdate, matchedDelete,
-      notMatchedInsert, matchedUpdateSet)
+      notMatchedInsert, matchedUpdateSet,
+      notMatchedBySourceUpdate, notMatchedBySourceDelete, notMatchedBySourceUpdateSet)
     Seq.empty
   }
 }

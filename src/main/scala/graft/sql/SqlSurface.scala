@@ -239,6 +239,71 @@ object SqlSurface {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // --------------------------------------------- table_sql_merge_by_source
+
+  /** SQL MERGE with the `WHEN NOT MATCHED BY SOURCE` family — the
+    * SCD/sync idiom (make the target mirror the source, retiring
+    * source-absent rows): matched rows update, source-only rows
+    * insert, and target rows NO source row matched either delete
+    * (stale beyond a threshold) or get flagged, with SQL
+    * first-match-wins ordering between the two BY SOURCE clauses. One
+    * classify-then-commit merge over the full MoR target scan (the
+    * clause's inherent cost — a source-absent row can live in any
+    * file); the oracle recomputes all four row fates relationally.
+    */
+  def tableSqlMergeBySource(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val sub = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(43)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val table = freshTable(spark, wh, "analytics", "orders_sqlbs", sub.schema)
+    table.append(sub.filter(pmod(col("o_orderkey"), lit(2)) === 1)) // target: odd keys
+    // source: keys ≡ 0 (mod 3) — odd ones match (update), even ones are
+    // new (insert), and odd non-multiples of 3 went stale on the target
+    // (retire or flag via BY SOURCE)
+    sub.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), (col("cents") + 7).as("cents"))
+      .createOrReplaceTempView("sqlbs_src")
+    spark.sql(
+      s"""MERGE INTO $CatName.analytics.orders_sqlbs t USING sqlbs_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET cents = s.cents
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, cents)
+         |  VALUES (s.o_orderkey, s.o_orderstatus, s.cents)
+         |WHEN NOT MATCHED BY SOURCE AND t.cents % 2 = 0 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'X'""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $CatName.analytics.orders_sqlbs
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val tableSqlMergeBySourceOracle =
+    """WITH sub AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 43 = 0),
+      |tgt AS (SELECT * FROM sub WHERE o_orderkey % 2 = 1),
+      |srcv AS (
+      |  SELECT o_orderkey, o_orderstatus, cents + 7 AS cents
+      |  FROM sub WHERE o_orderkey % 3 = 0),
+      |state AS (
+      |  SELECT t.o_orderkey, t.o_orderstatus, s.cents
+      |  FROM tgt t JOIN srcv s ON t.o_orderkey = s.o_orderkey
+      |  UNION ALL
+      |  SELECT s.o_orderkey, s.o_orderstatus, s.cents
+      |  FROM srcv s LEFT JOIN tgt t ON t.o_orderkey = s.o_orderkey
+      |  WHERE t.o_orderkey IS NULL
+      |  UNION ALL
+      |  SELECT t.o_orderkey, 'X' AS o_orderstatus, t.cents
+      |  FROM tgt t LEFT JOIN srcv s ON t.o_orderkey = s.o_orderkey
+      |  WHERE s.o_orderkey IS NULL AND NOT (t.cents % 2 = 0))
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // -------------------------------------------------- table_stream_native
 
   /** CDC replication through the NATIVE streaming source — the
@@ -529,6 +594,9 @@ object SqlSurface {
       "SQL UPDATE routed onto the MoR updateWhere commit via the analyzer rule"),
     GraftQuery("table_sql_merge", tableSqlMerge _, Some(tableSqlMergeOracle),
       "SQL MERGE INTO (delete/update/insert, clause-order semantics) onto IceliteTable.merge"),
+    GraftQuery("table_sql_merge_by_source", tableSqlMergeBySource _,
+      Some(tableSqlMergeBySourceOracle),
+      "MERGE WHEN NOT MATCHED BY SOURCE: retire/flag target rows absent from the source (SCD sync)"),
     GraftQuery("table_stream_native", tableStreamNative _, Some(tableStreamNativeOracle),
       "CDC replication via the native icelite-changelog streaming source (no export hop)"),
     GraftQuery("table_stream_sink", tableStreamSink _, Some(tableStreamSinkOracle),

@@ -359,6 +359,18 @@ final class IceliteTable private (
     * the same delete-file + data-file pair as upsert, so changelog
     * reads ([[readChanges]]) see merge updates as proper pre/post
     * pairs.
+    *
+    * `notMatchedBySource*` add the SQL `WHEN NOT MATCHED BY SOURCE`
+    * family (the SCD/sync idiom: target rows whose key appears in NO
+    * source row get deleted or updated). Their conditions and
+    * `notMatchedBySourceUpdateSet` expressions may reference TARGET
+    * columns only (`t.col` — there is no source row). Delete wins
+    * over update when both conditions hold, mirroring the matched
+    * side. Scale note: any BY SOURCE action necessarily classifies
+    * EVERY target row (an unmatched row can live in any file), so the
+    * target scan is the full MoR read, not the key-range-pruned one —
+    * that full pass is the operator's inherent cost, same as
+    * Delta/Iceberg.
     */
   def merge(
       source: DataFrame,
@@ -366,40 +378,71 @@ final class IceliteTable private (
       matchedUpdate: Option[Column] = Some(lit(true)),
       matchedDelete: Option[Column] = None,
       notMatchedInsert: Option[Column] = Some(lit(true)),
-      matchedUpdateSet: Map[String, Column] = Map.empty): MergeStats = {
+      matchedUpdateSet: Map[String, Column] = Map.empty,
+      notMatchedBySourceUpdate: Option[Column] = None,
+      notMatchedBySourceDelete: Option[Column] = None,
+      notMatchedBySourceUpdateSet: Map[String, Column] = Map.empty): MergeStats = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     requireLineageSafe(cachedMeta, "merge")
     val tableSchema = cachedMeta.schema
-    matchedUpdateSet.keys.foreach { c =>
+    (matchedUpdateSet.keys ++ notMatchedBySourceUpdateSet.keys).foreach { c =>
       require(tableSchema.fieldNames.contains(c),
         s"UPDATE SET column '$c' is not a column of $name")
       require(!keyCols.contains(c), s"UPDATE SET may not assign key column '$c'")
     }
+    require(notMatchedBySourceUpdate.isEmpty || notMatchedBySourceUpdateSet.nonEmpty,
+      "NOT MATCHED BY SOURCE UPDATE needs an explicit column-level update set " +
+        "(there is no source row to take a whole-row replacement from)")
+    val bySource =
+      notMatchedBySourceUpdate.isDefined || notMatchedBySourceDelete.isDefined
     val marker = "_t_matched"
-    require(!source.columns.contains(marker), s"source may not carry $marker")
+    val sMarker = "_s_matched"
+    require(!source.columns.contains(marker) && !source.columns.contains(sMarker),
+      s"source may not carry $marker/$sMarker")
     val srcSet = source.columns.toSet
     keyCols.foreach(k => require(srcSet.contains(k), s"source lacks key column '$k'"))
-    val joined = source.alias("s").join(
-      readForKeyRange(source, keyCols).withColumn(marker, lit(true)).alias("t"),
+    // BY SOURCE must classify every target row (an unmatched row can
+    // live in any file) — the scan is unprunable by construction; the
+    // plain merge keeps the key-range-pruned scan
+    val targetScan =
+      if (bySource) read().select(tableSchema.fieldNames.map(col).toSeq: _*)
+      else readForKeyRange(source, keyCols)
+    val joined = source.withColumn(sMarker, lit(true)).alias("s").join(
+      targetScan.withColumn(marker, lit(true)).alias("t"),
       keyCols.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _),
-      "left_outer")
-    val matched = coalesce(col(s"t.$marker"), lit(false))
+      if (bySource) "full_outer" else "left_outer")
+    val tPresent = coalesce(col(s"t.$marker"), lit(false))
+    val sPresent = coalesce(col(s"s.$sMarker"), lit(false))
+    val matched = sPresent && tPresent
     val action = when(matched && matchedDelete.getOrElse(lit(false)), "delete")
       .when(matched && matchedUpdate.getOrElse(lit(false)), "update")
-      .when(!matched && notMatchedInsert.getOrElse(lit(false)), "insert")
+      .when(sPresent && !tPresent && notMatchedInsert.getOrElse(lit(false)), "insert")
+      .when(!sPresent && tPresent &&
+        notMatchedBySourceDelete.getOrElse(lit(false)), "bs_delete")
+      .when(!sPresent && tPresent &&
+        notMatchedBySourceUpdate.getOrElse(lit(false)), "bs_update")
       .otherwise("skip")
-    // one expression per TABLE column covering both write actions:
+    // one expression per TABLE column covering all write actions:
     // inserts take the source value (null when absent), updates take
     // the UPDATE SET expression, else the preserved target value
-    // (whole-row mode: the source value, the pre-r5 behavior)
+    // (whole-row mode: the source value, the pre-r5 behavior);
+    // by-source updates take their target-only update set
     def insertVal(f: org.apache.spark.sql.types.StructField): Column =
       (if (srcSet.contains(f.name)) col(s"s.${f.name}") else lit(null)).cast(f.dataType)
     def updateVal(f: org.apache.spark.sql.types.StructField): Column =
       matchedUpdateSet.get(f.name).map(_.cast(f.dataType)).getOrElse(
         if (matchedUpdateSet.isEmpty) insertVal(f) else col(s"t.${f.name}").cast(f.dataType))
+    def bsUpdateVal(f: org.apache.spark.sql.types.StructField): Column =
+      notMatchedBySourceUpdateSet.get(f.name).map(_.cast(f.dataType))
+        .getOrElse(col(s"t.${f.name}").cast(f.dataType))
     val payload = tableSchema.fields.toSeq.map { f =>
-      if (keyCols.contains(f.name)) col(s"s.${f.name}").as(f.name)
-      else when(action === "update", updateVal(f)).otherwise(insertVal(f)).as(f.name)
+      // keys come from whichever side has the row (equal when matched,
+      // target-only for by-source rows, source-only for inserts)
+      if (keyCols.contains(f.name))
+        coalesce(col(s"s.${f.name}"), col(s"t.${f.name}")).as(f.name)
+      else when(action === "update", updateVal(f))
+        .when(action === "bs_update", bsUpdateVal(f))
+        .otherwise(insertVal(f)).as(f.name)
     }
     val classified = joined
       .select(payload :+ action.as("_merge_action"): _*)
@@ -415,17 +458,19 @@ final class IceliteTable private (
         .agg(count(lit(1)).as("_k_rows"), first(col("_merge_action")).as("_k_action"))
         .agg(max(col("_k_rows")),
           sum(when(col("_k_action") === "insert", 1L).otherwise(0L)),
-          sum(when(col("_k_action") === "update", 1L).otherwise(0L)),
-          sum(when(col("_k_action") === "delete", 1L).otherwise(0L)))
+          sum(when(col("_k_action").isin("update", "bs_update"), 1L).otherwise(0L)),
+          sum(when(col("_k_action").isin("delete", "bs_delete"), 1L).otherwise(0L)))
         .collect()(0)
       def n(i: Int): Long = if (statsRow.isNullAt(i)) 0L else statsRow.getLong(i)
       require(n(0) <= 1,
         s"merge source has duplicate keys on (${keyCols.mkString(", ")}) — ambiguous match")
       val (nIns, nUpd, nDel) = (n(1), n(2), n(3))
       if (nIns + nUpd + nDel == 0) return MergeStats(cachedMeta.lastSeq, 0, 0, 0)
-      val writes = classified.filter(col("_merge_action").isin("update", "insert"))
+      val writes = classified
+        .filter(col("_merge_action").isin("update", "insert", "bs_update"))
         .drop("_merge_action")
-      val delKeys = classified.filter(col("_merge_action").isin("update", "delete"))
+      val delKeys = classified
+        .filter(col("_merge_action").isin("update", "delete", "bs_update", "bs_delete"))
         .select(keyCols.map(col): _*)
       val seq = commitWrite(
         if (nIns + nUpd == 0) null else writes,
@@ -2103,7 +2148,13 @@ final class IceliteTable private (
     */
   def truncate(): Long = retryCommit { head =>
     val seq = head.lastSeq + 1
-    (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "truncate", Nil, Nil, 0L)), seq)
+    // carry the streaming sink's replay watermark like overwriteAll /
+    // compact do: truncate REWRITES history (prior snapshots drop), so
+    // without the carry a checkpoint-replayed micro-batch would read
+    // last=-1 and re-commit pre-truncate data — resurrecting rows the
+    // operator just deleted
+    (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "truncate", Nil, Nil, 0L,
+      summary = carrySyncProgress(head.snapshots))), seq)
   }
 
   /** USER-property commit (`ALTER TABLE … SET/UNSET TBLPROPERTIES` —

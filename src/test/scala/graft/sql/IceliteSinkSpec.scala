@@ -50,6 +50,40 @@ class IceliteSinkSpec extends AnyFunSuite with SparkFixture {
       "compaction dropped the exactly-once watermark: replayed batch re-applied")
   }
 
+  test("TRUNCATE carries the batch-id watermark; a post-truncate replay is still skipped") {
+    import spark.implicits._
+    val wh = Scratch.dir("sink-spec")
+    IceliteTable.create(spark, wh, "ns", "t_trunc",
+      Seq((1L, "a")).toDF("k", "v").schema)
+    val sink = new IceliteSink(wh, "ns", "t_trunc", "append", Nil)
+    sink.addBatch(0, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    sink.addBatch(1, Seq((3L, "c")).toDF("k", "v"))
+    IceliteTable.load(spark, wh, "ns", "t_trunc").truncate()
+    // crash-replay AFTER a truncate: the rewrite snapshot must carry
+    // the watermark — otherwise the replayed batch re-commits data the
+    // operator just deleted (rows resurrect)
+    sink.addBatch(1, Seq((3L, "c")).toDF("k", "v"))
+    sink.addBatch(0, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    assert(IceliteTable.load(spark, wh, "ns", "t_trunc").read().count() == 0,
+      "truncate dropped the exactly-once watermark: replayed batch resurrected rows")
+  }
+
+  test("batch columns differing only in case land in the existing column, never evolve") {
+    import spark.implicits._
+    val wh = Scratch.dir("sink-spec")
+    IceliteTable.create(spark, wh, "ns", "t_case",
+      Seq((1L, "a")).toDF("k", "value").schema)
+    val sink = new IceliteSink(wh, "ns", "t_case", "append", Nil, mergeSchema = true)
+    // Spark resolution is case-insensitive by default: 'Value' IS the
+    // table's 'value' — auto-evolving a near-duplicate column would
+    // split the data across two fields
+    sink.addBatch(0, Seq((2L, "b")).toDF("k", "Value"))
+    val t2 = IceliteTable.load(spark, wh, "ns", "t_case")
+    assert(t2.schema.fieldNames.toSeq == Seq("k", "value"),
+      s"case-variant column evolved a duplicate: ${t2.schema.fieldNames.toSeq}")
+    assert(t2.read().select("value").collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
   test("unknown batch columns refuse loudly; mergeSchema=true evolves instead") {
     import spark.implicits._
     val wh = Scratch.dir("sink-spec")

@@ -86,6 +86,58 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("duplicate keys"), s"got: ${e.getMessage}")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: stale target rows retire or get flagged") {
+    import spark.implicits._
+    mk("t_bys", Seq((1L, "a", 10L), (2L, "b", 11L), (3L, "c", 12L), (4L, "d", 13L)))
+    // source carries keys 1 (match) and 9 (insert); 2,3,4 are stale
+    Seq((1L, "a2", 100L), (9L, "i", 90L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("bys_src")
+    spark.sql(
+      """MERGE INTO dml.ns.t_bys t USING bys_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v)
+        |WHEN NOT MATCHED BY SOURCE AND t.v % 2 = 1 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s = 'stale'
+        |""".stripMargin)
+    // k=1 updated; k=9 inserted; k=2 (v=11 odd) and k=4 (13 odd)
+    // deleted; k=3 (12 even) flagged by the second BY SOURCE clause
+    assert(state("t_bys") == Seq((1L, "a", 100L), (3L, "stale", 12L), (9L, "i", 90L)))
+  }
+
+  test("BY SOURCE clause ordering: the first matching clause wins") {
+    import spark.implicits._
+    mk("t_bys2", Seq((1L, "a", 2L), (2L, "b", 4L)))
+    Seq((7L, "x", 70L)).toDF("k", "s", "v").createOrReplaceTempView("bys2_src")
+    spark.sql(
+      """MERGE INTO dml.ns.t_bys2 t USING bys2_src s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE AND t.v = 2 THEN UPDATE SET s = 'first'
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE
+        |""".stripMargin)
+    // row v=2 hits the UPDATE clause FIRST (the later DELETE must not
+    // claim it); row v=4 falls through to the DELETE; the insert row
+    // is skipped (no NOT MATCHED clause)
+    assert(state("t_bys2") == Seq((1L, "first", 2L)))
+  }
+
+  test("BY SOURCE refusals: source-column references have no row to read") {
+    import spark.implicits._
+    mk("t_bys3", Seq((1L, "a", 10L)))
+    Seq((1L, "x", 1L)).toDF("k", "s", "v").createOrReplaceTempView("bys3_src")
+    // Spark's analyzer scopes BY SOURCE clauses to the TARGET side, so
+    // a source reference is unresolvable before our rule even runs
+    // (SqlDml.qualTargetOnly stays as defense-in-depth for plan-level
+    // callers) — either way it must refuse BEFORE any mutation
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml.ns.t_bys3 t USING bys3_src src ON t.k = src.k
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = src.v
+          |""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.matches("(?s).*(source|cannot be resolved).*"),
+      s"got: ${e.getMessage}")
+    assert(state("t_bys3") == Seq((1L, "a", 10L)))
+  }
+
   test("unroutable shapes refuse loudly instead of half-applying") {
     import spark.implicits._
     mk("t_refuse", Seq((1L, "a", 10L)))
