@@ -394,6 +394,28 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
   override def name(): String = table.name
   override def schema(): StructType = table.schema
   override def properties(): util.Map[String, String] = table.meta.properties.asJava
+
+  /** The table's partition spec as DSv2 transforms — without this
+    * Spark treats the table as unpartitioned: `PARTITION (col = v)`
+    * clauses are rejected outright, and dynamic-mode `INSERT
+    * OVERWRITE` silently degrades to a WHOLE-TABLE replace (it plans
+    * OverwriteByExpression(true) instead of OverwritePartitionsDynamic).
+    */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    table.meta.partitioning.map { p =>
+      p.transform match {
+        case "identity" => Expressions.identity(p.field)
+        case "year" => Expressions.years(p.field)
+        case "month" => Expressions.months(p.field)
+        case "day" => Expressions.days(p.field)
+        case "hour" => Expressions.hours(p.field)
+        case b if b.startsWith("bucket[") =>
+          Expressions.bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt, p.field)
+        case other => Expressions.apply(other, Expressions.column(p.field))
+      }
+    }.toArray
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
@@ -426,26 +448,82 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceliteScanBuilder(() => table.read(), table.schema)
 
-  /** `INSERT INTO` appends; `INSERT OVERWRITE` (static mode — the
-    * whole-table replace Spark plans as OverwriteByExpression(true))
-    * lands as ONE atomic rewrite commit via [[IceliteTable.overwriteAll]],
-    * partitioned or not. DYNAMIC partition overwrite (replace only the
-    * touched partition values) stays on the Scala API
-    * ([[IceliteTable.overwritePartitions]]) — Spark's dynamic mode
-    * plans a pure-v2 write the V1 fallback cannot serve, so it surfaces
-    * as a capability error rather than wrong semantics.
+  /** `INSERT INTO` appends; `INSERT OVERWRITE` (the whole-table
+    * replace Spark plans as OverwriteByExpression(true)) lands as ONE
+    * atomic rewrite commit via [[IceliteTable.overwriteAll]],
+    * partitioned or not. A STATIC partition overwrite (`INSERT
+    * OVERWRITE … PARTITION (p = v)` — OverwriteByExpression with the
+    * partition-equality filter) routes onto
+    * [[IceliteTable.overwritePartitions]] with the filter's values as
+    * the explicit touched set: the named partitions are replaced (or
+    * cleared, when the batch is empty) and every other partition is
+    * untouched. Filters beyond partition-column equality/IN refuse
+    * loudly. DYNAMIC mode (no static values,
+    * partitionOverwriteMode=dynamic) plans
+    * [[org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic]],
+    * which [[IceliteDmlRule]] routes onto the same engine path with the
+    * touched set derived from the batch.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder
-      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
     private var replaceAll = false
+    private var partFilters: Array[Filter] = Array.empty
     override def truncate(): WriteBuilder = { replaceAll = true; this }
+    override def overwrite(filters: Array[Filter]): WriteBuilder = {
+      if (filters.isEmpty || filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+        replaceAll = true
+      else partFilters = filters
+      this
+    }
     override def build(): Write = new V1Write {
       override def toInsertableRelation: InsertableRelation = new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          if (replaceAll || overwrite) table.overwriteAll(data)
+          if (partFilters.nonEmpty)
+            table.overwritePartitions(data, Some(staticTouched(partFilters)))
+          else if (replaceAll || overwrite) table.overwriteAll(data)
           else table.append(data)
       }
     }
+  }
+
+  /** Translate an `INSERT OVERWRITE … PARTITION` filter array (ANDed)
+    * into the set of partition values to replace. Only
+    * equality/IN/null-safe-equality on the table's single identity
+    * partition column routes; anything else refuses loudly (a partial
+    * translation would overwrite the wrong rows).
+    */
+  private def staticTouched(filters: Array[Filter]): Set[String] = {
+    val parts = table.meta.partitioning
+    if (parts.size != 1 || parts.head.transform != "identity")
+      throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE by filter on ${table.name} needs exactly one identity " +
+          s"partition (got ${parts.map(p => s"${p.field}:${p.transform}").mkString(", ")})")
+    val pcol = parts.head.field
+    def scalar(v: Any): String = v match {
+      case s: String => s
+      case n: Number => String.valueOf(n)
+      case b: Boolean => String.valueOf(b)
+      case other => throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE by filter on ${table.name}: unsupported partition " +
+          s"literal $other (${other.getClass.getSimpleName})")
+    }
+    def vals(f: Filter): Set[String] = f match {
+      case org.apache.spark.sql.sources.EqualTo(c, v) if c.equalsIgnoreCase(pcol) =>
+        Set(scalar(v))
+      case org.apache.spark.sql.sources.EqualNullSafe(c, v)
+          if v != null && c.equalsIgnoreCase(pcol) => Set(scalar(v))
+      case org.apache.spark.sql.sources.In(c, vs) if c.equalsIgnoreCase(pcol) =>
+        vs.map(scalar).toSet
+      case other => throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE by filter on ${table.name}: only equality/IN on the " +
+          s"partition column '$pcol' routes (got $other)")
+    }
+    val touched = filters.toSeq.map(vals).reduce(_ intersect _) // filters AND together
+    if (touched.isEmpty)
+      throw new IllegalArgumentException(
+        s"INSERT OVERWRITE by filter on ${table.name}: the filter conjunction " +
+          "names no partition value")
+    touched
   }
 }
 

@@ -285,7 +285,27 @@ case class IceliteDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         .map(t => translateUpdate(t, assignments, cond)).getOrElse(u)
     case m: MergeIntoTable if m.resolved =>
       SqlDml.unwrapTable(m.targetTable).map(t => translateMerge(m, t)).getOrElse(m)
+    // dynamic `INSERT OVERWRITE` (partitionOverwriteMode=dynamic): Spark
+    // plans a pure-v2 write the V1 fallback cannot serve — route it onto
+    // the engine's partition overwrite, touched set derived from the
+    // batch (the idempotent-reload shape backfill jobs are built on)
+    case o: OverwritePartitionsDynamic if o.query.resolved =>
+      SqlDml.unwrapTable(o.table)
+        .map(t => IceliteDynamicOverwriteCommand(t, o.query): LogicalPlan).getOrElse(o)
     case other => other
+  }
+}
+
+/** Dynamic `INSERT OVERWRITE <cat>.<ns>.<t> …` → one
+  * [[IceliteTable.overwritePartitions]] commit: every partition value
+  * present in the batch is replaced, the rest untouched.
+  */
+case class IceliteDynamicOverwriteCommand(
+    table: IceliteTable, sourcePlan: LogicalPlan)
+  extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    table.overwritePartitions(ColumnBridge.ofRows(sparkSession, sourcePlan))
+    Seq.empty
   }
 }
 

@@ -583,6 +583,70 @@ object SqlSurface {
       |FROM orders WHERE o_orderkey % 37 = 0
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------ table_sql_overwrite_dynamic
+
+  /** Partition-scoped `INSERT OVERWRITE` purely through SQL — the
+    * daily-backfill shape: a DYNAMIC overwrite (partitionOverwriteMode
+    * = dynamic, [[IceliteDmlRule]] → [[IceliteTable.overwritePartitions]])
+    * re-loads exactly the partition values the corrected batch carries,
+    * and a STATIC `PARTITION (col = v)` overwrite (the
+    * OverwriteByExpression filter route) replaces one named partition —
+    * every untouched partition survives both, byte-for-byte. File
+    * classification is metadata-only (partition-column min/max from the
+    * manifests), so at 100 TB a one-day reload touches ~1 partition of
+    * files, never the table. The oracle recomputes the final state per
+    * partition.
+    */
+  def tableSqlOverwriteDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val p = new Path(s"$wh/analytics/orders_ovwd")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      s"""CREATE TABLE $CatName.analytics.orders_ovwd
+         |(o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT)
+         |PARTITIONED BY (o_orderstatus)""".stripMargin)
+    t(spark, dir, "orders").filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("ovwd_src")
+    // full load with STALE values (cents off by one) in every partition
+    spark.sql(
+      s"""INSERT INTO $CatName.analytics.orders_ovwd
+         |SELECT o_orderkey, o_orderstatus, cents + 1 FROM ovwd_src""".stripMargin)
+    // dynamic reload: the corrected batch carries ONLY partition 'F' —
+    // exactly that partition is replaced, 'O' and 'P' stay stale
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(
+      s"""INSERT OVERWRITE $CatName.analytics.orders_ovwd
+         |SELECT o_orderkey, o_orderstatus, cents FROM ovwd_src
+         |WHERE o_orderstatus = 'F'""".stripMargin)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // static reload of ONE named partition (filter route, default mode):
+    // 'O' gets its corrected rows; 'P' remains the only stale partition
+    spark.sql(
+      s"""INSERT OVERWRITE $CatName.analytics.orders_ovwd PARTITION (o_orderstatus = 'O')
+         |SELECT o_orderkey, cents FROM ovwd_src WHERE o_orderstatus = 'O'""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $CatName.analytics.orders_ovwd
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val tableSqlOverwriteDynamicOracle =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 37 = 0)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O') THEN cents
+      |                ELSE cents + 1 END) AS BIGINT) AS sum_cents
+      |FROM src GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   def all: Seq[GraftQuery] = Seq(
@@ -606,5 +670,8 @@ object SqlSurface {
     GraftQuery("table_sql_maintenance", tableSqlMaintenance _, Some(tableSqlMaintenanceOracle),
       "full maintenance lifecycle via SQL CALL procedures: consolidate_deletes, compact, expire, sweep orphans"),
     GraftQuery("table_sql_overwrite", tableSqlOverwrite _, Some(tableSqlOverwriteOracle),
-      "PARTITIONED BY DDL + INSERT OVERWRITE: atomic full replace, idempotent reload via SQL"))
+      "PARTITIONED BY DDL + INSERT OVERWRITE: atomic full replace, idempotent reload via SQL"),
+    GraftQuery("table_sql_overwrite_dynamic", tableSqlOverwriteDynamic _,
+      Some(tableSqlOverwriteDynamicOracle),
+      "partition-scoped INSERT OVERWRITE via SQL: dynamic batch-derived reload + static PARTITION(v)"))
 }

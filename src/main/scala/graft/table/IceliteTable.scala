@@ -2235,7 +2235,7 @@ final class IceliteTable private (
     * rewritten (the coordinates would dangle) — fold them with
     * [[compact]] first.
     */
-  def overwritePartitions(df: DataFrame): Long = {
+  def overwritePartitions(df: DataFrame, touchedOverride: Option[Set[String]] = None): Long = {
     refresh()
     val before = cachedMeta
     val parts = before.partitioning
@@ -2247,9 +2247,22 @@ final class IceliteTable private (
       throw new IllegalArgumentException(
         s"partition column ${p.field} has no sound stat ordering for overwrite"))
     val beforeSeqs = before.snapshots.map(_.seq)
-    val touched: Set[String] = df
+    val batchValues: Set[String] = df
       .select(col(p.field).cast("string")).na.drop().distinct()
       .collect().map(_.getString(0)).toSet
+    // explicit touched set = the STATIC overwrite shape (`INSERT
+    // OVERWRITE … PARTITION (p = v)`): the named partitions are
+    // replaced even when the batch is empty for some of them (a static
+    // overwrite with no rows CLEARS the partition); batch rows outside
+    // the named set would silently survive their own partition's
+    // overwrite, so they refuse
+    val touched = touchedOverride.getOrElse(batchValues)
+    touchedOverride.foreach { tv =>
+      val stray = batchValues -- tv
+      require(stray.isEmpty,
+        s"static partition overwrite of $name: batch rows carry partition value(s) " +
+          s"${stray.mkString(", ")} outside the overwritten set ${tv.mkString(", ")}")
+    }
     require(touched.nonEmpty, "overwritePartitions: batch has no partition values")
 
     def classify(stats: Map[String, (String, String)]): String =

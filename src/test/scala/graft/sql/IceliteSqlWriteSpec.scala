@@ -123,4 +123,47 @@ class IceliteSqlWriteSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(s"SELECT id, pt FROM $Cat.ns.ovw2").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "a")))
   }
+
+  test("INSERT OVERWRITE PARTITION (static) replaces exactly the named partition") {
+    wh
+    spark.sql(s"CREATE TABLE $Cat.ns.ovw3 (id BIGINT, pt STRING) PARTITIONED BY (pt)")
+    spark.sql(s"INSERT INTO $Cat.ns.ovw3 VALUES (1, 'a'), (2, 'b'), (3, 'b')")
+    spark.sql(s"INSERT OVERWRITE $Cat.ns.ovw3 PARTITION (pt = 'b') SELECT 9")
+    assert(spark.sql(s"SELECT id, pt FROM $Cat.ns.ovw3 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (9L, "b")))
+    // an EMPTY static overwrite CLEARS the named partition (the other
+    // partition is untouched) — the Hive/Iceberg static contract
+    spark.sql(
+      s"INSERT OVERWRITE $Cat.ns.ovw3 PARTITION (pt = 'b') SELECT id FROM $Cat.ns.ovw3 WHERE false")
+    assert(spark.sql(s"SELECT id, pt FROM $Cat.ns.ovw3").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+  }
+
+  test("dynamic INSERT OVERWRITE replaces only the batch's partition values") {
+    wh
+    spark.sql(s"CREATE TABLE $Cat.ns.ovw4 (id BIGINT, pt STRING) PARTITIONED BY (pt)")
+    spark.sql(s"INSERT INTO $Cat.ns.ovw4 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(s"INSERT OVERWRITE $Cat.ns.ovw4 VALUES (8, 'a'), (9, 'c')")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // 'a' and 'c' replaced by the batch; 'b' untouched
+    assert(spark.sql(s"SELECT id, pt FROM $Cat.ns.ovw4 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "b"), (8L, "a"), (9L, "c")))
+  }
+
+  test("unroutable overwrite filters refuse loudly (range filter on the partition column)") {
+    wh
+    spark.sql(s"CREATE TABLE $Cat.ns.ovw5 (id BIGINT, pt BIGINT) PARTITIONED BY (pt)")
+    spark.sql(s"INSERT INTO $Cat.ns.ovw5 VALUES (1, 10), (2, 20)")
+    val e = intercept[Exception](
+      spark.sql(s"INSERT OVERWRITE $Cat.ns.ovw5 REPLACE WHERE pt > 5 VALUES (9, 10)"))
+    assert(e.getMessage.contains("equality") || e.getMessage.contains("REPLACE"),
+      s"got: ${e.getMessage}")
+    assert(spark.sql(s"SELECT count(*) FROM $Cat.ns.ovw5").collect()(0).getLong(0) == 2)
+  }
 }
