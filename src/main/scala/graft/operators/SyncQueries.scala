@@ -263,6 +263,65 @@ object SyncQueries {
       |SELECT 'v1', _id, val FROM base
       |ORDER BY ref, _id""".stripMargin
 
+  /** The Iceberg BRANCH-WRITE workflow gated end to end: a branch is
+    * cut at the head, two batches land ON THE BRANCH
+    * ([[IceliteTable.appendToBranch]] — WAP staged commits recorded
+    * against the ref), the MAIN view stays byte-identical while an
+    * auditor reads the branch's combined view
+    * ([[IceliteTable.readBranch]]), then [[IceliteTable.publishBranch]]
+    * lands the staged chain on main and fast-forwards the ref. The
+    * output stacks all three states (main-before, branch-view,
+    * main-after) so isolation AND publish atomicity are both in the
+    * oracle gate. Scale: branch writes are the staged-file mechanism —
+    * metadata-only publish, no rewrite of the staged bytes.
+    */
+  def tableBranchWrite(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("branch-write")
+    val base = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(29)) === 0)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_branch", base.schema)
+    table.append(base.filter(pmod(col("o_orderkey"), lit(2)) === 1)) // main: odd keys
+    table.createBranch("audit")
+    // two branch batches: evens ≡ 0 (mod 4), then the remaining evens
+    table.appendToBranch("audit", base.filter(pmod(col("o_orderkey"), lit(4)) === 0))
+    table.appendToBranch("audit",
+      base.filter(pmod(col("o_orderkey"), lit(2)) === 0 && pmod(col("o_orderkey"), lit(4)) =!= 0))
+    def agg(phase: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast("long").as("sum_cents"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("sum_cents"))
+    val mainBefore = agg("1_main_before", table.read())
+    val branchView = agg("2_branch_view", table.readBranch("audit"))
+    table.publishBranch("audit")
+    val mainAfter = agg("3_main_after", table.read())
+    // the published ref now equals main (fast-forwarded)
+    val refAfter = agg("4_ref_after", table.readRef("audit"))
+    mainBefore.unionByName(branchView).unionByName(mainAfter).unionByName(refAfter)
+      .orderBy("phase")
+  }
+
+  private val tableBranchWriteOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 29 = 0),
+      |odd AS (SELECT * FROM base WHERE k % 2 = 1),
+      |phases AS (
+      |  SELECT '1_main_before' AS phase, count(*) AS n_rows,
+      |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM odd
+      |  UNION ALL
+      |  SELECT '2_branch_view', count(*),
+      |    CAST(sum(cents) AS BIGINT) FROM base
+      |  UNION ALL
+      |  SELECT '3_main_after', count(*),
+      |    CAST(sum(cents) AS BIGINT) FROM base
+      |  UNION ALL
+      |  SELECT '4_ref_after', count(*),
+      |    CAST(sum(cents) AS BIGINT) FROM base)
+      |SELECT phase, n_rows, sum_cents FROM phases ORDER BY phase""".stripMargin
+
   /** The `partitions` metadata table gated end to end: orders land in
     * a month-partitioned icelite table, a key set is MoR-deleted, and
     * [[IceliteTable.partitionsTable]]'s per-partition record counts
@@ -2367,6 +2426,8 @@ object SyncQueries {
       "write-audit-publish: staged invisible, audited exactly, atomic publish/discard"),
     GraftQuery("table_refs", tableRefs _, Some(tableRefsOracle),
       "snapshot branches/tags: tag pins state, branch fast-forwards, both gated"),
+    GraftQuery("table_branch_write", tableBranchWrite _, Some(tableBranchWriteOracle),
+      "branch writes: staged appends on a ref, main isolated, audit view, fast-forward publish"),
     GraftQuery("table_partitions", tablePartitions _, Some(tablePartitionsOracle),
       "partitions metadata table: exact MoR per-partition record counts"),
     GraftQuery("table_snapshots", tableSnapshots _, Some(tableSnapshotsOracle),

@@ -225,17 +225,34 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
       s"icelite table name '${ident.name}' may not contain '$$' (reserved for " +
         "metadata-table suffixes like `t$snapshots`)")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // DEFAULT in CREATE TABLE arrives as column metadata this create
-    // path does not persist — refuse rather than silently drop it
-    // (post-create `ALTER TABLE ADD COLUMN … DEFAULT` is the supported
-    // route: it commits the initial-default evolution)
-    schema.fields.find(_.metadata.contains("CURRENT_DEFAULT")).foreach { f =>
-      throw new UnsupportedOperationException(
-        s"CREATE TABLE with DEFAULT on '${f.name}': declare the column with " +
-          "ALTER TABLE ADD COLUMN ... DEFAULT after create (initial-default evolution)")
-    }
-    new IceliteSparkTable(IceliteTable.create(spark, warehouse, ns, ident.name, schema,
-      partitioning = partitions.toSeq.map(toPartitionConfig)))
+    // inline column DEFAULTs: fold each declared literal into the
+    // stored per-column default property at create time. The stored
+    // schema is stripped of the analyzer's default metadata (the
+    // property is the durable record; loadTable re-derives the
+    // metadata from it), so INSERTs omitting the column fill the
+    // literal and non-literal defaults refuse loudly at create.
+    val defaults: Map[String, String] = schema.fields.toSeq.flatMap { f =>
+      if (!f.metadata.contains("CURRENT_DEFAULT")) None
+      else {
+        val e = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .analyze(f, "CREATE TABLE")
+        if (!e.foldable) throw new UnsupportedOperationException(
+          s"CREATE TABLE: DEFAULT for '${f.name}' is not a literal")
+        val v = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(e.eval(), f.dataType)
+        Some((IceliteTable.DefaultPropPrefix + f.name) ->
+          IceliteTable.renderDefaultValue(f.dataType, v))
+      }
+    }.toMap
+    val cleanSchema = StructType(schema.fields.map { f =>
+      if (!f.metadata.contains("CURRENT_DEFAULT") && !f.metadata.contains("EXISTS_DEFAULT")) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT").build())
+    })
+    new IceliteSparkTable(IceliteTable.create(spark, warehouse, ns, ident.name, cleanSchema,
+      partitioning = partitions.toSeq.map(toPartitionConfig),
+      properties = defaults))
   }
 
   /** `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN` map to
@@ -392,7 +409,29 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
   def underlying: IceliteTable = table
 
   override def name(): String = table.name
-  override def schema(): StructType = table.schema
+
+  /** The engine schema, with declared column DEFAULTs re-exposed as
+    * the analyzer's CURRENT_DEFAULT/EXISTS_DEFAULT metadata — this is
+    * what makes `INSERT INTO t (a) VALUES (…)` fill the declared
+    * literal for the omitted columns (and `DEFAULT` in VALUES work)
+    * instead of null-filling: Spark's default resolution reads the
+    * table schema's metadata, not the catalog.
+    */
+  override def schema(): StructType = {
+    val props = table.meta.properties
+    StructType(table.schema.fields.map { f =>
+      props.get(IceliteTable.DefaultPropPrefix + f.name) match {
+        case Some(r) =>
+          val sql = IceliteTable.defaultSqlText(r)
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql).build())
+        case None => f
+      }
+    })
+  }
+
   override def properties(): util.Map[String, String] = table.meta.properties.asJava
 
   /** The table's partition spec as DSv2 transforms — without this

@@ -647,6 +647,59 @@ object SqlSurface {
       |                ELSE cents + 1 END) AS BIGINT) AS sum_cents
       |FROM src GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------- table_sql_create_default
+
+  /** Inline column DEFAULTs declared AT CREATE and served end to end
+    * through SQL: `CREATE TABLE … DEFAULT <lit>` persists the literal
+    * as the column's default property, the DSv2 schema re-exposes it
+    * as analyzer metadata, and INSERTs that omit the column (or write
+    * the `DEFAULT` keyword) fill the literal — plus the ALTER-time
+    * initial-default evolution on the same table (pre-add rows serve
+    * the later default from metadata, zero data IO). The oracle
+    * recomputes every fill relationally.
+    */
+  def tableSqlCreateDefault(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val p = new Path(s"$wh/analytics/orders_cdef")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.sql(
+      s"""CREATE TABLE $CatName.analytics.orders_cdef
+         |(o_orderkey BIGINT, tier STRING DEFAULT 'std', boost BIGINT DEFAULT 3)""".stripMargin)
+    t(spark, dir, "orders").filter(pmod(col("o_orderkey"), lit(53)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("cdef_src")
+    // odd keys omit BOTH defaulted columns; even keys write tier but
+    // take boost via the DEFAULT keyword
+    spark.sql(
+      s"""INSERT INTO $CatName.analytics.orders_cdef (o_orderkey)
+         |SELECT o_orderkey FROM cdef_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $CatName.analytics.orders_cdef
+         |SELECT o_orderkey, o_orderstatus, DEFAULT FROM cdef_src
+         |WHERE o_orderkey % 2 = 0""".stripMargin)
+    // ALTER-time default on the same table: pre-add rows serve it
+    spark.sql(
+      s"ALTER TABLE $CatName.analytics.orders_cdef ADD COLUMN grade STRING DEFAULT 'bronze'")
+    spark.sql(
+      s"""SELECT tier, grade, count(*) AS n_rows,
+         |  CAST(sum(boost) AS BIGINT) AS sum_boost
+         |FROM $CatName.analytics.orders_cdef
+         |GROUP BY tier, grade ORDER BY tier, grade""".stripMargin)
+  }
+
+  private val tableSqlCreateDefaultOracle =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 53 = 0),
+      |state AS (
+      |  SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'std' ELSE o_orderstatus END AS tier,
+      |    'bronze' AS grade, CAST(3 AS BIGINT) AS boost
+      |  FROM src)
+      |SELECT tier, grade, count(*) AS n_rows,
+      |  CAST(sum(boost) AS BIGINT) AS sum_boost
+      |FROM state GROUP BY tier, grade ORDER BY tier, grade""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   def all: Seq[GraftQuery] = Seq(
@@ -673,5 +726,8 @@ object SqlSurface {
       "PARTITIONED BY DDL + INSERT OVERWRITE: atomic full replace, idempotent reload via SQL"),
     GraftQuery("table_sql_overwrite_dynamic", tableSqlOverwriteDynamic _,
       Some(tableSqlOverwriteDynamicOracle),
-      "partition-scoped INSERT OVERWRITE via SQL: dynamic batch-derived reload + static PARTITION(v)"))
+      "partition-scoped INSERT OVERWRITE via SQL: dynamic batch-derived reload + static PARTITION(v)"),
+    GraftQuery("table_sql_create_default", tableSqlCreateDefault _,
+      Some(tableSqlCreateDefaultOracle),
+      "CREATE TABLE inline column DEFAULTs: omitted-column INSERT fill + DEFAULT keyword + ALTER default"))
 }

@@ -2380,19 +2380,8 @@ final class IceliteTable private (
   }
 
   private def renderDefault(
-      dt: org.apache.spark.sql.types.DataType, v: Any): String = {
-    import org.apache.spark.sql.types._
-    (dt, v) match {
-      case (LongType, x: Long) => s"long:$x"
-      case (IntegerType, x: Int) => s"int:$x"
-      case (DoubleType, x: Double) => s"double:$x"
-      case (BooleanType, x: Boolean) => s"boolean:$x"
-      case (StringType, x: String) => s"string:$x"
-      case _ => throw new IllegalArgumentException(
-        s"unsupported default $v for type $dt " +
-          "(long/int/double/boolean/string literals only)")
-    }
-  }
+      dt: org.apache.spark.sql.types.DataType, v: Any): String =
+    IceliteTable.renderDefaultValue(dt, v)
 
   /** The default literal for a column, if declared (read-side fill). */
   private def defaultLit(
@@ -2611,11 +2600,18 @@ final class IceliteTable private (
     * them. (Iceberg's wap.id cherry-pick allows reordering because its
     * sequence numbers live in manifest metadata, not rows.)
     */
-  def stageAppend(df: DataFrame): String = {
+  def stageAppend(df: DataFrame): String = stageAppendAt(df, None)
+
+  /** [[stageAppend]] with an explicit publish seq — the branch-write
+    * path stages commit k of a branch at `head + k`, so the staged
+    * chain publishes in order with the zero-rewrite fast path when
+    * main has not moved.
+    */
+  private def stageAppendAt(df: DataFrame, atSeq: Option[Long]): String = {
     refresh()
     val head = cachedMeta
     val stageId = s"stage-${UUID.randomUUID()}"
-    val seq = head.lastSeq + 1
+    val seq = atSeq.getOrElse(head.lastSeq + 1)
     val statKeys = keyStatColumns(tableKeyColumns(head.properties), head.schema)
     val (files, count, stats, metrics) = writeDataFiles(
       enforceChecks(conformToSchema(df, head.schema), head.properties)
@@ -2815,12 +2811,89 @@ final class IceliteTable private (
   }
 
   def dropRef(refName: String): Unit = {
+    // unpublished branch writes die with their branch (the WAP discard)
+    branchStages(refName).foreach(discardStaged)
     retryCommit { head =>
       if (!head.properties.contains(RefPropPrefix + refName))
         throw new IllegalArgumentException(s"no ref '$refName' on $name")
-      (head.copy(properties = head.properties - (RefPropPrefix + refName)), head.lastSeq)
+      (head.copy(properties = head.properties
+        - (RefPropPrefix + refName)
+        - (IceliteTable.BranchStagePropPrefix + refName)), head.lastSeq)
     }
     ()
+  }
+
+  // ------------------------------------------------- branch writes
+
+  /** Staged commit ids of a branch, publish order. */
+  def branchStages(refName: String): Seq[String] =
+    cachedMeta.properties.get(IceliteTable.BranchStagePropPrefix + refName)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** APPEND to a named branch without touching the main live view —
+    * the Iceberg branch-write workflow on a linear snapshot log: the
+    * rows land as a WAP staged commit ([[stageAppend]] machinery)
+    * recorded against the ref, sequenced ABOVE the current head
+    * (commit k of the branch at `head + k`), so [[read]] and every
+    * main consumer see nothing until [[publishBranch]]. Branch writes
+    * are appends only (the audit-then-publish shape); row-level
+    * deletes/updates stay main-only — a divergent delete would need a
+    * forked snapshot log, which icelite's linear model deliberately
+    * does not have.
+    */
+  def appendToBranch(refName: String, df: DataFrame): String = {
+    refresh()
+    refs.get(refName) match {
+      case None => throw new IllegalArgumentException(s"no ref '$refName' on $name")
+      case Some(("tag", _)) =>
+        throw new IllegalArgumentException(s"ref '$refName' of $name is a tag (immutable)")
+      case Some(_) => ()
+    }
+    val seq = cachedMeta.lastSeq + branchStages(refName).size + 1
+    val stageId = stageAppendAt(df, Some(seq))
+    retryCommit { head =>
+      val key = IceliteTable.BranchStagePropPrefix + refName
+      val cur = head.properties.get(key)
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      (head.copy(properties = head.properties + (key -> (cur :+ stageId).mkString(","))),
+        head.lastSeq)
+    }
+    stageId
+  }
+
+  /** The branch's view: table state at the ref plus its staged (not
+    * yet published) appends — what an auditor reads before deciding to
+    * publish. Metadata + staged-file reads only; main's live view is
+    * untouched.
+    */
+  def readBranch(refName: String): DataFrame = {
+    val staged = branchStages(refName)
+    staged.foldLeft(readRef(refName))((acc, sid) => acc.unionByName(readStaged(sid)))
+  }
+
+  /** Publish a branch: land its staged commits on MAIN in stage order
+    * (zero-rewrite [[publishStaged]] when main has not moved; the
+    * batch-bounded [[cherryPickStaged]] re-apply when it has), then
+    * fast-forward the ref to the new head and clear the stage list —
+    * Iceberg's write-to-branch + fast_forward publish in one call.
+    */
+  def publishBranch(refName: String): Long = {
+    refresh()
+    refs.get(refName) match {
+      case None => throw new IllegalArgumentException(s"no ref '$refName' on $name")
+      case Some(("tag", _)) =>
+        throw new IllegalArgumentException(s"ref '$refName' of $name is a tag (immutable)")
+      case Some(_) => ()
+    }
+    branchStages(refName).foreach { sid =>
+      try publishStaged(sid)
+      catch { case _: IllegalStateException => cherryPickStaged(sid) }
+    }
+    retryCommit { head =>
+      (head.copy(properties = head.properties
+        - (IceliteTable.BranchStagePropPrefix + refName)
+        + (RefPropPrefix + refName -> s"branch:${head.lastSeq}")), head.lastSeq)
+    }
   }
 
   /** Table state at a named ref — [[readAt]] of the ref's seq, with an
@@ -4382,6 +4455,46 @@ object IceliteTable {
     * `graft.ref.<name>` = `"tag:<seq>"` | `"branch:<seq>"`.
     */
   val RefPropPrefix = "graft.ref."
+
+  /** Per-branch staged (unpublished) commit list: `graft.branchstage.
+    * <ref>` = comma-joined stage ids in publish order.
+    */
+  val BranchStagePropPrefix = "graft.branchstage."
+
+  /** Stored encoding of a column DEFAULT literal — shared by the
+    * ALTER-time evolution ([[IceliteTable.addColumnWithDefault]]) and
+    * the create-time declaration (catalog `CREATE TABLE … DEFAULT`).
+    * Only plain literals encode; anything else refuses loudly.
+    */
+  def renderDefaultValue(
+      dt: org.apache.spark.sql.types.DataType, v: Any): String = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (LongType, x: Long) => s"long:$x"
+      case (IntegerType, x: Int) => s"int:$x"
+      case (DoubleType, x: Double) => s"double:$x"
+      case (BooleanType, x: Boolean) => s"boolean:$x"
+      case (StringType, x: String) => s"string:$x"
+      case _ => throw new IllegalArgumentException(
+        s"unsupported default $v for type $dt " +
+          "(long/int/double/boolean/string literals only)")
+    }
+  }
+
+  /** A stored default rendered back as SQL literal text — what the
+    * DSv2 schema exposes as CURRENT_DEFAULT so Spark fills the
+    * literal into INSERTs that omit the column.
+    */
+  def defaultSqlText(rendered: String): String = {
+    val Array(t, v) = rendered.split(":", 2)
+    t match {
+      case "string" => "'" + v.replace("'", "''") + "'"
+      case "boolean" => v
+      case "double" => s"CAST($v AS DOUBLE)"
+      case "int" => v
+      case _ => s"CAST($v AS BIGINT)"
+    }
+  }
 
   /** Property-key prefix for named write-time CHECK constraints
     * ([[IceliteTable.declareConstraint]]): `graft.check.<name>` =

@@ -98,10 +98,27 @@ class IceliteSqlWriteSpec extends AnyFunSuite with SparkFixture {
     val got = spark.sql(s"SELECT id, grade FROM $Cat.ns.def1 ORDER BY id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((1L, "bronze"), (2L, "bronze"), (3L, "gold")))
-    // CREATE TABLE with an inline DEFAULT refuses (would silently drop)
+  }
+
+  test("CREATE TABLE with inline DEFAULT: omitted columns fill the literal") {
+    wh
+    spark.sql(
+      s"CREATE TABLE $Cat.ns.def2 (id BIGINT, g STRING DEFAULT 'x', n BIGINT DEFAULT 5)")
+    // INSERT omitting defaulted columns fills the declared literals;
+    // the DEFAULT keyword works too
+    spark.sql(s"INSERT INTO $Cat.ns.def2 (id) VALUES (1)")
+    spark.sql(s"INSERT INTO $Cat.ns.def2 VALUES (2, 'y', DEFAULT)")
+    spark.sql(s"INSERT INTO $Cat.ns.def2 VALUES (3, 'z', 9)")
+    val got = spark.sql(s"SELECT id, g, n FROM $Cat.ns.def2 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "x", 5L), (2L, "y", 5L), (3L, "z", 9L)))
+    // the default survives a catalog round trip (property-derived)
+    val t = IceliteTable.load(spark, wh, "ns", "def2")
+    assert(t.meta.properties(IceliteTable.DefaultPropPrefix + "g") == "string:x")
+    // a NON-literal default refuses loudly at create
     val e = intercept[Exception](
-      spark.sql(s"CREATE TABLE $Cat.ns.def2 (id BIGINT, g STRING DEFAULT 'x')"))
-    assert(e.getMessage.contains("DEFAULT"))
+      spark.sql(s"CREATE TABLE $Cat.ns.def3 (id BIGINT, r DOUBLE DEFAULT rand())"))
+    assert(e.getMessage.toLowerCase.contains("default"), s"got: ${e.getMessage}")
   }
 
   test("CREATE OR REPLACE TABLE AS SELECT replaces schema and content") {

@@ -171,6 +171,48 @@ class IceliteRefsSpec extends AnyFunSuite with SparkFixture {
     assert(got(0).getMap[String, String](10).get("marker").contains("rows=3"))
   }
 
+  test("branch writes: staged on the ref, main isolated, publish fast-forwards") {
+    val t = IceliteTable.create(spark, wh(), "ns", "bw", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    t.createBranch("dev")
+    t.appendToBranch("dev", rows((2L, "b", 2.0)))
+    t.appendToBranch("dev", rows((3L, "c", 3.0)))
+    // main untouched; branch view = base + both staged batches
+    assert(t.read().count() == 1)
+    assert(t.readBranch("dev").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(t.branchStages("dev").size == 2)
+    val seq = t.publishBranch("dev")
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(t.refs("dev") == ("branch", seq), "publish must fast-forward the ref")
+    assert(t.branchStages("dev").isEmpty, "publish must clear the stage list")
+    // staged batches became ORDINARY commits (zero-rewrite publish)
+    assert(t.meta.snapshots.map(_.operation).count(_ == "append") == 3)
+  }
+
+  test("branch publish survives an interleaved main commit (cherry-pick re-apply)") {
+    val t = IceliteTable.create(spark, wh(), "ns", "bw2", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    t.createBranch("dev")
+    t.appendToBranch("dev", rows((2L, "b", 2.0)))
+    t.append(rows((9L, "z", 9.0))) // main moves: staged seq is claimed
+    val got = t.publishBranch("dev")
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 9L))
+    assert(t.refs("dev") == ("branch", got))
+  }
+
+  test("branch writes refuse on tags and unknown refs; dropRef discards staged work") {
+    val t = IceliteTable.create(spark, wh(), "ns", "bw3", rows().schema)
+    t.append(rows((1L, "a", 1.0)))
+    t.createTag("v1", t.meta.lastSeq)
+    intercept[IllegalArgumentException](t.appendToBranch("v1", rows((2L, "b", 2.0))))
+    intercept[IllegalArgumentException](t.appendToBranch("nope", rows((2L, "b", 2.0))))
+    t.createBranch("dev")
+    t.appendToBranch("dev", rows((3L, "c", 3.0)))
+    t.dropRef("dev")
+    assert(t.read().count() == 1, "dropped branch's staged rows must never surface")
+    assert(t.branchStages("dev").isEmpty)
+  }
+
   test("manifests metadata table: per-file metrics from metadata alone") {
     val w = wh()
     val t = IceliteTable.create(spark, w, "ns", "mans", rows().schema)
