@@ -222,7 +222,11 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // stdout line FIRST — it is the one output the driver depends on;
     // the full-precision sidecar is best-effort (cwd may not be writable)
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfName"}""")
+    // `total_sec` is duplicated at the END of the line: the driver's
+    // sidecar keeps only the trailing 2000 stdout chars, which cuts
+    // the leading "value" once the per-query dict outgrows the window —
+    // a trailing copy keeps the suite total recoverable from the tail
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfName","total_sec":$totalR}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }

@@ -123,7 +123,8 @@ object ClusterIndex {
     val wh = warehouseFor(dir)
     points(spark, dir).foreach { case (k, i) =>
       ensurePoint(spark, dir, k, i)
-      val assigned = Clustering.assignBatch(batch, centroids(spark, dir, k, i))
+      val assigned = Clustering.assignBatch(batch, centroids(spark, dir, k, i),
+        Clustering.shardModFor(k))
       IceliteTable.load(spark, wh, Ns, assignTable(k, i)).append(assigned)
       served.invalidate(spark, s"$dir#${assignTable(k, i)}")
     }
@@ -153,7 +154,8 @@ object ClusterIndex {
     val e = emb.select(col("vec_id"), col("label"), col("embedding"),
       Dedup.decimalNormSq(col("embedding")).as("nsq"))
       .localCheckpoint(true) // every Lloyd round reuses one norm fold
-    val (a, c) = Clustering.assignmentsAndCentroidsOn(e, k, iters)
+    val (a, c) = Clustering.assignmentsAndCentroidsOn(e, k, iters,
+      Clustering.shardModFor(k))
     IceliteTable.create(spark, warehouse, Ns, assignTable(k, iters), a.schema)
       .append(a)
     IceliteTable.create(spark, warehouse, Ns, centroidTable(k, iters), c.schema)
@@ -168,7 +170,7 @@ object ClusterIndex {
       batch: DataFrame, k: Int, iters: Int): Unit = {
     val c = IceliteTable.load(spark, warehouse, Ns, centroidTable(k, iters)).read()
     IceliteTable.load(spark, warehouse, Ns, assignTable(k, iters))
-      .append(Clustering.assignBatch(batch, c))
+      .append(Clustering.assignBatch(batch, c, Clustering.shardModFor(k)))
   }
 
   /** Uncached read of an explicit-warehouse point's assignments. */
@@ -209,7 +211,8 @@ object ClusterIndex {
       val haveC = IceliteTable.exists(spark, wh, Ns, ct)
       if (!haveA || !haveC) {
         builds.incrementAndGet()
-        val (a, c) = Clustering.assignmentsAndCentroids(spark, dir, k, iters)
+        val (a, c) = Clustering.assignmentsAndCentroids(spark, dir, k, iters,
+          Clustering.shardModFor(k))
         if (!haveA) IceliteTable.create(spark, wh, Ns, at, a.schema).append(a)
         if (!haveC) IceliteTable.create(spark, wh, Ns, ct, c.schema).append(c)
       }

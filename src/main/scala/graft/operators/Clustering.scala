@@ -39,6 +39,29 @@ object Clustering {
     */
   val Iters = 2
 
+  /** Per-SHARD centroid budget for sharded training. A corpus-scaled
+    * k (e.g. [[Dedup.semK]]'s k ∝ n) makes global Lloyd work ∝ n²
+    * (every vector scores against every centroid); hash-sharding the
+    * corpus by `vec_id % shardMod` with ≤ this many centroids per
+    * shard caps per-vector work at a CONSTANT — total training cost
+    * goes linear in n, the SemDeDup-at-scale shape. `shardModFor`
+    * derives the modulus from k, so k ≤ 64 (the report K, small-SF
+    * semantic points) keeps ONE shard and is bit-identical to the
+    * unsharded chain.
+    */
+  val ShardK = 64
+
+  /** Shard modulus for a k-means parameter point: 1 (global Lloyd,
+    * unchanged semantics) while k fits one shard's budget, else the
+    * smallest modulus that bounds per-shard centroids at [[ShardK]].
+    * Seeds are `vec_id < k` with shard `cid % shardMod`, so with
+    * dense vec_ids every shard holds ~k/shardMod seeds and cluster
+    * membership never crosses shards (assignment is shard-restricted
+    * and the update step preserves cids). The oracle computes the
+    * same modulus in SQL.
+    */
+  def shardModFor(k: Int): Int = math.max(1, math.ceil(k.toDouble / ShardK).toInt)
+
   private val Dec = "decimal(38,20)"
 
   /** The registered cluster report: assignments come from the
@@ -116,12 +139,13 @@ object Clustering {
     * frame; `dims` its embedding width.
     */
   private def assignGated(
-      e: DataFrame, c: DataFrame, cn: DataFrame, dims: Int): DataFrame = {
+      e: DataFrame, c: DataFrame, cn: DataFrame, dims: Int,
+      shardMod: Int = 1): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val cnRows = cn.collect() // k rows — tiny at any scale
     val k = cnRows.length
     if (k.toLong * dims > MatrixMaxValues || k == 0)
-      return assignUnder(elemsOf(e), c, cn)
+      return assignUnder(elemsOf(e), c, cn, shardMod)
     val cids = cnRows.map(_.getLong(0)).sorted
     val idx = cids.zipWithIndex.toMap
     val cnorms = new Array[Double](k)
@@ -134,7 +158,9 @@ object Clustering {
     val expr = graft.functions.CentroidArgMax(
       ColumnBridge.expression(col("embedding")),
       ColumnBridge.expression(col("nsq")),
-      cids, matrix, cnorms)
+      cids, matrix, cnorms,
+      vecId = if (shardMod > 1) Some(ColumnBridge.expression(col("vec_id"))) else None,
+      shardMod = shardMod)
     e.select(col("vec_id"), ColumnBridge.column(expr).as("cid"))
   }
 
@@ -144,8 +170,17 @@ object Clustering {
     * incremental batch path ([[assignBatch]]) so both are bit-identical
     * by construction.
     */
-  private def assignUnder(elems: DataFrame, c: DataFrame, cn: DataFrame): DataFrame = {
-    val cos = elems.join(broadcast(c), "i")
+  private def assignUnder(
+      elems: DataFrame, c: DataFrame, cn: DataFrame, shardMod: Int = 1): DataFrame = {
+    // sharded mode: vectors score ONLY same-shard centroids — the join
+    // key carries the shard, so per-vector candidate count is the
+    // shard's centroid budget, never the global k
+    val (ev, cc, keys) =
+      if (shardMod <= 1) (elems, c, Seq("i"))
+      else (elems.withColumn("_shard", pmod(col("vec_id"), lit(shardMod.toLong))),
+        c.withColumn("_shard", pmod(col("cid"), lit(shardMod.toLong))),
+        Seq("i", "_shard"))
+    val cos = ev.join(broadcast(cc), keys)
       .groupBy(col("vec_id"), col("cid"))
       .agg(sum((col("val") * col("cval")).cast(Dec)).cast("double").as("cdot"),
         first(col("nsq")).as("nsq"))
@@ -173,8 +208,9 @@ object Clustering {
     * consistent without relying on two deterministic replays).
     */
   def assignmentsAndCentroids(
-      spark: SparkSession, dir: String, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    val (_, a, c) = chain(spark, dir, k, iters)
+      spark: SparkSession, dir: String, k: Int, iters: Int,
+      shardMod: Int = 1): (DataFrame, DataFrame) = {
+    val (_, a, c) = chain(spark, dir, k, iters, shardMod)
     (a, c)
   }
 
@@ -186,10 +222,10 @@ object Clustering {
     * re-running the build, the standard ANN/SemDeDup maintenance
     * cadence.)
     */
-  def assignBatch(batch: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignBatch(batch: DataFrame, centroids: DataFrame, shardMod: Int = 1): DataFrame = {
     val e = batch.select(col("vec_id"), col("label"), col("embedding"),
       Dedup.decimalNormSq(col("embedding")).as("nsq"))
-    assignGated(e, centroids, normsOf(centroids), dimsOf(e))
+    assignGated(e, centroids, normsOf(centroids), dimsOf(e), shardMod)
   }
 
   /** Embedding width of a frame (one limit-1 job; 0 for an empty
@@ -212,8 +248,8 @@ object Clustering {
     * ([[ClusterIndex.buildPoint]]) trains on a corpus subset.
     */
   private[operators] def assignmentsAndCentroidsOn(
-      e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    val (_, a, c) = chainOn(e, k, iters)
+      e: DataFrame, k: Int, iters: Int, shardMod: Int = 1): (DataFrame, DataFrame) = {
+    val (_, a, c) = chainOn(e, k, iters, shardMod)
     (a, c)
   }
 
@@ -221,14 +257,25 @@ object Clustering {
     * assignments, the centroids that final assignment used).
     */
   private def chain(
-      spark: SparkSession, dir: String, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) =
+      spark: SparkSession, dir: String, k: Int, iters: Int,
+      shardMod: Int = 1): (DataFrame, DataFrame, DataFrame) =
     // the SESSION-cached norm-carrying frame ([[Similarity.embWithNorms]]):
     // every assign/update job of every chain reuses one materialized
     // norm fold instead of re-reading + re-folding the parquet per job
-    chainOn(Similarity.embWithNorms(spark, dir), k, iters)
+    chainOn(Similarity.embWithNorms(spark, dir), k, iters, shardMod)
 
+  /** `shardMod > 1` runs SHARD-LOCAL Lloyd: every assignment pass
+    * restricts a vector's candidates to same-shard centroids
+    * (`vec_id % shardMod == cid % shardMod`). Seeding and the update
+    * step are UNCHANGED — seeds `vec_id < k` land one per shard line
+    * by construction, and cluster membership never crosses shards
+    * (restricted assignment + cid-preserving update), so the sharded
+    * chain IS k/shardMod independent Lloyd chains computed in the
+    * same jobs. Per-vector work: shard budget × dims, constant in k.
+    */
   private def chainOn(
-      e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+      e: DataFrame, k: Int, iters: Int,
+      shardMod: Int = 1): (DataFrame, DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0 (got k=$k, iters=$iters)")
     val elems = elemsOf(e)
     val dims = dimsOf(e)
@@ -246,7 +293,7 @@ object Clustering {
       .select(col("vec_id").as("cid"), col("nsq").as("c_nsq"))
     var a: DataFrame = null
     for (r <- 1 to iters) {
-      a = assignGated(e, c, cn, dims)
+      a = assignGated(e, c, cn, dims, shardMod)
       if (r < iters) { // the last round's centroids are never used
         c = update(a).localCheckpoint(true) // ONE materialization per round
         cn = normsOf(c) // k rows over the checkpointed frame — no second job
@@ -267,11 +314,17 @@ object Clustering {
     * cluster count — the chain is generic in k (centroids are ROWS,
     * only the iterations unroll), so a data-dependent k (e.g. scaled
     * to corpus size via a scalar subquery) drops straight in.
+    * `shardModSql` mirrors the engine's shard-local training: every
+    * assignment round restricts candidates to same-shard centroids
+    * (`vec_id % s == cid % s`); the default modulus 1 makes the
+    * predicate trivially true — the unsharded chain.
     */
   private[operators] def kmeansAssignCteK(
-      kSql: String, iters: Int, fromSql: String = "embeddings"): String = {
+      kSql: String, iters: Int, fromSql: String = "embeddings",
+      shardModSql: String = "1"): String = {
     val base =
       s"""WITH e AS (SELECT vec_id, label, embedding FROM $fromSql),
+         |smod AS (SELECT GREATEST(1, ($shardModSql)) AS s),
          |elems AS (
          |  SELECT vec_id, label, embedding[i] AS val, i FROM e,
          |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u),
@@ -299,7 +352,8 @@ object Clustering {
          |  SELECT ev.vec_id, c.cid,
          |    CAST(sum(CAST(CAST(ev.val AS DOUBLE) * c.cval AS DECIMAL(38,20))) AS DOUBLE)
          |      / (sqrt(any_value(n.nsq)) * sqrt(any_value(cn.c_nsq))) AS cos
-         |  FROM elems ev JOIN c${r - 1} c ON ev.i = c.i
+         |  FROM elems ev CROSS JOIN smod sm
+         |  JOIN c${r - 1} c ON ev.i = c.i AND (ev.vec_id % sm.s) = (c.cid % sm.s)
          |  JOIN norms n ON n.vec_id = ev.vec_id
          |  JOIN cn${r - 1} cn ON cn.cid = c.cid
          |  GROUP BY ev.vec_id, c.cid),

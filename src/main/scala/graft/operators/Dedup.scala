@@ -991,8 +991,16 @@ object Dedup {
   private val semKSql: String =
     s"SELECT GREATEST(${Clustering.K}, CAST(ceil(count(*) / $SemTargetClusterSize.0) AS BIGINT)) FROM embeddings"
 
+  /** The engine's shard modulus for that k ([[Clustering.shardModFor]])
+    * in SQL — 1 at small corpora (global Lloyd, unchanged), > 1 once k
+    * outgrows one shard's budget (the linear-ingest path).
+    */
+  private val semShardModSql: String =
+    s"SELECT CAST(ceil(($semKSql) / ${Clustering.ShardK}.0) AS BIGINT)"
+
   private val semanticDedupOracle: String =
-    Clustering.kmeansAssignCteK(semKSql, Clustering.Iters) +
+    Clustering.kmeansAssignCteK(semKSql, Clustering.Iters,
+      shardModSql = semShardModSql) +
       s""",
          |m AS (SELECT vec_id, cid FROM a${Clustering.Iters}),
          |sizes AS (SELECT cid, count(*) AS n_members FROM m GROUP BY cid),

@@ -884,39 +884,124 @@ object TextAnalysis {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesOn(spark, t(spark, dir, "documents"))
 
-  private[operators] def bpeMergesOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private[operators] def bpeMergesOn(
+      spark: SparkSession, docs: DataFrame,
+      rounds: Int = BpeMergeRounds): DataFrame = {
     import spark.implicits._
-    val words = docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    var vocab = words
-      .select(concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("v"),
-        col("cnt"))
-      .localCheckpoint(true)
+    var vocab = bpeVocab(docs)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var k = 1
     var exhausted = false
-    while (k <= BpeMergeRounds && !exhausted) {
-      val toks = vocab
-        .select(col("cnt"), split(trim(col("v")), "  ").as("a"))
-        .filter(size(col("a")) >= 2)
-      val best = toks
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS l, a[i + 1] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("c"))
+    while (k <= rounds && !exhausted) {
+      val best = bpePairCounts(vocab)
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
         learned += ((k, l, r, c))
-        vocab = vocab
-          .select(call_function("replace", col("v"),
-            lit(s" $l  $r "), lit(s" $l$r ")).as("v"), col("cnt"))
-          .localCheckpoint(true)
+        vocab = bpeApply(vocab, Seq((l, r))).localCheckpoint(true)
         k += 1
+      }
+    }
+    learned.toSeq.toDF("step", "merge_left", "merge_right", "pair_count")
+      .orderBy("step")
+  }
+
+  /** Word-count vocabulary in the two-space symbol encoding. */
+  private def bpeVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("v"),
+        col("cnt"))
+      .localCheckpoint(true)
+
+  /** Adjacent-pair counts of a spaced vocabulary — one explode + one
+    * hash agg over the vocabulary table.
+    */
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("cnt"), split(trim(col("v")), "  ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS l, a[i + 1] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+
+  /** Apply merges to the spaced vocabulary in order, ONE projection. */
+  private def bpeApply(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    vocab.select(
+      merges.foldLeft(col("v")) { case (v, (l, r)) =>
+        call_function("replace", v, lit(s" $l  $r "), lit(s" $l$r "))
+      }.as("v"), col("cnt"))
+
+  /** BATCHED BPE training — the production-scale trainer loop: per
+    * round, ONE pair-count job selects up to `batchM` merges at once,
+    * so learning a 30k-rule vocabulary costs thousands of driver
+    * round-trips, not 30k. The batch is PROVABLY sequential-equivalent
+    * (bit-identical merge table to [[bpeMergesOn]], which
+    * `TextAnalysisSpec` pins at 100 merges):
+    *
+    *  - candidates are walked in the argmax total order (count desc,
+    *    left, right) and accepted as a CONSECUTIVE prefix while each is
+    *    symbol-disjoint from every earlier accepted merge (its left/
+    *    right differ from their lefts, rights AND concatenations) —
+    *    disjointness means applying one cannot change another's count
+    *    or occurrences;
+    *  - the prefix is then truncated to merges whose count is STRICTLY
+    *    greater than the first non-accepted candidate's: every pair a
+    *    batch application can create has count bounded by some
+    *    overlapping parent pair outside the batch (each new-symbol
+    *    adjacency was a parent adjacency), and every non-batch pair
+    *    sits at-or-below that same count — strictness leaves no
+    *    tie-break for a created pair to win, so round j's argmax is
+    *    exactly the j-th batch member;
+    *  - a tie-flooded round degrades to the single argmax (the exact
+    *    sequential step), so progress never stalls.
+    */
+  private[operators] def bpeMergesBatchedOn(
+      spark: SparkSession, docs: DataFrame, totalMerges: Int,
+      batchM: Int = 8): DataFrame = {
+    import spark.implicits._
+    var vocab = bpeVocab(docs)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (learned.size < totalMerges && !exhausted) {
+      val want = math.min(batchM, totalMerges - learned.size)
+      // top candidates, enough to find the disjoint prefix AND the
+      // first-rejected count that bounds it (driver-side: ≤ 4M+1 rows)
+      val top = bpePairCounts(vocab)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(want * 4 + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val symbols = scala.collection.mutable.Set.empty[String]
+        var stop = false
+        var i = 0
+        while (!stop && i < top.length && accepted.size < want) {
+          val (l, r, c) = top(i)
+          if (symbols(l) || symbols(r)) stop = true // prefix must stay consecutive
+          else { accepted += ((l, r, c)); symbols ++= Seq(l, r, l + r) }
+          i += 1
+        }
+        // strict-count truncation against the first candidate OUTSIDE
+        // the accepted prefix: a rejected (overlapping) candidate, or
+        // the next unconsidered one. When the walk exhausted the WHOLE
+        // pair table with no overlap (top.length < the collect limit),
+        // no pair shares a symbol with any accepted merge — applying
+        // the batch can neither create nor shrink any pair, so no
+        // bound is needed.
+        val safe =
+          if (stop) accepted.takeWhile(_._3 > top(i - 1)._3)
+          else if (i < top.length) accepted.takeWhile(_._3 > top(i)._3)
+          else if (top.length == want * 4 + 1) accepted.take(1) // full window, no bound known
+          else accepted
+        val batch = if (safe.nonEmpty) safe.toSeq else Seq(top.head) // tie-flood: exact argmax
+        batch.foreach { case (l, r, c) => learned += ((learned.size + 1, l, r, c)) }
+        vocab = bpeApply(vocab, batch.map { case (l, r, _) => (l, r) })
+          .localCheckpoint(true)
       }
     }
     learned.toSeq.toDF("step", "merge_left", "merge_right", "pair_count")

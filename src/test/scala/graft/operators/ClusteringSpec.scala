@@ -34,6 +34,44 @@ class ClusteringSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("shardModFor: 1 through one shard's budget, then the smallest covering modulus") {
+    assert(Clustering.shardModFor(1) == 1)
+    assert(Clustering.shardModFor(Clustering.K) == 1)
+    assert(Clustering.shardModFor(Clustering.ShardK) == 1)
+    assert(Clustering.shardModFor(Clustering.ShardK + 1) == 2)
+    assert(Clustering.shardModFor(480) == 8)
+  }
+
+  test("sharded Lloyd == independent per-shard Lloyd chains (both assignment paths)") {
+    val emb = Similarity.embWithNorms(spark, dir)
+    val k = 12
+    val s = 3 // per-shard budget 4
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sharded = rows(Clustering.assignmentsAndCentroidsOn(emb, k, Clustering.Iters, s)._1)
+    // ground truth: run the UNSHARDED chain on each shard's subset with
+    // the same global seed rule (vec_id < k restricted to the shard)
+    val perShard = (0 until s).flatMap { sh =>
+      rows(Clustering.assignmentsAndCentroidsOn(
+        emb.filter(pmod(col("vec_id"), lit(s)) === sh), k, Clustering.Iters)._1)
+    }.toSet
+    assert(sharded == perShard, "shard-restricted chain must equal independent shard chains")
+    // membership never crosses shards
+    assert(sharded.forall { case (v, c) => v % s == c % s })
+    // shardMod=1 is the unsharded chain bit-for-bit
+    assert(rows(Clustering.assignmentsAndCentroidsOn(emb, k, Clustering.Iters, 1)._1) ==
+      rows(Clustering.assignmentsAndCentroidsOn(emb, k, Clustering.Iters)._1))
+  }
+
+  test("sharded assignBatch under frozen centroids matches the sharded build's final round") {
+    val emb = Similarity.embWithNorms(spark, dir)
+    val (a, c) = Clustering.assignmentsAndCentroidsOn(emb, 12, Clustering.Iters, 3)
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(Clustering.assignBatch(corpus, c, 3)) == rows(a))
+  }
+
   test("kmeans parameterized: iters=5 completes with CONSTANT plan depth (centroid checkpoint)") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     def joins(df: org.apache.spark.sql.DataFrame) =

@@ -52,6 +52,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       (4, "lowe", "r", 1L), (5, "lowe", "s", 1L), (6, "lowes", "t", 1L)))
   }
 
+  test("batched BPE trainer == sequential trainer at 100 merges on real documents") {
+    // the production-scale loop: up to M merges selected per pair-count
+    // job (symbol-disjoint consecutive prefix, strict-count truncation)
+    // must reproduce the one-merge-per-round chain BIT-identically —
+    // the rule's safety argument, exercised on a real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val sequential = rows(TextAnalysis.bpeMergesOn(spark, docs, rounds = 100))
+    val batched = rows(TextAnalysis.bpeMergesBatchedOn(spark, docs, 100, batchM = 8))
+    assert(batched == sequential)
+    // the synthetic corpus' vocabulary fully merges at 89 rules — both
+    // trainers must agree on the exhaustion point too
+    assert(sequential.size == 89)
+  }
+
+  test("batched BPE trainer == sequential on the classic tie-heavy corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // ties everywhere (counts 1) force the tie-flood fallback to the
+    // exact per-round argmax — order must still match exactly
+    assert(rows(TextAnalysis.bpeMergesBatchedOn(spark, docs, 6, batchM = 4)) ==
+      rows(TextAnalysis.bpeMergesOn(spark, docs)))
+  }
+
   test("BPE tokenize: the learned merges fully reassemble the training words") {
     import spark.implicits._
     // with the 6 merges learned on this corpus (see trainer test),

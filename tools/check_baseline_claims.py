@@ -86,7 +86,19 @@ def main():
                 fail = True
             continue
         with open(path) as f:
-            driver_total = float(json.load(f)["value"])
+            d = json.load(f)
+        if "value" in d:
+            driver_total = float(d["value"])
+        else:
+            # driver-wrapper shape: the stdout line's trailing 2000
+            # chars under "tail" — the leading "value" may be cut, but
+            # the trailing total_sec duplicate (r17 Bench) survives
+            tm = re.search(r'"total_sec":(\d+(?:\.\d+)?)', d.get("tail", ""))
+            if not tm:
+                print(f"round {rnd}: {path} carries no recoverable total "
+                      "(pre-r17 tail truncation) — bench cell not validated")
+                continue
+            driver_total = float(tm.group(1))
         if not lead:
             print(f"round {rnd}: bench cell must lead with the driver total "
                   f"{driver_total} from {path}")
@@ -95,6 +107,42 @@ def main():
             print(f"round {rnd}: bench cell leads with {lead.group(1)} but "
                   f"{path} records {driver_total} — quote the driver sidecar")
             fail = True
+    # sf1 refresh discipline (r16 VERDICT #7), rounds >= 17: every round
+    # row needs a matching "- r<N> sf1 refresh: **<total> s** for <q>
+    # queries" line in BASELINE's sf1 section, and the LATEST round's
+    # line must quote the committed BENCH_SF1.json exactly (the sidecar
+    # is refreshed on final code each round; older lines are historical
+    # numbers from their own rounds' sidecars).
+    rounds = [int(m.group(1))
+              for m in re.finditer(r"^\| (\d+) \| \d+ \|", md, re.M)]
+    latest = max(rounds) if rounds else 0
+    if latest >= 17:
+        refreshes = {
+            int(m.group(1)): (float(m.group(2)), int(m.group(3)))
+            for m in re.finditer(
+                r"^- r(\d+) sf1 refresh: \*\*(\d+(?:\.\d+)?) s\*\* for (\d+)",
+                md, re.M)}
+        for rnd in [r for r in rounds if r >= 17]:
+            if rnd not in refreshes:
+                print(f"round {rnd}: no '- r{rnd} sf1 refresh: **<total> s** "
+                      "for <q> queries' line in BASELINE's sf1 section — "
+                      "refresh BENCH_SF1.json on final code and record it")
+                fail = True
+        if latest in refreshes:
+            if not os.path.exists("BENCH_SF1.json"):
+                print(f"round {latest}: sf1 refresh line exists but "
+                      "BENCH_SF1.json does not — commit the sidecar")
+                fail = True
+            else:
+                with open("BENCH_SF1.json") as f:
+                    d = json.load(f)
+                total, nq = float(d["value"]), len(d.get("queries", {}))
+                ct, cq = refreshes[latest]
+                if abs(ct - total) > max(0.05, total * 1e-3) or cq != nq:
+                    print(f"round {latest}: sf1 refresh line claims {ct} s "
+                          f"for {cq} queries but BENCH_SF1.json records "
+                          f"{total} s for {nq} — quote the sidecar")
+                    fail = True
     if fail:
         sys.exit(1)
     print("BASELINE round-row claims consistent with the driver sidecars")
