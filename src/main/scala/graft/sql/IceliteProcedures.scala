@@ -92,7 +92,27 @@ object IceliteProcedures {
       (t, r) => Seq(t.declareConstraint(r.getUTF8String(1).toString, r.getUTF8String(2).toString))),
     Spec("drop_constraint", "drop a declared CHECK constraint",
       Seq(tableParam, in("name", StringType)), seqResult,
-      (t, r) => Seq(t.dropConstraint(r.getUTF8String(1).toString))))
+      (t, r) => Seq(t.dropConstraint(r.getUTF8String(1).toString))),
+    // ----- snapshot refs (Iceberg's create_branch/create_tag/fast_forward)
+    Spec("create_branch", "create a movable branch ref (at seq, default the current head); write to it with append_to_branch, publish with publish_branch",
+      Seq(tableParam, in("name", StringType), inD("seq", LongType, "-1")), seqResult,
+      (t, r) => {
+        t.createBranch(r.getUTF8String(1).toString,
+          Some(r.getLong(2)).filter(_ >= 0))
+        Seq(t.meta.lastSeq)
+      }),
+    Spec("create_tag", "create an immutable tag on a retained snapshot seq",
+      Seq(tableParam, in("name", StringType), in("seq", LongType)), seqResult,
+      (t, r) => { t.createTag(r.getUTF8String(1).toString, r.getLong(2)); Seq(r.getLong(2)) }),
+    Spec("fast_forward", "advance a branch ref to the current head (tags refuse)",
+      Seq(tableParam, in("name", StringType)), seqResult,
+      (t, r) => { t.fastForward(r.getUTF8String(1).toString); Seq(t.meta.lastSeq) }),
+    Spec("publish_branch", "land a branch's staged appends on main in stage order (cherry-pick if main moved) and fast-forward the ref",
+      Seq(tableParam, in("name", StringType)), seqResult,
+      (t, r) => Seq(t.publishBranch(r.getUTF8String(1).toString))),
+    Spec("drop_ref", "drop a branch or tag (a branch's unpublished staged writes are discarded)",
+      Seq(tableParam, in("name", StringType)), seqResult,
+      (t, r) => { t.dropRef(r.getUTF8String(1).toString); Seq(t.meta.lastSeq) }))
 
   def names: Seq[String] = specs.map(_.name)
 

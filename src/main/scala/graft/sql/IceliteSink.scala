@@ -144,7 +144,7 @@ final class IceliteSink(
   // (compact/compactCold/manifest merge) re-publish it like the sync
   // HWM — a compaction between a crash and its replay must not reset
   // the exactly-once watermark to -1 (ADVICE r15)
-  private val BatchIdKey = IceliteTable.SyncProgressPrefix + "streaming.batchId"
+  private val BatchIdKey = IceliteTable.StreamBatchIdKey
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val loaded = IceliteTable.load(SparkSession.active, warehouse, namespace, tableName)

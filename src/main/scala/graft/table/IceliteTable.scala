@@ -2148,13 +2148,17 @@ final class IceliteTable private (
     */
   def truncate(): Long = retryCommit { head =>
     val seq = head.lastSeq + 1
-    // carry the streaming sink's replay watermark like overwriteAll /
-    // compact do: truncate REWRITES history (prior snapshots drop), so
-    // without the carry a checkpoint-replayed micro-batch would read
-    // last=-1 and re-commit pre-truncate data — resurrecting rows the
-    // operator just deleted
+    // carry ONLY the streaming sink's replay watermark: truncate
+    // REWRITES history (prior snapshots drop), so without the carry a
+    // checkpoint-replayed micro-batch would read last=-1 and re-commit
+    // pre-truncate data — resurrecting rows the operator just deleted.
+    // The CDC sync HWM keys must NOT carry: truncate is the rebuild
+    // primitive (invalidate → truncate → re-initial-sync), and a
+    // carried HWM would make the rebuild think it already synced.
+    val keep = carrySyncProgress(head.snapshots)
+      .filter { case (k, _) => k == IceliteTable.StreamBatchIdKey }
     (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "truncate", Nil, Nil, 0L,
-      summary = carrySyncProgress(head.snapshots))), seq)
+      summary = keep)), seq)
   }
 
   /** USER-property commit (`ALTER TABLE … SET/UNSET TBLPROPERTIES` —
@@ -4450,6 +4454,11 @@ object IceliteTable {
     * forward; truncate (rebuild reset) deliberately drops them.
     */
   val SyncProgressPrefix = "graft.sync."
+
+  /** The streaming sink's exactly-once replay watermark key — the one
+    * sync-progress entry that survives TRUNCATE (see [[IceliteTable.truncate]]).
+    */
+  val StreamBatchIdKey: String = SyncProgressPrefix + "streaming.batchId"
 
   /** Property-key prefix for named snapshot refs (branches/tags):
     * `graft.ref.<name>` = `"tag:<seq>"` | `"branch:<seq>"`.

@@ -136,6 +136,29 @@ class IceliteProcedureSpec extends AnyFunSuite with SparkFixture {
     assert(chain(e2).contains("system"))
   }
 
+  test("CALL ref procedures: branch lifecycle through SQL incl. publish") {
+    val t = mkTable("c10", 2)
+    spark.sql(s"CALL $Cat.system.create_tag(table => 'ns.c10', name => 'v1', seq => 1)")
+    spark.sql(s"CALL $Cat.system.create_branch(table => 'ns.c10', name => 'dev')")
+    // branch writes stay on the Scala API (staged data needs a frame);
+    // the SQL lifecycle around them is create → publish → fast_forward → drop
+    import scala.jdk.CollectionConverters._
+    t.appendToBranch("dev", spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(9L, "v9")).asJava, schema))
+    assert(t.read().count() == 2, "staged branch write must not surface on main")
+    val pub = spark.sql(s"CALL $Cat.system.publish_branch(table => 'ns.c10', name => 'dev')")
+      .collect()(0).getLong(0)
+    val t2 = IceliteTable.load(spark, wh, "ns", "c10")
+    assert(t2.read().count() == 3)
+    assert(t2.refs("dev") == ("branch", pub))
+    spark.sql(s"CALL $Cat.system.fast_forward(table => 'ns.c10', name => 'dev')")
+    val e = intercept[Exception](
+      spark.sql(s"CALL $Cat.system.fast_forward(table => 'ns.c10', name => 'v1')").collect())
+    assert(e.getMessage.contains("tag") || e.getMessage.toLowerCase.contains("immutable"))
+    spark.sql(s"CALL $Cat.system.drop_ref(table => 'ns.c10', name => 'v1')")
+    assert(!IceliteTable.load(spark, wh, "ns", "c10").refs.contains("v1"))
+  }
+
   test("a governed catalog refuses CALL (read-only role)") {
     mkTable("c6", 1).declarePolicy("analyst", Some("k > 0"), Map.empty)
     spark.conf.set(s"spark.sql.catalog.${Cat}_gov", classOf[IceliteCatalog].getName)
