@@ -128,14 +128,19 @@ object EdgeIndex {
     wh
   }
 
-  /** Memoized cached (u, v, w) edge frame per (session, dataset) —
-    * the single-reference consumers' read (e.g. the basket-pair
-    * report), off the bucketed serving scan.
+  /** Memoized cached (u, v, w) edge frame per (session, dataset,
+    * head seq) — the single-reference consumers' read (e.g. the
+    * basket-pair report), off the bucketed serving scan. Seq-keyed
+    * like [[serve]], so an in-session incremental merge can never
+    * serve a stale pre-merge frame (whose underlying serving table
+    * serve() would by then have dropped).
     */
-  def edges(spark: SparkSession, dir: String): DataFrame =
-    served.getOrElseUpdate(spark, dir) {
-      spark.table(serve(spark, dir)._1).cache()
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val (bName, _, _) = serve(spark, dir)
+    served.getOrElseUpdate(spark, s"$dir@$bName") {
+      spark.table(bName).cache()
     }
+  }
 
   /** Upper bound on the LIVE directed edge count from TABLE METADATA
     * alone (zero IO, zero jobs): the sum of per-snapshot record counts
@@ -160,10 +165,12 @@ object EdgeIndex {
     */
   val EdgeBuckets = 32
 
-  /** Support floor baked into the third serving table — kept equal to
-    * [[Graph.LinkMinSupport]] (the wedge consumers' evidence floor).
+  /** Support floor baked into the third serving table — DEFINED from
+    * [[Graph.LinkMinSupport]] (the wedge consumers' evidence floor),
+    * so a threshold change re-points the serving table instead of
+    * silently orphaning it.
     */
-  private val ServingMinSupport = 2L
+  private def ServingMinSupport: Long = Graph.LinkMinSupport.toLong
 
   private val bucketServed = new graft.util.IndexMemo[(String, String, String)](8)(_ => ())
 

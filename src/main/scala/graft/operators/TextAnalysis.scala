@@ -979,24 +979,35 @@ object TextAnalysis {
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         val symbols = scala.collection.mutable.Set.empty[String]
         var stop = false
+        var closed = false
         var i = 0
-        while (!stop && i < top.length && accepted.size < want) {
+        while (!stop && !closed && i < top.length && accepted.size < want) {
           val (l, r, c) = top(i)
           if (symbols(l) || symbols(r)) stop = true // prefix must stay consecutive
-          else { accepted += ((l, r, c)); symbols ++= Seq(l, r, l + r) }
+          else {
+            accepted += ((l, r, c)); symbols ++= Seq(l, r, l + r)
+            // a SELF-pair (l == l) closes the batch: the pairs its
+            // application creates (e.g. (ll, l) from a run of three)
+            // descend from the accepted pair ITSELF, so no outside
+            // bound can protect later batch members from them — it
+            // must be the batch's last merge
+            if (l == r) closed = true
+          }
           i += 1
         }
         // strict-count truncation against the first candidate OUTSIDE
         // the accepted prefix: a rejected (overlapping) candidate, or
         // the next unconsidered one. When the walk exhausted the WHOLE
-        // pair table with no overlap (top.length < the collect limit),
-        // no pair shares a symbol with any accepted merge — applying
-        // the batch can neither create nor shrink any pair, so no
-        // bound is needed.
+        // pair table with no overlap (i == top.length, which implies
+        // top.length < the collect limit — all considered were
+        // accepted, and the loop stops at `want` < limit otherwise),
+        // no pair shares a symbol with any accepted merge: applying
+        // the batch can neither create nor shrink any pair (a created
+        // pair's parent shares a symbol and would have caused a stop),
+        // so no bound is needed.
         val safe =
           if (stop) accepted.takeWhile(_._3 > top(i - 1)._3)
           else if (i < top.length) accepted.takeWhile(_._3 > top(i)._3)
-          else if (top.length == want * 4 + 1) accepted.take(1) // full window, no bound known
           else accepted
         val batch = if (safe.nonEmpty) safe.toSeq else Seq(top.head) // tie-flood: exact argmax
         batch.foreach { case (l, r, c) => learned += ((learned.size + 1, l, r, c)) }

@@ -237,12 +237,14 @@ object SqlDml {
     var bsDelete: Option[Column] = None
     var bsSet: Map[String, Column] = Map.empty
     var bsPrior: Column = lit(false)
+    var bsUpdateSeen = false
     m.notMatchedBySourceActions.foreach { act =>
       val own: Column = act.condition.map(qualTargetOnly).getOrElse(lit(true))
       val eff = own && !bsPrior
       act match {
         case UpdateAction(_, as, _) =>
-          if (bsUpdate.isDefined) refuse("multiple WHEN NOT MATCHED BY SOURCE UPDATE clauses")
+          if (bsUpdateSeen) refuse("multiple WHEN NOT MATCHED BY SOURCE UPDATE clauses")
+          bsUpdateSeen = true
           bsUpdate = Some(eff)
           bsSet = as.flatMap { a =>
             val name = a.key match {
@@ -256,7 +258,11 @@ object SqlDml {
               case v => Some(name -> qualTargetOnly(v))
             }
           }.toMap
-          if (bsSet.isEmpty) bsUpdate = Some(lit(false)) // all-identity SET: no-op
+          // all-identity SET: a no-op clause — drop it entirely
+          // (Some(lit(false)) with an empty set would trip merge's
+          // explicit-update-set requirement); bsPrior still consumes
+          // the clause's rows so later BY SOURCE clauses keep SQL order
+          if (bsSet.isEmpty) bsUpdate = None
         case DeleteAction(_) =>
           if (bsDelete.isDefined) refuse("multiple WHEN NOT MATCHED BY SOURCE DELETE clauses")
           bsDelete = Some(eff)

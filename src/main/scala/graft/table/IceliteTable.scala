@@ -2267,7 +2267,10 @@ final class IceliteTable private (
         s"static partition overwrite of $name: batch rows carry partition value(s) " +
           s"${stray.mkString(", ")} outside the overwritten set ${tv.mkString(", ")}")
     }
-    require(touched.nonEmpty, "overwritePartitions: batch has no partition values")
+    // dynamic mode with an EMPTY batch is the standard no-op (zero
+    // rows name zero partitions to replace — Hive/Iceberg semantics);
+    // the static path always carries an explicit non-empty set
+    if (touched.isEmpty) return cachedMeta.lastSeq
 
     def classify(stats: Map[String, (String, String)]): String =
       stats.get(pcol) match {

@@ -68,6 +68,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(sequential.size == 89)
   }
 
+  test("batched BPE: a SELF-pair merge closes the batch (created pairs descend from it)") {
+    import spark.implicits._
+    // pair table: (o,o) x20, (a,b) x5, table exhausted in one window.
+    // A naive disjoint batch would learn [(o,o), (a,b)], but merging
+    // (o,o) CREATES (oo,o) x10 > (a,b) x5 — sequential learns (oo,o)
+    // second. The self-pair must terminate the batch.
+    val docs = Seq((1L, ("ooo " * 10).trim + " " + ("ab " * 5).trim)).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val seqr = rows(TextAnalysis.bpeMergesOn(spark, docs, rounds = 4))
+    val bat = rows(TextAnalysis.bpeMergesBatchedOn(spark, docs, 4, batchM = 4))
+    assert(bat == seqr, s"batched diverged:\nseq=$seqr\nbat=$bat")
+    assert(seqr.take(2).map(t => (t._2, t._3)) == Seq(("o", "o"), ("oo", "o")))
+  }
+
   test("batched BPE trainer == sequential on the classic tie-heavy corpus") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")

@@ -173,6 +173,23 @@ class IceliteSqlWriteSpec extends AnyFunSuite with SparkFixture {
       Seq((2L, "b"), (8L, "a"), (9L, "c")))
   }
 
+  test("dynamic INSERT OVERWRITE with an empty batch is the standard no-op") {
+    wh
+    spark.sql(s"CREATE TABLE $Cat.ns.ovw6 (id BIGINT, pt STRING) PARTITIONED BY (pt)")
+    spark.sql(s"INSERT INTO $Cat.ns.ovw6 VALUES (1, 'a')")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // zero rows name zero partitions to replace (the backfill job whose
+    // corrected batch is empty) — must succeed and change nothing
+    try spark.sql(s"INSERT OVERWRITE $Cat.ns.ovw6 SELECT id, pt FROM $Cat.ns.ovw6 WHERE false")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(spark.sql(s"SELECT id, pt FROM $Cat.ns.ovw6").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+  }
+
   test("unroutable overwrite filters refuse loudly (range filter on the partition column)") {
     wh
     spark.sql(s"CREATE TABLE $Cat.ns.ovw5 (id BIGINT, pt BIGINT) PARTITIONED BY (pt)")

@@ -119,6 +119,22 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(state("t_bys2") == Seq((1L, "first", 2L)))
   }
 
+  test("BY SOURCE all-identity UPDATE is a no-op clause, not an error") {
+    import spark.implicits._
+    mk("t_bys4", Seq((1L, "a", 10L), (2L, "b", 11L)))
+    Seq((1L, "a2", 100L)).toDF("k", "s", "v").createOrReplaceTempView("bys4_src")
+    // SET v = v reduces to pure identity after alignment — the clause
+    // must apply as a no-op (its rows still consume clause order), and
+    // the later DELETE must not claim the rows the no-op matched
+    spark.sql(
+      """MERGE INTO dml.ns.t_bys4 t USING bys4_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE AND t.v = 11 THEN UPDATE SET v = v
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE
+        |""".stripMargin)
+    assert(state("t_bys4") == Seq((1L, "a", 100L), (2L, "b", 11L)))
+  }
+
   test("BY SOURCE refusals: source-column references have no row to read") {
     import spark.implicits._
     mk("t_bys3", Seq((1L, "a", 10L)))
