@@ -457,7 +457,13 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      // MERGE … WITH SCHEMA EVOLUTION: the analyzer diffs source vs
+      // target and issues the AddColumn changes through alterTable
+      // BEFORE IceliteDmlRule routes the (re-resolved) merge — new
+      // source columns become real schema evolution commits; changes
+      // alterTable cannot express (type widening) refuse loudly there
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** `DELETE FROM <catalog>.<ns>.<t> WHERE …` → a position-delete
     * commit through the existing [[IceliteTable.deleteWhere]] (one

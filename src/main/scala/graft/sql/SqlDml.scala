@@ -36,11 +36,15 @@ import graft.table.IceliteTable
   * Refusal discipline (same as SQL DELETE's translator gate): shapes
   * the routing cannot express EXACTLY refuse loudly rather than
   * half-apply — subqueries in predicates/values, nested-field
-  * assignment, non-equi or cross-named merge keys, non-pass-through
-  * INSERT values, and schema-evolving merges. `WHEN NOT MATCHED BY
-  * SOURCE` routes (target-only conditions/SET; the engine classifies
-  * source-absent target rows over the full MoR scan — the clause's
-  * inherent cost, since an unmatched row can live in any file).
+  * assignment in MERGE, non-equi or cross-named merge keys, and
+  * computed INSERT values for KEY columns (the classify join runs on
+  * raw source keys). `WHEN NOT MATCHED BY SOURCE` routes (target-only
+  * conditions/SET; the engine classifies source-absent target rows
+  * over the full MoR scan — the clause's inherent cost, since an
+  * unmatched row can live in any file); computed non-key INSERT
+  * values route as column-level insert overrides; `WITH SCHEMA
+  * EVOLUTION` routes via the analyzer's own alterTable pass (see
+  * [[translateMerge]]).
   *
   * Scale: identical to the Scala paths — the UPDATE scans the MoR
   * view once and writes only matching images; the MERGE prunes the
@@ -121,7 +125,12 @@ object SqlDml {
   // ---------------------------------------------------------------- MERGE
 
   private[sql] def translateMerge(m: MergeIntoTable, t: IceliteTable): LogicalPlan = {
-    if (m.withSchemaEvolution) refuse("MERGE WITH SCHEMA EVOLUTION is not routed")
+    // WITH SCHEMA EVOLUTION needs no routing of its own: the catalog
+    // advertises AUTOMATIC_SCHEMA_EVOLUTION, so the analyzer's
+    // ResolveMergeIntoSchemaEvolution has ALREADY diffed source vs
+    // target, committed the AddColumn evolution through alterTable,
+    // and reloaded the relation `t` unwraps — by post-hoc time this
+    // is an ordinary merge against the evolved schema
     val target = m.targetTable.outputSet
     val source = m.sourceTable.outputSet
 
@@ -188,30 +197,59 @@ object SqlDml {
     if (wholeRowUpdate && updateSet.nonEmpty)
       refuse("mixed whole-row and column-level updates")
 
+    // INSERT values may reference the SOURCE side only — there is no
+    // target row for a not-matched source row
+    def qualSourceOnly(e: Expression, where: String): Column = {
+      noSubquery(e, "MERGE")
+      ColumnBridge.column(e.transform {
+        case a: AttributeReference if source.contains(a) =>
+          UnresolvedAttribute(Seq("s", a.name))
+        case a: AttributeReference if target.contains(a) =>
+          refuse(s"$where references target column ${a.name} " +
+            "(no target row exists for these source rows)")
+        case a: AttributeReference =>
+          refuse(s"reference ${a.name} is bound to neither MERGE side")
+      })
+    }
     var notMatchedInsert: Option[Column] = None
+    var insertSet: Map[String, Column] = Map.empty
     var insPrior: Column = lit(false)
     m.notMatchedActions.foreach { act =>
       val own: Column = act.condition.map(qual).getOrElse(lit(true))
       act match {
         case InsertAction(_, as) =>
           if (notMatchedInsert.isDefined) refuse("multiple WHEN NOT MATCHED INSERT clauses")
-          // merge() inserts source columns BY NAME — only the
-          // pass-through shape routes exactly; anything computed needs
-          // the caller to project the source first
-          if (as.size != t.schema.size)
-            refuse(s"INSERT must assign all ${t.schema.size} columns (got ${as.size})")
-          as.foreach { a =>
+          // pass-through columns (the same-named source column) ride
+          // merge()'s insert-by-name; anything else — computed
+          // expressions, literals — becomes a column-level insert
+          // override, and unassigned columns pad with NULL (standard
+          // SQL MERGE INSERT column-list semantics). Keys must stay
+          // pass-through: the engine classifies on raw source keys.
+          val assigned = as.map { a =>
             val name = a.key match {
               case ar: AttributeReference => ar.name
               case other => refuse(s"assignment to non-top-level field ${other.sql}")
             }
             a.value match {
-              case v: AttributeReference if source.contains(v) && v.name.equalsIgnoreCase(name) => ()
-              case other => refuse(
-                s"INSERT value for $name is ${other.sql}, not the same-named source " +
-                  "column — project the source so INSERT values are pass-through")
+              case v: AttributeReference if source.contains(v) && v.name.equalsIgnoreCase(name) =>
+                name -> None
+              case v =>
+                if (keyCols.exists(_.equalsIgnoreCase(name)))
+                  refuse(s"INSERT value for key column $name must be the same-named " +
+                    "source column (the ON clause classifies on raw source keys)")
+                name -> Some(qualSourceOnly(v, s"INSERT value for $name"))
             }
           }
+          val assignedNames = assigned.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
+          keyCols.foreach { k =>
+            if (!assignedNames(k.toLowerCase(java.util.Locale.ROOT)))
+              refuse(s"INSERT must assign key column $k")
+          }
+          val padded = t.schema.fieldNames.toSeq
+            .filterNot(f => assignedNames(f.toLowerCase(java.util.Locale.ROOT)))
+            .map(f => f -> Some(lit(null)))
+          insertSet = (assigned ++ padded)
+            .collect { case (n, Some(c)) => n -> c }.toMap
           notMatchedInsert = Some(own && !insPrior)
         case other => refuse(s"WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
       }
@@ -274,7 +312,7 @@ object SqlDml {
     IceliteMergeCommand(t, m.sourceTable, keyCols,
       Some(matchedUpdate.getOrElse(lit(false))),
       matchedDelete, notMatchedInsert, updateSet,
-      bsUpdate, bsDelete, bsSet)
+      bsUpdate, bsDelete, bsSet, insertSet)
   }
 }
 
@@ -336,13 +374,15 @@ case class IceliteMergeCommand(
     notMatchedInsert: Option[Column], matchedUpdateSet: Map[String, Column],
     notMatchedBySourceUpdate: Option[Column] = None,
     notMatchedBySourceDelete: Option[Column] = None,
-    notMatchedBySourceUpdateSet: Map[String, Column] = Map.empty)
+    notMatchedBySourceUpdateSet: Map[String, Column] = Map.empty,
+    notMatchedInsertSet: Map[String, Column] = Map.empty)
   extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val src = ColumnBridge.ofRows(sparkSession, sourcePlan)
     table.merge(src, keyCols, matchedUpdate, matchedDelete,
       notMatchedInsert, matchedUpdateSet,
-      notMatchedBySourceUpdate, notMatchedBySourceDelete, notMatchedBySourceUpdateSet)
+      notMatchedBySourceUpdate, notMatchedBySourceDelete, notMatchedBySourceUpdateSet,
+      notMatchedInsertSet)
     Seq.empty
   }
 }

@@ -304,6 +304,71 @@ object SqlSurface {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------------ table_sql_merge_evolve
+
+  /** `MERGE WITH SCHEMA EVOLUTION` + computed INSERT values — the two
+    * remaining SQL MERGE shapes: the catalog advertises
+    * AUTOMATIC_SCHEMA_EVOLUTION, so the analyzer diffs source vs
+    * target and commits the AddColumn evolution through alterTable
+    * BEFORE the merge routes (new source column `disc` becomes real
+    * schema evolution; untouched target rows read NULL for it), and
+    * the INSERT clause computes non-key values as column-level insert
+    * overrides ([[IceliteTable.merge]] `notMatchedInsertSet`). The
+    * oracle recomputes all three row fates — updated, untouched
+    * (NULL disc), computed-insert — relationally.
+    */
+  def tableSqlMergeEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val sub = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(47)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val table = freshTable(spark, wh, "analytics", "orders_sqlme", sub.schema)
+    table.append(sub.filter(pmod(col("o_orderkey"), lit(2)) === 1)) // target: odd keys
+    // source: keys ≡ 0 (mod 3), carrying a column the target lacks
+    // (disc is an exact binary fraction so double sums hash-match)
+    sub.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), (col("cents") + 5).as("cents"),
+        (pmod(col("o_orderkey"), lit(7)).cast("double") * 0.5).as("disc"))
+      .createOrReplaceTempView("sqlme_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $CatName.analytics.orders_sqlme t
+         |USING sqlme_src s ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, cents, disc)
+         |  VALUES (s.o_orderkey, concat(s.o_orderstatus, '!'), s.cents * 2 + 1, s.disc)""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents, sum(disc) AS sum_disc
+         |FROM $CatName.analytics.orders_sqlme
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val tableSqlMergeEvolveOracle =
+    """WITH sub AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 47 = 0),
+      |tgt AS (SELECT * FROM sub WHERE o_orderkey % 2 = 1),
+      |srcv AS (
+      |  SELECT o_orderkey, o_orderstatus, cents + 5 AS cents,
+      |    CAST(o_orderkey % 7 AS DOUBLE) * 0.5 AS disc
+      |  FROM sub WHERE o_orderkey % 3 = 0),
+      |state AS (
+      |  SELECT s.o_orderkey, s.o_orderstatus, s.cents, s.disc
+      |  FROM tgt t JOIN srcv s ON t.o_orderkey = s.o_orderkey
+      |  UNION ALL
+      |  SELECT t.o_orderkey, t.o_orderstatus, t.cents, CAST(NULL AS DOUBLE) AS disc
+      |  FROM tgt t LEFT JOIN srcv s ON t.o_orderkey = s.o_orderkey
+      |  WHERE s.o_orderkey IS NULL
+      |  UNION ALL
+      |  SELECT s.o_orderkey, s.o_orderstatus || '!', s.cents * 2 + 1, s.disc
+      |  FROM srcv s LEFT JOIN tgt t ON t.o_orderkey = s.o_orderkey
+      |  WHERE t.o_orderkey IS NULL)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, sum(disc) AS sum_disc
+      |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // -------------------------------------------------- table_stream_native
 
   /** CDC replication through the NATIVE streaming source — the
@@ -714,6 +779,9 @@ object SqlSurface {
     GraftQuery("table_sql_merge_by_source", tableSqlMergeBySource _,
       Some(tableSqlMergeBySourceOracle),
       "MERGE WHEN NOT MATCHED BY SOURCE: retire/flag target rows absent from the source (SCD sync)"),
+    GraftQuery("table_sql_merge_evolve", tableSqlMergeEvolve _,
+      Some(tableSqlMergeEvolveOracle),
+      "MERGE WITH SCHEMA EVOLUTION (analyzer-driven AddColumn) + computed INSERT value overrides"),
     GraftQuery("table_stream_native", tableStreamNative _, Some(tableStreamNativeOracle),
       "CDC replication via the native icelite-changelog streaming source (no export hop)"),
     GraftQuery("table_stream_sink", tableStreamSink _, Some(tableStreamSinkOracle),

@@ -360,6 +360,14 @@ final class IceliteTable private (
     * reads ([[readChanges]]) see merge updates as proper pre/post
     * pairs.
     *
+    * `notMatchedInsertSet` selects COLUMN-LEVEL insert values (the SQL
+    * `INSERT … VALUES (expr)` shape where a value is computed rather
+    * than the same-named source column): an inserted row takes each
+    * listed column from its expression (which may reference `s.col`;
+    * there is no target row) and every other column from the
+    * pass-through source value. Key columns may not be computed — the
+    * classify join and ambiguity guard run on the raw source keys.
+    *
     * `notMatchedBySource*` add the SQL `WHEN NOT MATCHED BY SOURCE`
     * family (the SCD/sync idiom: target rows whose key appears in NO
     * source row get deleted or updated). Their conditions and
@@ -381,7 +389,8 @@ final class IceliteTable private (
       matchedUpdateSet: Map[String, Column] = Map.empty,
       notMatchedBySourceUpdate: Option[Column] = None,
       notMatchedBySourceDelete: Option[Column] = None,
-      notMatchedBySourceUpdateSet: Map[String, Column] = Map.empty): MergeStats = {
+      notMatchedBySourceUpdateSet: Map[String, Column] = Map.empty,
+      notMatchedInsertSet: Map[String, Column] = Map.empty): MergeStats = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     requireLineageSafe(cachedMeta, "merge")
     val tableSchema = cachedMeta.schema
@@ -389,6 +398,18 @@ final class IceliteTable private (
       require(tableSchema.fieldNames.contains(c),
         s"UPDATE SET column '$c' is not a column of $name")
       require(!keyCols.contains(c), s"UPDATE SET may not assign key column '$c'")
+    }
+    // computed INSERT values (`INSERT … VALUES (expr-over-s.cols)`):
+    // per-column overrides of the pass-through source row. Keys stay
+    // pass-through — the classify join, ambiguity guard, and file
+    // pruning all run on the RAW source keys, so letting an INSERT
+    // rewrite the key would desynchronize the written key from the
+    // one the row was classified (and validated unique) under.
+    notMatchedInsertSet.keys.foreach { c =>
+      require(tableSchema.fieldNames.contains(c),
+        s"INSERT value column '$c' is not a column of $name")
+      require(!keyCols.contains(c),
+        s"INSERT may not compute key column '$c' (keys pass through the ON classify)")
     }
     require(notMatchedBySourceUpdate.isEmpty || notMatchedBySourceUpdateSet.nonEmpty,
       "NOT MATCHED BY SOURCE UPDATE needs an explicit column-level update set " +
@@ -427,11 +448,13 @@ final class IceliteTable private (
     // the UPDATE SET expression, else the preserved target value
     // (whole-row mode: the source value, the pre-r5 behavior);
     // by-source updates take their target-only update set
-    def insertVal(f: org.apache.spark.sql.types.StructField): Column =
+    def srcVal(f: org.apache.spark.sql.types.StructField): Column =
       (if (srcSet.contains(f.name)) col(s"s.${f.name}") else lit(null)).cast(f.dataType)
+    def insertVal(f: org.apache.spark.sql.types.StructField): Column =
+      notMatchedInsertSet.get(f.name).map(_.cast(f.dataType)).getOrElse(srcVal(f))
     def updateVal(f: org.apache.spark.sql.types.StructField): Column =
       matchedUpdateSet.get(f.name).map(_.cast(f.dataType)).getOrElse(
-        if (matchedUpdateSet.isEmpty) insertVal(f) else col(s"t.${f.name}").cast(f.dataType))
+        if (matchedUpdateSet.isEmpty) srcVal(f) else col(s"t.${f.name}").cast(f.dataType))
     def bsUpdateVal(f: org.apache.spark.sql.types.StructField): Column =
       notMatchedBySourceUpdateSet.get(f.name).map(_.cast(f.dataType))
         .getOrElse(col(s"t.${f.name}").cast(f.dataType))

@@ -172,15 +172,68 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
           |""".stripMargin)
     }
     assert(e2.getMessage.contains("ON"))
-    // computed INSERT value
+    // computed INSERT value for a KEY column (the classify join runs
+    // on raw source keys — rewriting the key would desynchronize it)
     val e3 = intercept[UnsupportedOperationException] {
       spark.sql(
         """MERGE INTO dml.ns.t_refuse t USING refuse_src s ON t.k = s.k
-          |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v + 1)
+          |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k + 1, s.s, s.v)
           |""".stripMargin)
     }
-    assert(e3.getMessage.contains("pass-through"))
+    assert(e3.getMessage.contains("key column"))
     // state untouched by all three refusals
     assert(state("t_refuse") == Seq((1L, "a", 10L)))
+  }
+
+  test("MERGE INSERT with computed values routes as column-level insert overrides") {
+    import spark.implicits._
+    mk("t_mrg_ins", Seq((1L, "a", 10L)))
+    Seq((1L, "m", 100L), (5L, "new", 50L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("mrg_ins_src")
+    spark.sql(
+      """MERGE INTO dml.ns.t_mrg_ins t USING mrg_ins_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, upper(s.s), s.v * 2 + 1)
+        |""".stripMargin)
+    // matched row takes the plain update; the insert computes s and v
+    assert(state("t_mrg_ins") == Seq((1L, "a", 100L), (5L, "NEW", 101L)))
+  }
+
+  test("MERGE INSERT with a partial column list pads the rest with NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    mk("t_mrg_pad", Seq((1L, "a", 10L)))
+    Seq((6L, "x", 60L)).toDF("k", "s", "v").createOrReplaceTempView("mrg_pad_src")
+    spark.sql(
+      """MERGE INTO dml.ns.t_mrg_pad t USING mrg_pad_src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |""".stripMargin)
+    val rows = IceliteTable.load(spark, wh, "ns", "t_mrg_pad").read()
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, Some("a"), 10L), (6L, None, 60L)))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION adds new source columns to the target") {
+    import spark.implicits._
+    mk("t_mrg_evo", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    Seq((2L, "B", 200L, 2.5), (7L, "G", 70L, 7.5)).toDF("k", "s", "v", "w")
+      .createOrReplaceTempView("mrg_evo_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dml.ns.t_mrg_evo t
+        |USING mrg_evo_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    val t = IceliteTable.load(spark, wh, "ns", "t_mrg_evo")
+    assert(t.meta.schema.fieldNames.toSeq == Seq("k", "s", "v", "w"),
+      "the analyzer's AddColumn evolution landed through alterTable")
+    val rows = t.read().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sorted.toSeq
+    // untouched row reads NULL for the evolved column; the matched row
+    // takes the full source image; the insert carries the new column
+    assert(rows == Seq((1L, "a", 10L, None), (2L, "B", 200L, Some(2.5)),
+      (7L, "G", 70L, Some(7.5))))
   }
 }
