@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, AttributeSet, EqualTo, Expression, GetStructField, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -35,10 +35,13 @@ import graft.table.IceliteTable
   *
   * Refusal discipline (same as SQL DELETE's translator gate): shapes
   * the routing cannot express EXACTLY refuse loudly rather than
-  * half-apply — subqueries in predicates/values, nested-field
-  * assignment in MERGE, non-equi or cross-named merge keys, and
-  * computed INSERT values for KEY columns (the classify join runs on
-  * raw source keys). `WHEN NOT MATCHED BY SOURCE` routes (target-only
+  * half-apply — subqueries in predicates/values, non-equi or
+  * cross-named merge keys, and computed INSERT values for KEY columns
+  * (the classify join runs on raw source keys). Struct-field
+  * assignment (`SET s.f = …`) routes in UPDATE and both MERGE update
+  * families: the assigned fields fold into one withField chain over
+  * the base column's pre-image, untouched fields preserved. `WHEN NOT
+  * MATCHED BY SOURCE` routes (target-only
   * conditions/SET; the engine classifies source-absent target rows
   * over the full MoR scan — the clause's inherent cost, since an
   * unmatched row can live in any file); computed non-key INSERT
@@ -87,6 +90,21 @@ object SqlDml {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
 
+  /** Decompose an assignment key (or identity-check a value) into its
+    * base column + struct-field path: `s` → (s, []); `s.a.b` → (s,
+    * [a, b]). None for anything that isn't a field chain over one
+    * column (array indexing, map access).
+    */
+  private def fieldPath(e: Expression): Option[(AttributeReference, Seq[String])] = e match {
+    case ar: AttributeReference => Some((ar, Nil))
+    case gs: GetStructField =>
+      fieldPath(gs.child).map { case (base, p) => (base, p :+ gs.extractFieldName) }
+    case _ => None
+  }
+
+  private def quotedPath(path: Seq[String]): String =
+    path.map(seg => "`" + seg.replace("`", "``") + "`").mkString(".")
+
   private[sql] def unwrapTable(p: LogicalPlan): Option[IceliteTable] = p match {
     case SubqueryAlias(_, child) => unwrapTable(child)
     case r: DataSourceV2Relation => r.table match {
@@ -107,16 +125,40 @@ object SqlDml {
       t: IceliteTable, assignments: Seq[Assignment],
       cond: Option[Expression]): LogicalPlan = {
     cond.foreach(noSubquery(_, "UPDATE WHERE"))
-    val set = assignments.flatMap { a =>
+    val parsed = assignments.map { a =>
       noSubquery(a.value, "UPDATE SET")
-      val name = a.key match {
-        case ar: AttributeReference => ar.name
-        case other => refuse(s"assignment to non-top-level field ${other.sql}")
+      fieldPath(a.key) match {
+        case Some((base, path)) => (base.name, path, a.value)
+        case None => refuse(s"assignment to unsupported field ${a.key.sql}")
       }
-      a.value match {
-        // identity padding from assignment alignment (SET a = a): no-op
-        case v: AttributeReference if v.name == name => None
-        case v => Some(name -> unqualify(v))
+    }
+    val set = parsed.groupBy(_._1).toSeq.flatMap { case (name, grp) =>
+      val (whole0, nested) = grp.partition(_._2.isEmpty)
+      // identity padding from assignment alignment (SET a = a): no-op
+      val whole = whole0.filterNot {
+        case (n, _, v: AttributeReference) => v.name == n
+        case _ => false
+      }
+      if (whole.nonEmpty && nested.nonEmpty)
+        refuse(s"both whole-column and struct-field assignment to $name")
+      if (nested.isEmpty) whole match {
+        case Seq() => None
+        case Seq((_, _, v)) => Some(name -> unqualify(v))
+        case _ => refuse(s"multiple assignments to $name")
+      } else {
+        // struct-field assignment (`SET s.f = …`): fold the assigned
+        // fields into ONE withField chain over the base column — the
+        // struct is rewritten with untouched fields preserved, and
+        // every expression reads the PRE-update row (standard UPDATE
+        // semantics, since withField's base is the pre-image column)
+        val real = nested.filterNot { case (n, p, v) =>
+          fieldPath(v).exists { case (b, bp) => b.name == n && bp == p }
+        }
+        if (real.isEmpty) None
+        else Some(name -> real.foldLeft(
+            ColumnBridge.column(UnresolvedAttribute.quoted(name))) {
+          case (acc, (_, p, v)) => acc.withField(quotedPath(p), unqualify(v))
+        })
       }
     }.toMap
     IceliteUpdateCommand(t, cond.map(unqualify).getOrElse(lit(true)), set)
@@ -164,20 +206,48 @@ object SqlDml {
         case UpdateAction(_, as, _) =>
           if (matchedUpdate.isDefined) refuse("multiple WHEN MATCHED UPDATE clauses")
           matchedUpdate = Some(eff)
-          updateSet = as.flatMap { a =>
-            val name = a.key match {
-              case ar: AttributeReference => ar.name
-              case other => refuse(s"assignment to non-top-level field ${other.sql}")
+          val parsed = as.map { a =>
+            fieldPath(a.key) match {
+              case Some((base, path)) => (base.name, path, a.value)
+              case None => refuse(s"assignment to unsupported field ${a.key.sql}")
             }
-            a.value match {
-              // key column assigned its own value — from either side:
-              // ON t.k = s.k makes s.k ≡ t.k on matched rows, and SET *
-              // expands to exactly this shape — provably identity, drop
-              // (merge refuses explicit key assignment by contract)
-              case v: AttributeReference if keyCols.contains(name) &&
-                v.name.equalsIgnoreCase(name) &&
-                (target.contains(v) || source.contains(v)) => None
-              case v => Some(name -> qual(v))
+          }
+          updateSet = parsed.groupBy(_._1).toSeq.flatMap { case (name, grp) =>
+            val (whole0, nested) = grp.partition(_._2.isEmpty)
+            // target-side identity padding is droppable only when a
+            // struct-field assignment needs the base column to itself
+            val whole = if (nested.isEmpty) whole0 else whole0.filterNot {
+              case (n, _, v: AttributeReference) =>
+                v.name.equalsIgnoreCase(n) && target.contains(v)
+              case _ => false
+            }
+            if (whole.nonEmpty && nested.nonEmpty)
+              refuse(s"both whole-column and struct-field assignment to $name")
+            if (nested.isEmpty) whole.flatMap { case (n, _, value) =>
+              value match {
+                // key column assigned its own value — from either side:
+                // ON t.k = s.k makes s.k ≡ t.k on matched rows, and SET *
+                // expands to exactly this shape — provably identity, drop
+                // (merge refuses explicit key assignment by contract)
+                case v: AttributeReference if keyCols.contains(n) &&
+                  v.name.equalsIgnoreCase(n) &&
+                  (target.contains(v) || source.contains(v)) => None
+                case v => Some(n -> qual(v))
+              }
+            } else {
+              if (keyCols.exists(_.equalsIgnoreCase(name)))
+                refuse(s"struct-field assignment to key column $name")
+              // `SET t.col.f = …`: fold assigned fields into ONE
+              // withField chain over the TARGET base column (pre-image)
+              val real = nested.filterNot { case (n, p, v) =>
+                fieldPath(v).exists { case (b, bp) =>
+                  b.name == n && bp == p && target.contains(b) }
+              }
+              if (real.isEmpty) None
+              else Some(name -> real.foldLeft(
+                  ColumnBridge.column(UnresolvedAttribute(Seq("t", name)))) {
+                case (acc, (_, p, v)) => acc.withField(quotedPath(p), qual(v))
+              })
             }
           }.toMap
           if (updateSet.isEmpty)
@@ -284,16 +354,35 @@ object SqlDml {
           if (bsUpdateSeen) refuse("multiple WHEN NOT MATCHED BY SOURCE UPDATE clauses")
           bsUpdateSeen = true
           bsUpdate = Some(eff)
-          bsSet = as.flatMap { a =>
-            val name = a.key match {
-              case ar: AttributeReference => ar.name
-              case other => refuse(s"assignment to non-top-level field ${other.sql}")
+          val bsParsed = as.map { a =>
+            fieldPath(a.key) match {
+              case Some((base, path)) => (base.name, path, a.value)
+              case None => refuse(s"assignment to unsupported field ${a.key.sql}")
             }
-            a.value match {
-              // identity padding from assignment alignment (SET a = a)
-              case v: AttributeReference if target.contains(v) &&
-                v.name.equalsIgnoreCase(name) => None
-              case v => Some(name -> qualTargetOnly(v))
+          }
+          bsSet = bsParsed.groupBy(_._1).toSeq.flatMap { case (name, grp) =>
+            val (whole0, nested) = grp.partition(_._2.isEmpty)
+            // identity padding from assignment alignment (SET a = a)
+            val whole = whole0.filterNot {
+              case (n, _, v: AttributeReference) =>
+                target.contains(v) && v.name.equalsIgnoreCase(n)
+              case _ => false
+            }
+            if (whole.nonEmpty && nested.nonEmpty)
+              refuse(s"both whole-column and struct-field assignment to $name")
+            if (nested.isEmpty) whole.headOption.map { case (n, _, v) => n -> qualTargetOnly(v) }
+            else {
+              if (keyCols.exists(_.equalsIgnoreCase(name)))
+                refuse(s"struct-field assignment to key column $name")
+              val real = nested.filterNot { case (n, p, v) =>
+                fieldPath(v).exists { case (b, bp) =>
+                  b.name == n && bp == p && target.contains(b) }
+              }
+              if (real.isEmpty) None
+              else Some(name -> real.foldLeft(
+                  ColumnBridge.column(UnresolvedAttribute(Seq("t", name)))) {
+                case (acc, (_, p, v)) => acc.withField(quotedPath(p), qualTargetOnly(v))
+              })
             }
           }.toMap
           // all-identity SET: a no-op clause — drop it entirely

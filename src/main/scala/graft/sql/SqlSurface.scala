@@ -185,6 +185,52 @@ object SqlSurface {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ----------------------------------------------- table_sql_update_nested
+
+  /** Struct-field UPDATE through SQL (`SET meta.cents = …`): the
+    * translator folds the assigned fields into one withField chain
+    * over the base column's pre-image ([[SqlDml]] fieldPath routing),
+    * so one MoR commit rewrites exactly the matching rows with
+    * untouched fields preserved. Both SET expressions read the
+    * PRE-update struct; the oracle recomputes the same state
+    * relationally on flattened columns.
+    */
+  def tableSqlUpdateNested(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(59)) === 0)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents")).as("meta"))
+    val table = freshTable(spark, wh, "analytics", "orders_sqlnu", src.schema)
+    table.append(src)
+    spark.sql(
+      s"""UPDATE $CatName.analytics.orders_sqlnu
+         |SET meta.cents = meta.cents * 2 + 7, meta.status = concat(meta.status, '+')
+         |WHERE o_orderkey % 3 = 0 AND meta.cents > 250000""".stripMargin)
+    spark.sql(
+      s"""SELECT meta.status AS status, count(*) AS n_rows,
+         |  CAST(sum(meta.cents) AS BIGINT) AS sum_cents
+         |FROM $CatName.analytics.orders_sqlnu
+         |GROUP BY meta.status ORDER BY status""".stripMargin)
+  }
+
+  private val tableSqlUpdateNestedOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus AS status,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 59 = 0),
+      |state AS (
+      |  SELECT
+      |    CASE WHEN o_orderkey % 3 = 0 AND cents > 250000
+      |         THEN status || '+' ELSE status END AS status,
+      |    CASE WHEN o_orderkey % 3 = 0 AND cents > 250000
+      |         THEN cents * 2 + 7 ELSE cents END AS cents
+      |  FROM base)
+      |SELECT status, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM state GROUP BY status ORDER BY status""".stripMargin
+
   // ------------------------------------------------------- table_sql_merge
 
   /** SQL MERGE INTO through the catalog ([[IceliteDmlRule]] →
@@ -774,6 +820,9 @@ object SqlSurface {
       "INSERT INTO + VERSION AS OF time travel through the DSv2 catalog"),
     GraftQuery("table_sql_update", tableSqlUpdate _, Some(tableSqlUpdateOracle),
       "SQL UPDATE routed onto the MoR updateWhere commit via the analyzer rule"),
+    GraftQuery("table_sql_update_nested", tableSqlUpdateNested _,
+      Some(tableSqlUpdateNestedOracle),
+      "struct-field UPDATE (SET meta.f = expr): withField fold over the pre-image, one MoR commit"),
     GraftQuery("table_sql_merge", tableSqlMerge _, Some(tableSqlMergeOracle),
       "SQL MERGE INTO (delete/update/insert, clause-order semantics) onto IceliteTable.merge"),
     GraftQuery("table_sql_merge_by_source", tableSqlMergeBySource _,
