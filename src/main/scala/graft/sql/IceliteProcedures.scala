@@ -61,6 +61,14 @@ object IceliteProcedures {
     Spec("rewrite_manifests", "fold file lists of snapshots older than the keep_recent most recent into one base snapshot (metadata-only)",
       Seq(tableParam, inD("keep_recent", IntegerType, "2")), seqResult,
       (t, r) => Seq(t.rewriteManifests(r.getInt(1)))),
+    Spec("evolve_partitioning", "replace the partition spec for FUTURE writes ('col:transform' entries, ','-separated; transform = identity|year|month|day|hour|bucket[N], default identity); existing files keep their old spec and scans prune under both",
+      Seq(tableParam, in("spec", StringType)), seqResult,
+      (t, r) => Seq(t.evolvePartitioning(
+        r.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+          val i = e.indexOf(':')
+          if (i < 0) graft.config.PartitionConfig(e)
+          else graft.config.PartitionConfig(e.substring(0, i).trim, e.substring(i + 1).trim)
+        }))),
     Spec("rollback_to_snapshot", "metadata-only rollback: snapshots after seq leave the live view",
       Seq(tableParam, in("seq", LongType)), seqResult,
       (t, r) => Seq(t.rollbackTo(r.getLong(1)))),

@@ -185,6 +185,55 @@ object SqlSurface {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------- table_partition_evolution
+
+  /** Partition-spec evolution through SQL (`CALL system
+    * .evolve_partitioning`) — Iceberg's headline metadata trick: the
+    * spec change is one metadata commit, existing files KEEP their old
+    * layout, new writes land under the new spec, and one scan reads
+    * (and prunes) both vintages. The fixture writes odd keys under
+    * `month(o_orderdate)`, evolves to `bucket[8](o_orderkey)` +
+    * identity status, writes even keys, then runs a date-filtered
+    * aggregate across the mixed-spec file set; the oracle recomputes
+    * it relationally (content must be layout-independent). At 100 TB
+    * this is how a table repartitions without rewriting history.
+    */
+  def tablePartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val p = new Path(s"$wh/analytics/orders_pevo")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val table = IceliteTable.create(spark, wh, "analytics", "orders_pevo", src.schema,
+      partitioning = Seq(graft.config.PartitionConfig("o_orderdate", "month")))
+    table.append(src.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+    spark.sql(
+      s"""CALL $CatName.system.evolve_partitioning(
+         |  table => 'analytics.orders_pevo',
+         |  spec => 'o_orderkey:bucket[8],o_orderstatus')""".stripMargin).collect()
+    IceliteTable.load(spark, wh, "analytics", "orders_pevo")
+      .append(src.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $CatName.analytics.orders_pevo
+         |WHERE o_orderdate >= DATE'1994-01-01' AND o_orderdate < DATE'1996-01-01'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val tablePartitionEvolutionOracle =
+    """WITH sub AS (
+      |  SELECT o_orderkey, o_orderdate, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 13 = 0)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM sub
+      |WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1996-01-01'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ----------------------------------------------- table_sql_update_nested
 
   /** Struct-field UPDATE through SQL (`SET meta.cents = …`): the
@@ -837,6 +886,9 @@ object SqlSurface {
       "pure readStream->writeStream CDC: native source piped into the icelite sink"),
     GraftQuery("table_stream_agg", tableStreamAgg _, Some(tableStreamAggOracle),
       "stateful streaming rollup upserted into icelite via the sink; state resumes across drains"),
+    GraftQuery("table_partition_evolution", tablePartitionEvolution _,
+      Some(tablePartitionEvolutionOracle),
+      "CALL evolve_partitioning: metadata-only spec change, one scan reads+prunes both file vintages"),
     GraftQuery("table_sql_maintenance", tableSqlMaintenance _, Some(tableSqlMaintenanceOracle),
       "full maintenance lifecycle via SQL CALL procedures: consolidate_deletes, compact, expire, sweep orphans"),
     GraftQuery("table_sql_overwrite", tableSqlOverwrite _, Some(tableSqlOverwriteOracle),
