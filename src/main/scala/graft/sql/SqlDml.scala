@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, AttributeSet, EqualTo, Expression, GetStructField, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Expression, GetStructField, InSubquery, ListQuery, Not, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -35,9 +35,12 @@ import graft.table.IceliteTable
   *
   * Refusal discipline (same as SQL DELETE's translator gate): shapes
   * the routing cannot express EXACTLY refuse loudly rather than
-  * half-apply — subqueries in predicates/values, non-equi or
-  * cross-named merge keys, and computed INSERT values for KEY columns
-  * (the classify join runs on raw source keys). Struct-field
+  * half-apply — subqueries beyond a single uncorrelated `[NOT] key IN
+  * (subquery)` conjunct (which routes onto the merge classify, IN via
+  * the key-range-pruned matched family and NOT IN via the BY SOURCE
+  * family), non-equi or cross-named merge keys, and computed INSERT
+  * values for KEY columns (the classify join runs on raw source
+  * keys). Struct-field
   * assignment (`SET s.f = …`) routes in UPDATE and both MERGE update
   * families: the assigned fields fold into one withField chain over
   * the base column's pre-image, untouched fields preserved. `WHEN NOT
@@ -121,10 +124,15 @@ object SqlDml {
 
   // --------------------------------------------------------------- UPDATE
 
-  private[sql] def translateUpdate(
-      t: IceliteTable, assignments: Seq[Assignment],
-      cond: Option[Expression]): LogicalPlan = {
-    cond.foreach(noSubquery(_, "UPDATE WHERE"))
+  /** Shared UPDATE-SET builder (plain UPDATE and the subquery→merge
+    * route differ only in how values and base columns qualify):
+    * identity assignments drop, struct-field assignments fold into one
+    * withField chain over the base column's pre-image.
+    */
+  private def buildUpdateSet(
+      assignments: Seq[Assignment],
+      qualV: Expression => Column,
+      baseCol: String => Column): Map[String, Column] = {
     val parsed = assignments.map { a =>
       noSubquery(a.value, "UPDATE SET")
       fieldPath(a.key) match {
@@ -132,7 +140,7 @@ object SqlDml {
         case None => refuse(s"assignment to unsupported field ${a.key.sql}")
       }
     }
-    val set = parsed.groupBy(_._1).toSeq.flatMap { case (name, grp) =>
+    parsed.groupBy(_._1).toSeq.flatMap { case (name, grp) =>
       val (whole0, nested) = grp.partition(_._2.isEmpty)
       // identity padding from assignment alignment (SET a = a): no-op
       val whole = whole0.filterNot {
@@ -143,7 +151,7 @@ object SqlDml {
         refuse(s"both whole-column and struct-field assignment to $name")
       if (nested.isEmpty) whole match {
         case Seq() => None
-        case Seq((_, _, v)) => Some(name -> unqualify(v))
+        case Seq((_, _, v)) => Some(name -> qualV(v))
         case _ => refuse(s"multiple assignments to $name")
       } else {
         // struct-field assignment (`SET s.f = …`): fold the assigned
@@ -155,14 +163,85 @@ object SqlDml {
           fieldPath(v).exists { case (b, bp) => b.name == n && bp == p }
         }
         if (real.isEmpty) None
-        else Some(name -> real.foldLeft(
-            ColumnBridge.column(UnresolvedAttribute.quoted(name))) {
-          case (acc, (_, p, v)) => acc.withField(quotedPath(p), unqualify(v))
+        else Some(name -> real.foldLeft(baseCol(name)) {
+          case (acc, (_, p, v)) => acc.withField(quotedPath(p), qualV(v))
         })
       }
     }.toMap
-    IceliteUpdateCommand(t, cond.map(unqualify).getOrElse(lit(true)), set)
   }
+
+  /** Qualify every column reference to the merge TARGET side (`t.col`)
+    * — for UPDATE/DELETE shapes re-routed onto the merge engine, where
+    * the single relation of the original statement becomes the target.
+    */
+  private def qualifyT(e: Expression): Column =
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq("t", a.name))
+    })
+
+  /** Recognize `[NOT] key IN (subquery)` (single, uncorrelated,
+    * single-column) among the WHERE conjuncts: the one subquery shape
+    * the merge engine can serve exactly — the subquery's DISTINCT key
+    * set becomes the merge source, `rest` are the local conjuncts.
+    */
+  private def splitInSubquery(cond: Expression)
+      : Option[(String, LogicalPlan, Boolean, Seq[Expression])] = {
+    val cs = conjuncts(cond)
+    val (subs, rest) = cs.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    subs match {
+      case Seq(one) =>
+        val (negated, in) = one match {
+          case Not(i: InSubquery) => (true, i)
+          case i: InSubquery => (false, i)
+          case _ => return None
+        }
+        in match {
+          case InSubquery(Seq(a: AttributeReference), lq: ListQuery)
+              if lq.plan.output.size == 1 && lq.outerAttrs.isEmpty =>
+            val src: LogicalPlan =
+              Distinct(Project(Seq(Alias(lq.plan.output.head, a.name)()), lq.plan))
+            Some((a.name, src, negated, rest))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** The `[NOT] IN (subquery)` route for UPDATE and DELETE: one merge
+    * classify against the subquery's distinct key set. IN rides the
+    * matched family (key-range-pruned target scan — a small subquery
+    * against a 100 TB table touches only intersecting files); NOT IN
+    * rides NOT MATCHED BY SOURCE (full scan — its inherent cost).
+    */
+  private def translateSubqueryDml(
+      t: IceliteTable, cond: Expression,
+      set: Map[String, Column], isDelete: Boolean): Option[LogicalPlan] =
+    splitInSubquery(cond).map { case (key, src, negated, rest) =>
+      rest.foreach(noSubquery(_, if (isDelete) "DELETE WHERE" else "UPDATE WHERE"))
+      val local = rest.map(qualifyT).reduceOption(_ && _).getOrElse(lit(true))
+      IceliteSubqueryDmlCommand(t, src, key, negated, local, set, isDelete)
+    }
+
+  private[sql] def translateUpdate(
+      t: IceliteTable, assignments: Seq[Assignment],
+      cond: Option[Expression]): LogicalPlan = cond match {
+    case Some(c) if c.exists(_.isInstanceOf[SubqueryExpression]) =>
+      val set = buildUpdateSet(assignments, qualifyT,
+        n => ColumnBridge.column(UnresolvedAttribute(Seq("t", n))))
+      translateSubqueryDml(t, c, set, isDelete = false).getOrElse(
+        refuse("subquery in UPDATE WHERE is not routed " +
+          "(only a single uncorrelated [NOT] col IN (subquery) conjunct)"))
+    case _ =>
+      val set = buildUpdateSet(assignments, unqualify,
+        n => ColumnBridge.column(UnresolvedAttribute.quoted(n)))
+      IceliteUpdateCommand(t, cond.map(unqualify).getOrElse(lit(true)), set)
+  }
+
+  private[sql] def translateSubqueryDelete(
+      t: IceliteTable, cond: Expression): LogicalPlan =
+    translateSubqueryDml(t, cond, Map.empty, isDelete = true).getOrElse(
+      refuse("subquery in DELETE WHERE is not routed " +
+        "(only a single uncorrelated [NOT] col IN (subquery) conjunct)"))
 
   // ---------------------------------------------------------------- MERGE
 
@@ -418,6 +497,14 @@ case class IceliteDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         .map(t => translateUpdate(t, assignments, cond)).getOrElse(u)
     case m: MergeIntoTable if m.resolved =>
       SqlDml.unwrapTable(m.targetTable).map(t => translateMerge(m, t)).getOrElse(m)
+    // DELETE with a subquery predicate: the DSv2 SupportsDelete path
+    // only carries translatable filters, so Spark would otherwise fail
+    // at planning — route `[NOT] key IN (subquery)` onto the merge
+    // classify instead (plain DELETEs keep the SupportsDelete path)
+    case d: DeleteFromTable
+        if d.resolved && d.condition.exists(_.isInstanceOf[SubqueryExpression]) =>
+      SqlDml.unwrapTable(d.table)
+        .map(t => translateSubqueryDelete(t, d.condition)).getOrElse(d)
     // dynamic `INSERT OVERWRITE` (partitionOverwriteMode=dynamic): Spark
     // plans a pure-v2 write the V1 fallback cannot serve — route it onto
     // the engine's partition overwrite, touched set derived from the
@@ -438,6 +525,48 @@ case class IceliteDynamicOverwriteCommand(
   extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     table.overwritePartitions(ColumnBridge.ofRows(sparkSession, sourcePlan))
+    Seq.empty
+  }
+}
+
+/** `UPDATE/DELETE … WHERE [NOT] key IN (subquery)` → one
+  * [[IceliteTable.merge]] classify against the subquery's distinct
+  * key set. SQL three-valued IN is preserved: a NULL among the
+  * subquery values makes NOT IN never-true (probed once on the
+  * distinct set, cheap), NULL target keys match nothing in either
+  * polarity (the equi-classify drops them; the BY SOURCE side guards
+  * explicitly), and an all-identity SET is a no-op, not a whole-row
+  * replace.
+  */
+case class IceliteSubqueryDmlCommand(
+    table: IceliteTable, sourcePlan: LogicalPlan, key: String,
+    negated: Boolean, cond: Column, set: Map[String, Column], isDelete: Boolean)
+  extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val src0 = ColumnBridge.ofRows(sparkSession, sourcePlan)
+    if (negated && !src0.filter(col(key).isNull).isEmpty)
+      return Seq.empty // NOT IN over a set containing NULL: never true
+    val src = src0.filter(col(key).isNotNull)
+    val tKeyNotNull = col(s"t.$key").isNotNull
+    (negated, isDelete) match {
+      case (false, true) =>
+        table.merge(src, Seq(key), matchedUpdate = None,
+          matchedDelete = Some(cond), notMatchedInsert = None)
+      case (false, false) if set.nonEmpty =>
+        table.merge(src, Seq(key), matchedUpdate = Some(cond),
+          matchedDelete = None, notMatchedInsert = None, matchedUpdateSet = set)
+      case (true, true) =>
+        table.merge(src, Seq(key), matchedUpdate = None, matchedDelete = None,
+          notMatchedInsert = None,
+          notMatchedBySourceDelete = Some(cond && tKeyNotNull))
+      case (true, false) if set.nonEmpty =>
+        table.merge(src, Seq(key), matchedUpdate = None, matchedDelete = None,
+          notMatchedInsert = None,
+          notMatchedBySourceUpdate = Some(cond && tKeyNotNull),
+          notMatchedBySourceUpdateSet = set)
+      case _ => () // all-identity SET: nothing to write
+    }
     Seq.empty
   }
 }

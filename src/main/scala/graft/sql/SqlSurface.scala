@@ -280,6 +280,60 @@ object SqlSurface {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM state GROUP BY status ORDER BY status""".stripMargin
 
+  // ------------------------------------------- table_sql_dml_subquery
+
+  /** `UPDATE … WHERE key IN (subquery)` and `DELETE … WHERE key NOT
+    * IN (subquery)` — the subquery-predicate DML a SQL user writes
+    * daily, routed onto ONE merge classify per statement
+    * ([[IceliteSubqueryDmlCommand]]): the subquery's distinct key set
+    * becomes the merge source, IN rides the key-range-pruned matched
+    * family (a selective subquery against a 100 TB table touches only
+    * intersecting files), NOT IN rides NOT MATCHED BY SOURCE with SQL
+    * three-valued semantics (a NULL in the set would update nothing).
+    * The oracle recomputes both statements relationally in DuckDB.
+    */
+  def tableSqlDmlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(29)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val table = freshTable(spark, wh, "analytics", "orders_sqlsub", src.schema)
+    table.append(src)
+    t(spark, dir, "lineitem").createOrReplaceTempView("sqlsub_li")
+    spark.sql(
+      s"""UPDATE $CatName.analytics.orders_sqlsub SET cents = cents + 1000
+         |WHERE o_orderkey IN (SELECT l_orderkey FROM sqlsub_li WHERE l_quantity > 45)""".stripMargin)
+    spark.sql(
+      s"""DELETE FROM $CatName.analytics.orders_sqlsub
+         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM sqlsub_li WHERE l_quantity > 47)
+         |  AND cents % 2 = 0""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $CatName.analytics.orders_sqlsub
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val tableSqlDmlSubqueryOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 29 = 0),
+      |upd AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+      |         THEN cents + 1000 ELSE cents END AS cents
+      |  FROM base),
+      |fin AS (
+      |  SELECT * FROM upd
+      |  WHERE NOT (o_orderkey NOT IN
+      |      (SELECT l_orderkey FROM lineitem WHERE l_quantity > 47)
+      |    AND cents % 2 = 0))
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------- table_sql_merge
 
   /** SQL MERGE INTO through the catalog ([[IceliteDmlRule]] →
@@ -872,6 +926,9 @@ object SqlSurface {
     GraftQuery("table_sql_update_nested", tableSqlUpdateNested _,
       Some(tableSqlUpdateNestedOracle),
       "struct-field UPDATE (SET meta.f = expr): withField fold over the pre-image, one MoR commit"),
+    GraftQuery("table_sql_dml_subquery", tableSqlDmlSubquery _,
+      Some(tableSqlDmlSubqueryOracle),
+      "UPDATE WHERE key IN (subquery) + DELETE WHERE key NOT IN (subquery) via one merge classify each"),
     GraftQuery("table_sql_merge", tableSqlMerge _, Some(tableSqlMergeOracle),
       "SQL MERGE INTO (delete/update/insert, clause-order semantics) onto IceliteTable.merge"),
     GraftQuery("table_sql_merge_by_source", tableSqlMergeBySource _,

@@ -158,10 +158,10 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     mk("t_refuse", Seq((1L, "a", 10L)))
     Seq((1L, "x", 1L)).toDF("k", "s", "v").createOrReplaceTempView("refuse_src")
-    // subquery in UPDATE WHERE
+    // scalar subquery in UPDATE WHERE (only [NOT] IN routes)
     val e1 = intercept[UnsupportedOperationException] {
       spark.sql(
-        "UPDATE dml.ns.t_refuse SET v = 0 WHERE k IN (SELECT k FROM refuse_src)")
+        "UPDATE dml.ns.t_refuse SET v = 0 WHERE v = (SELECT max(v) FROM refuse_src)")
     }
     assert(e1.getMessage.contains("subquery"))
     // non-equi merge key
@@ -183,6 +183,45 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(e3.getMessage.contains("key column"))
     // state untouched by all three refusals
     assert(state("t_refuse") == Seq((1L, "a", 10L)))
+  }
+
+  test("UPDATE WHERE key IN (subquery) routes onto the merge classify") {
+    import spark.implicits._
+    mk("t_insub", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    Seq((1L, 0L), (3L, 0L), (9L, 0L)).toDF("kk", "x").createOrReplaceTempView("insub_src")
+    spark.sql(
+      "UPDATE dml.ns.t_insub SET v = v + 100 WHERE k IN (SELECT kk FROM insub_src) AND v > 15")
+    // k=1 matches the subquery but fails v>15; k=3 takes both; k=9 has no target row
+    assert(state("t_insub") == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 130L)))
+  }
+
+  test("UPDATE WHERE key NOT IN (subquery) rides the BY SOURCE family") {
+    import spark.implicits._
+    mk("t_notin", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    Seq(2L).toDF("kk").createOrReplaceTempView("notin_src")
+    spark.sql("UPDATE dml.ns.t_notin SET s = 'out' WHERE k NOT IN (SELECT kk FROM notin_src)")
+    assert(state("t_notin") == Seq((1L, "out", 10L), (2L, "b", 20L), (3L, "out", 30L)))
+  }
+
+  test("NOT IN over a subquery containing NULL updates nothing (three-valued SQL)") {
+    import spark.implicits._
+    mk("t_notin_null", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    Seq(Some(2L), None).toDF("kk").createOrReplaceTempView("notin_null_src")
+    spark.sql(
+      "UPDATE dml.ns.t_notin_null SET s = 'out' WHERE k NOT IN (SELECT kk FROM notin_null_src)")
+    assert(state("t_notin_null") == Seq((1L, "a", 10L), (2L, "b", 20L)))
+  }
+
+  test("DELETE WHERE key IN / NOT IN (subquery) route onto the merge classify") {
+    import spark.implicits._
+    mk("t_delsub", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+    Seq(2L, 9L).toDF("kk").createOrReplaceTempView("delsub_src")
+    spark.sql("DELETE FROM dml.ns.t_delsub WHERE k IN (SELECT kk FROM delsub_src)")
+    assert(state("t_delsub") == Seq((1L, "a", 10L), (3L, "c", 30L), (4L, "d", 40L)))
+    Seq(3L).toDF("kk").createOrReplaceTempView("delsub_src2")
+    spark.sql(
+      "DELETE FROM dml.ns.t_delsub WHERE k NOT IN (SELECT kk FROM delsub_src2) AND v < 40")
+    assert(state("t_delsub") == Seq((3L, "c", 30L), (4L, "d", 40L)))
   }
 
   test("MERGE INSERT with computed values routes as column-level insert overrides") {
