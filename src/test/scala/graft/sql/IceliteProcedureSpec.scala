@@ -128,6 +128,27 @@ class IceliteProcedureSpec extends AnyFunSuite with SparkFixture {
   private def chain(e: Throwable): String =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
 
+  test("CALL evolve_partitioning changes the spec for future writes; old files keep theirs") {
+    val t = mkTable("c_pevo", 2)
+    spark.sql(
+      s"CALL $Cat.system.evolve_partitioning(table => 'ns.c_pevo', spec => 'k:bucket[4],v')")
+      .collect()
+    val t2 = IceliteTable.load(spark, wh, "ns", "c_pevo")
+    assert(t2.meta.partitioning.map(p => p.field -> p.transform) ==
+      Seq("k" -> "bucket[4]", "v" -> "identity"))
+    import scala.jdk.CollectionConverters._
+    t2.append(spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(9L, "v9")).asJava, schema))
+    // mixed-spec read: pre-evolution files + the new bucketed file
+    assert(IceliteTable.load(spark, wh, "ns", "c_pevo").read().count() == 3)
+    val bad = intercept[Exception] {
+      spark.sql(
+        s"CALL $Cat.system.evolve_partitioning(table => 'ns.c_pevo', spec => 'k:moth')")
+        .collect()
+    }
+    assert(bad.getMessage.contains("transform"), s"got: ${bad.getMessage}")
+  }
+
   test("unknown procedure and wrong namespace surface clear errors") {
     wh // force catalog registration
     val e1 = intercept[Exception](spark.sql(s"CALL $Cat.system.no_such_proc('ns.t')").collect())
