@@ -36,11 +36,10 @@ import graft.table.IceliteTable
   * Refusal discipline (same as SQL DELETE's translator gate): shapes
   * the routing cannot express EXACTLY refuse loudly rather than
   * half-apply — subqueries beyond a single uncorrelated `[NOT] key IN
-  * (subquery)` conjunct (which routes onto the merge classify, IN via
-  * the key-range-pruned matched family and NOT IN via the BY SOURCE
-  * family), non-equi or cross-named merge keys, and computed INSERT
-  * values for KEY columns (the classify join runs on raw source
-  * keys). Struct-field
+  * (subquery)` conjunct (which routes as a semi/anti-join landed by
+  * row coordinates — [[IceliteSubqueryDmlCommand]]), non-equi or
+  * cross-named merge keys, and computed INSERT values for KEY columns
+  * (the classify join runs on raw source keys). Struct-field
   * assignment (`SET s.f = …`) routes in UPDATE and both MERGE update
   * families: the assigned fields fold into one withField chain over
   * the base column's pre-image, untouched fields preserved. `WHEN NOT
@@ -170,15 +169,6 @@ object SqlDml {
     }.toMap
   }
 
-  /** Qualify every column reference to the merge TARGET side (`t.col`)
-    * — for UPDATE/DELETE shapes re-routed onto the merge engine, where
-    * the single relation of the original statement becomes the target.
-    */
-  private def qualifyT(e: Expression): Column =
-    ColumnBridge.column(e.transform {
-      case a: AttributeReference => UnresolvedAttribute(Seq("t", a.name))
-    })
-
   /** Recognize `[NOT] key IN (subquery)` (single, uncorrelated,
     * single-column) among the WHERE conjuncts: the one subquery shape
     * the merge engine can serve exactly — the subquery's DISTINCT key
@@ -207,34 +197,37 @@ object SqlDml {
     }
   }
 
-  /** The `[NOT] IN (subquery)` route for UPDATE and DELETE: one merge
-    * classify against the subquery's distinct key set. IN rides the
-    * matched family (key-range-pruned target scan — a small subquery
-    * against a 100 TB table touches only intersecting files); NOT IN
-    * rides NOT MATCHED BY SOURCE (full scan — its inherent cost).
+  /** The `[NOT] IN (subquery)` route for UPDATE and DELETE: a
+    * semi/anti-join of the visible MoR view against the subquery's
+    * distinct key set, landed by physical row coordinates
+    * ([[IceliteTable.updateMatching]]/[[IceliteTable.deleteMatching]]
+    * — the same position-delete commit shape as plain predicate
+    * UPDATE/DELETE, so duplicate probed values, NULL keys, and SET of
+    * the probed column itself all work row-exactly; no key-uniqueness
+    * discipline borrowed from merge).
     */
   private def translateSubqueryDml(
       t: IceliteTable, cond: Expression,
       set: Map[String, Column], isDelete: Boolean): Option[LogicalPlan] =
     splitInSubquery(cond).map { case (key, src, negated, rest) =>
       rest.foreach(noSubquery(_, if (isDelete) "DELETE WHERE" else "UPDATE WHERE"))
-      val local = rest.map(qualifyT).reduceOption(_ && _).getOrElse(lit(true))
+      val local = rest.map(unqualify).reduceOption(_ && _).getOrElse(lit(true))
       IceliteSubqueryDmlCommand(t, src, key, negated, local, set, isDelete)
     }
 
   private[sql] def translateUpdate(
       t: IceliteTable, assignments: Seq[Assignment],
-      cond: Option[Expression]): LogicalPlan = cond match {
-    case Some(c) if c.exists(_.isInstanceOf[SubqueryExpression]) =>
-      val set = buildUpdateSet(assignments, qualifyT,
-        n => ColumnBridge.column(UnresolvedAttribute(Seq("t", n))))
-      translateSubqueryDml(t, c, set, isDelete = false).getOrElse(
-        refuse("subquery in UPDATE WHERE is not routed " +
-          "(only a single uncorrelated [NOT] col IN (subquery) conjunct)"))
-    case _ =>
-      val set = buildUpdateSet(assignments, unqualify,
-        n => ColumnBridge.column(UnresolvedAttribute.quoted(n)))
-      IceliteUpdateCommand(t, cond.map(unqualify).getOrElse(lit(true)), set)
+      cond: Option[Expression]): LogicalPlan = {
+    val set = buildUpdateSet(assignments, unqualify,
+      n => ColumnBridge.column(UnresolvedAttribute.quoted(n)))
+    cond match {
+      case Some(c) if c.exists(_.isInstanceOf[SubqueryExpression]) =>
+        translateSubqueryDml(t, c, set, isDelete = false).getOrElse(
+          refuse("subquery in UPDATE WHERE is not routed " +
+            "(only a single uncorrelated [NOT] col IN (subquery) conjunct)"))
+      case _ =>
+        IceliteUpdateCommand(t, cond.map(unqualify).getOrElse(lit(true)), set)
+    }
   }
 
   private[sql] def translateSubqueryDelete(
@@ -449,8 +442,11 @@ object SqlDml {
             }
             if (whole.nonEmpty && nested.nonEmpty)
               refuse(s"both whole-column and struct-field assignment to $name")
-            if (nested.isEmpty) whole.headOption.map { case (n, _, v) => n -> qualTargetOnly(v) }
-            else {
+            if (nested.isEmpty) whole match {
+              case Seq() => None
+              case Seq((n, _, v)) => Some(n -> qualTargetOnly(v))
+              case _ => refuse(s"multiple assignments to $name")
+            } else {
               if (keyCols.exists(_.equalsIgnoreCase(name)))
                 refuse(s"struct-field assignment to key column $name")
               val real = nested.filterNot { case (n, p, v) =>
@@ -529,14 +525,21 @@ case class IceliteDynamicOverwriteCommand(
   }
 }
 
-/** `UPDATE/DELETE … WHERE [NOT] key IN (subquery)` → one
-  * [[IceliteTable.merge]] classify against the subquery's distinct
-  * key set. SQL three-valued IN is preserved: a NULL among the
-  * subquery values makes NOT IN never-true (probed once on the
-  * distinct set, cheap), NULL target keys match nothing in either
-  * polarity (the equi-classify drops them; the BY SOURCE side guards
-  * explicitly), and an all-identity SET is a no-op, not a whole-row
-  * replace.
+/** `UPDATE/DELETE … WHERE [NOT] key IN (subquery)` → ONE
+  * coordinate-based commit: the visible MoR view semi/anti-joins the
+  * subquery's distinct key set and the matching rows land through
+  * [[IceliteTable.updateMatching]]/[[IceliteTable.deleteMatching]] —
+  * the same position-delete shape as plain predicate UPDATE/DELETE,
+  * so duplicate probed values, NULL keys, and assigning the probed
+  * column itself all work row-exactly (no key-uniqueness discipline).
+  *
+  * SQL three-valued IN is preserved: a NULL among the subquery values
+  * makes NOT IN never-true (probed once on the cached distinct set); a
+  * NULL target key matches nothing under IN and is UNKNOWN under NOT
+  * IN against a non-empty set — but `x NOT IN (empty set)` is TRUE
+  * for every row INCLUDING null keys (IN over nothing is plain FALSE),
+  * so the null-key exclusion only applies when the set is non-empty.
+  * An all-identity SET is a no-op command.
   */
 case class IceliteSubqueryDmlCommand(
     table: IceliteTable, sourcePlan: LogicalPlan, key: String,
@@ -544,29 +547,29 @@ case class IceliteSubqueryDmlCommand(
   extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
-    val src0 = ColumnBridge.ofRows(sparkSession, sourcePlan)
-    if (negated && !src0.filter(col(key).isNull).isEmpty)
-      return Seq.empty // NOT IN over a set containing NULL: never true
-    val src = src0.filter(col(key).isNotNull)
-    val tKeyNotNull = col(s"t.$key").isNotNull
-    (negated, isDelete) match {
-      case (false, true) =>
-        table.merge(src, Seq(key), matchedUpdate = None,
-          matchedDelete = Some(cond), notMatchedInsert = None)
-      case (false, false) if set.nonEmpty =>
-        table.merge(src, Seq(key), matchedUpdate = Some(cond),
-          matchedDelete = None, notMatchedInsert = None, matchedUpdateSet = set)
-      case (true, true) =>
-        table.merge(src, Seq(key), matchedUpdate = None, matchedDelete = None,
-          notMatchedInsert = None,
-          notMatchedBySourceDelete = Some(cond && tKeyNotNull))
-      case (true, false) if set.nonEmpty =>
-        table.merge(src, Seq(key), matchedUpdate = None, matchedDelete = None,
-          notMatchedInsert = None,
-          notMatchedBySourceUpdate = Some(cond && tKeyNotNull),
-          notMatchedBySourceUpdateSet = set)
-      case _ => () // all-identity SET: nothing to write
-    }
+    if (!isDelete && set.isEmpty) return Seq.empty // all-identity SET
+    val keysAll = ColumnBridge.ofRows(sparkSession, sourcePlan).cache()
+    try {
+      if (negated && !keysAll.filter(col(key).isNull).isEmpty)
+        return Seq.empty // NOT IN over a set containing NULL: never true
+      val keys = keysAll.filter(col(key).isNotNull)
+      val keysEmpty = negated && keys.isEmpty
+      val probe = "__sq_probe_key"
+      def classify(visible: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        require(!visible.columns.contains(probe), s"table may not carry $probe")
+        val kf = keys.toDF(probe)
+        val joined =
+          if (!negated) visible.join(kf, col(key) === col(probe), "left_semi")
+          else {
+            val anti = visible.join(kf, col(key) === col(probe), "left_anti")
+            // null keys qualify ONLY against the empty set (see scaladoc)
+            if (keysEmpty) anti else anti.filter(col(key).isNotNull)
+          }
+        joined.filter(cond)
+      }
+      if (isDelete) table.deleteMatching(classify)
+      else table.updateMatching(classify, set)
+    } finally keysAll.unpersist()
     Seq.empty
   }
 }

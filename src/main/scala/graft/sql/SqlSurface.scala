@@ -36,10 +36,11 @@ object SqlSurface {
     * rebuild the fixture under the same catalog-stable warehouse.
     */
   private def freshTable(spark: SparkSession, wh: String, ns: String,
-      name: String, schema: StructType): IceliteTable = {
+      name: String, schema: StructType,
+      partitioning: Seq[graft.config.PartitionConfig] = Nil): IceliteTable = {
     val p = new Path(s"$wh/$ns/$name")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    IceliteTable.create(spark, wh, ns, name, schema)
+    IceliteTable.create(spark, wh, ns, name, schema, partitioning = partitioning)
   }
 
   // ------------------------------------------------------- table_sql_read
@@ -204,9 +205,7 @@ object SqlSurface {
       .filter(pmod(col("o_orderkey"), lit(13)) === 0)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
-    val p = new Path(s"$wh/analytics/orders_pevo")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    val table = IceliteTable.create(spark, wh, "analytics", "orders_pevo", src.schema,
+    val table = freshTable(spark, wh, "analytics", "orders_pevo", src.schema,
       partitioning = Seq(graft.config.PartitionConfig("o_orderdate", "month")))
     table.append(src.filter(pmod(col("o_orderkey"), lit(2)) === 1))
     spark.sql(
@@ -284,13 +283,16 @@ object SqlSurface {
 
   /** `UPDATE … WHERE key IN (subquery)` and `DELETE … WHERE key NOT
     * IN (subquery)` — the subquery-predicate DML a SQL user writes
-    * daily, routed onto ONE merge classify per statement
-    * ([[IceliteSubqueryDmlCommand]]): the subquery's distinct key set
-    * becomes the merge source, IN rides the key-range-pruned matched
-    * family (a selective subquery against a 100 TB table touches only
-    * intersecting files), NOT IN rides NOT MATCHED BY SOURCE with SQL
-    * three-valued semantics (a NULL in the set would update nothing).
-    * The oracle recomputes both statements relationally in DuckDB.
+    * daily, routed as ONE coordinate-based commit per statement
+    * ([[IceliteSubqueryDmlCommand]]): the visible MoR view
+    * semi/anti-joins the subquery's distinct key set and the matching
+    * rows land by physical (file, pos) coordinates — the same
+    * position-delete shape as plain predicate UPDATE/DELETE, so
+    * duplicate probed values, NULL keys, and assigning the probed
+    * column itself all work row-exactly. SQL three-valued semantics
+    * hold (a NULL in the set makes NOT IN update nothing; NOT IN over
+    * an EMPTY set is TRUE for every row). The oracle recomputes both
+    * statements relationally in DuckDB.
     */
   def tableSqlDmlSubquery(spark: SparkSession, dir: String): DataFrame = {
     val wh = registerCatalog(spark)
@@ -928,7 +930,7 @@ object SqlSurface {
       "struct-field UPDATE (SET meta.f = expr): withField fold over the pre-image, one MoR commit"),
     GraftQuery("table_sql_dml_subquery", tableSqlDmlSubquery _,
       Some(tableSqlDmlSubqueryOracle),
-      "UPDATE WHERE key IN (subquery) + DELETE WHERE key NOT IN (subquery) via one merge classify each"),
+      "UPDATE WHERE key IN (subquery) + DELETE WHERE key NOT IN (subquery): coordinate semi/anti-join commits"),
     GraftQuery("table_sql_merge", tableSqlMerge _, Some(tableSqlMergeOracle),
       "SQL MERGE INTO (delete/update/insert, clause-order semantics) onto IceliteTable.merge"),
     GraftQuery("table_sql_merge_by_source", tableSqlMergeBySource _,

@@ -192,7 +192,16 @@ final class IceliteTable private (
     * Returns the commit seq (recordCount = rows deleted); a predicate
     * matching nothing publishes no new snapshot.
     */
-  def deleteWhere(condition: Column): Long = retryCommit { head =>
+  def deleteWhere(condition: Column): Long = deleteMatching(_.filter(condition))
+
+  /** Generalized [[deleteWhere]]: `classify` maps the visible MoR view
+    * to the exact rows to delete and may JOIN other frames — the SQL
+    * `[NOT] key IN (subquery)` route semi/anti-joins the subquery's
+    * key set here. Selection is by physical (file, pos) coordinates,
+    * so duplicate key values, NULL keys, and keyless tables all work
+    * row-exactly — no uniqueness discipline, unlike [[merge]].
+    */
+  private[graft] def deleteMatching(classify: DataFrame => DataFrame): Long = retryCommit { head =>
     val seq = head.lastSeq + 1
     val commitId = UUID.randomUUID().toString
     val data = readFilesAs(head.snapshots.flatMap(_.dataFiles), head.schema,
@@ -200,7 +209,7 @@ final class IceliteTable private (
     val visible = applyDeletes(
       applyPosState(data, head.snapshots),
       eqDeleteState(head.snapshots))
-    val coords = visible.filter(condition)
+    val coords = classify(visible)
       .select(col(PosFileCol), col(PosCol)).withColumn(SeqCol, lit(seq))
       .cache()
     try {
@@ -2478,7 +2487,16 @@ final class IceliteTable private (
     * no key to equality-delete on. MoR both ways: neither the old
     * files nor anything else is rewritten.
     */
-  def updateWhere(condition: Column, set: Map[String, Column]): Long = retryCommit { head =>
+  def updateWhere(condition: Column, set: Map[String, Column]): Long =
+    updateMatching(_.filter(condition), set)
+
+  /** Generalized [[updateWhere]]: `classify` maps the visible MoR view
+    * to the exact rows to mutate (it may join other frames — the SQL
+    * `[NOT] key IN (subquery)` route). Coordinate-based like
+    * [[deleteMatching]]: duplicate keys and NULLs need no discipline.
+    */
+  private[graft] def updateMatching(
+      classify: DataFrame => DataFrame, set: Map[String, Column]): Long = retryCommit { head =>
     requireLineageSafe(head, "updateWhere") // updateWhereCoW is the lineage path
     set.keys.foreach { c =>
       if (!head.schema.fieldNames.contains(c))
@@ -2491,7 +2509,7 @@ final class IceliteTable private (
     val visible = applyDeletes(
       applyPosState(data, head.snapshots),
       eqDeleteState(head.snapshots))
-    val matching = visible.filter(condition).cache()
+    val matching = classify(visible).cache()
     try {
       if (matching.isEmpty) (head, head.lastSeq)
       else {

@@ -185,7 +185,7 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(state("t_refuse") == Seq((1L, "a", 10L)))
   }
 
-  test("UPDATE WHERE key IN (subquery) routes onto the merge classify") {
+  test("UPDATE WHERE key IN (subquery) routes as a coordinate semi-join") {
     import spark.implicits._
     mk("t_insub", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
     Seq((1L, 0L), (3L, 0L), (9L, 0L)).toDF("kk", "x").createOrReplaceTempView("insub_src")
@@ -195,7 +195,7 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(state("t_insub") == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 130L)))
   }
 
-  test("UPDATE WHERE key NOT IN (subquery) rides the BY SOURCE family") {
+  test("UPDATE WHERE key NOT IN (subquery) routes as a coordinate anti-join") {
     import spark.implicits._
     mk("t_notin", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
     Seq(2L).toDF("kk").createOrReplaceTempView("notin_src")
@@ -212,7 +212,7 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(state("t_notin_null") == Seq((1L, "a", 10L), (2L, "b", 20L)))
   }
 
-  test("DELETE WHERE key IN / NOT IN (subquery) route onto the merge classify") {
+  test("DELETE WHERE key IN / NOT IN (subquery) route as coordinate joins") {
     import spark.implicits._
     mk("t_delsub", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
     Seq(2L, 9L).toDF("kk").createOrReplaceTempView("delsub_src")
@@ -222,6 +222,56 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     spark.sql(
       "DELETE FROM dml.ns.t_delsub WHERE k NOT IN (SELECT kk FROM delsub_src2) AND v < 40")
     assert(state("t_delsub") == Seq((3L, "c", 30L), (4L, "d", 40L)))
+  }
+
+  test("IN (subquery) over a NON-UNIQUE probed column acts row-exactly") {
+    import spark.implicits._
+    // duplicate v values: the coordinate route must touch exactly the
+    // matching rows (a merge-keyed route would trip its unique-key
+    // ambiguity guard here)
+    mk("t_dupsub", Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 20L), (4L, "d", 10L)))
+    Seq(10L).toDF("vv").createOrReplaceTempView("dupsub_src")
+    spark.sql(
+      "UPDATE dml.ns.t_dupsub SET s = 'hit' WHERE v IN (SELECT vv FROM dupsub_src) AND k >= 2")
+    // k=1 matches v but fails k>=2 and MUST survive untouched even
+    // though it shares v=10 with mutated rows
+    assert(state("t_dupsub") ==
+      Seq((1L, "a", 10L), (2L, "hit", 10L), (3L, "c", 20L), (4L, "hit", 10L)))
+    spark.sql("DELETE FROM dml.ns.t_dupsub WHERE v IN (SELECT vv FROM dupsub_src) AND k <= 2")
+    assert(state("t_dupsub") == Seq((3L, "c", 20L), (4L, "hit", 10L)))
+  }
+
+  test("UPDATE may assign the same column it probes with IN (subquery)") {
+    import spark.implicits._
+    mk("t_selfsub", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    Seq(10L).toDF("vv").createOrReplaceTempView("selfsub_src")
+    spark.sql("UPDATE dml.ns.t_selfsub SET v = v + 5 WHERE v IN (SELECT vv FROM selfsub_src)")
+    assert(state("t_selfsub") == Seq((1L, "a", 15L), (2L, "b", 20L)))
+  }
+
+  test("NOT IN over an EMPTY subquery set is TRUE for every row, even NULL keys") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (None, "b")).toDF("k", "s")
+    val t = IceliteTable.create(spark, wh, "ns", "t_empty_notin", df.schema)
+    t.append(df)
+    Seq(1L).toDF("kk").filter(col("kk") > 99).createOrReplaceTempView("empty_src")
+    spark.sql("DELETE FROM dml.ns.t_empty_notin WHERE k NOT IN (SELECT kk FROM empty_src)")
+    // x NOT IN (empty) is plain TRUE (IN over nothing is FALSE, not
+    // UNKNOWN) — the NULL-key row must be deleted too
+    assert(IceliteTable.load(spark, wh, "ns", "t_empty_notin").read().count() == 0)
+  }
+
+  test("NOT IN against a non-empty set leaves NULL-key rows alone (UNKNOWN)") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "c")).toDF("k", "s")
+    val t = IceliteTable.create(spark, wh, "ns", "t_null_notin", df.schema)
+    t.append(df)
+    Seq(2L).toDF("kk").createOrReplaceTempView("nn_src")
+    spark.sql("DELETE FROM dml.ns.t_null_notin WHERE k NOT IN (SELECT kk FROM nn_src)")
+    // k=1 deleted (not in set); k=2 kept (in set); k=NULL kept (UNKNOWN)
+    val left = IceliteTable.load(spark, wh, "ns", "t_null_notin").read()
+      .collect().map(r => Option(r.get(0)).map(_.toString).getOrElse("null")).sorted.toSeq
+    assert(left == Seq("2", "null"))
   }
 
   test("MERGE INSERT with computed values routes as column-level insert overrides") {
