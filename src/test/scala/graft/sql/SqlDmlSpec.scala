@@ -303,6 +303,32 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(rows == Seq((1L, Some("a"), 10L), (6L, None, 60L)))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION evolves NESTED struct fields too") {
+    import spark.implicits._
+    val df = Seq((1L, ("a", 10L))).toDF("k", "m")
+      .select(col("k"), col("m").cast("struct<f:string,g:bigint>").as("m"))
+    val t = IceliteTable.create(spark, wh, "ns", "t_mrg_nevo", df.schema)
+    t.append(df)
+    // source struct carries an extra field h: the analyzer emits a
+    // 2-level AddColumn that alterTable routes to addNestedField
+    Seq((1L, ("a2", 20L, 1.5)), (2L, ("b", 30L, 2.5))).toDF("k", "m")
+      .select(col("k"), col("m").cast("struct<f:string,g:bigint,h:double>").as("m"))
+      .createOrReplaceTempView("mrg_nevo_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dml.ns.t_mrg_nevo t
+        |USING mrg_nevo_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    val t2 = IceliteTable.load(spark, wh, "ns", "t_mrg_nevo")
+    assert(t2.meta.schema.simpleString ==
+      "struct<k:bigint,m:struct<f:string,g:bigint,h:double>>")
+    val rows = t2.read().select(col("k"), col("m.f"), col("m.g"), col("m.h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(rows == Seq((1L, "a2", 20L, 1.5), (2L, "b", 30L, 2.5)))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION adds new source columns to the target") {
     import spark.implicits._
     mk("t_mrg_evo", Seq((1L, "a", 10L), (2L, "b", 20L)))
