@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE/MERGE on icelite catalog tables → the engine's
     // row-level APIs (no-op on every other plan)
     ext.injectPostHocResolutionRule(session => graft.sql.IceliteDmlRule(session))
+    // persistent SQL views on icelite catalogs: parse-time DDL routing
+    // (ResolveSessionCatalog hard-rejects view DDL on non-session
+    // catalogs before any injected rule runs) + read inlining
+    ext.injectParser((session, delegate) => new graft.sql.IceliteViewParser(session, delegate))
+    ext.injectResolutionRule(session => graft.sql.IceliteViewRule(session))
   }
 }
 

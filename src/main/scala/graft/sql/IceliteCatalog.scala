@@ -53,7 +53,8 @@ import graft.table.IceliteTable
   * commit per INSERT).
   */
 final class IceliteCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -225,6 +226,7 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
       s"icelite table name '${ident.name}' may not contain '$$' (reserved for " +
         "metadata-table suffixes like `t$snapshots`)")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new TableAlreadyExistsException(ident)
     // inline column DEFAULTs: fold each declared literal into the
     // stored per-column default property at create time. The stored
     // schema is stripped of the analyzer's default metadata (the
@@ -332,6 +334,110 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
   override def renameTable(old: Identifier, n: Identifier): Unit =
     throw new UnsupportedOperationException("icelite tables are path-addressed; rename is a catalog move")
 
+  // ------------------------------------------------------------- views
+
+  /** Persistent SQL views ([[ViewStore]]: one JSON per view under
+    * `<ns>/_views/`). Spark 4.1 ships the [[org.apache.spark.sql
+    * .connector.catalog.ViewCatalog]] API but no analyzer/exec path
+    * for it — [[IceliteViewRule]] (injected via
+    * [[graft.functions.GraftExtensions]]) routes CREATE/DROP/SHOW/
+    * ALTER VIEW statements here and inlines view reads, so this
+    * catalog is the single source of truth for both the API and the
+    * SQL surface. Governed catalogs are read-only: view DDL refuses,
+    * view READS are allowed — the inlined plan re-resolves every
+    * referenced table through the catalog, so row-filter/column-mask
+    * policies apply UNDER the view exactly as they do to direct
+    * table reads (a view cannot launder governed data).
+    */
+  private def views = new ViewStore(spark, warehouse)
+
+  private def oneLevelView(ident: Identifier): (String, String) = ident.namespace() match {
+    case Array(ns) => (ns, ident.name())
+    case _ => throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = namespace.toSeq match {
+    case Seq(ns) => views.list(ns).map(Identifier.of(Array(ns), _)).toArray
+    case other => throw new NoSuchNamespaceException(other.toArray)
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && views.exists(ident.namespace()(0), ident.name())
+
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View = {
+    val (ns, name) = oneLevelView(ident)
+    views.load(ns, name).map(new IceliteView(ident, _)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+  }
+
+  /** Raw persisted meta for the inlining rule (schema pinning needs
+    * the typed form, not the flattened connector arrays).
+    */
+  private[sql] def viewMeta(ident: Identifier): Option[IceliteViewMeta] =
+    ident.namespace() match {
+      case Array(ns) => views.load(ns, ident.name())
+      case _ => None
+    }
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    requireUngoverned("CREATE VIEW")
+    val (ns, _) = oneLevelView(info.ident)
+    if (!namespaceExists(Array(ns))) throw new NoSuchNamespaceException(Array(ns))
+    if (tableExists(info.ident)) throw new TableAlreadyExistsException(info.ident)
+    val meta = IceliteViewMeta.fromInfo(info)
+    views.create(info.ident, meta)
+    new IceliteView(info.ident, meta)
+  }
+
+  override def replaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    requireUngoverned("CREATE OR REPLACE VIEW")
+    val (ns, name) = oneLevelView(info.ident)
+    if (!namespaceExists(Array(ns))) throw new NoSuchNamespaceException(Array(ns))
+    if (tableExists(info.ident)) throw new TableAlreadyExistsException(info.ident)
+    if (!orCreate && !views.exists(ns, name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident)
+    val meta = IceliteViewMeta.fromInfo(info)
+    views.replace(info.ident, meta)
+    new IceliteView(info.ident, meta)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    requireUngoverned("ALTER VIEW")
+    val (ns, name) = oneLevelView(ident)
+    val meta = views.load(ns, name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val updated = changes.foldLeft(meta) { (m, ch) => ch match {
+      case s: ViewChange.SetProperty =>
+        m.copy(properties = m.properties + (s.property -> s.value))
+      case r: ViewChange.RemoveProperty =>
+        m.copy(properties = m.properties - r.property)
+      case other => throw new IllegalArgumentException(
+        s"unsupported view change ${other.getClass.getSimpleName}")
+    }}
+    views.replace(ident, updated)
+    new IceliteView(ident, updated)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    requireUngoverned("DROP VIEW")
+    ident.namespace() match {
+      case Array(ns) => views.drop(ident)
+      case _ => false
+    }
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireUngoverned("ALTER VIEW RENAME")
+    oneLevelView(oldIdent); oneLevelView(newIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    views.rename(oldIdent, newIdent)
+  }
+
   // -------------------------------------------------------- procedures
 
   /** `CALL <name>.system.<proc>(table => 'ns.t', …)` — Iceberg-parity
@@ -385,7 +491,8 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = new Path(s"$warehouse/${namespace(0)}")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!cascade && local.listTables(namespace(0)).nonEmpty)
+    if (!cascade && (local.listTables(namespace(0)).nonEmpty ||
+        views.list(namespace(0)).nonEmpty))
       throw new IllegalStateException(s"namespace ${namespace(0)} is not empty")
     fs.delete(p, true)
   }

@@ -1,0 +1,221 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.table.IceliteTable
+import graft.util.Scratch
+
+/** Persistent SQL views on icelite catalogs ([[IceliteViewParser]] +
+  * [[IceliteViewRule]] + the ViewCatalog implementation on
+  * [[IceliteCatalog]]): DDL lifecycle, creation-context capture,
+  * nesting + cycles, MoR semantics under the view, governed-catalog
+  * behavior (DDL refused, policies apply UNDER the view), and the
+  * pinned-schema drift contract.
+  */
+class IceliteViewSpec extends AnyFunSuite with SparkFixture {
+
+  private val cat = "icelite_v"
+  private lazy val wh: String = {
+    val w = Scratch.dir("view-spec-wh")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[IceliteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    w
+  }
+
+  private def seed(name: String): IceliteTable = {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"s${i % 3}", i * 10L)).toDF("k", "cat", "v")
+    val t = IceliteTable.create(spark, wh, "ns", name, df.schema)
+    t.append(df)
+    t
+  }
+
+  test("CREATE VIEW / SELECT round-trips, and the view survives a fresh catalog instance") {
+    seed("t_base")
+    spark.sql(s"CREATE VIEW $cat.ns.v_base AS SELECT k, v FROM $cat.ns.t_base WHERE k > 90")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $cat.ns.v_base").collect().head.getLong(0) ==
+      (91L to 100L).map(_ * 10).sum)
+    // a SECOND catalog name over the same warehouse = a fresh catalog
+    // instance, as a later session would build: the view must serve
+    // from its persisted JSON, not session state
+    val cat2 = "icelite_v2nd"
+    spark.conf.set(s"spark.sql.catalog.$cat2", classOf[IceliteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.warehouse", wh)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat2.ns.v_base").collect().head.getLong(0) == 10)
+    // SHOW VIEWS lists it; LIKE filters
+    val shown = spark.sql(s"SHOW VIEWS IN $cat.ns").collect().map(_.getString(1))
+    assert(shown.contains("v_base"))
+    assert(spark.sql(s"SHOW VIEWS IN $cat.ns LIKE 'nope*'").collect().isEmpty)
+  }
+
+  test("view reads the CURRENT MoR state (deletes land after CREATE VIEW)") {
+    val t = seed("t_mor")
+    spark.sql(s"CREATE VIEW $cat.ns.v_mor AS SELECT k, v FROM $cat.ns.t_mor")
+    t.deleteWhere(col("k") % 2 === 0)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.v_mor").collect().head.getLong(0) == 50)
+  }
+
+  test("pushdown reaches the scan through the view") {
+    seed("t_push")
+    spark.sql(s"CREATE VIEW $cat.ns.v_push AS SELECT k, v FROM $cat.ns.t_push")
+    val df = spark.sql(s"SELECT v FROM $cat.ns.v_push WHERE k > 90")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("k"), plan)
+    assert(df.collect().length == 10)
+  }
+
+  test("creation context is captured: unqualified names keep meaning the CREATE-time table") {
+    seed("t_ctx")
+    spark.sql(s"USE $cat.ns")
+    try spark.sql("CREATE VIEW v_ctx AS SELECT k FROM t_ctx WHERE k <= 3")
+    finally spark.sql("USE spark_catalog.default")
+    // read from a DIFFERENT current catalog: the stored context must win
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.v_ctx").collect().head.getLong(0) == 3)
+  }
+
+  test("column alias list, nested views, and CTEs inside definitions") {
+    seed("t_nest")
+    spark.sql(s"CREATE VIEW $cat.ns.v_inner (kk, vv) AS SELECT k, v FROM $cat.ns.t_nest WHERE k <= 10")
+    spark.sql(s"CREATE VIEW $cat.ns.v_outer AS " +
+      s"WITH w AS (SELECT kk, vv * 2 AS d FROM $cat.ns.v_inner) SELECT kk, d FROM w WHERE kk <= 5")
+    val got = spark.sql(s"SELECT kk, d FROM $cat.ns.v_outer ORDER BY kk").collect()
+    assert(got.map(_.getLong(0)).toSeq == (1L to 5L))
+    assert(got.map(_.getLong(1)).toSeq == (1L to 5L).map(_ * 20))
+    assert(spark.table(s"$cat.ns.v_inner").columns.toSeq == Seq("kk", "vv"))
+  }
+
+  test("views work inside subquery expressions") {
+    seed("t_subq")
+    spark.sql(s"CREATE VIEW $cat.ns.v_subq AS SELECT k FROM $cat.ns.t_subq WHERE k <= 4")
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.ns.t_subq WHERE k IN (SELECT k FROM $cat.ns.v_subq)")
+      .collect().head.getLong(0)
+    assert(n == 4)
+  }
+
+  test("full DDL lifecycle: OR REPLACE, IF NOT EXISTS, ALTER AS, properties, RENAME, DROP") {
+    seed("t_ddl")
+    spark.sql(s"CREATE VIEW $cat.ns.v_ddl AS SELECT k FROM $cat.ns.t_ddl")
+    intercept[Exception](spark.sql(s"CREATE VIEW $cat.ns.v_ddl AS SELECT 1 AS one"))
+    spark.sql(s"CREATE VIEW IF NOT EXISTS $cat.ns.v_ddl AS SELECT 1 AS one") // no-op
+    assert(spark.table(s"$cat.ns.v_ddl").columns.toSeq == Seq("k"))
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.ns.v_ddl AS SELECT k, v FROM $cat.ns.t_ddl")
+    assert(spark.table(s"$cat.ns.v_ddl").columns.toSeq == Seq("k", "v"))
+    // ALTER VIEW AS replaces the definition, properties survive
+    spark.sql(s"ALTER VIEW $cat.ns.v_ddl SET TBLPROPERTIES ('team'='graft')")
+    spark.sql(s"ALTER VIEW $cat.ns.v_ddl AS SELECT cat FROM $cat.ns.t_ddl")
+    assert(spark.table(s"$cat.ns.v_ddl").columns.toSeq == Seq("cat"))
+    val c = spark.sessionState.catalogManager.catalog(cat).asInstanceOf[IceliteCatalog]
+    def props = c.loadView(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("ns"), "v_ddl")).properties()
+    assert(props.get("team") == "graft")
+    // UNSET refuses a missing key without IF EXISTS, tolerates with
+    intercept[Exception](spark.sql(s"ALTER VIEW $cat.ns.v_ddl UNSET TBLPROPERTIES ('nope')"))
+    spark.sql(s"ALTER VIEW $cat.ns.v_ddl UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    spark.sql(s"ALTER VIEW $cat.ns.v_ddl UNSET TBLPROPERTIES ('team')")
+    assert(!props.containsKey("team"))
+    // RENAME
+    spark.sql(s"ALTER VIEW $cat.ns.v_ddl RENAME TO $cat.ns.v_ddl2")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.v_ddl2").collect().head.getLong(0) == 100)
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.ns.v_ddl").collect())
+    // DROP
+    spark.sql(s"DROP VIEW $cat.ns.v_ddl2")
+    intercept[Exception](spark.sql(s"DROP VIEW $cat.ns.v_ddl2"))
+    spark.sql(s"DROP VIEW IF EXISTS $cat.ns.v_ddl2")
+  }
+
+  test("refusal discipline: writes through views, temp capture, duplicates, cycles, name clashes") {
+    seed("t_ref")
+    spark.sql(s"CREATE VIEW $cat.ns.v_ref AS SELECT k, cat, v FROM $cat.ns.t_ref")
+    // writes through a view refuse loudly
+    intercept[UnsupportedOperationException](
+      spark.sql(s"INSERT INTO $cat.ns.v_ref VALUES (1, 'x', 1)"))
+    intercept[UnsupportedOperationException](
+      spark.sql(s"UPDATE $cat.ns.v_ref SET v = 0 WHERE k = 1"))
+    intercept[UnsupportedOperationException](
+      spark.sql(s"DELETE FROM $cat.ns.v_ref WHERE k = 1"))
+    // a persistent view must not capture a temp view
+    spark.sql("SELECT 42 AS x").createOrReplaceTempView("tmp_vs")
+    val e = intercept[UnsupportedOperationException](
+      spark.sql(s"CREATE VIEW $cat.ns.v_tmp AS SELECT x FROM tmp_vs"))
+    assert(e.getMessage.contains("temporary view"))
+    // duplicate output names refuse (by-name pinning would be ambiguous)
+    intercept[UnsupportedOperationException](
+      spark.sql(s"CREATE VIEW $cat.ns.v_dup AS SELECT k, k FROM $cat.ns.t_ref"))
+    // cycle: v_a over v_b, then redefine v_b over v_a — reading refuses
+    spark.sql(s"CREATE VIEW $cat.ns.v_a AS SELECT k FROM $cat.ns.t_ref")
+    spark.sql(s"CREATE VIEW $cat.ns.v_b AS SELECT k FROM $cat.ns.v_a")
+    spark.sql(s"ALTER VIEW $cat.ns.v_a AS SELECT k FROM $cat.ns.v_b")
+    val cyc = intercept[UnsupportedOperationException](
+      spark.sql(s"SELECT * FROM $cat.ns.v_a").collect())
+    assert(cyc.getMessage.contains("cyclic view reference"))
+    // name clashes: view name cannot shadow a table, table cannot take a view's name
+    intercept[Exception](spark.sql(s"CREATE VIEW $cat.ns.t_ref AS SELECT 1 AS one"))
+    intercept[Exception](spark.sql(s"CREATE TABLE $cat.ns.v_ref (z INT)"))
+    // DML on a view also refuses via MERGE
+    intercept[UnsupportedOperationException](spark.sql(
+      s"MERGE INTO $cat.ns.v_ref t USING $cat.ns.t_ref s ON t.k = s.k WHEN MATCHED THEN DELETE"))
+  }
+
+  test("governed catalog: view DDL refuses, policies apply UNDER the view") {
+    val t = seed("t_gov")
+    t.declarePolicy("viewer", Some("k <= 50"), Map("v" -> "CAST(NULL AS BIGINT)"))
+    // create the view through the UNGOVERNED catalog
+    spark.sql(s"CREATE VIEW $cat.ns.v_gov AS SELECT k, v FROM $cat.ns.t_gov")
+    val gcat = "icelite_vgov"
+    spark.conf.set(s"spark.sql.catalog.$gcat", classOf[IceliteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$gcat.warehouse", wh)
+    spark.conf.set(s"spark.sql.catalog.$gcat.principal", "viewer")
+    // view DDL through the governed catalog refuses (read-only role)
+    intercept[Exception](
+      spark.sql(s"CREATE VIEW $gcat.ns.v_gov2 AS SELECT k FROM $gcat.ns.t_gov"))
+    intercept[Exception](spark.sql(s"DROP VIEW $gcat.ns.v_gov"))
+    // a view whose stored context is the GOVERNED catalog serves the
+    // policy-filtered read: the inlined plan re-resolves t_gov through
+    // the governed catalog, so filter + mask apply under the view
+    spark.sql(s"CREATE VIEW $cat.ns.v_gged AS SELECT k, v FROM $gcat.ns.t_gov")
+    val got = spark.sql(s"SELECT count(*) AS n, count(v) AS vs FROM $cat.ns.v_gged")
+      .collect().head
+    assert(got.getLong(0) == 50 && got.getLong(1) == 0,
+      "row filter and column mask must apply under the view")
+    // reading the ungoverned-context view through ANY catalog name
+    // serves the full table (the view pins ITS stored context)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.v_gov").collect().head.getLong(0) == 100)
+  }
+
+  test("schema drift under the view fails loudly (pinned contract)") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (i, i * 1.5)).toDF("k", "score")
+    val t = IceliteTable.create(spark, wh, "ns", "t_drift", df.schema)
+    t.append(df)
+    spark.sql(s"CREATE VIEW $cat.ns.v_drift AS SELECT k, score FROM $cat.ns.t_drift")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.v_drift").collect().head.getLong(0) == 10)
+    spark.sql(s"ALTER TABLE $cat.ns.t_drift DROP COLUMN score")
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.ns.v_drift").collect())
+    assert(e.getMessage.contains("score"), e.getMessage)
+  }
+
+  test("temp views keep shadowing for unqualified DROP/ALTER; namespace guards count views") {
+    seed("t_shadow")
+    spark.sql("CREATE TEMPORARY VIEW shadow_me AS SELECT 7 AS x")
+    spark.sql(s"USE $cat.ns")
+    try {
+      // DROP VIEW of the temp name stays Spark's (catalog untouched)
+      spark.sql(s"CREATE VIEW shadow_me AS SELECT k FROM $cat.ns.t_shadow")
+      spark.sql("DROP VIEW shadow_me") // drops the TEMP view
+      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.shadow_me")
+        .collect().head.getLong(0) == 100)
+    } finally spark.sql("USE spark_catalog.default")
+    // DROP NAMESPACE without CASCADE refuses while views exist
+    val c = spark.sessionState.catalogManager.catalog(cat).asInstanceOf[IceliteCatalog]
+    spark.sql(s"CREATE NAMESPACE $cat.vns")
+    spark.sql(s"CREATE TABLE $cat.vns.seedt (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.vns.seedt VALUES (1)")
+    spark.sql(s"CREATE VIEW $cat.vns.only_view AS SELECT k FROM $cat.vns.seedt")
+    spark.sql(s"DROP TABLE $cat.vns.seedt")
+    intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.vns"))
+    spark.sql(s"DROP NAMESPACE $cat.vns CASCADE")
+  }
+}
