@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Expression, GetStructField, InSubquery, ListQuery, Not, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Exists, Expression, GetStructField, InSubquery, ListQuery, NamedExpression, Not, OuterReference, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -213,7 +213,135 @@ object SqlDml {
       rest.foreach(noSubquery(_, if (isDelete) "DELETE WHERE" else "UPDATE WHERE"))
       val local = rest.map(unqualify).reduceOption(_ && _).getOrElse(lit(true))
       IceliteSubqueryDmlCommand(t, src, key, negated, local, set, isDelete)
+        : LogicalPlan
+    }.orElse(translateCorrelatedDml(t, cond, set, isDelete))
+
+  private def containsOuter(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[OuterReference])
+
+  private def planHasOuter(p: LogicalPlan): Boolean =
+    p.exists(node => node.expressions.exists(containsOuter) ||
+      node.expressions.exists(_.exists {
+        case s: SubqueryExpression => s.isCorrelated
+        case _ => false
+      }))
+
+  /** Pull equality correlation out of one [[Filter]]: every correlated
+    * conjunct must be `OuterReference(targetCol) = innerExpr` (either
+    * side); anything else refuses. Returns (pairs, filter-with-the-
+    * local-conjuncts-only).
+    */
+  private def extractCorrelation(cond: Expression, child: LogicalPlan)
+      : (Seq[(AttributeReference, Expression)], LogicalPlan) = {
+    if (planHasOuter(child))
+      refuse("correlation below the subquery's top WHERE is not routed")
+    val (corr, rest) = conjuncts(cond).partition(containsOuter)
+    val pairs = corr.map {
+      case EqualTo(OuterReference(a: AttributeReference), inner) if !containsOuter(inner) =>
+        (a, inner)
+      case EqualTo(inner, OuterReference(a: AttributeReference)) if !containsOuter(inner) =>
+        (a, inner)
+      case other => refuse(
+        s"correlated predicate ${other.sql} is not a simple outer-column equality")
     }
+    (pairs, rest.reduceOption(And).map(Filter(_, child)).getOrElse(child))
+  }
+
+  /** Existence-preserving strip for EXISTS decorrelation: projections,
+    * DISTINCT, and aliases above the correlated Filter do not change
+    * whether a row exists. Anything that CAN change existence
+    * (aggregate without grouping always yields a row, LIMIT can drop
+    * all rows, …) stays and forces the uncorrelated path or a loud
+    * refusal.
+    */
+  private def stripExistence(p: LogicalPlan): LogicalPlan = p match {
+    case Project(_, child) => stripExistence(child)
+    case Distinct(child) => stripExistence(child)
+    case SubqueryAlias(_, child) => stripExistence(child)
+    case other => other
+  }
+
+  private def corrName(i: Int) = s"__corr_$i"
+  private val CorrVal = "__corr_val"
+
+  /** `[NOT] EXISTS (subquery)` and correlated `key IN (subquery)` for
+    * UPDATE/DELETE, on the same coordinate engine as the uncorrelated
+    * IN route: the correlated equalities become semi/anti-join keys
+    * against the DECORRELATED subquery (its correlated WHERE conjuncts
+    * removed, the join columns projected out), so the visible MoR view
+    * is classified in ONE distributed join — no per-row re-execution.
+    *
+    * Semantics notes: EXISTS is purely existential, so plain equality
+    * join keys give exact results for NULLs on either side (`t.k =
+    * s.x` is UNKNOWN for a NULL key → EXISTS false → NOT EXISTS true,
+    * which is precisely left-semi/left-anti behavior). Correlated
+    * `IN` routes as the semi-join of (probe, correlation keys) —
+    * UNKNOWN rows are excluded exactly as WHERE treats them.
+    * Correlated `NOT IN` refuses: its per-outer-row three-valued set
+    * semantics have no sound single-join form.
+    */
+  private def translateCorrelatedDml(
+      t: IceliteTable, cond: Expression,
+      set: Map[String, Column], isDelete: Boolean): Option[LogicalPlan] = {
+    val (subs, rest) = conjuncts(cond).partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    val one = subs match {
+      case Seq(s) => s
+      case _ => return None
+    }
+    rest.foreach(noSubquery(_, if (isDelete) "DELETE WHERE" else "UPDATE WHERE"))
+    val local = rest.map(unqualify).reduceOption(_ && _).getOrElse(lit(true))
+
+    def existsRoute(e: Exists, anti: Boolean): LogicalPlan = {
+      if (!planHasOuter(e.plan)) {
+        // uncorrelated EXISTS: one global existence probe at run time
+        return IceliteCorrelatedDmlCommand(t, e.plan, Nil, anti, local, set, isDelete,
+          constantExistence = true)
+      }
+      stripExistence(e.plan) match {
+        case Filter(c, child) =>
+          val (pairs, cleaned) = extractCorrelation(c, child)
+          if (pairs.isEmpty) refuse(
+            "EXISTS correlation is not a top-level WHERE conjunct of the subquery")
+          val proj = pairs.zipWithIndex.map { case ((_, inner), i) =>
+            Alias(inner, corrName(i))() : NamedExpression
+          }
+          IceliteCorrelatedDmlCommand(t, Project(proj, cleaned),
+            pairs.zipWithIndex.map { case ((a, _), i) => (a.name, corrName(i)) },
+            anti, local, set, isDelete)
+        case _ => refuse(
+          "correlated EXISTS must be a SELECT whose correlation sits in its top WHERE " +
+            "(aggregates/limits above the correlation change existence and are not routed)")
+      }
+    }
+
+    one match {
+      case e: Exists => Some(existsRoute(e, anti = false))
+      case Not(e: Exists) => Some(existsRoute(e, anti = true))
+      case InSubquery(Seq(probe: AttributeReference), lq: ListQuery)
+          if lq.outerAttrs.nonEmpty && lq.plan.output.size == 1 =>
+        lq.plan match {
+          case Project(Seq(value), f @ Filter(_, _)) =>
+            val (pairs, cleaned) = extractCorrelation(f.condition, f.child)
+            if (value.exists(containsOuter)) refuse(
+              "correlated IN: the subquery's SELECT expression may not reference the outer row")
+            val proj = (Alias(value, CorrVal)() : NamedExpression) +:
+              pairs.zipWithIndex.map { case ((_, inner), i) =>
+                Alias(inner, corrName(i))() : NamedExpression
+              }
+            Some(IceliteCorrelatedDmlCommand(t, Project(proj, cleaned),
+              (probe.name, CorrVal) +:
+                pairs.zipWithIndex.map { case ((a, _), i) => (a.name, corrName(i)) },
+              anti = false, local, set, isDelete))
+          case _ => refuse(
+            "correlated IN-subquery must be a single-column SELECT with its correlation " +
+              "in the top WHERE")
+        }
+      case Not(InSubquery(_, lq: ListQuery)) if lq.outerAttrs.nonEmpty =>
+        refuse("correlated NOT IN has per-row three-valued set semantics and is not routed " +
+          "(use NOT EXISTS with explicit NULL handling)")
+      case _ => None
+    }
+  }
 
   private[sql] def translateUpdate(
       t: IceliteTable, assignments: Seq[Assignment],
@@ -223,8 +351,8 @@ object SqlDml {
     cond match {
       case Some(c) if c.exists(_.isInstanceOf[SubqueryExpression]) =>
         translateSubqueryDml(t, c, set, isDelete = false).getOrElse(
-          refuse("subquery in UPDATE WHERE is not routed " +
-            "(only a single uncorrelated [NOT] col IN (subquery) conjunct)"))
+          refuse("subquery in UPDATE WHERE is not routed (a single [NOT] col IN " +
+            "(subquery), [NOT] EXISTS, or correlated IN conjunct)"))
       case _ =>
         IceliteUpdateCommand(t, cond.map(unqualify).getOrElse(lit(true)), set)
     }
@@ -233,8 +361,8 @@ object SqlDml {
   private[sql] def translateSubqueryDelete(
       t: IceliteTable, cond: Expression): LogicalPlan =
     translateSubqueryDml(t, cond, Map.empty, isDelete = true).getOrElse(
-      refuse("subquery in DELETE WHERE is not routed " +
-        "(only a single uncorrelated [NOT] col IN (subquery) conjunct)"))
+      refuse("subquery in DELETE WHERE is not routed (a single [NOT] col IN " +
+        "(subquery), [NOT] EXISTS, or correlated IN conjunct)"))
 
   // ---------------------------------------------------------------- MERGE
 
@@ -295,6 +423,9 @@ object SqlDml {
             }
             if (whole.nonEmpty && nested.nonEmpty)
               refuse(s"both whole-column and struct-field assignment to $name")
+            // same refusal discipline as plain UPDATE's buildUpdateSet:
+            // a duplicate assignment is a user error, never last-wins
+            if (whole.size > 1) refuse(s"multiple assignments to $name")
             if (nested.isEmpty) whole.flatMap { case (n, _, value) =>
               value match {
                 // key column assigned its own value — from either side:
@@ -387,9 +518,11 @@ object SqlDml {
             if (!assignedNames(k.toLowerCase(java.util.Locale.ROOT)))
               refuse(s"INSERT must assign key column $k")
           }
+          // omitted columns take their DECLARED default when one
+          // exists (matching INSERT INTO's analyzer fill), else NULL
           val padded = t.schema.fieldNames.toSeq
             .filterNot(f => assignedNames(f.toLowerCase(java.util.Locale.ROOT)))
-            .map(f => f -> Some(lit(null)))
+            .map(f => f -> Some(t.declaredDefault(f).getOrElse(lit(null))))
           insertSet = (assigned ++ padded)
             .collect { case (n, Some(c)) => n -> c }.toMap
           notMatchedInsert = Some(own && !insPrior)
@@ -570,6 +703,47 @@ case class IceliteSubqueryDmlCommand(
       if (isDelete) table.deleteMatching(classify)
       else table.updateMatching(classify, set)
     } finally keysAll.unpersist()
+    Seq.empty
+  }
+}
+
+/** `UPDATE/DELETE … WHERE [NOT] EXISTS (subquery)` or correlated
+  * `key IN (subquery)` → ONE coordinate-based commit: the
+  * decorrelated subquery ([[SqlDml]] pulled its correlated equality
+  * conjuncts out as join keys) semi/anti-joins the visible MoR view,
+  * matching rows land by physical coordinates. `joinKeys` pairs
+  * (visible column, source synthetic column); `constantExistence`
+  * marks the uncorrelated-EXISTS degenerate case (one global probe:
+  * every row qualifies or none do).
+  *
+  * Scale: the classify is one distributed join of the MoR scan
+  * against the (distinct-projected) subquery — small subquery sides
+  * broadcast under AQE exactly as in a hand-written semi-join; no
+  * per-row subquery re-execution ever happens.
+  */
+case class IceliteCorrelatedDmlCommand(
+    table: IceliteTable, sourcePlan: LogicalPlan,
+    joinKeys: Seq[(String, String)], anti: Boolean, cond: Column,
+    set: Map[String, Column], isDelete: Boolean,
+    constantExistence: Boolean = false)
+  extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    if (!isDelete && set.isEmpty) return Seq.empty // all-identity SET
+    val src = ColumnBridge.ofRows(sparkSession, sourcePlan)
+    def classify(visible: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      if (constantExistence) {
+        val exists = !src.isEmpty
+        return if (exists != anti) visible.filter(cond) else visible.limit(0)
+      }
+      joinKeys.foreach { case (_, s) =>
+        require(!visible.columns.contains(s), s"table may not carry $s") }
+      val keys = src.distinct()
+      val on = joinKeys.map { case (v, s) => visible(v) === keys(s) }.reduce(_ && _)
+      visible.join(keys, on, if (anti) "left_anti" else "left_semi").filter(cond)
+    }
+    if (isDelete) table.deleteMatching(classify)
+    else table.updateMatching(classify, set)
     Seq.empty
   }
 }

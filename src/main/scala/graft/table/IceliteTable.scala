@@ -2422,6 +2422,13 @@ final class IceliteTable private (
       dt: org.apache.spark.sql.types.DataType, v: Any): String =
     IceliteTable.renderDefaultValue(dt, v)
 
+  /** Declared column DEFAULT as a literal, if any — for SQL surfaces
+    * that pad omitted columns (MERGE INSERT column lists must fill
+    * the declared default, not NULL, to match INSERT INTO semantics).
+    */
+  private[graft] def declaredDefault(colName: String): Option[Column] =
+    defaultLit(meta.properties, colName)
+
   /** The default literal for a column, if declared (read-side fill). */
   private def defaultLit(
       props: Map[String, String], colName: String): Option[Column] =

@@ -351,4 +351,105 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(rows == Seq((1L, "a", 10L, None), (2L, "B", 200L, Some(2.5)),
       (7L, "G", 70L, Some(7.5))))
   }
+
+  test("MERGE INSERT partial column list fills DECLARED defaults, NULL otherwise") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS dml.ns.t_defpad")
+    spark.sql(
+      "CREATE TABLE dml.ns.t_defpad (k BIGINT, s STRING DEFAULT 'std', v BIGINT)")
+    spark.sql("INSERT INTO dml.ns.t_defpad VALUES (1, 'a', 10)")
+    Seq((2L, 20L)).toDF("k", "v").createOrReplaceTempView("defpad_src")
+    spark.sql(
+      """MERGE INTO dml.ns.t_defpad t USING defpad_src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)""".stripMargin)
+    val rows = IceliteTable.load(spark, wh, "ns", "t_defpad").read()
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sorted.toSeq
+    // omitted s takes the declared default; omitted v (no default) pads NULL
+    assert(rows == Seq((1L, "a", Some(10L)), (2L, "std", None)))
+  }
+
+  test("MERGE matched UPDATE refuses duplicate assignments to one column") {
+    import spark.implicits._
+    mk("t_dupset", Seq((1L, "a", 10L)))
+    Seq((1L, "A", 100L)).toDF("k", "s", "v").createOrReplaceTempView("dupset_src")
+    val e = intercept[UnsupportedOperationException](spark.sql(
+      """MERGE INTO dml.ns.t_dupset t USING dupset_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v, v = s.v + 1""".stripMargin))
+    assert(e.getMessage.contains("multiple assignments"))
+    assert(state("t_dupset") == Seq((1L, "a", 10L)))
+  }
+
+  test("UPDATE WHERE EXISTS (correlated) routes as a decorrelated semi-join") {
+    import spark.implicits._
+    mk("t_ex", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    Seq((1L, 5L), (3L, 99L), (3L, 1L), (9L, 50L)).toDF("fk", "q")
+      .createOrReplaceTempView("ex_src")
+    spark.sql(
+      """UPDATE dml.ns.t_ex SET v = v + 100
+        |WHERE EXISTS (SELECT 1 FROM ex_src WHERE fk = k AND q > 40)""".stripMargin)
+    // k=3 has a q>40 line; k=1's line fails q>40; k=9 has no target row
+    assert(state("t_ex") == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 130L)))
+  }
+
+  test("DELETE WHERE NOT EXISTS anti-joins; NULL target keys qualify (UNKNOWN equality)") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a", 10L), (Some(2L), "b", 20L), (None, "n", 30L))
+      .toDF("k", "s", "v")
+    val t = IceliteTable.create(spark, wh, "ns", "t_nex", df.schema)
+    t.append(df)
+    Seq(1L).toDF("fk").createOrReplaceTempView("nex_src")
+    spark.sql("DELETE FROM dml.ns.t_nex WHERE NOT EXISTS (SELECT 1 FROM nex_src WHERE fk = k)")
+    // k=1 survives (EXISTS true); k=2 deleted; NULL key deleted —
+    // `fk = NULL` is UNKNOWN, so EXISTS is false and NOT EXISTS true
+    val left = IceliteTable.load(spark, wh, "ns", "t_nex").read()
+      .select("s").collect().map(_.getString(0)).sorted.toSeq
+    assert(left == Seq("a"))
+  }
+
+  test("correlated IN routes as a (probe, correlation) semi-join") {
+    import spark.implicits._
+    mk("t_cin", Seq((1L, "F", 10L), (2L, "F", 20L), (3L, "O", 30L)))
+    Seq((1L, 50L), (2L, 10L), (3L, 50L)).toDF("fk", "q").createOrReplaceTempView("cin_src")
+    // only 'F' rows whose line has q>40 flag: k=1 (F, q=50) yes; k=2
+    // (F, q=10) no; k=3 has q>40 but status 'O' does not match 'F'
+    spark.sql(
+      """UPDATE dml.ns.t_cin SET s = 'X'
+        |WHERE s IN (SELECT 'F' FROM cin_src WHERE fk = k AND q > 40)""".stripMargin)
+    assert(state("t_cin") == Seq((1L, "X", 10L), (2L, "F", 20L), (3L, "O", 30L)))
+  }
+
+  test("uncorrelated EXISTS is a global existence probe") {
+    import spark.implicits._
+    mk("t_uex", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    Seq(42L).toDF("x").createOrReplaceTempView("uex_src")
+    spark.sql("UPDATE dml.ns.t_uex SET v = 0 WHERE EXISTS (SELECT 1 FROM uex_src) AND k = 1")
+    assert(state("t_uex") == Seq((1L, "a", 0L), (2L, "b", 20L)))
+    spark.sql(
+      "DELETE FROM dml.ns.t_uex WHERE NOT EXISTS (SELECT 1 FROM uex_src WHERE x > 1000)")
+    assert(state("t_uex").isEmpty)
+  }
+
+  test("correlated shapes the join cannot express refuse loudly") {
+    import spark.implicits._
+    mk("t_exref", Seq((1L, "a", 10L)))
+    Seq((1L, 5L)).toDF("fk", "q").createOrReplaceTempView("exref_src")
+    // correlated NOT IN: per-row three-valued set semantics
+    val e1 = intercept[UnsupportedOperationException](spark.sql(
+      "UPDATE dml.ns.t_exref SET v = 0 WHERE k NOT IN (SELECT fk FROM exref_src WHERE q = v)"))
+    assert(e1.getMessage.contains("NOT IN"))
+    // aggregate above the correlation changes existence
+    val e2 = intercept[UnsupportedOperationException](spark.sql(
+      """UPDATE dml.ns.t_exref SET v = 0
+        |WHERE EXISTS (SELECT count(*) FROM exref_src WHERE fk = k HAVING count(*) > 1)
+        |""".stripMargin))
+    assert(e2.getMessage.contains("not routed") || e2.getMessage.contains("existence"),
+      e2.getMessage)
+    // non-equality correlation
+    val e3 = intercept[UnsupportedOperationException](spark.sql(
+      "UPDATE dml.ns.t_exref SET v = 0 WHERE EXISTS (SELECT 1 FROM exref_src WHERE fk > k)"))
+    assert(e3.getMessage.contains("equality"), e3.getMessage)
+    // state untouched by every refusal
+    assert(state("t_exref") == Seq((1L, "a", 10L)))
+  }
 }
