@@ -86,6 +86,8 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
 
   // ------------------------------------------------------------ tables
 
+  private val ChangesRange = """changes\((\d+)(?:\s*,\s*(\d+))?\)""".r
+
   private def oneLevel(ident: Identifier): String = ident.namespace() match {
     case Array(ns) => ns
     case _ => throw new NoSuchTableException(ident)
@@ -182,6 +184,21 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
       case Some("files") => IceliteSparkTable.readOnly(t, s"${t.name}$$files", () => t.filesTable())
       case Some("manifests") => IceliteSparkTable.readOnly(t, s"${t.name}$$manifests", () => t.manifestsTable())
       case Some("partitions") => IceliteSparkTable.readOnly(t, s"${t.name}$$partitions", () => t.partitionsTable())
+      // batch SQL changelog (Iceberg's table_changes shape): ONE-SHOT
+      // CDC reads without leaving SQL — `t$changes` (full retained
+      // history), `t$changes(from)` ((from, head]), `t$changes(from,to)`.
+      // Served through the same distributed V1Scan path as every other
+      // read (CALL procedures would collect to the driver — Spark's
+      // InvokeProcedures only accepts LocalScan results)
+      case Some(ch) if ch == "changes" || ch.startsWith("changes(") =>
+        val (from, to) = ch match {
+          case "changes" => (0L, t.meta.lastSeq)
+          case ChangesRange(f, null) => (f.toLong, t.meta.lastSeq)
+          case ChangesRange(f, tt) => (f.toLong, tt.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"bad changes selector '$ch' — use changes, changes(from), or changes(from,to)")
+        }
+        IceliteSparkTable.readOnly(t, s"${t.name}$$$ch", () => t.readChanges(from, to))
       case Some(other) => throw new NoSuchTableException(ident)
     }
   }
