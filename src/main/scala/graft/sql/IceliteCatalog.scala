@@ -644,13 +644,55 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
       else partFilters = filters
       this
     }
-    override def build(): Write = new V1Write {
+    /** SQL writes to an identity-PARTITIONED table request a
+      * CLUSTERED distribution on the partition columns
+      * ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+      * — applied by Spark's `V2Writes` prepareQuery BEFORE the V1
+      * fallback runs), and the engine then SKIPS its own internal
+      * repartition ([[IceliteTable.withPreClusteredWrite]]): ONE
+      * exchange total, owned by Spark — which means AQE can rebalance
+      * it (advisory sizing, skew splitting) instead of the engine's
+      * fixed hash repartition serializing a hot partition value
+      * through one task. Non-strict, so the planner is free to pick
+      * the rebalance form. Identity transforms only: derived
+      * transforms (days/bucket/…) would need a FunctionCatalog for
+      * Spark to resolve the cluster expressions — those tables keep
+      * the engine-side repartition, which computes the derived
+      * columns itself. Either way a multi-task INSERT never writes
+      * tasks × partitions small files — the blowup the reference's
+      * batching design exists to avoid (`docs/design.md:360-400`).
+      */
+    private def identityClusterCols: Option[Array[String]] = {
+      val parts = table.meta.partitioning
+      if (parts.nonEmpty && parts.forall(_.transform == "identity"))
+        Some(parts.map(_.field).toArray)
+      else None
+    }
+    override def build(): Write = new V1Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        identityClusterCols match {
+          case Some(cols) =>
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c)
+                : org.apache.spark.sql.connector.expressions.Expression))
+          case None =>
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        }
+      override def distributionStrictlyRequired(): Boolean = false
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
       override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-        override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          if (partFilters.nonEmpty)
-            table.overwritePartitions(data, Some(staticTouched(partFilters)))
-          else if (replaceAll || overwrite) table.overwriteAll(data)
-          else table.append(data)
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          def run(): Unit =
+            if (partFilters.nonEmpty)
+              table.overwritePartitions(data, Some(staticTouched(partFilters)))
+            else if (replaceAll || overwrite) table.overwriteAll(data)
+            else table.append(data)
+          if (identityClusterCols.isDefined) IceliteTable.withPreClusteredWrite(run())
+          else run()
+        }
       }
     }
   }

@@ -4316,6 +4316,11 @@ final class IceliteTable private (
       case (Some(n), _) => d.repartition(n)
       case (None, pc) if pc.nonEmpty =>
         if (isSmallBatch(d)) d.repartition(1)
+        // SQL write surface already clustered this batch on the
+        // identity partition columns (RequiresDistributionAndOrdering
+        // honored by V2Writes) — repartitioning again here would
+        // shuffle the whole batch a second time for the same layout
+        else if (IceliteTable.isPreClusteredWrite) d
         else d.repartition(pc.map(p => col(p._1)): _*)
       case _ => if (isSmallBatch(d)) d.coalesce(1) else d
     }
@@ -4368,6 +4373,24 @@ object IceliteTable {
     * volatile field so the fast head probe never observes a torn pair.
     */
   private final case class CachedHead(meta: TableMeta, version: Long)
+
+  /** Marks the current (driver) thread's write as ALREADY clustered on
+    * the table's identity partition columns — the SQL write surface
+    * declares `RequiresDistributionAndOrdering`, Spark's `V2Writes`
+    * prepareQuery inserts the exchange, and [[IceliteTable]]'s own
+    * partition repartition inside `writeDataFiles` would be a second
+    * redundant shuffle of the whole batch. Thread-local is sound
+    * here: the flag wraps a synchronous driver-side call chain
+    * (insert → append/overwrite → writeDataFiles), never crosses an
+    * executor boundary, and resets in `finally`.
+    */
+  private val preClusteredFlag: ThreadLocal[Boolean] =
+    ThreadLocal.withInitial(() => false)
+  private[graft] def withPreClusteredWrite[T](body: => T): T = {
+    preClusteredFlag.set(true)
+    try body finally preClusteredFlag.set(false)
+  }
+  private[graft] def isPreClusteredWrite: Boolean = preClusteredFlag.get()
 
   import org.apache.spark.sql.types._
 

@@ -190,6 +190,38 @@ class IceliteSqlWriteSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
   }
 
+  test("SQL INSERT into an identity-partitioned table: Spark owns the ONE clustering exchange") {
+    wh
+    spark.sql(s"CREATE TABLE $Cat.ns.clus (id BIGINT, pt STRING) PARTITIONED BY (pt)")
+    // a deliberately multi-task source (8 partitions, 3 partition values)
+    spark.range(0, 3000).selectExpr("id", "concat('p', id % 3) AS pt")
+      .repartition(8).createOrReplaceTempView("clus_src")
+    // the write declares RequiresDistributionAndOrdering → V2Writes
+    // prepareQuery clusters the batch on pt BEFORE the V1 fallback,
+    // and the engine SKIPS its own repartition (withPreClusteredWrite)
+    // — so the file layout below is possible ONLY if Spark's exchange
+    // actually ran: the 8-task source would otherwise write ~8
+    // pt-interleaved files (EXPLAIN can't show this — AppendDataExecV1
+    // executes the query inside insert(), not in the top-level plan)
+    spark.sql(s"INSERT INTO $Cat.ns.clus SELECT * FROM clus_src")
+    val t = IceliteTable.load(spark, wh, "ns", "clus")
+    val files = t.meta.snapshots.last.dataFiles
+    assert(files.size <= 3, s"expected <= 3 files (3 partition values), got ${files.size}")
+    assert(spark.sql(s"SELECT count(DISTINCT pt) FROM $Cat.ns.clus")
+      .collect()(0).getLong(0) == 3)
+    // derived transforms keep the engine-side repartition (Spark would
+    // need a FunctionCatalog to resolve the cluster expressions) and
+    // still avoid the small-file blowup
+    spark.sql(s"CREATE TABLE $Cat.ns.clus2 (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    spark.range(0, 1000)
+      .selectExpr("id", "timestampadd(DAY, CAST(id % 2 AS INT), TIMESTAMP'2024-03-05 00:00:00') AS ts")
+      .repartition(8).createOrReplaceTempView("clus2_src")
+    spark.sql(s"INSERT INTO $Cat.ns.clus2 SELECT * FROM clus2_src")
+    val t2 = IceliteTable.load(spark, wh, "ns", "clus2")
+    assert(t2.meta.snapshots.last.dataFiles.size <= 2,
+      s"expected <= 2 files (2 day values), got ${t2.meta.snapshots.last.dataFiles.size}")
+  }
+
   test("unroutable overwrite filters refuse loudly (range filter on the partition column)") {
     wh
     spark.sql(s"CREATE TABLE $Cat.ns.ovw5 (id BIGINT, pt BIGINT) PARTITIONED BY (pt)")
