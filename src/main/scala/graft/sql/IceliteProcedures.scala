@@ -61,14 +61,26 @@ object IceliteProcedures {
     Spec("rewrite_manifests", "fold file lists of snapshots older than the keep_recent most recent into one base snapshot (metadata-only)",
       Seq(tableParam, inD("keep_recent", IntegerType, "2")), seqResult,
       (t, r) => Seq(t.rewriteManifests(r.getInt(1)))),
-    Spec("evolve_partitioning", "replace the partition spec for FUTURE writes ('col:transform' entries, ','-separated; transform = identity|year|month|day|hour|bucket[N], default identity); existing files keep their old spec and scans prune under both",
+    Spec("evolve_partitioning", "replace the partition spec for FUTURE writes ('col:transform' entries, ','-separated; transform = identity|year|month|day|hour|bucket[N], default identity; the keyword 'none' unpartitions); existing files keep their old spec and scans prune under both",
       Seq(tableParam, in("spec", StringType)), seqResult,
-      (t, r) => Seq(t.evolvePartitioning(
-        r.getUTF8String(1).toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
-          val i = e.indexOf(':')
-          if (i < 0) graft.config.PartitionConfig(e)
-          else graft.config.PartitionConfig(e.substring(0, i).trim, e.substring(i + 1).trim)
-        }))),
+      (t, r) => {
+        val raw = r.getUTF8String(1).toString
+        val entries = raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        // an empty/whitespace spec is almost always a typo'd argument —
+        // silently unpartitioning the table would be a real metadata
+        // commit, so refuse; the explicit keyword 'none' opts in
+        val unpartition = entries.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("none")
+        require(unpartition || entries.nonEmpty,
+          "evolve_partitioning: empty spec — pass 'none' explicitly to unpartition " +
+            "future writes, or 'col:transform' entries to repartition")
+        Seq(t.evolvePartitioning(
+          if (unpartition) Nil
+          else entries.map { e =>
+            val i = e.indexOf(':')
+            if (i < 0) graft.config.PartitionConfig(e)
+            else graft.config.PartitionConfig(e.substring(0, i).trim, e.substring(i + 1).trim)
+          }))
+      }),
     Spec("rollback_to_snapshot", "metadata-only rollback: snapshots after seq leave the live view",
       Seq(tableParam, in("seq", LongType)), seqResult,
       (t, r) => Seq(t.rollbackTo(r.getLong(1)))),

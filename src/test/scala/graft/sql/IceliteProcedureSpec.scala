@@ -147,6 +147,18 @@ class IceliteProcedureSpec extends AnyFunSuite with SparkFixture {
         .collect()
     }
     assert(bad.getMessage.contains("transform"), s"got: ${bad.getMessage}")
+    // an empty/whitespace spec refuses (a typo must not silently
+    // unpartition); the explicit 'none' keyword opts in
+    val empty = intercept[Exception] {
+      spark.sql(
+        s"CALL $Cat.system.evolve_partitioning(table => 'ns.c_pevo', spec => '  ')").collect()
+    }
+    assert(chain(empty).contains("pass 'none' explicitly"), s"got: ${chain(empty)}")
+    assert(IceliteTable.load(spark, wh, "ns", "c_pevo")
+      .meta.partitioning.nonEmpty, "refusal must not commit")
+    spark.sql(
+      s"CALL $Cat.system.evolve_partitioning(table => 'ns.c_pevo', spec => 'none')").collect()
+    assert(IceliteTable.load(spark, wh, "ns", "c_pevo").meta.partitioning.isEmpty)
   }
 
   test("unknown procedure and wrong namespace surface clear errors") {
