@@ -303,6 +303,24 @@ object Dedup {
   /** Normalized edit-similarity keep threshold for [[editDistance]]. */
   val EditSimThreshold = 0.8
 
+  /** Candidate-volume cap for [[editDistance]]: shingles in MORE docs
+    * than this are skipped at candidate-generation time. The
+    * character-level DP is the most expensive verification in the
+    * dedup family, and a clique of c docs sharing their shingles
+    * (replica fixtures; mass boilerplate in an organic corpus) costs
+    * c² DP pairs PER shingle group — the r17 sf1 probe measured the
+    * blowup (62 s for a query that is ~1 s without replica cliques).
+    * Over-cap groups are precisely the docs cheaper dedup already
+    * catches (byte-identical replicas → [[exact]]; corpus-wide
+    * boilerplate → [[substringRuns]]/line-level), so skipping them
+    * here loses nothing the pipeline misses. Docs that had ≥ 1
+    * skipped shingle are SURFACED (`x_capped`/`y_capped` columns) —
+    * the same reported-cap discipline as [[SemMaxClusterSize]] — and
+    * the oracle mirrors the cap, so it is part of the gated
+    * semantics, never a silent engine-side truncation.
+    */
+  val EditMaxShingleDf = 32
+
   /** CHARACTER-level near-dup pairs — Levenshtein-verified: shingle
     * candidates (≥ [[MinEditCommon]] shared index shingles — reusing
     * the persisted inverted index, so no pair space beyond docs that
@@ -316,26 +334,43 @@ object Dedup {
     * division.
     *
     * Scale: candidate generation is the [[ngramJaccard]] index join
-    * (df-capped, never all-pairs); the DP — the expensive part — runs
-    * scan-local on the ≥MinEditCommon survivors only. That gating
-    * order (set overlap before character DP) is the only way
-    * character-level verification survives a 100 TB corpus.
+    * (df-capped at [[EditMaxShingleDf]] — tighter than the global
+    * [[MaxShingleDf]], see its scaladoc — never all-pairs); the DP —
+    * the expensive part — runs scan-local on the ≥MinEditCommon
+    * survivors only. That gating order (set overlap before character
+    * DP, clique caps before both) is the only way character-level
+    * verification survives a 100 TB corpus.
     */
-  def editDistance(spark: SparkSession, dir: String): DataFrame = {
-    val e = shingleIndex(spark, dir)
-    val cand = e.as("a").join(e.as("b"),
+  def editDistance(spark: SparkSession, dir: String): DataFrame =
+    editDistanceOn(shingleIndex(spark, dir), t(spark, dir, "documents"), EditMaxShingleDf)
+
+  /** The capped pipeline over an explicit index + corpus — the unit
+    * the degenerate-clique spec drives directly.
+    */
+  private[operators] def editDistanceOn(
+      e: DataFrame, docs: DataFrame, maxDf: Long): DataFrame = {
+    val dfs = e.groupBy("s").agg(count(lit(1)).as("df"))
+    val ee = e.join(dfs.filter(col("df") <= maxDf).select("s"), Seq("s"), "left_semi")
+    // docs touching ≥ 1 skipped shingle — the reported cap surface
+    val cappedDocs = e.join(dfs.filter(col("df") > maxDf).select("s"), Seq("s"), "left_semi")
+      .select("doc_id").distinct()
+    val cand = ee.as("a").join(ee.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= MinEditCommon)
-    val docs = t(spark, dir, "documents")
     val dx = docs.select(col("doc_id").as("x"), col("text").as("tx"))
     val dy = docs.select(col("doc_id").as("y"), col("text").as("ty"))
+    val cx = cappedDocs.select(col("doc_id").as("x"), lit(true).as("x_capped"))
+    val cy = cappedDocs.select(col("doc_id").as("y"), lit(true).as("y_capped"))
     cand.join(dx, "x").join(dy, "y")
+      .join(cx, Seq("x"), "left").join(cy, Seq("y"), "left")
       .select(col("x"), col("y"), col("common"),
         levenshtein(col("tx"), col("ty")).cast("long").as("lev"),
         round(lit(1.0) - levenshtein(col("tx"), col("ty")).cast("double") /
-          greatest(length(col("tx")), length(col("ty"))), 12).as("edit_sim"))
+          greatest(length(col("tx")), length(col("ty"))), 12).as("edit_sim"),
+        coalesce(col("x_capped"), lit(false)).as("x_capped"),
+        coalesce(col("y_capped"), lit(false)).as("y_capped"))
       .filter(col("edit_sim") >= EditSimThreshold)
       .orderBy("x", "y")
   }
@@ -347,18 +382,24 @@ object Dedup {
        |  SELECT doc_id, $shinglesSql AS sh FROM words WHERE len(w) >= 5),
        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        |e AS (SELECT doc_id, s FROM e0 WHERE s IN ($dfCapSql)),
+       |dfs AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+       |ee AS (SELECT e.* FROM e JOIN dfs USING (s) WHERE df <= $EditMaxShingleDf),
+       |cappd AS (
+       |  SELECT DISTINCT doc_id FROM e JOIN dfs USING (s) WHERE df > $EditMaxShingleDf),
        |cand AS (
        |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS common
-       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM ee a JOIN ee b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= $MinEditCommon),
        |p AS (
        |  SELECT cand.x, cand.y, cand.common,
        |    CAST(levenshtein(dx.text, dy.text) AS BIGINT) AS lev,
        |    round(1.0 - CAST(levenshtein(dx.text, dy.text) AS DOUBLE)
-       |      / greatest(length(dx.text), length(dy.text)), 12) AS edit_sim
+       |      / greatest(length(dx.text), length(dy.text)), 12) AS edit_sim,
+       |    cand.x IN (SELECT doc_id FROM cappd) AS x_capped,
+       |    cand.y IN (SELECT doc_id FROM cappd) AS y_capped
        |  FROM cand JOIN documents dx ON dx.doc_id = cand.x
        |  JOIN documents dy ON dy.doc_id = cand.y)
-       |SELECT x, y, common, lev, edit_sim FROM p
+       |SELECT x, y, common, lev, edit_sim, x_capped, y_capped FROM p
        |WHERE edit_sim >= $EditSimThreshold ORDER BY x, y""".stripMargin
 
   // ---------------------------------------------- exact substring dedup

@@ -68,4 +68,47 @@ class DedupSkewSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(unc.toSeq == Seq((0, 5L, 4L, false), (1, 2L, 1L, false)))
   }
+
+  test("edit-distance: a replica clique is skipped-and-flagged, organic near-dups still verify") {
+    import spark.implicits._
+    // a degenerate clique: the SAME text replicated 40 times (df of
+    // every clique shingle = 40 > cap) — the replica shape that made
+    // the sf1 probe quadratic; plus one organic near-dup pair (one
+    // character apart) whose shingles stay under the cap
+    val clique = (0 until 40).map(i =>
+      (100L + i, "the quick brown fox jumps over the lazy dog again and again", "en", "synthetic", 0L))
+    val organic = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "synthetic", 0L),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappaX", "en", "synthetic", 0L))
+    val dir = Files.createTempDirectory("editcap").toString
+    (clique ++ organic).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val idx = Dedup.shingleIndex(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = Dedup.editDistanceOn(idx, docs, maxDf = Dedup.EditMaxShingleDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(5), r.getBoolean(6)))
+    // the 40-doc clique (780 DP pairs) never reaches the DP; the
+    // organic pair survives, unflagged
+    assert(out.toSeq == Seq((0L, 1L, false, false)))
+    // control: without the cap the clique detonates into 780 verified
+    // pairs — the work the cap exists to refuse
+    val unc = Dedup.editDistanceOn(idx, docs, maxDf = 10000L).collect()
+    assert(unc.length == 1 + 40 * 39 / 2)
+    // the cap is REPORTED, not silent: pairing a clique member with a
+    // near-copy below MinEditCommon shared capped shingles is absent,
+    // but a mixed pair would carry the flag — prove the flag path with
+    // a doc sharing SOME capped and SOME free shingles
+    val mixed = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog again and again unique tail one two three four five", "en", "synthetic", 0L),
+      (201L, "the quick brown fox jumps over the lazy dog again and again unique tail one two three four fivX", "en", "synthetic", 0L))
+    val dir2 = Files.createTempDirectory("editcap2").toString
+    (clique ++ mixed).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir2/documents.parquet")
+    val out2 = Dedup.editDistanceOn(Dedup.shingleIndex(spark, dir2),
+        spark.read.parquet(s"$dir2/documents.parquet"), maxDf = Dedup.EditMaxShingleDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(5), r.getBoolean(6)))
+    // 200/201 pair via their free tail shingles AND carry the capped
+    // flag (their head shingles sit in the skipped clique group)
+    assert(out2.toSeq == Seq((200L, 201L, true, true)))
+  }
 }
