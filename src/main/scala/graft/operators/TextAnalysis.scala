@@ -1034,44 +1034,76 @@ object TextAnalysis {
     * back empty), so fallback rounds mirror its frozen vocabulary
     * exactly; the merges query filters fallbacks out with `is_real`.
     */
-  private val bpeOracleCtes: String = {
-    val rounds = (1 to BpeMergeRounds).map { k =>
-      s"""p$k AS (
+  private val bpeOracleCtes: String = bpeOracleCtesK(BpeMergeRounds)
+
+  /** Every CTE is `AS MATERIALIZED`: each round references the prior
+    * vocabulary CTE twice (pair counts + merge application), and
+    * DuckDB's default CTE INLINING doubles the plan per round — at the
+    * 100-round gate that is an exponentially-expanded tree whose
+    * thousands of duplicated parquet scans die on the process
+    * fd limit before any row is read. Materialization makes the
+    * oracle's cost what the recurrence actually is: one pass per
+    * round, like the engine's own job chain.
+    */
+  private def bpeOracleCtesK(totalRounds: Int): String = {
+    val rounds = (1 to totalRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
          |  SELECT u.l AS l, u.r AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
          |    SELECT cnt, unnest([{'l': a[i], 'r': a[i + 1]}
          |      for i in generate_series(1, len(a) - 1)]) AS u
          |    FROM (SELECT cnt, string_split(trim(v), '  ') AS a FROM v${k - 1}) t
          |    WHERE len(a) >= 2) s
          |  GROUP BY 1, 2),
-         |b$k AS (
+         |b$k AS MATERIALIZED (
          |  SELECT coalesce(t.l, '') AS l, coalesce(t.r, '') AS r,
          |    coalesce(t.c, 0) AS c, t.l IS NOT NULL AS is_real
          |  FROM (SELECT 1 AS one) o LEFT JOIN
          |    (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1) t ON TRUE),
-         |v$k AS (
+         |v$k AS MATERIALIZED (
          |  SELECT replace(v.v, ' ' || b.l || '  ' || b.r || ' ',
          |    ' ' || b.l || b.r || ' ') AS v, v.cnt
          |  FROM v${k - 1} v, b$k b)""".stripMargin
     }.mkString(",\n")
-    s"""w0 AS (
+    s"""w0 AS MATERIALIZED (
        |  SELECT w, count(*) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) > 0 GROUP BY w),
-       |v0 AS (
+       |v0 AS MATERIALIZED (
        |  SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS v, cnt FROM w0),
        |$rounds""".stripMargin
   }
 
-  private val bpeMergesOracle: String = {
-    val out = (1 to BpeMergeRounds).map { k =>
+  private val bpeMergesOracle: String = bpeMergesOracleK(BpeMergeRounds)
+
+  private def bpeMergesOracleK(totalRounds: Int): String = {
+    val out = (1 to totalRounds).map { k =>
       s"SELECT $k AS step, l AS merge_left, r AS merge_right, c AS pair_count " +
         s"FROM b$k WHERE is_real"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $bpeOracleCtes
+    s"""WITH ${bpeOracleCtesK(totalRounds)}
        |SELECT * FROM (
        |  $out
        |) ORDER BY step""".stripMargin
   }
+
+  /** Mid-scale BPE rule count for the BATCHED-trainer gate. */
+  val BpeMidRounds = 100
+
+  /** Mid-scale BPE training through the BATCHED selector
+    * ([[bpeMergesBatchedOn]], r17's production-scale trainer — up to 8
+    * merges per pair-count job): 100 rules is enough rounds that the
+    * batch acceptance logic (disjoint prefixes, strict-count
+    * truncation, self-pair closing, tie-flood degradation) all fire on
+    * real data, and the DRIVER gate now proves batched ≡ sequential
+    * against an independent engine — the oracle is the GENERATED
+    * 100-round sequential CTE chain (one argmax per round), never a
+    * hand-written table. A 30k-vocabulary production run is this
+    * exact code with a bigger constant.
+    */
+  def bpeMerges100(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesBatchedOn(spark, t(spark, dir, "documents"), BpeMidRounds)
+
+  private val bpeMerges100Oracle: String = bpeMergesOracleK(BpeMidRounds)
 
   /** Tokenize the corpus under the LEARNED merges — train → apply end
     * to end: every word re-encodes and replays the K merge rules (the
@@ -1559,6 +1591,8 @@ object TextAnalysis {
       "foreign-LM scoring with uniform backoff: en-trained LM scores every doc"),
     GraftQuery("text_bpe_merges", bpeMerges _, Some(bpeMergesOracle),
       "BPE tokenizer training: iterative pair-count + merge over the word vocabulary"),
+    GraftQuery("text_bpe_merges_100", bpeMerges100 _, Some(bpeMerges100Oracle),
+      "mid-scale BATCHED BPE training (100 rules) vs the generated sequential oracle chain"),
     GraftQuery("text_bpe_tokenize", bpeTokenize _, Some(bpeTokenizeOracle),
       "tokenize under the learned BPE merges: per-doc subword/word/char counts"),
     GraftQuery("text_bpe_eval", bpeEval _, Some(bpeEvalOracle),
