@@ -21,9 +21,39 @@ private final class ShuffleTally extends SparkListener {
 }
 
 object Bench {
+  /** Run-environment fingerprint for the sidecar: CPU model, core
+    * count, and a 1-second single-thread integer calibration loop
+    * (fixed xorshift work, reported as iterations/ms). Cross-boot CPU
+    * variance moved identical-code sf1 numbers by ~5× in r16→r17
+    * (BASELINE §sf1) — with the fingerprint in the sidecar, a swing
+    * on identical code is attributable from the file alone.
+    */
+  private def envFingerprint(): String = {
+    val cpu = try {
+      val src = scala.io.Source.fromFile("/proc/cpuinfo")
+      try src.getLines()
+        .collectFirst { case l if l.startsWith("model name") => l.split(":", 2)(1).trim }
+        .getOrElse("unknown")
+      finally src.close()
+    } catch { case _: Exception => "unknown" }
+    val cores = Runtime.getRuntime.availableProcessors()
+    var x = 0x9E3779B97F4A7C15L
+    var iters = 0L
+    val end = System.nanoTime() + 1000000000L
+    while (System.nanoTime() < end) {
+      var i = 0
+      while (i < 100000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      iters += 100000
+    }
+    val kitersPerMs = iters / 1000000 // k-iterations per ms over ~1000 ms
+    s""""env":{"cpu":"${cpu.replace("\"", "'")}","cores":$cores,""" +
+      s""""calib_xorshift_kiters_ms":$kitersPerMs,"calib_sink":${x & 1}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val envJson = envFingerprint() // before any Spark work: idle-box calibration
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -215,7 +245,7 @@ object Bench {
         s""""probe_only":${ps.map("\"" + _ + "\"").mkString("[", ",", "]")},""").toSeq ++
       (if (skipIngest) Seq(""""skip_ingest":true,""") else Nil)).mkString
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$knobs"ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"ingest_lm_index_sec":$lmIngestSec,"ingest_phash_index_sec":$phashIngestSec,"ingest_sketch_index_sec":$sketchIngestSec,"ingest_line_index_sec":$lineIngestSec,"ingest_wgram_index_sec":$wgramIngestSec,"ingest_edge_index_sec":$edgeIngestSec,"ingest_curation_state_sec":$curationIngestSec,"ingest_failed":${ingestFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$envJson,$knobs"ingest_shingle_index_sec":$ingestSec,"ingest_cluster_index_sec":$clusterIngestSec,"ingest_lm_index_sec":$lmIngestSec,"ingest_phash_index_sec":$phashIngestSec,"ingest_sketch_index_sec":$sketchIngestSec,"ingest_line_index_sec":$lineIngestSec,"ingest_wgram_index_sec":$wgramIngestSec,"ingest_edge_index_sec":$edgeIngestSec,"ingest_curation_state_sec":$curationIngestSec,"ingest_failed":${ingestFailed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$detail,"shuffle_bytes":$shufJson,"sync":$syncJson,"failed":${failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val qs = results.map { case (k, v) => s""""$k":${math.round(v * 1000)}""" }
       .mkString("{", ",", "}")
     val totalR = math.round(total * 1000) / 1000.0
