@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Exists, Expression, GetStructField, InSubquery, ListQuery, NamedExpression, Not, OuterReference, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, AttributeSet, EqualTo, Exists, Expression, GetStructField, InSubquery, ListQuery, NamedExpression, Not, OuterReference, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -343,9 +343,150 @@ object SqlDml {
     }
   }
 
+  // ------------------------------------------ scalar subqueries in SET
+
+  private[sql] def scalarName(i: Int) = s"__scalar_$i"
+  private[sql] def scKeyName(i: Int, j: Int) = s"__sc${i}_k$j"
+  private[sql] def scCntName(i: Int) = s"__sc${i}_cnt"
+  private[sql] def scMarkName(i: Int) = s"__sc${i}_m"
+
+  /** One routed scalar subquery inside an UPDATE SET expression. */
+  private[sql] sealed trait ScalarSetSpec { def idx: Int }
+
+  /** Uncorrelated: one global probe at run time (NULL when empty,
+    * loud error past one row — SQL scalar cardinality).
+    */
+  private[sql] case class UncorrScalar(
+      idx: Int, plan: LogicalPlan,
+      dt: org.apache.spark.sql.types.DataType) extends ScalarSetSpec
+
+  /** Correlated global aggregate: the decorrelated frame groups by the
+    * correlation keys (exactly one row per key by construction).
+    * `emptyEval` is the SAME aggregate over an empty relation — its
+    * runtime value is what the per-row subquery yields for an outer
+    * row with NO matching inner rows (NULL for sum/max/min/avg, 0 for
+    * count, whatever the expression computes in general — evaluated,
+    * never guessed, so the classic decorrelation count bug cannot
+    * happen), substituted wherever the outer join found no group.
+    */
+  private[sql] case class CorrAggScalar(
+      idx: Int, frame: LogicalPlan, joinKeys: Seq[(String, String)],
+      emptyEval: LogicalPlan) extends ScalarSetSpec
+
+  /** Correlated row SELECT (optionally DISTINCT): the frame carries
+    * one row per inner row; the command groups per key and REFUSES at
+    * run time when any UPDATED row sees more than one — the SQL
+    * "scalar subquery returned more than one row" error, checked only
+    * for rows the statement actually touches. No-match rows read NULL
+    * through the outer join, which IS the empty-subquery value here.
+    */
+  private[sql] case class CorrRowScalar(
+      idx: Int, frame: LogicalPlan,
+      joinKeys: Seq[(String, String)]) extends ScalarSetSpec
+
+  private def reAlias(v: NamedExpression, name: String): NamedExpression = v match {
+    case Alias(c, _) => Alias(c, name)()
+    case other => Alias(other, name)()
+  }
+
+  private def buildScalarSpec(s: ScalarSubquery, idx: Int): ScalarSetSpec = {
+    if (s.outerAttrs.isEmpty) return UncorrScalar(idx, s.plan, s.dataType)
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => strip(child)
+      case other => other
+    }
+    def keyed(pairs: Seq[(AttributeReference, Expression)]): Seq[NamedExpression] =
+      pairs.zipWithIndex.map { case ((_, inner), j) =>
+        Alias(inner, scKeyName(idx, j))() : NamedExpression
+      }
+    def keys(pairs: Seq[(AttributeReference, Expression)]): Seq[(String, String)] =
+      pairs.zipWithIndex.map { case ((a, _), j) => (a.name, scKeyName(idx, j)) }
+    strip(s.plan) match {
+      case Aggregate(Nil, Seq(v), f @ Filter(_, _), _) =>
+        if (v.exists(containsOuter)) refuse(
+          "the scalar subquery's aggregate expression may not reference the outer row")
+        val (pairs, cleaned) = extractCorrelation(f.condition, f.child)
+        if (pairs.isEmpty) refuse(
+          "scalar-subquery correlation is not a top-level WHERE conjunct of the subquery")
+        CorrAggScalar(idx,
+          Aggregate(pairs.map(_._2), keyed(pairs) :+ reAlias(v, scalarName(idx)), cleaned, None),
+          keys(pairs),
+          Aggregate(Nil, Seq(reAlias(v, scalarName(idx))),
+            LocalRelation(cleaned.output), None))
+      case Aggregate(g, _, _, _) if g.nonEmpty => refuse(
+        "GROUP BY inside a scalar SET subquery is not routed (one global aggregate only)")
+      case other =>
+        val (isDistinct, body) = other match {
+          case Distinct(child) => (true, strip(child))
+          case p => (false, p)
+        }
+        body match {
+          case Project(Seq(v), f @ Filter(_, _)) =>
+            if (v.exists(containsOuter)) refuse(
+              "the scalar subquery's SELECT expression may not reference the outer row")
+            val (pairs, cleaned) = extractCorrelation(f.condition, f.child)
+            if (pairs.isEmpty) refuse(
+              "scalar-subquery correlation is not a top-level WHERE conjunct of the subquery")
+            val proj = Project(keyed(pairs) :+ reAlias(v, scalarName(idx)), cleaned)
+            CorrRowScalar(idx, if (isDistinct) Distinct(proj) else proj, keys(pairs))
+          case _ => refuse(
+            "a correlated scalar SET subquery must be a global aggregate or a " +
+              "single-column SELECT [DISTINCT] with its correlation in the top WHERE")
+        }
+    }
+  }
+
+  /** `UPDATE … SET col = (SELECT …) …`: every scalar subquery in a SET
+    * expression becomes a synthetic column of the classified view —
+    * uncorrelated ones as one runtime probe, correlated ones
+    * decorrelated onto per-key frames joined in ONE distributed outer
+    * join each — and the assignment expression evaluates over those
+    * columns with full pre-update-row semantics. The WHERE must be
+    * subquery-free (combine shapes refuse loudly rather than
+    * half-route).
+    */
+  private def translateScalarSetUpdate(
+      t: IceliteTable, assignments: Seq[Assignment],
+      cond: Option[Expression]): LogicalPlan = {
+    cond.foreach { c =>
+      if (c.exists(_.isInstanceOf[SubqueryExpression])) refuse(
+        "scalar-subquery SET combined with a subquery WHERE is not routed")
+    }
+    val (scalarAssigns, plainAssigns) =
+      assignments.partition(_.value.exists(_.isInstanceOf[ScalarSubquery]))
+    val plainSet = buildUpdateSet(plainAssigns, unqualify,
+      n => ColumnBridge.column(UnresolvedAttribute.quoted(n)))
+    var specs = Vector.empty[ScalarSetSpec]
+    val scalarSet = scalarAssigns.map { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => refuse(
+          s"a scalar-subquery assignment must target a whole column (got ${other.sql})")
+      }
+      val replaced = a.value.transform {
+        case s: ScalarSubquery =>
+          val spec = buildScalarSpec(s, specs.size)
+          specs = specs :+ spec
+          UnresolvedAttribute.quoted(scalarName(spec.idx))
+      }
+      if (replaced.exists(_.isInstanceOf[SubqueryExpression])) refuse(
+        "only scalar subqueries are routed inside UPDATE SET expressions")
+      name -> ColumnBridge.column(replaced.transform {
+        case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
+      })
+    }
+    val dups = (scalarSet.map(_._1) ++ plainSet.keys)
+      .groupBy(identity).filter(_._2.size > 1).keys
+    if (dups.nonEmpty) refuse(s"multiple assignments to ${dups.mkString(", ")}")
+    IceliteScalarSetUpdateCommand(t, specs,
+      cond.map(unqualify).getOrElse(lit(true)), plainSet ++ scalarSet)
+  }
+
   private[sql] def translateUpdate(
       t: IceliteTable, assignments: Seq[Assignment],
       cond: Option[Expression]): LogicalPlan = {
+    if (assignments.exists(_.value.exists(_.isInstanceOf[ScalarSubquery])))
+      return translateScalarSetUpdate(t, assignments, cond)
     val set = buildUpdateSet(assignments, unqualify,
       n => ColumnBridge.column(UnresolvedAttribute.quoted(n)))
     cond match {
@@ -744,6 +885,84 @@ case class IceliteCorrelatedDmlCommand(
     }
     if (isDelete) table.deleteMatching(classify)
     else table.updateMatching(classify, set)
+    Seq.empty
+  }
+}
+
+/** `UPDATE … SET col = (SELECT …) [WHERE local]` → ONE coordinate-based
+  * MoR commit. Each scalar subquery lands as a synthetic column of the
+  * classified view: uncorrelated = one runtime probe (NULL when empty,
+  * loud error past one row); correlated aggregate = the decorrelated
+  * per-key frame LEFT-OUTER-joined on the correlation keys, with the
+  * aggregate's own empty-input value (EVALUATED over an empty
+  * relation at run time — 0 for count, NULL for sum/max, whatever the
+  * expression computes — never pattern-guessed, so the classic
+  * decorrelation count bug cannot happen) substituted where no group
+  * matched; correlated row SELECT = the same join plus a runtime
+  * cardinality check scoped to rows the statement ACTUALLY updates.
+  * The SET expressions then evaluate over the enriched pre-update row
+  * inside [[IceliteTable.updateMatching]]'s single simultaneous
+  * projection.
+  *
+  * Scale: one distributed outer join per distinct scalar subquery
+  * (small per-key frames broadcast under AQE), one MoR commit — no
+  * per-row subquery re-execution at any size.
+  */
+case class IceliteScalarSetUpdateCommand(
+    table: IceliteTable, specs: Seq[SqlDml.ScalarSetSpec],
+    cond: Column, set: Map[String, Column])
+  extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, count, first, lit, when}
+    import SqlDml.{scalarName, scCntName, scMarkName}
+    def classify(visible: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val synthetic = specs.flatMap {
+        case SqlDml.UncorrScalar(i, _, _) => Seq(scalarName(i))
+        case SqlDml.CorrAggScalar(i, _, ks, _) =>
+          scalarName(i) +: scMarkName(i) +: ks.map(_._2)
+        case SqlDml.CorrRowScalar(i, _, ks) =>
+          scalarName(i) +: scCntName(i) +: ks.map(_._2)
+      }
+      synthetic.foreach { s =>
+        require(!visible.columns.contains(s), s"table may not carry $s") }
+      var df = visible.filter(cond)
+      specs.foreach {
+        case SqlDml.UncorrScalar(i, plan, dt) =>
+          val rows = ColumnBridge.ofRows(sparkSession, plan).limit(2).collect()
+          if (rows.length > 1) throw new IllegalStateException(
+            "scalar subquery in SET returned more than one row")
+          val v = rows.headOption.map(_.get(0)).orNull
+          df = df.withColumn(scalarName(i), lit(v).cast(dt))
+        case SqlDml.CorrAggScalar(i, frame, ks, emptyEval) =>
+          val f = ColumnBridge.ofRows(sparkSession, frame)
+            .withColumn(scMarkName(i), lit(true))
+          val dt = f.schema(scalarName(i)).dataType
+          val fbRow = ColumnBridge.ofRows(sparkSession, emptyEval).collect()(0)
+          val fb = if (fbRow.isNullAt(0)) lit(null).cast(dt)
+            else lit(fbRow.get(0)).cast(dt)
+          val on = ks.map { case (v, s) => df(v) === f(s) }.reduce(_ && _)
+          df = df.join(f, on, "left_outer")
+            .withColumn(scalarName(i),
+              when(col(scMarkName(i)).isNull, fb).otherwise(col(scalarName(i))))
+            .drop(scMarkName(i)).drop(ks.map(_._2): _*)
+        case SqlDml.CorrRowScalar(i, frame, ks) =>
+          val f = ColumnBridge.ofRows(sparkSession, frame)
+            .groupBy(ks.map(k => col(k._2)): _*)
+            .agg(first(col(scalarName(i))).as(scalarName(i)),
+              count(lit(1)).as(scCntName(i)))
+          val on = ks.map { case (v, s) => df(v) === f(s) }.reduce(_ && _)
+          df = df.join(f, on, "left_outer").drop(ks.map(_._2): _*)
+      }
+      val cnts = specs.collect { case r: SqlDml.CorrRowScalar => scCntName(r.idx) }
+      if (cnts.nonEmpty) {
+        if (!df.filter(cnts.map(c => col(c) > 1).reduce(_ || _)).isEmpty)
+          throw new IllegalStateException(
+            "scalar subquery in SET returned more than one row for an updated row")
+        df = df.drop(cnts: _*)
+      }
+      df
+    }
+    table.updateMatching(classify, set)
     Seq.empty
   }
 }

@@ -465,6 +465,95 @@ object SqlSurface {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // --------------------------------------------- table_sql_update_scalar
+
+  /** Scalar subqueries in UPDATE SET ([[SqlDml]] →
+    * [[IceliteScalarSetUpdateCommand]]): a correlated COUNT (the
+    * empty-input value is EVALUATED, so zero-match rows get 0, not
+    * NULL — no decorrelation count bug), a correlated SUM composed
+    * inside a larger SET expression (`cents + coalesce((SELECT …),
+    * 0)`), a correlated DISTINCT row SELECT (NULL where no row
+    * qualifies), and an uncorrelated global probe — each statement
+    * ONE distributed outer join + ONE coordinate MoR commit. The
+    * oracle runs the identical per-row algebra natively in DuckDB.
+    */
+  def tableSqlUpdateScalar(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(29)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        lit(null).cast("long").as("n_heavy"))
+    val table = freshTable(spark, wh, "analytics", "orders_scalar", src.schema)
+    table.append(src)
+    t(spark, dir, "lineitem").createOrReplaceTempView("scalar_li")
+    // correlated aggregates: count fills 0 on no-match; the sum
+    // composes inside coalesce + arithmetic around the subquery
+    spark.sql(
+      s"""UPDATE $CatName.analytics.orders_scalar SET
+         |  n_heavy = (SELECT count(*) FROM scalar_li
+         |             WHERE l_orderkey = o_orderkey AND l_quantity > 45),
+         |  cents = cents + coalesce(
+         |    (SELECT CAST(sum(l_quantity) AS BIGINT) FROM scalar_li
+         |     WHERE l_orderkey = o_orderkey AND l_quantity > 45), 0)
+         |WHERE o_orderstatus <> 'P'""".stripMargin)
+    // correlated DISTINCT row SELECT: NULL where no line qualifies
+    spark.sql(
+      s"""UPDATE $CatName.analytics.orders_scalar
+         |SET o_orderstatus = (SELECT DISTINCT 'H' FROM scalar_li
+         |                     WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+         |WHERE o_orderstatus = 'F'""".stripMargin)
+    // uncorrelated scalar: one global probe
+    spark.sql(
+      s"""UPDATE $CatName.analytics.orders_scalar
+         |SET cents = cents - (SELECT CAST(min(l_orderkey) AS BIGINT)
+         |                     FROM scalar_li WHERE l_quantity > 49.5)
+         |WHERE o_orderstatus = 'O'""".stripMargin)
+    spark.sql(
+      s"""SELECT coalesce(o_orderstatus, 'none') AS status, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  CAST(sum(n_heavy) AS BIGINT) AS sum_heavy
+         |FROM $CatName.analytics.orders_scalar
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  private val tableSqlUpdateScalarOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(NULL AS BIGINT) AS n_heavy
+      |  FROM orders WHERE o_orderkey % 29 = 0),
+      |upd1 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus <> 'P'
+      |      THEN cents + coalesce((SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem
+      |                             WHERE l_orderkey = base.o_orderkey AND l_quantity > 45), 0)
+      |      ELSE cents END AS cents,
+      |    CASE WHEN o_orderstatus <> 'P'
+      |      THEN (SELECT count(*) FROM lineitem
+      |            WHERE l_orderkey = base.o_orderkey AND l_quantity > 45)
+      |      ELSE n_heavy END AS n_heavy
+      |  FROM base),
+      |upd2 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderstatus = 'F'
+      |      THEN (SELECT DISTINCT 'H' FROM lineitem
+      |            WHERE l_orderkey = upd1.o_orderkey AND l_quantity > 49)
+      |      ELSE o_orderstatus END AS o_orderstatus,
+      |    cents, n_heavy
+      |  FROM upd1),
+      |upd3 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'O'
+      |      THEN cents - (SELECT CAST(min(l_orderkey) AS BIGINT) FROM lineitem
+      |                    WHERE l_quantity > 49.5)
+      |      ELSE cents END AS cents, n_heavy
+      |  FROM upd2)
+      |SELECT coalesce(o_orderstatus, 'none') AS status, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(sum(n_heavy) AS BIGINT) AS sum_heavy
+      |FROM upd3 GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------- table_sql_merge
 
   /** SQL MERGE INTO through the catalog ([[IceliteDmlRule]] →
@@ -1156,5 +1245,8 @@ object SqlSurface {
     GraftQuery("table_sql_dml_exists", tableSqlDmlExists _, Some(tableSqlDmlExistsOracle),
       "correlated EXISTS / IN and NOT EXISTS DML: decorrelated semi/anti-join coordinate commits"),
     GraftQuery("table_sql_changes", tableSqlChanges _, Some(tableSqlChangesOracle),
-      "batch SQL changelog via the $changes(from,to) selector: one-shot CDC reconciliation in SQL"))
+      "batch SQL changelog via the $changes(from,to) selector: one-shot CDC reconciliation in SQL"),
+    GraftQuery("table_sql_update_scalar", tableSqlUpdateScalar _,
+      Some(tableSqlUpdateScalarOracle),
+      "scalar subqueries in UPDATE SET: correlated count/sum, DISTINCT row select, uncorrelated probe"))
 }

@@ -28,6 +28,10 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     t
   }
 
+  private def chainMsg(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
   private def state(name: String): Seq[(Long, String, Long)] =
     IceliteTable.load(spark, wh, "ns", name).read()
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
@@ -428,6 +432,97 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     spark.sql(
       "DELETE FROM dml.ns.t_uex WHERE NOT EXISTS (SELECT 1 FROM uex_src WHERE x > 1000)")
     assert(state("t_uex").isEmpty)
+  }
+
+  test("SET with a correlated aggregate scalar subquery: per-key value, NULL when no group") {
+    import spark.implicits._
+    // v nullable: a no-group row legitimately becomes NULL (sum over
+    // empty); on a NOT NULL column the engine's enforcement refuses
+    val df = Seq((1L, "a", Option(10L)), (2L, "b", Option(20L)), (3L, "c", Option(30L)))
+      .toDF("k", "s", "v")
+    IceliteTable.create(spark, wh, "ns", "t_scal", df.schema).append(df)
+    Seq((1L, 5L), (1L, 7L), (3L, 100L)).toDF("fk", "q").createOrReplaceTempView("scal_src")
+    spark.sql(
+      """UPDATE dml.ns.t_scal
+        |SET v = (SELECT CAST(sum(q) AS BIGINT) FROM scal_src WHERE fk = k)
+        |WHERE k <= 2""".stripMargin)
+    // k=1 sums its two lines; k=2 has NO lines -> sum over empty = NULL
+    val rows = IceliteTable.load(spark, wh, "ns", "t_scal").read()
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sorted.toSeq
+    assert(rows == Seq((1L, Some(12L)), (2L, None), (3L, Some(30L))))
+  }
+
+  test("SET with a correlated count: zero-match rows get 0, not NULL (no count bug)") {
+    import spark.implicits._
+    mk("t_scnt", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    Seq((1L, 5L), (1L, 7L)).toDF("fk", "q").createOrReplaceTempView("scnt_src")
+    // the empty-aggregate value is EVALUATED (count over empty = 0),
+    // and the scalar composes inside a larger SET expression
+    spark.sql(
+      """UPDATE dml.ns.t_scnt
+        |SET v = v + 100 * (SELECT count(*) FROM scnt_src WHERE fk = k)""".stripMargin)
+    assert(state("t_scnt") == Seq((1L, "a", 210L), (2L, "b", 20L)))
+  }
+
+  test("SET with a correlated row SELECT: DISTINCT dedupes; multi-row errors only for touched rows") {
+    import spark.implicits._
+    mk("t_srow", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    Seq((1L, "X"), (1L, "X"), (2L, "Y"), (2L, "Z")).toDF("fk", "tag")
+      .createOrReplaceTempView("srow_src")
+    // DISTINCT collapses k=1's duplicate 'X'; k=3 has no row -> NULL
+    spark.sql(
+      """UPDATE dml.ns.t_srow
+        |SET s = (SELECT DISTINCT tag FROM srow_src WHERE fk = k)
+        |WHERE k <> 2""".stripMargin)
+    val rows = IceliteTable.load(spark, wh, "ns", "t_srow").read()
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
+    assert(rows == Seq((1L, Some("X")), (2L, Some("b")), (3L, None)))
+    // k=2 sees two DISTINCT tags: updating it must fail loudly with state untouched
+    val e = intercept[Exception](spark.sql(
+      """UPDATE dml.ns.t_srow
+        |SET s = (SELECT DISTINCT tag FROM srow_src WHERE fk = k)
+        |WHERE k = 2""".stripMargin))
+    assert(chainMsg(e).contains("more than one row"), chainMsg(e))
+    assert(IceliteTable.load(spark, wh, "ns", "t_srow").read()
+      .filter(col("k") === 2).collect()(0).getString(1) == "b")
+  }
+
+  test("SET with an uncorrelated scalar subquery: one probe; empty -> NULL; >1 row errors") {
+    import spark.implicits._
+    mk("t_sunc", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    Seq(7L).toDF("x").createOrReplaceTempView("sunc_src")
+    spark.sql(
+      "UPDATE dml.ns.t_sunc SET v = v + (SELECT max(x) FROM sunc_src) WHERE k = 1")
+    assert(state("t_sunc") == Seq((1L, "a", 17L), (2L, "b", 20L)))
+    Seq(1L, 2L).toDF("x").createOrReplaceTempView("sunc_multi")
+    val e = intercept[Exception](spark.sql(
+      "UPDATE dml.ns.t_sunc SET v = (SELECT x FROM sunc_multi)"))
+    assert(chainMsg(e).contains("more than one row"), chainMsg(e))
+    assert(state("t_sunc") == Seq((1L, "a", 17L), (2L, "b", 20L)))
+  }
+
+  test("scalar-SET shapes the route cannot express refuse loudly") {
+    import spark.implicits._
+    mk("t_sref", Seq((1L, "a", 10L)))
+    Seq((1L, 5L)).toDF("fk", "q").createOrReplaceTempView("sref_src")
+    // GROUP BY inside the scalar subquery
+    val e1 = intercept[UnsupportedOperationException](spark.sql(
+      """UPDATE dml.ns.t_sref
+        |SET v = (SELECT max(q) FROM sref_src WHERE fk = k GROUP BY fk)""".stripMargin))
+    assert(e1.getMessage.contains("GROUP BY"), e1.getMessage)
+    // combining a scalar SET with a subquery WHERE
+    val e2 = intercept[UnsupportedOperationException](spark.sql(
+      """UPDATE dml.ns.t_sref
+        |SET v = (SELECT max(q) FROM sref_src WHERE fk = k)
+        |WHERE k IN (SELECT fk FROM sref_src)""".stripMargin))
+    assert(e2.getMessage.contains("subquery WHERE"), e2.getMessage)
+    // non-equality correlation inside the scalar subquery
+    val e3 = intercept[UnsupportedOperationException](spark.sql(
+      """UPDATE dml.ns.t_sref
+        |SET v = (SELECT max(q) FROM sref_src WHERE fk > k)""".stripMargin))
+    assert(e3.getMessage.contains("equality"), e3.getMessage)
+    assert(state("t_sref") == Seq((1L, "a", 10L)))
   }
 
   test("correlated shapes the join cannot express refuse loudly") {
