@@ -222,6 +222,19 @@ class IceliteViewParser(session: SparkSession, delegate: ParserInterface)
           curCat, curNs): LogicalPlan
       }.getOrElse(a)
 
+    case d @ DescribeRelation(UnresolvedTableOrView(parts, _, _), partitionSpec,
+        isExtended, output) if !isTempShadowed(parts) =>
+      storedView(session, parts).map { case (catName, _, ident, meta) =>
+        if (partitionSpec.nonEmpty) refuse("DESCRIBE ... PARTITION targets a view")
+        IceliteDescribeViewCommand(catName, ident, meta, isExtended, output): LogicalPlan
+      }.getOrElse(d)
+
+    case s @ ShowCreateTable(UnresolvedTableOrView(parts, _, _), _, output)
+        if !isTempShadowed(parts) =>
+      storedView(session, parts).map { case (catName, _, ident, meta) =>
+        IceliteShowCreateViewCommand(catName, ident, meta, output): LogicalPlan
+      }.getOrElse(s)
+
     case r @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true)
         if !isTempShadowed(parts) =>
       resolveParts(session, parts).map { case (catName, cat, ident) =>
@@ -459,6 +472,51 @@ case class IceliteAlterViewPropsCommand(
     val changes = sets ++ unsetKeys.map(ViewChange.removeProperty)
     catalog.alterView(ident, changes: _*)
     Seq.empty
+  }
+}
+
+/** `DESCRIBE [EXTENDED] <view>` — the stored output contract (the
+  * pinned names/types every read is projected to), plus the view
+  * metadata block under EXTENDED, mirroring the session catalog's
+  * describe-view shape.
+  */
+case class IceliteDescribeViewCommand(
+    catName: String, ident: Identifier, meta: IceliteViewMeta,
+    isExtended: Boolean, override val output: Seq[Attribute])
+  extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val cols = meta.schema.fields.zip(meta.outputNames)
+      .zip(meta.columnComments.padTo(meta.schema.fields.length, None))
+      .map { case ((f, n), c) => Row(n, f.dataType.simpleString, c.orNull) }
+    val extended = if (!isExtended) Nil else Seq(
+      Row("", "", ""),
+      Row("# Detailed View Information", "", ""),
+      Row("Catalog", catName, ""),
+      Row("Namespace", ident.namespace().mkString("."), ""),
+      Row("View Name", ident.name(), ""),
+      Row("View Text", meta.sql, ""),
+      Row("View Creation Context",
+        (meta.currentCatalog +: meta.currentNamespace).mkString("."), "")) ++
+      meta.properties.toSeq.sortBy(_._1).map { case (k, v) => Row(s"View Property: $k", v, "") }
+    (cols ++ extended).toSeq
+  }
+}
+
+/** `SHOW CREATE TABLE <view>` — replayable DDL from the stored
+  * definition (alias list included when the view pinned one).
+  */
+case class IceliteShowCreateViewCommand(
+    catName: String, ident: Identifier, meta: IceliteViewMeta,
+    override val output: Seq[Attribute])
+  extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val name = (Seq(catName) ++ ident.namespace().toSeq :+ ident.name())
+      .map(p => s"`${p.replace("`", "``")}`").mkString(".")
+    val aliases = if (meta.columnAliases.nonEmpty)
+      meta.columnAliases.map(a => s"`${a.replace("`", "``")}`")
+        .mkString(" (", ", ", ")")
+    else ""
+    Seq(Row(s"CREATE VIEW $name$aliases AS\n${meta.sql}\n"))
   }
 }
 

@@ -218,4 +218,27 @@ class IceliteViewSpec extends AnyFunSuite with SparkFixture {
     intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.vns"))
     spark.sql(s"DROP NAMESPACE $cat.vns CASCADE")
   }
+
+  test("DESCRIBE and SHOW CREATE TABLE work on a stored view") {
+    seed("t_desc")
+    spark.sql(s"CREATE VIEW $cat.ns.v_desc (kk, total) AS " +
+      s"SELECT k, v + 1 AS vp FROM $cat.ns.t_desc WHERE k <= 3")
+    // plain DESCRIBE: the pinned output contract (alias names + types)
+    val d = spark.sql(s"DESCRIBE TABLE $cat.ns.v_desc").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(d.toSeq == Seq(("kk", "bigint"), ("total", "bigint")))
+    // EXTENDED carries the view metadata block
+    val ext = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.ns.v_desc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext("View Name") == "v_desc")
+    assert(ext("View Text").contains("FROM"))
+    assert(ext("Catalog") == cat)
+    // SHOW CREATE TABLE emits replayable DDL incl. the alias list
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.ns.v_desc").collect().head.getString(0)
+    assert(ddl.startsWith(s"CREATE VIEW `$cat`.`ns`.`v_desc` (`kk`, `total`) AS"), ddl)
+    assert(ddl.contains("SELECT k, v + 1 AS vp"), ddl)
+    // tables keep Spark's own DESCRIBE path (not intercepted)
+    val td = spark.sql(s"DESCRIBE TABLE $cat.ns.t_desc").collect().map(_.getString(0))
+    assert(td.contains("k") && td.contains("cat") && td.contains("v"))
+  }
 }
