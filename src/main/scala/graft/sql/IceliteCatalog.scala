@@ -330,9 +330,22 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
         t.dropColumn(d.fieldNames()(0))
       case d: TableChange.DeleteColumn if d.fieldNames().length == 2 =>
         t.dropNestedField(d.fieldNames()(0), d.fieldNames()(1))
+      case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
+        // metadata-only type WIDENING (Iceberg promotion); the engine
+        // validates the lossless lattice and refuses anything else
+        t.widenColumn(u.fieldNames()(0), u.newDataType())
+      case c: TableChange.UpdateColumnComment if c.fieldNames().length == 1 =>
+        t.setColumnComment(c.fieldNames()(0), c.newComment())
+      case n: TableChange.UpdateColumnNullability if n.fieldNames().length == 1 =>
+        if (n.nullable()) t.relaxNullability(n.fieldNames()(0))
+        else throw new UnsupportedOperationException(
+          s"ALTER COLUMN ${n.fieldNames()(0)} SET NOT NULL: tightening nullability " +
+            "needs a full-scan proof over every live row — filter/rewrite instead " +
+            "(DROP NOT NULL, the safe direction, is metadata-only)")
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other: icelite supports top-level ADD/RENAME/DROP " +
-          "COLUMN, struct-field ADD/RENAME/DROP, and SET/UNSET TBLPROPERTIES")
+          "COLUMN (+ struct fields), TYPE widening, COMMENT, DROP NOT NULL, and " +
+          "SET/UNSET TBLPROPERTIES")
     }
     loadTable(ident)
   }

@@ -465,6 +465,57 @@ object SqlSurface {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------- table_sql_widen
+
+  /** Metadata-only type widening through SQL (`ALTER TABLE … ALTER
+    * COLUMN … TYPE BIGINT` → [[IceliteTable.widenColumn]], Iceberg's
+    * type promotion): epoch-1 files store INT, the widen commits
+    * without rewriting a byte, epoch-2 rows land values past the int
+    * range, and one aggregate + predicate reads BOTH vintages exactly
+    * (pre-widen files read natively narrow and cast up in the
+    * projection). The oracle recomputes both epochs under BIGINT.
+    */
+  def tableSqlWiden(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice")).cast("int").as("points"))
+    val table = freshTable(spark, wh, "analytics", "orders_widen", src.schema)
+    table.append(src.filter(pmod(col("o_orderkey"), lit(2)) === 1)) // epoch 1: INT
+    spark.sql(
+      s"ALTER TABLE $CatName.analytics.orders_widen ALTER COLUMN points TYPE BIGINT")
+    src.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("points", col("points").cast("long") * 100000L)
+      .createOrReplaceTempView("widen_src") // epoch 2: past the int range
+    spark.sql(
+      s"INSERT INTO $CatName.analytics.orders_widen SELECT * FROM widen_src")
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(points) AS BIGINT) AS sum_points,
+         |  CAST(max(points) AS BIGINT) AS max_points
+         |FROM $CatName.analytics.orders_widen
+         |WHERE points > 1000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val tableSqlWidenOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice) AS INTEGER) AS points
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |all_rows AS (
+      |  SELECT o_orderstatus, CAST(points AS BIGINT) AS points
+      |  FROM base WHERE o_orderkey % 2 = 1
+      |  UNION ALL
+      |  SELECT o_orderstatus, CAST(points AS BIGINT) * 100000
+      |  FROM base WHERE o_orderkey % 2 = 0)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(points) AS BIGINT) AS sum_points,
+      |  CAST(max(points) AS BIGINT) AS max_points
+      |FROM all_rows WHERE points > 1000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // --------------------------------------------- table_sql_update_scalar
 
   /** Scalar subqueries in UPDATE SET ([[SqlDml]] →
@@ -1248,5 +1299,7 @@ object SqlSurface {
       "batch SQL changelog via the $changes(from,to) selector: one-shot CDC reconciliation in SQL"),
     GraftQuery("table_sql_update_scalar", tableSqlUpdateScalar _,
       Some(tableSqlUpdateScalarOracle),
-      "scalar subqueries in UPDATE SET: correlated count/sum, DISTINCT row select, uncorrelated probe"))
+      "scalar subqueries in UPDATE SET: correlated count/sum, DISTINCT row select, uncorrelated probe"),
+    GraftQuery("table_sql_widen", tableSqlWiden _, Some(tableSqlWidenOracle),
+      "metadata-only ALTER COLUMN TYPE widening: mixed INT/BIGINT epochs aggregate exactly"))
 }

@@ -1711,8 +1711,10 @@ final class IceliteTable private (
         col("_metadata.row_index").as(PosCol))
     else Nil
     // per target column: (stored top-level name or None, nested
-    // field-name vector — Nil for non-structs and identity mappings)
-    type ColMap = (Option[String], Seq[(String, Option[String])])
+    // field-name vector — Nil for non-structs and identity mappings,
+    // pre-widen stored type or None)
+    type ColMap = (Option[String], Seq[(String, Option[String])],
+      Option[org.apache.spark.sql.types.DataType])
     def readGroup(names: Seq[ColMap], fs: Seq[String]): DataFrame = {
       // a nested-evolved struct reads under its STORED shape (present
       // fields only, stored names) and is rebuilt to the target shape
@@ -1726,15 +1728,19 @@ final class IceliteTable private (
         case dt => dt
       }
       val present = target.fields.toSeq.zip(names).collect {
-        case (f, (Some(n), nested)) => f.copy(name = n, dataType = storedType(f, nested))
+        case (f, (Some(n), nested, widenFrom)) =>
+          f.copy(name = n, dataType = widenFrom.getOrElse(storedType(f, nested)))
       }
       val readSchema = StructType(present.toArray).add(SeqCol, "long")
       spark.read
         .schema(addPartitionFields(readSchema, m.partitioning))
         .parquet(fs.map(abs): _*)
         .select((target.fields.toSeq.zip(names).map {
-          case (f, (Some(n), Nil)) => col(n).as(f.name)
-          case (f, (Some(n), nested)) =>
+          // pre-widen epoch: read under the stored NARROW type, cast up
+          // in the projection (lossless by the widens lattice)
+          case (f, (Some(n), Nil, Some(_))) => col(n).cast(f.dataType).as(f.name)
+          case (f, (Some(n), Nil, None)) => col(n).as(f.name)
+          case (f, (Some(n), nested, _)) =>
             val st = f.dataType.asInstanceOf[StructType]
             val rebuilt = struct(st.fields.toSeq.zip(nested).map {
               case (sf, (_, Some(sn))) => col(n).getField(sn).as(sf.name)
@@ -1745,24 +1751,24 @@ final class IceliteTable private (
               .otherwise(rebuilt).as(f.name)
           // absent from this epoch's files: the declared initial
           // default if one exists (addColumnWithDefault), else null
-          case (f, (None, _)) =>
+          case (f, (None, _, _)) =>
             defaultLit(m.properties, f.name).getOrElse(lit(null))
               .cast(f.dataType).as(f.name)
         } :+ col(SeqCol)) ++ posCols: _*)
     }
     if (schemaOps(m.properties).forall(_.seq > asOf))
-      readGroup(target.fieldNames.toSeq.map(n => (Some(n), Nil)), files)
+      readGroup(target.fieldNames.toSeq.map(n => (Some(n), Nil, None)), files)
     else {
       val seqOf = m.snapshots.flatMap(s => s.dataFiles.map(_ -> s.seq)).toMap
       files.groupBy { f =>
         val fileSeq = seqOf.getOrElse(f, Long.MaxValue)
         target.fields.toSeq.map { tf =>
-          val top = nameAtFileSeq(tf.name, asOf, fileSeq)
+          val (top, widenFrom) = topAtFileSeq(tf.name, asOf, fileSeq)
           val nested = (top, tf.dataType) match {
             case (Some(_), st: StructType) => nestedNamesAtFileSeq(tf.name, st, asOf, fileSeq)
             case _ => Nil
           }
-          (top, nested): ColMap
+          (top, nested, widenFrom): ColMap
         }
       }.toSeq.map { case (names, fs) => readGroup(names, fs) }
         .reduce(_ unionByName _)
@@ -3117,6 +3123,64 @@ final class IceliteTable private (
       .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
   }
 
+  /** Metadata-only TYPE WIDENING (Iceberg's type promotion:
+    * byte→short→int→long, float→double, decimal precision growth at
+    * fixed scale). No file is rewritten: files written before the
+    * widen store the narrow type and the read path reads them
+    * natively, casting up in the projection per file epoch (the same
+    * group-split machinery as renames); [[readAt]] a pre-widen seq
+    * still serves the narrow type. Anchored columns (keys, partition
+    * sources, z-order, declared sort order) refuse — delete files and
+    * layout stats are typed at those anchors. Per-file min/max stats
+    * survive: the canonical stat encoding is type-agnostic across
+    * each widening chain.
+    */
+  def widenColumn(colName: String, to: org.apache.spark.sql.types.DataType): Long =
+    retryCommit { head =>
+      val f = head.schema.find(_.name == colName).getOrElse(
+        throw new IllegalArgumentException(s"no column '$colName' in $name"))
+      if (!IceliteTable.widens(f.dataType, to))
+        throw new IllegalArgumentException(
+          s"cannot ALTER COLUMN $colName TYPE ${to.catalogString} in $name: only lossless " +
+            "widenings (byte->short->int->long, float->double, decimal precision growth " +
+            s"at fixed scale) are metadata-only; got ${f.dataType.catalogString} -> " +
+            to.catalogString)
+      requireNotAnchored(head, colName, "widen")
+      val seq = head.lastSeq + 1
+      val newSchema = StructType(head.schema.fields.map(x =>
+        if (x.name == colName) x.copy(dataType = to) else x))
+      val ops = schemaOps(head.properties) :+ SchemaOp.Widen(colName, f.dataType, seq)
+      (head.withSchema(newSchema)
+        .copy(properties = head.properties + (SchemaOpsProp -> SchemaOp.render(ops)))
+        .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+    }
+
+  /** Metadata-only column COMMENT (ALTER COLUMN … COMMENT '…'). */
+  def setColumnComment(colName: String, comment: String): Long = retryCommit { head =>
+    val f = head.schema.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no column '$colName' in $name"))
+    val seq = head.lastSeq + 1
+    val newSchema = StructType(head.schema.fields.map(x =>
+      if (x.name == colName) x.withComment(comment) else x))
+    (head.withSchema(newSchema)
+      .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+  }
+
+  /** Metadata-only nullability RELAXATION (ALTER COLUMN … DROP NOT
+    * NULL) — always safe: existing rows satisfy the weaker contract.
+    * Tightening (SET NOT NULL) refuses at the catalog: it would need a
+    * full-scan proof over every live row.
+    */
+  def relaxNullability(colName: String): Long = retryCommit { head =>
+    val f = head.schema.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no column '$colName' in $name"))
+    val seq = head.lastSeq + 1
+    val newSchema = StructType(head.schema.fields.map(x =>
+      if (x.name == colName) x.copy(nullable = true) else x))
+    (head.withSchema(newSchema)
+      .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+  }
+
   /** Metadata-only column DROP: the column leaves the current schema
     * but no file is rewritten — existing files keep the bytes, reads
     * simply stop projecting them, and [[readAt]] a pre-drop seq still
@@ -3278,6 +3342,8 @@ final class IceliteTable private (
       StructType((pre :+ org.apache.spark.sql.types.StructField(n, dt)) ++ post)
     case SchemaOp.Add(n, _) =>
       StructType(s.fields.filterNot(_.name == n))
+    case SchemaOp.Widen(n, from, _) =>
+      StructType(s.fields.map(f => if (f.name == n) f.copy(dataType = from) else f))
     case SchemaOp.NestedRename(c, from, to, _) =>
       StructType(s.fields.map {
         case f if f.name == c => f.dataType match {
@@ -3316,25 +3382,36 @@ final class IceliteTable private (
     * if it happens to store bytes under the same name from the column's
     * previous life.
     */
-  private def nameAtFileSeq(targetName: String, asOfSeq: Long, fileSeq: Long): Option[String] =
+  /** Stored (name, narrow-type override) of `targetName` for a file
+    * written at `fileSeq`, walked backward through the op log. The
+    * type override tracks the SAME walked name as the renames unwind
+    * (a widen recorded under the column's then-current name matches
+    * exactly when the backward walk has reached that epoch); the
+    * OLDEST applicable widen wins, which is the type the file
+    * physically stores.
+    */
+  private def topAtFileSeq(targetName: String, asOfSeq: Long, fileSeq: Long)
+      : (Option[String], Option[org.apache.spark.sql.types.DataType]) =
     schemaOps(cachedMeta.properties).reverse
       .filter(op => op.seq > fileSeq && op.seq <= asOfSeq)
-      .foldLeft(Option(targetName)) {
-        case (Some(n), SchemaOp.Rename(from, to, _)) if to == n => Some(from)
+      .foldLeft((Option(targetName), Option.empty[org.apache.spark.sql.types.DataType])) {
+        case ((Some(n), w), SchemaOp.Rename(from, to, _)) if to == n => (Some(from), w)
         // an Add kills pre-add bytes ONLY when the name had a previous
         // life (reborn column): fresh first-time adds leave no bytes in
         // pre-add files, so the plain schema-fill read is already
         // null-correct and the flat single-scan fast path survives —
         // a table that only ever ADDS columns never pays a group split
-        case (Some(n), SchemaOp.Add(name, opSeq)) if name == n =>
+        case ((Some(n), _), SchemaOp.Add(name, opSeq)) if name == n =>
           // a declared initial default ALSO forces the group split:
           // pre-add files must project the default literal, which the
           // flat schema-fill path (null) cannot do. The prop is keyed
           // by the column's CURRENT name (it follows renames), which
           // is `targetName`, not the backward-walked epoch name `n`
           if (hadPreviousLife(n, opSeq) ||
-              cachedMeta.properties.contains(DefaultPropPrefix + targetName)) None
-          else Some(n)
+              cachedMeta.properties.contains(DefaultPropPrefix + targetName)) (None, None)
+          else (Some(n), None)
+        case ((Some(n), _), SchemaOp.Widen(name, from, _)) if name == n =>
+          (Some(n), Some(from))
         case (acc, _) => acc
       }
 
@@ -4714,6 +4791,25 @@ object IceliteTable {
     }
   }
 
+  /** Lossless type-widening lattice (Iceberg type promotion):
+    * byte→short→int→long, float→double, decimal precision growth at
+    * fixed scale. Everything outside it refuses — a narrowing or
+    * cross-family change cannot be metadata-only.
+    */
+  private[table] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision
+      case _ => false
+    }
+  }
+
   /** A logged metadata-only schema change. */
   sealed trait SchemaOp { def seq: Long }
   object SchemaOp {
@@ -4727,6 +4823,14 @@ object IceliteTable {
       * this, re-adding such a name silently resurrects dead data.
       */
     final case class Add(name: String, seq: Long) extends SchemaOp
+    /** Metadata-only TYPE WIDENING (Iceberg type promotion): files
+      * written before `seq` store the column as `from`; the read path
+      * reads them natively and casts up in the projection — lossless
+      * by the [[IceliteTable.widens]] lattice, so no file is ever
+      * rewritten and time travel resurrects the narrow type.
+      */
+    final case class Widen(name: String, from: org.apache.spark.sql.types.DataType,
+        seq: Long) extends SchemaOp
     /** Field rename INSIDE a struct column (`col`'s top-level name is
       * stable — mixing top renames with nested ops is refused, which
       * keeps the epoch walk keyed on one name).
@@ -4760,6 +4864,9 @@ object IceliteTable {
         case Add(n, s) =>
           val o = arr.addObject()
           o.put("op", "add"); o.put("name", n); o.put("seq", s)
+        case Widen(n, from, s) =>
+          val o = arr.addObject()
+          o.put("op", "widen"); o.put("name", n); o.put("from", from.json); o.put("seq", s)
         case NestedRename(c, f, t, s) =>
           val o = arr.addObject()
           o.put("op", "nested-rename"); o.put("col", c)
@@ -4787,6 +4894,10 @@ object IceliteTable {
               o.get("index").asInt(), o.get("seq").asLong())
           case "add" =>
             Add(o.get("name").asText(), o.get("seq").asLong())
+          case "widen" =>
+            Widen(o.get("name").asText(),
+              org.apache.spark.sql.types.DataType.fromJson(o.get("from").asText()),
+              o.get("seq").asLong())
           case "nested-rename" =>
             NestedRename(o.get("col").asText(), o.get("from").asText(),
               o.get("to").asText(), o.get("seq").asLong())

@@ -233,4 +233,31 @@ class IceliteCatalogSpec extends AnyFunSuite with SparkFixture {
       s"SELECT count(*) AS n, count(tag) AS tags FROM $cat.ns.t_evo").collect().head
     assert(got.getLong(0) == 101 && got.getLong(1) == 1)
   }
+
+  test("ALTER COLUMN TYPE widening, COMMENT, and DROP NOT NULL through SQL; refusals") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.ns.t_widen (k BIGINT NOT NULL, n INT, d DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.ns.t_widen VALUES (1, 7, 1.5)")
+    spark.sql(s"ALTER TABLE $cat.ns.t_widen ALTER COLUMN n TYPE BIGINT")
+    spark.sql(s"INSERT INTO $cat.ns.t_widen VALUES (2, 6000000000, 2.5)")
+    val rows = spark.sql(s"SELECT k, n FROM $cat.ns.t_widen ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 7L), (2L, 6000000000L)))
+    // narrowing refuses at the analyzer or the engine — either way loudly
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.ns.t_widen ALTER COLUMN d TYPE FLOAT"))
+    // comment + DROP NOT NULL are metadata-only commits
+    spark.sql(s"ALTER TABLE $cat.ns.t_widen ALTER COLUMN n COMMENT 'a counter'")
+    spark.sql(s"ALTER TABLE $cat.ns.t_widen ALTER COLUMN k DROP NOT NULL")
+    val t = IceliteTable.load(spark, wh, "ns", "t_widen")
+    assert(t.meta.schema("n").getComment().contains("a counter"))
+    assert(t.meta.schema("k").nullable)
+    // SET NOT NULL needs a full-scan proof: refused (Spark's analyzer
+    // rejects it for v2 tables before the catalog; the catalog's own
+    // refusal backstops any path that slips through)
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.ns.t_widen ALTER COLUMN k SET NOT NULL"))
+    assert(e.getMessage.contains("SET NOT NULL") ||
+      e.getMessage.contains("non-nullable"), e.getMessage)
+  }
 }

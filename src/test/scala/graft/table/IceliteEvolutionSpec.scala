@@ -243,4 +243,68 @@ class IceliteEvolutionSpec extends AnyFunSuite with SparkFixture {
     t.compact() // collapses history
     intercept[IllegalArgumentException](t.rollbackTo(s1))
   }
+
+  test("widen: int->long metadata-only, mixed epochs read exactly, time travel narrow") {
+    import scala.jdk.CollectionConverters._
+    val s = StructType(Seq(StructField("id", LongType), StructField("n", IntegerType)))
+    val t = IceliteTable.create(spark, wh(), "ns", "evw", s)
+    t.append(spark.createDataFrame(
+      Seq(Row(1L, java.lang.Integer.valueOf(7)), Row(2L, java.lang.Integer.valueOf(9))).asJava, s))
+    val preWiden = t.meta.lastSeq
+    val filesBefore = t.meta.liveDataFiles.toSet
+    t.widenColumn("n", LongType)
+    assert(t.meta.liveDataFiles.toSet == filesBefore, "metadata-only")
+    assert(t.meta.schema("n").dataType == LongType)
+    // post-widen epoch stores longs beyond int range
+    val s2 = StructType(Seq(StructField("id", LongType), StructField("n", LongType)))
+    t.append(spark.createDataFrame(
+      Seq(Row(3L, java.lang.Long.valueOf(5_000_000_000L))).asJava, s2))
+    val out = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 7L), (2L, 9L), (3L, 5_000_000_000L)))
+    // the widened column aggregates across both vintages
+    assert(t.read().agg(sum(col("n"))).collect()(0).getLong(0) == 5_000_000_016L)
+    // time travel resurrects the NARROW type with the old values
+    assert(t.schemaAt(preWiden)("n").dataType == IntegerType)
+    val old = t.readAt(preWiden).orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(old.toSeq == Seq((1L, 7), (2L, 9)))
+  }
+
+  test("widen composes with rename across epochs; predicates work on every vintage") {
+    import scala.jdk.CollectionConverters._
+    val s = StructType(Seq(StructField("id", LongType), StructField("n", IntegerType)))
+    val t = IceliteTable.create(spark, wh(), "ns", "evwr", s)
+    t.append(spark.createDataFrame(Seq(Row(1L, java.lang.Integer.valueOf(7))).asJava, s))
+    t.widenColumn("n", LongType)
+    t.renameColumn("n", "m")
+    val s2 = StructType(Seq(StructField("id", LongType), StructField("m", LongType)))
+    t.append(spark.createDataFrame(
+      Seq(Row(2L, java.lang.Long.valueOf(6_000_000_000L))).asJava, s2))
+    // rename then widen, the other order, over the SAME table: m -> k
+    t.renameColumn("id", "key")
+    val out = t.read().filter(col("m") > 5L).orderBy("key")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 7L), (2L, 6_000_000_000L)))
+    assert(t.read().filter(col("m") > 1_000_000_000L).count() == 1)
+  }
+
+  test("widen refusals: narrowing, cross-family, anchored columns; comment + DROP NOT NULL") {
+    import scala.jdk.CollectionConverters._
+    val s = StructType(Seq(
+      StructField("id", LongType, nullable = false), StructField("n", IntegerType),
+      StructField("d", DoubleType)))
+    val t = IceliteTable.create(spark, wh(), "ns", "evref", s,
+      properties = Map("graft.delete.key.columns" -> "id"))
+    t.append(spark.createDataFrame(
+      Seq(Row(java.lang.Long.valueOf(1L), java.lang.Integer.valueOf(7), 1.5)).asJava, s))
+    intercept[IllegalArgumentException](t.widenColumn("d", FloatType)) // narrowing
+    intercept[IllegalArgumentException](t.widenColumn("n", StringType)) // cross-family
+    intercept[IllegalArgumentException](t.widenColumn("id", LongType)) // identity + anchored
+    intercept[IllegalArgumentException](t.widenColumn("nope", LongType))
+    // metadata-only comment + nullability relaxation
+    t.setColumnComment("n", "a counter")
+    assert(t.meta.schema("n").getComment().contains("a counter"))
+    assert(!t.meta.schema("id").nullable)
+    t.relaxNullability("id")
+    assert(t.meta.schema("id").nullable)
+  }
 }
