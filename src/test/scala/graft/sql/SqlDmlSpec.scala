@@ -434,6 +434,25 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(state("t_uex").isEmpty)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens a narrow target column to the source type") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS dml.ns.t_mwide")
+    spark.sql("CREATE TABLE dml.ns.t_mwide (k BIGINT, n INT)")
+    spark.sql("INSERT INTO dml.ns.t_mwide VALUES (1, 7)")
+    // the source's n is BIGINT with a past-int-range value: Spark's
+    // evolution diff requests UpdateColumnType, which lands as a
+    // metadata-only widen — pre-merge files read narrow and cast up
+    Seq((1L, 5000000000L), (2L, 9L)).toDF("k", "n").createOrReplaceTempView("mwide_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dml.ns.t_mwide t USING mwide_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET n = s.n
+        |WHEN NOT MATCHED THEN INSERT (k, n) VALUES (s.k, s.n)""".stripMargin)
+    val t = IceliteTable.load(spark, wh, "ns", "t_mwide")
+    assert(t.meta.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.read().orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 5000000000L), (2L, 9L)))
+  }
+
   test("SET with a correlated aggregate scalar subquery: per-key value, NULL when no group") {
     import spark.implicits._
     // v nullable: a no-group row legitimately becomes NULL (sum over
