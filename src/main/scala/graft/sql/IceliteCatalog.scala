@@ -699,8 +699,21 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
       override def toInsertableRelation: InsertableRelation = new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           def run(): Unit =
-            if (partFilters.nonEmpty)
-              table.overwritePartitions(data, Some(staticTouched(partFilters)))
+            if (partFilters.nonEmpty) {
+              // partition equality/IN takes the metadata-only route;
+              // any other translatable predicate is a general
+              // REPLACE WHERE (one atomic pos-delete + append commit)
+              scala.util.Try(staticTouched(partFilters)).toOption match {
+                case Some(touched) => table.overwritePartitions(data, Some(touched))
+                case None =>
+                  val conds = partFilters.flatMap(IceliteScanBuilder.toColumn)
+                  if (conds.length != partFilters.length)
+                    throw new UnsupportedOperationException(
+                      s"INSERT OVERWRITE by filter on ${table.name}: filter not " +
+                        s"translatable (${partFilters.mkString(", ")})")
+                  table.replaceWhere(data, conds.reduce(_ && _))
+              }
+            }
             else if (replaceAll || overwrite) table.overwriteAll(data)
             else table.append(data)
           if (identityClusterCols.isDefined) IceliteTable.withPreClusteredWrite(run())

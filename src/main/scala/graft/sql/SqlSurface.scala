@@ -465,6 +465,55 @@ object SqlSurface {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // --------------------------------------------- table_sql_replace_where
+
+  /** Arbitrary-predicate `INSERT INTO … REPLACE WHERE` (Delta's
+    * replaceWhere backfill idiom → [[IceliteTable.replaceWhere]]):
+    * one atomic commit position-deletes every row matching a
+    * multi-conjunct non-partition predicate and appends the corrected
+    * batch — no file rewritten, SQL OverwriteByExpression semantics
+    * (the batch is NOT forced to satisfy the predicate, so surviving
+    * narrow-F rows coexist with their re-loaded images exactly as the
+    * oracle computes).
+    */
+  def tableSqlReplaceWhere(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val src = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(17)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val table = freshTable(spark, wh, "analytics", "orders_rw", src.schema)
+    table.append(src)
+    src.filter(col("o_orderstatus") === "F")
+      .withColumn("cents", col("cents") + 5L)
+      .createOrReplaceTempView("rw_src")
+    spark.sql(
+      s"""INSERT INTO $CatName.analytics.orders_rw
+         |REPLACE WHERE o_orderstatus = 'F' AND cents > 20000000
+         |SELECT * FROM rw_src""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $CatName.analytics.orders_rw
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val tableSqlReplaceWhereOracle =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 17 = 0),
+      |kept AS (
+      |  SELECT * FROM base
+      |  WHERE NOT (o_orderstatus = 'F' AND cents > 20000000)),
+      |ins AS (
+      |  SELECT o_orderkey, o_orderstatus, cents + 5 AS cents
+      |  FROM base WHERE o_orderstatus = 'F'),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------- table_sql_widen
 
   /** Metadata-only type widening through SQL (`ALTER TABLE … ALTER
@@ -1301,5 +1350,8 @@ object SqlSurface {
       Some(tableSqlUpdateScalarOracle),
       "scalar subqueries in UPDATE SET: correlated count/sum, DISTINCT row select, uncorrelated probe"),
     GraftQuery("table_sql_widen", tableSqlWiden _, Some(tableSqlWidenOracle),
-      "metadata-only ALTER COLUMN TYPE widening: mixed INT/BIGINT epochs aggregate exactly"))
+      "metadata-only ALTER COLUMN TYPE widening: mixed INT/BIGINT epochs aggregate exactly"),
+    GraftQuery("table_sql_replace_where", tableSqlReplaceWhere _,
+      Some(tableSqlReplaceWhereOracle),
+      "arbitrary-predicate REPLACE WHERE backfill: one atomic pos-delete + append commit"))
 }

@@ -2230,6 +2230,56 @@ final class IceliteTable private (
     * nothing and nothing can never leave a half-replaced table (the
     * files land first, the single metadata rename publishes them).
     */
+  /** Arbitrary-predicate INSERT OVERWRITE (the `REPLACE WHERE` backfill
+    * idiom): ONE atomic commit that position-deletes every visible row
+    * matching `cond` and appends `df` — "reload this slice" without
+    * the single-identity-partition discipline [[overwritePartitions]]
+    * needs. The predicate evaluates on the translated MoR view, so it
+    * is exact across rename/widen epochs and under live deletes; no
+    * data file is rewritten (the old rows die by coordinates). Rows in
+    * `df` are NOT forced to satisfy `cond` — SQL OverwriteByExpression
+    * semantics (delete matching, insert batch), same as Iceberg.
+    * Like every overwrite, changelog ranges crossing it refuse.
+    *
+    * Scale: one pruned MoR scan to classify (filter pushdown applies),
+    * one coordinate write, one append — no shuffle beyond the write
+    * clustering; a 100 TB backfill touches only matching-file scans
+    * plus the new slice.
+    */
+  def replaceWhere(df: DataFrame, cond: Column): Long = {
+    refresh()
+    requireLineageSafe(cachedMeta, "replaceWhere")
+    retryCommit { head =>
+      val seq = head.lastSeq + 1
+      val commitId = UUID.randomUUID().toString
+      val data = readFilesAs(head.snapshots.flatMap(_.dataFiles), head.schema,
+        Long.MaxValue, withPos = true, meta = head)
+      val visible = applyDeletes(
+        applyPosState(data, head.snapshots),
+        eqDeleteState(head.snapshots))
+      val coords = visible.filter(cond)
+        .select(col(PosFileCol), col(PosCol)).withColumn(SeqCol, lit(seq))
+        .cache()
+      try {
+        val nDel = coords.count()
+        val posFiles = if (nDel == 0) Nil else {
+          val out = s"$location/deletes/$commitId"
+          coords.write.mode("errorifexists").parquet(out)
+          listParquet(out)
+        }
+        val statKeys = keyStatColumns(tableKeyColumns(head.properties), head.schema)
+        val (files, count, stats, metrics) = writeDataFiles(
+          enforceChecks(conformToSchema(df, head.schema), head.properties)
+            .withColumn(SeqCol, lit(seq)),
+          commitId, head.partitioning, nFiles = None,
+          extraStatCols = statKeys.toMap ++ trackedStats(head.properties, head.schema))
+        (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "overwrite-where",
+          files, Nil, count, stats, posDeleteFiles = posFiles,
+          fileMetrics = metrics)), seq)
+      } finally coords.unpersist()
+    }
+  }
+
   def overwriteAll(df: DataFrame): Long = {
     refresh()
     requireLineageSafe(cachedMeta, "overwrite")

@@ -222,14 +222,51 @@ class IceliteSqlWriteSpec extends AnyFunSuite with SparkFixture {
       s"expected <= 2 files (2 day values), got ${t2.meta.snapshots.last.dataFiles.size}")
   }
 
-  test("unroutable overwrite filters refuse loudly (range filter on the partition column)") {
+  test("REPLACE WHERE on a non-partition predicate: one atomic pos-delete + append commit") {
+    wh
+    spark.sql(s"CREATE TABLE $Cat.ns.rw (id BIGINT, grp STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $Cat.ns.rw VALUES (1,'a',10),(2,'a',20),(3,'b',30),(4,'b',40)")
+    // reload the 'a' slice plus one outside-the-predicate row: SQL
+    // OverwriteByExpression semantics — delete matching, insert batch
+    spark.sql(
+      s"INSERT INTO $Cat.ns.rw REPLACE WHERE grp = 'a' VALUES (10,'a',100),(11,'c',110)")
+    val rows = spark.sql(s"SELECT id, grp, v FROM $Cat.ns.rw ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((3L, "b", 30L), (4L, "b", 40L),
+      (10L, "a", 100L), (11L, "c", 110L)))
+    // ONE commit: pos-deletes + data files in the same snapshot, no
+    // data file rewritten
+    val t = IceliteTable.load(spark, wh, "ns", "rw")
+    val last = t.meta.snapshots.last
+    assert(last.operation == "overwrite-where")
+    assert(last.posDeleteFiles.nonEmpty && last.dataFiles.nonEmpty)
+    assert(t.meta.snapshots.head.dataFiles.forall(t.meta.liveDataFiles.contains))
+    // a range predicate routes too (what the partition route refuses)
+    spark.sql(s"INSERT INTO $Cat.ns.rw REPLACE WHERE v >= 100 VALUES (20,'z',5)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $Cat.ns.rw WHERE v >= 100")
+      .collect()(0).getLong(0) == 0)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $Cat.ns.rw").collect()(0).getLong(0) == 3)
+    // changelog ranges crossing an overwrite refuse, like every overwrite
+    val e = intercept[Exception](t.readChanges(0, t.meta.lastSeq).collect())
+    assert(e.getMessage.contains("overwrite"), e.getMessage)
+  }
+
+  test("range filter on the partition column: OVERWRITE+REPLACE syntax refuses, bare REPLACE WHERE routes") {
     wh
     spark.sql(s"CREATE TABLE $Cat.ns.ovw5 (id BIGINT, pt BIGINT) PARTITIONED BY (pt)")
     spark.sql(s"INSERT INTO $Cat.ns.ovw5 VALUES (1, 10), (2, 20)")
+    // the combined INSERT OVERWRITE ... REPLACE WHERE form is rejected
+    // (Spark's parser), state untouched
     val e = intercept[Exception](
       spark.sql(s"INSERT OVERWRITE $Cat.ns.ovw5 REPLACE WHERE pt > 5 VALUES (9, 10)"))
-    assert(e.getMessage.contains("equality") || e.getMessage.contains("REPLACE"),
-      s"got: ${e.getMessage}")
+    assert(e.getMessage.contains("REPLACE"), s"got: ${e.getMessage}")
     assert(spark.sql(s"SELECT count(*) FROM $Cat.ns.ovw5").collect()(0).getLong(0) == 2)
+    // a bare REPLACE WHERE range on the partition column routes as the
+    // general atomic pos-delete + append (the partition route keeps
+    // its metadata-only equality/IN discipline)
+    spark.sql(s"INSERT INTO $Cat.ns.ovw5 REPLACE WHERE pt > 15 VALUES (9, 30)")
+    val rows = spark.sql(s"SELECT id, pt FROM $Cat.ns.ovw5 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L), (9L, 30L)))
   }
 }
