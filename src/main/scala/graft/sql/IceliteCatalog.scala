@@ -334,6 +334,8 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
         // metadata-only type WIDENING (Iceberg promotion); the engine
         // validates the lossless lattice and refuses anything else
         t.widenColumn(u.fieldNames()(0), u.newDataType())
+      case u: TableChange.UpdateColumnType if u.fieldNames().length == 2 =>
+        t.widenNestedField(u.fieldNames()(0), u.fieldNames()(1), u.newDataType())
       case c: TableChange.UpdateColumnComment if c.fieldNames().length == 1 =>
         t.setColumnComment(c.fieldNames()(0), c.newComment())
       case n: TableChange.UpdateColumnNullability if n.fieldNames().length == 1 =>

@@ -1711,19 +1711,23 @@ final class IceliteTable private (
         col("_metadata.row_index").as(PosCol))
     else Nil
     // per target column: (stored top-level name or None, nested
-    // field-name vector — Nil for non-structs and identity mappings,
-    // pre-widen stored type or None)
-    type ColMap = (Option[String], Seq[(String, Option[String])],
+    // field vector (target, stored name or None, narrow type or None)
+    // — Nil for non-structs and identity mappings, pre-widen stored
+    // type or None)
+    type ColMap = (Option[String],
+      Seq[(String, Option[String], Option[org.apache.spark.sql.types.DataType])],
       Option[org.apache.spark.sql.types.DataType])
     def readGroup(names: Seq[ColMap], fs: Seq[String]): DataFrame = {
       // a nested-evolved struct reads under its STORED shape (present
-      // fields only, stored names) and is rebuilt to the target shape
-      // in the projection
+      // fields only, stored names, pre-widen narrow types) and is
+      // rebuilt to the target shape in the projection
       def storedType(f: org.apache.spark.sql.types.StructField,
-          nested: Seq[(String, Option[String])]) = f.dataType match {
+          nested: Seq[(String, Option[String],
+            Option[org.apache.spark.sql.types.DataType])]) = f.dataType match {
         case st: StructType if nested.nonEmpty =>
           StructType(st.fields.toSeq.zip(nested).collect {
-            case (sf, (_, Some(sn))) => sf.copy(name = sn)
+            case (sf, (_, Some(sn), w)) =>
+              sf.copy(name = sn, dataType = w.getOrElse(sf.dataType))
           }.toArray)
         case dt => dt
       }
@@ -1743,8 +1747,10 @@ final class IceliteTable private (
           case (f, (Some(n), nested, _)) =>
             val st = f.dataType.asInstanceOf[StructType]
             val rebuilt = struct(st.fields.toSeq.zip(nested).map {
-              case (sf, (_, Some(sn))) => col(n).getField(sn).as(sf.name)
-              case (sf, (_, None)) => lit(null).cast(sf.dataType).as(sf.name)
+              case (sf, (_, Some(sn), w)) =>
+                val g = col(n).getField(sn)
+                (if (w.isDefined) g.cast(sf.dataType) else g).as(sf.name)
+              case (sf, (_, None, _)) => lit(null).cast(sf.dataType).as(sf.name)
             }: _*)
             // a NULL struct must stay NULL, not become a struct of nulls
             when(col(n).isNull, lit(null).cast(f.dataType))
@@ -3205,6 +3211,35 @@ final class IceliteTable private (
         .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
     }
 
+  /** Nested twin of [[widenColumn]]: metadata-only type widening of a
+    * struct FIELD (`ALTER COLUMN meta.f TYPE BIGINT`) — pre-widen
+    * files store the field narrow; the per-epoch struct rebuild casts
+    * it up. Same lossless lattice; same stable-top-name discipline as
+    * every nested op.
+    */
+  def widenNestedField(colName: String, field: String,
+      to: org.apache.spark.sql.types.DataType): Long = retryCommit { head =>
+    val st = structTypeOf(head, colName, "widen nested field")
+    val f = st.find(_.name == field).getOrElse(
+      throw new IllegalArgumentException(s"no field '$colName.$field' in $name"))
+    if (!IceliteTable.widens(f.dataType, to))
+      throw new IllegalArgumentException(
+        s"cannot ALTER COLUMN $colName.$field TYPE ${to.catalogString} in $name: only " +
+          "lossless widenings (byte->short->int->long, float->double, decimal " +
+          s"precision growth at fixed scale) are metadata-only; got " +
+          s"${f.dataType.catalogString} -> ${to.catalogString}")
+    requireStableTopName(head, colName)
+    val seq = head.lastSeq + 1
+    val newSt = StructType(st.fields.map(x =>
+      if (x.name == field) x.copy(dataType = to) else x))
+    val newSchema = StructType(head.schema.fields.map(x =>
+      if (x.name == colName) x.copy(dataType = newSt) else x))
+    val ops = schemaOps(head.properties) :+ SchemaOp.NestedWiden(colName, field, f.dataType, seq)
+    (head.withSchema(newSchema)
+      .copy(properties = head.properties + (SchemaOpsProp -> SchemaOp.render(ops)))
+      .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+  }
+
   /** Metadata-only column COMMENT (ALTER COLUMN … COMMENT '…'). */
   def setColumnComment(colName: String, comment: String): Long = retryCommit { head =>
     val f = head.schema.find(_.name == colName).getOrElse(
@@ -3423,6 +3458,15 @@ final class IceliteTable private (
         }
         case f => f
       })
+    case SchemaOp.NestedWiden(c, field, from, _) =>
+      StructType(s.fields.map {
+        case f if f.name == c => f.dataType match {
+          case st: StructType => f.copy(dataType = StructType(
+            st.fields.map(x => if (x.name == field) x.copy(dataType = from) else x)))
+          case _ => f
+        }
+        case f => f
+      })
   }
 
   /** The name column `targetName` (valid at `asOfSeq`) had when a file
@@ -3477,19 +3521,24 @@ final class IceliteTable private (
     */
   private def nestedNamesAtFileSeq(
       colName: String, st: StructType,
-      asOfSeq: Long, fileSeq: Long): Seq[(String, Option[String])] = {
+      asOfSeq: Long, fileSeq: Long)
+      : Seq[(String, Option[String], Option[org.apache.spark.sql.types.DataType])] = {
     val walked = schemaOps(cachedMeta.properties).reverse
       .filter(op => op.seq > fileSeq && op.seq <= asOfSeq)
-      .foldLeft(st.fieldNames.toSeq.map(n => n -> Option(n))) { (acc, op) =>
+      .foldLeft(st.fieldNames.toSeq.map(n =>
+        (n, Option(n), Option.empty[org.apache.spark.sql.types.DataType]))) { (acc, op) =>
         op match {
           case SchemaOp.NestedRename(c, from, to, _) if c == colName =>
-            acc.map { case (t, n) => (t, n.map(x => if (x == to) from else x)) }
+            acc.map { case (t, n, w) => (t, n.map(x => if (x == to) from else x), w) }
           case SchemaOp.NestedAdd(c, field, _) if c == colName =>
-            acc.map { case (t, n) => (t, n.filterNot(_ == field)) }
+            acc.map { case (t, n, w) => (t, n.filterNot(_ == field), w) }
+          case SchemaOp.NestedWiden(c, field, from, _) if c == colName =>
+            acc.map { case (t, n, w) =>
+              if (n.contains(field)) (t, n, Some(from)) else (t, n, w) }
           case _ => acc
         }
       }
-    if (walked.forall { case (t, s) => s.contains(t) }) Nil else walked
+    if (walked.forall { case (t, s, w) => s.contains(t) && w.isEmpty }) Nil else walked
   }
 
   /** A name has a PREVIOUS LIFE before `beforeSeq` iff an earlier op
@@ -4898,6 +4947,12 @@ object IceliteTable {
       */
     final case class NestedDrop(col: String, field: String,
         dataType: org.apache.spark.sql.types.DataType, index: Int, seq: Long) extends SchemaOp
+    /** Type widening INSIDE a struct column — the nested twin of
+      * [[Widen]]: pre-widen files store the field narrow, the struct
+      * rebuild casts it up per file epoch.
+      */
+    final case class NestedWiden(col: String, field: String,
+        from: org.apache.spark.sql.types.DataType, seq: Long) extends SchemaOp
 
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -4928,6 +4983,10 @@ object IceliteTable {
           val o = arr.addObject()
           o.put("op", "nested-drop"); o.put("col", c); o.put("field", f)
           o.put("type", dt.json); o.put("index", i); o.put("seq", s)
+        case NestedWiden(c, f, from, s) =>
+          val o = arr.addObject()
+          o.put("op", "nested-widen"); o.put("col", c); o.put("field", f)
+          o.put("from", from.json); o.put("seq", s)
       }
       arr.toString
     }
@@ -4957,6 +5016,10 @@ object IceliteTable {
             NestedDrop(o.get("col").asText(), o.get("field").asText(),
               org.apache.spark.sql.types.DataType.fromJson(o.get("type").asText()),
               o.get("index").asInt(), o.get("seq").asLong())
+          case "nested-widen" =>
+            NestedWiden(o.get("col").asText(), o.get("field").asText(),
+              org.apache.spark.sql.types.DataType.fromJson(o.get("from").asText()),
+              o.get("seq").asLong())
           case other => throw new IllegalStateException(s"unknown schema op '$other'")
         }
       }.toSeq

@@ -287,6 +287,28 @@ class IceliteEvolutionSpec extends AnyFunSuite with SparkFixture {
     assert(t.read().filter(col("m") > 1_000_000_000L).count() == 1)
   }
 
+  test("nested-field widen: pre-widen epochs rebuild with the cast, composes with nested rename") {
+    import scala.jdk.CollectionConverters._
+    val st = StructType(Seq(StructField("n", IntegerType), StructField("tag", StringType)))
+    val s = StructType(Seq(StructField("id", LongType), StructField("meta", st)))
+    val t = IceliteTable.create(spark, wh(), "ns", "evnw", s)
+    t.append(spark.createDataFrame(
+      Seq(Row(1L, Row(java.lang.Integer.valueOf(7), "a"))).asJava, s))
+    t.widenNestedField("meta", "n", LongType)
+    t.renameNestedField("meta", "n", "count")
+    val st2 = StructType(Seq(StructField("count", LongType), StructField("tag", StringType)))
+    val s2 = StructType(Seq(StructField("id", LongType), StructField("meta", st2)))
+    t.append(spark.createDataFrame(
+      Seq(Row(2L, Row(java.lang.Long.valueOf(7_000_000_000L), "b"))).asJava, s2))
+    val out = t.read().orderBy("id").select(col("id"), col("meta.count"), col("meta.tag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq((1L, 7L, "a"), (2L, 7_000_000_000L, "b")))
+    assert(t.read().agg(sum(col("meta.count"))).collect()(0).getLong(0) == 7_000_000_007L)
+    // refusals: narrowing + unknown field
+    intercept[IllegalArgumentException](t.widenNestedField("meta", "count", IntegerType))
+    intercept[IllegalArgumentException](t.widenNestedField("meta", "nope", LongType))
+  }
+
   test("widen refusals: narrowing, cross-family, anchored columns; comment + DROP NOT NULL") {
     import scala.jdk.CollectionConverters._
     val s = StructType(Seq(
