@@ -190,6 +190,13 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
       // Served through the same distributed V1Scan path as every other
       // read (CALL procedures would collect to the driver — Spark's
       // InvokeProcedures only accepts LocalScan results)
+      // branch/tag reads in SQL: `t$ref(name)` serves the ref's chain
+      // (staged WAP commits included for a branch) through the same
+      // distributed scan path — the audit step of write-audit-publish
+      // without leaving SQL
+      case Some(ref) if ref.startsWith("ref(") && ref.endsWith(")") =>
+        val refName = ref.substring(4, ref.length - 1)
+        IceliteSparkTable.readOnly(t, s"${t.name}$$$ref", () => t.readBranch(refName))
       case Some(ch) if ch == "changes" || ch.startsWith("changes(") =>
         val (from, to) = ch match {
           case "changes" => (0L, t.meta.lastSeq)

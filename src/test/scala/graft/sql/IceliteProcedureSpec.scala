@@ -179,6 +179,12 @@ class IceliteProcedureSpec extends AnyFunSuite with SparkFixture {
     t.appendToBranch("dev", spark.createDataFrame(
       Seq(org.apache.spark.sql.Row(9L, "v9")).asJava, schema))
     assert(t.read().count() == 2, "staged branch write must not surface on main")
+    // the SQL audit step: `t$ref(name)` reads the ref's chain incl.
+    // staged commits, while the plain table name keeps serving main
+    assert(spark.sql(s"SELECT count(*) AS n FROM $Cat.ns.`c10$$ref(dev)`")
+      .collect()(0).getLong(0) == 3)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $Cat.ns.c10")
+      .collect()(0).getLong(0) == 2)
     val pub = spark.sql(s"CALL $Cat.system.publish_branch(table => 'ns.c10', name => 'dev')")
       .collect()(0).getLong(0)
     val t2 = IceliteTable.load(spark, wh, "ns", "c10")
