@@ -363,11 +363,19 @@ object Dedup {
     val dy = docs.select(col("doc_id").as("y"), col("text").as("ty"))
     val cx = cappedDocs.select(col("doc_id").as("x"), lit(true).as("x_capped"))
     val cy = cappedDocs.select(col("doc_id").as("y"), lit(true).as("y_capped"))
+    // byte-identical pair => lev = 0 exactly; the conditional SKIPS
+    // the O(len²) DP for it (CaseWhen codegen evaluates the else
+    // branch lazily). Pure short-circuit, never a semantics change —
+    // and it is what makes exact-duplicate-heavy corpora (replica
+    // fixtures, mirrored documents) cheap: their clique pairs cost a
+    // string compare, not a quadratic DP each
+    val levC = when(col("tx") === col("ty"), lit(0))
+      .otherwise(levenshtein(col("tx"), col("ty")))
     cand.join(dx, "x").join(dy, "y")
       .join(cx, Seq("x"), "left").join(cy, Seq("y"), "left")
       .select(col("x"), col("y"), col("common"),
-        levenshtein(col("tx"), col("ty")).cast("long").as("lev"),
-        round(lit(1.0) - levenshtein(col("tx"), col("ty")).cast("double") /
+        levC.cast("long").as("lev"),
+        round(lit(1.0) - levC.cast("double") /
           greatest(length(col("tx")), length(col("ty"))), 12).as("edit_sim"),
         coalesce(col("x_capped"), lit(false)).as("x_capped"),
         coalesce(col("y_capped"), lit(false)).as("y_capped"))
@@ -708,8 +716,13 @@ object Dedup {
       .filter(fastDot / (sqrt(col("a.nsq")) * sqrt(col("b.nsq"))) >= CosineThreshold - 1e-6)
       .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
         col("a.label").as("label"),
-        round(decimalDot(col("a.embedding"), col("b.embedding")) /
-          (sqrt(col("a.nsq")) * sqrt(col("b.nsq"))), 12).as("cosine"))
+        // identical vectors => cosine 1.0 exactly (dot == nsq under
+        // the same exact-decimal accumulation); the conditional skips
+        // the interpreted decimal fold for them — replica-duplicated
+        // embeddings cost an array compare, not a 64-term decimal dot
+        when(col("a.embedding") === col("b.embedding"), lit(1.0))
+          .otherwise(round(decimalDot(col("a.embedding"), col("b.embedding")) /
+            (sqrt(col("a.nsq")) * sqrt(col("b.nsq"))), 12)).as("cosine"))
       .filter(col("cosine") >= CosineThreshold)
       .orderBy("x", "y")
   }
