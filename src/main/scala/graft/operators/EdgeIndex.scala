@@ -136,7 +136,7 @@ object EdgeIndex {
     * serve() would by then have dropped).
     */
   def edges(spark: SparkSession, dir: String): DataFrame = {
-    val (bName, _, _) = serve(spark, dir)
+    val (bName, _, _, _) = serve(spark, dir)
     served.getOrElseUpdate(spark, s"$dir@$bName") {
       spark.table(bName).cache()
     }
@@ -172,7 +172,8 @@ object EdgeIndex {
     */
   private def ServingMinSupport: Long = Graph.LinkMinSupport.toLong
 
-  private val bucketServed = new graft.util.IndexMemo[(String, String, String)](8)(_ => ())
+  private val bucketServed =
+    new graft.util.IndexMemo[(String, String, String, String)](8)(_ => ())
 
   /** Build-if-missing the two bucketed serving tables for the CURRENT
     * head seq of the edge table and return their metastore names
@@ -180,7 +181,7 @@ object EdgeIndex {
     * incremental append (merge) advances the seq and forces a rebuild
     * instead of silently serving the stale bucket snapshot.
     */
-  private def serve(spark: SparkSession, dir: String): (String, String, String) = {
+  private def serve(spark: SparkSession, dir: String): (String, String, String, String) = {
     val seq = edgeTableSeq(spark, dir)
     bucketServed.getOrElseUpdate(spark, s"$dir@s$seq") {
       // collision-proof name: a full-path digest, not String.hashCode
@@ -191,14 +192,16 @@ object EdgeIndex {
       val bName = s"gidx_edges_b_${tok}_s$seq"
       val dName = s"gidx_edges_d_${tok}_s$seq"
       val sName = s"gidx_edges_s_${tok}_s$seq"
+      val oName = s"gidx_edges_o_${tok}_s$seq"
       // drop serving snapshots of OLDER seqs of the same dataset (the
       // metastore entry outlives the memo across sessions)
       spark.catalog.listTables().collect()
         .map(_.name)
         .filter(n => (n.startsWith(s"gidx_edges_b_${tok}_s") ||
           n.startsWith(s"gidx_edges_d_${tok}_s") ||
-          n.startsWith(s"gidx_edges_s_${tok}_s")) &&
-          n != bName && n != dName && n != sName)
+          n.startsWith(s"gidx_edges_s_${tok}_s") ||
+          n.startsWith(s"gidx_edges_o_${tok}_s")) &&
+          n != bName && n != dName && n != sName && n != oName)
         .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
       if (!spark.catalog.tableExists(bName)) {
         readEdges(spark, ensureTable(spark, dir))
@@ -232,7 +235,35 @@ object EdgeIndex {
           .option("path", graft.util.Scratch.dir("edge-support"))
           .saveAsTable(sName)
       }
-      (bName, dName, sName)
+      if (!spark.catalog.tableExists(oName)) {
+        // DEGREE-ORDERED orientation (compact-forward): each
+        // undirected edge oriented lower-degree endpoint → higher
+        // (ties by id). Under this total order ≺ = (deg, id) the
+        // out-degree of every vertex is O(√|E|), so the triangle
+        // wedge volume Σ C(outdeg, 2) is the provable MINIMUM over
+        // all acyclic orientations — the id-order slice this replaces
+        // paid Σ ordered-deg², severalfold more on skewed graphs.
+        // `vd` carries deg(v) so wedge consumers can compare the
+        // order key (vd, v) between two out-neighbors row-locally.
+        // Both joins below are bucket-aligned on u (deg aggregates
+        // bucket-locally; the dv join re-keys — ingest-time, linear).
+        val e = spark.table(bName).select(col("u"), col("v"))
+        val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        val canon = e.filter(col("u") < col("v"))
+        val flip = col("dv") < col("du") ||
+          (col("dv") === col("du") && col("v") < col("u"))
+        canon
+          .join(deg.select(col("u"), col("d").as("du")), "u")
+          .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+          .select(
+            when(flip, col("v")).otherwise(col("u")).as("u"),
+            when(flip, col("u")).otherwise(col("v")).as("v"),
+            when(flip, col("du")).otherwise(col("dv")).as("vd"))
+          .write.bucketBy(EdgeBuckets, "u").sortBy("u")
+          .option("path", graft.util.Scratch.dir("edge-oriented"))
+          .saveAsTable(oName)
+      }
+      (bName, dName, sName, oName)
     }
   }
 
@@ -291,12 +322,16 @@ object EdgeIndex {
     else bucketedEdges(spark, dir).filter(col("w") >= minW)
       .select(col("u"), col("v"))
 
-  /** Canonical (u < v) slice of the bucketed serving table — triangle
-    * counting's input (three scan-local references per query; re-
-    * reading the bucketed parquet measured FASTER than the columnar
+  /** Degree-ordered oriented edges (u, v, vd) — triangle counting's
+    * input, one row per undirected edge oriented from its lower-
+    * (degree, id) endpoint, with `vd` = deg(v) so consumers can
+    * compare the (vd, v) order key between out-neighbors row-locally.
+    * Served as its own ingest-built table bucketed on `u`: the wedge
+    * self-join on the source vertex runs with ZERO exchanges straight
+    * off two parquet scans (three scan-local references per query;
+    * re-reading bucketed parquet measured FASTER than the columnar
     * cache locally, and is immune to cache eviction by construction).
     */
-  def canonicalEdges(spark: SparkSession, dir: String): DataFrame =
-    bucketedEdges(spark, dir).filter(col("u") < col("v"))
-      .select(col("u"), col("v"))
+  def orientedEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.table(serve(spark, dir)._4)
 }

@@ -152,14 +152,22 @@ object Graph {
 
   /** Triangle counting + per-node triangle participation — the
     * clustering primitive (community tightness, recommendation
-    * confidence) over the same co-purchase graph. Canonical ordered
-    * edges `u < v` make each triangle enumerate EXACTLY once as
-    * a < b < c: wedge join (a,b)⋈(b,c) then one hash probe for the
-    * closing edge (a,c) — the standard two-join shape whose cost is
-    * the wedge count (Σ ordered-deg², which the a<b orientation
-    * roughly halves per node), never |E|². Participation explodes
-    * each triangle to its three corners and hash-aggs — 3 rows per
-    * triangle, TakeOrdered top-10.
+    * confidence) over the same co-purchase graph. DEGREE-ORDERED
+    * oriented edges (compact-forward: each undirected edge oriented
+    * lower-(deg, id) endpoint → higher, [[EdgeIndex.orientedEdges]])
+    * make each triangle enumerate EXACTLY once from its ≺-minimum
+    * corner: wedge join (a→b)⋈(a→c) with key(b) ≺ key(c), then one
+    * hash probe for the closing edge (b→c). Cost is the wedge count
+    * Σ C(outdeg, 2), which degree ordering provably MINIMIZES over
+    * all acyclic orientations (outdeg = O(√|E|)) — the r18 id-order
+    * slice paid Σ ordered-deg², severalfold more under skew — and
+    * the source-keyed self-join is bucket-aligned on `u`, so the
+    * wedge stage runs with ZERO exchanges (the old path-shaped wedge
+    * keyed one side on `v` and paid a full edge exchange per query).
+    * The triangle SET is orientation-invariant, so results (and the
+    * oracle) are unchanged. Participation explodes each triangle to
+    * its three corners and hash-aggs — 3 rows per triangle,
+    * TakeOrdered top-10.
     */
   /** Edge-count ceiling for the triangle closing-edge broadcast: two
     * 8-byte keys per row plus hash-map overhead keeps ~50M edges well
@@ -168,12 +176,11 @@ object Graph {
   val TriangleBroadcastMaxEdges: Long = 50000000L
 
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    // canonical u < v slice of the BUCKETED index serving: the wedge
-    // join keys e2 on u, so that side reads bucket-aligned with no
-    // exchange (e1 keys on v and pays its one exchange — the wedge
-    // stream's inherent orientation); the three references re-scan the
-    // bucketed parquet, which at scale is cheaper than re-shuffling
-    val e = EdgeIndex.canonicalEdges(spark, dir)
+    // degree-ordered oriented serving slice, bucketed on u: BOTH
+    // wedge sides key on the source vertex, so the self-join reads
+    // bucket-aligned with zero exchanges; the three references
+    // re-scan the bucketed parquet, cheaper at scale than shuffling
+    val e = EdgeIndex.orientedEdges(spark, dir)
     locally {
       // the closing-edge probe BROADCASTS the ordered edge list when it
       // is small enough (tens of MB even at 10× this fixture): the
@@ -193,11 +200,16 @@ object Graph {
       // a full extra pass at 100 TB). Canonical u < v edges are
       // exactly half the stored directed pairs.
       val canonBound = EdgeIndex.directedEdgeCountBound(spark, dir) / 2
-      val e3 = if (canonBound <= TriangleBroadcastMaxEdges) broadcast(e.as("e3")) else e.as("e3")
+      val probe = e.select(col("u"), col("v"))
+      val e3 = if (canonBound <= TriangleBroadcastMaxEdges) broadcast(probe.as("e3")) else probe.as("e3")
+      // wedge = two out-edges of one source, ordered by the (deg, id)
+      // key carried in `vd` so each out-neighbor PAIR enumerates once
       val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e2"), col("e1.u") === col("e2.u") &&
+          (col("e1.vd") < col("e2.vd") ||
+            (col("e1.vd") === col("e2.vd") && col("e1.v") < col("e2.v"))))
         .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-        .join(e3, col("a") === col("e3.u") && col("c") === col("e3.v"))
+        .join(e3, col("b") === col("e3.u") && col("c") === col("e3.v"))
         .select(col("a"), col("b"), col("c"))
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
         .groupBy(col("part"))

@@ -79,6 +79,44 @@ class EdgeIndexSpec extends AnyFunSuite with SparkFixture {
     assert(EdgeIndex.builds.get() == before)
   }
 
+  test("oriented serving table: one row per undirected edge, lower-(deg,id) endpoint first") {
+    EdgeIndex.ensureBuilt(spark, dir)
+    val e = EdgeIndex.bucketedEdges(spark, dir).select(col("u"), col("v"))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val o = EdgeIndex.orientedEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly the undirected edge set, each edge once
+    val undirected = e.filter(col("u") < col("v")).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(o.map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).toSet == undirected)
+    assert(o.length == undirected.size)
+    // every row points lower-(deg, id) -> higher, and vd = deg(v)
+    o.foreach { case (u, v, vd) =>
+      assert(Ordering[(Long, Long)].lt((deg(u), u), (deg(v), v)),
+        s"edge $u->$v violates degree order")
+      assert(vd == deg(v), s"vd mismatch on $u->$v")
+    }
+  }
+
+  test("degree-ordered triangles equal the id-order formulation (orientation-invariant)") {
+    EdgeIndex.ensureBuilt(spark, dir)
+    val canon = EdgeIndex.bucketedEdges(spark, dir)
+      .filter(col("u") < col("v")).select(col("u"), col("v"))
+    val idOrder = canon.as("e1")
+      .join(canon.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      .join(canon.as("e3"), col("a") === col("e3.u") && col("c") === col("e3.v"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), col("part")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = Graph.triangles(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == idOrder)
+    assert(got.nonEmpty)
+  }
+
   test("degreed serving table carries pre-paid degrees equal to an inline aggregation") {
     EdgeIndex.ensureBuilt(spark, dir)
     val d = EdgeIndex.degreedEdges(spark, dir)
