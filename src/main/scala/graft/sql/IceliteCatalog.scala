@@ -346,15 +346,14 @@ final class IceliteCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.UpdateColumnComment if c.fieldNames().length == 1 =>
         t.setColumnComment(c.fieldNames()(0), c.newComment())
       case n: TableChange.UpdateColumnNullability if n.fieldNames().length == 1 =>
+        // SET NOT NULL runs the one-scan proof (refuses on stored
+        // NULLs) then flips metadata; DROP NOT NULL is metadata-only
         if (n.nullable()) t.relaxNullability(n.fieldNames()(0))
-        else throw new UnsupportedOperationException(
-          s"ALTER COLUMN ${n.fieldNames()(0)} SET NOT NULL: tightening nullability " +
-            "needs a full-scan proof over every live row — filter/rewrite instead " +
-            "(DROP NOT NULL, the safe direction, is metadata-only)")
+        else t.tightenNullability(n.fieldNames()(0))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other: icelite supports top-level ADD/RENAME/DROP " +
-          "COLUMN (+ struct fields), TYPE widening, COMMENT, DROP NOT NULL, and " +
-          "SET/UNSET TBLPROPERTIES")
+          "COLUMN (+ struct fields), TYPE widening, COMMENT, SET/DROP NOT NULL, " +
+          "and SET/UNSET TBLPROPERTIES")
     }
     loadTable(ident)
   }
@@ -666,45 +665,28 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
       else partFilters = filters
       this
     }
-    /** SQL writes to an identity-PARTITIONED table request a
-      * CLUSTERED distribution on the partition columns
-      * ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
-      * — applied by Spark's `V2Writes` prepareQuery BEFORE the V1
-      * fallback runs), and the engine then SKIPS its own internal
-      * repartition ([[IceliteTable.withPreClusteredWrite]]): ONE
-      * exchange total, owned by Spark — which means AQE can rebalance
-      * it (advisory sizing, skew splitting) instead of the engine's
-      * fixed hash repartition serializing a hot partition value
-      * through one task. Non-strict, so the planner is free to pick
-      * the rebalance form. Identity transforms only: derived
-      * transforms (days/bucket/…) would need a FunctionCatalog for
-      * Spark to resolve the cluster expressions — those tables keep
-      * the engine-side repartition, which computes the derived
-      * columns itself. Either way a multi-task INSERT never writes
-      * tasks × partitions small files — the blowup the reference's
-      * batching design exists to avoid (`docs/design.md:360-400`).
+    /** Write layout is the ENGINE's job, never delegated to Spark's
+      * `RequiresDistributionAndOrdering`: that interface's prepared
+      * exchange reaches only pure-v2 writes — the V1 fallback exec
+      * (`AppendDataExecV1`) executes the write's ORIGINAL
+      * `analyzedQuery` and discards the prepared query (verified
+      * against the Spark 4.1 `DataSourceV2Strategy` bytecode, and
+      * empirically: under r18's declare-and-skip design an 8-task
+      * 8M-row INSERT landed 8 source-shaped partition-interleaved
+      * files). So `writeDataFiles` clusters identity-partitioned
+      * batches itself (one hash exchange on the partition columns —
+      * a multi-task INSERT never writes tasks × partitions small
+      * files, the blowup the reference's batching design exists to
+      * avoid, `docs/design.md:360-400`), and a declared sort order
+      * ([[IceliteTable.declareSortOrder]]) routes the insert through
+      * [[IceliteTable.withSortedWrite]]: the batch range-partitions +
+      * sorts on (partition cols, sort cols) — the compaction layout
+      * at write time, files own DISJOINT sort-key ranges and
+      * `readStatRange` prunes steady-state SQL appends immediately
+      * (the Iceberg `write.sort-order` behavior).
       */
-    private def identityClusterCols: Option[Array[String]] = {
-      val parts = table.meta.partitioning
-      if (parts.nonEmpty && parts.forall(_.transform == "identity"))
-        Some(parts.map(_.field).toArray)
-      else None
-    }
-    override def build(): Write = new V1Write
-        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-      override def requiredDistribution()
-          : org.apache.spark.sql.connector.distributions.Distribution =
-        identityClusterCols match {
-          case Some(cols) =>
-            org.apache.spark.sql.connector.distributions.Distributions.clustered(
-              cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c)
-                : org.apache.spark.sql.connector.expressions.Expression))
-          case None =>
-            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-        }
-      override def distributionStrictlyRequired(): Boolean = false
-      override def requiredOrdering()
-          : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+    private def declaredSortCols: Seq[String] = table.sortOrder
+    override def build(): Write = new V1Write {
       override def toInsertableRelation: InsertableRelation = new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           def run(): Unit =
@@ -725,7 +707,7 @@ final class IceliteSparkTable(table: IceliteTable) extends Table
             }
             else if (replaceAll || overwrite) table.overwriteAll(data)
             else table.append(data)
-          if (identityClusterCols.isDefined) IceliteTable.withPreClusteredWrite(run())
+          if (declaredSortCols.nonEmpty) IceliteTable.withSortedWrite(run())
           else run()
         }
       }

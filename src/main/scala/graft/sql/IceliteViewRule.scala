@@ -117,6 +117,15 @@ object IceliteViews {
     val dups = qcn.groupBy(_.toLowerCase(java.util.Locale.ROOT)).filter(_._2.size > 1).keys
     if (dups.nonEmpty) refuse(
       s"query output has duplicate column names (${dups.mkString(", ")}) — alias them uniquely")
+    // the user alias list IS the pinned output contract when present —
+    // the same duplicate check applies (CREATE VIEW v (a, a) AS …
+    // would otherwise store an ambiguous contract that only fails at
+    // read time; Spark's own CreateView validation is bypassed here
+    // because the parser rewrite replaces the node pre-analysis)
+    val aliasDups = userCols.map(_._1)
+      .groupBy(_.toLowerCase(java.util.Locale.ROOT)).filter(_._2.size > 1).keys
+    if (aliasDups.nonEmpty) refuse(
+      s"view column list has duplicate names (${aliasDups.mkString(", ")})")
     if (userCols.nonEmpty && userCols.size != qcn.size)
       throw new IllegalArgumentException(
         s"view column list has ${userCols.size} names but the query produces ${qcn.size} columns")
@@ -234,6 +243,21 @@ class IceliteViewParser(session: SparkSession, delegate: ParserInterface)
       storedView(session, parts).map { case (catName, _, ident, meta) =>
         IceliteShowCreateViewCommand(catName, ident, meta, output): LogicalPlan
       }.getOrElse(s)
+
+    // SET NOT NULL (and nothing else) on an icelite table: Spark's
+    // analyzer refuses nullability tightening for v2 tables outright,
+    // so route it to the catalog at parse time; the engine supplies
+    // the one-scan proof (see IceliteSetNotNullCommand). Statements
+    // mixing other column changes delegate untouched.
+    case ac @ AlterColumns(org.apache.spark.sql.catalyst.analysis.UnresolvedTable(parts, _, _), specs)
+        if specs.nonEmpty && specs.forall(s =>
+          s.newNullability.contains(false) && s.newDataType.isEmpty &&
+            s.newComment.isEmpty && s.newPosition.isEmpty &&
+            s.newDefaultExpression.isEmpty && !s.dropDefault &&
+            s.column.name.length == 1) && !isTempShadowed(parts) =>
+      resolveParts(session, parts).map { case (catName, _, ident) =>
+        IceliteSetNotNullCommand(catName, ident, specs.map(_.column.name.head)): LogicalPlan
+      }.getOrElse(ac)
 
     case r @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true)
         if !isTempShadowed(parts) =>

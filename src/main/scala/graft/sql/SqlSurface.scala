@@ -522,7 +522,14 @@ object SqlSurface {
     * without rewriting a byte, epoch-2 rows land values past the int
     * range, and one aggregate + predicate reads BOTH vintages exactly
     * (pre-widen files read natively narrow and cast up in the
-    * projection). The oracle recomputes both epochs under BIGINT.
+    * projection). Then the OTHER direction of column-contract
+    * evolution: `ALTER COLUMN … SET NOT NULL`
+    * ([[IceliteTable.tightenNullability]], parser-routed around
+    * Spark's blanket v2 refusal) runs its one-scan proof over both
+    * vintages, a NULL insert against the tightened contract must
+    * refuse (the query fails loudly if it does not), and a valid
+    * epoch-3 batch still lands through it. The oracle recomputes all
+    * three epochs under BIGINT.
     */
   def tableSqlWiden(spark: SparkSession, dir: String): DataFrame = {
     val wh = registerCatalog(spark)
@@ -539,6 +546,18 @@ object SqlSurface {
       .createOrReplaceTempView("widen_src") // epoch 2: past the int range
     spark.sql(
       s"INSERT INTO $CatName.analytics.orders_widen SELECT * FROM widen_src")
+    // SET NOT NULL: one-scan proof over both vintages, then the flip
+    spark.sql(
+      s"ALTER TABLE $CatName.analytics.orders_widen ALTER COLUMN points SET NOT NULL")
+    // enforcement is live: a NULL write must refuse and land nothing
+    val refused =
+      try { spark.sql(s"INSERT INTO $CatName.analytics.orders_widen VALUES (0, 'X', NULL)"); false }
+      catch { case _: Exception => true }
+    require(refused, "NULL insert into a SET NOT NULL column did not refuse")
+    // a valid epoch-3 batch still lands through the tightened contract
+    spark.sql(
+      s"""INSERT INTO $CatName.analytics.orders_widen
+         |SELECT o_orderkey, o_orderstatus, points + 1 FROM widen_src""".stripMargin)
     spark.sql(
       s"""SELECT o_orderstatus, count(*) AS n_rows,
          |  CAST(sum(points) AS BIGINT) AS sum_points,
@@ -558,6 +577,9 @@ object SqlSurface {
       |  FROM base WHERE o_orderkey % 2 = 1
       |  UNION ALL
       |  SELECT o_orderstatus, CAST(points AS BIGINT) * 100000
+      |  FROM base WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, CAST(points AS BIGINT) * 100000 + 1
       |  FROM base WHERE o_orderkey % 2 = 0)
       |SELECT o_orderstatus, count(*) AS n_rows,
       |  CAST(sum(points) AS BIGINT) AS sum_points,

@@ -128,9 +128,10 @@ final class IceliteTable private (
       .withColumn(LastUpdatedSeqCol, lit(seq))
     val statKeys = keyStatColumns(tableKeyColumns(head.properties), head.schema)
     val (dataFiles, count, fileStats, dataMetrics) = writeDataFiles(
-      enforceChecks(conformToSchema(withLineage, head.schema), head.properties)
+      enforceChecks(conformToSchema(withLineage, head.schema), head.schema, head.properties)
         .withColumn(SeqCol, lit(seq)),
       commitId, head.partitioning, nFiles = None,
+      sortBy = writeSortBy(head.properties),
       extraStatCols = statKeys.toMap ++ trackedStats(head.properties, head.schema))
     (head.copy(properties = head.properties + (NextRowIdProp -> (base + count).toString))
       .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "append",
@@ -664,17 +665,28 @@ final class IceliteTable private (
     }: _*)
   }
 
-  /** Fuse every declared CHECK into the batch as fail-fast asserts —
-    * rides the write scan, no extra job. NULL predicate results pass
-    * (SQL CHECK), so only an explicit FALSE throws.
+  /** Fuse every declared CHECK — and the declared NOT NULL contract of
+    * every non-nullable top-level column — into the batch as fail-fast
+    * asserts: rides the write scan, no extra job. CHECK follows SQL
+    * semantics (NULL predicate results pass, only explicit FALSE
+    * throws); the nullability assert throws on any NULL reaching a
+    * NOT NULL column, which is what makes [[tightenNullability]]'s
+    * one-scan proof durable — after the flip, no ingest write can
+    * reintroduce a NULL.
     */
-  private def enforceChecks(df: DataFrame, props: Map[String, String]): DataFrame =
-    props.toSeq.filter(_._1.startsWith(ConstraintPropPrefix)).sortBy(_._1)
+  private def enforceChecks(
+      df: DataFrame, schema: StructType, props: Map[String, String]): DataFrame = {
+    val checked = props.toSeq.filter(_._1.startsWith(ConstraintPropPrefix)).sortBy(_._1)
       .foldLeft(df) { case (d, (k, p)) =>
         val n = k.stripPrefix(ConstraintPropPrefix)
         d.filter(assert_true(coalesce(expr(p), lit(true)),
           lit(s"CHECK constraint '$n' of $name violated: $p")).isNull)
       }
+    schema.fields.filterNot(_.nullable).foldLeft(checked) { (d, f) =>
+      d.filter(assert_true(col(f.name).isNotNull,
+        lit(s"NOT NULL constraint of $name.${f.name} violated: write contains NULL")).isNull)
+    }
+  }
 
   private def commitWrite(
       df: DataFrame,
@@ -710,9 +722,10 @@ final class IceliteTable private (
     val (dataFiles, count, fileStats, dataMetrics) =
       if (df != null)
         writeDataFiles(
-          enforceChecks(conformToSchema(df, head.schema), head.properties)
+          enforceChecks(conformToSchema(df, head.schema), head.schema, head.properties)
             .withColumn(SeqCol, lit(seq)),
           commitId, head.partitioning, nFiles = None,
+          sortBy = writeSortBy(head.properties),
           extraStatCols = statKeys.toMap ++ trackedStats(head.properties, head.schema))
       else (Seq.empty[String], 0L, Map.empty[String, Map[String, (String, String)]],
         Map.empty[String, (Long, Long)])
@@ -2275,9 +2288,10 @@ final class IceliteTable private (
         }
         val statKeys = keyStatColumns(tableKeyColumns(head.properties), head.schema)
         val (files, count, stats, metrics) = writeDataFiles(
-          enforceChecks(conformToSchema(df, head.schema), head.properties)
+          enforceChecks(conformToSchema(df, head.schema), head.schema, head.properties)
             .withColumn(SeqCol, lit(seq)),
           commitId, head.partitioning, nFiles = None,
+          sortBy = writeSortBy(head.properties),
           extraStatCols = statKeys.toMap ++ trackedStats(head.properties, head.schema))
         (head.withSnapshot(Snapshot(seq, System.currentTimeMillis(), "overwrite-where",
           files, Nil, count, stats, posDeleteFiles = posFiles,
@@ -2293,9 +2307,10 @@ final class IceliteTable private (
       val seq = head.lastSeq + 1
       val commitId = UUID.randomUUID().toString
       val (files, count, stats, metrics) = writeDataFiles(
-        enforceChecks(conformToSchema(df, head.schema), head.properties)
+        enforceChecks(conformToSchema(df, head.schema), head.schema, head.properties)
           .withColumn(SeqCol, lit(seq)),
         commitId, head.partitioning, nFiles = None,
+        sortBy = writeSortBy(head.properties),
         extraStatCols = keyStatColumns(tableKeyColumns(head.properties), head.schema).toMap ++
           trackedStats(head.properties, head.schema))
       (head.rewritten(Snapshot(seq, System.currentTimeMillis(), "rewrite-overwrite",
@@ -2593,7 +2608,7 @@ final class IceliteTable private (
         val updated = matching.select(head.schema.fieldNames.toSeq.map(n =>
           set.get(n).map(_.as(n)).getOrElse(col(n))): _*)
         val (files, count, stats, metrics) = writeDataFiles(
-          enforceChecks(conformToSchema(updated, head.schema), head.properties)
+          enforceChecks(conformToSchema(updated, head.schema), head.schema, head.properties)
             .withColumn(SeqCol, lit(seq)),
           commitId, head.partitioning, nFiles = None,
           extraStatCols = statKeys.toMap ++ trackedStats(head.properties, head.schema))
@@ -2681,7 +2696,7 @@ final class IceliteTable private (
     val statCols = keyStatColumns(tableKeyColumns(before.properties), before.schema).toMap ++
       trackedStats(before.properties, before.schema)
     val (files, count, stats, metrics) = writeDataFiles(
-      enforceChecks(rewritten, before.properties), commitId, before.partitioning,
+      enforceChecks(rewritten, before.schema, before.properties), commitId, before.partitioning,
       nFiles = None, extraStatCols = statCols)
     retryCommit { head =>
       if (head.snapshots.map(_.seq) != beforeSeqs)
@@ -2731,9 +2746,10 @@ final class IceliteTable private (
     val seq = atSeq.getOrElse(head.lastSeq + 1)
     val statKeys = keyStatColumns(tableKeyColumns(head.properties), head.schema)
     val (files, count, stats, metrics) = writeDataFiles(
-      enforceChecks(conformToSchema(df, head.schema), head.properties)
+      enforceChecks(conformToSchema(df, head.schema), head.schema, head.properties)
         .withColumn(SeqCol, lit(seq)),
       stageId, head.partitioning, nFiles = None,
+      sortBy = writeSortBy(head.properties),
       extraStatCols = statKeys.toMap ++ trackedStats(head.properties, head.schema))
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
@@ -3251,10 +3267,41 @@ final class IceliteTable private (
       .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
   }
 
+  /** Nullability TIGHTENING (ALTER COLUMN … SET NOT NULL) — the
+    * [[declareConstraint]] contract applied to the nullability bit:
+    * ONE scan of the live MoR view proves no stored row is NULL (paid
+    * once at declare time; refused with the violating row count
+    * otherwise), then a metadata-only flip commits `nullable = false`.
+    * From then on enforcement rides the constraint fusion every ingest
+    * write already pays ([[enforceChecks]] asserts non-nullable
+    * columns inside the write's own scan — zero extra passes), so the
+    * proof stays true: a batch, UPDATE set-expression, or MERGE pad
+    * that produces a NULL fails fast instead of landing. The routine
+    * post-backfill schema migration real warehouses run; the reverse
+    * direction ([[relaxNullability]]) stays metadata-only.
+    */
+  def tightenNullability(colName: String): Long = {
+    refresh()
+    val f = cachedMeta.schema.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no column '$colName' in $name"))
+    if (!f.nullable) return cachedMeta.lastSeq // already NOT NULL
+    val bad = read().filter(col(colName).isNull).count()
+    if (bad > 0)
+      throw new IllegalStateException(
+        s"cannot SET NOT NULL on $name.$colName: $bad existing row(s) are NULL " +
+          "— backfill or delete them first")
+    retryCommit { head =>
+      val seq = head.lastSeq + 1
+      val newSchema = StructType(head.schema.fields.map(x =>
+        if (x.name == colName) x.copy(nullable = false) else x))
+      (head.withSchema(newSchema)
+        .withSnapshot(Snapshot(seq, System.currentTimeMillis(), "evolve", Nil, Nil, 0L)), seq)
+    }
+  }
+
   /** Metadata-only nullability RELAXATION (ALTER COLUMN … DROP NOT
     * NULL) — always safe: existing rows satisfy the weaker contract.
-    * Tightening (SET NOT NULL) refuses at the catalog: it would need a
-    * full-scan proof over every live row.
+    * Tightening is [[tightenNullability]] (one-scan proof).
     */
   def relaxNullability(colName: String): Long = retryCommit { head =>
     val f = head.schema.find(_.name == colName).getOrElse(
@@ -4452,6 +4499,14 @@ final class IceliteTable private (
     * is numeric) to the footer stats so range reads and key-range
     * pruning can skip files on them.
     */
+  /** Sort columns the CURRENT write should land under: the declared
+    * sort order when the thread is inside [[IceliteTable.withSortedWrite]]
+    * (the SQL write surface's sorted-write route), else none — the
+    * Scala append keeps the documented arrival-order trade.
+    */
+  private def writeSortBy(props: Map[String, String]): Seq[String] =
+    if (IceliteTable.isSortedWrite) sortOrderColumns(props) else Nil
+
   private def writeDataFiles(
       df: DataFrame,
       commitId: String,
@@ -4491,12 +4546,12 @@ final class IceliteTable private (
       case (Some(n), pc) if pc.nonEmpty => d.repartition(n, pc.map(p => col(p._1)): _*)
       case (Some(n), _) => d.repartition(n)
       case (None, pc) if pc.nonEmpty =>
+        // partition-clustered layout is the ENGINE's job on every
+        // path: Spark's RequiresDistributionAndOrdering exchange never
+        // reaches a V1 write (AppendDataExecV1 executes the original
+        // analyzedQuery, not the prepared query — the r18 skip here
+        // wrote source-shaped interleaved files on multi-task INSERTs)
         if (isSmallBatch(d)) d.repartition(1)
-        // SQL write surface already clustered this batch on the
-        // identity partition columns (RequiresDistributionAndOrdering
-        // honored by V2Writes) — repartitioning again here would
-        // shuffle the whole batch a second time for the same layout
-        else if (IceliteTable.isPreClusteredWrite) d
         else d.repartition(pc.map(p => col(p._1)): _*)
       case _ => if (isSmallBatch(d)) d.coalesce(1) else d
     }
@@ -4550,23 +4605,34 @@ object IceliteTable {
     */
   private final case class CachedHead(meta: TableMeta, version: Long)
 
-  /** Marks the current (driver) thread's write as ALREADY clustered on
-    * the table's identity partition columns — the SQL write surface
-    * declares `RequiresDistributionAndOrdering`, Spark's `V2Writes`
-    * prepareQuery inserts the exchange, and [[IceliteTable]]'s own
-    * partition repartition inside `writeDataFiles` would be a second
-    * redundant shuffle of the whole batch. Thread-local is sound
-    * here: the flag wraps a synchronous driver-side call chain
-    * (insert → append/overwrite → writeDataFiles), never crosses an
-    * executor boundary, and resets in `finally`.
+  /** Marks the current (driver) thread's write as a SORTED write: the
+    * batch range-partitions + sorts on (partition cols, declared sort
+    * cols) inside `writeDataFiles` — the compaction layout applied at
+    * write time, so the landed files own disjoint sort-key ranges and
+    * `readStatRange` prunes without waiting for the next compact. The
+    * SQL write surface sets it for tables with a declared sort order
+    * (Iceberg's `write.sort-order` behavior); the Scala `append` keeps
+    * the documented arrival-order trade unless wrapped. Thread-local
+    * is sound here: the flag wraps a synchronous driver-side call
+    * chain (insert → append/overwrite → writeDataFiles), never
+    * crosses an executor boundary, and resets in `finally`.
+    *
+    * (This replaces the r18 `withPreClusteredWrite` skip, which was
+    * built on a false premise: Spark's `V2Writes` prepareQuery DOES
+    * insert the `RequiresDistributionAndOrdering` exchange into the
+    * write's `query`, but the V1 fallback exec (`AppendDataExecV1`)
+    * executes the ORIGINAL `analyzedQuery` — verified against the
+    * Spark 4.1 strategy bytecode and empirically: an 8-task 8M-row
+    * insert landed 8 source-shaped interleaved files under the skip.
+    * The engine owns its write layout again.)
     */
-  private val preClusteredFlag: ThreadLocal[Boolean] =
+  private val sortedWriteFlag: ThreadLocal[Boolean] =
     ThreadLocal.withInitial(() => false)
-  private[graft] def withPreClusteredWrite[T](body: => T): T = {
-    preClusteredFlag.set(true)
-    try body finally preClusteredFlag.set(false)
+  private[graft] def withSortedWrite[T](body: => T): T = {
+    sortedWriteFlag.set(true)
+    try body finally sortedWriteFlag.set(false)
   }
-  private[graft] def isPreClusteredWrite: Boolean = preClusteredFlag.get()
+  private[graft] def isSortedWrite: Boolean = sortedWriteFlag.get()
 
   import org.apache.spark.sql.types._
 

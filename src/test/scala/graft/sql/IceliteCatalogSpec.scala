@@ -252,12 +252,18 @@ class IceliteCatalogSpec extends AnyFunSuite with SparkFixture {
     val t = IceliteTable.load(spark, wh, "ns", "t_widen")
     assert(t.meta.schema("n").getComment().contains("a counter"))
     assert(t.meta.schema("k").nullable)
-    // SET NOT NULL needs a full-scan proof: refused (Spark's analyzer
-    // rejects it for v2 tables before the catalog; the catalog's own
-    // refusal backstops any path that slips through)
+    // SET NOT NULL runs the one-scan proof (parser-routed around
+    // Spark's blanket v2 refusal): k has no NULLs, so the flip lands
+    spark.sql(s"ALTER TABLE $cat.ns.t_widen ALTER COLUMN k SET NOT NULL")
+    assert(!IceliteTable.load(spark, wh, "ns", "t_widen").meta.schema("k").nullable)
+    // and a NULL write to the tightened column now fails fast
+    intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.ns.t_widen VALUES (NULL, 1, 0.5)"))
+    // a column WITH stored NULLs refuses with the violating count
+    spark.sql(s"INSERT INTO $cat.ns.t_widen VALUES (9, NULL, 0.5)")
     val e = intercept[Exception](
-      spark.sql(s"ALTER TABLE $cat.ns.t_widen ALTER COLUMN k SET NOT NULL"))
-    assert(e.getMessage.contains("SET NOT NULL") ||
-      e.getMessage.contains("non-nullable"), e.getMessage)
+      spark.sql(s"ALTER TABLE $cat.ns.t_widen ALTER COLUMN n SET NOT NULL"))
+    assert(e.getMessage.contains("SET NOT NULL") &&
+      e.getMessage.contains("1 existing row"), e.getMessage)
   }
 }

@@ -190,25 +190,35 @@ class IceliteSqlWriteSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
   }
 
-  test("SQL INSERT into an identity-partitioned table: Spark owns the ONE clustering exchange") {
+  test("SQL INSERT into an identity-partitioned table lands partition-clustered files") {
     wh
     spark.sql(s"CREATE TABLE $Cat.ns.clus (id BIGINT, pt STRING) PARTITIONED BY (pt)")
     // a deliberately multi-task source (8 partitions, 3 partition values)
     spark.range(0, 3000).selectExpr("id", "concat('p', id % 3) AS pt")
       .repartition(8).createOrReplaceTempView("clus_src")
-    // the write declares RequiresDistributionAndOrdering → V2Writes
-    // prepareQuery clusters the batch on pt BEFORE the V1 fallback,
-    // and the engine SKIPS its own repartition (withPreClusteredWrite)
-    // — so the file layout below is possible ONLY if Spark's exchange
-    // actually ran: the 8-task source would otherwise write ~8
-    // pt-interleaved files (EXPLAIN can't show this — AppendDataExecV1
-    // executes the query inside insert(), not in the top-level plan)
+    // the ENGINE owns the clustering exchange (writeDataFiles hash-
+    // repartitions on the partition columns): Spark's
+    // RequiresDistributionAndOrdering never reaches a V1 write —
+    // AppendDataExecV1 executes the original analyzedQuery, so the
+    // r18 declare-and-skip design silently wrote ~8 pt-interleaved
+    // files on any batch past the small-file path (this spec's old
+    // 3000-row fixture masked it: small batches coalesce to 1 file)
     spark.sql(s"INSERT INTO $Cat.ns.clus SELECT * FROM clus_src")
     val t = IceliteTable.load(spark, wh, "ns", "clus")
     val files = t.meta.snapshots.last.dataFiles
     assert(files.size <= 3, s"expected <= 3 files (3 partition values), got ${files.size}")
     assert(spark.sql(s"SELECT count(DISTINCT pt) FROM $Cat.ns.clus")
       .collect()(0).getLong(0) == 3)
+    // the BIG-batch path (past isSmallBatch): 8 source tasks must
+    // still land <= 3 value-clustered files, one exchange on pt
+    spark.range(0, 8000000).selectExpr("id", "concat('p', id % 3) AS pt")
+      .repartition(8, org.apache.spark.sql.functions.col("id"))
+      .createOrReplaceTempView("clus_big_src")
+    spark.sql(s"INSERT INTO $Cat.ns.clus SELECT * FROM clus_big_src")
+    t.refresh()
+    val bigFiles = t.meta.snapshots.last.dataFiles
+    assert(bigFiles.size <= 3,
+      s"big multi-task INSERT wrote ${bigFiles.size} files (expected <= 3 clustered)")
     // derived transforms keep the engine-side repartition (Spark would
     // need a FunctionCatalog to resolve the cluster expressions) and
     // still avoid the small-file blowup

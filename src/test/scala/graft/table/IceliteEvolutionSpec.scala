@@ -329,4 +329,44 @@ class IceliteEvolutionSpec extends AnyFunSuite with SparkFixture {
     t.relaxNullability("id")
     assert(t.meta.schema("id").nullable)
   }
+
+  test("SET NOT NULL: one-scan proof, dirty refusal, write enforcement, time travel") {
+    import scala.jdk.CollectionConverters._
+    val s = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val t = IceliteTable.create(spark, wh(), "ns", "evnn", s)
+    t.append(spark.createDataFrame(
+      Seq(Row(java.lang.Long.valueOf(1L), "a"), Row(java.lang.Long.valueOf(2L), null)).asJava, s))
+    val preSeq = t.meta.lastSeq
+    // dirty column refuses with the violating count, state untouched
+    val e = intercept[IllegalStateException](t.tightenNullability("v"))
+    assert(e.getMessage.contains("1 existing row"), e.getMessage)
+    assert(t.meta.lastSeq == preSeq && t.meta.schema("v").nullable)
+    // clean column flips metadata-only (no data files in the commit)
+    t.tightenNullability("id")
+    assert(!t.meta.schema("id").nullable)
+    assert(t.meta.snapshots.last.operation == "evolve" &&
+      t.meta.snapshots.last.recordCount == 0L)
+    // enforcement rides the Scala write path's own scan
+    val bad = intercept[Exception](t.append(spark.createDataFrame(
+      Seq(Row(null, "c")).asJava, s)))
+    assert(Option(bad.getMessage).getOrElse(bad.getCause.getMessage)
+      .contains("NOT NULL"), bad.toString)
+    // the refused batch landed nothing
+    assert(t.read().count() == 2)
+    // a NULL produced by an UPDATE set-expression also fails fast
+    intercept[Exception](t.updateWhere(col("id") === 1L,
+      Map("id" -> lit(null).cast(LongType))))
+    assert(t.read().filter(col("id").isNull).count() == 0)
+    // time travel to a pre-tighten seq still serves the old shape
+    assert(t.readAt(preSeq).count() == 2)
+    // idempotent: tightening an already-NOT-NULL column is a no-op
+    val seqNow = t.meta.lastSeq
+    assert(t.tightenNullability("id") == seqNow)
+    // unknown column refuses
+    intercept[IllegalArgumentException](t.tightenNullability("nope"))
+    // after backfilling the NULL, v tightens too
+    t.updateWhere(col("v").isNull, Map("v" -> lit("filled")))
+    t.tightenNullability("v")
+    assert(!t.meta.schema("v").nullable)
+  }
 }

@@ -57,6 +57,44 @@ class IceliteSortOrderSpec extends AnyFunSuite with SparkFixture {
       == expect)
   }
 
+  test("SQL INSERT into a sort-declared table lands per-file DISJOINT ranges") {
+    val w = wh()
+    val cat = "icelite_so"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.IceliteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    val t = IceliteTable.create(spark, w, "ns", "sqlsorted", schema)
+    t.trackStats(Seq("k"))
+    t.declareSortOrder(Seq("k"))
+    // a hash-scattered source big enough to clear the small-batch
+    // single-file path: without the ordered write distribution every
+    // task's file would span ~the full k range
+    val n = 8000000L
+    spark.range(0L, n).select(col("id"), (col("id") * 7 % 1000).as("k"))
+      .repartition(8, col("id"))
+      .createOrReplaceTempView("so_src")
+    spark.sql(s"INSERT INTO $cat.ns.sqlsorted SELECT id, k FROM so_src")
+    t.refresh()
+    val ranges = t.meta.liveDataFiles.flatMap { f =>
+      t.meta.snapshots.flatMap(_.fileStats.get(f)).headOption
+        .flatMap(_.get("k")).map { case (mn, mx) => (mn.toLong, mx.toLong) }
+    }.sortBy(_._1)
+    assert(ranges.size > 1, s"expected a multi-file write, got ${ranges.size} file(s)")
+    // Spark's ordered distribution (range partition + sort) makes
+    // every pair of files disjoint on the sort key — readStatRange
+    // prunes steady-state appends without waiting for compaction
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // content unharmed and the range read answers exactly
+    assert(t.read().count() == n)
+    val got = t.readStatRange("k", Some(20L), Some(21L))
+      .agg(count(lit(1)), sum(col("id"))).collect().head
+    val want = (0L until n).filter(i => { val k = i * 7 % 1000; k == 20 || k == 21 })
+    assert(got.getLong(0) == want.size && got.getLong(1) == want.sum)
+  }
+
   test("sort-order columns are anchored against rename/drop; zorder wins when explicit") {
     val t = IceliteTable.create(spark, wh(), "ns", "sortanchor", schema)
     t.declareSortOrder(Seq("k"))
