@@ -533,6 +533,40 @@ object SqlDml {
 
     def qual(e: Expression): Column = { noSubquery(e, "MERGE"); requalify(e, target, source) }
 
+    // Scalar subqueries in WHEN MATCHED UPDATE SET values — the
+    // [[ScalarSetSpec]] machinery reused on the merge route. The
+    // decorrelated frames join onto the SOURCE side before the merge
+    // classify (the command augments `src` with one synthetic column
+    // per subquery), which is sound because a matched update only
+    // ever evaluates where `t.key = s.key` holds: correlation on a
+    // source column joins directly, and correlation on a TARGET key
+    // column is provably equal to the same-named source column there.
+    // Correlation on a non-key target column has no source-side image
+    // and refuses loudly.
+    var mergeSpecs = Vector.empty[ScalarSetSpec]
+    def replaceScalars(e: Expression): Expression = {
+      val replaced = e.transform {
+        case s: ScalarSubquery =>
+          s.outerAttrs.foreach {
+            case a: AttributeReference
+              if source.contains(a) ||
+                (target.contains(a) && keyCols.exists(_.equalsIgnoreCase(a.name))) => ()
+            case a: AttributeReference => refuse(
+              s"MERGE UPDATE SET scalar subquery correlates on target column ${a.name}: " +
+                "only source columns and merge key columns are routed (no source-side " +
+                "image exists for other target columns)")
+            case other => refuse(
+              s"unsupported outer reference ${other.sql} in a MERGE SET scalar subquery")
+          }
+          val spec = buildScalarSpec(s, mergeSpecs.size)
+          mergeSpecs = mergeSpecs :+ spec
+          UnresolvedAttribute(Seq("s", scalarName(spec.idx)))
+      }
+      if (replaced.exists(_.isInstanceOf[SubqueryExpression])) refuse(
+        "only scalar subqueries are routed inside MERGE UPDATE SET expressions")
+      replaced
+    }
+
     // SQL first-matching-clause-wins over the ordered WHEN MATCHED
     // list, encoded as disjoint effective conditions
     var prior: Column = lit(false)
@@ -576,7 +610,7 @@ object SqlDml {
                 case v: AttributeReference if keyCols.contains(n) &&
                   v.name.equalsIgnoreCase(n) &&
                   (target.contains(v) || source.contains(v)) => None
-                case v => Some(n -> qual(v))
+                case v => Some(n -> qual(replaceScalars(v)))
               }
             } else {
               if (keyCols.exists(_.equalsIgnoreCase(name)))
@@ -750,7 +784,7 @@ object SqlDml {
     IceliteMergeCommand(t, m.sourceTable, keyCols,
       Some(matchedUpdate.getOrElse(lit(false))),
       matchedDelete, notMatchedInsert, updateSet,
-      bsUpdate, bsDelete, bsSet, insertSet)
+      bsUpdate, bsDelete, bsSet, insertSet, mergeSpecs)
   }
 }
 
@@ -989,10 +1023,62 @@ case class IceliteMergeCommand(
     notMatchedBySourceUpdate: Option[Column] = None,
     notMatchedBySourceDelete: Option[Column] = None,
     notMatchedBySourceUpdateSet: Map[String, Column] = Map.empty,
-    notMatchedInsertSet: Map[String, Column] = Map.empty)
+    notMatchedInsertSet: Map[String, Column] = Map.empty,
+    scalarSpecs: Seq[SqlDml.ScalarSetSpec] = Nil)
   extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    val src = ColumnBridge.ofRows(sparkSession, sourcePlan)
+    import org.apache.spark.sql.functions.{col, count, first, lit, when}
+    import SqlDml.{scalarName, scCntName, scMarkName}
+    var src = ColumnBridge.ofRows(sparkSession, sourcePlan)
+    // WHEN MATCHED UPDATE SET scalar subqueries: decorrelated frames
+    // join onto the source ONCE here, before the classify — the set
+    // expressions then read the synthetic `s.__scalar_i` columns
+    // (correlation keys are source columns by construction, see
+    // translateMerge; target-key correlation rides the same-named
+    // source column, equal wherever a matched update evaluates)
+    scalarSpecs.foreach { spec =>
+      val s = scalarName(spec.idx)
+      require(!src.columns.contains(s), s"merge source may not carry $s")
+      spec match {
+        case SqlDml.UncorrScalar(i, plan, dt) =>
+          val rows = ColumnBridge.ofRows(sparkSession, plan).limit(2).collect()
+          if (rows.length > 1) throw new IllegalStateException(
+            "scalar subquery in MERGE SET returned more than one row")
+          src = src.withColumn(scalarName(i), lit(rows.headOption.map(_.get(0)).orNull).cast(dt))
+        case SqlDml.CorrAggScalar(i, frame, ks, emptyEval) =>
+          val f = ColumnBridge.ofRows(sparkSession, frame)
+            .withColumn(scMarkName(i), lit(true))
+          val dt = f.schema(scalarName(i)).dataType
+          val fbRow = ColumnBridge.ofRows(sparkSession, emptyEval).collect()(0)
+          val fb = if (fbRow.isNullAt(0)) lit(null).cast(dt)
+            else lit(fbRow.get(0)).cast(dt)
+          val on = ks.map { case (v, sc) => src(v) === f(sc) }.reduce(_ && _)
+          src = src.join(f, on, "left_outer")
+            .withColumn(scalarName(i),
+              when(col(scMarkName(i)).isNull, fb).otherwise(col(scalarName(i))))
+            .drop(scMarkName(i)).drop(ks.map(_._2): _*)
+        case SqlDml.CorrRowScalar(i, frame, ks) =>
+          val f = ColumnBridge.ofRows(sparkSession, frame)
+            .groupBy(ks.map(k => col(k._2)): _*)
+            .agg(first(col(scalarName(i))).as(scalarName(i)),
+              count(lit(1)).as(scCntName(i)))
+          val on = ks.map { case (v, sc) => src(v) === f(sc) }.reduce(_ && _)
+          src = src.join(f, on, "left_outer").drop(ks.map(_._2): _*)
+      }
+    }
+    val cnts = scalarSpecs.collect { case r: SqlDml.CorrRowScalar => scCntName(r.idx) }
+    if (cnts.nonEmpty) {
+      // SQL scalar cardinality error, scoped to source rows that MATCH
+      // a target row (the rows a matched update can touch) — an
+      // over-cardinality subquery on a never-matched source row is
+      // never evaluated and must not fail the statement
+      val matched = src.join(
+        table.read().select(keyCols.map(col): _*), keyCols, "left_semi")
+      if (!matched.filter(cnts.map(c => col(c) > 1).reduce(_ || _)).isEmpty)
+        throw new IllegalStateException(
+          "scalar subquery in MERGE SET returned more than one row for a matched row")
+      src = src.drop(cnts: _*)
+    }
     table.merge(src, keyCols, matchedUpdate, matchedDelete,
       notMatchedInsert, matchedUpdateSet,
       notMatchedBySourceUpdate, notMatchedBySourceDelete, notMatchedBySourceUpdateSet,

@@ -544,6 +544,84 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(state("t_sref") == Seq((1L, "a", 10L)))
   }
 
+  test("MERGE matched-UPDATE SET with correlated scalar subqueries") {
+    import spark.implicits._
+    mk("t_mscal", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    Seq((1L, 100L), (2L, 200L), (4L, 400L)).toDF("k", "mv")
+      .createOrReplaceTempView("mscal_src")
+    Seq((1L, 7L), (1L, 8L), (4L, 9L)).toDF("fk", "q")
+      .createOrReplaceTempView("mscal_lines")
+    // correlation on a SOURCE column (mk): k=1 sums its two lines,
+    // k=2 has none -> empty-agg value (NULL) -> coalesce fills -1;
+    // k=4 inserts (the synthetic scalar columns never leak into it)
+    spark.sql(
+      """MERGE INTO dml.ns.t_mscal t USING mscal_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = coalesce(
+        |  (SELECT CAST(sum(q) AS BIGINT) FROM mscal_lines WHERE fk = s.k), -1)
+        |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, 'new', mv)""".stripMargin)
+    assert(state("t_mscal") ==
+      Seq((1L, "a", 15L), (2L, "b", -1L), (3L, "c", 30L), (4L, "new", 400L)))
+    // correlation on a TARGET KEY column: equal to the source key on
+    // every matched row, so it routes through the same-named source
+    // column; count fills 0 on no-match (evaluated empty aggregate)
+    spark.sql(
+      """MERGE INTO dml.ns.t_mscal t USING mscal_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET
+        |  v = (SELECT count(*) FROM mscal_lines WHERE fk = t.k)""".stripMargin)
+    assert(state("t_mscal") ==
+      Seq((1L, "a", 2L), (2L, "b", 0L), (3L, "c", 30L), (4L, "new", 1L)))
+  }
+
+  test("MERGE SET scalar: row SELECT cardinality error scoped to MATCHED rows; refusals") {
+    import spark.implicits._
+    mk("t_mscal2", Seq((1L, "a", 10L), (2L, "b", 20L)))
+    Seq((2L, 5L), (9L, 6L)).toDF("k", "mv").createOrReplaceTempView("mscal2_src")
+    // k=9 never matches a target row: its TWO subquery rows must not
+    // fail the statement (the error is scoped to matched rows)
+    Seq((9L, 91L), (9L, 92L), (2L, 21L)).toDF("fk", "q")
+      .createOrReplaceTempView("mscal2_lines")
+    spark.sql(
+      """MERGE INTO dml.ns.t_mscal2 t USING mscal2_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET
+        |  v = (SELECT CAST(q AS BIGINT) FROM mscal2_lines WHERE fk = s.k)""".stripMargin)
+    assert(state("t_mscal2") == Seq((1L, "a", 10L), (2L, "b", 21L)))
+    // a MATCHED row with two subquery rows is the SQL cardinality error
+    Seq((2L, 21L), (2L, 22L)).toDF("fk", "q")
+      .createOrReplaceTempView("mscal2_lines")
+    val e0 = intercept[Exception](spark.sql(
+      """MERGE INTO dml.ns.t_mscal2 t USING mscal2_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET
+        |  v = (SELECT CAST(q AS BIGINT) FROM mscal2_lines WHERE fk = s.k)""".stripMargin))
+    assert(chainMsg(e0).contains("more than one row"), chainMsg(e0))
+    // correlation on a NON-KEY target column has no source-side image
+    val e1 = intercept[UnsupportedOperationException](spark.sql(
+      """MERGE INTO dml.ns.t_mscal2 t USING mscal2_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET
+        |  v = (SELECT CAST(sum(q) AS BIGINT) FROM mscal2_lines WHERE fk = t.v)""".stripMargin))
+    assert(e1.getMessage.contains("target column"), e1.getMessage)
+    // non-scalar subqueries inside SET values still refuse
+    val e2 = intercept[UnsupportedOperationException](spark.sql(
+      """MERGE INTO dml.ns.t_mscal2 t USING mscal2_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET
+        |  v = CASE WHEN EXISTS (SELECT 1 FROM mscal2_lines WHERE fk = s.k)
+        |      THEN 1 ELSE 0 END""".stripMargin))
+    assert(e2.getMessage.contains("scalar"), e2.getMessage)
+    // state untouched by every refusal
+    assert(state("t_mscal2") == Seq((1L, "a", 10L), (2L, "b", 21L)))
+  }
+
+  test("MERGE SET uncorrelated scalar: one global probe rides the merge") {
+    import spark.implicits._
+    mk("t_mscal3", Seq((1L, "a", 10L)))
+    Seq((1L, 0L)).toDF("k", "mv").createOrReplaceTempView("mscal3_src")
+    Seq(5L, 3L).toDF("q").createOrReplaceTempView("mscal3_q")
+    spark.sql(
+      """MERGE INTO dml.ns.t_mscal3 t USING mscal3_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET
+        |  v = v + (SELECT CAST(max(q) AS BIGINT) FROM mscal3_q)""".stripMargin)
+    assert(state("t_mscal3") == Seq((1L, "a", 15L)))
+  }
+
   test("correlated shapes the join cannot express refuse loudly") {
     import spark.implicits._
     mk("t_exref", Seq((1L, "a", 10L)))
