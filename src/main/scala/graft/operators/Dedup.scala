@@ -314,10 +314,16 @@ object Dedup {
     * catches (byte-identical replicas → [[exact]]; corpus-wide
     * boilerplate → [[substringRuns]]/line-level), so skipping them
     * here loses nothing the pipeline misses. Docs that had ≥ 1
-    * skipped shingle are SURFACED (`x_capped`/`y_capped` columns) —
-    * the same reported-cap discipline as [[SemMaxClusterSize]] — and
-    * the oracle mirrors the cap, so it is part of the gated
-    * semantics, never a silent engine-side truncation.
+    * skipped shingle are flagged (`x_capped`/`y_capped` columns) on
+    * every pair that SURVIVES candidate generation — a pair whose
+    * every shared shingle is over-cap produces no output row, so its
+    * suppression is visible only through the cheaper dedup families
+    * that catch those docs, not in this query's result. The oracle
+    * mirrors the cap exactly (same df aggregation, same flags), so
+    * the cap is part of the GATED semantics — never an engine-side
+    * divergence from the oracle — but the reported-cap discipline is
+    * weaker than [[SemMaxClusterSize]]'s: it reports on survivors
+    * only.
     */
   val EditMaxShingleDf = 32
 

@@ -114,11 +114,17 @@ final class ViewStore(spark: SparkSession, warehouse: String) {
     tmp
   }
 
-  /** Exclusive create: rename refuses an existing destination, so two
-    * racing CREATEs resolve to one winner and one loud failure.
+  /** Exclusive create. The explicit existence check carries the
+    * semantics: Hadoop's RawLocalFileSystem rename is File.renameTo,
+    * which on Linux silently REPLACES an existing destination and
+    * returns true — relying on rename-refuses-existing alone would
+    * turn CREATE into CREATE OR REPLACE on a plain local fs (HDFS and
+    * Hive's ProxyLocalFileSystem do refuse; the rename-failure path
+    * stays as the race backstop for those).
     */
   def create(ident: Identifier, m: IceliteViewMeta): Unit = {
     val (ns, name) = split(ident)
+    if (exists(ns, name)) throw new ViewAlreadyExistsException(ident)
     val tmp = writeTemp(ns, name, m)
     if (!fs.rename(tmp, file(ns, name))) {
       fs.delete(tmp, false)
@@ -141,15 +147,22 @@ final class ViewStore(spark: SparkSession, warehouse: String) {
     }
   }
 
-  def drop(ident: Identifier): Boolean = {
-    val (ns, name) = split(ident)
-    fs.delete(file(ns, name), false)
+  def drop(ident: Identifier): Boolean = ident.namespace() match {
+    // lenient on drop: a multi-level name cannot name a stored view,
+    // so DROP VIEW IF EXISTS of one is a no-op "not found", not an
+    // unsupported-namespace error (the create/replace/rename paths
+    // ARE strict — see split)
+    case Array(ns) => fs.delete(file(ns, ident.name()), false)
+    case _ => false
   }
 
   def rename(from: Identifier, to: Identifier): Unit = {
     val (fns, fname) = split(from)
     val (tns, tname) = split(to)
     if (!exists(fns, fname)) throw new NoSuchViewException(from)
+    // the explicit check is the semantics on RawLocalFileSystem (see
+    // create: local rename silently replaces); the rename-failure
+    // path backstops the race on filesystems that do refuse
     if (exists(tns, tname)) throw new ViewAlreadyExistsException(to)
     fs.mkdirs(viewsDir(tns))
     if (!fs.rename(file(fns, fname), file(tns, tname)))
@@ -159,7 +172,10 @@ final class ViewStore(spark: SparkSession, warehouse: String) {
 
   private def split(ident: Identifier): (String, String) = ident.namespace() match {
     case Array(ns) => (ns, ident.name())
-    case other => throw new NoSuchViewException(ident)
+    case Array() => throw new NoSuchViewException(ident)
+    case other => throw new UnsupportedOperationException(
+      s"icelite views live in a single-level namespace: got " +
+        s"'${other.mkString(".")}.${ident.name()}' (${other.length} levels)")
   }
 }
 
