@@ -1572,7 +1572,198 @@ object TextAnalysis {
        |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin
   }
 
+  // --------------------------------------------------- unigram LM (SentencePiece-style)
+
+  /** Max word length the unigram-LM trainer segments (longer words are
+    * excluded up front): the Viterbi DP unrolls ONE relational round
+    * per consumed piece, so this bounds the generated chain in BOTH
+    * engines identically.
+    */
+  val UlmMaxWordLen = 10
+
+  /** Max candidate piece length in the seed vocabulary. */
+  val UlmMaxPieceLen = 4
+
+  /** Seed floor: a multi-char substring enters the seed vocabulary
+    * only with at least this much weighted occurrence mass (every
+    * position counted, weighted by word frequency). Single-char
+    * pieces are ALWAYS kept — full segmentation coverage by
+    * construction, the SentencePiece character-coverage invariant.
+    */
+  val UlmSeedFloor = 20L
+
+  /** Multi-char vocabulary size kept after the EM-1 prune. */
+  val UlmVocabKeep = 200
+
+  /** Report size of [[unigramLm]]. */
+  val UlmTopK = 20
+
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — hard-EM
+    * over the vocabulary-sized word-count frame, all-integer so the
+    * DuckDB oracle reproduces it bit-exactly:
+    *
+    *  - SEED: every substring (≤ [[UlmMaxPieceLen]] chars) of every
+    *    distinct word, scored by weighted occurrence count; multi-char
+    *    pieces below [[UlmSeedFloor]] drop, single chars always stay
+    *    (coverage).
+    *  - E-STEP (Viterbi, exact): each word's best segmentation
+    *    maximizes the sum of piece scores — computed RELATIONALLY as
+    *    [[UlmMaxWordLen]] unrolled Bellman-Ford rounds over the
+    *    match-edge DAG (dp rows (word, pos, score, seg); per round one
+    *    bucketable equi-join + two hash aggs). Ties break on the
+    *    lexicographically smallest segmentation string — a TOTAL
+    *    order with optimal substructure (two same-score segs at one
+    *    position are never prefix-related, since equal consumed
+    *    length forces a differing character before either ends), so
+    *    per-position pruning is exact, no per-row imperative DP and
+    *    no UDF anywhere.
+    *  - M-STEP: piece scores re-estimate as weighted usage counts in
+    *    the best segmentations.
+    *  - PRUNE: keep the [[UlmVocabKeep]] most-used multi-char pieces
+    *    (+ all single chars), then one more E/M round under the
+    *    pruned vocabulary — the trained tokenizer's final piece
+    *    distribution, reported top-[[UlmTopK]].
+    *
+    * Scale shape: everything is vocabulary-sized (distinct words ×
+    * ≤ L positions), never corpus-sized — the corpus is touched once
+    * to build the word-count frame, exactly like the BPE trainer; the
+    * DP frames are ~|vocab|·L rows through 2·L bounded rounds.
+    */
+  def unigramLm(spark: SparkSession, dir: String): DataFrame =
+    unigramLmOn(spark, t(spark, dir, "documents"))
+
+  private[operators] def unigramLmOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")).between(1, UlmMaxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    // every (position, length) substring occurrence of every word
+    val subs = words.select(col("w"), col("cnt"), explode(expr(
+        s"flatten(transform(sequence(0, length(w) - 1), " +
+          s"i -> transform(sequence(1, least($UlmMaxPieceLen, length(w) - i)), " +
+          "l -> named_struct('i', i, 'piece', substring(w, i + 1, l)))))")).as("e"))
+      .select(col("w"), col("cnt"), col("e.i").as("i"), col("e.piece").as("piece"))
+      .localCheckpoint(true)
+    val seed = subs.groupBy("piece").agg(sum(col("cnt")).as("s"))
+    val vocab1 = seed
+      .filter(length(col("piece")) === 1 || col("s") >= UlmSeedFloor)
+      .localCheckpoint(true)
+
+    // exact Viterbi usage counts of `vocab` over every word
+    def segmentCounts(vocab: DataFrame): DataFrame = {
+      val edges = subs.join(vocab, "piece")
+        .select(col("w"), col("i"), (col("i") + length(col("piece"))).as("j"),
+          col("piece"), col("s"))
+        .localCheckpoint(true)
+      var dp = words.select(col("w"), lit(0).as("pos"),
+        lit(0L).as("sc"), lit("").as("seg"))
+      for (_ <- 1 to UlmMaxWordLen) {
+        val stepped = dp.as("d")
+          .join(edges.as("e"), col("d.w") === col("e.w") && col("d.pos") === col("e.i"))
+          .select(col("d.w").as("w"), col("e.j").as("pos"),
+            (col("d.sc") + col("e.s")).as("sc"),
+            when(col("d.seg") === "", col("e.piece"))
+              .otherwise(concat(col("d.seg"), lit(" "), col("e.piece"))).as("seg"))
+        val states = dp.unionByName(stepped)
+        val best = states.groupBy("w", "pos").agg(max("sc").as("sc"))
+        dp = states.join(best, Seq("w", "pos", "sc"))
+          .groupBy("w", "pos", "sc").agg(min("seg").as("seg"))
+          .localCheckpoint(true)
+      }
+      dp.join(words, "w").filter(col("pos") === length(col("w")))
+        .select(explode(split(col("seg"), " ")).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum(col("cnt")).as("s"))
+    }
+
+    val c1 = segmentCounts(vocab1).localCheckpoint(true)
+    val kept = c1.filter(length(col("piece")) > 1)
+      .orderBy(col("s").desc, col("piece")).limit(UlmVocabKeep)
+    val chars = vocab1.filter(length(col("piece")) === 1).select("piece")
+      .join(c1, Seq("piece"), "left_outer")
+      .select(col("piece"), coalesce(col("s"), lit(0L)).as("s"))
+    val vocab2 = chars.unionByName(kept).localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("piece"))
+    segmentCounts(vocab2)
+      .select(col("piece"), col("s").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= UlmTopK)
+      .select(col("rank"), col("piece"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** GENERATED unigram-LM oracle: the identical seed → Viterbi-DP →
+    * count → prune → Viterbi-DP → count chain unrolled as DuckDB CTEs
+    * (2 × [[UlmMaxWordLen]] dp rounds, four CTEs each). Key frames are
+    * AS MATERIALIZED — each dp round references its predecessor twice
+    * and DuckDB's default inlining would double the plan per round
+    * (the `text_bpe_merges_100` lesson).
+    */
+  private def ulmDpChain(tag: String, edges: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"dp${tag}0 AS MATERIALIZED (SELECT w, 0 AS pos, " +
+      "CAST(0 AS BIGINT) AS sc, '' AS seg FROM words),\n")
+    for (r <- 1 to UlmMaxWordLen) {
+      val p = s"dp$tag${r - 1}"
+      sb.append(
+        s"""st$tag$r AS (SELECT d.w, e.j AS pos, d.sc + e.s AS sc,
+           |  CASE WHEN d.seg = '' THEN e.piece ELSE d.seg || ' ' || e.piece END AS seg
+           |  FROM $p d JOIN $edges e ON d.w = e.w AND d.pos = e.i),
+           |al$tag$r AS MATERIALIZED (SELECT * FROM $p UNION ALL SELECT * FROM st$tag$r),
+           |bt$tag$r AS (SELECT w, pos, max(sc) AS sc FROM al$tag$r GROUP BY w, pos),
+           |dp$tag$r AS MATERIALIZED (SELECT a.w, a.pos, a.sc, min(a.seg) AS seg
+           |  FROM al$tag$r a JOIN bt$tag$r b ON a.w = b.w AND a.pos = b.pos AND a.sc = b.sc
+           |  GROUP BY a.w, a.pos, a.sc),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""cnt$tag AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS s FROM (
+         |  SELECT unnest(string_split(d.seg, ' ')) AS piece, wo.cnt AS cnt
+         |  FROM dp$tag$UlmMaxWordLen d JOIN words wo ON d.w = wo.w AND d.pos = length(wo.w))
+         |  GROUP BY piece),
+         |""".stripMargin)
+    sb.toString
+  }
+
+  private val unigramLmOracle: String = {
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) BETWEEN 1 AND $UlmMaxWordLen GROUP BY w),
+       |subs AS MATERIALIZED (
+       |  SELECT w, cnt, CAST(t.i AS INTEGER) AS i,
+       |    substr(w, CAST(t.i AS INTEGER) + 1, CAST(t2.l AS INTEGER)) AS piece
+       |  FROM words
+       |  CROSS JOIN range(0, $UlmMaxWordLen) t(i)
+       |  CROSS JOIN range(1, ${UlmMaxPieceLen + 1}) t2(l)
+       |  WHERE t.i < length(w) AND t.i + t2.l <= length(w)),
+       |seed AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS s FROM subs GROUP BY piece),
+       |vocab1 AS MATERIALIZED (
+       |  SELECT piece, s FROM seed WHERE length(piece) = 1 OR s >= $UlmSeedFloor),
+       |eda AS MATERIALIZED (
+       |  SELECT s.w, s.i, s.i + length(s.piece) AS j, s.piece, v.s
+       |  FROM subs s JOIN vocab1 v USING (piece)),
+       |${ulmDpChain("a", "eda")}vocab2 AS MATERIALIZED (
+       |  SELECT v.piece, coalesce(c.s, 0) AS s
+       |  FROM (SELECT piece FROM vocab1 WHERE length(piece) = 1) v
+       |  LEFT JOIN cnta c USING (piece)
+       |  UNION ALL
+       |  SELECT piece, s FROM (
+       |    SELECT piece, s FROM cnta WHERE length(piece) > 1
+       |    ORDER BY s DESC, piece LIMIT $UlmVocabKeep)),
+       |edb AS MATERIALIZED (
+       |  SELECT s.w, s.i, s.i + length(s.piece) AS j, s.piece, v.s
+       |  FROM subs s JOIN vocab2 v USING (piece)),
+       |${ulmDpChain("b", "edb")}ranked AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY s DESC, piece) AS INTEGER) AS rank,
+       |    piece, s AS score
+       |  FROM cntb)
+       |SELECT rank, piece, score FROM ranked WHERE rank <= $UlmTopK ORDER BY rank""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("text_unigram_lm", unigramLm _, Some(unigramLmOracle),
+      "unigram-LM (SentencePiece-style) trainer: seed substrings, exact integer Viterbi hard-EM, prune, final piece distribution"),
     GraftQuery("text_keyphrases", keyphrases _, Some(keyphrasesOracle),
       "RAKE keyphrase extraction: stopword/punct segmentation, degree/freq word scores, decimal-exact phrase sum"),
     GraftQuery("text_bm25", bm25 _, Some(bm25Oracle),

@@ -201,4 +201,74 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       assert(tp + fp + fn + tn == nDocs, s"$src total")
     }
   }
+
+  /** Brute-force reference for the unigram-LM E-step: per word, the
+    * exact max-score segmentation with the (score desc, seg asc)
+    * tie-break, enumerated driver-side.
+    */
+  private def bruteBest(w: String, vocab: Map[String, Long]): (Long, String) = {
+    def go(pos: Int): Seq[(Long, String)] =
+      if (pos == w.length) Seq((0L, ""))
+      else for {
+        l <- 1 to math.min(TextAnalysis.UlmMaxPieceLen, w.length - pos)
+        piece = w.substring(pos, pos + l)
+        sc <- vocab.get(piece).toSeq
+        (restSc, restSeg) <- go(pos + l)
+      } yield (sc + restSc, if (restSeg.isEmpty) piece else piece + " " + restSeg)
+    go(0).minBy { case (sc, seg) => (-sc, seg) }
+  }
+
+  test("unigram-LM: relational Viterbi DP equals brute-force enumeration on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abab abab cab"), (2L, "abab cab cab bc"), (3L, "abc abab ab"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLmOn(spark, docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out.nonEmpty && out.map(_._1) == (1 to out.size))
+
+    // rebuild the reference trainer driver-side with the same knobs
+    val wordCnt = docs.collect().flatMap(_.getString(1).split(" "))
+      .filter(w => w.nonEmpty && w.length <= TextAnalysis.UlmMaxWordLen)
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    def subCounts: Map[String, Long] = {
+      val m = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      wordCnt.foreach { case (w, c) =>
+        for (i <- 0 until w.length;
+             l <- 1 to math.min(TextAnalysis.UlmMaxPieceLen, w.length - i))
+          m(w.substring(i, i + l)) += c
+      }
+      m.toMap
+    }
+    val vocab1 = subCounts.filter { case (p, s) =>
+      p.length == 1 || s >= TextAnalysis.UlmSeedFloor }
+    def counts(vocab: Map[String, Long]): Map[String, Long] = {
+      val m = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      wordCnt.foreach { case (w, c) =>
+        bruteBest(w, vocab)._2.split(" ").foreach(p => m(p) += c) }
+      m.toMap
+    }
+    val c1 = counts(vocab1)
+    val kept = c1.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, s) => (-s, p) }.take(TextAnalysis.UlmVocabKeep)
+    val chars = vocab1.keys.filter(_.length == 1)
+      .map(p => p -> c1.getOrElse(p, 0L))
+    val vocab2 = (chars ++ kept).toMap
+    val expect = counts(vocab2).toSeq.sortBy { case (p, s) => (-s, p) }
+      .take(TextAnalysis.UlmTopK).zipWithIndex
+      .map { case ((p, s), i) => (i + 1, p, s) }
+    assert(out == expect, s"engine=$out\nexpect=$expect")
+  }
+
+  test("unigram-LM on real data: full coverage, integer scores, deterministic reruns") {
+    val dir = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("text_unigram_lm")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val b = SparkEntry.queries("text_unigram_lm")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(a == b, "trainer must be deterministic")
+    assert(a.size == TextAnalysis.UlmTopK)
+    assert(a.map(_._3).sorted.reverse == a.map(_._3), "ranked by score desc")
+    assert(a.forall(_._3 > 0))
+  }
 }
