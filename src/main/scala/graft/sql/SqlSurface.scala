@@ -1320,9 +1320,88 @@ object SqlSurface {
       |FROM tiers WHERE kilocents > 500
       |GROUP BY status, tier ORDER BY status, tier""".stripMargin
 
+  // --------------------------------------------- table_sql_view_governed
+
+  /** The analyst-facing governed-view composition, end to end: a
+    * persistent view DEFINED OVER the governed catalog's identifiers
+    * (the stored creation context pins the principal's projection —
+    * [[IceliteViewRule]] re-resolves every referenced table through
+    * the view's stored catalog, so row-filter + column-mask policies
+    * apply UNDER the view and it cannot launder governed data), with
+    * column COMMENTs and TBLPROPERTIES that must round-trip through
+    * `DESCRIBE EXTENDED` (including an `ALTER VIEW … SET
+    * TBLPROPERTIES` update), view DDL REFUSED on the governed catalog
+    * (read-only role), and DML THROUGH the view refused on any
+    * catalog — each contract require()d inside the query, so a
+    * regression fails the gate. The report aggregates through the
+    * view: the oracle recomputes filter + masks natively, and
+    * `n_names = 1` certifies the name column really was redacted.
+    */
+  def tableSqlViewGoverned(spark: SparkSession, dir: String): DataFrame = {
+    val wh = registerCatalog(spark)
+    val gov = "icelite_gvq"
+    spark.conf.set(s"spark.sql.catalog.$gov", classOf[IceliteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$gov.warehouse", wh)
+    spark.conf.set(s"spark.sql.catalog.$gov.principal", "analyst")
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val table = freshTable(spark, wh, "analytics", "customer_vgov", base.schema)
+    table.append(base)
+    table.declarePolicy("analyst",
+      rowFilter = Some("c_nationkey < 13"),
+      masks = Map(
+        "c_name" -> "'***'",
+        "c_acctbal" -> "CAST(floor(c_acctbal / 100) * 100 AS DOUBLE)"))
+    spark.sql(s"DROP VIEW IF EXISTS $CatName.analytics.v_cust_gov")
+    spark.sql(
+      s"""CREATE VIEW $CatName.analytics.v_cust_gov (
+         |  seg COMMENT 'market segment', name, bal COMMENT 'bucketed balance')
+         |COMMENT 'analyst-scoped customers'
+         |TBLPROPERTIES ('owner' = 'analytics', 'tier' = 'silver') AS
+         |SELECT c_mktsegment, c_name, c_acctbal
+         |FROM $gov.analytics.customer_vgov WHERE c_custkey % 2 = 1""".stripMargin)
+    spark.sql(
+      s"ALTER VIEW $CatName.analytics.v_cust_gov SET TBLPROPERTIES ('tier' = 'gold')")
+    val desc = spark.sql(s"DESCRIBE EXTENDED $CatName.analytics.v_cust_gov").collect()
+    require(desc.exists(r => r.getString(0) == "seg" &&
+      r.getString(2) == "market segment"), "column comment lost in DESCRIBE")
+    require(desc.exists(r => r.getString(0) == "bal" &&
+      r.getString(2) == "bucketed balance"), "column comment lost in DESCRIBE")
+    require(desc.exists(r => r.getString(0) == "View Property: owner" &&
+      r.getString(1) == "analytics"), "TBLPROPERTIES lost in DESCRIBE")
+    require(desc.exists(r => r.getString(0) == "View Property: tier" &&
+      r.getString(1) == "gold"), "ALTER VIEW SET TBLPROPERTIES did not land")
+    val ddlRefused =
+      try { spark.sql(s"CREATE VIEW $gov.analytics.v_hack AS SELECT 1 AS one"); false }
+      catch { case _: Exception => true }
+    require(ddlRefused, "governed-catalog view DDL must refuse")
+    val dmlRefused =
+      try { spark.sql(s"UPDATE $CatName.analytics.v_cust_gov SET bal = 0"); false }
+      catch { case _: Exception => true }
+    require(dmlRefused, "DML through a view must refuse")
+    spark.sql(
+      s"""SELECT seg, count(*) AS n_rows,
+         |  CAST(sum(CAST(bal AS DECIMAL(27,2))) AS DOUBLE) AS bal_bucket_sum,
+         |  count(DISTINCT name) AS n_names
+         |FROM $CatName.analytics.v_cust_gov
+         |GROUP BY seg ORDER BY seg""".stripMargin)
+  }
+
+  private val tableSqlViewGovernedOracle =
+    """SELECT c_mktsegment AS seg, count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(c_acctbal / 100) * 100 AS DECIMAL(27,2))) AS DOUBLE)
+      |    AS bal_bucket_sum,
+      |  CAST(1 AS BIGINT) AS n_names
+      |FROM customer WHERE c_custkey % 2 = 1 AND c_nationkey < 13
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   def all: Seq[GraftQuery] = Seq(
+    GraftQuery("table_sql_view_governed", tableSqlViewGoverned _,
+      Some(tableSqlViewGovernedOracle),
+      "governed catalog read THROUGH a persistent view: policies apply under it, DDL/DML refusals, COMMENT + TBLPROPERTIES round-trip"),
     GraftQuery("table_sql_read", tableSqlRead _, Some(tableSqlReadOracle),
       "MoR read (equality+pos deletes, schema evolution) purely via spark.sql on a DSv2 catalog"),
     GraftQuery("table_sql_write", tableSqlWrite _, Some(tableSqlWriteOracle),

@@ -241,4 +241,29 @@ class IceliteViewSpec extends AnyFunSuite with SparkFixture {
     val td = spark.sql(s"DESCRIBE TABLE $cat.ns.t_desc").collect().map(_.getString(0))
     assert(td.contains("k") && td.contains("cat") && td.contains("v"))
   }
+
+  test("duplicate alias lists refuse at CREATE; multi-level namespaces name the restriction") {
+    seed("t_dups")
+    // CREATE VIEW v (a, a): the alias list IS the pinned contract —
+    // ambiguous names refuse at create time, not at first read
+    val e1 = intercept[UnsupportedOperationException](spark.sql(
+      s"CREATE VIEW $cat.ns.v_dupalias (a, A) AS SELECT k, v FROM $cat.ns.t_dups"))
+    assert(e1.getMessage.contains("duplicate"), e1.getMessage)
+    assert(spark.sql(s"SHOW VIEWS IN $cat.ns").collect()
+      .forall(_.getString(1) != "v_dupalias"))
+    // a multi-level namespace refuses loudly BEFORE touching state:
+    // four-part names never match the parser route (single-level
+    // contract), so Spark's own no-ViewCatalog-path error surfaces —
+    // and the store-level guard names the restriction for API callers
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE VIEW $cat.ns.deeper.v_deep AS SELECT k FROM $cat.ns.t_dups"))
+    assert(e2.getMessage.toLowerCase.contains("view"), e2.getMessage)
+    val store = new ViewStore(spark, wh)
+    val e3 = intercept[UnsupportedOperationException](store.create(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("a", "b"), "v_deep"),
+      IceliteViewMeta("SELECT 1", cat, Seq("ns"),
+        org.apache.spark.sql.types.StructType(Nil), Nil, Nil, Nil, Map.empty)))
+    assert(e3.getMessage.contains("single-level"), e3.getMessage)
+  }
 }
