@@ -261,8 +261,8 @@ object SqlDml {
     case other => other
   }
 
-  private def corrName(i: Int) = s"__corr_$i"
-  private val CorrVal = "__corr_val"
+  private[sql] def corrName(i: Int) = s"__corr_$i"
+  private[sql] val CorrVal = "__corr_val"
 
   /** `[NOT] EXISTS (subquery)` and correlated `key IN (subquery)` for
     * UPDATE/DELETE, on the same coordinate engine as the uncorrelated
@@ -277,8 +277,12 @@ object SqlDml {
     * which is precisely left-semi/left-anti behavior). Correlated
     * `IN` routes as the semi-join of (probe, correlation keys) —
     * UNKNOWN rows are excluded exactly as WHERE treats them.
-    * Correlated `NOT IN` refuses: its per-outer-row three-valued set
-    * semantics have no sound single-join form.
+    * Correlated `NOT IN` routes as the TWO-pass plan (per-group
+    * null/emptiness probe + value anti join,
+    * [[IceliteNotInDmlCommand]]) — its per-outer-row three-valued set
+    * semantics have no single-join form, but two joins express them
+    * exactly (NULL values poison their group, NULL probes qualify
+    * only against empty groups, empty groups qualify everything).
     */
   private def translateCorrelatedDml(
       t: IceliteTable, cond: Expression,
@@ -336,9 +340,28 @@ object SqlDml {
             "correlated IN-subquery must be a single-column SELECT with its correlation " +
               "in the top WHERE")
         }
-      case Not(InSubquery(_, lq: ListQuery)) if lq.outerAttrs.nonEmpty =>
-        refuse("correlated NOT IN has per-row three-valued set semantics and is not routed " +
-          "(use NOT EXISTS with explicit NULL handling)")
+      case Not(InSubquery(Seq(probe: AttributeReference), lq: ListQuery))
+          if lq.outerAttrs.nonEmpty && lq.plan.output.size == 1 =>
+        // correlated NOT IN: per-outer-row three-valued SET semantics
+        // have no single-join form — routed as the TWO-pass plan
+        // (per-group null/emptiness probe + value anti join), see
+        // IceliteNotInDmlCommand
+        lq.plan match {
+          case Project(Seq(value), f @ Filter(_, _)) =>
+            val (pairs, cleaned) = extractCorrelation(f.condition, f.child)
+            if (value.exists(containsOuter)) refuse(
+              "correlated NOT IN: the subquery's SELECT expression may not reference the outer row")
+            val proj = (Alias(value, CorrVal)() : NamedExpression) +:
+              pairs.zipWithIndex.map { case ((_, inner), i) =>
+                Alias(inner, corrName(i))() : NamedExpression
+              }
+            Some(IceliteNotInDmlCommand(t, Project(proj, cleaned), probe.name,
+              pairs.zipWithIndex.map { case ((a, _), i) => (a.name, corrName(i)) },
+              local, set, isDelete))
+          case _ => refuse(
+            "correlated NOT IN subquery must be a single-column SELECT with its " +
+              "correlation in the top WHERE")
+        }
       case _ => None
     }
   }
@@ -916,6 +939,55 @@ case class IceliteCorrelatedDmlCommand(
       val keys = src.distinct()
       val on = joinKeys.map { case (v, s) => visible(v) === keys(s) }.reduce(_ && _)
       visible.join(keys, on, if (anti) "left_anti" else "left_semi").filter(cond)
+    }
+    if (isDelete) table.deleteMatching(classify)
+    else table.updateMatching(classify, set)
+    Seq.empty
+  }
+}
+
+/** Correlated `[probe] NOT IN (SELECT v FROM … WHERE corr = outer)`
+  * DML — exact per-outer-row three-valued SET semantics in TWO
+  * distributed joins (there is no single-join form):
+  *
+  *  1. per-correlation-group probe: one hash-agg of the decorrelated
+  *     frame marks groups containing a NULL value;
+  *  2. qualification: LEFT-OUTER join the groups — a row with NO
+  *     group qualifies (NOT IN over the empty set is TRUE, even for a
+  *     NULL probe); a row whose group contains a NULL never qualifies
+  *     (every comparison is at best UNKNOWN); a NULL probe against a
+  *     non-empty null-free group never qualifies (UNKNOWN); then one
+  *     ANTI join on (correlation keys, probe = value) removes rows
+  *     whose probe matches a group value.
+  *
+  * SQL-exact including the edge cases the single-join rewrite gets
+  * wrong (NULL values in the set, NULL probes, empty groups). One
+  * coordinate MoR commit like every other DML route.
+  */
+case class IceliteNotInDmlCommand(
+    table: IceliteTable, framePlan: LogicalPlan, probeCol: String,
+    joinKeys: Seq[(String, String)], cond: Column,
+    set: Map[String, Column], isDelete: Boolean)
+  extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit, max, when}
+    if (!isDelete && set.isEmpty) return Seq.empty
+    val f = ColumnBridge.ofRows(sparkSession, framePlan)
+    def classify(visible: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val hasNull = "__corr_hasnull"
+      (joinKeys.map(_._2) :+ hasNull :+ SqlDml.CorrVal).foreach { s =>
+        require(!visible.columns.contains(s), s"table may not carry $s") }
+      val stats = f.groupBy(joinKeys.map(k => col(k._2)): _*)
+        .agg(max(when(col(SqlDml.CorrVal).isNull, 1).otherwise(0)).as(hasNull))
+      val onStats = joinKeys.map { case (v, s) => visible(v) === stats(s) }.reduce(_ && _)
+      val qualified = visible.join(stats, onStats, "left_outer")
+        .filter(col(hasNull).isNull ||
+          (col(hasNull) === 0 && visible(probeCol).isNotNull))
+        .drop(hasNull).drop(joinKeys.map(_._2): _*)
+      val values = f.filter(col(SqlDml.CorrVal).isNotNull)
+      val onVals = joinKeys.map { case (v, s) => qualified(v) === values(s) }
+        .reduce(_ && _) && (qualified(probeCol) === values(SqlDml.CorrVal))
+      qualified.join(values, onVals, "left_anti").filter(cond)
     }
     if (isDelete) table.deleteMatching(classify)
     else table.updateMatching(classify, set)

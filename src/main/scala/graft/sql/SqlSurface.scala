@@ -431,6 +431,14 @@ object SqlSurface {
          |WHERE NOT EXISTS (SELECT 1 FROM sqlex_li
          |                  WHERE l_orderkey = o_orderkey AND l_quantity > 46)
          |  AND cents % 3 = 0""".stripMargin)
+    // correlated NOT IN (r19 — the two-pass route): dock orders whose
+    // status is NOT among their own heavy lines' return flags; the
+    // subquery's NULLIF plants NULL values in some groups, which the
+    // three-valued semantics must treat as never-qualifying
+    spark.sql(
+      s"""UPDATE $CatName.analytics.orders_sqlex SET cents = cents - 5
+         |WHERE o_orderstatus NOT IN (SELECT nullif(l_returnflag, 'N') FROM sqlex_li
+         |                            WHERE l_orderkey = o_orderkey AND l_quantity > 47)""".stripMargin)
     spark.sql(
       s"""SELECT o_orderstatus, count(*) AS n_rows,
          |  CAST(sum(cents) AS BIGINT) AS sum_cents
@@ -460,10 +468,16 @@ object SqlSurface {
       |  SELECT * FROM upd2
       |  WHERE NOT (NOT EXISTS (SELECT 1 FROM lineitem
       |                         WHERE l_orderkey = upd2.o_orderkey AND l_quantity > 46)
-      |    AND cents % 3 = 0))
+      |    AND cents % 3 = 0)),
+      |upd3 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus NOT IN (SELECT nullif(l_returnflag, 'N') FROM lineitem
+      |                                    WHERE l_orderkey = fin.o_orderkey AND l_quantity > 47)
+      |         THEN cents - 5 ELSE cents END AS cents
+      |  FROM fin)
       |SELECT o_orderstatus, count(*) AS n_rows,
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
-      |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+      |FROM upd3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // --------------------------------------------- table_sql_replace_where
 

@@ -622,14 +622,40 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(state("t_mscal3") == Seq((1L, "a", 15L)))
   }
 
+  test("correlated NOT IN routes with exact three-valued semantics") {
+    import spark.implicits._
+    // rows: k=1 group {5} (no match -> qualifies), k=2 group {2, NULL}
+    // (null poisons -> never qualifies), k=3 group {3} (probe matches
+    // -> not qualified), k=4 empty group (qualifies)
+    mk("t_notin3", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+    Seq((10L, Option(5L)), (20L, Option(2L)), (20L, Option.empty[Long]),
+      (30L, Option(3L))).toDF("gv", "fk").createOrReplaceTempView("notin3_src")
+    spark.sql(
+      """UPDATE dml.ns.t_notin3 SET s = 'hit'
+        |WHERE k NOT IN (SELECT fk FROM notin3_src WHERE gv = v)""".stripMargin)
+    assert(state("t_notin3") ==
+      Seq((1L, "hit", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "hit", 40L)))
+    // a NULL probe qualifies ONLY against an empty group
+    val df = Seq((Option(1L), "x", 100L), (Option.empty[Long], "y", 100L),
+      (Option.empty[Long], "z", 200L)).toDF("k", "s", "v")
+    val t2 = IceliteTable.create(spark, wh, "ns", "t_notin2", df.schema)
+    t2.append(df)
+    Seq((100L, 9L)).toDF("gv", "fk").createOrReplaceTempView("notin2_src")
+    // v=100 group {9}: k=1 not in it -> hit; k=NULL -> UNKNOWN, no hit;
+    // v=200 group empty: NOT IN () is TRUE even for a NULL probe -> hit
+    spark.sql(
+      """UPDATE dml.ns.t_notin2 SET s = 'hit'
+        |WHERE k NOT IN (SELECT fk FROM notin2_src WHERE gv = v)""".stripMargin)
+    val got = IceliteTable.load(spark, wh, "ns", "t_notin2").read().collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._3, x._1)).toSeq
+    assert(got == Seq((-1L, "y", 100L), (1L, "hit", 100L), (-1L, "hit", 200L)))
+  }
+
   test("correlated shapes the join cannot express refuse loudly") {
     import spark.implicits._
     mk("t_exref", Seq((1L, "a", 10L)))
     Seq((1L, 5L)).toDF("fk", "q").createOrReplaceTempView("exref_src")
-    // correlated NOT IN: per-row three-valued set semantics
-    val e1 = intercept[UnsupportedOperationException](spark.sql(
-      "UPDATE dml.ns.t_exref SET v = 0 WHERE k NOT IN (SELECT fk FROM exref_src WHERE q = v)"))
-    assert(e1.getMessage.contains("NOT IN"))
     // aggregate above the correlation changes existence
     val e2 = intercept[UnsupportedOperationException](spark.sql(
       """UPDATE dml.ns.t_exref SET v = 0
