@@ -58,6 +58,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // NIO local fs: without libhadoop, Hadoop's local fs forks
+      // chmod/ls/readlink per metadata op (graft.util.NioLocalFs —
+      // measured 4.2k forks in a 120 s JFR window of table queries)
+      .config("spark.hadoop.fs.file.impl", "graft.util.NioLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl", "graft.util.NioLocalFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

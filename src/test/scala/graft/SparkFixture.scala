@@ -12,6 +12,11 @@ object SparkFixture {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    // NIO local fs (see graft.util.NioLocalFs): no forked chmod/ls/
+    // readlink per local-fs metadata op — the bench/verify surfaces
+    // run with the same fs, so specs exercise the shipped path
+    .config("spark.hadoop.fs.file.impl", "graft.util.NioLocalFileSystem")
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl", "graft.util.NioLocalFs")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
